@@ -1,13 +1,268 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.hist._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every query returns a deterministic (ORDER BY'd) DataFrame whose
+  * columns/values hash-match the DuckDB oracle SQL in [[oracleSql]] run on
+  * the same parquet. Bin-index SQL is *generated from the same Axis
+  * objects* used by the Spark plan, so the two sides can't drift.
+  *
+  * Floating-point discipline (driver hashes values exactly):
+  *  - count aggregates are exact;
+  *  - sums of fixed-decimal columns (quantity integral; discount/tax
+  *    2-decimal) have decimal-exact true values, so `round(x, 6)` (or 2 for
+  *    price-magnitude sums) puts both engines' ulp-level differences in the
+  *    same bucket with margin ~1e9;
+  *  - derived ratios (mean/wmean/density) round at 6 with error ≪ bucket.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  // ---- shared axis definitions (Spark expr + oracle SQL from one object)
+  private val axPrice = Regular(20, 900.0, 105000.0)
+  private val axQty = Variable(Seq(1.0, 10.0, 25.0, 40.0, 51.0))
+  private val axQtyR = Regular(10, 1.0, 51.0)
+  private val axDisc = Regular(11, 0.0, 0.11)
+  private val axTax = Regular(9, 0.0, 0.09)
+  private val axLine = IntegerAxis(1L, 8L)
+
+  private val cutoff = "1995-06-01 00:00:00"
+  private def cutTs = java.sql.Timestamp.valueOf(cutoff)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * densified 2-D weighted histogram (discount × tax, weight=quantity). */
+  def entry(spark: SparkSession): DataFrame = {
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val spec = HistSpec(Seq(axDisc, axTax), DoubleStorage)
+    val h = Hist.fill(spec, li, Seq(col("l_discount"), col("l_tax")),
+      weight = Some(col("l_quantity")))
+    Hist.densify(spec, h).orderBy("i0", "i1")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // N1 + A1: 1-D Regular histogram, Int64 (count) storage
+    "hist1d_regular" -> { (s, dir) =>
+      val (spec, h) = Routines.histogram(Tables.lineitem(s, dir),
+        col("l_extendedprice"), BinsSpec.Count(axPrice.n),
+        Some(BinsSpec.RangePair(axPrice.lo, axPrice.hi)), storage = Int64Storage)
+      h.orderBy("i0")
+    },
+    // A1 + Double storage with weight column (sums of integral quantities)
+    "hist1d_weighted" -> { (s, dir) =>
+      val (_, h) = Routines.histogram(Tables.lineitem(s, dir),
+        col("l_extendedprice"), BinsSpec.Count(axPrice.n),
+        Some(BinsSpec.RangePair(axPrice.lo, axPrice.hi)),
+        weights = Some(col("l_quantity")))
+      h.withColumn("value", round(col("value"), 6)).orderBy("i0")
+    },
+    // Variable axis + Weight storage (value=Σw, variance=Σw²)
+    "hist1d_variable_weight" -> { (s, dir) =>
+      val spec = HistSpec(Seq(axQty), WeightStorage)
+      Hist.fill(spec, Tables.lineitem(s, dir), Seq(col("l_quantity")),
+          weight = Some(col("l_discount")))
+        .withColumn("value", round(col("value"), 6))
+        .withColumn("variance", round(col("variance"), 6))
+        .orderBy("i0")
+    },
+    // A2/N2: 2-D histogram, count storage
+    "hist2d_regular" -> { (s, dir) =>
+      val (_, h) = Routines.histogram2d(Tables.lineitem(s, dir),
+        col("l_discount"), col("l_tax"),
+        BinsSpec.CountPerDim(Seq(axDisc.n, axTax.n)),
+        Some(Seq(Some(BinsSpec.RangePair(axDisc.lo, axDisc.hi)),
+          Some(BinsSpec.RangePair(axTax.lo, axTax.hi)))),
+        storage = Int64Storage)
+      h.orderBy("i0", "i1")
+    },
+    // N3: 3-D histogram
+    "hist3d_count" -> { (s, dir) =>
+      val spec = HistSpec(Seq(axQtyR, axDisc, axTax), Int64Storage)
+      Hist.fill(spec, Tables.lineitem(s, dir),
+          Seq(col("l_quantity"), col("l_discount"), col("l_tax")))
+        .orderBy("i0", "i1", "i2")
+    },
+    // Mean storage (n, Σs, Σs², mean) — sample kept small-magnitude (tax)
+    "hist_mean_storage" -> { (s, dir) =>
+      val spec = HistSpec(Seq(axQtyR), MeanStorage)
+      Hist.fill(spec, Tables.lineitem(s, dir), Seq(col("l_quantity")),
+          sample = Some(col("l_tax")))
+        .withColumn("sum_s", round(col("sum_s"), 6))
+        .withColumn("sum_s2", round(col("sum_s2"), 6))
+        .withColumn("mean", round(col("mean"), 6))
+        .orderBy("i0")
+    },
+    // WeightedMean storage
+    "hist_wmean_storage" -> { (s, dir) =>
+      val spec = HistSpec(Seq(axQtyR), WeightedMeanStorage)
+      Hist.fill(spec, Tables.lineitem(s, dir), Seq(col("l_quantity")),
+          weight = Some(col("l_discount")), sample = Some(col("l_tax")))
+        .withColumn("sum_w", round(col("sum_w"), 6))
+        .withColumn("sum_w2", round(col("sum_w2"), 6))
+        .withColumn("sum_ws", round(col("sum_ws"), 6))
+        .withColumn("sum_ws2", round(col("sum_ws2"), 6))
+        .withColumn("wmean", round(col("wmean"), 6))
+        .orderBy("i0")
+    },
+    // Growable StrCategory axis = group-by on the raw value (A11)
+    "hist_strcat" -> { (s, dir) =>
+      val spec = HistSpec(Seq(StrCategory()), Int64Storage)
+      Hist.fill(spec, Tables.orders(s, dir), Seq(col("o_orderpriority")))
+        .orderBy("i0")
+    },
+    // Growable IntCategory axis
+    "hist_intcat" -> { (s, dir) =>
+      val spec = HistSpec(Seq(IntCategory()), Int64Storage)
+      Hist.fill(spec, Tables.lineitem(s, dir), Seq(col("l_linenumber")))
+        .orderBy("i0")
+    },
+    // Integer axis (unit bins, clamped flow)
+    "hist_integer_axis" -> { (s, dir) =>
+      val spec = HistSpec(Seq(axLine), Int64Storage)
+      Hist.fill(spec, Tables.lineitem(s, dir), Seq(col("l_linenumber")))
+        .orderBy("i0")
+    },
+    // Boolean axis
+    "hist_bool" -> { (s, dir) =>
+      val spec = HistSpec(Seq(BooleanAxis()), Int64Storage)
+      Hist.fill(spec, Tables.lineitem(s, dir), Seq(col("l_discount") > 0.05))
+        .orderBy("i0")
+    },
+    // A5: staged multi-fill fused into one aggregation (scalar weight
+    // broadcast on the second fill, ref tests/test_core.py:350-359)
+    "hist_multifill" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val hb = new Histogram(HistSpec(Seq(axPrice), DoubleStorage))
+      hb.fill(li.filter(col("l_shipdate") < cutTs), Seq(col("l_extendedprice")))
+      hb.fill(li.filter(col("l_shipdate") >= cutTs), Seq(col("l_extendedprice")),
+        weight = Some(lit(0.5)))
+      hb.result(s).withColumn("value", round(col("value"), 6)).orderBy("i0")
+    },
+    // A12: histogram algebra — full-outer-join add of two slices
+    "hist_add" -> { (s, dir) => algebraQuery(s, dir, HistAlgebra.Add) },
+    "hist_sub" -> { (s, dir) => algebraQuery(s, dir, HistAlgebra.Sub) },
+    // S2: densified 1-D histogram with flow bins (zero-filled grid)
+    "hist_dense1d" -> { (s, dir) =>
+      val spec = HistSpec(Seq(axQtyR), DoubleStorage)
+      val h = Hist.fill(spec, Tables.lineitem(s, dir), Seq(col("l_quantity")))
+      Hist.densify(spec, h, flow = true)
+        .withColumn("value", round(col("value"), 6)).orderBy("i0")
+    },
+    // A14 done right: density normalization
+    "hist_density" -> { (s, dir) =>
+      val spec = HistSpec(Seq(axPrice), DoubleStorage)
+      val h = Hist.fill(spec, Tables.lineitem(s, dir), Seq(col("l_extendedprice")))
+      Hist.density(spec, h)
+        .select(col("i0"), round(col("value"), 6).as("value"),
+          round(col("density"), 9).as("density"))
+        .orderBy("i0")
+    },
+  )
+
+  private def algebraQuery(s: SparkSession, dir: String,
+      op: HistAlgebra.Op): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val spec = HistSpec(Seq(axQtyR), DoubleStorage)
+    val h1 = Hist.fill(spec, li.filter(col("l_shipdate") < cutTs),
+      Seq(col("l_quantity")))
+    val h2 = Hist.fill(spec, li.filter(col("l_shipdate") >= cutTs),
+      Seq(col("l_quantity")))
+    HistAlgebra.binOp(spec, h1, h2, op)
+      .withColumn("value", round(col("value"), 6)).orderBy("i0")
+  }
+
+  // ---------------------------------------------------------------------
+  // Oracle SQL (DuckDB). Bin-index CASE expressions generated from the
+  // same Axis objects as the Spark plans above.
+  // ---------------------------------------------------------------------
+  // The driver exposes each parquet table as a DuckDB relation named by
+  // table (see builder-prompt example: `FROM lineitem`).
+  private def li() = "lineitem"
+  private val ord = "orders"
+
+  def oracleSql: Map[String, String] = Map(
+    "hist1d_regular" ->
+      s"""SELECT ${axPrice.sqlExpr("l_extendedprice")} AS i0, count(*) AS value
+         |FROM ${li()} GROUP BY 1 ORDER BY i0""".stripMargin,
+    "hist1d_weighted" ->
+      s"""SELECT ${axPrice.sqlExpr("l_extendedprice")} AS i0,
+         |round(sum(l_quantity), 6) AS value
+         |FROM ${li()} GROUP BY 1 ORDER BY i0""".stripMargin,
+    "hist1d_variable_weight" ->
+      s"""SELECT ${axQty.sqlExpr("l_quantity")} AS i0,
+         |round(sum(l_discount), 6) AS value,
+         |round(sum(l_discount * l_discount), 6) AS variance
+         |FROM ${li()} GROUP BY 1 ORDER BY i0""".stripMargin,
+    "hist2d_regular" ->
+      s"""SELECT ${axDisc.sqlExpr("l_discount")} AS i0,
+         |${axTax.sqlExpr("l_tax")} AS i1, count(*) AS value
+         |FROM ${li()} GROUP BY 1, 2 ORDER BY i0, i1""".stripMargin,
+    "hist3d_count" ->
+      s"""SELECT ${axQtyR.sqlExpr("l_quantity")} AS i0,
+         |${axDisc.sqlExpr("l_discount")} AS i1,
+         |${axTax.sqlExpr("l_tax")} AS i2, count(*) AS value
+         |FROM ${li()} GROUP BY 1, 2, 3 ORDER BY i0, i1, i2""".stripMargin,
+    "hist_mean_storage" ->
+      s"""SELECT ${axQtyR.sqlExpr("l_quantity")} AS i0, count(l_tax) AS n,
+         |round(sum(l_tax), 6) AS sum_s, round(sum(l_tax * l_tax), 6) AS sum_s2,
+         |round(sum(l_tax) / count(l_tax), 6) AS mean
+         |FROM ${li()} GROUP BY 1 ORDER BY i0""".stripMargin,
+    "hist_wmean_storage" ->
+      s"""SELECT ${axQtyR.sqlExpr("l_quantity")} AS i0,
+         |round(sum(l_discount), 6) AS sum_w,
+         |round(sum(l_discount * l_discount), 6) AS sum_w2,
+         |round(sum(l_discount * l_tax), 6) AS sum_ws,
+         |round(sum(l_discount * l_tax * l_tax), 6) AS sum_ws2,
+         |round(sum(l_discount * l_tax) / sum(l_discount), 6) AS wmean
+         |FROM ${li()} GROUP BY 1 ORDER BY i0""".stripMargin,
+    "hist_strcat" ->
+      s"SELECT o_orderpriority AS i0, count(*) AS value FROM $ord GROUP BY 1 ORDER BY i0",
+    "hist_intcat" ->
+      s"""SELECT CAST(l_linenumber AS BIGINT) AS i0, count(*) AS value
+         |FROM ${li()} GROUP BY 1 ORDER BY i0""".stripMargin,
+    "hist_integer_axis" ->
+      s"""SELECT ${axLine.sqlExpr("l_linenumber")} AS i0, count(*) AS value
+         |FROM ${li()} GROUP BY 1 ORDER BY i0""".stripMargin,
+    "hist_bool" ->
+      s"""SELECT (CASE WHEN l_discount > 0.05 THEN 2 ELSE 1 END) AS i0,
+         |count(*) AS value FROM ${li()} GROUP BY 1 ORDER BY i0""".stripMargin,
+    "hist_multifill" ->
+      s"""SELECT i0, round(sum(w), 6) AS value FROM (
+         |  SELECT ${axPrice.sqlExpr("l_extendedprice")} AS i0, 1.0 AS w
+         |  FROM ${li()} WHERE l_shipdate < TIMESTAMP '$cutoff'
+         |  UNION ALL
+         |  SELECT ${axPrice.sqlExpr("l_extendedprice")} AS i0, 0.5 AS w
+         |  FROM ${li()} WHERE l_shipdate >= TIMESTAMP '$cutoff'
+         |) GROUP BY 1 ORDER BY i0""".stripMargin,
+    "hist_add" -> algebraOracle("+"),
+    "hist_sub" -> algebraOracle("-"),
+    "hist_dense1d" ->
+      s"""SELECT g.i0, round(COALESCE(h.value, 0.0), 6) AS value
+         |FROM (SELECT range AS i0 FROM range(0, ${axQtyR.n + 2})) g
+         |LEFT JOIN (
+         |  SELECT ${axQtyR.sqlExpr("l_quantity")} AS i0, sum(1.0) AS value
+         |  FROM ${li()} GROUP BY 1
+         |) h USING (i0) ORDER BY i0""".stripMargin,
+    "hist_density" ->
+      s"""SELECT i0, round(value, 6) AS value,
+         |round(value / (sum(CASE WHEN i0 BETWEEN 1 AND ${axPrice.n} THEN value
+         |ELSE 0.0 END) OVER () * ${(axPrice.hi - axPrice.lo) / axPrice.n}), 9)
+         |AS density FROM (
+         |  SELECT ${axPrice.sqlExpr("l_extendedprice")} AS i0, sum(1.0) AS value
+         |  FROM ${li()} GROUP BY 1
+         |) ORDER BY i0""".stripMargin,
+  )
+
+  private def algebraOracle(op: String): String =
+    s"""SELECT COALESCE(a.i0, b.i0) AS i0,
+       |round(COALESCE(a.v, 0.0) $op COALESCE(b.v, 0.0), 6) AS value FROM (
+       |  SELECT ${axQtyR.sqlExpr("l_quantity")} AS i0, sum(1.0) AS v
+       |  FROM ${li()} WHERE l_shipdate < TIMESTAMP '$cutoff' GROUP BY 1
+       |) a FULL OUTER JOIN (
+       |  SELECT ${axQtyR.sqlExpr("l_quantity")} AS i0, sum(1.0) AS v
+       |  FROM ${li()} WHERE l_shipdate >= TIMESTAMP '$cutoff' GROUP BY 1
+       |) b ON a.i0 = b.i0 ORDER BY i0""".stripMargin
 }

@@ -1,0 +1,158 @@
+package graft.hist
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType}
+
+/** Axis vocabulary of the histogram schema.
+  *
+  * Mirrors the semantics of the reference's axis types (the reference
+  * re-exports `boost_histogram.axis` at
+  * `/root/reference/src/dask_histogram/__init__.py:3`; Regular/Variable are
+  * constructed at `/root/reference/src/dask_histogram/routines.py:444-450`,
+  * category growth axes exercised at
+  * `/root/reference/tests/test_boost.py:115-154`).
+  *
+  * Numeric axes map a value column to a *bin index* column with flow bins:
+  * index 0 = underflow, 1..n = in-range bins, n+1 = overflow. NaN and NULL
+  * go to overflow (boost: NaN fills overflow). Bins are right-exclusive
+  * [lo, hi) except that category axes group on the raw value (the sparse
+  * relational representation makes growable category axes free — see
+  * SURVEY.md §2.3 A11).
+  *
+  * Every bin-index expression is built from `org.apache.spark.sql.functions`
+  * primitives only (no UDFs) so Catalyst keeps it inside whole-stage
+  * codegen and the identical formula can be re-stated in ANSI SQL for the
+  * DuckDB oracle.
+  */
+sealed trait Axis extends Serializable {
+  /** Number of in-range bins (flow bins excluded). */
+  def nBins: Int
+
+  /** Bin-key expression for a value column. Numeric axes return a LongType
+    * index in [0, nBins+1]; category axes return the raw (typed) value.
+    */
+  def binCol(c: Column): Column
+
+  /** Spark type of the bin-key column. */
+  def keyType: DataType
+
+  /** True when the bin key is the raw category value rather than an index. */
+  def isCategorical: Boolean = false
+
+  /** Bin edges (numeric axes), length nBins+1; flow edges are ±inf. */
+  def edges: Array[Double] = Array.empty
+
+  /** Lower edge of in-range bin i (0-based, numeric axes only). */
+  def binLo(i: Int): Double = edges(i)
+  def binHi(i: Int): Double = edges(i + 1)
+  def binWidth(i: Int): Double = binHi(i) - binLo(i)
+}
+
+/** n uniform bins on [lo, hi); underflow 0, overflow n+1, NaN/NULL→overflow.
+  * Reference: Regular construction at `routines.py:448-450`. */
+final case class Regular(n: Int, lo: Double, hi: Double, name: String = "")
+    extends Axis {
+  require(n > 0, s"Regular axis needs n > 0, got $n")
+  require(lo < hi, s"Regular axis needs lo < hi, got [$lo, $hi)")
+  override def nBins: Int = n
+  override def keyType: DataType = LongType
+  override def binCol(c: Column): Column = {
+    val d = c.cast(DoubleType)
+    when(d.isNull || isnan(d) || d >= hi, lit(n + 1).cast(LongType))
+      .when(d < lo, lit(0L))
+      .otherwise(floor((d - lit(lo)) * lit(n.toDouble) / lit(hi - lo)) + lit(1L))
+  }
+  override def edges: Array[Double] =
+    Array.tabulate(n + 1)(i => lo + (hi - lo) * i / n)
+
+  /** The identical bin-index formula as ANSI SQL (DuckDB-compatible), used
+    * by query oracles. Keep in exact sync with [[binCol]]. */
+  def sqlExpr(v: String): String =
+    s"(CASE WHEN $v IS NULL OR isnan($v) OR $v >= $hi THEN ${n + 1} " +
+      s"WHEN $v < $lo THEN 0 " +
+      s"ELSE CAST(floor(($v - $lo) * ${n.toDouble} / ${hi - lo}) AS BIGINT) + 1 END)"
+}
+
+/** Explicit monotone edges, right-exclusive; underflow 0, overflow n+1.
+  * Reference: Variable construction at `routines.py:444-447`. */
+final case class Variable(edgeSeq: Seq[Double], name: String = "") extends Axis {
+  require(edgeSeq.size >= 2, "Variable axis needs >= 2 edges")
+  require(edgeSeq.sliding(2).forall(p => p(0) < p(1)),
+    "Variable axis edges must be strictly increasing")
+  override def nBins: Int = edgeSeq.size - 1
+  override def keyType: DataType = LongType
+  override def edges: Array[Double] = edgeSeq.toArray
+  override def binCol(c: Column): Column = {
+    val d = c.cast(DoubleType)
+    // CASE ladder: small edge counts dominate in practice; stays codegen'd.
+    val inner = edgeSeq.init.zipWithIndex.foldRight(lit(nBins + 1).cast(LongType)) {
+      case ((lo, i), rest) => when(d >= lo && d < edgeSeq(i + 1), lit(i + 1L)).otherwise(rest)
+    }
+    when(d.isNull || isnan(d) || d >= edgeSeq.last, lit(nBins + 1).cast(LongType))
+      .when(d < edgeSeq.head, lit(0L))
+      .otherwise(inner)
+  }
+  def sqlExpr(v: String): String = {
+    val ladder = edgeSeq.init.zipWithIndex
+      .map { case (lo, i) => s"WHEN $v >= $lo AND $v < ${edgeSeq(i + 1)} THEN ${i + 1}" }
+      .mkString(" ")
+    s"(CASE WHEN $v IS NULL OR isnan($v) OR $v >= ${edgeSeq.last} THEN ${nBins + 1} " +
+      s"WHEN $v < ${edgeSeq.head} THEN 0 $ladder ELSE ${nBins + 1} END)"
+  }
+}
+
+/** Unit-width integer bins covering [lo, hi) — boost `Integer(lo, hi)`. */
+final case class IntegerAxis(lo: Long, hi: Long, name: String = "") extends Axis {
+  require(lo < hi, s"Integer axis needs lo < hi, got [$lo, $hi)")
+  override def nBins: Int = (hi - lo).toInt
+  override def keyType: DataType = LongType
+  override def binCol(c: Column): Column = {
+    val v = c.cast(LongType)
+    when(v.isNull || v >= hi, lit(nBins + 1).cast(LongType))
+      .when(v < lo, lit(0L))
+      .otherwise(v - lit(lo) + lit(1L))
+  }
+  override def edges: Array[Double] = Array.tabulate(nBins + 1)(i => (lo + i).toDouble)
+  def sqlExpr(v: String): String =
+    s"(CASE WHEN $v IS NULL OR $v >= $hi THEN ${nBins + 1} WHEN $v < $lo THEN 0 " +
+      s"ELSE CAST($v AS BIGINT) - $lo + 1 END)"
+}
+
+/** Boolean axis: exactly 2 bins keyed 0/1 (boost `Boolean()`). */
+final case class BooleanAxis(name: String = "") extends Axis {
+  override def nBins: Int = 2
+  override def keyType: DataType = LongType
+  override def binCol(c: Column): Column =
+    when(c.cast("boolean"), lit(2L)).otherwise(lit(1L))
+  def sqlExpr(v: String): String = s"(CASE WHEN $v THEN 2 ELSE 1 END)"
+}
+
+/** String category axis. With growth=true the key is simply the raw value
+  * (relational group-by IS a growable category axis — SURVEY.md §1.2);
+  * with a fixed category list, unseen values map to the literal
+  * "__overflow__" key so the overflow bin survives relationally. */
+final case class StrCategory(categories: Seq[String] = Nil, growth: Boolean = true,
+    name: String = "") extends Axis {
+  override def nBins: Int = categories.size
+  override def keyType: DataType = StringType
+  override def isCategorical: Boolean = true
+  override def binCol(c: Column): Column =
+    if (growth) c.cast(StringType)
+    else when(c.isInCollection(categories), c.cast(StringType))
+      .otherwise(lit(StrCategory.OverflowKey))
+}
+object StrCategory { val OverflowKey = "__overflow__" }
+
+/** Integer category axis; growth semantics as [[StrCategory]]; fixed-list
+  * overflow maps to Long.MinValue. */
+final case class IntCategory(categories: Seq[Long] = Nil, growth: Boolean = true,
+    name: String = "") extends Axis {
+  override def nBins: Int = categories.size
+  override def keyType: DataType = LongType
+  override def isCategorical: Boolean = true
+  override def binCol(c: Column): Column =
+    if (growth) c.cast(LongType)
+    else when(c.isInCollection(categories), c.cast(LongType))
+      .otherwise(lit(Long.MinValue))
+}

@@ -1,0 +1,115 @@
+package graft.hist
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** One staged fill: which DataFrame/columns feed the histogram, with
+  * optional weight and sample (reference stages dicts of
+  * (args, weight, sample) at `/root/reference/src/dask_histogram/boost.py:234-312`).
+  * Scalar weights broadcast via `lit` (ref: `tests/test_core.py:350-359`);
+  * scalar category args ride along as `lit` columns
+  * (ref: `tests/test_boost.py:132-134`).
+  */
+final case class FillSpec(df: DataFrame, cols: Seq[Column],
+    weight: Option[Column] = None, sample: Option[Column] = None)
+
+/** Core fill + reduce engine.
+  *
+  * The reference's whole pipeline — per-partition `bh.Histogram.fill`
+  * (`core.py:63-257`) followed by a bounded-fan-in tree reduction
+  * (`core.py:856-885`) — is one declarative Spark aggregation here:
+  * `select(binIndex*) .groupBy(idx*) .agg(storage sums)`. Catalyst plans it
+  * as partial HashAggregate (map-side combine ≈ per-partition fill) +
+  * shuffle of bin rows only + final HashAggregate (≈ tree reduce); only
+  * histograms move across the wire, never rows — the reference's key design
+  * property, preserved (SURVEY.md §4).
+  */
+object Hist {
+
+  /** Fill one histogram from columns of a DataFrame → sparse H. */
+  def fill(spec: HistSpec, df: DataFrame, cols: Seq[Column],
+      weight: Option[Column] = None, sample: Option[Column] = None): DataFrame =
+    fillMulti(spec, Seq(FillSpec(df, cols, weight, sample)))
+
+  /** Project one FillSpec to the pre-aggregation shape (i0..iD, w, s).
+    * Narrow (no shuffle) — whole-stage codegen fuses scan + bin index. */
+  private def project(spec: HistSpec, f: FillSpec): DataFrame = {
+    require(f.cols.size == spec.ndim,
+      s"fill needs ${spec.ndim} coordinate columns, got ${f.cols.size}")
+    val idx = spec.axes.zip(f.cols).zipWithIndex.map { case ((ax, c), i) =>
+      ax.binCol(c).as(s"i$i")
+    }
+    val w = f.weight.getOrElse(lit(1.0)).cast(DoubleType).as("__w")
+    val s = f.sample.getOrElse(lit(0.0)).cast(DoubleType).as("__s")
+    f.df.select(idx ++ Seq(w, s): _*)
+  }
+
+  /** Multi-fill fused into ONE aggregation pass (reference fuses K staged
+    * fills into one task per partition, `core.py:409-434`, `:978-1005`):
+    * union of narrow projections → single groupBy → one shuffle total. */
+  def fillMulti(spec: HistSpec, fills: Seq[FillSpec]): DataFrame = {
+    require(fills.nonEmpty, "at least one fill required")
+    val projected = fills.map(project(spec, _)).reduce(_ unionByName _)
+    val aggs = spec.storage.aggs(col("__w"), col("__s"))
+    val base = projected
+      .groupBy(spec.indexCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    spec.storage.finalizers.foldLeft(base) { case (d, (n, c)) => d.withColumn(n, c) }
+  }
+
+  /** Partial (per-partition) histograms — the reference's
+    * `partitioned_factory` (`core.py:1313-1344`): expose pre-reduction
+    * state keyed by partition id. Purely narrow: map-side aggregation per
+    * partition, no shuffle at all. */
+  def fillPartitioned(spec: HistSpec, df: DataFrame, cols: Seq[Column],
+      weight: Option[Column] = None, sample: Option[Column] = None): DataFrame = {
+    val f = FillSpec(df, cols, weight, sample)
+    val aggs = spec.storage.aggs(col("__w"), col("__s"))
+    project(spec, f)
+      .withColumn("partition", spark_partition_id().cast("long"))
+      .groupBy((col("partition") +: spec.indexCols.map(col)): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Densify a sparse histogram: full (n[+2])^D grid with zero-filled
+    * missing bins (reference `to_dask_array`, `core.py:1098-1154`).
+    * Numeric axes only. Grid built from tiny `spark.range` cross joins
+    * (size = bin count, not data size) and broadcast-joined to H. */
+  def densify(spec: HistSpec, h: DataFrame, flow: Boolean = true): DataFrame = {
+    require(axesNumeric(spec), "densify requires numeric (indexed) axes")
+    val spark = h.sparkSession
+    val grid = spec.axes.zipWithIndex.map { case (a, i) =>
+      val (lo, hi) = if (flow) (0L, a.nBins + 2L) else (1L, a.nBins + 1L)
+      spark.range(lo, hi).toDF(s"i$i")
+    }.reduce(_ crossJoin _)
+    val joined = grid.join(h, spec.indexCols, "left")
+    val zeroed = spec.storage.stateCols.foldLeft(joined) { (d, c) =>
+      d.withColumn(c, coalesce(col(c), lit(0.0).cast(d.schema(c).dataType)))
+    }
+    zeroed.select((spec.indexCols.map(col) ++ spec.storage.stateCols.map(col)): _*)
+  }
+
+  private def axesNumeric(spec: HistSpec): Boolean = spec.axes.forall(!_.isCategorical)
+
+  /** Density normalization: value / (Σvalue * binWidth). The reference
+    * *accepts* density= but never applies it (`routines.py:417-421` — see
+    * SURVEY.md §2.5 A14); we implement it correctly and document the
+    * divergence. 1-D numeric axes. */
+  def density(spec: HistSpec, h: DataFrame): DataFrame = {
+    require(spec.ndim == 1 && !spec.axes.head.isCategorical,
+      "density currently supports 1-D numeric axes")
+    val ax = spec.axes.head
+    val widths = ax.edges.sliding(2).map(p => p(1) - p(0)).toArray
+    val widthCol = {
+      // in-range bins i in [1, n]; flow bins get NULL width → NULL density
+      val pairs = widths.zipWithIndex.map { case (w, i) => (i + 1L, w) }
+      pairs.foldRight(lit(null).cast(DoubleType): Column) { case ((i, w), rest) =>
+        when(col("i0") === i, lit(w)).otherwise(rest)
+      }
+    }
+    val total = sum(when(col("i0") >= 1 && col("i0") <= ax.nBins, col("value"))
+      .otherwise(lit(0.0))).over()
+    h.withColumn("density", col("value") / (total * widthCol))
+  }
+}

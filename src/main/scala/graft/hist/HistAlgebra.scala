@@ -1,0 +1,67 @@
+package graft.hist
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Post-aggregation histogram arithmetic (reference `BinaryOpAgg`,
+  * `/root/reference/src/dask_histogram/core.py:1157-1187`, dunders at
+  * `core.py:707-741`).
+  *
+  * hist ⊕ hist = full-outer join on the bin keys with missing bins treated
+  * as zero (matches bh's dense-array arithmetic where absent sparse rows
+  * are zero bins). Histograms are tiny relative to data (≤ bin-count rows),
+  * so the join is broadcast-able; at scale Catalyst/AQE picks broadcast
+  * automatically for sub-threshold sides.
+  *
+  * hist ⊕ scalar = narrow projection. Division by zero follows Spark/SQL
+  * double semantics (NULL for 0/0 via nullif-free sparse rows is avoided:
+  * we keep IEEE semantics by arithmetic on coalesced doubles — x/0 = ±Inf,
+  * 0/0 = NaN — matching bh).
+  */
+object HistAlgebra {
+
+  sealed trait Op { def apply(l: Column, r: Column): Column }
+  case object Add extends Op { def apply(l: Column, r: Column): Column = l + r }
+  case object Sub extends Op { def apply(l: Column, r: Column): Column = l - r }
+  case object Mul extends Op { def apply(l: Column, r: Column): Column = l * r }
+  case object Div extends Op { def apply(l: Column, r: Column): Column = l / r }
+
+  /** Binary op between two sparse histograms of the same spec. */
+  def binOp(spec: HistSpec, left: DataFrame, right: DataFrame, op: Op): DataFrame = {
+    val keys = spec.indexCols
+    val vals = spec.stateColsForAlgebra
+    val l = vals.foldLeft(left)((d, c) => d.withColumnRenamed(c, s"__l_$c"))
+    val r = vals.foldLeft(right)((d, c) => d.withColumnRenamed(c, s"__r_$c"))
+    val joined = l.join(r, keys, "full_outer")
+    val out = vals.map { c =>
+      op(coalesce(col(s"__l_$c"), lit(0.0)), coalesce(col(s"__r_$c"), lit(0.0))).as(c)
+    }
+    joined.select(keys.map(col) ++ out: _*)
+  }
+
+  /** Histogram ⊕ scalar (reference: scalar operands,
+    * `tests/test_core.py:207-305`). */
+  def scalarOp(spec: HistSpec, h: DataFrame, s: Double, op: Op,
+      scalarOnLeft: Boolean = false): DataFrame = {
+    val vals = spec.stateColsForAlgebra
+    vals.foldLeft(h) { (d, c) =>
+      val e = if (scalarOnLeft) op(lit(s), col(c)) else op(col(c), lit(s))
+      d.withColumn(c, e)
+    }
+  }
+
+  /** Histogram ⊕ dense array (one value per bin index, 1-D): join against a
+    * broadcast literal (binIdx, operand) table
+    * (reference: array operands, `tests/test_core.py:250-305`). */
+  def arrayOp(spec: HistSpec, h: DataFrame, arr: Seq[Double], op: Op): DataFrame = {
+    require(spec.ndim == 1, "arrayOp supports 1-D histograms")
+    val spark = h.sparkSession
+    import spark.implicits._
+    val lut = broadcast(arr.zipWithIndex.map { case (v, i) => (i + 1L, v) }
+      .toDF("i0", "__operand"))
+    val joined = h.join(lut, Seq("i0"), "left")
+    spec.stateColsForAlgebra.foldLeft(joined) { (d, c) =>
+      d.withColumn(c, op(col(c), coalesce(col("__operand"), lit(0.0))))
+    }.drop("__operand")
+  }
+}

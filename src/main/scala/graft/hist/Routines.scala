@@ -1,0 +1,42 @@
+package graft.hist
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** NumPy-compat entry points (reference `routines.py`:
+  * `histogram` `:29-128`, `histogram2d` `:131-253`, `histogramdd`
+  * `:256-463`). As in the reference, 1-D and 2-D delegate to the N-D
+  * implementation (`routines.py:114-125`, `:239-250`).
+  *
+  * Returns the sparse relational histogram H = (i0..iD, value…). Use
+  * [[Hist.densify]] for the dense (n+2)^D array form and
+  * [[HistSpec]].axes(i).edges for the edge arrays.
+  */
+object Routines {
+
+  def histogram(df: DataFrame, x: Column, bins: BinsSpec.Bins,
+      range: Option[BinsSpec.RangePair] = None, weights: Option[Column] = None,
+      storage: Storage = DoubleStorage, sample: Option[Column] = None,
+      density: Boolean = false): (HistSpec, DataFrame) =
+    histogramdd(df, Seq(x), bins, range.map(r => Seq(Some(r))), weights, storage,
+      sample, density)
+
+  def histogram2d(df: DataFrame, x: Column, y: Column, bins: BinsSpec.Bins,
+      range: Option[Seq[Option[BinsSpec.RangePair]]] = None,
+      weights: Option[Column] = None, storage: Storage = DoubleStorage,
+      sample: Option[Column] = None): (HistSpec, DataFrame) =
+    histogramdd(df, Seq(x, y), bins, range, weights, storage, sample)
+
+  /** N-D master entry. `density=true` applies correct normalization (the
+    * reference validates but silently ignores `density` —
+    * `routines.py:417-421`; divergence documented in SURVEY.md §2.5 A14). */
+  def histogramdd(df: DataFrame, cols: Seq[Column], bins: BinsSpec.Bins,
+      range: Option[Seq[Option[BinsSpec.RangePair]]] = None,
+      weights: Option[Column] = None, storage: Storage = DoubleStorage,
+      sample: Option[Column] = None, density: Boolean = false): (HistSpec, DataFrame) = {
+    val axes = BinsSpec.toAxes(BinsSpec.normalize(cols.size, bins, range))
+    val spec = HistSpec(axes, storage)
+    val h = Hist.fill(spec, df, cols, weights, sample)
+    val out = if (density) Hist.density(spec, h) else h
+    (spec, out)
+  }
+}

@@ -1,0 +1,73 @@
+package graft.hist
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Per-bin accumulator vocabulary.
+  *
+  * Mirrors the reference's storage selection semantics (the (weights,
+  * sample) → storage mapping visible at
+  * `/root/reference/tests/test_core.py:15-24`): the accumulator state is
+  * re-expressed as associative column aggregates so Spark's partial+final
+  * hash aggregation (map-side combine + shuffle of bin rows only) replaces
+  * the reference's per-partition fill + tree reduce
+  * (`/root/reference/src/dask_histogram/core.py:856-885`).
+  *
+  * All states are sums (count / Σw / Σw² / Σs / Σs² / Σws / Σws²) — exactly
+  * associative, so the result is independent of partitioning; derived
+  * quantities (mean, variance) are computed in [[finalizers]] from the sums.
+  */
+sealed trait Storage extends Serializable {
+  /** Aggregate expressions over weight column `w` and sample column `s`. */
+  def aggs(w: Column, s: Column): Seq[Column]
+  /** Column names produced by [[aggs]], in order. */
+  def stateCols: Seq[String]
+  /** Derived (name, expr) columns appended after aggregation. */
+  def finalizers: Seq[(String, Column)] = Nil
+  /** True when this storage consumes the sample column. */
+  def usesSample: Boolean = false
+}
+
+/** f64 count (Σw, weight defaults to 1.0) — the reference default
+  * (`core.py:1338-1339`). */
+case object DoubleStorage extends Storage {
+  override def aggs(w: Column, s: Column): Seq[Column] = Seq(sum(w).as("value"))
+  override def stateCols: Seq[String] = Seq("value")
+}
+
+/** i64 count (+1 per fill). */
+case object Int64Storage extends Storage {
+  override def aggs(w: Column, s: Column): Seq[Column] = Seq(count(lit(1)).as("value"))
+  override def stateCols: Seq[String] = Seq("value")
+}
+
+/** (value, variance) = (Σw, Σw²). */
+case object WeightStorage extends Storage {
+  override def aggs(w: Column, s: Column): Seq[Column] =
+    Seq(sum(w).as("value"), sum(w * w).as("variance"))
+  override def stateCols: Seq[String] = Seq("value", "variance")
+}
+
+/** Mean storage: per-bin count and mean of `sample`. State kept as
+  * associative sums (n, Σs, Σs²); mean derived. boost keeps a Welford
+  * triple — numerically different merge, same result to float tolerance
+  * (the reference's own bar: `assert_allclose`, `tests/test_core.py:44`). */
+case object MeanStorage extends Storage {
+  override def aggs(w: Column, s: Column): Seq[Column] =
+    Seq(count(s).as("n"), sum(s).as("sum_s"), sum(s * s).as("sum_s2"))
+  override def stateCols: Seq[String] = Seq("n", "sum_s", "sum_s2")
+  override def finalizers: Seq[(String, Column)] =
+    Seq("mean" -> col("sum_s") / col("n"))
+  override def usesSample: Boolean = true
+}
+
+/** WeightedMean storage: (Σw, Σw², Σws, Σws²); weighted mean derived. */
+case object WeightedMeanStorage extends Storage {
+  override def aggs(w: Column, s: Column): Seq[Column] =
+    Seq(sum(w).as("sum_w"), sum(w * w).as("sum_w2"),
+      sum(w * s).as("sum_ws"), sum(w * s * s).as("sum_ws2"))
+  override def stateCols: Seq[String] = Seq("sum_w", "sum_w2", "sum_ws", "sum_ws2")
+  override def finalizers: Seq[(String, Column)] =
+    Seq("wmean" -> col("sum_ws") / col("sum_w"))
+  override def usesSample: Boolean = true
+}

@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.hist._
+
+/** Core engine behavior, mirroring the reference's oracle-differential
+  * style (/root/reference/tests/test_core.py) with hand-computed oracles
+  * on tiny deterministic data.
+  */
+class HistCoreSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.get
+  import spark.implicits._
+
+  private val xs = Seq(-5.0, 0.0, 0.5, 0.999, 1.0, 2.5, 9.99, 10.0, 47.0, Double.NaN)
+
+  test("Regular axis bin indices incl. flow and NaN->overflow") {
+    val df = xs.toDF("x")
+    val ax = Regular(10, 0.0, 10.0)
+    val got = df.select(ax.binCol(col("x")).as("i")).collect().map(_.getLong(0))
+    // boost semantics: [lo,hi) right-exclusive, underflow 0, overflow 11
+    assert(got.toSeq == Seq(0L, 1L, 1L, 1L, 2L, 3L, 10L, 11L, 11L, 11L))
+  }
+
+  test("Variable axis matches binary-search semantics") {
+    val ax = Variable(Seq(1.0, 10.0, 25.0, 40.0, 51.0))
+    val df = Seq(0.5, 1.0, 9.99, 10.0, 24.9, 39.0, 50.9, 51.0, 60.0).toDF("x")
+    val got = df.select(ax.binCol(col("x")).as("i")).collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(0L, 1L, 1L, 2L, 2L, 3L, 4L, 5L, 5L))
+  }
+
+  test("1-D fill: counts match groupBy oracle; empty bins absent (sparse)") {
+    val df = Seq.tabulate(100)(i => i % 7 * 1.0).toDF("x")
+    val spec = HistSpec(Seq(Regular(7, 0.0, 7.0)), Int64Storage)
+    val h = Hist.fill(spec, df, Seq(col("x"))).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h.keys.forall(i => i >= 1 && i <= 7))
+    assert(h.values.sum == 100)
+    assert(h(1L) == 15 && h(7L) == 14) // 0..1 appears 15x (i%7==0), 6 appears 14x
+  }
+
+  test("merge associativity: hist(A union B) == hist(A) + hist(B), any partitioning") {
+    val a = Seq.tabulate(500)(i => math.sin(i.toDouble) * 3).toDF("x")
+    val spec = HistSpec(Seq(Regular(12, -3.0, 3.0)), DoubleStorage)
+    for (p <- Seq(1, 2, 7)) {
+      val whole = Hist.fill(spec, a.repartition(p), Seq(col("x")))
+      val h1 = Hist.fill(spec, a.limit(200).repartition(p), Seq(col("x")))
+      val h2 = Hist.fill(spec, a.exceptAll(a.limit(200)).repartition(p), Seq(col("x")))
+      val merged = HistAlgebra.binOp(spec, h1, h2, HistAlgebra.Add)
+      val w = whole.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val m = merged.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(w.keySet == m.keySet)
+      w.foreach { case (k, v) => assert(math.abs(v - m(k)) < 1e-9, s"bin $k p=$p") }
+    }
+  }
+
+  test("Weight storage: value=sum w, variance=sum w^2") {
+    val df = Seq((0.5, 1.0), (1.5, 2.0), (1.7, 3.0)).toDF("x", "w")
+    val spec = HistSpec(Seq(Regular(2, 0.0, 2.0)), WeightStorage)
+    val h = Hist.fill(spec, df, Seq(col("x")), weight = Some(col("w")))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(h(1L) == ((1.0, 1.0)))
+    assert(h(2L) == ((5.0, 13.0)))
+  }
+
+  test("Mean storage derives mean; WeightedMean derives wmean") {
+    val df = Seq((0.5, 2.0, 4.0), (0.6, 4.0, 8.0)).toDF("x", "w", "s")
+    val m = Hist.fill(HistSpec(Seq(Regular(1, 0.0, 1.0)), MeanStorage), df,
+      Seq(col("x")), sample = Some(col("s"))).collect()(0)
+    assert(m.getAs[Long]("n") == 2 && m.getAs[Double]("mean") == 6.0)
+    val wm = Hist.fill(HistSpec(Seq(Regular(1, 0.0, 1.0)), WeightedMeanStorage), df,
+      Seq(col("x")), weight = Some(col("w")), sample = Some(col("s"))).collect()(0)
+    assert(wm.getAs[Double]("wmean") == (2 * 4 + 4 * 8) / 6.0)
+  }
+
+  test("multi-fill fuses to one result equal to sum of single fills") {
+    val d1 = Seq(0.5, 1.5).toDF("x")
+    val d2 = Seq(0.7, 1.9).toDF("x")
+    val spec = HistSpec(Seq(Regular(2, 0.0, 2.0)), DoubleStorage)
+    val hb = new Histogram(spec)
+    hb.fill(d1, Seq(col("x"))).fill(d2, Seq(col("x")), weight = Some(lit(2.0)))
+    val got = hb.result(spark).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 3.0, 2L -> 3.0))
+  }
+
+  test("unfilled histogram is computable and empty (ref tests/test_boost.py:13-26)") {
+    val hb = new Histogram(HistSpec(Seq(Regular(3, 0.0, 1.0)), DoubleStorage))
+    assert(hb.result(spark).count() == 0)
+  }
+
+  test("lazy + between staged histograms throws (ref boost.py:112-121)") {
+    val a = new Histogram(HistSpec(Seq(Regular(3, 0.0, 1.0)), DoubleStorage))
+    val b = new Histogram(HistSpec(Seq(Regular(3, 0.0, 1.0)), DoubleStorage))
+    assertThrows[UnsupportedOperationException](a + b)
+  }
+
+  test("densify yields full zero-filled grid incl. flow") {
+    val df = Seq(0.5).toDF("x")
+    val spec = HistSpec(Seq(Regular(4, 0.0, 4.0)), DoubleStorage)
+    val dense = Hist.densify(spec, Hist.fill(spec, df, Seq(col("x"))), flow = true)
+    val rows = dense.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rows.size == 6)
+    assert(rows(1L) == 1.0 && rows.filterKeys(_ != 1L).values.forall(_ == 0.0))
+  }
+
+  test("densify of 2-D empty input still yields the zero grid") {
+    val spec = HistSpec(Seq(Regular(2, 0.0, 1.0), Regular(3, 0.0, 1.0)), DoubleStorage)
+    val dense = Hist.densify(spec, spec.empty(spark), flow = false)
+    assert(dense.count() == 6)
+    assert(dense.agg(sum("value")).collect()(0).getDouble(0) == 0.0)
+  }
+
+  test("scalar and array algebra") {
+    val spec = HistSpec(Seq(Regular(3, 0.0, 3.0)), DoubleStorage)
+    val h = Hist.fill(spec, Seq(0.5, 1.5, 1.7).toDF("x"), Seq(col("x")))
+    val s = HistAlgebra.scalarOp(spec, h, 2.0, HistAlgebra.Mul)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s == Map(1L -> 2.0, 2L -> 4.0))
+    val a = HistAlgebra.arrayOp(spec, h, Seq(10.0, 20.0, 30.0), HistAlgebra.Add)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a == Map(1L -> 11.0, 2L -> 22.0))
+  }
+
+  test("bins normalization errors mirror reference rules") {
+    import BinsSpec._
+    assertThrows[IllegalArgumentException](normalize(2, Count(5), None))
+    assertThrows[IllegalArgumentException](
+      normalize(2, CountPerDim(Seq(3)), Some(Seq(Some(RangePair(0, 1)), Some(RangePair(0, 1))))))
+    assertThrows[IllegalArgumentException](
+      normalize(1, Edges(Seq(0.0, 1.0)), Some(Seq(Some(RangePair(0, 1))))))
+    val ok = normalize(2, Count(4), Some(Seq(Some(RangePair(0, 1)), Some(RangePair(2, 3)))))
+    assert(toAxes(ok) == Seq(Regular(4, 0, 1), Regular(4, 2, 3)))
+  }
+
+  test("category growth: different partitions' categories union on merge (A11)") {
+    val df = Seq("a", "b", "c", "a").toDF("c").repartition(4)
+    val spec = HistSpec(Seq(StrCategory()), Int64Storage)
+    val h = Hist.fill(spec, df, Seq(col("c"))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(h == Map("a" -> 2L, "b" -> 1L, "c" -> 1L))
+  }
+}

@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run graft.Verify
+output against the DuckDB oracle (oracle_sql.json) on the same parquet
+tables, compare values exactly (columns sorted by name, rows as ordered).
+
+Usage: python3 tools/check.py <sfdir> <verify_out_dir>
+"""
+import json, sys, glob, os
+import duckdb
+import pyarrow.parquet as pq
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+
+con = duckdb.connect()
+for p in glob.glob(f"{sfdir}/*.parquet"):
+    name = os.path.basename(p)[:-len(".parquet")]
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+fails = 0
+for name, sql in sorted(oracle.items()):
+    spark_dir = f"{outdir}/{name}"
+    try:
+        files = glob.glob(f"{spark_dir}/*.parquet")
+        got = pq.read_table(files[0]).to_pandas()
+    except Exception as e:
+        print(f"FAIL {name}: no spark output ({e})"); fails += 1; continue
+    try:
+        exp = con.execute(sql).fetchdf()
+    except Exception as e:
+        print(f"FAIL {name}: oracle error {e}"); fails += 1; continue
+    got = got[sorted(got.columns)]
+    exp = exp[sorted(exp.columns)]
+    if list(got.columns) != list(exp.columns):
+        print(f"FAIL {name}: columns {list(got.columns)} vs {list(exp.columns)}")
+        fails += 1; continue
+    if len(got) != len(exp):
+        print(f"FAIL {name}: rows {len(got)} vs {len(exp)}"); fails += 1; continue
+    ok = True
+    for c in got.columns:
+        gv, ev = got[c].tolist(), exp[c].tolist()
+        for i, (a, b) in enumerate(zip(gv, ev)):
+            if a != b and not (a != a and b != b):  # NaN==NaN ok
+                print(f"FAIL {name}: col {c} row {i}: spark={a!r} oracle={b!r}")
+                ok = False; fails += 1; break
+        if not ok: break
+    if ok:
+        print(f"PASS {name} ({len(got)} rows)")
+
+# rows-only queries (in verify out but no oracle)
+for d in sorted(glob.glob(f"{outdir}/*/")):
+    name = os.path.basename(d.rstrip("/"))
+    if name not in oracle:
+        try:
+            n = sum(pq.read_table(f).num_rows for f in glob.glob(f"{d}/*.parquet"))
+            print(f"ROWS {name}: {n} rows {'(ok)' if n > 0 else '(EMPTY!)'}")
+            if n == 0: fails += 1
+        except Exception as e:
+            print(f"FAIL {name}: {e}"); fails += 1
+
+print("ALL PASS" if fails == 0 else f"{fails} FAILURES")
+sys.exit(1 if fails else 0)
