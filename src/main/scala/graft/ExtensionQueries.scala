@@ -1,0 +1,202 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.hist._
+import graft.ops._
+import graft.streaming.StreamingHist
+
+/** LLM-training-data-pipeline operators as driver queries (dedup,
+  * similarity search, text analysis, multimodal, streaming-style windowed
+  * aggregation), each with a DuckDB oracle where SQL-expressible.
+  */
+object ExtensionQueries {
+
+  private val annK = 5
+  private val nearDupCos = 0.9
+  private val jaccardK = 3
+  private val jaccardThresh = 0.3
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- dedup ----------------------------------------------------------
+    "dedup_exact" -> { (s, dir) =>
+      DedupOps.exactDedup(Tables.documents(s, dir)).orderBy("keep_id")
+    },
+    "dedup_jaccard_stats" -> { (s, dir) =>
+      DedupOps.jaccardNearDupStats(Tables.documents(s, dir), jaccardK, jaccardThresh)
+        .orderBy("doc_id")
+    },
+    // MinHash LSH: per-doc candidate count (deterministic seeded hash
+    // family; engine-specific xxhash64 → rows-only check)
+    "dedup_minhash_candidates" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val cand = DedupOps.minhashLshCandidates(docs, jaccardK)
+      val sym = cand.select(col("doc_a").as("doc_id"))
+        .unionByName(cand.select(col("doc_b").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_candidates"))
+      docs.select("doc_id").join(sym, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
+        .orderBy("doc_id")
+    },
+    // SimHash: per-doc fingerprint + near-dup count (xxhash64 → rows-only)
+    "dedup_simhash" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val pairs = DedupOps.simhashNearDupPairs(docs, maxHamming = 3)
+      val sym = pairs.select(col("doc_a").as("doc_id"))
+        .unionByName(pairs.select(col("doc_b").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_near"))
+      DedupOps.simhash64(docs).join(sym, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("simhash"),
+          coalesce(col("n_near"), lit(0L)).as("n_near"))
+        .orderBy("doc_id")
+    },
+    "dedup_embedding" -> { (s, dir) =>
+      DedupOps.embeddingNearDupStats(Tables.embeddings(s, dir), nearDupCos)
+        .withColumn("max_sim", col("max_sim"))
+        .orderBy("vec_id")
+    },
+    // ---- similarity search ---------------------------------------------
+    "ann_brute_topk" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      SimilarityOps.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, annK)
+        .orderBy("query_id", "rank")
+    },
+    // LSH-bucketed ANN (scale path; recall checked vs brute force in tests)
+    "ann_lsh_topk" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      SimilarityOps.annTopK(emb.filter(col("vec_id") < 10), emb, dim = 64, k = annK)
+        .orderBy("query_id", "rank")
+    },
+    // ---- text analysis --------------------------------------------------
+    "text_stats" -> { (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.charCount(col("text")).as("n_chars_computed"),
+        round(TextOps.meanTokenLen(col("text")), 6).as("mean_tok_len"))
+        .orderBy("doc_id")
+    },
+    "text_langid_confusion" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("lang"), TextOps.langId(col("text")).as("lang_pred"))
+        .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "lang_pred")
+    },
+    "text_quality" -> { (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"), round(TextOps.qualityScore(col("text")), 6).as("quality"))
+        .orderBy("doc_id")
+    },
+    "text_fingerprint" -> { (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    },
+    // ---- multimodal plumbing (stub codec over binary payloads) ---------
+    "multimodal_features" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val media = MultimodalOps.asMedia(
+        Tables.documents(s, dir), "doc_id", "text", "text/plain")
+      MultimodalOps.extractFeatures(media).toDF()
+        .select(col("id"), col("byteLen"), col("checksum"),
+          round(col("brightness"), 6).as("brightness"))
+        .orderBy("id")
+    },
+    // ---- streaming-style windowed histogram (same code path serves
+    // readStream inputs; see StreamingHistSpec) ---------------------------
+    "events_hourly_hist" -> { (s, dir) =>
+      // events.ts is parquet TIMESTAMP(NANOS) — Spark 4 only reads it via
+      // the nanosAsLong legacy conf; convert nanos → microsecond timestamp
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = Tables.events(s, dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000"))) // integral div: exact
+      val spec = HistSpec(Seq(Regular(10, 0.0, 500.0)), DoubleStorage)
+      StreamingHist.windowedFill(spec, ev, col("ts"),
+          "1 hour", Seq(col("value")), weight = Some(col("value")))
+        .select(col("window.start").cast("long").as("bucket_start"),
+          col("i0"), round(col("value"), 2).as("value"))
+        .orderBy("bucket_start", "i0")
+    },
+  )
+
+  private val axVal = Regular(10, 0.0, 500.0)
+
+  def oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "dedup_jaccard_stats" -> {
+      val sh =
+        s"""SELECT DISTINCT doc_id, string_split(text,' ')[pos] || ' ' ||
+           |string_split(text,' ')[pos+1] || ' ' || string_split(text,' ')[pos+2] AS shingle
+           |FROM (SELECT doc_id, text,
+           |unnest(range(1, greatest(len(string_split(text,' ')) - ${jaccardK - 2}, 1))) AS pos
+           |FROM documents)""".stripMargin
+      s"""WITH sh AS ($sh),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+         |  FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT doc_a, doc_b,
+         |    round(CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) AS j
+         |  FROM inter
+         |  JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b),
+         |sym AS (SELECT doc_a AS doc_id, j FROM pairs
+         |        UNION ALL SELECT doc_b AS doc_id, j FROM pairs)
+         |SELECT d.doc_id,
+         |  COALESCE(s.n_near, 0) AS n_near, COALESCE(s.max_j, 0.0) AS max_j
+         |FROM documents d LEFT JOIN (
+         |  SELECT doc_id, CAST(sum(CASE WHEN j >= $jaccardThresh THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
+         |         max(j) AS max_j FROM sym GROUP BY 1) s USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
+    "dedup_embedding" -> perVectorNearDupSql(nearDupCos),
+    "ann_brute_topk" ->
+      s"""WITH scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    round(${SimilarityOps.cosineSql("q.embedding", "c.embedding")}, 6) AS sim
+         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 10),
+         |ranked AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank FROM scored)
+         |SELECT query_id, neighbor_id, sim, rank FROM ranked
+         |WHERE rank <= $annK ORDER BY query_id, rank""".stripMargin,
+    "text_stats" ->
+      s"""SELECT doc_id, ${TextOps.tokenCountSql("text")} AS n_tokens,
+         |${TextOps.charCountSql("text")} AS n_chars_computed,
+         |round(${TextOps.meanTokenLenSql("text")}, 6) AS mean_tok_len
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_langid_confusion" ->
+      s"""SELECT lang, ${TextOps.langIdSql("text")} AS lang_pred, count(*) AS n
+         |FROM documents GROUP BY 1, 2 ORDER BY lang, lang_pred""".stripMargin,
+    "text_quality" ->
+      s"""SELECT doc_id, round(${TextOps.qualityScoreSql("text")}, 6) AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      s"""SELECT doc_id, ${TextOps.fingerprintSql("text")} AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_features" ->
+      s"""SELECT doc_id AS id, CAST(length(text) AS BIGINT) AS byteLen,
+         |${TextOps.fingerprintSql("text", 1000000)} AS checksum,
+         |round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |  list_transform(range(1, length(text) + 1),
+         |    i -> CAST(unicode(substr(text, CAST(i AS INT), 1)) AS DOUBLE))),
+         |  (a, b) -> a + b) / (255.0 * length(text)), 6) AS brightness
+         |FROM documents ORDER BY id""".stripMargin,
+    "events_hourly_hist" ->
+      s"""SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS bucket_start,
+         |${axVal.sqlExpr("value")} AS i0, round(sum(value), 2) AS value
+         |FROM events GROUP BY 1, 2 ORDER BY bucket_start, i0""".stripMargin,
+  )
+
+  private def perVectorNearDupSql(t: Double): String =
+    s"""SELECT a.vec_id,
+       |  CAST(sum(CASE WHEN round(${SimilarityOps.cosineSql("a.embedding", "b.embedding")}, 6) >= $t
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
+       |  max(round(${SimilarityOps.cosineSql("a.embedding", "b.embedding")}, 6)) AS max_sim
+       |FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+       |GROUP BY 1 ORDER BY a.vec_id""".stripMargin
+}

@@ -42,8 +42,15 @@ object SparkEntry {
     Hist.densify(spec, h).orderBy("i0", "i1")
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** One entry per implemented operator from SURVEY.md §2, plus the
+    * LLM-pipeline extensions (ExtensionQueries). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    histQueries ++ ExtensionQueries.queries
+
+  def oracleSql: Map[String, String] =
+    histOracleSql ++ ExtensionQueries.oracleSql
+
+  private def histQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // N1 + A1: 1-D Regular histogram, Int64 (count) storage
     "hist1d_regular" -> { (s, dir) =>
       val (spec, h) = Routines.histogram(Tables.lineitem(s, dir),
@@ -141,9 +148,70 @@ object SparkEntry {
         weight = Some(lit(0.5)))
       hb.result(s).withColumn("value", round(col("value"), 6)).orderBy("i0")
     },
-    // A12: histogram algebra — full-outer-join add of two slices
+    // A12: histogram algebra — full-outer-join ops between two slices
     "hist_add" -> { (s, dir) => algebraQuery(s, dir, HistAlgebra.Add) },
     "hist_sub" -> { (s, dir) => algebraQuery(s, dir, HistAlgebra.Sub) },
+    "hist_mul" -> { (s, dir) => algebraQuery(s, dir, HistAlgebra.Mul) },
+    // div restricted to common support (avoids engine-specific 0-div forms)
+    "hist_div" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val spec = HistSpec(Seq(axQtyR), DoubleStorage)
+      val h1 = Hist.fill(spec, li.filter(col("l_shipdate") < cutTs), Seq(col("l_quantity")))
+      val h2 = Hist.fill(spec, li.filter(col("l_shipdate") >= cutTs), Seq(col("l_quantity")))
+      h1.withColumnRenamed("value", "va")
+        .join(h2.withColumnRenamed("value", "vb"), Seq("i0"))
+        .select(col("i0"), round(col("va") / col("vb"), 6).as("value"))
+        .orderBy("i0")
+    },
+    // A12 scalar / array operands (ref tests/test_core.py:207-305)
+    "hist_scalar_mul" -> { (s, dir) =>
+      val spec = HistSpec(Seq(axQtyR), DoubleStorage)
+      val h = Hist.fill(spec, Tables.lineitem(s, dir), Seq(col("l_quantity")))
+      HistAlgebra.scalarOp(spec, h, 2.5, HistAlgebra.Mul)
+        .withColumn("value", round(col("value"), 6)).orderBy("i0")
+    },
+    "hist_array_add" -> { (s, dir) =>
+      val spec = HistSpec(Seq(axQtyR), DoubleStorage)
+      val h = Hist.fill(spec, Tables.lineitem(s, dir), Seq(col("l_quantity")))
+      HistAlgebra.arrayOp(spec, h, (1 to axQtyR.n).map(_ * 10.0), HistAlgebra.Add)
+        .withColumn("value", round(col("value"), 6)).orderBy("i0")
+    },
+    // Fixed category list with explicit overflow key (non-growth axis)
+    "hist_fixedcat" -> { (s, dir) =>
+      val spec = HistSpec(Seq(StrCategory(Seq("1-URGENT", "2-HIGH"), growth = false)),
+        Int64Storage)
+      Hist.fill(spec, Tables.orders(s, dir), Seq(col("o_orderpriority")))
+        .orderBy("i0")
+    },
+    // 5-D mixed axes (ref tests/test_boost.py:115-154: strcat × intcat ×
+    // 3 regular, Weight storage)
+    "hist_5d_mixed" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val spec = HistSpec(Seq(StrCategory(), IntCategory(), axQtyR, axDisc, axTax),
+        WeightStorage)
+      Hist.fill(spec, li,
+          Seq(col("l_returnflag"), col("l_linenumber"), col("l_quantity"),
+            col("l_discount"), col("l_tax")),
+          weight = Some(col("l_discount")))
+        .withColumn("value", round(col("value"), 6))
+        .withColumn("variance", round(col("variance"), 6))
+        .orderBy("i0", "i1", "i2", "i3", "i4")
+    },
+    // S2: 2-D dense grid
+    "hist_dense2d" -> { (s, dir) =>
+      val spec = HistSpec(Seq(axDisc, axTax), DoubleStorage)
+      val h = Hist.fill(spec, Tables.lineitem(s, dir),
+        Seq(col("l_discount"), col("l_tax")))
+      Hist.densify(spec, h, flow = true)
+        .withColumn("value", round(col("value"), 6)).orderBy("i0", "i1")
+    },
+    // A9: partitioned (pre-reduction) histograms — partition ids are
+    // engine-specific → rows-only check; asserts the partial-agg surface
+    "hist_partitioned" -> { (s, dir) =>
+      val spec = HistSpec(Seq(axQtyR), DoubleStorage)
+      Hist.fillPartitioned(spec, Tables.lineitem(s, dir), Seq(col("l_quantity")))
+        .orderBy("partition", "i0")
+    },
     // S2: densified 1-D histogram with flow bins (zero-filled grid)
     "hist_dense1d" -> { (s, dir) =>
       val spec = HistSpec(Seq(axQtyR), DoubleStorage)
@@ -183,7 +251,7 @@ object SparkEntry {
   private def li() = "lineitem"
   private val ord = "orders"
 
-  def oracleSql: Map[String, String] = Map(
+  private def histOracleSql: Map[String, String] = Map(
     "hist1d_regular" ->
       s"""SELECT ${axPrice.sqlExpr("l_extendedprice")} AS i0, count(*) AS value
          |FROM ${li()} GROUP BY 1 ORDER BY i0""".stripMargin,
@@ -239,6 +307,48 @@ object SparkEntry {
          |) GROUP BY 1 ORDER BY i0""".stripMargin,
     "hist_add" -> algebraOracle("+"),
     "hist_sub" -> algebraOracle("-"),
+    "hist_mul" -> algebraOracle("*"),
+    "hist_div" ->
+      s"""SELECT a.i0 AS i0, round(a.v / b.v, 6) AS value FROM (
+         |  SELECT ${axQtyR.sqlExpr("l_quantity")} AS i0, sum(1.0) AS v
+         |  FROM ${li()} WHERE l_shipdate < TIMESTAMP '$cutoff' GROUP BY 1
+         |) a JOIN (
+         |  SELECT ${axQtyR.sqlExpr("l_quantity")} AS i0, sum(1.0) AS v
+         |  FROM ${li()} WHERE l_shipdate >= TIMESTAMP '$cutoff' GROUP BY 1
+         |) b ON a.i0 = b.i0 ORDER BY i0""".stripMargin,
+    "hist_scalar_mul" ->
+      s"""SELECT ${axQtyR.sqlExpr("l_quantity")} AS i0,
+         |round(sum(1.0) * 2.5, 6) AS value
+         |FROM ${li()} GROUP BY 1 ORDER BY i0""".stripMargin,
+    "hist_array_add" -> {
+      val vals = (1 to axQtyR.n).map(i => s"(${i.toLong}, ${i * 10.0})").mkString(", ")
+      s"""SELECT h.i0, round(h.v + COALESCE(a.av, 0.0), 6) AS value FROM (
+         |  SELECT ${axQtyR.sqlExpr("l_quantity")} AS i0, sum(1.0) AS v
+         |  FROM ${li()} GROUP BY 1
+         |) h LEFT JOIN (VALUES $vals) a(i0, av) ON h.i0 = a.i0
+         |ORDER BY h.i0""".stripMargin
+    },
+    "hist_fixedcat" ->
+      s"""SELECT (CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+         |THEN o_orderpriority ELSE '__overflow__' END) AS i0, count(*) AS value
+         |FROM $ord GROUP BY 1 ORDER BY i0""".stripMargin,
+    "hist_5d_mixed" ->
+      s"""SELECT l_returnflag AS i0, CAST(l_linenumber AS BIGINT) AS i1,
+         |${axQtyR.sqlExpr("l_quantity")} AS i2,
+         |${axDisc.sqlExpr("l_discount")} AS i3,
+         |${axTax.sqlExpr("l_tax")} AS i4,
+         |round(sum(l_discount), 6) AS value,
+         |round(sum(l_discount * l_discount), 6) AS variance
+         |FROM ${li()} GROUP BY 1, 2, 3, 4, 5 ORDER BY i0, i1, i2, i3, i4""".stripMargin,
+    "hist_dense2d" ->
+      s"""SELECT g0.i0, g1.i1, round(COALESCE(h.value, 0.0), 6) AS value
+         |FROM (SELECT range AS i0 FROM range(0, ${axDisc.n + 2})) g0
+         |CROSS JOIN (SELECT range AS i1 FROM range(0, ${axTax.n + 2})) g1
+         |LEFT JOIN (
+         |  SELECT ${axDisc.sqlExpr("l_discount")} AS i0,
+         |  ${axTax.sqlExpr("l_tax")} AS i1, sum(1.0) AS value
+         |  FROM ${li()} GROUP BY 1, 2
+         |) h USING (i0, i1) ORDER BY g0.i0, g1.i1""".stripMargin,
     "hist_dense1d" ->
       s"""SELECT g.i0, round(COALESCE(h.value, 0.0), 6) AS value
          |FROM (SELECT range AS i0 FROM range(0, ${axQtyR.n + 2})) g

@@ -1,0 +1,194 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, word-shingle
+  * Jaccard, MinHash+LSH, SimHash. Each comes in a correctness-baseline form
+  * (oracle-checkable) and a scale form (bucketed, no cartesian products).
+  *
+  * Scale design: every variant reduces candidate generation to an
+  * equi-join on derived keys (text hash / shingle / band signature) —
+  * shuffles move only keys+ids, never full documents; exact verification
+  * happens only inside candidate buckets.
+  */
+object DedupOps {
+
+  // ---- exact ------------------------------------------------------------
+  /** Exact dedup by hash-groupBy on the text: one row per distinct text
+    * with the kept (minimum) id and the duplicate count. */
+  def exactDedup(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    df.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+
+  /** Duplicate-only view: texts appearing more than once (ids sorted). */
+  def exactDupGroups(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    df.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"),
+        sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(col("n_copies") > 1)
+
+  // ---- word shingles ----------------------------------------------------
+  /** Distinct k-word shingles per doc: (id, shingle). Narrow + explode. */
+  def shingles(df: DataFrame, k: Int, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val sh = when(size(toks) >= k,
+      transform(sequence(lit(0), size(toks) - lit(k)),
+        i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + lit(j + 1))): _*)))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(idCol).as("doc_id"), explode(sh).as("shingle")).distinct()
+  }
+
+  /** Per-doc Jaccard near-duplicate stats over k-word shingles: for every
+    * document, the number of neighbors with jaccard >= threshold and the
+    * best jaccard. One row per doc (zero-filled; never empty).
+    *
+    * Candidates come from an equi-join on shared shingles (inverted
+    * index) — no cartesian product; intersection counts fall out of the
+    * join group sizes. Jaccard compared on 6-dp rounding for engine
+    * portability. */
+  def jaccardNearDupStats(df: DataFrame, k: Int = 3, threshold: Double = 0.3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sh = shingles(df, k, textCol, idCol).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.join(sh.withColumnRenamed("doc_id", "doc_b"), Seq("shingle"))
+      .filter(col("doc_id") < col("doc_b"))
+      .groupBy("doc_id", "doc_b").agg(count(lit(1)).as("n_inter"))
+    val pairs = inter
+      .join(sizes.withColumnRenamed("doc_id", "ja").withColumnRenamed("n_sh", "na"),
+        col("doc_id") === col("ja"))
+      .join(sizes.withColumnRenamed("doc_id", "jb").withColumnRenamed("n_sh", "nb"),
+        col("doc_b") === col("jb"))
+      .withColumn("j", round(col("n_inter").cast("double") /
+        (col("na") + col("nb") - col("n_inter")).cast("double"), 6))
+      .select(col("doc_id"), col("doc_b"), col("j"))
+    val sym = pairs.select(col("doc_id"), col("j"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id"), col("j")))
+    df.select(col(idCol).as("doc_id"))
+      .join(sym.groupBy("doc_id").agg(
+        sum(when(col("j") >= threshold, 1L).otherwise(0L)).as("n_near"),
+        max(col("j")).as("max_j")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"),
+        coalesce(col("max_j"), lit(0.0)).as("max_j"))
+  }
+
+  // ---- MinHash + LSH ----------------------------------------------------
+  /** MinHash signature per doc: `numHashes` permutations approximated by
+    * (a_i * h + b_i) mod p over xxhash64 shingle hashes (Broder 1997).
+    * Coefficients from a seeded RNG — deterministic across runs. */
+  def minhashSignatures(df: DataFrame, k: Int = 3, numHashes: Int = 64,
+      seed: Long = 42L, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // 31-bit prime modulus: h,a < 2^30 keeps h*a+b < 2^62 — safe under
+    // Spark's default ANSI overflow checking
+    val p = 1000000007L
+    val rng = new scala.util.Random(seed)
+    val as = Array.fill(numHashes)(math.abs(rng.nextLong()) % (p - 1) + 1)
+    val bs = Array.fill(numHashes)(math.abs(rng.nextLong()) % p)
+    val sh = shingles(df, k, textCol, idCol)
+    val h = sh.withColumn("h", pmod(xxhash64(col("shingle")), lit(p)))
+    val mins = (0 until numHashes).map { i =>
+      min(pmod(col("h") * lit(as(i)) + lit(bs(i)), lit(p))).as(s"mh_$i")
+    }
+    h.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** MinHash-LSH candidate pairs: band the signature, equi-join on
+    * (band index, band hash), dedupe. Pairs only — verification against
+    * true jaccard is the caller's choice of threshold. */
+  def minhashLshCandidates(df: DataFrame, k: Int = 3, numHashes: Int = 64,
+      bands: Int = 16, seed: Long = 42L, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sigs = minhashSignatures(df, k, numHashes, seed, textCol, idCol)
+    val bandExprs = (0 until bands).map { b =>
+      xxhash64(concat_ws(",", (0 until r).map(i => col(s"mh_${b * r + i}")): _*))
+        .as(s"band_$b")
+    }
+    val banded = sigs.select(col("doc_id") +: bandExprs: _*)
+    (0 until bands).map { b =>
+      val l = banded.select(col("doc_id").as("doc_a"), col(s"band_$b").as("sig"))
+      val rr = banded.select(col("doc_id").as("doc_b"), col(s"band_$b").as("sig"))
+      l.join(rr, Seq("sig")).filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b")
+    }.reduce(_ unionByName _).distinct()
+  }
+
+  /** MinHash near-dup pairs: LSH candidates verified by true shingle
+    * jaccard >= threshold. The full scale pipeline: inverted-index-free
+    * candidate generation + in-bucket verification only. */
+  def minhashDedupPairs(df: DataFrame, k: Int = 3, numHashes: Int = 64,
+      bands: Int = 16, threshold: Double = 0.5, seed: Long = 42L,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val cand = minhashLshCandidates(df, k, numHashes, bands, seed, textCol, idCol)
+    val sh = shingles(df, k, textCol, idCol)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
+      .withColumn("j", round(col("n_inter").cast("double") /
+        (col("na") + col("nb") - col("n_inter")).cast("double"), 6))
+      .filter(col("j") >= threshold)
+      .select("doc_a", "doc_b", "j")
+  }
+
+  // ---- SimHash ----------------------------------------------------------
+  /** 64-bit SimHash fingerprint over word tokens (Charikar 2002): sum ±1
+    * per bit weighted by token hash bits, sign → bit. */
+  def simhash64(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val tok = df.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"s_$b")
+    }
+    val sums = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    // assemble via bit ops: bits 0..62 directly; bit 63 via OR with
+    // Long.MinValue (1L << 63 literal would be negative anyway, keep explicit)
+    val low = (0 until 63).map { b =>
+      when(col(s"s_$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce((a, c) => a.bitwiseOR(c))
+    val full = when(col("s_63") > 0, low.bitwiseOR(lit(Long.MinValue))).otherwise(low)
+    sums.select(col("doc_id"), full.as("simhash"))
+  }
+
+  /** SimHash near-dup candidate pairs: block on 4 × 16-bit bands (any pair
+    * within hamming distance <= 3 shares at least one exact band), then
+    * verify hamming <= maxHamming via bit_count. */
+  def simhashNearDupPairs(df: DataFrame, maxHamming: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val fp = simhash64(df, textCol, idCol)
+    val bandCols = (0 until 4).map { b =>
+      shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as(s"band_$b")
+    }
+    val banded = fp.select((col("doc_id") +: col("simhash").as("simhash") +: bandCols): _*)
+    (0 until 4).map { b =>
+      val l = banded.select(col("doc_id").as("doc_a"), col("simhash").as("fa"),
+        col(s"band_$b").as("sig"))
+      val r = banded.select(col("doc_id").as("doc_b"), col("simhash").as("fb"),
+        col(s"band_$b").as("sig"))
+      l.join(r, Seq("sig")).filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("fa"), col("fb"))
+    }.reduce(_ unionByName _).distinct()
+      .withColumn("hamming", bit_count(col("fa").bitwiseXOR(col("fb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  // ---- embedding near-dup ----------------------------------------------
+  /** Embedding-cosine near-duplicate stats (delegates to SimilarityOps —
+    * the correctness baseline; LSH path in SimilarityOps.annTopK). */
+  def embeddingNearDupStats(df: DataFrame, threshold: Double): DataFrame =
+    SimilarityOps.nearDupStats(df, threshold)
+}

@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Scale design (the 100 TB story):
+  *  - dot/cosine are narrow codegen'd higher-order-function expressions —
+  *    no UDF, no serialization cliff;
+  *  - brute-force top-k is the correctness baseline: a broadcast of the
+  *    (small) query set against the (huge) corpus — one pass, no shuffle
+  *    of the corpus, per-partition top-k via window over query id;
+  *  - the scale path is LSH bucketing (random hyperplane signatures):
+  *    corpus is hashed to buckets in one narrow pass, candidates meet via
+  *    an equi-join on (band, signature) — a shuffle on small keys instead
+  *    of a cartesian product; exact re-rank only within buckets.
+  *
+  * All float math is widened to double *before* any arithmetic so the
+  * DuckDB oracle (CAST(e AS DOUBLE[])) computes bit-identical values.
+  */
+object SimilarityOps {
+
+  /** Sequential-fold dot product in double precision (deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+  def dotSql(a: String, b: String): String =
+    s"list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity, assembled the same way on both engines:
+    * dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b))). */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosineSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest corpus
+    * vectors. Query side is broadcast (small); ranking uses the *rounded*
+    * similarity (6 dp) with id tie-break so ordering is engine-portable. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+    val scored = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(cosine(col("qe"), col("ce")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "sim", "rank")
+  }
+
+  /** Per-vector near-duplicate stats at a cosine threshold: how many other
+    * vectors exceed it, and the best match. Returns one row per corpus
+    * vector (never empty). Brute-force (correctness baseline). */
+  def nearDupStats(corpus: DataFrame, threshold: Double): DataFrame = {
+    val a = corpus.select(col("vec_id"), col("embedding").as("ea"))
+    val b = corpus.select(col("vec_id").as("vb"), col("embedding").as("eb"))
+    val pairs = a.join(broadcast(b), col("vec_id") =!= col("vb"))
+      .withColumn("sim", round(cosine(col("ea"), col("eb")), 6))
+    pairs.groupBy("vec_id").agg(
+      sum(when(col("sim") >= threshold, 1L).otherwise(0L)).as("n_near"),
+      max(col("sim")).as("max_sim"))
+  }
+
+  /** Random-hyperplane LSH signatures: `bands` bands of `rowsPerBand` sign
+    * bits each, hyperplanes drawn from a seeded RNG on the driver and
+    * broadcast as literals. Vectors agreeing on any band's full signature
+    * are candidates (Charikar 2002 SimHash for cosine). */
+  def lshSignatures(df: DataFrame, dim: Int, bands: Int, rowsPerBand: Int,
+      seed: Long = 42L): DataFrame = {
+    val rng = new scala.util.Random(seed)
+    val planes = Array.fill(bands * rowsPerBand, dim)(rng.nextGaussian())
+    val bandCols = (0 until bands).map { bnd =>
+      val bits = (0 until rowsPerBand).map { r =>
+        val plane = planes(bnd * rowsPerBand + r)
+        val planeLit = array(plane.map(lit(_)): _*)
+        when(dot(col("embedding"), planeLit) >= 0, lit(1)).otherwise(lit(0))
+          .cast("string")
+      }
+      concat(bits: _*).as(s"band_$bnd")
+    }
+    df.select((col("vec_id") +: col("embedding").as("embedding") +: bandCols): _*)
+  }
+
+  /** ANN via LSH: bucket-join candidates, exact cosine re-rank, top-k.
+    * Same output schema as [[bruteForceTopK]]; recall < 1 by construction
+    * (tested against the brute-force baseline in SimilaritySpec). */
+  def annTopK(queries: DataFrame, corpus: DataFrame, dim: Int, k: Int,
+      bands: Int = 8, rowsPerBand: Int = 8, seed: Long = 42L): DataFrame = {
+    val qs = lshSignatures(queries, dim, bands, rowsPerBand, seed)
+    val cs = lshSignatures(corpus, dim, bands, rowsPerBand, seed)
+    // candidates: agree on >= 1 band signature
+    val cand = (0 until bands).map { b =>
+      qs.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col(s"band_$b").as("sig"))
+        .join(cs.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("ce"), col(s"band_$b").as("sig")), Seq("sig"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select("query_id", "neighbor_id", "qe", "ce")
+    }.reduce(_ unionByName _).dropDuplicates("query_id", "neighbor_id")
+    val scored = cand.withColumn("sim", round(cosine(col("qe"), col("ce")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "sim", "rank")
+  }
+}

@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, language-ID (marker-word heuristic), quality scoring,
+  * document fingerprinting (rolling hash).
+  *
+  * Every function is a pure narrow Column expression built from
+  * `org.apache.spark.sql.functions` (codegen'd, no UDFs) — at 100 TB these
+  * run inside whole-stage codegen directly over the parquet scan with zero
+  * shuffle. Each has a `...Sql` twin emitting the identical formula as
+  * DuckDB SQL for the driver's oracle; the two are generated from the same
+  * constants so they cannot drift.
+  */
+object TextOps {
+
+  /** Whitespace tokens (single-space delimiter — matches DuckDB
+    * string_split semantics exactly, including empty tokens). */
+  def tokens(text: Column): Column = split(text, " ")
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+  def tokenCountSql(t: String): String = s"CAST(len(string_split($t, ' ')) AS BIGINT)"
+
+  def charCount(text: Column): Column = length(text).cast("long")
+  def charCountSql(t: String): String = s"CAST(length($t) AS BIGINT)"
+
+  /** Mean token length = (chars - separators) / tokens, as doubles. */
+  def meanTokenLen(text: Column): Column =
+    (length(text) - (tokenCount(text) - lit(1L))).cast("double") /
+      tokenCount(text).cast("double")
+  def meanTokenLenSql(t: String): String =
+    s"CAST(length($t) - (${tokenCountSql(t)} - 1) AS DOUBLE) / CAST(${tokenCountSql(t)} AS DOUBLE)"
+
+  // ---- language ID ------------------------------------------------------
+  /** Marker vocabulary per language, fixed precedence order (argmax breaks
+    * ties toward the earlier entry). A classic stopword-profile n-gram
+    * heuristic, deterministic and engine-portable. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "los", "las", "y", "es"),
+    "zh" -> Seq("的", "是", "了"))
+
+  def markerScore(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(text), t => markers.map(m => t === m).reduce(_ || _)))
+  def markerScoreSql(t: String, markers: Seq[String]): String = {
+    val lst = markers.map(m => s"'$m'").mkString("[", ", ", "]")
+    s"len(list_filter(string_split($t, ' '), x -> list_contains($lst, x)))"
+  }
+
+  /** Predicted language = argmax of marker scores, first-wins ties. */
+  def langId(text: Column): Column = {
+    val scores = langMarkers.map { case (l, ms) => l -> markerScore(text, ms) }
+    scores.zipWithIndex.foldRight(lit(scores.last._1)) { case (((l, s), i), rest) =>
+      val laterScores = scores.drop(i + 1).map(_._2)
+      if (laterScores.isEmpty) rest
+      else when(laterScores.map(o => s >= o).reduce(_ && _), lit(l)).otherwise(rest)
+    }
+  }
+  def langIdSql(t: String): String = {
+    val scores = langMarkers.map { case (l, ms) => l -> markerScoreSql(t, ms) }
+    val arms = scores.zipWithIndex.init.map { case ((l, s), i) =>
+      val cond = scores.drop(i + 1).map(o => s"$s >= ${o._2}").mkString(" AND ")
+      s"WHEN $cond THEN '$l'"
+    }
+    s"(CASE ${arms.mkString(" ")} ELSE '${scores.last._1}' END)"
+  }
+
+  // ---- quality score ----------------------------------------------------
+  /** Composite quality score in [0,1]: length saturation (50 tokens),
+    * marker-stopword ratio, mean token length saturation (10 chars).
+    * Formula identical on both engines; callers round for the oracle. */
+  def qualityScore(text: Column): Column = {
+    val nt = tokenCount(text).cast("double")
+    val stopRatio = markerScore(text, allMarkers).cast("double") / nt
+    least(nt / lit(50.0), lit(1.0)) * lit(0.5) +
+      stopRatio * lit(0.3) +
+      least(meanTokenLen(text) / lit(10.0), lit(1.0)) * lit(0.2)
+  }
+  private def allMarkers: Seq[String] = langMarkers.flatMap(_._2)
+  def qualityScoreSql(t: String): String = {
+    val nt = s"CAST(${tokenCountSql(t)} AS DOUBLE)"
+    val stop = s"CAST(${markerScoreSql(t, allMarkers)} AS DOUBLE) / $nt"
+    s"(least($nt / 50.0, 1.0) * 0.5 + ($stop) * 0.3 + " +
+      s"least((${meanTokenLenSql(t)}) / 10.0, 1.0) * 0.2)"
+  }
+
+  // ---- fingerprint ------------------------------------------------------
+  /** Rolling polynomial hash (base 31 mod 1e9+7) of the first `maxLen`
+    * characters — a deterministic document fingerprint. */
+  def fingerprint(text: Column, maxLen: Int = 32): Column = {
+    val n = least(length(text), lit(maxLen))
+    // guard: Spark sequence(1, 0) would count *down*; empty text → no codes
+    val codes = when(n >= 1, transform(sequence(lit(1), n),
+      i => ascii(text.substr(i, lit(1))).cast("long")))
+      .otherwise(array().cast("array<bigint>"))
+    aggregate(codes, lit(0L), (acc, c) => (acc * lit(31L) + c) % lit(1000000007L))
+  }
+  def fingerprintSql(t: String, maxLen: Int = 32): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range(1, least(length($t), $maxLen) + 1), " +
+      s"i -> CAST(unicode(substr($t, CAST(i AS INT), 1)) AS BIGINT))), " +
+      s"(a, b) -> (a * 31 + b) % 1000000007)"
+}

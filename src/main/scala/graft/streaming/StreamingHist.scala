@@ -1,0 +1,34 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.hist._
+
+/** Streaming histogram aggregation.
+  *
+  * The reference has no streaming surface (SURVEY.md §7: out of scope for
+  * dask-histogram), but the sparse-agg design is Structured-Streaming-ready
+  * by construction: the same bin-index projection + groupBy works under a
+  * watermark with a time window as an extra (implicit) axis. One function
+  * serves both batch and streaming DataFrames — pass a `readStream` source
+  * and write with `writeStream` (state is bounded: bins × open windows).
+  */
+object StreamingHist {
+
+  /** Windowed histogram: per (time window, bin...) aggregate. Works on
+    * batch and streaming inputs alike; for streaming add
+    * `.withWatermark(tsCol, ...)` upstream for state eviction. */
+  def windowedFill(spec: HistSpec, df: DataFrame, tsCol: Column,
+      windowDuration: String, cols: Seq[Column],
+      weight: Option[Column] = None): DataFrame = {
+    val idx = spec.axes.zip(cols).zipWithIndex.map { case ((ax, c), i) =>
+      ax.binCol(c).as(s"i$i")
+    }
+    val w = weight.getOrElse(lit(1.0)).cast("double").as("__w")
+    val s = lit(0.0).as("__s")
+    val projected = df.select(Seq(window(tsCol, windowDuration).as("window")) ++ idx ++ Seq(w, s): _*)
+    val aggs = spec.storage.aggs(col("__w"), col("__s"))
+    projected.groupBy((col("window") +: spec.indexCols.map(col)): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+}

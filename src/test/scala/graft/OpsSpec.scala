@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops._
+
+/** LLM-pipeline operators: dedup / similarity / text / multimodal. */
+class OpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.get
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"), // near-dup of 0
+    (2L, "completely different content about spark engines"),
+    (3L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+    (4L, "word")).toDF("doc_id", "text")
+
+  test("exactDedup groups identical texts, keeps min id") {
+    val groups = DedupOps.exactDupGroups(docs).collect()
+    assert(groups.length == 1)
+    assert(groups(0).getAs[Long]("keep_id") == 0L)
+    assert(groups(0).getAs[scala.collection.Seq[Long]]("ids").toSeq == Seq(0L, 3L))
+  }
+
+  test("shingles: distinct k-word shingles, short docs yield none") {
+    val sh = DedupOps.shingles(docs, 3).collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(!sh.exists(_._1 == 4L))
+    assert(sh.count(_._1 == 0L) == 7) // 9 tokens -> 7 shingles, all distinct
+  }
+
+  test("jaccard near-dup stats finds planted near-dup and exact dup") {
+    val stats = DedupOps.jaccardNearDupStats(docs, k = 3, threshold = 0.3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(stats(0L)._1 >= 2) // near-dup 1 and exact dup 3
+    assert(stats(3L)._2 == 1.0) // exact dup -> jaccard 1.0
+    assert(stats(2L)._1 == 0)
+    assert(stats(4L) == ((0L, 0.0))) // shingle-less doc still present
+  }
+
+  test("minhash LSH: exact dup always collides; verified pairs pass threshold") {
+    val pairs = DedupOps.minhashDedupPairs(docs, k = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 3L && p._3 == 1.0))
+    assert(pairs.forall(_._3 >= 0.5))
+  }
+
+  test("simhash: identical texts share fingerprint; near-dup within small hamming") {
+    val fp = DedupOps.simhash64(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(0L) == fp(3L))
+    val ham01 = java.lang.Long.bitCount(fp(0L) ^ fp(1L))
+    val ham02 = java.lang.Long.bitCount(fp(0L) ^ fp(2L))
+    assert(ham01 < ham02, s"near-dup hamming $ham01 should be < unrelated $ham02")
+  }
+
+  test("cosine: unit/orthogonal vectors; matches hand computation") {
+    val df = Seq((Array(1f, 0f), Array(1f, 0f), Array(0f, 1f)))
+      .toDF("a", "b", "c")
+    val r = df.select(
+      SimilarityOps.cosine(col("a"), col("b")).as("ab"),
+      SimilarityOps.cosine(col("a"), col("c")).as("ac")).collect()(0)
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 0.0)
+  }
+
+  test("brute-force top-k is correct on a crafted corpus") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f)), (1L, Array(0.9f, 0.1f, 0f)),
+      (2L, Array(0f, 1f, 0f)), (3L, Array(-1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val top = SimilarityOps.bruteForceTopK(vecs.filter($"vec_id" === 0L), vecs, 2)
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(top.toSeq == Seq((1L, 1), (2L, 2)))
+  }
+
+  test("LSH ANN recall vs brute force on real embeddings") {
+    // random synthetic embeddings have weak top-k structure (cos ~0.3-0.5);
+    // 16 bands x 4 bits targets that regime. The 8x8 default targets the
+    // near-dup regime (cos >= 0.9) where band-collision prob is ~0.94.
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter($"vec_id" < 20)
+    val brute = SimilarityOps.bruteForceTopK(q, emb, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = SimilarityOps.annTopK(q, emb, dim = 64, k = 5,
+      bands = 16, rowsPerBand = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ann).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall $recall")
+  }
+
+  test("text ops: tokens, langid precedence, fingerprint determinism") {
+    val df = Seq("the cat is on the mat", "der hund ist und das").toDF("text")
+    val r = df.select(TextOps.tokenCount($"text"), TextOps.langId($"text"),
+      TextOps.fingerprint($"text")).collect()
+    assert(r(0).getLong(0) == 6 && r(0).getString(1) == "en")
+    assert(r(1).getString(1) == "de")
+    assert(r(0).getLong(2) == r.head.getLong(2)) // stable across evals
+  }
+
+  test("multimodal stub pipeline: features deterministic, schema typed") {
+    implicit val s: SparkSession = spark
+    val media = MultimodalOps.asMedia(docs, "doc_id", "text", "text/plain")
+    val feats = MultimodalOps.extractFeatures(media).collect()
+      .map(f => f.id -> f).toMap
+    assert(feats(0L).checksum == feats(3L).checksum) // same bytes, same features
+    assert(feats(0L).byteLen == "the quick brown fox jumps over the lazy dog".length)
+    assert(feats(4L).brightness > 0 && feats(4L).brightness < 1)
+  }
+}

@@ -18,6 +18,11 @@ for p in glob.glob(f"{sfdir}/*.parquet"):
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 fails = 0
+ftxt = f"{outdir}/failures.txt"
+if os.path.exists(ftxt) and open(ftxt).read().strip():
+    for line in open(ftxt).read().strip().splitlines():
+        print(f"FAIL (spark error) {line}")
+        fails += 1
 for name, sql in sorted(oracle.items()):
     spark_dir = f"{outdir}/{name}"
     try:
