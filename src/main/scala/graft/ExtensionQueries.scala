@@ -41,11 +41,12 @@ object ExtensionQueries {
     // SimHash: per-doc fingerprint + near-dup count (xxhash64 → rows-only)
     "dedup_simhash" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      val pairs = DedupOps.simhashNearDupPairs(docs, maxHamming = 3)
+      val fp = DedupOps.simhash64(docs).cache()
+      val pairs = DedupOps.simhashNearDupPairsFromFp(fp, maxHamming = 3)
       val sym = pairs.select(col("doc_a").as("doc_id"))
         .unionByName(pairs.select(col("doc_b").as("doc_id")))
         .groupBy("doc_id").agg(count(lit(1)).as("n_near"))
-      DedupOps.simhash64(docs).join(sym, Seq("doc_id"), "left")
+      fp.join(sym, Seq("doc_id"), "left")
         .select(col("doc_id"), col("simhash"),
           coalesce(col("n_near"), lit(0L)).as("n_near"))
         .orderBy("doc_id")

@@ -108,15 +108,15 @@ object DedupOps {
     val sigs = minhashSignatures(df, k, numHashes, seed, textCol, idCol)
     val bandExprs = (0 until bands).map { b =>
       xxhash64(concat_ws(",", (0 until r).map(i => col(s"mh_${b * r + i}")): _*))
-        .as(s"band_$b")
     }
-    val banded = sigs.select(col("doc_id") +: bandExprs: _*)
-    (0 until bands).map { b =>
-      val l = banded.select(col("doc_id").as("doc_a"), col(s"band_$b").as("sig"))
-      val rr = banded.select(col("doc_id").as("doc_b"), col(s"band_$b").as("sig"))
-      l.join(rr, Seq("sig")).filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b")
-    }.reduce(_ unionByName _).distinct()
+    // long form (doc_id, band_idx, sig): ONE self-join on (band_idx, sig)
+    // replaces a join per band; signature pass runs exactly once
+    val banded = sigs
+      .select(col("doc_id"), posexplode(array(bandExprs: _*)).as(Seq("b", "sig")))
+    banded.as("l").join(banded.as("r"), Seq("b", "sig"))
+      .filter(col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
   }
 
   /** MinHash near-dup pairs: LSH candidates verified by true shingle
@@ -167,20 +167,24 @@ object DedupOps {
     * within hamming distance <= 3 shares at least one exact band), then
     * verify hamming <= maxHamming via bit_count. */
   def simhashNearDupPairs(df: DataFrame, maxHamming: Int = 3,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val fp = simhash64(df, textCol, idCol)
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    simhashNearDupPairsFromFp(simhash64(df, textCol, idCol), maxHamming)
+
+  /** As [[simhashNearDupPairs]] but over an existing (doc_id, simhash)
+    * frame — lets callers compute fingerprints once and reuse them. */
+  def simhashNearDupPairsFromFp(fp: DataFrame, maxHamming: Int = 3): DataFrame = {
     val bandCols = (0 until 4).map { b =>
-      shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as(s"band_$b")
+      shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))
     }
-    val banded = fp.select((col("doc_id") +: col("simhash").as("simhash") +: bandCols): _*)
-    (0 until 4).map { b =>
-      val l = banded.select(col("doc_id").as("doc_a"), col("simhash").as("fa"),
-        col(s"band_$b").as("sig"))
-      val r = banded.select(col("doc_id").as("doc_b"), col("simhash").as("fb"),
-        col(s"band_$b").as("sig"))
-      l.join(r, Seq("sig")).filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"), col("fa"), col("fb"))
-    }.reduce(_ unionByName _).distinct()
+    // long form (doc_id, band_idx, sig): one self-join finds every pair
+    // agreeing on any 16-bit band (any pair with hamming <= 3 must)
+    val banded = fp.select(col("doc_id"), col("simhash"),
+      posexplode(array(bandCols: _*)).as(Seq("b", "sig")))
+    banded.as("l").join(banded.as("r"), Seq("b", "sig"))
+      .filter(col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        col("l.simhash").as("fa"), col("r.simhash").as("fb"))
+      .distinct()
       .withColumn("hamming", bit_count(col("fa").bitwiseXOR(col("fb"))))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")

@@ -67,41 +67,37 @@ object SimilarityOps {
 
   /** Random-hyperplane LSH signatures: `bands` bands of `rowsPerBand` sign
     * bits each, hyperplanes drawn from a seeded RNG on the driver and
-    * broadcast as literals. Vectors agreeing on any band's full signature
-    * are candidates (Charikar 2002 SimHash for cosine). */
+    * broadcast as literals (Charikar 2002 SimHash for cosine). Returns
+    * (vec_id, embedding, sigs: array<string>) — one signature per band. */
   def lshSignatures(df: DataFrame, dim: Int, bands: Int, rowsPerBand: Int,
-      seed: Long = 42L): DataFrame = {
-    val rng = new scala.util.Random(seed)
-    val planes = Array.fill(bands * rowsPerBand, dim)(rng.nextGaussian())
-    val bandCols = (0 until bands).map { bnd =>
-      val bits = (0 until rowsPerBand).map { r =>
-        val plane = planes(bnd * rowsPerBand + r)
-        val planeLit = array(plane.map(lit(_)): _*)
-        when(dot(col("embedding"), planeLit) >= 0, lit(1)).otherwise(lit(0))
-          .cast("string")
-      }
-      concat(bits: _*).as(s"band_$bnd")
-    }
-    df.select((col("vec_id") +: col("embedding").as("embedding") +: bandCols): _*)
-  }
+      seed: Long = 42L): DataFrame =
+    df.select(col("vec_id"), col("embedding"),
+      graft.functions.HyperplaneSig(col("embedding"), dim, bands, rowsPerBand,
+        seed).as("sigs"))
 
-  /** ANN via LSH: bucket-join candidates, exact cosine re-rank, top-k.
-    * Same output schema as [[bruteForceTopK]]; recall < 1 by construction
-    * (tested against the brute-force baseline in SimilaritySpec). */
+  /** (id, band_idx, sig) long form — the inverted-index key layout: ONE
+    * equi-join on (band_idx, sig) replaces a join per band. */
+  private def explodeSigs(df: DataFrame, idAlias: String): DataFrame =
+    df.select(col("vec_id").as(idAlias), posexplode(col("sigs")).as(Seq("b", "sig")))
+
+  /** ANN via LSH: bucket-join candidates on (band, signature), exact cosine
+    * re-rank, top-k. Same output schema as [[bruteForceTopK]]; recall < 1
+    * by construction (checked against brute force in OpsSpec). Embeddings
+    * are joined back only for surviving candidate pairs — signatures, not
+    * vectors, flow through the shuffle. */
   def annTopK(queries: DataFrame, corpus: DataFrame, dim: Int, k: Int,
       bands: Int = 8, rowsPerBand: Int = 8, seed: Long = 42L): DataFrame = {
-    val qs = lshSignatures(queries, dim, bands, rowsPerBand, seed)
-    val cs = lshSignatures(corpus, dim, bands, rowsPerBand, seed)
-    // candidates: agree on >= 1 band signature
-    val cand = (0 until bands).map { b =>
-      qs.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-          col(s"band_$b").as("sig"))
-        .join(cs.select(col("vec_id").as("neighbor_id"),
-          col("embedding").as("ce"), col(s"band_$b").as("sig")), Seq("sig"))
-        .filter(col("query_id") =!= col("neighbor_id"))
-        .select("query_id", "neighbor_id", "qe", "ce")
-    }.reduce(_ unionByName _).dropDuplicates("query_id", "neighbor_id")
-    val scored = cand.withColumn("sim", round(cosine(col("qe"), col("ce")), 6))
+    val qs = explodeSigs(lshSignatures(queries, dim, bands, rowsPerBand, seed), "query_id")
+    val cs = explodeSigs(lshSignatures(corpus, dim, bands, rowsPerBand, seed), "neighbor_id")
+    val cand = broadcast(qs).join(cs, Seq("b", "sig"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val scored = cand
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qe"))), Seq("query_id"))
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ce")), Seq("neighbor_id"))
+      .withColumn("sim", round(cosine(col("qe"), col("ce")), 6))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
