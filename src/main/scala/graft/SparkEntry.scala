@@ -219,6 +219,13 @@ object SparkEntry {
       Hist.densify(spec, h, flow = true)
         .withColumn("value", round(col("value"), 6)).orderBy("i0")
     },
+    // Dense TypedImperativeAggregate fast path — same answer as the
+    // zero-filled dense grid, via one Array[Double] buffer per partition
+    "hist_dense_fast" -> { (s, dir) =>
+      val spec = HistSpec(Seq(axQtyR), DoubleStorage)
+      Hist.fillDense(spec, Tables.lineitem(s, dir), Seq(col("l_quantity")))
+        .withColumn("value", round(col("value"), 6)).orderBy("i0")
+    },
     // A14 done right: density normalization
     "hist_density" -> { (s, dir) =>
       val spec = HistSpec(Seq(axPrice), DoubleStorage)
@@ -350,6 +357,13 @@ object SparkEntry {
          |  FROM ${li()} GROUP BY 1, 2
          |) h USING (i0, i1) ORDER BY g0.i0, g1.i1""".stripMargin,
     "hist_dense1d" ->
+      s"""SELECT g.i0, round(COALESCE(h.value, 0.0), 6) AS value
+         |FROM (SELECT range AS i0 FROM range(0, ${axQtyR.n + 2})) g
+         |LEFT JOIN (
+         |  SELECT ${axQtyR.sqlExpr("l_quantity")} AS i0, sum(1.0) AS value
+         |  FROM ${li()} GROUP BY 1
+         |) h USING (i0) ORDER BY i0""".stripMargin,
+    "hist_dense_fast" ->
       s"""SELECT g.i0, round(COALESCE(h.value, 0.0), 6) AS value
          |FROM (SELECT range AS i0 FROM range(0, ${axQtyR.n + 2})) g
          |LEFT JOIN (

@@ -92,6 +92,35 @@ object Hist {
 
   private def axesNumeric(spec: HistSpec): Boolean = spec.axes.forall(!_.isCategorical)
 
+  /** Flat (row-major) bin index over all axes incl. flow:
+    * idx = Σ_d i_d * stride_d with stride = Π of later dims' (n+2). */
+  def flatIndexCol(spec: HistSpec, cols: Seq[Column]): Column = {
+    require(axesNumeric(spec), "flat index requires numeric axes")
+    val dims = spec.axes.map(_.nBins + 2)
+    val strides = dims.scanRight(1)(_ * _).tail // stride_d = prod dims after d
+    spec.axes.zip(cols).zip(strides).map { case ((ax, c), s) =>
+      ax.binCol(c) * lit(s.toLong)
+    }.reduce(_ + _)
+  }
+
+  /** Dense fast path: the whole histogram as ONE Array[Double] aggregation
+    * buffer ([[graft.functions.DenseHistAgg]]) — per-partition dense fill
+    * + buffer-merge final, the literal analog of the reference's
+    * per-partition `bh.Histogram` + tree reduce. Returns the same sparse
+    * relational shape as [[fill]] (flow rows included, zero bins kept)
+    * via posexplode of the single result array. */
+  def fillDense(spec: HistSpec, df: DataFrame, cols: Seq[Column],
+      weight: Option[Column] = None): DataFrame = {
+    require(spec.ndim == 1, "fillDense currently exposes the 1-D surface")
+    val total = spec.axes.map(_.nBins + 2).product
+    val idx = flatIndexCol(spec, cols)
+    val w = weight.getOrElse(lit(1.0)).cast(DoubleType)
+    df.select(idx.as("__i"), w.as("__w"))
+      .agg(graft.functions.DenseHistAgg(col("__i"), col("__w"), total).as("__h"))
+      .select(posexplode(col("__h")).as(Seq("i0", "value")))
+      .select(col("i0").cast("long").as("i0"), col("value"))
+  }
+
   /** Density normalization: value / (Σvalue * binWidth). The reference
     * *accepts* density= but never applies it (`routines.py:417-421` — see
     * SURVEY.md §2.5 A14); we implement it correctly and document the

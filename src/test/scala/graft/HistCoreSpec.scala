@@ -123,6 +123,17 @@ class HistCoreSpec extends AnyFunSuite {
     assert(a == Map(1L -> 11.0, 2L -> 22.0))
   }
 
+  test("dense TypedImperativeAggregate path == sparse fill + densify") {
+    val df = Seq.tabulate(1000)(i => math.sin(i * 0.7) * 6).toDF("x").repartition(5)
+    val spec = HistSpec(Seq(Regular(8, -5.0, 5.0)), DoubleStorage)
+    val sparse = Hist.densify(spec, Hist.fill(spec, df, Seq(col("x"))), flow = true)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val dense = Hist.fillDense(spec, df, Seq(col("x")))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(dense == sparse)
+    assert(dense.size == 10)
+  }
+
   test("bins normalization errors mirror reference rules") {
     import BinsSpec._
     assertThrows[IllegalArgumentException](normalize(2, Count(5), None))
