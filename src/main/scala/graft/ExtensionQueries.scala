@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.hist._
 import graft.ops._
-import graft.streaming.StreamingHist
+import graft.streaming.{Sessionize, StreamingHist}
 
 /** LLM-training-data-pipeline operators as driver queries (dedup,
   * similarity search, text analysis, multimodal, streaming-style windowed
@@ -103,6 +103,23 @@ object ExtensionQueries {
           round(col("brightness"), 6).as("brightness"))
         .orderBy("id")
     },
+    // BPE-ish regex tokenization (same RE2-safe pattern both engines)
+    "text_regex_tokens" -> { (s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("[a-zA-Z0-9]+"), lit(0)))
+          .cast("long").as("n_regex_tokens"))
+        .orderBy("doc_id")
+    },
+    // Sessionization, batch form (window functions); the stateful
+    // streaming twin (flatMapGroupsWithState) is exercised in SessionizeSpec
+    "events_sessions" -> { (s, dir) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("value"))
+      Sessionize.sessionizeBatch(ev, gapSec = 1800)
+        .withColumn("sum_value", round(col("sum_value"), 2))
+        .orderBy("user_id", "session_idx")
+    },
     // ---- streaming-style windowed histogram (same code path serves
     // readStream inputs; see StreamingHistSpec) ---------------------------
     "events_hourly_hist" -> { (s, dir) =>
@@ -187,6 +204,12 @@ object ExtensionQueries {
          |    i -> CAST(unicode(substr(text, CAST(i AS INT), 1)) AS DOUBLE))),
          |  (a, b) -> a + b) / (255.0 * length(text)), 6) AS brightness
          |FROM documents ORDER BY id""".stripMargin,
+    "text_regex_tokens" ->
+      """SELECT doc_id, CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS BIGINT)
+        |AS n_regex_tokens FROM documents ORDER BY doc_id""".stripMargin,
+    "events_sessions" ->
+      (Sessionize.batchOracleSql("events", "epoch_us(CAST(ts AS TIMESTAMP))", 1800) +
+        " ORDER BY user_id, session_idx"),
     "events_hourly_hist" ->
       s"""SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS bucket_start,
          |${axVal.sqlExpr("value")} AS i0, round(sum(value), 2) AS value

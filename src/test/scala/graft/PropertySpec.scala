@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.Prop.forAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.hist._
+
+/** Property-based laws (ScalaCheck), mirroring the reference's
+  * tests/test_bins.py grids plus the merge-associativity property the
+  * aggregation tree depends on (SURVEY.md §5). Pure-Scala properties run
+  * at full ScalaCheck volume; Spark-backed ones sample a small grid. */
+class PropertySpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val genRange = for {
+    lo <- Gen.choose(-100.0, 100.0)
+    w <- Gen.choose(0.1, 50.0)
+  } yield BinsSpec.RangePair(lo, lo + w)
+
+  test("normalize: Count broadcasts to every dim with its range") {
+    check(forAll(Gen.choose(1, 5), Gen.choose(1, 64), Gen.listOfN(5, genRange)) {
+      (ndim, n, ranges) =>
+        val rs = ranges.take(ndim).map(Some(_))
+        val dims = BinsSpec.normalize(ndim, BinsSpec.Count(n), Some(rs))
+        dims.size == ndim && dims.zip(rs).forall {
+          case (BinsSpec.DimCount(m, r), Some(rr)) => m == n && r == rr
+          case _ => false
+        }
+    })
+  }
+
+  test("normalize: mismatched per-dim counts always rejected") {
+    check(forAll(Gen.choose(1, 5), Gen.choose(1, 5)) { (ndim, k) =>
+      (ndim == k) || Prop.throws(classOf[IllegalArgumentException]) {
+        BinsSpec.normalize(ndim, BinsSpec.CountPerDim(Seq.fill(k)(4)),
+          Some(Seq.fill(ndim)(Some(BinsSpec.RangePair(0, 1)))))
+      }
+    })
+  }
+
+  test("normalize: edges forbid ranges") {
+    check(forAll(Gen.choose(1, 4)) { ndim =>
+      Prop.throws(classOf[IllegalArgumentException]) {
+        BinsSpec.normalize(ndim, BinsSpec.Edges(Seq(0.0, 1.0)),
+          Some(Seq.fill(ndim)(Some(BinsSpec.RangePair(0, 1)))))
+      }
+    })
+  }
+
+  test("Regular bin function (Scala mirror): total, monotone, right-exclusive") {
+    val gen = for {
+      r <- genRange
+      n <- Gen.choose(1, 32)
+      x <- Gen.oneOf(Gen.choose(r.lo - 10, r.hi + 10), Gen.const(r.lo),
+        Gen.const(r.hi), Gen.const(Double.NaN))
+    } yield (n, r, x)
+    check(forAll(gen) { case (n, r, x) =>
+      val ax = Regular(n, r.lo, r.hi)
+      val i = scalaBin(ax, x)
+      val inRange = !x.isNaN && x >= r.lo && x < r.hi
+      (i >= 0 && i <= n + 1) &&
+        (!x.isNaN || i == n + 1) &&
+        (!inRange || (i >= 1 && i <= n)) &&
+        (x.isNaN || x < r.lo || i != 0)
+    })
+  }
+
+  /** Driver-side mirror of Axis.binCol used to cross-check the Column
+    * expression on sampled values below. */
+  private def scalaBin(ax: Regular, x: Double): Long =
+    if (x.isNaN || x >= ax.hi) ax.n + 1L
+    else if (x < ax.lo) 0L
+    else math.floor((x - ax.lo) * ax.n / (ax.hi - ax.lo)).toLong + 1L
+
+  test("Column expression agrees with the Scala mirror on boundary values") {
+    val ax = Regular(7, -2.5, 4.5)
+    val edges = ax.edges.toSeq
+    val probes = edges ++ edges.map(_ - 1e-12) ++ edges.map(_ + 1e-12) ++
+      Seq(Double.NaN, -1e9, 1e9, ax.lo, ax.hi)
+    val got = probes.toDF("x").select(ax.binCol(col("x")).as("i"))
+      .collect().map(_.getLong(0))
+    probes.zip(got).foreach { case (x, i) =>
+      assert(i == scalaBin(ax, x), s"x=$x")
+    }
+  }
+
+  test("merge associativity over random 3-way splits and partitionings") {
+    val data = Seq.tabulate(300)(i => math.cos(i * 1.3) * 4)
+    val spec = HistSpec(Seq(Regular(9, -4.0, 4.0)), DoubleStorage)
+    for (seed <- Seq(1, 7); p <- Seq(2, 5)) {
+      val rnd = new scala.util.Random(seed)
+      val parts = data.map(x => (x, rnd.nextInt(3)))
+      val dfs = (0 until 3).map(k =>
+        parts.filter(_._2 == k).map(_._1).toDF("x").repartition(p))
+      val whole = Hist.fill(spec, data.toDF("x"), Seq(col("x")))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val merged = dfs.map(d => Hist.fill(spec, d, Seq(col("x"))))
+        .reduce((a, b) => HistAlgebra.binOp(spec, a, b, HistAlgebra.Add))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(whole.keySet == merged.keySet, s"seed=$seed p=$p")
+      whole.foreach { case (k, v) =>
+        assert(math.abs(v - merged(k)) < 1e-9, s"bin $k seed=$seed p=$p")
+      }
+    }
+  }
+}

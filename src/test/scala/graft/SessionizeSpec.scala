@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.Sessionize
+
+/** Stateful streaming sessionization vs the batch window-function
+  * definition: closed sessions emitted by flatMapGroupsWithState must
+  * match the batch result for every session the stream has closed. */
+class SessionizeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.get
+  import spark.implicits._
+
+  private val gapSec = 60L
+  // user 1: two sessions (gap 100s between event 2 and 3); user 2: one
+  private def events = Seq(
+    Sessionize.Event(1L, 1000000000L, 1.0),
+    Sessionize.Event(1L, 1030000000L, 2.0),
+    Sessionize.Event(1L, 1130000000L + 60000000L, 4.0),
+    Sessionize.Event(2L, 1000000000L, 8.0))
+
+  test("batch sessionize: window-function definition") {
+    val got = Sessionize.sessionizeBatch(events.toDF(), gapSec)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(5))).toMap
+    assert(got == Map(
+      (1L, 1L) -> ((2L, 3.0)), (1L, 2L) -> ((1L, 4.0)), (2L, 1L) -> ((1L, 8.0))))
+  }
+
+  test("streaming sessionize closes in-batch gap sessions; matches batch") {
+    implicit val s: SparkSession = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft-sess").toFile
+    events.toDS().write.mode("overwrite").parquet(dir.toString)
+    val in = spark.readStream.schema(events.toDF().schema).parquet(dir.toString)
+      .withColumn("et", timestamp_micros($"ts_us"))
+      .withWatermark("et", "1 second")
+      .as[Sessionize.Event]
+    val q = Sessionize.sessionizeStream(in, gapSec)
+      .writeStream.outputMode("append").format("memory").queryName("sess")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("sess").as[Sessionize.Session].collect()
+      .map(x => (x.user_id, x.session_idx) -> (x.n_events, x.sum_value)).toMap
+    // sessions closed by an in-stream gap must match the batch result;
+    // trailing open sessions await the event-time timeout (not fired by a
+    // single AvailableNow batch) - so streamed is a sub-map of batch
+    val batch = Sessionize.sessionizeBatch(events.toDF(), gapSec).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(5))).toMap
+    assert(streamed.nonEmpty)
+    streamed.foreach { case (k, v) => assert(batch(k) == v, s"session $k") }
+    assert(streamed.contains((1L, 1L))) // the gap-closed session
+  }
+}
