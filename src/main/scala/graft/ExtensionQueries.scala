@@ -120,6 +120,32 @@ object ExtensionQueries {
         .withColumn("sum_value", round(col("sum_value"), 2))
         .orderBy("user_id", "session_idx")
     },
+    // JSON property extraction feeding a category histogram
+    "events_props_hist" -> { (s, dir) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val spec = HistSpec(Seq(IntCategory()), Int64Storage)
+      val ev = Tables.events(s, dir)
+        .select((get_json_object(col("props"), "$.k").cast("long") % 10L).as("k"))
+      Hist.fill(spec, ev, Seq(col("k"))).orderBy("i0")
+    },
+    // Join-enriched histogram: lineitem -> orders -> customer -> nation,
+    // small dims broadcast; revenue-weighted price histogram per nation
+    "hist_by_nation" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+      val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+      val n = Tables.nation(s, dir).select("n_nationkey", "n_name")
+      val joined = li
+        .join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      val spec = HistSpec(Seq(StrCategory(), Regular(10, 900.0, 105000.0)),
+        DoubleStorage)
+      Hist.fill(spec, joined, Seq(col("n_name"), col("l_extendedprice")),
+          weight = Some(col("l_quantity")))
+        .withColumn("value", round(col("value"), 6))
+        .orderBy("i0", "i1")
+    },
     // ---- streaming-style windowed histogram (same code path serves
     // readStream inputs; see StreamingHistSpec) ---------------------------
     "events_hourly_hist" -> { (s, dir) =>
@@ -204,6 +230,19 @@ object ExtensionQueries {
          |    i -> CAST(unicode(substr(text, CAST(i AS INT), 1)) AS DOUBLE))),
          |  (a, b) -> a + b) / (255.0 * length(text)), 6) AS brightness
          |FROM documents ORDER BY id""".stripMargin,
+    "events_props_hist" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS i0,
+        |count(*) AS value FROM events GROUP BY 1 ORDER BY i0""".stripMargin,
+    "hist_by_nation" -> {
+      val axP = Regular(10, 900.0, 105000.0)
+      s"""SELECT n_name AS i0, ${axP.sqlExpr("l_extendedprice")} AS i1,
+         |round(sum(l_quantity), 6) AS value
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY 1, 2 ORDER BY i0, i1""".stripMargin
+    },
     "text_regex_tokens" ->
       """SELECT doc_id, CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS BIGINT)
         |AS n_regex_tokens FROM documents ORDER BY doc_id""".stripMargin,

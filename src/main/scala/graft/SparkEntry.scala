@@ -219,6 +219,28 @@ object SparkEntry {
       Hist.densify(spec, h, flow = true)
         .withColumn("value", round(col("value"), 6)).orderBy("i0")
     },
+    // A4: ragged (awkward-style) input — explode an array column, then the
+    // ordinary fill; no mock-execution machinery needed (static schemas)
+    "hist_ragged" -> { (s, dir) =>
+      val spec = HistSpec(Seq(IntegerAxis(1L, 12L)), Int64Storage)
+      val toks = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .select(length(col("tok")).as("toklen"))
+      Hist.fill(spec, toks, Seq(col("toklen"))).orderBy("i0")
+    },
+    // Staged fills with scalar category coordinates riding as literals
+    // (ref tests/test_boost.py:115-154: per-fill category constants)
+    "hist_multifill_cat" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val spec = HistSpec(Seq(StrCategory(), axPrice), DoubleStorage)
+      val hb = new Histogram(spec)
+      hb.fill(li.filter(col("l_shipdate") < cutTs),
+        Seq(lit("early"), col("l_extendedprice")))
+      hb.fill(li.filter(col("l_shipdate") >= cutTs),
+        Seq(lit("late"), col("l_extendedprice")), weight = Some(lit(2.0)))
+      hb.result(s).withColumn("value", round(col("value"), 6))
+        .orderBy("i0", "i1")
+    },
     // Dense TypedImperativeAggregate fast path — same answer as the
     // zero-filled dense grid, via one Array[Double] buffer per partition
     "hist_dense_fast" -> { (s, dir) =>
@@ -363,6 +385,20 @@ object SparkEntry {
          |  SELECT ${axQtyR.sqlExpr("l_quantity")} AS i0, sum(1.0) AS value
          |  FROM ${li()} GROUP BY 1
          |) h USING (i0) ORDER BY i0""".stripMargin,
+    "hist_ragged" -> {
+      val ax = IntegerAxis(1L, 12L)
+      s"""SELECT ${ax.sqlExpr("toklen")} AS i0, count(*) AS value FROM (
+         |  SELECT length(unnest(string_split(text, ' '))) AS toklen FROM documents
+         |) GROUP BY 1 ORDER BY i0""".stripMargin
+    },
+    "hist_multifill_cat" ->
+      s"""SELECT cat AS i0, i1, round(sum(w), 6) AS value FROM (
+         |  SELECT 'early' AS cat, ${axPrice.sqlExpr("l_extendedprice")} AS i1, 1.0 AS w
+         |  FROM ${li()} WHERE l_shipdate < TIMESTAMP '$cutoff'
+         |  UNION ALL
+         |  SELECT 'late' AS cat, ${axPrice.sqlExpr("l_extendedprice")} AS i1, 2.0 AS w
+         |  FROM ${li()} WHERE l_shipdate >= TIMESTAMP '$cutoff'
+         |) GROUP BY 1, 2 ORDER BY i0, i1""".stripMargin,
     "hist_dense_fast" ->
       s"""SELECT g.i0, round(COALESCE(h.value, 0.0), 6) AS value
          |FROM (SELECT range AS i0 FROM range(0, ${axQtyR.n + 2})) g
