@@ -68,6 +68,14 @@ object ExtensionQueries {
       SimilarityOps.annTopK(emb.filter(col("vec_id") < 10), emb, dim = 64, k = annK)
         .orderBy("query_id", "rank")
     },
+    // IVF coarse-quantizer ANN (scale path #2; deterministic seeded
+    // centroids; engine-specific assignment → rows-only + recall test)
+    "ann_ivf_topk" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      SimilarityOps.ivfTopK(emb.filter(col("vec_id") < 10), emb, dim = 64,
+        k = annK, nCentroids = 16, nprobe = 4)
+        .orderBy("query_id", "rank")
+    },
     // ---- text analysis --------------------------------------------------
     "text_stats" -> { (s, dir) =>
       Tables.documents(s, dir).select(
@@ -136,7 +144,7 @@ object ExtensionQueries {
       val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
       val n = Tables.nation(s, dir).select("n_nationkey", "n_name")
       val joined = li
-        .join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(o), li("l_orderkey") === o("o_orderkey"))
         .join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       val spec = HistSpec(Seq(StrCategory(), Regular(10, 900.0, 105000.0)),

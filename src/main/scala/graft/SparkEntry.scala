@@ -100,6 +100,7 @@ object SparkEntry {
         .withColumn("sum_s", round(col("sum_s"), 6))
         .withColumn("sum_s2", round(col("sum_s2"), 6))
         .withColumn("mean", round(col("mean"), 6))
+        .withColumn("variance", round(col("variance"), 8))
         .orderBy("i0")
     },
     // WeightedMean storage
@@ -112,6 +113,7 @@ object SparkEntry {
         .withColumn("sum_ws", round(col("sum_ws"), 6))
         .withColumn("sum_ws2", round(col("sum_ws2"), 6))
         .withColumn("wmean", round(col("wmean"), 6))
+        .withColumn("wvariance", round(col("wvariance"), 8))
         .orderBy("i0")
     },
     // Growable StrCategory axis = group-by on the raw value (A11)
@@ -305,7 +307,10 @@ object SparkEntry {
     "hist_mean_storage" ->
       s"""SELECT ${axQtyR.sqlExpr("l_quantity")} AS i0, count(l_tax) AS n,
          |round(sum(l_tax), 6) AS sum_s, round(sum(l_tax * l_tax), 6) AS sum_s2,
-         |round(sum(l_tax) / count(l_tax), 6) AS mean
+         |round(sum(l_tax) / count(l_tax), 6) AS mean,
+         |round(CASE WHEN count(l_tax) > 1 THEN
+         |  (sum(l_tax * l_tax) - sum(l_tax) * sum(l_tax) / count(l_tax))
+         |  / (count(l_tax) - 1) END, 8) AS variance
          |FROM ${li()} GROUP BY 1 ORDER BY i0""".stripMargin,
     "hist_wmean_storage" ->
       s"""SELECT ${axQtyR.sqlExpr("l_quantity")} AS i0,
@@ -313,7 +318,10 @@ object SparkEntry {
          |round(sum(l_discount * l_discount), 6) AS sum_w2,
          |round(sum(l_discount * l_tax), 6) AS sum_ws,
          |round(sum(l_discount * l_tax * l_tax), 6) AS sum_ws2,
-         |round(sum(l_discount * l_tax) / sum(l_discount), 6) AS wmean
+         |round(sum(l_discount * l_tax) / sum(l_discount), 6) AS wmean,
+         |round(CASE WHEN sum(l_discount) * sum(l_discount) > sum(l_discount * l_discount) THEN
+         |  (sum(l_discount * l_tax * l_tax) - sum(l_discount * l_tax) * sum(l_discount * l_tax) / sum(l_discount))
+         |  / (sum(l_discount) - sum(l_discount * l_discount) / sum(l_discount)) END, 8) AS wvariance
          |FROM ${li()} GROUP BY 1 ORDER BY i0""".stripMargin,
     "hist_strcat" ->
       s"SELECT o_orderpriority AS i0, count(*) AS value FROM $ord GROUP BY 1 ORDER BY i0",

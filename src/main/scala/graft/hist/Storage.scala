@@ -56,8 +56,12 @@ case object MeanStorage extends Storage {
   override def aggs(w: Column, s: Column): Seq[Column] =
     Seq(count(s).as("n"), sum(s).as("sum_s"), sum(s * s).as("sum_s2"))
   override def stateCols: Seq[String] = Seq("n", "sum_s", "sum_s2")
-  override def finalizers: Seq[(String, Column)] =
-    Seq("mean" -> col("sum_s") / col("n"))
+  override def finalizers: Seq[(String, Column)] = Seq(
+    "mean" -> col("sum_s") / col("n"),
+    // sample variance from associative sums (equals Welford in exact
+    // arithmetic; matches bh to float tolerance); null for n < 2
+    "variance" -> when(col("n") > 1,
+      (col("sum_s2") - col("sum_s") * col("sum_s") / col("n")) / (col("n") - 1)))
   override def usesSample: Boolean = true
 }
 
@@ -67,7 +71,12 @@ case object WeightedMeanStorage extends Storage {
     Seq(sum(w).as("sum_w"), sum(w * w).as("sum_w2"),
       sum(w * s).as("sum_ws"), sum(w * s * s).as("sum_ws2"))
   override def stateCols: Seq[String] = Seq("sum_w", "sum_w2", "sum_ws", "sum_ws2")
-  override def finalizers: Seq[(String, Column)] =
-    Seq("wmean" -> col("sum_ws") / col("sum_w"))
+  override def finalizers: Seq[(String, Column)] = Seq(
+    "wmean" -> col("sum_ws") / col("sum_w"),
+    // frequency-weight unbiased variance (bh WeightedMean semantics):
+    // (Σws² − (Σws)²/Σw) / (Σw − Σw²/Σw); null when denominator <= 0
+    "wvariance" -> when(col("sum_w") * col("sum_w") > col("sum_w2"),
+      (col("sum_ws2") - col("sum_ws") * col("sum_ws") / col("sum_w")) /
+        (col("sum_w") - col("sum_w2") / col("sum_w"))))
   override def usesSample: Boolean = true
 }

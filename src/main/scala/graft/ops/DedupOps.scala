@@ -31,16 +31,24 @@ object DedupOps {
         sort_array(collect_list(col(idCol))).as("ids"))
       .filter(col("n_copies") > 1)
 
+  /** Spread a (possibly single-split) input across the cluster before
+    * per-row fan-out work: a one-file parquet table otherwise pins the
+    * whole explode/hash pipeline to one task. Cost is one shuffle of the
+    * raw rows — negligible next to the fan-out it parallelizes. */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   // ---- word shingles ----------------------------------------------------
   /** Distinct k-word shingles per doc: (id, shingle). Narrow + explode. */
   def shingles(df: DataFrame, k: Int, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
+    val input = spread(df)
     val toks = split(col(textCol), " ")
     val sh = when(size(toks) >= k,
       transform(sequence(lit(0), size(toks) - lit(k)),
         i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + lit(j + 1))): _*)))
       .otherwise(array().cast("array<string>"))
-    df.select(col(idCol).as("doc_id"), explode(sh).as("shingle")).distinct()
+    input.select(col(idCol).as("doc_id"), explode(sh).as("shingle")).distinct()
   }
 
   /** Per-doc Jaccard near-duplicate stats over k-word shingles: for every
@@ -58,10 +66,11 @@ object DedupOps {
     val inter = sh.join(sh.withColumnRenamed("doc_id", "doc_b"), Seq("shingle"))
       .filter(col("doc_id") < col("doc_b"))
       .groupBy("doc_id", "doc_b").agg(count(lit(1)).as("n_inter"))
+    // per-doc size table is tiny relative to the pair relation: broadcast
     val pairs = inter
-      .join(sizes.withColumnRenamed("doc_id", "ja").withColumnRenamed("n_sh", "na"),
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "ja").withColumnRenamed("n_sh", "na")),
         col("doc_id") === col("ja"))
-      .join(sizes.withColumnRenamed("doc_id", "jb").withColumnRenamed("n_sh", "nb"),
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "jb").withColumnRenamed("n_sh", "nb")),
         col("doc_b") === col("jb"))
       .withColumn("j", round(col("n_inter").cast("double") /
         (col("na") + col("nb") - col("n_inter")).cast("double"), 6))
@@ -80,21 +89,21 @@ object DedupOps {
   // ---- MinHash + LSH ----------------------------------------------------
   /** MinHash signature per doc: `numHashes` permutations approximated by
     * (a_i * h + b_i) mod p over xxhash64 shingle hashes (Broder 1997).
-    * Coefficients from a seeded RNG — deterministic across runs. */
+    * Coefficients from a seeded RNG — deterministic across runs. One
+    * [[graft.functions.MinHashAgg]] buffer instead of `numHashes` separate
+    * min-aggregates (whose codegen dominated cold-query time). Returns
+    * (doc_id, sig: array<bigint>). */
   def minhashSignatures(df: DataFrame, k: Int = 3, numHashes: Int = 64,
       seed: Long = 42L, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    // 31-bit prime modulus: h,a < 2^30 keeps h*a+b < 2^62 — safe under
-    // Spark's default ANSI overflow checking
+    // 31-bit prime modulus: h,a < 2^31 keeps h*a+b < 2^62 (no overflow)
     val p = 1000000007L
     val rng = new scala.util.Random(seed)
     val as = Array.fill(numHashes)(math.abs(rng.nextLong()) % (p - 1) + 1)
     val bs = Array.fill(numHashes)(math.abs(rng.nextLong()) % p)
-    val sh = shingles(df, k, textCol, idCol)
-    val h = sh.withColumn("h", pmod(xxhash64(col("shingle")), lit(p)))
-    val mins = (0 until numHashes).map { i =>
-      min(pmod(col("h") * lit(as(i)) + lit(bs(i)), lit(p))).as(s"mh_$i")
-    }
-    h.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    shingles(df, k, textCol, idCol)
+      .withColumn("h", pmod(xxhash64(col("shingle")), lit(p)))
+      .groupBy("doc_id")
+      .agg(graft.functions.MinHashAgg(col("h"), as, bs, p).as("sig"))
   }
 
   /** MinHash-LSH candidate pairs: band the signature, equi-join on
@@ -107,7 +116,8 @@ object DedupOps {
     val r = numHashes / bands
     val sigs = minhashSignatures(df, k, numHashes, seed, textCol, idCol)
     val bandExprs = (0 until bands).map { b =>
-      xxhash64(concat_ws(",", (0 until r).map(i => col(s"mh_${b * r + i}")): _*))
+      xxhash64(concat_ws(",",
+        (0 until r).map(i => element_at(col("sig"), b * r + i + 1)): _*))
     }
     // long form (doc_id, band_idx, sig): ONE self-join on (band_idx, sig)
     // replaces a join per band; signature pass runs exactly once
@@ -133,8 +143,8 @@ object DedupOps {
       .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
     inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
+      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na"))), Seq("doc_a"))
+      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"))), Seq("doc_b"))
       .withColumn("j", round(col("n_inter").cast("double") /
         (col("na") + col("nb") - col("n_inter")).cast("double"), 6))
       .filter(col("j") >= threshold)
@@ -145,23 +155,12 @@ object DedupOps {
   /** 64-bit SimHash fingerprint over word tokens (Charikar 2002): sum ±1
     * per bit weighted by token hash bits, sign → bit. */
   def simhash64(df: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
-    val tok = df.select(col(idCol).as("doc_id"),
-      explode(split(col(textCol), " ")).as("tok"))
+      idCol: String = "doc_id"): DataFrame =
+    spread(df).select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
-        .otherwise(-1L)).as(s"s_$b")
-    }
-    val sums = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    // assemble via bit ops: bits 0..62 directly; bit 63 via OR with
-    // Long.MinValue (1L << 63 literal would be negative anyway, keep explicit)
-    val low = (0 until 63).map { b =>
-      when(col(s"s_$b") > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce((a, c) => a.bitwiseOR(c))
-    val full = when(col("s_63") > 0, low.bitwiseOR(lit(Long.MinValue))).otherwise(low)
-    sums.select(col("doc_id"), full.as("simhash"))
-  }
+      .groupBy("doc_id")
+      .agg(graft.functions.SimHashAgg(col("h")).as("simhash"))
 
   /** SimHash near-dup candidate pairs: block on 4 × 16-bit bands (any pair
     * within hamming distance <= 3 shares at least one exact band), then

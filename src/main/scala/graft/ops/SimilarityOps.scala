@@ -22,7 +22,9 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps {
 
-  /** Sequential-fold dot product in double precision (deterministic). */
+  /** Sequential-fold dot product in double precision (deterministic).
+    * HOF form kept for reference/tests; the hot path uses the native
+    * [[graft.functions.CosineSim]] expression (same fp semantics). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
@@ -31,19 +33,60 @@ object SimilarityOps {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity, assembled the same way on both engines:
-    * dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b))). */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity: native one-pass expression; bit-identical to
+    * dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b))) with sequential sums. */
+  def cosine(a: Column, b: Column): Column = graft.functions.CosineSim(a, b)
   def cosineSql(a: String, b: String): String =
     s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
 
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors. Query side is broadcast (small); ranking uses the *rounded*
     * similarity (6 dp) with id tie-break so ordering is engine-portable. */
+  /** Spread a (possibly single-split) corpus before per-pair work — a
+    * one-file parquet source otherwise pins the scoring loop to one task. */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+    val c = spread(corpus).select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
     val scored = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(cosine(col("qe"), col("ce")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "sim", "rank")
+  }
+
+  /** IVF-style ANN (inverted-file with coarse quantizer).
+    *
+    * Scale path #2 (complement to [[annTopK]]'s LSH): corpus vectors are
+    * assigned to their nearest of k centroids in one narrow pass; queries
+    * probe their `nprobe` nearest centroid lists via an equi-join on the
+    * centroid id; exact cosine re-rank only inside probed lists. At 100 TB
+    * the centroid set is trained offline (sampled k-means); here centroids
+    * are a deterministic seeded sample of the corpus — the index/probe
+    * machinery (the Spark-side substance) is identical either way.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, dim: Int, k: Int,
+      nCentroids: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
+    // deterministic "training": hash-sampled corpus vectors as centroids
+    val sample = corpus.select(col("vec_id"), col("embedding"))
+      .withColumn("h", xxhash64(col("vec_id") + lit(seed)))
+      .orderBy("h").limit(nCentroids)
+      .collect()
+    val centroids = sample.map(_.getAs[scala.collection.Seq[Float]]("embedding")
+      .map(_.toDouble).toArray)
+    val cs = spread(corpus).select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ce"),
+      element_at(graft.functions.NearestCentroid(col("embedding"), centroids, 1), 1)
+        .as("cell"))
+    val qs = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+      explode(graft.functions.NearestCentroid(col("embedding"), centroids, nprobe))
+        .as("cell"))
+    val scored = broadcast(qs).join(cs, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", round(cosine(col("qe"), col("ce")), 6))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)
@@ -56,7 +99,7 @@ object SimilarityOps {
     * vectors exceed it, and the best match. Returns one row per corpus
     * vector (never empty). Brute-force (correctness baseline). */
   def nearDupStats(corpus: DataFrame, threshold: Double): DataFrame = {
-    val a = corpus.select(col("vec_id"), col("embedding").as("ea"))
+    val a = spread(corpus).select(col("vec_id"), col("embedding").as("ea"))
     val b = corpus.select(col("vec_id").as("vb"), col("embedding").as("eb"))
     val pairs = a.join(broadcast(b), col("vec_id") =!= col("vb"))
       .withColumn("sim", round(cosine(col("ea"), col("eb")), 6))
@@ -88,7 +131,7 @@ object SimilarityOps {
   def annTopK(queries: DataFrame, corpus: DataFrame, dim: Int, k: Int,
       bands: Int = 8, rowsPerBand: Int = 8, seed: Long = 42L): DataFrame = {
     val qs = explodeSigs(lshSignatures(queries, dim, bands, rowsPerBand, seed), "query_id")
-    val cs = explodeSigs(lshSignatures(corpus, dim, bands, rowsPerBand, seed), "neighbor_id")
+    val cs = explodeSigs(lshSignatures(spread(corpus), dim, bands, rowsPerBand, seed), "neighbor_id")
     val cand = broadcast(qs).join(cs, Seq("b", "sig"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id").distinct()

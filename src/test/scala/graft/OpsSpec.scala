@@ -88,6 +88,19 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall $recall")
   }
 
+  test("IVF ANN recall vs brute force with wide probe") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter($"vec_id" < 20)
+    val brute = SimilarityOps.bruteForceTopK(q, emb, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SimilarityOps.ivfTopK(q, emb, dim = 64, k = 5,
+      nCentroids = 16, nprobe = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.3, s"recall $recall") // random embeddings: weak
+    // structure; probing half the cells must beat random subset baseline
+  }
+
   test("text ops: tokens, langid precedence, fingerprint determinism") {
     val df = Seq("the cat is on the mat", "der hund ist und das").toDF("text")
     val r = df.select(TextOps.tokenCount($"text"), TextOps.langId($"text"),
