@@ -110,6 +110,28 @@ class OpsSpec extends AnyFunSuite {
     assert(r(0).getLong(2) == r.head.getLong(2)) // stable across evals
   }
 
+  test("SQL surface: graft_regular_bin and graft_cosine usable from spark.sql") {
+    GraftExtensions.register(spark)
+    Seq((0.05, 0.95)).toDF("x", "y").createOrReplaceTempView("gx")
+    val r = spark.sql(
+      """SELECT graft_regular_bin(x, 10, 0.0, 1.0) AS bx,
+        |graft_regular_bin(y, 10, 0.0, 1.0) AS by FROM gx""".stripMargin).collect()(0)
+    assert(r.getLong(0) == 1L && r.getLong(1) == 10L)
+    Seq((Array(1f, 0f), Array(1f, 0f))).toDF("a", "b").createOrReplaceTempView("gv")
+    val c = spark.sql("SELECT graft_cosine(a, b) FROM gv").collect()(0).getDouble(0)
+    assert(c == 1.0)
+    // SQL function tree must agree with Axis.binCol on boundary probes
+    val ax = graft.hist.Regular(10, 0.0, 1.0)
+    val probes = ax.edges.toSeq ++ Seq(Double.NaN, -5.0, 5.0, 0.999999999)
+    probes.toDF("x").createOrReplaceTempView("gp")
+    val viaSql = spark.sql("SELECT graft_regular_bin(x, 10, 0.0, 1.0) FROM gp")
+      .collect().map(_.getLong(0)).toSeq
+    val viaCol = probes.toDF("x")
+      .select(ax.binCol(org.apache.spark.sql.functions.col("x")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaSql == viaCol)
+  }
+
   test("multimodal stub pipeline: features deterministic, schema typed") {
     implicit val s: SparkSession = spark
     val media = MultimodalOps.asMedia(docs, "doc_id", "text", "text/plain")
