@@ -22,6 +22,10 @@ object ExtensionQueries {
     "dedup_exact" -> { (s, dir) =>
       DedupOps.exactDedup(Tables.documents(s, dir)).orderBy("keep_id")
     },
+    // Skew-safe two-phase variant — same rows as dedup_exact, same oracle
+    "dedup_exact_salted" -> { (s, dir) =>
+      DedupOps.exactDedupSalted(Tables.documents(s, dir)).orderBy("keep_id")
+    },
     "dedup_jaccard_stats" -> { (s, dir) =>
       DedupOps.jaccardNearDupStats(Tables.documents(s, dir), jaccardK, jaccardThresh)
         .orderBy("doc_id")
@@ -121,18 +125,16 @@ object ExtensionQueries {
     // Sessionization, batch form (window functions); the stateful
     // streaming twin (flatMapGroupsWithState) is exercised in SessionizeSpec
     "events_sessions" -> { (s, dir) =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = Tables.events(s, dir)
-        .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("value"))
+      val ev = graft.sources.Sources.eventsWithTimestamp(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
       Sessionize.sessionizeBatch(ev, gapSec = 1800)
         .withColumn("sum_value", round(col("sum_value"), 2))
         .orderBy("user_id", "session_idx")
     },
     // JSON property extraction feeding a category histogram
     "events_props_hist" -> { (s, dir) =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val spec = HistSpec(Seq(IntCategory()), Int64Storage)
-      val ev = Tables.events(s, dir)
+      val ev = graft.sources.Sources.eventsWithTimestamp(s, dir)
         .select((get_json_object(col("props"), "$.k").cast("long") % 10L).as("k"))
       Hist.fill(spec, ev, Seq(col("k"))).orderBy("i0")
     },
@@ -157,11 +159,7 @@ object ExtensionQueries {
     // ---- streaming-style windowed histogram (same code path serves
     // readStream inputs; see StreamingHistSpec) ---------------------------
     "events_hourly_hist" -> { (s, dir) =>
-      // events.ts is parquet TIMESTAMP(NANOS) — Spark 4 only reads it via
-      // the nanosAsLong legacy conf; convert nanos → microsecond timestamp
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = Tables.events(s, dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000"))) // integral div: exact
+      val ev = graft.sources.Sources.eventsWithTimestamp(s, dir)
       val spec = HistSpec(Seq(Regular(10, 0.0, 500.0)), DoubleStorage)
       StreamingHist.windowedFill(spec, ev, col("ts"),
           "1 hour", Seq(col("value")), weight = Some(col("value")))
@@ -175,6 +173,9 @@ object ExtensionQueries {
 
   def oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "dedup_exact_salted" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
     "dedup_jaccard_stats" -> {

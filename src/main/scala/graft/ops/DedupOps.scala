@@ -23,6 +23,21 @@ object DedupOps {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"))
 
+  /** Skew-safe exact dedup: identical result to [[exactDedup]] via
+    * two-phase salted aggregation. A viral document duplicated 10^8 times
+    * sends every copy to ONE reducer in the naive groupBy; salting splits
+    * each text's copies across `salts` partial groups (first shuffle),
+    * then merges the per-salt partials (second shuffle over ≤ salts rows
+    * per text). Same pattern applies to any skewed-key aggregate. */
+  def exactDedupSalted(df: DataFrame, salts: Int = 16, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    df.withColumn("__salt", pmod(xxhash64(col(idCol)), lit(salts.toLong)))
+      .groupBy(col(textCol), col("__salt"))
+      .agg(min(col(idCol)).as("keep_p"), count(lit(1)).as("n_p"))
+      .groupBy(col(textCol))
+      .agg(min(col("keep_p")).as("keep_id"), sum(col("n_p")).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+
   /** Duplicate-only view: texts appearing more than once (ids sorted). */
   def exactDupGroups(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame =

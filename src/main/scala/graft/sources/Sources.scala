@@ -1,0 +1,41 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source adapters. The reference ingests four collection kinds
+  * (dask Array/Series/DataFrame/awkward — `core.py:1008-1095`); in Spark
+  * they all collapse to the DataFrame, so this package is about *formats*
+  * and their quirks, batch and streaming alike.
+  */
+object Sources {
+
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  def csv(spark: SparkSession, path: String,
+      header: Boolean = true): DataFrame =
+    spark.read.option("header", header.toString).option("inferSchema", "true")
+      .csv(path)
+
+  def json(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+
+  /** Events table: parquet TIMESTAMP(NANOS) is unreadable by Spark 4's
+    * vectorized reader without the nanosAsLong legacy conf; normalize to a
+    * microsecond timestamp column via exact integral division. */
+  def eventsWithTimestamp(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Streaming reader with an explicit schema (streaming sources cannot
+    * infer), plus watermark. */
+  def parquetStream(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      watermarkCol: String = "", delay: String = "10 minutes"): DataFrame = {
+    val base = spark.readStream.schema(schema).parquet(path)
+    if (watermarkCol.isEmpty) base else base.withWatermark(watermarkCol, delay)
+  }
+}

@@ -15,6 +15,14 @@ import graft.hist._
   */
 object StreamingHist {
 
+  /** Streaming exact dedup: watermarked `dropDuplicates` — state holds one
+    * key per distinct value inside the watermark horizon, evicted as event
+    * time advances. The streaming twin of DedupOps.exactDedup. */
+  def streamingDedup(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      delay: String): DataFrame =
+    df.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Windowed histogram: per (time window, bin...) aggregate. Works on
     * batch and streaming inputs alike; for streaming add
     * `.withWatermark(tsCol, ...)` upstream for state eviction. */

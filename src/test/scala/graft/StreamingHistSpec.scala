@@ -15,6 +15,23 @@ class StreamingHistSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestSession.get
   import spark.implicits._
 
+  test("streaming dedup drops duplicate keys within the watermark") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sdedup").toFile
+    val data = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), "a"),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:02"), "a"),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:03"), "b"))
+    data.toDF("ts", "k").coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    val in = spark.readStream.schema(data.toDF("ts", "k").schema).parquet(dir.toString)
+    val q = graft.streaming.StreamingHist
+      .streamingDedup(in, Seq("k"), "ts", "1 minute")
+      .writeStream.outputMode("append").format("memory").queryName("sdedup")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val keys = spark.table("sdedup").select("k").collect().map(_.getString(0)).sorted
+    assert(keys.toSeq == Seq("a", "b"))
+  }
+
   test("streamed windowed fill == batch windowed fill") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toFile
     val data = Seq.tabulate(300) { i =>
