@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftShims
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Distinct k-word shingles of a text as one native pass.
+  *
+  * Replaces `array_distinct(transform(sequence(...), concat_ws(element_at
+  * ...)))`: higher-order functions evaluate interpreted per element, and a
+  * ~300-token document costs milliseconds per row that way (measured: the
+  * shingle computation dominated the jaccard pipeline at ~14 s warm).
+  * Semantics match the HOF form exactly: tokens = split on single space
+  * (trailing empties kept, as Java/DuckDB split do), shingles are k
+  * consecutive tokens joined by one space, distinct keeps first-occurrence
+  * order, texts with < k tokens yield an empty array.
+  */
+case class WordShingles(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k >= 1, "k >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val toks = text.split(" ", -1)
+    if (toks.length < k) new GenericArrayData(Array.empty[Any])
+    else {
+      val seen = new java.util.LinkedHashSet[String]()
+      var i = 0
+      val sb = new java.lang.StringBuilder
+      while (i <= toks.length - k) {
+        sb.setLength(0)
+        var j = 0
+        while (j < k) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        seen.add(sb.toString)
+        i += 1
+      }
+      val out = new Array[Any](seen.size)
+      val it = seen.iterator()
+      var p = 0
+      while (it.hasNext) { out(p) = UTF8String.fromString(it.next()); p += 1 }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): WordShingles =
+    copy(child = c)
+}
+
+object WordShingles {
+  def apply(text: Column, k: Int): Column =
+    GraftShims.toColumn(WordShingles(GraftShims.toExpression(text), k))
+}

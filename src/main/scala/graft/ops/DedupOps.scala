@@ -54,17 +54,18 @@ object DedupOps {
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
   // ---- word shingles ----------------------------------------------------
-  /** Distinct k-word shingles per doc: (id, shingle). Narrow + explode. */
+  /** Per-doc distinct k-word shingle ARRAY: one native pass per row
+    * ([[graft.functions.WordShingles]]), so downstream consumers get
+    * distinct (doc, shingle) pairs from a plain explode with NO dedup
+    * shuffle and no per-element interpreted lambdas. */
+  private def shingleArray(k: Int, textCol: String): org.apache.spark.sql.Column =
+    graft.functions.WordShingles(col(textCol), k)
+
+  /** Distinct k-word shingles per doc: (doc_id, shingle). Narrow + explode. */
   def shingles(df: DataFrame, k: Int, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
-    val input = spread(df)
-    val toks = split(col(textCol), " ")
-    val sh = when(size(toks) >= k,
-      transform(sequence(lit(0), size(toks) - lit(k)),
-        i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + lit(j + 1))): _*)))
-      .otherwise(array().cast("array<string>"))
-    input.select(col(idCol).as("doc_id"), explode(sh).as("shingle")).distinct()
-  }
+      idCol: String = "doc_id"): DataFrame =
+    spread(df).select(col(idCol).as("doc_id"),
+      explode(shingleArray(k, textCol)).as("shingle"))
 
   /** Per-doc Jaccard near-duplicate stats over k-word shingles: for every
     * document, the number of neighbors with jaccard >= threshold and the
@@ -76,21 +77,22 @@ object DedupOps {
     * portability. */
   def jaccardNearDupStats(df: DataFrame, k: Int = 3, threshold: Double = 0.3,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val sh = shingles(df, k, textCol, idCol).cache()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = sh.join(sh.withColumnRenamed("doc_id", "doc_b"), Seq("shingle"))
-      .filter(col("doc_id") < col("doc_b"))
-      .groupBy("doc_id", "doc_b").agg(count(lit(1)).as("n_inter"))
-    // per-doc size table is tiny relative to the pair relation: broadcast
-    val pairs = inter
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "ja").withColumnRenamed("n_sh", "na")),
-        col("doc_id") === col("ja"))
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "jb").withColumnRenamed("n_sh", "nb")),
-        col("doc_b") === col("jb"))
+    // (doc, n_sh, shingle): per-doc size rides along with every exploded
+    // row — no separate size aggregation, no size joins, and identical
+    // left/right subplans let Spark reuse one shuffle exchange for the
+    // self-join. Stage count is the cost driver here, not data volume.
+    val arr = shingleArray(k, textCol)
+    val sh = spread(df).select(col(idCol).as("doc_id"), arr.as("arr"))
+      .select(col("doc_id"), size(col("arr")).as("n_sh"), explode(col("arr")).as("shingle"))
+    val l = sh.select(col("doc_id").as("doc_a"), col("n_sh").as("na"), col("shingle"))
+    val r = sh.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"), col("shingle"))
+    val pairs = l.join(r, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_inter"), max(col("na")).as("na"), max(col("nb")).as("nb"))
       .withColumn("j", round(col("n_inter").cast("double") /
         (col("na") + col("nb") - col("n_inter")).cast("double"), 6))
-      .select(col("doc_id"), col("doc_b"), col("j"))
-    val sym = pairs.select(col("doc_id"), col("j"))
+    val sym = pairs.select(col("doc_a").as("doc_id"), col("j"))
       .unionByName(pairs.select(col("doc_b").as("doc_id"), col("j")))
     df.select(col(idCol).as("doc_id"))
       .join(sym.groupBy("doc_id").agg(

@@ -123,6 +123,18 @@ class HistCoreSpec extends AnyFunSuite {
     assert(a == Map(1L -> 11.0, 2L -> 22.0))
   }
 
+  test("HistResult: dense arrays, edges with flow padding, accessors") {
+    val df = Seq(0.5, 1.5, 1.7, -3.0, 99.0).toDF("x")
+    val spec = HistSpec(Seq(Regular(4, 0.0, 4.0)), WeightStorage)
+    val res = HistResult.collect(spec, Hist.fill(spec, df, Seq(col("x"))))
+    val c = res.counts(flow = true)
+    assert(c.toSeq == Seq(1.0, 1.0, 2.0, 0.0, 0.0, 1.0)) // uf,1,2,3,4,of
+    assert(res.counts(flow = false).toSeq == Seq(1.0, 2.0, 0.0, 0.0))
+    assert(res.variances(flow = true).get.toSeq == c.toSeq) // unit weights
+    assert(res.edges().head.toSeq == Seq(0.0, 1.0, 2.0, 3.0, 4.0))
+    assert(res.edges(flow = true).head.head.isNegInfinity)
+  }
+
   test("dense TypedImperativeAggregate path == sparse fill + densify") {
     val df = Seq.tabulate(1000)(i => math.sin(i * 0.7) * 6).toDF("x").repartition(5)
     val spec = HistSpec(Seq(Regular(8, -5.0, 5.0)), DoubleStorage)
