@@ -115,6 +115,16 @@ object ExtensionQueries {
           round(col("brightness"), 6).as("brightness"))
         .orderBy("id")
     },
+    // Exact quantiles of document length per language (linear
+    // interpolation on integer-valued data - engine-portable)
+    "text_len_quantiles" -> { (s, dir) =>
+      Tables.documents(s, dir).groupBy("lang").agg(
+        round(expr("percentile(n_chars, 0.25)"), 6).as("p25"),
+        round(expr("percentile(n_chars, 0.5)"), 6).as("p50"),
+        round(expr("percentile(n_chars, 0.9)"), 6).as("p90"),
+        count(lit(1)).as("n"))
+        .orderBy("lang")
+    },
     // BPE-ish regex tokenization (same RE2-safe pattern both engines)
     "text_regex_tokens" -> { (s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"),
@@ -252,6 +262,11 @@ object ExtensionQueries {
          |JOIN nation ON c_nationkey = n_nationkey
          |GROUP BY 1, 2 ORDER BY i0, i1""".stripMargin
     },
+    "text_len_quantiles" ->
+      """SELECT lang, round(quantile_cont(n_chars, 0.25), 6) AS p25,
+        |round(quantile_cont(n_chars, 0.5), 6) AS p50,
+        |round(quantile_cont(n_chars, 0.9), 6) AS p90, count(*) AS n
+        |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
     "text_regex_tokens" ->
       """SELECT doc_id, CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS BIGINT)
         |AS n_regex_tokens FROM documents ORDER BY doc_id""".stripMargin,

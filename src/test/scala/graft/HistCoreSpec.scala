@@ -24,6 +24,13 @@ class HistCoreSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(0L, 1L, 1L, 1L, 2L, 3L, 10L, 11L, 11L, 11L))
   }
 
+  test("NULL values land in the overflow bin (as NaN does)") {
+    val df = Seq[Option[Double]](Some(1.0), None, Some(Double.NaN)).toDF("x")
+    val got = df.select(Regular(4, 0.0, 4.0).binCol(col("x")).as("i"))
+      .collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(2L, 5L, 5L))
+  }
+
   test("Variable axis matches binary-search semantics") {
     val ax = Variable(Seq(1.0, 10.0, 25.0, 40.0, 51.0))
     val df = Seq(0.5, 1.0, 9.99, 10.0, 24.9, 39.0, 50.9, 51.0, 60.0).toDF("x")
