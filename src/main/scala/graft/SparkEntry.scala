@@ -250,6 +250,20 @@ object SparkEntry {
       Hist.fillDense(spec, Tables.lineitem(s, dir), Seq(col("l_quantity")))
         .withColumn("value", round(col("value"), 6)).orderBy("i0")
     },
+    // Circular (wrap-around) axis — quantity wrapped on a period of 7
+    "hist_circular" -> { (s, dir) =>
+      val ax = RegularCircular(7, 0.0, 7.0)
+      val spec = HistSpec(Seq(ax), Int64Storage)
+      Hist.fill(spec, Tables.lineitem(s, dir), Seq(col("l_quantity")))
+        .orderBy("i0")
+    },
+    // Log-transformed axis over prices
+    "hist_log_axis" -> { (s, dir) =>
+      val ax = RegularLog(8, 1000.0, 100000.0)
+      val spec = HistSpec(Seq(ax), Int64Storage)
+      Hist.fill(spec, Tables.lineitem(s, dir), Seq(col("l_extendedprice")))
+        .orderBy("i0")
+    },
     // A14 done right: density normalization
     "hist_density" -> { (s, dir) =>
       val spec = HistSpec(Seq(axPrice), DoubleStorage)
@@ -414,6 +428,16 @@ object SparkEntry {
          |  SELECT ${axQtyR.sqlExpr("l_quantity")} AS i0, sum(1.0) AS value
          |  FROM ${li()} GROUP BY 1
          |) h USING (i0) ORDER BY i0""".stripMargin,
+    "hist_circular" -> {
+      val ax = RegularCircular(7, 0.0, 7.0)
+      s"""SELECT ${ax.sqlExpr("l_quantity")} AS i0, count(*) AS value
+         |FROM ${li()} GROUP BY 1 ORDER BY i0""".stripMargin
+    },
+    "hist_log_axis" -> {
+      val ax = RegularLog(8, 1000.0, 100000.0)
+      s"""SELECT ${ax.sqlExpr("l_extendedprice")} AS i0, count(*) AS value
+         |FROM ${li()} GROUP BY 1 ORDER BY i0""".stripMargin
+    },
     "hist_density" ->
       s"""SELECT i0, round(value, 6) AS value,
          |round(value / (sum(CASE WHEN i0 BETWEEN 1 AND ${axPrice.n} THEN value

@@ -102,6 +102,50 @@ final case class Variable(edgeSeq: Seq[Double], name: String = "") extends Axis 
   }
 }
 
+/** Circular (wrap-around) uniform axis — boost `Regular(..., circular=True)`:
+  * values wrap modulo the period; no flow bins (every finite value lands in
+  * 1..n); NaN/NULL → NULL key (dropped from the sparse result, as boost's
+  * circular axes have no overflow to receive them). */
+final case class RegularCircular(n: Int, lo: Double, hi: Double, name: String = "")
+    extends Axis {
+  require(n > 0 && lo < hi)
+  override def nBins: Int = n
+  override def keyType: DataType = LongType
+  override def binCol(c: Column): Column = {
+    val d = c.cast(DoubleType)
+    when(d.isNull || isnan(d), lit(null).cast(LongType))
+      .otherwise(pmod(floor((d - lit(lo)) * lit(n.toDouble) / lit(hi - lo)),
+        lit(n.toLong)) + lit(1L))
+  }
+  override def edges: Array[Double] =
+    Array.tabulate(n + 1)(i => lo + (hi - lo) * i / n)
+  def sqlExpr(v: String): String =
+    s"(CASE WHEN $v IS NULL OR isnan($v) THEN NULL ELSE " +
+      s"((CAST(floor(($v - $lo) * ${n.toDouble} / ${hi - lo}) AS BIGINT) % $n + $n) % $n) + 1 END)"
+}
+
+/** Log-transformed uniform axis — boost `Regular(..., transform=log)`:
+  * n bins uniform in ln(x) over [lo, hi); x <= 0 joins underflow. */
+final case class RegularLog(n: Int, lo: Double, hi: Double, name: String = "")
+    extends Axis {
+  require(n > 0 && 0 < lo && lo < hi)
+  override def nBins: Int = n
+  override def keyType: DataType = LongType
+  private val (llo, lhi) = (math.log(lo), math.log(hi))
+  override def binCol(c: Column): Column = {
+    val d = c.cast(DoubleType)
+    when(d.isNull || isnan(d) || d >= hi, lit(n + 1).cast(LongType))
+      .when(d < lo, lit(0L))
+      .otherwise(floor((log(d) - lit(llo)) * lit(n.toDouble) / lit(lhi - llo)) + lit(1L))
+  }
+  override def edges: Array[Double] =
+    Array.tabulate(n + 1)(i => math.exp(llo + (lhi - llo) * i / n))
+  def sqlExpr(v: String): String =
+    s"(CASE WHEN $v IS NULL OR isnan($v) OR $v >= $hi THEN ${n + 1} " +
+      s"WHEN $v < $lo THEN 0 " +
+      s"ELSE CAST(floor((ln($v) - $llo) * ${n.toDouble} / ${lhi - llo}) AS BIGINT) + 1 END)"
+}
+
 /** Unit-width integer bins covering [lo, hi) — boost `Integer(lo, hi)`. */
 final case class IntegerAxis(lo: Long, hi: Long, name: String = "") extends Axis {
   require(lo < hi, s"Integer axis needs lo < hi, got [$lo, $hi)")

@@ -92,6 +92,33 @@ object Hist {
 
   private def axesNumeric(spec: HistSpec): Boolean = spec.axes.forall(!_.isCategorical)
 
+  /** Explicit multi-level tree reduction — the reference's `split_every`
+    * control (`core.py:856-885`, default fan-in 8 from `histogram.yaml:10`).
+    * Spark's partial/final hash agg is 2 levels and suffices for bin-count-
+    * sized states; this RDD `treeAggregate` path is the knob for the
+    * extreme regime (huge bin count × very many partitions) where even the
+    * final agg's fan-in should be bounded: depth = ceil(log_splitEvery(P)).
+    * Returns the dense flow-inclusive array driver-side. */
+  def fillTree(spec: HistSpec, df: DataFrame, cols: Seq[Column],
+      weight: Option[Column] = None, splitEvery: Int = 8): Array[Double] = {
+    require(axesNumeric(spec), "fillTree requires numeric axes")
+    val total = spec.axes.map(_.nBins + 2).product
+    val idx = flatIndexCol(spec, cols)
+    val w = weight.getOrElse(lit(1.0)).cast(DoubleType)
+    val rows = df.select(idx.as("__i"), w.as("__w"))
+      .select(col("__i").cast(DoubleType), col("__w"))
+      .rdd.map(r => (r.getDouble(0).toLong, r.getDouble(1)))
+    val p = math.max(rows.getNumPartitions, 1)
+    val depth = math.max(1,
+      math.ceil(math.log(p.toDouble) / math.log(splitEvery.toDouble)).toInt)
+    rows.treeAggregate(new Array[Double](total))(
+      seqOp = (buf, iw) => {
+        if (iw._1 >= 0 && iw._1 < total) buf(iw._1.toInt) += iw._2; buf
+      },
+      combOp = (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a },
+      depth = depth)
+  }
+
   /** Flat (row-major) bin index over all axes incl. flow:
     * idx = Σ_d i_d * stride_d with stride = Π of later dims' (n+2). */
   def flatIndexCol(spec: HistSpec, cols: Seq[Column]): Column = {

@@ -142,6 +142,26 @@ class HistCoreSpec extends AnyFunSuite {
     assert(res.edges(flow = true).head.head.isNegInfinity)
   }
 
+  test("circular axis wraps; log axis bins uniformly in ln") {
+    val circ = RegularCircular(4, 0.0, 4.0)
+    val got = Seq(-1.0, 0.0, 3.9, 4.0, 9.0).toDF("x")
+      .select(circ.binCol(col("x")).as("i")).collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(4L, 1L, 4L, 1L, 2L)) // wrap both directions
+    val lg = RegularLog(3, 1.0, 1000.0) // decades
+    val g2 = Seq(0.5, 1.0, 9.9, 10.0, 999.0, 1000.0).toDF("x")
+      .select(lg.binCol(col("x")).as("i")).collect().map(_.getLong(0))
+    assert(g2.toSeq == Seq(0L, 1L, 1L, 2L, 3L, 4L))
+  }
+
+  test("fillTree (treeAggregate, split_every analog) == dense fill") {
+    val df = Seq.tabulate(500)(i => math.sin(i * 1.1) * 4).toDF("x").repartition(9)
+    val spec = HistSpec(Seq(Regular(6, -4.0, 4.0)), DoubleStorage)
+    val viaTree = Hist.fillTree(spec, df, Seq(col("x")), splitEvery = 2)
+    val viaDense = Hist.fillDense(spec, df, Seq(col("x")))
+      .collect().sortBy(_.getLong(0)).map(_.getDouble(1))
+    assert(viaTree.toSeq == viaDense.toSeq)
+  }
+
   test("dense TypedImperativeAggregate path == sparse fill + densify") {
     val df = Seq.tabulate(1000)(i => math.sin(i * 0.7) * 6).toDF("x").repartition(5)
     val spec = HistSpec(Seq(Regular(8, -5.0, 5.0)), DoubleStorage)
