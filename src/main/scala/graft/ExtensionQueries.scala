@@ -105,6 +105,33 @@ object ExtensionQueries {
         col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")
     },
+    // Heavy hitters: top-25 tokens by document frequency (ties broken by
+    // token for engine-portable ordering)
+    "text_token_topk" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .distinct()
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("tok").asc)
+        .limit(25)
+    },
+    // Vector analytics: per-label centroid of the embedding column
+    // (posexplode -> groupBy (label, dim) -> exact double mean)
+    "emb_label_centroids" -> { (s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .filter(col("dim") < 8)
+        .groupBy("label", "dim")
+        .agg(count(lit(1)).as("n"), round(avg(col("v").cast("double")), 6).as("mean_v"))
+        .orderBy("label", "dim")
+    },
+    // Two-level aggregation: histogram of per-user event counts
+    "events_user_activity_hist" -> { (s, dir) =>
+      val perUser = graft.sources.Sources.eventsWithTimestamp(s, dir)
+        .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+      val spec = HistSpec(Seq(IntegerAxis(0L, 50L)), Int64Storage)
+      Hist.fill(spec, perUser, Seq(col("n_events"))).orderBy("i0")
+    },
     // ---- multimodal plumbing (stub codec over binary payloads) ---------
     "multimodal_features" -> { (s, dir) =>
       implicit val sp: SparkSession = s
@@ -261,6 +288,21 @@ object ExtensionQueries {
          |JOIN customer ON o_custkey = c_custkey
          |JOIN nation ON c_nationkey = n_nationkey
          |GROUP BY 1, 2 ORDER BY i0, i1""".stripMargin
+    },
+    "text_token_topk" ->
+      """SELECT tok, count(*) AS df FROM (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        |) GROUP BY 1 ORDER BY df DESC, tok ASC LIMIT 25""".stripMargin,
+    "emb_label_centroids" ->
+      """SELECT label, CAST(d.dim AS INT) AS dim, count(*) AS n,
+        |round(avg(CAST(embedding[CAST(d.dim AS INT) + 1] AS DOUBLE)), 6) AS mean_v
+        |FROM embeddings CROSS JOIN (SELECT unnest(range(0, 8)) AS dim) d
+        |GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
+    "events_user_activity_hist" -> {
+      val ax = IntegerAxis(0L, 50L)
+      s"""SELECT ${ax.sqlExpr("n_events")} AS i0, count(*) AS value FROM (
+         |  SELECT user_id, count(*) AS n_events FROM events GROUP BY 1
+         |) GROUP BY 1 ORDER BY i0""".stripMargin
     },
     "text_len_quantiles" ->
       """SELECT lang, round(quantile_cont(n_chars, 0.25), 6) AS p25,
