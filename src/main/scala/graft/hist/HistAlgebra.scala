@@ -40,12 +40,17 @@ object HistAlgebra {
   }
 
   /** Histogram ⊕ scalar (reference: scalar operands,
-    * `tests/test_core.py:207-305`). */
+    * `tests/test_core.py:207-305`). Storage-aware: scaling a Weight
+    * histogram scales Σw linearly but Σw² quadratically (bh semantics —
+    * h*s means every weight was s× larger). */
   def scalarOp(spec: HistSpec, h: DataFrame, s: Double, op: Op,
       scalarOnLeft: Boolean = false): DataFrame = {
     val vals = spec.stateColsForAlgebra
     vals.foldLeft(h) { (d, c) =>
-      val e = if (scalarOnLeft) op(lit(s), col(c)) else op(col(c), lit(s))
+      val isVariance = spec.storage == WeightStorage && c == "variance" &&
+        (op == Mul || op == Div)
+      val operand = if (isVariance) lit(s * s) else lit(s)
+      val e = if (scalarOnLeft) op(operand, col(c)) else op(col(c), operand)
       d.withColumn(c, e)
     }
   }

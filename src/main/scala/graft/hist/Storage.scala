@@ -41,6 +41,21 @@ case object Int64Storage extends Storage {
   override def stateCols: Seq[String] = Seq("value")
 }
 
+/** AtomicInt64: same associative count semantics as Int64 (atomicity is a
+  * shared-memory concern the shuffle-based merge never has). */
+case object AtomicInt64Storage extends Storage {
+  override def aggs(w: Column, s: Column): Seq[Column] = Int64Storage.aggs(w, s)
+  override def stateCols: Seq[String] = Int64Storage.stateCols
+}
+
+/** Unlimited: boost's auto-promoting int→double storage — Spark doubles
+  * throughout, i.e. the already-promoted form (documented divergence:
+  * no int phase). */
+case object UnlimitedStorage extends Storage {
+  override def aggs(w: Column, s: Column): Seq[Column] = DoubleStorage.aggs(w, s)
+  override def stateCols: Seq[String] = DoubleStorage.stateCols
+}
+
 /** (value, variance) = (Σw, Σw²). */
 case object WeightStorage extends Storage {
   override def aggs(w: Column, s: Column): Seq[Column] =

@@ -119,6 +119,15 @@ class HistCoreSpec extends AnyFunSuite {
     assert(dense.agg(sum("value")).collect()(0).getDouble(0) == 0.0)
   }
 
+  test("Weight-storage scalar mul scales variance quadratically (bh semantics)") {
+    val df = Seq((0.5, 2.0)).toDF("x", "w")
+    val spec = HistSpec(Seq(Regular(1, 0.0, 1.0)), WeightStorage)
+    val h = Hist.fill(spec, df, Seq(col("x")), weight = Some(col("w")))
+    val r = HistAlgebra.scalarOp(spec, h, 3.0, HistAlgebra.Mul).collect()(0)
+    assert(r.getAs[Double]("value") == 6.0)     // Σw × 3
+    assert(r.getAs[Double]("variance") == 36.0) // Σw² × 9
+  }
+
   test("scalar and array algebra") {
     val spec = HistSpec(Seq(Regular(3, 0.0, 3.0)), DoubleStorage)
     val h = Hist.fill(spec, Seq(0.5, 1.5, 1.7).toDF("x"), Seq(col("x")))
