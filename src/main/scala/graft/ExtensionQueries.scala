@@ -105,6 +105,16 @@ object ExtensionQueries {
         col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")
     },
+    // (N,D)-array input dispatch: 2-D histogram from one array column
+    "hist_from_array" -> { (s, dir) =>
+      val (_, h) = graft.hist.Routines.histogramddFromArray(
+        Tables.embeddings(s, dir), col("embedding"), 2,
+        BinsSpec.Count(8),
+        Some(Seq(Some(BinsSpec.RangePair(-0.3, 0.3)),
+          Some(BinsSpec.RangePair(-0.3, 0.3)))),
+        storage = Int64Storage)
+      h.orderBy("i0", "i1")
+    },
     // Heavy hitters: top-25 tokens by document frequency (ties broken by
     // token for engine-portable ordering)
     "text_token_topk" -> { (s, dir) =>
@@ -288,6 +298,12 @@ object ExtensionQueries {
          |JOIN customer ON o_custkey = c_custkey
          |JOIN nation ON c_nationkey = n_nationkey
          |GROUP BY 1, 2 ORDER BY i0, i1""".stripMargin
+    },
+    "hist_from_array" -> {
+      val ax = Regular(8, -0.3, 0.3)
+      s"""SELECT ${ax.sqlExpr("CAST(embedding[1] AS DOUBLE)")} AS i0,
+         |${ax.sqlExpr("CAST(embedding[2] AS DOUBLE)")} AS i1, count(*) AS value
+         |FROM embeddings GROUP BY 1, 2 ORDER BY i0, i1""".stripMargin
     },
     "text_token_topk" ->
       """SELECT tok, count(*) AS df FROM (

@@ -26,6 +26,18 @@ object Routines {
       sample: Option[Column] = None): (HistSpec, DataFrame) =
     histogramdd(df, Seq(x, y), bins, range, weights, storage, sample)
 
+  /** (N, D)-array input style (reference input-shape dispatch,
+    * `routines.py:428-440`: a single 2-D array is treated as N samples of
+    * D coordinates): one ArrayType column supplies all D coordinates. */
+  def histogramddFromArray(df: DataFrame, arr: Column, d: Int,
+      bins: BinsSpec.Bins, range: Option[Seq[Option[BinsSpec.RangePair]]] = None,
+      weights: Option[Column] = None, storage: Storage = DoubleStorage,
+      sample: Option[Column] = None): (HistSpec, DataFrame) = {
+    require(d >= 1, "need at least one dimension")
+    val cols = (1 to d).map(i => org.apache.spark.sql.functions.element_at(arr, i))
+    histogramdd(df, cols, bins, range, weights, storage, sample)
+  }
+
   /** N-D master entry. `density=true` applies correct normalization (the
     * reference validates but silently ignores `density` —
     * `routines.py:417-421`; divergence documented in SURVEY.md §2.5 A14). */

@@ -193,6 +193,17 @@ class HistCoreSpec extends AnyFunSuite {
     assert(toAxes(ok) == Seq(Regular(4, 0, 1), Regular(4, 2, 3)))
   }
 
+  test("HistSpec and staged Histogram serialize (reference pickling parity)") {
+    val spec = HistSpec(Seq(Regular(5, 0.0, 1.0), StrCategory()), WeightStorage)
+    val bos = new java.io.ByteArrayOutputStream()
+    new java.io.ObjectOutputStream(bos).writeObject(spec)
+    val back = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray)).readObject()
+      .asInstanceOf[HistSpec]
+    assert(back == spec)
+    assert(back.axes.head.binCol(col("x")) != null) // usable after round-trip
+  }
+
   test("category growth: different partitions' categories union on merge (A11)") {
     val df = Seq("a", "b", "c", "a").toDF("c").repartition(4)
     val spec = HistSpec(Seq(StrCategory()), Int64Storage)
