@@ -252,6 +252,7 @@ object ExtensionQueries {
          |         max(j) AS max_j FROM sym GROUP BY 1) s USING (doc_id)
          |ORDER BY doc_id""".stripMargin
     },
+    "dedup_minhash_candidates" -> minhashOracleSql(),
     "dedup_embedding" -> perVectorNearDupSql(nearDupCos),
     "ann_brute_topk" ->
       s"""WITH scored AS (
@@ -336,6 +337,45 @@ object ExtensionQueries {
          |${axVal.sqlExpr("value")} AS i0, round(sum(value), 2) AS value
          |FROM events GROUP BY 1, 2 ORDER BY bucket_start, i0""".stripMargin,
   )
+
+  /** Full MinHash-LSH oracle: same shingles, same PolyHash base hash, the
+    * SAME seeded (a_i, b_i) family embedded as a VALUES list, band keys =
+    * the min-value tuples; per-doc distinct candidate counts. */
+  private def minhashOracleSql(numHashes: Int = 64, bands: Int = 16,
+      k: Int = 3): String = {
+    val (as, bs) = DedupOps.minhashCoefficients(numHashes)
+    val r = numHashes / bands
+    val p = DedupOps.MinHashP
+    val coef = (0 until numHashes)
+      .map(i => s"($i, ${as(i)}, ${bs(i)})").mkString(", ")
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id, string_split(text,' ')[pos] || ' ' ||
+       |    string_split(text,' ')[pos+1] || ' ' || string_split(text,' ')[pos+2] AS shingle
+       |  FROM (SELECT doc_id, text,
+       |    unnest(range(1, greatest(len(string_split(text,' ')) - ${k - 2}, 1))) AS pos
+       |  FROM documents)),
+       |hs AS (
+       |  SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(range(1, length(shingle) + 1),
+       |      i -> CAST(unicode(substr(shingle, CAST(i AS INT), 1)) AS BIGINT))),
+       |    (acc, c) -> (acc * 31 + c) % $p) AS h
+       |  FROM sh),
+       |coef(i, a, b) AS (VALUES $coef),
+       |mins AS (
+       |  SELECT doc_id, i // $r AS band, i, min((h * a + b) % $p) AS m
+       |  FROM hs CROSS JOIN coef GROUP BY doc_id, i),
+       |sigs AS (SELECT doc_id, band, list(m ORDER BY i) AS sig
+       |         FROM mins GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS da, rr.doc_id AS db
+       |  FROM sigs l JOIN sigs rr ON l.band = rr.band AND l.sig = rr.sig
+       |  WHERE l.doc_id < rr.doc_id),
+       |sym AS (SELECT da AS doc_id FROM cand UNION ALL SELECT db FROM cand)
+       |SELECT d.doc_id, COALESCE(c.n, 0) AS n_candidates
+       |FROM documents d LEFT JOIN (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sym GROUP BY 1) c
+       |USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
 
   private def perVectorNearDupSql(t: Double): String =
     s"""SELECT a.vec_id,

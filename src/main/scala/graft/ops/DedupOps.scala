@@ -110,17 +110,26 @@ object DedupOps {
     * [[graft.functions.MinHashAgg]] buffer instead of `numHashes` separate
     * min-aggregates (whose codegen dominated cold-query time). Returns
     * (doc_id, sig: array<bigint>). */
+  /** Seeded hash family (a_i, b_i) — deterministic, and public so the
+    * DuckDB oracle can embed the same coefficients. 31-bit prime modulus:
+    * h,a < 2^31 keeps h*a+b < 2^62 (no overflow). */
+  val MinHashP: Long = graft.functions.PolyHash.P
+  def minhashCoefficients(numHashes: Int, seed: Long = 42L): (Array[Long], Array[Long]) = {
+    val rng = new scala.util.Random(seed)
+    val as = Array.fill(numHashes)(math.abs(rng.nextLong()) % (MinHashP - 1) + 1)
+    val bs = Array.fill(numHashes)(math.abs(rng.nextLong()) % MinHashP)
+    (as, bs)
+  }
+
   def minhashSignatures(df: DataFrame, k: Int = 3, numHashes: Int = 64,
       seed: Long = 42L, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    // 31-bit prime modulus: h,a < 2^31 keeps h*a+b < 2^62 (no overflow)
-    val p = 1000000007L
-    val rng = new scala.util.Random(seed)
-    val as = Array.fill(numHashes)(math.abs(rng.nextLong()) % (p - 1) + 1)
-    val bs = Array.fill(numHashes)(math.abs(rng.nextLong()) % p)
+    val (as, bs) = minhashCoefficients(numHashes, seed)
+    // PolyHash (not xxhash64): engine-portable, so the whole LSH pipeline
+    // is DuckDB-oracle-checkable
     shingles(df, k, textCol, idCol)
-      .withColumn("h", pmod(xxhash64(col("shingle")), lit(p)))
+      .withColumn("h", graft.functions.PolyHash(col("shingle")))
       .groupBy("doc_id")
-      .agg(graft.functions.MinHashAgg(col("h"), as, bs, p).as("sig"))
+      .agg(graft.functions.MinHashAgg(col("h"), as, bs, MinHashP).as("sig"))
   }
 
   /** MinHash-LSH candidate pairs: band the signature, equi-join on
@@ -132,9 +141,11 @@ object DedupOps {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val sigs = minhashSignatures(df, k, numHashes, seed, textCol, idCol)
+    // band key = the r min-values themselves (joined) — no second hash, so
+    // candidate generation stays engine-portable
     val bandExprs = (0 until bands).map { b =>
-      xxhash64(concat_ws(",",
-        (0 until r).map(i => element_at(col("sig"), b * r + i + 1)): _*))
+      concat_ws(",",
+        (0 until r).map(i => element_at(col("sig"), b * r + i + 1)): _*)
     }
     // long form (doc_id, band_idx, sig): ONE self-join on (band_idx, sig)
     // replaces a join per band; signature pass runs exactly once
