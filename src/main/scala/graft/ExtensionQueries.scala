@@ -253,6 +253,7 @@ object ExtensionQueries {
          |ORDER BY doc_id""".stripMargin
     },
     "dedup_minhash_candidates" -> minhashOracleSql(),
+    "dedup_simhash" -> simhashOracleSql(),
     "dedup_embedding" -> perVectorNearDupSql(nearDupCos),
     "ann_brute_topk" ->
       s"""WITH scored AS (
@@ -374,6 +375,45 @@ object ExtensionQueries {
        |SELECT d.doc_id, COALESCE(c.n, 0) AS n_candidates
        |FROM documents d LEFT JOIN (
        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sym GROUP BY 1) c
+       |USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
+  /** Full SimHash oracle: same 60-bit portable token hash (two PolyHash
+    * multipliers), per-bit signed counters, fingerprint assembly via bit
+    * shifts, 16-bit band blocking, hamming<=3 verification. */
+  private def simhashOracleSql(maxHamming: Int = 3): String = {
+    val p = DedupOps.MinHashP
+    def poly(mult: Int) =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |  list_transform(range(1, length(tok) + 1),
+         |    i -> CAST(unicode(substr(tok, CAST(i AS INT), 1)) AS BIGINT))),
+         |  (acc, c) -> (acc * $mult + c) % $p)""".stripMargin
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |th AS (
+       |  SELECT doc_id, (${poly(131)} << 30) | (${poly(31)}) AS h FROM tok),
+       |bits AS (
+       |  SELECT doc_id, d.b,
+       |    sum(CASE WHEN ((h >> CAST(d.b AS INT)) & 1) = 1 THEN 1 ELSE -1 END) AS c
+       |  FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS b) d GROUP BY 1, 2),
+       |fp AS (
+       |  SELECT doc_id, CAST(sum(CASE WHEN c > 0
+       |    THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM bits GROUP BY 1),
+       |banded AS (
+       |  SELECT doc_id, simhash, d.b AS band,
+       |    (simhash >> CAST(16 * d.b AS INT)) & 65535 AS sig
+       |  FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS b) d),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS da, rr.doc_id AS db,
+       |    l.simhash AS fa, rr.simhash AS fb
+       |  FROM banded l JOIN banded rr ON l.band = rr.band AND l.sig = rr.sig
+       |  WHERE l.doc_id < rr.doc_id),
+       |ham AS (SELECT da, db FROM cand WHERE bit_count(xor(fa, fb)) <= $maxHamming),
+       |sym AS (SELECT da AS doc_id FROM ham UNION ALL SELECT db FROM ham)
+       |SELECT f.doc_id, f.simhash, COALESCE(s.n, 0) AS n_near
+       |FROM fp f LEFT JOIN (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sym GROUP BY 1) s
        |USING (doc_id) ORDER BY doc_id""".stripMargin
   }
 

@@ -12,17 +12,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * DuckDB oracle replicates it with `list_reduce` over
   * `unicode(substr(...))`), unlike xxhash64. Native + codegen'd. The
   * 31-bit range keeps downstream (h*a+b) arithmetic under 2^62. */
-case class PolyHash(child: Expression) extends UnaryExpression {
+case class PolyHash(child: Expression, mult: Long = 31L) extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = child.nullable
 
   override def nullSafeEval(input: Any): Any =
-    PolyHash.hash(input.asInstanceOf[UTF8String].toString)
+    PolyHash.hash(input.asInstanceOf[UTF8String].toString, mult)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.PolyHash.hash($c.toString());")
+      s"${ev.value} = graft.functions.PolyHash.hash($c.toString(), ${mult}L);")
 
   override protected def withNewChildInternal(c: Expression): PolyHash =
     copy(child = c)
@@ -33,17 +33,18 @@ object PolyHash {
 
   /** Shared by interpreted eval, codegen, and driver-side tests.
     * Iterates codepoints, matching DuckDB's per-character unicode(). */
-  def hash(s: String): Long = {
+  def hash(s: String, mult: Long): Long = {
     var h = 0L
     var i = 0
     while (i < s.length) {
       val cp = s.codePointAt(i)
-      h = (h * 31 + cp) % P
+      h = (h * mult + cp) % P
       i += Character.charCount(cp)
     }
     h
   }
 
-  def apply(c: Column): Column =
-    GraftShims.toColumn(PolyHash(GraftShims.toExpression(c)))
+  def apply(c: Column): Column = apply(c, 31L)
+  def apply(c: Column, mult: Long): Column =
+    GraftShims.toColumn(PolyHash(GraftShims.toExpression(c), mult))
 }

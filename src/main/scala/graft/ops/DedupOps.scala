@@ -182,13 +182,20 @@ object DedupOps {
   // ---- SimHash ----------------------------------------------------------
   /** 64-bit SimHash fingerprint over word tokens (Charikar 2002): sum ±1
     * per bit weighted by token hash bits, sign → bit. */
+  /** 60-bit portable token hash: bits 0-29 from PolyHash(·,31), bits 30-59
+    * from PolyHash(·,131) — both < 2^30, so OR == addition and the DuckDB
+    * oracle can rebuild the identical value. Fingerprint bits 60-63 are
+    * structurally zero (counters see only -1s there). */
   def simhash64(df: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame =
+      idCol: String = "doc_id"): DataFrame = {
+    val h = shiftleft(graft.functions.PolyHash(col("tok"), 131L), 30)
+      .bitwiseOR(graft.functions.PolyHash(col("tok"), 31L))
     spread(df).select(col(idCol).as("doc_id"),
         explode(split(col(textCol), " ")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
+      .withColumn("h", h)
       .groupBy("doc_id")
       .agg(graft.functions.SimHashAgg(col("h")).as("simhash"))
+  }
 
   /** SimHash near-dup candidate pairs: block on 4 × 16-bit bands (any pair
     * within hamming distance <= 3 shares at least one exact band), then
