@@ -152,6 +152,35 @@ object ExtensionQueries {
           round(col("brightness"), 6).as("brightness"))
         .orderBy("id")
     },
+    // Gopher/C4-style curation: per-doc repetition metrics + keep flag.
+    // top-token fraction computed RELATIONALLY (explode -> per-token
+    // counts -> max/total) - per-row nested HOFs would be O(tokens^2)
+    "text_gopher_quality" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val tokCounts = docs
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max(col("c")).as("max_c"), sum(col("c")).as("n_tok"))
+        .select(col("doc_id"),
+          round(col("max_c").cast("double") / col("n_tok").cast("double"), 6)
+            .as("top_token_frac"))
+      docs.select(col("doc_id"),
+          round(TextOps.dupTokenFraction(col("text")), 6).as("dup_token_frac"),
+          TextOps.gopherKeep(col("text")).as("keep"))
+        .join(tokCounts, Seq("doc_id"))
+        .orderBy("doc_id")
+    },
+    // Deterministic stratified sampling: per-language rates via a
+    // portable hash of the doc id (train-data curation primitive)
+    "text_stratified_sample" -> { (s, dir) =>
+      val bucket = pmod(col("doc_id") * lit(2654435761L), lit(1000L))
+      val rate = when(col("lang") === "en", 1000L).when(col("lang") === "de", 500L)
+        .when(col("lang") === "fr", 250L).otherwise(100L)
+      Tables.documents(s, dir)
+        .filter(bucket < rate)
+        .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+        .orderBy("lang")
+    },
     // Exact quantiles of document length per language (linear
     // interpolation on integer-valued data - engine-portable)
     "text_len_quantiles" -> { (s, dir) =>
@@ -322,6 +351,24 @@ object ExtensionQueries {
          |  SELECT user_id, count(*) AS n_events FROM events GROUP BY 1
          |) GROUP BY 1 ORDER BY i0""".stripMargin
     },
+    "text_gopher_quality" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |pc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+         |tf AS (SELECT doc_id,
+         |  round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS top_token_frac
+         |  FROM pc GROUP BY 1)
+         |SELECT d.doc_id,
+         |  round(${TextOps.dupTokenFractionSql("text")}, 6) AS dup_token_frac,
+         |  ${TextOps.gopherKeepSql("text")} AS keep,
+         |  tf.top_token_frac
+         |FROM documents d JOIN tf USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "text_stratified_sample" ->
+      """SELECT lang, count(*) AS n_sampled FROM documents
+        |WHERE (doc_id * 2654435761) % 1000 <
+        |  (CASE WHEN lang = 'en' THEN 1000 WHEN lang = 'de' THEN 500
+        |        WHEN lang = 'fr' THEN 250 ELSE 100 END)
+        |GROUP BY 1 ORDER BY lang""".stripMargin,
     "text_len_quantiles" ->
       """SELECT lang, round(quantile_cont(n_chars, 0.25), 6) AS p25,
         |round(quantile_cont(n_chars, 0.5), 6) AS p50,

@@ -87,6 +87,32 @@ object TextOps {
       s"least((${meanTokenLenSql(t)}) / 10.0, 1.0) * 0.2)"
   }
 
+  // ---- repetition / curation filters (Gopher & C4-style rules) ----------
+  /** Fraction of tokens that are repeats (1 − distinct/total). */
+  def dupTokenFraction(text: Column): Column = {
+    val toks = tokens(text)
+    lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks).cast("double")
+  }
+  def dupTokenFractionSql(t: String): String =
+    s"(1.0 - CAST(len(list_distinct(string_split($t, ' '))) AS DOUBLE) / " +
+      s"CAST(len(string_split($t, ' ')) AS DOUBLE))"
+
+  /** Gopher-style keep/drop flags: token count in [minTokens, maxTokens],
+    * mean token length in [3, 10], duplicate-token fraction <= maxDupFrac.
+    * (Line-based rules are degenerate on single-line synthetic docs.) */
+  def gopherKeep(text: Column, minTokens: Int = 10, maxTokens: Int = 100000,
+      maxDupFrac: Double = 0.6): Column = {
+    val nt = tokenCount(text)
+    (nt >= minTokens) && (nt <= maxTokens) &&
+      (meanTokenLen(text) >= 3.0) && (meanTokenLen(text) <= 10.0) &&
+      (round(dupTokenFraction(text), 6) <= maxDupFrac)
+  }
+  def gopherKeepSql(t: String, minTokens: Int = 10, maxTokens: Int = 100000,
+      maxDupFrac: Double = 0.6): String =
+    s"(${tokenCountSql(t)} >= $minTokens AND ${tokenCountSql(t)} <= $maxTokens " +
+      s"AND (${meanTokenLenSql(t)}) >= 3.0 AND (${meanTokenLenSql(t)}) <= 10.0 " +
+      s"AND round(${dupTokenFractionSql(t)}, 6) <= $maxDupFrac)"
+
   // ---- fingerprint ------------------------------------------------------
   /** Rolling polynomial hash (base 31 mod 1e9+7) of the first `maxLen`
     * characters — a deterministic document fingerprint. */
