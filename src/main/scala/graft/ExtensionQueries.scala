@@ -60,6 +60,14 @@ object ExtensionQueries {
         .withColumn("max_sim", col("max_sim"))
         .orderBy("vec_id")
     },
+    // Benchmark decontamination: corpus docs sharing 5-grams with a
+    // (demo) eval set = the first 10 docs
+    "dedup_contamination" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      DedupOps.contaminationStats(docs.filter(col("doc_id") >= 10),
+        docs.filter(col("doc_id") < 10), k = 5)
+        .orderBy("doc_id")
+    },
     // ---- similarity search ---------------------------------------------
     "ann_brute_topk" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
@@ -280,6 +288,26 @@ object ExtensionQueries {
          |  SELECT doc_id, CAST(sum(CASE WHEN j >= $jaccardThresh THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
          |         max(j) AS max_j FROM sym GROUP BY 1) s USING (doc_id)
          |ORDER BY doc_id""".stripMargin
+    },
+    "dedup_contamination" -> {
+      val k = 5
+      def sh(src: String) =
+        s"""SELECT DISTINCT doc_id, string_split(text,' ')[pos] || ' ' ||
+           |string_split(text,' ')[pos+1] || ' ' || string_split(text,' ')[pos+2] || ' ' ||
+           |string_split(text,' ')[pos+3] || ' ' || string_split(text,' ')[pos+4] AS shingle
+           |FROM (SELECT doc_id, text,
+           |  unnest(range(1, greatest(len(string_split(text,' ')) - ${k - 2}, 1))) AS pos
+           |FROM documents WHERE $src)""".stripMargin
+      s"""WITH c AS (${sh("doc_id >= 10")}), e AS (${sh("doc_id < 10")}),
+         |hits AS (
+         |  SELECT c.doc_id, count(*) AS n_shared_shingles,
+         |    CAST(count(DISTINCT e.doc_id) AS BIGINT) AS n_eval_docs_hit
+         |  FROM c JOIN e USING (shingle) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  COALESCE(h.n_shared_shingles, 0) AS n_shared_shingles,
+         |  COALESCE(h.n_eval_docs_hit, 0) AS n_eval_docs_hit
+         |FROM (SELECT doc_id FROM documents WHERE doc_id >= 10) d
+         |LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin
     },
     "dedup_minhash_candidates" -> minhashOracleSql(),
     "dedup_simhash" -> simhashOracleSql(),

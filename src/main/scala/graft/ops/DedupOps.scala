@@ -103,6 +103,27 @@ object DedupOps {
         coalesce(col("max_j"), lit(0.0)).as("max_j"))
   }
 
+  /** Benchmark decontamination: flag corpus docs sharing any k-gram with
+    * an eval set (standard LLM-training hygiene). Inverted-index equi-join
+    * on shingles — eval side is small and broadcast; corpus text never
+    * shuffles, only (doc_id, shingle) pairs. Returns per-corpus-doc
+    * contamination stats (never empty). */
+  def contaminationStats(corpus: DataFrame, evalSet: DataFrame, k: Int = 5,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val c = shingles(corpus, k, textCol, idCol)
+    val e = shingles(evalSet, k, textCol, idCol)
+      .select(col("doc_id").as("eval_id"), col("shingle"))
+    val hits = c.join(broadcast(e), Seq("shingle"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared_shingles"),
+        countDistinct(col("eval_id")).as("n_eval_docs_hit"))
+    corpus.select(col(idCol).as("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared_shingles"), lit(0L)).as("n_shared_shingles"),
+        coalesce(col("n_eval_docs_hit"), lit(0L)).as("n_eval_docs_hit"))
+  }
+
   // ---- MinHash + LSH ----------------------------------------------------
   /** MinHash signature per doc: `numHashes` permutations approximated by
     * (a_i * h + b_i) mod p over xxhash64 shingle hashes (Broder 1997).
