@@ -40,6 +40,17 @@ class OpsSpec extends AnyFunSuite {
     assert(stats(4L) == ((0L, 0.0))) // shingle-less doc still present
   }
 
+  test("contamination: overlapping docs flagged, clean docs zero") {
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog today"),
+      (101L, "completely unrelated text about query engines")).toDF("doc_id", "text")
+    val evalSet = Seq((0L, "the quick brown fox jumps over a fence")).toDF("doc_id", "text")
+    val stats = DedupOps.contaminationStats(corpus, evalSet, k = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(stats(100L)._1 >= 1 && stats(100L)._2 == 1) // shares "the quick brown fox jumps"
+    assert(stats(101L) == ((0L, 0L)))
+  }
+
   test("minhash LSH: exact dup always collides; verified pairs pass threshold") {
     val pairs = DedupOps.minhashDedupPairs(docs, k = 3, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
