@@ -60,6 +60,20 @@ object ExtensionQueries {
         .withColumn("max_sim", col("max_sim"))
         .orderBy("vec_id")
     },
+    // Dedup-cluster election: connected components (min-label
+    // propagation). Edge set is deterministic and engine-portable:
+    // (d, d+1) chains gated on the doc fingerprint, so components have
+    // nontrivial chain structure at every SF.
+    "dedup_components" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val gated = docs.select(col("doc_id"),
+        (TextOps.fingerprint(col("text")) % 3L =!= 0L).as("open"))
+      val e = gated.filter(col("open"))
+        .join(docs.select((col("doc_id") - 1L).as("doc_id")), Seq("doc_id"))
+        .select(col("doc_id").as("doc_a"), (col("doc_id") + 1L).as("doc_b"))
+      // min labels travel one hop per iteration: bound by max chain length
+      DedupOps.connectedComponents(e, maxIter = 64).orderBy("doc_id")
+    },
     // Benchmark decontamination: corpus docs sharing 5-grams with a
     // (demo) eval set = the first 10 docs
     "dedup_contamination" -> { (s, dir) =>
@@ -289,6 +303,18 @@ object ExtensionQueries {
          |         max(j) AS max_j FROM sym GROUP BY 1) s USING (doc_id)
          |ORDER BY doc_id""".stripMargin
     },
+    "dedup_components" ->
+      s"""WITH RECURSIVE e0 AS (
+         |  SELECT d.doc_id AS a, d.doc_id + 1 AS b FROM documents d
+         |  JOIN documents d2 ON d2.doc_id = d.doc_id + 1
+         |  WHERE ${TextOps.fingerprintSql("d.text")} % 3 <> 0),
+         |edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+         |reach(src, dst) AS (
+         |  SELECT DISTINCT a, a FROM edges
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+         |SELECT src AS doc_id, min(dst) AS component
+         |FROM reach GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "dedup_contamination" -> {
       val k = 5
       def sh(src: String) =

@@ -245,6 +245,52 @@ object DedupOps {
       .select("doc_a", "doc_b", "hamming")
   }
 
+  // ---- cluster election -------------------------------------------------
+  /** Connected components over an undirected pair relation (doc_a, doc_b):
+    * the step that turns near-dup PAIRS into dedup CLUSTERS with a
+    * canonical (minimum) id per component.
+    *
+    * Iterative min-label propagation: each round every node adopts the
+    * smallest label among itself and its neighbors; converges in
+    * O(component diameter) rounds (dedup components are tiny — chains are
+    * rare). Each round is one join + one aggregation over the EDGE
+    * relation — no full-graph materialization; at 100 TB this is the
+    * standard large-star/small-star regime and the loop would add the
+    * star-contraction optimizations; the fixpoint structure is the same.
+    * Returns (doc_id, component) for every node appearing in a pair. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // symmetric edge list incl. self-loops keeps isolated pair-members
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().cache()
+    // localCheckpoint each round: iterative DataFrame algorithms otherwise
+    // stack N rounds of joins into ONE logical plan — analysis/optimizer
+    // memory grows superlinearly and dies long before the data does
+    var labels = edges.select(col("src").as("doc_id"))
+      .distinct().withColumn("component", col("doc_id"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val propagated = edges
+        .join(labels.withColumnRenamed("doc_id", "dst")
+          .withColumnRenamed("component", "nbr"), Seq("dst"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("nbr")).as("nbr_min"))
+      val next = labels.join(propagated, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("component"), coalesce(col("nbr_min"), col("component")))
+            .as("component"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("component", "old"), Seq("doc_id"))
+        .filter(col("component") =!= col("old")).limit(1).count() > 0
+      labels = next
+      converged = !changed
+      iter += 1
+    }
+    labels
+  }
+
   // ---- embedding near-dup ----------------------------------------------
   /** Embedding-cosine near-duplicate stats (delegates to SimilarityOps —
     * the correctness baseline; LSH path in SimilarityOps.annTopK). */

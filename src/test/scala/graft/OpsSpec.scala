@@ -40,6 +40,16 @@ class OpsSpec extends AnyFunSuite {
     assert(stats(4L) == ((0L, 0.0))) // shingle-less doc still present
   }
 
+  test("connected components: chains and isolated pairs get min labels") {
+    // 1-2-3-4 chain, 10-11 pair, 20-21-22 triangle
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("doc_a", "doc_b")
+    val got = DedupOps.connectedComponents(pairs, maxIter = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("contamination: overlapping docs flagged, clean docs zero") {
     val corpus = Seq(
       (100L, "the quick brown fox jumps over the lazy dog today"),
