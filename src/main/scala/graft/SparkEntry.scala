@@ -207,11 +207,14 @@ object SparkEntry {
       Hist.densify(spec, h, flow = true)
         .withColumn("value", round(col("value"), 6)).orderBy("i0", "i1")
     },
-    // A9: partitioned (pre-reduction) histograms — partition ids are
-    // engine-specific → rows-only check; asserts the partial-agg surface
+    // A9: partitioned (pre-reduction) histograms. Deterministic bucket key
+    // (pmod of orderkey) -> oracle-checkable; the physical-partition-id
+    // variant (Hist.fillPartitioned) keeps the exact reference surface.
     "hist_partitioned" -> { (s, dir) =>
       val spec = HistSpec(Seq(axQtyR), DoubleStorage)
-      Hist.fillPartitioned(spec, Tables.lineitem(s, dir), Seq(col("l_quantity")))
+      Hist.fillPartitionedBy(spec, Tables.lineitem(s, dir),
+          pmod(col("l_orderkey"), lit(4L)), Seq(col("l_quantity")))
+        .withColumn("value", round(col("value"), 6))
         .orderBy("partition", "i0")
     },
     // S2: densified 1-D histogram with flow bins (zero-filled grid)
@@ -428,6 +431,10 @@ object SparkEntry {
          |  SELECT ${axQtyR.sqlExpr("l_quantity")} AS i0, sum(1.0) AS value
          |  FROM ${li()} GROUP BY 1
          |) h USING (i0) ORDER BY i0""".stripMargin,
+    "hist_partitioned" ->
+      s"""SELECT l_orderkey % 4 AS partition, ${axQtyR.sqlExpr("l_quantity")} AS i0,
+         |round(sum(1.0), 6) AS value
+         |FROM ${li()} GROUP BY 1, 2 ORDER BY partition, i0""".stripMargin,
     "hist_circular" -> {
       val ax = RegularCircular(7, 0.0, 7.0)
       s"""SELECT ${ax.sqlExpr("l_quantity")} AS i0, count(*) AS value

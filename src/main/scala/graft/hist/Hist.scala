@@ -72,6 +72,25 @@ object Hist {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** As [[fillPartitioned]] but keyed by a caller-supplied deterministic
+    * bucket expression instead of the physical partition id — same
+    * pre-reduction surface, but reproducible across engines/runs (the
+    * physical variant's ids depend on scheduling). */
+  def fillPartitionedBy(spec: HistSpec, df: DataFrame, bucket: Column,
+      cols: Seq[Column], weight: Option[Column] = None,
+      sample: Option[Column] = None): DataFrame = {
+    val f = FillSpec(df, cols, weight, sample)
+    val aggs = spec.storage.aggs(col("__w"), col("__s"))
+    val idx = spec.axes.zip(f.cols).zipWithIndex.map { case ((ax, c), i) =>
+      ax.binCol(c).as(s"i$i")
+    }
+    val w = f.weight.getOrElse(lit(1.0)).cast(DoubleType).as("__w")
+    val s = f.sample.getOrElse(lit(0.0)).cast(DoubleType).as("__s")
+    df.select(bucket.as("partition") +: idx ++: Seq(w, s): _*)
+      .groupBy((col("partition") +: spec.indexCols.map(col)): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Densify a sparse histogram: full (n[+2])^D grid with zero-filled
     * missing bins (reference `to_dask_array`, `core.py:1098-1154`).
     * Numeric axes only. Grid built from tiny `spark.range` cross joins
