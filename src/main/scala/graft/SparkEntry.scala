@@ -432,8 +432,8 @@ object SparkEntry {
          |  FROM ${li()} GROUP BY 1
          |) h USING (i0) ORDER BY i0""".stripMargin,
     "hist_partitioned" ->
-      s"""SELECT l_orderkey % 4 AS partition, ${axQtyR.sqlExpr("l_quantity")} AS i0,
-         |round(sum(1.0), 6) AS value
+      s"""SELECT ((l_orderkey % 4) + 4) % 4 AS partition,
+         |${axQtyR.sqlExpr("l_quantity")} AS i0, round(sum(1.0), 6) AS value
          |FROM ${li()} GROUP BY 1, 2 ORDER BY partition, i0""".stripMargin,
     "hist_circular" -> {
       val ax = RegularCircular(7, 0.0, 7.0)

@@ -32,9 +32,11 @@ object Hist {
       weight: Option[Column] = None, sample: Option[Column] = None): DataFrame =
     fillMulti(spec, Seq(FillSpec(df, cols, weight, sample)))
 
-  /** Project one FillSpec to the pre-aggregation shape (i0..iD, w, s).
-    * Narrow (no shuffle) — whole-stage codegen fuses scan + bin index. */
-  private def project(spec: HistSpec, f: FillSpec): DataFrame = {
+  /** Project one FillSpec to the pre-aggregation shape
+    * ([prefix cols,] i0..iD, w, s). Narrow (no shuffle) — whole-stage
+    * codegen fuses scan + bin index. */
+  private def project(spec: HistSpec, f: FillSpec,
+      prefix: Seq[Column] = Nil): DataFrame = {
     require(f.cols.size == spec.ndim,
       s"fill needs ${spec.ndim} coordinate columns, got ${f.cols.size}")
     val idx = spec.axes.zip(f.cols).zipWithIndex.map { case ((ax, c), i) =>
@@ -42,7 +44,7 @@ object Hist {
     }
     val w = f.weight.getOrElse(lit(1.0)).cast(DoubleType).as("__w")
     val s = f.sample.getOrElse(lit(0.0)).cast(DoubleType).as("__s")
-    f.df.select(idx ++ Seq(w, s): _*)
+    f.df.select(prefix ++ idx ++ Seq(w, s): _*)
   }
 
   /** Multi-fill fused into ONE aggregation pass (reference fuses K staged
@@ -60,33 +62,22 @@ object Hist {
 
   /** Partial (per-partition) histograms — the reference's
     * `partitioned_factory` (`core.py:1313-1344`): expose pre-reduction
-    * state keyed by partition id. Purely narrow: map-side aggregation per
-    * partition, no shuffle at all. */
+    * state keyed by the physical partition id. The bucket column is
+    * evaluated in the same narrow stage as the projection, so ids match
+    * the scan's partitioning. */
   def fillPartitioned(spec: HistSpec, df: DataFrame, cols: Seq[Column],
-      weight: Option[Column] = None, sample: Option[Column] = None): DataFrame = {
-    val f = FillSpec(df, cols, weight, sample)
-    val aggs = spec.storage.aggs(col("__w"), col("__s"))
-    project(spec, f)
-      .withColumn("partition", spark_partition_id().cast("long"))
-      .groupBy((col("partition") +: spec.indexCols.map(col)): _*)
-      .agg(aggs.head, aggs.tail: _*)
-  }
+      weight: Option[Column] = None, sample: Option[Column] = None): DataFrame =
+    fillPartitionedBy(spec, df, spark_partition_id().cast("long"), cols,
+      weight, sample)
 
   /** As [[fillPartitioned]] but keyed by a caller-supplied deterministic
-    * bucket expression instead of the physical partition id — same
-    * pre-reduction surface, but reproducible across engines/runs (the
-    * physical variant's ids depend on scheduling). */
+    * bucket expression — same pre-reduction surface, reproducible across
+    * engines/runs (physical partition ids depend on scheduling). */
   def fillPartitionedBy(spec: HistSpec, df: DataFrame, bucket: Column,
       cols: Seq[Column], weight: Option[Column] = None,
       sample: Option[Column] = None): DataFrame = {
-    val f = FillSpec(df, cols, weight, sample)
     val aggs = spec.storage.aggs(col("__w"), col("__s"))
-    val idx = spec.axes.zip(f.cols).zipWithIndex.map { case ((ax, c), i) =>
-      ax.binCol(c).as(s"i$i")
-    }
-    val w = f.weight.getOrElse(lit(1.0)).cast(DoubleType).as("__w")
-    val s = f.sample.getOrElse(lit(0.0)).cast(DoubleType).as("__s")
-    df.select(bucket.as("partition") +: idx ++: Seq(w, s): _*)
+    project(spec, FillSpec(df, cols, weight, sample), Seq(bucket.as("partition")))
       .groupBy((col("partition") +: spec.indexCols.map(col)): _*)
       .agg(aggs.head, aggs.tail: _*)
   }

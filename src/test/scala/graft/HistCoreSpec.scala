@@ -151,6 +151,20 @@ class HistCoreSpec extends AnyFunSuite {
     assert(res.edges(flow = true).head.head.isNegInfinity)
   }
 
+  test("fillPartitioned (physical ids): partials sum to the whole; arity checked") {
+    val df = Seq.tabulate(200)(i => i % 5 * 1.0).toDF("x").repartition(3)
+    val spec = HistSpec(Seq(Regular(5, 0.0, 5.0)), DoubleStorage)
+    val parts = Hist.fillPartitioned(spec, df, Seq(col("x"))).collect()
+    assert(parts.map(_.getLong(0)).distinct.length == 3) // one group per partition
+    val summed = parts.groupBy(_.getLong(1)).view
+      .mapValues(_.map(_.getDouble(2)).sum).toMap
+    val whole = Hist.fill(spec, df, Seq(col("x"))).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(summed == whole)
+    assertThrows[IllegalArgumentException](
+      Hist.fillPartitionedBy(spec, df, lit(0L), Seq(col("x"), col("x"))))
+  }
+
   test("circular axis wraps; log axis bins uniformly in ln") {
     val circ = RegularCircular(4, 0.0, 4.0)
     val got = Seq(-1.0, 0.0, 3.9, 4.0, 9.0).toDF("x")
