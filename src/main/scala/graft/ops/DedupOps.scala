@@ -277,15 +277,27 @@ object DedupOps {
           .withColumnRenamed("component", "nbr"), Seq("dst"))
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("nbr")).as("nbr_min"))
-      val next = labels.join(propagated, Seq("doc_id"), "left")
+      val stepped = labels.join(propagated, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
             .as("component"))
+      // pointer doubling (path compression): component := component of my
+      // component — turns O(chain length) rounds into O(log chain length)
+      val next = stepped
+        .join(stepped.select(col("doc_id").as("component"),
+          col("component").as("grand")), Seq("component"), "left")
+        .select(col("doc_id"),
+          least(col("component"), coalesce(col("grand"), col("component")))
+            .as("component"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("component", "old"), Seq("doc_id"))
-        .filter(col("component") =!= col("old")).limit(1).count() > 0
+      // the convergence probe is a full job of its own — run it every
+      // other round (an extra no-op round is cheaper than a probe each)
+      if (iter % 2 == 1 || iter == maxIter - 1) {
+        val changed = next.join(labels.withColumnRenamed("component", "old"), Seq("doc_id"))
+          .filter(col("component") =!= col("old")).limit(1).count() > 0
+        converged = !changed
+      }
       labels = next
-      converged = !changed
       iter += 1
     }
     labels
