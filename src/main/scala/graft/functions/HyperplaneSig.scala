@@ -27,6 +27,9 @@ case class HyperplaneSig(child: Expression, planes: Array[Array[Double]],
 
   require(planes.nonEmpty && planes.length % rowsPerBand == 0,
     "planes must be a non-empty multiple of rowsPerBand")
+  require(rowsPerBand >= 1 && rowsPerBand <= 64,
+    "rowsPerBand must be in [1, 64]: Java's long shift masks to 6 bits, so" +
+      " larger values would silently wrap signature bits")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = child.nullable

@@ -31,10 +31,14 @@ object DedupOps {
     * per text). Same pattern applies to any skewed-key aggregate. */
   def exactDedupSalted(df: DataFrame, salts: Int = 16, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame =
-    df.withColumn("__salt", pmod(xxhash64(col(idCol)), lit(salts.toLong)))
-      .groupBy(col(textCol), col("__salt"))
-      .agg(min(col(idCol)).as("keep_p"), count(lit(1)).as("n_p"))
-      .groupBy(col(textCol))
+    // group on the 8-byte text hash, not the text: full documents never
+    // shuffle (the module's design invariant); collision probability is
+    // ~n²/2^65 — negligible against corpus sizes
+    df.select(xxhash64(col(textCol)).as("__th"), col(idCol).as("__id"))
+      .withColumn("__salt", pmod(xxhash64(col("__id")), lit(salts.toLong)))
+      .groupBy(col("__th"), col("__salt"))
+      .agg(min(col("__id")).as("keep_p"), count(lit(1)).as("n_p"))
+      .groupBy(col("__th"))
       .agg(min(col("keep_p")).as("keep_id"), sum(col("n_p")).as("n_copies"))
       .select(col("keep_id"), col("n_copies"))
 
@@ -137,8 +141,9 @@ object DedupOps {
   val MinHashP: Long = graft.functions.PolyHash.P
   def minhashCoefficients(numHashes: Int, seed: Long = 42L): (Array[Long], Array[Long]) = {
     val rng = new scala.util.Random(seed)
-    val as = Array.fill(numHashes)(math.abs(rng.nextLong()) % (MinHashP - 1) + 1)
-    val bs = Array.fill(numHashes)(math.abs(rng.nextLong()) % MinHashP)
+    // >>> 1, not math.abs: abs(Long.MinValue) is negative
+    val as = Array.fill(numHashes)((rng.nextLong() >>> 1) % (MinHashP - 1) + 1)
+    val bs = Array.fill(numHashes)((rng.nextLong() >>> 1) % MinHashP)
     (as, bs)
   }
 
@@ -191,9 +196,11 @@ object DedupOps {
       .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    // no broadcast hint: sizes is corpus-cardinality (would break the
+    // driver at scale); the candidate relation is the small side anyway
     inter
-      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na"))), Seq("doc_a"))
-      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"))), Seq("doc_b"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
       .withColumn("j", round(col("n_inter").cast("double") /
         (col("na") + col("nb") - col("n_inter")).cast("double"), 6))
       .filter(col("j") >= threshold)
@@ -259,7 +266,7 @@ object DedupOps {
     * star-contraction optimizations; the fixpoint structure is the same.
     * Returns (doc_id, component) for every node appearing in a pair. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
-    // symmetric edge list incl. self-loops keeps isolated pair-members
+    // symmetric edge list (both directions of every pair)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct().cache()
@@ -300,6 +307,7 @@ object DedupOps {
       labels = next
       iter += 1
     }
+    edges.unpersist() // labels are localCheckpointed; edge cache is done
     labels
   }
 

@@ -69,7 +69,10 @@ object MultimodalOps {
     * keeps a 100 TB blob table from OOMing fixed-row-count tasks. */
   def repartitionByBytes(media: Dataset[MediaRow], targetBytes: Long,
       totalBytesHint: Long): Dataset[MediaRow] = {
-    val parts = math.max(1, (totalBytesHint / targetBytes).toInt)
-    media.repartition(parts, col("id"))
+    require(targetBytes > 0, "targetBytes must be positive")
+    // clamp in the Long domain BEFORE toInt: 100 TB / 1 KiB overflows Int
+    // and would silently collapse to one partition
+    val parts = math.min(totalBytesHint / targetBytes, Int.MaxValue.toLong)
+    media.repartition(math.max(1L, parts).toInt, col("id"))
   }
 }

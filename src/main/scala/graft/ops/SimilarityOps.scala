@@ -52,6 +52,10 @@ object SimilarityOps {
     val c = spread(corpus).select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
     val scored = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", round(cosine(col("qe"), col("ce")), 6))
+      // zero-norm embeddings give NaN cosine, and Spark orders NaN above
+      // every double — without this filter a zero vector ranks #1 for
+      // every query
+      .filter(!isnan(col("sim")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -76,8 +80,9 @@ object SimilarityOps {
       .withColumn("h", xxhash64(col("vec_id") + lit(seed)))
       .orderBy("h").limit(nCentroids)
       .collect()
-    val centroids = sample.map(_.getAs[scala.collection.Seq[Float]]("embedding")
-      .map(_.toDouble).toArray)
+    // element type may be float OR double (both supported downstream)
+    val centroids = sample.map(_.getAs[scala.collection.Seq[Any]]("embedding")
+      .map { case n: Number => n.doubleValue() }.toArray)
     val cs = spread(corpus).select(col("vec_id").as("neighbor_id"),
       col("embedding").as("ce"),
       element_at(graft.functions.NearestCentroid(col("embedding"), centroids, 1), 1)
@@ -88,6 +93,7 @@ object SimilarityOps {
     val scored = broadcast(qs).join(cs, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", round(cosine(col("qe"), col("ce")), 6))
+      .filter(!isnan(col("sim"))) // zero-norm guard (see bruteForceTopK)
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -97,15 +103,24 @@ object SimilarityOps {
 
   /** Per-vector near-duplicate stats at a cosine threshold: how many other
     * vectors exceed it, and the best match. Returns one row per corpus
-    * vector (never empty). Brute-force (correctness baseline). */
+    * vector (never empty — zero-filled via a join back to the corpus).
+    * Brute-force baseline (inherently all-pairs; the corpus broadcast caps
+    * it at broadcast-threshold scale — use the LSH/IVF paths beyond that).
+    * NaN sims (zero-norm embeddings) are excluded: under Spark semantics
+    * NaN >= threshold is TRUE and would inflate every count. */
   def nearDupStats(corpus: DataFrame, threshold: Double): DataFrame = {
     val a = spread(corpus).select(col("vec_id"), col("embedding").as("ea"))
     val b = corpus.select(col("vec_id").as("vb"), col("embedding").as("eb"))
-    val pairs = a.join(broadcast(b), col("vec_id") =!= col("vb"))
+    val stats = a.join(broadcast(b), col("vec_id") =!= col("vb"))
       .withColumn("sim", round(cosine(col("ea"), col("eb")), 6))
-    pairs.groupBy("vec_id").agg(
-      sum(when(col("sim") >= threshold, 1L).otherwise(0L)).as("n_near"),
-      max(col("sim")).as("max_sim"))
+      .filter(!isnan(col("sim")))
+      .groupBy("vec_id").agg(
+        sum(when(col("sim") >= threshold, 1L).otherwise(0L)).as("n_near"),
+        max(col("sim")).as("max_sim"))
+    corpus.select(col("vec_id"))
+      .join(stats, Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("n_near"), lit(0L)).as("n_near"),
+        coalesce(col("max_sim"), lit(0.0)).as("max_sim"))
   }
 
   /** Random-hyperplane LSH signatures: `bands` bands of `rowsPerBand` sign
@@ -141,6 +156,7 @@ object SimilarityOps {
       .join(corpus.select(col("vec_id").as("neighbor_id"),
         col("embedding").as("ce")), Seq("neighbor_id"))
       .withColumn("sim", round(cosine(col("qe"), col("ce")), 6))
+      .filter(!isnan(col("sim"))) // zero-norm guard (see bruteForceTopK)
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

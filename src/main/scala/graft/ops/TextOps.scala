@@ -115,15 +115,11 @@ object TextOps {
 
   // ---- fingerprint ------------------------------------------------------
   /** Rolling polynomial hash (base 31 mod 1e9+7) of the first `maxLen`
-    * characters — a deterministic document fingerprint. */
-  def fingerprint(text: Column, maxLen: Int = 32): Column = {
-    val n = least(length(text), lit(maxLen))
-    // guard: Spark sequence(1, 0) would count *down*; empty text → no codes
-    val codes = when(n >= 1, transform(sequence(lit(1), n),
-      i => ascii(text.substr(i, lit(1))).cast("long")))
-      .otherwise(array().cast("array<bigint>"))
-    aggregate(codes, lit(0L), (acc, c) => (acc * lit(31L) + c) % lit(1000000007L))
-  }
+    * characters — a deterministic document fingerprint. Delegates to the
+    * native codegen'd [[graft.functions.PolyHash]] (identical recurrence;
+    * the HOF encoding paid per-character interpreted-lambda cost). */
+  def fingerprint(text: Column, maxLen: Int = 32): Column =
+    graft.functions.PolyHash(substring(text, 1, maxLen))
   def fingerprintSql(t: String, maxLen: Int = 32): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(range(1, least(length($t), $maxLen) + 1), " +
