@@ -349,7 +349,8 @@ object SparkEntry {
       s"""SELECT ${axLine.sqlExpr("l_linenumber")} AS i0, count(*) AS value
          |FROM ${li()} GROUP BY 1 ORDER BY i0""".stripMargin,
     "hist_bool" ->
-      s"""SELECT (CASE WHEN l_discount > 0.05 THEN 2 ELSE 1 END) AS i0,
+      s"""SELECT (CASE WHEN (l_discount > 0.05) IS NULL THEN 0
+         |WHEN l_discount > 0.05 THEN 2 ELSE 1 END) AS i0,
          |count(*) AS value FROM ${li()} GROUP BY 1 ORDER BY i0""".stripMargin,
     "hist_multifill" ->
       s"""SELECT i0, round(sum(w), 6) AS value FROM (

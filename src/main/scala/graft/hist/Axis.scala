@@ -113,14 +113,17 @@ final case class RegularCircular(n: Int, lo: Double, hi: Double, name: String = 
   override def keyType: DataType = LongType
   override def binCol(c: Column): Column = {
     val d = c.cast(DoubleType)
-    when(d.isNull || isnan(d), lit(null).cast(LongType))
+    // non-finite values have no position on a circle: NULL key (dropped),
+    // like NaN — floor(±inf)→Long extremes would land in arbitrary bins
+    when(d.isNull || isnan(d) || abs(d) === Double.PositiveInfinity,
+      lit(null).cast(LongType))
       .otherwise(pmod(floor((d - lit(lo)) * lit(n.toDouble) / lit(hi - lo)),
         lit(n.toLong)) + lit(1L))
   }
   override def edges: Array[Double] =
     Array.tabulate(n + 1)(i => lo + (hi - lo) * i / n)
   def sqlExpr(v: String): String =
-    s"(CASE WHEN $v IS NULL OR isnan($v) THEN NULL ELSE " +
+    s"(CASE WHEN $v IS NULL OR isnan($v) OR isinf($v) THEN NULL ELSE " +
       s"((CAST(floor(($v - $lo) * ${n.toDouble} / ${hi - lo}) AS BIGINT) % $n + $n) % $n) + 1 END)"
 }
 
@@ -152,24 +155,29 @@ final case class IntegerAxis(lo: Long, hi: Long, name: String = "") extends Axis
   override def nBins: Int = (hi - lo).toInt
   override def keyType: DataType = LongType
   override def binCol(c: Column): Column = {
-    val v = c.cast(LongType)
-    when(v.isNull || v >= hi, lit(nBins + 1).cast(LongType))
-      .when(v < lo, lit(0L))
-      .otherwise(v - lit(lo) + lit(1L))
+    // compare/floor in double space: a bare cast-to-long would send NaN to
+    // 0 (non-ANSI NaN→0L) and truncate negatives toward zero
+    val d = c.cast(DoubleType)
+    when(d.isNull || isnan(d) || d >= hi, lit(nBins + 1).cast(LongType))
+      .when(d < lo, lit(0L))
+      .otherwise(floor(d).cast(LongType) - lit(lo) + lit(1L))
   }
   override def edges: Array[Double] = Array.tabulate(nBins + 1)(i => (lo + i).toDouble)
   def sqlExpr(v: String): String =
-    s"(CASE WHEN $v IS NULL OR $v >= $hi THEN ${nBins + 1} WHEN $v < $lo THEN 0 " +
-      s"ELSE CAST($v AS BIGINT) - $lo + 1 END)"
+    s"(CASE WHEN $v IS NULL OR isnan(CAST($v AS DOUBLE)) OR $v >= $hi THEN ${nBins + 1} " +
+      s"WHEN $v < $lo THEN 0 " +
+      s"ELSE CAST(floor(CAST($v AS DOUBLE)) AS BIGINT) - $lo + 1 END)"
 }
 
-/** Boolean axis: exactly 2 bins keyed 0/1 (boost `Boolean()`). */
+/** Boolean axis: exactly 2 bins keyed 1/2 (boost `Boolean()`); NULL goes
+  * to 0 (flow) rather than silently counting as false. */
 final case class BooleanAxis(name: String = "") extends Axis {
   override def nBins: Int = 2
   override def keyType: DataType = LongType
   override def binCol(c: Column): Column =
-    when(c.cast("boolean"), lit(2L)).otherwise(lit(1L))
-  def sqlExpr(v: String): String = s"(CASE WHEN $v THEN 2 ELSE 1 END)"
+    when(c.isNull, lit(0L)).when(c.cast("boolean"), lit(2L)).otherwise(lit(1L))
+  def sqlExpr(v: String): String =
+    s"(CASE WHEN $v IS NULL THEN 0 WHEN $v THEN 2 ELSE 1 END)"
 }
 
 /** String category axis. With growth=true the key is simply the raw value

@@ -112,12 +112,17 @@ object Hist {
   def fillTree(spec: HistSpec, df: DataFrame, cols: Seq[Column],
       weight: Option[Column] = None, splitEvery: Int = 8): Array[Double] = {
     require(axesNumeric(spec), "fillTree requires numeric axes")
-    val total = spec.axes.map(_.nBins + 2).product
+    val totalL = spec.denseBinCount(flow = true)
+    require(totalL > 0 && totalL <= (1L << 28),
+      s"fillTree dense buffer out of range: $totalL bins")
+    val total = totalL.toInt
     val idx = flatIndexCol(spec, cols)
     val w = weight.getOrElse(lit(1.0)).cast(DoubleType)
     val rows = df.select(idx.as("__i"), w.as("__w"))
-      .select(col("__i").cast(DoubleType), col("__w"))
-      .rdd.map(r => (r.getDouble(0).toLong, r.getDouble(1)))
+      // circular axes emit NULL keys for non-finite values; NULL weights
+      // are no-contribution rows — both would NPE Row.getLong/getDouble
+      .filter(col("__i").isNotNull && col("__w").isNotNull)
+      .rdd.map(r => (r.getLong(0), r.getDouble(1)))
     val p = math.max(rows.getNumPartitions, 1)
     val depth = math.max(1,
       math.ceil(math.log(p.toDouble) / math.log(splitEvery.toDouble)).toInt)
@@ -130,13 +135,17 @@ object Hist {
   }
 
   /** Flat (row-major) bin index over all axes incl. flow:
-    * idx = Σ_d i_d * stride_d with stride = Π of later dims' (n+2). */
+    * idx = Σ_d i_d * stride_d with stride = Π of later dims' (n+2).
+    * Strides computed in Long — Int products overflow beyond ~1300 bins
+    * per axis in 3-D. */
   def flatIndexCol(spec: HistSpec, cols: Seq[Column]): Column = {
     require(axesNumeric(spec), "flat index requires numeric axes")
-    val dims = spec.axes.map(_.nBins + 2)
-    val strides = dims.scanRight(1)(_ * _).tail // stride_d = prod dims after d
+    require(cols.size == spec.ndim,
+      s"flat index needs ${spec.ndim} coordinate columns, got ${cols.size}")
+    val dims = spec.axes.map(a => (a.nBins + 2).toLong)
+    val strides = dims.scanRight(1L)(_ * _).tail // stride_d = prod dims after d
     spec.axes.zip(cols).zip(strides).map { case ((ax, c), s) =>
-      ax.binCol(c) * lit(s.toLong)
+      ax.binCol(c) * lit(s)
     }.reduce(_ + _)
   }
 

@@ -24,7 +24,18 @@ object HistAlgebra {
   case object Add extends Op { def apply(l: Column, r: Column): Column = l + r }
   case object Sub extends Op { def apply(l: Column, r: Column): Column = l - r }
   case object Mul extends Op { def apply(l: Column, r: Column): Column = l * r }
-  case object Div extends Op { def apply(l: Column, r: Column): Column = l / r }
+  case object Div extends Op {
+    // Spark's Divide returns NULL (non-ANSI) or throws (ANSI) on a zero
+    // divisor even for doubles; bh's dense arithmetic is IEEE. Spell the
+    // IEEE results out so missing-bin (coalesced-to-0) divisors behave:
+    // x/0 = ±Inf, 0/0 = NaN.
+    def apply(l: Column, r: Column): Column =
+      when(r === 0.0,
+        when(l === 0.0, lit(Double.NaN))
+          .when(l > 0.0, lit(Double.PositiveInfinity))
+          .otherwise(lit(Double.NegativeInfinity)))
+        .otherwise(l / r)
+  }
 
   /** Binary op between two sparse histograms of the same spec. */
   def binOp(spec: HistSpec, left: DataFrame, right: DataFrame, op: Op): DataFrame = {

@@ -21,7 +21,9 @@ final case class HistSpec(axes: Seq[Axis], storage: Storage = DoubleStorage,
   def schema: StructType = StructType(
     axes.zipWithIndex.map { case (a, i) => StructField(s"i$i", a.keyType) } ++
       storage.stateCols.map { n =>
-        StructField(n, if (storage == Int64Storage && n == "value") LongType else DoubleType)
+        val isCountStorage =
+          storage == Int64Storage || storage == AtomicInt64Storage
+        StructField(n, if (isCountStorage && n == "value") LongType else DoubleType)
       })
 
   /** Empty histogram (computable like the reference's unfilled hist,

@@ -5,8 +5,10 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-/** Open-session state for [[Sessionize.sessionizeStream]] (top-level so
-  * the bean/product encoder codegen resolves it cleanly). */
+/** Per-user state for [[Sessionize.sessionizeStream]] (top-level so the
+  * bean/product encoder codegen resolves it cleanly). sN == 0 encodes
+  * "no open session, but keep the idx counter" — after a timeout the
+  * counter survives so session ids stay monotonic per user. */
 final case class OpenSessionState(sIdx: Long, sN: Long, sStart: Long,
     sEnd: Long, sSum: Double)
 
@@ -73,25 +75,40 @@ object Sessionize {
           val out = scala.collection.mutable.ArrayBuffer.empty[Session]
           if (state.hasTimedOut) {
             state.getOption.foreach { o =>
-              out += Session(user, o.sIdx, o.sN, o.sStart, o.sEnd, o.sSum)
+              if (o.sN > 0) out += Session(user, o.sIdx, o.sN, o.sStart, o.sEnd, o.sSum)
+              // keep the counter (sN=0 marker) so session ids stay
+              // monotonic per user after eviction; no timeout registered,
+              // the tiny counter row lives until the next event
+              state.update(o.copy(sN = 0, sSum = 0.0))
             }
-            state.remove()
           } else {
-            var cur = state.getOption
+            var cur = state.getOption.filter(_.sN > 0)
+            val baseIdx = state.getOption.map(_.sIdx).getOrElse(0L)
+            var lastIdx = baseIdx
             it.toSeq.sortBy(_.ts_us).foreach { e =>
               cur match {
+                // flatMapGroupsWithState does NOT drop late rows at the
+                // watermark: merge with min/max so a late event can never
+                // move the session end backwards (or start forwards)
                 case Some(o) if e.ts_us - o.sEnd <= gapUs =>
-                  cur = Some(o.copy(sN = o.sN + 1, sEnd = e.ts_us, sSum = o.sSum + e.value))
+                  cur = Some(o.copy(sN = o.sN + 1,
+                    sStart = math.min(o.sStart, e.ts_us),
+                    sEnd = math.max(o.sEnd, e.ts_us), sSum = o.sSum + e.value))
                 case Some(o) =>
                   out += Session(user, o.sIdx, o.sN, o.sStart, o.sEnd, o.sSum)
-                  cur = Some(OpenSessionState(o.sIdx + 1, 1, e.ts_us, e.ts_us, e.value))
+                  lastIdx = o.sIdx + 1
+                  cur = Some(OpenSessionState(lastIdx, 1, e.ts_us, e.ts_us, e.value))
                 case None =>
-                  cur = Some(OpenSessionState(1, 1, e.ts_us, e.ts_us, e.value))
+                  lastIdx = baseIdx + 1
+                  cur = Some(OpenSessionState(lastIdx, 1, e.ts_us, e.ts_us, e.value))
               }
             }
             cur.foreach { o =>
               state.update(o)
-              state.setTimeoutTimestamp(o.sEnd / 1000L + gapSec * 1000L)
+              // never register a timeout at/below the watermark (throws)
+              val target = o.sEnd / 1000L + gapSec * 1000L
+              state.setTimeoutTimestamp(
+                math.max(target, state.getCurrentWatermarkMs() + 1000L))
             }
           }
           out.iterator

@@ -28,15 +28,18 @@ object StreamingHist {
     * `.withWatermark(tsCol, ...)` upstream for state eviction. */
   def windowedFill(spec: HistSpec, df: DataFrame, tsCol: Column,
       windowDuration: String, cols: Seq[Column],
-      weight: Option[Column] = None): DataFrame = {
+      weight: Option[Column] = None, sample: Option[Column] = None): DataFrame = {
+    require(sample.isDefined || !spec.storage.usesSample,
+      s"${spec.storage} requires a sample column")
     val idx = spec.axes.zip(cols).zipWithIndex.map { case ((ax, c), i) =>
       ax.binCol(c).as(s"i$i")
     }
     val w = weight.getOrElse(lit(1.0)).cast("double").as("__w")
-    val s = lit(0.0).as("__s")
+    val s = sample.getOrElse(lit(0.0)).cast("double").as("__s")
     val projected = df.select(Seq(window(tsCol, windowDuration).as("window")) ++ idx ++ Seq(w, s): _*)
     val aggs = spec.storage.aggs(col("__w"), col("__s"))
-    projected.groupBy((col("window") +: spec.indexCols.map(col)): _*)
+    val base = projected.groupBy((col("window") +: spec.indexCols.map(col)): _*)
       .agg(aggs.head, aggs.tail: _*)
+    spec.storage.finalizers.foldLeft(base) { case (d, (n, c)) => d.withColumn(n, c) }
   }
 }

@@ -31,6 +31,41 @@ class HistCoreSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(2L, 5L, 5L))
   }
 
+  test("IntegerAxis: NaN->overflow, fractional floors, NULL->overflow") {
+    val ax = IntegerAxis(-2L, 3L)
+    val df = Seq[Option[Double]](Some(Double.NaN), Some(-0.7), Some(2.9),
+      Some(-2.0), None, Some(3.0)).toDF("x")
+    val got = df.select(ax.binCol(col("x")).as("i")).collect().map(_.getLong(0))
+    // n=5; NaN->6, -0.7 floors to -1 -> bin 2, 2.9 -> bin 5, -2 -> 1, null->6, 3->6
+    assert(got.toSeq == Seq(6L, 2L, 5L, 1L, 6L, 6L))
+  }
+
+  test("BooleanAxis: NULL -> bin 0, not false") {
+    val df = Seq[Option[Boolean]](Some(true), Some(false), None).toDF("b")
+    val got = df.select(BooleanAxis().binCol(col("b")).as("i"))
+      .collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(2L, 1L, 0L))
+  }
+
+  test("binOp Div: missing right bin -> IEEE Inf/NaN, not NULL") {
+    val spec = HistSpec(Seq(Regular(3, 0.0, 3.0)), DoubleStorage)
+    val l = Hist.fill(spec, Seq(0.5, 1.5).toDF("x"), Seq(col("x")))
+    val r = Hist.fill(spec, Seq(0.5).toDF("x"), Seq(col("x")))
+    val got = HistAlgebra.binOp(spec, l, r, HistAlgebra.Div)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(got(1L) == 1.0)
+    assert(got(2L).isPosInfinity) // 1.0 / coalesce(missing->0)
+  }
+
+  test("RegularCircular drops non-finite values (NULL key)") {
+    val ax = RegularCircular(4, 0.0, 4.0)
+    val df = Seq(Double.PositiveInfinity, Double.NegativeInfinity, Double.NaN, 1.5)
+      .toDF("x")
+    val got = df.select(ax.binCol(col("x")).as("i")).collect()
+    assert(got.count(_.isNullAt(0)) == 3)
+    assert(got.filterNot(_.isNullAt(0)).map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
   test("Variable axis matches binary-search semantics") {
     val ax = Variable(Seq(1.0, 10.0, 25.0, 40.0, 51.0))
     val df = Seq(0.5, 1.0, 9.99, 10.0, 24.9, 39.0, 50.9, 51.0, 60.0).toDF("x")
