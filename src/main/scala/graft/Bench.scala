@@ -14,6 +14,7 @@ object Bench {
     // and fix the query order so per-round numbers are comparable
     spark.range(1000000L).selectExpr("sum(id)").write
       .format("noop").mode("overwrite").save()
+    var failures = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // noop sink: forces full materialization of every result column
       // (count() would let Catalyst prune the aggregates themselves).
@@ -21,16 +22,20 @@ object Bench {
       // (same query measured 0.7 s and 23 s minutes apart).
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name: $e"); failures += 1; false
+          }
+        // a query that dies in ~0ms must not report a flattering time
+        if (ok) (System.nanoTime() - t0) / 1e9 else Double.MaxValue
       }
-      name -> times.min
+      name -> (if (times.min == Double.MaxValue) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = if (results.nonEmpty) results.map(_._2).filter(_ >= 0).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -35,29 +35,18 @@ object ExtensionQueries {
     "dedup_minhash_candidates" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
       val cand = DedupOps.minhashLshCandidates(docs, jaccardK)
-      val sym = cand.select(col("doc_a").as("doc_id"))
-        .unionByName(cand.select(col("doc_b").as("doc_id")))
-        .groupBy("doc_id").agg(count(lit(1)).as("n_candidates"))
-      docs.select("doc_id").join(sym, Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
-        .orderBy("doc_id")
+      DedupOps.perDocPairCounts(cand, docs, "n_candidates").orderBy("doc_id")
     },
-    // SimHash: per-doc fingerprint + near-dup count (xxhash64 → rows-only)
+    // SimHash: per-doc fingerprint + near-dup count (full oracle)
     "dedup_simhash" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      val fp = DedupOps.simhash64(docs).cache()
+      val fp = DedupOps.simhash64(docs)
       val pairs = DedupOps.simhashNearDupPairsFromFp(fp, maxHamming = 3)
-      val sym = pairs.select(col("doc_a").as("doc_id"))
-        .unionByName(pairs.select(col("doc_b").as("doc_id")))
-        .groupBy("doc_id").agg(count(lit(1)).as("n_near"))
-      fp.join(sym, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("simhash"),
-          coalesce(col("n_near"), lit(0L)).as("n_near"))
-        .orderBy("doc_id")
+      val counts = DedupOps.perDocPairCounts(pairs, docs, "n_near")
+      fp.join(counts, Seq("doc_id")).orderBy("doc_id")
     },
     "dedup_embedding" -> { (s, dir) =>
       DedupOps.embeddingNearDupStats(Tables.embeddings(s, dir), nearDupCos)
-        .withColumn("max_sim", col("max_sim"))
         .orderBy("vec_id")
     },
     // Dedup-cluster election: connected components (min-label
@@ -346,7 +335,8 @@ object ExtensionQueries {
          |  WHERE q.vec_id < 10),
          |ranked AS (
          |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-         |    ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank FROM scored)
+         |    ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank FROM scored
+         |  WHERE NOT isnan(sim))
          |SELECT query_id, neighbor_id, sim, rank FROM ranked
          |WHERE rank <= $annK ORDER BY query_id, rank""".stripMargin,
     "text_stats" ->
@@ -363,8 +353,11 @@ object ExtensionQueries {
     "text_fingerprint" ->
       s"""SELECT doc_id, ${TextOps.fingerprintSql("text")} AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // NOTE: checksum/brightness iterate BYTES on the Spark side and
+    // codepoints here — equal only for ASCII payloads (asserted true for
+    // this corpus); byteLen uses octet_length for byte-exactness
     "multimodal_features" ->
-      s"""SELECT doc_id AS id, CAST(length(text) AS BIGINT) AS byteLen,
+      s"""SELECT doc_id AS id, CAST(octet_length(encode(text)) AS BIGINT) AS byteLen,
          |${TextOps.fingerprintSql("text", 1000000)} AS checksum,
          |round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
          |  list_transform(range(1, length(text) + 1),
@@ -373,7 +366,8 @@ object ExtensionQueries {
          |FROM documents ORDER BY id""".stripMargin,
     "events_props_hist" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS i0,
-        |count(*) AS value FROM events GROUP BY 1 ORDER BY i0""".stripMargin,
+        |count(*) AS value FROM events GROUP BY 1
+        |ORDER BY i0 NULLS FIRST""".stripMargin,
     "hist_by_nation" -> {
       val axP = Regular(10, 900.0, 105000.0)
       s"""SELECT n_name AS i0, ${axP.sqlExpr("l_extendedprice")} AS i1,
@@ -518,11 +512,20 @@ object ExtensionQueries {
        |USING (doc_id) ORDER BY doc_id""".stripMargin
   }
 
+  /** Matches SimilarityOps.nearDupStats: NaN sims (zero-norm embeddings)
+    * are excluded, and every corpus vector gets a zero-filled row. */
   private def perVectorNearDupSql(t: Double): String =
-    s"""SELECT a.vec_id,
-       |  CAST(sum(CASE WHEN round(${SimilarityOps.cosineSql("a.embedding", "b.embedding")}, 6) >= $t
-       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
-       |  max(round(${SimilarityOps.cosineSql("a.embedding", "b.embedding")}, 6)) AS max_sim
-       |FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
-       |GROUP BY 1 ORDER BY a.vec_id""".stripMargin
+    s"""WITH pairs AS (
+       |  SELECT a.vec_id,
+       |    round(${SimilarityOps.cosineSql("a.embedding", "b.embedding")}, 6) AS sim
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+       |stats AS (
+       |  SELECT vec_id,
+       |    CAST(sum(CASE WHEN sim >= $t THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
+       |    max(sim) AS max_sim
+       |  FROM pairs WHERE NOT isnan(sim) GROUP BY 1)
+       |SELECT e.vec_id, COALESCE(s.n_near, 0) AS n_near,
+       |  COALESCE(s.max_sim, 0.0) AS max_sim
+       |FROM embeddings e LEFT JOIN stats s USING (vec_id)
+       |ORDER BY e.vec_id""".stripMargin
 }

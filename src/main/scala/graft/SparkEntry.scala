@@ -30,7 +30,10 @@ object SparkEntry {
   private val axLine = IntegerAxis(1L, 8L)
 
   private val cutoff = "1995-06-01 00:00:00"
-  private def cutTs = java.sql.Timestamp.valueOf(cutoff)
+  // to_timestamp parses in the SESSION timezone (UTC); a
+  // java.sql.Timestamp.valueOf literal would bind to the JVM default TZ
+  // and shift the slice boundary relative to the oracle's naive literal
+  private def cutTs: org.apache.spark.sql.Column = to_timestamp(lit(cutoff))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * densified 2-D weighted histogram (discount × tax, weight=quantity). */
@@ -344,7 +347,7 @@ object SparkEntry {
       s"SELECT o_orderpriority AS i0, count(*) AS value FROM $ord GROUP BY 1 ORDER BY i0",
     "hist_intcat" ->
       s"""SELECT CAST(l_linenumber AS BIGINT) AS i0, count(*) AS value
-         |FROM ${li()} GROUP BY 1 ORDER BY i0""".stripMargin,
+         |FROM ${li()} GROUP BY 1 ORDER BY i0 NULLS FIRST""".stripMargin,
     "hist_integer_axis" ->
       s"""SELECT ${axLine.sqlExpr("l_linenumber")} AS i0, count(*) AS value
          |FROM ${li()} GROUP BY 1 ORDER BY i0""".stripMargin,
@@ -439,7 +442,7 @@ object SparkEntry {
     "hist_circular" -> {
       val ax = RegularCircular(7, 0.0, 7.0)
       s"""SELECT ${ax.sqlExpr("l_quantity")} AS i0, count(*) AS value
-         |FROM ${li()} GROUP BY 1 ORDER BY i0""".stripMargin
+         |FROM ${li()} GROUP BY 1 ORDER BY i0 NULLS FIRST""".stripMargin
     },
     "hist_log_axis" -> {
       val ax = RegularLog(8, 1000.0, 100000.0)
@@ -448,8 +451,9 @@ object SparkEntry {
     },
     "hist_density" ->
       s"""SELECT i0, round(value, 6) AS value,
+         |CASE WHEN i0 BETWEEN 1 AND ${axPrice.n} THEN
          |round(value / (sum(CASE WHEN i0 BETWEEN 1 AND ${axPrice.n} THEN value
-         |ELSE 0.0 END) OVER () * ${(axPrice.hi - axPrice.lo) / axPrice.n}), 9)
+         |ELSE 0.0 END) OVER () * ${(axPrice.hi - axPrice.lo) / axPrice.n}), 9) END
          |AS density FROM (
          |  SELECT ${axPrice.sqlExpr("l_extendedprice")} AS i0, sum(1.0) AS value
          |  FROM ${li()} GROUP BY 1

@@ -252,6 +252,20 @@ object DedupOps {
       .select("doc_a", "doc_b", "hamming")
   }
 
+  /** Zero-filled per-doc pair counts: given a symmetric pair relation
+    * (doc_a, doc_b), count appearances per doc over the full doc set.
+    * Shared by the minhash/simhash candidate queries (and mirrors the
+    * join-back shape of jaccardNearDupStats / contaminationStats). */
+  def perDocPairCounts(pairs: DataFrame, docs: DataFrame, countCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    val sym = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as(countCol))
+    docs.select(col(idCol).as("doc_id"))
+      .join(sym, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col(countCol), lit(0L)).as(countCol))
+  }
+
   // ---- cluster election -------------------------------------------------
   /** Connected components over an undirected pair relation (doc_a, doc_b):
     * the step that turns near-dup PAIRS into dedup CLUSTERS with a
