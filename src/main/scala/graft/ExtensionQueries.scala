@@ -163,6 +163,23 @@ object ExtensionQueries {
           round(col("brightness"), 6).as("brightness"))
         .orderBy("id")
     },
+    // ROLLUP aggregation surface: corpus stats at (lang, source), (lang),
+    // and grand-total levels in one pass
+    "text_rollup_stats" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .rollup("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("n_chars").cast("double")), 6).as("sum_chars"))
+        .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)
+    },
+    // Exact distinct-count surface
+    "events_distinct_users" -> { (s, dir) =>
+      graft.sources.Sources.eventsWithTimestamp(s, dir)
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type")
+    },
     // Gopher/C4-style curation: per-doc repetition metrics + keep flag.
     // top-token fraction computed RELATIONALLY (explode -> per-token
     // counts -> max/total) - per-row nested HOFs would be O(tokens^2)
@@ -399,6 +416,15 @@ object ExtensionQueries {
          |  SELECT user_id, count(*) AS n_events FROM events GROUP BY 1
          |) GROUP BY 1 ORDER BY i0""".stripMargin
     },
+    "text_rollup_stats" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |round(sum(CAST(n_chars AS DOUBLE)), 6) AS sum_chars
+        |FROM documents GROUP BY ROLLUP (lang, source)
+        |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin,
+    "events_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |count(*) AS n_events FROM events
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
     "text_gopher_quality" ->
       s"""WITH toks AS (
          |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
