@@ -16,6 +16,9 @@ object ExtensionQueries {
   private val nearDupCos = 0.9
   private val jaccardK = 3
   private val jaccardThresh = 0.3
+  // document-frequency prefix-filter cap (drop-only; identical on both
+  // engines — see DedupOps.jaccardNearDupStats)
+  private val jaccardMaxDf = 50
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- dedup ----------------------------------------------------------
@@ -27,8 +30,8 @@ object ExtensionQueries {
       DedupOps.exactDedupSalted(Tables.documents(s, dir)).orderBy("keep_id")
     },
     "dedup_jaccard_stats" -> { (s, dir) =>
-      DedupOps.jaccardNearDupStats(Tables.documents(s, dir), jaccardK, jaccardThresh)
-        .orderBy("doc_id")
+      DedupOps.jaccardNearDupStats(Tables.documents(s, dir), jaccardK,
+        jaccardThresh, jaccardMaxDf).orderBy("doc_id")
     },
     // MinHash LSH: per-doc candidate count (deterministic seeded hash
     // family; engine-specific xxhash64 → rows-only check)
@@ -291,9 +294,13 @@ object ExtensionQueries {
            |FROM documents)""".stripMargin
       s"""WITH sh AS ($sh),
          |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |shf AS (
+         |  SELECT sh.* FROM sh JOIN (
+         |    SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= $jaccardMaxDf
+         |  ) rare USING (shingle)),
          |inter AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-         |  FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+         |  FROM shf a JOIN shf b USING (shingle) WHERE a.doc_id < b.doc_id
          |  GROUP BY 1, 2),
          |pairs AS (
          |  SELECT doc_a, doc_b,

@@ -34,7 +34,13 @@ case class CosineSim(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    // prefix-truncating a mismatch would return a plausible-looking score
+    // over corrupt embedding data; fail loudly instead
+    if (b.numElements() != n) {
+      throw new IllegalArgumentException(
+        s"CosineSim dimension mismatch: ${a.numElements()} vs ${b.numElements()}")
+    }
     val af = elemIsFloat(left); val bf = elemIsFloat(right)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
@@ -54,7 +60,11 @@ case class CosineSim(left: Expression, right: Expression)
       val getA = if (elemIsFloat(left)) s"(double) $a.getFloat(i)" else s"$a.getDouble(i)"
       val getB = if (elemIsFloat(right)) s"(double) $b.getFloat(i)" else s"$b.getDouble(i)"
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int n = $a.numElements();
+         |if ($b.numElements() != n) {
+         |  throw new IllegalArgumentException(
+         |    "CosineSim dimension mismatch: " + n + " vs " + $b.numElements());
+         |}
          |double dot = 0.0, na = 0.0, nb = 0.0;
          |for (int i = 0; i < n; i++) {
          |  double x = $getA;

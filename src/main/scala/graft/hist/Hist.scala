@@ -39,6 +39,10 @@ object Hist {
       prefix: Seq[Column] = Nil): DataFrame = {
     require(f.cols.size == spec.ndim,
       s"fill needs ${spec.ndim} coordinate columns, got ${f.cols.size}")
+    // boost rejects Mean/WeightedMean fills without sample=; defaulting the
+    // sample to 0.0 would yield silently-wrong all-zero means
+    require(f.sample.isDefined || !spec.storage.usesSample,
+      s"${spec.storage} requires a sample column")
     val idx = spec.axes.zip(f.cols).zipWithIndex.map { case ((ax, c), i) =>
       ax.binCol(c).as(s"i$i")
     }

@@ -37,6 +37,15 @@ object HistAlgebra {
         .otherwise(l / r)
   }
 
+  /** Recompute derived finalizer columns (Mean's mean/variance,
+    * WeightedMean's wmean/wvariance) that the input histogram may carry
+    * from fillMulti: after rewriting the underlying sums they'd otherwise
+    * pass through stale. Only columns already present are refreshed. */
+  private def refreshFinalizers(spec: HistSpec, d: DataFrame): DataFrame =
+    spec.storage.finalizers.foldLeft(d) { case (acc, (n, c)) =>
+      if (acc.columns.contains(n)) acc.withColumn(n, c) else acc
+    }
+
   /** Binary op between two sparse histograms of the same spec. */
   def binOp(spec: HistSpec, left: DataFrame, right: DataFrame, op: Op): DataFrame = {
     val keys = spec.indexCols
@@ -57,13 +66,14 @@ object HistAlgebra {
   def scalarOp(spec: HistSpec, h: DataFrame, s: Double, op: Op,
       scalarOnLeft: Boolean = false): DataFrame = {
     val vals = spec.stateColsForAlgebra
-    vals.foldLeft(h) { (d, c) =>
+    val scaled = vals.foldLeft(h) { (d, c) =>
       val isVariance = spec.storage == WeightStorage && c == "variance" &&
         (op == Mul || op == Div)
       val operand = if (isVariance) lit(s * s) else lit(s)
       val e = if (scalarOnLeft) op(operand, col(c)) else op(col(c), operand)
       d.withColumn(c, e)
     }
+    refreshFinalizers(spec, scaled)
   }
 
   /** Histogram ⊕ dense array (one value per bin index, 1-D): join against a
@@ -76,8 +86,9 @@ object HistAlgebra {
     val lut = broadcast(arr.zipWithIndex.map { case (v, i) => (i + 1L, v) }
       .toDF("i0", "__operand"))
     val joined = h.join(lut, Seq("i0"), "left")
-    spec.stateColsForAlgebra.foldLeft(joined) { (d, c) =>
+    val applied = spec.stateColsForAlgebra.foldLeft(joined) { (d, c) =>
       d.withColumn(c, op(col(c), coalesce(col("__operand"), lit(0.0))))
     }.drop("__operand")
+    refreshFinalizers(spec, applied)
   }
 }

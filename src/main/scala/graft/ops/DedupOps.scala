@@ -15,12 +15,17 @@ import org.apache.spark.sql.functions._
 object DedupOps {
 
   // ---- exact ------------------------------------------------------------
-  /** Exact dedup by hash-groupBy on the text: one row per distinct text
-    * with the kept (minimum) id and the duplicate count. */
+  /** Exact dedup: one row per distinct text with the kept (minimum) id and
+    * the duplicate count. Groups on the 8-byte `xxhash64(text)`, not the
+    * text — full documents never shuffle (the module's design invariant);
+    * only hashes and ids cross the wire. Collision probability ~n²/2^65 is
+    * negligible against corpus sizes; [[exactDupGroups]] keeps the
+    * text-keyed form where the raw grouping is wanted. */
   def exactDedup(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame =
-    df.groupBy(col(textCol))
-      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+    df.select(xxhash64(col(textCol)).as("__th"), col(idCol).as("__id"))
+      .groupBy(col("__th"))
+      .agg(min(col("__id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"))
 
   /** Skew-safe exact dedup: identical result to [[exactDedup]] via
@@ -78,9 +83,17 @@ object DedupOps {
     * Candidates come from an equi-join on shared shingles (inverted
     * index) — no cartesian product; intersection counts fall out of the
     * join group sizes. Jaccard compared on 6-dp rounding for engine
-    * portability. */
+    * portability.
+    *
+    * `maxDf` is classic prefix filtering: the self-join costs Σ_s df(s)²
+    * candidate rows, so ONE viral shingle (df = 10^6) alone generates
+    * 10^12 pairs. Shingles with document frequency > maxDf are dropped
+    * from candidate generation and intersection counts (drop-only — the
+    * per-doc sizes in the union denominator keep every shingle, so the
+    * reported jaccard is a lower bound when hot shingles exist). Pass
+    * `maxDf = Int.MaxValue` for the exact uncapped form. */
   def jaccardNearDupStats(df: DataFrame, k: Int = 3, threshold: Double = 0.3,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      maxDf: Int = 50, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     // (doc, n_sh, shingle): per-doc size rides along with every exploded
     // row — no separate size aggregation, no size joins, and identical
     // left/right subplans let Spark reuse one shuffle exchange for the
@@ -88,8 +101,17 @@ object DedupOps {
     val arr = shingleArray(k, textCol)
     val sh = spread(df).select(col(idCol).as("doc_id"), arr.as("arr"))
       .select(col("doc_id"), size(col("arr")).as("n_sh"), explode(col("arr")).as("shingle"))
-    val l = sh.select(col("doc_id").as("doc_a"), col("n_sh").as("na"), col("shingle"))
-    val r = sh.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"), col("shingle"))
+    // document-frequency cap: df computed and joined back on the same
+    // shingle key, so the exchange introduced by the groupBy is reused by
+    // the self-join below (no extra full shuffle of the shingle relation)
+    val shf =
+      if (maxDf == Int.MaxValue) sh
+      else sh.join(
+        sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxDf).select("shingle"),
+        Seq("shingle"))
+    val l = shf.select(col("doc_id").as("doc_a"), col("n_sh").as("na"), col("shingle"))
+    val r = shf.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"), col("shingle"))
     val pairs = l.join(r, Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")

@@ -43,8 +43,12 @@ object TextOps {
     "es" -> Seq("el", "los", "las", "y", "es"),
     "zh" -> Seq("的", "是", "了"))
 
+  /** Marker-token count: native one-pass expression
+    * ([[graft.functions.MarkerCount]]) — the HOF form
+    * `size(filter(tokens, in-set))` evaluates its lambda interpreted per
+    * token per row, a measured hot-path cliff on 100 TB text. */
   def markerScore(text: Column, markers: Seq[String]): Column =
-    size(filter(tokens(text), t => markers.map(m => t === m).reduce(_ || _)))
+    graft.functions.MarkerCount(text, markers)
   def markerScoreSql(t: String, markers: Seq[String]): String = {
     val lst = markers.map(m => s"'$m'").mkString("[", ", ", "]")
     s"len(list_filter(string_split($t, ' '), x -> list_contains($lst, x)))"

@@ -23,9 +23,18 @@ object Sources {
 
   /** Events table: parquet TIMESTAMP(NANOS) is unreadable by Spark 4's
     * vectorized reader without the nanosAsLong legacy conf; normalize to a
-    * microsecond timestamp column via exact integral division. */
+    * microsecond timestamp column via exact integral division.
+    *
+    * SESSION-WIDE EFFECT (documented contract): `nanosAsLong` exists only
+    * as a SQL conf — ParquetOptions accepts no per-read equivalent — and
+    * the scan that consumes it runs lazily, so the conf cannot safely be
+    * restored after this call returns. It is set only if currently unset,
+    * and every nanos-timestamp parquet read in the session thereafter maps
+    * TIMESTAMP(NANOS) to LongType (which is also the only reading Spark 4
+    * supports at all). */
   def eventsWithTimestamp(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    if (!spark.conf.getOption(key).contains("true")) spark.conf.set(key, "true")
     spark.read.parquet(s"$dir/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
