@@ -14,6 +14,15 @@ object ExtensionQueries {
 
   private val annK = 5
   private val nearDupCos = 0.9
+  // ANN pipeline shape — shared by the Spark queries and the DuckDB
+  // oracles (plane/centroid matrices are seeded + integer-quantized, so
+  // signature bits and cell assignments are bit-exact on both engines)
+  private val annDim = 64
+  private val annSeed = 42L
+  private val lshBands = 8
+  private val lshRowsPerBand = 8
+  private val ivfCentroids = 16
+  private val ivfProbe = 4
   private val jaccardK = 3
   private val jaccardThresh = 0.3
   // document-frequency prefix-filter cap (drop-only; identical on both
@@ -80,18 +89,20 @@ object ExtensionQueries {
       SimilarityOps.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, annK)
         .orderBy("query_id", "rank")
     },
-    // LSH-bucketed ANN (scale path; recall checked vs brute force in tests)
+    // LSH-bucketed ANN (scale path; full oracle via integer-quantized
+    // hyperplanes; recall vs brute force additionally checked in tests)
     "ann_lsh_topk" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      SimilarityOps.annTopK(emb.filter(col("vec_id") < 10), emb, dim = 64, k = annK)
+      SimilarityOps.annTopK(emb.filter(col("vec_id") < 10), emb, dim = annDim,
+        k = annK, bands = lshBands, rowsPerBand = lshRowsPerBand, seed = annSeed)
         .orderBy("query_id", "rank")
     },
-    // IVF coarse-quantizer ANN (scale path #2; deterministic seeded
-    // centroids; engine-specific assignment → rows-only + recall test)
+    // IVF coarse-quantizer ANN (scale path #2; full oracle via seeded
+    // integer centroids + exact integer assignment)
     "ann_ivf_topk" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      SimilarityOps.ivfTopK(emb.filter(col("vec_id") < 10), emb, dim = 64,
-        k = annK, nCentroids = 16, nprobe = 4)
+      SimilarityOps.ivfTopK(emb.filter(col("vec_id") < 10), emb, dim = annDim,
+        k = annK, nCentroids = ivfCentroids, nprobe = ivfProbe, seed = annSeed)
         .orderBy("query_id", "rank")
     },
     // ---- text analysis --------------------------------------------------
@@ -348,6 +359,8 @@ object ExtensionQueries {
          |FROM (SELECT doc_id FROM documents WHERE doc_id >= 10) d
          |LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin
     },
+    "ann_lsh_topk" -> lshTopkOracleSql(),
+    "ann_ivf_topk" -> ivfTopkOracleSql(),
     "dedup_minhash_candidates" -> minhashOracleSql(),
     "dedup_simhash" -> simhashOracleSql(),
     "dedup_embedding" -> perVectorNearDupSql(nearDupCos),
@@ -466,6 +479,87 @@ object ExtensionQueries {
          |${axVal.sqlExpr("value")} AS i0, round(sum(value), 2) AS value
          |FROM events GROUP BY 1, 2 ORDER BY bucket_start, i0""".stripMargin,
   )
+
+  /** Quantized embedding as a BIGINT list — the same floor(v·256 + 0.5)
+    * the Spark expressions compute (·256 is a power-of-two product, exact
+    * in IEEE double; the one rounded add is the same op on both engines). */
+  private def quantListSql: String =
+    "list_transform(CAST(embedding AS DOUBLE[]), v -> " +
+      s"CAST(floor(v * ${graft.functions.HyperplaneSig.QuantScale} + 0.5) AS BIGINT))"
+
+  /** (idx, [integers...]) VALUES rows for a plane/centroid matrix. */
+  private def longMatrixValues(m: Array[Array[Long]]): String =
+    m.zipWithIndex.map { case (row, i) => s"($i, [${row.mkString(",")}])" }
+      .mkString(", ")
+
+  /** Cosine re-rank + top-k tail shared by the two ANN oracles: exact
+    * double cosine (bit-identical to CosineSim's sequential sums), NaN
+    * (zero-norm) guard, rank by (sim desc, id). `cand` must provide
+    * (query_id, neighbor_id). */
+  private def annRerankSql(candCte: String): String =
+    s"""$candCte,
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    round(${SimilarityOps.cosineSql("qe.embedding", "ce.embedding")}, 6) AS sim
+       |  FROM cand
+       |  JOIN embeddings qe ON qe.vec_id = query_id
+       |  JOIN embeddings ce ON ce.vec_id = neighbor_id),
+       |ranked AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank FROM scored
+       |  WHERE NOT isnan(sim))
+       |SELECT query_id, neighbor_id, sim, rank FROM ranked
+       |WHERE rank <= $annK ORDER BY query_id, rank""".stripMargin
+
+  /** Full LSH-ANN oracle: identical integer plane matrix embedded as
+    * VALUES, quantized integer dots (sign bits exact), band signatures by
+    * bit-assembly, (band, sig) equi-join candidates, exact cosine re-rank. */
+  private def lshTopkOracleSql(): String = {
+    val planes = graft.functions.HyperplaneSig.planeMatrix(
+      annDim, lshBands, lshRowsPerBand, annSeed)
+    annRerankSql(
+      s"""WITH planes(pi, pv) AS (VALUES ${longMatrixValues(planes)}),
+         |qv AS (SELECT vec_id, $quantListSql AS q FROM embeddings),
+         |dots AS (
+         |  SELECT vec_id, pi, list_dot_product(q, pv) AS dot
+         |  FROM qv CROSS JOIN planes),
+         |sigs AS (
+         |  SELECT vec_id, pi // $lshRowsPerBand AS b,
+         |    CAST(sum(CASE WHEN dot >= 0
+         |      THEN (1 << (pi % $lshRowsPerBand)) ELSE 0 END) AS BIGINT) AS sig
+         |  FROM dots GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |  FROM sigs q JOIN sigs c USING (b, sig)
+         |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)""".stripMargin)
+  }
+
+  /** Full IVF-ANN oracle: identical seeded integer centroids as VALUES,
+    * exact integer squared-L2 assignment (ties to lower id), nprobe
+    * multi-probe on the query side, exact cosine re-rank. */
+  private def ivfTopkOracleSql(): String = {
+    val cents = SimilarityOps.seededCentroids(ivfCentroids, annDim, annSeed)
+    annRerankSql(
+      s"""WITH cents(ci, cv) AS (VALUES ${longMatrixValues(cents)}),
+         |qv AS (SELECT vec_id, $quantListSql AS q FROM embeddings),
+         |d2 AS (
+         |  SELECT vec_id, ci,
+         |    list_reduce(list_transform(range(1, ${annDim + 1}),
+         |      i -> (q[i] - cv[i]) * (q[i] - cv[i])), (a, b) -> a + b) AS d
+         |  FROM qv CROSS JOIN cents),
+         |rankedc AS (
+         |  SELECT vec_id, ci,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d, ci) AS rc
+         |  FROM d2),
+         |corpus_cell AS (SELECT vec_id AS neighbor_id, ci AS cell
+         |                FROM rankedc WHERE rc = 1),
+         |query_cell AS (SELECT vec_id AS query_id, ci AS cell
+         |               FROM rankedc WHERE rc <= $ivfProbe AND vec_id < 10),
+         |cand AS (
+         |  SELECT query_id, neighbor_id
+         |  FROM query_cell JOIN corpus_cell USING (cell)
+         |  WHERE query_id <> neighbor_id)""".stripMargin)
+  }
 
   /** Full MinHash-LSH oracle: same shingles, same PolyHash base hash, the
     * SAME seeded (a_i, b_i) family embedded as a VALUES list, band keys =

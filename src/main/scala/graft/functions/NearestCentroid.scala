@@ -12,13 +12,24 @@ import org.apache.spark.sql.types._
   * the operator (same rationale as [[HyperplaneSig]]: literal-tree
   * expression encodings of k×d constants make Catalyst the bottleneck).
   *
+  * Centroid entries are INTEGERS and the input embedding is quantized with
+  * [[HyperplaneSig.QuantScale]] (floor(v·scale + 0.5)), so the whole
+  * assignment is exact Long arithmetic — deterministic, engine-portable,
+  * and DuckDB-oracle-checkable; a float distance near a Voronoi boundary
+  * would be one ulp from assigning a different cell. Ties break toward the
+  * lower centroid id on both engines.
+  *
+  * Embedding length must equal the centroid dimension (mismatch raises —
+  * prefix truncation would silently assign corrupt data).
+  *
   * Returns the `nprobe` nearest centroid ids as array<int> (nprobe=1 for
   * corpus assignment, >1 for query-side multi-probe).
   */
-case class NearestCentroid(child: Expression, centroids: Array[Array[Double]],
-    nprobe: Int) extends UnaryExpression with CodegenFallback {
+case class NearestCentroid(child: Expression, centroids: Array[Array[Long]],
+    nprobe: Int, scale: Double) extends UnaryExpression with CodegenFallback {
 
   require(centroids.nonEmpty && nprobe >= 1 && nprobe <= centroids.length)
+  require(scale > 0, "quantization scale must be positive")
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = child.nullable
@@ -32,18 +43,25 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]],
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    val v = new Array[Double](n)
+    val dim = centroids(0).length
+    if (n != dim) {
+      throw new IllegalArgumentException(
+        s"NearestCentroid dimension mismatch: embedding has $n elements, centroids have $dim")
+    }
+    val q = new Array[Long](n)
     var i = 0
-    if (isFloat) while (i < n) { v(i) = arr.getFloat(i).toDouble; i += 1 }
-    else while (i < n) { v(i) = arr.getDouble(i); i += 1 }
-    val d2 = new Array[Double](centroids.length)
+    if (isFloat) {
+      while (i < n) { q(i) = math.floor(arr.getFloat(i).toDouble * scale + 0.5).toLong; i += 1 }
+    } else {
+      while (i < n) { q(i) = math.floor(arr.getDouble(i) * scale + 0.5).toLong; i += 1 }
+    }
+    val d2 = new Array[Long](centroids.length)
     var c = 0
     while (c < centroids.length) {
       val ct = centroids(c)
-      var s = 0.0
-      val d = math.min(n, ct.length)
+      var s = 0L
       var j = 0
-      while (j < d) { val t = v(j) - ct(j); s += t * t; j += 1 }
+      while (j < n) { val t = q(j) - ct(j); s += t * t; j += 1 }
       d2(c) = s
       c += 1
     }
@@ -57,7 +75,8 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]],
 }
 
 object NearestCentroid {
-  def apply(embedding: Column, centroids: Array[Array[Double]], nprobe: Int): Column =
+  def apply(embedding: Column, centroids: Array[Array[Long]], nprobe: Int): Column =
     GraftShims.toColumn(
-      NearestCentroid(GraftShims.toExpression(embedding), centroids, nprobe))
+      NearestCentroid(GraftShims.toExpression(embedding), centroids, nprobe,
+        HyperplaneSig.QuantScale))
 }

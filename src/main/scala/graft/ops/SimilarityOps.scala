@@ -63,32 +63,39 @@ object SimilarityOps {
       .select("query_id", "neighbor_id", "sim", "rank")
   }
 
+  /** Seeded integer centroid matrix for [[ivfTopK]]'s coarse quantizer:
+    * Gaussian coordinates scaled to the quantized-embedding magnitude
+    * (embedding std ≈ 0.125 × QuantScale ≈ 32) and rounded. Public so the
+    * DuckDB oracle embeds the identical entries as VALUES. At 100 TB the
+    * centroid set is trained offline (sampled k-means) and passed to
+    * [[ivfTopK]] explicitly; the index/probe machinery is identical. */
+  def seededCentroids(nCentroids: Int, dim: Int,
+      seed: Long = 42L): Array[Array[Long]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(nCentroids, dim)(math.round(rng.nextGaussian() * 32.0))
+  }
+
   /** IVF-style ANN (inverted-file with coarse quantizer).
     *
     * Scale path #2 (complement to [[annTopK]]'s LSH): corpus vectors are
     * assigned to their nearest of k centroids in one narrow pass; queries
     * probe their `nprobe` nearest centroid lists via an equi-join on the
-    * centroid id; exact cosine re-rank only inside probed lists. At 100 TB
-    * the centroid set is trained offline (sampled k-means); here centroids
-    * are a deterministic seeded sample of the corpus — the index/probe
-    * machinery (the Spark-side substance) is identical either way.
+    * centroid id; exact cosine re-rank only inside probed lists.
+    * Assignment is exact integer arithmetic over quantized values (see
+    * [[graft.functions.NearestCentroid]]) so cell membership is
+    * deterministic and oracle-checkable. Pass offline-trained centroids
+    * via `centroids`; the default is the seeded demo quantizer.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, dim: Int, k: Int,
-      nCentroids: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
-    // deterministic "training": hash-sampled corpus vectors as centroids
-    val sample = corpus.select(col("vec_id"), col("embedding"))
-      .withColumn("h", xxhash64(col("vec_id") + lit(seed)))
-      .orderBy("h").limit(nCentroids)
-      .collect()
-    // element type may be float OR double (both supported downstream)
-    val centroids = sample.map(_.getAs[scala.collection.Seq[Any]]("embedding")
-      .map { case n: Number => n.doubleValue() }.toArray)
+      nCentroids: Int = 16, nprobe: Int = 4, seed: Long = 42L,
+      centroids: Option[Array[Array[Long]]] = None): DataFrame = {
+    val cents = centroids.getOrElse(seededCentroids(nCentroids, dim, seed))
     val cs = spread(corpus).select(col("vec_id").as("neighbor_id"),
       col("embedding").as("ce"),
-      element_at(graft.functions.NearestCentroid(col("embedding"), centroids, 1), 1)
+      element_at(graft.functions.NearestCentroid(col("embedding"), cents, 1), 1)
         .as("cell"))
     val qs = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-      explode(graft.functions.NearestCentroid(col("embedding"), centroids, nprobe))
+      explode(graft.functions.NearestCentroid(col("embedding"), cents, nprobe))
         .as("cell"))
     val scored = broadcast(qs).join(cs, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
