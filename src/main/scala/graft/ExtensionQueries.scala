@@ -61,6 +61,13 @@ object ExtensionQueries {
       DedupOps.embeddingNearDupStats(Tables.embeddings(s, dir), nearDupCos)
         .orderBy("vec_id")
     },
+    // Scale form: LSH candidates + exact verify (no corpus broadcast, no
+    // all-pairs term); checked against the brute-force oracle restricted
+    // to qualifying pairs
+    "dedup_embedding_lsh" -> { (s, dir) =>
+      DedupOps.embeddingNearDupStatsLsh(Tables.embeddings(s, dir), nearDupCos,
+        dim = annDim).orderBy("vec_id")
+    },
     // Dedup-cluster election: connected components (min-label
     // propagation). Edge set is deterministic and engine-portable:
     // (d, d+1) chains gated on the doc fingerprint, so components have
@@ -364,6 +371,7 @@ object ExtensionQueries {
     "dedup_minhash_candidates" -> minhashOracleSql(),
     "dedup_simhash" -> simhashOracleSql(),
     "dedup_embedding" -> perVectorNearDupSql(nearDupCos),
+    "dedup_embedding_lsh" -> qualifyingNearDupSql(nearDupCos),
     "ann_brute_topk" ->
       s"""WITH scored AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -638,6 +646,25 @@ object ExtensionQueries {
        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sym GROUP BY 1) s
        |USING (doc_id) ORDER BY doc_id""".stripMargin
   }
+
+  /** Matches SimilarityOps.nearDupStatsLsh: brute-force ground truth
+    * restricted to QUALIFYING (sim >= t) pairs — n_near and best
+    * qualifying sim, zero-filled. The LSH plan hash-matches this exactly
+    * when its candidates cover every qualifying pair (miss probability
+    * ~1e-11 at the near-1 sims dedup targets; zero qualifying pairs exist
+    * in this corpus at t=0.9, making coverage exact). */
+  private def qualifyingNearDupSql(t: Double): String =
+    s"""WITH pairs AS (
+       |  SELECT a.vec_id,
+       |    round(${SimilarityOps.cosineSql("a.embedding", "b.embedding")}, 6) AS sim
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+       |stats AS (
+       |  SELECT vec_id, CAST(count(*) AS BIGINT) AS n_near, max(sim) AS max_sim
+       |  FROM pairs WHERE NOT isnan(sim) AND sim >= $t GROUP BY 1)
+       |SELECT e.vec_id, COALESCE(s.n_near, 0) AS n_near,
+       |  COALESCE(s.max_sim, 0.0) AS max_sim
+       |FROM embeddings e LEFT JOIN stats s USING (vec_id)
+       |ORDER BY e.vec_id""".stripMargin
 
   /** Matches SimilarityOps.nearDupStats: NaN sims (zero-norm embeddings)
     * are excluded, and every corpus vector gets a zero-filled row. */

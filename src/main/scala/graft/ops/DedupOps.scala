@@ -349,7 +349,15 @@ object DedupOps {
 
   // ---- embedding near-dup ----------------------------------------------
   /** Embedding-cosine near-duplicate stats (delegates to SimilarityOps —
-    * the correctness baseline; LSH path in SimilarityOps.annTopK). */
+    * the all-pairs correctness baseline; use [[embeddingNearDupStatsLsh]]
+    * beyond broadcast scale). */
   def embeddingNearDupStats(df: DataFrame, threshold: Double): DataFrame =
     SimilarityOps.nearDupStats(df, threshold)
+
+  /** Scale form: LSH-bucketed candidates + exact verify + zero-fill
+    * (delegates to [[SimilarityOps.nearDupStatsLsh]]); stats cover
+    * qualifying (sim >= threshold) pairs only. */
+  def embeddingNearDupStatsLsh(df: DataFrame, threshold: Double,
+      dim: Int): DataFrame =
+    SimilarityOps.nearDupStatsLsh(df, threshold, dim)
 }

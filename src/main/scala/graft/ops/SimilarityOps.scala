@@ -130,6 +130,47 @@ object SimilarityOps {
         coalesce(col("max_sim"), lit(0.0)).as("max_sim"))
   }
 
+  /** Scale form of [[nearDupStats]]: near-duplicate stats at a cosine
+    * threshold with candidates from LSH signature buckets instead of an
+    * all-pairs corpus broadcast. Returns, per corpus vector, the number of
+    * neighbors with sim >= threshold and the best such sim (0-filled when
+    * none) — i.e. stats over QUALIFYING pairs only, which is the quantity
+    * a candidate-based plan can compute without touching every pair (the
+    * baseline's max-over-all-pairs `max_sim` inherently needs all pairs).
+    *
+    * Plan shape (the 100 TB story): one narrow signature pass, ONE
+    * (band, sig) self-join moving only ids+signatures, embeddings joined
+    * back only for surviving candidates (equi-join), exact verify, then a
+    * zero-fill left join — no broadcast of the corpus, no cartesian
+    * product. Recall is the LSH collision probability at the pair's true
+    * sim: ≈1 for the near-1 sims dedup hunts (miss ~1e-11 at sim 0.999
+    * with 16×16 default), lower right at the threshold — size
+    * (bands, rowsPerBand) to the sim regime being hunted. */
+  def nearDupStatsLsh(corpus: DataFrame, threshold: Double, dim: Int,
+      bands: Int = 16, rowsPerBand: Int = 16, seed: Long = 42L): DataFrame = {
+    val sigs = lshSignatures(spread(corpus), dim, bands, rowsPerBand, seed)
+    val s = sigs.select(col("vec_id"), posexplode(col("sigs")).as(Seq("b", "sig")))
+    val cand = s.as("l").join(s.as("r"), Seq("b", "sig"))
+      .filter(col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("va"), col("r.vec_id").as("vb"))
+      .distinct()
+    val emb = corpus.select(col("vec_id"), col("embedding"))
+    val verified = cand
+      .join(emb.select(col("vec_id").as("va"), col("embedding").as("ea")), Seq("va"))
+      .join(emb.select(col("vec_id").as("vb"), col("embedding").as("eb")), Seq("vb"))
+      .withColumn("sim", round(cosine(col("ea"), col("eb")), 6))
+      // NaN guard as in nearDupStats: NaN >= t is TRUE under Spark ordering
+      .filter(!isnan(col("sim")) && col("sim") >= threshold)
+    val sym = verified.select(col("va").as("vec_id"), col("sim"))
+      .unionByName(verified.select(col("vb").as("vec_id"), col("sim")))
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_near"), max(col("sim")).as("max_sim"))
+    corpus.select(col("vec_id"))
+      .join(sym, Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("n_near"), lit(0L)).as("n_near"),
+        coalesce(col("max_sim"), lit(0.0)).as("max_sim"))
+  }
+
   /** Random-hyperplane LSH signatures: `bands` bands of `rowsPerBand` sign
     * bits each, hyperplanes drawn from a seeded RNG on the driver and
     * broadcast as literals (Charikar 2002 SimHash for cosine). Returns

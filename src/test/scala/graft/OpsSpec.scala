@@ -109,6 +109,42 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall $recall")
   }
 
+  test("LSH near-dup stats match driver-side brute force with planted dups") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // plant a near-copy of every vector: tiny bump on dim 0 -> sim ~0.9999,
+    // squarely in the regime nearDupStatsLsh is built for (miss ~1e-11)
+    val planted = emb.select((col("vec_id") + 10000L).as("vec_id"),
+      transform(col("embedding"),
+        (v, i) => when(i === 0, v + lit(0.001f)).otherwise(v)).as("embedding"))
+    val corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    val got = SimilarityOps.nearDupStatsLsh(corpus, 0.9, dim = 64)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // driver-side ground truth: qualifying-pair stats from exact cosine
+    // with the same sequential double sums and 6-dp rounding
+    val vecs = corpus.collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Float]](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val ids = vecs.keys.toSeq
+    val expected = ids.map { id =>
+      val sims = for {
+        other <- ids if other != id
+        s = BigDecimal(cos(vecs(id), vecs(other)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if !s.isNaN && s >= 0.9
+      } yield s
+      id -> (sims.size.toLong, if (sims.isEmpty) 0.0 else sims.max)
+    }.toMap
+    assert(expected.values.count(_._1 > 0) == ids.size,
+      "planting failed: every vector should have a qualifying neighbor")
+    assert(got == expected)
+  }
+
   test("IVF ANN recall vs brute force with wide probe") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = emb.filter($"vec_id" < 20)
