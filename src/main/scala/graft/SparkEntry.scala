@@ -24,6 +24,9 @@ object SparkEntry {
   // ---- shared axis definitions (Spark expr + oracle SQL from one object)
   private val axPrice = Regular(20, 900.0, 105000.0)
   private val axQty = Variable(Seq(1.0, 10.0, 25.0, 40.0, 51.0))
+  // NumPy upper-edge-inclusive mode exercised on real boundary hits:
+  // l_quantity tops out at exactly 50.0, the axis hi
+  private val axQtyInc = Regular(7, 1.0, 50.0, upperInclusive = true)
   private val axQtyR = Regular(10, 1.0, 51.0)
   private val axDisc = Regular(11, 0.0, 0.11)
   private val axTax = Regular(9, 0.0, 0.09)
@@ -77,6 +80,13 @@ object SparkEntry {
         .withColumn("value", round(col("value"), 6))
         .withColumn("variance", round(col("variance"), 6))
         .orderBy("i0")
+    },
+    // NumPy edge mode (reference boost.py:413-416 divergence note): the
+    // last bin is closed, so the 1175 rows with l_quantity == 50.0 land
+    // in bin n instead of overflow
+    "hist_upper_edge" -> { (s, dir) =>
+      val spec = HistSpec(Seq(axQtyInc), Int64Storage)
+      Hist.fill(spec, Tables.lineitem(s, dir), Seq(col("l_quantity"))).orderBy("i0")
     },
     // A2/N2: 2-D histogram, count storage
     "hist2d_regular" -> { (s, dir) =>
@@ -314,6 +324,9 @@ object SparkEntry {
       s"""SELECT ${axQty.sqlExpr("l_quantity")} AS i0,
          |round(sum(l_discount), 6) AS value,
          |round(sum(l_discount * l_discount), 6) AS variance
+         |FROM ${li()} GROUP BY 1 ORDER BY i0""".stripMargin,
+    "hist_upper_edge" ->
+      s"""SELECT ${axQtyInc.sqlExpr("l_quantity")} AS i0, count(*) AS value
          |FROM ${li()} GROUP BY 1 ORDER BY i0""".stripMargin,
     "hist2d_regular" ->
       s"""SELECT ${axDisc.sqlExpr("l_discount")} AS i0,

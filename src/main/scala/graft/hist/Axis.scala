@@ -50,18 +50,34 @@ sealed trait Axis extends Serializable {
 }
 
 /** n uniform bins on [lo, hi); underflow 0, overflow n+1, NaN/NULL→overflow.
-  * Reference: Regular construction at `routines.py:448-450`. */
-final case class Regular(n: Int, lo: Double, hi: Double, name: String = "")
-    extends Axis {
+  * Reference: Regular construction at `routines.py:448-450`.
+  *
+  * `upperInclusive = true` switches the LAST bin to the closed interval
+  * [lo_n, hi] — NumPy's `np.histogram` convention. boost-histogram is
+  * right-exclusive everywhere (x == hi fills overflow), and the
+  * reference's numpy-style returns keep boost's counts while documenting
+  * the divergence (`/root/reference/src/dask_histogram/boost.py:413-416`:
+  * "upper edge inclusive, unlike boost-histogram"); no engine can convert
+  * after the fact, because the x == hi fills are already binned. Choosing
+  * the convention at fill time is the only faithful implementation of
+  * both semantics. */
+final case class Regular(n: Int, lo: Double, hi: Double, name: String = "",
+    upperInclusive: Boolean = false) extends Axis {
   require(n > 0, s"Regular axis needs n > 0, got $n")
   require(lo < hi, s"Regular axis needs lo < hi, got [$lo, $hi)")
   override def nBins: Int = n
   override def keyType: DataType = LongType
   override def binCol(c: Column): Column = {
     val d = c.cast(DoubleType)
-    when(d.isNull || isnan(d) || d >= hi, lit(n + 1).cast(LongType))
-      .when(d < lo, lit(0L))
-      .otherwise(floor((d - lit(lo)) * lit(n.toDouble) / lit(hi - lo)) + lit(1L))
+    if (upperInclusive)
+      when(d.isNull || isnan(d) || d > hi, lit(n + 1).cast(LongType))
+        .when(d === hi, lit(n.toLong))
+        .when(d < lo, lit(0L))
+        .otherwise(floor((d - lit(lo)) * lit(n.toDouble) / lit(hi - lo)) + lit(1L))
+    else
+      when(d.isNull || isnan(d) || d >= hi, lit(n + 1).cast(LongType))
+        .when(d < lo, lit(0L))
+        .otherwise(floor((d - lit(lo)) * lit(n.toDouble) / lit(hi - lo)) + lit(1L))
   }
   override def edges: Array[Double] =
     Array.tabulate(n + 1)(i => lo + (hi - lo) * i / n)
@@ -69,14 +85,23 @@ final case class Regular(n: Int, lo: Double, hi: Double, name: String = "")
   /** The identical bin-index formula as ANSI SQL (DuckDB-compatible), used
     * by query oracles. Keep in exact sync with [[binCol]]. */
   def sqlExpr(v: String): String =
-    s"(CASE WHEN $v IS NULL OR isnan($v) OR $v >= $hi THEN ${n + 1} " +
-      s"WHEN $v < $lo THEN 0 " +
-      s"ELSE CAST(floor(($v - $lo) * ${n.toDouble} / ${hi - lo}) AS BIGINT) + 1 END)"
+    if (upperInclusive)
+      s"(CASE WHEN $v IS NULL OR isnan($v) OR $v > $hi THEN ${n + 1} " +
+        s"WHEN $v = $hi THEN $n " +
+        s"WHEN $v < $lo THEN 0 " +
+        s"ELSE CAST(floor(($v - $lo) * ${n.toDouble} / ${hi - lo}) AS BIGINT) + 1 END)"
+    else
+      s"(CASE WHEN $v IS NULL OR isnan($v) OR $v >= $hi THEN ${n + 1} " +
+        s"WHEN $v < $lo THEN 0 " +
+        s"ELSE CAST(floor(($v - $lo) * ${n.toDouble} / ${hi - lo}) AS BIGINT) + 1 END)"
 }
 
 /** Explicit monotone edges, right-exclusive; underflow 0, overflow n+1.
-  * Reference: Variable construction at `routines.py:444-447`. */
-final case class Variable(edgeSeq: Seq[Double], name: String = "") extends Axis {
+  * Reference: Variable construction at `routines.py:444-447`.
+  * `upperInclusive` closes the last bin at the final edge (NumPy
+  * convention — see [[Regular]] for the divergence note). */
+final case class Variable(edgeSeq: Seq[Double], name: String = "",
+    upperInclusive: Boolean = false) extends Axis {
   require(edgeSeq.size >= 2, "Variable axis needs >= 2 edges")
   require(edgeSeq.sliding(2).forall(p => p(0) < p(1)),
     "Variable axis edges must be strictly increasing")
@@ -89,16 +114,28 @@ final case class Variable(edgeSeq: Seq[Double], name: String = "") extends Axis 
     val inner = edgeSeq.init.zipWithIndex.foldRight(lit(nBins + 1).cast(LongType)) {
       case ((lo, i), rest) => when(d >= lo && d < edgeSeq(i + 1), lit(i + 1L)).otherwise(rest)
     }
-    when(d.isNull || isnan(d) || d >= edgeSeq.last, lit(nBins + 1).cast(LongType))
-      .when(d < edgeSeq.head, lit(0L))
-      .otherwise(inner)
+    val last = edgeSeq.last
+    if (upperInclusive)
+      when(d.isNull || isnan(d) || d > last, lit(nBins + 1).cast(LongType))
+        .when(d === last, lit(nBins.toLong))
+        .when(d < edgeSeq.head, lit(0L))
+        .otherwise(inner)
+    else
+      when(d.isNull || isnan(d) || d >= last, lit(nBins + 1).cast(LongType))
+        .when(d < edgeSeq.head, lit(0L))
+        .otherwise(inner)
   }
   def sqlExpr(v: String): String = {
     val ladder = edgeSeq.init.zipWithIndex
       .map { case (lo, i) => s"WHEN $v >= $lo AND $v < ${edgeSeq(i + 1)} THEN ${i + 1}" }
       .mkString(" ")
-    s"(CASE WHEN $v IS NULL OR isnan($v) OR $v >= ${edgeSeq.last} THEN ${nBins + 1} " +
-      s"WHEN $v < ${edgeSeq.head} THEN 0 $ladder ELSE ${nBins + 1} END)"
+    if (upperInclusive)
+      s"(CASE WHEN $v IS NULL OR isnan($v) OR $v > ${edgeSeq.last} THEN ${nBins + 1} " +
+        s"WHEN $v = ${edgeSeq.last} THEN $nBins " +
+        s"WHEN $v < ${edgeSeq.head} THEN 0 $ladder ELSE ${nBins + 1} END)"
+    else
+      s"(CASE WHEN $v IS NULL OR isnan($v) OR $v >= ${edgeSeq.last} THEN ${nBins + 1} " +
+        s"WHEN $v < ${edgeSeq.head} THEN 0 $ladder ELSE ${nBins + 1} END)"
   }
 }
 

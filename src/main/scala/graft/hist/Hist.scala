@@ -106,15 +106,34 @@ object Hist {
 
   private def axesNumeric(spec: HistSpec): Boolean = spec.axes.forall(!_.isCategorical)
 
+  /** Session-conf surface for the tree-reduce fan-in, mirroring the
+    * reference's `histogram.yaml:10` `split_every: 8` read through
+    * `config.py` — callers that don't pass `splitEvery` explicitly get
+    * the conf value, falling back to the reference's default of 8. */
+  final val SplitEveryConf = "spark.graft.histogram.splitEvery"
+  final val SplitEveryDefault = 8
+
+  def resolveSplitEvery(spark: SparkSession): Int = {
+    val v = spark.conf.get(SplitEveryConf, SplitEveryDefault.toString).toInt
+    require(v >= 2, s"$SplitEveryConf must be >= 2, got $v")
+    v
+  }
+
+  /** Reduction-tree depth for P partitions at the given fan-in. */
+  def treeDepth(partitions: Int, splitEvery: Int): Int = math.max(1,
+    math.ceil(math.log(partitions.toDouble) / math.log(splitEvery.toDouble)).toInt)
+
   /** Explicit multi-level tree reduction — the reference's `split_every`
     * control (`core.py:856-885`, default fan-in 8 from `histogram.yaml:10`).
     * Spark's partial/final hash agg is 2 levels and suffices for bin-count-
     * sized states; this RDD `treeAggregate` path is the knob for the
     * extreme regime (huge bin count × very many partitions) where even the
     * final agg's fan-in should be bounded: depth = ceil(log_splitEvery(P)).
+    * `splitEvery = None` reads [[SplitEveryConf]] (reference: yaml config).
     * Returns the dense flow-inclusive array driver-side. */
   def fillTree(spec: HistSpec, df: DataFrame, cols: Seq[Column],
-      weight: Option[Column] = None, splitEvery: Int = 8): Array[Double] = {
+      weight: Option[Column] = None, splitEvery: Option[Int] = None): Array[Double] = {
+    val fanIn = splitEvery.getOrElse(resolveSplitEvery(df.sparkSession))
     require(axesNumeric(spec), "fillTree requires numeric axes")
     val totalL = spec.denseBinCount(flow = true)
     require(totalL > 0 && totalL <= (1L << 28),
@@ -128,8 +147,7 @@ object Hist {
       .filter(col("__i").isNotNull && col("__w").isNotNull)
       .rdd.map(r => (r.getLong(0), r.getDouble(1)))
     val p = math.max(rows.getNumPartitions, 1)
-    val depth = math.max(1,
-      math.ceil(math.log(p.toDouble) / math.log(splitEvery.toDouble)).toInt)
+    val depth = treeDepth(p, fanIn)
     rows.treeAggregate(new Array[Double](total))(
       seqOp = (buf, iw) => {
         if (iw._1 >= 0 && iw._1 < total) buf(iw._1.toInt) += iw._2; buf

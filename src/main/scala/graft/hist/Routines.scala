@@ -16,15 +16,16 @@ object Routines {
   def histogram(df: DataFrame, x: Column, bins: BinsSpec.Bins,
       range: Option[BinsSpec.RangePair] = None, weights: Option[Column] = None,
       storage: Storage = DoubleStorage, sample: Option[Column] = None,
-      density: Boolean = false): (HistSpec, DataFrame) =
+      density: Boolean = false, upperInclusive: Boolean = false): (HistSpec, DataFrame) =
     histogramdd(df, Seq(x), bins, range.map(r => Seq(Some(r))), weights, storage,
-      sample, density)
+      sample, density, upperInclusive)
 
   def histogram2d(df: DataFrame, x: Column, y: Column, bins: BinsSpec.Bins,
       range: Option[Seq[Option[BinsSpec.RangePair]]] = None,
       weights: Option[Column] = None, storage: Storage = DoubleStorage,
-      sample: Option[Column] = None): (HistSpec, DataFrame) =
-    histogramdd(df, Seq(x, y), bins, range, weights, storage, sample)
+      sample: Option[Column] = None, upperInclusive: Boolean = false): (HistSpec, DataFrame) =
+    histogramdd(df, Seq(x, y), bins, range, weights, storage, sample,
+      upperInclusive = upperInclusive)
 
   /** (N, D)-array input style (reference input-shape dispatch,
     * `routines.py:428-440`: a single 2-D array is treated as N samples of
@@ -40,12 +41,26 @@ object Routines {
 
   /** N-D master entry. `density=true` applies correct normalization (the
     * reference validates but silently ignores `density` —
-    * `routines.py:417-421`; divergence documented in SURVEY.md §2.5 A14). */
+    * `routines.py:417-421`; divergence documented in SURVEY.md §2.5 A14).
+    *
+    * `upperInclusive=true` gives the last bin NumPy's closed upper edge
+    * (x == hi counts in bin n, not overflow). The reference keeps boost's
+    * right-exclusive counts even in its numpy-style returns and documents
+    * the divergence (`boost.py:413-416`) — a post-hoc conversion is
+    * impossible once x == hi fills have landed in overflow, so the
+    * convention is chosen here, at fill time. Default follows the
+    * reference (boost semantics). */
   def histogramdd(df: DataFrame, cols: Seq[Column], bins: BinsSpec.Bins,
       range: Option[Seq[Option[BinsSpec.RangePair]]] = None,
       weights: Option[Column] = None, storage: Storage = DoubleStorage,
-      sample: Option[Column] = None, density: Boolean = false): (HistSpec, DataFrame) = {
-    val axes = BinsSpec.toAxes(BinsSpec.normalize(cols.size, bins, range))
+      sample: Option[Column] = None, density: Boolean = false,
+      upperInclusive: Boolean = false): (HistSpec, DataFrame) = {
+    val axes0 = BinsSpec.toAxes(BinsSpec.normalize(cols.size, bins, range))
+    val axes = if (!upperInclusive) axes0 else axes0.map {
+      case r: Regular => r.copy(upperInclusive = true)
+      case v: Variable => v.copy(upperInclusive = true)
+      case a => a
+    }
     val spec = HistSpec(axes, storage)
     val h = Hist.fill(spec, df, cols, weights, sample)
     val out = if (density) Hist.density(spec, h) else h

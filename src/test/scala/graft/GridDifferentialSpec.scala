@@ -32,12 +32,14 @@ class GridDifferentialSpec extends AnyFunSuite {
 
   /** Driver-side mirror of the axis bin functions. */
   private def bin(ax: Axis, x: Double): Long = ax match {
-    case Regular(m, lo, hi, _) =>
-      if (x.isNaN || x >= hi) m + 1L
+    case Regular(m, lo, hi, _, inc) =>
+      if (x.isNaN || (if (inc) x > hi else x >= hi)) m + 1L
+      else if (inc && x == hi) m.toLong
       else if (x < lo) 0L
       else math.floor((x - lo) * m / (hi - lo)).toLong + 1L
-    case Variable(es, _) =>
-      if (x.isNaN || x >= es.last) es.size.toLong
+    case Variable(es, _, inc) =>
+      if (x.isNaN || (if (inc) x > es.last else x >= es.last)) es.size.toLong
+      else if (inc && x == es.last) es.size.toLong - 1L
       else if (x < es.head) 0L
       else es.indices.init.find(i => x >= es(i) && x < es(i + 1)).get + 1L
     case other => fail(s"unexpected axis $other")

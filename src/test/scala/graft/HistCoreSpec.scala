@@ -214,10 +214,53 @@ class HistCoreSpec extends AnyFunSuite {
   test("fillTree (treeAggregate, split_every analog) == dense fill") {
     val df = Seq.tabulate(500)(i => math.sin(i * 1.1) * 4).toDF("x").repartition(9)
     val spec = HistSpec(Seq(Regular(6, -4.0, 4.0)), DoubleStorage)
-    val viaTree = Hist.fillTree(spec, df, Seq(col("x")), splitEvery = 2)
+    val viaTree = Hist.fillTree(spec, df, Seq(col("x")), splitEvery = Some(2))
     val viaDense = Hist.fillDense(spec, df, Seq(col("x")))
       .collect().sortBy(_.getLong(0)).map(_.getDouble(1))
     assert(viaTree.toSeq == viaDense.toSeq)
+  }
+
+  test("split_every conf surface drives tree-reduce fan-in and depth") {
+    // depth math: ceil(log_fanIn(P)) with a floor of one combine level
+    assert(Hist.treeDepth(64, 8) == 2)
+    assert(Hist.treeDepth(64, 2) == 6)
+    assert(Hist.treeDepth(1, 8) == 1)
+    // conf read: default mirrors the reference's histogram.yaml split_every: 8
+    assert(Hist.resolveSplitEvery(spark) == Hist.SplitEveryDefault)
+    spark.conf.set(Hist.SplitEveryConf, "2")
+    try {
+      assert(Hist.resolveSplitEvery(spark) == 2)
+      // end-to-end: conf-driven fan-in produces the same histogram
+      val df = Seq.tabulate(200)(i => math.sin(i * 1.3) * 4).toDF("x").repartition(7)
+      val spec = HistSpec(Seq(Regular(6, -4.0, 4.0)), DoubleStorage)
+      val viaConf = Hist.fillTree(spec, df, Seq(col("x")))
+      val viaDense = Hist.fillDense(spec, df, Seq(col("x")))
+        .collect().sortBy(_.getLong(0)).map(_.getDouble(1))
+      assert(viaConf.toSeq == viaDense.toSeq)
+      spark.conf.set(Hist.SplitEveryConf, "1")
+      intercept[IllegalArgumentException](Hist.resolveSplitEvery(spark))
+    } finally spark.conf.unset(Hist.SplitEveryConf)
+  }
+
+  test("upper-edge modes: boost excludes x == hi, numpy includes it") {
+    // reference boost.py:413-416 documents the divergence: numpy-style
+    // returns have "upper edge inclusive, unlike boost-histogram"
+    val df = Seq(10.0, 5.0, 10.000001, 0.0).toDF("x")
+    def fill(ax: Axis): Map[Long, Long] =
+      Hist.fill(HistSpec(Seq(ax), Int64Storage), df, Seq(col("x")))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // boost mode (default): x == hi -> overflow
+    assert(fill(Regular(5, 0.0, 10.0)) == Map(6L -> 2L, 3L -> 1L, 1L -> 1L))
+    // numpy mode: x == hi -> LAST in-range bin; x just above hi -> overflow
+    assert(fill(Regular(5, 0.0, 10.0, upperInclusive = true)) ==
+      Map(5L -> 1L, 6L -> 1L, 3L -> 1L, 1L -> 1L))
+    assert(fill(Variable(Seq(0.0, 2.0, 10.0))) == Map(3L -> 2L, 2L -> 1L, 1L -> 1L))
+    assert(fill(Variable(Seq(0.0, 2.0, 10.0), upperInclusive = true)) ==
+      Map(2L -> 2L, 3L -> 1L, 1L -> 1L))
+    // routines surface threads the flag to every numeric axis
+    val (spec, _) = Routines.histogram(df, col("x"), BinsSpec.Count(5),
+      Some(BinsSpec.RangePair(0.0, 10.0)), upperInclusive = true)
+    assert(spec.axes.head.asInstanceOf[Regular].upperInclusive)
   }
 
   test("dense TypedImperativeAggregate path == sparse fill + densify") {
