@@ -50,6 +50,23 @@ class OpsSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("star contraction: 10^4-node chain converges in O(log n) rounds") {
+    val chain = spark.range(0, 9999).select(col("id").as("doc_a"),
+      (col("id") + 1L).as("doc_b"))
+    val (labels, rounds) = DedupOps.connectedComponentsImpl(chain, maxIter = 25)
+    assert(rounds <= 20, s"expected <= 20 alternating rounds, took $rounds")
+    val agg = labels.agg(countDistinct(col("component")), count(lit(1)),
+      max(col("component"))).collect()(0)
+    assert(agg.getLong(0) == 1L && agg.getLong(1) == 10000L && agg.getLong(2) == 0L)
+  }
+
+  test("connected components throw instead of returning unconverged labels") {
+    val chain = spark.range(0, 999).select(col("id").as("doc_a"),
+      (col("id") + 1L).as("doc_b"))
+    intercept[IllegalStateException](
+      DedupOps.connectedComponents(chain, maxIter = 2).collect())
+  }
+
   test("contamination: overlapping docs flagged, clean docs zero") {
     val corpus = Seq(
       (100L, "the quick brown fox jumps over the lazy dog today"),
