@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.hist._
 import graft.ops._
@@ -28,6 +29,13 @@ object ExtensionQueries {
   // document-frequency prefix-filter cap (drop-only; identical on both
   // engines — see DedupOps.jaccardNearDupStats)
   private val jaccardMaxDf = 50
+  // SemDedup threshold: the synthetic corpus tops out near cosine 0.46, so
+  // 0.3 yields a nonempty (but sparse) near-dup graph at every SF
+  private val semDedupCos = 0.3
+  private val packBudget = 512L
+  // inter-arrival gaps in seconds, log-uniform bins (sub-second →
+  // underflow, > ~11 days → overflow)
+  private val interArrAxis = RegularLog(12, 1.0, 1000000.0)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- dedup ----------------------------------------------------------
@@ -281,6 +289,49 @@ object ExtensionQueries {
         .withColumn("value", round(col("value"), 6))
         .orderBy("i0", "i1")
     },
+    // SemDedup: centroid cells + within-cell cosine, min-id keeper
+    // election (scale path for semantic dedup; fully oracle-checked via
+    // the seeded integer quantizer)
+    "dedup_semantic" -> { (s, dir) =>
+      SimilarityOps.semanticDedup(Tables.embeddings(s, dir), semDedupCos,
+        dim = annDim, nCentroids = ivfCentroids, seed = annSeed)
+        .orderBy("vec_id")
+    },
+    // Token-budget sequence packing per (lang, source) shard
+    "pack_sequences" -> { (s, dir) =>
+      PipelineOps.packSequences(Tables.documents(s, dir), packBudget)
+        .orderBy("lang", "source", "seq_id")
+    },
+    // Domain mixture reweighting toward fixed target fractions
+    "domain_mix_weights" -> { (s, dir) =>
+      PipelineOps.domainMixWeights(Tables.documents(s, dir)).orderBy("lang")
+    },
+    // PII scan + redaction stats over deterministically augmented text
+    "text_pii" -> { (s, dir) =>
+      PipelineOps.piiStats(Tables.documents(s, dir)).orderBy("doc_id")
+    },
+    // Gopher-style bigram repetition metrics (relational, multiplicity
+    // bigrams from the native WordShingles distinct=false pass)
+    "text_repetition" -> { (s, dir) =>
+      PipelineOps.repetitionStats(Tables.documents(s, dir)).orderBy("doc_id")
+    },
+    // Hashed-n-gram linear quality classifier (fastText-shaped plan)
+    "quality_classifier" -> { (s, dir) =>
+      PipelineOps.classifierScore(Tables.documents(s, dir)).orderBy("doc_id")
+    },
+    // Window-function + histogram composition: per-user inter-arrival
+    // gaps on a log axis
+    "events_interarrival_hist" -> { (s, dir) =>
+      val ev = graft.sources.Sources.eventsWithTimestamp(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      val w = Window.partitionBy("user_id").orderBy("ts_us")
+      val gaps = ev.withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+        .filter(col("prev_us").isNotNull)
+        .select(((col("ts_us") - col("prev_us")).cast("double") /
+          lit(1000000.0)).as("gap_s"))
+      val spec = HistSpec(Seq(interArrAxis), Int64Storage)
+      Hist.fill(spec, gaps, Seq(col("gap_s"))).orderBy("i0")
+    },
     // ---- streaming-style windowed histogram (same code path serves
     // readStream inputs; see StreamingHistSpec) ---------------------------
     "events_hourly_hist" -> { (s, dir) =>
@@ -368,6 +419,22 @@ object ExtensionQueries {
     },
     "ann_lsh_topk" -> lshTopkOracleSql(),
     "ann_ivf_topk" -> ivfTopkOracleSql(),
+    "dedup_semantic" -> semanticDedupOracleSql(semDedupCos),
+    "pack_sequences" ->
+      (PipelineOps.packSequencesSql(packBudget) + " ORDER BY lang, source, seq_id"),
+    "domain_mix_weights" ->
+      (PipelineOps.domainMixWeightsSql + " ORDER BY lang"),
+    "text_pii" -> (PipelineOps.piiStatsSql + " ORDER BY doc_id"),
+    "text_repetition" -> (PipelineOps.repetitionStatsSql + " ORDER BY doc_id"),
+    "quality_classifier" -> (PipelineOps.classifierScoreSql + " ORDER BY doc_id"),
+    "events_interarrival_hist" ->
+      s"""SELECT ${interArrAxis.sqlExpr("gap_s")} AS i0, count(*) AS value
+         |FROM (
+         |  SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) -
+         |    lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+         |    (PARTITION BY user_id ORDER BY ts) AS DOUBLE) / 1000000.0 AS gap_s
+         |  FROM events)
+         |WHERE gap_s IS NOT NULL GROUP BY 1 ORDER BY i0""".stripMargin,
     "dedup_minhash_candidates" -> minhashOracleSql(),
     "dedup_simhash" -> simhashOracleSql(),
     "dedup_embedding" -> perVectorNearDupSql(nearDupCos),
@@ -567,6 +634,42 @@ object ExtensionQueries {
          |  SELECT query_id, neighbor_id
          |  FROM query_cell JOIN corpus_cell USING (cell)
          |  WHERE query_id <> neighbor_id)""".stripMargin)
+  }
+
+  /** SemDedup oracle: identical seeded integer centroids, exact integer
+    * squared-L2 cell assignment (ties to lower id — NearestCentroid's
+    * contract), within-cell pairs, exact cosine, min-id keeper election. */
+  private def semanticDedupOracleSql(t: Double): String = {
+    val cents = SimilarityOps.seededCentroids(ivfCentroids, annDim, annSeed)
+    s"""WITH cents(ci, cv) AS (VALUES ${longMatrixValues(cents)}),
+       |qv AS (SELECT vec_id, $quantListSql AS q FROM embeddings),
+       |d2 AS (
+       |  SELECT vec_id, ci,
+       |    list_reduce(list_transform(range(1, ${annDim + 1}),
+       |      i -> (q[i] - cv[i]) * (q[i] - cv[i])), (a, b) -> a + b) AS d
+       |  FROM qv CROSS JOIN cents),
+       |rankedc AS (
+       |  SELECT vec_id, ci,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d, ci) AS rc
+       |  FROM d2),
+       |cell AS (SELECT vec_id, CAST(ci AS BIGINT) AS cell
+       |         FROM rankedc WHERE rc = 1),
+       |pairs AS (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb,
+       |    round(${SimilarityOps.cosineSql("ae.embedding", "be.embedding")}, 6) AS sim
+       |  FROM cell a JOIN cell b USING (cell)
+       |  JOIN embeddings ae ON ae.vec_id = a.vec_id
+       |  JOIN embeddings be ON be.vec_id = b.vec_id
+       |  WHERE a.vec_id < b.vec_id),
+       |qual AS (SELECT va, vb FROM pairs WHERE NOT isnan(sim) AND sim >= $t),
+       |sym AS (SELECT va AS vec_id, vb AS nb FROM qual
+       |        UNION ALL SELECT vb, va FROM qual),
+       |st AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS n_near,
+       |       min(nb) AS min_nb FROM sym GROUP BY 1)
+       |SELECT c.vec_id, c.cell,
+       |  COALESCE(st.n_near, 0) AS n_near,
+       |  (st.min_nb IS NULL OR st.min_nb > c.vec_id) AS keep
+       |FROM cell c LEFT JOIN st USING (vec_id) ORDER BY c.vec_id""".stripMargin
   }
 
   /** Full MinHash-LSH oracle: same shingles, same PolyHash base hash, the

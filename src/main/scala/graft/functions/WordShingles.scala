@@ -19,7 +19,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * consecutive tokens joined by one space, distinct keeps first-occurrence
   * order, texts with < k tokens yield an empty array.
   */
-case class WordShingles(child: Expression, k: Int)
+case class WordShingles(child: Expression, k: Int, distinct: Boolean = true)
     extends UnaryExpression with CodegenFallback {
 
   require(k >= 1, "k >= 1")
@@ -32,7 +32,10 @@ case class WordShingles(child: Expression, k: Int)
     val toks = text.split(" ", -1)
     if (toks.length < k) new GenericArrayData(Array.empty[Any])
     else {
-      val seen = new java.util.LinkedHashSet[String]()
+      // positional shingles; optionally distinct (first-occurrence order)
+      val seen: java.util.Collection[String] =
+        if (distinct) new java.util.LinkedHashSet[String]()
+        else new java.util.ArrayList[String](toks.length - k + 1)
       var i = 0
       val sb = new java.lang.StringBuilder
       while (i <= toks.length - k) {
@@ -61,4 +64,8 @@ case class WordShingles(child: Expression, k: Int)
 object WordShingles {
   def apply(text: Column, k: Int): Column =
     GraftShims.toColumn(WordShingles(GraftShims.toExpression(text), k))
+
+  /** All positional shingles WITH multiplicity (for repetition metrics). */
+  def all(text: Column, k: Int): Column =
+    GraftShims.toColumn(WordShingles(GraftShims.toExpression(text), k, distinct = false))
 }

@@ -205,8 +205,13 @@ object Hist {
         when(col("i0") === i, lit(w)).otherwise(rest)
       }
     }
-    val total = sum(when(col("i0") >= 1 && col("i0") <= ax.nBins, col("value"))
-      .otherwise(lit(0.0))).over()
-    h.withColumn("density", col("value") / (total * widthCol))
+    // scalar total via broadcast cross-join, not an empty-frame window —
+    // the input is only O(bins) rows, but WindowExec would still force a
+    // single-partition exchange (and a noisy warning) for no benefit
+    val tot = h.agg(sum(when(col("i0") >= 1 && col("i0") <= ax.nBins,
+      col("value")).otherwise(lit(0.0))).as("__total"))
+    h.crossJoin(broadcast(tot))
+      .withColumn("density", col("value") / (col("__total") * widthCol))
+      .drop("__total")
   }
 }

@@ -1,0 +1,230 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators beyond dedup/similarity: sequence
+  * packing, domain mixture reweighting, PII scanning/redaction, n-gram
+  * repetition metrics, and a hashed-n-gram linear quality classifier.
+  *
+  * Every operator is relational (joins/windows/aggregates over codegen'd
+  * expressions — no UDFs, no driver-side loops) and ships a `...Sql` twin
+  * generated from the same constants, so the DuckDB oracle cannot drift
+  * from the Spark plan.
+  */
+object PipelineOps {
+
+  // ---- sequence packing --------------------------------------------------
+  /** Greedy contiguous token-budget packing: documents are laid out in
+    * doc_id order within each (lang, source) shard and cut into sequences
+    * of `budget` tokens; a document belongs to the sequence its first
+    * token lands in. Returns per-sequence stats.
+    *
+    * Scale shape: the running sum is windowed PER SHARD — at 100 TB each
+    * (lang, source) shard packs independently (embarrassingly parallel
+    * across shards, one shuffle by shard key), exactly how production
+    * packers shard by file/domain. No global ordering bottleneck.
+    */
+  def packSequences(docs: DataFrame, budget: Long = 512L): DataFrame = {
+    val w = Window.partitionBy("lang", "source").orderBy("doc_id")
+    docs.select(col("lang"), col("source"), col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tok"))
+      .withColumn("start_tok", sum(col("n_tok")).over(w) - col("n_tok"))
+      .withColumn("seq_id", expr(s"start_tok div $budget"))
+      .groupBy("lang", "source", "seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+  }
+
+  def packSequencesSql(budget: Long = 512L): String =
+    s"""WITH t AS (
+       |  SELECT lang, source, doc_id,
+       |    ${TextOps.tokenCountSql("text")} AS n_tok FROM documents),
+       |c AS (
+       |  SELECT lang, source, n_tok,
+       |    CAST(sum(n_tok) OVER (PARTITION BY lang, source ORDER BY doc_id)
+       |      AS BIGINT) - n_tok AS start_tok
+       |  FROM t)
+       |SELECT lang, source, start_tok // $budget AS seq_id,
+       |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+       |FROM c GROUP BY 1, 2, 3""".stripMargin
+
+  // ---- domain mixture reweighting ---------------------------------------
+  /** Per-language target mixture for [[domainMixWeights]] — fixed demo
+    * targets; production passes trained proportions. Fractions are exact
+    * binary doubles where possible to keep the arithmetic portable. */
+  val mixTargets: Seq[(String, Double)] =
+    Seq("en" -> 0.40625, "de" -> 0.21875, "fr" -> 0.1875,
+      "es" -> 0.09375, "zh" -> 0.09375)
+
+  /** Sampling weight per language to reach a target mixture:
+    * w = target_frac * total / n_lang (w > 1 → upsample). One tiny
+    * aggregate + a broadcast of the target map: no data shuffle beyond the
+    * groupBy, scale-free at 100 TB. */
+  def domainMixWeights(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val targets = mixTargets.toDF("lang", "target_frac")
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val total = docs.agg(count(lit(1)).as("total"))
+    counts.crossJoin(total)
+      .join(broadcast(targets), Seq("lang"))
+      .select(col("lang"), col("n_docs"),
+        round((col("target_frac") * col("total").cast("double")) /
+          col("n_docs").cast("double"), 6).as("weight"))
+  }
+
+  def domainMixWeightsSql: String = {
+    val vals = mixTargets.map { case (l, f) => s"('$l', $f)" }.mkString(", ")
+    s"""WITH targets(lang, target_frac) AS (VALUES $vals),
+       |counts AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+       |tot AS (SELECT count(*) AS total FROM documents)
+       |SELECT lang, n_docs,
+       |  round((target_frac * CAST(total AS DOUBLE)) /
+       |    CAST(n_docs AS DOUBLE), 6) AS weight
+       |FROM counts CROSS JOIN tot JOIN targets USING (lang)""".stripMargin
+  }
+
+  // ---- PII scan / redaction ---------------------------------------------
+  // RE2-safe common-subset patterns (no lookaround/backrefs): identical
+  // semantics under Java regex (Spark) and RE2 (DuckDB).
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  val idRunRe = "[0-9]{6,}" // long digit runs (account/SSN-ish ids)
+
+  /** The corpus is digit-free word salad, so PII is INJECTED
+    * deterministically from doc_id (same formula on both engines) — the
+    * operator under test is the scan/redaction machinery, not the corpus.
+    * Replacement order email → ipv4 → idrun is fixed; earlier replacements
+    * insert no digits, so later patterns can't match inside them. */
+  def withSyntheticPii(text: Column, docId: Column): Column =
+    concat(text,
+      when(docId % 3 === 0,
+        concat(lit(" contact"), docId.cast("string"), lit("@example.com")))
+        .otherwise(lit("")),
+      when(docId % 5 === 0,
+        concat(lit(" from 10."), (docId % 200).cast("string"), lit(".0."),
+          (docId % 250).cast("string"))).otherwise(lit("")),
+      when(docId % 7 === 0,
+        concat(lit(" ref "), lpad(docId.cast("string"), 9, "0")))
+        .otherwise(lit("")))
+
+  def withSyntheticPiiSql(text: String, docId: String): String =
+    s"$text || " +
+      s"(CASE WHEN $docId % 3 = 0 THEN ' contact' || CAST($docId AS VARCHAR) " +
+      s"|| '@example.com' ELSE '' END) || " +
+      s"(CASE WHEN $docId % 5 = 0 THEN ' from 10.' || CAST($docId % 200 AS VARCHAR) " +
+      s"|| '.0.' || CAST($docId % 250 AS VARCHAR) ELSE '' END) || " +
+      s"(CASE WHEN $docId % 7 = 0 THEN ' ref ' || lpad(CAST($docId AS VARCHAR), 9, '0') " +
+      s"ELSE '' END)"
+
+  /** Per-document PII scan: match counts per pattern class plus the
+    * document length after `<PII>` redaction. Pure narrow expressions over
+    * the scan — zero shuffle at any scale. */
+  def piiStats(docs: DataFrame): DataFrame = {
+    val aug = withSyntheticPii(col("text"), col("doc_id"))
+    val redacted = regexp_replace(
+      regexp_replace(regexp_replace(aug, emailRe, "<PII>"), ipv4Re, "<PII>"),
+      idRunRe, "<PII>")
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(aug, lit(emailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(aug, lit(ipv4Re), lit(0))).cast("long").as("n_ips"),
+      size(regexp_extract_all(aug, lit(idRunRe), lit(0))).cast("long").as("n_ids"),
+      length(redacted).cast("long").as("redacted_len"))
+  }
+
+  def piiStatsSql: String = {
+    val aug = withSyntheticPiiSql("text", "doc_id")
+    val redacted = s"regexp_replace(regexp_replace(regexp_replace(($aug), " +
+      s"'$emailRe', '<PII>', 'g'), '$ipv4Re', '<PII>', 'g'), '$idRunRe', '<PII>', 'g')"
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(($aug), '$emailRe')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(($aug), '$ipv4Re')) AS BIGINT) AS n_ips,
+       |  CAST(len(regexp_extract_all(($aug), '$idRunRe')) AS BIGINT) AS n_ids,
+       |  CAST(length($redacted) AS BIGINT) AS redacted_len
+       |FROM documents""".stripMargin
+  }
+
+  // ---- n-gram repetition metrics (Gopher-style) -------------------------
+  /** Per-document bigram repetition: duplicate-bigram fraction (by
+    * occurrence and by characters) and top-bigram fraction. Bigrams are
+    * materialized WITH multiplicity by the native
+    * [[graft.functions.WordShingles]] (distinct=false) and aggregated
+    * relationally — per-doc group-by, no per-row quadratic HOFs. */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val grams = docs.select(col("doc_id"),
+      explode(graft.functions.WordShingles.all(col("text"), 2)).as("gram"))
+    val chars = length(col("gram")).cast("long")
+    grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum(col("c")).as("n_all"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("max_c"),
+        sum(col("c") * chars).as("chars_all"),
+        sum(when(col("c") >= 2, col("c") * chars).otherwise(0L)).as("chars_dup"))
+      .select(col("doc_id"),
+        round(lit(1.0) - col("n_distinct").cast("double") /
+          col("n_all").cast("double"), 6).as("dup_bigram_frac"),
+        round(col("max_c").cast("double") /
+          col("n_all").cast("double"), 6).as("top_bigram_frac"),
+        round(col("chars_dup").cast("double") /
+          col("chars_all").cast("double"), 6).as("dup_char_frac"))
+  }
+
+  def repetitionStatsSql: String =
+    s"""WITH g AS (
+       |  SELECT doc_id, string_split(text,' ')[pos] || ' ' ||
+       |    string_split(text,' ')[pos+1] AS gram
+       |  FROM (SELECT doc_id, text,
+       |    unnest(range(1, greatest(len(string_split(text,' ')), 1))) AS pos
+       |  FROM documents)),
+       |pc AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT doc_id,
+       |    CAST(sum(c) AS DOUBLE) AS n_all,
+       |    CAST(count(*) AS DOUBLE) AS n_distinct,
+       |    CAST(max(c) AS DOUBLE) AS max_c,
+       |    CAST(sum(c * length(gram)) AS DOUBLE) AS chars_all,
+       |    CAST(sum(CASE WHEN c >= 2 THEN c * length(gram) ELSE 0 END)
+       |      AS DOUBLE) AS chars_dup
+       |  FROM pc GROUP BY 1)
+       |SELECT doc_id,
+       |  round(1.0 - n_distinct / n_all, 6) AS dup_bigram_frac,
+       |  round(max_c / n_all, 6) AS top_bigram_frac,
+       |  round(chars_dup / chars_all, 6) AS dup_char_frac
+       |FROM agg""".stripMargin
+
+  // ---- hashed-n-gram linear quality classifier --------------------------
+  /** fastText-style linear scorer with hashed token features: weight of a
+    * token = deterministic pseudo-random in [-1000, 1000] derived from its
+    * PolyHash (no trained table needed for the demo; production swaps in a
+    * broadcast weight array, same plan). Score = squash(mean weight /
+    * 1000) with the rational squash x/(1+|x|) — engine-portable (no
+    * transcendental libm calls whose last ulp differs across engines). */
+  def classifierScore(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+    val x = col("s").cast("double") / (lit(1000.0) * col("n").cast("double"))
+    tok.select(col("doc_id"),
+        (pmod(graft.functions.PolyHash(col("tok")) * lit(2654435761L),
+          lit(2001L)) - lit(1000L)).as("w"))
+      .groupBy("doc_id").agg(sum(col("w")).as("s"), count(lit(1)).as("n"))
+      .select(col("doc_id"), round(x / (lit(1.0) + abs(x)), 6).as("score"))
+  }
+
+  def classifierScoreSql: String = {
+    val poly =
+      """list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |  list_transform(range(1, length(tok) + 1),
+        |    i -> CAST(unicode(substr(tok, CAST(i AS INT), 1)) AS BIGINT))),
+        |  (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |w AS (SELECT doc_id, ($poly * 2654435761) % 2001 - 1000 AS w FROM tok),
+       |agg AS (SELECT doc_id, CAST(sum(w) AS DOUBLE) AS s,
+       |        CAST(count(*) AS DOUBLE) AS n FROM w GROUP BY 1)
+       |SELECT doc_id, round((s / (1000.0 * n)) /
+       |  (1.0 + abs(s / (1000.0 * n))), 6) AS score
+       |FROM agg""".stripMargin
+  }
+}

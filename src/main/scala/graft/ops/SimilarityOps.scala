@@ -171,6 +171,43 @@ object SimilarityOps {
         coalesce(col("max_sim"), lit(0.0)).as("max_sim"))
   }
 
+  /** SemDedup-style semantic dedup (Abbas et al. 2023): cluster embeddings
+    * by nearest centroid, compare pairs only WITHIN a cluster, and elect
+    * the minimum-id member of each near-duplicate neighborhood as the
+    * keeper. Returns one row per vector: (vec_id, cell, n_near, keep).
+    *
+    * Scale shape: the coarse-quantizer assignment is one narrow pass (the
+    * centroid matrix rides inside the [[graft.functions.NearestCentroid]]
+    * expression); the only shuffle is the equi-join on cell id, and pair
+    * cost is Σ_c |cell_c|² — bounded by training enough centroids (sampled
+    * k-means offline at 100 TB; the seeded demo quantizer here keeps the
+    * whole pipeline oracle-checkable). No all-pairs term, no broadcast of
+    * the corpus. */
+  def semanticDedup(corpus: DataFrame, threshold: Double, dim: Int,
+      nCentroids: Int = 16, seed: Long = 42L,
+      centroids: Option[Array[Array[Long]]] = None): DataFrame = {
+    val cents = centroids.getOrElse(seededCentroids(nCentroids, dim, seed))
+    val cells = spread(corpus).select(col("vec_id"), col("embedding"),
+      element_at(graft.functions.NearestCentroid(col("embedding"), cents, 1), 1)
+        .cast("long").as("cell"))
+    val a = cells.select(col("cell"), col("vec_id").as("va"), col("embedding").as("ea"))
+    val b = cells.select(col("cell"), col("vec_id").as("vb"), col("embedding").as("eb"))
+    val pairs = a.join(b, Seq("cell")).filter(col("va") < col("vb"))
+      .withColumn("sim", round(cosine(col("ea"), col("eb")), 6))
+      // NaN guard: NaN >= t is TRUE under Spark ordering (see nearDupStats)
+      .filter(!isnan(col("sim")) && col("sim") >= threshold)
+      .select("va", "vb")
+    val sym = pairs.select(col("va").as("vec_id"), col("vb").as("nb"))
+      .unionByName(pairs.select(col("vb").as("vec_id"), col("va").as("nb")))
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_near"), min(col("nb")).as("min_nb"))
+    cells.select(col("vec_id"), col("cell"))
+      .join(sym, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"),
+        (col("min_nb").isNull || col("min_nb") > col("vec_id")).as("keep"))
+  }
+
   /** Random-hyperplane LSH signatures: `bands` bands of `rowsPerBand` sign
     * bits each, hyperplanes drawn from a seeded RNG on the driver and
     * broadcast as literals (Charikar 2002 SimHash for cosine). Returns

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops._
+
+/** Curation-pipeline operators: packing, mixture weights, PII, repetition,
+  * hashed-n-gram classifier, semantic dedup. */
+class PipelineOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.get
+  import spark.implicits._
+
+  test("WordShingles.all keeps multiplicity; distinct form dedups") {
+    val df = Seq(("a b a b")).toDF("text")
+    val all = df.select(graft.functions.WordShingles.all(col("text"), 2))
+      .collect()(0).getAs[scala.collection.Seq[String]](0).toSeq
+    val dis = df.select(graft.functions.WordShingles(col("text"), 2))
+      .collect()(0).getAs[scala.collection.Seq[String]](0).toSeq
+    assert(all == Seq("a b", "b a", "a b"))
+    assert(dis == Seq("a b", "b a"))
+  }
+
+  test("packSequences cuts shards at the token budget") {
+    val docs = Seq(
+      ("en", "s", 0L, "t t t t"), ("en", "s", 1L, "t t t t"),
+      ("en", "s", 2L, "t t t t"), ("en", "s", 3L, "t t t t"),
+      ("de", "s", 9L, "t t t t t t t t t t t t")) // 12 tokens, own shard
+      .toDF("lang", "source", "doc_id", "text")
+    val got = PipelineOps.packSequences(docs, budget = 10L)
+      .orderBy("lang", "seq_id")
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // en: starts 0,4,8,12 -> seqs 0,0,0,1; de: start 0 -> seq 0
+    assert(got.toSeq == Seq(("de", 0L, 1L, 12L),
+      ("en", 0L, 3L, 12L), ("en", 1L, 1L, 4L)))
+  }
+
+  test("piiStats counts injected patterns and redacts them") {
+    val docs = Seq((0L, "hello world"), (1L, "plain text only"))
+      .toDF("doc_id", "text")
+    val got = PipelineOps.piiStats(docs).orderBy("doc_id").collect()
+    // doc 0 is divisible by 3, 5, and 7: all three injections fire
+    val aug0 = "hello world contact0@example.com from 10.0.0.0 ref 000000000"
+    val red0 = aug0.replaceAll(PipelineOps.emailRe, "<PII>")
+      .replaceAll(PipelineOps.ipv4Re, "<PII>")
+      .replaceAll(PipelineOps.idRunRe, "<PII>")
+    assert(got(0).getLong(1) == 1L && got(0).getLong(2) == 1L &&
+      got(0).getLong(3) == 1L)
+    assert(got(0).getLong(4) == red0.length.toLong)
+    // doc 1: nothing injected, nothing matched
+    assert(got(1).getLong(1) == 0L && got(1).getLong(2) == 0L &&
+      got(1).getLong(3) == 0L)
+    assert(got(1).getLong(4) == "plain text only".length.toLong)
+  }
+
+  test("repetitionStats: duplicate and top bigram fractions") {
+    val docs = Seq((0L, "a b a b c")).toDF("doc_id", "text")
+    // bigrams: "a b", "b a", "a b", "b c" -> 4 total, 3 distinct, top 2
+    val r = PipelineOps.repetitionStats(docs).collect()(0)
+    assert(r.getDouble(1) == 0.25) // dup_bigram_frac = 1 - 3/4
+    assert(r.getDouble(2) == 0.5) // top_bigram_frac = 2/4
+    assert(r.getDouble(3) == 0.5) // dup chars 6 of 12
+  }
+
+  test("classifierScore is deterministic and bounded in (-1, 1)") {
+    val docs = Seq((0L, "x"), (1L, "some longer document text here"))
+      .toDF("doc_id", "text")
+    val got = PipelineOps.classifierScore(docs).orderBy("doc_id").collect()
+    // single token "x": replicate the formula exactly
+    val h = graft.functions.PolyHash.hash("x", 31L)
+    val w = (h * 2654435761L) % 2001L - 1000L
+    val x = w.toDouble / 1000.0
+    val expected = BigDecimal(x / (1.0 + math.abs(x)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(0).getDouble(1) == expected)
+    assert(got.forall(r => math.abs(r.getDouble(1)) < 1.0))
+  }
+
+  test("semanticDedup: identical vectors share a cell, min id kept") {
+    val v = Array(1.0f, 2.0f, 3.0f, 4.0f)
+    val far = Array(-4.0f, 3.0f, -2.0f, 1.0f)
+    val emb = Seq((0L, v.toSeq), (1L, v.toSeq), (2L, far.toSeq))
+      .toDF("vec_id", "embedding")
+    val got = SimilarityOps.semanticDedup(emb, threshold = 0.9, dim = 4,
+      nCentroids = 4).orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3)))
+    assert(got(0) == ((0L, 1L, true))) // keeper of the dup pair
+    assert(got(1) == ((1L, 1L, false))) // dropped: neighbor 0 < 1
+    assert(got(2) == ((2L, 0L, true))) // no near neighbors
+  }
+
+  test("domainMixWeights: weight = target * total / actual") {
+    val docs = (0L until 8L).map(i => (i, if (i < 4) "en" else "de", "s", "t"))
+      .toDF("doc_id", "lang", "source", "text")
+    val got = PipelineOps.domainMixWeights(docs).orderBy("lang").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // en target 0.40625 over 4/8 actual -> 0.8125; de 0.21875 over 0.5 -> 0.4375
+    assert(got("en") == ((4L, 0.8125)))
+    assert(got("de") == ((4L, 0.4375)))
+  }
+}
