@@ -297,10 +297,13 @@ object DedupOps {
     val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
     val mins = sym.groupBy("u").agg(min(col("v")).as("mv"))
       .select(col("u"), least(col("u"), col("mv")).as("m"))
+    // no distinct here: duplicates are bounded (≤ one row per sym edge)
+    // and the following smallStar's min-aggregations are multiplicity-
+    // safe with a distinct output — dropping the dedup saves a full
+    // shuffle per round
     sym.join(mins, Seq("u"))
       .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
-      .distinct()
   }
 
   /** Small-star step: every node connects its SMALLER-or-equal neighbors
@@ -324,7 +327,8 @@ object DedupOps {
     * the 100 TB-regime algorithm): each round is two groupBy+join passes
     * over the EDGE relation, and the edge set contracts toward per-
     * component stars in O(log² n) rounds worst case (O(log n) observed;
-    * a 10^4-node chain converges in ~13 rounds — see OpsSpec). Unlike
+    * a 10^4-node chain converges in ~7 checkpointed super-rounds of two
+    * alternations each — see OpsSpec). Unlike
     * plain min-label propagation there is no O(diameter) term, so
     * adversarial long chains cost the same as bushy clusters.
     *
