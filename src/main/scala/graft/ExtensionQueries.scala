@@ -319,6 +319,12 @@ object ExtensionQueries {
     "quality_classifier" -> { (s, dir) =>
       PipelineOps.classifierScore(Tables.documents(s, dir)).orderBy("doc_id")
     },
+    // End-to-end curation decision: lang-ID + Gopher gate + exact-dup
+    // election (portable fingerprint keys) + classifier floor, one keep
+    // flag with every reason visible
+    "curation_pipeline" -> { (s, dir) =>
+      PipelineOps.curationPipeline(Tables.documents(s, dir)).orderBy("doc_id")
+    },
     // Window-function + histogram composition: per-user inter-arrival
     // gaps on a log axis
     "events_interarrival_hist" -> { (s, dir) =>
@@ -427,6 +433,7 @@ object ExtensionQueries {
     "text_pii" -> (PipelineOps.piiStatsSql + " ORDER BY doc_id"),
     "text_repetition" -> (PipelineOps.repetitionStatsSql + " ORDER BY doc_id"),
     "quality_classifier" -> (PipelineOps.classifierScoreSql + " ORDER BY doc_id"),
+    "curation_pipeline" -> (PipelineOps.curationPipelineSql + " ORDER BY doc_id"),
     "events_interarrival_hist" ->
       s"""SELECT ${interArrAxis.sqlExpr("gap_s")} AS i0, count(*) AS value
          |FROM (

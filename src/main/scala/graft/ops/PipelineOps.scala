@@ -194,6 +194,53 @@ object PipelineOps {
        |  round(chars_dup / chars_all, 6) AS dup_char_frac
        |FROM agg""".stripMargin
 
+  // ---- end-to-end curation pipeline -------------------------------------
+  /** Minimum classifier score a kept document needs (see
+    * [[classifierScore]] — scores live in (-1, 1)). */
+  val scoreFloor: Double = -0.2
+
+  /** The composed curation decision — what an LLM-data user actually runs:
+    * language-ID, Gopher quality gate, exact-dup election, classifier
+    * score, one keep flag with all reasons visible.
+    *
+    * Exact-dup election here groups on the full-text POLYNOMIAL
+    * FINGERPRINT (engine-portable PolyHash), not the text itself — only
+    * 8-byte keys shuffle, the scale invariant of the dedup module. The
+    * narrow per-doc signals fuse into the scan; the only shuffles are the
+    * fingerprint group-by and the classifier's token aggregation. */
+  def curationPipeline(docs: DataFrame): DataFrame = {
+    val fp = TextOps.fingerprint(col("text"), maxLen = 1000000)
+    val withFp = docs.select(col("doc_id"), col("text"), fp.as("fp"))
+    val mins = withFp.groupBy("fp").agg(min(col("doc_id")).as("keep_id"))
+    val clf = classifierScore(docs)
+    val keepGopher = TextOps.gopherKeep(col("text"))
+    withFp.join(mins, Seq("fp"))
+      .join(clf, Seq("doc_id"))
+      .select(col("doc_id"),
+        TextOps.langId(col("text")).as("lang_pred"),
+        keepGopher.as("keep_gopher"),
+        (col("doc_id") =!= col("keep_id")).as("is_exact_dup"),
+        col("score"),
+        (keepGopher && col("doc_id") === col("keep_id") &&
+          col("score") > lit(scoreFloor)).as("keep"))
+  }
+
+  def curationPipelineSql: String =
+    s"""WITH clf AS (${classifierScoreSql}),
+       |fps AS (SELECT doc_id, ${TextOps.fingerprintSql("text", 1000000)} AS fp
+       |        FROM documents),
+       |mins AS (SELECT fp, min(doc_id) AS keep_id FROM fps GROUP BY 1)
+       |SELECT d.doc_id,
+       |  ${TextOps.langIdSql("d.text")} AS lang_pred,
+       |  ${TextOps.gopherKeepSql("d.text")} AS keep_gopher,
+       |  (d.doc_id <> m.keep_id) AS is_exact_dup,
+       |  c.score,
+       |  (${TextOps.gopherKeepSql("d.text")} AND d.doc_id = m.keep_id
+       |    AND c.score > $scoreFloor) AS keep
+       |FROM documents d
+       |JOIN fps USING (doc_id) JOIN mins m USING (fp)
+       |JOIN clf c USING (doc_id)""".stripMargin
+
   // ---- hashed-n-gram linear quality classifier --------------------------
   /** fastText-style linear scorer with hashed token features: weight of a
     * token = deterministic pseudo-random in [-1000, 1000] derived from its

@@ -90,6 +90,37 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got(2) == ((2L, 0L, true))) // no near neighbors
   }
 
+  test("packSequences conserves tokens and documents") {
+    val docs = (0L until 60L).map { i =>
+      (if (i % 2 == 0) "en" else "de", s"src${i % 3}", i,
+        Seq.fill((i % 7 + 1).toInt)("tok").mkString(" "))
+    }.toDF("lang", "source", "doc_id", "text")
+    val packed = PipelineOps.packSequences(docs, budget = 10L)
+    val totalTokens = (0L until 60L).map(_ % 7 + 1).sum
+    assert(packed.agg(sum("n_tokens")).head.getLong(0) == totalTokens)
+    assert(packed.agg(sum("n_docs")).head.getLong(0) == 60L)
+    // no sequence starts beyond the shard's token count
+    assert(packed.filter(col("n_docs") < 1L).count() == 0L)
+  }
+
+  test("curationPipeline: keep = gopher && non-dup && score floor") {
+    val good = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val docs = Seq(
+      (5L, "en", "s", good), (9L, "en", "s", good), // exact dups
+      (7L, "en", "s", "tiny doc")) // fails gopher (too short)
+      .toDF("doc_id", "lang", "source", "text")
+    val rows = PipelineOps.curationPipeline(docs).orderBy("doc_id").collect()
+    val byId = rows.map(r => r.getLong(0) ->
+      (r.getBoolean(2), r.getBoolean(3), r.getDouble(4), r.getBoolean(5))).toMap
+    assert(!byId(5L)._2 && byId(9L)._2) // min id elected, 9 flagged dup
+    assert(!byId(9L)._4) // dup never kept
+    assert(!byId(7L)._1 && !byId(7L)._4) // gopher fail never kept
+    rows.foreach { r =>
+      assert(r.getBoolean(5) == (r.getBoolean(2) && !r.getBoolean(3) &&
+        r.getDouble(4) > PipelineOps.scoreFloor))
+    }
+  }
+
   test("domainMixWeights: weight = target * total / actual") {
     val docs = (0L until 8L).map(i => (i, if (i < 4) "en" else "de", "s", "t"))
       .toDF("doc_id", "lang", "source", "text")
