@@ -33,6 +33,9 @@ object ExtensionQueries {
   // 0.3 yields a nonempty (but sparse) near-dup graph at every SF
   private val semDedupCos = 0.3
   private val packBudget = 512L
+  // count-min-sketch probe vocabulary: the fixed language-marker tokens
+  // (data-independent, so probes are stable across SFs)
+  private val cmsProbes: Seq[String] = TextOps.langMarkers.flatMap(_._2).distinct.sorted
   // inter-arrival gaps in seconds, log-uniform bins (sub-second →
   // underflow, > ~11 days → overflow)
   private val interArrAxis = RegularLog(12, 1.0, 1000000.0)
@@ -97,6 +100,41 @@ object ExtensionQueries {
       DedupOps.contaminationStats(docs.filter(col("doc_id") >= 10),
         docs.filter(col("doc_id") < 10), k = 5)
         .orderBy("doc_id")
+    },
+    // Cross-snapshot incremental dedup: the new batch is every 10th doc,
+    // 1-in-3 kept byte-identical (a true duplicate), the rest edited.
+    // Bloom-prefiltered on both sides, exact-confirmed — result is exact.
+    "dedup_incremental" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val newBatch = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          when(col("doc_id") % 3 === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" updated"))).as("text"))
+      DedupOps.incrementalDedup(newBatch, docs).orderBy("doc_id")
+    },
+    // Normalization-aware exact dedup: reformatted copies (case +
+    // punctuation + spacing changes) collapse into one group
+    "dedup_normalized" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val variants = docs.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(upper(col("text")), lit(" !!")).as("text"))
+      DedupOps.normalizedDedup(docs.unionByName(variants)).orderBy("keep_id")
+    },
+    // Count-min sketch: estimates vs exact counts for the marker
+    // vocabulary (fixed-size cell grid; fully oracle-checked via the
+    // seeded portable hash family)
+    "text_cms_counts" -> { (s, dir) =>
+      SketchOps.cmsTokenCounts(Tables.documents(s, dir), cmsProbes)
+        .orderBy("token")
+    },
+    // One Lloyd step of k-means over embeddings: integer-exact cell
+    // assignment (the IVF coarse quantizer being trained in-engine), new
+    // centroid coordinates as exact double means
+    "emb_kmeans" -> { (s, dir) =>
+      SimilarityOps.kmeansStep(Tables.embeddings(s, dir),
+        SimilarityOps.seededCentroids(ivfCentroids, annDim, annSeed))
+        .orderBy("cell", "dim")
     },
     // ---- similarity search ---------------------------------------------
     "ann_brute_topk" -> { (s, dir) =>
@@ -423,6 +461,25 @@ object ExtensionQueries {
          |FROM (SELECT doc_id FROM documents WHERE doc_id >= 10) d
          |LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin
     },
+    "dedup_incremental" ->
+      """WITH newb AS (
+        |  SELECT doc_id + 1000000 AS new_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN text ELSE text || ' updated' END AS text
+        |  FROM documents WHERE doc_id % 10 = 0)
+        |SELECT new_id AS doc_id, text IN (SELECT text FROM documents) AS is_dup
+        |FROM newb ORDER BY doc_id""".stripMargin,
+    "dedup_normalized" ->
+      s"""WITH all_docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id, upper(text) || ' !!' AS text
+         |  FROM documents WHERE doc_id % 4 = 0)
+         |SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+         |FROM all_docs GROUP BY ${TextOps.normalizeSql("text")}
+         |ORDER BY keep_id""".stripMargin,
+    "text_cms_counts" ->
+      (SketchOps.cmsTokenCountsSql(cmsProbes) + " ORDER BY token"),
+    "emb_kmeans" -> kmeansOracleSql(),
     "ann_lsh_topk" -> lshTopkOracleSql(),
     "ann_ivf_topk" -> ivfTopkOracleSql(),
     "dedup_semantic" -> semanticDedupOracleSql(semDedupCos),
@@ -641,6 +698,31 @@ object ExtensionQueries {
          |  SELECT query_id, neighbor_id
          |  FROM query_cell JOIN corpus_cell USING (cell)
          |  WHERE query_id <> neighbor_id)""".stripMargin)
+  }
+
+  /** k-means Lloyd-step oracle: identical seeded integer centroids, exact
+    * integer cell assignment (the same CTEs as the IVF/SemDedup oracles),
+    * then per-(cell, dim) exact double means over the raw embeddings. */
+  private def kmeansOracleSql(): String = {
+    val cents = SimilarityOps.seededCentroids(ivfCentroids, annDim, annSeed)
+    s"""WITH cents(ci, cv) AS (VALUES ${longMatrixValues(cents)}),
+       |qv AS (SELECT vec_id, $quantListSql AS q FROM embeddings),
+       |d2 AS (
+       |  SELECT vec_id, ci,
+       |    list_reduce(list_transform(range(1, ${annDim + 1}),
+       |      i -> (q[i] - cv[i]) * (q[i] - cv[i])), (a, b) -> a + b) AS d
+       |  FROM qv CROSS JOIN cents),
+       |rankedc AS (
+       |  SELECT vec_id, ci,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d, ci) AS rc
+       |  FROM d2),
+       |cell AS (SELECT vec_id, CAST(ci AS BIGINT) AS cell
+       |         FROM rankedc WHERE rc = 1)
+       |SELECT c.cell, CAST(d.dim AS INT) AS dim, count(*) AS n,
+       |  round(avg(CAST(e.embedding[CAST(d.dim AS INT) + 1] AS DOUBLE)), 6) AS c_new
+       |FROM cell c JOIN embeddings e USING (vec_id)
+       |CROSS JOIN (SELECT unnest(range(0, $annDim)) AS dim) d
+       |GROUP BY 1, 2 ORDER BY cell, dim""".stripMargin
   }
 
   /** SemDedup oracle: identical seeded integer centroids, exact integer

@@ -47,6 +47,64 @@ object DedupOps {
       .agg(min(col("keep_p")).as("keep_id"), sum(col("n_p")).as("n_copies"))
       .select(col("keep_id"), col("n_copies"))
 
+  /** Normalization-aware exact dedup: [[exactDedup]] over the canonical
+    * text form ([[TextOps.normalize]] — case folding, punctuation/space
+    * collapsing), so trivially-reformatted copies land in one group. Same
+    * scale shape as exactDedup: only 8-byte hashes of the normalized text
+    * shuffle. */
+  def normalizedDedup(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    exactDedup(df.withColumn(textCol, TextOps.normalize(col(textCol))),
+      textCol, idCol)
+
+  // ---- incremental (cross-snapshot) dedup --------------------------------
+  /** Cross-snapshot exact dedup: flag every new-batch document whose text
+    * already exists (byte-identical) in the old corpus. The result is
+    * EXACT — the Bloom filters are purely scale devices and never change
+    * the output (false positives are re-checked by the join; false
+    * negatives cannot occur).
+    *
+    * Scale shape (the 100 TB story): snapshot-vs-snapshot dedup as a plain
+    * join shuffles BOTH corpora. Here (1) a Bloom filter over the old
+    * side's 8-byte text hashes (1 MiB at the default sizing) is collected
+    * once and probed inside whole-stage codegen over the new-batch scan —
+    * a 99%-new batch is resolved entirely map-side; (2) a second filter
+    * over the surviving new-batch hashes prunes the OLD-side scan to
+    * ~actual duplicates before the exact-confirm join, so neither corpus
+    * shuffles beyond the (tiny) candidate sets. This is the runtime-filter
+    * pattern Spark applies to selective joins, made explicit and
+    * snapshot-reusable (persist the old-side filter bytes and the next
+    * batch skips pass 1's aggregate entirely). */
+  def incrementalDedup(newDocs: DataFrame, oldDocs: DataFrame,
+      numBits: Int = 1 << 23,
+      numHashes: Int = graft.functions.BloomFilter.DefaultNumHashes,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import graft.functions.{BloomContains, BloomFilterAgg}
+    val oldKeyed = oldDocs.select(xxhash64(col(textCol)).as("__h"),
+      col(textCol).as("__t"))
+    // one-row driver collect (the filter bytes) — the same by-design move
+    // as the IVF centroid table, not a data-sized collect
+    val oldFilter = oldKeyed
+      .agg(BloomFilterAgg(col("__h"), numBits, numHashes).as("f"))
+      .head().getAs[Array[Byte]](0)
+    val newKeyed = newDocs.select(col(idCol).as("doc_id"),
+      xxhash64(col(textCol)).as("__h"), col(textCol).as("__t"))
+    // cache: probed twice (posFilter aggregate + exact-confirm join)
+    val positives = newKeyed
+      .filter(BloomContains(col("__h"), oldFilter, numHashes)).cache()
+    val posFilter = positives
+      .agg(BloomFilterAgg(col("__h"), numBits, numHashes).as("f"))
+      .head().getAs[Array[Byte]](0)
+    val oldPruned = oldKeyed.filter(BloomContains(col("__h"), posFilter, numHashes))
+    // exact confirm on (hash, text): only bloom-surviving rows from either
+    // side reach the shuffle; semi-join output is at-most-once per new row
+    val dups = positives.join(oldPruned, Seq("__h", "__t"), "left_semi")
+      .select(col("doc_id"), lit(true).as("is_dup"))
+    newDocs.select(col(idCol).as("doc_id"))
+      .join(dups, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("is_dup"), lit(false)).as("is_dup"))
+  }
+
   /** Duplicate-only view: texts appearing more than once (ids sorted). */
   def exactDupGroups(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame =

@@ -208,6 +208,49 @@ object SimilarityOps {
         (col("min_nb").isNull || col("min_nb") > col("vec_id")).as("keep"))
   }
 
+  /** One Lloyd (k-means) update step over the embedding column: assign
+    * every vector to its nearest centroid (exact integer arithmetic via
+    * [[graft.functions.NearestCentroid]] — deterministic, oracle-checkable
+    * cell membership), then the per-(cell, dimension) member count and new
+    * centroid coordinate (exact double mean, 6-dp rounded).
+    *
+    * Scale shape: assignment is one narrow pass (centroid matrix rides in
+    * the expression); the update is one groupBy over (cell, dim) — k·d
+    * result rows regardless of corpus size, with map-side partial
+    * aggregation so only k·d·partitions rows shuffle. This is how the IVF
+    * coarse quantizer ([[ivfTopK]]) gets trained in-engine instead of
+    * imported. */
+  def kmeansStep(corpus: DataFrame, cents: Array[Array[Long]]): DataFrame =
+    spread(corpus).select(
+        element_at(graft.functions.NearestCentroid(col("embedding"), cents, 1), 1)
+          .cast("long").as("cell"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("cell", "dim")
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("v").cast("double")), 6).as("c_new"))
+
+  /** Full Lloyd iteration: run [[kmeansStep]] `iters` times, re-quantizing
+    * the updated means to the integer centroid grid each round
+    * (floor(mean·scale + 0.5) — the exact quantizer applied to
+    * embeddings, so assignment stays integer-exact every round). Cells
+    * that lose all members keep their previous centroid. The k×d collect
+    * per round is the centroid table itself (tiny by construction). */
+  def kmeansLloyd(corpus: DataFrame, initial: Array[Array[Long]], iters: Int,
+      scale: Double = graft.functions.HyperplaneSig.QuantScale): Array[Array[Long]] = {
+    var cents = initial
+    var it = 0
+    while (it < iters) {
+      val next = cents.map(_.clone())
+      kmeansStep(corpus, cents).collect().foreach { r =>
+        next(r.getLong(0).toInt)(r.getInt(1)) =
+          math.floor(r.getDouble(3) * scale + 0.5).toLong
+      }
+      cents = next
+      it += 1
+    }
+    cents
+  }
+
   /** Random-hyperplane LSH signatures: `bands` bands of `rowsPerBand` sign
     * bits each, hyperplanes drawn from a seeded RNG on the driver and
     * broadcast as literals (Charikar 2002 SimHash for cosine). Returns

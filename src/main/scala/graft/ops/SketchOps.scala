@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sketch-based approximate analytics: a count-min sketch (Cormode &
+  * Muthukrishnan 2005) over the token stream, with deterministic seeded
+  * hash rows so the whole pipeline — sketch build AND probe — is
+  * engine-portable and DuckDB-oracle-checkable (the same move that made
+  * MinHash/SimHash hash-checkable via PolyHash).
+  *
+  * Scale shape (the 100 TB story): the sketch is a FIXED depth×width cell
+  * grid (4×1024 = 32 KiB of counters here) no matter the corpus size.
+  * Building it is one groupBy over (row, bucket): map-side partial
+  * aggregation compresses every partition to ≤ depth·width rows before the
+  * shuffle, so the exchange carries O(partitions · depth · width) rows —
+  * same shape as the histogram fill path. Point queries touch `depth`
+  * cells. This is the standard answer to "top-k / frequency over a stream
+  * too big to hold exact counts per key".
+  */
+object SketchOps {
+
+  final val P: Long = graft.functions.PolyHash.P
+
+  /** Seeded pairwise hash family (a_r, b_r) for the sketch rows —
+    * deterministic and public so the DuckDB oracle embeds the same
+    * coefficients. 31-bit range keeps h·a+b < 2^62 (ANSI-safe). */
+  def cmsCoefficients(depth: Int, seed: Long = 7L): (Array[Long], Array[Long]) = {
+    val rng = new scala.util.Random(seed)
+    val as = Array.fill(depth)((rng.nextLong() >>> 1) % (P - 1) + 1)
+    val bs = Array.fill(depth)((rng.nextLong() >>> 1) % P)
+    (as, bs)
+  }
+
+  private def bucketCol(h: Column, a: Long, b: Long, width: Int): Column =
+    pmod(pmod(h * lit(a) + lit(b), lit(P)), lit(width.toLong))
+
+  /** The sketch relation (r, bucket, cnt) for a token column: every token
+    * increments one bucket per hash row. */
+  def cmsSketch(tokens: DataFrame, depth: Int, width: Int, seed: Long): DataFrame = {
+    val (as, bs) = cmsCoefficients(depth, seed)
+    val h = graft.functions.PolyHash(col("tok"))
+    tokens
+      .select(posexplode(array((0 until depth).map(r =>
+        bucketCol(h, as(r), bs(r), width)): _*)).as(Seq("r", "bucket")))
+      .groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Count-min estimates vs exact counts for a fixed probe vocabulary:
+    * (token, exact_n, cms_est), est = min over rows of the probed cells —
+    * always ≥ exact (one-sided error, ε ≈ e/width of the stream length).
+    * The exact pass exists to EXHIBIT the sketch error; production keeps
+    * only the sketch. */
+  def cmsTokenCounts(docs: DataFrame, probes: Seq[String], depth: Int = 4,
+      width: Int = 1024, seed: Long = 7L, textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (as, bs) = cmsCoefficients(depth, seed)
+    val tokens = docs
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(explode(split(col(textCol), " ")).as("tok"))
+    val sketch = cmsSketch(tokens, depth, width, seed)
+    val probeBuckets = probes.toDF("token")
+      .select(col("token"), posexplode(array((0 until depth).map(r =>
+        bucketCol(graft.functions.PolyHash(col("token")), as(r), bs(r), width)): _*))
+        .as(Seq("r", "bucket")))
+    // left join: a probe whose cell no token ever hit estimates 0. The
+    // sketch (≤ depth·width rows by construction) is the broadcast side.
+    val est = probeBuckets.join(broadcast(sketch), Seq("r", "bucket"), "left")
+      .groupBy("token")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+    val exact = tokens.filter(col("tok").isin(probes: _*))
+      .groupBy(col("tok").as("token")).agg(count(lit(1)).as("exact_n"))
+    probes.toDF("token")
+      .join(exact, Seq("token"), "left")
+      .join(est, Seq("token"))
+      .select(col("token"), coalesce(col("exact_n"), lit(0L)).as("exact_n"),
+        col("cms_est"))
+  }
+
+  /** DuckDB twin of [[cmsTokenCounts]] — same PolyHash, same seeded
+    * coefficients, same cell grid. */
+  def cmsTokenCountsSql(probes: Seq[String], depth: Int = 4, width: Int = 1024,
+      seed: Long = 7L): String = {
+    val (as, bs) = cmsCoefficients(depth, seed)
+    val coef = (0 until depth).map(r => s"($r, ${as(r)}, ${bs(r)})").mkString(", ")
+    val probeVals = probes.map(t => s"('$t')").mkString(", ")
+    val inList = probes.map(t => s"'$t'").mkString(", ")
+    def poly(c: String) =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |  list_transform(range(1, length($c) + 1),
+         |    i -> CAST(unicode(substr($c, CAST(i AS INT), 1)) AS BIGINT))),
+         |  (acc, ch) -> (acc * 31 + ch) % $P)""".stripMargin
+    s"""WITH tok AS (
+       |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+       |th AS (SELECT tok, ${poly("tok")} AS h FROM tok),
+       |coef(r, a, b) AS (VALUES $coef),
+       |cells AS (
+       |  SELECT r, ((h * a + b) % $P) % $width AS bucket, count(*) AS cnt
+       |  FROM th CROSS JOIN coef GROUP BY 1, 2),
+       |probes(token) AS (VALUES $probeVals),
+       |ph AS (SELECT token, ${poly("token")} AS h FROM probes),
+       |pb AS (SELECT token, r, ((h * a + b) % $P) % $width AS bucket
+       |       FROM ph CROSS JOIN coef),
+       |est AS (
+       |  SELECT token, CAST(min(COALESCE(cnt, 0)) AS BIGINT) AS cms_est
+       |  FROM pb LEFT JOIN cells USING (r, bucket) GROUP BY 1),
+       |ex AS (SELECT tok AS token, count(*) AS exact_n FROM tok
+       |       WHERE tok IN ($inList) GROUP BY 1)
+       |SELECT p.token, COALESCE(ex.exact_n, 0) AS exact_n, est.cms_est
+       |FROM probes p LEFT JOIN ex USING (token) JOIN est USING (token)""".stripMargin
+  }
+}

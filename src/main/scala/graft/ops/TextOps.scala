@@ -117,6 +117,17 @@ object TextOps {
       s"AND (${meanTokenLenSql(t)}) >= 3.0 AND (${meanTokenLenSql(t)}) <= 10.0 " +
       s"AND round(${dupTokenFractionSql(t)}, 6) <= $maxDupFrac)"
 
+  // ---- normalization ----------------------------------------------------
+  /** Canonical text form for normalization-aware dedup: lowercase,
+    * punctuation runs → space, whitespace runs collapsed, ends trimmed.
+    * RE2-safe patterns (no lookaround), so Spark's Java regex and DuckDB's
+    * RE2 agree; case folding is locale-free on this corpus (ASCII —
+    * asserted by the multimodal byte/codepoint checksum parity). */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[.,!?;:]+", " "), " +", " "))
+  def normalizeSql(t: String): String =
+    s"trim(regexp_replace(regexp_replace(lower($t), '[.,!?;:]+', ' ', 'g'), ' +', ' ', 'g'))"
+
   // ---- fingerprint ------------------------------------------------------
   /** Rolling polynomial hash (base 31 mod 1e9+7) of the first `maxLen`
     * characters — a deterministic document fingerprint. Delegates to the

@@ -215,4 +215,70 @@ class OpsSpec extends AnyFunSuite {
     assert(feats(0L).byteLen == "the quick brown fox jumps over the lazy dog".length)
     assert(feats(4L).brightness > 0 && feats(4L).brightness < 1)
   }
+
+  test("bloom filter: no false negatives; FP rate sane at design load") {
+    import graft.functions.BloomFilter
+    val numBits = 1 << 14
+    val words = new Array[Long](BloomFilter.numWords(numBits))
+    val rng = new scala.util.Random(1)
+    val inserted = Array.fill(1024)(rng.nextLong())
+    inserted.foreach(BloomFilter.set(words, numBits, 5, _))
+    assert(inserted.forall(BloomFilter.mightContain(words, numBits, 5, _)))
+    // 16 bits/key, k=5 -> theoretical FP ~5e-4; allow generous slack
+    val probes = Array.fill(20000)(rng.nextLong())
+      .filterNot(inserted.contains)
+    val fps = probes.count(BloomFilter.mightContain(words, numBits, 5, _))
+    assert(fps.toDouble / probes.length < 0.01, s"FP rate too high: $fps/20000")
+  }
+
+  test("incremental dedup: exact result, bloom positives verified") {
+    val old = docs
+    val newBatch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"), // dup of 0/3
+      (101L, "word"), // dup of 4
+      (102L, "a genuinely new document about nothing")).toDF("doc_id", "text")
+    val got = DedupOps.incrementalDedup(newBatch, old, numBits = 1 << 10)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got == Map(100L -> true, 101L -> true, 102L -> false))
+  }
+
+  test("normalized dedup: case/punctuation/spacing variants collapse") {
+    val d = Seq(
+      (0L, "Hello, World!"),
+      (1L, "hello  world"),
+      (2L, "HELLO WORLD."),
+      (3L, "different text")).toDF("doc_id", "text")
+    val got = DedupOps.normalizedDedup(d)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 3L, 3L -> 1L))
+  }
+
+  test("count-min sketch: estimate >= exact, exact when no collision") {
+    val d = Seq((0L, "a a a b c"), (1L, "a b x y z")).toDF("doc_id", "text")
+    val got = SketchOps.cmsTokenCounts(d, Seq("a", "b", "missing"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // tiny vocab in a 1024-wide sketch: no collisions, estimates exact
+    assert(got("a") == ((4L, 4L)))
+    assert(got("b") == ((2L, 2L)))
+    assert(got("missing")._1 == 0L)
+    assert(got("missing")._2 >= 0L) // bound only: could alias a real bucket
+  }
+
+  test("kmeans: step means match hand computation; Lloyd reduces distortion") {
+    // two obvious clusters on a 2-d grid, centroids seeded off-center
+    val emb = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(0.0f, 0.25f)),
+      (2L, Array(10.0f, 10.0f)), (3L, Array(10.0f, 9.75f)))
+      .toDF("vec_id", "embedding")
+    val init: Array[Array[Long]] = Array(Array(0L, 0L), Array(1280L, 1280L))
+    val step = SimilarityOps.kmeansStep(emb, init)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    // cell 0 holds vecs 0,1 -> mean y = 0.125; cell 1 holds 2,3 -> mean y = 9.875
+    assert(step((0L, 0)) == ((2L, 0.0)) && step((0L, 1)) == ((2L, 0.125)))
+    assert(step((1L, 0)) == ((2L, 10.0)) && step((1L, 1)) == ((2L, 9.875)))
+    val trained = SimilarityOps.kmeansLloyd(emb, init, iters = 2)
+    // quantized means: 0.125*256 = 32, 9.875*256 = 2528
+    assert(trained(0).toSeq == Seq(0L, 32L))
+    assert(trained(1).toSeq == Seq(2560L, 2528L))
+  }
 }
