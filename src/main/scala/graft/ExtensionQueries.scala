@@ -363,6 +363,19 @@ object ExtensionQueries {
     "curation_pipeline" -> { (s, dir) =>
       PipelineOps.curationPipeline(Tables.documents(s, dir)).orderBy("doc_id")
     },
+    // Per-domain quota cap: deterministic pseudo-random top-N per
+    // (lang, source) shard; digest = count + kept-id checksum
+    "text_domain_cap" -> { (s, dir) =>
+      PipelineOps.domainCapStats(Tables.documents(s, dir), cap = 20)
+        .orderBy("lang", "source")
+    },
+    // Context-window chunk spans (window 32, stride 24 — sized so this
+    // corpus' 10-99-token docs actually split): the chunk table for
+    // context-window training, produced narrowly on the scan
+    "text_chunks" -> { (s, dir) =>
+      PipelineOps.chunkSpans(Tables.documents(s, dir), window = 32, stride = 24)
+        .orderBy("doc_id", "chunk_idx")
+    },
     // Window-function + histogram composition: per-user inter-arrival
     // gaps on a log axis
     "events_interarrival_hist" -> { (s, dir) =>
@@ -491,6 +504,11 @@ object ExtensionQueries {
     "text_repetition" -> (PipelineOps.repetitionStatsSql + " ORDER BY doc_id"),
     "quality_classifier" -> (PipelineOps.classifierScoreSql + " ORDER BY doc_id"),
     "curation_pipeline" -> (PipelineOps.curationPipelineSql + " ORDER BY doc_id"),
+    "text_domain_cap" ->
+      (PipelineOps.domainCapStatsSql(20) + " ORDER BY lang, source"),
+    "text_chunks" ->
+      (PipelineOps.chunkSpansSql(window = 32, stride = 24) +
+        " ORDER BY doc_id, chunk_idx"),
     "events_interarrival_hist" ->
       s"""SELECT ${interArrAxis.sqlExpr("gap_s")} AS i0, count(*) AS value
          |FROM (

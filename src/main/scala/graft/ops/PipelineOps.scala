@@ -194,6 +194,74 @@ object PipelineOps {
        |  round(chars_dup / chars_all, 6) AS dup_char_frac
        |FROM agg""".stripMargin
 
+  // ---- per-domain quota capping ------------------------------------------
+  /** Keep at most `cap` documents per (lang, source) shard, selected by a
+    * deterministic pseudo-random order (portable multiplicative hash of
+    * doc_id, doc_id tiebreak) — "cap every domain at N docs" without a true
+    * RNG, so reruns and engines agree.
+    *
+    * Scale shape: one window per shard — rank computation sorts within the
+    * shard only (embarrassingly parallel across shards, like packing). For
+    * shards so hot the per-shard sort matters, production switches to an
+    * approximate rank threshold (sample the hash distribution, filter
+    * hash < t) — same keep semantics to within sampling error. */
+  def domainCap(docs: DataFrame, cap: Int): DataFrame = {
+    val ord = pmod(col("doc_id") * lit(2654435761L), lit(1000000007L))
+    val w = Window.partitionBy("lang", "source").orderBy(ord.asc, col("doc_id").asc)
+    docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap)
+      .drop("__rn")
+  }
+
+  /** Per-shard stats of the capped corpus (count + id checksum — a
+    * hash-checkable digest of exactly WHICH docs were kept). */
+  def domainCapStats(docs: DataFrame, cap: Int): DataFrame =
+    domainCap(docs, cap).groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("kept_id_sum"))
+
+  def domainCapStatsSql(cap: Int): String =
+    s"""WITH ranked AS (
+       |  SELECT lang, source, doc_id,
+       |    row_number() OVER (PARTITION BY lang, source
+       |      ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rn
+       |  FROM documents)
+       |SELECT lang, source, count(*) AS n_kept,
+       |  CAST(sum(doc_id) AS BIGINT) AS kept_id_sum
+       |FROM ranked WHERE rn <= $cap GROUP BY 1, 2""".stripMargin
+
+  // ---- context-window chunking -------------------------------------------
+  /** Fixed window/stride chunk spans per document (the chunking step that
+    * feeds context-window training): chunk i covers tokens
+    * [i·stride, i·stride + window); the last chunk is the first one whose
+    * span reaches the end. Pure integer arithmetic + one explode — narrow,
+    * zero shuffle, the chunk table is produced directly on the scan. */
+  def chunkSpans(docs: DataFrame, window: Int = 128, stride: Int = 96): DataFrame = {
+    require(window >= stride && stride > 0,
+      "need window >= stride > 0 for gapless coverage")
+    docs.select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tok"))
+      .withColumn("n_chunks",
+        lit(1L) + expr(s"(greatest(n_tok - $window, 0L) + ${stride - 1}L) div ${stride}L"))
+      .select(col("doc_id"), col("n_tok"),
+        explode(sequence(lit(0L), col("n_chunks") - 1L)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * lit(stride.toLong)).as("start_tok"),
+        least(lit(window.toLong),
+          col("n_tok") - col("chunk_idx") * lit(stride.toLong)).as("chunk_len"))
+  }
+
+  def chunkSpansSql(window: Int = 128, stride: Int = 96): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, ${TextOps.tokenCountSql("text")} AS n_tok FROM documents),
+       |c AS (
+       |  SELECT doc_id, n_tok,
+       |    1 + (greatest(n_tok - $window, 0) + ${stride - 1}) // $stride AS n_chunks
+       |  FROM t),
+       |x AS (SELECT doc_id, n_tok, unnest(range(0, n_chunks)) AS chunk_idx FROM c)
+       |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       |  CAST(chunk_idx * $stride AS BIGINT) AS start_tok,
+       |  CAST(least($window, n_tok - chunk_idx * $stride) AS BIGINT) AS chunk_len
+       |FROM x""".stripMargin
+
   // ---- end-to-end curation pipeline -------------------------------------
   /** Minimum classifier score a kept document needs (see
     * [[classifierScore]] — scores live in (-1, 1)). */

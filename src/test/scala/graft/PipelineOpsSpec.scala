@@ -130,4 +130,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got("en") == ((4L, 0.8125)))
     assert(got("de") == ((4L, 0.4375)))
   }
+
+  test("domainCap: at most cap docs per shard, deterministic selection") {
+    val docs = (0L until 30L).map(i => (i, if (i < 25) "en" else "de", "s", "t"))
+      .toDF("doc_id", "lang", "source", "text")
+    val kept = PipelineOps.domainCap(docs, cap = 10)
+    val byShard = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byShard == Map("en" -> 10L, "de" -> 5L)) // under-cap shard intact
+    // selection is a deterministic function of doc_id: two runs agree
+    val ids1 = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = PipelineOps.domainCap(docs, cap = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2 && ids1.size == 15)
+  }
+
+  test("chunkSpans: gapless cover, window/stride arithmetic, short docs") {
+    val docs = Seq(
+      (0L, Seq.fill(224)("w").mkString(" ")), // 224 tok = exactly 2 chunks
+      (1L, Seq.fill(225)("w").mkString(" ")), // 225 -> 3rd chunk of 33
+      (2L, "a b c")) // short doc -> 1 chunk of 3
+      .toDF("doc_id", "text")
+    val got = PipelineOps.chunkSpans(docs, window = 128, stride = 96)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got((0L, 0L)) == ((0L, 128L)) && got((0L, 1L)) == ((96L, 128L)))
+    assert(!got.contains((0L, 2L)))
+    assert(got((1L, 2L)) == ((192L, 33L)))
+    assert(got((2L, 0L)) == ((0L, 3L)) && !got.contains((2L, 1L)))
+    // every token position < n_tok is covered by some chunk
+    val cover0 = got.collect { case ((0L, _), (s, l)) => (s, s + l) }
+    assert(cover0.exists(c => c._1 <= 223 && 223 < c._2))
+  }
 }
