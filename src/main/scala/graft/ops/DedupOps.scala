@@ -411,12 +411,17 @@ object DedupOps {
       .filter(col("u") =!= col("v")).distinct().localCheckpoint()
     var converged = false
     var iter = 0
+    // carry the count forward: one count job per round (it doubles as the
+    // checkpoint-materialization action), not two
+    var prevCount = e.count()
     while (!converged && iter < maxIter) {
       val next = smallStar(largeStar(e)).localCheckpoint()
+      val cnt = next.count()
       // both sides are distinct sets: equal counts + empty one-sided diff
       // ⇒ set equality (the count probe is cheap on checkpointed frames
       // and skips the except shuffle on non-final rounds)
-      converged = next.count() == e.count() && next.except(e).isEmpty
+      converged = cnt == prevCount && next.except(e).isEmpty
+      prevCount = cnt
       e = next
       iter += 1
     }

@@ -23,6 +23,22 @@ object StreamingHist {
     df.withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming cross-snapshot dedup: drop stream rows whose key already
+    * exists in a STATIC reference corpus, via a pre-built Bloom filter
+    * probed inside whole-stage codegen — no stream-static join, no state.
+    * The streaming twin of DedupOps.incrementalDedup's prefilter pass.
+    *
+    * The Bloom probe admits ~FP-rate false drops if used alone; pass the
+    * surviving stream through an exact stream-static join on the key when
+    * exactness matters (the filter already removed the overwhelming
+    * majority, so the join state stays tiny). Build the filter bytes once
+    * with [[graft.functions.BloomFilterAgg]] over the reference corpus. */
+  def streamingBloomNewOnly(stream: DataFrame, keyCol: Column,
+      filterBytes: Array[Byte],
+      numHashes: Int = graft.functions.BloomFilter.DefaultNumHashes): DataFrame =
+    stream.filter(
+      !graft.functions.BloomContains(xxhash64(keyCol), filterBytes, numHashes))
+
   /** Windowed histogram: per (time window, bin...) aggregate. Works on
     * batch and streaming inputs alike; for streaming add
     * `.withWatermark(tsCol, ...)` upstream for state eviction. */

@@ -32,6 +32,26 @@ class StreamingHistSpec extends AnyFunSuite {
     assert(keys.toSeq == Seq("a", "b"))
   }
 
+  test("streaming bloom new-only filter drops known keys inside the stream") {
+    import graft.functions.BloomFilterAgg
+    val dir = java.nio.file.Files.createTempDirectory("graft-sbloom").toFile
+    val reference = Seq("old-1", "old-2", "old-3").toDF("k")
+    val filterBytes = reference
+      .agg(BloomFilterAgg(xxhash64($"k"), 1 << 10, 5).as("f"))
+      .head().getAs[Array[Byte]](0)
+    val data = Seq("old-1", "new-a", "old-3", "new-b")
+    data.toDF("k").coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    val in = spark.readStream.schema(data.toDF("k").schema).parquet(dir.toString)
+    val q = StreamingHist.streamingBloomNewOnly(in, $"k", filterBytes)
+      .writeStream.outputMode("append").format("memory").queryName("sbloom")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val kept = spark.table("sbloom").collect().map(_.getString(0)).sorted
+    // bloom has no false negatives: every old key is dropped; with a
+    // 1024-bit filter over 3 keys the new keys survive (no collision)
+    assert(kept.toSeq == Seq("new-a", "new-b"))
+  }
+
   test("streamed windowed fill == batch windowed fill") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toFile
     val data = Seq.tabulate(300) { i =>
