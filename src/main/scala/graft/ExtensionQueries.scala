@@ -128,6 +128,13 @@ object ExtensionQueries {
       SketchOps.cmsTokenCounts(Tables.documents(s, dir), cmsProbes)
         .orderBy("token")
     },
+    // KMV distinct-count sketch vs exact over the 3-shingle domain (16k+
+    // distinct values): k-long mergeable sketch instead of a
+    // distinct-domain shuffle; fully oracle-checked (deterministic hash)
+    "text_distinct_shingles" -> { (s, dir) =>
+      SketchOps.kmvDistinct(
+        DedupOps.shingles(Tables.documents(s, dir), 3), col("shingle"))
+    },
     // One Lloyd step of k-means over embeddings: integer-exact cell
     // assignment (the IVF coarse quantizer being trained in-engine), new
     // centroid coordinates as exact double means
@@ -492,6 +499,12 @@ object ExtensionQueries {
          |ORDER BY keep_id""".stripMargin,
     "text_cms_counts" ->
       (SketchOps.cmsTokenCountsSql(cmsProbes) + " ORDER BY token"),
+    "text_distinct_shingles" -> SketchOps.kmvDistinctSql(
+      s"""SELECT DISTINCT doc_id, string_split(text,' ')[pos] || ' ' ||
+         |string_split(text,' ')[pos+1] || ' ' || string_split(text,' ')[pos+2] AS shingle
+         |FROM (SELECT doc_id, text,
+         |unnest(range(1, greatest(len(string_split(text,' ')) - 1, 1))) AS pos
+         |FROM documents)""".stripMargin, "shingle"),
     "emb_kmeans" -> kmeansOracleSql(),
     "ann_lsh_topk" -> lshTopkOracleSql(),
     "ann_ivf_topk" -> ivfTopkOracleSql(),

@@ -78,6 +78,52 @@ object SketchOps {
         col("cms_est"))
   }
 
+  // ---- KMV distinct-count sketch -----------------------------------------
+  /** Distinct-count estimate via the k-minimum-values sketch
+    * ([[graft.functions.KmvAgg]]) next to the exact `countDistinct`, one
+    * output row (n_exact, kmv_est). The exact column exists to EXHIBIT the
+    * sketch error (±1/√k); production keeps only the k-long sketch — no
+    * distinct-domain shuffle, mergeable across partitions/snapshots. */
+  /** Affine post-mix (a·h + b) mod P over the raw PolyHash: structured
+    * strings hash to CLUSTERED polynomial values, which skews the low
+    * order statistics KMV estimates from (measured: 13× low-tail deficit
+    * on sequential strings → estimate off by 12×). The same decorrelation
+    * MinHash uses, with the same portable SQL form. */
+  private val (kmvA, kmvB): (Long, Long) = {
+    val (as, bs) = cmsCoefficients(1, seed = 11L)
+    (as(0), bs(0))
+  }
+
+  def kmvDistinct(rel: DataFrame, value: Column, k: Int = 256): DataFrame =
+    rel.agg(
+        countDistinct(value).as("n_exact"),
+        graft.functions.KmvAgg(
+          pmod(graft.functions.PolyHash(value) * lit(kmvA) + lit(kmvB), lit(P)),
+          k).as("kmv"))
+      .select(col("n_exact"),
+        when(size(col("kmv")) < k, size(col("kmv")).cast("double"))
+          .otherwise(round(lit((k - 1).toDouble) * lit(P.toDouble) /
+            element_at(col("kmv"), k).cast("double"), 6)).as("kmv_est"))
+
+  /** DuckDB twin of [[kmvDistinct]]: `relCte` must yield the value column
+    * named by `valueCol`. */
+  def kmvDistinctSql(relCte: String, valueCol: String, k: Int = 256): String = {
+    val poly =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |  list_transform(range(1, length($valueCol) + 1),
+         |    i -> CAST(unicode(substr($valueCol, CAST(i AS INT), 1)) AS BIGINT))),
+         |  (acc, ch) -> (acc * 31 + ch) % $P)""".stripMargin
+    s"""WITH rel AS ($relCte),
+       |hs AS (SELECT DISTINCT (($poly) * $kmvA + $kmvB) % $P AS h FROM rel),
+       |km AS (SELECT h FROM hs ORDER BY h LIMIT $k),
+       |kk AS (SELECT max(h) AS hk, count(*) AS nk FROM km),
+       |ex AS (SELECT CAST(count(DISTINCT $valueCol) AS BIGINT) AS n_exact FROM rel)
+       |SELECT n_exact,
+       |  CASE WHEN nk < $k THEN CAST(nk AS DOUBLE)
+       |       ELSE round(${(k - 1)}.0 * $P.0 / CAST(hk AS DOUBLE), 6) END AS kmv_est
+       |FROM ex CROSS JOIN kk""".stripMargin
+  }
+
   /** DuckDB twin of [[cmsTokenCounts]] — same PolyHash, same seeded
     * coefficients, same cell grid. */
   def cmsTokenCountsSql(probes: Seq[String], depth: Int = 4, width: Int = 1024,

@@ -264,6 +264,21 @@ class OpsSpec extends AnyFunSuite {
     assert(got("missing")._2 >= 0L) // bound only: could alias a real bucket
   }
 
+  test("KMV sketch: exact under k, sane estimate over k, partition-stable") {
+    val small = (0 until 10).map(i => s"v$i").toDF("v")
+    val r1 = SketchOps.kmvDistinct(small, col("v"), k = 16).collect()(0)
+    assert(r1.getLong(0) == 10L && r1.getDouble(1) == 10.0)
+    val big = (0 until 5000).map(i => s"value-$i").toDF("v")
+    val r2 = SketchOps.kmvDistinct(big.repartition(8), col("v"), k = 64).collect()(0)
+    assert(r2.getLong(0) == 5000L)
+    // 1/sqrt(64) = 12.5% relative error; allow a wide deterministic band
+    assert(math.abs(r2.getDouble(1) - 5000.0) / 5000.0 < 0.5,
+      s"estimate ${r2.getDouble(1)} too far from 5000")
+    // sketch is a function of the SET: partitioning must not matter
+    val r3 = SketchOps.kmvDistinct(big.coalesce(1), col("v"), k = 64).collect()(0)
+    assert(r2.getDouble(1) == r3.getDouble(1))
+  }
+
   test("kmeans: step means match hand computation; Lloyd reduces distortion") {
     // two obvious clusters on a 2-d grid, centroids seeded off-center
     val emb = Seq(
