@@ -111,4 +111,45 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("bloom filter law: membership of every inserted key, any merge order") {
+    import graft.functions.BloomFilter
+    check(forAll(Gen.listOf(Gen.long), Gen.listOf(Gen.long)) { (xs, ys) =>
+      val numBits = 1 << 12
+      // two partial filters merged (wordwise OR) == one filter over the union
+      val a = new Array[Long](BloomFilter.numWords(numBits))
+      val b = new Array[Long](BloomFilter.numWords(numBits))
+      xs.foreach(BloomFilter.set(a, numBits, 5, _))
+      ys.foreach(BloomFilter.set(b, numBits, 5, _))
+      val merged = a.zip(b).map { case (x, y) => x | y }
+      val direct = new Array[Long](BloomFilter.numWords(numBits))
+      (xs ++ ys).foreach(BloomFilter.set(direct, numBits, 5, _))
+      merged.sameElements(direct) &&
+        (xs ++ ys).forall(BloomFilter.mightContain(merged, numBits, 5, _))
+    })
+  }
+
+  test("KMV law: k-minima of a multiset are grouping-independent") {
+    check(forAll(Gen.listOf(Gen.choose(0L, 1000L)), Gen.choose(2, 16),
+      Gen.choose(0, 5)) { (xs, k, splitSeed) =>
+      def kmin(values: Seq[Long]): Seq[Long] = values.distinct.sorted.take(k)
+      // drive the REAL aggregate paths: update via a bound input row,
+      // serialize/deserialize round-trip, then merge of arbitrary splits
+      // — must equal the global k distinct minima
+      val agg = graft.functions.KmvAgg(
+        org.apache.spark.sql.catalyst.expressions.BoundReference(
+          0, org.apache.spark.sql.types.LongType, nullable = false), k)
+      val rnd = new scala.util.Random(splitSeed)
+      val parts = xs.groupBy(_ => rnd.nextInt(3)).values.toSeq
+      val merged = parts
+        .map { p =>
+          val buf = p.foldLeft(agg.createAggregationBuffer()) { (b, v) =>
+            agg.update(b, org.apache.spark.sql.catalyst.InternalRow(v))
+          }
+          agg.deserialize(agg.serialize(buf)) // exec ↔ exec shuffle path
+        }
+        .foldLeft(agg.createAggregationBuffer())(agg.merge)
+      merged.toSeq == kmin(xs)
+    })
+  }
 }
