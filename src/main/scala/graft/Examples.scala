@@ -39,6 +39,23 @@ object Examples {
     h.write.format("noop").mode("overwrite").save()
     val sec = (System.nanoTime() - t0) / 1e9
     println(f"""{"example":"histogram2d_1e8","rows":$rows,"sec":$sec%.3f,"rows_per_sec":${rows / sec}%.0f}""")
+
+    // exact-dedup throughput: rows/100 synthetic ~135-char docs with a 50%
+    // duplicate rate (id mod nDocs/2), generated in-executor. Measures the
+    // dedup module's steady-state core: hash + map-side partial group +
+    // 8-byte-key shuffle (full documents never shuffle).
+    val nDocs = math.max(rows / 100, 1000L)
+    def docsDf = spark.range(nDocs).toDF("doc_id")
+      .withColumn("text", concat_ws(" ", (0 until 8).map(i =>
+        hex(xxhash64(pmod(col("doc_id"), lit(math.max(nDocs / 2, 1L))) +
+          lit(i * 1000000L)))): _*))
+    graft.ops.DedupOps.exactDedup(docsDf.limit((nDocs / 100).toInt))
+      .write.format("noop").mode("overwrite").save() // warm-up
+    val t1 = System.nanoTime()
+    graft.ops.DedupOps.exactDedup(docsDf)
+      .write.format("noop").mode("overwrite").save()
+    val dsec = (System.nanoTime() - t1) / 1e9
+    println(f"""{"example":"exact_dedup","docs":$nDocs,"sec":$dsec%.3f,"docs_per_sec":${nDocs / dsec}%.0f}""")
     spark.stop()
   }
 }
