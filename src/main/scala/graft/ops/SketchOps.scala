@@ -46,6 +46,23 @@ object SketchOps {
       .groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
   }
 
+  /** Time-windowed sketch: one count-min grid per event-time window —
+    * (window, r, bucket, cnt). Works on batch and streaming inputs alike
+    * (add `.withWatermark` upstream for state eviction); state per open
+    * window is bounded by depth·width cells, the sketch's whole point.
+    * The streaming twin of [[cmsSketch]], same shape as
+    * [[graft.streaming.StreamingHist.windowedFill]]. */
+  def windowedCmsSketch(tokens: DataFrame, tsCol: Column, windowDuration: String,
+      depth: Int = 4, width: Int = 1024, seed: Long = 7L): DataFrame = {
+    val (as, bs) = cmsCoefficients(depth, seed)
+    val h = graft.functions.PolyHash(col("tok"))
+    tokens
+      .select(window(tsCol, windowDuration).as("window"),
+        posexplode(array((0 until depth).map(r =>
+          bucketCol(h, as(r), bs(r), width)): _*)).as(Seq("r", "bucket")))
+      .groupBy("window", "r", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
   /** Count-min estimates vs exact counts for a fixed probe vocabulary:
     * (token, exact_n, cms_est), est = min over rows of the probed cells —
     * always ≥ exact (one-sided error, ε ≈ e/width of the stream length).

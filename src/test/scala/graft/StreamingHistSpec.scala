@@ -52,6 +52,29 @@ class StreamingHistSpec extends AnyFunSuite {
     assert(kept.toSeq == Seq("new-a", "new-b"))
   }
 
+  test("streamed windowed CMS sketch == batch windowed sketch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-scms").toFile
+    val data = Seq.tabulate(200) { i =>
+      (java.sql.Timestamp.valueOf(f"2024-01-01 ${i % 3}%02d:00:01"), s"tok${i % 7}")
+    }
+    val batchDf = data.toDF("ts", "tok")
+    batchDf.coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getStruct(0).getTimestamp(0).getTime, r.getInt(1), r.getLong(2)) -> r.getLong(3)
+    val batch = graft.ops.SketchOps
+      .windowedCmsSketch(batchDf, $"ts", "1 hour", depth = 2, width = 64)
+      .collect().map(key).toMap
+    val streamIn = spark.readStream.schema(batchDf.schema).parquet(dir.toString)
+      .withWatermark("ts", "2 hours")
+    val q = graft.ops.SketchOps
+      .windowedCmsSketch(streamIn, $"ts", "1 hour", depth = 2, width = 64)
+      .writeStream.outputMode("complete").format("memory").queryName("scms")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("scms").collect().map(key).toMap
+    assert(got == batch && got.nonEmpty)
+  }
+
   test("streamed windowed fill == batch windowed fill") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toFile
     val data = Seq.tabulate(300) { i =>
