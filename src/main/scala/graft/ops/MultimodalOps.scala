@@ -65,6 +65,43 @@ object MultimodalOps {
     media.mapPartitions { it => it.map(StubCodec.decode) }
   }
 
+  /** One sampled frame of a media payload. */
+  final case class FrameRow(id: Long, frameIdx: Int, payload: Array[Byte])
+
+  /** STUB resize: deterministic byte decimation standing in for a real
+    * scaler — keeps a stride-sampled prefix of ~w·h bytes and stamps the
+    * target dimensions. The pipeline shape (per-partition map, metadata
+    * update, payload replacement) is what a real scaler plugs into. */
+  def resize(media: Dataset[MediaRow], w: Int, h: Int)
+      (implicit spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    require(w > 0 && h > 0, "target dimensions must be positive")
+    media.mapPartitions(_.map { r =>
+      val target = w * h
+      val stride = math.max(1, r.payload.length / math.max(1, target))
+      val out = r.payload.indices.by(stride).take(target)
+        .map(r.payload).toArray
+      r.copy(payload = out, width = w, height = h)
+    })
+  }
+
+  /** STUB frame sampling: treat the payload as consecutive `frameSize`-byte
+    * frames and emit every `everyN`-th one. flatMap over a lazy iterator —
+    * a long video never materializes all its frames at once, and the
+    * (small) sampled frames are what move downstream, not the blob. */
+  def frameSample(media: Dataset[MediaRow], frameSize: Int, everyN: Int)
+      (implicit spark: SparkSession): Dataset[FrameRow] = {
+    import spark.implicits._
+    require(frameSize > 0 && everyN > 0)
+    media.mapPartitions(_.flatMap { r =>
+      val n = r.payload.length / frameSize
+      Iterator.range(0, n, everyN).map { f =>
+        FrameRow(r.id, f,
+          java.util.Arrays.copyOfRange(r.payload, f * frameSize, (f + 1) * frameSize))
+      }
+    })
+  }
+
   /** Re-partition so each task sees ~targetBytes of payload — the knob that
     * keeps a 100 TB blob table from OOMing fixed-row-count tasks. */
   def repartitionByBytes(media: Dataset[MediaRow], targetBytes: Long,

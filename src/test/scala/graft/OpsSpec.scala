@@ -216,6 +216,23 @@ class OpsSpec extends AnyFunSuite {
     assert(feats(4L).brightness > 0 && feats(4L).brightness < 1)
   }
 
+  test("multimodal resize + frame sampling: deterministic stub stages") {
+    implicit val s: SparkSession = spark
+    val media = MultimodalOps.asMedia(docs, "doc_id", "text", "text/plain")
+    val small = MultimodalOps.resize(media, 4, 2).collect().map(m => m.id -> m).toMap
+    assert(small(0L).width == 4 && small(0L).height == 2)
+    assert(small(0L).payload.length <= 8 && small(0L).payload.nonEmpty)
+    // deterministic: same input, same resized bytes
+    val again = MultimodalOps.resize(media, 4, 2).collect().map(m => m.id -> m).toMap
+    assert(small(0L).payload.toSeq == again(0L).payload.toSeq)
+    // doc 0 text is 43 bytes -> 4 frames of 10, every 2nd -> idx 0 and 2
+    val frames = MultimodalOps.frameSample(media, frameSize = 10, everyN = 2)
+      .collect().filter(_.id == 0L).sortBy(_.frameIdx)
+    assert(frames.map(_.frameIdx).toSeq == Seq(0, 2))
+    assert(frames.forall(_.payload.length == 10))
+    assert(new String(frames(0).payload) == "the quick ")
+  }
+
   test("bloom filter: no false negatives; FP rate sane at design load") {
     import graft.functions.BloomFilter
     val numBits = 1 << 14
