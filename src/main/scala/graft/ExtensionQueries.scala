@@ -275,7 +275,9 @@ object ExtensionQueries {
     // Deterministic stratified sampling: per-language rates via a
     // portable hash of the doc id (train-data curation primitive)
     "text_stratified_sample" -> { (s, dir) =>
-      val bucket = pmod(col("doc_id") * lit(2654435761L), lit(1000L))
+      // mod before multiply: unbounded doc_id·A overflows under ANSI
+      val bucket = pmod(pmod(pmod(col("doc_id"), lit(1000000007L)) *
+        lit(2654435761L), lit(1000000007L)), lit(1000L))
       val rate = when(col("lang") === "en", 1000L).when(col("lang") === "de", 500L)
         .when(col("lang") === "fr", 250L).otherwise(100L)
       Tables.documents(s, dir)
@@ -629,7 +631,7 @@ object ExtensionQueries {
          |FROM documents d JOIN tf USING (doc_id) ORDER BY doc_id""".stripMargin,
     "text_stratified_sample" ->
       """SELECT lang, count(*) AS n_sampled FROM documents
-        |WHERE (doc_id * 2654435761) % 1000 <
+        |WHERE (((doc_id % 1000000007) * 2654435761) % 1000000007) % 1000 <
         |  (CASE WHEN lang = 'en' THEN 1000 WHEN lang = 'de' THEN 500
         |        WHEN lang = 'fr' THEN 250 ELSE 100 END)
         |GROUP BY 1 ORDER BY lang""".stripMargin,
@@ -661,6 +663,24 @@ object ExtensionQueries {
   private def longMatrixValues(m: Array[Array[Long]]): String =
     m.zipWithIndex.map { case (row, i) => s"($i, [${row.mkString(",")}])" }
       .mkString(", ")
+
+  /** Shared CTE prefix for every oracle that assigns centroid cells (IVF,
+    * SemDedup, k-means): seeded integer centroids as VALUES, quantized
+    * embeddings, exact integer squared-L2 distances, per-vector centroid
+    * ranking with ties to the lower id (NearestCentroid's contract).
+    * Emitted from ONE place so the three oracles cannot drift. */
+  private def centroidAssignCtes(cents: Array[Array[Long]]): String =
+    s"""cents(ci, cv) AS (VALUES ${longMatrixValues(cents)}),
+       |qv AS (SELECT vec_id, $quantListSql AS q FROM embeddings),
+       |d2 AS (
+       |  SELECT vec_id, ci,
+       |    list_reduce(list_transform(range(1, ${annDim + 1}),
+       |      i -> (q[i] - cv[i]) * (q[i] - cv[i])), (a, b) -> a + b) AS d
+       |  FROM qv CROSS JOIN cents),
+       |rankedc AS (
+       |  SELECT vec_id, ci,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d, ci) AS rc
+       |  FROM d2)""".stripMargin
 
   /** Cosine re-rank + top-k tail shared by the two ANN oracles: exact
     * double cosine (bit-identical to CosineSim's sequential sums), NaN
@@ -710,17 +730,7 @@ object ExtensionQueries {
   private def ivfTopkOracleSql(): String = {
     val cents = SimilarityOps.seededCentroids(ivfCentroids, annDim, annSeed)
     annRerankSql(
-      s"""WITH cents(ci, cv) AS (VALUES ${longMatrixValues(cents)}),
-         |qv AS (SELECT vec_id, $quantListSql AS q FROM embeddings),
-         |d2 AS (
-         |  SELECT vec_id, ci,
-         |    list_reduce(list_transform(range(1, ${annDim + 1}),
-         |      i -> (q[i] - cv[i]) * (q[i] - cv[i])), (a, b) -> a + b) AS d
-         |  FROM qv CROSS JOIN cents),
-         |rankedc AS (
-         |  SELECT vec_id, ci,
-         |    row_number() OVER (PARTITION BY vec_id ORDER BY d, ci) AS rc
-         |  FROM d2),
+      s"""WITH ${centroidAssignCtes(cents)},
          |corpus_cell AS (SELECT vec_id AS neighbor_id, ci AS cell
          |                FROM rankedc WHERE rc = 1),
          |query_cell AS (SELECT vec_id AS query_id, ci AS cell
@@ -736,17 +746,7 @@ object ExtensionQueries {
     * then per-(cell, dim) exact double means over the raw embeddings. */
   private def kmeansOracleSql(): String = {
     val cents = SimilarityOps.seededCentroids(ivfCentroids, annDim, annSeed)
-    s"""WITH cents(ci, cv) AS (VALUES ${longMatrixValues(cents)}),
-       |qv AS (SELECT vec_id, $quantListSql AS q FROM embeddings),
-       |d2 AS (
-       |  SELECT vec_id, ci,
-       |    list_reduce(list_transform(range(1, ${annDim + 1}),
-       |      i -> (q[i] - cv[i]) * (q[i] - cv[i])), (a, b) -> a + b) AS d
-       |  FROM qv CROSS JOIN cents),
-       |rankedc AS (
-       |  SELECT vec_id, ci,
-       |    row_number() OVER (PARTITION BY vec_id ORDER BY d, ci) AS rc
-       |  FROM d2),
+    s"""WITH ${centroidAssignCtes(cents)},
        |cell AS (SELECT vec_id, CAST(ci AS BIGINT) AS cell
        |         FROM rankedc WHERE rc = 1)
        |SELECT c.cell, CAST(d.dim AS INT) AS dim, count(*) AS n,
@@ -761,17 +761,7 @@ object ExtensionQueries {
     * contract), within-cell pairs, exact cosine, min-id keeper election. */
   private def semanticDedupOracleSql(t: Double): String = {
     val cents = SimilarityOps.seededCentroids(ivfCentroids, annDim, annSeed)
-    s"""WITH cents(ci, cv) AS (VALUES ${longMatrixValues(cents)}),
-       |qv AS (SELECT vec_id, $quantListSql AS q FROM embeddings),
-       |d2 AS (
-       |  SELECT vec_id, ci,
-       |    list_reduce(list_transform(range(1, ${annDim + 1}),
-       |      i -> (q[i] - cv[i]) * (q[i] - cv[i])), (a, b) -> a + b) AS d
-       |  FROM qv CROSS JOIN cents),
-       |rankedc AS (
-       |  SELECT vec_id, ci,
-       |    row_number() OVER (PARTITION BY vec_id ORDER BY d, ci) AS rc
-       |  FROM d2),
+    s"""WITH ${centroidAssignCtes(cents)},
        |cell AS (SELECT vec_id, CAST(ci AS BIGINT) AS cell
        |         FROM rankedc WHERE rc = 1),
        |pairs AS (

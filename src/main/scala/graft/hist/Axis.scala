@@ -70,10 +70,19 @@ final case class Regular(n: Int, lo: Double, hi: Double, name: String = "",
   override def binCol(c: Column): Column = {
     val d = c.cast(DoubleType)
     if (upperInclusive)
+      // least(..., n): the multiply-floor arithmetic can round an
+      // in-range d (lo < d < hi, within one ulp of hi) up to bin n+1 —
+      // but this mode's contract (NumPy closed top edge) is that ONLY
+      // d > hi overflows, so clamp in-range values into the last bin.
+      // The right-exclusive branch deliberately does NOT clamp: boost's
+      // regular axis uses the same arithmetic and sends those fills to
+      // overflow, and matching boost is that branch's contract.
       when(d.isNull || isnan(d) || d > hi, lit(n + 1).cast(LongType))
         .when(d === hi, lit(n.toLong))
         .when(d < lo, lit(0L))
-        .otherwise(floor((d - lit(lo)) * lit(n.toDouble) / lit(hi - lo)) + lit(1L))
+        .otherwise(least(
+          floor((d - lit(lo)) * lit(n.toDouble) / lit(hi - lo)) + lit(1L),
+          lit(n.toLong)))
     else
       when(d.isNull || isnan(d) || d >= hi, lit(n + 1).cast(LongType))
         .when(d < lo, lit(0L))
@@ -89,7 +98,7 @@ final case class Regular(n: Int, lo: Double, hi: Double, name: String = "",
       s"(CASE WHEN $v IS NULL OR isnan($v) OR $v > $hi THEN ${n + 1} " +
         s"WHEN $v = $hi THEN $n " +
         s"WHEN $v < $lo THEN 0 " +
-        s"ELSE CAST(floor(($v - $lo) * ${n.toDouble} / ${hi - lo}) AS BIGINT) + 1 END)"
+        s"ELSE least(CAST(floor(($v - $lo) * ${n.toDouble} / ${hi - lo}) AS BIGINT) + 1, $n) END)"
     else
       s"(CASE WHEN $v IS NULL OR isnan($v) OR $v >= $hi THEN ${n + 1} " +
         s"WHEN $v < $lo THEN 0 " +

@@ -89,9 +89,13 @@ object DedupOps {
       .head().getAs[Array[Byte]](0)
     val newKeyed = newDocs.select(col(idCol).as("doc_id"),
       xxhash64(col(textCol)).as("__h"), col(textCol).as("__t"))
-    // cache: probed twice (posFilter aggregate + exact-confirm join)
+    // materialized once, read twice (posFilter aggregate + exact-confirm
+    // join). localCheckpoint, not cache(): checkpoint blocks are released
+    // by the ContextCleaner when the frame goes out of scope, while a
+    // cache() entry would leak into executor storage for the session's
+    // lifetime (one leaked frame per batch in a nightly snapshot loop)
     val positives = newKeyed
-      .filter(BloomContains(col("__h"), oldFilter, numHashes)).cache()
+      .filter(BloomContains(col("__h"), oldFilter, numHashes)).localCheckpoint()
     val posFilter = positives
       .agg(BloomFilterAgg(col("__h"), numBits, numHashes).as("f"))
       .head().getAs[Array[Byte]](0)
@@ -148,10 +152,13 @@ object DedupOps {
     * 10^12 pairs. Shingles with document frequency > maxDf are dropped
     * from candidate generation and intersection counts (drop-only — the
     * per-doc sizes in the union denominator keep every shingle, so the
-    * reported jaccard is a lower bound when hot shingles exist). Pass
-    * `maxDf = Int.MaxValue` for the exact uncapped form. */
+    * reported jaccard is a lower bound when hot shingles exist). The
+    * DEFAULT is the exact uncapped form — capping is an explicit,
+    * caller-visible accuracy trade (a silent cap default would drop
+    * previously-reported pairs for existing callers); pass a cap for any
+    * corpus big enough to have viral shingles. */
   def jaccardNearDupStats(df: DataFrame, k: Int = 3, threshold: Double = 0.3,
-      maxDf: Int = 50, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      maxDf: Int = Int.MaxValue, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     // (doc, n_sh, shingle): per-doc size rides along with every exploded
     // row — no separate size aggregation, no size joins, and identical
     // left/right subplans let Spark reuse one shuffle exchange for the

@@ -119,28 +119,33 @@ object PipelineOps {
       s"ELSE '' END)"
 
   /** Per-document PII scan: match counts per pattern class plus the
-    * document length after `<PII>` redaction. Pure narrow expressions over
-    * the scan — zero shuffle at any scale. */
+    * document length after `<PII>` redaction. Each class is counted on the
+    * text with the EARLIER classes already redacted (the same email →
+    * ipv4 → idrun order as the redaction), so digits inside a matched
+    * email are never double-counted as an id run — counts equal the
+    * number of replacements each pass performs. Pure narrow expressions
+    * over the scan — zero shuffle at any scale. */
   def piiStats(docs: DataFrame): DataFrame = {
     val aug = withSyntheticPii(col("text"), col("doc_id"))
-    val redacted = regexp_replace(
-      regexp_replace(regexp_replace(aug, emailRe, "<PII>"), ipv4Re, "<PII>"),
-      idRunRe, "<PII>")
+    val afterEmail = regexp_replace(aug, emailRe, "<PII>")
+    val afterIp = regexp_replace(afterEmail, ipv4Re, "<PII>")
+    val redacted = regexp_replace(afterIp, idRunRe, "<PII>")
     docs.select(col("doc_id"),
       size(regexp_extract_all(aug, lit(emailRe), lit(0))).cast("long").as("n_emails"),
-      size(regexp_extract_all(aug, lit(ipv4Re), lit(0))).cast("long").as("n_ips"),
-      size(regexp_extract_all(aug, lit(idRunRe), lit(0))).cast("long").as("n_ids"),
+      size(regexp_extract_all(afterEmail, lit(ipv4Re), lit(0))).cast("long").as("n_ips"),
+      size(regexp_extract_all(afterIp, lit(idRunRe), lit(0))).cast("long").as("n_ids"),
       length(redacted).cast("long").as("redacted_len"))
   }
 
   def piiStatsSql: String = {
-    val aug = withSyntheticPiiSql("text", "doc_id")
-    val redacted = s"regexp_replace(regexp_replace(regexp_replace(($aug), " +
-      s"'$emailRe', '<PII>', 'g'), '$ipv4Re', '<PII>', 'g'), '$idRunRe', '<PII>', 'g')"
+    val aug = s"(${withSyntheticPiiSql("text", "doc_id")})"
+    val afterEmail = s"regexp_replace($aug, '$emailRe', '<PII>', 'g')"
+    val afterIp = s"regexp_replace($afterEmail, '$ipv4Re', '<PII>', 'g')"
+    val redacted = s"regexp_replace($afterIp, '$idRunRe', '<PII>', 'g')"
     s"""SELECT doc_id,
-       |  CAST(len(regexp_extract_all(($aug), '$emailRe')) AS BIGINT) AS n_emails,
-       |  CAST(len(regexp_extract_all(($aug), '$ipv4Re')) AS BIGINT) AS n_ips,
-       |  CAST(len(regexp_extract_all(($aug), '$idRunRe')) AS BIGINT) AS n_ids,
+       |  CAST(len(regexp_extract_all($aug, '$emailRe')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all($afterEmail, '$ipv4Re')) AS BIGINT) AS n_ips,
+       |  CAST(len(regexp_extract_all($afterIp, '$idRunRe')) AS BIGINT) AS n_ids,
        |  CAST(length($redacted) AS BIGINT) AS redacted_len
        |FROM documents""".stripMargin
   }
@@ -206,7 +211,11 @@ object PipelineOps {
     * approximate rank threshold (sample the hash distribution, filter
     * hash < t) — same keep semantics to within sampling error. */
   def domainCap(docs: DataFrame, cap: Int): DataFrame = {
-    val ord = pmod(col("doc_id") * lit(2654435761L), lit(1000000007L))
+    // mod BEFORE multiply: doc_id·A overflows Long (ANSI throw) past
+    // doc_id ≈ 3.5e9 — ids that large are exactly the 100 TB regime.
+    // (doc_id % P) < 2^30 keeps the product < 2^62.
+    val ord = pmod(pmod(col("doc_id"), lit(1000000007L)) * lit(2654435761L),
+      lit(1000000007L))
     val w = Window.partitionBy("lang", "source").orderBy(ord.asc, col("doc_id").asc)
     docs.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= cap)
@@ -223,7 +232,7 @@ object PipelineOps {
     s"""WITH ranked AS (
        |  SELECT lang, source, doc_id,
        |    row_number() OVER (PARTITION BY lang, source
-       |      ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rn
+       |      ORDER BY ((doc_id % 1000000007) * 2654435761) % 1000000007, doc_id) AS rn
        |  FROM documents)
        |SELECT lang, source, count(*) AS n_kept,
        |  CAST(sum(doc_id) AS BIGINT) AS kept_id_sum

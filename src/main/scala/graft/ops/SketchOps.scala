@@ -35,16 +35,22 @@ object SketchOps {
   private def bucketCol(h: Column, a: Long, b: Long, width: Int): Column =
     pmod(pmod(h * lit(a) + lit(b), lit(P)), lit(width.toLong))
 
-  /** The sketch relation (r, bucket, cnt) for a token column: every token
-    * increments one bucket per hash row. */
-  def cmsSketch(tokens: DataFrame, depth: Int, width: Int, seed: Long): DataFrame = {
+  /** (row, bucket) cell generator over the `tok` column — the ONE place
+    * the sketch's cell layout is defined (batch and windowed sketches must
+    * agree on it or their contents silently diverge). */
+  private def cellGen(depth: Int, width: Int, seed: Long): Column = {
     val (as, bs) = cmsCoefficients(depth, seed)
     val h = graft.functions.PolyHash(col("tok"))
-    tokens
-      .select(posexplode(array((0 until depth).map(r =>
-        bucketCol(h, as(r), bs(r), width)): _*)).as(Seq("r", "bucket")))
-      .groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
+    posexplode(array((0 until depth).map(r =>
+      bucketCol(h, as(r), bs(r), width)): _*))
   }
+
+  /** The sketch relation (r, bucket, cnt) for a token column: every token
+    * increments one bucket per hash row. */
+  def cmsSketch(tokens: DataFrame, depth: Int, width: Int, seed: Long): DataFrame =
+    tokens
+      .select(cellGen(depth, width, seed).as(Seq("r", "bucket")))
+      .groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
 
   /** Time-windowed sketch: one count-min grid per event-time window —
     * (window, r, bucket, cnt). Works on batch and streaming inputs alike
@@ -53,15 +59,11 @@ object SketchOps {
     * The streaming twin of [[cmsSketch]], same shape as
     * [[graft.streaming.StreamingHist.windowedFill]]. */
   def windowedCmsSketch(tokens: DataFrame, tsCol: Column, windowDuration: String,
-      depth: Int = 4, width: Int = 1024, seed: Long = 7L): DataFrame = {
-    val (as, bs) = cmsCoefficients(depth, seed)
-    val h = graft.functions.PolyHash(col("tok"))
+      depth: Int = 4, width: Int = 1024, seed: Long = 7L): DataFrame =
     tokens
       .select(window(tsCol, windowDuration).as("window"),
-        posexplode(array((0 until depth).map(r =>
-          bucketCol(h, as(r), bs(r), width)): _*)).as(Seq("r", "bucket")))
+        cellGen(depth, width, seed).as(Seq("r", "bucket")))
       .groupBy("window", "r", "bucket").agg(count(lit(1)).as("cnt"))
-  }
 
   /** Count-min estimates vs exact counts for a fixed probe vocabulary:
     * (token, exact_n, cms_est), est = min over rows of the probed cells —

@@ -34,7 +34,11 @@ object Sources {
     * supports at all). */
   def eventsWithTimestamp(spark: SparkSession, dir: String): DataFrame = {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
-    if (!spark.conf.getOption(key).contains("true")) spark.conf.set(key, "true")
+    // only if not EXPLICITLY set: a user-written `false` is respected (the
+    // read then fails loudly — the user's declared preference), never
+    // overridden. getAll holds explicit entries only; getOption would also
+    // see the registered default ("false") and make this guard a no-op.
+    if (!spark.conf.getAll.contains(key)) spark.conf.set(key, "true")
     spark.read.parquet(s"$dir/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }

@@ -23,16 +23,29 @@ object StreamingHist {
     df.withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Build the reference-corpus Bloom filter for
+    * [[streamingBloomNewOnly]]. Build and probe MUST hash the key the
+    * same way — this pair owns that coupling (both go through
+    * `xxhash64(key)`); building a filter over raw key values yourself
+    * would silently match nothing. */
+  def buildBloomFilter(reference: DataFrame, keyCol: Column,
+      numBits: Int = 1 << 23,
+      numHashes: Int = graft.functions.BloomFilter.DefaultNumHashes): Array[Byte] =
+    reference
+      .agg(graft.functions.BloomFilterAgg(xxhash64(keyCol), numBits, numHashes).as("f"))
+      .head().getAs[Array[Byte]](0)
+
   /** Streaming cross-snapshot dedup: drop stream rows whose key already
     * exists in a STATIC reference corpus, via a pre-built Bloom filter
     * probed inside whole-stage codegen — no stream-static join, no state.
     * The streaming twin of DedupOps.incrementalDedup's prefilter pass.
+    * `filterBytes` must come from [[buildBloomFilter]] (same key hashing
+    * on both sides).
     *
     * The Bloom probe admits ~FP-rate false drops if used alone; pass the
     * surviving stream through an exact stream-static join on the key when
     * exactness matters (the filter already removed the overwhelming
-    * majority, so the join state stays tiny). Build the filter bytes once
-    * with [[graft.functions.BloomFilterAgg]] over the reference corpus. */
+    * majority, so the join state stays tiny). */
   def streamingBloomNewOnly(stream: DataFrame, keyCol: Column,
       filterBytes: Array[Byte],
       numHashes: Int = graft.functions.BloomFilter.DefaultNumHashes): DataFrame =

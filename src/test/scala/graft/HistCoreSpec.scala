@@ -261,7 +261,20 @@ class HistCoreSpec extends AnyFunSuite {
     val (spec, _) = Routines.histogram(df, col("x"), BinsSpec.Count(5),
       Some(BinsSpec.RangePair(0.0, 10.0)), upperInclusive = true)
     assert(spec.axes.head.asInstanceOf[Regular].upperInclusive)
+    // float-boundary contract: an IN-RANGE d one ulp below hi must never
+    // reach overflow in numpy mode, even when the multiply-floor
+    // arithmetic rounds up (axis found by random search: floor(...) == n
+    // here without the clamp)
+    val lo2 = -4.898619485211566; val hi2 = 0.10618787699864907
+    val dNear = math.nextDown(hi2)
+    val got = fill2(Regular(3, lo2, hi2, upperInclusive = true),
+      Seq(dNear, hi2, math.nextUp(hi2)))
+    assert(got == Map(3L -> 2L, 4L -> 1L), s"got $got")
   }
+
+  private def fill2(ax: Axis, xs: Seq[Double]): Map[Long, Long] =
+    Hist.fill(HistSpec(Seq(ax), Int64Storage), xs.toDF("x"), Seq(col("x")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
   test("dense TypedImperativeAggregate path == sparse fill + densify") {
     val df = Seq.tabulate(1000)(i => math.sin(i * 0.7) * 6).toDF("x").repartition(5)

@@ -33,12 +33,9 @@ class StreamingHistSpec extends AnyFunSuite {
   }
 
   test("streaming bloom new-only filter drops known keys inside the stream") {
-    import graft.functions.BloomFilterAgg
     val dir = java.nio.file.Files.createTempDirectory("graft-sbloom").toFile
     val reference = Seq("old-1", "old-2", "old-3").toDF("k")
-    val filterBytes = reference
-      .agg(BloomFilterAgg(xxhash64($"k"), 1 << 10, 5).as("f"))
-      .head().getAs[Array[Byte]](0)
+    val filterBytes = StreamingHist.buildBloomFilter(reference, $"k", 1 << 10)
     val data = Seq("old-1", "new-a", "old-3", "new-b")
     data.toDF("k").coalesce(1).write.mode("overwrite").parquet(dir.toString)
     val in = spark.readStream.schema(data.toDF("k").schema).parquet(dir.toString)
