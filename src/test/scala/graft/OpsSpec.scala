@@ -233,6 +233,19 @@ class OpsSpec extends AnyFunSuite {
     assert(new String(frames(0).payload) == "the quick ")
   }
 
+  test("saltedJoin == plain join on skewed keys") {
+    // hot key 7 (1000 rows), cold keys 0-9 (1 row each)
+    val left = (spark.range(1000).select(lit(7L).as("k"), col("id").as("lv")))
+      .unionByName((0L until 10L).map(i => (i, -i)).toDF("k", "lv"))
+    val right = Seq((7L, "hot"), (3L, "cold"), (99L, "nomatch")).toDF("k", "rv")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    val plain = canon(left.join(right, Seq("k")))
+    val salted = canon(JoinOps.saltedJoin(left, right, "k", salts = 8))
+    // 1000 hot rows + cold (3,-3) + the (7,-7) row from the cold block
+    assert(salted == plain && plain.size == 1002)
+  }
+
   test("bloom filter: no false negatives; FP rate sane at design load") {
     import graft.functions.BloomFilter
     val numBits = 1 << 14
