@@ -372,6 +372,23 @@ object ExtensionQueries {
     "curation_pipeline" -> { (s, dir) =>
       PipelineOps.curationPipeline(Tables.documents(s, dir)).orderBy("doc_id")
     },
+    // APPLY the mixture weights: deterministic up/down-sampling to the
+    // target mix (floor + hash-fraction copies), digest per language
+    "domain_resample" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      PipelineOps.resampleByWeight(docs, PipelineOps.mixWeightsMilli(docs))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_rows"), sum(col("doc_id")).as("id_digest"))
+        .orderBy("lang")
+    },
+    // Deterministic 80/10/10 train/val/test split: per (split, lang)
+    // counts — a doc's split never changes as the corpus grows
+    "dataset_splits" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(PipelineOps.hashSplit(col("doc_id")).as("split"), col("lang"))
+        .groupBy("split", "lang").agg(count(lit(1)).as("n"))
+        .orderBy("split", "lang")
+    },
     // Per-domain quota cap: deterministic pseudo-random top-N per
     // (lang, source) shard; digest = count + kept-id checksum
     "text_domain_cap" -> { (s, dir) =>
@@ -519,6 +536,12 @@ object ExtensionQueries {
     "text_repetition" -> (PipelineOps.repetitionStatsSql + " ORDER BY doc_id"),
     "quality_classifier" -> (PipelineOps.classifierScoreSql + " ORDER BY doc_id"),
     "curation_pipeline" -> (PipelineOps.curationPipelineSql + " ORDER BY doc_id"),
+    "domain_resample" ->
+      (PipelineOps.resampleStatsSql + " ORDER BY lang"),
+    "dataset_splits" ->
+      s"""SELECT ${PipelineOps.hashSplitSql("doc_id")} AS split, lang,
+         |count(*) AS n FROM documents GROUP BY 1, 2
+         |ORDER BY split, lang""".stripMargin,
     "text_domain_cap" ->
       (PipelineOps.domainCapStatsSql(20) + " ORDER BY lang, source"),
     "text_chunks" ->

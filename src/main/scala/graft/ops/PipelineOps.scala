@@ -85,6 +85,69 @@ object PipelineOps {
        |FROM counts CROSS JOIN tot JOIN targets USING (lang)""".stripMargin
   }
 
+  // ---- weight application: deterministic resampling ----------------------
+  /** Portable uniform bucket in [0, 1000) from a doc id — overflow-safe
+    * (id is reduced mod P before the multiply) and engine-identical.
+    * Distinct multiplier per use-site so sampling decisions decorrelate. */
+  private def idBucket(id: Column, mult: Long): Column =
+    pmod(pmod(pmod(id, lit(1000000007L)) * lit(mult), lit(1000000007L)),
+      lit(1000L))
+  private def idBucketSql(id: String, mult: Long): String =
+    s"((($id % 1000000007) * $mult) % 1000000007) % 1000"
+
+  /** APPLY mixture weights: emit floor(w) copies of every doc plus one
+    * more with probability frac(w), decided by a deterministic hash
+    * bucket — upsampling (w > 1) and downsampling (w < 1) in one rule,
+    * reproducible across runs and engines. Weights arrive in thousandths
+    * (exact integer arithmetic end-to-end). One broadcast join + one
+    * explode; no shuffle of the corpus beyond its own scan. */
+  def resampleByWeight(docs: DataFrame, weightsMilli: DataFrame): DataFrame = {
+    val wk = col("w_milli")
+    val copies = expr("w_milli div 1000L") +
+      when(idBucket(col("doc_id"), 2246822519L) < pmod(wk, lit(1000L)), 1L)
+        .otherwise(0L)
+    docs.join(broadcast(weightsMilli), Seq("lang"))
+      .withColumn("__copies", copies)
+      .filter(col("__copies") > 0)
+      .select(col("doc_id"), col("lang"),
+        explode(sequence(lit(1L), col("__copies"))).as("copy_idx"))
+  }
+
+  /** [[domainMixWeights]] in exact thousandths: floor(w·1000 + 0.5) of the
+    * same rounded weight both engines compute. */
+  def mixWeightsMilli(docs: DataFrame): DataFrame =
+    domainMixWeights(docs).select(col("lang"),
+      floor(col("weight") * lit(1000.0) + lit(0.5)).cast("long").as("w_milli"))
+
+  def resampleStatsSql: String =
+    s"""WITH w AS (${domainMixWeightsSql}),
+       |wm AS (SELECT lang, CAST(floor(weight * 1000.0 + 0.5) AS BIGINT) AS w_milli
+       |       FROM w),
+       |c AS (
+       |  SELECT d.lang, d.doc_id,
+       |    w_milli // 1000 + (CASE WHEN ${idBucketSql("d.doc_id", 2246822519L)}
+       |      < w_milli % 1000 THEN 1 ELSE 0 END) AS copies
+       |  FROM documents d JOIN wm USING (lang))
+       |SELECT lang, CAST(sum(copies) AS BIGINT) AS n_rows,
+       |  CAST(sum(doc_id * copies) AS BIGINT) AS id_digest
+       |FROM c GROUP BY 1""".stripMargin
+
+  // ---- deterministic train/val/test split --------------------------------
+  /** Hash-bucket dataset split: stable across runs, engines, and corpus
+    * growth (a doc's split never changes when other docs are added).
+    * `fracsMilli` are cumulative thousandths, e.g. (800, 900) = 80/10/10
+    * train/val/test. Pure narrow expression on the scan. */
+  def hashSplit(id: Column, trainMilli: Int = 800, valMilli: Int = 900): Column = {
+    require(0 < trainMilli && trainMilli <= valMilli && valMilli <= 1000)
+    val b = idBucket(id, 3266489917L)
+    when(b < trainMilli, "train").when(b < valMilli, "val").otherwise("test")
+  }
+  def hashSplitSql(id: String, trainMilli: Int = 800, valMilli: Int = 900): String = {
+    val b = idBucketSql(id, 3266489917L)
+    s"(CASE WHEN $b < $trainMilli THEN 'train' WHEN $b < $valMilli THEN 'val' " +
+      s"ELSE 'test' END)"
+  }
+
   // ---- PII scan / redaction ---------------------------------------------
   // RE2-safe common-subset patterns (no lookaround/backrefs): identical
   // semantics under Java regex (Spark) and RE2 (DuckDB).

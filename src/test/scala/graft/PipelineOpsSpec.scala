@@ -131,6 +131,47 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got("de") == ((4L, 0.4375)))
   }
 
+  test("resampleByWeight: floor copies + hash fraction, exact on integers") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val docs = (0L until 100L).map(i => (i, "en", "s", "t"))
+      .toDF("doc_id", "lang", "source", "text")
+    // w = 2.5 -> every doc gets 2 copies, ~half get a third
+    val w = Seq(("en", 2500L)).toDF("lang", "w_milli")
+    val out = PipelineOps.resampleByWeight(docs, w)
+    val perDoc = out.groupBy("doc_id").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perDoc.size == 100 && perDoc.values.forall(c => c == 2L || c == 3L))
+    val n3 = perDoc.values.count(_ == 3L)
+    assert(n3 > 25 && n3 < 75, s"hash-fraction copies off: $n3/100")
+    // deterministic: second run identical
+    val again = PipelineOps.resampleByWeight(docs, w)
+      .groupBy("doc_id").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == perDoc)
+    // w < 1 downsamples: ~30% survive with one copy
+    val wd = Seq(("en", 300L)).toDF("lang", "w_milli")
+    val kept = PipelineOps.resampleByWeight(docs, wd).count()
+    assert(kept > 10 && kept < 60, s"downsample kept $kept/100")
+  }
+
+  test("hashSplit: exhaustive, deterministic, roughly 80/10/10") {
+    import org.apache.spark.sql.functions.col
+    val docs = (0L until 1000L).map(i => (i, "en", "s", "t"))
+      .toDF("doc_id", "lang", "source", "text")
+    val got = docs.select(col("doc_id"),
+        PipelineOps.hashSplit(col("doc_id")).as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 1000)
+    val byName = got.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(byName.keySet == Set("train", "val", "test"))
+    assert(byName("train") > 700 && byName("val") < 200 && byName("test") < 200)
+    // stability under corpus growth: the first 100 docs keep their split
+    val sub = docs.filter(col("doc_id") < 100).select(col("doc_id"),
+        PipelineOps.hashSplit(col("doc_id")).as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sub == got.filter(_._1 < 100))
+  }
+
   test("domainCap: at most cap docs per shard, deterministic selection") {
     val docs = (0L until 30L).map(i => (i, if (i < 25) "en" else "de", "s", "t"))
       .toDF("doc_id", "lang", "source", "text")
