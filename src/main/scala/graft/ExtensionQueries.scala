@@ -275,9 +275,8 @@ object ExtensionQueries {
     // Deterministic stratified sampling: per-language rates via a
     // portable hash of the doc id (train-data curation primitive)
     "text_stratified_sample" -> { (s, dir) =>
-      // mod before multiply: unbounded doc_id·A overflows under ANSI
-      val bucket = pmod(pmod(pmod(col("doc_id"), lit(1000000007L)) *
-        lit(2654435761L), lit(1000000007L)), lit(1000L))
+      // shared overflow-safe bucket (ONE formula for Spark and oracle)
+      val bucket = PipelineOps.idBucket(col("doc_id"), 2654435761L)
       val rate = when(col("lang") === "en", 1000L).when(col("lang") === "de", 500L)
         .when(col("lang") === "fr", 250L).otherwise(100L)
       Tables.documents(s, dir)
@@ -438,13 +437,7 @@ object ExtensionQueries {
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
     "dedup_jaccard_stats" -> {
-      val sh =
-        s"""SELECT DISTINCT doc_id, string_split(text,' ')[pos] || ' ' ||
-           |string_split(text,' ')[pos+1] || ' ' || string_split(text,' ')[pos+2] AS shingle
-           |FROM (SELECT doc_id, text,
-           |unnest(range(1, greatest(len(string_split(text,' ')) - ${jaccardK - 2}, 1))) AS pos
-           |FROM documents)""".stripMargin
-      s"""WITH sh AS ($sh),
+      s"""WITH sh AS (${shingleSql(jaccardK)}),
          |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
          |shf AS (
          |  SELECT sh.* FROM sh JOIN (
@@ -481,14 +474,7 @@ object ExtensionQueries {
          |SELECT src AS doc_id, min(dst) AS component
          |FROM reach GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "dedup_contamination" -> {
-      val k = 5
-      def sh(src: String) =
-        s"""SELECT DISTINCT doc_id, string_split(text,' ')[pos] || ' ' ||
-           |string_split(text,' ')[pos+1] || ' ' || string_split(text,' ')[pos+2] || ' ' ||
-           |string_split(text,' ')[pos+3] || ' ' || string_split(text,' ')[pos+4] AS shingle
-           |FROM (SELECT doc_id, text,
-           |  unnest(range(1, greatest(len(string_split(text,' ')) - ${k - 2}, 1))) AS pos
-           |FROM documents WHERE $src)""".stripMargin
+      def sh(src: String) = shingleSql(5, src)
       s"""WITH c AS (${sh("doc_id >= 10")}), e AS (${sh("doc_id < 10")}),
          |hits AS (
          |  SELECT c.doc_id, count(*) AS n_shared_shingles,
@@ -518,12 +504,7 @@ object ExtensionQueries {
          |ORDER BY keep_id""".stripMargin,
     "text_cms_counts" ->
       (SketchOps.cmsTokenCountsSql(cmsProbes) + " ORDER BY token"),
-    "text_distinct_shingles" -> SketchOps.kmvDistinctSql(
-      s"""SELECT DISTINCT doc_id, string_split(text,' ')[pos] || ' ' ||
-         |string_split(text,' ')[pos+1] || ' ' || string_split(text,' ')[pos+2] AS shingle
-         |FROM (SELECT doc_id, text,
-         |unnest(range(1, greatest(len(string_split(text,' ')) - 1, 1))) AS pos
-         |FROM documents)""".stripMargin, "shingle"),
+    "text_distinct_shingles" -> SketchOps.kmvDistinctSql(shingleSql(3), "shingle"),
     "emb_kmeans" -> kmeansOracleSql(),
     "ann_lsh_topk" -> lshTopkOracleSql(),
     "ann_ivf_topk" -> ivfTopkOracleSql(),
@@ -653,8 +634,8 @@ object ExtensionQueries {
          |  tf.top_token_frac
          |FROM documents d JOIN tf USING (doc_id) ORDER BY doc_id""".stripMargin,
     "text_stratified_sample" ->
-      """SELECT lang, count(*) AS n_sampled FROM documents
-        |WHERE (((doc_id % 1000000007) * 2654435761) % 1000000007) % 1000 <
+      s"""SELECT lang, count(*) AS n_sampled FROM documents
+        |WHERE ${PipelineOps.idBucketSql("doc_id", 2654435761L)} <
         |  (CASE WHEN lang = 'en' THEN 1000 WHEN lang = 'de' THEN 500
         |        WHEN lang = 'fr' THEN 250 ELSE 100 END)
         |GROUP BY 1 ORDER BY lang""".stripMargin,
@@ -686,6 +667,22 @@ object ExtensionQueries {
   private def longMatrixValues(m: Array[Array[Long]]): String =
     m.zipWithIndex.map { case (row, i) => s"($i, [${row.mkString(",")}])" }
       .mkString(", ")
+
+  /** Distinct k-word shingle relation (doc_id, shingle) — the ONE emitter
+    * for every shingle-based oracle (jaccard, minhash, contamination,
+    * KMV); hand-inlined copies of this CTE drifting apart would silently
+    * desynchronize an oracle from the Spark shingling. */
+  private def shingleSql(k: Int, where: String = ""): String = {
+    val terms = (0 until k).map {
+      case 0 => "string_split(text,' ')[pos]"
+      case i => s"string_split(text,' ')[pos+$i]"
+    }.mkString(" || ' ' || ")
+    val w = if (where.isEmpty) "" else s" WHERE $where"
+    s"""SELECT DISTINCT doc_id, $terms AS shingle
+       |FROM (SELECT doc_id, text,
+       |unnest(range(1, greatest(len(string_split(text,' ')) - ${k - 2}, 1))) AS pos
+       |FROM documents$w)""".stripMargin
+  }
 
   /** Shared CTE prefix for every oracle that assigns centroid cells (IVF,
     * SemDedup, k-means): seeded integer centroids as VALUES, quantized
@@ -815,17 +812,9 @@ object ExtensionQueries {
     val p = DedupOps.MinHashP
     val coef = (0 until numHashes)
       .map(i => s"($i, ${as(i)}, ${bs(i)})").mkString(", ")
-    s"""WITH sh AS (
-       |  SELECT DISTINCT doc_id, string_split(text,' ')[pos] || ' ' ||
-       |    string_split(text,' ')[pos+1] || ' ' || string_split(text,' ')[pos+2] AS shingle
-       |  FROM (SELECT doc_id, text,
-       |    unnest(range(1, greatest(len(string_split(text,' ')) - ${k - 2}, 1))) AS pos
-       |  FROM documents)),
+    s"""WITH sh AS (${shingleSql(k)}),
        |hs AS (
-       |  SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |    list_transform(range(1, length(shingle) + 1),
-       |      i -> CAST(unicode(substr(shingle, CAST(i AS INT), 1)) AS BIGINT))),
-       |    (acc, c) -> (acc * 31 + c) % $p) AS h
+       |  SELECT doc_id, ${graft.functions.PolyHash.sql("shingle", 31L, p)} AS h
        |  FROM sh),
        |coef(i, a, b) AS (VALUES $coef),
        |mins AS (
@@ -849,11 +838,7 @@ object ExtensionQueries {
     * shifts, 16-bit band blocking, hamming<=3 verification. */
   private def simhashOracleSql(maxHamming: Int = 3): String = {
     val p = DedupOps.MinHashP
-    def poly(mult: Int) =
-      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |  list_transform(range(1, length(tok) + 1),
-         |    i -> CAST(unicode(substr(tok, CAST(i AS INT), 1)) AS BIGINT))),
-         |  (acc, c) -> (acc * $mult + c) % $p)""".stripMargin
+    def poly(mult: Int) = graft.functions.PolyHash.sql("tok", mult.toLong, p)
     s"""WITH tok AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
        |th AS (

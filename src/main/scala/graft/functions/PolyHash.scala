@@ -47,4 +47,13 @@ object PolyHash {
   def apply(c: Column): Column = apply(c, 31L)
   def apply(c: Column, mult: Long): Column =
     GraftShims.toColumn(PolyHash(GraftShims.toExpression(c), mult))
+
+  /** The identical recurrence as DuckDB SQL — the ONE emitter every
+    * oracle uses (four hand-inlined copies drifted apart is exactly the
+    * failure mode the Sql-twin design exists to prevent). */
+  def sql(c: String, mult: Long = 31L, p: Long = P): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(range(1, length($c) + 1),
+       |    i -> CAST(unicode(substr($c, CAST(i AS INT), 1)) AS BIGINT))),
+       |  (acc, ch) -> (acc * $mult + ch) % $p)""".stripMargin
 }

@@ -69,12 +69,18 @@ object DedupOps {
     * side's 8-byte text hashes (1 MiB at the default sizing) is collected
     * once and probed inside whole-stage codegen over the new-batch scan —
     * a 99%-new batch is resolved entirely map-side; (2) a second filter
-    * over the surviving new-batch hashes prunes the OLD-side scan to
-    * ~actual duplicates before the exact-confirm join, so neither corpus
-    * shuffles beyond the (tiny) candidate sets. This is the runtime-filter
-    * pattern Spark applies to selective joins, made explicit and
-    * snapshot-reusable (persist the old-side filter bytes and the next
-    * batch skips pass 1's aggregate entirely). */
+    * over ALL new-batch hashes prunes the OLD-side scan before the
+    * exact-confirm join (an old row surviving it matches some new hash —
+    * a dup of a bloom-positive new row, or an FP), so neither corpus
+    * shuffles beyond the (tiny) candidate sets. Filter (2) covers all new
+    * keys rather than just the positives: that costs only the FP-rate in
+    * old-side pruning and needs NO materialized intermediate — every
+    * path stays lazy and recomputable (executor loss recomputes instead
+    * of failing on truncated lineage; nothing leaks into cache storage).
+    * This is the runtime-filter pattern Spark applies to selective
+    * joins, made explicit and snapshot-reusable (persist the old-side
+    * filter bytes and the next batch skips pass 1's aggregate
+    * entirely). */
   def incrementalDedup(newDocs: DataFrame, oldDocs: DataFrame,
       numBits: Int = 1 << 23,
       numHashes: Int = graft.functions.BloomFilter.DefaultNumHashes,
@@ -89,17 +95,12 @@ object DedupOps {
       .head().getAs[Array[Byte]](0)
     val newKeyed = newDocs.select(col(idCol).as("doc_id"),
       xxhash64(col(textCol)).as("__h"), col(textCol).as("__t"))
-    // materialized once, read twice (posFilter aggregate + exact-confirm
-    // join). localCheckpoint, not cache(): checkpoint blocks are released
-    // by the ContextCleaner when the frame goes out of scope, while a
-    // cache() entry would leak into executor storage for the session's
-    // lifetime (one leaked frame per batch in a nightly snapshot loop)
-    val positives = newKeyed
-      .filter(BloomContains(col("__h"), oldFilter, numHashes)).localCheckpoint()
-    val posFilter = positives
+    val newFilter = newKeyed
       .agg(BloomFilterAgg(col("__h"), numBits, numHashes).as("f"))
       .head().getAs[Array[Byte]](0)
-    val oldPruned = oldKeyed.filter(BloomContains(col("__h"), posFilter, numHashes))
+    val positives = newKeyed
+      .filter(BloomContains(col("__h"), oldFilter, numHashes))
+    val oldPruned = oldKeyed.filter(BloomContains(col("__h"), newFilter, numHashes))
     // exact confirm on (hash, text): only bloom-surviving rows from either
     // side reach the shuffle; semi-join output is at-most-once per new row
     val dups = positives.join(oldPruned, Seq("__h", "__t"), "left_semi")

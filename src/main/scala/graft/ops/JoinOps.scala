@@ -22,16 +22,22 @@ object JoinOps {
     * and AQE's skew-join handles the sort-merge case when it can; this
     * operator is the explicit, planner-independent form).
     *
-    * The salt is uniform per-row and need not be deterministic across
-    * task retries: the right side carries EVERY salt value, so any
-    * assignment yields the same join result. */
+    * The salt is a DETERMINISTIC hash of the left row's content (not
+    * `monotonically_increasing_id`, which changes across partial stage
+    * retries — an indeterminate shuffle key risks lost/duplicated rows
+    * when only some map tasks are recomputed, the SPARK-23207 class of
+    * bug). Identical rows share a salt; that residual skew is bounded by
+    * the multiplicity of fully-identical rows. */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       salts: Int): DataFrame = {
     require(salts >= 1, "salts must be >= 1")
-    val sl = left.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong)))
-    val sr = right.withColumn("__salt",
+    val saltCol = "__graft_join_salt"
+    require(!left.columns.contains(saltCol) && !right.columns.contains(saltCol),
+      s"inputs must not already carry a $saltCol column")
+    val sl = left.withColumn(saltCol,
+      pmod(xxhash64(left.columns.map(col): _*), lit(salts.toLong)))
+    val sr = right.withColumn(saltCol,
       explode(sequence(lit(0L), lit(salts - 1L))))
-    sl.join(sr, Seq(key, "__salt")).drop("__salt")
+    sl.join(sr, Seq(key, saltCol)).drop(saltCol)
   }
 }

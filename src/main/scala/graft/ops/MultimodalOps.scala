@@ -76,6 +76,9 @@ object MultimodalOps {
       (implicit spark: SparkSession): Dataset[MediaRow] = {
     import spark.implicits._
     require(w > 0 && h > 0, "target dimensions must be positive")
+    // w·h in Int silently overflows past 2^31 (empty payloads, stamped
+    // dimensions, no error) — refuse loudly instead
+    require(w.toLong * h <= Int.MaxValue, s"target $w x $h overflows Int")
     media.mapPartitions(_.map { r =>
       val target = w * h
       val stride = math.max(1, r.payload.length / math.max(1, target))

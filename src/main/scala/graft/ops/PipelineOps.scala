@@ -89,28 +89,30 @@ object PipelineOps {
   /** Portable uniform bucket in [0, 1000) from a doc id — overflow-safe
     * (id is reduced mod P before the multiply) and engine-identical.
     * Distinct multiplier per use-site so sampling decisions decorrelate. */
-  private def idBucket(id: Column, mult: Long): Column =
+  def idBucket(id: Column, mult: Long): Column =
     pmod(pmod(pmod(id, lit(1000000007L)) * lit(mult), lit(1000000007L)),
       lit(1000L))
-  private def idBucketSql(id: String, mult: Long): String =
+  def idBucketSql(id: String, mult: Long): String =
     s"((($id % 1000000007) * $mult) % 1000000007) % 1000"
 
   /** APPLY mixture weights: emit floor(w) copies of every doc plus one
     * more with probability frac(w), decided by a deterministic hash
     * bucket — upsampling (w > 1) and downsampling (w < 1) in one rule,
     * reproducible across runs and engines. Weights arrive in thousandths
-    * (exact integer arithmetic end-to-end). One broadcast join + one
-    * explode; no shuffle of the corpus beyond its own scan. */
+    * (exact integer arithmetic end-to-end). Returns every input column
+    * plus `copy_idx` (1-based within a doc's copies). One broadcast join
+    * + one explode; no shuffle of the corpus beyond its own scan. */
   def resampleByWeight(docs: DataFrame, weightsMilli: DataFrame): DataFrame = {
     val wk = col("w_milli")
     val copies = expr("w_milli div 1000L") +
       when(idBucket(col("doc_id"), 2246822519L) < pmod(wk, lit(1000L)), 1L)
         .otherwise(0L)
+    val passThrough = docs.columns.map(col).toSeq
     docs.join(broadcast(weightsMilli), Seq("lang"))
       .withColumn("__copies", copies)
       .filter(col("__copies") > 0)
-      .select(col("doc_id"), col("lang"),
-        explode(sequence(lit(1L), col("__copies"))).as("copy_idx"))
+      .select(passThrough :+
+        explode(sequence(lit(1L), col("__copies"))).as("copy_idx"): _*)
   }
 
   /** [[domainMixWeights]] in exact thousandths: floor(w·1000 + 0.5) of the
@@ -143,6 +145,9 @@ object PipelineOps {
     when(b < trainMilli, "train").when(b < valMilli, "val").otherwise("test")
   }
   def hashSplitSql(id: String, trainMilli: Int = 800, valMilli: Int = 900): String = {
+    // same validity contract as the Scala twin — the two must not diverge
+    // on invalid arguments (a silent 90/0/10 CASE vs a Spark-side throw)
+    require(0 < trainMilli && trainMilli <= valMilli && valMilli <= 1000)
     val b = idBucketSql(id, 3266489917L)
     s"(CASE WHEN $b < $trainMilli THEN 'train' WHEN $b < $valMilli THEN 'val' " +
       s"ELSE 'test' END)"
@@ -400,11 +405,7 @@ object PipelineOps {
   }
 
   def classifierScoreSql: String = {
-    val poly =
-      """list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |  list_transform(range(1, length(tok) + 1),
-        |    i -> CAST(unicode(substr(tok, CAST(i AS INT), 1)) AS BIGINT))),
-        |  (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
+    val poly = graft.functions.PolyHash.sql("tok")
     s"""WITH tok AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
        |w AS (SELECT doc_id, ($poly * 2654435761) % 2001 - 1000 AS w FROM tok),

@@ -127,11 +127,7 @@ object SketchOps {
   /** DuckDB twin of [[kmvDistinct]]: `relCte` must yield the value column
     * named by `valueCol`. */
   def kmvDistinctSql(relCte: String, valueCol: String, k: Int = 256): String = {
-    val poly =
-      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |  list_transform(range(1, length($valueCol) + 1),
-         |    i -> CAST(unicode(substr($valueCol, CAST(i AS INT), 1)) AS BIGINT))),
-         |  (acc, ch) -> (acc * 31 + ch) % $P)""".stripMargin
+    val poly = graft.functions.PolyHash.sql(valueCol)
     s"""WITH rel AS ($relCte),
        |hs AS (SELECT DISTINCT (($poly) * $kmvA + $kmvB) % $P AS h FROM rel),
        |km AS (SELECT h FROM hs ORDER BY h LIMIT $k),
@@ -151,11 +147,7 @@ object SketchOps {
     val coef = (0 until depth).map(r => s"($r, ${as(r)}, ${bs(r)})").mkString(", ")
     val probeVals = probes.map(t => s"('$t')").mkString(", ")
     val inList = probes.map(t => s"'$t'").mkString(", ")
-    def poly(c: String) =
-      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |  list_transform(range(1, length($c) + 1),
-         |    i -> CAST(unicode(substr($c, CAST(i AS INT), 1)) AS BIGINT))),
-         |  (acc, ch) -> (acc * 31 + ch) % $P)""".stripMargin
+    def poly(c: String) = graft.functions.PolyHash.sql(c)
     s"""WITH tok AS (
        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
        |th AS (SELECT tok, ${poly("tok")} AS h FROM tok),
