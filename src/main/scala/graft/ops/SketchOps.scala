@@ -97,6 +97,48 @@ object SketchOps {
         col("cms_est"))
   }
 
+  // ---- sketch persistence + cross-snapshot merge -------------------------
+  /** A persisted CMS: the cell relation plus the parameters that define
+    * its hash family. Sketches are only mergeable when (depth, width,
+    * seed) agree — the sidecar makes that checkable instead of silent. */
+  final case class CmsSketch(depth: Int, width: Int, seed: Long, cells: DataFrame)
+
+  /** Persist cells + parameter sidecar under `path` (overwrites) — the
+    * incremental-corpus pattern: sketch each snapshot once, merge
+    * sketches instead of rescanning history. Same layout discipline as
+    * [[graft.hist.HistIO]] (plain parquet, typed sidecar). */
+  def writeCms(s: CmsSketch, path: String): Unit = {
+    val spark = s.cells.sparkSession
+    import spark.implicits._
+    s.cells.write.mode("overwrite").parquet(s"$path/data")
+    Seq((s.depth, s.width, s.seed)).toDF("depth", "width", "seed")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  def readCms(spark: org.apache.spark.sql.SparkSession, path: String): CmsSketch = {
+    val m = spark.read.parquet(s"$path/meta").collect()(0)
+    CmsSketch(m.getInt(0), m.getInt(1), m.getLong(2),
+      spark.read.parquet(s"$path/data"))
+  }
+
+  /** Merge two sketches of the SAME family: cellwise counter sum — exact
+    * (CMS counters are additive), associative, and O(depth·width) work no
+    * matter how many rows each sketch summarized. */
+  def mergeCms(a: CmsSketch, b: CmsSketch): CmsSketch = {
+    require(a.depth == b.depth && a.width == b.width && a.seed == b.seed,
+      s"sketch families differ: (${a.depth},${a.width},${a.seed}) vs " +
+        s"(${b.depth},${b.width},${b.seed}) — estimates would be garbage")
+    CmsSketch(a.depth, a.width, a.seed,
+      a.cells.unionByName(b.cells)
+        .groupBy("r", "bucket").agg(sum(col("cnt")).as("cnt")))
+  }
+
+  /** Driver-side KMV union for persisted k-minima arrays: the k smallest
+    * distinct values of the combined sets — the same law the aggregate's
+    * merge obeys (see PropertySpec), for sketches stored out-of-band. */
+  def kmvUnion(a: Seq[Long], b: Seq[Long], k: Int): Seq[Long] =
+    (a ++ b).distinct.sorted.take(k)
+
   // ---- KMV distinct-count sketch -----------------------------------------
   /** Distinct-count estimate via the k-minimum-values sketch
     * ([[graft.functions.KmvAgg]]) next to the exact `countDistinct`, one

@@ -309,6 +309,31 @@ class OpsSpec extends AnyFunSuite {
     assert(r2.getDouble(1) == r3.getDouble(1))
   }
 
+  test("CMS merge law: sketch(A) + sketch(B) == sketch(A ++ B); IO round-trip") {
+    val a = Seq((0L, "x y x"), (1L, "y z")).toDF("doc_id", "text")
+    val b = Seq((2L, "x q")).toDF("doc_id", "text")
+    def cells(d: org.apache.spark.sql.DataFrame) = SketchOps.cmsSketch(
+      d.select(explode(split(col("text"), " ")).as("tok")), 4, 64, 7L)
+    def toMap(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val merged = SketchOps.mergeCms(
+      SketchOps.CmsSketch(4, 64, 7L, cells(a)),
+      SketchOps.CmsSketch(4, 64, 7L, cells(b)))
+    assert(toMap(merged.cells) == toMap(cells(a.unionByName(b))))
+    // family mismatch refuses loudly
+    intercept[IllegalArgumentException](SketchOps.mergeCms(
+      SketchOps.CmsSketch(4, 64, 7L, cells(a)),
+      SketchOps.CmsSketch(4, 128, 7L, cells(b))))
+    // round-trip through parquet preserves cells + family
+    val dir = java.nio.file.Files.createTempDirectory("graft-cmsio").toString
+    SketchOps.writeCms(merged, dir)
+    val back = SketchOps.readCms(spark, dir)
+    assert(back.depth == 4 && back.width == 64 && back.seed == 7L)
+    assert(toMap(back.cells) == toMap(merged.cells))
+    // KMV out-of-band union law
+    assert(SketchOps.kmvUnion(Seq(1L, 5L, 9L), Seq(2L, 5L), 4) == Seq(1L, 2L, 5L, 9L))
+  }
+
   test("kmeans: step means match hand computation; Lloyd reduces distortion") {
     // two obvious clusters on a 2-d grid, centroids seeded off-center
     val emb = Seq(
