@@ -32,10 +32,15 @@ object Bench {
       }
       name -> (if (times.min == Double.MaxValue) -1.0 else times.min)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def r3(v: Double): Double = math.rint(v * 1000.0) / 1000.0
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).filter(_ >= 0).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir"}""")
+    // stop BEFORE printing (no shutdown logs after the artifact line), and
+    // put the headline total at the END of the line: tail-window captures
+    // that clip the front of a long line must still contain
+    // `"metric":"total","value":N` (JSON key order is parser-irrelevant)
     spark.stop()
+    println(s"""{"queries":$qs,"failures":$failures,"sf":"$sfDir","unit":"sec","metric":"total","value":${r3(total)}}""")
   }
 }

@@ -317,16 +317,21 @@ object ExtensionQueries {
         .select((get_json_object(col("props"), "$.k").cast("long") % 10L).as("k"))
       Hist.fill(spec, ev, Seq(col("k"))).orderBy("i0")
     },
-    // Join-enriched histogram: lineitem -> orders -> customer -> nation,
-    // small dims broadcast; revenue-weighted price histogram per nation
+    // Join-enriched histogram: lineitem -> orders -> customer -> nation.
+    // Only nation (25 rows, a TRUE dim) gets a broadcast hint: orders and
+    // customer are fact-sized (they scale with SF), and a forced broadcast
+    // of a fact table blows the broadcast ceiling and the driver at 100×.
+    // AQE picks shuffle-vs-broadcast for those from runtime sizes; the
+    // exchange-free alternative at scale is bucketing both sides on the
+    // join key (BucketingSpec proves that layout).
     "hist_by_nation" -> { (s, dir) =>
       val li = Tables.lineitem(s, dir)
       val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
       val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
       val n = Tables.nation(s, dir).select("n_nationkey", "n_name")
       val joined = li
-        .join(broadcast(o), li("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       val spec = HistSpec(Seq(StrCategory(), Regular(10, 900.0, 105000.0)),
         DoubleStorage)
@@ -364,6 +369,12 @@ object ExtensionQueries {
     // Hashed-n-gram linear quality classifier (fastText-shaped plan)
     "quality_classifier" -> { (s, dir) =>
       PipelineOps.classifierScore(Tables.documents(s, dir)).orderBy("doc_id")
+    },
+    // Trained-weight classifier: (token, weight) table broadcast-joined —
+    // the production form (real vocabularies swap in with no plan change)
+    "quality_classifier_trained" -> { (s, dir) =>
+      PipelineOps.classifierScoreTrained(Tables.documents(s, dir),
+        PipelineOps.demoTrainedWeights(s)).orderBy("doc_id")
     },
     // End-to-end curation decision: lang-ID + Gopher gate + exact-dup
     // election (portable fingerprint keys) + classifier floor, one keep
@@ -516,6 +527,8 @@ object ExtensionQueries {
     "text_pii" -> (PipelineOps.piiStatsSql + " ORDER BY doc_id"),
     "text_repetition" -> (PipelineOps.repetitionStatsSql + " ORDER BY doc_id"),
     "quality_classifier" -> (PipelineOps.classifierScoreSql + " ORDER BY doc_id"),
+    "quality_classifier_trained" ->
+      (PipelineOps.classifierScoreTrainedSql + " ORDER BY doc_id"),
     "curation_pipeline" -> (PipelineOps.curationPipelineSql + " ORDER BY doc_id"),
     "domain_resample" ->
       (PipelineOps.resampleStatsSql + " ORDER BY lang"),

@@ -24,6 +24,15 @@ object SparkEntry {
   // ---- shared axis definitions (Spark expr + oracle SQL from one object)
   private val axPrice = Regular(20, 900.0, 105000.0)
   private val axQty = Variable(Seq(1.0, 10.0, 25.0, 40.0, 51.0))
+  // Large Variable axis (1000 bins, percentile-shaped quadratic spacing —
+  // the latency-histogram regime): > Variable.LadderMaxEdges edges, so the
+  // Spark side takes the O(log n) binary-search expression
+  // (functions.VariableBinIndex) while the oracle keeps the equivalent
+  // CASE ladder. Reference accepts arbitrary edge seqs (routines.py:444-447).
+  private val axPriceBig = Variable((0 to 1000).map { i =>
+    val f = i.toDouble / 1000.0
+    900.0 + (105000.0 - 900.0) * f * f
+  })
   // NumPy upper-edge-inclusive mode exercised on real boundary hits:
   // l_quantity tops out at exactly 50.0, the axis hi
   private val axQtyInc = Regular(7, 1.0, 50.0, upperInclusive = true)
@@ -79,6 +88,12 @@ object SparkEntry {
           weight = Some(col("l_discount")))
         .withColumn("value", round(col("value"), 6))
         .withColumn("variance", round(col("variance"), 6))
+        .orderBy("i0")
+    },
+    // 1000-bin Variable axis: binary-search bin path (large-axis regime)
+    "hist1d_variable_1000" -> { (s, dir) =>
+      val spec = HistSpec(Seq(axPriceBig), Int64Storage)
+      Hist.fill(spec, Tables.lineitem(s, dir), Seq(col("l_extendedprice")))
         .orderBy("i0")
     },
     // NumPy edge mode (reference boost.py:413-416 divergence note): the
@@ -324,6 +339,10 @@ object SparkEntry {
       s"""SELECT ${axQty.sqlExpr("l_quantity")} AS i0,
          |round(sum(l_discount), 6) AS value,
          |round(sum(l_discount * l_discount), 6) AS variance
+         |FROM ${li()} GROUP BY 1 ORDER BY i0""".stripMargin,
+    "hist1d_variable_1000" ->
+      s"""SELECT ${axPriceBig.sqlExpr("l_extendedprice")} AS i0,
+         |count(*) AS value
          |FROM ${li()} GROUP BY 1 ORDER BY i0""".stripMargin,
     "hist_upper_edge" ->
       s"""SELECT ${axQtyInc.sqlExpr("l_quantity")} AS i0, count(*) AS value

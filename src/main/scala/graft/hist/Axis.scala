@@ -25,6 +25,22 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType}
   * codegen and the identical formula can be re-stated in ANSI SQL for the
   * DuckDB oracle.
   */
+object Axis {
+  /** A Double as a SQL literal that DuckDB parses back to the IDENTICAL
+    * double. A bare decimal literal with >15 significant digits (e.g.
+    * 90936.09000000001 — routine for computed/percentile edges and log
+    * transforms) types as DECIMAL(w,s) in DuckDB, whose double conversion
+    * divides an int64 mantissa by 10^s — once the mantissa exceeds 2^53
+    * that rounds DIFFERENTLY than nearest-double string parsing, silently
+    * shifting a bin edge by an ulp. An exponent suffix forces the DOUBLE
+    * type and the correctly-rounded strtod path (Java's Double.toString
+    * round-trip guarantee is for nearest-double parsing only). */
+  def sqlDouble(d: Double): String = {
+    val s = d.toString
+    if (s.indexOf('E') >= 0 || s.indexOf('e') >= 0) s else s + "E0"
+  }
+}
+
 sealed trait Axis extends Serializable {
   /** Number of in-range bins (flow bins excluded). */
   def nBins: Int
@@ -93,22 +109,30 @@ final case class Regular(n: Int, lo: Double, hi: Double, name: String = "",
 
   /** The identical bin-index formula as ANSI SQL (DuckDB-compatible), used
     * by query oracles. Keep in exact sync with [[binCol]]. */
-  def sqlExpr(v: String): String =
+  def sqlExpr(v: String): String = {
+    import Axis.{sqlDouble => D}
     if (upperInclusive)
-      s"(CASE WHEN $v IS NULL OR isnan($v) OR $v > $hi THEN ${n + 1} " +
-        s"WHEN $v = $hi THEN $n " +
-        s"WHEN $v < $lo THEN 0 " +
-        s"ELSE least(CAST(floor(($v - $lo) * ${n.toDouble} / ${hi - lo}) AS BIGINT) + 1, $n) END)"
+      s"(CASE WHEN $v IS NULL OR isnan($v) OR $v > ${D(hi)} THEN ${n + 1} " +
+        s"WHEN $v = ${D(hi)} THEN $n " +
+        s"WHEN $v < ${D(lo)} THEN 0 " +
+        s"ELSE least(CAST(floor(($v - ${D(lo)}) * ${D(n.toDouble)} / ${D(hi - lo)}) AS BIGINT) + 1, $n) END)"
     else
-      s"(CASE WHEN $v IS NULL OR isnan($v) OR $v >= $hi THEN ${n + 1} " +
-        s"WHEN $v < $lo THEN 0 " +
-        s"ELSE CAST(floor(($v - $lo) * ${n.toDouble} / ${hi - lo}) AS BIGINT) + 1 END)"
+      s"(CASE WHEN $v IS NULL OR isnan($v) OR $v >= ${D(hi)} THEN ${n + 1} " +
+        s"WHEN $v < ${D(lo)} THEN 0 " +
+        s"ELSE CAST(floor(($v - ${D(lo)}) * ${D(n.toDouble)} / ${D(hi - lo)}) AS BIGINT) + 1 END)"
+  }
 }
 
 /** Explicit monotone edges, right-exclusive; underflow 0, overflow n+1.
   * Reference: Variable construction at `routines.py:444-447`.
   * `upperInclusive` closes the last bin at the final edge (NumPy
   * convention — see [[Regular]] for the divergence note). */
+object Variable {
+  /** Above this many edges [[Variable.binCol]] switches from the CASE
+    * ladder to [[graft.functions.VariableBinIndex]] (binary search). */
+  final val LadderMaxEdges = 64
+}
+
 final case class Variable(edgeSeq: Seq[Double], name: String = "",
     upperInclusive: Boolean = false) extends Axis {
   require(edgeSeq.size >= 2, "Variable axis needs >= 2 edges")
@@ -119,32 +143,45 @@ final case class Variable(edgeSeq: Seq[Double], name: String = "",
   override def edges: Array[Double] = edgeSeq.toArray
   override def binCol(c: Column): Column = {
     val d = c.cast(DoubleType)
-    // CASE ladder: small edge counts dominate in practice; stays codegen'd.
-    val inner = edgeSeq.init.zipWithIndex.foldRight(lit(nBins + 1).cast(LongType)) {
-      case ((lo, i), rest) => when(d >= lo && d < edgeSeq(i + 1), lit(i + 1L)).otherwise(rest)
+    if (edgeSeq.size > Variable.LadderMaxEdges) {
+      // Large axes (percentile-derived edges, 1k-10k bins): O(log edges)
+      // binary search in a native expression holding the edge array — the
+      // CASE ladder at this size is O(edges) per row and a literal tree
+      // big enough that Catalyst analysis/codegen dominates (the measured
+      // cliff SCALE.md documents). Identical semantics, incl. NULL →
+      // overflow (the expression itself is null-propagating).
+      coalesce(graft.functions.VariableBinIndex(d, edges, upperInclusive),
+        lit((nBins + 1).toLong))
+    } else {
+      // CASE ladder: small edge counts dominate in practice; stays
+      // codegen'd and mirrors the oracle's sqlExpr arm-for-arm.
+      val inner = edgeSeq.init.zipWithIndex.foldRight(lit(nBins + 1).cast(LongType)) {
+        case ((lo, i), rest) => when(d >= lo && d < edgeSeq(i + 1), lit(i + 1L)).otherwise(rest)
+      }
+      val last = edgeSeq.last
+      if (upperInclusive)
+        when(d.isNull || isnan(d) || d > last, lit(nBins + 1).cast(LongType))
+          .when(d === last, lit(nBins.toLong))
+          .when(d < edgeSeq.head, lit(0L))
+          .otherwise(inner)
+      else
+        when(d.isNull || isnan(d) || d >= last, lit(nBins + 1).cast(LongType))
+          .when(d < edgeSeq.head, lit(0L))
+          .otherwise(inner)
     }
-    val last = edgeSeq.last
-    if (upperInclusive)
-      when(d.isNull || isnan(d) || d > last, lit(nBins + 1).cast(LongType))
-        .when(d === last, lit(nBins.toLong))
-        .when(d < edgeSeq.head, lit(0L))
-        .otherwise(inner)
-    else
-      when(d.isNull || isnan(d) || d >= last, lit(nBins + 1).cast(LongType))
-        .when(d < edgeSeq.head, lit(0L))
-        .otherwise(inner)
   }
   def sqlExpr(v: String): String = {
+    import Axis.{sqlDouble => D}
     val ladder = edgeSeq.init.zipWithIndex
-      .map { case (lo, i) => s"WHEN $v >= $lo AND $v < ${edgeSeq(i + 1)} THEN ${i + 1}" }
+      .map { case (lo, i) => s"WHEN $v >= ${D(lo)} AND $v < ${D(edgeSeq(i + 1))} THEN ${i + 1}" }
       .mkString(" ")
     if (upperInclusive)
-      s"(CASE WHEN $v IS NULL OR isnan($v) OR $v > ${edgeSeq.last} THEN ${nBins + 1} " +
-        s"WHEN $v = ${edgeSeq.last} THEN $nBins " +
-        s"WHEN $v < ${edgeSeq.head} THEN 0 $ladder ELSE ${nBins + 1} END)"
+      s"(CASE WHEN $v IS NULL OR isnan($v) OR $v > ${D(edgeSeq.last)} THEN ${nBins + 1} " +
+        s"WHEN $v = ${D(edgeSeq.last)} THEN $nBins " +
+        s"WHEN $v < ${D(edgeSeq.head)} THEN 0 $ladder ELSE ${nBins + 1} END)"
     else
-      s"(CASE WHEN $v IS NULL OR isnan($v) OR $v >= ${edgeSeq.last} THEN ${nBins + 1} " +
-        s"WHEN $v < ${edgeSeq.head} THEN 0 $ladder ELSE ${nBins + 1} END)"
+      s"(CASE WHEN $v IS NULL OR isnan($v) OR $v >= ${D(edgeSeq.last)} THEN ${nBins + 1} " +
+        s"WHEN $v < ${D(edgeSeq.head)} THEN 0 $ladder ELSE ${nBins + 1} END)"
   }
 }
 
@@ -168,9 +205,11 @@ final case class RegularCircular(n: Int, lo: Double, hi: Double, name: String = 
   }
   override def edges: Array[Double] =
     Array.tabulate(n + 1)(i => lo + (hi - lo) * i / n)
-  def sqlExpr(v: String): String =
+  def sqlExpr(v: String): String = {
+    import Axis.{sqlDouble => D}
     s"(CASE WHEN $v IS NULL OR isnan($v) OR isinf($v) THEN NULL ELSE " +
-      s"((CAST(floor(($v - $lo) * ${n.toDouble} / ${hi - lo}) AS BIGINT) % $n + $n) % $n) + 1 END)"
+      s"((CAST(floor(($v - ${D(lo)}) * ${D(n.toDouble)} / ${D(hi - lo)}) AS BIGINT) % $n + $n) % $n) + 1 END)"
+  }
 }
 
 /** Log-transformed uniform axis — boost `Regular(..., transform=log)`:
@@ -189,10 +228,14 @@ final case class RegularLog(n: Int, lo: Double, hi: Double, name: String = "")
   }
   override def edges: Array[Double] =
     Array.tabulate(n + 1)(i => math.exp(llo + (lhi - llo) * i / n))
-  def sqlExpr(v: String): String =
-    s"(CASE WHEN $v IS NULL OR isnan($v) OR $v >= $hi THEN ${n + 1} " +
-      s"WHEN $v < $lo THEN 0 " +
-      s"ELSE CAST(floor((ln($v) - $llo) * ${n.toDouble} / ${lhi - llo}) AS BIGINT) + 1 END)"
+  def sqlExpr(v: String): String = {
+    import Axis.{sqlDouble => D}
+    // llo/lhi are transcendentals — 17-digit literals, exactly the regime
+    // where DuckDB's DECIMAL literal path mis-rounds (Axis.sqlDouble)
+    s"(CASE WHEN $v IS NULL OR isnan($v) OR $v >= ${D(hi)} THEN ${n + 1} " +
+      s"WHEN $v < ${D(lo)} THEN 0 " +
+      s"ELSE CAST(floor((ln($v) - ${D(llo)}) * ${D(n.toDouble)} / ${D(lhi - llo)}) AS BIGINT) + 1 END)"
+  }
 }
 
 /** Unit-width integer bins covering [lo, hi) — boost `Integer(lo, hi)`. */

@@ -119,11 +119,9 @@ object DedupOps {
       .filter(col("n_copies") > 1)
 
   /** Spread a (possibly single-split) input across the cluster before
-    * per-row fan-out work: a one-file parquet table otherwise pins the
-    * whole explode/hash pipeline to one task. Cost is one shuffle of the
-    * raw rows — negligible next to the fan-out it parallelizes. */
-  private def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    * per-row fan-out work — conditional pass-through for well-split
+    * inputs; see [[Spread]] for the scale rationale. */
+  private def spread(df: DataFrame): DataFrame = Spread(df)
 
   // ---- word shingles ----------------------------------------------------
   /** Per-doc distinct k-word shingle ARRAY: one native pass per row

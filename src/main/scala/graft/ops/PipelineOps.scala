@@ -17,22 +17,29 @@ object PipelineOps {
 
   // ---- sequence packing --------------------------------------------------
   /** Greedy contiguous token-budget packing: documents are laid out in
-    * doc_id order within each (lang, source) shard and cut into sequences
-    * of `budget` tokens; a document belongs to the sequence its first
-    * token lands in. Returns per-sequence stats.
+    * doc_id order within each shard (default (lang, source)) and cut into
+    * sequences of `budget` tokens; a document belongs to the sequence its
+    * first token lands in. Returns per-sequence stats.
     *
-    * Scale shape: the running sum is windowed PER SHARD — at 100 TB each
-    * (lang, source) shard packs independently (embarrassingly parallel
-    * across shards, one shuffle by shard key), exactly how production
-    * packers shard by file/domain. No global ordering bottleneck.
-    */
-  def packSequences(docs: DataFrame, budget: Long = 512L): DataFrame = {
-    val w = Window.partitionBy("lang", "source").orderBy("doc_id")
-    docs.select(col("lang"), col("source"), col("doc_id"),
-        TextOps.tokenCount(col("text")).as("n_tok"))
+    * Scale shape: the running sum is windowed PER SHARD — each shard packs
+    * independently (embarrassingly parallel across shards, one shuffle by
+    * shard key) BUT each shard's sort lands on ONE reducer, so the shard
+    * key bounds parallelism AND per-task size. (lang, source) alone is the
+    * demo key: at 100 TB a single (lang, source) shard is multi-TB — a
+    * production caller MUST include a finer component (input file, hash
+    * bucket of doc_id, domain) in `shardCols` so shards stay
+    * task-sized; packing quality is unaffected because sequences never
+    * cross shard boundaries by design. */
+  def packSequences(docs: DataFrame, budget: Long = 512L,
+      shardCols: Seq[String] = Seq("lang", "source")): DataFrame = {
+    require(shardCols.nonEmpty, "packSequences needs >= 1 shard column")
+    val shard = shardCols.map(col)
+    val w = Window.partitionBy(shard: _*).orderBy("doc_id")
+    docs.select(shard :+ col("doc_id") :+
+        TextOps.tokenCount(col("text")).as("n_tok"): _*)
       .withColumn("start_tok", sum(col("n_tok")).over(w) - col("n_tok"))
       .withColumn("seq_id", expr(s"start_tok div $budget"))
-      .groupBy("lang", "source", "seq_id")
+      .groupBy((shardCols :+ "seq_id").map(col): _*)
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
   }
 
@@ -348,18 +355,26 @@ object PipelineOps {
     * language-ID, Gopher quality gate, exact-dup election, classifier
     * score, one keep flag with all reasons visible.
     *
-    * Exact-dup election here groups on the full-text POLYNOMIAL
-    * FINGERPRINT (engine-portable PolyHash), not the text itself — only
-    * 8-byte keys shuffle, the scale invariant of the dedup module. The
-    * narrow per-doc signals fuse into the scan; the only shuffles are the
-    * fingerprint group-by and the classifier's token aggregation. */
+    * Exact-dup election here groups on (fingerprint, xxhash64(text)) —
+    * still only small fixed-width keys shuffle (the scale invariant of
+    * the dedup module), but the combined ~94-bit key keeps birthday
+    * collisions negligible at corpus scale. The engine-portable PolyHash
+    * fingerprint alone is ~30 bits: past ~3×10^4 documents distinct texts
+    * start colliding and would be falsely dropped as exact dups. The
+    * oracle mirrors the election by grouping on (fp, text) — equivalent,
+    * since within a fingerprint group the 64-bit hash only separates
+    * genuinely different texts (xxhash64 collisions inside a ~tiny fp
+    * group are ~|group|²/2^65). The narrow per-doc signals fuse into the
+    * scan; the only shuffles are the election group-by and the
+    * classifier's token aggregation. */
   def curationPipeline(docs: DataFrame): DataFrame = {
     val fp = TextOps.fingerprint(col("text"), maxLen = 1000000)
-    val withFp = docs.select(col("doc_id"), col("text"), fp.as("fp"))
-    val mins = withFp.groupBy("fp").agg(min(col("doc_id")).as("keep_id"))
+    val withFp = docs.select(col("doc_id"), col("text"), fp.as("fp"),
+      xxhash64(col("text")).as("__th"))
+    val mins = withFp.groupBy("fp", "__th").agg(min(col("doc_id")).as("keep_id"))
     val clf = classifierScore(docs)
     val keepGopher = TextOps.gopherKeep(col("text"))
-    withFp.join(mins, Seq("fp"))
+    withFp.join(mins, Seq("fp", "__th"))
       .join(clf, Seq("doc_id"))
       .select(col("doc_id"),
         TextOps.langId(col("text")).as("lang_pred"),
@@ -372,9 +387,9 @@ object PipelineOps {
 
   def curationPipelineSql: String =
     s"""WITH clf AS (${classifierScoreSql}),
-       |fps AS (SELECT doc_id, ${TextOps.fingerprintSql("text", 1000000)} AS fp
+       |fps AS (SELECT doc_id, text, ${TextOps.fingerprintSql("text", 1000000)} AS fp
        |        FROM documents),
-       |mins AS (SELECT fp, min(doc_id) AS keep_id FROM fps GROUP BY 1)
+       |mins AS (SELECT fp, text, min(doc_id) AS keep_id FROM fps GROUP BY 1, 2)
        |SELECT d.doc_id,
        |  ${TextOps.langIdSql("d.text")} AS lang_pred,
        |  ${TextOps.gopherKeepSql("d.text")} AS keep_gopher,
@@ -383,7 +398,8 @@ object PipelineOps {
        |  (${TextOps.gopherKeepSql("d.text")} AND d.doc_id = m.keep_id
        |    AND c.score > $scoreFloor) AS keep
        |FROM documents d
-       |JOIN fps USING (doc_id) JOIN mins m USING (fp)
+       |JOIN fps f USING (doc_id)
+       |JOIN mins m ON m.fp = f.fp AND m.text = f.text
        |JOIN clf c USING (doc_id)""".stripMargin
 
   // ---- hashed-n-gram linear quality classifier --------------------------
@@ -411,6 +427,54 @@ object PipelineOps {
        |w AS (SELECT doc_id, ($poly * 2654435761) % 2001 - 1000 AS w FROM tok),
        |agg AS (SELECT doc_id, CAST(sum(w) AS DOUBLE) AS s,
        |        CAST(count(*) AS DOUBLE) AS n FROM w GROUP BY 1)
+       |SELECT doc_id, round((s / (1000.0 * n)) /
+       |  (1.0 + abs(s / (1000.0 * n))), 6) AS score
+       |FROM agg""".stripMargin
+  }
+
+  // ---- trained-weight classifier (production form) -----------------------
+  /** Trained-weight variant of [[classifierScore]]: weights come from a
+    * caller-supplied `(token, w_milli)` table (a real fastText-style
+    * filter's trained vocabulary, milli-units in [-1000, 1000]) instead of
+    * the hash-derived demo weights. Same plan shape: token explode →
+    * BROADCAST join against the weight table (trained vocabularies are
+    * 10^4-10^6 rows — driver-sized at any corpus scale) → per-doc mean →
+    * rational squash. Out-of-vocabulary tokens contribute weight 0 but
+    * still count in the denominator (fastText averages over all tokens
+    * with OOV as the zero vector). */
+  def classifierScoreTrained(docs: DataFrame, weights: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val x = col("s").cast("double") / (lit(1000.0) * col("n").cast("double"))
+    tok.join(broadcast(weights), tok("tok") === weights("token"), "left")
+      .select(col("doc_id"), coalesce(col("w_milli"), lit(0L)).as("w"))
+      .groupBy("doc_id").agg(sum(col("w")).as("s"), count(lit(1)).as("n"))
+      .select(col("doc_id"), round(x / (lit(1.0) + abs(x)), 6).as("score"))
+  }
+
+  /** Seeded demo "trained" vocabulary: the language-marker stopwords with
+    * deterministic pseudo-weights (PolyHash-derived, same affine mix as the
+    * demo classifier — product stays < 2^62, ANSI-safe). Public so the
+    * DuckDB oracle embeds the identical rows as VALUES; production swaps
+    * in real trained weights with no plan change. */
+  def demoTrainedVocab: Seq[(String, Long)] =
+    TextOps.langMarkers.flatMap(_._2).map { t =>
+      t -> ((graft.functions.PolyHash.hash(t, 31L) * 2654435761L) % 2001L - 1000L)
+    }
+
+  def demoTrainedWeights(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    demoTrainedVocab.toDF("token", "w_milli")
+  }
+
+  def classifierScoreTrainedSql: String = {
+    val vals = demoTrainedVocab.map { case (t, w) => s"('$t', $w)" }.mkString(", ")
+    s"""WITH w(token, w_milli) AS (VALUES $vals),
+       |tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |j AS (SELECT doc_id, coalesce(w_milli, 0) AS wt
+       |      FROM tok LEFT JOIN w ON tok = token),
+       |agg AS (SELECT doc_id, CAST(sum(wt) AS DOUBLE) AS s,
+       |        CAST(count(*) AS DOUBLE) AS n FROM j GROUP BY 1)
        |SELECT doc_id, round((s / (1000.0 * n)) /
        |  (1.0 + abs(s / (1000.0 * n))), 6) AS score
        |FROM agg""".stripMargin

@@ -42,10 +42,9 @@ object SimilarityOps {
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors. Query side is broadcast (small); ranking uses the *rounded*
     * similarity (6 dp) with id tie-break so ordering is engine-portable. */
-  /** Spread a (possibly single-split) corpus before per-pair work — a
-    * one-file parquet source otherwise pins the scoring loop to one task. */
-  private def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  /** Spread a (possibly single-split) corpus before per-pair work —
+    * conditional pass-through for well-split inputs; see [[Spread]]. */
+  private def spread(df: DataFrame): DataFrame = Spread(df)
 
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))

@@ -75,8 +75,7 @@ object SketchOps {
     val spark = docs.sparkSession
     import spark.implicits._
     val (as, bs) = cmsCoefficients(depth, seed)
-    val tokens = docs
-      .repartition(spark.sparkContext.defaultParallelism)
+    val tokens = Spread(docs)
       .select(explode(split(col(textCol), " ")).as("tok"))
     val sketch = cmsSketch(tokens, depth, width, seed)
     val probeBuckets = probes.toDF("token")

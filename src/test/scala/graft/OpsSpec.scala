@@ -351,4 +351,28 @@ class OpsSpec extends AnyFunSuite {
     assert(trained(0).toSeq == Seq(0L, 32L))
     assert(trained(1).toSeq == Seq(2560L, 2528L))
   }
+
+  test("Spread: narrow inputs widen, well-split inputs pass through unshuffled") {
+    val par = spark.sparkContext.defaultParallelism
+    // single-partition input (the one-file-parquet shape): gets the shuffle
+    val narrow = spark.range(0, 100, 1, 1).toDF("doc_id")
+    assert(Spread(narrow).rdd.getNumPartitions == par)
+    // input already at/above cluster width: IDENTITY — same object, so by
+    // construction no Exchange of raw rows is added
+    val wide = spark.range(0, 100, 1, par * 2).toDF("doc_id")
+    assert(Spread(wide) eq wide)
+    // end-to-end through a fan-out consumer: the shingle plan over a
+    // well-split input must contain no round-robin repartition Exchange
+    val wideDocs = spark.range(0, 50, 1, par * 2)
+      .select(col("id").as("doc_id"),
+        concat(lit("alpha bravo charlie delta echo tok"), col("id")).as("text"))
+    val plan = DedupOps.shingles(wideDocs, 2).queryExecution.executedPlan.toString
+    assert(!plan.contains("RoundRobinPartitioning"),
+      s"unexpected raw-row repartition in plan:\n$plan")
+    // and the narrow shape still gets one
+    val narrowDocs = spark.range(0, 50, 1, 1)
+      .select(col("id").as("doc_id"), lit("alpha bravo charlie").as("text"))
+    val nplan = DedupOps.shingles(narrowDocs, 2).queryExecution.executedPlan.toString
+    assert(nplan.contains("RoundRobinPartitioning"), s"expected spread in:\n$nplan")
+  }
 }

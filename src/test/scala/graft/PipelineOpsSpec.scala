@@ -121,6 +121,62 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("packSequences: finer shard key splits a hot shard, packs independently") {
+    // one hot (lang, source) shard — the 100 TB failure shape: a single
+    // reducer would sort all of it. A caller-supplied bucket component
+    // splits it; each sub-shard packs independently.
+    val docs = (0L until 40L).map(i => ("en", "web", i % 4, i, "t t t t t"))
+      .toDF("lang", "source", "bucket", "doc_id", "text")
+    val fine = PipelineOps.packSequences(docs, budget = 20L,
+      shardCols = Seq("lang", "source", "bucket"))
+    assert(fine.columns.toSeq ==
+      Seq("lang", "source", "bucket", "seq_id", "n_docs", "n_tokens"))
+    // conservation across the finer sharding
+    assert(fine.agg(sum("n_tokens")).head.getLong(0) == 200L)
+    assert(fine.agg(sum("n_docs")).head.getLong(0) == 40L)
+    // each bucket holds 10 docs × 5 tok = 50 tok -> seqs 0,1 (20+20) and 2 (10)
+    val perBucket = fine.groupBy("bucket").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perBucket == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    // default key unchanged: same docs through the coarse path = ONE shard
+    val coarse = PipelineOps.packSequences(docs, budget = 20L)
+    assert(coarse.agg(sum("n_tokens")).head.getLong(0) == 200L)
+    assert(coarse.select("seq_id").distinct().count() == 10L) // 200/20
+  }
+
+  test("classifierScoreTrained: broadcast weight join, OOV counts as zero") {
+    val wTable = PipelineOps.demoTrainedWeights(spark)
+    val wThe = PipelineOps.demoTrainedVocab.toMap.apply("the")
+    val docs = Seq((0L, "the the zzzunknown"), (1L, "zzzunknown")).toDF("doc_id", "text")
+    val got = PipelineOps.classifierScoreTrained(docs, wTable)
+      .orderBy("doc_id").collect()
+    // doc 0: s = 2*w(the) + 0, n = 3
+    val x0 = (2.0 * wThe) / (1000.0 * 3.0)
+    val exp0 = BigDecimal(x0 / (1.0 + math.abs(x0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(0).getDouble(1) == exp0)
+    // all-OOV doc scores exactly 0
+    assert(got(1).getDouble(1) == 0.0)
+  }
+
+  test("curationPipeline: fingerprint-colliding distinct texts are NOT dups") {
+    // "Aa" and "BB" collide under the base-31 PolyHash (65*31+97 == 66*31+66
+    // == 2112), and polynomial hashing is linear, so equal-length context
+    // around them preserves the collision — these two DISTINCT texts share
+    // a fingerprint. The election must still keep both (the 64-bit text
+    // hash separates them); pre-fix they'd be falsely flagged exact dups.
+    val tA = "alpha bravo Aa charlie delta echo foxtrot golf hotel india"
+    val tB = "alpha bravo BB charlie delta echo foxtrot golf hotel india"
+    assert(tA != tB &&
+      graft.functions.PolyHash.hash(tA, 31L) == graft.functions.PolyHash.hash(tB, 31L))
+    val docs = Seq((1L, "en", "s", tA), (2L, "en", "s", tB))
+      .toDF("doc_id", "lang", "source", "text")
+    val rows = PipelineOps.curationPipeline(docs).orderBy("doc_id").collect()
+    assert(rows.length == 2)
+    rows.foreach(r => assert(!r.getBoolean(3),
+      s"doc ${r.getLong(0)} falsely flagged is_exact_dup on fp collision"))
+  }
+
   test("domainMixWeights: weight = target * total / actual") {
     val docs = (0L until 8L).map(i => (i, if (i < 4) "en" else "de", "s", "t"))
       .toDF("doc_id", "lang", "source", "text")

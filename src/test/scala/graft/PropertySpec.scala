@@ -92,6 +92,65 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  /** Driver-side mirror of the ≤64-edge CASE-ladder semantics (linear
+    * scan) — the contract the binary-search path must reproduce exactly. */
+  private def ladderBin(edges: IndexedSeq[Double], x: Double, inc: Boolean): Long = {
+    val n = edges.size - 1
+    if (x.isNaN) return n + 1L
+    if (inc) {
+      if (x > edges(n)) return n + 1L
+      if (x == edges(n)) return n.toLong
+    } else if (x >= edges(n)) return n + 1L
+    if (x < edges(0)) return 0L
+    var i = 0
+    while (i < n) {
+      if (x >= edges(i) && x < edges(i + 1)) return i + 1L
+      i += 1
+    }
+    n + 1L // unreachable for finite x, matches ladder fallthrough
+  }
+
+  test("VariableBinIndex.bin == ladder semantics on random large axes") {
+    val genAxis = for {
+      n <- Gen.choose(65, 300)
+      start <- Gen.choose(-100.0, 100.0)
+      steps <- Gen.listOfN(n, Gen.choose(1e-6, 10.0))
+    } yield steps.scanLeft(start)(_ + _).toIndexedSeq
+    val gen = for {
+      edges <- genAxis
+      inc <- Gen.oneOf(true, false)
+      x <- Gen.oneOf(
+        Gen.choose(edges.head - 5.0, edges.last + 5.0),
+        Gen.oneOf(edges), // exact edge hits — the binarySearch>=0 branch
+        Gen.const(Double.NaN))
+    } yield (edges, inc, x)
+    check(forAll(gen) { case (edges, inc, x) =>
+      graft.functions.VariableBinIndex.bin(edges.toArray, x, inc) ==
+        ladderBin(edges, x, inc)
+    })
+  }
+
+  test("large Variable axis (binary-search Column path) matches the ladder") {
+    // 100 edges incl. a 0.0 edge: exercises the Double.compare vs IEEE
+    // signed-zero canonicalization; both inclusive modes; NULL handling
+    for (inc <- Seq(false, true)) {
+      val edges = (0 until 100).map(i => (i - 50) * 0.75)
+      val ax = Variable(edges, upperInclusive = inc)
+      assert(edges.contains(0.0) && edges.size > Variable.LadderMaxEdges)
+      val probes: Seq[java.lang.Double] =
+        edges.map(Double.box) ++ edges.map(e => Double.box(e - 1e-9)) ++
+          edges.map(e => Double.box(e + 1e-9)) ++
+          Seq[java.lang.Double](-0.0d, Double.NaN, -1e9, 1e9, null)
+      val got = probes.toDF("x").select(ax.binCol(col("x")).as("i"))
+        .collect().map(_.getLong(0))
+      probes.zip(got).foreach { case (x, i) =>
+        val want = if (x == null) edges.size.toLong // NULL → overflow (n+1)
+          else ladderBin(edges, x.doubleValue(), inc)
+        assert(i == want, s"x=$x inc=$inc: got $i want $want")
+      }
+    }
+  }
+
   test("merge associativity over random 3-way splits and partitionings") {
     val data = Seq.tabulate(300)(i => math.cos(i * 1.3) * 4)
     val spec = HistSpec(Seq(Regular(9, -4.0, 4.0)), DoubleStorage)
