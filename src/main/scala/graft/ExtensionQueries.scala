@@ -436,7 +436,77 @@ object ExtensionQueries {
           col("i0"), round(col("value"), 2).as("value"))
         .orderBy("bucket_start", "i0")
     },
+    // As-of (point-in-time) join: each purchase picks the same user's
+    // latest click within the preceding hour — union+window form, ONE
+    // shuffle on user_id, no nested-loop (JoinOps.asOfJoin)
+    "events_asof_click" -> { (s, dir) =>
+      val ev = graft.sources.Sources.eventsWithTimestamp(s, dir)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type"), col("value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us").as("click_ts"),
+          col("event_id").as("click_id"), col("value").as("click_value"))
+      JoinOps.asOfJoin(purchases, clicks, "user_id", "ts_us", "click_ts",
+          Seq("click_id", "click_value"), tieBreak = "click_id",
+          tolerance = Some(3600000000L))
+        .withColumn("gap_us", col("ts_us") - col("click_ts"))
+        .orderBy("event_id")
+    },
+    // Interval join via bucket-gridding: per error event, the same user's
+    // activity in the following hour — plain shuffled EQUI-join on
+    // (user_id, hour-bucket), never BroadcastNestedLoop (JoinOps.rangeJoin)
+    "events_error_window" -> { (s, dir) =>
+      val ev = graft.sources.Sources.eventsWithTimestamp(s, dir)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type"), col("value"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("err_id"),
+          col("ts_us").as("lo"), (col("ts_us") + lit(3600000000L)).as("hi"))
+      JoinOps.rangeJoin(ev.select(col("user_id"), col("ts_us"), col("value")),
+          errors, "ts_us", "lo", "hi", bucketWidth = 3600000000L,
+          keys = Seq("user_id"))
+        .groupBy("err_id")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 6).as("sum_value"))
+        .orderBy("err_id")
+    },
+    // HLL distinct-count registers per event_type over (user, day) keys —
+    // register contents recomputed RELATIONALLY by the oracle
+    "events_hll_registers" -> { (s, dir) =>
+      SketchOps.hllRegisters(hllKeyed(s, dir), Seq("event_type"), col("key"))
+        .select(col("event_type"), posexplode(col("registers")).as(Seq("idx", "rank")))
+        .select(col("event_type"), col("idx").cast("long").as("idx"), col("rank"))
+        .orderBy("event_type", "idx")
+    },
+    // ... and the harmonic-mean estimate next to the exact count (exact
+    // dyadic sum ⇒ the double arithmetic is bit-identical cross-engine)
+    "events_hll_estimate" -> { (s, dir) =>
+      hllKeyed(s, dir).groupBy("event_type")
+        .agg(countDistinct(col("key")).as("n_exact"),
+          graft.functions.HllAgg(SketchOps.hllHash(col("key")), 64).as("registers"))
+        .select(col("event_type"), col("n_exact"),
+          SketchOps.hllEstimate().as("hll_est"))
+        .orderBy("event_type")
+    },
+    // Substring-level duplication (Lee et al. 2022 family at shingle
+    // granularity): per-doc fraction of distinct k-grams shared with any
+    // other document — no pairwise term, df-join only
+    "dedup_ngram_fraction" -> { (s, dir) =>
+      DedupOps.ngramDupStats(Tables.documents(s, dir), k = jaccardK)
+        .orderBy("doc_id")
+    },
   )
+
+  /** (event_type, key) where key = "user-day" — the HLL demo's distinct
+    * domain (daily-active-user keys; ~1.5-2k per type at sf0.01, safely in
+    * the sketch's raw-estimate regime). */
+  private def hllKeyed(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Sources.eventsWithTimestamp(s, dir)
+      .select(col("event_type"),
+        concat_ws("-", col("user_id").cast("string"),
+          expr("unix_micros(ts) div 86400000000").cast("string")).as("key"))
 
   private val axVal = Regular(10, 0.0, 500.0)
 
@@ -667,7 +737,62 @@ object ExtensionQueries {
       s"""SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS bucket_start,
          |${axVal.sqlExpr("value")} AS i0, round(sum(value), 2) AS value
          |FROM events GROUP BY 1, 2 ORDER BY bucket_start, i0""".stripMargin,
+    // naive executable spec of the as-of join: left join all qualifying
+    // right rows, keep the latest (independent of the union+window form)
+    "events_asof_click" ->
+      """SELECT p.event_id, p.user_id, p.ts_us, r.ts_us AS click_ts,
+        |  r.event_id AS click_id, r.value AS click_value,
+        |  p.ts_us - r.ts_us AS gap_us
+        |FROM (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |      FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT event_id, user_id, value,
+        |      epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |      FROM events WHERE event_type = 'click') r
+        |  ON p.user_id = r.user_id AND r.ts_us <= p.ts_us
+        |  AND r.ts_us >= p.ts_us - 3600000000
+        |QUALIFY row_number() OVER (PARTITION BY p.event_id
+        |  ORDER BY r.ts_us DESC NULLS LAST, r.event_id DESC NULLS LAST) = 1
+        |ORDER BY p.event_id""".stripMargin,
+    // naive inequality join — the spec the bucket-gridded equi-join must
+    // reproduce exactly
+    "events_error_window" ->
+      """SELECT r.event_id AS err_id, count(*) AS n_events,
+        |  round(sum(e.value), 6) AS sum_value
+        |FROM (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |      FROM events WHERE event_type = 'error') r
+        |JOIN (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+        |      FROM events) e
+        |  ON e.user_id = r.user_id
+        |  AND e.ts_us BETWEEN r.ts_us AND r.ts_us + 3600000000
+        |GROUP BY 1 ORDER BY err_id""".stripMargin,
+    "events_hll_registers" ->
+      s"""SELECT grp AS event_type, idx, rank FROM (
+         |${SketchOps.hllRegistersSql(hllKeySql)}
+         |) ORDER BY event_type, idx""".stripMargin,
+    "events_hll_estimate" ->
+      s"""SELECT grp AS event_type, n_exact, hll_est FROM (
+         |${SketchOps.hllEstimateSql(hllKeySql)}
+         |) ORDER BY event_type""".stripMargin,
+    "dedup_ngram_fraction" ->
+      s"""WITH sh AS (${shingleSql(jaccardK)}),
+         |fq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+         |per AS (SELECT doc_id, count(*) AS n_shingles,
+         |  CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+         |  FROM sh JOIN fq USING (shingle) GROUP BY 1)
+         |SELECT d.doc_id, COALESCE(per.n_shingles, 0) AS n_shingles,
+         |  COALESCE(per.n_dup, 0) AS n_dup,
+         |  round(CAST(COALESCE(per.n_dup, 0) AS DOUBLE) /
+         |    CAST(greatest(COALESCE(per.n_shingles, 0), 1) AS DOUBLE), 6) AS dup_frac
+         |FROM documents d LEFT JOIN per USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
   )
+
+  /** DuckDB twin of the Spark-side HLL key derivation (hllKeyed). */
+  private def hllKeySql: String =
+    """SELECT event_type AS grp,
+      |  CAST(user_id AS VARCHAR) || '-' ||
+      |  CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS VARCHAR) AS key
+      |FROM events""".stripMargin
 
   /** Quantized embedding as a BIGINT list — the same floor(v·256 + 0.5)
     * the Spark expressions compute (·256 is a power-of-two product, exact

@@ -193,6 +193,38 @@ object DedupOps {
         coalesce(col("max_j"), lit(0.0)).as("max_j"))
   }
 
+  /** Substring-level duplication metrics (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better" family,
+    * at shingle granularity): for each document, what fraction of its
+    * DISTINCT k-word shingles also occurs in at least one OTHER document.
+    * Near-1 fractions flag boilerplate/templated text that doc-level
+    * dedup misses entirely — the standard reason substring-level metrics
+    * exist alongside MinHash.
+    *
+    * Scale shape: only (doc_id, shingle) pairs move — document text never
+    * shuffles. The document-frequency groupBy and the join back land on
+    * the SAME shingle key, so Spark reuses one exchange (the
+    * [[jaccardNearDupStats]] pattern) — and unlike the pairwise jaccard
+    * there is no Σdf² candidate term at all: a viral shingle costs df
+    * rows, not df² pairs, so no df cap is needed. */
+  def ngramDupStats(df: DataFrame, k: Int = 3, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val sh = shingles(df, k, textCol, idCol)
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
+    val per = sh.join(dfreq, Seq("shingle"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+    df.select(col(idCol).as("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        round(coalesce(col("n_dup"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_shingles"), lit(0L)), lit(1L)).cast("double"),
+          6).as("dup_frac"))
+  }
+
   /** Benchmark decontamination: flag corpus docs sharing any k-gram with
     * an eval set (standard LLM-training hygiene). Inverted-index equi-join
     * on shingles — eval side is small and broadcast; corpus text never

@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Join-shape utilities for skewed data — the join-side complement to
@@ -39,5 +40,92 @@ object JoinOps {
     val sr = right.withColumn(saltCol,
       explode(sequence(lit(0L), lit(salts - 1L))))
     sl.join(sr, Seq(key, saltCol)).drop(saltCol)
+  }
+
+  /** As-of join: for every left row, attach the LATEST right row of the
+    * same `key` with `right.tsCol <= left.tsCol` (and, if `tolerance` is
+    * given, `>= left.ts - tolerance`) — the standard point-in-time
+    * enrichment (market data, feature stores, last-touch attribution).
+    *
+    * Spark-first plan: NOT a range join (a `<=` theta-join plans as
+    * BroadcastNestedLoop) — instead the classic union-scan form: tag both
+    * sides, union, ONE shuffle on `key`, one per-key sort, and a running
+    * `last(payload, ignoreNulls)` window carries the most recent right row
+    * forward onto each left row. Cost is a single Exchange + sort of
+    * (left + right), independent of match distances; a hot key serializes
+    * into one reducer's sort (same caveat family as sessionization —
+    * acceptable for per-user/per-instrument keys, not for a global key).
+    *
+    * The right payload rides as ONE struct so all matched columns come
+    * from the SAME right row even when some payload values are null.
+    * Ties: a right row at exactly left.ts matches (`<=`); among right rows
+    * sharing (key, ts) the largest `tieBreak` wins deterministically —
+    * required, since shuffle order is not stable across retries.
+    *
+    * `tsCol`s must be numeric and non-negative (epoch micros; callers
+    * convert timestamps). Left columns pass through unchanged; matched
+    * payload columns keep their right-side names (must not collide). */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, payload: Seq[String],
+      tieBreak: String, tolerance: Option[Long] = None): DataFrame = {
+    val payCols = rightTs +: payload
+    val collisions = left.columns.toSet.intersect(payload.toSet)
+    require(collisions.isEmpty,
+      s"payload columns collide with left columns: $collisions — rename first")
+    val r = right.select(col(key), col(rightTs).cast("long").as("__ts"),
+      lit(0).as("__side"), col(tieBreak).cast("long").as("__tb"),
+      struct(payCols.map(col): _*).as("__pay"),
+      lit(null).cast(structType(left, left.columns)).as("__lrow"))
+    val l = left.select(col(key), col(leftTs).cast("long").as("__ts"),
+      lit(1).as("__side"), lit(0L).as("__tb"),
+      lit(null).cast(structType(right, payCols)).as("__pay"),
+      struct(left.columns.map(col): _*).as("__lrow"))
+    val w = Window.partitionBy(key)
+      .orderBy(col("__ts").asc, col("__side").asc, col("__tb").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = last(col("__pay"), ignoreNulls = true).over(w)
+    val inTol = tolerance match {
+      case Some(t) => when(col("__m").isNotNull &&
+        col("__m").getField(rightTs) >= col("__ts") - lit(t), col("__m"))
+      case None => col("__m")
+    }
+    r.unionByName(l)
+      .withColumn("__m", matched)
+      .filter(col("__side") === 1)
+      .withColumn("__m", inTol)
+      .select(left.columns.toSeq.map(c => col("__lrow").getField(c).as(c)) ++
+        payCols.map(c => col("__m").getField(c).as(c)): _*)
+  }
+
+  private def structType(df: DataFrame, cols: Seq[String]) =
+    org.apache.spark.sql.types.StructType(
+      cols.map(c => df.schema(c)))
+
+  /** Interval (range) join: points to enclosing intervals,
+    * `lo <= point <= hi`, optionally also equi-matched on `keys`. Spark
+    * plans a raw inequality join as BroadcastNestedLoop (quadratic, and
+    * driver-bound by the broadcast); this operator grids both sides on
+    * `bucketWidth` so it becomes a plain shuffled EQUI-join: each interval
+    * replicates to the buckets it overlaps (`sequence(lo div w, hi div w)`
+    * — bounded by interval span / width), each point lives in exactly ONE
+    * bucket, so every qualifying (interval, point) pair meets exactly once
+    * and no dedup is needed after the `BETWEEN` post-filter.
+    *
+    * Choose `bucketWidth` ≈ the typical interval span: replication factor
+    * is span/width + 1, while too-wide buckets inflate the post-filter's
+    * false candidates. Values must be non-negative longs (`div` truncates
+    * toward zero, which is floor only for non-negatives — epoch micros
+    * qualify). Column sets must be disjoint apart from `keys`. */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, pointCol: String,
+      loCol: String, hiCol: String, bucketWidth: Long,
+      keys: Seq[String] = Nil): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val b = "__graft_range_bucket"
+    val p = points.withColumn(b, expr(s"`$pointCol` div ${bucketWidth}L"))
+    val iv = intervals.withColumn(b, explode(sequence(
+      expr(s"`$loCol` div ${bucketWidth}L"), expr(s"`$hiCol` div ${bucketWidth}L"))))
+    p.join(iv, keys :+ b)
+      .filter(col(pointCol).between(col(loCol), col(hiCol)))
+      .drop(b)
   }
 }

@@ -180,6 +180,132 @@ object SketchOps {
        |FROM ex CROSS JOIN kk""".stripMargin
   }
 
+  // ---- HLL distinct-count registers --------------------------------------
+  /** Same decorrelation rationale as the KMV mix: rank = zero-run length
+    * is an order-statistic-like use of the hash bits, and raw PolyHash of
+    * structured strings clusters. Distinct seed from CMS (7) and KMV (11). */
+  private val (hllA, hllB): (Long, Long) = {
+    val (as, bs) = cmsCoefficients(1, seed = 13L)
+    (as(0), bs(0))
+  }
+
+  /** Mixed portable hash feeding [[graft.functions.HllAgg]]: cube the
+    * PolyHash mod P, then affine-mix. The AFFINE-only mix that fixes KMV
+    * is NOT enough here: structured key sets ("user-day") are lattices in
+    * PolyHash space, affine maps preserve lattices, and the HLL rank is a
+    * deep-tail bit statistic that sees the lattice (measured on the
+    * user-day domain: affine-only estimates swung −25%…+22% with a +19%
+    * mean bias). Cubing is NON-linear yet bijective on Z_P — gcd(3, P−1)
+    * = 1 since P−1 = 2·500000003 with neither factor divisible by 3 — so
+    * it breaks the lattice without losing hash values (x² would be 2:1
+    * and halve the distinct count). Measured: mean bias −2%, spread
+    * within the sketch's nominal 1.04/√m. Every product stays < 2^60
+    * (ANSI-safe: operands < 2^30). */
+  def hllHash(key: Column): Column = {
+    val p = graft.functions.PolyHash(key)
+    val p3 = pmod(pmod(p * p, lit(P)) * p, lit(P))
+    pmod(p3 * lit(hllA) + lit(hllB), lit(P))
+  }
+
+  /** Per-group HLL registers over a string key: (groupCols..., registers
+    * array<int> of length m). One groupBy with an m-byte buffer — map-side
+    * combine compresses each partition to one sketch per group before the
+    * exchange, the same shape as the histogram fill. */
+  def hllRegisters(rel: DataFrame, groupCols: Seq[String], key: Column,
+      m: Int = 64): DataFrame =
+    rel.groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.HllAgg(hllHash(key), m).as("registers"))
+
+  /** Harmonic-mean HLL estimate from a registers array, in EXACT dyadic
+    * arithmetic: Σ 2^-rank is computed as an integer Σ 2^(rmax-rank)
+    * (rank ≤ rmax ≤ 25, ≤ m terms ⇒ fits a long exactly), so the only
+    * floating-point step is one literal/long division — bit-identical on
+    * any IEEE engine, which is what makes the estimate oracle-checkable. */
+  def hllEstimate(registersCol: String = "registers", m: Int = 64): Column = {
+    val rmax = graft.functions.HllAgg.rankBits(m) + 1
+    val sScaled = expr(
+      s"aggregate(`$registersCol`, CAST(0 AS BIGINT), " +
+      s"(acc, r) -> acc + shiftleft(CAST(1 AS BIGINT), $rmax - r))")
+    round(lit(hllAlphaM2(m) * 2.0 * hllDomainSize(m)) / sScaled.cast("double"), 4)
+  }
+
+  /** Rank-domain size W = |{h div m}| — NOT a power of two (hash domain is
+    * [0, P)), so P(rank ≥ r) = 2^(rmax-r)/W = 2^(1-r) · γ with
+    * γ = 2^(rmax-1)/W ≈ 1.074: vs the ideal geometric the sketch behaves
+    * as if fed γ·n distinct keys. The estimator divides by γ, folded into
+    * the constant: est = α·m² / (S_scaled/2^rmax) / γ = α·m²·2W/S_scaled
+    * (S_scaled = Σ2^(rmax-rank) is the exact integer sum) — removing the
+    * +7.4% systematic domain bias. */
+  def hllDomainSize(m: Int): Double = ((P - 1) / m + 1).toDouble
+
+  /** α_m · m² (Flajolet et al. 2007 constants; the exact double value is
+    * embedded verbatim in the SQL twin). */
+  def hllAlphaM2(m: Int): Double = {
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
+    alpha * m * m
+  }
+
+  /** Merge two register arrays (elementwise max) — for combining sketches
+    * persisted from different snapshots. Per-sketch-row lambda cost only. */
+  def hllMergeRegisters(a: Column, b: Column): Column =
+    zip_with(a, b, (x, y) => greatest(x, y))
+
+  /** DuckDB twin of the register computation: `keyCte` must yield columns
+    * (`grp`, `key`). Recomputes registers RELATIONALLY — group by
+    * `h % m` with max rank — i.e. an independent formulation of the same
+    * sketch, zero-filled to all m registers per group. */
+  /** The cube-then-affine mix as SQL — must stay the verbatim twin of
+    * [[hllHash]]. Emitted as FROM-clause staging so the list_reduce
+    * polynomial evaluates once per key, not three times. */
+  private def hllKeyedHashCte(keyCte: String): String = {
+    val poly = graft.functions.PolyHash.sql("key")
+    s"""SELECT DISTINCT grp, (p3 * $hllA + $hllB) % $P AS h FROM (
+       |  SELECT grp, ((p * p) % $P * p) % $P AS p3 FROM (
+       |    SELECT grp, ($poly) AS p FROM ($keyCte)))""".stripMargin
+  }
+
+  def hllRegistersSql(keyCte: String, m: Int = 64): String = {
+    val rmax = graft.functions.HllAgg.rankBits(m) + 1
+    s"""WITH keys AS ($keyCte),
+       |hs AS (${hllKeyedHashCte("SELECT grp, key FROM keys")}),
+       |reg AS (SELECT grp, h % $m AS idx,
+       |  max(CASE WHEN h // $m = 0 THEN $rmax
+       |      ELSE $rmax - length(bin(h // $m)) END) AS rank
+       |  FROM hs GROUP BY 1, 2),
+       |grid AS (SELECT g.grp, r.range AS idx
+       |  FROM (SELECT DISTINCT grp FROM keys) g CROSS JOIN range(0, $m) r)
+       |SELECT grid.grp, CAST(grid.idx AS BIGINT) AS idx,
+       |  CAST(COALESCE(reg.rank, 0) AS INT) AS rank
+       |FROM grid LEFT JOIN reg ON grid.grp = reg.grp AND grid.idx = reg.idx""".stripMargin
+  }
+
+  /** DuckDB twin of [[hllEstimate]] over the same `keyCte`: per-group
+    * (grp, n_exact, hll_est) with the identical scaled-integer sum. */
+  def hllEstimateSql(keyCte: String, m: Int = 64): String = {
+    val rmax = graft.functions.HllAgg.rankBits(m) + 1
+    val aM2 = hllAlphaM2(m) * 2.0 * hllDomainSize(m)
+    s"""WITH keys AS ($keyCte),
+       |hs AS (${hllKeyedHashCte("SELECT grp, key FROM keys")}),
+       |reg AS (SELECT grp, h % $m AS idx,
+       |  max(CASE WHEN h // $m = 0 THEN $rmax
+       |      ELSE $rmax - length(bin(h // $m)) END) AS rank
+       |  FROM hs GROUP BY 1, 2),
+       |s AS (SELECT grp,
+       |  CAST(sum(CAST(1 AS BIGINT) << ($rmax - rank)) AS BIGINT)
+       |    + ($m - count(*)) * (CAST(1 AS BIGINT) << $rmax) AS s_scaled
+       |  FROM reg GROUP BY 1),
+       |ex AS (SELECT grp, CAST(count(DISTINCT key) AS BIGINT) AS n_exact
+       |  FROM keys GROUP BY 1)
+       |SELECT ex.grp, ex.n_exact,
+       |  round($aM2 / CAST(s.s_scaled AS DOUBLE), 4) AS hll_est
+       |FROM ex JOIN s ON ex.grp = s.grp""".stripMargin
+  }
+
   /** DuckDB twin of [[cmsTokenCounts]] — same PolyHash, same seeded
     * coefficients, same cell grid. */
   def cmsTokenCountsSql(probes: Seq[String], depth: Int = 4, width: Int = 1024,

@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops._
+
+/** As-of join, bucket-gridded interval join, HLL registers, and
+  * substring-level dup stats — the round-3 operator additions. */
+class AsOfRangeHllSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.get
+  import spark.implicits._
+
+  // ---- as-of join --------------------------------------------------------
+
+  private def asOfFixture: (DataFrame, DataFrame) = {
+    // left: (id, key, ts)
+    val left = Seq(
+      (1L, "a", 100L), // latest right at/before 100 within tol
+      (2L, "a", 50L),  // exact-ts tie: right row at 50 must match (<=)
+      (3L, "a", 10L),  // no right row at/before 10 → null
+      (4L, "b", 100L), // right rows exist only for key a → null
+      (5L, "a", 500L)  // only right ≤ 500 is at 90: outside tol 100 → null
+    ).toDF("id", "k", "ts")
+    // right: (key, rts, rid, payload) with two rows at the SAME (key, ts)
+    // — the larger tieBreak (rid) must win deterministically
+    val right = Seq(
+      ("a", 50L, 10L, "r10"),
+      ("a", 50L, 11L, "r11"), // same ts as rid=10 → rid=11 wins
+      ("a", 90L, 12L, null.asInstanceOf[String]) // null payload VALUE:
+      // must still be the matched row for left ts=100 (struct integrity —
+      // a per-column last() would leak r11's payload here)
+    ).toDF("k", "rts", "rid", "pay")
+    (left, right)
+  }
+
+  test("asOfJoin: latest-at-or-before semantics, ties, tolerance, struct integrity") {
+    val (left, right) = asOfFixture
+    val out = JoinOps.asOfJoin(left, right, "k", "ts", "rts",
+        Seq("rid", "pay"), tieBreak = "rid", tolerance = Some(100L))
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(r.fieldIndex("rid"))).map(_.asInstanceOf[Long]),
+        Option(r.getString(r.fieldIndex("pay"))))).sortBy(_._1)
+    assert(out(0) == ((1L, Some(12L), None)),
+      "ts=100 must match the ts=90 row WITH its null payload, not an older one")
+    assert(out(1) == ((2L, Some(11L), Some("r11"))),
+      "exact-ts match allowed; max tieBreak wins among equal-ts rows")
+    assert(out(2) == ((3L, None, None)), "nothing at/before ts=10")
+    assert(out(3) == ((4L, None, None)), "no rows for key b")
+    assert(out(4) == ((5L, None, None)), "ts=90 is outside tolerance 100 at ts=500")
+  }
+
+  test("asOfJoin preserves left cardinality and matches a naive spec") {
+    // randomized cross-check against the O(n·m) spec on one key group
+    val left = (0L until 200L).map(i => (i, "k", i * 7L % 1000L)).toDF("id", "k", "ts")
+    val right = (0L until 100L).map(j => ("k", j * 13L % 1000L, j)).toDF("k", "rts", "rid")
+    val got = JoinOps.asOfJoin(left, right, "k", "ts", "rts", Seq("rid"),
+        tieBreak = "rid")
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(r.fieldIndex("rid"))).map(_.asInstanceOf[Long]))).toMap
+    val rrows = right.collect().map(r => (r.getLong(1), r.getLong(2)))
+    val lrows = left.collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.size == 200)
+    lrows.foreach { case (id, ts) =>
+      val cand = rrows.filter(_._1 <= ts)
+      val want = if (cand.isEmpty) None
+        else Some(cand.maxBy(c => (c._1, c._2))._2)
+      assert(got(id) == want, s"left id=$id ts=$ts")
+    }
+  }
+
+  // ---- interval (range) join ---------------------------------------------
+
+  test("rangeJoin == naive theta join; boundaries inclusive; multi-bucket spans") {
+    val points = Seq((1L, 0L), (1L, 10L), (1L, 25L), (1L, 99L), (2L, 50L))
+      .toDF("k", "p")
+    // intervals: [5,25] spans 3 buckets at width 10; [90,99] hits the end;
+    // [0,200] spans every bucket; key 2 has its own interval
+    val ivs = Seq((1L, 100L, 5L, 25L), (1L, 101L, 90L, 99L),
+      (1L, 102L, 0L, 200L), (2L, 103L, 0L, 60L)).toDF("k", "iv", "lo", "hi")
+    val got = JoinOps.rangeJoin(points, ivs, "p", "lo", "hi", bucketWidth = 10L,
+        keys = Seq("k"))
+      .select("iv", "p").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val want = (for {
+      (pk, p) <- Seq((1L, 0L), (1L, 10L), (1L, 25L), (1L, 99L), (2L, 50L))
+      (ik, iv, lo, hi) <- Seq((1L, 100L, 5L, 25L), (1L, 101L, 90L, 99L),
+        (1L, 102L, 0L, 200L), (2L, 103L, 0L, 60L))
+      if pk == ik && p >= lo && p <= hi
+    } yield (iv, p)).sorted
+    assert(got == want, "gridded equi-join must reproduce the theta-join exactly (once each)")
+  }
+
+  test("rangeJoin plans as an equi-join — no nested loop, no cartesian") {
+    val points = spark.range(1000).select((col("id") % 7).as("k"), col("id").as("p"))
+    val ivs = spark.range(100).select((col("id") % 7).as("k"),
+      col("id").as("iv"), (col("id") * 10).as("lo"), (col("id") * 10 + 15).as("hi"))
+    val plan = JoinOps.rangeJoin(points, ivs, "p", "lo", "hi", 10L, Seq("k"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("Cartesian"),
+      s"range join must grid to an equi-join, got:\n$plan")
+  }
+
+  // ---- HLL registers -----------------------------------------------------
+
+  test("HLL: merge law, idempotence, register bounds") {
+    val keys = spark.range(4000).select(concat(lit("key-"), col("id")).as("key"),
+      (col("id") % 2).as("half"))
+    val whole = SketchOps.hllRegisters(keys, Nil, col("key"))
+      .collect()(0).getAs[scala.collection.Seq[Int]]("registers")
+    val halves = SketchOps.hllRegisters(keys, Seq("half"), col("key"))
+      .collect().map(_.getAs[scala.collection.Seq[Int]]("registers"))
+    val merged = halves(0).zip(halves(1)).map { case (a, b) => math.max(a, b) }
+    assert(merged == whole, "merge (elementwise max) must equal whole-set registers")
+    assert(whole.length == 64 && whole.forall(r => r >= 0 && r <= 25))
+    // idempotence: feeding the data twice changes nothing
+    val doubled = SketchOps.hllRegisters(keys.unionAll(keys), Nil, col("key"))
+      .collect()(0).getAs[scala.collection.Seq[Int]]("registers")
+    assert(doubled == whole)
+    // hllMergeRegisters column form agrees with driver-side max
+    val viaCol = SketchOps.hllRegisters(keys, Seq("half"), col("key"))
+      .agg(collect_list(col("registers")).as("rs"))
+      .select(SketchOps.hllMergeRegisters(element_at(col("rs"), 1),
+        element_at(col("rs"), 2)).as("m"))
+      .collect()(0).getAs[scala.collection.Seq[Int]]("m")
+    assert(viaCol == merged)
+  }
+
+  test("HLL estimate lands within the sketch's error envelope") {
+    for (n <- Seq(1000, 20000)) {
+      val keys = spark.range(n).select(concat(lit("u"), col("id")).as("key"))
+      val est = SketchOps.hllRegisters(keys, Nil, col("key"))
+        .select(SketchOps.hllEstimate().as("e")).collect()(0).getDouble(0)
+      // nominal σ = 1.04/√64 = 13%; allow 3σ
+      assert(math.abs(est / n - 1.0) < 0.39, s"n=$n est=$est")
+    }
+  }
+
+  // ---- substring-level dup stats -----------------------------------------
+
+  test("ngramDupStats: shared 3-grams counted, unique and short docs zero") {
+    val docs = Seq(
+      (0L, "a b c d"),   // {a b c, b c d}; "a b c" shared with doc 1
+      (1L, "a b c x"),   // {a b c, b c x}
+      (2L, "p q r s"),   // nothing shared
+      (3L, "hi")         // < k words → no shingles
+    ).toDF("doc_id", "text")
+    val out = DedupOps.ngramDupStats(docs, k = 3).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out(0L) == ((2L, 1L, 0.5)))
+    assert(out(1L) == ((2L, 1L, 0.5)))
+    assert(out(2L) == ((2L, 0L, 0.0)))
+    assert(out(3L) == ((0L, 0L, 0.0)))
+  }
+}
