@@ -497,7 +497,33 @@ object ExtensionQueries {
       DedupOps.ngramDupStats(Tables.documents(s, dir), k = jaccardK)
         .orderBy("doc_id")
     },
+    // BM25 full-text relevance search: top-10 docs per query, vocabulary
+    // prefilter on the scan, rounded-score ranking (SearchOps)
+    "search_bm25" -> { (s, dir) =>
+      SearchOps.bm25TopK(Tables.documents(s, dir), bm25Queries)
+        .orderBy("query_id", "rank")
+    },
+    // Windowed HLL: distinct users per hour as an m-byte sketch per
+    // window (streaming-ready — see AsOfRangeHllSpec's stream-vs-batch
+    // test); exercises the linear-counting small-range branch (~14
+    // users/hour at sf0.01)
+    "events_hourly_distinct" -> { (s, dir) =>
+      graft.sources.Sources.eventsWithTimestamp(s, dir)
+        .select(window(col("ts"), "1 hour").as("window"),
+          col("user_id").cast("string").as("key"))
+        .groupBy("window")
+        .agg(countDistinct(col("key")).as("n_exact"),
+          graft.functions.HllAgg(SketchOps.hllHash(col("key")), 64).as("registers"))
+        .select(col("window.start").cast("long").as("bucket_start"),
+          col("n_exact"), SketchOps.hllEstimate().as("hll_est"))
+        .orderBy("bucket_start")
+    },
   )
+
+  private val bm25Queries: Seq[(Int, Seq[String])] = Seq(
+    0 -> Seq("hash", "join"),
+    1 -> Seq("scan", "filter", "column"),
+    2 -> Seq("stream", "window", "agg", "sort"))
 
   /** (event_type, key) where key = "user-day" — the HLL demo's distinct
     * domain (daily-active-user keys; ~1.5-2k per type at sf0.01, safely in
@@ -785,6 +811,17 @@ object ExtensionQueries {
          |    CAST(greatest(COALESCE(per.n_shingles, 0), 1) AS DOUBLE), 6) AS dup_frac
          |FROM documents d LEFT JOIN per USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+  ) ++ searchOracles
+
+  private def searchOracles: Map[String, String] = Map(
+    "search_bm25" ->
+      (SearchOps.bm25TopKSql(bm25Queries) + " ORDER BY query_id, rank"),
+    "events_hourly_distinct" ->
+      s"""SELECT grp AS bucket_start, n_exact, hll_est FROM (
+         |${SketchOps.hllEstimateSql(
+        """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS grp,
+          |  CAST(user_id AS VARCHAR) AS key FROM events""".stripMargin)}
+         |) ORDER BY bucket_start""".stripMargin,
   )
 
   /** DuckDB twin of the Spark-side HLL key derivation (hllKeyed). */

@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Full-text relevance search over the corpus: BM25 (Robertson et al.,
+  * the Okapi weighting; the scoring function behind Lucene/Elasticsearch
+  * defaults) as a purely RELATIONAL pipeline — the "find me training
+  * documents about X" query a corpus-curation engine needs next to its
+  * dedup/quality operators.
+  *
+  * Scale shape: the query vocabulary is tiny and known up front, so the
+  * term filter lands BEFORE any shuffle (on the scan, next to the
+  * tokenizer) — only (doc, query-term) hit rows ever move, never the
+  * corpus text. Per-term document frequencies and the query table
+  * broadcast; corpus-level stats (N, avgdl) reduce to one row and ride a
+  * broadcast cross join. The only O(corpus) exchange is the per-(doc,
+  * term) tf groupBy on matching rows — at 100 TB with a 10-term query
+  * that is hit rows only, and skew is bounded by df caps the caller can
+  * apply upstream.
+  *
+  * Cross-engine determinism: ranking uses the ROUNDED score (6 dp) with
+  * doc_id as tie-break, so the top-k cut is identical on any IEEE engine
+  * (ln differs by ≤ 1 ulp between engines; 1e-15 absolute differences
+  * cannot cross a 0.5e-6 rounding boundary except at measure-zero
+  * coincidences — same discipline as every other oracle query here).
+  */
+object SearchOps {
+
+  /** Top-k BM25 hits per query: (query_id, doc_id, score, rank), rank
+    * 1-based by (score desc, doc_id asc).
+    *
+    * k1 tempers term-frequency saturation, b the length normalization —
+    * the Okapi defaults (1.2, 0.75). Tokenization is whitespace splitting,
+    * consistent with the shingle/token operators in this package. */
+  def bm25TopK(docs: DataFrame, queries: Seq[(Int, Seq[String])], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty), "need query terms")
+    val vocab = queries.flatMap(_._2).distinct
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val toks = docs.select(col(idCol).as("doc_id"),
+      size(split(col(textCol), " ")).as("dl"),
+      explode(split(col(textCol), " ")).as("term"))
+    // vocabulary prefilter BEFORE the shuffle: only query-term hits move
+    val tf = toks.filter(col("term").isin(vocab: _*))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      avg(size(split(col(textCol), " "))).as("avgdl"))
+    val qterms = queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+
+    val scored = tf
+      .join(broadcast(dfreq), Seq("term"))
+      .join(broadcast(qterms), Seq("term"))
+      .crossJoin(broadcast(stats))
+      // idf = ln((N - df + 0.5)/(df + 0.5) + 1)  (Lucene's non-negative form)
+      .withColumn("idf", log((col("n_docs") - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("contrib", col("idf") * col("tf") /
+        (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum(col("contrib")), 6).as("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** DuckDB twin of [[bm25TopK]]: identical formula, identical operation
+    * order (so the doubles agree bit-for-bit up to the final ln ulp),
+    * identical rounded-score ranking. */
+  def bm25TopKSql(queries: Seq[(Int, Seq[String])], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): String = {
+    val vocab = queries.flatMap(_._2).distinct
+    val inList = vocab.map(t => s"'$t'").mkString(", ")
+    val qvals = queries.flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }
+      .mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+       |    unnest(string_split(text, ' ')) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+       |  FROM toks WHERE term IN ($inList) GROUP BY 1, 2),
+       |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |stats AS (SELECT count(*) AS n_docs,
+       |  avg(len(string_split(text, ' '))) AS avgdl FROM documents),
+       |qterms(query_id, term) AS (VALUES $qvals),
+       |scored AS (
+       |  SELECT q.query_id, tf.doc_id,
+       |    round(sum(
+       |      ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+       |      * tf.tf / (tf.tf + $k1 * (1.0 - $b + $b * tf.dl / s.avgdl))
+       |    ), 6) AS score
+       |  FROM tf JOIN dfreq d USING (term) JOIN qterms q USING (term)
+       |  CROSS JOIN stats s
+       |  GROUP BY 1, 2)
+       |SELECT query_id, doc_id, score,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+       |FROM scored
+       |QUALIFY rank <= $k""".stripMargin
+  }
+}

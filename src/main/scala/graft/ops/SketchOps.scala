@@ -226,7 +226,17 @@ object SketchOps {
     val sScaled = expr(
       s"aggregate(`$registersCol`, CAST(0 AS BIGINT), " +
       s"(acc, r) -> acc + shiftleft(CAST(1 AS BIGINT), $rmax - r))")
-    round(lit(hllAlphaM2(m) * 2.0 * hllDomainSize(m)) / sScaled.cast("double"), 4)
+    val raw = lit(hllAlphaM2(m) * 2.0 * hllDomainSize(m)) / sScaled.cast("double")
+    // small-range (linear-counting) correction, standard HLL practice:
+    // below ~2.5m the harmonic estimator is biased and the zero-register
+    // count V carries more information — est = m·ln(m/V). The branch
+    // CONDITION compares the exactly-deterministic raw estimate, so both
+    // engines always take the same branch; ln's last-ulp engine
+    // difference dies in round(·, 4).
+    val v = expr(s"aggregate(`$registersCol`, 0, (acc, r) -> acc + IF(r = 0, 1, 0))")
+    round(when(raw <= lit(2.5 * m) && v > 0,
+      lit(m.toDouble) * log(lit(m.toDouble) / v.cast("double")))
+      .otherwise(raw), 4)
   }
 
   /** Rank-domain size W = |{h div m}| — NOT a power of two (hash domain is
@@ -254,6 +264,18 @@ object SketchOps {
     * persisted from different snapshots. Per-sketch-row lambda cost only. */
   def hllMergeRegisters(a: Column, b: Column): Column =
     zip_with(a, b, (x, y) => greatest(x, y))
+
+  /** Time-windowed HLL: one m-byte register set per event-time window —
+    * (window, registers). Works on batch and streaming inputs alike (for
+    * streaming add `.withWatermark` upstream); state per open window is m
+    * bytes, the sketch's whole point — the streaming "distinct users per
+    * hour" answer without a per-key state store. Same batch/stream
+    * code-path coupling as [[windowedCmsSketch]]. */
+  def windowedHllRegisters(rel: DataFrame, tsCol: Column,
+      windowDuration: String, key: Column, m: Int = 64): DataFrame =
+    rel.select(window(tsCol, windowDuration).as("window"), key.as("key"))
+      .groupBy("window")
+      .agg(graft.functions.HllAgg(hllHash(col("key")), m).as("registers"))
 
   /** DuckDB twin of the register computation: `keyCte` must yield columns
     * (`grp`, `key`). Recomputes registers RELATIONALLY — group by
@@ -297,12 +319,15 @@ object SketchOps {
        |  FROM hs GROUP BY 1, 2),
        |s AS (SELECT grp,
        |  CAST(sum(CAST(1 AS BIGINT) << ($rmax - rank)) AS BIGINT)
-       |    + ($m - count(*)) * (CAST(1 AS BIGINT) << $rmax) AS s_scaled
+       |    + ($m - count(*)) * (CAST(1 AS BIGINT) << $rmax) AS s_scaled,
+       |  $m - count(*) AS v
        |  FROM reg GROUP BY 1),
        |ex AS (SELECT grp, CAST(count(DISTINCT key) AS BIGINT) AS n_exact
        |  FROM keys GROUP BY 1)
        |SELECT ex.grp, ex.n_exact,
-       |  round($aM2 / CAST(s.s_scaled AS DOUBLE), 4) AS hll_est
+       |  round(CASE WHEN $aM2 / CAST(s.s_scaled AS DOUBLE) <= ${2.5 * m}
+       |    AND s.v > 0 THEN $m.0 * ln($m.0 / CAST(s.v AS DOUBLE))
+       |    ELSE $aM2 / CAST(s.s_scaled AS DOUBLE) END, 4) AS hll_est
        |FROM ex JOIN s ON ex.grp = s.grp""".stripMargin
   }
 

@@ -136,6 +136,35 @@ class AsOfRangeHllSpec extends AnyFunSuite {
     }
   }
 
+  // ---- BM25 search -------------------------------------------------------
+
+  test("bm25TopK matches a driver-side recompute on a crafted corpus") {
+    val docs = Seq(
+      (0L, "x x y"),
+      (1L, "x z z z"),
+      (2L, "y y y")).toDF("doc_id", "text")
+    val (k1, b) = (1.2, 0.75)
+    val got = SearchOps.bm25TopK(docs, Seq(0 -> Seq("x", "y")), k = 10)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Double]("score"), r.getAs[Int]("rank")))
+      .sortBy(_._3)
+    // independent recompute of the same formula
+    val n = 3.0; val avgdl = (3 + 4 + 3) / 3.0
+    def idf(df: Int) = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    def contrib(tf: Int, df: Int, dl: Int) =
+      idf(df) * tf / (tf + k1 * (1.0 - b + b * dl / avgdl))
+    val want = Map( // doc -> Σ over query terms x (df=2), y (df=2)
+      0L -> (contrib(2, 2, 3) + contrib(1, 2, 3)),
+      1L -> contrib(1, 2, 4),
+      2L -> contrib(3, 2, 3))
+    assert(got.map(_._1).toSet == Set(0L, 1L, 2L))
+    got.foreach { case (doc, score, _) =>
+      assert(math.abs(score - want(doc)) < 1e-6, s"doc $doc") }
+    // ranking: by score desc — doc0 (two terms) > doc2 (saturated y) > doc1
+    assert(got.map(_._1).toSeq ==
+      want.toSeq.sortBy { case (d, s) => (-s, d) }.map(_._1))
+  }
+
   // ---- substring-level dup stats -----------------------------------------
 
   test("ngramDupStats: shared 3-grams counted, unique and short docs zero") {

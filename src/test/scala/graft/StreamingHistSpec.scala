@@ -72,6 +72,30 @@ class StreamingHistSpec extends AnyFunSuite {
     assert(got == batch && got.nonEmpty)
   }
 
+  test("streamed windowed HLL registers == batch windowed registers") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-shll").toFile
+    val data = Seq.tabulate(500) { i =>
+      (java.sql.Timestamp.valueOf(f"2024-01-01 ${i % 3}%02d:00:01"), s"user${i % 37}")
+    }
+    val batchDf = data.toDF("ts", "k")
+    batchDf.coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    def key(r: org.apache.spark.sql.Row) =
+      r.getStruct(0).getTimestamp(0).getTime ->
+        r.getAs[scala.collection.Seq[Int]]("registers")
+    val batch = graft.ops.SketchOps
+      .windowedHllRegisters(batchDf, $"ts", "1 hour", $"k")
+      .collect().map(key).toMap
+    val streamIn = spark.readStream.schema(batchDf.schema).parquet(dir.toString)
+      .withWatermark("ts", "2 hours")
+    val q = graft.ops.SketchOps
+      .windowedHllRegisters(streamIn, $"ts", "1 hour", $"k")
+      .writeStream.outputMode("complete").format("memory").queryName("shll")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("shll").collect().map(key).toMap
+    assert(got == batch && got.size == 3)
+  }
+
   test("streamed windowed fill == batch windowed fill") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toFile
     val data = Seq.tabulate(300) { i =>
