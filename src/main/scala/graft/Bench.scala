@@ -4,6 +4,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -14,13 +15,17 @@ object Bench {
     // and fix the query order so per-round numbers are comparable
     spark.range(1000000L).selectExpr("sum(id)").write
       .format("noop").mode("overwrite").save()
+    def r3(v: Double): Double = math.rint(v * 1000.0) / 1000.0
     var failures = 0
+    val perIter = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // noop sink: forces full materialization of every result column
       // (count() would let Catalyst prune the aggregates themselves).
-      // Best of two runs: co-tenant noise on the box otherwise dominates
-      // (same query measured 0.7 s and 23 s minutes apart).
-      val times = (1 to 2).map { _ =>
+      // Best of `reps` (default 3): co-tenant noise on the box otherwise
+      // dominates (same query measured 0.7 s and 23 s minutes apart).
+      // Per-iteration times are emitted so a noise-dominated artifact is
+      // detectable after the fact, not just suspected.
+      val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -30,17 +35,33 @@ object Bench {
         // a query that dies in ~0ms must not report a flattering time
         if (ok) (System.nanoTime() - t0) / 1e9 else Double.MaxValue
       }
+      perIter(name) = times.map(t => if (t == Double.MaxValue) -1.0 else r3(t))
       name -> (if (times.min == Double.MaxValue) -1.0 else times.min)
     }
-    def r3(v: Double): Double = math.rint(v * 1000.0) / 1000.0
+    // noise audit: queries whose slowest rep exceeds 3x the fastest are
+    // flagged; if they dominate the suite the run happened on a loaded box
+    // and should be re-taken (BENCH_r03 post-mortem: recorded 112 s vs
+    // 44 s clean for identical code).
+    val noisy = perIter.collect {
+      case (n, ts) if ts.forall(_ > 0) && ts.max / math.max(ts.min, 1e-9) > 3.0 => n
+    }.toSeq
+    noisy.foreach(n => System.err.println(
+      s"[bench] VARIANCE WARNING: $n reps ${perIter(n).mkString(",")} (max/min > 3x)"))
+    if (noisy.size > results.size / 4)
+      System.err.println(s"[bench] NOISE-DOMINATED RUN: ${noisy.size}/${results.size} " +
+        "queries exceed 3x rep spread — re-run this benchmark on an idle box")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
+    val iters = perIter.map { case (k, ts) =>
+      s"\"" + k + "\":[" + ts.mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val noisyJson = noisy.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).filter(_ >= 0).sum else 0.0
     // stop BEFORE printing (no shutdown logs after the artifact line), and
     // put the headline total at the END of the line: tail-window captures
     // that clip the front of a long line must still contain
     // `"metric":"total","value":N` (JSON key order is parser-irrelevant)
     spark.stop()
-    println(s"""{"queries":$qs,"failures":$failures,"sf":"$sfDir","unit":"sec","metric":"total","value":${r3(total)}}""")
+    println(s"""{"queries":$qs,"iterations":$iters,"noisy":$noisyJson,"reps":$reps,"failures":$failures,"sf":"$sfDir","unit":"sec","metric":"total","value":${r3(total)}}""")
   }
 }

@@ -50,8 +50,8 @@ object ExtensionQueries {
       DedupOps.exactDedupSalted(Tables.documents(s, dir)).orderBy("keep_id")
     },
     "dedup_jaccard_stats" -> { (s, dir) =>
-      DedupOps.jaccardNearDupStats(Tables.documents(s, dir), jaccardK,
-        jaccardThresh, jaccardMaxDf).orderBy("doc_id")
+      DedupOps.jaccardNearDupStats(Tables.documents(s, dir),
+        ops.DfCap.Capped(jaccardMaxDf), jaccardK, jaccardThresh).orderBy("doc_id")
     },
     // MinHash LSH: per-doc candidate count (deterministic seeded hash
     // family; engine-specific xxhash64 → rows-only check)

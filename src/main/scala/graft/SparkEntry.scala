@@ -41,6 +41,11 @@ object SparkEntry {
   private val axTax = Regular(9, 0.0, 0.09)
   private val axLine = IntegerAxis(1L, 8L)
 
+  // shift for the stable price-mean storage: any constant within ~1 std of
+  // the data's location removes the cancellation; a round number keeps the
+  // oracle SQL legible
+  private val priceShift = 30000.0
+
   private val cutoff = "1995-06-01 00:00:00"
   // to_timestamp parses in the SESSION timezone (UTC); a
   // java.sql.Timestamp.valueOf literal would bind to the JVM default TZ
@@ -281,6 +286,33 @@ object SparkEntry {
       Hist.fillDense(spec, Tables.lineitem(s, dir), Seq(col("l_quantity")))
         .withColumn("value", round(col("value"), 6)).orderBy("i0")
     },
+    // N-D dense fast path with the bounded-fan-in merge tree forced on
+    // (splitEvery = 2 ⇒ depth ⌈log₂ P⌉ — every reducer merges ≤ 2 buffers,
+    // the reference's split_every semantic on the dense path)
+    "hist_dense_fast2d" -> { (s, dir) =>
+      val spec = HistSpec(Seq(axDisc, axTax), DoubleStorage)
+      Hist.fillDense(spec, Tables.lineitem(s, dir),
+          Seq(col("l_discount"), col("l_tax")), splitEvery = Some(2))
+        .withColumn("value", round(col("value"), 6)).orderBy("i0", "i1")
+    },
+    // Numerically stable mean/variance at price magnitude: ShiftedMean
+    // storage (shifted associative sums) — the naive Σs²−(Σs)²/n form
+    // cancels catastrophically for |mean| ≫ std samples; shifting by a
+    // constant near the data's location keeps plain portable sums AND the
+    // digits (see StorageStableSpec for the differential demonstration)
+    "hist_mean_price" -> { (s, dir) =>
+      val spec = HistSpec(Seq(axQtyR), ShiftedMeanStorage(priceShift))
+      Hist.fill(spec, Tables.lineitem(s, dir), Seq(col("l_quantity")),
+          sample = Some(col("l_extendedprice")))
+        .select(col("i0"), col("n"),
+          round(col("sum_d"), 2).as("sum_d"),
+          round(col("mean"), 6).as("mean"),
+          // variance of price-magnitude samples is O(1e8): integer-digit
+          // rounding keeps both engines' ulp-level sum differences in the
+          // same bucket with wide margin
+          round(col("variance"), 0).as("variance"))
+        .orderBy("i0")
+    },
     // Circular (wrap-around) axis — quantity wrapped on a period of 7
     "hist_circular" -> { (s, dir) =>
       val ax = RegularCircular(7, 0.0, 7.0)
@@ -467,6 +499,27 @@ object SparkEntry {
          |  SELECT ${axQtyR.sqlExpr("l_quantity")} AS i0, sum(1.0) AS value
          |  FROM ${li()} GROUP BY 1
          |) h USING (i0) ORDER BY i0""".stripMargin,
+    "hist_dense_fast2d" ->
+      s"""SELECT g0.i0, g1.i1, round(COALESCE(h.value, 0.0), 6) AS value
+         |FROM (SELECT range AS i0 FROM range(0, ${axDisc.n + 2})) g0
+         |CROSS JOIN (SELECT range AS i1 FROM range(0, ${axTax.n + 2})) g1
+         |LEFT JOIN (
+         |  SELECT ${axDisc.sqlExpr("l_discount")} AS i0,
+         |  ${axTax.sqlExpr("l_tax")} AS i1, sum(1.0) AS value
+         |  FROM ${li()} GROUP BY 1, 2
+         |) h USING (i0, i1) ORDER BY g0.i0, g1.i1""".stripMargin,
+    "hist_mean_price" ->
+      s"""SELECT ${axQtyR.sqlExpr("l_quantity")} AS i0,
+         |count(l_extendedprice) AS n,
+         |round(sum(l_extendedprice - $priceShift), 2) AS sum_d,
+         |round($priceShift + sum(l_extendedprice - $priceShift)
+         |  / count(l_extendedprice), 6) AS mean,
+         |round(CASE WHEN count(l_extendedprice) > 1 THEN
+         |  (sum((l_extendedprice - $priceShift) * (l_extendedprice - $priceShift))
+         |   - sum(l_extendedprice - $priceShift) * sum(l_extendedprice - $priceShift)
+         |     / count(l_extendedprice))
+         |  / (count(l_extendedprice) - 1) END, 0) AS variance
+         |FROM ${li()} GROUP BY 1 ORDER BY i0""".stripMargin,
     "hist_partitioned" ->
       s"""SELECT ((l_orderkey % 4) + 4) % 4 AS partition,
          |${axQtyR.sqlExpr("l_quantity")} AS i0, round(sum(1.0), 6) AS value

@@ -36,6 +36,11 @@ object Axis {
     * type and the correctly-rounded strtod path (Java's Double.toString
     * round-trip guarantee is for nearest-double parsing only). */
   def sqlDouble(d: Double): String = {
+    // Double.toString renders non-finite values without an exponent, so the
+    // suffix below would emit unparsable "InfinityE0"/"NaNE0" — fail loudly
+    // here (the one choke point) instead of in DuckDB's parser
+    require(java.lang.Double.isFinite(d),
+      s"sqlDouble requires a finite value, got $d")
     val s = d.toString
     if (s.indexOf('E') >= 0 || s.indexOf('e') >= 0) s else s + "E0"
   }
@@ -44,6 +49,13 @@ object Axis {
 sealed trait Axis extends Serializable {
   /** Number of in-range bins (flow bins excluded). */
   def nBins: Int
+
+  /** Axis name ("" = unnamed) — carried metadata the reference surfaces as
+    * `h.axes.name` (hist named-axis protocol, survives fill → compute:
+    * `/root/reference/tests/test_boost.py:536-556`). Surfaced here via
+    * [[HistSpec.axisNames]] / [[HistSpec.namedIndexCols]] /
+    * [[HistResult]] name accessors. */
+  def name: String
 
   /** Bin-key expression for a value column. Numeric axes return a LongType
     * index in [0, nBins+1]; category axes return the raw (typed) value.

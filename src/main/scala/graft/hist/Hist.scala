@@ -171,22 +171,73 @@ object Hist {
     }.reduce(_ + _)
   }
 
-  /** Dense fast path: the whole histogram as ONE Array[Double] aggregation
-    * buffer ([[graft.functions.DenseHistAgg]]) — per-partition dense fill
-    * + buffer-merge final, the literal analog of the reference's
-    * per-partition `bh.Histogram` + tree reduce. Returns the same sparse
-    * relational shape as [[fill]] (flow rows included, zero bins kept)
-    * via posexplode of the single result array. */
+  /** Dense fast path, any ndim: the whole histogram as ONE Array[Double]
+    * aggregation buffer ([[graft.functions.DenseHistAgg]]) — per-partition
+    * dense fill + BOUNDED-fan-in buffer merge, the literal analog of the
+    * reference's per-partition `bh.Histogram` + `split_every` tree reduce
+    * (`core.py:856-885`, `histogram.yaml:10`). Returns the same sparse
+    * relational shape as [[fill]] (flow rows included, zero bins kept) by
+    * exploding the merged array and decomposing the flat index.
+    *
+    * Why the tree matters HERE specifically: a bare `.agg()` funnels every
+    * input partition's dense buffer into ONE final reducer — at 800k scan
+    * tasks × an n-bin buffer that single task is the reduction bottleneck
+    * the reference's `split_every` exists to prevent. So when the input has
+    * more partitions than the fan-in, partials are first grouped by
+    * `pmod(spark_partition_id, ceil(P / fanIn))` (each group merges ≤ fanIn
+    * buffers; only buffers cross the shuffle, never rows — the grouping key
+    * is constant within a partition so map-side combine leaves exactly one
+    * buffer per input partition), then [[graft.functions.DenseMergeAgg]]
+    * levels repeat the contraction until one buffer remains:
+    * depth = ceil(log_fanIn(P)), each task merging ≤ fanIn arrays.
+    * `splitEvery = None` reads [[SplitEveryConf]] (reference yaml config). */
   def fillDense(spec: HistSpec, df: DataFrame, cols: Seq[Column],
-      weight: Option[Column] = None): DataFrame = {
-    require(spec.ndim == 1, "fillDense currently exposes the 1-D surface")
-    val total = spec.axes.map(_.nBins + 2).product
+      weight: Option[Column] = None, splitEvery: Option[Int] = None): DataFrame = {
+    require(axesNumeric(spec), "fillDense requires numeric (indexed) axes")
+    val totalL = spec.denseBinCount(flow = true)
+    require(totalL > 0 && totalL <= (1L << 26),
+      s"fillDense dense buffer out of range: $totalL bins")
+    val total = totalL.toInt
+    val fanIn = splitEvery.getOrElse(resolveSplitEvery(df.sparkSession))
     val idx = flatIndexCol(spec, cols)
     val w = weight.getOrElse(lit(1.0)).cast(DoubleType)
-    df.select(idx.as("__i"), w.as("__w"))
-      .agg(graft.functions.DenseHistAgg(col("__i"), col("__w"), total).as("__h"))
-      .select(posexplode(col("__h")).as(Seq("i0", "value")))
-      .select(col("i0").cast("long").as("i0"), col("value"))
+    val rows = df.select(idx.as("__i"), w.as("__w"))
+    // plan-only partition probe (split enumeration for parquet scans) —
+    // sizes the reduction tree to the real partial count
+    val p = math.max(rows.rdd.getNumPartitions, 1)
+    val merged =
+      if (p <= fanIn) {
+        // few enough partials that the final reducer's fan-in is already
+        // bounded — single-level aggregation
+        rows.agg(graft.functions.DenseHistAgg(col("__i"), col("__w"), total).as("__h"))
+      } else {
+        var groups = math.ceil(p.toDouble / fanIn).toInt
+        var h = rows
+          .select(pmod(spark_partition_id().cast("long"), lit(groups.toLong)).as("__g"),
+            col("__i"), col("__w"))
+          .groupBy(col("__g"))
+          .agg(graft.functions.DenseHistAgg(col("__i"), col("__w"), total).as("__h"))
+        while (groups > 1) {
+          val next = math.ceil(groups.toDouble / fanIn).toInt
+          h =
+            if (next <= 1)
+              h.agg(graft.functions.DenseMergeAgg(col("__h"), total).as("__h"))
+            else h.select(pmod(col("__g"), lit(next.toLong)).as("__g"), col("__h"))
+              .groupBy(col("__g"))
+              .agg(graft.functions.DenseMergeAgg(col("__h"), total).as("__h"))
+          groups = next
+        }
+        h.select(col("__h"))
+      }
+    // flat index → per-axis indices (row-major strides, matching
+    // flatIndexCol); `div` keeps everything integral
+    val dims = spec.axes.map(a => (a.nBins + 2).toLong)
+    val strides = dims.scanRight(1L)(_ * _).tail
+    val idxCols = strides.zip(dims).zipWithIndex.map { case ((s, n), d) =>
+      expr(s"CAST(__pos AS BIGINT) div ${s}L % ${n}L").as(s"i$d")
+    }
+    merged.select(posexplode(col("__h")).as(Seq("__pos", "value")))
+      .select(idxCols :+ col("value"): _*)
   }
 
   /** Density normalization: value / (Σvalue * binWidth). The reference

@@ -52,6 +52,25 @@ final case class HistResult(spec: HistSpec, rows: Array[(Array[Long], Array[Doub
     if (flow) Array(Double.NegativeInfinity) ++ ax.edges ++ Array(Double.PositiveInfinity)
     else ax.edges
   }
+
+  /** Axis names as constructed — the reference's `h.axes.name` tuple,
+    * which survives fill → compute (`tests/test_boost.py:536-556`). */
+  def axisNames: Seq[String] = spec.axisNames
+
+  /** Edge array of the axis named `name`. */
+  def edgesOf(name: String, flow: Boolean = false): Array[Double] =
+    edges(flow)(spec.axisIndex(name))
+
+  /** Dense row-major LONG array of one state column — the integer-dtype
+    * return the reference surfaces for Int64/AtomicInt64 storages
+    * (`core.py:1138-1142` picks the dense dtype from the storage; our
+    * collect path carries doubles, exact for counts < 2^53, so the
+    * round-trip through double is lossless for any collectable count). */
+  def denseLong(stateCol: String, flow: Boolean = true): Array[Long] = {
+    require(spec.storage == Int64Storage || spec.storage == AtomicInt64Storage,
+      s"denseLong is the integer-storage surface; ${spec.storage} is float-valued")
+    dense(stateCol, flow).map(_.toLong)
+  }
 }
 
 object HistResult {

@@ -17,6 +17,39 @@ final case class HistSpec(axes: Seq[Axis], storage: Storage = DoubleStorage,
   def ndim: Int = axes.size
   def indexCols: Seq[String] = axes.indices.map(i => s"i$i")
 
+  /** Per-axis names as constructed ("" = unnamed) — the reference's
+    * `h.axes.name` tuple (`tests/test_boost.py:536-556`). */
+  def axisNames: Seq[String] = axes.map(_.name)
+
+  /** Positional index of the axis named `name`. */
+  def axisIndex(name: String): Int = {
+    require(name.nonEmpty, "axis name must be non-empty")
+    val i = axisNames.indexOf(name)
+    require(i >= 0, s"no axis named '$name' (names: $axisNames)")
+    i
+  }
+
+  /** Index-column names with axis names applied: a named axis contributes
+    * its name, an unnamed one keeps the positional `i{d}`. Names must not
+    * collide with each other, the positional columns, or state columns. */
+  def namedIndexCols: Seq[String] = {
+    val out = axes.zipWithIndex.map { case (a, i) =>
+      if (a.name.nonEmpty) a.name else s"i$i"
+    }
+    require(out.distinct.size == out.size,
+      s"axis names collide: $out")
+    require(out.intersect(storage.stateCols).isEmpty,
+      s"axis names collide with state columns: ${out.intersect(storage.stateCols)}")
+    out
+  }
+
+  /** Rename a sparse histogram's positional index columns (i0..iD) to the
+    * axis names — the relational surface of the named-axis protocol. */
+  def withNamedColumns(h: DataFrame): DataFrame =
+    indexCols.zip(namedIndexCols).foldLeft(h) { case (d, (from, to)) =>
+      if (from == to) d else d.withColumnRenamed(from, to)
+    }
+
   /** Schema of the sparse relational histogram DataFrame. */
   def schema: StructType = StructType(
     axes.zipWithIndex.map { case (a, i) => StructField(s"i$i", a.keyType) } ++

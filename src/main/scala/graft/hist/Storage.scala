@@ -80,6 +80,61 @@ case object MeanStorage extends Storage {
   override def usesSample: Boolean = true
 }
 
+/** Numerically stable Mean storage: shifted associative sums
+  * (n, Σd, Σd²) with d = s − shift.
+  *
+  * The plain [[MeanStorage]] keeps raw (Σs, Σs²); its variance
+  * Σs² − (Σs)²/n cancels catastrophically when |mean| ≫ std — with
+  * mean/std = 10³ the subtraction wipes ~6 of double's 16 digits, and at
+  * 10⁸ the result is pure noise (can even go negative). boost-histogram
+  * avoids this with Welford accumulator state; the Spark-native
+  * re-expression keeps PLAIN SUMS — so the state stays exactly
+  * associative, mergeable by addition in histogram algebra, and
+  * portable to any SQL engine for oracle checks — but shifts the sample
+  * by a caller-chosen constant first. Variance is shift-invariant, so any
+  * shift within ~1 std of the data's location removes the cancellation
+  * entirely; even a crude guess (0 decimal digits of the mean) recovers
+  * most digits.
+  *
+  * When to use which: [[MeanStorage]] for samples whose magnitude is
+  * O(std) (ratios, small physical quantities — zero is already a good
+  * shift); ShiftedMean with shift ≈ typical sample value for
+  * price/timestamp-magnitude samples. */
+final case class ShiftedMeanStorage(shift: Double) extends Storage {
+  require(java.lang.Double.isFinite(shift), s"shift must be finite, got $shift")
+  override def aggs(w: Column, s: Column): Seq[Column] = {
+    val d = s - lit(shift)
+    Seq(count(s).as("n"), sum(d).as("sum_d"), sum(d * d).as("sum_d2"))
+  }
+  override def stateCols: Seq[String] = Seq("n", "sum_d", "sum_d2")
+  override def finalizers: Seq[(String, Column)] = Seq(
+    "mean" -> (lit(shift) + col("sum_d") / col("n")),
+    // identical algebra to MeanStorage but on shifted sums — the
+    // subtraction now cancels O(std²) against O(std²), not O(mean²)
+    "variance" -> when(col("n") > 1,
+      (col("sum_d2") - col("sum_d") * col("sum_d") / col("n")) / (col("n") - 1)))
+  override def usesSample: Boolean = true
+}
+
+/** Numerically stable WeightedMean storage: shifted weighted sums
+  * (Σw, Σw², Σwd, Σwd²), d = s − shift. Same rationale and trade-offs as
+  * [[ShiftedMeanStorage]]; weighted variance is shift-invariant too. */
+final case class ShiftedWeightedMeanStorage(shift: Double) extends Storage {
+  require(java.lang.Double.isFinite(shift), s"shift must be finite, got $shift")
+  override def aggs(w: Column, s: Column): Seq[Column] = {
+    val d = s - lit(shift)
+    Seq(sum(w).as("sum_w"), sum(w * w).as("sum_w2"),
+      sum(w * d).as("sum_wd"), sum(w * d * d).as("sum_wd2"))
+  }
+  override def stateCols: Seq[String] = Seq("sum_w", "sum_w2", "sum_wd", "sum_wd2")
+  override def finalizers: Seq[(String, Column)] = Seq(
+    "wmean" -> (lit(shift) + col("sum_wd") / col("sum_w")),
+    "wvariance" -> when(col("sum_w") * col("sum_w") > col("sum_w2"),
+      (col("sum_wd2") - col("sum_wd") * col("sum_wd") / col("sum_w")) /
+        (col("sum_w") - col("sum_w2") / col("sum_w"))))
+  override def usesSample: Boolean = true
+}
+
 /** WeightedMean storage: (Σw, Σw², Σws, Σws²); weighted mean derived. */
 case object WeightedMeanStorage extends Storage {
   override def aggs(w: Column, s: Column): Seq[Column] =

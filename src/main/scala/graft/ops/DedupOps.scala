@@ -3,6 +3,23 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+/** Document-frequency cap policy for inverted-index candidate generation
+  * ([[DedupOps.jaccardNearDupStats]]). A shared-key self-join costs
+  * Σ_s df(s)² candidate rows, so the cap is the difference between a plan
+  * that scales and one that melts on the first viral shingle; the ADT
+  * forces every caller to make that choice explicitly. */
+sealed trait DfCap extends Serializable
+object DfCap {
+  /** Exact all-pairs form — carries the Σdf² candidate term. Only for
+    * corpora known to have no high-df keys (tests, small bounded sets). */
+  case object Uncapped extends DfCap
+  /** Drop keys with document frequency > maxDf from candidate generation
+    * (reported similarity becomes a lower bound where hot keys exist). */
+  final case class Capped(maxDf: Int) extends DfCap {
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+  }
+}
+
 /** Deduplication operators for training-data pipelines: exact, word-shingle
   * Jaccard, MinHash+LSH, SimHash. Each comes in a correctness-baseline form
   * (oracle-checkable) and a scale form (bucketed, no cartesian products).
@@ -146,18 +163,19 @@ object DedupOps {
     * join group sizes. Jaccard compared on 6-dp rounding for engine
     * portability.
     *
-    * `maxDf` is classic prefix filtering: the self-join costs Σ_s df(s)²
-    * candidate rows, so ONE viral shingle (df = 10^6) alone generates
-    * 10^12 pairs. Shingles with document frequency > maxDf are dropped
-    * from candidate generation and intersection counts (drop-only — the
-    * per-doc sizes in the union denominator keep every shingle, so the
-    * reported jaccard is a lower bound when hot shingles exist). The
-    * DEFAULT is the exact uncapped form — capping is an explicit,
-    * caller-visible accuracy trade (a silent cap default would drop
-    * previously-reported pairs for existing callers); pass a cap for any
-    * corpus big enough to have viral shingles. */
-  def jaccardNearDupStats(df: DataFrame, k: Int = 3, threshold: Double = 0.3,
-      maxDf: Int = Int.MaxValue, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    * `dfCap` is classic prefix filtering and is REQUIRED: the self-join
+    * costs Σ_s df(s)² candidate rows, so ONE viral shingle (df = 10^6)
+    * alone generates 10^12 pairs. [[DfCap.Capped]] drops shingles with
+    * document frequency > maxDf from candidate generation and intersection
+    * counts (drop-only — the per-doc sizes in the union denominator keep
+    * every shingle, so the reported jaccard is a lower bound when hot
+    * shingles exist). [[DfCap.Uncapped]] is the exact all-pairs form and
+    * carries the Σdf² term — spell it out only for corpora you KNOW have
+    * no viral shingles (tests, bounded batches). There is deliberately no
+    * default: an accidental uncapped call on a 100 TB corpus is a
+    * cluster-killer, so the API forces the caller to choose the trade. */
+  def jaccardNearDupStats(df: DataFrame, dfCap: DfCap, k: Int = 3,
+      threshold: Double = 0.3, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     // (doc, n_sh, shingle): per-doc size rides along with every exploded
     // row — no separate size aggregation, no size joins, and identical
     // left/right subplans let Spark reuse one shuffle exchange for the
@@ -168,12 +186,13 @@ object DedupOps {
     // document-frequency cap: df computed and joined back on the same
     // shingle key, so the exchange introduced by the groupBy is reused by
     // the self-join below (no extra full shuffle of the shingle relation)
-    val shf =
-      if (maxDf == Int.MaxValue) sh
-      else sh.join(
+    val shf = dfCap match {
+      case DfCap.Uncapped => sh
+      case DfCap.Capped(maxDf) => sh.join(
         sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
           .filter(col("__df") <= maxDf).select("shingle"),
         Seq("shingle"))
+    }
     val l = shf.select(col("doc_id").as("doc_a"), col("n_sh").as("na"), col("shingle"))
     val r = shf.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"), col("shingle"))
     val pairs = l.join(r, Seq("shingle"))
@@ -442,24 +461,33 @@ object DedupOps {
   def connectedComponentsImpl(pairs: DataFrame, maxIter: Int): (DataFrame, Int) = {
     val nodes = pairs.select(col("doc_a").as("doc_id"))
       .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    // fixpoint probe: (count, xor-of-edge-hashes) computed in ONE aggregate
+    // per round. Both edge sets are distinct, so equality of the pair ⇒
+    // set equality up to an xxhash64 xor collision (~2^-64 per comparison —
+    // the same accepted-risk class as [[exactDedup]]'s 8-byte text-hash
+    // grouping); bit_xor is order-independent and cannot overflow, unlike
+    // a sum under ANSI mode. This replaces the former count + except pair
+    // of jobs with a single action per round.
+    def probe(d: DataFrame): (Long, Long) = {
+      val r = d.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
     // localCheckpoint each round: iterative DataFrame algorithms otherwise
     // stack N rounds of joins into ONE logical plan — analysis/optimizer
-    // memory grows superlinearly and dies long before the data does
+    // memory grows superlinearly and dies long before the data does.
+    // eager = false: the probe aggregate is the materialization action, so
+    // each round costs exactly one Spark job, not a checkpoint job + a
+    // probe job.
     var e = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint(eager = false)
     var converged = false
     var iter = 0
-    // carry the count forward: one count job per round (it doubles as the
-    // checkpoint-materialization action), not two
-    var prevCount = e.count()
+    var prev = probe(e)
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
-      val cnt = next.count()
-      // both sides are distinct sets: equal counts + empty one-sided diff
-      // ⇒ set equality (the count probe is cheap on checkpointed frames
-      // and skips the except shuffle on non-final rounds)
-      converged = cnt == prevCount && next.except(e).isEmpty
-      prevCount = cnt
+      val next = smallStar(largeStar(e)).localCheckpoint(eager = false)
+      val cur = probe(next)
+      converged = cur == prev
+      prev = cur
       e = next
       iter += 1
     }

@@ -69,9 +69,12 @@ object JoinOps {
       leftTs: String, rightTs: String, payload: Seq[String],
       tieBreak: String, tolerance: Option[Long] = None): DataFrame = {
     val payCols = rightTs +: payload
-    val collisions = left.columns.toSet.intersect(payload.toSet)
+    // the emitted columns are payCols (rightTs INCLUDED) — both sides
+    // calling their timestamp "ts" would otherwise silently produce a
+    // duplicate output column name and break downstream by-name access
+    val collisions = left.columns.toSet.intersect(payCols.toSet)
     require(collisions.isEmpty,
-      s"payload columns collide with left columns: $collisions — rename first")
+      s"emitted right columns collide with left columns: $collisions — rename first")
     val r = right.select(col(key), col(rightTs).cast("long").as("__ts"),
       lit(0).as("__side"), col(tieBreak).cast("long").as("__tb"),
       struct(payCols.map(col): _*).as("__pay"),
@@ -122,7 +125,12 @@ object JoinOps {
     require(bucketWidth > 0, "bucketWidth must be positive")
     val b = "__graft_range_bucket"
     val p = points.withColumn(b, expr(s"`$pointCol` div ${bucketWidth}L"))
-    val iv = intervals.withColumn(b, explode(sequence(
+    // reject inverted intervals up front: sequence(lo, hi) with hi < lo
+    // generates a DESCENDING bucket list, silently replicating a
+    // never-matching interval to every bucket it "spans" — wasted shuffle
+    // rows and a masked data-quality bug. An inverted interval can match
+    // no point, so the explicit pre-filter preserves results exactly.
+    val iv = intervals.filter(col(loCol) <= col(hiCol)).withColumn(b, explode(sequence(
       expr(s"`$loCol` div ${bucketWidth}L"), expr(s"`$hiCol` div ${bucketWidth}L"))))
     p.join(iv, keys :+ b)
       .filter(col(pointCol).between(col(loCol), col(hiCol)))

@@ -77,9 +77,16 @@ object SearchOps {
     * identical rounded-score ranking. */
   def bm25TopKSql(queries: Seq[(Int, Seq[String])], k: Int = 10,
       k1: Double = 1.2, b: Double = 0.75): String = {
+    // SQL-quote each term: '' doubling guards terms carrying quotes, and
+    // empty terms (sloppy tokenization) are rejected rather than silently
+    // matching the empty string
+    def sq(t: String): String = {
+      require(t.nonEmpty, "bm25TopKSql: empty query term")
+      "'" + t.replace("'", "''") + "'"
+    }
     val vocab = queries.flatMap(_._2).distinct
-    val inList = vocab.map(t => s"'$t'").mkString(", ")
-    val qvals = queries.flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }
+    val inList = vocab.map(sq).mkString(", ")
+    val qvals = queries.flatMap { case (qid, ts) => ts.map(t => s"($qid, ${sq(t)})") }
       .mkString(", ")
     s"""WITH toks AS (
        |  SELECT doc_id, len(string_split(text, ' ')) AS dl,

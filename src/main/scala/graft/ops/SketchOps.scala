@@ -337,8 +337,10 @@ object SketchOps {
       seed: Long = 7L): String = {
     val (as, bs) = cmsCoefficients(depth, seed)
     val coef = (0 until depth).map(r => s"($r, ${as(r)}, ${bs(r)})").mkString(", ")
-    val probeVals = probes.map(t => s"('$t')").mkString(", ")
-    val inList = probes.map(t => s"'$t'").mkString(", ")
+    // '' doubling: probe tokens are caller-supplied and may carry quotes
+    def sq(t: String) = "'" + t.replace("'", "''") + "'"
+    val probeVals = probes.map(t => s"(${sq(t)})").mkString(", ")
+    val inList = probes.map(sq).mkString(", ")
     def poly(c: String) = graft.functions.PolyHash.sql(c)
     s"""WITH tok AS (
        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),

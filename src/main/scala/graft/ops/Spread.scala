@@ -19,12 +19,33 @@ import org.apache.spark.sql.DataFrame
   * shuffle, whose cost is negligible exactly because such inputs are small.
   */
 object Spread {
+  // memoized partition counts keyed by canonicalized logical plan: each
+  // spread() call site would otherwise build the full RDD conversion for
+  // its input just to read getNumPartitions — plan-only work, but repeated
+  // per invocation (operators like jaccardNearDupStats construct the same
+  // scan many times per query). Bounded; cleared wholesale on overflow.
+  private val partCache = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Integer]()
+
   /** Widen `df` to `defaultParallelism` partitions only if it has fewer —
-    * a no-op (no Exchange in the plan) for well-split inputs. */
+    * a no-op (no Exchange in the plan, `df` returned as-is) for well-split
+    * inputs. The guard itself is kept cheap: a file-count check first
+    * (file-sourced inputs with >= target files always yield >= target scan
+    * splits — no RDD conversion needed to prove the no-op), then a
+    * memoized getNumPartitions probe for the narrow/unknown cases. */
   def apply(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    // getNumPartitions plans (does not execute) the query: for the parquet
-    // scans this guards, that is just split enumeration
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // file-count heuristic: each file contributes at least one split, so
+    // files >= target proves the input is already wide enough (the listing
+    // is driver-cached by the shared FileIndex; non-file plans report 0
+    // files and fall through to the probe)
+    if (df.inputFiles.length >= target) return df
+    if (partCache.size > 256) partCache.clear()
+    val key = df.queryExecution.logical.canonicalized
+    val p: Int = partCache.computeIfAbsent(key,
+      // getNumPartitions plans (does not execute) the query: for the
+      // parquet scans this guards, that is just split enumeration
+      _ => Integer.valueOf(df.rdd.getNumPartitions))
+    if (p < target) df.repartition(target) else df
   }
 }

@@ -316,4 +316,69 @@ class HistCoreSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(h == Map("a" -> 2L, "b" -> 1L, "c" -> 1L))
   }
+
+  test("fillDense N-D bounded merge tree == sparse fill + densify") {
+    val df = Seq.tabulate(2000)(i => (math.sin(i * 0.7) * 6, math.cos(i * 1.3) * 3))
+      .toDF("x", "y").repartition(9)
+    val spec = HistSpec(Seq(Regular(5, -5.0, 5.0), Regular(4, -3.0, 3.0)), DoubleStorage)
+    val sparse = Hist.densify(spec, Hist.fill(spec, df, Seq(col("x"), col("y"))),
+        flow = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // fan-in 2 over 9 partitions forces the multi-level contraction
+    val denseDf = Hist.fillDense(spec, df, Seq(col("x"), col("y")),
+      splitEvery = Some(2))
+    val dense = denseDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(dense == sparse)
+    assert(dense.size == 7 * 6)
+    // bounded merge: the plan must carry DenseMergeAgg contraction levels
+    // (no single final reducer sees all 9 partial buffers)
+    val plan = denseDf.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("densemergeagg"), plan.take(2000))
+  }
+
+  test("fillDense with few partials stays single-level (no merge stage)") {
+    val df = Seq.tabulate(100)(i => math.sin(i) * 4).toDF("x").coalesce(2)
+    val spec = HistSpec(Seq(Regular(4, -4.0, 4.0)), DoubleStorage)
+    val d = Hist.fillDense(spec, df, Seq(col("x")), splitEvery = Some(8))
+    assert(!d.queryExecution.executedPlan.toString.toLowerCase
+      .contains("densemergeagg"))
+    val got = d.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val sparse = Hist.densify(spec, Hist.fill(spec, df, Seq(col("x"))), flow = true)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == sparse)
+  }
+
+  test("axis names survive fill -> result round-trip (named-axis protocol)") {
+    // reference: hist named-axis test, tests/test_boost.py:536-556
+    val df = Seq((1.5, 2.5), (0.5, 1.0)).toDF("x", "y")
+    val spec = HistSpec(Seq(Regular(4, 0.0, 4.0, name = "pt"),
+      Regular(3, 0.0, 3.0)), Int64Storage)
+    assert(spec.axisNames == Seq("pt", ""))
+    assert(spec.namedIndexCols == Seq("pt", "i1"))
+    assert(spec.axisIndex("pt") == 0)
+    intercept[IllegalArgumentException](spec.axisIndex("nope"))
+    val h = Hist.fill(spec, df, Seq(col("x"), col("y")))
+    assert(spec.withNamedColumns(h).columns.take(2).toSeq == Seq("pt", "i1"))
+    val res = HistResult.collect(spec, h)
+    assert(res.axisNames == Seq("pt", ""))
+    assert(res.edgesOf("pt").toSeq == Regular(4, 0.0, 4.0).edges.toSeq)
+    // name collisions rejected loudly
+    val bad = HistSpec(Seq(Regular(2, 0.0, 1.0, name = "a"),
+      Regular(2, 0.0, 1.0, name = "a")))
+    intercept[IllegalArgumentException](bad.namedIndexCols)
+  }
+
+  test("denseLong surfaces the integer dtype for Int64 storages") {
+    // reference returns int-dtype dense arrays for Int64/AtomicInt64
+    // (core.py:1138-1142)
+    val df = Seq(0.5, 1.5, 1.6, 3.5, -1.0).toDF("x")
+    val spec = HistSpec(Seq(Regular(4, 0.0, 4.0)), Int64Storage)
+    val res = HistResult.collect(spec, Hist.fill(spec, df, Seq(col("x"))))
+    assert(res.denseLong("value").toSeq == Seq(1L, 1L, 2L, 0L, 1L, 0L))
+    // float-valued storage refuses the integer surface
+    val dspec = HistSpec(Seq(Regular(4, 0.0, 4.0)), DoubleStorage)
+    val dres = HistResult.collect(dspec, Hist.fill(dspec, df, Seq(col("x"))))
+    intercept[IllegalArgumentException](dres.denseLong("value"))
+  }
 }

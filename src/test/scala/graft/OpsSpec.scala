@@ -32,7 +32,7 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("jaccard near-dup stats finds planted near-dup and exact dup") {
-    val stats = DedupOps.jaccardNearDupStats(docs, k = 3, threshold = 0.3)
+    val stats = DedupOps.jaccardNearDupStats(docs, DfCap.Uncapped, k = 3, threshold = 0.3)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
     assert(stats(0L)._1 >= 2) // near-dup 1 and exact dup 3
     assert(stats(3L)._2 == 1.0) // exact dup -> jaccard 1.0
