@@ -28,33 +28,43 @@ object BinsSpec {
   final case class DimCount(n: Int, range: RangePair) extends DimBins
   final case class DimEdges(es: Seq[Double]) extends DimBins
 
+  // reference error strings, verbatim (`bins.py:63-65,130-132,142-144,
+  // 149-151,200,203`) — message-level parity with the Python API
+  private val ErrBinsDim =
+    "Total number of bins definitions must be equal to the dimensionality of the histogram."
+  private val ErrRangeNone =
+    "range cannot be None when bins argument is a scalar or sequence of scalars."
+  private val ErrRangeDim =
+    "Total number of range pairs must be equal to the dimensionality of the histogram."
+  private val ErrIncompatRange = "incompatible range argument"
+  private val ErrSameLen = "bins and range arguments must be the same length"
+
   /** Normalize to one DimBins per dimension (ref
-    * `normalize_bins_range`, `bins.py:160-205`). */
+    * `normalize_bins_range`, `bins.py:160-205`; error messages match the
+    * reference's verbatim). */
   def normalize(ndim: Int, bins: Bins, range: Option[Seq[Option[RangePair]]]): Seq[DimBins] =
-    bins match {
-      case Count(n) =>
-        val rs = range.getOrElse(
-          throw new IllegalArgumentException("Integer bins requires range definitions"))
-        require(rs.size == ndim,
-          s"range ($rs) is not compatible with $ndim dimensions")
-        rs.map(r => DimCount(n, r.getOrElse(
-          throw new IllegalArgumentException("Integer bins requires range definitions"))))
-      case CountPerDim(ns) =>
-        require(ns.size == ndim, s"bins ($ns) is not compatible with $ndim dimensions")
-        val rs = range.getOrElse(
-          throw new IllegalArgumentException("Integer bins requires range definitions"))
-        require(rs.size == ndim, s"range ($rs) is not compatible with $ndim dimensions")
-        ns.zip(rs).map { case (n, r) => DimCount(n, r.getOrElse(
-          throw new IllegalArgumentException("Integer bins requires range definitions"))) }
-      case Edges(es) =>
-        require(range.forall(_.forall(_.isEmpty)),
-          "Bins defined by edges; range must not be given")
-        Seq.fill(ndim)(DimEdges(es))
-      case EdgesPerDim(ess) =>
-        require(ess.size == ndim, s"bins ($ess) is not compatible with $ndim dimensions")
-        require(range.forall(_.forall(_.isEmpty)),
-          "Bins defined by edges; range must not be given")
-        ess.map(DimEdges)
+    {
+      // explicit throws, not require(): require prefixes "requirement
+      // failed: " and would break the verbatim message match
+      def fail(msg: String): Nothing = throw new IllegalArgumentException(msg)
+      bins match {
+        case Count(n) =>
+          val rs = range.getOrElse(fail(ErrRangeNone))
+          if (rs.size != ndim) fail(ErrSameLen)
+          rs.map(r => DimCount(n, r.getOrElse(fail(ErrRangeNone))))
+        case CountPerDim(ns) =>
+          if (ns.size != ndim) fail(ErrBinsDim)
+          val rs = range.getOrElse(fail(ErrRangeNone))
+          if (rs.size != ndim) fail(ErrRangeDim)
+          ns.zip(rs).map { case (n, r) => DimCount(n, r.getOrElse(fail(ErrRangeNone))) }
+        case Edges(es) =>
+          if (!range.forall(_.forall(_.isEmpty))) fail(ErrIncompatRange)
+          Seq.fill(ndim)(DimEdges(es))
+        case EdgesPerDim(ess) =>
+          if (ess.size != ndim) fail(ErrBinsDim)
+          if (!range.forall(_.forall(_.isEmpty))) fail(ErrIncompatRange)
+          ess.map(DimEdges)
+      }
     }
 
   /** Build axes from normalized per-dim bins (ref `routines.py:444-450`:

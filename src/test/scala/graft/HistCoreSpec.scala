@@ -287,15 +287,48 @@ class HistCoreSpec extends AnyFunSuite {
     assert(dense.size == 10)
   }
 
-  test("bins normalization errors mirror reference rules") {
+  test("bins normalization errors mirror reference rules AND messages") {
     import BinsSpec._
-    assertThrows[IllegalArgumentException](normalize(2, Count(5), None))
-    assertThrows[IllegalArgumentException](
+    // exact reference strings (bins.py:63-65,130-132,142-144,200,203)
+    val e1 = intercept[IllegalArgumentException](normalize(2, Count(5), None))
+    assert(e1.getMessage ==
+      "range cannot be None when bins argument is a scalar or sequence of scalars.")
+    val e2 = intercept[IllegalArgumentException](
       normalize(2, CountPerDim(Seq(3)), Some(Seq(Some(RangePair(0, 1)), Some(RangePair(0, 1))))))
-    assertThrows[IllegalArgumentException](
+    assert(e2.getMessage ==
+      "Total number of bins definitions must be equal to the dimensionality of the histogram.")
+    val e3 = intercept[IllegalArgumentException](
       normalize(1, Edges(Seq(0.0, 1.0)), Some(Seq(Some(RangePair(0, 1))))))
+    assert(e3.getMessage == "incompatible range argument")
+    val e4 = intercept[IllegalArgumentException](
+      normalize(2, CountPerDim(Seq(3, 4)), Some(Seq(Some(RangePair(0, 1))))))
+    assert(e4.getMessage ==
+      "Total number of range pairs must be equal to the dimensionality of the histogram.")
+    val e5 = intercept[IllegalArgumentException](
+      normalize(2, Count(5), Some(Seq(Some(RangePair(0, 1))))))
+    assert(e5.getMessage == "bins and range arguments must be the same length")
     val ok = normalize(2, Count(4), Some(Seq(Some(RangePair(0, 1)), Some(RangePair(2, 3)))))
     assert(toAxes(ok) == Seq(Regular(4, 0, 1), Regular(4, 2, 3)))
+  }
+
+  test("Unlimited storage growth: exact integer phase, weighted promotion") {
+    // boost's Unlimited auto-promotes int -> double on the first weighted
+    // fill; the Spark storage is the already-promoted double form
+    // (Storage.scala divergence note). The observable contract: counts
+    // from unweighted fills are exactly integral, and a staged
+    // unweighted-then-weighted sequence (the growth trigger) yields the
+    // post-promotion values with no precision loss
+    val df = Seq.tabulate(100000)(i => (i % 4).toDouble + 0.5).toDF("x").repartition(8)
+    val spec = HistSpec(Seq(Regular(4, 0.0, 4.0)), UnlimitedStorage)
+    val counts = Hist.fill(spec, df, Seq(col("x"))).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(counts == Map(1L -> 25000.0, 2L -> 25000.0, 3L -> 25000.0, 4L -> 25000.0))
+    val hb = new Histogram(spec)
+    hb.fill(df, Seq(col("x")))
+    hb.fill(df, Seq(col("x")), weight = Some(lit(0.25)))
+    val grown = hb.result(spark).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(grown == Map(1L -> 31250.0, 2L -> 31250.0, 3L -> 31250.0, 4L -> 31250.0))
   }
 
   test("HistSpec and staged Histogram serialize (reference pickling parity)") {

@@ -40,6 +40,18 @@ class OpsSpec extends AnyFunSuite {
     assert(stats(4L) == ((0L, 0.0))) // shingle-less doc still present
   }
 
+  test("jaccard DfCap.Capped drops hot-shingle candidates (lower-bound form)") {
+    // maxDf = 1 drops every shingle shared by 2+ docs from candidate
+    // generation — the drop-only cap turns all stats into zero matches
+    // while per-doc rows remain (zero-filled, never empty)
+    val stats = DedupOps.jaccardNearDupStats(docs, DfCap.Capped(1), k = 3,
+        threshold = 0.1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(stats.size == docs.count())
+    assert(stats.values.forall(_ == ((0L, 0.0))))
+    intercept[IllegalArgumentException](DfCap.Capped(0))
+  }
+
   test("connected components: chains and isolated pairs get min labels") {
     // 1-2-3-4 chain, 10-11 pair, 20-21-22 triangle
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
