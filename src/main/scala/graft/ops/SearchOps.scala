@@ -42,16 +42,23 @@ object SearchOps {
     val spark = docs.sparkSession
     import spark.implicits._
 
-    val toks = docs.select(col(idCol).as("doc_id"),
-      size(split(col(textCol), " ")).as("dl"),
-      explode(split(col(textCol), " ")).as("term"))
-    // vocabulary prefilter BEFORE the shuffle: only query-term hits move
-    val tf = toks.filter(col("term").isin(vocab: _*))
-      .groupBy("doc_id", "term")
-      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    // one native pass per document computes dl + every query-term count
+    // ([[graft.functions.TermCounts]]): no token explode, and — crucially —
+    // no (doc_id, term) counting shuffle at all; tf rows are BORN
+    // aggregated in the scan stage, so the first exchange in the plan
+    // already carries only per-(doc, hit-term) scalars
+    val per = docs.select(col(idCol).as("doc_id"),
+      graft.functions.TermCounts(col(textCol), vocab).as("tc"))
+    val tf = per.select(col("doc_id"), col("tc").getItem(0).as("dl"),
+        posexplode(slice(col("tc"), 2, vocab.size)).as(Seq("vidx", "tf")))
+      .filter(col("tf") > 0)
+      .withColumn("term", element_at(typedlit(vocab), col("vidx") + 1))
+      .drop("vidx")
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val stats = docs.agg(count(lit(1)).as("n_docs"),
-      avg(size(split(col(textCol), " "))).as("avgdl"))
+    // corpus stats reuse the same native pass (dl is slot 0) instead of a
+    // second tokenize-the-world scan
+    val stats = per.agg(count(lit(1)).as("n_docs"),
+      avg(col("tc").getItem(0)).as("avgdl"))
     val qterms = queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
       .toDF("query_id", "term")
 
