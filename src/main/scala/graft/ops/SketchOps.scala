@@ -75,9 +75,18 @@ object SketchOps {
     val spark = docs.sparkSession
     import spark.implicits._
     val (as, bs) = cmsCoefficients(depth, seed)
-    val tokens = Spread(docs)
-      .select(explode(split(col(textCol), " ")).as("tok"))
-    val sketch = cmsSketch(tokens, depth, width, seed)
+    val src = Spread(docs)
+    // grid built as ONE buffer aggregate straight from text
+    // ([[graft.functions.CmsAgg]] — cell layout identical to cmsSketch):
+    // no token explode, no depth× row fan-out; only 32 KiB grids merge.
+    // The exploded (r, bucket, cnt) relation below is just the O(grid)
+    // driver-side presentation of the finished sketch.
+    val sketch = src.select(col(textCol).as("__t"))
+      .agg(graft.functions.CmsAgg(col("__t"), depth, width, as, bs).as("__g"))
+      .select(posexplode(col("__g")).as(Seq("__pos", "cnt")))
+      .filter(col("cnt") > 0)
+      .select(expr(s"__pos div $width").cast("int").as("r"),
+        expr(s"__pos % $width").cast("long").as("bucket"), col("cnt"))
     val probeBuckets = probes.toDF("token")
       .select(col("token"), posexplode(array((0 until depth).map(r =>
         bucketCol(graft.functions.PolyHash(col("token")), as(r), bs(r), width)): _*))
@@ -87,8 +96,14 @@ object SketchOps {
     val est = probeBuckets.join(broadcast(sketch), Seq("r", "bucket"), "left")
       .groupBy("token")
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
-    val exact = tokens.filter(col("tok").isin(probes: _*))
-      .groupBy(col("tok").as("token")).agg(count(lit(1)).as("exact_n"))
+    // exact counts for the error exhibit: native per-doc term counts
+    // ([[graft.functions.TermCounts]]) summed — again no token explode
+    val exact = src
+      .select(posexplode(slice(graft.functions.TermCounts(col(textCol), probes), 2,
+        probes.size)).as(Seq("vidx", "c")))
+      .groupBy("vidx").agg(sum(col("c")).as("exact_n"))
+      .select(element_at(typedlit(probes), col("vidx") + 1).as("token"),
+        col("exact_n"))
     probes.toDF("token")
       .join(exact, Seq("token"), "left")
       .join(est, Seq("token"))

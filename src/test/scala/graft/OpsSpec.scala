@@ -346,6 +346,22 @@ class OpsSpec extends AnyFunSuite {
     assert(SketchOps.kmvUnion(Seq(1L, 5L, 9L), Seq(2L, 5L), 4) == Seq(1L, 2L, 5L, 9L))
   }
 
+  test("CmsAgg buffer grid == relational cmsSketch cells (layout contract)") {
+    // double space plants an empty token: both paths must count it
+    val d = Seq((0L, "x y x  q"), (1L, "y z zz")).toDF("doc_id", "text")
+    val (as, bs) = SketchOps.cmsCoefficients(4, 7L)
+    val viaAgg = d.select(col("text").as("t"))
+      .agg(graft.functions.CmsAgg(col("t"), 4, 64, as.toSeq, bs.toSeq).as("g"))
+      .select(posexplode(col("g")).as(Seq("pos", "cnt")))
+      .filter(col("cnt") > 0)
+      .collect()
+      .map(r => (r.getInt(0) / 64, (r.getInt(0) % 64).toLong) -> r.getLong(1)).toMap
+    val viaRel = SketchOps.cmsSketch(
+        d.select(explode(split(col("text"), " ")).as("tok")), 4, 64, 7L)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(viaAgg == viaRel)
+  }
+
   test("kmeans: step means match hand computation; Lloyd reduces distortion") {
     // two obvious clusters on a 2-d grid, centroids seeded off-center
     val emb = Seq(
