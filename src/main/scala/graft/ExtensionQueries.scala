@@ -93,6 +93,13 @@ object ExtensionQueries {
       // min labels travel one hop per iteration: bound by max chain length
       DedupOps.connectedComponents(e, maxIter = 64).orderBy("doc_id")
     },
+    // End-to-end dedup decision: MinHash LSH → true-jaccard verify →
+    // connected components → keep min id per cluster (the full removal
+    // pipeline as ONE lazy plan; full recursive-CTE oracle)
+    "dedup_minhash_keep" -> { (s, dir) =>
+      DedupOps.minhashDedupKeep(Tables.documents(s, dir), jaccardK,
+        threshold = jaccardThresh).orderBy("doc_id")
+    },
     // Benchmark decontamination: corpus docs sharing 5-grams with a
     // (demo) eval set = the first 10 docs
     "dedup_contamination" -> { (s, dir) =>
@@ -143,6 +150,13 @@ object ExtensionQueries {
         SimilarityOps.seededCentroids(ivfCentroids, annDim, annSeed))
         .orderBy("cell", "dim")
     },
+    // Embedding covariance: one distributed pass, d²-bounded shuffle —
+    // the training step for PCA (driver-side power iteration on the
+    // collected d×d matrix; see SimilarityOps.principalComponent)
+    "emb_covariance" -> { (s, dir) =>
+      SimilarityOps.embeddingCovariance(Tables.embeddings(s, dir))
+        .orderBy("i", "j")
+    },
     // ---- similarity search ---------------------------------------------
     "ann_brute_topk" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
@@ -189,6 +203,11 @@ object ExtensionQueries {
       Tables.documents(s, dir).select(
         col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")
+    },
+    // Perplexity quality filter: add-k bigram LM trained on the corpus in
+    // the same lazy plan that scores it (CCNet/KenLM-style signal)
+    "lm_perplexity" -> { (s, dir) =>
+      LmOps.bigramPerplexity(Tables.documents(s, dir)).orderBy("doc_id")
     },
     // (N,D)-array input dispatch: 2-D histogram from one array column
     "hist_from_array" -> { (s, dir) =>
@@ -580,6 +599,7 @@ object ExtensionQueries {
          |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
          |SELECT src AS doc_id, min(dst) AS component
          |FROM reach GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "dedup_minhash_keep" -> minhashKeepOracleSql(jaccardThresh),
     "dedup_contamination" -> {
       def sh(src: String) = shingleSql(5, src)
       s"""WITH c AS (${sh("doc_id >= 10")}), e AS (${sh("doc_id < 10")}),
@@ -613,6 +633,9 @@ object ExtensionQueries {
       (SketchOps.cmsTokenCountsSql(cmsProbes) + " ORDER BY token"),
     "text_distinct_shingles" -> SketchOps.kmvDistinctSql(shingleSql(3), "shingle"),
     "emb_kmeans" -> kmeansOracleSql(),
+    "emb_covariance" ->
+      (SimilarityOps.embeddingCovarianceSql() + " ORDER BY 1, 2"),
+    "lm_perplexity" -> (LmOps.bigramPerplexitySql() + " ORDER BY doc_id"),
     "ann_lsh_topk" -> lshTopkOracleSql(),
     "ann_ivf_topk" -> ivfTopkOracleSql(),
     "dedup_semantic" -> semanticDedupOracleSql(semDedupCos),
@@ -1006,6 +1029,59 @@ object ExtensionQueries {
        |FROM documents d LEFT JOIN (
        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sym GROUP BY 1) c
        |USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
+  /** Full oracle for the end-to-end MinHash dedup decision: the candidate
+    * CTE chain of [[minhashOracleSql]] + true-jaccard verification (same
+    * 6-dp rounding as DedupOps.minhashDedupPairs) + recursive-CTE
+    * connected components + min-id election, zero-filled over the corpus. */
+  private def minhashKeepOracleSql(t: Double, numHashes: Int = 64,
+      bands: Int = 16, k: Int = 3): String = {
+    val (as, bs) = DedupOps.minhashCoefficients(numHashes)
+    val r = numHashes / bands
+    val p = DedupOps.MinHashP
+    val coef = (0 until numHashes)
+      .map(i => s"($i, ${as(i)}, ${bs(i)})").mkString(", ")
+    s"""WITH RECURSIVE sh AS (${shingleSql(k)}),
+       |hs AS (
+       |  SELECT doc_id, ${graft.functions.PolyHash.sql("shingle", 31L, p)} AS h
+       |  FROM sh),
+       |coef(i, a, b) AS (VALUES $coef),
+       |mins AS (
+       |  SELECT doc_id, i // $r AS band, i, min((h * a + b) % $p) AS m
+       |  FROM hs CROSS JOIN coef GROUP BY doc_id, i),
+       |sigs AS (SELECT doc_id, band, list(m ORDER BY i) AS sig
+       |         FROM mins GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS da, rr.doc_id AS db
+       |  FROM sigs l JOIN sigs rr ON l.band = rr.band AND l.sig = rr.sig
+       |  WHERE l.doc_id < rr.doc_id),
+       |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+       |          FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT c.da, c.db, CAST(count(*) AS BIGINT) AS n_inter
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.da
+       |  JOIN sh b ON b.doc_id = c.db AND b.shingle = a.shingle
+       |  GROUP BY 1, 2),
+       |ver AS (
+       |  SELECT i.da, i.db FROM inter i
+       |  JOIN sizes sa ON sa.doc_id = i.da
+       |  JOIN sizes sb ON sb.doc_id = i.db
+       |  WHERE round(CAST(i.n_inter AS DOUBLE) /
+       |    CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE), 6) >= $t),
+       |edges AS (SELECT da AS a, db AS b FROM ver
+       |          UNION SELECT db, da FROM ver),
+       |reach(src, dst) AS (
+       |  SELECT DISTINCT a, a FROM edges
+       |  UNION
+       |  SELECT rh.src, e.b FROM reach rh JOIN edges e ON rh.dst = e.a),
+       |comp AS (SELECT src AS doc_id, min(dst) AS component
+       |         FROM reach GROUP BY 1)
+       |SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS keep_id,
+       |  COALESCE(c.component, d.doc_id) = d.doc_id AS is_kept
+       |FROM documents d LEFT JOIN comp c USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
   }
 
   /** Full SimHash oracle: same 60-bit portable token hash (two PolyHash

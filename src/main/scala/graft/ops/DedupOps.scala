@@ -344,6 +344,36 @@ object DedupOps {
       .select("doc_a", "doc_b", "j")
   }
 
+  /** End-to-end near-dup removal decision — the full pipeline a corpus
+    * dedup pass runs: MinHash-LSH candidates → true-jaccard verification
+    * ([[minhashDedupPairs]]) → connected components over verified pairs →
+    * keep the minimum doc id per duplicate cluster.
+    *
+    * Returns one row per corpus doc: (doc_id, keep_id, is_kept) where
+    * keep_id is the cluster representative (the doc itself when it has no
+    * verified near-duplicates). Joining `is_kept` back against the corpus
+    * is the actual removal — kept as a flag here so the decision itself is
+    * oracle-checkable and the caller controls materialization.
+    *
+    * Scale: inherits the bucketed candidate generation (no Σdf² term, no
+    * all-pairs), and components run on the verified-pair relation, which
+    * is near-dup-cluster-sized — orders of magnitude below corpus
+    * cardinality. Documents never shuffle; ids and shingle hashes do. */
+  def minhashDedupKeep(df: DataFrame, k: Int = 3, numHashes: Int = 64,
+      bands: Int = 16, threshold: Double = 0.5, seed: Long = 42L,
+      textCol: String = "text", idCol: String = "doc_id",
+      maxIter: Int = 64): DataFrame = {
+    val pairs = minhashDedupPairs(df, k, numHashes, bands, threshold, seed,
+      textCol, idCol).select("doc_a", "doc_b")
+    val comp = connectedComponents(pairs, maxIter)
+    df.select(col(idCol).as("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("keep_id"),
+        (coalesce(col("component"), col("doc_id")) === col("doc_id"))
+          .as("is_kept"))
+  }
+
   // ---- SimHash ----------------------------------------------------------
   /** 64-bit SimHash fingerprint over word tokens (Charikar 2002): sum ±1
     * per bit weighted by token hash bits, sign → bit. */

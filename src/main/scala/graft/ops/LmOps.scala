@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-trained n-gram language-model scoring — the classic
+  * perplexity-based quality filter for pretraining data (CCNet-style
+  * KenLM filtering, here as an in-engine bigram model so training and
+  * scoring are one relational pipeline over the corpus itself).
+  *
+  * The reference engine has no LM surface; this extends the text-analysis
+  * module (reference scope: /root/reference/src/dask_histogram only covers
+  * histogram aggregation) with a scoring operator every large-scale data
+  * pipeline needs.
+  */
+object LmOps {
+
+  /** Per-document perplexity under an add-k-smoothed bigram LM trained on
+    * the same corpus.
+    *
+    * p(w2|w1) = (c(w1 w2) + k) / (c(w1 ·) + k·V), V = corpus vocabulary
+    * size; doc score = exp(-mean log p over the doc's bigram occurrences).
+    *
+    * Scale shape: the corpus is read once for bigram occurrences; per-doc
+    * counts partial-aggregate map-side, the global model is a re-aggregate
+    * of the SAME per-doc relation (counts only — raw text never reaches a
+    * shuffle), and scoring joins per-doc counts against model counts on
+    * the bigram key. V rides as a broadcast single-row cross join, not a
+    * driver constant, so the plan stays one lazy DAG. Everything shuffled
+    * is bounded by (doc × distinct-bigram) and vocabulary cardinality,
+    * never by corpus bytes.
+    *
+    * Returns one row per input doc: (doc_id, n_bigrams, ppl); docs with
+    * fewer than 2 tokens have n_bigrams = 0 and NULL ppl.
+    */
+  def bigramPerplexity(df: DataFrame, k: Double = 0.5,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, s"add-k smoothing requires k > 0, got $k")
+    // positional (non-distinct) bigrams: occurrence counts are the model
+    val bg = Spread(df).select(col(idCol).as("doc_id"),
+      explode(graft.functions.WordShingles.all(col(textCol), 2)).as("bg"))
+    val perDoc = bg.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+    val model = perDoc.groupBy("bg").agg(sum(col("c")).as("c2"))
+    // prefix counts c(w1 ·) from the model itself (Σ over continuations)
+    val prefix = model
+      .groupBy(substring_index(col("bg"), " ", 1).as("pfx"))
+      .agg(sum(col("c2")).as("c1"))
+    val vocab = df
+      .select(explode(split(col(textCol), " ")).as("tok"))
+      .agg(countDistinct(col("tok")).cast("double").as("v"))
+    val scored = perDoc
+      .join(model, Seq("bg"))
+      .withColumn("pfx", substring_index(col("bg"), " ", 1))
+      .join(prefix, Seq("pfx"))
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("c")).as("n_bigrams"),
+        (sum(col("c").cast("double") *
+          -log((col("c2") + lit(k)) / (col("c1") + lit(k) * col("v")))) /
+          sum(col("c").cast("double"))).as("nll"))
+    df.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(exp(col("nll")), 6).as("ppl"))
+  }
+
+  /** DuckDB twin of [[bigramPerplexity]] (same tokenization — single-space
+    * split with empties kept — same smoothing, same rounding). */
+  def bigramPerplexitySql(k: Double = 0.5): String =
+    s"""WITH bg0 AS (
+       |  SELECT doc_id,
+       |    string_split(text,' ')[pos] || ' ' || string_split(text,' ')[pos+1] AS bg
+       |  FROM (SELECT doc_id, text,
+       |    unnest(range(1, greatest(len(string_split(text,' ')), 1))) AS pos
+       |    FROM documents)),
+       |perdoc AS (
+       |  SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS c FROM bg0 GROUP BY 1, 2),
+       |model AS (
+       |  SELECT bg, CAST(sum(c) AS BIGINT) AS c2 FROM perdoc GROUP BY 1),
+       |pfx AS (
+       |  SELECT string_split(bg,' ')[1] AS pfx, CAST(sum(c2) AS BIGINT) AS c1
+       |  FROM model GROUP BY 1),
+       |voc AS (
+       |  SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
+       |  FROM (SELECT unnest(string_split(text,' ')) AS tok FROM documents)),
+       |sc AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+       |    sum(CAST(c AS DOUBLE) * -ln((c2 + $k)/(c1 + $k * v)))
+       |      / sum(CAST(c AS DOUBLE)) AS nll
+       |  FROM perdoc
+       |  JOIN model USING (bg)
+       |  JOIN pfx ON string_split(bg,' ')[1] = pfx.pfx
+       |  CROSS JOIN voc
+       |  GROUP BY 1)
+       |SELECT d.doc_id, COALESCE(s.n_bigrams, 0) AS n_bigrams,
+       |  round(exp(s.nll), 6) AS ppl
+       |FROM documents d LEFT JOIN sc s USING (doc_id)""".stripMargin
+}

@@ -290,4 +290,95 @@ object SimilarityOps {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "sim", "rank")
   }
+
+  // ---- covariance / PCA -------------------------------------------------
+  /** Upper-triangle covariance matrix of the embedding column, one
+    * distributed pass: cov(i,j) = Σxᵢxⱼ/n − (Σxᵢ/n)(Σxⱼ/n).
+    *
+    * Scale shape: the per-row double posexplode expands each vector to
+    * d(d+1)/2 (i,j) cells, but map-side combine collapses every partition
+    * to at most d(d+1)/2 aggregate rows before the shuffle — the exchange
+    * carries O(d² · partitions) sums, never corpus rows. CPU cost is the
+    * honest O(rows · d²) of covariance itself, spread across executors.
+    * Float lanes widen to double before any arithmetic (oracle-portable).
+    *
+    * Returns (i, j, n, cov) for 0 <= i <= j < d, cov rounded to 6 dp. */
+  def embeddingCovariance(df: DataFrame,
+      vecCol: String = "embedding"): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    spread(df)
+      .select(posexplode(v).as(Seq("i", "xi")), v.as("__v"))
+      .select(col("i"), col("xi"), posexplode(col("__v")).as(Seq("j", "xj")))
+      .filter(col("j") >= col("i"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("n"), sum(col("xi")).as("sx"),
+        sum(col("xj")).as("sy"), sum(col("xi") * col("xj")).as("sxy"))
+      .select(col("i"), col("j"), col("n"),
+        round(col("sxy") / col("n") -
+          (col("sx") / col("n")) * (col("sy") / col("n")), 6).as("cov"))
+  }
+
+  /** DuckDB twin of [[embeddingCovariance]] (same widening, same moment
+    * form, same rounding; 0-based indices). */
+  def embeddingCovarianceSql(): String =
+    """WITH e AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+      |    CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings)
+      |SELECT a.i, b.i AS j, CAST(count(*) AS BIGINT) AS n,
+      |  round(sum(a.x * b.x) / count(*)
+      |    - (sum(a.x) / count(*)) * (sum(b.x) / count(*)), 6) AS cov
+      |FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Dominant eigenvector of the embedding covariance via driver-side
+    * power iteration — the matrix is d×d (bounded, collect is O(d²)
+    * regardless of corpus size; the distributed work is
+    * [[embeddingCovariance]]'s one pass). Deterministic: fixed uniform
+    * start vector, fixed iteration count, sign fixed so the first
+    * nonzero component is positive. */
+  def principalComponent(df: DataFrame, vecCol: String = "embedding",
+      iters: Int = 50): Array[Double] = {
+    val cells = embeddingCovariance(df, vecCol)
+      .select("i", "j", "cov").collect()
+    val d = cells.iterator.map(_.getInt(1)).max + 1
+    val m = Array.ofDim[Double](d, d)
+    cells.foreach { r =>
+      val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      m(i)(j) = c; m(j)(i) = c
+    }
+    powerIteration(m, iters)
+  }
+
+  /** Power iteration on a symmetric matrix (driver-side; exposed for
+    * tests). Converges to the dominant eigenvector for any start vector
+    * not orthogonal to it; the all-ones start is fine for covariance
+    * matrices (nonnegative diagonal dominance in practice). */
+  def powerIteration(m: Array[Array[Double]], iters: Int): Array[Double] = {
+    val d = m.length
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    var it = 0
+    while (it < iters) {
+      val nv = Array.tabulate(d) { i =>
+        var s = 0.0; var j = 0
+        while (j < d) { s += m(i)(j) * v(j); j += 1 }
+        s
+      }
+      val n = math.sqrt(nv.map(x => x * x).sum)
+      require(n > 0, "power iteration hit the zero vector (rank-0 matrix?)")
+      v = nv.map(_ / n)
+      it += 1
+    }
+    val lead = v.find(math.abs(_) > 1e-12).getOrElse(0.0)
+    if (lead < 0) v.map(-_) else v
+  }
+
+  /** Project embeddings onto a fixed component vector (e.g. the output of
+    * [[principalComponent]]): one narrow codegen'd pass, no shuffle. */
+  def pcaProject(df: DataFrame, component: Array[Double],
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val lit1 = array(component.map(lit): _*)
+    df.select(col(idCol),
+      round(dot(col(vecCol), lit1), 6).as("projection"))
+  }
 }

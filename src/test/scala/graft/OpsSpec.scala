@@ -403,4 +403,60 @@ class OpsSpec extends AnyFunSuite {
     val nplan = DedupOps.shingles(narrowDocs, 2).queryExecution.executedPlan.toString
     assert(nplan.contains("RoundRobinPartitioning"), s"expected spread in:\n$nplan")
   }
+
+  test("minhashDedupKeep: clusters collapse to min id, singletons survive") {
+    val keep = DedupOps.minhashDedupKeep(docs, k = 3, threshold = 0.3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(keep.size == 5) // one row per corpus doc, shingle-less included
+    assert(keep(0L) == ((0L, true))) // cluster {0,1,3} representative
+    assert(keep(1L) == ((0L, false)))
+    assert(keep(3L) == ((0L, false)))
+    assert(keep(2L) == ((2L, true))) // no near-dups: kept, self-labeled
+    assert(keep(4L) == ((4L, true)))
+  }
+
+  test("bigramPerplexity: repeated bigrams score lower than rare ones") {
+    val corpus = Seq(
+      (0L, "a b a b a b"), // bigrams from the most common pairs
+      (1L, "a b a b a b"),
+      (2L, "x y z w q r"), // every bigram unique in the corpus
+      (3L, "a")).toDF("doc_id", "text") // < 2 tokens: no bigrams
+    val out = LmOps.bigramPerplexity(corpus)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toMap
+    assert(out(0L)._1 == 5L) // 6 tokens -> 5 bigram occurrences
+    assert(out(3L)._1 == 0L && out(3L)._2.isNaN) // no bigrams -> NULL ppl
+    // common-bigram doc must be far more probable than the all-rare doc
+    assert(out(0L)._2 < out(2L)._2)
+    assert(out(0L)._2 == out(1L)._2) // identical docs, identical score
+  }
+
+  test("embeddingCovariance matches direct computation; PCA finds the axis") {
+    // 2-D points stretched along (1, 1): cov = [[s, s], [s, s]] shape
+    val vecs = Seq(
+      (0L, Array(1.0f, 1.0f)), (1L, Array(2.0f, 2.1f)),
+      (2L, Array(3.0f, 2.9f)), (3L, Array(4.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    val cov = SimilarityOps.embeddingCovariance(vecs)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    assert(cov.keySet == Set((0, 0), (0, 1), (1, 1))) // upper triangle only
+    // direct: xs mean 2.5, var = ((1.5)^2+(0.5)^2)*2/4 = 1.25
+    assert(math.abs(cov((0, 0)) - 1.25) < 1e-6)
+    assert(math.abs(cov((0, 1)) - 1.225) < 1e-6)
+    // dominant eigenvector of a near-rank-1 covariance: ~(1,1)/sqrt(2)
+    val v = SimilarityOps.principalComponent(vecs, iters = 100)
+    assert(math.abs(v(0) - v(1)) < 0.05 && v(0) > 0.6)
+    // projection = dot with the component, one value per vector
+    val proj = SimilarityOps.pcaProject(vecs, v)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(proj.size == 4 && proj(3L) > proj(0L)) // order along the axis
+  }
+
+  test("powerIteration recovers the dominant eigenpair of a known matrix") {
+    // eigenvalues 3 (v=(1,1)/sqrt2) and 1 (v=(1,-1)/sqrt2)
+    val m = Array(Array(2.0, 1.0), Array(1.0, 2.0))
+    val v = SimilarityOps.powerIteration(m, 60)
+    val s = 1.0 / math.sqrt(2.0)
+    assert(math.abs(v(0) - s) < 1e-9 && math.abs(v(1) - s) < 1e-9)
+  }
 }
