@@ -293,6 +293,14 @@ object ExtensionQueries {
     },
     // Deterministic stratified sampling: per-language rates via a
     // portable hash of the doc id (train-data curation primitive)
+    // Weight-proportional sampling without replacement (A-ES), k per
+    // language weighted by document length — deterministic draw
+    "text_weighted_sample" -> { (s, dir) =>
+      PipelineOps.weightedSample(Tables.documents(s, dir), Seq("lang"),
+        k = 5, weightCol = "n_chars")
+        .select("lang", "doc_id", "n_chars")
+        .orderBy("lang", "doc_id")
+    },
     "text_stratified_sample" -> { (s, dir) =>
       // shared overflow-safe bucket (ONE formula for Spark and oracle)
       val bucket = PipelineOps.idBucket(col("doc_id"), 2654435761L)
@@ -765,6 +773,9 @@ object ExtensionQueries {
          |  ${TextOps.gopherKeepSql("text")} AS keep,
          |  tf.top_token_frac
          |FROM documents d JOIN tf USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "text_weighted_sample" ->
+      (PipelineOps.weightedSampleSql(Seq("lang"), 5, "n_chars") +
+        " ORDER BY lang, doc_id"),
     "text_stratified_sample" ->
       s"""SELECT lang, count(*) AS n_sampled FROM documents
         |WHERE ${PipelineOps.idBucketSql("doc_id", 2654435761L)} <

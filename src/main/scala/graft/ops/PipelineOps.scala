@@ -313,6 +313,54 @@ object PipelineOps {
        |  CAST(sum(doc_id) AS BIGINT) AS kept_id_sum
        |FROM ranked WHERE rn <= $cap GROUP BY 1, 2""".stripMargin
 
+  // ---- weighted sampling --------------------------------------------------
+  /** Deterministic weighted sampling without replacement per group
+    * (Efraimidis–Spirakis 2006 A-ES): rank rows by ln(u)/w descending —
+    * u a uniform on (0,1] derived from the same portable integer hash as
+    * [[domainCap]] — and keep the top k. Inclusion probability is
+    * weight-proportional; the draw is reproducible across runs, retries,
+    * and engines (no RNG state). Rows with weight <= 0 are excluded
+    * (they have no sampling mass).
+    *
+    * The key is rounded to 6 dp before ranking with an id tie-break, so
+    * last-ulp `ln` differences between libm implementations cannot flip
+    * an order (the rounded-score ranking rule used by the ANN/BM25 ops).
+    *
+    * Scale shape: one window per group, like [[domainCap]] — per-group
+    * sorts parallelize across groups; for k ≪ group size, switch the
+    * window to a per-partition top-k pre-prune if a group ever dominates
+    * a task. */
+  def weightedSample(docs: DataFrame, groupCols: Seq[String], k: Int,
+      weightCol: String, idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val p = 1000000007L
+    // mod BEFORE multiply (Long-overflow-safe past 3.5e9 ids, see domainCap)
+    val u = (pmod(pmod(col(idCol), lit(p)) * lit(2654435761L), lit(p)) +
+      lit(1L)).cast("double") / lit((p + 1).toDouble)
+    val key = round(log(u) / col(weightCol).cast("double"), 6)
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(key.desc, col(idCol).asc)
+    docs.filter(col(weightCol) > 0)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** DuckDB twin of [[weightedSample]] over the documents table (same
+    * hash, same key rounding, same tie-break). */
+  def weightedSampleSql(groupCols: Seq[String], k: Int,
+      weightCol: String): String = {
+    val g = groupCols.mkString(", ")
+    s"""SELECT $g, doc_id, $weightCol FROM (
+       |  SELECT $g, doc_id, $weightCol,
+       |    row_number() OVER (PARTITION BY $g ORDER BY
+       |      round(ln((((doc_id % 1000000007) * 2654435761) % 1000000007 + 1)
+       |        / 1000000008.0) / CAST($weightCol AS DOUBLE), 6) DESC,
+       |      doc_id) AS rn
+       |  FROM documents WHERE $weightCol > 0)
+       |WHERE rn <= $k""".stripMargin
+  }
+
   // ---- context-window chunking -------------------------------------------
   /** Fixed window/stride chunk spans per document (the chunking step that
     * feeds context-window training): chunk i covers tokens

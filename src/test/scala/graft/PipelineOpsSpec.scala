@@ -259,4 +259,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     val cover0 = got.collect { case ((0L, _), (s, l)) => (s, s + l) }
     assert(cover0.exists(c => c._1 <= 223 && 223 < c._2))
   }
+
+  test("weightedSample: A-ES keys, weight-proportional, deterministic") {
+    // one group; weights: doc 7 has overwhelming mass, doc 5 none
+    val docs = (0L until 20L).map(i =>
+      (i, "g", if (i == 7L) 1e9 else if (i == 5L) 0.0 else 1.0))
+      .toDF("doc_id", "lang", "n_chars")
+    val got = PipelineOps.weightedSample(docs, Seq("lang"), k = 3,
+      weightCol = "n_chars").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.size == 3)
+    assert(got.contains(7L)) // ln(u)/1e9 ~ 0- dominates every unit weight
+    assert(!got.contains(5L)) // zero weight = no sampling mass
+    // exact agreement with a direct reimplementation of the key formula
+    val p = 1000000007L
+    def key(id: Long, w: Double): Double = {
+      val u = (((id % p) * 2654435761L % p) + 1).toDouble / (p + 1).toDouble
+      math.rint(math.log(u) / w * 1e6) / 1e6
+    }
+    val expect = (0L until 20L).filter(i => i != 5L)
+      .map(i => i -> key(i, if (i == 7L) 1e9 else 1.0))
+      .sortBy { case (id, k0) => (-k0, id) }.take(3).map(_._1).toSet
+    assert(got == expect)
+    // deterministic across runs
+    val again = PipelineOps.weightedSample(docs, Seq("lang"), k = 3,
+      weightCol = "n_chars").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == got)
+  }
 }
