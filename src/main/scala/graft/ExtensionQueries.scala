@@ -384,6 +384,12 @@ object ExtensionQueries {
     "domain_mix_weights" -> { (s, dir) =>
       PipelineOps.domainMixWeights(Tables.documents(s, dir)).orderBy("lang")
     },
+    // Temperature-flattened mixture (share^alpha self-normalized) — no
+    // target table, tail domains upweighted
+    "domain_mix_temperature" -> { (s, dir) =>
+      PipelineOps.temperatureMixWeights(Tables.documents(s, dir), alpha = 0.5)
+        .orderBy("lang")
+    },
     // PII scan + redaction stats over deterministically augmented text
     "text_pii" -> { (s, dir) =>
       PipelineOps.piiStats(Tables.documents(s, dir)).orderBy("doc_id")
@@ -651,6 +657,8 @@ object ExtensionQueries {
       (PipelineOps.packSequencesSql(packBudget) + " ORDER BY lang, source, seq_id"),
     "domain_mix_weights" ->
       (PipelineOps.domainMixWeightsSql + " ORDER BY lang"),
+    "domain_mix_temperature" ->
+      (PipelineOps.temperatureMixWeightsSql(0.5) + " ORDER BY lang"),
     "text_pii" -> (PipelineOps.piiStatsSql + " ORDER BY doc_id"),
     "text_repetition" -> (PipelineOps.repetitionStatsSql + " ORDER BY doc_id"),
     "quality_classifier" -> (PipelineOps.classifierScoreSql + " ORDER BY doc_id"),

@@ -81,6 +81,44 @@ object PipelineOps {
           col("n_docs").cast("double"), 6).as("weight"))
   }
 
+  /** Temperature-flattened mixture (the multilingual-LM sampling scheme):
+    * target share ∝ (observed share)^alpha, alpha ∈ (0, 1] — alpha = 1
+    * reproduces the natural distribution, alpha → 0 approaches uniform,
+    * upweighting tail domains. No target table needed; the distribution
+    * flattens itself. Returns the same (domain, n_docs, weight) surface
+    * as [[domainMixWeights]]: weight = target_share · total / n_docs.
+    *
+    * Scale: two domain-cardinality aggregates + a broadcast cross join —
+    * nothing data-sized moves (same shape as domainMixWeights). */
+  def temperatureMixWeights(docs: DataFrame, alpha: Double,
+      domainCol: String = "lang"): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val counts = docs.groupBy(domainCol).agg(count(lit(1)).as("n_docs"))
+    val total = docs.agg(count(lit(1)).cast("double").as("total"))
+    val shares = counts.crossJoin(broadcast(total))
+      .withColumn("__pa", pow(col("n_docs").cast("double") / col("total"),
+        lit(alpha)))
+    val z = shares.agg(sum(col("__pa")).as("__z"))
+    shares.crossJoin(broadcast(z))
+      .select(col(domainCol), col("n_docs"),
+        round((col("__pa") / col("__z")) * col("total") /
+          col("n_docs").cast("double"), 6).as("weight"))
+  }
+
+  /** DuckDB twin of [[temperatureMixWeights]] over documents.lang. */
+  def temperatureMixWeightsSql(alpha: Double): String =
+    s"""WITH counts AS (
+       |  SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+       |tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM documents),
+       |shares AS (
+       |  SELECT lang, n_docs, pow(CAST(n_docs AS DOUBLE) / total, $alpha) AS pa,
+       |    total
+       |  FROM counts CROSS JOIN tot),
+       |z AS (SELECT sum(pa) AS z FROM shares)
+       |SELECT lang, n_docs,
+       |  round((pa / z) * total / CAST(n_docs AS DOUBLE), 6) AS weight
+       |FROM shares CROSS JOIN z""".stripMargin
+
   def domainMixWeightsSql: String = {
     val vals = mixTargets.map { case (l, f) => s"('$l', $f)" }.mkString(", ")
     s"""WITH targets(lang, target_frac) AS (VALUES $vals),

@@ -285,4 +285,22 @@ class PipelineOpsSpec extends AnyFunSuite {
       weightCol = "n_chars").select("doc_id").collect().map(_.getLong(0)).toSet
     assert(again == got)
   }
+
+  test("temperatureMixWeights flattens toward uniform as alpha drops") {
+    // 90/10 corpus: alpha=1 → natural weights (all 1.0); alpha=0.5 →
+    // the tail domain upweighted, head downweighted; weights stay a
+    // valid resampling (Σ n_i·w_i/total = 1)
+    val docs = ((0 until 90).map(i => (i.toLong, "en")) ++
+      (90 until 100).map(i => (i.toLong, "zh"))).toDF("doc_id", "lang")
+    def w(alpha: Double): Map[String, Double] =
+      PipelineOps.temperatureMixWeights(docs, alpha)
+        .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val natural = w(1.0)
+    assert(math.abs(natural("en") - 1.0) < 1e-6)
+    assert(math.abs(natural("zh") - 1.0) < 1e-6)
+    val flat = w(0.5)
+    assert(flat("zh") > 1.5 && flat("en") < 1.0)
+    // mass conservation: 90·w_en + 10·w_zh == 100 (to rounding)
+    assert(math.abs(90 * flat("en") + 10 * flat("zh") - 100.0) < 1e-3)
+  }
 }
