@@ -489,8 +489,15 @@ object DedupOps {
   /** As [[connectedComponents]], also returning the round count (exposed
     * for convergence tests and operational monitoring). */
   def connectedComponentsImpl(pairs: DataFrame, maxIter: Int): (DataFrame, Int) = {
-    val nodes = pairs.select(col("doc_a").as("doc_id"))
-      .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    // materialize the (distinct) pair relation ONCE: both the node set and
+    // the contraction loop consume it, and deriving them from raw `pairs`
+    // would recompute the full upstream pipeline (for minhashDedupKeep,
+    // the whole LSH candidate + verification DAG) a second time for the
+    // final label join
+    val base = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .distinct().localCheckpoint(eager = false)
+    val nodes = base.select(col("u").as("doc_id"))
+      .unionByName(base.select(col("v").as("doc_id"))).distinct()
     // fixpoint probe: (count, xor-of-edge-hashes) computed in ONE aggregate
     // per round. Both edge sets are distinct, so equality of the pair ⇒
     // set equality up to an xxhash64 xor collision (~2^-64 per comparison —
@@ -508,8 +515,7 @@ object DedupOps {
     // eager = false: the probe aggregate is the materialization action, so
     // each round costs exactly one Spark job, not a checkpoint job + a
     // probe job.
-    var e = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint(eager = false)
+    var e = base.filter(col("u") =!= col("v"))
     var converged = false
     var iter = 0
     var prev = probe(e)
