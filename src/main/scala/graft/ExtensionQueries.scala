@@ -293,6 +293,16 @@ object ExtensionQueries {
     },
     // Deterministic stratified sampling: per-language rates via a
     // portable hash of the doc id (train-data curation primitive)
+    // Curriculum binning: equal-mass quality quartiles via broadcast
+    // percentile cuts (the scale-correct ntile — no global sort)
+    "curriculum_bins" -> { (s, dir) =>
+      PipelineOps.curriculumBins(Tables.documents(s, dir),
+        round(TextOps.qualityScore(col("text")), 6), nBins = 4)
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("score")), 6).as("avg_score"))
+        .orderBy("bin")
+    },
     // Weight-proportional sampling without replacement (A-ES), k per
     // language weighted by document length — deterministic draw
     "text_weighted_sample" -> { (s, dir) =>
@@ -781,6 +791,10 @@ object ExtensionQueries {
          |  ${TextOps.gopherKeepSql("text")} AS keep,
          |  tf.top_token_frac
          |FROM documents d JOIN tf USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "curriculum_bins" ->
+      (PipelineOps.curriculumBinsSql(
+        s"round(${TextOps.qualityScoreSql("text")}, 6)", 4) +
+        " ORDER BY bin"),
     "text_weighted_sample" ->
       (PipelineOps.weightedSampleSql(Seq("lang"), 5, "n_chars") +
         " ORDER BY lang, doc_id"),

@@ -351,6 +351,49 @@ object PipelineOps {
        |  CAST(sum(doc_id) AS BIGINT) AS kept_id_sum
        |FROM ranked WHERE rn <= $cap GROUP BY 1, 2""".stripMargin
 
+  // ---- curriculum binning -------------------------------------------------
+  /** Score-ordered curriculum bins WITHOUT a global sort: exact
+    * interpolated percentile cut points (one tiny aggregate over the
+    * score column) broadcast back and compared per row — the
+    * scale-correct form of `ntile(n)`, whose global-orderBy window would
+    * serialize the corpus through one partition. Bin b ∈ [0, nBins) =
+    * number of cut points strictly below the row's score; bins are
+    * equal-mass up to score ties.
+    *
+    * `score` should be rounded (6 dp convention) so the cut comparison is
+    * engine-portable; cut points are rounded the same way. The per-row
+    * lambda runs over nBins-1 elements only — constant, not data-sized.
+    *
+    * Returns the input plus (score, bin). */
+  def curriculumBins(docs: DataFrame, score: Column,
+      nBins: Int): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val qs = (1 until nBins).map(_.toDouble / nBins)
+    val scored = docs.withColumn("score", score)
+    val cuts = scored
+      .agg(expr(s"percentile(score, array(${qs.mkString(", ")}))").as("__c"))
+      .select(transform(col("__c"), c => round(c, 6)).as("__c"))
+    scored.crossJoin(broadcast(cuts))
+      .withColumn("bin",
+        size(filter(col("__c"), c => col("score") > c)).cast("long"))
+      .drop("__c")
+  }
+
+  /** DuckDB twin of [[curriculumBins]] aggregated per bin over the
+    * documents quality score (count + mean score per bin). */
+  def curriculumBinsSql(scoreSql: String, nBins: Int): String = {
+    val qs = (1 until nBins).map(_.toDouble / nBins).mkString(", ")
+    s"""WITH s AS (
+       |  SELECT doc_id, $scoreSql AS score FROM documents),
+       |c AS (
+       |  SELECT list_transform(quantile_cont(score, [$qs]),
+       |    x -> round(x, 6)) AS cuts FROM s)
+       |SELECT CAST(len(list_filter(c.cuts, x -> s.score > x)) AS BIGINT)
+       |    AS bin,
+       |  count(*) AS n_docs, round(avg(s.score), 6) AS avg_score
+       |FROM s CROSS JOIN c GROUP BY 1""".stripMargin
+  }
+
   // ---- weighted sampling --------------------------------------------------
   /** Deterministic weighted sampling without replacement per group
     * (Efraimidis–Spirakis 2006 A-ES): rank rows by ln(u)/w descending —

@@ -286,6 +286,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("curriculumBins: equal-mass bins from percentile cuts, no sort") {
+    // scores 0..99: quartile cuts at 24.75/49.5/74.25 -> bins of 25 each
+    val docs = (0L until 100L).map(i => (i, i.toDouble)).toDF("doc_id", "q")
+    val binned = PipelineOps.curriculumBins(docs, col("q"), nBins = 4)
+    val sizes = binned.groupBy("bin").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes == Map(0L -> 25L, 1L -> 25L, 2L -> 25L, 3L -> 25L))
+    // bin is monotone in score
+    val byDoc = binned.select("doc_id", "bin").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byDoc(0L) == 0L && byDoc(99L) == 3L && byDoc(50L) == 2L)
+    // no global-sort window: plan must not contain a Window operator
+    val plan = binned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected window in:\n$plan")
+  }
+
   test("temperatureMixWeights flattens toward uniform as alpha drops") {
     // 90/10 corpus: alpha=1 → natural weights (all 1.0); alpha=0.5 →
     // the tail domain upweighted, head downweighted; weights stay a
