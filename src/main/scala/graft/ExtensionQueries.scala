@@ -204,6 +204,11 @@ object ExtensionQueries {
         col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")
     },
+    // Unigram entropy: repetitiveness signal the distinct-token fraction
+    // misses (skew-aware); relational two-stage aggregate
+    "text_token_entropy" -> { (s, dir) =>
+      TextOps.tokenEntropy(Tables.documents(s, dir)).orderBy("doc_id")
+    },
     // Perplexity quality filter: add-k bigram LM trained on the corpus in
     // the same lazy plan that scores it (CCNet/KenLM-style signal)
     "lm_perplexity" -> { (s, dir) =>
@@ -660,6 +665,8 @@ object ExtensionQueries {
     "emb_covariance" ->
       (SimilarityOps.embeddingCovarianceSql() + " ORDER BY 1, 2"),
     "lm_perplexity" -> (LmOps.bigramPerplexitySql() + " ORDER BY doc_id"),
+    "text_token_entropy" ->
+      (TextOps.tokenEntropySql() + " ORDER BY doc_id"),
     "ann_lsh_topk" -> lshTopkOracleSql(),
     "ann_ivf_topk" -> ivfTopkOracleSql(),
     "dedup_semantic" -> semanticDedupOracleSql(semDedupCos),

@@ -140,4 +140,45 @@ object TextOps {
       s"list_transform(range(1, least(length($t), $maxLen) + 1), " +
       s"i -> CAST(unicode(substr($t, CAST(i AS INT), 1)) AS BIGINT))), " +
       s"(a, b) -> (a * 31 + b) % 1000000007)"
+
+  /** Per-document unigram entropy H = ln n − (Σ c·ln c)/n over token
+    * counts — low entropy flags repetitive/templated text that the
+    * distinct-fraction metric misses (it is blind to HOW skewed the
+    * repeats are). Relational (explode → two aggregations), not a per-row
+    * lambda: the per-doc token histogram partial-aggregates map-side, so
+    * only (doc, distinct-token) count rows shuffle — never raw text.
+    * Returns (doc_id, n_tokens, entropy), entropy rounded to 6 dp
+    * (0 for single-token docs). */
+  def tokenEntropy(df: org.apache.spark.sql.DataFrame,
+      textCol: String = "text", idCol: String = "doc_id")
+      : org.apache.spark.sql.DataFrame = {
+    val c = Spread(df)
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    c.groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("__s"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(log(col("n_tokens").cast("double")) -
+          col("__s") / col("n_tokens").cast("double"), 6).as("entropy"))
+  }
+
+  /** DuckDB twin of [[tokenEntropy]] (same tokenization, same
+    * ln-n − Σc·ln(c)/n form, same rounding). */
+  def tokenEntropySql(): String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+      |  FROM tok GROUP BY 1, 2),
+      |a AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |    sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS s
+      |  FROM c GROUP BY 1)
+      |SELECT doc_id, n_tokens,
+      |  round(ln(CAST(n_tokens AS DOUBLE)) - s / CAST(n_tokens AS DOUBLE), 6)
+      |    AS entropy
+      |FROM a""".stripMargin
 }

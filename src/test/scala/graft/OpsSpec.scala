@@ -452,6 +452,21 @@ class OpsSpec extends AnyFunSuite {
     assert(proj.size == 4 && proj(3L) > proj(0L)) // order along the axis
   }
 
+  test("tokenEntropy: uniform tokens maximal, repeated tokens zero") {
+    val corpus = Seq(
+      (0L, "a b c d"), // 4 distinct -> ln 4
+      (1L, "a a a a"), // one token repeated -> 0
+      (2L, "a a b b"), // two x2 -> ln 2
+      (3L, "x")).toDF("doc_id", "text") // single token -> 0
+    val got = TextOps.tokenEntropy(corpus)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(0L)._1 == 4L)
+    assert(math.abs(got(0L)._2 - math.log(4)) < 1e-6)
+    assert(got(1L)._2 == 0.0)
+    assert(math.abs(got(2L)._2 - math.log(2)) < 1e-6)
+    assert(got(3L) == ((1L, 0.0)))
+  }
+
   test("powerIteration recovers the dominant eigenpair of a known matrix") {
     // eigenvalues 3 (v=(1,1)/sqrt2) and 1 (v=(1,-1)/sqrt2)
     val m = Array(Array(2.0, 1.0), Array(1.0, 2.0))
