@@ -302,21 +302,75 @@ object DedupOps {
       bands: Int = 16, seed: Long = 42L, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
     val sigs = minhashSignatures(df, k, numHashes, seed, textCol, idCol)
-    // band key = the r min-values themselves (joined) — no second hash, so
-    // candidate generation stays engine-portable
+    val banded = bandSignatures(sigs, numHashes, bands)
+    banded.as("l").join(banded.as("r"), Seq("b", "sig"))
+      .filter(col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Long-form banding of a signature relation (doc_id, sig array) →
+    * (doc_id, b, sig-string): ONE self/two-sided join on (band, sig)
+    * replaces a join per band. Band key = the r min-values themselves
+    * (joined) — no second hash, so candidate generation stays
+    * engine-portable. */
+  def bandSignatures(sigs: DataFrame, numHashes: Int,
+      bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
     val bandExprs = (0 until bands).map { b =>
       concat_ws(",",
         (0 until r).map(i => element_at(col("sig"), b * r + i + 1)): _*)
     }
-    // long form (doc_id, band_idx, sig): ONE self-join on (band_idx, sig)
-    // replaces a join per band; signature pass runs exactly once
-    val banded = sigs
-      .select(col("doc_id"), posexplode(array(bandExprs: _*)).as(Seq("b", "sig")))
-    banded.as("l").join(banded.as("r"), Seq("b", "sig"))
-      .filter(col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+    sigs.select(col("doc_id"), posexplode(array(bandExprs: _*)).as(Seq("b", "sig")))
+  }
+
+  // ---- persisted signatures (incremental near-dup) -----------------------
+  /** Persist MinHash signatures with their hash-family parameters: the
+    * shingle + signature pass over a snapshot is paid ONCE; later batches
+    * band-join against the saved relation instead of re-reading the old
+    * corpus text. Family params ride in a meta sidecar and are enforced
+    * on incremental use (mixing families would silently produce garbage
+    * candidates — same refusal contract as the CMS sidecar). */
+  def writeSignatures(sigs: DataFrame, path: String, k: Int,
+      numHashes: Int, seed: Long): Unit = {
+    val spark = sigs.sparkSession
+    import spark.implicits._
+    sigs.write.mode("overwrite").parquet(s"$path/data")
+    Seq((k, numHashes, seed)).toDF("k", "num_hashes", "seed")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** (signatures, k, numHashes, seed) as written. */
+  def readSignatures(spark: org.apache.spark.sql.SparkSession,
+      path: String): (DataFrame, Int, Int, Long) = {
+    val m = spark.read.parquet(s"$path/meta").collect()(0)
+    (spark.read.parquet(s"$path/data"),
+      m.getAs[Int]("k"), m.getAs[Int]("num_hashes"), m.getAs[Long]("seed"))
+  }
+
+  /** Incremental LSH candidates: pairs touching the NEW batch, against
+    * both the saved snapshot signatures and the batch itself. New-batch
+    * signatures are computed with the SAVED family (k, numHashes, seed),
+    * so signatures stay comparable; the old corpus' text is never read.
+    * Returns (doc_a, doc_b) with doc_a < doc_b, at least one side new. */
+  def incrementalMinhashCandidates(newBatch: DataFrame, savedPath: String,
+      bands: Int = 16, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val spark = newBatch.sparkSession
+    val (oldSigs, k, numHashes, seed) = readSignatures(spark, savedPath)
+    val newSigs =
+      minhashSignatures(newBatch, k, numHashes, seed, textCol, idCol)
+    val newBanded = bandSignatures(newSigs, numHashes, bands)
+    val allBanded = bandSignatures(oldSigs, numHashes, bands)
+      .unionByName(newBanded)
+    // two-sided join: left side is new-only, so every pair touches the
+    // batch; the old×old quadrant is never generated
+    newBanded.as("l").join(allBanded.as("r"), Seq("b", "sig"))
+      .filter(col("l.doc_id") =!= col("r.doc_id"))
+      .select(least(col("l.doc_id"), col("r.doc_id")).as("doc_a"),
+        greatest(col("l.doc_id"), col("r.doc_id")).as("doc_b"))
       .distinct()
   }
 

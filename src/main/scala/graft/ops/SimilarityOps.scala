@@ -93,6 +93,14 @@ object SimilarityOps {
       col("embedding").as("ce"),
       element_at(graft.functions.NearestCentroid(col("embedding"), cents, 1), 1)
         .as("cell"))
+    ivfRerank(queries, cs, cents, k, nprobe)
+  }
+
+  /** Exact in-cell re-rank shared by the fresh and the index-backed IVF
+    * search paths: probe cells on the (broadcast) query side, equi-join
+    * on cell, cosine + rounded-rank top-k. */
+  private def ivfRerank(queries: DataFrame, cs: DataFrame,
+      cents: Array[Array[Long]], k: Int, nprobe: Int): DataFrame = {
     val qs = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
       explode(graft.functions.NearestCentroid(col("embedding"), cents, nprobe))
         .as("cell"))
@@ -105,6 +113,54 @@ object SimilarityOps {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "sim", "rank")
+  }
+
+  // ---- persisted IVF index ----------------------------------------------
+  /** A built IVF index: corpus cell assignments + the centroid matrix.
+    * Building pays the one assignment pass over the corpus; searches
+    * against the index skip it entirely. */
+  final case class IvfIndex(assignments: DataFrame,
+      centroids: Array[Array[Long]])
+
+  def buildIvfIndex(corpus: DataFrame, dim: Int, nCentroids: Int = 16,
+      seed: Long = 42L,
+      centroids: Option[Array[Array[Long]]] = None): IvfIndex = {
+    val cents = centroids.getOrElse(seededCentroids(nCentroids, dim, seed))
+    val a = spread(corpus).select(col("vec_id"), col("embedding"),
+      element_at(graft.functions.NearestCentroid(col("embedding"), cents, 1), 1)
+        .as("cell"))
+    IvfIndex(a, cents)
+  }
+
+  /** Persist the index: assignments PARTITIONED BY cell (query-time cell
+    * probes prune whole directories — the parquet-layout form of an IVF
+    * posting list) + the centroid matrix as a tiny meta table. */
+  def writeIvfIndex(idx: IvfIndex, path: String): Unit = {
+    val spark = idx.assignments.sparkSession
+    import spark.implicits._
+    idx.assignments.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/data")
+    idx.centroids.zipWithIndex.toSeq.map { case (row, i) => (i, row.toSeq) }
+      .toDF("i", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  def readIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): IvfIndex = {
+    val cents = spark.read.parquet(s"$path/meta").collect()
+      .sortBy(_.getInt(0))
+      .map(_.getAs[scala.collection.Seq[Long]]("centroid").toArray)
+    IvfIndex(spark.read.parquet(s"$path/data"), cents)
+  }
+
+  /** IVF search against a built (usually read-back) index — identical
+    * results to [[ivfTopK]] with the same centroids, without the corpus
+    * assignment pass. */
+  def ivfTopKIndexed(queries: DataFrame, idx: IvfIndex, k: Int,
+      nprobe: Int = 4): DataFrame = {
+    val cs = idx.assignments.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ce"), col("cell"))
+    ivfRerank(queries, cs, idx.centroids, k, nprobe)
   }
 
   /** Per-vector near-duplicate stats at a cosine threshold: how many other

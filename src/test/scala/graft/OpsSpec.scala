@@ -467,6 +467,48 @@ class OpsSpec extends AnyFunSuite {
     assert(got(3L) == ((1L, 0.0)))
   }
 
+  test("IVF index: write/read round-trip, indexed search == fresh search") {
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.tabulate(8)(d => ((i * 7 + d * 3) % 13).toFloat - 6f)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    val idx = SimilarityOps.buildIvfIndex(vecs, dim = 8, nCentroids = 4)
+    SimilarityOps.writeIvfIndex(idx, dir)
+    val back = SimilarityOps.readIvfIndex(spark, dir)
+    assert(back.centroids.toSeq.map(_.toSeq) ==
+      idx.centroids.toSeq.map(_.toSeq))
+    val q = vecs.filter(col("vec_id") < 3)
+    val fresh = SimilarityOps.ivfTopK(q, vecs, dim = 8, k = 3, nCentroids = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+    val indexed = SimilarityOps.ivfTopKIndexed(q, back, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+    assert(indexed == fresh)
+  }
+
+  test("MinHash signature persistence: incremental candidates == full, new-side only") {
+    val oldDocs = docs.filter(col("doc_id") < 4)
+    val newDocs = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // dup of 0
+      (11L, "entirely novel text with no neighbors at all zz")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("mhsigs").toString
+    val sigs = DedupOps.minhashSignatures(oldDocs, k = 3)
+    DedupOps.writeSignatures(sigs, dir, k = 3, numHashes = 64, seed = 42L)
+    val (back, k0, nh, seed) = DedupOps.readSignatures(spark, dir)
+    assert((k0, nh, seed) == ((3, 64, 42L)))
+    assert(back.collect().map(_.getLong(0)).sorted.toSeq ==
+      sigs.collect().map(_.getLong(0)).sorted.toSeq)
+    val inc = DedupOps.incrementalMinhashCandidates(newDocs, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ground truth: full-corpus candidates restricted to pairs touching
+    // the new batch
+    val full = DedupOps.minhashLshCandidates(oldDocs.unionByName(newDocs), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .filter(p => p._1 >= 10L || p._2 >= 10L)
+    assert(inc == full)
+    assert(inc.contains((0L, 10L))) // the planted dup is found
+    assert(!inc.exists { case (a, b) => b == 11L && a != 11L }) // novel doc clean
+  }
+
   test("powerIteration recovers the dominant eigenpair of a known matrix") {
     // eigenvalues 3 (v=(1,1)/sqrt2) and 1 (v=(1,-1)/sqrt2)
     val m = Array(Array(2.0, 1.0), Array(1.0, 2.0))
