@@ -34,23 +34,31 @@ object LmOps {
     * fewer than 2 tokens have n_bigrams = 0 and NULL ppl.
     */
   def bigramPerplexity(df: DataFrame, k: Double = 0.5,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    ngramPerplexity(df, 2, k, textCol, idCol)
+
+  /** General-n form of [[bigramPerplexity]]: p(wₙ|w₁..wₙ₋₁) with add-k
+    * smoothing over positional n-gram counts. Same relational shape for
+    * any n — a wider model only widens the join key. */
+  def ngramPerplexity(df: DataFrame, n: Int, k: Double = 0.5,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(n >= 2, s"ngram order must be >= 2, got $n")
     require(k > 0, s"add-k smoothing requires k > 0, got $k")
-    // positional (non-distinct) bigrams: occurrence counts are the model
+    // positional (non-distinct) n-grams: occurrence counts are the model
     val bg = Spread(df).select(col(idCol).as("doc_id"),
-      explode(graft.functions.WordShingles.all(col(textCol), 2)).as("bg"))
+      explode(graft.functions.WordShingles.all(col(textCol), n)).as("bg"))
     val perDoc = bg.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
     val model = perDoc.groupBy("bg").agg(sum(col("c")).as("c2"))
-    // prefix counts c(w1 ·) from the model itself (Σ over continuations)
+    // prefix counts c(w₁..wₙ₋₁ ·) from the model itself (Σ continuations)
     val prefix = model
-      .groupBy(substring_index(col("bg"), " ", 1).as("pfx"))
+      .groupBy(substring_index(col("bg"), " ", n - 1).as("pfx"))
       .agg(sum(col("c2")).as("c1"))
     val vocab = df
       .select(explode(split(col(textCol), " ")).as("tok"))
       .agg(countDistinct(col("tok")).cast("double").as("v"))
     val scored = perDoc
       .join(model, Seq("bg"))
-      .withColumn("pfx", substring_index(col("bg"), " ", 1))
+      .withColumn("pfx", substring_index(col("bg"), " ", n - 1))
       .join(prefix, Seq("pfx"))
       .crossJoin(broadcast(vocab))
       .groupBy("doc_id")

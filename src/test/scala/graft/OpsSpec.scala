@@ -431,6 +431,24 @@ class OpsSpec extends AnyFunSuite {
     assert(out(0L)._2 == out(1L)._2) // identical docs, identical score
   }
 
+  test("ngramPerplexity generalizes: trigram scores, bigram delegation") {
+    val corpus = Seq(
+      (0L, "a b c a b c a b c"),
+      (1L, "a b c a b c a b c"),
+      (2L, "p q r s t u v w x")).toDF("doc_id", "text")
+    val tri = LmOps.ngramPerplexity(corpus, 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(tri(0L)._1 == 7L) // 9 tokens -> 7 trigram occurrences
+    assert(tri(0L)._2 == tri(1L)._2) // identical docs agree
+    assert(tri(0L)._2 < tri(2L)._2) // repeated trigrams beat all-unique
+    // delegation: bigramPerplexity == ngramPerplexity(n = 2)
+    val b1 = LmOps.bigramPerplexity(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val b2 = LmOps.ngramPerplexity(corpus, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(b1 == b2)
+  }
+
   test("embeddingCovariance matches direct computation; PCA finds the axis") {
     // 2-D points stretched along (1, 1): cov = [[s, s], [s, s]] shape
     val vecs = Seq(
