@@ -171,6 +171,38 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents == union-find on random graphs") {
+    for (seed <- Seq(3, 11, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 40
+      val edges = Seq.fill(25)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      // driver-side union-find reference (path compression, min-label)
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val touched = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      // min-label canonicalization: expected label = min node in component
+      val expected = touched.map { v =>
+        val root = find(v.toInt)
+        val members = touched.filter(u => find(u.toInt) == root)
+        v -> members.min
+      }.toMap
+      val got = graft.ops.DedupOps.connectedComponents(
+        edges.toDF("doc_a", "doc_b"), maxIter = 32)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"seed=$seed")
+    }
+  }
+
   test("bloom filter law: membership of every inserted key, any merge order") {
     import graft.functions.BloomFilter
     check(forAll(Gen.listOf(Gen.long), Gen.listOf(Gen.long)) { (xs, ys) =>
