@@ -30,8 +30,8 @@ object LmOps {
     * is bounded by (doc × distinct-bigram) and vocabulary cardinality,
     * never by corpus bytes.
     *
-    * Returns one row per input doc: (doc_id, n_bigrams, ppl); docs with
-    * fewer than 2 tokens have n_bigrams = 0 and NULL ppl.
+    * Returns one row per input doc: (doc_id, n_ngrams, ppl); docs with
+    * fewer than 2 tokens have n_ngrams = 0 and NULL ppl.
     */
   def bigramPerplexity(df: DataFrame, k: Double = 0.5,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame =
@@ -63,14 +63,14 @@ object LmOps {
       .crossJoin(broadcast(vocab))
       .groupBy("doc_id")
       .agg(
-        sum(col("c")).as("n_bigrams"),
+        sum(col("c")).as("n_ngrams"),
         (sum(col("c").cast("double") *
           -log((col("c2") + lit(k)) / (col("c1") + lit(k) * col("v")))) /
           sum(col("c").cast("double"))).as("nll"))
     df.select(col(idCol).as("doc_id"))
       .join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
         round(exp(col("nll")), 6).as("ppl"))
   }
 
@@ -94,7 +94,7 @@ object LmOps {
        |  SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
        |  FROM (SELECT unnest(string_split(text,' ')) AS tok FROM documents)),
        |sc AS (
-       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_ngrams,
        |    sum(CAST(c AS DOUBLE) * -ln((c2 + $k)/(c1 + $k * v)))
        |      / sum(CAST(c AS DOUBLE)) AS nll
        |  FROM perdoc
@@ -102,7 +102,7 @@ object LmOps {
        |  JOIN pfx ON string_split(bg,' ')[1] = pfx.pfx
        |  CROSS JOIN voc
        |  GROUP BY 1)
-       |SELECT d.doc_id, COALESCE(s.n_bigrams, 0) AS n_bigrams,
+       |SELECT d.doc_id, COALESCE(s.n_ngrams, 0) AS n_ngrams,
        |  round(exp(s.nll), 6) AS ppl
        |FROM documents d LEFT JOIN sc s USING (doc_id)""".stripMargin
 }
