@@ -364,14 +364,25 @@ object PipelineOps {
     * engine-portable; cut points are rounded the same way. The per-row
     * lambda runs over nBins-1 elements only — constant, not data-sized.
     *
+    * `exact = true` uses Spark's exact interpolated `percentile` — it
+    * buffers every value in the aggregation state, which is what the
+    * DuckDB `quantile_cont` oracle computes but is NOT 100 TB-safe. At
+    * scale pass `exact = false`: `approx_percentile` (GK sketch, bounded
+    * state) computes the cuts with ±accuracy⁻¹ relative-rank error — bin
+    * boundaries move slightly, bin semantics (count of cuts below the
+    * score) are unchanged.
+    *
     * Returns the input plus (score, bin). */
   def curriculumBins(docs: DataFrame, score: Column,
-      nBins: Int): DataFrame = {
+      nBins: Int, exact: Boolean = true): DataFrame = {
     require(nBins >= 2, s"nBins must be >= 2, got $nBins")
     val qs = (1 until nBins).map(_.toDouble / nBins)
     val scored = docs.withColumn("score", score)
+    val cutAgg =
+      if (exact) s"percentile(score, array(${qs.mkString(", ")}))"
+      else s"approx_percentile(score, array(${qs.mkString(", ")}), 10000)"
     val cuts = scored
-      .agg(expr(s"percentile(score, array(${qs.mkString(", ")}))").as("__c"))
+      .agg(expr(cutAgg).as("__c"))
       .select(transform(col("__c"), c => round(c, 6)).as("__c"))
     scored.crossJoin(broadcast(cuts))
       .withColumn("bin",

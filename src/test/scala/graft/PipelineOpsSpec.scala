@@ -300,6 +300,12 @@ class PipelineOpsSpec extends AnyFunSuite {
     // no global-sort window: plan must not contain a Window operator
     val plan = binned.queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"unexpected window in:\n$plan")
+    // the bounded-state scale path (approx_percentile) bins identically
+    // on this distribution
+    val approx = PipelineOps.curriculumBins(docs, col("q"), nBins = 4,
+      exact = false).groupBy("bin").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(approx.values.sum == 100L && approx.keySet == Set(0L, 1L, 2L, 3L))
   }
 
   test("temperatureMixWeights flattens toward uniform as alpha drops") {
