@@ -56,6 +56,29 @@ object Examples {
       .write.format("noop").mode("overwrite").save()
     val dsec = (System.nanoTime() - t1) / 1e9
     println(f"""{"example":"exact_dedup","docs":$nDocs,"sec":$dsec%.3f,"docs_per_sec":${nDocs / dsec}%.0f}""")
+
+    // end-to-end near-dup pipeline throughput: MinHash signatures → LSH
+    // candidates → jaccard verify → connected components → keep decision,
+    // over rows/1000 docs with a planted 25% near-dup rate (every 4th doc
+    // is a copy of its predecessor with one word changed). Exercises the
+    // heaviest extension pipeline at a scale the bench's sf0.1 corpus
+    // doesn't reach.
+    val nNd = math.max(rows / 1000, 1000L)
+    def ndDocs = spark.range(nNd).toDF("doc_id")
+      .withColumn("base", when(col("doc_id") % 4 === 3, col("doc_id") - 1)
+        .otherwise(col("doc_id")))
+      .withColumn("text", concat_ws(" ",
+        ((0 until 12).map(i => hex(xxhash64(col("base") + lit(i * 7000000L))))
+          :+ when(col("doc_id") % 4 === 3, lit("variant")).otherwise(lit("orig"))): _*))
+      .drop("base")
+    graft.ops.DedupOps.minhashDedupKeep(ndDocs.limit((nNd / 100).toInt),
+        threshold = 0.5)
+      .write.format("noop").mode("overwrite").save() // warm-up
+    val t2 = System.nanoTime()
+    graft.ops.DedupOps.minhashDedupKeep(ndDocs, threshold = 0.5)
+      .write.format("noop").mode("overwrite").save()
+    val nsec = (System.nanoTime() - t2) / 1e9
+    println(f"""{"example":"minhash_dedup_keep","docs":$nNd,"sec":$nsec%.3f,"docs_per_sec":${nNd / nsec}%.0f}""")
     spark.stop()
   }
 }
