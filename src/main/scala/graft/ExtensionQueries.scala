@@ -352,6 +352,22 @@ object ExtensionQueries {
         .withColumn("sum_value", round(col("sum_value"), 2))
         .orderBy("user_id", "session_idx")
     },
+    // Ordered funnel: users reaching view -> click -> purchase, each
+    // stage strictly after the previous stage's first completion
+    "events_funnel" -> { (s, dir) =>
+      val ev = graft.sources.Sources.eventsWithTimestamp(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_type"))
+      FunnelOps.funnelCounts(ev, Seq("view", "click", "purchase"))
+        .orderBy("stage_idx")
+    },
+    // Weekly cohort retention triangle (first-activity cohort × offset)
+    "events_retention" -> { (s, dir) =>
+      val ev = graft.sources.Sources.eventsWithTimestamp(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      FunnelOps.retentionCohorts(ev, bucketUs = 604800000000L, maxOffset = 4)
+        .orderBy("cohort", "offset")
+    },
     // JSON property extraction feeding a category histogram
     "events_props_hist" -> { (s, dir) =>
       val spec = HistSpec(Seq(IntCategory()), Int64Storage)
@@ -822,6 +838,12 @@ object ExtensionQueries {
     "events_sessions" ->
       (Sessionize.batchOracleSql("events", "epoch_us(CAST(ts AS TIMESTAMP))", 1800) +
         " ORDER BY user_id, session_idx"),
+    "events_funnel" ->
+      (FunnelOps.funnelCountsSql(Seq("view", "click", "purchase")) +
+        " ORDER BY stage_idx"),
+    "events_retention" ->
+      (FunnelOps.retentionCohortsSql(604800000000L, 4) +
+        " ORDER BY cohort, \"offset\""),
     "events_hourly_hist" ->
       s"""SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS bucket_start,
          |${axVal.sqlExpr("value")} AS i0, round(sum(value), 2) AS value

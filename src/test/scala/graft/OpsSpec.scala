@@ -527,6 +527,32 @@ class OpsSpec extends AnyFunSuite {
     assert(!inc.exists { case (a, b) => b == 11L && a != 11L }) // novel doc clean
   }
 
+  test("funnelCounts: strict ordering per user, stage monotonic") {
+    // u1 completes the funnel; u2 clicks BEFORE viewing (must not count
+    // past stage view); u3 views only
+    val ev = Seq(
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+      (2L, 50L, "click"), (2L, 60L, "view"),
+      (3L, 5L, "view"),
+      (2L, 70L, "click")) // click after view -> u2 reaches stage 1
+      .toDF("user_id", "ts_us", "event_type")
+    val got = FunnelOps.funnelCounts(ev, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(got == Map(0 -> 3L, 1 -> 2L, 2 -> 1L))
+  }
+
+  test("retentionCohorts: cohort by first bucket, offsets bounded") {
+    val ev = Seq(
+      (1L, 0L), (1L, 105L), (1L, 205L), // cohort 0, offsets 0,1,2
+      (2L, 110L), (2L, 115L), (2L, 310L), // cohort 1, offsets 0 (x2), 2
+      (3L, 950L)) // cohort 9, offset 0; beyond maxOffset nothing
+      .toDF("user_id", "ts_us")
+    val got = FunnelOps.retentionCohorts(ev, bucketUs = 100L, maxOffset = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((0L, 0L) -> 1L, (0L, 1L) -> 1L, (1L, 0L) -> 1L,
+      (9L, 0L) -> 1L))
+  }
+
   test("powerIteration recovers the dominant eigenpair of a known matrix") {
     // eigenvalues 3 (v=(1,1)/sqrt2) and 1 (v=(1,-1)/sqrt2)
     val m = Array(Array(2.0, 1.0), Array(1.0, 2.0))
