@@ -337,6 +337,14 @@ object DedupOps {
       numHashes: Int, seed: Long): Unit = {
     val spark = sigs.sparkSession
     import spark.implicits._
+    // the sidecar must not lie about the family it promises to enforce:
+    // signature width is checkable against the relation (one tiny job);
+    // k and seed are structurally unrecoverable from the signatures and
+    // remain caller-asserted — pass the SAME values used to build them
+    sigs.select(size(col("sig")).as("w")).limit(1).collect().foreach { r =>
+      require(r.getInt(0) == numHashes,
+        s"signature width ${r.getInt(0)} != declared numHashes $numHashes")
+    }
     sigs.write.mode("overwrite").parquet(s"$path/data")
     Seq((k, numHashes, seed)).toDF("k", "num_hashes", "seed")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")

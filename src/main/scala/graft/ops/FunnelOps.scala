@@ -44,8 +44,11 @@ object FunnelOps {
     }.reduce(_ unionByName _)
   }
 
-  /** DuckDB twin of [[funnelCounts]] over the events table. */
-  def funnelCountsSql(stages: Seq[String]): String = {
+  /** DuckDB twin of [[funnelCounts]] over the events table. Stage names
+    * are caller-supplied — single quotes are escaped so a name like
+    * "add'l" cannot break (or change the meaning of) the emitted SQL. */
+  def funnelCountsSql(rawStages: Seq[String]): String = {
+    val stages = rawStages.map(_.replace("'", "''"))
     val ctes = stages.zipWithIndex.map { case (s, i) =>
       if (i == 0)
         s"""s0 AS (

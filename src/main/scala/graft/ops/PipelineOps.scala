@@ -377,7 +377,11 @@ object PipelineOps {
       nBins: Int, exact: Boolean = true): DataFrame = {
     require(nBins >= 2, s"nBins must be >= 2, got $nBins")
     val qs = (1 until nBins).map(_.toDouble / nBins)
-    val scored = docs.withColumn("score", score)
+    // NULL scores carry no rank: percentile() ignores them when placing
+    // cuts, and the bin lambda would silently file them as bin 0 (the
+    // worst-quality bin) — exclude them instead, like weightedSample
+    // excludes weightless rows
+    val scored = docs.withColumn("score", score).filter(col("score").isNotNull)
     val cutAgg =
       if (exact) s"percentile(score, array(${qs.mkString(", ")}))"
       else s"approx_percentile(score, array(${qs.mkString(", ")}), 10000)"
@@ -395,7 +399,8 @@ object PipelineOps {
   def curriculumBinsSql(scoreSql: String, nBins: Int): String = {
     val qs = (1 until nBins).map(_.toDouble / nBins).mkString(", ")
     s"""WITH s AS (
-       |  SELECT doc_id, $scoreSql AS score FROM documents),
+       |  SELECT doc_id, $scoreSql AS score FROM documents
+       |  WHERE $scoreSql IS NOT NULL),
        |c AS (
        |  SELECT list_transform(quantile_cont(score, [$qs]),
        |    x -> round(x, 6)) AS cuts FROM s)
@@ -432,7 +437,10 @@ object PipelineOps {
     val key = round(log(u) / col(weightCol).cast("double"), 6)
     val w = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(key.desc, col(idCol).asc)
-    docs.filter(col(weightCol) > 0)
+    // NaN weight passes `> 0` under Spark's NaN-is-largest ordering and
+    // its NaN key would then rank FIRST in every group — exclude it with
+    // the weightless rows
+    docs.filter(col(weightCol) > 0 && !isnan(col(weightCol).cast("double")))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
       .drop("__rn")

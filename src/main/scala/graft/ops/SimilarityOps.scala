@@ -397,6 +397,8 @@ object SimilarityOps {
       iters: Int = 50): Array[Double] = {
     val cells = embeddingCovariance(df, vecCol)
       .select("i", "j", "cov").collect()
+    require(cells.nonEmpty,
+      "principalComponent: no covariance cells — empty corpus or all-null embeddings")
     val d = cells.iterator.map(_.getInt(1)).max + 1
     val m = Array.ofDim[Double](d, d)
     cells.foreach { r =>

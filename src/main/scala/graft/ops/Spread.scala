@@ -25,7 +25,7 @@ object Spread {
   // per invocation (operators like jaccardNearDupStats construct the same
   // scan many times per query). Bounded; cleared wholesale on overflow.
   private val partCache = new java.util.concurrent.ConcurrentHashMap[
-    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Integer]()
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int), Integer]()
 
   /** Widen `df` to `defaultParallelism` partitions only if it has fewer —
     * a no-op (no Exchange in the plan, `df` returned as-is) for well-split
@@ -33,15 +33,38 @@ object Spread {
     * (file-sourced inputs with >= target files always yield >= target scan
     * splits — no RDD conversion needed to prove the no-op), then a
     * memoized getNumPartitions probe for the narrow/unknown cases. */
+  /** True when the optimized plan is a plain scan pipeline (relation +
+    * narrow projections/filters only) — the only shape where "file count
+    * >= target" proves partition count >= target. A join/aggregate/
+    * repartition output still reports its LEAF scans' files, while its
+    * actual partitioning is shuffle-derived (possibly narrower than the
+    * cluster), so those plans must fall through to the real probe. */
+  private def scanShaped(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    plan match {
+      case _: LeafNode => true
+      case p: Project => scanShaped(p.child)
+      case f: Filter => scanShaped(f.child)
+      case s: SubqueryAlias => scanShaped(s.child)
+      case _ => false
+    }
+  }
+
   def apply(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
+    val nFiles = df.inputFiles.length
     // file-count heuristic: each file contributes at least one split, so
-    // files >= target proves the input is already wide enough (the listing
-    // is driver-cached by the shared FileIndex; non-file plans report 0
-    // files and fall through to the probe)
-    if (df.inputFiles.length >= target) return df
+    // files >= target proves a SCAN-shaped input is already wide enough
+    // (the listing is driver-cached by the shared FileIndex). Restricted
+    // to scan-shaped plans: a post-shuffle plan still reports its leaf
+    // files but its partitioning follows the shuffle, not the files.
+    val opt = df.queryExecution.optimizedPlan
+    if (nFiles >= target && scanShaped(opt)) return df
     if (partCache.size > 256) partCache.clear()
-    val key = df.queryExecution.logical.canonicalized
+    // file count rides in the key: the same path re-read after an
+    // incremental batch lands more files must not hit a stale count
+    val key = (df.queryExecution.logical.canonicalized, nFiles)
     val p: Int = partCache.computeIfAbsent(key,
       // getNumPartitions plans (does not execute) the query: for the
       // parquet scans this guards, that is just split enumeration
