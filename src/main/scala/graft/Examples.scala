@@ -79,6 +79,31 @@ object Examples {
       .write.format("noop").mode("overwrite").save()
     val nsec = (System.nanoTime() - t2) / 1e9
     println(f"""{"example":"minhash_dedup_keep","docs":$nNd,"sec":$nsec%.3f,"docs_per_sec":${nNd / nsec}%.0f}""")
+
+    // sparse vs dense at the bin-count regime the dense path exists for:
+    // 100×100×100 = 10^6 cells over rows/10 samples. The sparse form
+    // shuffles up to min(rows, cells) bin rows per partition; the dense
+    // TypedImperativeAggregate ships ONE 8 MB buffer per partition with a
+    // bounded-fan-in merge (SURVEY §6: "bin-count × dims decides
+    // sparse-vs-dense").
+    val hRows = math.max(rows / 10, 100000L)
+    val spec3 = HistSpec(Seq(Regular(100, 0.0, 1.0), Regular(100, 0.0, 1.0),
+      Regular(100, 0.0, 1.0)), DoubleStorage)
+    def dims3 = spark.range(hRows).toDF("id")
+      .withColumn("x", pmod(xxhash64(col("id")), lit(1000000L)) / 1000000.0)
+      .withColumn("y", pmod(xxhash64(col("id") + 1), lit(1000000L)) / 1000000.0)
+      .withColumn("z", pmod(xxhash64(col("id") + 2), lit(1000000L)) / 1000000.0)
+    val cols3 = Seq(col("x"), col("y"), col("z"))
+    Hist.fill(spec3, dims3.limit(100000), cols3)
+      .write.format("noop").mode("overwrite").save() // warm-up
+    val t3 = System.nanoTime()
+    Hist.fill(spec3, dims3, cols3).write.format("noop").mode("overwrite").save()
+    val sSec = (System.nanoTime() - t3) / 1e9
+    val t4 = System.nanoTime()
+    Hist.fillDense(spec3, dims3, cols3)
+      .write.format("noop").mode("overwrite").save()
+    val dSec = (System.nanoTime() - t4) / 1e9
+    println(f"""{"example":"hist3d_1e6bins","rows":$hRows,"sparse_sec":$sSec%.3f,"dense_sec":$dSec%.3f}""")
     spark.stop()
   }
 }
