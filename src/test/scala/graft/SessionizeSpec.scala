@@ -54,4 +54,35 @@ class SessionizeSpec extends AnyFunSuite {
     streamed.foreach { case (k, v) => assert(batch(k) == v, s"session $k") }
     assert(streamed.contains((1L, 1L))) // the gap-closed session
   }
+
+  test("streaming funnel matches the batch funnel counts") {
+    import graft.streaming.FunnelStream
+    implicit val s: SparkSession = spark
+    val stages = Seq("view", "click", "purchase")
+    // u1 full funnel; u2 clicks before viewing (stops at view); u3 views
+    val ev = Seq(
+      FunnelStream.TypedEvent(1L, 10L, "view"),
+      FunnelStream.TypedEvent(1L, 20L, "click"),
+      FunnelStream.TypedEvent(1L, 30L, "purchase"),
+      FunnelStream.TypedEvent(2L, 50L, "click"),
+      FunnelStream.TypedEvent(2L, 60L, "view"),
+      FunnelStream.TypedEvent(2L, 70L, "click"),
+      FunnelStream.TypedEvent(3L, 5L, "view"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-funnel").toFile
+    ev.toDS().write.mode("overwrite").parquet(dir.toString)
+    val in = spark.readStream.schema(ev.toDF().schema).parquet(dir.toString)
+      .as[FunnelStream.TypedEvent]
+    val q = FunnelStream.funnelStream(in, stages)
+      .writeStream.outputMode("append").format("memory").queryName("funnel")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("funnel")
+      .groupBy("stage_idx").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val batch = graft.ops.FunnelOps.funnelCounts(
+      ev.toDF().withColumnRenamed("ts_us", "ts_us"), stages)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(streamed == batch)
+    assert(streamed == Map(0 -> 3L, 1 -> 2L, 2 -> 1L))
+  }
 }
