@@ -21,14 +21,17 @@ object LmOps {
     * p(w2|w1) = (c(w1 w2) + k) / (c(w1 ·) + k·V), V = corpus vocabulary
     * size; doc score = exp(-mean log p over the doc's bigram occurrences).
     *
-    * Scale shape: the corpus is read once for bigram occurrences; per-doc
-    * counts partial-aggregate map-side, the global model is a re-aggregate
-    * of the SAME per-doc relation (counts only — raw text never reaches a
-    * shuffle), and scoring joins per-doc counts against model counts on
-    * the bigram key. V rides as a broadcast single-row cross join, not a
-    * driver constant, so the plan stays one lazy DAG. Everything shuffled
-    * is bounded by (doc × distinct-bigram) and vocabulary cardinality,
-    * never by corpus bytes.
+    * Scale shape: per-doc counts partial-aggregate map-side, the global
+    * model is a re-aggregate of the SAME per-doc relation (counts only —
+    * raw text never reaches a shuffle), and scoring joins per-doc counts
+    * against model counts on the bigram key. V rides as a broadcast
+    * single-row cross join, not a driver constant, so the plan stays one
+    * lazy DAG. Everything shuffled is bounded by (doc × distinct-bigram)
+    * and vocabulary cardinality, never by corpus bytes. As a DAG the
+    * corpus text is SCANNED three times (score branch, model branch,
+    * vocab) — Spark does not materialize shared subplans; at corpus scale
+    * persist the per-doc count relation (ids + counts, far smaller than
+    * text) to pay one text scan.
     *
     * Returns one row per input doc: (doc_id, n_ngrams, ppl); docs with
     * fewer than 2 tokens have n_ngrams = 0 and NULL ppl.
