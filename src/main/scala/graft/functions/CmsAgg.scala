@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftShims
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -26,9 +26,13 @@ import org.apache.spark.unsafe.types.UTF8String
 case class CmsAgg(text: Expression, depth: Int, width: Int,
     as: Seq[Long], bs: Seq[Long],
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[Array[Long]] {
+    extends TypedImperativeAggregate[Array[Long]] with ExpectsInputTypes {
 
-  require(depth > 0 && width > 0 && depth * width <= (1 << 24),
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+
+  // Long multiply: Int depth*width can overflow past the bound and wrap
+  // into "valid" (e.g. 65536 x 65536 -> 0), allocating a too-small buffer
+  require(depth > 0 && width > 0 && depth.toLong * width <= (1L << 24),
     s"grid out of range: $depth x $width")
   require(as.size == depth && bs.size == depth,
     "need one (a, b) coefficient pair per hash row")

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftShims
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -21,7 +21,12 @@ import org.apache.spark.sql.types._
   */
 case class DenseMergeAgg(arr: Expression, totalBins: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[Array[Double]] {
+    extends TypedImperativeAggregate[Array[Double]] with ExpectsInputTypes {
+
+  // analysis-time rejection: an array<bigint> input would otherwise
+  // reinterpret long bits as doubles executor-side with no error
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType, containsNull = false))
 
   require(totalBins > 0 && totalBins <= (1 << 26),
     s"totalBins out of range: $totalBins")

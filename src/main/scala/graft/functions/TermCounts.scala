@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftShims
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -23,7 +23,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * kept (Java `split(" ", -1)`, DuckDB `string_split`); dl = token count.
   */
 case class TermCounts(child: Expression, vocab: Seq[String])
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
 
   require(vocab.nonEmpty, "TermCounts needs a non-empty vocabulary")
   require(vocab.distinct.size == vocab.size, "TermCounts vocab must be distinct")

@@ -199,6 +199,10 @@ object Hist {
       s"fillDense dense buffer out of range: $totalL bins")
     val total = totalL.toInt
     val fanIn = splitEvery.getOrElse(resolveSplitEvery(df.sparkSession))
+    // the conf path validates in resolveSplitEvery; the explicit path must
+    // too — fanIn < 2 makes the merge loop non-contracting (fanIn = 1
+    // never terminates, <= 0 leaves unmerged partial buffers)
+    require(fanIn >= 2, s"splitEvery must be >= 2, got $fanIn")
     val idx = flatIndexCol(spec, cols)
     val w = weight.getOrElse(lit(1.0)).cast(DoubleType)
     val rows = df.select(idx.as("__i"), w.as("__w"))

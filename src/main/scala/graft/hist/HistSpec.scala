@@ -40,6 +40,13 @@ final case class HistSpec(axes: Seq[Axis], storage: Storage = DoubleStorage,
       s"axis names collide: $out")
     require(out.intersect(storage.stateCols).isEmpty,
       s"axis names collide with state columns: ${out.intersect(storage.stateCols)}")
+    // a name equal to ANOTHER position's `i{q}` would make the sequential
+    // withColumnRenamed fold mislabel that axis (rename i0 -> "i1" then
+    // "i1" -> name hits both columns)
+    axes.zipWithIndex.foreach { case (a, i) =>
+      require(a.name.isEmpty || !indexCols.contains(a.name) || a.name == s"i$i",
+        s"axis $i name '${a.name}' collides with another axis' positional column")
+    }
     out
   }
 

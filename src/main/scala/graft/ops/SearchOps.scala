@@ -38,6 +38,11 @@ object SearchOps {
       k1: Double = 1.2, b: Double = 0.75,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(queries.nonEmpty && queries.forall(_._2.nonEmpty), "need query terms")
+    // mirror the SQL twin's rejection: an empty-string term would score
+    // documents by their empty-token counts here while bm25TopKSql throws,
+    // so the two engines could never be compared
+    require(queries.forall(_._2.forall(_.nonEmpty)),
+      "query terms must be non-empty strings")
     val vocab = queries.flatMap(_._2).distinct
     val spark = docs.sparkSession
     import spark.implicits._

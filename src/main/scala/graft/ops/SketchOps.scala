@@ -70,10 +70,15 @@ object SketchOps {
     * always ≥ exact (one-sided error, ε ≈ e/width of the stream length).
     * The exact pass exists to EXHIBIT the sketch error; production keeps
     * only the sketch. */
-  def cmsTokenCounts(docs: DataFrame, probes: Seq[String], depth: Int = 4,
+  def cmsTokenCounts(docs: DataFrame, rawProbes: Seq[String], depth: Int = 4,
       width: Int = 1024, seed: Long = 7L, textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // duplicate probes were harmless in the old explode/isin form and
+    // must stay harmless here (TermCounts requires a distinct vocab);
+    // an empty probe list has no meaningful output row, reject loudly
+    val probes = rawProbes.distinct
+    require(probes.nonEmpty, "cmsTokenCounts needs at least one probe token")
     val (as, bs) = cmsCoefficients(depth, seed)
     val src = Spread(docs)
     // grid built as ONE buffer aggregate straight from text
