@@ -400,6 +400,25 @@ class HistCoreSpec extends AnyFunSuite {
     val bad = HistSpec(Seq(Regular(2, 0.0, 1.0, name = "a"),
       Regular(2, 0.0, 1.0, name = "a")))
     intercept[IllegalArgumentException](bad.namedIndexCols)
+    // a name equal to ANOTHER axis' positional column would make the
+    // sequential rename mislabel that axis — rejected too
+    val sneaky = HistSpec(Seq(Regular(2, 0.0, 1.0, name = "i1"),
+      Regular(2, 0.0, 1.0, name = "z")))
+    intercept[IllegalArgumentException](sneaky.namedIndexCols)
+    // ... but an axis NAMED like its own position is a harmless no-op
+    val own = HistSpec(Seq(Regular(2, 0.0, 1.0, name = "i0"),
+      Regular(2, 0.0, 1.0)))
+    assert(own.namedIndexCols == Seq("i0", "i1"))
+  }
+
+  test("fillDense rejects non-contracting splitEvery") {
+    val df = Seq(0.5, 1.5).toDF("x").repartition(4)
+    val spec = HistSpec(Seq(Regular(4, 0.0, 4.0)), DoubleStorage)
+    // fan-in 1 would loop forever; 0/negative would leave partials unmerged
+    for (bad <- Seq(1, 0, -3)) {
+      intercept[IllegalArgumentException](
+        Hist.fillDense(spec, df, Seq(col("x")), splitEvery = Some(bad)))
+    }
   }
 
   test("denseLong surfaces the integer dtype for Int64 storages") {
