@@ -85,4 +85,30 @@ class SessionizeSpec extends AnyFunSuite {
     assert(streamed == batch)
     assert(streamed == Map(0 -> 3L, 1 -> 2L, 2 -> 1L))
   }
+
+  test("streaming funnel carries per-user state across micro-batches") {
+    import graft.streaming.FunnelStream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val s: SparkSession = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stages = Seq("view", "click")
+    val in = MemoryStream[FunnelStream.TypedEvent]
+    val q = FunnelStream.funnelStream(in.toDS(), stages)
+      .writeStream.outputMode("append").format("memory").queryName("funnel2")
+      .start()
+    try {
+      // batch 1: the view only
+      in.addData(FunnelStream.TypedEvent(7L, 10L, "view"))
+      q.processAllAvailable()
+      // batch 2: a stale click (before the view — ignored) and a real one
+      in.addData(FunnelStream.TypedEvent(7L, 5L, "click"),
+        FunnelStream.TypedEvent(7L, 20L, "click"))
+      q.processAllAvailable()
+      val rows = spark.table("funnel2")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      // the click advance was emitted in batch 2 from batch-1 state, and
+      // the stale t=5 click did not win over the t=20 one
+      assert(rows == Set((7L, 0, 10L), (7L, 1, 20L)))
+    } finally q.stop()
+  }
 }
