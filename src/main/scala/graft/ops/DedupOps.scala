@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document-frequency cap policy for inverted-index candidate generation
@@ -127,13 +128,28 @@ object DedupOps {
       .select(col("doc_id"), coalesce(col("is_dup"), lit(false)).as("is_dup"))
   }
 
-  /** Duplicate-only view: texts appearing more than once (ids sorted). */
+  /** Duplicate-only view: texts appearing more than once, with up to
+    * `maxIds` member ids (smallest first). `n_copies` always counts ALL
+    * copies; only the exhibited id list is capped — a boilerplate page
+    * duplicated millions of times at web scale must not build a
+    * million-element aggregation state for one group, so ids are
+    * rank-pruned BEFORE the collect, keeping every group's state
+    * O(maxIds). */
   def exactDupGroups(df: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame =
-    df.groupBy(col(textCol))
-      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"),
-        sort_array(collect_list(col(idCol))).as("ids"))
+      idCol: String = "doc_id", maxIds: Int = 1000): DataFrame = {
+    require(maxIds >= 1, s"maxIds must be >= 1, got $maxIds")
+    val counts = df.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .filter(col("n_copies") > 1)
+    val w = Window.partitionBy(textCol).orderBy(col(idCol).asc)
+    val cappedIds = df.select(col(textCol), col(idCol))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxIds)
+      .groupBy(col(textCol))
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+    counts.join(cappedIds, Seq(textCol))
+      .select(col(textCol), col("keep_id"), col("n_copies"), col("ids"))
+  }
 
   /** Spread a (possibly single-split) input across the cluster before
     * per-row fan-out work — conditional pass-through for well-split
