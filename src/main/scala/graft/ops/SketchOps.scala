@@ -185,6 +185,22 @@ object SketchOps {
           .otherwise(round(lit((k - 1).toDouble) * lit(P.toDouble) /
             element_at(col("kmv"), k).cast("double"), 6)).as("kmv_est"))
 
+  /** Windowed KMV distinct estimate — the sliding/tumbling-window form of
+    * [[kmvDistinct]], completing the windowed sketch trio (CMS, HLL,
+    * KMV). State per open window is the k-minima buffer (k longs), and
+    * the same code path serves batch and `groupBy(window(...))`
+    * streaming aggregation. Returns (window, kmv_est). */
+  def windowedKmvDistinct(rel: DataFrame, tsCol: Column, value: Column,
+      windowDuration: String, k: Int = 256): DataFrame =
+    rel.groupBy(window(tsCol, windowDuration).as("window"))
+      .agg(graft.functions.KmvAgg(
+        pmod(graft.functions.PolyHash(value) * lit(kmvA) + lit(kmvB), lit(P)),
+        k).as("kmv"))
+      .select(col("window"),
+        when(size(col("kmv")) < k, size(col("kmv")).cast("double"))
+          .otherwise(round(lit((k - 1).toDouble) * lit(P.toDouble) /
+            element_at(col("kmv"), k).cast("double"), 6)).as("kmv_est"))
+
   /** DuckDB twin of [[kmvDistinct]]: `relCte` must yield the value column
     * named by `valueCol`. */
   def kmvDistinctSql(relCte: String, valueCol: String, k: Int = 256): String = {

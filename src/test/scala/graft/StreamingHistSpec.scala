@@ -122,4 +122,29 @@ class StreamingHistSpec extends AnyFunSuite {
     assert(got == batch)
     assert(got.nonEmpty)
   }
+
+  test("streamed windowed KMV distinct == batch windowed estimate") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-skmv").toFile
+    val data = Seq.tabulate(400) { i =>
+      (java.sql.Timestamp.valueOf(f"2024-01-01 ${i % 2}%02d:00:01"), s"v${i % 61}")
+    }
+    val batchDf = data.toDF("ts", "v")
+    batchDf.coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    def key(r: org.apache.spark.sql.Row) =
+      r.getStruct(0).getTimestamp(0).getTime -> r.getDouble(1)
+    val batch = graft.ops.SketchOps
+      .windowedKmvDistinct(batchDf, $"ts", $"v", "1 hour", k = 32)
+      .collect().map(key).toMap
+    val streamIn = spark.readStream.schema(batchDf.schema).parquet(dir.toString)
+      .withWatermark("ts", "2 hours")
+    val q = graft.ops.SketchOps
+      .windowedKmvDistinct(streamIn, $"ts", $"v", "1 hour", k = 32)
+      .writeStream.outputMode("complete").format("memory").queryName("skmv")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("skmv").collect().map(key).toMap
+    assert(got == batch && got.size == 2)
+    // 61 distinct values per window, k = 32: the estimate must be sane
+    got.values.foreach(v => assert(v > 30 && v < 120, s"estimate $v"))
+  }
 }
