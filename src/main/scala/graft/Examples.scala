@@ -94,8 +94,13 @@ object Examples {
       .withColumn("y", pmod(xxhash64(col("id") + 1), lit(1000000L)) / 1000000.0)
       .withColumn("z", pmod(xxhash64(col("id") + 2), lit(1000000L)) / 1000000.0)
     val cols3 = Seq(col("x"), col("y"), col("z"))
+    // warm BOTH paths: the dense path runs entirely different generated
+    // code (DenseHistAgg/DenseMergeAgg) and its first-compile codegen is
+    // the same order as the measurement itself
     Hist.fill(spec3, dims3.limit(100000), cols3)
-      .write.format("noop").mode("overwrite").save() // warm-up
+      .write.format("noop").mode("overwrite").save()
+    Hist.fillDense(spec3, dims3.limit(100000), cols3)
+      .write.format("noop").mode("overwrite").save()
     val t3 = System.nanoTime()
     Hist.fill(spec3, dims3, cols3).write.format("noop").mode("overwrite").save()
     val sSec = (System.nanoTime() - t3) / 1e9

@@ -141,13 +141,22 @@ object DedupOps {
     val counts = df.groupBy(col(textCol))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .filter(col("n_copies") > 1)
+    // restrict the ranking pass to DUPLICATE texts before the window: on
+    // a mostly-unique corpus the full-text shuffle+sort would otherwise
+    // rank every singleton just for the join to discard it. Null-safe
+    // (<=>) joins throughout: GROUP BY collects null texts into one group
+    // and a plain equi-join would silently drop it.
+    val dupRows = df.select(col(textCol), col(idCol))
+      .join(counts.select(col(textCol).as("__t")),
+        col(textCol) <=> col("__t"), "left_semi")
     val w = Window.partitionBy(textCol).orderBy(col(idCol).asc)
-    val cappedIds = df.select(col(textCol), col(idCol))
+    val cappedIds = dupRows
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= maxIds)
       .groupBy(col(textCol))
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
-    counts.join(cappedIds, Seq(textCol))
+      .withColumnRenamed(textCol, "__t")
+    counts.join(cappedIds, col(textCol) <=> col("__t"))
       .select(col(textCol), col("keep_id"), col("n_copies"), col("ids"))
   }
 

@@ -70,15 +70,15 @@ object SketchOps {
     * always ≥ exact (one-sided error, ε ≈ e/width of the stream length).
     * The exact pass exists to EXHIBIT the sketch error; production keeps
     * only the sketch. */
-  def cmsTokenCounts(docs: DataFrame, rawProbes: Seq[String], depth: Int = 4,
+  def cmsTokenCounts(docs: DataFrame, probes: Seq[String], depth: Int = 4,
       width: Int = 1024, seed: Long = 7L, textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     // duplicate probes were harmless in the old explode/isin form and
     // must stay harmless here (TermCounts requires a distinct vocab);
     // an empty probe list has no meaningful output row, reject loudly
-    val probes = rawProbes.distinct
-    require(probes.nonEmpty, "cmsTokenCounts needs at least one probe token")
+    val distinctProbes = probes.distinct
+    require(distinctProbes.nonEmpty, "cmsTokenCounts needs at least one probe token")
     val (as, bs) = cmsCoefficients(depth, seed)
     val src = Spread(docs)
     // grid built as ONE buffer aggregate straight from text
@@ -92,7 +92,7 @@ object SketchOps {
       .filter(col("cnt") > 0)
       .select(expr(s"__pos div $width").cast("int").as("r"),
         expr(s"__pos % $width").cast("long").as("bucket"), col("cnt"))
-    val probeBuckets = probes.toDF("token")
+    val probeBuckets = distinctProbes.toDF("token")
       .select(col("token"), posexplode(array((0 until depth).map(r =>
         bucketCol(graft.functions.PolyHash(col("token")), as(r), bs(r), width)): _*))
         .as(Seq("r", "bucket")))
@@ -104,12 +104,12 @@ object SketchOps {
     // exact counts for the error exhibit: native per-doc term counts
     // ([[graft.functions.TermCounts]]) summed — again no token explode
     val exact = src
-      .select(posexplode(slice(graft.functions.TermCounts(col(textCol), probes), 2,
-        probes.size)).as(Seq("vidx", "c")))
+      .select(posexplode(slice(graft.functions.TermCounts(col(textCol), distinctProbes), 2,
+        distinctProbes.size)).as(Seq("vidx", "c")))
       .groupBy("vidx").agg(sum(col("c")).as("exact_n"))
-      .select(element_at(typedlit(probes), col("vidx") + 1).as("token"),
+      .select(element_at(typedlit(distinctProbes), col("vidx") + 1).as("token"),
         col("exact_n"))
-    probes.toDF("token")
+    distinctProbes.toDF("token")
       .join(exact, Seq("token"), "left")
       .join(est, Seq("token"))
       .select(col("token"), coalesce(col("exact_n"), lit(0L)).as("exact_n"),
@@ -174,16 +174,23 @@ object SketchOps {
     (as(0), bs(0))
   }
 
+  /** Affine-mixed KMV input hash — ONE definition for the batch and
+    * windowed forms (and the reason their estimates cannot drift). */
+  private def kmvHashCol(value: Column): Column =
+    pmod(graft.functions.PolyHash(value) * lit(kmvA) + lit(kmvB), lit(P))
+
+  /** Order-statistic estimate from a k-minima buffer column (shared by
+    * the batch and windowed forms). */
+  private def kmvEstimateCol(kmv: Column, k: Int): Column =
+    when(size(kmv) < k, size(kmv).cast("double"))
+      .otherwise(round(lit((k - 1).toDouble) * lit(P.toDouble) /
+        element_at(kmv, k).cast("double"), 6))
+
   def kmvDistinct(rel: DataFrame, value: Column, k: Int = 256): DataFrame =
     rel.agg(
         countDistinct(value).as("n_exact"),
-        graft.functions.KmvAgg(
-          pmod(graft.functions.PolyHash(value) * lit(kmvA) + lit(kmvB), lit(P)),
-          k).as("kmv"))
-      .select(col("n_exact"),
-        when(size(col("kmv")) < k, size(col("kmv")).cast("double"))
-          .otherwise(round(lit((k - 1).toDouble) * lit(P.toDouble) /
-            element_at(col("kmv"), k).cast("double"), 6)).as("kmv_est"))
+        graft.functions.KmvAgg(kmvHashCol(value), k).as("kmv"))
+      .select(col("n_exact"), kmvEstimateCol(col("kmv"), k).as("kmv_est"))
 
   /** Windowed KMV distinct estimate — the sliding/tumbling-window form of
     * [[kmvDistinct]], completing the windowed sketch trio (CMS, HLL,
@@ -193,13 +200,8 @@ object SketchOps {
   def windowedKmvDistinct(rel: DataFrame, tsCol: Column, value: Column,
       windowDuration: String, k: Int = 256): DataFrame =
     rel.groupBy(window(tsCol, windowDuration).as("window"))
-      .agg(graft.functions.KmvAgg(
-        pmod(graft.functions.PolyHash(value) * lit(kmvA) + lit(kmvB), lit(P)),
-        k).as("kmv"))
-      .select(col("window"),
-        when(size(col("kmv")) < k, size(col("kmv")).cast("double"))
-          .otherwise(round(lit((k - 1).toDouble) * lit(P.toDouble) /
-            element_at(col("kmv"), k).cast("double"), 6)).as("kmv_est"))
+      .agg(graft.functions.KmvAgg(kmvHashCol(value), k).as("kmv"))
+      .select(col("window"), kmvEstimateCol(col("kmv"), k).as("kmv_est"))
 
   /** DuckDB twin of [[kmvDistinct]]: `relCte` must yield the value column
     * named by `valueCol`. */

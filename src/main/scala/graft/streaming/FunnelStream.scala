@@ -29,6 +29,12 @@ object FunnelStream {
       (implicit spark: SparkSession): Dataset[StageReached] = {
     import spark.implicits._
     require(stages.nonEmpty, "funnel needs at least one stage")
+    // the name->index map keeps only the LAST index of a repeated name,
+    // which would make earlier duplicate stages unreachable (zero output)
+    // while the batch twin chains them fine — reject loudly instead
+    require(stages.distinct.size == stages.size,
+      s"funnelStream requires distinct stage names, got $stages " +
+        "(the batch funnelCounts supports repeats)")
     val stageOf = stages.zipWithIndex.toMap
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelProgress, StageReached](
@@ -38,7 +44,10 @@ object FunnelStream {
           var cur = state.getOption.getOrElse(FunnelProgress(-1, Long.MinValue))
           val out = scala.collection.mutable.ArrayBuffer.empty[StageReached]
           // in-batch events processed in event-time order so a single
-          // batch reproduces the batch operator exactly
+          // batch reproduces the batch operator exactly. This buffers and
+          // sorts ONE user's events per micro-batch — unlike the batch
+          // operator this is a real per-(user, batch) memory bound; a bot
+          // user needs a shorter trigger interval, not a different plan
           it.toSeq.sortBy(_.ts_us).foreach { e =>
             stageOf.get(e.event_type) match {
               case Some(k) if k == cur.stage + 1 &&

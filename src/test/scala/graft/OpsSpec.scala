@@ -25,6 +25,20 @@ class OpsSpec extends AnyFunSuite {
     assert(groups(0).getAs[scala.collection.Seq[Long]]("ids").toSeq == Seq(0L, 3L))
   }
 
+  test("exactDupGroups: capped ids, null-text group survives") {
+    val withNulls = Seq((0L, "same"), (1L, "same"), (2L, null),
+      (3L, null), (4L, "uniq")).toDF("doc_id", "text")
+    val got = DedupOps.exactDupGroups(withNulls, maxIds = 1)
+      .collect().map(r => Option(r.getString(0)) ->
+        (r.getLong(1), r.getLong(2), r.getAs[scala.collection.Seq[Long]](3).toSeq))
+      .toMap
+    // n_copies counts ALL copies; the exhibited id list is capped at 1
+    assert(got(Some("same")) == ((0L, 2L, Seq(0L))))
+    // the null-text duplicate group must not vanish in the id join
+    assert(got(None) == ((2L, 2L, Seq(2L))))
+    assert(!got.contains(Some("uniq")))
+  }
+
   test("shingles: distinct k-word shingles, short docs yield none") {
     val sh = DedupOps.shingles(docs, 3).collect().map(r => (r.getLong(0), r.getString(1)))
     assert(!sh.exists(_._1 == 4L))

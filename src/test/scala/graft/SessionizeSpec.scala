@@ -79,8 +79,7 @@ class SessionizeSpec extends AnyFunSuite {
     val streamed = spark.table("funnel")
       .groupBy("stage_idx").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val batch = graft.ops.FunnelOps.funnelCounts(
-      ev.toDF().withColumnRenamed("ts_us", "ts_us"), stages)
+    val batch = graft.ops.FunnelOps.funnelCounts(ev.toDF(), stages)
       .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
     assert(streamed == batch)
     assert(streamed == Map(0 -> 3L, 1 -> 2L, 2 -> 1L))
