@@ -187,6 +187,28 @@ object SparkEntry {
     "hist_add" -> { (s, dir) => algebraQuery(s, dir, HistAlgebra.Add) },
     "hist_sub" -> { (s, dir) => algebraQuery(s, dir, HistAlgebra.Sub) },
     "hist_mul" -> { (s, dir) => algebraQuery(s, dir, HistAlgebra.Mul) },
+    // marginal projection: 2-D fill summed over the tax axis == the 1-D
+    // discount histogram (every row lands in SOME tax bin incl. flow)
+    "hist_marginal" -> { (s, dir) =>
+      val spec = HistSpec(Seq(axDisc, axTax), Int64Storage)
+      val h = Hist.fill(spec, Tables.lineitem(s, dir),
+        Seq(col("l_discount"), col("l_tax")))
+      HistAlgebra.project(spec, h, Seq(0)).orderBy("i0")
+    },
+    // rebin by 4: 20 interior price bins merge to 5, flow bins preserved
+    "hist_rebin" -> { (s, dir) =>
+      val spec = HistSpec(Seq(axPrice), DoubleStorage)
+      val h = Hist.fill(spec, Tables.lineitem(s, dir),
+        Seq(col("l_extendedprice")))
+      HistAlgebra.rebin(spec, h, axis = 0, k = 4).orderBy("i0")
+    },
+    // cumulative (CDF view): running sum over the bin-count-sized result
+    "hist_cdf" -> { (s, dir) =>
+      val spec = HistSpec(Seq(axQtyR), DoubleStorage)
+      val h = Hist.fill(spec, Tables.lineitem(s, dir), Seq(col("l_quantity")))
+      HistAlgebra.cumulative(spec, h)
+        .withColumn("cum_value", round(col("cum_value"), 6)).orderBy("i0")
+    },
     // div restricted to common support (avoids engine-specific 0-div forms)
     "hist_div" -> { (s, dir) =>
       val li = Tables.lineitem(s, dir)
@@ -430,6 +452,22 @@ object SparkEntry {
     "hist_add" -> algebraOracle("+"),
     "hist_sub" -> algebraOracle("-"),
     "hist_mul" -> algebraOracle("*"),
+    "hist_marginal" ->
+      s"""SELECT ${axDisc.sqlExpr("l_discount")} AS i0, count(*) AS value
+         |FROM ${li()} GROUP BY 1 ORDER BY i0""".stripMargin,
+    "hist_rebin" ->
+      s"""WITH h AS (
+         |  SELECT ${axPrice.sqlExpr("l_extendedprice")} AS i0, sum(1.0) AS v
+         |  FROM ${li()} GROUP BY 1)
+         |SELECT CAST(CASE WHEN i0 = 0 THEN 0 WHEN i0 = 21 THEN 6
+         |  ELSE (i0 - 1) // 4 + 1 END AS BIGINT) AS i0, sum(v) AS value
+         |FROM h GROUP BY 1 ORDER BY i0""".stripMargin,
+    "hist_cdf" ->
+      s"""WITH h AS (
+         |  SELECT ${axQtyR.sqlExpr("l_quantity")} AS i0, sum(1.0) AS v
+         |  FROM ${li()} GROUP BY 1)
+         |SELECT i0, round(sum(v) OVER (ORDER BY i0 ROWS UNBOUNDED PRECEDING), 6)
+         |  AS cum_value FROM h ORDER BY i0""".stripMargin,
     "hist_div" ->
       s"""SELECT a.i0 AS i0, round(a.v / b.v, 6) AS value FROM (
          |  SELECT ${axQtyR.sqlExpr("l_quantity")} AS i0, sum(1.0) AS v

@@ -91,4 +91,50 @@ object HistAlgebra {
     }.drop("__operand")
     refreshFinalizers(spec, applied)
   }
+
+  /** Marginal projection: sum the histogram over all axes NOT in `keep`
+    * (boost's `h.project(axes...)` on the computed result). Sum storages
+    * (Double/Int64/Weight and the moment sums) marginalize exactly —
+    * their states are sums; derived mean/variance columns are refreshed
+    * from the merged sums. One groupBy over a bin-count-sized relation. */
+  def project(spec: HistSpec, h: DataFrame, keep: Seq[Int]): DataFrame = {
+    require(keep.nonEmpty && keep == keep.sorted && keep.distinct == keep,
+      s"keep must be sorted distinct non-empty axis indices, got $keep")
+    require(keep.forall(i => i >= 0 && i < spec.ndim),
+      s"axis index out of range in $keep (ndim ${spec.ndim})")
+    val keys = keep.map(i => s"i$i")
+    val sums = spec.stateColsForAlgebra.map(c => sum(col(c)).as(c))
+    refreshFinalizers(spec,
+      h.groupBy(keys.map(col): _*).agg(sums.head, sums.tail: _*))
+  }
+
+  /** Rebin one axis by an integer factor (boost's `h[::bh.rebin(k)]`):
+    * interior bins merge k-at-a-time; under/overflow (0 and n+1) stay
+    * their own bins. Requires k to divide the axis' interior bin count.
+    * New interior index = (i-1) div k + 1. */
+  def rebin(spec: HistSpec, h: DataFrame, axis: Int, k: Int): DataFrame = {
+    require(k >= 1, s"rebin factor must be >= 1, got $k")
+    require(axis >= 0 && axis < spec.ndim, s"axis $axis out of range")
+    val n = spec.axes(axis).nBins
+    require(n % k == 0, s"rebin factor $k must divide the $n interior bins")
+    val ic = s"i$axis"
+    val newIdx = when(col(ic) === 0, lit(0L))
+      .when(col(ic) === (n + 1).toLong, lit((n / k + 1).toLong))
+      .otherwise(expr(s"(`$ic` - 1) div $k") + lit(1L))
+    val keys = spec.indexCols
+    val sums = spec.stateColsForAlgebra.map(c => sum(col(c)).as(c))
+    refreshFinalizers(spec,
+      h.withColumn(ic, newIdx)
+        .groupBy(keys.map(col): _*).agg(sums.head, sums.tail: _*))
+  }
+
+  /** Cumulative histogram along a 1-D axis (the CDF view): running sum of
+    * `value` in bin-index order, flow included. A window over a
+    * bin-count-sized relation — NOT over data. */
+  def cumulative(spec: HistSpec, h: DataFrame): DataFrame = {
+    require(spec.ndim == 1, "cumulative supports 1-D histograms")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("i0"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    h.select(col("i0"), sum(col("value")).over(w).as("cum_value"))
+  }
 }

@@ -411,6 +411,36 @@ class HistCoreSpec extends AnyFunSuite {
     assert(own.namedIndexCols == Seq("i0", "i1"))
   }
 
+  test("project/rebin/cumulative: post-aggregation histogram views") {
+    val df = Seq((0.5, 10.0), (1.5, 10.0), (1.7, -5.0), (3.2, 99.0))
+      .toDF("x", "y")
+    val spec2 = HistSpec(Seq(Regular(4, 0.0, 4.0), Regular(2, 0.0, 20.0)),
+      Int64Storage)
+    val h2 = Hist.fill(spec2, df, Seq(col("x"), col("y")))
+    // marginal over y == 1-D x histogram (flow rows absorb y outliers)
+    val marg = HistAlgebra.project(spec2, h2, Seq(0))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val spec1 = HistSpec(Seq(Regular(4, 0.0, 4.0)), Int64Storage)
+    val h1 = Hist.fill(spec1, df, Seq(col("x")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(marg == h1)
+    // rebin by 2: interior bins (1,2)->(1), (3,4)->(2); flow preserved
+    val dfr = Seq(-1.0, 0.5, 1.5, 2.5, 3.5, 9.0).toDF("x")
+    val hr = HistAlgebra.rebin(spec1,
+      Hist.fill(spec1, dfr, Seq(col("x"))), axis = 0, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hr == Map(0L -> 1L, 1L -> 2L, 2L -> 2L, 3L -> 1L))
+    intercept[IllegalArgumentException](
+      HistAlgebra.rebin(spec1, Hist.fill(spec1, dfr, Seq(col("x"))), 0, 3))
+    // cumulative: last bin carries the total, sequence monotone
+    val specD = HistSpec(Seq(Regular(4, 0.0, 4.0)), DoubleStorage)
+    val cum = HistAlgebra.cumulative(specD,
+      Hist.fill(specD, dfr, Seq(col("x"))))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(cum.last._2 == 6.0)
+    assert(cum.map(_._2).sliding(2).forall(p => p.head <= p.last))
+  }
+
   test("fillDense rejects non-contracting splitEvery") {
     val df = Seq(0.5, 1.5).toDF("x").repartition(4)
     val spec = HistSpec(Seq(Regular(4, 0.0, 4.0)), DoubleStorage)
