@@ -133,6 +133,9 @@ object HistAlgebra {
     * bin-count-sized relation — NOT over data. */
   def cumulative(spec: HistSpec, h: DataFrame): DataFrame = {
     require(spec.ndim == 1, "cumulative supports 1-D histograms")
+    require(h.columns.contains("value"),
+      s"cumulative needs a count-like 'value' column (storage ${spec.storage} " +
+        "carries moment sums — project or finalize first)")
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("i0"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     h.select(col("i0"), sum(col("value")).over(w).as("cum_value"))
