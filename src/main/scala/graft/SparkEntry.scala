@@ -202,6 +202,13 @@ object SparkEntry {
         Seq(col("l_extendedprice")))
       HistAlgebra.rebin(spec, h, axis = 0, k = 4).orderBy("i0")
     },
+    // slice [3, 8) of the 10 quantity bins: outside content accumulates
+    // into the new flow bins (boost's h[a:b] default)
+    "hist_slice" -> { (s, dir) =>
+      val spec = HistSpec(Seq(axQtyR), DoubleStorage)
+      val h = Hist.fill(spec, Tables.lineitem(s, dir), Seq(col("l_quantity")))
+      HistAlgebra.slice(spec, h, axis = 0, lo = 3, hi = 8).orderBy("i0")
+    },
     // cumulative (CDF view): running sum over the bin-count-sized result
     "hist_cdf" -> { (s, dir) =>
       val spec = HistSpec(Seq(axQtyR), DoubleStorage)
@@ -461,6 +468,13 @@ object SparkEntry {
          |  FROM ${li()} GROUP BY 1)
          |SELECT CAST(CASE WHEN i0 = 0 THEN 0 WHEN i0 = 21 THEN 6
          |  ELSE (i0 - 1) // 4 + 1 END AS BIGINT) AS i0, sum(v) AS value
+         |FROM h GROUP BY 1 ORDER BY i0""".stripMargin,
+    "hist_slice" ->
+      s"""WITH h AS (
+         |  SELECT ${axQtyR.sqlExpr("l_quantity")} AS i0, sum(1.0) AS v
+         |  FROM ${li()} GROUP BY 1)
+         |SELECT CAST(CASE WHEN i0 < 3 THEN 0 WHEN i0 >= 8 THEN 6
+         |  ELSE i0 - 2 END AS BIGINT) AS i0, sum(v) AS value
          |FROM h GROUP BY 1 ORDER BY i0""".stripMargin,
     "hist_cdf" ->
       s"""WITH h AS (

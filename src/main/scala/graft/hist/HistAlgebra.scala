@@ -128,6 +128,28 @@ object HistAlgebra {
         .groupBy(keys.map(col): _*).agg(sums.head, sums.tail: _*))
   }
 
+  /** Slice one axis to interior bins [lo, hi) (1-based, hi exclusive,
+    * boost's `h[a:b]` with default flow semantics): kept bins reindex to
+    * 1..hi-lo, content below lo accumulates into the new underflow,
+    * content at/above hi (including the old overflow) into the new
+    * overflow. Bin-count-sized groupBy. */
+  def slice(spec: HistSpec, h: DataFrame, axis: Int, lo: Int,
+      hi: Int): DataFrame = {
+    require(axis >= 0 && axis < spec.ndim, s"axis $axis out of range")
+    val n = spec.axes(axis).nBins
+    require(lo >= 1 && hi > lo && hi <= n + 1,
+      s"slice range [$lo, $hi) out of interior bins [1, ${n + 1})")
+    val ic = s"i$axis"
+    val nNew = (hi - lo).toLong
+    val newIdx = when(col(ic) < lo.toLong, lit(0L))
+      .when(col(ic) >= hi.toLong, lit(nNew + 1L))
+      .otherwise(col(ic) - lit((lo - 1).toLong))
+    val sums = spec.stateColsForAlgebra.map(c => sum(col(c)).as(c))
+    refreshFinalizers(spec,
+      h.withColumn(ic, newIdx)
+        .groupBy(spec.indexCols.map(col): _*).agg(sums.head, sums.tail: _*))
+  }
+
   /** Cumulative histogram along a 1-D axis (the CDF view): running sum of
     * `value` in bin-index order, flow included. A window over a
     * bin-count-sized relation — NOT over data. */

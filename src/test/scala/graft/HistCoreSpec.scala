@@ -432,6 +432,14 @@ class HistCoreSpec extends AnyFunSuite {
     assert(hr == Map(0L -> 1L, 1L -> 2L, 2L -> 2L, 3L -> 1L))
     intercept[IllegalArgumentException](
       HistAlgebra.rebin(spec1, Hist.fill(spec1, dfr, Seq(col("x"))), 0, 3))
+    // slice [2, 4): bin 2->1, bin 3->2; bins 1 and underflow -> new
+    // underflow 0; bin 4 and overflow -> new overflow 3
+    val hs = HistAlgebra.slice(spec1,
+      Hist.fill(spec1, dfr, Seq(col("x"))), axis = 0, lo = 2, hi = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hs == Map(0L -> 2L, 1L -> 1L, 2L -> 1L, 3L -> 2L))
+    intercept[IllegalArgumentException](
+      HistAlgebra.slice(spec1, Hist.fill(spec1, dfr, Seq(col("x"))), 0, 0, 4))
     // cumulative: last bin carries the total, sequence monotone
     val specD = HistSpec(Seq(Regular(4, 0.0, 4.0)), DoubleStorage)
     val cum = HistAlgebra.cumulative(specD,
