@@ -70,24 +70,41 @@ object HistIO {
     "weight" -> WeightStorage, "mean" -> MeanStorage,
     "weighted_mean" -> WeightedMeanStorage)
 
-  private def storageName(s: Storage): String =
-    storageNames.collectFirst { case (n, x) if x == s => n }
-      .getOrElse(throw new IllegalArgumentException(s"unregistered storage $s"))
+  /** (name, optional parameter) — the parameterized shifted storages
+    * carry their shift in the spec row's double slot. */
+  private def storageNameParam(s: Storage): (String, Option[Double]) = s match {
+    case ShiftedMeanStorage(sh) => ("shifted_mean", Some(sh))
+    case ShiftedWeightedMeanStorage(sh) => ("shifted_weighted_mean", Some(sh))
+    case other =>
+      (storageNames.collectFirst { case (n, x) if x == other => n }
+        .getOrElse(throw new IllegalArgumentException(
+          s"unregistered storage $other")), None)
+  }
 
-  private def namedStorage(n: String): Storage =
-    storageNames.collectFirst { case (`n`, x) => x }
+  private def namedStorage(n: String, param: Option[Double]): Storage = n match {
+    case "shifted_mean" => ShiftedMeanStorage(param.getOrElse(
+      throw new IllegalArgumentException("shifted_mean row carries no shift")))
+    case "shifted_weighted_mean" => ShiftedWeightedMeanStorage(param.getOrElse(
+      throw new IllegalArgumentException(
+        "shifted_weighted_mean row carries no shift")))
+    case _ => storageNames.collectFirst { case (`n`, x) => x }
       .getOrElse(throw new IllegalArgumentException(s"unknown storage '$n'"))
+  }
 
   /** Persist spec + sparse rows under `path` (overwrites). */
   def write(spec: HistSpec, h: DataFrame, path: String): Unit = {
     val spark = h.sparkSession
-    h.write.mode("overwrite").parquet(s"$path/data")
+    // serialize the spec FIRST: it is the only part that can refuse
+    // (unregistered storage), and refusing AFTER overwriting path/data
+    // would leave new data paired with a stale or missing sidecar
+    val (sName, sParam) = storageNameParam(spec.storage)
     val rows =
       spec.axes.zipWithIndex.map { case (a, i) => axisRow(i, a) } ++
-        Seq(Row(-1, storageName(spec.storage), null, null, null, null, null,
-          null, null, null)) ++
+        Seq(Row(-1, sName, null, sParam.map(Double.box).orNull, null, null,
+          null, null, null, null)) ++
         spec.metadata.toSeq.sorted.map { case (k, v) =>
           Row(-2, "meta", null, null, null, k, null, null, Seq(v), null) }
+    h.write.mode("overwrite").parquet(s"$path/data")
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), specSchema)
       .write.mode("overwrite").parquet(s"$path/spec")
   }
@@ -96,9 +113,10 @@ object HistIO {
   def read(spark: SparkSession, path: String): (HistSpec, DataFrame) = {
     val sr = spark.read.parquet(s"$path/spec").collect()
     val axes = sr.filter(_.getInt(0) >= 0).sortBy(_.getInt(0)).map(rowAxis).toSeq
-    val storage = namedStorage(
-      sr.find(_.getInt(0) == -1).map(_.getString(1))
-        .getOrElse(throw new IllegalArgumentException(s"$path/spec has no storage row")))
+    val sRow = sr.find(_.getInt(0) == -1)
+      .getOrElse(throw new IllegalArgumentException(s"$path/spec has no storage row"))
+    val storage = namedStorage(sRow.getString(1),
+      if (sRow.isNullAt(3)) None else Some(sRow.getDouble(3)))
     val metadata = sr.filter(_.getInt(0) == -2)
       .map(r => r.getString(5) -> r.getSeq[String](8).head).toMap
     (HistSpec(axes, storage, metadata), spark.read.parquet(s"$path/data"))

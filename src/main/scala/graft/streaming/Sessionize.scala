@@ -8,7 +8,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** Per-user state for [[Sessionize.sessionizeStream]] (top-level so the
   * bean/product encoder codegen resolves it cleanly). sN == 0 encodes
   * "no open session, but keep the idx counter" — after a timeout the
-  * counter survives so session ids stay monotonic per user. */
+  * counter survives for ONE more gap (so ids stay monotonic for a
+  * promptly-returning user) and is then evicted entirely, keeping state
+  * bounded by concurrently-active users rather than all users ever
+  * seen. */
 final case class OpenSessionState(sIdx: Long, sN: Long, sStart: Long,
     sEnd: Long, sSum: Double)
 
@@ -75,32 +78,48 @@ object Sessionize {
           val out = scala.collection.mutable.ArrayBuffer.empty[Session]
           if (state.hasTimedOut) {
             state.getOption.foreach { o =>
-              if (o.sN > 0) out += Session(user, o.sIdx, o.sN, o.sStart, o.sEnd, o.sSum)
-              // keep the counter (sN=0 marker) so session ids stay
-              // monotonic per user after eviction; no timeout registered,
-              // the tiny counter row lives until the next event
-              state.update(o.copy(sN = 0, sSum = 0.0))
+              if (o.sN > 0) {
+                out += Session(user, o.sIdx, o.sN, o.sStart, o.sEnd, o.sSum)
+                // keep the counter (sN=0 marker) for one more gap so
+                // session ids stay monotonic for a promptly-returning
+                // user — but register a second timeout that DELETES it:
+                // a permanent marker per distinct user ever seen is
+                // unbounded state on a high-churn stream
+                state.update(o.copy(sN = 0, sSum = 0.0))
+                state.setTimeoutTimestamp(
+                  state.getCurrentWatermarkMs() + gapSec * 1000L)
+              } else {
+                // grace window passed with no return: evict fully (a user
+                // returning later restarts at session_idx 1 — the
+                // documented retention bound)
+                state.remove()
+              }
             }
           } else {
             var cur = state.getOption.filter(_.sN > 0)
             val baseIdx = state.getOption.map(_.sIdx).getOrElse(0L)
-            var lastIdx = baseIdx
             it.toSeq.sortBy(_.ts_us).foreach { e =>
               cur match {
+                // an event more than a gap OLDER than the open session's
+                // start belongs to an already-closed earlier session —
+                // merging it would drag start_us unboundedly backwards
+                // (a replayed hours-old row stretches the session over
+                // the whole span). Dropped, the same fate a watermarked
+                // windowed aggregate gives beyond-watermark strays.
+                case Some(o) if e.ts_us < o.sStart - gapUs => ()
                 // flatMapGroupsWithState does NOT drop late rows at the
-                // watermark: merge with min/max so a late event can never
-                // move the session end backwards (or start forwards)
+                // watermark: merge IN-RANGE lates with min/max so a late
+                // event can never move the session end backwards (or
+                // start forwards)
                 case Some(o) if e.ts_us - o.sEnd <= gapUs =>
                   cur = Some(o.copy(sN = o.sN + 1,
                     sStart = math.min(o.sStart, e.ts_us),
                     sEnd = math.max(o.sEnd, e.ts_us), sSum = o.sSum + e.value))
                 case Some(o) =>
                   out += Session(user, o.sIdx, o.sN, o.sStart, o.sEnd, o.sSum)
-                  lastIdx = o.sIdx + 1
-                  cur = Some(OpenSessionState(lastIdx, 1, e.ts_us, e.ts_us, e.value))
+                  cur = Some(OpenSessionState(o.sIdx + 1, 1, e.ts_us, e.ts_us, e.value))
                 case None =>
-                  lastIdx = baseIdx + 1
-                  cur = Some(OpenSessionState(lastIdx, 1, e.ts_us, e.ts_us, e.value))
+                  cur = Some(OpenSessionState(baseIdx + 1, 1, e.ts_us, e.ts_us, e.value))
               }
             }
             cur.foreach { o =>

@@ -58,6 +58,10 @@ object StreamingHist {
   def windowedFill(spec: HistSpec, df: DataFrame, tsCol: Column,
       windowDuration: String, cols: Seq[Column],
       weight: Option[Column] = None, sample: Option[Column] = None): DataFrame = {
+    // same contract as the batch fill (Hist.project): zip would silently
+    // truncate extra columns / fail opaquely on missing ones
+    require(cols.size == spec.ndim,
+      s"fill needs ${spec.ndim} coordinate columns, got ${cols.size}")
     require(sample.isDefined || !spec.storage.usesSample,
       s"${spec.storage} requires a sample column")
     val idx = spec.axes.zip(cols).zipWithIndex.map { case ((ax, c), i) =>

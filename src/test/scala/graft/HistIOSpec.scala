@@ -47,4 +47,19 @@ class HistIOSpec extends AnyFunSuite {
     assert(h2.count() == 0L)
     assert(h2.schema == spec.schema)
   }
+
+  test("shifted-moment storages round-trip with their shift parameter") {
+    import org.apache.spark.sql.functions._
+    for (spec <- Seq(
+      HistSpec(Seq(Regular(4, 0.0, 4.0)), ShiftedMeanStorage(1234.5)),
+      HistSpec(Seq(Regular(4, 0.0, 4.0)), ShiftedWeightedMeanStorage(-7.25)))) {
+      val df = Seq((0.5, 1240.0), (1.5, 1230.0)).toDF("x", "s")
+      val h = Hist.fill(spec, df, Seq(col("x")), sample = Some(col("s")))
+      val path = tmp("shifted")
+      HistIO.write(spec, h, path)
+      val (spec2, h2) = HistIO.read(spark, path)
+      assert(spec2 == spec) // shift survives the sidecar
+      assert(h2.count() == h.count())
+    }
+  }
 }

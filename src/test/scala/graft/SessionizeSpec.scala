@@ -55,6 +55,33 @@ class SessionizeSpec extends AnyFunSuite {
     assert(streamed.contains((1L, 1L))) // the gap-closed session
   }
 
+  test("streaming sessionize drops strays older than a gap before the open session") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val s: SparkSession = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Sessionize.Event]
+    val q = Sessionize.sessionizeStream(in.toDS()
+        .withColumn("et", timestamp_micros($"ts_us"))
+        .withWatermark("et", "1 second").as[Sessionize.Event], gapSec)
+      .writeStream.outputMode("append").format("memory").queryName("sess2")
+      .start()
+    try {
+      // open a session at t=1000s..1030s
+      in.addData(Sessionize.Event(9L, 1000000000L, 1.0),
+        Sessionize.Event(9L, 1030000000L, 2.0))
+      q.processAllAvailable()
+      // a replayed stray from 500s (> gap before sStart) must NOT merge;
+      // the closing event at 1200s then emits the unpolluted session
+      in.addData(Sessionize.Event(9L, 500000000L, 99.0),
+        Sessionize.Event(9L, 1200000000L, 4.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sess2").as[Sessionize.Session].collect()
+      val first = sessions.find(_.session_idx == 1L).get
+      assert(first.start_us == 1000000000L) // not dragged back to 500s
+      assert(first.n_events == 2L && first.sum_value == 3.0)
+    } finally q.stop()
+  }
+
   test("streaming funnel matches the batch funnel counts") {
     import graft.streaming.FunnelStream
     implicit val s: SparkSession = spark
