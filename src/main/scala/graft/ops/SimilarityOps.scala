@@ -349,41 +349,61 @@ object SimilarityOps {
 
   // ---- covariance / PCA -------------------------------------------------
   /** Upper-triangle covariance matrix of the embedding column, one
-    * distributed pass: cov(i,j) = Σxᵢxⱼ/n − (Σxᵢ/n)(Σxⱼ/n).
+    * distributed pass over lanes quantized to integers:
+    * qᵢ = round(xᵢ·10⁶) as a 64-bit integer, then
+    * cov(i,j) = (n·Σqᵢqⱼ − Σqᵢ·Σqⱼ) / (n²·10¹²).
+    *
+    * Why quantize: the raw-float form summed doubles, and the two engines'
+    * (Spark vs the DuckDB oracle) different summation orders left
+    * ~1e-12-relative differences that the catastrophic-cancellation
+    * subtraction amplified past a 0.5e-6 rounding boundary on a few of the
+    * d(d+1)/2 cells. With integer lanes every moment sum is EXACT in any
+    * order (decimal(38,0) here, HUGEINT in DuckDB), so both engines hand
+    * bit-identical doubles to the final division and the 6-dp round can
+    * never straddle. Same pattern as the integer-quantized ANN oracles.
+    * Quantization error is a deterministic ≤5e-7 per lane — fine for a
+    * covariance exhibit, and identical on both sides by construction.
     *
     * Scale shape: the per-row double posexplode expands each vector to
     * d(d+1)/2 (i,j) cells, but map-side combine collapses every partition
     * to at most d(d+1)/2 aggregate rows before the shuffle — the exchange
     * carries O(d² · partitions) sums, never corpus rows. CPU cost is the
     * honest O(rows · d²) of covariance itself, spread across executors.
-    * Float lanes widen to double before any arithmetic (oracle-portable).
     *
     * Returns (i, j, n, cov) for 0 <= i <= j < d, cov rounded to 6 dp. */
   def embeddingCovariance(df: DataFrame,
       vecCol: String = "embedding"): DataFrame = {
-    val v = col(vecCol).cast("array<double>")
+    // float → double is exact; ·1e6 and the 0-dp round are IEEE-identical
+    // in both engines, so the quantized lane is the same integer everywhere.
+    val q = transform(col(vecCol).cast("array<double>"),
+      x => round(x * lit(1e6), 0).cast("decimal(38,0)"))
+    val nD = col("n").cast("double")
     spread(df)
-      .select(posexplode(v).as(Seq("i", "xi")), v.as("__v"))
-      .select(col("i"), col("xi"), posexplode(col("__v")).as(Seq("j", "xj")))
+      .select(posexplode(q).as(Seq("i", "qi")), q.as("__q"))
+      .select(col("i"), col("qi"), posexplode(col("__q")).as(Seq("j", "qj")))
       .filter(col("j") >= col("i"))
       .groupBy("i", "j")
-      .agg(count(lit(1)).as("n"), sum(col("xi")).as("sx"),
-        sum(col("xj")).as("sy"), sum(col("xi") * col("xj")).as("sxy"))
+      .agg(count(lit(1)).as("n"), sum(col("qi")).as("sx"),
+        sum(col("qj")).as("sy"), sum(col("qi") * col("qj")).as("sxy"))
+      // exact integer moments → double, identical op order in the twin
       .select(col("i"), col("j"), col("n"),
-        round(col("sxy") / col("n") -
-          (col("sx") / col("n")) * (col("sy") / col("n")), 6).as("cov"))
+        round((nD * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+          (nD * nD * lit(1e12)), 6).as("cov"))
   }
 
-  /** DuckDB twin of [[embeddingCovariance]] (same widening, same moment
-    * form, same rounding; 0-based indices). */
+  /** DuckDB twin of [[embeddingCovariance]]: same quantization, exact
+    * HUGEINT moment sums, same double op order, same rounding; 0-based
+    * indices. */
   def embeddingCovarianceSql(): String =
     """WITH e AS (
       |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
-      |    CAST(unnest(embedding) AS DOUBLE) AS x
+      |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS q
       |  FROM embeddings)
       |SELECT a.i, b.i AS j, CAST(count(*) AS BIGINT) AS n,
-      |  round(sum(a.x * b.x) / count(*)
-      |    - (sum(a.x) / count(*)) * (sum(b.x) / count(*)), 6) AS cov
+      |  round((CAST(count(*) AS DOUBLE) * CAST(sum(a.q * b.q) AS DOUBLE)
+      |    - CAST(sum(a.q) AS DOUBLE) * CAST(sum(b.q) AS DOUBLE))
+      |    / (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE) * 1e12), 6) AS cov
       |FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i
       |GROUP BY 1, 2""".stripMargin
 
