@@ -10,9 +10,21 @@ final case class FunnelProgress(stage: Int, t: Long)
 
 /** Streaming form of [[graft.ops.FunnelOps.funnelCounts]]: a per-user
   * state machine over `flatMapGroupsWithState`. State is one (stage, ts)
-  * pair per user — bounded regardless of event volume — and a
+  * pair per user with event-time-timeout eviction, so total state is
+  * bounded by users ACTIVE within the retention horizon — not by every
+  * user ever seen (which on a high-churn stream grows without bound). A
   * stage-advance record is emitted the moment a user first reaches each
   * stage, so downstream `groupBy(stage_idx).count` IS the live funnel.
+  *
+  * Input must carry a watermark on its event-time column (e.g.
+  * `withColumn("et", timestamp_micros($"ts_us")).withWatermark("et", …)`),
+  * same contract as [[Sessionize.sessionizeStream]].
+  *
+  * Retention bound (mirrors the sessionizer's documented trade): a user
+  * idle for more than `retentionSec` of event time is evicted — whether
+  * mid-funnel or completed — and, if they return, restarts at stage 0 and
+  * re-emits stage records. Size retention to the business funnel window
+  * (a journey stalled for a week is usually a new journey).
   *
   * Semantics match the batch form (first stage-k occurrence strictly
   * after the stage-(k-1) completion time) for in-order arrival; an event
@@ -25,10 +37,12 @@ object FunnelStream {
   final case class TypedEvent(user_id: Long, ts_us: Long, event_type: String)
   final case class StageReached(user_id: Long, stage_idx: Int, ts_us: Long)
 
-  def funnelStream(events: Dataset[TypedEvent], stages: Seq[String])
+  def funnelStream(events: Dataset[TypedEvent], stages: Seq[String],
+      retentionSec: Long = 86400L)
       (implicit spark: SparkSession): Dataset[StageReached] = {
     import spark.implicits._
     require(stages.nonEmpty, "funnel needs at least one stage")
+    require(retentionSec > 0, s"retentionSec must be positive: $retentionSec")
     // the name->index map keeps only the LAST index of a repeated name,
     // which would make earlier duplicate stages unreachable (zero output)
     // while the batch twin chains them fine — reject loudly instead
@@ -38,27 +52,45 @@ object FunnelStream {
     val stageOf = stages.zipWithIndex.toMap
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelProgress, StageReached](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, it: Iterator[TypedEvent],
             state: GroupState[FunnelProgress]) =>
-          var cur = state.getOption.getOrElse(FunnelProgress(-1, Long.MinValue))
-          val out = scala.collection.mutable.ArrayBuffer.empty[StageReached]
-          // in-batch events processed in event-time order so a single
-          // batch reproduces the batch operator exactly. This buffers and
-          // sorts ONE user's events per micro-batch — unlike the batch
-          // operator this is a real per-(user, batch) memory bound; a bot
-          // user needs a shorter trigger interval, not a different plan
-          it.toSeq.sortBy(_.ts_us).foreach { e =>
-            stageOf.get(e.event_type) match {
-              case Some(k) if k == cur.stage + 1 &&
-                  (cur.stage == -1 || e.ts_us > cur.t) =>
-                cur = FunnelProgress(k, e.ts_us)
-                out += StageReached(user, k, e.ts_us)
-              case _ => // wrong stage, already passed, or not after prev
+          if (state.hasTimedOut) {
+            // idle past retention (possibly with the funnel completed):
+            // evict — a later return is a new journey at stage 0
+            state.remove()
+            Iterator.empty
+          } else {
+            var cur = state.getOption.getOrElse(FunnelProgress(-1, Long.MinValue))
+            val out = scala.collection.mutable.ArrayBuffer.empty[StageReached]
+            var lastSeenUs = Long.MinValue
+            // in-batch events processed in event-time order so a single
+            // batch reproduces the batch operator exactly. This buffers and
+            // sorts ONE user's events per micro-batch — unlike the batch
+            // operator this is a real per-(user, batch) memory bound; a bot
+            // user needs a shorter trigger interval, not a different plan
+            it.toSeq.sortBy(_.ts_us).foreach { e =>
+              lastSeenUs = math.max(lastSeenUs, e.ts_us)
+              stageOf.get(e.event_type) match {
+                case Some(k) if k == cur.stage + 1 &&
+                    (cur.stage == -1 || e.ts_us > cur.t) =>
+                  cur = FunnelProgress(k, e.ts_us)
+                  out += StageReached(user, k, e.ts_us)
+                case _ => // wrong stage, already passed, or not after prev
+              }
             }
+            if (out.nonEmpty) state.update(cur)
+            if (state.exists) {
+              // refresh eviction on ANY activity (advance or not), from
+              // the newest event time seen; never register a timeout
+              // at/below the watermark (throws)
+              val baseMs = math.max(lastSeenUs, cur.t) / 1000L
+              state.setTimeoutTimestamp(math.max(
+                baseMs + retentionSec * 1000L,
+                state.getCurrentWatermarkMs() + 1000L))
+            }
+            out.iterator
           }
-          if (out.nonEmpty) state.update(cur)
-          out.iterator
       }
   }
 }

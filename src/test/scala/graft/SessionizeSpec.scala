@@ -98,6 +98,8 @@ class SessionizeSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft-funnel").toFile
     ev.toDS().write.mode("overwrite").parquet(dir.toString)
     val in = spark.readStream.schema(ev.toDF().schema).parquet(dir.toString)
+      .withColumn("et", timestamp_micros($"ts_us"))
+      .withWatermark("et", "1 second")
       .as[FunnelStream.TypedEvent]
     val q = FunnelStream.funnelStream(in, stages)
       .writeStream.outputMode("append").format("memory").queryName("funnel")
@@ -119,7 +121,9 @@ class SessionizeSpec extends AnyFunSuite {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val stages = Seq("view", "click")
     val in = MemoryStream[FunnelStream.TypedEvent]
-    val q = FunnelStream.funnelStream(in.toDS(), stages)
+    val q = FunnelStream.funnelStream(in.toDS()
+        .withColumn("et", timestamp_micros($"ts_us"))
+        .withWatermark("et", "1 second").as[FunnelStream.TypedEvent], stages)
       .writeStream.outputMode("append").format("memory").queryName("funnel2")
       .start()
     try {
@@ -135,6 +139,43 @@ class SessionizeSpec extends AnyFunSuite {
       // the click advance was emitted in batch 2 from batch-1 state, and
       // the stale t=5 click did not win over the t=20 one
       assert(rows == Set((7L, 0, 10L), (7L, 1, 20L)))
+    } finally q.stop()
+  }
+
+  test("streaming funnel evicts idle users after retention (state bounded by active users)") {
+    import graft.streaming.FunnelStream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val s: SparkSession = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stages = Seq("view", "click")
+    val in = MemoryStream[FunnelStream.TypedEvent]
+    val q = FunnelStream.funnelStream(in.toDS()
+        .withColumn("et", timestamp_micros($"ts_us"))
+        .withWatermark("et", "1 second").as[FunnelStream.TypedEvent],
+        stages, retentionSec = 60L)
+      .writeStream.outputMode("append").format("memory").queryName("funnel3")
+      .start()
+    try {
+      // user 7 completes the funnel at t=10s..20s; timeout armed at 80s
+      in.addData(FunnelStream.TypedEvent(7L, 10000000L, "view"),
+        FunnelStream.TypedEvent(7L, 20000000L, "click"))
+      q.processAllAvailable()
+      // another user's traffic pushes the watermark to ~199s (> 80s)...
+      in.addData(FunnelStream.TypedEvent(8L, 200000000L, "view"))
+      q.processAllAvailable()
+      // ...so this batch fires user 7's timeout and evicts the state
+      in.addData(FunnelStream.TypedEvent(8L, 210000000L, "click"))
+      q.processAllAvailable()
+      // a returning user 7 is a NEW journey: the view re-emits stage 0,
+      // which can only happen if the completed-funnel state was evicted
+      in.addData(FunnelStream.TypedEvent(7L, 220000000L, "view"))
+      q.processAllAvailable()
+      val rows = spark.table("funnel3")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(rows == Set(
+        (7L, 0, 10000000L), (7L, 1, 20000000L), // first journey
+        (8L, 0, 200000000L), (8L, 1, 210000000L),
+        (7L, 0, 220000000L))) // restarted journey after eviction
     } finally q.stop()
   }
 }
