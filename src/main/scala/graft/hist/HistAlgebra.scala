@@ -96,16 +96,24 @@ object HistAlgebra {
     * (boost's `h.project(axes...)` on the computed result). Sum storages
     * (Double/Int64/Weight and the moment sums) marginalize exactly —
     * their states are sums; derived mean/variance columns are refreshed
-    * from the merged sums. One groupBy over a bin-count-sized relation. */
+    * from the merged sums. One groupBy over a bin-count-sized relation.
+    *
+    * Kept axes are RENUMBERED to i0..iK-1 in `keep` order (boost's
+    * `h.project` renumbers the same way), so the result pairs with
+    * `HistSpec(keep.map(spec.axes))` and composes with every 1-D view
+    * (cumulative, arrayOp, binOp against a projected spec) — not just
+    * keep = a prefix of the original axes. */
   def project(spec: HistSpec, h: DataFrame, keep: Seq[Int]): DataFrame = {
     require(keep.nonEmpty && keep == keep.sorted && keep.distinct == keep,
       s"keep must be sorted distinct non-empty axis indices, got $keep")
     require(keep.forall(i => i >= 0 && i < spec.ndim),
       s"axis index out of range in $keep (ndim ${spec.ndim})")
-    val keys = keep.map(i => s"i$i")
+    val keys = keep.zipWithIndex.map { case (orig, k) =>
+      col(s"i$orig").as(s"i$k")
+    }
     val sums = spec.stateColsForAlgebra.map(c => sum(col(c)).as(c))
     refreshFinalizers(spec,
-      h.groupBy(keys.map(col): _*).agg(sums.head, sums.tail: _*))
+      h.groupBy(keys: _*).agg(sums.head, sums.tail: _*))
   }
 
   /** Rebin one axis by an integer factor (boost's `h[::bh.rebin(k)]`):

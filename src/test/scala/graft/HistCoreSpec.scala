@@ -424,6 +424,20 @@ class HistCoreSpec extends AnyFunSuite {
     val h1 = Hist.fill(spec1, df, Seq(col("x")))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(marg == h1)
+    // non-prefix keep renumbers to i0 (boost renumbers projected axes),
+    // so the result composes with 1-D views: pair it with the kept-axis
+    // spec and run cumulative straight on it
+    val specY = HistSpec(Seq(Regular(2, 0.0, 20.0)), Int64Storage)
+    val margY = HistAlgebra.project(spec2, h2, Seq(1))
+    assert(margY.columns.toSeq == Seq("i0", "value"))
+    val hy = Hist.fill(specY, df, Seq(col("y")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(margY.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == hy)
+    val cumY = HistAlgebra.cumulative(
+      HistSpec(Seq(Regular(2, 0.0, 20.0)), DoubleStorage),
+      margY.withColumn("value", col("value").cast("double")))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(cumY.last._2 == 4.0) // all four fills accounted for
     // rebin by 2: interior bins (1,2)->(1), (3,4)->(2); flow preserved
     val dfr = Seq(-1.0, 0.5, 1.5, 2.5, 3.5, 9.0).toDF("x")
     val hr = HistAlgebra.rebin(spec1,
