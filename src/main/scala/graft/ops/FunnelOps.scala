@@ -14,34 +14,50 @@ object FunnelOps {
     * time (first qualifying occurrence each). Stage 0 is each user's
     * earliest occurrence of the first type.
     *
-    * Scale shape: each stage is a type-filtered scan (predicate pushed to
-    * parquet) → groupBy(user) min-aggregate → equi-join on user against
-    * the previous stage's (user, t) relation. Shuffles carry (user,
-    * timestamp) pairs — user-cardinality, never event volume; there is no
-    * per-user sort window (the alternative single-pass form) so one
-    * hyperactive user costs nothing special.
+    * Scale shape: ONE linear plan. Stage 0 is a type-filtered scan
+    * (predicate pushed to parquet) → groupBy(user) min-aggregate; each
+    * later stage left-joins the type-k candidate events onto the running
+    * (user, t0..t(k-1)) relation and takes the conditional min
+    * `min(ts WHERE ts > t(k-1))` (null = stage not reached, and a null
+    * t(k-1) propagates so un-reached prefixes stay null). All S stage
+    * counts come from ONE final aggregate over that single relation —
+    * `count(tk)` skips nulls — exploded back to one row per stage.
+    *
+    * Why this shape: the obvious union-of-per-stage-counts embeds stage
+    * k's full prefix chain in every later branch, so the events source is
+    * scanned O(S²) times per action (measured: 6 scans for 3 stages).
+    * The column-carrying chain scans each stage's slice exactly once,
+    * keeps every shuffle at user-cardinality (never event volume), and
+    * needs no persist/localCheckpoint lifecycle. There is still no
+    * per-user sort window, so one hyperactive user costs nothing special.
     *
     * Returns (stage_idx, stage, n_users) — one row per stage. */
   def funnelCounts(events: DataFrame, stages: Seq[String],
       userCol: String = "user_id", tsCol: String = "ts_us",
       typeCol: String = "event_type"): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
-    var reached = events.filter(col(typeCol) === stages.head)
-      .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
-    val perStage = scala.collection.mutable.ArrayBuffer(
-      (0, stages.head, reached))
-    stages.zipWithIndex.drop(1).foreach { case (s, i) =>
-      reached = events.filter(col(typeCol) === s)
-        .select(col(userCol), col(tsCol).as("__ts2"))
-        .join(reached, Seq(userCol))
-        .filter(col("__ts2") > col("__t"))
-        .groupBy(col(userCol)).agg(min(col("__ts2")).as("__t"))
-      perStage += ((i, s, reached))
+    var cur = events.filter(col(typeCol) === stages.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t0"))
+    stages.zipWithIndex.drop(1).foreach { case (s, k) =>
+      val cand = events.filter(col(typeCol) === s)
+        .select(col(userCol), col(tsCol).as("__ts"))
+      // carry earlier stage times through (constant per user group) and
+      // add this stage's conditional first-occurrence time
+      val carried = (0 until k).map(i => max(col(s"__t$i")).as(s"__t$i"))
+      val tk = min(when(col("__ts") > col(s"__t${k - 1}"), col("__ts")))
+        .as(s"__t$k")
+      cur = cur.join(cand, Seq(userCol), "left")
+        .groupBy(col(userCol))
+        .agg(carried.head, (carried.tail :+ tk): _*)
     }
-    perStage.map { case (i, s, d) =>
-      d.agg(count(lit(1)).as("n_users"))
-        .select(lit(i).as("stage_idx"), lit(s).as("stage"), col("n_users"))
-    }.reduce(_ unionByName _)
+    val counts = cur.agg(
+      count(col("__t0")).as("__c0"),
+      (1 until stages.size).map(k => count(col(s"__t$k")).as(s"__c$k")): _*)
+    val rows = stages.zipWithIndex.map { case (s, i) =>
+      struct(lit(i).as("stage_idx"), lit(s).as("stage"),
+        col(s"__c$i").as("n_users"))
+    }
+    counts.select(explode(array(rows: _*)).as("__r")).select(col("__r.*"))
   }
 
   /** DuckDB twin of [[funnelCounts]] over the events table. Stage names

@@ -553,6 +553,28 @@ class OpsSpec extends AnyFunSuite {
     val got = FunnelOps.funnelCounts(ev, Seq("view", "click", "purchase"))
       .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
     assert(got == Map(0 -> 3L, 1 -> 2L, 2 -> 1L))
+    // a user skipping a middle stage must not count for later stages
+    // (null t(k-1) propagates through the conditional min)
+    val skip = (ev.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getString(2))).toSeq :+
+      ((4L, 100L, "view")) :+ ((4L, 110L, "purchase")))
+      .toDF("user_id", "ts_us", "event_type")
+    val got2 = FunnelOps.funnelCounts(skip, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(got2 == Map(0 -> 4L, 1 -> 2L, 2 -> 1L))
+  }
+
+  test("funnelCounts is one linear plan: S stages -> S source scans, not S^2") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fplan").toString
+    Seq((1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"))
+      .toDF("user_id", "ts_us", "event_type")
+      .write.mode("overwrite").parquet(dir)
+    val plan = FunnelOps.funnelCounts(spark.read.parquet(dir),
+        Seq("view", "click", "purchase"))
+      .queryExecution.executedPlan.toString
+    // the union-of-per-stage-counts shape embedded every prefix chain:
+    // 6 scans for 3 stages; the column-carrying chain scans each slice once
+    assert("Scan parquet".r.findAllIn(plan).length == 3, plan.take(2000))
   }
 
   test("retentionCohorts: cohort by first bucket, offsets bounded") {
