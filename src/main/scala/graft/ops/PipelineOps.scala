@@ -447,17 +447,26 @@ object PipelineOps {
   }
 
   /** DuckDB twin of [[weightedSample]] over the documents table (same
-    * hash, same key rounding, same tie-break). */
+    * hash, same key rounding, same tie-break). Edge parity with the Spark
+    * form, not just the fixture: NaN weights are excluded explicitly
+    * (DuckDB also orders NaN largest, so a NaN-weight row would otherwise
+    * win every group), and the modulus is non-negative like Spark's pmod
+    * (plain % on a negative doc_id yields a non-positive ln() argument). */
   def weightedSampleSql(groupCols: Seq[String], k: Int,
       weightCol: String): String = {
     val g = groupCols.mkString(", ")
+    // ((x % p) + p) % p == Spark pmod; applied before AND after the
+    // multiply, exactly like the Spark column expression
+    val u = "((((((doc_id % 1000000007) + 1000000007) % 1000000007)" +
+      " * 2654435761) % 1000000007 + 1000000007) % 1000000007 + 1)"
     s"""SELECT $g, doc_id, $weightCol FROM (
        |  SELECT $g, doc_id, $weightCol,
        |    row_number() OVER (PARTITION BY $g ORDER BY
-       |      round(ln((((doc_id % 1000000007) * 2654435761) % 1000000007 + 1)
-       |        / 1000000008.0) / CAST($weightCol AS DOUBLE), 6) DESC,
+       |      round(ln($u / 1000000008.0)
+       |        / CAST($weightCol AS DOUBLE), 6) DESC,
        |      doc_id) AS rn
-       |  FROM documents WHERE $weightCol > 0)
+       |  FROM documents
+       |  WHERE $weightCol > 0 AND NOT isnan(CAST($weightCol AS DOUBLE)))
        |WHERE rn <= $k""".stripMargin
   }
 

@@ -286,6 +286,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("weightedSample edge parity: negative ids use pmod, NaN weights excluded") {
+    // expected set computed by running weightedSampleSql's emitted SQL on
+    // this exact fixture in DuckDB: the SQL twin must agree beyond the
+    // non-negative-id, finite-weight happy path the sf fixtures cover
+    val docs = Seq(
+      (-5L, "a", 2.0), (-3L, "a", 2.0), (1L, "a", 2.0),
+      (2L, "a", Double.NaN), (3L, "b", 1.0), (4L, "b", 0.5))
+      .toDF("doc_id", "lang", "w")
+    val got = PipelineOps.weightedSample(docs, Seq("lang"), k = 2,
+      weightCol = "w").select("lang", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("b", 3L), ("b", 4L), ("a", -5L), ("a", 1L)))
+  }
+
   test("curriculumBins: equal-mass bins from percentile cuts, no sort") {
     // scores 0..99: quartile cuts at 24.75/49.5/74.25 -> bins of 25 each
     val docs = (0L until 100L).map(i => (i, i.toDouble)).toDF("doc_id", "q")
