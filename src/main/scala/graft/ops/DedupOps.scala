@@ -479,23 +479,65 @@ object DedupOps {
       .agg(graft.functions.SimHashAgg(col("h")).as("simhash"))
   }
 
-  /** SimHash near-dup candidate pairs: block on 4 × 16-bit bands (any pair
-    * within hamming distance <= 3 shares at least one exact band), then
-    * verify hamming <= maxHamming via bit_count. */
+  /** SimHash near-dup candidate pairs: Manku-style multi-table blocking
+    * (see [[simhashBlockKeys]]), then verify hamming <= maxHamming via
+    * bit_count. */
   def simhashNearDupPairs(df: DataFrame, maxHamming: Int = 3,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
-    simhashNearDupPairsFromFp(simhash64(df, textCol, idCol), maxHamming)
+      textCol: String = "text", idCol: String = "doc_id",
+      nBlocks: Int = 6): DataFrame =
+    simhashNearDupPairsFromFp(simhash64(df, textCol, idCol), maxHamming,
+      nBlocks)
+
+  /** Blocking keys for hamming <= `maxHamming` search over 64-bit
+    * fingerprints (Manku, Jain & Das Sarma, "Detecting Near-Duplicates
+    * for Web Crawling", WWW 2007): split the 64 bits into `nBlocks`
+    * near-equal blocks; a pair within hamming k differs in at most k
+    * blocks, so it agrees EXACTLY on some (nBlocks − k)-subset — one
+    * table per C(nBlocks, nBlocks−k) subset, keyed on that subset's bit
+    * concatenation, finds every such pair (pigeonhole — exact recall, no
+    * probabilistic loss).
+    *
+    * Why this beats single-block banding at scale: with B single blocks
+    * of 64/B bits (the B=nBlocks, k=B−1 corner), uniform fingerprints put
+    * ~n/2^(64/B) docs in each bucket and the self-join carries an
+    * irreducible ~B·n²/2^(64/B+1) expected candidate term — ~3×10¹³ pairs
+    * at n=10⁹ for B=4 — REGARDLESS of how few near-dups exist. Widening
+    * keys to (nBlocks−k)·64/nBlocks bits shrinks every bucket by the same
+    * exponential: the default (k=3, nBlocks=6) keys on ~32 bits across 20
+    * tables, an expected ~20·n²/2³³ ≈ 2×10⁹ candidates at n=10⁹ — linear-
+    * ish in practice because real corpora cluster. More blocks → more
+    * tables × smaller buckets; nBlocks = maxHamming+1 degenerates to the
+    * classic one-block-per-table banding (4 × 16 bits for k=3).
+    *
+    * Returns (doc_id, simhash, b, sig): table index + that table's key. */
+  def simhashBlockKeys(fp: DataFrame, maxHamming: Int = 3,
+      nBlocks: Int = 6): DataFrame = {
+    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
+    require(nBlocks > maxHamming && nBlocks <= 64,
+      s"need maxHamming < nBlocks <= 64 for the pigeonhole guarantee, " +
+        s"got nBlocks=$nBlocks, maxHamming=$maxHamming")
+    val widths = Array.tabulate(nBlocks)(i =>
+      64 / nBlocks + (if (i < 64 % nBlocks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    def block(i: Int): Column = {
+      val mask = if (widths(i) == 64) -1L else (1L << widths(i)) - 1L
+      shiftrightunsigned(col("simhash"), offsets(i)).bitwiseAND(lit(mask))
+    }
+    val keyCols = (0 until nBlocks).combinations(nBlocks - maxHamming)
+      .map(c => c.foldLeft(lit(0L)) { (acc, i) =>
+        shiftleft(acc, widths(i)).bitwiseOR(block(i))
+      }).toSeq
+    fp.select(col("doc_id"), col("simhash"),
+      posexplode(array(keyCols: _*)).as(Seq("b", "sig")))
+  }
 
   /** As [[simhashNearDupPairs]] but over an existing (doc_id, simhash)
     * frame — lets callers compute fingerprints once and reuse them. */
-  def simhashNearDupPairsFromFp(fp: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val bandCols = (0 until 4).map { b =>
-      shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))
-    }
-    // long form (doc_id, band_idx, sig): one self-join finds every pair
-    // agreeing on any 16-bit band (any pair with hamming <= 3 must)
-    val banded = fp.select(col("doc_id"), col("simhash"),
-      posexplode(array(bandCols: _*)).as(Seq("b", "sig")))
+  def simhashNearDupPairsFromFp(fp: DataFrame, maxHamming: Int = 3,
+      nBlocks: Int = 6): DataFrame = {
+    // long form (doc_id, table_idx, key): one self-join finds every pair
+    // agreeing on any table's key (any pair with hamming <= k must)
+    val banded = simhashBlockKeys(fp, maxHamming, nBlocks)
     banded.as("l").join(banded.as("r"), Seq("b", "sig"))
       .filter(col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),

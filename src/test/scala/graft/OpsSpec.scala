@@ -119,6 +119,36 @@ class OpsSpec extends AnyFunSuite {
     assert(ham01 < ham02, s"near-dup hamming $ham01 should be < unrelated $ham02")
   }
 
+  test("simhash Manku blocking: exact recall at hamming 3, buckets shrink exponentially") {
+    val rnd = new java.util.Random(7)
+    val base = Array.fill(3000)(rnd.nextLong())
+    // plant a near-dup differing in 3 bits that land in three DIFFERENT
+    // blocks under both schemes (bits 2, 20, 40) — the worst case for the
+    // pigeonhole: exactly one table still matches
+    val planted = base(0) ^ (1L << 2) ^ (1L << 20) ^ (1L << 40)
+    val fpDf = (base :+ planted).zipWithIndex
+      .map { case (f, i) => (i.toLong, f) }.toSeq.toDF("doc_id", "simhash")
+    val p6 = DedupOps.simhashNearDupPairsFromFp(fpDf, maxHamming = 3, nBlocks = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p4 = DedupOps.simhashNearDupPairsFromFp(fpDf, maxHamming = 3, nBlocks = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p6.contains((0L, 3000L))) // the planted pair is found
+    assert(p6 == p4) // verified output is independent of the blocking scheme
+    // candidate volume = sum of C(bucket, 2) over every (table, key) bucket:
+    // the quantity the self-join actually generates
+    def volume(nBlocks: Int): Long =
+      DedupOps.simhashBlockKeys(fpDf, 3, nBlocks)
+        .groupBy("b", "sig").count()
+        .agg(sum(expr("count * (count - 1) div 2"))).collect()(0).getLong(0)
+    val v4 = volume(4) // ~4 * C(3001,2) / 2^16 ~ 270 on uniform fingerprints
+    val v6 = volume(6) // ~20 * C(3001,2) / 2^32 ~ 0 beyond the planted pair
+    assert(v6 <= v4 / 10, s"expected exponential shrink, got v4=$v4 v6=$v6")
+    assert(v6 <= 20, s"uniform corpus should have ~no 32-bit key collisions, got v6=$v6")
+    // blocking parameter sanity: the guarantee needs maxHamming < nBlocks
+    intercept[IllegalArgumentException](
+      DedupOps.simhashBlockKeys(fpDf, maxHamming = 4, nBlocks = 4))
+  }
+
   test("cosine: unit/orthogonal vectors; matches hand computation") {
     val df = Seq((Array(1f, 0f), Array(1f, 0f), Array(0f, 1f)))
       .toDF("a", "b", "c")
