@@ -235,13 +235,16 @@ object ExtensionQueries {
         .limit(25)
     },
     // Vector analytics: per-label centroid of the embedding column
-    // (posexplode -> groupBy (label, dim) -> exact double mean)
+    // (posexplode -> groupBy (label, dim) -> order-independent quantized
+    // mean; raw-double avg over float lanes is summation-order-dependent
+    // across engines — the emb_covariance flake class)
     "emb_label_centroids" -> { (s, dir) =>
       Tables.embeddings(s, dir)
         .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
         .filter(col("dim") < 8)
         .groupBy("label", "dim")
-        .agg(count(lit(1)).as("n"), round(avg(col("v").cast("double")), 6).as("mean_v"))
+        .agg(count(lit(1)).as("n"),
+          SimilarityOps.quantizedMean(col("v")).as("mean_v"))
         .orderBy("label", "dim")
     },
     // Two-level aggregation: histogram of per-user event counts
@@ -783,10 +786,10 @@ object ExtensionQueries {
         |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
         |) GROUP BY 1 ORDER BY df DESC, tok ASC LIMIT 25""".stripMargin,
     "emb_label_centroids" ->
-      """SELECT label, CAST(d.dim AS INT) AS dim, count(*) AS n,
-        |round(avg(CAST(embedding[CAST(d.dim AS INT) + 1] AS DOUBLE)), 6) AS mean_v
-        |FROM embeddings CROSS JOIN (SELECT unnest(range(0, 8)) AS dim) d
-        |GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
+      s"""SELECT label, CAST(d.dim AS INT) AS dim, count(*) AS n,
+         |${SimilarityOps.quantizedMeanSql("embedding[CAST(d.dim AS INT) + 1]")} AS mean_v
+         |FROM embeddings CROSS JOIN (SELECT unnest(range(0, 8)) AS dim) d
+         |GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
     "events_user_activity_hist" -> {
       val ax = IntegerAxis(0L, 50L)
       s"""SELECT ${ax.sqlExpr("n_events")} AS i0, count(*) AS value FROM (
@@ -1023,14 +1026,14 @@ object ExtensionQueries {
 
   /** k-means Lloyd-step oracle: identical seeded integer centroids, exact
     * integer cell assignment (the same CTEs as the IVF/SemDedup oracles),
-    * then per-(cell, dim) exact double means over the raw embeddings. */
+    * then per-(cell, dim) order-independent quantized means. */
   private def kmeansOracleSql(): String = {
     val cents = SimilarityOps.seededCentroids(ivfCentroids, annDim, annSeed)
     s"""WITH ${centroidAssignCtes(cents)},
        |cell AS (SELECT vec_id, CAST(ci AS BIGINT) AS cell
        |         FROM rankedc WHERE rc = 1)
        |SELECT c.cell, CAST(d.dim AS INT) AS dim, count(*) AS n,
-       |  round(avg(CAST(e.embedding[CAST(d.dim AS INT) + 1] AS DOUBLE)), 6) AS c_new
+       |  ${SimilarityOps.quantizedMeanSql("e.embedding[CAST(d.dim AS INT) + 1]")} AS c_new
        |FROM cell c JOIN embeddings e USING (vec_id)
        |CROSS JOIN (SELECT unnest(range(0, $annDim)) AS dim) d
        |GROUP BY 1, 2 ORDER BY cell, dim""".stripMargin

@@ -17,7 +17,11 @@ import graft.hist._
   *    2-decimal) have decimal-exact true values, so `round(x, 6)` (or 2 for
   *    price-magnitude sums) puts both engines' ulp-level differences in the
   *    same bucket with margin ~1e9;
-  *  - derived ratios (mean/wmean/density) round at 6 with error ≪ bucket.
+  *  - derived ratios (mean/wmean/density) round at 6 with error ≪ bucket;
+  *  - aggregates over raw floats are summation-order-dependent across
+  *    engines and must NOT be rounded — quantize the inputs to integers
+  *    and emit the derived value UNROUNDED (bit-identical by IEEE);
+  *    the full per-column audit and safety classes live in FIXTURES.md §6.
   */
 object SparkEntry {
 

@@ -263,11 +263,35 @@ object SimilarityOps {
         (col("min_nb").isNull || col("min_nb") > col("vec_id")).as("keep"))
   }
 
+  /** Order-independent mean of a float-lane column: lanes quantize to
+    * round(x·10⁶) integers, the moment sum is exact in any partition /
+    * merge order (decimal(38,0) here, HUGEINT in the DuckDB twin), and
+    * the mean derives from identical integers through correctly-rounded
+    * IEEE ops (int→double cast, two divisions) in identical order — so
+    * the output DOUBLE is bit-identical across engines and needs NO
+    * final round. Deliberately unrounded: Spark's round(x, d) (exact
+    * BigDecimal HALF_UP) and DuckDB's (std::round on a 10^d-scaled
+    * double) are different algorithms that disagree within an ulp of a
+    * tie even on identical inputs — a 6-dp round here REINTRODUCED a
+    * flake (emb_kmeans cell at -0.0019655). Use this for ANY aggregate
+    * over non-decimal-grid doubles (raw-double avg/sum is
+    * summation-order-dependent across engines; the emb_covariance flake
+    * class). */
+  def quantizedMean(v: Column): Column =
+    sum(round(v.cast("double") * lit(1e6), 0).cast("decimal(38,0)"))
+      .cast("double") / count(lit(1)).cast("double") / lit(1e6)
+
+  /** DuckDB twin of [[quantizedMean]]. */
+  def quantizedMeanSql(expr: String): String =
+    s"CAST(sum(CAST(round(CAST($expr AS DOUBLE) * 1e6) AS BIGINT)) " +
+      "AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e6"
+
   /** One Lloyd (k-means) update step over the embedding column: assign
     * every vector to its nearest centroid (exact integer arithmetic via
     * [[graft.functions.NearestCentroid]] — deterministic, oracle-checkable
     * cell membership), then the per-(cell, dimension) member count and new
-    * centroid coordinate (exact double mean, 6-dp rounded).
+    * centroid coordinate ([[quantizedMean]] — deterministic across
+    * engines and partitionings).
     *
     * Scale shape: assignment is one narrow pass (centroid matrix rides in
     * the expression); the update is one groupBy over (cell, dim) — k·d
@@ -281,8 +305,7 @@ object SimilarityOps {
           .cast("long").as("cell"),
         posexplode(col("embedding")).as(Seq("dim", "v")))
       .groupBy("cell", "dim")
-      .agg(count(lit(1)).as("n"),
-        round(avg(col("v").cast("double")), 6).as("c_new"))
+      .agg(count(lit(1)).as("n"), quantizedMean(col("v")).as("c_new"))
 
   /** Full Lloyd iteration: run [[kmeansStep]] `iters` times, re-quantizing
     * the updated means to the integer centroid grid each round
@@ -358,11 +381,14 @@ object SimilarityOps {
     * ~1e-12-relative differences that the catastrophic-cancellation
     * subtraction amplified past a 0.5e-6 rounding boundary on a few of the
     * d(d+1)/2 cells. With integer lanes every moment sum is EXACT in any
-    * order (decimal(38,0) here, HUGEINT in DuckDB), so both engines hand
-    * bit-identical doubles to the final division and the 6-dp round can
-    * never straddle. Same pattern as the integer-quantized ANN oracles.
-    * Quantization error is a deterministic ≤5e-7 per lane — fine for a
-    * covariance exhibit, and identical on both sides by construction.
+    * order (decimal(38,0) here, HUGEINT in DuckDB), and the derived value
+    * flows through correctly-rounded IEEE ops in identical order — so the
+    * output DOUBLE is bit-identical across engines with NO final round
+    * (see [[quantizedMean]] for why a final round would itself reintroduce
+    * an engine divergence). Same pattern as the integer-quantized ANN
+    * oracles. Quantization error is a deterministic ≤5e-7 per lane — fine
+    * for a covariance exhibit, and identical on both sides by
+    * construction.
     *
     * Scale shape: the per-row double posexplode expands each vector to
     * d(d+1)/2 (i,j) cells, but map-side combine collapses every partition
@@ -370,7 +396,7 @@ object SimilarityOps {
     * carries O(d² · partitions) sums, never corpus rows. CPU cost is the
     * honest O(rows · d²) of covariance itself, spread across executors.
     *
-    * Returns (i, j, n, cov) for 0 <= i <= j < d, cov rounded to 6 dp. */
+    * Returns (i, j, n, cov) for 0 <= i <= j < d. */
   def embeddingCovariance(df: DataFrame,
       vecCol: String = "embedding"): DataFrame = {
     // float → double is exact; ·1e6 and the 0-dp round are IEEE-identical
@@ -387,23 +413,22 @@ object SimilarityOps {
         sum(col("qj")).as("sy"), sum(col("qi") * col("qj")).as("sxy"))
       // exact integer moments → double, identical op order in the twin
       .select(col("i"), col("j"), col("n"),
-        round((nD * col("sxy").cast("double") -
+        ((nD * col("sxy").cast("double") -
             col("sx").cast("double") * col("sy").cast("double")) /
-          (nD * nD * lit(1e12)), 6).as("cov"))
+          (nD * nD * lit(1e12))).as("cov"))
   }
 
   /** DuckDB twin of [[embeddingCovariance]]: same quantization, exact
-    * HUGEINT moment sums, same double op order, same rounding; 0-based
-    * indices. */
+    * HUGEINT moment sums, same double op order; 0-based indices. */
   def embeddingCovarianceSql(): String =
     """WITH e AS (
       |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
       |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS q
       |  FROM embeddings)
       |SELECT a.i, b.i AS j, CAST(count(*) AS BIGINT) AS n,
-      |  round((CAST(count(*) AS DOUBLE) * CAST(sum(a.q * b.q) AS DOUBLE)
+      |  (CAST(count(*) AS DOUBLE) * CAST(sum(a.q * b.q) AS DOUBLE)
       |    - CAST(sum(a.q) AS DOUBLE) * CAST(sum(b.q) AS DOUBLE))
-      |    / (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE) * 1e12), 6) AS cov
+      |    / (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE) * 1e12) AS cov
       |FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i
       |GROUP BY 1, 2""".stripMargin
 
