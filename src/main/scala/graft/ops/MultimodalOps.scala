@@ -27,10 +27,52 @@ object MultimodalOps {
   final case class MediaFeatures(id: Long, mediaType: String, byteLen: Long,
       checksum: Long, brightness: Double)
 
+  /** A payload the codec cannot decode. Real decoders wrap their native
+    * error here so [[CorruptPolicy]] can act on it; anything else a codec
+    * throws is treated as a bug and fails the job under either policy. */
+  final class CorruptPayloadException(val id: Long, msg: String,
+      cause: Throwable = null)
+    extends RuntimeException(s"media id=$id: $msg", cause)
+
+  /** What [[extractFeatures]] does with a corrupt payload: fail the job
+    * (exact pipelines) or drop the row (web-scale ingest, where a
+    * per-mille of undecodable blobs is normal and a poison row must not
+    * kill a 100 TB pass). Counted drops are the caller's join-back
+    * against the output ids. */
+  sealed trait CorruptPolicy extends Serializable
+  object CorruptPolicy {
+    case object Fail extends CorruptPolicy
+    case object Skip extends CorruptPolicy
+  }
+
+  /** Per-partition decoder lifecycle. `open()` runs ONCE per partition
+    * (load native libs, allocate scratch buffers); `decode` streams rows;
+    * `close()` is registered on task completion — it runs even when the
+    * task stops early (limit, failure), so native resources cannot leak.
+    * A real JNI codec implements this trait; the pipeline shape does not
+    * change. The FACTORY is what ships to executors, so it must be
+    * Serializable; the decoder it opens need not be. */
+  trait MediaCodecFactory extends Serializable {
+    def open(): MediaDecoder
+  }
+  trait MediaDecoder {
+    /** @throws CorruptPayloadException for undecodable payloads */
+    def decode(r: MediaRow): MediaFeatures
+    def close(): Unit = ()
+  }
+
   /** STUB codec — replace with a real decoder (libjpeg/ffmpeg/...) in a
-    * container that has one. Deterministic: features derive from bytes. */
-  object StubCodec {
-    def decode(r: MediaRow): MediaFeatures = {
+    * container that has one. Deterministic: features derive from bytes.
+    * Contract pieces a real codec shares: a NULL payload is corrupt
+    * (binary columns are nullable; a real decoder would segfault or
+    * throw), features are a pure function of (id, payload, mediaType). */
+  object StubCodec extends MediaCodecFactory {
+    def open(): MediaDecoder = new MediaDecoder {
+      def decode(r: MediaRow): MediaFeatures = StubCodec.decodeRow(r)
+    }
+    def decodeRow(r: MediaRow): MediaFeatures = {
+      if (r.payload == null)
+        throw new CorruptPayloadException(r.id, "null payload")
       // rolling polynomial hash, mod applied per step (no overflow — the
       // same recurrence is expressible in ANSI SQL for the oracle)
       var h = 0L
@@ -45,6 +87,8 @@ object MultimodalOps {
         else r.payload.map(b => (b & 0xff).toDouble).sum / (255.0 * r.payload.length)
       MediaFeatures(r.id, r.mediaType, r.payload.length.toLong, hash, bright)
     }
+    /** Back-compat convenience (pre-lifecycle callers and tests). */
+    def decode(r: MediaRow): MediaFeatures = decodeRow(r)
   }
 
   /** Wrap any table with a binary payload column into the media schema. */
@@ -57,12 +101,31 @@ object MultimodalOps {
       .as[MediaRow]
   }
 
-  /** Feature extraction: one codec instance per partition, streamed rows
-    * (no per-row init, no full-partition materialization). */
-  def extractFeatures(media: Dataset[MediaRow])
+  /** Feature extraction: one codec instance per partition (opened lazily,
+    * closed on task completion), streamed rows (no per-row init, no
+    * full-partition materialization), corrupt payloads handled per
+    * `onCorrupt`. */
+  def extractFeatures(media: Dataset[MediaRow],
+      codec: MediaCodecFactory = StubCodec,
+      onCorrupt: CorruptPolicy = CorruptPolicy.Fail)
       (implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
-    media.mapPartitions { it => it.map(StubCodec.decode) }
+    media.mapPartitions { it =>
+      val dec = codec.open()
+      // close even on early task exit (limit/failure); null TaskContext =
+      // driver-local iteration in tests
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => dec.close()))
+      it.flatMap { r =>
+        try Some(dec.decode(r))
+        catch {
+          case e: CorruptPayloadException => onCorrupt match {
+            case CorruptPolicy.Fail => throw e
+            case CorruptPolicy.Skip => None
+          }
+        }
+      }
+    }
   }
 
   /** One sampled frame of a media payload. */

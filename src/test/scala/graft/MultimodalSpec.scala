@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.MultimodalOps
+import graft.ops.MultimodalOps._
+
+/** Counting codec shared by the lifecycle tests: local-mode executors
+  * share the JVM, so JVM-static counters observe executor-side calls.
+  * Top-level object so the closure serializer ships a stable reference. */
+object CountingCodec extends MediaCodecFactory {
+  val opens = new java.util.concurrent.atomic.AtomicInteger
+  val closes = new java.util.concurrent.atomic.AtomicInteger
+  val decodes = new java.util.concurrent.atomic.AtomicInteger
+  def reset(): Unit = { opens.set(0); closes.set(0); decodes.set(0) }
+  def open(): MediaDecoder = {
+    opens.incrementAndGet()
+    new MediaDecoder {
+      def decode(r: MediaRow): MediaFeatures = {
+        decodes.incrementAndGet(); StubCodec.decodeRow(r)
+      }
+      override def close(): Unit = { closes.incrementAndGet() }
+    }
+  }
+}
+
+/** Codec-interface hardening: the contract a REAL decoder drops into —
+  * golden-byte decode fixtures, corrupt-payload policy, one-init-per-
+  * partition lifecycle with guaranteed close. The multimodal pipeline
+  * shape must not change when StubCodec is replaced. */
+class MultimodalSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.get
+  import spark.implicits._
+  implicit lazy val s: SparkSession = spark
+
+  private def row(id: Long, bytes: Array[Byte]) =
+    MediaRow(id, bytes, "application/octet-stream", 0, 0)
+
+  test("golden-byte decode fixtures pin the stub contract") {
+    // empty payload: zero checksum, zero brightness, zero length
+    assert(StubCodec.decodeRow(row(1L, Array.empty)) ==
+      MediaFeatures(1L, "application/octet-stream", 0L, 0L, 0.0))
+    // [1,2,3]: rolling hash ((1*31+2)*31+3) = 1026; brightness 6/765
+    assert(StubCodec.decodeRow(row(2L, Array[Byte](1, 2, 3))) ==
+      MediaFeatures(2L, "application/octet-stream", 3L, 1026L, 6.0 / 765.0))
+    // sign handling: 0xFF must read as 255, not -1
+    assert(StubCodec.decodeRow(row(3L, Array[Byte](-1))) ==
+      MediaFeatures(3L, "application/octet-stream", 1L, 255L, 1.0))
+    // mod discipline: 200 x 0xFF stays within the modulus and positive
+    val big = StubCodec.decodeRow(row(4L, Array.fill[Byte](200)(-1)))
+    assert(big.checksum >= 0 && big.checksum < 1000000007L)
+    assert(big.brightness == 1.0)
+  }
+
+  test("null payload is corrupt: Fail raises, Skip drops the row") {
+    val media = MultimodalOps.asMedia(
+      Seq((1L, "ok"), (2L, null)).toDF("doc_id", "text"),
+      "doc_id", "text", "text/plain")
+    val e = intercept[Exception] {
+      MultimodalOps.extractFeatures(media,
+        onCorrupt = CorruptPolicy.Fail).collect()
+    }
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    assert(chain(e).exists(_.isInstanceOf[CorruptPayloadException]),
+      s"expected CorruptPayloadException in cause chain of $e")
+    val kept = MultimodalOps.extractFeatures(media,
+      onCorrupt = CorruptPolicy.Skip).collect()
+    assert(kept.map(_.id).toSeq == Seq(1L))
+    // a corrupt row must not poison its neighbors' features
+    assert(kept.head.byteLen == 2L)
+  }
+
+  test("one codec init per partition; close runs on task completion") {
+    CountingCodec.reset()
+    val media = MultimodalOps.asMedia(
+      (0L until 100L).map(i => (i, s"payload-$i")).toDF("doc_id", "text"),
+      "doc_id", "text", "text/plain").repartition(4)
+    val got = MultimodalOps.extractFeatures(media, codec = CountingCodec)
+      .collect()
+    assert(got.length == 100)
+    assert(CountingCodec.decodes.get() == 100)
+    assert(CountingCodec.opens.get() == 4,
+      s"expected one open per partition, got ${CountingCodec.opens.get()}")
+    assert(CountingCodec.closes.get() == 4,
+      s"close must run per task, got ${CountingCodec.closes.get()}")
+    // a custom codec produces the same features as the stub: drop-in proof
+    val viaStub = MultimodalOps.extractFeatures(media).collect()
+      .map(f => f.id -> f).toMap
+    assert(got.forall(f => viaStub(f.id) == f))
+  }
+}
