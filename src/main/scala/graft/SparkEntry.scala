@@ -220,15 +220,16 @@ object SparkEntry {
       HistAlgebra.cumulative(spec, h)
         .withColumn("cum_value", round(col("cum_value"), 6)).orderBy("i0")
     },
-    // div restricted to common support (avoids engine-specific 0-div forms)
+    // div on common support (HistAlgebra.binOp's documented divergence
+    // mode: engines disagree on 0-divisor forms, boost IEEE semantics
+    // live behind commonSupportOnly = false)
     "hist_div" -> { (s, dir) =>
       val li = Tables.lineitem(s, dir)
       val spec = HistSpec(Seq(axQtyR), DoubleStorage)
       val h1 = Hist.fill(spec, li.filter(col("l_shipdate") < cutTs), Seq(col("l_quantity")))
       val h2 = Hist.fill(spec, li.filter(col("l_shipdate") >= cutTs), Seq(col("l_quantity")))
-      h1.withColumnRenamed("value", "va")
-        .join(h2.withColumnRenamed("value", "vb"), Seq("i0"))
-        .select(col("i0"), round(col("va") / col("vb"), 6).as("value"))
+      HistAlgebra.binOp(spec, h1, h2, HistAlgebra.Div, commonSupportOnly = true)
+        .withColumn("value", round(col("value"), 6))
         .orderBy("i0")
     },
     // A12 scalar / array operands (ref tests/test_core.py:207-305)

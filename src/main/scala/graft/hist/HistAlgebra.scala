@@ -46,13 +46,29 @@ object HistAlgebra {
       if (acc.columns.contains(n)) acc.withColumn(n, c) else acc
     }
 
-  /** Binary op between two sparse histograms of the same spec. */
-  def binOp(spec: HistSpec, left: DataFrame, right: DataFrame, op: Op): DataFrame = {
+  /** Binary op between two sparse histograms of the same spec.
+    *
+    * `commonSupportOnly = false` (default) is boost's semantics: the op
+    * runs over the DENSE bin space, so a bin absent from one sparse side
+    * is a zero bin — full-outer join with missing values coalesced to 0,
+    * and Div yields IEEE ±Inf / NaN on zero divisors (the [[Div]] doc).
+    *
+    * `commonSupportOnly = true` restricts the result to bins present in
+    * BOTH sparse inputs (inner join). This is a documented divergence
+    * from boost (like `density=`): engines disagree on how to represent
+    * x/0 (DuckDB errors or returns NULL where boost's dense array holds
+    * ±Inf/NaN), so ratio exhibits that feed an engine-portable oracle use
+    * this form. Note a bin PRESENT with value 0.0 still divides (IEEE),
+    * only sparse absence is excluded. */
+  def binOp(spec: HistSpec, left: DataFrame, right: DataFrame, op: Op,
+      commonSupportOnly: Boolean = false): DataFrame = {
     val keys = spec.indexCols
     val vals = spec.stateColsForAlgebra
     val l = vals.foldLeft(left)((d, c) => d.withColumnRenamed(c, s"__l_$c"))
     val r = vals.foldLeft(right)((d, c) => d.withColumnRenamed(c, s"__r_$c"))
-    val joined = l.join(r, keys, "full_outer")
+    val joined =
+      if (commonSupportOnly) l.join(r, keys)
+      else l.join(r, keys, "full_outer")
     val out = vals.map { c =>
       op(coalesce(col(s"__l_$c"), lit(0.0)), coalesce(col(s"__r_$c"), lit(0.0))).as(c)
     }

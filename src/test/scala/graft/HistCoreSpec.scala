@@ -55,6 +55,12 @@ class HistCoreSpec extends AnyFunSuite {
       .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
     assert(got(1L) == 1.0)
     assert(got(2L).isPosInfinity) // 1.0 / coalesce(missing->0)
+    // commonSupportOnly: the documented engine-portable divergence mode —
+    // bins absent from either sparse side are excluded instead of IEEE'd
+    val common = HistAlgebra.binOp(spec, l, r, HistAlgebra.Div,
+      commonSupportOnly = true)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(common == Map(1L -> 1.0))
   }
 
   test("RegularCircular drops non-finite values (NULL key)") {
