@@ -13,12 +13,22 @@ import graft.hist._
   */
 object Examples {
   def main(args: Array[String]): Unit = {
-    val rows = if (args.nonEmpty) args(0).toLong else 100000000L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (args.headOption.contains("soak")) {
+      // dedup-pipeline scale soak: `runMain graft.Examples soak 1000000` or
+      // a comma list of doc counts. Evidence that candidate volume scales
+      // linearly with corpus size in practice (SCALE.md accounting), not
+      // just in expectation.
+      args.lift(1).getOrElse("1000000").split(",").map(_.trim.toLong)
+        .foreach(n => dedupSoak(spark, n))
+      spark.stop()
+      return
+    }
+    val rows = if (args.nonEmpty) args(0).toLong else 100000000L
 
     // two deterministic pseudo-uniform dims in [0,1) from the row id
     // (splitmix-style mix, cheap and codegen-friendly)
@@ -110,5 +120,39 @@ object Examples {
     val dSec = (System.nanoTime() - t4) / 1e9
     println(f"""{"example":"hist3d_1e6bins","rows":$hRows,"sparse_sec":$sSec%.3f,"dense_sec":$dSec%.3f}""")
     spark.stop()
+  }
+
+  /** End-to-end MinHash dedup soak at a given corpus size: planted 25%
+    * near-dup rate (every 4th doc copies its predecessor with one word
+    * changed → jaccard 8/14 ≈ 0.571 over 3-shingles, above the 0.5
+    * threshold), 13-word synthetic docs generated in-executor.
+    *
+    * Reports the end-to-end keep-decision time (docs/s headline) plus
+    * candidate / verified-pair / removed counts as separate audited
+    * actions — candidates ≈ verified ≈ removed ≈ n/4 when the LSH layer
+    * adds ~no false candidates, and candidates-per-doc staying flat
+    * across sizes is the linearity evidence SCALE.md cites. */
+  private def dedupSoak(spark: SparkSession, nDocs: Long): Unit = {
+    def docs = spark.range(nDocs).toDF("doc_id")
+      .withColumn("base", when(col("doc_id") % 4 === 3, col("doc_id") - 1)
+        .otherwise(col("doc_id")))
+      .withColumn("text", concat_ws(" ",
+        ((0 until 12).map(i => hex(xxhash64(col("base") + lit(i * 7000000L))))
+          :+ when(col("doc_id") % 4 === 3, lit("variant")).otherwise(lit("orig"))): _*))
+      .drop("base")
+    // warm codegen on 1%
+    graft.ops.DedupOps.minhashDedupKeep(docs.limit((nDocs / 100).toInt),
+      threshold = 0.5).write.format("noop").mode("overwrite").save()
+    val t0 = System.nanoTime()
+    graft.ops.DedupOps.minhashDedupKeep(docs, threshold = 0.5)
+      .write.format("noop").mode("overwrite").save()
+    val keepSec = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val nCand = graft.ops.DedupOps.minhashLshCandidates(docs).count()
+    val candSec = (System.nanoTime() - t1) / 1e9
+    val nVer = graft.ops.DedupOps.minhashDedupPairs(docs, threshold = 0.5).count()
+    val nRemoved = graft.ops.DedupOps.minhashDedupKeep(docs, threshold = 0.5)
+      .filter(!col("is_kept")).count()
+    println(f"""{"example":"dedup_soak","docs":$nDocs,"planted_dup_rate":0.25,"keep_sec":$keepSec%.3f,"docs_per_sec":${nDocs / keepSec}%.0f,"candidates":$nCand,"cand_sec":$candSec%.3f,"candidates_per_doc":${nCand.toDouble / nDocs}%.4f,"verified_pairs":$nVer,"removed":$nRemoved}""")
   }
 }
