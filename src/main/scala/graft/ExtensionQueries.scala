@@ -100,6 +100,18 @@ object ExtensionQueries {
       DedupOps.minhashDedupKeep(Tables.documents(s, dir), jaccardK,
         threshold = jaccardThresh).orderBy("doc_id")
     },
+    // Quality-aware representative election: same pipeline, argmax on the
+    // rounded quality score per cluster instead of min id
+    "dedup_keep_best" -> { (s, dir) =>
+      DedupOps.minhashDedupKeepBest(Tables.documents(s, dir),
+        k = jaccardK, threshold = jaccardThresh).orderBy("doc_id")
+    },
+    // Deterministic per-epoch shuffle order: seeded portable hash key
+    "epoch_shuffle" -> { (s, dir) =>
+      PipelineOps.epochShuffle(Tables.documents(s, dir), seed = 7L)
+        .select("doc_id", "shuffle_key")
+        .orderBy("shuffle_key", "doc_id")
+    },
     // Benchmark decontamination: corpus docs sharing 5-grams with a
     // (demo) eval set = the first 10 docs
     "dedup_contamination" -> { (s, dir) =>
@@ -648,6 +660,10 @@ object ExtensionQueries {
          |SELECT src AS doc_id, min(dst) AS component
          |FROM reach GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "dedup_minhash_keep" -> minhashKeepOracleSql(jaccardThresh),
+    "dedup_keep_best" -> minhashKeepBestOracleSql(jaccardThresh),
+    "epoch_shuffle" ->
+      s"""SELECT doc_id, ${PipelineOps.epochShuffleKeySql(7L)} AS shuffle_key
+         |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin,
     "dedup_contamination" -> {
       def sh(src: String) = shingleSql(5, src)
       s"""WITH c AS (${sh("doc_id >= 10")}), e AS (${sh("doc_id < 10")}),
@@ -1146,6 +1162,30 @@ object ExtensionQueries {
        |SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS keep_id,
        |  COALESCE(c.component, d.doc_id) = d.doc_id AS is_kept
        |FROM documents d LEFT JOIN comp c USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Quality-aware election oracle: the [[minhashKeepOracleSql]] pipeline
+    * with the final min-id election replaced by argmax on the rounded
+    * quality score (ties to the lower id) — mirrors
+    * [[DedupOps.minhashDedupKeepBest]]. */
+  private def minhashKeepBestOracleSql(t: Double): String = {
+    val base = minhashKeepOracleSql(t)
+    // keep everything up to (and excluding) the final election SELECT,
+    // re-open the WITH list with a comma
+    val prefix = base.substring(0, base.indexOf("SELECT d.doc_id,"))
+      .stripTrailing() + ",\n"
+    s"""${prefix}labeled AS (
+       |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component,
+       |    round(${graft.ops.TextOps.qualityScoreSql("d.text")}, 6) AS score
+       |  FROM documents d LEFT JOIN comp c USING (doc_id)),
+       |win AS (
+       |  SELECT component, doc_id AS keep_id,
+       |    row_number() OVER (PARTITION BY component
+       |      ORDER BY score DESC, doc_id ASC) AS rn
+       |  FROM labeled)
+       |SELECT l.doc_id, w.keep_id, l.doc_id = w.keep_id AS is_kept
+       |FROM labeled l JOIN win w ON w.component = l.component AND w.rn = 1
        |ORDER BY doc_id""".stripMargin
   }
 

@@ -461,6 +461,44 @@ object DedupOps {
           .as("is_kept"))
   }
 
+  /** Quality-aware variant of [[minhashDedupKeep]]: the cluster
+    * representative is the member with the HIGHEST score (ties to the
+    * lower doc id), not the minimum id. This is what production pipelines
+    * actually elect — near-dup clusters usually contain one clean
+    * original plus boilerplate-wrapped copies, and min-id keeps whichever
+    * was crawled first.
+    *
+    * `score` must be deterministic and engine-portable if the result is
+    * oracle-checked (round a class-C value at 6 dp — see FIXTURES.md §6);
+    * the default is the rounded [[TextOps.qualityScore]].
+    *
+    * Scale: same pipeline as minhashDedupKeep plus one `max_by` argmax
+    * aggregate on the component key and a join back — a hash aggregate
+    * with map-side combine, NO per-group sort window, so a pathological
+    * giant cluster costs one combine chain rather than one task's sort. */
+  def minhashDedupKeepBest(df: DataFrame, score: Column = null,
+      k: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5, seed: Long = 42L, textCol: String = "text",
+      idCol: String = "doc_id", maxIter: Int = 64): DataFrame = {
+    val sc = Option(score)
+      .getOrElse(round(TextOps.qualityScore(col(textCol)), 6))
+    val pairs = minhashDedupPairs(df, k, numHashes, bands, threshold, seed,
+      textCol, idCol).select("doc_a", "doc_b")
+    val comp = connectedComponents(pairs, maxIter)
+    val labeled = df.select(col(idCol).as("doc_id"), sc.as("__score"))
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+    // argmax by (score desc, doc_id asc): lexicographic struct max with
+    // the id negated — deterministic for any tie pattern
+    val winners = labeled.groupBy("component")
+      .agg(max_by(col("doc_id"),
+        struct(col("__score").as("s"), (-col("doc_id")).as("nid")))
+        .as("keep_id"))
+    labeled.join(winners, Seq("component"))
+      .select(col("doc_id"), col("keep_id"),
+        (col("doc_id") === col("keep_id")).as("is_kept"))
+  }
+
   // ---- SimHash ----------------------------------------------------------
   /** 64-bit SimHash fingerprint over word tokens (Charikar 2002): sum ±1
     * per bit weighted by token hash bits, sign → bit. */

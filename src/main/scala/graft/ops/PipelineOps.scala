@@ -470,6 +470,34 @@ object PipelineOps {
        |WHERE rn <= $k""".stripMargin
   }
 
+  // ---- deterministic epoch shuffle -----------------------------------------
+  /** Per-epoch corpus shuffle key: a seeded multiplicative hash over the
+    * doc id (the same portable integer family as [[weightedSample]] /
+    * [[domainCap]], so the DuckDB twin reproduces it bit-for-bit).
+    * `ORDER BY (shuffle_key, doc_id)` is the epoch order; a new seed is a
+    * new permutation. For ids < p the key is a bijection (multiplication
+    * by a unit mod the prime), so collisions — and the id tie-break —
+    * only matter past 10⁹ docs.
+    *
+    * Scale: the key is one narrow codegen'd projection. Do NOT materialize
+    * a global row_number position at scale — a total order is a range
+    * exchange + sort (fine, Spark's distributed sort), but training ingest
+    * only needs `repartitionByRange(shuffle_key) +
+    * sortWithinPartitions(shuffle_key, id)`: reader-order equals epoch
+    * order without any single-task stage. */
+  def epochShuffle(docs: DataFrame, seed: Long,
+      idCol: String = "doc_id"): DataFrame = {
+    val p = 1000000007L
+    val key = pmod(pmod(col(idCol) + lit(seed), lit(p)) * lit(2654435761L),
+      lit(p))
+    docs.withColumn("shuffle_key", key)
+  }
+
+  /** DuckDB twin of [[epochShuffle]]'s key for the documents table. */
+  def epochShuffleKeySql(seed: Long, idExpr: String = "doc_id"): String =
+    s"(((($idExpr + $seed) % 1000000007 + 1000000007) % 1000000007)" +
+      " * 2654435761) % 1000000007"
+
   // ---- context-window chunking -------------------------------------------
   /** Fixed window/stride chunk spans per document (the chunking step that
     * feeds context-window training): chunk i covers tokens

@@ -111,6 +111,56 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.forall(_._3 >= 0.5))
   }
 
+  test("keepBest elects the highest-quality cluster member, not the min id") {
+    // doc 11 = doc 10's text plus 2 extra words: jaccard 8/10 = 0.8
+    // (same cluster at threshold 0.5, and high enough that the seeded
+    // 16x4 LSH bands deterministically collide) and a HIGHER quality
+    // score (length saturation), so the election picks 11 over min id 10
+    val base = "the quick brown fox jumps over the lazy dog again"
+    val corpus = Seq(
+      (10L, base),
+      (11L, base + " helpfully appended"),
+      (12L, "unrelated solitary document body")).toDF("doc_id", "text")
+    val got = DedupOps.minhashDedupKeepBest(corpus, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got(10L) == ((11L, false)))
+    assert(got(11L) == ((11L, true)))
+    assert(got(12L) == ((12L, true))) // singleton keeps itself
+    // min-id election on the same corpus keeps 10 — the two policies differ
+    val minId = DedupOps.minhashDedupKeep(corpus, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(minId(11L) == 10L)
+    // equal scores (exact dup texts) tie to the lower id
+    val tied = Seq((20L, base), (21L, base)).toDF("doc_id", "text")
+    val t = DedupOps.minhashDedupKeepBest(tied, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(t == Map(20L -> 20L, 21L -> 20L))
+  }
+
+  test("epochShuffle: seeded bijective key, new seed = new permutation") {
+    val ids = (0L until 1000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val k1 = PipelineOps.epochShuffle(ids, seed = 1L)
+      .select("doc_id", "shuffle_key").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    // bijection on ids < p: no collisions, keys in [0, p)
+    assert(k1.map(_._2).distinct.length == 1000)
+    assert(k1.forall { case (_, k) => k >= 0 && k < 1000000007L })
+    // deterministic across evaluations
+    val again = PipelineOps.epochShuffle(ids, seed = 1L)
+      .select("doc_id", "shuffle_key").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(k1.toMap == again.toMap)
+    // a different seed is a different permutation (order actually changes)
+    val k2 = PipelineOps.epochShuffle(ids, seed = 2L)
+      .select("doc_id", "shuffle_key").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val order1 = k1.sortBy(_._2).map(_._1).toSeq
+    val order2 = k2.toSeq.sortBy(_._2).map(_._1)
+    assert(order1 != order2)
+    // not the identity order either
+    assert(order1 != (0L until 1000L).toSeq)
+  }
+
   test("simhash: identical texts share fingerprint; near-dup within small hamming") {
     val fp = DedupOps.simhash64(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fp(0L) == fp(3L))
