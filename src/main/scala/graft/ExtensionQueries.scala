@@ -576,6 +576,13 @@ object ExtensionQueries {
       DedupOps.ngramDupStats(Tables.documents(s, dir), k = jaccardK)
         .orderBy("doc_id")
     },
+    // The REWRITE form: remove every non-first occurrence of a repeated
+    // 5-gram and reassemble the surviving tokens (Lee et al. substring
+    // dedup applied to the corpus text itself)
+    "dedup_passage_rewrite" -> { (s, dir) =>
+      DedupOps.passageDedup(Tables.documents(s, dir), n = 5)
+        .orderBy("doc_id")
+    },
     // BM25 full-text relevance search: top-10 docs per query, vocabulary
     // prefilter on the scan, rounded-score ranking (SearchOps)
     "search_bm25" -> { (s, dir) =>
@@ -903,6 +910,7 @@ object ExtensionQueries {
       s"""SELECT grp AS event_type, n_exact, hll_est FROM (
          |${SketchOps.hllEstimateSql(hllKeySql)}
          |) ORDER BY event_type""".stripMargin,
+    "dedup_passage_rewrite" -> DedupOps.passageDedupSql(5),
     "dedup_ngram_fraction" ->
       s"""WITH sh AS (${shingleSql(jaccardK)}),
          |fq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),

@@ -269,6 +269,99 @@ object DedupOps {
           6).as("dup_frac"))
   }
 
+  /** Cross-corpus repeated-passage REMOVAL (the rewrite form of the
+    * Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+    * Better" substring dedup, over word n-grams): every occurrence of an
+    * n-gram that appears more than once in the corpus — except the
+    * globally FIRST occurrence by (doc_id, pos) — has its n covered
+    * tokens removed; the kept tokens are reassembled in order.
+    *
+    * Scale shape: occurrences shuffle as (doc_id, pos, 8-byte PolyHash)
+    * — the n-token gram string never leaves its partition (the module
+    * invariant; hash collisions merge distinct grams with probability
+    * ~occ²/2⁶² — the exactDedup trade). First-occurrence election is a
+    * min(struct) hash aggregate, no per-gram sort. Reassembly joins the
+    * per-doc removal-position sets back and rewrites each affected doc
+    * with one narrow per-row filter pass — tokens are never exploded
+    * into a shuffle for reassembly, and unaffected docs pass through
+    * with their original text.
+    *
+    * Returns (doc_id, kept_text, n_kept, n_removed), one row per doc. */
+  def passageDedup(df: DataFrame, n: Int = 5, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val base = spread(df).select(col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("__a"))
+    val occ = base
+      .filter(size(col("__a")) >= n)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(__a) - $n), " +
+          s"i -> array_join(slice(__a, i + 1, $n), ' '))"))
+        .as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"),
+        graft.functions.PolyHash(col("gram")).as("h"))
+    val firsts = occ.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("__first"),
+        count(lit(1)).as("__cnt"))
+    val rm = occ.join(firsts, Seq("h"))
+      .filter(col("__cnt") > 1 &&
+        !(col("doc_id") === col("__first.doc_id") &&
+          col("pos") === col("__first.pos")))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("rm_pos"))
+      .groupBy("doc_id").agg(collect_set(col("rm_pos")).as("__rm"))
+    base.join(rm, Seq("doc_id"), "left")
+      .withColumn("__kept", when(col("__rm").isNull, col("__a"))
+        .otherwise(expr(
+          "transform(filter(zip_with(__a, sequence(0, size(__a) - 1), " +
+            "(t, i) -> struct(t AS tok, i AS idx)), " +
+            "s -> NOT array_contains(__rm, s.idx)), s -> s.tok)")))
+      .select(col("doc_id"),
+        array_join(col("__kept"), " ").as("kept_text"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        (size(col("__a")) - size(col("__kept"))).cast("long").as("n_removed"))
+  }
+
+  /** DuckDB twin of [[passageDedup]] over the documents table: same
+    * tokenization, same PolyHash occurrence keys, same (doc_id, pos)
+    * first-occurrence election, same coverage removal. */
+  def passageDedupSql(n: Int): String = {
+    val h = graft.functions.PolyHash.sql("gram", 31L, MinHashP)
+    s"""WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+       |occ AS (
+       |  SELECT doc_id, i AS pos,
+       |    $h AS h
+       |  FROM (SELECT doc_id, a, array_to_string(a[i + 1:i + $n], ' ') AS gram,
+       |          i
+       |        FROM arr, unnest(range(0, greatest(len(a) - $n + 1, 0))) r(i))),
+       |ranked AS (
+       |  SELECT doc_id, pos,
+       |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+       |    count(*) OVER (PARTITION BY h) AS cnt
+       |  FROM occ),
+       |rm AS (
+       |  SELECT DISTINCT doc_id, pos + u.o AS rm_pos
+       |  FROM ranked, unnest(range(0, $n)) u(o)
+       |  WHERE cnt > 1 AND rn > 1),
+       |toks AS (
+       |  SELECT doc_id, generate_subscripts(a, 1) - 1 AS pos, unnest(a) AS tok
+       |  FROM arr),
+       |kept AS (
+       |  SELECT t.doc_id, t.pos, t.tok
+       |  FROM toks t LEFT JOIN rm ON rm.doc_id = t.doc_id AND rm.rm_pos = t.pos
+       |  WHERE rm.doc_id IS NULL),
+       |agg AS (
+       |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS kept_text,
+       |    CAST(count(*) AS BIGINT) AS n_kept
+       |  FROM kept GROUP BY 1)
+       |SELECT d.doc_id, COALESCE(k.kept_text, '') AS kept_text,
+       |  COALESCE(k.n_kept, 0) AS n_kept,
+       |  CAST(len(string_split(d.text, ' ')) AS BIGINT) - COALESCE(k.n_kept, 0)
+       |    AS n_removed
+       |FROM documents d LEFT JOIN agg k USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Benchmark decontamination: flag corpus docs sharing any k-gram with
     * an eval set (standard LLM-training hygiene). Inverted-index equi-join
     * on shingles — eval side is small and broadcast; corpus text never

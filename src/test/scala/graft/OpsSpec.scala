@@ -111,6 +111,24 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.forall(_._3 >= 0.5))
   }
 
+  test("passageDedup removes non-first repeated n-gram coverage, keeps the rest") {
+    val corpus = Seq(
+      (0L, "a b c d e x y"), // owns the first occurrence of "a b c d e"
+      (1L, "p q a b c d e r"), // repeats it mid-doc -> tokens 2..6 removed
+      (2L, "short"), // below n: untouched
+      (3L, "m n o m n o m n o")) // within-doc loop compresses to one period
+      .toDF("doc_id", "text")
+    val got = DedupOps.passageDedup(corpus, n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(0L) == (("a b c d e x y", 7L, 0L))) // first occurrences stay
+    assert(got(1L) == (("p q r", 3L, 5L)))
+    assert(got(2L) == (("short", 1L, 0L)))
+    // "m n o"/"n o m"/"o m n" dups cover positions 3..8; the first period
+    // (tokens 0..2) survives
+    assert(got(3L) == (("m n o", 3L, 6L)))
+  }
+
   test("keepBest elects the highest-quality cluster member, not the min id") {
     // doc 11 = doc 10's text plus 2 extra words: jaccard 8/10 = 0.8
     // (same cluster at threshold 0.5, and high enough that the seeded
