@@ -74,13 +74,7 @@ object Examples {
     // heaviest extension pipeline at a scale the bench's sf0.1 corpus
     // doesn't reach.
     val nNd = math.max(rows / 1000, 1000L)
-    def ndDocs = spark.range(nNd).toDF("doc_id")
-      .withColumn("base", when(col("doc_id") % 4 === 3, col("doc_id") - 1)
-        .otherwise(col("doc_id")))
-      .withColumn("text", concat_ws(" ",
-        ((0 until 12).map(i => hex(xxhash64(col("base") + lit(i * 7000000L))))
-          :+ when(col("doc_id") % 4 === 3, lit("variant")).otherwise(lit("orig"))): _*))
-      .drop("base")
+    def ndDocs = nearDupDocs(spark, nNd)
     graft.ops.DedupOps.minhashDedupKeep(ndDocs.limit((nNd / 100).toInt),
         threshold = 0.5)
       .write.format("noop").mode("overwrite").save() // warm-up
@@ -122,10 +116,27 @@ object Examples {
     spark.stop()
   }
 
+  /** Planted-near-dup synthetic corpus shared by the throughput example
+    * and the soak: 13-word docs (12 id-derived hash words + an
+    * orig/variant marker); every 4th doc copies its predecessor with the
+    * final marker word changed → 10 of the 12 3-shingles shared, jaccard
+    * 10/12 ≈ 0.833, comfortably above the 0.5 threshold. The per-word
+    * offset stride is 2⁴⁰ — far above any reachable doc id — so word
+    * hashes can never alias across documents (a 7×10⁶ stride previously
+    * made word i of base b equal word i−k of base b+7×10⁶k, planting
+    * unintended near-dups for soaks past 7M docs). */
+  private def nearDupDocs(spark: SparkSession, n: Long) = {
+    spark.range(n).toDF("doc_id")
+      .withColumn("base", when(col("doc_id") % 4 === 3, col("doc_id") - 1)
+        .otherwise(col("doc_id")))
+      .withColumn("text", concat_ws(" ",
+        ((0 until 12).map(i => hex(xxhash64(col("base") + lit(i.toLong << 40))))
+          :+ when(col("doc_id") % 4 === 3, lit("variant")).otherwise(lit("orig"))): _*))
+      .drop("base")
+  }
+
   /** End-to-end MinHash dedup soak at a given corpus size: planted 25%
-    * near-dup rate (every 4th doc copies its predecessor with one word
-    * changed → jaccard 8/14 ≈ 0.571 over 3-shingles, above the 0.5
-    * threshold), 13-word synthetic docs generated in-executor.
+    * near-dup rate over [[nearDupDocs]].
     *
     * Reports the end-to-end keep-decision time (docs/s headline) plus
     * candidate / verified-pair / removed counts as separate audited
@@ -133,13 +144,7 @@ object Examples {
     * adds ~no false candidates, and candidates-per-doc staying flat
     * across sizes is the linearity evidence SCALE.md cites. */
   private def dedupSoak(spark: SparkSession, nDocs: Long): Unit = {
-    def docs = spark.range(nDocs).toDF("doc_id")
-      .withColumn("base", when(col("doc_id") % 4 === 3, col("doc_id") - 1)
-        .otherwise(col("doc_id")))
-      .withColumn("text", concat_ws(" ",
-        ((0 until 12).map(i => hex(xxhash64(col("base") + lit(i * 7000000L))))
-          :+ when(col("doc_id") % 4 === 3, lit("variant")).otherwise(lit("orig"))): _*))
-      .drop("base")
+    def docs = nearDupDocs(spark, nDocs)
     // warm codegen on 1%
     graft.ops.DedupOps.minhashDedupKeep(docs.limit((nDocs / 100).toInt),
       threshold = 0.5).write.format("noop").mode("overwrite").save()

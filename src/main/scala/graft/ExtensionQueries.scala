@@ -583,6 +583,14 @@ object ExtensionQueries {
       DedupOps.passageDedup(Tables.documents(s, dir), n = 5)
         .orderBy("doc_id")
     },
+    // Surgical decontamination: remove eval-overlapping passages from the
+    // corpus text, keep the rest (same corpus/eval split as
+    // dedup_contamination)
+    "dedup_decontaminate_rewrite" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      DedupOps.decontaminateRewrite(docs.filter(col("doc_id") >= 10),
+        docs.filter(col("doc_id") < 10), k = 5).orderBy("doc_id")
+    },
     // BM25 full-text relevance search: top-10 docs per query, vocabulary
     // prefilter on the scan, rounded-score ranking (SearchOps)
     "search_bm25" -> { (s, dir) =>
@@ -911,6 +919,8 @@ object ExtensionQueries {
          |${SketchOps.hllEstimateSql(hllKeySql)}
          |) ORDER BY event_type""".stripMargin,
     "dedup_passage_rewrite" -> DedupOps.passageDedupSql(5),
+    "dedup_decontaminate_rewrite" ->
+      DedupOps.decontaminateRewriteSql(5, "doc_id >= 10", "doc_id < 10"),
     "dedup_ngram_fraction" ->
       s"""WITH sh AS (${shingleSql(jaccardK)}),
          |fq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
@@ -1181,8 +1191,11 @@ object ExtensionQueries {
     val base = minhashKeepOracleSql(t)
     // keep everything up to (and excluding) the final election SELECT,
     // re-open the WITH list with a comma
-    val prefix = base.substring(0, base.indexOf("SELECT d.doc_id,"))
-      .stripTrailing() + ",\n"
+    val idx = base.indexOf("SELECT d.doc_id,")
+    require(idx >= 0,
+      "minhashKeepOracleSql's final SELECT changed shape — update the " +
+        "keep-best splice (or factor the shared CTE prefix into a helper)")
+    val prefix = base.substring(0, idx).stripTrailing() + ",\n"
     s"""${prefix}labeled AS (
        |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component,
        |    round(${graft.ops.TextOps.qualityScoreSql("d.text")}, 6) AS score

@@ -292,21 +292,38 @@ object DedupOps {
     require(n >= 1, s"n must be >= 1, got $n")
     val base = spread(df).select(col(idCol).as("doc_id"),
       split(col(textCol), " ").as("__a"))
-    val occ = base
-      .filter(size(col("__a")) >= n)
+    val occ = gramOccurrences(base, n)
+    val firsts = occ.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("__first"),
+        count(lit(1)).as("__cnt"))
+    val dupOcc = occ.join(firsts, Seq("h"))
+      .filter(col("__cnt") > 1 &&
+        !(col("doc_id") === col("__first.doc_id") &&
+          col("pos") === col("__first.pos")))
+    rewriteWithoutCoverage(base, dupOcc, n)
+  }
+
+  /** All n-gram occurrences of a (doc_id, __a: token array) relation as
+    * (doc_id, pos, h) — the 8-byte PolyHash stands in for the gram string
+    * so text never shuffles (collision trade documented at
+    * [[passageDedup]]). */
+  private def gramOccurrences(base: DataFrame, n: Int): DataFrame =
+    base.filter(size(col("__a")) >= n)
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, size(__a) - $n), " +
           s"i -> array_join(slice(__a, i + 1, $n), ' '))"))
         .as(Seq("pos", "gram")))
       .select(col("doc_id"), col("pos"),
         graft.functions.PolyHash(col("gram")).as("h"))
-    val firsts = occ.groupBy("h")
-      .agg(min(struct(col("doc_id"), col("pos"))).as("__first"),
-        count(lit(1)).as("__cnt"))
-    val rm = occ.join(firsts, Seq("h"))
-      .filter(col("__cnt") > 1 &&
-        !(col("doc_id") === col("__first.doc_id") &&
-          col("pos") === col("__first.pos")))
+
+  /** Rewrite tail shared by [[passageDedup]] and [[decontaminateRewrite]]:
+    * expand each offending occurrence (doc_id, pos) to its n covered
+    * token positions, collect per-doc removal sets, and rewrite affected
+    * docs with one narrow per-row filter pass — tokens never shuffle for
+    * reassembly; unaffected docs pass through untouched. */
+  private def rewriteWithoutCoverage(base: DataFrame, offending: DataFrame,
+      n: Int): DataFrame = {
+    val rm = offending
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("rm_pos"))
       .groupBy("doc_id").agg(collect_set(col("rm_pos")).as("__rm"))
@@ -320,6 +337,70 @@ object DedupOps {
         array_join(col("__kept"), " ").as("kept_text"),
         size(col("__kept")).cast("long").as("n_kept"),
         (size(col("__a")) - size(col("__kept"))).cast("long").as("n_removed"))
+  }
+
+  /** Decontamination REWRITE: remove every corpus token covered by a
+    * k-gram that appears anywhere in the eval set (the surgical form of
+    * [[contaminationStats]] — drop the overlapping passages, keep the
+    * rest of the document; docs with no hits pass through untouched).
+    *
+    * Scale: eval-set grams reduce to distinct 8-byte hashes — benchmark
+    * suites are tiny, so the hash set broadcasts and corpus occurrences
+    * are filtered map-side; corpus text never shuffles and only affected
+    * docs are rewritten. */
+  def decontaminateRewrite(corpus: DataFrame, evalSet: DataFrame,
+      k: Int = 5, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val base = spread(corpus).select(col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("__a"))
+    val evalGrams = shingles(evalSet, k, textCol, idCol)
+      .select(graft.functions.PolyHash(col("shingle")).as("h")).distinct()
+    val hits = gramOccurrences(base, k)
+      .join(broadcast(evalGrams), Seq("h"), "left_semi")
+    rewriteWithoutCoverage(base, hits, k)
+  }
+
+  /** DuckDB twin of [[decontaminateRewrite]] over the documents table
+    * (corpus = `corpusWhere` docs, eval set = `evalWhere` docs). */
+  def decontaminateRewriteSql(k: Int, corpusWhere: String,
+      evalWhere: String): String = {
+    val h = graft.functions.PolyHash.sql("gram", 31L, MinHashP)
+    val he = graft.functions.PolyHash.sql("shingle", 31L, MinHashP)
+    s"""WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a
+       |            FROM documents WHERE $corpusWhere),
+       |occ AS (
+       |  SELECT doc_id, i AS pos, $h AS h
+       |  FROM (SELECT doc_id, a, array_to_string(a[i + 1:i + $k], ' ') AS gram,
+       |          i
+       |        FROM arr, unnest(range(0, greatest(len(a) - $k + 1, 0))) r(i))),
+       |ev AS (
+       |  SELECT DISTINCT $he AS h FROM (
+       |    SELECT array_to_string(a[i + 1:i + $k], ' ') AS shingle
+       |    FROM (SELECT string_split(text, ' ') AS a
+       |          FROM documents WHERE $evalWhere) e,
+       |      unnest(range(0, greatest(len(a) - $k + 1, 0))) r(i))),
+       |rm AS (
+       |  SELECT DISTINCT occ.doc_id, occ.pos + u.o AS rm_pos
+       |  FROM occ JOIN ev USING (h), unnest(range(0, $k)) u(o)),
+       |toks AS (
+       |  SELECT doc_id, generate_subscripts(a, 1) - 1 AS pos, unnest(a) AS tok
+       |  FROM arr),
+       |kept AS (
+       |  SELECT t.doc_id, t.pos, t.tok
+       |  FROM toks t LEFT JOIN rm ON rm.doc_id = t.doc_id AND rm.rm_pos = t.pos
+       |  WHERE rm.doc_id IS NULL),
+       |agg AS (
+       |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS kept_text,
+       |    CAST(count(*) AS BIGINT) AS n_kept
+       |  FROM kept GROUP BY 1)
+       |SELECT d.doc_id, COALESCE(kk.kept_text, '') AS kept_text,
+       |  COALESCE(kk.n_kept, 0) AS n_kept,
+       |  CAST(len(string_split(d.text, ' ')) AS BIGINT) - COALESCE(kk.n_kept, 0)
+       |    AS n_removed
+       |FROM (SELECT doc_id, text FROM documents WHERE $corpusWhere) d
+       |LEFT JOIN agg kk USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
   }
 
   /** DuckDB twin of [[passageDedup]] over the documents table: same

@@ -277,14 +277,18 @@ object SimilarityOps {
     * over non-decimal-grid doubles (raw-double avg/sum is
     * summation-order-dependent across engines; the emb_covariance flake
     * class). */
-  def quantizedMean(v: Column): Column =
-    sum(round(v.cast("double") * lit(1e6), 0).cast("decimal(38,0)"))
-      .cast("double") / count(lit(1)).cast("double") / lit(1e6)
+  def quantizedMean(v: Column): Column = {
+    val q = round(v.cast("double") * lit(1e6), 0).cast("decimal(38,0)")
+    // count(q), not count(*): null lanes are skipped by the sum, so they
+    // must be skipped by the denominator too (avg()'s null semantics)
+    sum(q).cast("double") / count(q).cast("double") / lit(1e6)
+  }
 
   /** DuckDB twin of [[quantizedMean]]. */
-  def quantizedMeanSql(expr: String): String =
-    s"CAST(sum(CAST(round(CAST($expr AS DOUBLE) * 1e6) AS BIGINT)) " +
-      "AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e6"
+  def quantizedMeanSql(expr: String): String = {
+    val q = s"CAST(round(CAST($expr AS DOUBLE) * 1e6) AS BIGINT)"
+    s"CAST(sum($q) AS DOUBLE) / CAST(count($q) AS DOUBLE) / 1e6"
+  }
 
   /** One Lloyd (k-means) update step over the embedding column: assign
     * every vector to its nearest centroid (exact integer arithmetic via

@@ -5,8 +5,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 
 /** Per-user funnel progress for [[FunnelStream.funnelStream]] (top-level
   * for clean encoder codegen): the furthest completed stage index
-  * (-1 = none) and the event time that completed it. */
-final case class FunnelProgress(stage: Int, t: Long)
+  * (-1 = none), the event time that completed it, and the newest event
+  * time ever seen for the user (`seen`) — the eviction clock. `seen` is
+  * tracked in state so a batch of LATE (within-watermark) events cannot
+  * move the eviction deadline backwards and evict an active user early. */
+final case class FunnelProgress(stage: Int, t: Long, seen: Long)
 
 /** Streaming form of [[graft.ops.FunnelOps.funnelCounts]]: a per-user
   * state machine over `flatMapGroupsWithState`. State is one (stage, ts)
@@ -61,30 +64,37 @@ object FunnelStream {
             state.remove()
             Iterator.empty
           } else {
-            var cur = state.getOption.getOrElse(FunnelProgress(-1, Long.MinValue))
+            var cur = state.getOption
+              .getOrElse(FunnelProgress(-1, Long.MinValue, Long.MinValue))
             val out = scala.collection.mutable.ArrayBuffer.empty[StageReached]
-            var lastSeenUs = Long.MinValue
+            var seen = cur.seen
             // in-batch events processed in event-time order so a single
             // batch reproduces the batch operator exactly. This buffers and
             // sorts ONE user's events per micro-batch — unlike the batch
             // operator this is a real per-(user, batch) memory bound; a bot
             // user needs a shorter trigger interval, not a different plan
             it.toSeq.sortBy(_.ts_us).foreach { e =>
-              lastSeenUs = math.max(lastSeenUs, e.ts_us)
+              seen = math.max(seen, e.ts_us)
               stageOf.get(e.event_type) match {
                 case Some(k) if k == cur.stage + 1 &&
                     (cur.stage == -1 || e.ts_us > cur.t) =>
-                  cur = FunnelProgress(k, e.ts_us)
+                  cur = cur.copy(stage = k, t = e.ts_us)
                   out += StageReached(user, k, e.ts_us)
                 case _ => // wrong stage, already passed, or not after prev
               }
             }
-            if (out.nonEmpty) state.update(cur)
+            cur = cur.copy(seen = seen)
+            // persist on an advance OR whenever the eviction clock moved
+            // for a user we already track (a late replay must not be the
+            // only thing a batch writes — but it must not regress `seen`)
+            if (out.nonEmpty || (state.exists && seen > state.get.seen))
+              state.update(cur)
             if (state.exists) {
-              // refresh eviction on ANY activity (advance or not), from
-              // the newest event time seen; never register a timeout
-              // at/below the watermark (throws)
-              val baseMs = math.max(lastSeenUs, cur.t) / 1000L
+              // refresh eviction from the newest event time EVER SEEN (not
+              // just this batch's, which for a late replay would drag the
+              // deadline backwards and evict an active user early); never
+              // register a timeout at/below the watermark (throws)
+              val baseMs = math.max(seen, cur.t) / 1000L
               state.setTimeoutTimestamp(math.max(
                 baseMs + retentionSec * 1000L,
                 state.getCurrentWatermarkMs() + 1000L))

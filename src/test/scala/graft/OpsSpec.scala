@@ -129,6 +129,18 @@ class OpsSpec extends AnyFunSuite {
     assert(got(3L) == (("m n o", 3L, 6L)))
   }
 
+  test("decontaminateRewrite removes eval-covered passages, keeps the rest") {
+    val corpus = Seq(
+      (10L, "a b c d e f g"), // "c d e" and "d e f" hit eval -> tokens 2..5 out
+      (11L, "no overlap here at all")).toDF("doc_id", "text")
+    val evalSet = Seq((0L, "x c d e f y")).toDF("doc_id", "text")
+    val got = DedupOps.decontaminateRewrite(corpus, evalSet, k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(10L) == (("a b g", 3L, 4L)))
+    assert(got(11L) == (("no overlap here at all", 5L, 0L)))
+  }
+
   test("keepBest elects the highest-quality cluster member, not the min id") {
     // doc 11 = doc 10's text plus 2 extra words: jaccard 8/10 = 0.8
     // (same cluster at threshold 0.5, and high enough that the seeded
@@ -685,6 +697,13 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(got == Map((0L, 0L) -> 1L, (0L, 1L) -> 1L, (1L, 0L) -> 1L,
       (9L, 0L) -> 1L))
+  }
+
+  test("quantizedMean skips null lanes in numerator AND denominator (avg semantics)") {
+    val df = Seq(Some(1.0), None, Some(3.0)).toDF("v")
+    val got = df.agg(SimilarityOps.quantizedMean(col("v")).as("m"))
+      .collect()(0).getDouble(0)
+    assert(got == 2.0, s"null lane must not deflate the mean: $got")
   }
 
   test("powerIteration recovers the dominant eigenpair of a known matrix") {

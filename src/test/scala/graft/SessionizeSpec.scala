@@ -178,4 +178,49 @@ class SessionizeSpec extends AnyFunSuite {
         (7L, 0, 220000000L))) // restarted journey after eviction
     } finally q.stop()
   }
+
+  test("streaming funnel: a late replay cannot drag the eviction deadline backwards") {
+    import graft.streaming.FunnelStream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val s: SparkSession = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stages = Seq("view", "click")
+    val in = MemoryStream[FunnelStream.TypedEvent]
+    val q = FunnelStream.funnelStream(in.toDS()
+        .withColumn("et", timestamp_micros($"ts_us"))
+        .withWatermark("et", "1 second").as[FunnelStream.TypedEvent],
+        stages, retentionSec = 60L)
+      .writeStream.outputMode("append").format("memory").queryName("funnel4")
+      .start()
+    try {
+      // u7 reaches stage 0 at 100s...
+      in.addData(FunnelStream.TypedEvent(7L, 100000000L, "view"))
+      q.processAllAvailable()
+      // ...and is still ACTIVE at 1000s (non-stage traffic refreshes the
+      // eviction clock); u8 moves the watermark to ~1000s
+      in.addData(FunnelStream.TypedEvent(7L, 1000000000L, "scroll"),
+        FunnelStream.TypedEvent(8L, 1001000000L, "view"))
+      q.processAllAvailable()
+      // a LATE replay from 500s arrives: with a batch-local clock this
+      // would re-arm the deadline at ~max(560s, wm+1s)=1001s and the next
+      // watermark step would evict an active user
+      in.addData(FunnelStream.TypedEvent(7L, 500000000L, "scroll"))
+      q.processAllAvailable()
+      // watermark to ~1029s: above the regressed 1001s deadline, below
+      // the correct 1060s one
+      in.addData(FunnelStream.TypedEvent(8L, 1030000000L, "click"))
+      q.processAllAvailable()
+      in.addData(FunnelStream.TypedEvent(8L, 1035000000L, "view"))
+      q.processAllAvailable()
+      // u7 clicks at 1040s (< 60s after their 1000s activity): state must
+      // still be alive, so this advances to stage 1 instead of being
+      // ignored by a freshly-reset journey
+      in.addData(FunnelStream.TypedEvent(7L, 1040000000L, "click"))
+      q.processAllAvailable()
+      val rows = spark.table("funnel4")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(rows.contains((7L, 1, 1040000000L)),
+        s"late replay evicted an active user: $rows")
+    } finally q.stop()
+  }
 }

@@ -61,18 +61,15 @@ def warm_min(ts):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    thr = 1.5
-    out = None
-    argv = sys.argv[1:]
-    for i, a in enumerate(argv):
-        if a == "--threshold":
-            thr = float(argv[i + 1])
-            args.remove(argv[i + 1])
-        if a == "--out":
-            out = argv[i + 1]
-            args.remove(out)
-    old_path, new_path = args[0], args[1]
+    import argparse
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("old_path")
+    ap.add_argument("new_path")
+    ap.add_argument("--threshold", type=float, default=1.5)
+    ap.add_argument("--out")
+    ns = ap.parse_args()
+    thr, out = ns.threshold, ns.out
+    old_path, new_path = ns.old_path, ns.new_path
     old, old_total = load_queries(old_path)
     new, new_total = load_queries(new_path)
     shared = sorted(set(old) & set(new))
