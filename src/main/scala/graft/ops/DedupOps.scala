@@ -293,13 +293,22 @@ object DedupOps {
     val base = spread(df).select(col(idCol).as("doc_id"),
       split(col(textCol), " ").as("__a"))
     val occ = gramOccurrences(base, n)
-    val firsts = occ.groupBy("h")
-      .agg(min(struct(col("doc_id"), col("pos"))).as("__first"),
-        count(lit(1)).as("__cnt"))
+    // first occurrence by (doc_id, pos), decomposed so every aggregate is
+    // a primitive-typed HashAggregate: min(struct(...)) is not
+    // hash-aggregable and falls back to SortAggregate — a per-partition
+    // sort of the token-volume occurrence relation (plan-verified).
+    // Lexicographic min == (min doc, min pos within that doc), so two
+    // hash aggs + one (h, doc)-keyed join give the identical election.
+    val perDoc = occ.groupBy("h", "doc_id")
+      .agg(min(col("pos")).as("__mp"), count(lit(1)).as("__c"))
+    val heads = perDoc.groupBy("h")
+      .agg(min(col("doc_id")).as("__fd"), sum(col("__c")).as("__cnt"))
+    val firsts = heads.join(
+      perDoc.select(col("h"), col("doc_id").as("__fd"), col("__mp")),
+      Seq("h", "__fd"))
     val dupOcc = occ.join(firsts, Seq("h"))
       .filter(col("__cnt") > 1 &&
-        !(col("doc_id") === col("__first.doc_id") &&
-          col("pos") === col("__first.pos")))
+        !(col("doc_id") === col("__fd") && col("pos") === col("__mp")))
     rewriteWithoutCoverage(base, dupOcc, n)
   }
 
@@ -662,12 +671,15 @@ object DedupOps {
     val labeled = df.select(col(idCol).as("doc_id"), sc.as("__score"))
       .join(comp, Seq("doc_id"), "left")
       .withColumn("component", coalesce(col("component"), col("doc_id")))
-    // argmax by (score desc, doc_id asc): lexicographic struct max with
-    // the id negated — deterministic for any tie pattern
-    val winners = labeled.groupBy("component")
-      .agg(max_by(col("doc_id"),
-        struct(col("__score").as("s"), (-col("doc_id")).as("nid")))
-        .as("keep_id"))
+    // argmax by (score desc, doc_id asc), decomposed into primitive-typed
+    // hash aggregates (max_by over a struct ordering falls back to
+    // SortAggregate, plan-verified): max score per cluster, then min id
+    // among the members attaining it — identical deterministic election
+    // (scores are exact rounded class-C values, so equality is exact)
+    val best = labeled.groupBy("component").agg(max(col("__score")).as("__bs"))
+    val winners = labeled.join(best, Seq("component"))
+      .filter(col("__score") === col("__bs"))
+      .groupBy("component").agg(min(col("doc_id")).as("keep_id"))
     labeled.join(winners, Seq("component"))
       .select(col("doc_id"), col("keep_id"),
         (col("doc_id") === col("keep_id")).as("is_kept"))
