@@ -203,6 +203,44 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("passageDedup == driver-side reference on random small-alphabet corpora") {
+    // small alphabet + short docs force heavy cross-document n-gram
+    // repetition, the regime the operator exists for
+    for (seed <- Seq(5, 17, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 3
+      val corpus = (0L until 12L).map { id =>
+        val len = 1 + rnd.nextInt(12)
+        id -> Seq.fill(len)(('a' + rnd.nextInt(3)).toChar.toString).mkString(" ")
+      }
+      // reference: literal transcription of the semantics — global first
+      // occurrence of each n-gram STRING by (doc_id, pos); every other
+      // occurrence removes its n covered token positions
+      val toks = corpus.map { case (id, t) => id -> t.split(" ", -1) }.toMap
+      val occs = corpus.flatMap { case (id, t) =>
+        val a = toks(id)
+        (0 to a.length - n).map(p => (a.slice(p, p + n).mkString(" "), id, p))
+      }
+      val firstOf = occs.groupBy(_._1).map { case (g, os) =>
+        g -> os.map(o => (o._2, o._3)).min
+      }
+      val counts = occs.groupBy(_._1).view.mapValues(_.size).toMap
+      val rm = occs.filter { case (g, id, p) =>
+        counts(g) > 1 && firstOf(g) != ((id, p))
+      }.flatMap { case (_, id, p) => (p until p + n).map(id -> _) }.toSet
+      val expected = corpus.map { case (id, _) =>
+        val kept = toks(id).zipWithIndex.filterNot(t => rm((id, t._2))).map(_._1)
+        id -> ((kept.mkString(" "), kept.length.toLong,
+          (toks(id).length - kept.length).toLong))
+      }.toMap
+      val got = graft.ops.DedupOps.passageDedup(
+        corpus.toDF("doc_id", "text"), n = n)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(got == expected, s"seed=$seed")
+    }
+  }
+
   test("bloom filter law: membership of every inserted key, any merge order") {
     import graft.functions.BloomFilter
     check(forAll(Gen.listOf(Gen.long), Gen.listOf(Gen.long)) { (xs, ys) =>
