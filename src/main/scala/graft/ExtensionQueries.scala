@@ -112,6 +112,13 @@ object ExtensionQueries {
         .select("doc_id", "shuffle_key")
         .orderBy("shuffle_key", "doc_id")
     },
+    // Token-budget mixture assembly: fill per-language token targets in
+    // seeded hash order (languages without a target contribute nothing)
+    "mix_token_budget" -> { (s, dir) =>
+      PipelineOps.tokenBudgetMix(Tables.documents(s, dir),
+        Map("en" -> 5000L, "zh" -> 1500L, "fr" -> 800L))
+        .orderBy("lang", "doc_id")
+    },
     // Benchmark decontamination: corpus docs sharing 5-grams with a
     // (demo) eval set = the first 10 docs
     "dedup_contamination" -> { (s, dir) =>
@@ -679,6 +686,8 @@ object ExtensionQueries {
     "epoch_shuffle" ->
       s"""SELECT doc_id, ${PipelineOps.epochShuffleKeySql(7L)} AS shuffle_key
          |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin,
+    "mix_token_budget" -> PipelineOps.tokenBudgetMixSql(
+      Map("en" -> 5000L, "zh" -> 1500L, "fr" -> 800L)),
     "dedup_contamination" -> {
       def sh(src: String) = shingleSql(5, src)
       s"""WITH c AS (${sh("doc_id >= 10")}), e AS (${sh("doc_id < 10")}),

@@ -498,6 +498,67 @@ object PipelineOps {
     s"(((($idExpr + $seed) % 1000000007 + 1000000007) % 1000000007)" +
       " * 2654435761) % 1000000007"
 
+  // ---- token-budget mixture assembly ---------------------------------------
+  /** Assemble a training mixture to a TOKEN budget: per group (domain /
+    * language), documents are taken in a seeded deterministic
+    * pseudo-random order until the group's token target is reached —
+    * "sample a 10B-token mixture at these domain shares" as one
+    * relational pass. A document is kept while the tokens accumulated
+    * BEFORE it are under the target (so the crossing doc is included and
+    * every non-empty target yields at least one doc).
+    *
+    * `targets` maps group value → token target; groups absent from the
+    * map contribute nothing. Deterministic and engine-portable: the
+    * order key is the [[epochShuffle]] hash, token counts are exact ints.
+    *
+    * Scale: one window per group (cumulative sum in hash order) — the
+    * same per-group-sort shape as [[domainCap]]; group count is small
+    * (domains), and the sort parallelizes across groups. The targets map
+    * is a broadcast literal relation. */
+  def tokenBudgetMix(docs: DataFrame, targets: Map[String, Long],
+      groupCol: String = "lang", seed: Long = 42L,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(targets.nonEmpty, "tokenBudgetMix needs at least one target")
+    require(targets.values.forall(_ >= 0), s"negative token target: $targets")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val t = broadcast(targets.toSeq.toDF(groupCol, "__target"))
+    val p = 1000000007L
+    val key = pmod(pmod(col(idCol) + lit(seed), lit(p)) * lit(2654435761L),
+      lit(p))
+    val w = Window.partitionBy(groupCol).orderBy(col("__k"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col(idCol), col(groupCol),
+        TextOps.tokenCount(col(textCol)).as("n_tok"), key.as("__k"))
+      .join(t, Seq(groupCol))
+      .withColumn("__before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .filter(col("__before") < col("__target"))
+      .select(col(idCol), col(groupCol), col("n_tok"))
+  }
+
+  /** DuckDB twin of [[tokenBudgetMix]] over the documents table. */
+  def tokenBudgetMixSql(targets: Map[String, Long], groupCol: String = "lang",
+      seed: Long = 42L): String = {
+    val vals = targets.toSeq.sortBy(_._1)
+      .map { case (g, t) => s"('${g.replace("'", "''")}', ${t}::BIGINT)" }
+      .mkString(", ")
+    val k = epochShuffleKeySql(seed)
+    s"""WITH tg($groupCol, target) AS (VALUES $vals),
+       |d AS (
+       |  SELECT doc_id, $groupCol, ${TextOps.tokenCountSql("text")} AS n_tok,
+       |    $k AS k
+       |  FROM documents JOIN tg USING ($groupCol)),
+       |c AS (
+       |  SELECT doc_id, $groupCol, n_tok,
+       |    COALESCE(sum(n_tok) OVER (PARTITION BY $groupCol ORDER BY k, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+       |  FROM d)
+       |SELECT c.doc_id, c.$groupCol, CAST(c.n_tok AS BIGINT) AS n_tok
+       |FROM c JOIN tg USING ($groupCol)
+       |WHERE c.bef < tg.target
+       |ORDER BY c.$groupCol, c.doc_id""".stripMargin
+  }
+
   // ---- context-window chunking -------------------------------------------
   /** Fixed window/stride chunk spans per document (the chunking step that
     * feeds context-window training): chunk i covers tokens

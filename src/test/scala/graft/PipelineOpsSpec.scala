@@ -286,6 +286,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("tokenBudgetMix fills each group's token target in seeded hash order") {
+    val docs = (0L until 30L).map { i =>
+      (i, if (i % 2 == 0) "g1" else "g2",
+        Seq.fill((i % 5 + 1).toInt)("w").mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    val got = PipelineOps.tokenBudgetMix(docs, Map("g1" -> 10L), seed = 42L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.forall(_._2 == "g1")) // untargeted group contributes nothing
+    // driver-side reference: same portable hash, same fill-until rule
+    val p = 1000000007L
+    def key(id: Long) = ((id + 42) % p) * 2654435761L % p
+    val ordered = (0L until 30L).filter(_ % 2 == 0)
+      .map(i => (i, i % 5 + 1)).sortBy { case (id, _) => (key(id), id) }
+    val expected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var before = 0L
+    ordered.foreach { case (id, nt) =>
+      if (before < 10L) { expected += ((id, nt)); before += nt }
+    }
+    assert(got.map(r => (r._1, r._3)).toSet == expected.toSet)
+    // the crossing doc is included: kept tokens reach the target
+    assert(expected.map(_._2).sum >= 10L)
+  }
+
   test("weightedSample edge parity: negative ids use pmod, NaN weights excluded") {
     // expected set computed by running weightedSampleSql's emitted SQL on
     // this exact fixture in DuckDB: the SQL twin must agree beyond the
