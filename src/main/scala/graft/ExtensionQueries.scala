@@ -119,6 +119,13 @@ object ExtensionQueries {
         Map("en" -> 5000L, "zh" -> 1500L, "fr" -> 800L))
         .orderBy("lang", "doc_id")
     },
+    // BPE tokenizer induction, round-1 statistics: adjacent symbol-pair
+    // frequencies over the word dictionary (top 30, deterministic order)
+    "bpe_pair_counts" -> { (s, dir) =>
+      BpeOps.pairCounts(BpeOps.wordDict(Tables.documents(s, dir)))
+        .orderBy(col("pair_freq").desc, col("l").asc, col("r").asc)
+        .limit(30)
+    },
     // Benchmark decontamination: corpus docs sharing 5-grams with a
     // (demo) eval set = the first 10 docs
     "dedup_contamination" -> { (s, dir) =>
@@ -688,6 +695,7 @@ object ExtensionQueries {
          |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin,
     "mix_token_budget" -> PipelineOps.tokenBudgetMixSql(
       Map("en" -> 5000L, "zh" -> 1500L, "fr" -> 800L)),
+    "bpe_pair_counts" -> BpeOps.pairCountsSql(30),
     "dedup_contamination" -> {
       def sh(src: String) = shingleSql(5, src)
       s"""WITH c AS (${sh("doc_id >= 10")}), e AS (${sh("doc_id < 10")}),

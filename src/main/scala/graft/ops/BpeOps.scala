@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BPE (byte-pair-encoding) merge induction — tokenizer training as a
+  * relational workload (Sennrich et al. 2016, the word-dictionary
+  * formulation every production BPE trainer uses).
+  *
+  * Scale design: training never touches corpus-cardinality data after
+  * the first pass. The corpus reduces ONCE to the word-frequency
+  * dictionary (distinct words + counts — vocabulary-sized); each merge
+  * round is (a) an adjacent-pair frequency aggregate over the dictionary
+  * and (b) a per-word symbol rewrite, both dictionary-sized. The driver
+  * holds only the argmax pair per round (one tiny collect), mirroring
+  * the kmeansLloyd pattern; per-round `localCheckpoint` caps lineage
+  * like connectedComponents.
+  */
+object BpeOps {
+
+  /** The word-frequency dictionary: one row per distinct word with its
+    * corpus frequency and initial symbol sequence (characters + the
+    * end-of-word marker). Empty tokens (from repeated separators) are
+    * dropped. */
+  def wordDict(docs: DataFrame, textCol: String = "text",
+      endMark: String = "</w>"): DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("symbols", expr(
+        s"array_append(transform(sequence(1, length(word)), " +
+          s"i -> substring(word, i, 1)), '$endMark')"))
+
+  /** Adjacent symbol-pair frequencies over a dictionary — the statistic
+    * one BPE round maximizes: Σ word-freq per (left, right) pair.
+    * Includes overlapping occurrences ("a a a" counts (a,a) twice),
+    * matching the reference counter implementations. */
+  def pairCounts(dict: DataFrame): DataFrame =
+    dict.filter(size(col("symbols")) >= 2)
+      .select(col("freq"), explode(expr(
+        "transform(sequence(0, size(symbols) - 2), " +
+          "i -> struct(symbols[i] AS l, symbols[i + 1] AS r))")).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("freq")).as("pair_freq"))
+
+  /** Rewrite a symbol array applying one merge (l, r) → l+r, leftmost
+    * first, non-overlapping — a sequential fold, expressed as the
+    * `aggregate` higher-order function (runs per dictionary word per
+    * round: vocabulary-sized work, never corpus-sized). */
+  private def applyMerge(l: String, r: String): Column = {
+    def q(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
+    expr(
+      "aggregate(symbols, " +
+        "named_struct('out', CAST(array() AS ARRAY<STRING>), 'prev', CAST(NULL AS STRING)), " +
+        "(acc, s) -> IF(acc.prev IS NULL, named_struct('out', acc.out, 'prev', s), " +
+        s"IF(acc.prev = '${q(l)}' AND s = '${q(r)}', " +
+        s"named_struct('out', array_append(acc.out, '${q(l)}${q(r)}'), " +
+        "'prev', CAST(NULL AS STRING)), " +
+        "named_struct('out', array_append(acc.out, acc.prev), 'prev', s))), " +
+        "acc -> IF(acc.prev IS NULL, acc.out, array_append(acc.out, acc.prev)))")
+  }
+
+  /** Train `nMerges` BPE merges: per round take the most frequent
+    * adjacent pair (ties to the lexicographically smallest (l, r) — the
+    * deterministic tie-break the oracle can replay) and rewrite the
+    * dictionary. Stops early when no pair remains. Returns the ordered
+    * merge list; `finalDict(...)` exposes the rewritten dictionary. */
+  def train(docs: DataFrame, nMerges: Int, textCol: String = "text"): Seq[(String, String)] = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    var dict = wordDict(docs, textCol).localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var round = 0
+    while (round < nMerges) {
+      val top = pairCounts(dict)
+        .orderBy(col("pair_freq").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (top.isEmpty) round = nMerges // dictionary fully merged
+      else {
+        val (l, r) = (top(0).getString(0), top(0).getString(1))
+        merges += ((l, r))
+        dict = dict.withColumn("symbols", applyMerge(l, r)).localCheckpoint()
+        round += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** The dictionary after applying an (ordered) merge list — e.g. the
+    * output of [[train]] — to fresh text: how a trained tokenizer is
+    * APPLIED at corpus scale (one narrow pass per... no: one pass total,
+    * the merges fold into a chain of per-row rewrites). */
+  def applyMerges(dict: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    merges.foldLeft(dict) { case (d, (l, r)) =>
+      d.withColumn("symbols", applyMerge(l, r))
+    }
+
+  /** DuckDB twin of `pairCounts(wordDict(documents))` top-`k` (by
+    * frequency, lexicographic tie-break) — the one-round statistics
+    * oracle. */
+  def pairCountsSql(k: Int, endMark: String = "</w>"): String =
+    s"""WITH w AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE word <> '' GROUP BY 1),
+       |d AS (
+       |  SELECT freq,
+       |    list_append(string_split(word, ''), '$endMark') AS symbols
+       |  FROM w),
+       |p AS (
+       |  SELECT symbols[i + 1] AS l, symbols[i + 2] AS r, freq
+       |  FROM d, unnest(range(0, len(symbols) - 1)) t(i))
+       |SELECT l, r, CAST(sum(freq) AS BIGINT) AS pair_freq
+       |FROM p GROUP BY 1, 2
+       |ORDER BY pair_freq DESC, l, r LIMIT $k""".stripMargin
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.BpeOps
+
+/** BPE merge induction: the classic Sennrich fixture plus a differential
+  * check against a driver-side reference trainer on random corpora. */
+class BpeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.get
+  import spark.implicits._
+
+  /** Driver-side reference BPE (literal transcription of the semantics:
+    * word-freq dict, overlapping pair counts, argmax with (freq desc,
+    * l asc, r asc) tie-break, leftmost-first non-overlapping rewrite). */
+  private def referenceTrain(corpus: Seq[String], nMerges: Int): Seq[(String, String)] = {
+    var dict: Map[Vector[String], Long] = corpus.flatMap(_.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, ws) =>
+        (w.map(_.toString).toVector :+ "</w>") -> ws.size.toLong
+      }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var i = 0
+    while (i < nMerges) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      dict.foreach { case (syms, f) =>
+        syms.sliding(2).filter(_.size == 2).foreach { p =>
+          counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + f
+        }
+      }
+      if (counts.isEmpty) i = nMerges
+      else {
+        val (l, r) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+        merges += ((l, r))
+        dict = dict.map { case (syms, f) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var j = 0
+          while (j < syms.length) {
+            if (j + 1 < syms.length && syms(j) == l && syms(j + 1) == r) {
+              out += l + r; j += 2
+            } else { out += syms(j); j += 1 }
+          }
+          out.toVector -> f
+        }
+        i += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  test("classic fixture: merges build 'est</w>' from newest/widest") {
+    val corpus = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val docs = Seq((0L, corpus.mkString(" "))).toDF("doc_id", "text")
+    val merges = BpeOps.train(docs, 5)
+    assert(merges == referenceTrain(corpus.mkString(" ") :: Nil, 5))
+    // the famous outcome: 'es' then 'est' early (freq 9 from newest+widest)
+    assert(merges.take(2).contains(("e", "s")))
+    assert(merges.contains(("es", "t")) || merges.contains(("e", "st")))
+  }
+
+  test("differential: distributed train == reference on random corpora") {
+    for (seed <- Seq(2, 31)) {
+      val rnd = new scala.util.Random(seed)
+      val words = Seq.fill(30)(
+        Seq.fill(1 + rnd.nextInt(5))(('a' + rnd.nextInt(4)).toChar).mkString)
+      val text = Seq.fill(120)(words(rnd.nextInt(words.size))).mkString(" ")
+      val docs = Seq((0L, text)).toDF("doc_id", "text")
+      val got = BpeOps.train(docs, 8)
+      assert(got == referenceTrain(Seq(text), 8), s"seed=$seed")
+    }
+  }
+
+  test("applyMerges rewrites leftmost-first without overlap") {
+    val dict = Seq((1L, "aaa")).toDF("doc_id", "text")
+    val d0 = BpeOps.wordDict(dict)
+    val after = BpeOps.applyMerges(d0, Seq(("a", "a")))
+      .select("symbols").collect()(0)
+      .getAs[scala.collection.Seq[String]](0).toSeq
+    assert(after == Seq("aa", "a", "</w>")) // NOT (a, aa): leftmost wins
+    val twice = BpeOps.applyMerges(d0, Seq(("a", "a"), ("aa", "a")))
+      .select("symbols").collect()(0)
+      .getAs[scala.collection.Seq[String]](0).toSeq
+    assert(twice == Seq("aaa", "</w>"))
+  }
+}
