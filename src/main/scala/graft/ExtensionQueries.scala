@@ -1215,7 +1215,8 @@ object ExtensionQueries {
     val prefix = base.substring(0, idx).stripTrailing() + ",\n"
     s"""${prefix}labeled AS (
        |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component,
-       |    round(${graft.ops.TextOps.qualityScoreSql("d.text")}, 6) AS score
+       |    COALESCE(round(${graft.ops.TextOps.qualityScoreSql("d.text")}, 6),
+       |      -1e308) AS score
        |  FROM documents d LEFT JOIN comp c USING (doc_id)),
        |win AS (
        |  SELECT component, doc_id AS keep_id,

@@ -23,13 +23,19 @@ object BpeOps {
     * end-of-word marker). Empty tokens (from repeated separators) are
     * dropped. */
   def wordDict(docs: DataFrame, textCol: String = "text",
-      endMark: String = "</w>"): DataFrame =
+      endMark: String = "</w>"): DataFrame = {
+    // the marker is spliced into a generated expression (and, for the
+    // oracle twin, into SQL) — refuse characters that would break the
+    // string literal rather than escaping in two grammars
+    require(!endMark.exists(c => c == '\'' || c == '\\'),
+      s"endMark must not contain quotes/backslashes: $endMark")
     docs.select(explode(split(col(textCol), " ")).as("word"))
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .withColumn("symbols", expr(
         s"array_append(transform(sequence(1, length(word)), " +
           s"i -> substring(word, i, 1)), '$endMark')"))
+  }
 
   /** Adjacent symbol-pair frequencies over a dictionary — the statistic
     * one BPE round maximizes: Σ word-freq per (left, right) pair.
@@ -61,13 +67,19 @@ object BpeOps {
   }
 
   /** Train `nMerges` BPE merges: per round take the most frequent
-    * adjacent pair (ties to the lexicographically smallest (l, r) — the
-    * deterministic tie-break the oracle can replay) and rewrite the
-    * dictionary. Stops early when no pair remains. Returns the ordered
-    * merge list; `finalDict(...)` exposes the rewritten dictionary. */
+    * adjacent pair (ties to the lexicographically smallest (l, r) by
+    * Spark's binary/code-point string order — the deterministic
+    * tie-break the oracle can replay) and rewrite the dictionary. Stops
+    * early when no pair remains. Returns the ordered merge list; recover
+    * the trained dictionary with `applyMerges(wordDict(docs), merges)`.
+    *
+    * Lazy per-round localCheckpoint (the connectedComponents pattern):
+    * lineage stays one round deep, and materialization folds into the
+    * next round's argmax collect — one job per round, with no wasted
+    * eager job materializing the final dictionary nobody reads. */
   def train(docs: DataFrame, nMerges: Int, textCol: String = "text"): Seq[(String, String)] = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
-    var dict = wordDict(docs, textCol).localCheckpoint()
+    var dict = wordDict(docs, textCol).localCheckpoint(false)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var round = 0
     while (round < nMerges) {
@@ -78,7 +90,8 @@ object BpeOps {
       else {
         val (l, r) = (top(0).getString(0), top(0).getString(1))
         merges += ((l, r))
-        dict = dict.withColumn("symbols", applyMerge(l, r)).localCheckpoint()
+        dict = dict.withColumn("symbols", applyMerge(l, r))
+          .localCheckpoint(false)
         round += 1
       }
     }
@@ -86,18 +99,30 @@ object BpeOps {
   }
 
   /** The dictionary after applying an (ordered) merge list — e.g. the
-    * output of [[train]] — to fresh text: how a trained tokenizer is
-    * APPLIED at corpus scale (one narrow pass per... no: one pass total,
-    * the merges fold into a chain of per-row rewrites). */
+    * output of [[train]] — how a trained tokenizer is APPLIED: the
+    * merges fold into chained per-row rewrites, checkpointed every
+    * [[ApplyCheckpointEvery]] merges so a production-sized merge list
+    * (~30k) cannot stack into one unanalyzable Catalyst plan (the same
+    * driver-death mode the components loop documents — the optimizer
+    * dies on plan depth long before the data is touched). */
   def applyMerges(dict: DataFrame, merges: Seq[(String, String)]): DataFrame =
-    merges.foldLeft(dict) { case (d, (l, r)) =>
-      d.withColumn("symbols", applyMerge(l, r))
+    merges.zipWithIndex.foldLeft(dict) { case (d, ((l, r), i)) =>
+      val next = d.withColumn("symbols", applyMerge(l, r))
+      if ((i + 1) % ApplyCheckpointEvery == 0) next.localCheckpoint(false)
+      else next
     }
+
+  /** Plan-depth cap for [[applyMerges]]: merges chained between lazy
+    * checkpoints. 32 keeps analysis cost trivial while amortizing the
+    * checkpoint materialization over many rewrites. */
+  val ApplyCheckpointEvery: Int = 32
 
   /** DuckDB twin of `pairCounts(wordDict(documents))` top-`k` (by
     * frequency, lexicographic tie-break) — the one-round statistics
     * oracle. */
-  def pairCountsSql(k: Int, endMark: String = "</w>"): String =
+  def pairCountsSql(k: Int, endMark: String = "</w>"): String = {
+    require(!endMark.exists(c => c == '\'' || c == '\\'),
+      s"endMark must not contain quotes/backslashes: $endMark")
     s"""WITH w AS (
        |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
@@ -112,4 +137,5 @@ object BpeOps {
        |SELECT l, r, CAST(sum(freq) AS BIGINT) AS pair_freq
        |FROM p GROUP BY 1, 2
        |ORDER BY pair_freq DESC, l, r LIMIT $k""".stripMargin
+  }
 }

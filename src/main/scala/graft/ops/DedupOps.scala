@@ -668,7 +668,13 @@ object DedupOps {
     val pairs = minhashDedupPairs(df, k, numHashes, bands, threshold, seed,
       textCol, idCol).select("doc_a", "doc_b")
     val comp = connectedComponents(pairs, maxIter)
-    val labeled = df.select(col(idCol).as("doc_id"), sc.as("__score"))
+    // NULL scores (e.g. null text) coalesce to a sentinel below any real
+    // score: they rank last but their rows SURVIVE — without this, an
+    // all-null cluster's max(__score) is null, the equality filter drops
+    // every member, and the final join violates the one-row-per-doc
+    // contract. Same sentinel in the oracle twin.
+    val labeled = df.select(col(idCol).as("doc_id"),
+        coalesce(sc, lit(-1e308)).as("__score"))
       .join(comp, Seq("doc_id"), "left")
       .withColumn("component", coalesce(col("component"), col("doc_id")))
     // argmax by (score desc, doc_id asc), decomposed into primitive-typed

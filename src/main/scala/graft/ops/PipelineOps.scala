@@ -485,13 +485,18 @@ object PipelineOps {
     * only needs `repartitionByRange(shuffle_key) +
     * sortWithinPartitions(shuffle_key, id)`: reader-order equals epoch
     * order without any single-task stage. */
-  def epochShuffle(docs: DataFrame, seed: Long,
-      idCol: String = "doc_id"): DataFrame = {
+  /** The seeded portable hash shared by [[epochShuffle]] and
+    * [[tokenBudgetMix]] — ONE definition so the family can never drift
+    * between the two (the SQL twins both derive from
+    * [[epochShuffleKeySql]]). */
+  def epochShuffleKey(id: Column, seed: Long): Column = {
     val p = 1000000007L
-    val key = pmod(pmod(col(idCol) + lit(seed), lit(p)) * lit(2654435761L),
-      lit(p))
-    docs.withColumn("shuffle_key", key)
+    pmod(pmod(id + lit(seed), lit(p)) * lit(2654435761L), lit(p))
   }
+
+  def epochShuffle(docs: DataFrame, seed: Long,
+      idCol: String = "doc_id"): DataFrame =
+    docs.withColumn("shuffle_key", epochShuffleKey(col(idCol), seed))
 
   /** DuckDB twin of [[epochShuffle]]'s key for the documents table. */
   def epochShuffleKeySql(seed: Long, idExpr: String = "doc_id"): String =
@@ -523,13 +528,11 @@ object PipelineOps {
     val spark = docs.sparkSession
     import spark.implicits._
     val t = broadcast(targets.toSeq.toDF(groupCol, "__target"))
-    val p = 1000000007L
-    val key = pmod(pmod(col(idCol) + lit(seed), lit(p)) * lit(2654435761L),
-      lit(p))
     val w = Window.partitionBy(groupCol).orderBy(col("__k"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     docs.select(col(idCol), col(groupCol),
-        TextOps.tokenCount(col(textCol)).as("n_tok"), key.as("__k"))
+        TextOps.tokenCount(col(textCol)).as("n_tok"),
+        epochShuffleKey(col(idCol), seed).as("__k"))
       .join(t, Seq(groupCol))
       .withColumn("__before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
       .filter(col("__before") < col("__target"))

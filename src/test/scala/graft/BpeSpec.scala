@@ -30,7 +30,13 @@ class BpeSpec extends AnyFunSuite {
       }
       if (counts.isEmpty) i = nMerges
       else {
-        val (l, r) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+        // tie-break must mirror Spark's BINARY (code-point) string order,
+        // not Scala's UTF-16 code-unit compareTo — they disagree for
+        // supplementary-plane vs U+E000..U+FFFF symbols
+        import scala.math.Ordering.Implicits._
+        def cp(s: String): List[Int] = s.codePoints().toArray.toList
+        val (l, r) = counts.toSeq
+          .minBy { case ((a, b), c) => (-c, cp(a), cp(b)) }._1
         merges += ((l, r))
         dict = dict.map { case (syms, f) =>
           val out = scala.collection.mutable.ArrayBuffer.empty[String]

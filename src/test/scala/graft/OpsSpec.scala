@@ -165,6 +165,13 @@ class OpsSpec extends AnyFunSuite {
     val t = DedupOps.minhashDedupKeepBest(tied, threshold = 0.5)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(t == Map(20L -> 20L, 21L -> 20L))
+    // NULL scores (null text) must not drop rows: one row per corpus doc
+    // always, null-score docs elect by min id and rank below real scores
+    val withNull = Seq((30L, null.asInstanceOf[String]), (31L, base))
+      .toDF("doc_id", "text")
+    val nres = DedupOps.minhashDedupKeepBest(withNull, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(nres == Map(30L -> ((30L, true)), 31L -> ((31L, true))))
   }
 
   test("epochShuffle: seeded bijective key, new seed = new permutation") {
