@@ -220,6 +220,13 @@ object SparkEntry {
       HistAlgebra.cumulative(spec, h)
         .withColumn("cum_value", round(col("cum_value"), 6)).orderBy("i0")
     },
+    // interpolated quantiles from the filled histogram (the latency-
+    // histogram estimator: rank -> bin -> linear interpolation)
+    "hist_quantiles" -> { (s, dir) =>
+      val spec = HistSpec(Seq(axQtyR), DoubleStorage)
+      val h = Hist.fill(spec, Tables.lineitem(s, dir), Seq(col("l_quantity")))
+      HistAlgebra.quantiles(spec, h, Seq(0.25, 0.5, 0.9, 0.99)).orderBy("q")
+    },
     // div on common support (HistAlgebra.binOp's documented divergence
     // mode: engines disagree on 0-divisor forms, boost IEEE semantics
     // live behind commonSupportOnly = false)
@@ -487,6 +494,12 @@ object SparkEntry {
          |  FROM ${li()} GROUP BY 1)
          |SELECT i0, round(sum(v) OVER (ORDER BY i0 ROWS UNBOUNDED PRECEDING), 6)
          |  AS cum_value FROM h ORDER BY i0""".stripMargin,
+    "hist_quantiles" ->
+      s"""WITH h AS (
+         |  SELECT ${axQtyR.sqlExpr("l_quantity")} AS i0, sum(1.0) AS value
+         |  FROM ${li()} GROUP BY 1),
+         |${HistAlgebra.quantilesSql(axQtyR, Seq(0.25, 0.5, 0.9, 0.99))}
+         |ORDER BY q""".stripMargin,
     "hist_div" ->
       s"""SELECT a.i0 AS i0, round(a.v / b.v, 6) AS value FROM (
          |  SELECT ${axQtyR.sqlExpr("l_quantity")} AS i0, sum(1.0) AS v

@@ -174,6 +174,74 @@ object HistAlgebra {
         .groupBy(spec.indexCols.map(col): _*).agg(sums.head, sums.tail: _*))
   }
 
+  /** Interpolated quantile estimates from a filled 1-D Regular-axis
+    * histogram (the classic histogram-quantile estimator: linear
+    * interpolation within the bin containing the target rank — what
+    * monitoring systems compute from latency histograms). Input `h` is
+    * the sparse fill result; flow bins are EXCLUDED from the rank space
+    * (an underflow/overflow quantile is unknowable from a histogram —
+    * callers wanting clamping should slice first).
+    *
+    * For target rank t = q·N: the bin i with cumBefore < t <= cumBefore
+    * + count estimates est = lo + (i−1)·w + w·(t − cumBefore)/count.
+    * Requires 0 < q <= 1. Engine-portable: identical op order in
+    * [[quantilesSql]], exact integer counts, so both engines hand
+    * bit-identical doubles to the 6-dp round (FIXTURES.md §6 class E,
+    * sans libm).
+    *
+    * A window + join over a BIN-COUNT-sized relation — never data. */
+  def quantiles(spec: HistSpec, h: DataFrame, qs: Seq[Double]): DataFrame = {
+    require(spec.ndim == 1, "quantiles supports 1-D histograms")
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must be in (0, 1], got $qs")
+    val ax = spec.axes.head match {
+      case r: Regular => r
+      case other => throw new IllegalArgumentException(
+        s"quantiles needs a Regular axis, got $other")
+    }
+    val w = (ax.hi - ax.lo) / ax.n
+    val spark = h.sparkSession
+    import spark.implicits._
+    val interior = h.filter(col("i0") >= 1L && col("i0") <= ax.n.toLong)
+      .select(col("i0"), col("value").cast("double").as("__c"))
+    val win = org.apache.spark.sql.expressions.Window.orderBy(col("i0"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cum = interior
+      .withColumn("__cb", coalesce(sum(col("__c")).over(win), lit(0.0)))
+      .withColumn("__n", sum(col("__c")).over(
+        org.apache.spark.sql.expressions.Window
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+    val qdf = broadcast(qs.toDF("q"))
+    cum.crossJoin(qdf)
+      .withColumn("__t", col("q") * col("__n"))
+      .filter(col("__t") > col("__cb") && col("__t") <= col("__cb") + col("__c"))
+      .select(col("q"),
+        round(lit(ax.lo) + (col("i0") - 1L).cast("double") * lit(w) +
+          lit(w) * (col("__t") - col("__cb")) / col("__c"), 6).as("est"))
+  }
+
+  /** DuckDB twin of [[quantiles]] over a histogram CTE named `h`
+    * (columns i0, value) — same interior filter, same rank space, same
+    * interpolation op order. String-formatted double literals round-trip
+    * exactly through CAST(... AS DOUBLE). */
+  def quantilesSql(ax: Regular, qs: Seq[Double]): String = {
+    val w = (ax.hi - ax.lo) / ax.n
+    val lo = s"CAST('${ax.lo}' AS DOUBLE)"
+    val ws = s"CAST('$w' AS DOUBLE)"
+    val vals = qs.map(q => s"(CAST('$q' AS DOUBLE))").mkString(", ")
+    s"""ih AS (SELECT i0, CAST(value AS DOUBLE) AS c FROM h
+       |       WHERE i0 BETWEEN 1 AND ${ax.n}),
+       |cum AS (
+       |  SELECT i0, c,
+       |    COALESCE(sum(c) OVER (ORDER BY i0
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+       |    sum(c) OVER () AS n FROM ih),
+       |qs(q) AS (VALUES $vals)
+       |SELECT q, round($lo + (i0 - 1) * $ws + $ws * (q * n - cb) / c, 6) AS est
+       |FROM cum JOIN qs ON q * n > cb AND q * n <= cb + c""".stripMargin
+  }
+
   /** Cumulative histogram along a 1-D axis (the CDF view): running sum of
     * `value` in bin-index order, flow included. A window over a
     * bin-count-sized relation — NOT over data. */

@@ -460,6 +460,19 @@ class HistCoreSpec extends AnyFunSuite {
     assert(hs == Map(0L -> 2L, 1L -> 1L, 2L -> 1L, 3L -> 2L))
     intercept[IllegalArgumentException](
       HistAlgebra.slice(spec1, Hist.fill(spec1, dfr, Seq(col("x"))), 0, 0, 4))
+    // interpolated quantiles: uniform fill 0.5..99.5 into 10 bins of 10
+    // -> quantile q estimates at q*100 exactly (linear within bins)
+    val specQ = HistSpec(Seq(Regular(10, 0.0, 100.0)), DoubleStorage)
+    val dfq = (0 until 100).map(_ + 0.5).toDF("x")
+    val hq = Hist.fill(specQ, dfq, Seq(col("x")))
+    val quants = HistAlgebra.quantiles(specQ, hq, Seq(0.25, 0.5, 1.0))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(quants == Map(0.25 -> 25.0, 0.5 -> 50.0, 1.0 -> 100.0))
+    intercept[IllegalArgumentException](
+      HistAlgebra.quantiles(specQ, hq, Seq(0.0))) // q=0 rank is undefined
+    intercept[IllegalArgumentException]( // flow-bin quantiles unknowable
+      HistAlgebra.quantiles(HistSpec(Seq(Variable(Seq(0.0, 1.0))),
+        DoubleStorage), hq, Seq(0.5)))
     // cumulative: last bin carries the total, sequence monotone
     val specD = HistSpec(Seq(Regular(4, 0.0, 4.0)), DoubleStorage)
     val cum = HistAlgebra.cumulative(specD,
