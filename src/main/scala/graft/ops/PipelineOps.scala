@@ -475,9 +475,16 @@ object PipelineOps {
     * doc id (the same portable integer family as [[weightedSample]] /
     * [[domainCap]], so the DuckDB twin reproduces it bit-for-bit).
     * `ORDER BY (shuffle_key, doc_id)` is the epoch order; a new seed is a
-    * new permutation. For ids < p the key is a bijection (multiplication
-    * by a unit mod the prime), so collisions — and the id tie-break —
-    * only matter past 10⁹ docs.
+    * new permutation. The modulus is the Mersenne prime 2⁶¹−1, so the key
+    * is a bijection (multiplication by a unit mod the prime) over the
+    * whole id range any real corpus reaches — collisions, and hence the
+    * id tie-break, only matter past 2.3×10¹⁸ docs.
+    *
+    * Portability: `(id+seed) % p * m` reaches 2¹²⁴, past 64-bit — both
+    * engines compute it in wide integers (Spark `Decimal(38,0)`, DuckDB
+    * `HUGEINT`) and cast the reduced value (< 2⁶¹) back to long. The
+    * decimal math is one codegen'd projection per row, off the hot path
+    * of any aggregate.
     *
     * Scale: the key is one narrow codegen'd projection. Do NOT materialize
     * a global row_number position at scale — a total order is a range
@@ -485,23 +492,31 @@ object PipelineOps {
     * only needs `repartitionByRange(shuffle_key) +
     * sortWithinPartitions(shuffle_key, id)`: reader-order equals epoch
     * order without any single-task stage. */
+  /** Mersenne prime 2⁶¹−1: modulus of [[epochShuffleKey]]. */
+  final val ShufflePrime = 2305843009213693951L
+  /** Multiplier (Knuth's 64-bit LCG constant); any value ≢ 0 (mod p) is a
+    * unit, so the map id ↦ id·m mod p is a bijection on [0, p). */
+  final val ShuffleMult = 6364136223846793005L
   /** The seeded portable hash shared by [[epochShuffle]] and
     * [[tokenBudgetMix]] — ONE definition so the family can never drift
     * between the two (the SQL twins both derive from
     * [[epochShuffleKeySql]]). */
   def epochShuffleKey(id: Column, seed: Long): Column = {
-    val p = 1000000007L
-    pmod(pmod(id + lit(seed), lit(p)) * lit(2654435761L), lit(p))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val p = lit(ShufflePrime).cast(dec)
+    pmod(pmod(id.cast(dec) + lit(seed).cast(dec), p) * lit(ShuffleMult).cast(dec), p)
+      .cast(org.apache.spark.sql.types.LongType)
   }
 
   def epochShuffle(docs: DataFrame, seed: Long,
       idCol: String = "doc_id"): DataFrame =
     docs.withColumn("shuffle_key", epochShuffleKey(col(idCol), seed))
 
-  /** DuckDB twin of [[epochShuffle]]'s key for the documents table. */
+  /** DuckDB twin of [[epochShuffle]]'s key for the documents table.
+    * HUGEINT (128-bit) arithmetic mirrors Spark's Decimal(38,0). */
   def epochShuffleKeySql(seed: Long, idExpr: String = "doc_id"): String =
-    s"(((($idExpr + $seed) % 1000000007 + 1000000007) % 1000000007)" +
-      " * 2654435761) % 1000000007"
+    s"CAST(((($idExpr::HUGEINT + $seed) % $ShufflePrime + $ShufflePrime)" +
+      s" % $ShufflePrime * $ShuffleMult) % $ShufflePrime AS BIGINT)"
 
   // ---- token-budget mixture assembly ---------------------------------------
   /** Assemble a training mixture to a TOKEN budget: per group (domain /
@@ -516,25 +531,50 @@ object PipelineOps {
     * map contribute nothing. Deterministic and engine-portable: the
     * order key is the [[epochShuffle]] hash, token counts are exact ints.
     *
-    * Scale: one window per group (cumulative sum in hash order) — the
-    * same per-group-sort shape as [[domainCap]]; group count is small
-    * (domains), and the sort parallelizes across groups. The targets map
-    * is a broadcast literal relation. */
+    * Scale: a cumulative sum over a whole domain must NOT be one window
+    * partition per domain (a web-scale "en" domain is billions of rows
+    * sorted in a single task). Instead, a two-phase bucketed prefix sum:
+    * the shuffle key's range [0, p) is cut into `buckets` contiguous
+    * intervals, so bucket order IS key order and
+    * `global_prefix(row) = offset(bucket) + prefix_within_bucket(row)`
+    * exactly. Phase 1 hash-aggregates per-(group, bucket) token totals
+    * (output: |domains|·buckets rows); their per-group running sum is the
+    * bucket offset. Phase 2 windows only WITHIN (group, bucket) — key
+    * uniformity makes buckets ~equal-sized regardless of domain skew, so
+    * per-task work is corpus/buckets, flat in the domain distribution.
+    * The offsets relation is broadcast back. The narrow (id, group,
+    * n_tok, key) projection is evaluated in both phases; at 100 TB
+    * persist it (or accept two pruned scans — it is 4 columns wide).
+    * The targets map is a broadcast literal relation. */
   def tokenBudgetMix(docs: DataFrame, targets: Map[String, Long],
       groupCol: String = "lang", seed: Long = 42L,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      buckets: Int = 64): DataFrame = {
     require(targets.nonEmpty, "tokenBudgetMix needs at least one target")
     require(targets.values.forall(_ >= 0), s"negative token target: $targets")
+    require(buckets > 0, s"buckets must be positive: $buckets")
     val spark = docs.sparkSession
     import spark.implicits._
     val t = broadcast(targets.toSeq.toDF(groupCol, "__target"))
-    val w = Window.partitionBy(groupCol).orderBy(col("__k"), col(idCol))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    docs.select(col(idCol), col(groupCol),
+    // ceil(p / buckets) so every key lands in [0, buckets)
+    val width = ShufflePrime / buckets + 1
+    val base = docs.select(col(idCol), col(groupCol),
         TextOps.tokenCount(col(textCol)).as("n_tok"),
         epochShuffleKey(col(idCol), seed).as("__k"))
       .join(t, Seq(groupCol))
-      .withColumn("__before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("__b", expr(s"__k DIV ${width}L"))
+    val wOff = Window.partitionBy(groupCol).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col(groupCol), col("__b"))
+      .agg(sum(col("n_tok")).as("__btok"))
+      .withColumn("__off", coalesce(sum(col("__btok")).over(wOff), lit(0L)))
+      .select(col(groupCol), col("__b"), col("__off"))
+    val wIn = Window.partitionBy(col(groupCol), col("__b"))
+      .orderBy(col("__k"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.join(broadcast(offsets), Seq(groupCol, "__b"))
+      .withColumn("__before",
+        col("__off") + coalesce(sum(col("n_tok")).over(wIn), lit(0L)))
       .filter(col("__before") < col("__target"))
       .select(col(idCol), col(groupCol), col("n_tok"))
   }

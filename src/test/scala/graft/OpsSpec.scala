@@ -181,7 +181,7 @@ class OpsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1))
     // bijection on ids < p: no collisions, keys in [0, p)
     assert(k1.map(_._2).distinct.length == 1000)
-    assert(k1.forall { case (_, k) => k >= 0 && k < 1000000007L })
+    assert(k1.forall { case (_, k) => k >= 0 && k < PipelineOps.ShufflePrime })
     // deterministic across evaluations
     val again = PipelineOps.epochShuffle(ids, seed = 1L)
       .select("doc_id", "shuffle_key").collect()
@@ -196,6 +196,27 @@ class OpsSpec extends AnyFunSuite {
     assert(order1 != order2)
     // not the identity order either
     assert(order1 != (0L until 1000L).toSeq)
+  }
+
+  test("epochShuffle: no key collisions across ids straddling 1e9+7") {
+    // under the old 1e9+7 modulus, id and id + (1e9+7) collided; the
+    // 2^61-1 modulus keeps the bijection through the 100 TB id regime
+    val q = 1000000007L
+    val ids = (0L until 500L).flatMap(i =>
+      Seq(i * 7919L, i * 7919L + q, i * 7919L + 2 * q, Long.MaxValue / 2 + i))
+    val df = ids.map(i => (i, "")).toDF("doc_id", "text")
+    val keys = PipelineOps.epochShuffle(df, seed = 9L)
+      .select("shuffle_key").collect().map(_.getLong(0))
+    assert(keys.distinct.length == ids.distinct.length)
+    assert(keys.forall(k => k >= 0 && k < PipelineOps.ShufflePrime))
+    // bit-exact vs a BigInt reimplementation of the published formula
+    val p = BigInt(PipelineOps.ShufflePrime)
+    val expect = ids.map(i =>
+      (((BigInt(i) + 9) mod p) * PipelineOps.ShuffleMult mod p).toLong)
+    val got = PipelineOps.epochShuffle(df, seed = 9L)
+      .orderBy("doc_id").select("doc_id", "shuffle_key").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ids.zip(expect).forall { case (i, e) => got(i) == e })
   }
 
   test("simhash: identical texts share fingerprint; near-dup within small hamming") {

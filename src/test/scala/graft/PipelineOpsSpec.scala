@@ -295,8 +295,8 @@ class PipelineOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     assert(got.forall(_._2 == "g1")) // untargeted group contributes nothing
     // driver-side reference: same portable hash, same fill-until rule
-    val p = 1000000007L
-    def key(id: Long) = ((id + 42) % p) * 2654435761L % p
+    val p = BigInt(PipelineOps.ShufflePrime)
+    def key(id: Long) = (((BigInt(id) + 42) mod p) * PipelineOps.ShuffleMult mod p).toLong
     val ordered = (0L until 30L).filter(_ % 2 == 0)
       .map(i => (i, i % 5 + 1)).sortBy { case (id, _) => (key(id), id) }
     val expected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
@@ -307,6 +307,39 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.map(r => (r._1, r._3)).toSet == expected.toSet)
     // the crossing doc is included: kept tokens reach the target
     assert(expected.map(_._2).sum >= 10L)
+  }
+
+  test("tokenBudgetMix: bucketed prefix sum equals global cumsum, no whole-domain window") {
+    // one giant domain: the hot-shard shape the bucketing exists for
+    val docs = (0L until 400L).map(i => (i, "big", "w w w"))
+      .toDF("doc_id", "lang", "text")
+    val mix = PipelineOps.tokenBudgetMix(docs, Map("big" -> 600L), seed = 1L,
+      buckets = 8)
+    // plan: any window ordering by the row key must ALSO partition by the
+    // bucket — a corpus-wide per-domain sort task must not exist
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val wins = mix.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty)
+    wins.foreach { w =>
+      if (w.orderSpec.exists(_.child.toString.contains("__k")))
+        assert(w.partitionSpec.length == 2,
+          s"row-level cumsum window must be (group, bucket)-partitioned: $w")
+    }
+    assert(wins.exists(_.partitionSpec.length == 2))
+    // bucketed two-phase result == driver-side global hash-order fill-until
+    val p = BigInt(PipelineOps.ShufflePrime)
+    def key(id: Long) = (((BigInt(id) + 1) mod p) * PipelineOps.ShuffleMult mod p).toLong
+    val ordered = (0L until 400L).sortBy(i => (key(i), i))
+    var before = 0L
+    val expected = ordered.flatMap { id =>
+      if (before < 600L) { before += 3; Some(id) } else None
+    }.toSet
+    val got = mix.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+    // the giant domain genuinely spans several buckets in this fixture
+    val width = PipelineOps.ShufflePrime / 8 + 1
+    val nb = (0L until 400L).map(i => key(i) / width).distinct.size
+    assert(nb > 1, s"fixture should span buckets, got $nb")
   }
 
   test("weightedSample edge parity: negative ids use pmod, NaN weights excluded") {
