@@ -227,6 +227,14 @@ object SparkEntry {
       val h = Hist.fill(spec, Tables.lineitem(s, dir), Seq(col("l_quantity")))
       HistAlgebra.quantiles(spec, h, Seq(0.25, 0.5, 0.9, 0.99)).orderBy("q")
     },
+    // quantiles over percentile-shaped (Variable) edges — the latency-
+    // histogram use case: per-bin edge lookup instead of the Regular
+    // closed form
+    "hist_quantiles_variable" -> { (s, dir) =>
+      val spec = HistSpec(Seq(axQty), DoubleStorage)
+      val h = Hist.fill(spec, Tables.lineitem(s, dir), Seq(col("l_quantity")))
+      HistAlgebra.quantiles(spec, h, Seq(0.25, 0.5, 0.9, 0.99)).orderBy("q")
+    },
     // div on common support (HistAlgebra.binOp's documented divergence
     // mode: engines disagree on 0-divisor forms, boost IEEE semantics
     // live behind commonSupportOnly = false)
@@ -499,6 +507,12 @@ object SparkEntry {
          |  SELECT ${axQtyR.sqlExpr("l_quantity")} AS i0, sum(1.0) AS value
          |  FROM ${li()} GROUP BY 1),
          |${HistAlgebra.quantilesSql(axQtyR, Seq(0.25, 0.5, 0.9, 0.99))}
+         |ORDER BY q""".stripMargin,
+    "hist_quantiles_variable" ->
+      s"""WITH h AS (
+         |  SELECT ${axQty.sqlExpr("l_quantity")} AS i0, sum(1.0) AS value
+         |  FROM ${li()} GROUP BY 1),
+         |${HistAlgebra.quantilesVariableSql(axQty, Seq(0.25, 0.5, 0.9, 0.99))}
          |ORDER BY q""".stripMargin,
     "hist_div" ->
       s"""SELECT a.i0 AS i0, round(a.v / b.v, 6) AS value FROM (

@@ -174,35 +174,40 @@ object HistAlgebra {
         .groupBy(spec.indexCols.map(col): _*).agg(sums.head, sums.tail: _*))
   }
 
-  /** Interpolated quantile estimates from a filled 1-D Regular-axis
-    * histogram (the classic histogram-quantile estimator: linear
-    * interpolation within the bin containing the target rank — what
-    * monitoring systems compute from latency histograms). Input `h` is
-    * the sparse fill result; flow bins are EXCLUDED from the rank space
-    * (an underflow/overflow quantile is unknowable from a histogram —
-    * callers wanting clamping should slice first).
+  /** Interpolated quantile estimates from a filled 1-D Regular- or
+    * Variable-axis histogram (the classic histogram-quantile estimator:
+    * linear interpolation within the bin containing the target rank —
+    * what monitoring systems compute from latency histograms, whose
+    * percentile-derived edges are exactly the Variable case). Input `h`
+    * is the sparse fill result; flow bins are EXCLUDED from the rank
+    * space (an underflow/overflow quantile is unknowable from a
+    * histogram — callers wanting clamping should slice first).
     *
-    * For target rank t = q·N: the bin i with cumBefore < t <= cumBefore
-    * + count estimates est = lo + (i−1)·w + w·(t − cumBefore)/count.
-    * Requires 0 < q <= 1. Engine-portable: identical op order in
-    * [[quantilesSql]], exact integer counts, so both engines hand
-    * bit-identical doubles to the 6-dp round (FIXTURES.md §6 class E,
-    * sans libm).
+    * For target rank t = q·N, the bin i with cumBefore < t <= cumBefore
+    * + count estimates: Regular axes keep the closed form
+    * est = lo + (i−1)·w + w·(t − cumBefore)/count; Variable axes look
+    * up the bin's own edges, est = blo(i) + width(i)·(t − cumBefore)
+    * /count (a broadcast join against the edge table — bin-count-sized).
+    * Requires 0 < q <= 1 and a count-like single-state storage (the rank
+    * space is the `value` column; moment storages would silently rank on
+    * Σw — finalize or project to counts first). Engine-portable:
+    * identical op order in [[quantilesSql]] / [[quantilesVariableSql]],
+    * exact integer counts, so both engines hand bit-identical doubles to
+    * the 6-dp round (FIXTURES.md §6 class E, sans libm).
     *
     * A window + join over a BIN-COUNT-sized relation — never data. */
   def quantiles(spec: HistSpec, h: DataFrame, qs: Seq[Double]): DataFrame = {
     require(spec.ndim == 1, "quantiles supports 1-D histograms")
     require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
       s"quantiles must be in (0, 1], got $qs")
-    val ax = spec.axes.head match {
-      case r: Regular => r
-      case other => throw new IllegalArgumentException(
-        s"quantiles needs a Regular axis, got $other")
-    }
-    val w = (ax.hi - ax.lo) / ax.n
+    require(spec.storage.stateCols == Seq("value"),
+      s"quantiles needs a count-like single-state storage (Double/Int64/" +
+        s"Unlimited), got ${spec.storage} — its rank space would be the " +
+        "wrong state column; project or finalize to counts first")
     val spark = h.sparkSession
     import spark.implicits._
-    val interior = h.filter(col("i0") >= 1L && col("i0") <= ax.n.toLong)
+    val nb = spec.axes.head.nBins
+    val interior = h.filter(col("i0") >= 1L && col("i0") <= nb.toLong)
       .select(col("i0"), col("value").cast("double").as("__c"))
     val win = org.apache.spark.sql.expressions.Window.orderBy(col("i0"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
@@ -213,12 +218,26 @@ object HistAlgebra {
           .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
             org.apache.spark.sql.expressions.Window.unboundedFollowing)))
     val qdf = broadcast(qs.toDF("q"))
-    cum.crossJoin(qdf)
+    val hit = cum.crossJoin(qdf)
       .withColumn("__t", col("q") * col("__n"))
       .filter(col("__t") > col("__cb") && col("__t") <= col("__cb") + col("__c"))
-      .select(col("q"),
-        round(lit(ax.lo) + (col("i0") - 1L).cast("double") * lit(w) +
-          lit(w) * (col("__t") - col("__cb")) / col("__c"), 6).as("est"))
+    spec.axes.head match {
+      case ax: Regular =>
+        val w = (ax.hi - ax.lo) / ax.n
+        hit.select(col("q"),
+          round(lit(ax.lo) + (col("i0") - 1L).cast("double") * lit(w) +
+            lit(w) * (col("__t") - col("__cb")) / col("__c"), 6).as("est"))
+      case ax: Variable =>
+        val ed = broadcast((1 to nb).map(i =>
+          (i.toLong, ax.binLo(i - 1), ax.binWidth(i - 1)))
+          .toDF("i0", "__blo", "__bw"))
+        hit.join(ed, Seq("i0"))
+          .select(col("q"),
+            round(col("__blo") +
+              col("__bw") * (col("__t") - col("__cb")) / col("__c"), 6).as("est"))
+      case other => throw new IllegalArgumentException(
+        s"quantiles needs a Regular or Variable axis, got $other")
+    }
   }
 
   /** DuckDB twin of [[quantiles]] over a histogram CTE named `h`
@@ -240,6 +259,30 @@ object HistAlgebra {
        |qs(q) AS (VALUES $vals)
        |SELECT q, round($lo + (i0 - 1) * $ws + $ws * (q * n - cb) / c, 6) AS est
        |FROM cum JOIN qs ON q * n > cb AND q * n <= cb + c""".stripMargin
+  }
+
+  /** DuckDB twin of [[quantiles]] for a Variable axis over a histogram
+    * CTE named `h` (columns i0, value): same interior filter and rank
+    * space; the per-bin (lower-edge, width) pairs are emitted as double
+    * literals computed by the SAME driver-side arithmetic the engine
+    * broadcasts, so interpolation op order stays bit-identical. */
+  def quantilesVariableSql(ax: Variable, qs: Seq[Double]): String = {
+    import Axis.{sqlDouble => D}
+    val nb = ax.nBins
+    val edgeRows = (1 to nb).map(i =>
+      s"($i, ${D(ax.binLo(i - 1))}, ${D(ax.binWidth(i - 1))})").mkString(", ")
+    val vals = qs.map(q => s"(CAST('$q' AS DOUBLE))").mkString(", ")
+    s"""ih AS (SELECT i0, CAST(value AS DOUBLE) AS c FROM h
+       |       WHERE i0 BETWEEN 1 AND $nb),
+       |cum AS (
+       |  SELECT i0, c,
+       |    COALESCE(sum(c) OVER (ORDER BY i0
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+       |    sum(c) OVER () AS n FROM ih),
+       |ed(i0, blo, bw) AS (VALUES $edgeRows),
+       |qs(q) AS (VALUES $vals)
+       |SELECT q, round(blo + bw * (q * n - cb) / c, 6) AS est
+       |FROM cum JOIN ed USING (i0) JOIN qs ON q * n > cb AND q * n <= cb + c""".stripMargin
   }
 
   /** Cumulative histogram along a 1-D axis (the CDF view): running sum of

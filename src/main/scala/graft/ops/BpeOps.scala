@@ -21,7 +21,15 @@ object BpeOps {
   /** The word-frequency dictionary: one row per distinct word with its
     * corpus frequency and initial symbol sequence (characters + the
     * end-of-word marker). Empty tokens (from repeated separators) are
-    * dropped. */
+    * dropped.
+    *
+    * Unicode contract: symbols are CODE POINTS (Spark `substring`
+    * semantics). The DuckDB twin's `string_split(word, '')` yields
+    * GRAPHEME CLUSTERS — the two agree on all text where every grapheme
+    * is one code point (ASCII, CJK, NFC-precomposed Latin; test-pinned
+    * on "café"/zh) and diverge only on multi-codepoint clusters
+    * (decomposed accents U+0301, ZWJ emoji). NFC-normalize decomposed
+    * input before training if oracle parity matters there. */
   def wordDict(docs: DataFrame, textCol: String = "text",
       endMark: String = "</w>"): DataFrame = {
     // the marker is spliced into a generated expression (and, for the
@@ -119,7 +127,10 @@ object BpeOps {
 
   /** DuckDB twin of `pairCounts(wordDict(documents))` top-`k` (by
     * frequency, lexicographic tie-break) — the one-round statistics
-    * oracle. */
+    * oracle. `string_split(word, '')` is grapheme-cluster semantics vs
+    * the engine's code-point `substring` — equal wherever every grapheme
+    * is a single code point (see [[wordDict]]'s unicode contract); the
+    * documents fixture satisfies this. */
   def pairCountsSql(k: Int, endMark: String = "</w>"): String = {
     require(!endMark.exists(c => c == '\'' || c == '\\'),
       s"endMark must not contain quotes/backslashes: $endMark")

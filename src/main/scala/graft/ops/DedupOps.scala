@@ -336,7 +336,12 @@ object DedupOps {
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("rm_pos"))
       .groupBy("doc_id").agg(collect_set(col("rm_pos")).as("__rm"))
-    base.join(rm, Seq("doc_id"), "left")
+    // NULL text splits to a NULL __a, where size() = -1 would break the
+    // one-row-per-doc contract shape (kept_text=null, n_kept=-1); such
+    // docs keep nothing and remove nothing: ('', 0, 0), same as the twins.
+    base.withColumn("__a",
+        coalesce(col("__a"), expr("CAST(array() AS ARRAY<STRING>)")))
+      .join(rm, Seq("doc_id"), "left")
       .withColumn("__kept", when(col("__rm").isNull, col("__a"))
         .otherwise(expr(
           "transform(filter(zip_with(__a, sequence(0, size(__a) - 1), " +
@@ -405,8 +410,8 @@ object DedupOps {
        |  FROM kept GROUP BY 1)
        |SELECT d.doc_id, COALESCE(kk.kept_text, '') AS kept_text,
        |  COALESCE(kk.n_kept, 0) AS n_kept,
-       |  CAST(len(string_split(d.text, ' ')) AS BIGINT) - COALESCE(kk.n_kept, 0)
-       |    AS n_removed
+       |  CAST(COALESCE(len(string_split(d.text, ' ')), 0) AS BIGINT)
+       |    - COALESCE(kk.n_kept, 0) AS n_removed
        |FROM (SELECT doc_id, text FROM documents WHERE $corpusWhere) d
        |LEFT JOIN agg kk USING (doc_id)
        |ORDER BY doc_id""".stripMargin
@@ -446,8 +451,8 @@ object DedupOps {
        |  FROM kept GROUP BY 1)
        |SELECT d.doc_id, COALESCE(k.kept_text, '') AS kept_text,
        |  COALESCE(k.n_kept, 0) AS n_kept,
-       |  CAST(len(string_split(d.text, ' ')) AS BIGINT) - COALESCE(k.n_kept, 0)
-       |    AS n_removed
+       |  CAST(COALESCE(len(string_split(d.text, ' ')), 0) AS BIGINT)
+       |    - COALESCE(k.n_kept, 0) AS n_removed
        |FROM documents d LEFT JOIN agg k USING (doc_id)
        |ORDER BY doc_id""".stripMargin
   }

@@ -77,6 +77,20 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("wordDict splits by code point (unicode contract vs the oracle)") {
+    def syms(word: String): Seq[String] =
+      BpeOps.wordDict(Seq((0L, word)).toDF("doc_id", "text"))
+        .select("symbols").collect()(0)
+        .getAs[scala.collection.Seq[String]](0).toSeq
+    // one grapheme == one code point: engine and DuckDB twin agree
+    assert(syms("café") == Seq("c", "a", "f", "é", "</w>")) // NFC é
+    assert(syms("你好") == Seq("你", "好", "</w>")) // zh
+    assert(syms("😀a") == Seq("😀", "a", "</w>")) // emoji: 1 cp
+    // documented divergence: a decomposed accent is TWO code points here
+    // but ONE grapheme cluster in DuckDB string_split(word, '')
+    assert(syms("e\u0301") == Seq("e", "\u0301", "</w>"))
+  }
+
   test("applyMerges rewrites leftmost-first without overlap") {
     val dict = Seq((1L, "aaa")).toDF("doc_id", "text")
     val d0 = BpeOps.wordDict(dict)

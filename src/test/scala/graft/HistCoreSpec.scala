@@ -468,10 +468,21 @@ class HistCoreSpec extends AnyFunSuite {
     val quants = HistAlgebra.quantiles(specQ, hq, Seq(0.25, 0.5, 1.0))
       .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
     assert(quants == Map(0.25 -> 25.0, 0.5 -> 50.0, 1.0 -> 100.0))
+    // Variable axis: per-bin edge lookup; uneven edges over the same
+    // uniform fill still invert to q*100 exactly
+    val specV = HistSpec(Seq(Variable(Seq(0.0, 10.0, 30.0, 100.0))),
+      DoubleStorage)
+    val hv = Hist.fill(specV, dfq, Seq(col("x")))
+    val quantsV = HistAlgebra.quantiles(specV, hv, Seq(0.25, 0.5, 1.0))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(quantsV == Map(0.25 -> 25.0, 0.5 -> 50.0, 1.0 -> 100.0))
     intercept[IllegalArgumentException](
       HistAlgebra.quantiles(specQ, hq, Seq(0.0))) // q=0 rank is undefined
-    intercept[IllegalArgumentException]( // flow-bin quantiles unknowable
-      HistAlgebra.quantiles(HistSpec(Seq(Variable(Seq(0.0, 1.0))),
+    intercept[IllegalArgumentException]( // moment storage: wrong rank space
+      HistAlgebra.quantiles(HistSpec(Seq(Regular(10, 0.0, 100.0)),
+        WeightStorage), hq, Seq(0.5)))
+    intercept[IllegalArgumentException]( // unsupported axis kind
+      HistAlgebra.quantiles(HistSpec(Seq(RegularCircular(4, 0.0, 1.0)),
         DoubleStorage), hq, Seq(0.5)))
     // cumulative: last bin carries the total, sequence monotone
     val specD = HistSpec(Seq(Regular(4, 0.0, 4.0)), DoubleStorage)

@@ -141,6 +141,21 @@ class OpsSpec extends AnyFunSuite {
     assert(got(11L) == (("no overlap here at all", 5L, 0L)))
   }
 
+  test("rewrite ops keep the one-row-per-doc shape on NULL text") {
+    // split(NULL) is a NULL array; without the coalesce, size() = -1 leaks
+    // into n_kept and the contract shape breaks
+    val corpus = Seq((0L, "a b c d"), (1L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val evalSet = Seq((0L, "x y z")).toDF("doc_id", "text")
+    for (df <- Seq(DedupOps.passageDedup(corpus, n = 3),
+        DedupOps.decontaminateRewrite(corpus, evalSet, k = 3))) {
+      val got = df.collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(got(1L) == (("", 0L, 0L)))
+      assert(got(0L) == (("a b c d", 4L, 0L)))
+    }
+  }
+
   test("keepBest elects the highest-quality cluster member, not the min id") {
     // doc 11 = doc 10's text plus 2 extra words: jaccard 8/10 = 0.8
     // (same cluster at threshold 0.5, and high enough that the seeded
