@@ -290,6 +290,21 @@ object ExtensionQueries {
           round(col("brightness"), 6).as("brightness"))
         .orderBy("id")
     },
+    // REAL pixel decode: one deterministic synthetic PNG per doc is
+    // encoded and parsed back through javax.imageio (ImageIoCodec);
+    // width/height/brightness come from DECODED pixels, and the oracle
+    // replays the lossless pixel formula in closed form
+    "multimodal_decode" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val media = Tables.documents(s, dir).select(col("doc_id"))
+        .as[Long].map(id => MultimodalOps.MediaRow(
+          id, MultimodalOps.syntheticPng(id, 8, 8), "image/png", 0, 0))
+      MultimodalOps.extractFeatures(media, MultimodalOps.ImageIoCodec).toDF()
+        .select(col("id"), col("width"), col("height"),
+          round(col("brightness"), 6).as("brightness"))
+        .orderBy("id")
+    },
     // ROLLUP aggregation surface: corpus stats at (lang, source), (lang),
     // and grand-total levels in one pass
     "text_rollup_stats" -> { (s, dir) =>
@@ -809,6 +824,17 @@ object ExtensionQueries {
          |    i -> CAST(unicode(substr(text, CAST(i AS INT), 1)) AS DOUBLE))),
          |  (a, b) -> a + b) / (255.0 * length(text)), 6) AS brightness
          |FROM documents ORDER BY id""".stripMargin,
+    // twin of ImageIoCodec over syntheticPng(doc_id, 8, 8): PNG is
+    // lossless, so decoded channels == the generating formula and the
+    // Rec.601 milli-weight sum is replayable without any image library
+    "multimodal_decode" ->
+      """SELECT doc_id AS id, 8 AS width, 8 AS height,
+        |  round(sum(299 * ((7 * doc_id + 13 * x + 31 * y) % 256)
+        |    + 587 * ((11 * doc_id + 17 * x + 5 * y + 101) % 256)
+        |    + 114 * ((3 * doc_id + 29 * x + 19 * y + 203) % 256))
+        |    / (255000.0 * 64), 6) AS brightness
+        |FROM documents, unnest(range(0, 8)) tx(x), unnest(range(0, 8)) ty(y)
+        |GROUP BY doc_id ORDER BY id""".stripMargin,
     "events_props_hist" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS i0,
         |count(*) AS value FROM events GROUP BY 1
@@ -1147,18 +1173,20 @@ object ExtensionQueries {
        |USING (doc_id) ORDER BY doc_id""".stripMargin
   }
 
-  /** Full oracle for the end-to-end MinHash dedup decision: the candidate
-    * CTE chain of [[minhashOracleSql]] + true-jaccard verification (same
-    * 6-dp rounding as DedupOps.minhashDedupPairs) + recursive-CTE
-    * connected components + min-id election, zero-filled over the corpus. */
-  private def minhashKeepOracleSql(t: Double, numHashes: Int = 64,
+  /** Shared CTE chain for the MinHash dedup-decision oracles (shingles →
+    * signatures → LSH candidates → true-jaccard verification at the same
+    * 6-dp rounding as DedupOps.minhashDedupPairs → recursive-CTE
+    * connected components): the WITH-list body ending at the `comp` CTE,
+    * no trailing comma — callers prepend `WITH RECURSIVE ` and append
+    * their own election SELECT (or further CTEs after a comma). */
+  private def minhashComponentCtes(t: Double, numHashes: Int = 64,
       bands: Int = 16, k: Int = 3): String = {
     val (as, bs) = DedupOps.minhashCoefficients(numHashes)
     val r = numHashes / bands
     val p = DedupOps.MinHashP
     val coef = (0 until numHashes)
       .map(i => s"($i, ${as(i)}, ${bs(i)})").mkString(", ")
-    s"""WITH RECURSIVE sh AS (${shingleSql(k)}),
+    s"""sh AS (${shingleSql(k)}),
        |hs AS (
        |  SELECT doc_id, ${graft.functions.PolyHash.sql("shingle", 31L, p)} AS h
        |  FROM sh),
@@ -1193,27 +1221,26 @@ object ExtensionQueries {
        |  UNION
        |  SELECT rh.src, e.b FROM reach rh JOIN edges e ON rh.dst = e.a),
        |comp AS (SELECT src AS doc_id, min(dst) AS component
-       |         FROM reach GROUP BY 1)
+       |         FROM reach GROUP BY 1)""".stripMargin
+  }
+
+  /** Full oracle for the end-to-end MinHash dedup decision:
+    * [[minhashComponentCtes]] + min-id election, zero-filled over the
+    * corpus. */
+  private def minhashKeepOracleSql(t: Double): String =
+    s"""WITH RECURSIVE ${minhashComponentCtes(t)}
        |SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS keep_id,
        |  COALESCE(c.component, d.doc_id) = d.doc_id AS is_kept
        |FROM documents d LEFT JOIN comp c USING (doc_id)
        |ORDER BY doc_id""".stripMargin
-  }
 
-  /** Quality-aware election oracle: the [[minhashKeepOracleSql]] pipeline
-    * with the final min-id election replaced by argmax on the rounded
-    * quality score (ties to the lower id) — mirrors
+  /** Quality-aware election oracle: [[minhashComponentCtes]] with the
+    * min-id election replaced by argmax on the rounded quality score
+    * (ties to the lower id) — mirrors
     * [[DedupOps.minhashDedupKeepBest]]. */
   private def minhashKeepBestOracleSql(t: Double): String = {
-    val base = minhashKeepOracleSql(t)
-    // keep everything up to (and excluding) the final election SELECT,
-    // re-open the WITH list with a comma
-    val idx = base.indexOf("SELECT d.doc_id,")
-    require(idx >= 0,
-      "minhashKeepOracleSql's final SELECT changed shape — update the " +
-        "keep-best splice (or factor the shared CTE prefix into a helper)")
-    val prefix = base.substring(0, idx).stripTrailing() + ",\n"
-    s"""${prefix}labeled AS (
+    s"""WITH RECURSIVE ${minhashComponentCtes(t)},
+       |labeled AS (
        |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component,
        |    COALESCE(round(${graft.ops.TextOps.qualityScoreSql("d.text")}, 6),
        |      -1e308) AS score

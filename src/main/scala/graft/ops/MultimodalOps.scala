@@ -7,10 +7,12 @@ import org.apache.spark.sql.functions._
   *
   * Media ride as opaque `binary` columns next to typed metadata; the
   * Spark-side machinery — schema, batch iteration, partition sizing — is
-  * real and tested, while the codec itself is STUBBED (this container has
-  * no image/audio libraries): [[StubCodec.decode]] derives deterministic
-  * fake features from the bytes. Swap `StubCodec` for a real JNI/library
-  * codec without touching the pipeline shape.
+  * real and tested. IMAGES decode for real via [[ImageIoCodec]] (the
+  * JDK's `javax.imageio` PNG/JPEG/BMP/GIF readers — no native libs);
+  * video/audio stay STUBBED ([[StubCodec]] derives deterministic fake
+  * features from bytes) because this container ships no codec for them.
+  * Swap `StubCodec` for a real JNI/library codec without touching the
+  * pipeline shape.
   *
   * Scale notes: decode runs in `mapPartitions` (one codec init per
   * partition, not per row); blobs never shuffle — features are extracted
@@ -23,9 +25,13 @@ object MultimodalOps {
   final case class MediaRow(id: Long, payload: Array[Byte], mediaType: String,
       width: Int, height: Int)
 
-  /** Deterministic fake features standing in for a real decoder. */
+  /** Decoded features. `width`/`height` are REAL decoded dimensions for
+    * pixel-decoding codecs ([[ImageIoCodec]]); byte-level codecs that
+    * never see pixels ([[StubCodec]]) leave them 0. `brightness` is mean
+    * normalized intensity in [0, 1] — per-byte for the stub, Rec.601
+    * luma over decoded pixels for images. */
   final case class MediaFeatures(id: Long, mediaType: String, byteLen: Long,
-      checksum: Long, brightness: Double)
+      checksum: Long, brightness: Double, width: Int = 0, height: Int = 0)
 
   /** A payload the codec cannot decode. Real decoders wrap their native
     * error here so [[CorruptPolicy]] can act on it; anything else a codec
@@ -61,8 +67,9 @@ object MultimodalOps {
     def close(): Unit = ()
   }
 
-  /** STUB codec — replace with a real decoder (libjpeg/ffmpeg/...) in a
-    * container that has one. Deterministic: features derive from bytes.
+  /** STUB codec for media kinds this container has no decoder for
+    * (video/audio — ffmpeg and friends are absent; IMAGES have the real
+    * [[ImageIoCodec]]). Deterministic: features derive from bytes.
     * Contract pieces a real codec shares: a NULL payload is corrupt
     * (binary columns are nullable; a real decoder would segfault or
     * throw), features are a pure function of (id, payload, mediaType). */
@@ -73,15 +80,7 @@ object MultimodalOps {
     def decodeRow(r: MediaRow): MediaFeatures = {
       if (r.payload == null)
         throw new CorruptPayloadException(r.id, "null payload")
-      // rolling polynomial hash, mod applied per step (no overflow — the
-      // same recurrence is expressible in ANSI SQL for the oracle)
-      var h = 0L
-      var i = 0
-      while (i < r.payload.length) {
-        h = (h * 31 + (r.payload(i) & 0xff)) % 1000000007L
-        i += 1
-      }
-      val hash = h
+      val hash = byteChecksum(r.payload)
       val bright =
         if (r.payload.isEmpty) 0.0
         else r.payload.map(b => (b & 0xff).toDouble).sum / (255.0 * r.payload.length)
@@ -89,6 +88,94 @@ object MultimodalOps {
     }
     /** Back-compat convenience (pre-lifecycle callers and tests). */
     def decode(r: MediaRow): MediaFeatures = decodeRow(r)
+  }
+
+  /** The byte checksum both codecs stamp: rolling polynomial hash, mod
+    * applied per step (no overflow — the same recurrence is expressible
+    * in ANSI SQL for the oracle). */
+  private[ops] def byteChecksum(payload: Array[Byte]): Long = {
+    var h = 0L
+    var i = 0
+    while (i < payload.length) {
+      h = (h * 31 + (payload(i) & 0xff)) % 1000000007L
+      i += 1
+    }
+    h
+  }
+
+  /** REAL image codec over the JDK's built-in `javax.imageio` readers
+    * (PNG/JPEG/BMP/GIF/WBMP — no native libraries): parses the actual
+    * container bytes and derives features from DECODED PIXELS — decoded
+    * dimensions and mean Rec.601 luma (integer 299/587/114 milli-weights
+    * summed exactly in Long, one double divide at the end, so the value
+    * is engine-portable for lossless formats where the oracle can replay
+    * the pixel formula). Video/audio remain honestly stubbed — this
+    * container ships no codec for them (see [[StubCodec]]).
+    *
+    * Corruption contract: a payload no registered reader accepts
+    * (`ImageIO.read` returns null), a reader abort mid-parse (truncated
+    * file), and null/empty payloads all surface as
+    * [[CorruptPayloadException]] for [[CorruptPolicy]] to act on. */
+  object ImageIoCodec extends MediaCodecFactory {
+    def open(): MediaDecoder = new MediaDecoder {
+      def decode(r: MediaRow): MediaFeatures = ImageIoCodec.decodeRow(r)
+    }
+    def decodeRow(r: MediaRow): MediaFeatures = {
+      if (r.payload == null)
+        throw new CorruptPayloadException(r.id, "null payload")
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        catch { case e: java.io.IOException =>
+          throw new CorruptPayloadException(r.id, s"image parse failed: ${e.getMessage}", e)
+        }
+      if (img == null) // no registered reader claims these bytes
+        throw new CorruptPayloadException(r.id, "undecodable image payload")
+      val w = img.getWidth
+      val h = img.getHeight
+      var lumaMilli = 0L // Σ over pixels of 299·R + 587·G + 114·B (8-bit sRGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          lumaMilli += 299L * ((rgb >> 16) & 0xff) +
+            587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      val brightness = lumaMilli.toDouble / (255000.0 * (w.toLong * h))
+      MediaFeatures(r.id, r.mediaType, r.payload.length.toLong,
+        byteChecksum(r.payload), brightness, w, h)
+    }
+  }
+
+  /** Deterministic synthetic truecolor PNG: pixel (x, y) of image `id`
+    * is the closed-form RGB below — PNG is lossless, so a decode
+    * round-trips these exact channel values and an oracle can recompute
+    * [[ImageIoCodec]]'s luma sum from the formula alone (the per-channel
+    * twin lives in the `multimodal_decode` oracle SQL). */
+  def syntheticPng(id: Long, w: Int, h: Int): Array[Byte] = {
+    require(w > 0 && h > 0, "image dimensions must be positive")
+    require(id >= 0, s"id must be non-negative (JVM % differs from SQL on " +
+      s"negatives), got $id")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((7 * id + 13 * x + 31 * y) % 256).toInt
+        val g = ((11 * id + 17 * x + 5 * y + 101) % 256).toInt
+        val b = ((3 * id + 29 * x + 19 * y + 203) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
   /** Wrap any table with a binary payload column into the media schema. */

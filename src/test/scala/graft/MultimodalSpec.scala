@@ -72,6 +72,55 @@ class MultimodalSpec extends AnyFunSuite {
     assert(kept.head.byteLen == 2L)
   }
 
+  test("ImageIoCodec decodes real PNG pixels: dimensions + Rec.601 luma") {
+    // decode round-trips the lossless synthetic formula exactly
+    val png = MultimodalOps.syntheticPng(5L, 8, 8)
+    // a real PNG container: magic bytes present
+    assert(png.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte,
+      'G'.toByte))
+    val f = ImageIoCodec.decodeRow(MediaRow(5L, png, "image/png", 0, 0))
+    assert(f.width == 8 && f.height == 8)
+    assert(f.byteLen == png.length.toLong)
+    // closed-form expected luma from the generating formula
+    var lumaMilli = 0L
+    for (y <- 0 until 8; x <- 0 until 8) {
+      lumaMilli += 299L * ((7 * 5 + 13 * x + 31 * y) % 256) +
+        587L * ((11 * 5 + 17 * x + 5 * y + 101) % 256) +
+        114L * ((3 * 5 + 29 * x + 19 * y + 203) % 256)
+    }
+    assert(f.brightness == lumaMilli.toDouble / (255000.0 * 64))
+    // a 1x1 all-white PNG: brightness exactly 1
+    val white = new java.awt.image.BufferedImage(
+      1, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    white.setRGB(0, 0, 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(white, "png", bos)
+    val wf = ImageIoCodec.decodeRow(MediaRow(9L, bos.toByteArray, "image/png", 0, 0))
+    assert(wf.width == 1 && wf.height == 1 && wf.brightness == 1.0)
+  }
+
+  test("ImageIoCodec corrupt contract: non-image, truncated, null payloads") {
+    def decodeOf(bytes: Array[Byte]) =
+      intercept[CorruptPayloadException](
+        ImageIoCodec.decodeRow(MediaRow(7L, bytes, "image/png", 0, 0)))
+    // bytes no registered reader claims
+    decodeOf("definitely not an image".getBytes("UTF-8"))
+    // a TRULY corrupt image: valid PNG magic, body chopped mid-stream
+    val png = MultimodalOps.syntheticPng(1L, 16, 16)
+    decodeOf(png.take(24))
+    decodeOf(null)
+    // and the pipeline-level policy still applies over real image bytes
+    val rows = Seq(
+      MediaRow(1L, MultimodalOps.syntheticPng(1L, 4, 4), "image/png", 0, 0),
+      MediaRow(2L, png.take(24), "image/png", 0, 0))
+    val kept = MultimodalOps.extractFeatures(rows.toDS(),
+      codec = ImageIoCodec, onCorrupt = CorruptPolicy.Skip).collect()
+    assert(kept.map(_.id).toSeq == Seq(1L))
+    assert(kept.head.width == 4 && kept.head.height == 4)
+    intercept[Exception](MultimodalOps.extractFeatures(rows.toDS(),
+      codec = ImageIoCodec, onCorrupt = CorruptPolicy.Fail).collect())
+  }
+
   test("one codec init per partition; close runs on task completion") {
     CountingCodec.reset()
     val media = MultimodalOps.asMedia(
