@@ -28,6 +28,17 @@ object Examples {
       spark.stop()
       return
     }
+    if (args.headOption.contains("bpe")) {
+      // BPE round-trip exhibit: `runMain graft.Examples bpe 512` — train
+      // the same merge list sequentially and batched on a Zipfian
+      // synthetic corpus; the point is DRIVER ROUND-TRIPS (scheduler
+      // latency dominates production vocab training), so we report
+      // rounds and wall-clock for both and assert bit-identical merges.
+      bpeExhibit(spark, args.lift(1).map(_.toInt).getOrElse(512),
+        args.lift(2).map(_.toInt).getOrElse(256))
+      spark.stop()
+      return
+    }
     val rows = if (args.nonEmpty) args(0).toLong else 100000000L
 
     // two deterministic pseudo-uniform dims in [0,1) from the row id
@@ -133,6 +144,33 @@ object Examples {
         ((0 until 12).map(i => hex(xxhash64(col("base") + lit(i.toLong << 40))))
           :+ when(col("doc_id") % 4 === 3, lit("variant")).otherwise(lit("orig"))): _*))
       .drop("base")
+  }
+
+  /** Sequential-vs-batched BPE training on a deterministic Zipfian
+    * corpus (2000 distinct words, freq ∝ 1/rank — the shape production
+    * vocabularies train on). Both trainers produce bit-identical merge
+    * lists by construction ([[graft.ops.BpeOps.trainBatched]]'s
+    * dominance gate); the exhibit measures driver ROUND-TRIPS and
+    * wall-clock, the cost that scales to a 30k-merge vocabulary. */
+  private def bpeExhibit(spark: SparkSession, nMerges: Int,
+      topK: Int): Unit = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val vocab = (0 until 2000).map { _ =>
+      Seq.fill(2 + rnd.nextInt(8))(('a' + rnd.nextInt(26)).toChar).mkString
+    }.distinct
+    val docs = vocab.zipWithIndex.map { case (w, rank) =>
+      (rank.toLong, ((w + " ") * math.max(1, 2000 / (rank + 1))).trim)
+    }.toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val seqMerges = graft.ops.BpeOps.train(docs, nMerges)
+    val seqSec = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val batched = graft.ops.BpeOps.trainBatched(docs, nMerges, topK = topK)
+    val batSec = (System.nanoTime() - t1) / 1e9
+    require(batched.merges == seqMerges,
+      "batched and sequential BPE training diverged")
+    println(f"""{"example":"bpe_batched","merges":${seqMerges.size},"topK":$topK,"seq_rounds":${seqMerges.size},"seq_sec":$seqSec%.3f,"batched_rounds":${batched.rounds},"batched_sec":$batSec%.3f,"round_reduction":${seqMerges.size.toDouble / batched.rounds}%.2f,"identical":true}""")
   }
 
   /** End-to-end MinHash dedup soak at a given corpus size: planted 25%

@@ -405,6 +405,15 @@ object ExtensionQueries {
       FunnelOps.funnelCounts(ev, Seq("view", "click", "purchase"))
         .orderBy("stage_idx")
     },
+    // conversion analytics on the same single-plan funnel chain: rates +
+    // time-to-convert gap summaries, no extra event scans
+    "events_funnel_conversion" -> { (s, dir) =>
+      val ev = graft.sources.Sources.eventsWithTimestamp(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_type"))
+      FunnelOps.funnelConversion(ev, Seq("view", "click", "purchase"))
+        .orderBy("stage_idx")
+    },
     // Weekly cohort retention triangle (first-activity cohort × offset)
     "events_retention" -> { (s, dir) =>
       val ev = graft.sources.Sources.eventsWithTimestamp(s, dir)
@@ -917,6 +926,9 @@ object ExtensionQueries {
         " ORDER BY user_id, session_idx"),
     "events_funnel" ->
       (FunnelOps.funnelCountsSql(Seq("view", "click", "purchase")) +
+        " ORDER BY stage_idx"),
+    "events_funnel_conversion" ->
+      (FunnelOps.funnelConversionSql(Seq("view", "click", "purchase")) +
         " ORDER BY stage_idx"),
     "events_retention" ->
       (FunnelOps.retentionCohortsSql(604800000000L, 4) +

@@ -35,6 +35,27 @@ object FunnelOps {
   def funnelCounts(events: DataFrame, stages: Seq[String],
       userCol: String = "user_id", tsCol: String = "ts_us",
       typeCol: String = "event_type"): DataFrame = {
+    val cur = funnelStageTimes(events, stages, userCol, tsCol, typeCol)
+    val counts = cur.agg(
+      count(col("__t0")).as("__c0"),
+      (1 until stages.size).map(k => count(col(s"__t$k")).as(s"__c$k")): _*)
+    val rows = stages.zipWithIndex.map { case (s, i) =>
+      struct(lit(i).as("stage_idx"), lit(s).as("stage"),
+        col(s"__c$i").as("n_users"))
+    }
+    counts.select(explode(array(rows: _*)).as("__r")).select(col("__r.*"))
+  }
+
+  /** The per-user stage-time relation [[funnelCounts]] aggregates:
+    * (user, __t0 .. __t(S-1)), where __tk is the user's first qualifying
+    * stage-k completion time (null = never reached; nulls propagate down
+    * the chain). Public so conversion analytics and gap histograms feed
+    * off the SAME single-plan chain — e.g. fill a log-axis
+    * [[graft.hist.Hist]] with `col("__t2") - col("__t1")` and run the
+    * interpolated quantiles view — with zero extra event scans. */
+  def funnelStageTimes(events: DataFrame, stages: Seq[String],
+      userCol: String = "user_id", tsCol: String = "ts_us",
+      typeCol: String = "event_type"): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     var cur = events.filter(col(typeCol) === stages.head)
       .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t0"))
@@ -50,14 +71,102 @@ object FunnelOps {
         .groupBy(col(userCol))
         .agg(carried.head, (carried.tail :+ tk): _*)
     }
-    val counts = cur.agg(
-      count(col("__t0")).as("__c0"),
-      (1 until stages.size).map(k => count(col(s"__t$k")).as(s"__c$k")): _*)
-    val rows = stages.zipWithIndex.map { case (s, i) =>
-      struct(lit(i).as("stage_idx"), lit(s).as("stage"),
-        col(s"__c$i").as("n_users"))
+    cur
+  }
+
+  /** Funnel conversion analytics on the [[funnelStageTimes]] relation —
+    * per stage: reached-user count, conversion rate vs the previous
+    * stage and vs stage 0, and the time-to-convert (t_k − t_(k−1)) gap
+    * summary (min/max exact microseconds, mean at 6 dp). ONE aggregate
+    * over the single-plan chain: no extra event scans, every shuffle at
+    * user cardinality. Rates and means are round(·, 6) of exact-integer
+    * ratios, so they hash-match the DuckDB twin. Stage 0 has no
+    * predecessor: conv_vs_prev and gaps are null there.
+    *
+    * Returns (stage_idx, stage, n_users, conv_vs_prev, conv_vs_first,
+    * min_gap_us, max_gap_us, mean_gap_us). */
+  def funnelConversion(events: DataFrame, stages: Seq[String],
+      userCol: String = "user_id", tsCol: String = "ts_us",
+      typeCol: String = "event_type"): DataFrame = {
+    val cur = funnelStageTimes(events, stages, userCol, tsCol, typeCol)
+    val gapAggs = (1 until stages.size).flatMap { k =>
+      val g = col(s"__t$k") - col(s"__t${k - 1}") // null unless stage reached
+      Seq(min(g).as(s"__gmin$k"), max(g).as(s"__gmax$k"),
+        sum(g).as(s"__gsum$k"))
     }
-    counts.select(explode(array(rows: _*)).as("__r")).select(col("__r.*"))
+    val aggs = (count(col("__t0")).as("__c0") +:
+      (1 until stages.size).map(k => count(col(s"__t$k")).as(s"__c$k"))) ++
+      gapAggs
+    val summary = cur.agg(aggs.head, aggs.tail: _*)
+    val rows = stages.zipWithIndex.map { case (s, i) =>
+      val ck = col(s"__c$i")
+      val convPrev =
+        if (i == 0) lit(null).cast("double")
+        else when(col(s"__c${i - 1}") > 0,
+          round(ck.cast("double") / col(s"__c${i - 1}"), 6))
+      val convFirst = when(col("__c0") > 0,
+        round(ck.cast("double") / col("__c0"), 6))
+      val (gmin, gmax, gmean) =
+        if (i == 0) (lit(null).cast("long"), lit(null).cast("long"),
+          lit(null).cast("double"))
+        else (col(s"__gmin$i"), col(s"__gmax$i"),
+          when(ck > 0, round(col(s"__gsum$i").cast("double") / ck, 6)))
+      struct(lit(i).as("stage_idx"), lit(s).as("stage"), ck.as("n_users"),
+        convPrev.as("conv_vs_prev"), convFirst.as("conv_vs_first"),
+        gmin.as("min_gap_us"), gmax.as("max_gap_us"),
+        gmean.as("mean_gap_us"))
+    }
+    summary.select(explode(array(rows: _*)).as("__r")).select(col("__r.*"))
+  }
+
+  /** DuckDB twin of [[funnelConversion]] over the events table (same
+    * stage-name escaping as [[funnelCountsSql]]). Gap CTE g_k joins
+    * stage k's first-completion times back to stage k−1's — identical
+    * values to the engine's column-carried chain because both take the
+    * same conditional first occurrence per user. */
+  def funnelConversionSql(rawStages: Seq[String]): String = {
+    val stages = rawStages.map(_.replace("'", "''"))
+    val ctes = stages.zipWithIndex.map { case (s, i) =>
+      if (i == 0)
+        s"""s0 AS (
+           |  SELECT user_id, min(ts_us) AS t FROM e
+           |  WHERE event_type = '$s' GROUP BY 1)"""
+      else
+        s"""s$i AS (
+           |  SELECT e.user_id, min(e.ts_us) AS t
+           |  FROM e JOIN s${i - 1} p
+           |    ON e.user_id = p.user_id AND e.ts_us > p.t
+           |  WHERE e.event_type = '$s' GROUP BY 1),
+           |g$i AS (
+           |  SELECT s$i.user_id, s$i.t - p.t AS g
+           |  FROM s$i JOIN s${i - 1} p USING (user_id))""".stripMargin
+    }.mkString(",\n")
+    val sel = stages.zipWithIndex.map { case (s, i) =>
+      val n = s"(SELECT count(*) FROM s$i)"
+      val convPrev =
+        if (i == 0) "CAST(NULL AS DOUBLE)"
+        else s"CASE WHEN (SELECT count(*) FROM s${i - 1}) > 0 THEN " +
+          s"round(CAST($n AS DOUBLE) / (SELECT count(*) FROM s${i - 1}), 6) END"
+      val convFirst = s"CASE WHEN (SELECT count(*) FROM s0) > 0 THEN " +
+        s"round(CAST($n AS DOUBLE) / (SELECT count(*) FROM s0), 6) END"
+      val (gmin, gmax, gmean) =
+        if (i == 0) ("CAST(NULL AS BIGINT)", "CAST(NULL AS BIGINT)",
+          "CAST(NULL AS DOUBLE)")
+        else (s"(SELECT CAST(min(g) AS BIGINT) FROM g$i)",
+          s"(SELECT CAST(max(g) AS BIGINT) FROM g$i)",
+          s"(SELECT CASE WHEN count(*) > 0 THEN " +
+            s"round(CAST(sum(g) AS DOUBLE) / count(*), 6) END FROM g$i)")
+      s"SELECT $i AS stage_idx, '$s' AS stage, " +
+        s"CAST($n AS BIGINT) AS n_users, $convPrev AS conv_vs_prev, " +
+        s"$convFirst AS conv_vs_first, $gmin AS min_gap_us, " +
+        s"$gmax AS max_gap_us, $gmean AS mean_gap_us"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+       |    event_type
+       |  FROM events),
+       |$ctes
+       |$sel""".stripMargin
   }
 
   /** DuckDB twin of [[funnelCounts]] over the events table. Stage names

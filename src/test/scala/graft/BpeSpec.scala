@@ -77,6 +77,48 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("trainBatched == train, in far fewer driver rounds") {
+    // classic fixture
+    val classic = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    // multibyte zh corpus
+    val zh = Seq.fill(4)("你好 世界") ++ Seq.fill(3)("你好吗") ++
+      Seq.fill(2)("世界 和平")
+    val corpora = Seq(
+      "classic" -> classic,
+      "zh" -> zh.mkString(" "), {
+        // adversarial random small-alphabet corpus: heavy pair
+        // interaction, the regime where naive batching diverges
+        val rnd = new scala.util.Random(7)
+        val words = Seq.fill(40)(
+          Seq.fill(1 + rnd.nextInt(6))(('a' + rnd.nextInt(3)).toChar).mkString)
+        "rand3" -> Seq.fill(200)(words(rnd.nextInt(words.size))).mkString(" ")
+      })
+    for ((tag, text) <- corpora) {
+      val docs = Seq((0L, text)).toDF("doc_id", "text")
+      val n = 24
+      val seqMerges = BpeOps.train(docs, n)
+      val batched = BpeOps.trainBatched(docs, n)
+      assert(batched.merges == seqMerges, s"corpus=$tag")
+      // never worse than sequential (+1 for a final empty probe round)
+      assert(batched.rounds <= seqMerges.size + 1,
+        s"corpus=$tag rounds=${batched.rounds} merges=${seqMerges.size}")
+    }
+    // a corpus shaped to batch: disjoint-alphabet repeated bigrams with
+    // well-separated counts, so several top pairs pass the dominance
+    // gate per round — the regime production (Zipfian) vocabularies hit
+    val interleaved = Seq.fill(10)("ababab") ++ Seq.fill(9)("cdcdcd") ++
+      Seq.fill(8)("efefef") ++ Seq.fill(7)("ghghgh") ++ Seq.fill(6)("ijijij")
+    val docs = Seq((0L, interleaved.mkString(" "))).toDF("doc_id", "text")
+    val n = 16
+    val seqMerges = BpeOps.train(docs, n)
+    val batched = BpeOps.trainBatched(docs, n)
+    assert(batched.merges == seqMerges)
+    assert(batched.rounds < seqMerges.size,
+      s"expected a round-trip win, got rounds=${batched.rounds} for " +
+        s"${seqMerges.size} merges")
+  }
+
   test("wordDict splits by code point (unicode contract vs the oracle)") {
     def syms(word: String): Seq[String] =
       BpeOps.wordDict(Seq((0L, word)).toDF("doc_id", "text"))

@@ -717,6 +717,40 @@ class OpsSpec extends AnyFunSuite {
     assert(got2 == Map(0 -> 4L, 1 -> 2L, 2 -> 1L))
   }
 
+  test("funnelConversion: rates and gap summaries off the same chain") {
+    // u1: view@10 click@20 purchase@30 (gaps 10, 10)
+    // u2: view@60 click@70 (gap 10), no purchase
+    // u3: view@5 only; u4 clicks with no view (counts nowhere)
+    val ev = Seq(
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+      (2L, 60L, "view"), (2L, 70L, "click"),
+      (3L, 5L, "view"),
+      (4L, 99L, "click"))
+      .toDF("user_id", "ts_us", "event_type")
+    val got = FunnelOps.funnelConversion(ev, Seq("view", "click", "purchase"))
+      .orderBy("stage_idx").collect()
+    // stage 0: 3 viewers, no prev/gaps
+    assert(got(0).getLong(2) == 3L && got(0).isNullAt(3) &&
+      got(0).getDouble(4) == 1.0 && got(0).isNullAt(5) && got(0).isNullAt(7))
+    // stage 1: 2 of 3 converted; both gaps exactly 10us
+    assert(got(1).getLong(2) == 2L && got(1).getDouble(3) == 0.666667 &&
+      got(1).getDouble(4) == 0.666667 && got(1).getLong(5) == 10L &&
+      got(1).getLong(6) == 10L && got(1).getDouble(7) == 10.0)
+    // stage 2: 1 of 2; single 10us gap
+    assert(got(2).getLong(2) == 1L && got(2).getDouble(3) == 0.5 &&
+      got(2).getDouble(4) == 0.333333 && got(2).getLong(5) == 10L &&
+      got(2).getDouble(7) == 10.0)
+    // the stage-times relation feeds a histogram + quantiles without a
+    // second event scan: t1-t0 gaps of reached users into a Regular axis
+    val st = FunnelOps.funnelStageTimes(ev, Seq("view", "click", "purchase"))
+    val spec = graft.hist.HistSpec(
+      Seq(graft.hist.Regular(4, 0.0, 40.0)), graft.hist.DoubleStorage)
+    val h = graft.hist.Hist.fill(spec, st,
+      Seq(col("__t1") - col("__t0")))
+    val q = graft.hist.HistAlgebra.quantiles(spec, h, Seq(1.0)).collect()
+    assert(q.length == 1 && q(0).getDouble(1) > 0.0)
+  }
+
   test("funnelCounts is one linear plan: S stages -> S source scans, not S^2") {
     val dir = java.nio.file.Files.createTempDirectory("graft-fplan").toString
     Seq((1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"))
