@@ -28,6 +28,24 @@ object Examples {
       spark.stop()
       return
     }
+    if (args.headOption.contains("soak-passage")) {
+      // repeated-passage rewrite soak: `runMain graft.Examples
+      // soak-passage 100000,1000000` — linear occurrence volume + stable
+      // docs/s under a planted 25% repeated-passage rate
+      args.lift(1).getOrElse("100000,1000000").split(",").map(_.trim.toLong)
+        .foreach(n => passageSoak(spark, n))
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("soak-mix")) {
+      // skewed-corpus token-budget-mix soak: one giant (95%) domain —
+      // per-bucket work must stay flat (the two-phase bucketed prefix
+      // sum), not concentrate in a per-domain window
+      args.lift(1).getOrElse("1000000,4000000").split(",").map(_.trim.toLong)
+        .foreach(n => mixSoak(spark, n))
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("bpe")) {
       // BPE round-trip exhibit: `runMain graft.Examples bpe 512` — train
       // the same merge list sequentially and batched on a Zipfian
@@ -144,6 +162,84 @@ object Examples {
         ((0 until 12).map(i => hex(xxhash64(col("base") + lit(i.toLong << 40))))
           :+ when(col("doc_id") % 4 === 3, lit("variant")).otherwise(lit("orig"))): _*))
       .drop("base")
+  }
+
+  /** Repeated-passage removal soak: synthetic 12-token docs where 25%
+    * embed a 6-token passage drawn from a pool of nDocs/100 shared
+    * passages (~25 occurrences each — the cross-document repetition the
+    * operator exists for). Reports the occurrence-relation volume
+    * (token-volume: Σ per-doc (len − n + 1), the relation that shuffles
+    * as 8-byte hashes), end-to-end rewrite time, and docs/s — linear
+    * occurrence volume + stable docs/s is the SCALE.md evidence. */
+  private def passageSoak(spark: SparkSession, nDocs: Long): Unit = {
+    import spark.implicits._
+    val pool = math.max(nDocs / 100, 1L)
+    def docs = {
+      val unique = (0 until 12).map(i =>
+        hex(xxhash64(col("doc_id") + lit(i.toLong << 40))))
+      val passage = (0 until 6).map(i =>
+        hex(xxhash64(pmod(col("doc_id"), lit(pool)) + lit((100 + i).toLong << 41))))
+      val tokens = unique.take(3) ++ passage ++ unique.drop(9)
+      spark.range(nDocs).toDF("doc_id").withColumn("text",
+        when(col("doc_id") % 4 === 3, concat_ws(" ", tokens: _*))
+          .otherwise(concat_ws(" ", unique: _*)))
+    }
+    val n = 5
+    // warm codegen on 1%
+    graft.ops.DedupOps.passageDedup(docs.limit((nDocs / 100).toInt), n = n)
+      .write.format("noop").mode("overwrite").save()
+    val occRows = docs.select(
+      sum(greatest(size(split(col("text"), " ")) - (n - 1), lit(0))))
+      .as[Long].collect()(0)
+    val t0 = System.nanoTime()
+    val out = graft.ops.DedupOps.passageDedup(docs, n = n)
+    out.write.format("noop").mode("overwrite").save()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val affected = graft.ops.DedupOps.passageDedup(docs, n = n)
+      .filter(col("n_removed") > 0).count()
+    println(f"""{"example":"passage_soak","docs":$nDocs,"occ_rows":$occRows,"occ_per_doc":${occRows.toDouble / nDocs}%.2f,"rewrite_sec":$sec%.3f,"docs_per_sec":${nDocs / sec}%.0f,"docs_rewritten":$affected}""")
+  }
+
+  /** Token-budget mix soak on a SKEWED corpus (95% of docs in one "en"
+    * domain): with the two-phase bucketed prefix sum, per-task window
+    * work is bounded by the largest (group, bucket) cell — reported as
+    * max/mean cell rows (flat ≈ uniform hash spread) — instead of one
+    * window partition holding the whole giant domain. */
+  private def mixSoak(spark: SparkSession, nDocs: Long): Unit = {
+    import spark.implicits._
+    val langs = Seq("de", "fr", "ja", "sw")
+    def docs = spark.range(nDocs).toDF("doc_id")
+      .withColumn("lang", when(col("doc_id") % 20 < 19, lit("en"))
+        .otherwise(element_at(array(langs.map(lit): _*),
+          (pmod(expr("doc_id div 20"), lit(4)) + 1).cast("int"))))
+      .withColumn("text", concat_ws(" ", (0 until 10).map(i =>
+        hex(xxhash64(col("doc_id") + lit(i.toLong << 40)))): _*))
+    // targets: half the giant domain's tokens, all of a small one's
+    val targets = Map("en" -> nDocs / 2 * 10, "de" -> nDocs / 80 * 10,
+      "fr" -> 1000L, "ja" -> 0L)
+    val buckets = 64
+    graft.ops.PipelineOps.tokenBudgetMix(
+        docs.limit((nDocs / 100).toInt), targets, buckets = buckets)
+      .write.format("noop").mode("overwrite").save()
+    val t0 = System.nanoTime()
+    graft.ops.PipelineOps.tokenBudgetMix(docs, targets, buckets = buckets)
+      .write.format("noop").mode("overwrite").save()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val kept = graft.ops.PipelineOps.tokenBudgetMix(docs, targets,
+      buckets = buckets)
+    val keptTok = kept.groupBy("lang").agg(sum("n_tok").as("tok"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // per-(group, bucket) cell sizes, replicating the operator's
+    // bucketing arithmetic: a window task sorts ONE cell, so the flat-
+    // work evidence is max_cell ≈ giant_domain/buckets, never ≈ domain
+    val width = graft.ops.PipelineOps.ShufflePrime / buckets + 1
+    val cells = docs
+      .withColumn("__k", graft.ops.PipelineOps.epochShuffleKey(col("doc_id"), 42L))
+      .withColumn("__b", expr(s"__k DIV ${width}L"))
+      .groupBy("lang", "__b").count()
+    val mx = cells.agg(max("count")).as[Long].collect()(0)
+    val enRows = docs.filter(col("lang") === "en").count()
+    println(f"""{"example":"mix_soak","docs":$nDocs,"skew_en_frac":0.95,"sec":$sec%.3f,"docs_per_sec":${nDocs / sec}%.0f,"giant_domain_rows":$enRows,"buckets":$buckets,"max_cell_rows":$mx,"max_cell_frac_of_domain":${mx.toDouble / enRows}%.4f,"kept_tokens_en":${keptTok.getOrElse("en", 0L)},"kept_tokens_de":${keptTok.getOrElse("de", 0L)}}""")
   }
 
   /** Sequential-vs-batched BPE training on a deterministic Zipfian

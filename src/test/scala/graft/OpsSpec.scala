@@ -762,6 +762,12 @@ class OpsSpec extends AnyFunSuite {
     // the union-of-per-stage-counts shape embedded every prefix chain:
     // 6 scans for 3 stages; the column-carrying chain scans each slice once
     assert("Scan parquet".r.findAllIn(plan).length == 3, plan.take(2000))
+    // conversion analytics ride the same chain: still S scans
+    val convPlan = FunnelOps.funnelConversion(spark.read.parquet(dir),
+        Seq("view", "click", "purchase"))
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(convPlan).length == 3,
+      convPlan.take(2000))
   }
 
   test("retentionCohorts: cohort by first bucket, offsets bounded") {
