@@ -40,6 +40,14 @@ object ExtensionQueries {
   // underflow, > ~11 days → overflow)
   private val interArrAxis = RegularLog(12, 1.0, 1000000.0)
 
+  // log-spaced Variable edges (1 ms .. ~11.5 days in microseconds) for
+  // time-to-convert gap distributions: percentile-shaped axes are the
+  // Variable-quantiles use case, and the edge doubles are computed ONCE
+  // here so engine binCol and oracle sqlExpr/quantilesVariableSql emit
+  // identical literals
+  private val funnelGapAxis = Variable(
+    (0 to 36).map(i => math.pow(10.0, 3.0 + i * 0.25)))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- dedup ----------------------------------------------------------
     "dedup_exact" -> { (s, dir) =>
@@ -413,6 +421,20 @@ object ExtensionQueries {
           col("event_type"))
       FunnelOps.funnelConversion(ev, Seq("view", "click", "purchase"))
         .orderBy("stage_idx")
+    },
+    // time-to-convert distribution: click->purchase gaps filled into the
+    // log-spaced Variable axis, interpolated quantiles on top — the
+    // round-6 Variable-quantiles path driven end-to-end off the funnel
+    // chain (no extra event scans beyond the S stage slices)
+    "events_funnel_gap_quantiles" -> { (s, dir) =>
+      val ev = graft.sources.Sources.eventsWithTimestamp(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_type"))
+      val st = FunnelOps.funnelStageTimes(ev, Seq("view", "click", "purchase"))
+      val spec = HistSpec(Seq(funnelGapAxis), DoubleStorage)
+      val h = Hist.fill(spec, st,
+        Seq((col("__t2") - col("__t1")).cast("double")))
+      HistAlgebra.quantiles(spec, h, Seq(0.5, 0.9, 0.99)).orderBy("q")
     },
     // Weekly cohort retention triangle (first-activity cohort × offset)
     "events_retention" -> { (s, dir) =>
@@ -930,6 +952,14 @@ object ExtensionQueries {
     "events_funnel_conversion" ->
       (FunnelOps.funnelConversionSql(Seq("view", "click", "purchase")) +
         " ORDER BY stage_idx"),
+    "events_funnel_gap_quantiles" ->
+      s"""WITH ${FunnelOps.funnelStageCtes(Seq("view", "click", "purchase"))},
+         |h AS (
+         |  SELECT ${funnelGapAxis.sqlExpr("CAST(g AS DOUBLE)")} AS i0,
+         |    sum(1.0) AS value
+         |  FROM g2 GROUP BY 1),
+         |${HistAlgebra.quantilesVariableSql(funnelGapAxis, Seq(0.5, 0.9, 0.99))}
+         |ORDER BY q""".stripMargin,
     "events_retention" ->
       (FunnelOps.retentionCohortsSql(604800000000L, 4) +
         " ORDER BY cohort, \"offset\""),

@@ -119,12 +119,16 @@ object FunnelOps {
     summary.select(explode(array(rows: _*)).as("__r")).select(col("__r.*"))
   }
 
-  /** DuckDB twin of [[funnelConversion]] over the events table (same
-    * stage-name escaping as [[funnelCountsSql]]). Gap CTE g_k joins
-    * stage k's first-completion times back to stage k−1's — identical
-    * values to the engine's column-carried chain because both take the
-    * same conditional first occurrence per user. */
-  def funnelConversionSql(rawStages: Seq[String]): String = {
+  /** Shared CTE chain for the funnel-analytics oracles: the events
+    * projection `e`, per-stage first-completion times s0..s(S-1), and
+    * per-stage gap relations g1..g(S-1) (gap CTE g_k joins stage k's
+    * first-completion times back to stage k−1's — identical values to
+    * the engine's column-carried chain because both take the same
+    * conditional first occurrence per user). Returns the WITH-list body,
+    * no trailing comma; callers append their own SELECT (or further
+    * CTEs after a comma). Stage names are caller-supplied — single
+    * quotes are escaped. */
+  def funnelStageCtes(rawStages: Seq[String]): String = {
     val stages = rawStages.map(_.replace("'", "''"))
     val ctes = stages.zipWithIndex.map { case (s, i) =>
       if (i == 0)
@@ -141,6 +145,17 @@ object FunnelOps {
            |  SELECT s$i.user_id, s$i.t - p.t AS g
            |  FROM s$i JOIN s${i - 1} p USING (user_id))""".stripMargin
     }.mkString(",\n")
+    s"""e AS (
+       |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+       |    event_type
+       |  FROM events),
+       |$ctes""".stripMargin
+  }
+
+  /** DuckDB twin of [[funnelConversion]] over the events table, on the
+    * [[funnelStageCtes]] chain. */
+  def funnelConversionSql(rawStages: Seq[String]): String = {
+    val stages = rawStages.map(_.replace("'", "''"))
     val sel = stages.zipWithIndex.map { case (s, i) =>
       val n = s"(SELECT count(*) FROM s$i)"
       val convPrev =
@@ -161,11 +176,7 @@ object FunnelOps {
         s"$convFirst AS conv_vs_first, $gmin AS min_gap_us, " +
         s"$gmax AS max_gap_us, $gmean AS mean_gap_us"
     }.mkString("\nUNION ALL\n")
-    s"""WITH e AS (
-       |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
-       |    event_type
-       |  FROM events),
-       |$ctes
+    s"""WITH ${funnelStageCtes(rawStages)}
        |$sel""".stripMargin
   }
 
