@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // A full bench run compiles thousands of Janino/codegen classes; the
+  // JDK default 240 MB code cache fills late in the run and flips the
+  // JIT off, silently interpreting whatever runs after (measured: the
+  // image-decode query 5x slower ONLY after ~100 queries in one JVM).
+  "-XX:ReservedCodeCacheSize=512m",
 )
