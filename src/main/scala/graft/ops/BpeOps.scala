@@ -127,7 +127,19 @@ object BpeOps {
     *      involving a touched symbol, each bounded by a donor pair's
     *      round-start count that itself contains a touched symbol —
     *      so nothing the prefix changes can reach f, and every
-    *      unchanged pair ranks exactly as it did at round start.
+    *      unchanged pair ranks exactly as it did at round start, and
+    *  (c) every concatenation accepted so far is a NEW string in the
+    *      symbol vocabulary. Without (c) the created-pair bound in (b)
+    *      is incomplete: if c_j = l_j+r_j already existed as a symbol,
+    *      a pair like (x, c_j) holds its round-start count AND gains
+    *      donor occurrences — the two can stack past the bound. The
+    *      vocabulary is driver-held (initial distinct symbols collected
+    *      once, one string added per merge — a SUPERSET over time, since
+    *      fully-consumed symbols are never removed: conservative, never
+    *      unsound), so (c) is a set lookup; a collision ends the batch
+    *      (the colliding merge
+    *      is still applied — sequential BPE conflates equal strings the
+    *      same way — it just can't anchor further same-round proofs).
     * Interacting counts outside the collected top-`topK` are bounded by
     * the K-th count (included in the dominance bound whenever the
     * collect was truncated). The scan stops at the first rejection —
@@ -143,6 +155,14 @@ object BpeOps {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     require(topK >= 1, s"topK must be >= 1, got $topK")
     var dict = wordDict(docs, textCol).localCheckpoint(false)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // exact symbol vocabulary for gate (c): initial distinct symbols
+    // (alphabet + end marker — one tiny collect), then one string per
+    // accepted merge
+    val vocab = scala.collection.mutable.Set.empty[String]
+    vocab ++= dict.select(explode(col("symbols")).as("s"))
+      .distinct().as[String].collect()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var rounds = 0
     var exhausted = false
@@ -162,9 +182,15 @@ object BpeOps {
         while (!stop && idx < top.length &&
             merges.size + accepted.size < nMerges) {
           val (l, r, f) = top(idx)
-          if (accepted.isEmpty) {
+          def accept(): Unit = {
             accepted += ((l, r)); touched ++= Seq(l, r, l + r)
-          } else if (touched(l) || touched(r)) stop = true
+            // gate (c): a concat that conflates with an existing symbol
+            // invalidates the created-pair bound for LATER same-round
+            // candidates — apply this merge, then end the batch
+            if (vocab(l + r)) stop = true else vocab += l + r
+          }
+          if (accepted.isEmpty) accept()
+          else if (touched(l) || touched(r)) stop = true
           else {
             // dominance bound: the largest round-start count any pair
             // interacting with the touched set could have — suffix pairs
@@ -174,8 +200,7 @@ object BpeOps {
               .map(_._3).maxOption.getOrElse(Long.MinValue)
             val bound = if (truncated) math.max(suffixInteract, top.last._3)
               else suffixInteract
-            if (f > bound) { accepted += ((l, r)); touched ++= Seq(l, r, l + r) }
-            else stop = true
+            if (f > bound) accept() else stop = true
           }
           idx += 1
         }

@@ -91,8 +91,11 @@ object FunnelOps {
     val cur = funnelStageTimes(events, stages, userCol, tsCol, typeCol)
     val gapAggs = (1 until stages.size).flatMap { k =>
       val g = col(s"__t$k") - col(s"__t${k - 1}") // null unless stage reached
+      // sum in Decimal(38,0): Σ of us-gaps over 10⁹ users can pass 2⁶³,
+      // where Spark's long sum wraps silently but the DuckDB twin's
+      // HUGEINT does not — the decimal sum keeps both engines exact
       Seq(min(g).as(s"__gmin$k"), max(g).as(s"__gmax$k"),
-        sum(g).as(s"__gsum$k"))
+        sum(g.cast("decimal(38,0)")).as(s"__gsum$k"))
     }
     val aggs = (count(col("__t0")).as("__c0") +:
       (1 until stages.size).map(k => count(col(s"__t$k")).as(s"__c$k"))) ++

@@ -117,6 +117,11 @@ object MultimodalOps {
     * file), and null/empty payloads all surface as
     * [[CorruptPayloadException]] for [[CorruptPolicy]] to act on. */
   object ImageIoCodec extends MediaCodecFactory {
+    // ImageIO's default ImageInputStream cache is a TEMP FILE per stream
+    // — per-image disk I/O that dominates small-image decode throughput.
+    // In-memory payloads never need it; this is a JVM-global switch, set
+    // once per executor when the codec first loads.
+    javax.imageio.ImageIO.setUseCache(false)
     def open(): MediaDecoder = new MediaDecoder {
       def decode(r: MediaRow): MediaFeatures = ImageIoCodec.decodeRow(r)
     }
