@@ -288,6 +288,15 @@ object ExtensionQueries {
       val spec = HistSpec(Seq(IntegerAxis(0L, 50L)), Int64Storage)
       Hist.fill(spec, perUser, Seq(col("n_events"))).orderBy("i0")
     },
+    // quantiles over the IntegerAxis activity histogram (unit-width bins
+    // = the Regular closed form with w = 1; oracle reuses quantilesSql)
+    "events_activity_quantiles" -> { (s, dir) =>
+      val perUser = graft.sources.Sources.eventsWithTimestamp(s, dir)
+        .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+      val spec = HistSpec(Seq(IntegerAxis(0L, 100L)), Int64Storage)
+      val h = Hist.fill(spec, perUser, Seq(col("n_events")))
+      HistAlgebra.quantiles(spec, h, Seq(0.5, 0.9, 0.99)).orderBy("q")
+    },
     // ---- multimodal plumbing (stub codec over binary payloads) ---------
     "multimodal_features" -> { (s, dir) =>
       implicit val sp: SparkSession = s
@@ -900,6 +909,15 @@ object ExtensionQueries {
       s"""SELECT ${ax.sqlExpr("n_events")} AS i0, count(*) AS value FROM (
          |  SELECT user_id, count(*) AS n_events FROM events GROUP BY 1
          |) GROUP BY 1 ORDER BY i0""".stripMargin
+    },
+    "events_activity_quantiles" -> {
+      val ax = IntegerAxis(0L, 100L)
+      s"""WITH h AS (
+         |  SELECT ${ax.sqlExpr("n_events")} AS i0, count(*) AS value FROM (
+         |    SELECT user_id, count(*) AS n_events FROM events GROUP BY 1
+         |  ) GROUP BY 1),
+         |${HistAlgebra.quantilesSql(Regular(100, 0.0, 100.0), Seq(0.5, 0.9, 0.99))}
+         |ORDER BY q""".stripMargin
     },
     "text_rollup_stats" ->
       """SELECT lang, source, count(*) AS n_docs,

@@ -221,12 +221,19 @@ object HistAlgebra {
     val hit = cum.crossJoin(qdf)
       .withColumn("__t", col("q") * col("__n"))
       .filter(col("__t") > col("__cb") && col("__t") <= col("__cb") + col("__c"))
+    def regularEst(lo: Double, hi: Double, n: Int) = {
+      val w = (hi - lo) / n
+      hit.select(col("q"),
+        round(lit(lo) + (col("i0") - 1L).cast("double") * lit(w) +
+          lit(w) * (col("__t") - col("__cb")) / col("__c"), 6).as("est"))
+    }
     spec.axes.head match {
-      case ax: Regular =>
-        val w = (ax.hi - ax.lo) / ax.n
-        hit.select(col("q"),
-          round(lit(ax.lo) + (col("i0") - 1L).cast("double") * lit(w) +
-            lit(w) * (col("__t") - col("__cb")) / col("__c"), 6).as("est"))
+      case ax: Regular => regularEst(ax.lo, ax.hi, ax.n)
+      // unit-width bins: exactly the Regular closed form with w = 1.0
+      // (multiplying by 1.0 is an FP no-op, so the oracle can reuse
+      // quantilesSql(Regular(nBins, lo, hi)) verbatim)
+      case ax: IntegerAxis =>
+        regularEst(ax.lo.toDouble, ax.hi.toDouble, ax.nBins)
       case ax: Variable =>
         val ed = broadcast((1 to nb).map(i =>
           (i.toLong, ax.binLo(i - 1), ax.binWidth(i - 1)))
@@ -236,7 +243,7 @@ object HistAlgebra {
             round(col("__blo") +
               col("__bw") * (col("__t") - col("__cb")) / col("__c"), 6).as("est"))
       case other => throw new IllegalArgumentException(
-        s"quantiles needs a Regular or Variable axis, got $other")
+        s"quantiles needs a Regular, Integer, or Variable axis, got $other")
     }
   }
 
