@@ -322,6 +322,22 @@ object ExtensionQueries {
           round(col("brightness"), 6).as("brightness"))
         .orderBy("id")
     },
+    // REAL resize: 8x8 synthetic PNGs nearest-neighbor-resampled to 4x4
+    // (decode -> integer pixel selection -> lossless re-encode), then
+    // decoded AGAIN for features — the oracle replays the selected
+    // pixels (2x, 2y) in closed form
+    "multimodal_resize" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val media = Tables.documents(s, dir).select(col("doc_id"))
+        .as[Long].map(id => MultimodalOps.MediaRow(
+          id, MultimodalOps.syntheticPng(id, 8, 8), "image/png", 0, 0))
+      val small = MultimodalOps.imageResize(media, 4, 4)
+      MultimodalOps.extractFeatures(small, MultimodalOps.ImageIoCodec).toDF()
+        .select(col("id"), col("width"), col("height"),
+          round(col("brightness"), 6).as("brightness"))
+        .orderBy("id")
+    },
     // ROLLUP aggregation surface: corpus stats at (lang, source), (lang),
     // and grand-total levels in one pass
     "text_rollup_stats" -> { (s, dir) =>
@@ -874,6 +890,17 @@ object ExtensionQueries {
         |    + 114 * ((3 * doc_id + 29 * x + 19 * y + 203) % 256))
         |    / (255000.0 * 64), 6) AS brightness
         |FROM documents, unnest(range(0, 8)) tx(x), unnest(range(0, 8)) ty(y)
+        |GROUP BY doc_id ORDER BY id""".stripMargin,
+    // nearest-neighbor 8x8 -> 4x4 keeps exactly the source pixels at
+    // (2x, 2y); PNG round-trips are lossless, so the resized decode is
+    // the generating formula at those coordinates
+    "multimodal_resize" ->
+      """SELECT doc_id AS id, 4 AS width, 4 AS height,
+        |  round(sum(299 * ((7 * doc_id + 13 * (2 * x) + 31 * (2 * y)) % 256)
+        |    + 587 * ((11 * doc_id + 17 * (2 * x) + 5 * (2 * y) + 101) % 256)
+        |    + 114 * ((3 * doc_id + 29 * (2 * x) + 19 * (2 * y) + 203) % 256))
+        |    / (255000.0 * 16), 6) AS brightness
+        |FROM documents, unnest(range(0, 4)) tx(x), unnest(range(0, 4)) ty(y)
         |GROUP BY doc_id ORDER BY id""".stripMargin,
     "events_props_hist" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS i0,

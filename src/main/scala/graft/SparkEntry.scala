@@ -227,6 +227,15 @@ object SparkEntry {
       val h = Hist.fill(spec, Tables.lineitem(s, dir), Seq(col("l_quantity")))
       HistAlgebra.quantiles(spec, h, Seq(0.25, 0.5, 0.9, 0.99)).orderBy("q")
     },
+    // WEIGHTED quantiles: DoubleStorage value = Σw, so the rank space is
+    // weighted mass (weight = l_quantity, integer-valued -> exact double
+    // sums, class-E interpolation)
+    "hist_quantiles_weighted" -> { (s, dir) =>
+      val spec = HistSpec(Seq(axPrice), DoubleStorage)
+      val h = Hist.fill(spec, Tables.lineitem(s, dir),
+        Seq(col("l_extendedprice")), weight = Some(col("l_quantity")))
+      HistAlgebra.quantiles(spec, h, Seq(0.25, 0.5, 0.9)).orderBy("q")
+    },
     // quantiles over percentile-shaped (Variable) edges — the latency-
     // histogram use case: per-bin edge lookup instead of the Regular
     // closed form
@@ -507,6 +516,13 @@ object SparkEntry {
          |  SELECT ${axQtyR.sqlExpr("l_quantity")} AS i0, sum(1.0) AS value
          |  FROM ${li()} GROUP BY 1),
          |${HistAlgebra.quantilesSql(axQtyR, Seq(0.25, 0.5, 0.9, 0.99))}
+         |ORDER BY q""".stripMargin,
+    "hist_quantiles_weighted" ->
+      s"""WITH h AS (
+         |  SELECT ${axPrice.sqlExpr("l_extendedprice")} AS i0,
+         |    sum(l_quantity) AS value
+         |  FROM ${li()} GROUP BY 1),
+         |${HistAlgebra.quantilesSql(axPrice, Seq(0.25, 0.5, 0.9))}
          |ORDER BY q""".stripMargin,
     "hist_quantiles_variable" ->
       s"""WITH h AS (

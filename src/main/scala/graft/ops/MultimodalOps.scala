@@ -223,6 +223,54 @@ object MultimodalOps {
   /** One sampled frame of a media payload. */
   final case class FrameRow(id: Long, frameIdx: Int, payload: Array[Byte])
 
+  /** REAL image resize (images only — video/audio keep the [[resize]]
+    * stub): decode via the same `javax.imageio` path as [[ImageIoCodec]],
+    * NEAREST-NEIGHBOR resample — out(x, y) = in(x·W div w, y·H div h),
+    * integer arithmetic, no smoothing kernel, so the pixel selection is
+    * deterministic and an oracle can replay it in closed form — then
+    * re-encode as lossless PNG. Corrupt payloads follow `onCorrupt`
+    * ([[CorruptPolicy.Skip]] drops the row). Blobs stay inside the
+    * partition: decode, resample, re-encode are one narrow pass. */
+  def imageResize(media: Dataset[MediaRow], w: Int, h: Int,
+      onCorrupt: CorruptPolicy = CorruptPolicy.Fail)
+      (implicit spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    require(w > 0 && h > 0, "target dimensions must be positive")
+    media.mapPartitions(_.flatMap { r =>
+      try {
+        if (r.payload == null)
+          throw new CorruptPayloadException(r.id, "null payload")
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+          catch { case e: java.io.IOException =>
+            throw new CorruptPayloadException(r.id, s"image parse failed: ${e.getMessage}", e)
+          }
+        if (img == null)
+          throw new CorruptPayloadException(r.id, "undecodable image payload")
+        val (iw, ih) = (img.getWidth, img.getHeight)
+        val out = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            out.setRGB(x, y, img.getRGB(x * iw / w, y * ih / h))
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        Some(r.copy(payload = bos.toByteArray, width = w, height = h))
+      } catch {
+        case e: CorruptPayloadException => onCorrupt match {
+          case CorruptPolicy.Fail => throw e
+          case CorruptPolicy.Skip => None
+        }
+      }
+    })
+  }
+
   /** STUB resize: deterministic byte decimation standing in for a real
     * scaler — keeps a stride-sampled prefix of ~w·h bytes and stamps the
     * target dimensions. The pipeline shape (per-partition map, metadata

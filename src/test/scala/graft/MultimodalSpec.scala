@@ -121,6 +121,36 @@ class MultimodalSpec extends AnyFunSuite {
       codec = ImageIoCodec, onCorrupt = CorruptPolicy.Fail).collect())
   }
 
+  test("imageResize: nearest-neighbor pixel selection, corrupt policy") {
+    // 2x2 source with distinct corner colors -> 1x1 keeps pixel (0, 0)
+    val src = new java.awt.image.BufferedImage(
+      2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    src.setRGB(0, 0, 0x112233); src.setRGB(1, 0, 0x445566)
+    src.setRGB(0, 1, 0x778899); src.setRGB(1, 1, 0xaabbcc)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(src, "png", bos)
+    val rows = Seq(MediaRow(1L, bos.toByteArray, "image/png", 0, 0),
+      MediaRow(2L, "junk".getBytes("UTF-8"), "image/png", 0, 0))
+    val out = MultimodalOps.imageResize(rows.take(1).toDS(), 1, 1).collect()
+    assert(out.length == 1 && out(0).width == 1 && out(0).height == 1)
+    val dec = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(0).payload))
+    assert((dec.getRGB(0, 0) & 0xffffff) == 0x112233)
+    // 2x2 -> 4x4 upsample replicates each source pixel 2x2
+    val up = MultimodalOps.imageResize(rows.take(1).toDS(), 4, 4).collect()(0)
+    val dup = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(up.payload))
+    assert((dup.getRGB(1, 1) & 0xffffff) == 0x112233 &&
+      (dup.getRGB(2, 1) & 0xffffff) == 0x445566 &&
+      (dup.getRGB(3, 3) & 0xffffff) == 0xaabbcc)
+    // corrupt: Skip drops, Fail raises
+    val kept = MultimodalOps.imageResize(rows.toDS(), 1, 1,
+      CorruptPolicy.Skip).collect()
+    assert(kept.map(_.id).toSeq == Seq(1L))
+    intercept[Exception](
+      MultimodalOps.imageResize(rows.toDS(), 1, 1).collect())
+  }
+
   test("one codec init per partition; close runs on task completion") {
     CountingCodec.reset()
     val media = MultimodalOps.asMedia(
