@@ -38,7 +38,15 @@ final case class FunnelProgress(stage: Int, t: Long, seen: Long)
 object FunnelStream {
 
   final case class TypedEvent(user_id: Long, ts_us: Long, event_type: String)
-  final case class StageReached(user_id: Long, stage_idx: Int, ts_us: Long)
+
+  /** A user's first arrival at a stage. `gap_us` is the time-to-convert
+    * from the previous stage (t_k − t_(k−1)) — the batch
+    * [[graft.ops.FunnelOps.funnelConversion]] gap — or -1 for stage 0
+    * (primitive sentinel keeps the encoder flat; stage 0 has no
+    * predecessor). `groupBy(stage_idx).agg(count, avg/min/max of gap_us
+    * where >= 0)` IS the live conversion dashboard. */
+  final case class StageReached(user_id: Long, stage_idx: Int, ts_us: Long,
+      gap_us: Long = -1L)
 
   def funnelStream(events: Dataset[TypedEvent], stages: Seq[String],
       retentionSec: Long = 86400L)
@@ -78,8 +86,9 @@ object FunnelStream {
               stageOf.get(e.event_type) match {
                 case Some(k) if k == cur.stage + 1 &&
                     (cur.stage == -1 || e.ts_us > cur.t) =>
+                  val gap = if (k == 0) -1L else e.ts_us - cur.t
                   cur = cur.copy(stage = k, t = e.ts_us)
-                  out += StageReached(user, k, e.ts_us)
+                  out += StageReached(user, k, e.ts_us, gap)
                 case _ => // wrong stage, already passed, or not after prev
               }
             }

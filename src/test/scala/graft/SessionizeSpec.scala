@@ -112,6 +112,16 @@ class SessionizeSpec extends AnyFunSuite {
       .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
     assert(streamed == batch)
     assert(streamed == Map(0 -> 3L, 1 -> 2L, 2 -> 1L))
+    // the emitted gap_us records reproduce the batch conversion gaps
+    val sgaps = spark.table("funnel").filter($"gap_us" >= 0)
+      .groupBy("stage_idx")
+      .agg(min("gap_us").as("mn"), max("gap_us").as("mx"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val bgaps = graft.ops.FunnelOps.funnelConversion(ev.toDF(), stages)
+      .filter($"stage_idx" > 0).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(5), r.getLong(6)))).toMap
+    assert(sgaps == bgaps)
+    assert(sgaps == Map(1 -> ((10L, 10L)), 2 -> ((10L, 10L))))
   }
 
   test("streaming funnel carries per-user state across micro-batches") {
