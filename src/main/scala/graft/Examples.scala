@@ -46,6 +46,15 @@ object Examples {
       spark.stop()
       return
     }
+    if (args.headOption.contains("soak-ann")) {
+      // embedding-search soak: `runMain graft.Examples soak-ann
+      // 100000,1000000` — IVF/LSH candidate volumes and throughput on
+      // synthetic 64-dim corpora
+      args.lift(1).getOrElse("100000,1000000").split(",").map(_.trim.toLong)
+        .foreach(n => annSoak(spark, n))
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("bpe")) {
       // BPE round-trip exhibit: `runMain graft.Examples bpe 512` — train
       // the same merge list sequentially and batched on a Zipfian
@@ -240,6 +249,46 @@ object Examples {
     val mx = cells.agg(max("count")).as[Long].collect()(0)
     val enRows = docs.filter(col("lang") === "en").count()
     println(f"""{"example":"mix_soak","docs":$nDocs,"skew_en_frac":0.95,"sec":$sec%.3f,"docs_per_sec":${nDocs / sec}%.0f,"giant_domain_rows":$enRows,"buckets":$buckets,"max_cell_rows":$mx,"max_cell_frac_of_domain":${mx.toDouble / enRows}%.4f,"kept_tokens_en":${keptTok.getOrElse("en", 0L)},"kept_tokens_de":${keptTok.getOrElse("de", 0L)}}""")
+  }
+
+  /** Embedding-search soak: synthetic 64-dim unit-ish vectors (uniform
+    * [-1, 1] lanes from xxhash64 — the worst case for IVF, since real
+    * clustered data concentrates probes), 256 queries. Measures IVF and
+    * LSH top-k wall-clock/QPS and the two volumes the SCALE.md
+    * accounting bounds: the per-cell population spread (max/mean — one
+    * re-rank join partition per cell) and the SemDedup pair term
+    * Σ|cell|² relative to n². */
+  private def annSoak(spark: SparkSession, n: Long): Unit = {
+    import spark.implicits._
+    val dim = 64
+    def vecs(num: Long, off: Long) = spark.range(num).toDF("vec_id")
+      .withColumn("embedding", expr(
+        s"transform(sequence(0, ${dim - 1}), i -> " +
+          s"CAST(CAST(pmod(xxhash64(vec_id + $off + i * 1000003L), 2000001) " +
+          s"- 1000000 AS FLOAT) / 1000000.0 AS FLOAT))"))
+    def corpus = vecs(n, 0L)
+    val queries = vecs(256L, 1L << 40)
+    // warm
+    graft.ops.SimilarityOps.ivfTopK(queries, corpus.limit((n / 100).toInt),
+      dim, 5).write.format("noop").mode("overwrite").save()
+    val t0 = System.nanoTime()
+    graft.ops.SimilarityOps.ivfTopK(queries, corpus, dim, 5)
+      .write.format("noop").mode("overwrite").save()
+    val ivfSec = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    graft.ops.SimilarityOps.annTopK(queries, corpus, dim, 5)
+      .write.format("noop").mode("overwrite").save()
+    val lshSec = (System.nanoTime() - t1) / 1e9
+    val cents = graft.ops.SimilarityOps.seededCentroids(16, dim)
+    val cells = corpus.select(element_at(
+        graft.functions.NearestCentroid(col("embedding"), cents, 1), 1)
+        .as("cell"))
+      .groupBy("cell").count()
+      .agg(max("count").as("mx"), avg("count").as("mean"),
+        sum(col("count") * col("count")).as("sq"))
+      .collect()(0)
+    val (mx, mean, sq) = (cells.getLong(0), cells.getDouble(1), cells.getLong(2))
+    println(f"""{"example":"ann_soak","vectors":$n,"dim":$dim,"queries":256,"ivf_sec":$ivfSec%.3f,"ivf_qps":${256 / ivfSec}%.1f,"lsh_sec":$lshSec%.3f,"lsh_qps":${256 / lshSec}%.1f,"cells":16,"max_cell":$mx,"max_over_mean":${mx / mean}%.2f,"semdedup_pair_frac":${sq.toDouble / (n.toDouble * n)}%.4f}""")
   }
 
   /** Sequential-vs-batched BPE training on a deterministic Zipfian
