@@ -24,6 +24,8 @@ object ExtensionQueries {
   private val lshRowsPerBand = 8
   private val ivfCentroids = 16
   private val ivfProbe = 4
+  private val pqM = 8
+  private val pqK = 16
   private val jaccardK = 3
   private val jaccardThresh = 0.3
   // document-frequency prefix-filter cap (drop-only; identical on both
@@ -211,6 +213,17 @@ object ExtensionQueries {
       val emb = Tables.embeddings(s, dir)
       SimilarityOps.ivfTopK(emb.filter(col("vec_id") < 10), emb, dim = annDim,
         k = annK, nCentroids = ivfCentroids, nprobe = ivfProbe, seed = annSeed)
+        .orderBy("query_id", "rank")
+    },
+    // Product quantization: encode once (m codes a row), search via the
+    // per-query ADC lookup table — exact Long arithmetic end-to-end, so
+    // codes AND ranked distances hash-match the oracle
+    "ann_pq_topk" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val enc = SimilarityOps.pqEncode(emb, annDim, m = pqM, k = pqK,
+        seed = annSeed)
+      SimilarityOps.pqTopK(emb.filter(col("vec_id") < 10), enc, annDim,
+        annK, m = pqM, k = pqK, seed = annSeed)
         .orderBy("query_id", "rank")
     },
     // ---- text analysis --------------------------------------------------
@@ -807,6 +820,7 @@ object ExtensionQueries {
       (TextOps.tokenEntropySql() + " ORDER BY doc_id"),
     "ann_lsh_topk" -> lshTopkOracleSql(),
     "ann_ivf_topk" -> ivfTopkOracleSql(),
+    "ann_pq_topk" -> pqTopkOracleSql(),
     "dedup_semantic" -> semanticDedupOracleSql(semDedupCos),
     "pack_sequences" ->
       (PipelineOps.packSequencesSql(packBudget) + " ORDER BY lang, source, seq_id"),
@@ -1116,6 +1130,45 @@ object ExtensionQueries {
     * embeddings, exact integer squared-L2 distances, per-vector centroid
     * ranking with ties to the lower id (NearestCentroid's contract).
     * Emitted from ONE place so the three oracles cannot drift. */
+  /** PQ oracle: identical seeded integer sub-codebooks as a VALUES list;
+    * per-(vec, subspace, code) exact integer squared L2 is computed ONCE
+    * (`encd`) and serves both sides — the corpus argmin encode (ties to
+    * the lower code, NearestCentroid's contract) and the query lookup
+    * table; ADC = the per-subspace join-and-sum; rank by (adc, id). */
+  private def pqTopkOracleSql(): String = {
+    val cb = SimilarityOps.pqCodebooks(pqM, pqK, annDim, annSeed)
+    val sub = annDim / pqM
+    val books = (for (j <- 0 until pqM; c <- 0 until pqK)
+      yield s"($j, $c, [${cb(j)(c).mkString(",")}])").mkString(", ")
+    s"""WITH books(j, c, bv) AS (VALUES $books),
+       |qv AS (SELECT vec_id, $quantListSql AS q FROM embeddings),
+       |encd AS (
+       |  SELECT vec_id, j, c,
+       |    list_reduce(list_transform(range(1, ${sub + 1}),
+       |      i -> (q[j * $sub + i] - bv[i]) * (q[j * $sub + i] - bv[i])),
+       |      (a, b) -> a + b) AS d
+       |  FROM qv CROSS JOIN books),
+       |codes AS (
+       |  SELECT vec_id, j, c FROM (
+       |    SELECT vec_id, j, c,
+       |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+       |    FROM encd) WHERE rn = 1),
+       |adc AS (
+       |  SELECT e.vec_id AS query_id, vc.vec_id AS neighbor_id,
+       |    CAST(sum(e.d) AS BIGINT) AS adc
+       |  FROM encd e
+       |  JOIN codes vc ON vc.j = e.j AND vc.c = e.c AND vc.vec_id <> e.vec_id
+       |  WHERE e.vec_id < 10
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, adc,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc, neighbor_id) AS INT) AS rank
+       |  FROM adc)
+       |SELECT query_id, neighbor_id, adc, rank FROM ranked
+       |WHERE rank <= $annK ORDER BY query_id, rank""".stripMargin
+  }
+
   private def centroidAssignCtes(cents: Array[Array[Long]]): String =
     s"""cents(ci, cv) AS (VALUES ${longMatrixValues(cents)}),
        |qv AS (SELECT vec_id, $quantListSql AS q FROM embeddings),

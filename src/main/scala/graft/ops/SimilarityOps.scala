@@ -488,4 +488,96 @@ object SimilarityOps {
     df.select(col(idCol),
       round(dot(col(vecCol), lit1), 6).as("projection"))
   }
+
+  // ---- product quantization (Jégou et al., TPAMI 2011) ---------------------
+
+  /** Seeded PQ codebooks: `m` subspaces × `k` sub-centroids × (dim/m)
+    * INTEGER lanes (the [[seededCentroids]] magnitude rationale). Pass
+    * offline-trained books to [[pqEncode]]/[[pqTopK]] in production —
+    * [[kmeansLloyd]] per subspace trains them in-engine. */
+  def pqCodebooks(m: Int, k: Int, dim: Int,
+      seed: Long = 42L): Array[Array[Array[Long]]] = {
+    require(m >= 1 && k >= 2, s"need m >= 1 subspaces, k >= 2 codes: $m, $k")
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val rng = new scala.util.Random(seed)
+    Array.fill(m, k, dim / m)(math.round(rng.nextGaussian() * 32.0))
+  }
+
+  /** Train PQ codebooks IN-ENGINE: per subspace, Lloyd iterations over
+    * the sliced lanes ([[kmeansLloyd]] — integer-grid re-quantization
+    * keeps assignment exact every round), seeded from [[pqCodebooks]].
+    * m × iters tiny jobs; each collect is one k×(dim/m) centroid table.
+    * This is how production books are fit before [[pqEncode]] freezes
+    * them. */
+  def pqTrainBooks(corpus: DataFrame, dim: Int, m: Int = 8, k: Int = 16,
+      iters: Int = 3, seed: Long = 42L): Array[Array[Array[Long]]] = {
+    val init = pqCodebooks(m, k, dim, seed)
+    val sub = dim / m
+    (0 until m).toArray.map { j =>
+      val lanes = spread(corpus).select(col("vec_id"),
+        slice(col("embedding"), j * sub + 1, sub).as("embedding"))
+      kmeansLloyd(lanes, init(j), iters)
+    }
+  }
+
+  /** PQ ENCODE: vector → `m` small codes (argmin sub-centroid per
+    * subspace by exact integer squared L2 — [[graft.functions.NearestCentroid]]
+    * per lane slice, ties to the lower code). ONE narrow pass; the
+    * output is m ints per row — the 100 TB representation (a 64-dim
+    * float vector compresses 32×, and search never re-reads vectors). */
+  def pqEncode(corpus: DataFrame, dim: Int, m: Int = 8, k: Int = 16,
+      seed: Long = 42L,
+      books: Option[Array[Array[Array[Long]]]] = None): DataFrame = {
+    val cb = books.getOrElse(pqCodebooks(m, k, dim, seed))
+    require(cb.length == m && cb.forall(_.length == k), "codebook shape mismatch")
+    val sub = dim / m
+    val codes = (0 until m).map { j =>
+      element_at(graft.functions.NearestCentroid(
+        slice(col("embedding"), j * sub + 1, sub), cb(j), 1), 1)
+    }
+    spread(corpus).select(col("vec_id"), array(codes: _*).as("codes"))
+  }
+
+  /** PQ asymmetric-distance top-k (ADC): each query computes its exact
+    * per-(subspace, code) partial squared distances ONCE — an m·k
+    * integer lookup table — and every encoded corpus row scores as the
+    * sum of m table entries addressed by its codes. The corpus moves
+    * only as (id, m codes); vectors are never touched after the encode
+    * pass, which is the entire point at 100 TB. Exact Long arithmetic
+    * end-to-end (same quantization as the encode side), rank by
+    * (adc asc, neighbor_id) — deterministic and oracle-checkable.
+    * Approximation contract: ADC ranks by distance-to-codes, so recall
+    * vs [[bruteForceTopK]] is < 1 by construction (tested). */
+  def pqTopK(queries: DataFrame, encoded: DataFrame, dim: Int, topK: Int,
+      m: Int = 8, k: Int = 16, seed: Long = 42L,
+      books: Option[Array[Array[Array[Long]]]] = None): DataFrame = {
+    val cb = books.getOrElse(pqCodebooks(m, k, dim, seed))
+    require(cb.length == m && cb.forall(_.length == k), "codebook shape mismatch")
+    val sub = dim / m
+    val scale = graft.functions.HyperplaneSig.QuantScale
+    def qLane(i: Int): Column = // identical quantization to NearestCentroid
+      floor(element_at(col("embedding"), i + 1).cast("double") * scale + 0.5)
+        .cast("long")
+    val lut = array((for (j <- 0 until m; c <- 0 until k) yield {
+      val cent = cb(j)(c)
+      (0 until sub).map { l =>
+        val d = qLane(j * sub + l) - lit(cent(l))
+        d * d
+      }.reduce(_ + _)
+    }): _*)
+    val q = queries.select(col("vec_id").as("query_id"), lut.as("__lut"))
+    val adc = (0 until m).map(j =>
+      element_at(col("__lut"),
+        (lit(j * k) + element_at(col("codes"), j + 1) + 1).cast("int")))
+      .reduce(_ + _)
+    val scored = broadcast(q)
+      .join(encoded.select(col("vec_id").as("neighbor_id"), col("codes")),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", adc)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("query_id", "neighbor_id", "adc", "rank")
+  }
 }

@@ -305,6 +305,42 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall $recall")
   }
 
+  test("PQ: duplicate vector minimizes ADC; codes bounded; L2 recall") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // a planted exact duplicate shares all m codes, so its ADC equals the
+    // query's own table minima summed — the global minimum by construction
+    val dup = emb.filter($"vec_id" === 3L)
+      .select(lit(9999L).as("vec_id"), col("embedding"))
+    val corpus = emb.select("vec_id", "embedding").unionByName(dup)
+    val enc = SimilarityOps.pqEncode(corpus, 64)
+    val codes = enc.collect().map(r =>
+      r.getLong(0) -> r.getAs[scala.collection.Seq[Int]](1).toSeq).toMap
+    assert(codes.values.forall(cs => cs.size == 8 &&
+      cs.forall(c => c >= 0 && c < 16)))
+    assert(codes(9999L) == codes(3L)) // identical vector, identical codes
+    val top = SimilarityOps.pqTopK(emb.filter($"vec_id" === 3L), enc, 64, 3)
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(top.head == ((9999L, 1)), s"got ${top.toSeq}")
+    // recall vs exact top-5 (chance ~0.01): seeded random books are the
+    // floor; per-subspace Lloyd training must lift it — the production
+    // path pqTrainBooks exists for
+    val q = emb.filter($"vec_id" < 20)
+    val exact = SimilarityOps.bruteForceTopK(q, emb, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallWith(books: Option[Array[Array[Array[Long]]]]): Double = {
+      val pq = SimilarityOps.pqTopK(q,
+        SimilarityOps.pqEncode(emb, 64, books = books), 64, 5, books = books)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact & pq).size.toDouble / exact.size
+    }
+    val untrained = recallWith(None)
+    assert(untrained >= 0.03, s"untrained recall $untrained") // >> chance
+    val trained = recallWith(
+      Some(SimilarityOps.pqTrainBooks(emb, 64, iters = 3)))
+    assert(trained > untrained,
+      s"training must lift recall: $untrained -> $trained")
+  }
+
   test("LSH near-dup stats match driver-side brute force with planted dups") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     // plant a near-copy of every vector: tiny bump on dim 0 -> sim ~0.9999,
