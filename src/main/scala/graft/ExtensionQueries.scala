@@ -226,6 +226,15 @@ object ExtensionQueries {
         annK, m = pqM, k = pqK, seed = annSeed)
         .orderBy("query_id", "rank")
     },
+    // IVF+PQ: cell-pruned ADC — the production composition (coarse cell
+    // + codes in one pass; queries scan only probed cells' codes)
+    "ann_ivfpq_topk" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      SimilarityOps.ivfPqTopK(emb.filter(col("vec_id") < 10), emb, annDim,
+        annK, m = pqM, k = pqK, nCentroids = ivfCentroids,
+        nprobe = ivfProbe, seed = annSeed)
+        .orderBy("query_id", "rank")
+    },
     // ---- text analysis --------------------------------------------------
     "text_stats" -> { (s, dir) =>
       Tables.documents(s, dir).select(
@@ -821,6 +830,7 @@ object ExtensionQueries {
     "ann_lsh_topk" -> lshTopkOracleSql(),
     "ann_ivf_topk" -> ivfTopkOracleSql(),
     "ann_pq_topk" -> pqTopkOracleSql(),
+    "ann_ivfpq_topk" -> ivfPqTopkOracleSql(),
     "dedup_semantic" -> semanticDedupOracleSql(semDedupCos),
     "pack_sequences" ->
       (PipelineOps.packSequencesSql(packBudget) + " ORDER BY lang, source, seq_id"),
@@ -1135,13 +1145,15 @@ object ExtensionQueries {
     * (`encd`) and serves both sides — the corpus argmin encode (ties to
     * the lower code, NearestCentroid's contract) and the query lookup
     * table; ADC = the per-subspace join-and-sum; rank by (adc, id). */
-  private def pqTopkOracleSql(): String = {
+  /** The PQ CTE block (books → per-(vec, subspace, code) distances →
+    * argmin codes) — assumes the caller's WITH list already defines
+    * `qv(vec_id, q)` (the quantized embeddings). */
+  private def pqCtes(): String = {
     val cb = SimilarityOps.pqCodebooks(pqM, pqK, annDim, annSeed)
     val sub = annDim / pqM
     val books = (for (j <- 0 until pqM; c <- 0 until pqK)
       yield s"($j, $c, [${cb(j)(c).mkString(",")}])").mkString(", ")
-    s"""WITH books(j, c, bv) AS (VALUES $books),
-       |qv AS (SELECT vec_id, $quantListSql AS q FROM embeddings),
+    s"""books(j, c, bv) AS (VALUES $books),
        |encd AS (
        |  SELECT vec_id, j, c,
        |    list_reduce(list_transform(range(1, ${sub + 1}),
@@ -1152,14 +1164,13 @@ object ExtensionQueries {
        |  SELECT vec_id, j, c FROM (
        |    SELECT vec_id, j, c,
        |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
-       |    FROM encd) WHERE rn = 1),
-       |adc AS (
-       |  SELECT e.vec_id AS query_id, vc.vec_id AS neighbor_id,
-       |    CAST(sum(e.d) AS BIGINT) AS adc
-       |  FROM encd e
-       |  JOIN codes vc ON vc.j = e.j AND vc.c = e.c AND vc.vec_id <> e.vec_id
-       |  WHERE e.vec_id < 10
-       |  GROUP BY 1, 2),
+       |    FROM encd) WHERE rn = 1)""".stripMargin
+  }
+
+  /** Shared ADC-rank tail: `adcCte` must yield (query_id, neighbor_id,
+    * adc). */
+  private def pqRankSql(adcCte: String): String =
+    s"""$adcCte,
        |ranked AS (
        |  SELECT query_id, neighbor_id, adc,
        |    CAST(row_number() OVER (PARTITION BY query_id
@@ -1167,6 +1178,39 @@ object ExtensionQueries {
        |  FROM adc)
        |SELECT query_id, neighbor_id, adc, rank FROM ranked
        |WHERE rank <= $annK ORDER BY query_id, rank""".stripMargin
+
+  private def pqTopkOracleSql(): String =
+    s"""WITH qv AS (SELECT vec_id, $quantListSql AS q FROM embeddings),
+       |${pqCtes()},
+       |${pqRankSql(
+      s"""adc AS (
+         |  SELECT e.vec_id AS query_id, vc.vec_id AS neighbor_id,
+         |    CAST(sum(e.d) AS BIGINT) AS adc
+         |  FROM encd e
+         |  JOIN codes vc ON vc.j = e.j AND vc.c = e.c AND vc.vec_id <> e.vec_id
+         |  WHERE e.vec_id < 10
+         |  GROUP BY 1, 2)""".stripMargin)}""".stripMargin
+
+  /** IVF+PQ oracle: [[centroidAssignCtes]]'s cell relation prunes the
+    * ADC join to the query's probed cells; everything else is the PQ
+    * oracle verbatim (both reuse the one `qv` quantization). */
+  private def ivfPqTopkOracleSql(): String = {
+    val cents = SimilarityOps.seededCentroids(ivfCentroids, annDim, annSeed)
+    s"""WITH ${centroidAssignCtes(cents)},
+       |cell AS (SELECT vec_id, ci AS cell FROM rankedc WHERE rc = 1),
+       |probe AS (SELECT vec_id AS query_id, ci AS cell FROM rankedc
+       |          WHERE vec_id < 10 AND rc <= $ivfProbe),
+       |${pqCtes()},
+       |${pqRankSql(
+      s"""adc AS (
+         |  SELECT e.vec_id AS query_id, vc.vec_id AS neighbor_id,
+         |    CAST(sum(e.d) AS BIGINT) AS adc
+         |  FROM encd e
+         |  JOIN codes vc ON vc.j = e.j AND vc.c = e.c AND vc.vec_id <> e.vec_id
+         |  JOIN cell cc ON cc.vec_id = vc.vec_id
+         |  JOIN probe p ON p.query_id = e.vec_id AND p.cell = cc.cell
+         |  WHERE e.vec_id < 10
+         |  GROUP BY 1, 2)""".stripMargin)}""".stripMargin
   }
 
   private def centroidAssignCtes(cents: Array[Array[Long]]): String =

@@ -553,31 +553,83 @@ object SimilarityOps {
       books: Option[Array[Array[Array[Long]]]] = None): DataFrame = {
     val cb = books.getOrElse(pqCodebooks(m, k, dim, seed))
     require(cb.length == m && cb.forall(_.length == k), "codebook shape mismatch")
-    val sub = dim / m
+    val q = queries.select(col("vec_id").as("query_id"),
+      pqLut(cb, dim / m).as("__lut"))
+    val scored = broadcast(q)
+      .join(encoded.select(col("vec_id").as("neighbor_id"), col("codes")),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", pqAdc(m, k))
+    pqRank(scored, topK)
+  }
+
+  /** The per-query ADC lookup table as a flat array<long> column: entry
+    * j·k + c = exact integer ||q_j − book(j)(c)||² (same quantization as
+    * NearestCentroid, so encode and search live on one grid). */
+  private def pqLut(cb: Array[Array[Array[Long]]], sub: Int): Column = {
     val scale = graft.functions.HyperplaneSig.QuantScale
-    def qLane(i: Int): Column = // identical quantization to NearestCentroid
+    def qLane(i: Int): Column =
       floor(element_at(col("embedding"), i + 1).cast("double") * scale + 0.5)
         .cast("long")
-    val lut = array((for (j <- 0 until m; c <- 0 until k) yield {
+    array((for (j <- cb.indices; c <- cb(j).indices) yield {
       val cent = cb(j)(c)
       (0 until sub).map { l =>
         val d = qLane(j * sub + l) - lit(cent(l))
         d * d
       }.reduce(_ + _)
     }): _*)
-    val q = queries.select(col("vec_id").as("query_id"), lut.as("__lut"))
-    val adc = (0 until m).map(j =>
+  }
+
+  /** Σ_j lut[j·k + codes[j]] — m codegen'd element_at's. */
+  private def pqAdc(m: Int, k: Int): Column =
+    (0 until m).map(j =>
       element_at(col("__lut"),
         (lit(j * k) + element_at(col("codes"), j + 1) + 1).cast("int")))
       .reduce(_ + _)
-    val scored = broadcast(q)
-      .join(encoded.select(col("vec_id").as("neighbor_id"), col("codes")),
-        col("query_id") =!= col("neighbor_id"))
-      .withColumn("adc", adc)
+
+  private def pqRank(scored: DataFrame, topK: Int): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("adc").asc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
       .select("query_id", "neighbor_id", "adc", "rank")
+  }
+
+  /** IVF+PQ — the production 100 TB ANN layout (FAISS's IVFPQ shape,
+    * composed from this file's parts): the corpus is coarse-assigned to
+    * cells AND PQ-encoded in ONE narrow pass (row payload after it:
+    * cell id + m codes); queries probe their `nprobe` nearest cells and
+    * ADC-score ONLY those cells' rows via the cell equi-join — scanned
+    * volume drops by ~nprobe/nCentroids on top of PQ's per-row
+    * compression, and raw vectors are never read at query time. Same
+    * exact-integer determinism (and oracle) as [[pqTopK]]; recall
+    * compounds the IVF probe miss and the ADC approximation (tested
+    * against brute force). */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, dim: Int, topK: Int,
+      m: Int = 8, k: Int = 16, nCentroids: Int = 16, nprobe: Int = 4,
+      seed: Long = 42L,
+      books: Option[Array[Array[Array[Long]]]] = None,
+      centroids: Option[Array[Array[Long]]] = None): DataFrame = {
+    val cents = centroids.getOrElse(seededCentroids(nCentroids, dim, seed))
+    val cb = books.getOrElse(pqCodebooks(m, k, dim, seed))
+    require(cb.length == m && cb.forall(_.length == k), "codebook shape mismatch")
+    val sub = dim / m
+    val codes = (0 until m).map { j =>
+      element_at(graft.functions.NearestCentroid(
+        slice(col("embedding"), j * sub + 1, sub), cb(j), 1), 1)
+    }
+    val enc = spread(corpus).select(col("vec_id").as("neighbor_id"),
+      element_at(graft.functions.NearestCentroid(col("embedding"), cents, 1), 1)
+        .as("cell"),
+      array(codes: _*).as("codes"))
+    val qp = queries.select(col("vec_id").as("query_id"),
+        pqLut(cb, sub).as("__lut"),
+        graft.functions.NearestCentroid(col("embedding"), cents, nprobe)
+          .as("__cells"))
+      .select(col("query_id"), col("__lut"),
+        explode(col("__cells")).as("cell"))
+    val scored = broadcast(qp).join(enc, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", pqAdc(m, k))
+    pqRank(scored, topK)
   }
 }

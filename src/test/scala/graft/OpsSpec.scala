@@ -341,6 +341,30 @@ class OpsSpec extends AnyFunSuite {
       s"training must lift recall: $untrained -> $trained")
   }
 
+  test("IVF+PQ: cell pruning preserves ADC scores; duplicate still #1") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dup = emb.filter($"vec_id" === 3L)
+      .select(lit(9999L).as("vec_id"), col("embedding"))
+    val corpus = emb.select("vec_id", "embedding").unionByName(dup)
+    // identical vector -> identical cell AND identical codes -> rank 1
+    // survives the probe pruning
+    val top = SimilarityOps.ivfPqTopK(emb.filter($"vec_id" === 3L), corpus,
+      64, 3).collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(top.head == ((9999L, 1)), s"got ${top.toSeq}")
+    // pruning must not change a surviving pair's ADC: every IVF+PQ hit
+    // carries the same score the full-scan ADC assigns it
+    val q = emb.filter($"vec_id" < 10)
+    val full = SimilarityOps.pqTopK(q, SimilarityOps.pqEncode(emb, 64),
+      64, 500).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val pruned = SimilarityOps.ivfPqTopK(q, emb, 64, 5).collect()
+    assert(pruned.nonEmpty)
+    pruned.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(full(key) == r.getLong(2), s"adc drift at $key")
+    }
+  }
+
   test("LSH near-dup stats match driver-side brute force with planted dups") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     // plant a near-copy of every vector: tiny bump on dim 0 -> sim ~0.9999,
