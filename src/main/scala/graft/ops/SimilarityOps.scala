@@ -594,6 +594,92 @@ object SimilarityOps {
       .select("query_id", "neighbor_id", "adc", "rank")
   }
 
+  /** A persisted PQ index: the encoded (vec_id, cell, codes) relation
+    * plus the exact books/centroids it was encoded with. Search against
+    * a mismatched codebook family silently returns garbage distances, so
+    * the sidecar carries (m, k, dim, seed or explicit books) and
+    * [[pqTopKIndexed]] reads books from it — the CMS-style
+    * params-ride-with-the-data discipline. */
+  final case class PqIndex(encoded: DataFrame,
+      books: Array[Array[Array[Long]]], centroids: Array[Array[Long]])
+
+  /** Build the IVF+PQ index relation: ONE narrow corpus pass producing
+    * (vec_id, cell, codes). Persist with [[writePqIndex]]; each
+    * subsequent query batch then reads codes only (cell-partition-pruned
+    * by the probe set) and the corpus vectors are never touched again. */
+  def buildPqIndex(corpus: DataFrame, dim: Int, m: Int = 8, k: Int = 16,
+      nCentroids: Int = 16, seed: Long = 42L,
+      books: Option[Array[Array[Array[Long]]]] = None,
+      centroids: Option[Array[Array[Long]]] = None): PqIndex = {
+    val cents = centroids.getOrElse(seededCentroids(nCentroids, dim, seed))
+    val cb = books.getOrElse(pqCodebooks(m, k, dim, seed))
+    val sub = dim / m
+    val codes = (0 until m).map { j =>
+      element_at(graft.functions.NearestCentroid(
+        slice(col("embedding"), j * sub + 1, sub), cb(j), 1), 1)
+    }
+    PqIndex(spread(corpus).select(col("vec_id"),
+      element_at(graft.functions.NearestCentroid(col("embedding"), cents, 1), 1)
+        .as("cell"),
+      array(codes: _*).as("codes")), cb, cents)
+  }
+
+  /** Cell-partitioned layout (probe joins prune directories) + books and
+    * coarse centroids in a meta sidecar. */
+  def writePqIndex(idx: PqIndex, path: String): Unit = {
+    val spark = idx.encoded.sparkSession
+    import spark.implicits._
+    idx.encoded.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/data")
+    val bookRows = for (j <- idx.books.indices; c <- idx.books(j).indices)
+      yield (j, c, idx.books(j)(c).toSeq)
+    bookRows.toDF("j", "c", "bv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/books")
+    idx.centroids.zipWithIndex.toSeq.map { case (row, i) => (i, row.toSeq) }
+      .toDF("i", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  def readPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): PqIndex = {
+    val raw = spark.read.parquet(s"$path/books").collect()
+      .map(r => (r.getInt(0), r.getInt(1),
+        r.getAs[scala.collection.Seq[Long]](2).toArray))
+    val m = raw.map(_._1).max + 1
+    val k = raw.map(_._2).max + 1
+    val books = Array.ofDim[Array[Long]](m, k)
+    raw.foreach { case (j, c, bv) => books(j)(c) = bv }
+    require(books.forall(_.forall(_ != null)),
+      s"PQ books sidecar is incomplete (expected dense $m x $k)")
+    val cents = spark.read.parquet(s"$path/meta").collect()
+      .sortBy(_.getInt(0))
+      .map(_.getAs[scala.collection.Seq[Long]]("centroid").toArray)
+    PqIndex(spark.read.parquet(s"$path/data"), books, cents)
+  }
+
+  /** IVF+PQ search against a built (usually read-back) index — identical
+    * results to [[ivfPqTopK]] with the same books/centroids, without the
+    * encode pass; the probe equi-join prunes cell partitions on the
+    * index scan. */
+  def pqTopKIndexed(queries: DataFrame, idx: PqIndex, topK: Int,
+      nprobe: Int = 4): DataFrame = {
+    val m = idx.books.length
+    val k = idx.books(0).length
+    val sub = idx.books(0)(0).length
+    val qp = queries.select(col("vec_id").as("query_id"),
+        pqLut(idx.books, sub).as("__lut"),
+        graft.functions.NearestCentroid(col("embedding"), idx.centroids, nprobe)
+          .as("__cells"))
+      .select(col("query_id"), col("__lut"),
+        explode(col("__cells")).as("cell"))
+    val scored = broadcast(qp)
+      .join(idx.encoded.select(col("vec_id").as("neighbor_id"),
+        col("cell"), col("codes")), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", pqAdc(m, k))
+    pqRank(scored, topK)
+  }
+
   /** IVF+PQ — the production 100 TB ANN layout (FAISS's IVFPQ shape,
     * composed from this file's parts): the corpus is coarse-assigned to
     * cells AND PQ-encoded in ONE narrow pass (row payload after it:

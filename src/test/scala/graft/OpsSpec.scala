@@ -365,6 +365,21 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("persisted PQ index round-trips and searches identically") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter($"vec_id" < 10)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    SimilarityOps.writePqIndex(SimilarityOps.buildPqIndex(emb, 64), dir)
+    val idx = SimilarityOps.readPqIndex(spark, dir)
+    val viaIndex = SimilarityOps.pqTopKIndexed(q, idx, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    val fresh = SimilarityOps.ivfPqTopK(q, emb, 64, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(viaIndex == fresh)
+  }
+
   test("LSH near-dup stats match driver-side brute force with planted dups") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     // plant a near-copy of every vector: tiny bump on dim 0 -> sim ~0.9999,
