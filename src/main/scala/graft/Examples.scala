@@ -279,6 +279,33 @@ object Examples {
     graft.ops.SimilarityOps.annTopK(queries, corpus, dim, 5)
       .write.format("noop").mode("overwrite").save()
     val lshSec = (System.nanoTime() - t1) / 1e9
+    // IVF+PQ split the honest way: the encode pass runs ONCE (index
+    // build, amortized over every future batch); query time touches
+    // codes only
+    val pqDir = java.nio.file.Files.createTempDirectory("graft-pq-soak").toString
+    val tb = System.nanoTime()
+    graft.ops.SimilarityOps.writePqIndex(
+      graft.ops.SimilarityOps.buildPqIndex(corpus, dim), pqDir)
+    val buildSec = (System.nanoTime() - tb) / 1e9
+    val idx = graft.ops.SimilarityOps.readPqIndex(spark, pqDir)
+    graft.ops.SimilarityOps.pqTopKIndexed(queries, idx, 5)
+      .write.format("noop").mode("overwrite").save() // warm
+    val t2 = System.nanoTime()
+    graft.ops.SimilarityOps.pqTopKIndexed(queries, idx, 5)
+      .write.format("noop").mode("overwrite").save()
+    val ivfpqSec = (System.nanoTime() - t2) / 1e9
+    // the byte story (what PQ is FOR at 100 TB): index bytes vs raw vectors
+    val rawDir = java.nio.file.Files.createTempDirectory("graft-raw-soak").toString
+    corpus.write.mode("overwrite").parquet(s"$rawDir/raw")
+    def dirBytes(p: String): Long = {
+      val root = new java.io.File(p)
+      def walk(f: java.io.File): Long =
+        if (f.isFile) f.length
+        else Option(f.listFiles).map(_.map(walk).sum).getOrElse(0L)
+      walk(root)
+    }
+    val idxBytes = dirBytes(s"$pqDir/data")
+    val rawBytes = dirBytes(s"$rawDir/raw")
     val cents = graft.ops.SimilarityOps.seededCentroids(16, dim)
     val cells = corpus.select(element_at(
         graft.functions.NearestCentroid(col("embedding"), cents, 1), 1)
@@ -288,7 +315,7 @@ object Examples {
         sum(col("count") * col("count")).as("sq"))
       .collect()(0)
     val (mx, mean, sq) = (cells.getLong(0), cells.getDouble(1), cells.getLong(2))
-    println(f"""{"example":"ann_soak","vectors":$n,"dim":$dim,"queries":256,"ivf_sec":$ivfSec%.3f,"ivf_qps":${256 / ivfSec}%.1f,"lsh_sec":$lshSec%.3f,"lsh_qps":${256 / lshSec}%.1f,"cells":16,"max_cell":$mx,"max_over_mean":${mx / mean}%.2f,"semdedup_pair_frac":${sq.toDouble / (n.toDouble * n)}%.4f}""")
+    println(f"""{"example":"ann_soak","vectors":$n,"dim":$dim,"queries":256,"ivf_sec":$ivfSec%.3f,"ivf_qps":${256 / ivfSec}%.1f,"lsh_sec":$lshSec%.3f,"lsh_qps":${256 / lshSec}%.1f,"pq_build_sec":$buildSec%.3f,"ivfpq_query_sec":$ivfpqSec%.3f,"ivfpq_qps":${256 / ivfpqSec}%.1f,"pq_index_mb":${idxBytes / 1048576.0}%.1f,"raw_mb":${rawBytes / 1048576.0}%.1f,"bytes_ratio":${rawBytes.toDouble / idxBytes}%.1f,"cells":16,"max_cell":$mx,"max_over_mean":${mx / mean}%.2f,"semdedup_pair_frac":${sq.toDouble / (n.toDouble * n)}%.4f}""")
   }
 
   /** Sequential-vs-batched BPE training on a deterministic Zipfian
