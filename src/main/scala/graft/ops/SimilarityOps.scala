@@ -529,7 +529,10 @@ object SimilarityOps {
       seed: Long = 42L,
       books: Option[Array[Array[Array[Long]]]] = None): DataFrame = {
     val cb = books.getOrElse(pqCodebooks(m, k, dim, seed))
-    require(cb.length == m && cb.forall(_.length == k), "codebook shape mismatch")
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    require(cb.length == m && cb.forall(_.length == k) &&
+      cb.forall(_.forall(_.length == dim / m)),
+      s"codebook shape mismatch (want $m x $k x ${dim / m})")
     val sub = dim / m
     val codes = (0 until m).map { j =>
       element_at(graft.functions.NearestCentroid(
@@ -552,7 +555,10 @@ object SimilarityOps {
       m: Int = 8, k: Int = 16, seed: Long = 42L,
       books: Option[Array[Array[Array[Long]]]] = None): DataFrame = {
     val cb = books.getOrElse(pqCodebooks(m, k, dim, seed))
-    require(cb.length == m && cb.forall(_.length == k), "codebook shape mismatch")
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    require(cb.length == m && cb.forall(_.length == k) &&
+      cb.forall(_.forall(_.length == dim / m)),
+      s"codebook shape mismatch (want $m x $k x ${dim / m})")
     val q = queries.select(col("vec_id").as("query_id"),
       pqLut(cb, dim / m).as("__lut"))
     val scored = broadcast(q)
@@ -697,7 +703,10 @@ object SimilarityOps {
       centroids: Option[Array[Array[Long]]] = None): DataFrame = {
     val cents = centroids.getOrElse(seededCentroids(nCentroids, dim, seed))
     val cb = books.getOrElse(pqCodebooks(m, k, dim, seed))
-    require(cb.length == m && cb.forall(_.length == k), "codebook shape mismatch")
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    require(cb.length == m && cb.forall(_.length == k) &&
+      cb.forall(_.forall(_.length == dim / m)),
+      s"codebook shape mismatch (want $m x $k x ${dim / m})")
     val sub = dim / m
     val codes = (0 until m).map { j =>
       element_at(graft.functions.NearestCentroid(
