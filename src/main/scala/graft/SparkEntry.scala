@@ -41,6 +41,9 @@ object SparkEntry {
   // l_quantity tops out at exactly 50.0, the axis hi
   private val axQtyInc = Regular(7, 1.0, 50.0, upperInclusive = true)
   private val axQtyR = Regular(10, 1.0, 51.0)
+  // sqrt-transform axis (boost Regular(transform=sqrt)): IEEE sqrt is
+  // correctly rounded on both engines — no libm-twin caveat
+  private val axPriceSqrt = RegularSqrt(12, 0.0, 105000.0)
   private val axDisc = Regular(11, 0.0, 0.11)
   private val axTax = Regular(9, 0.0, 0.09)
   private val axLine = IntegerAxis(1L, 8L)
@@ -97,6 +100,12 @@ object SparkEntry {
           weight = Some(col("l_discount")))
         .withColumn("value", round(col("value"), 6))
         .withColumn("variance", round(col("variance"), 6))
+        .orderBy("i0")
+    },
+    // sqrt-transform axis: bins uniform in sqrt(x)
+    "hist1d_sqrt" -> { (s, dir) =>
+      val spec = HistSpec(Seq(axPriceSqrt), Int64Storage)
+      Hist.fill(spec, Tables.lineitem(s, dir), Seq(col("l_extendedprice")))
         .orderBy("i0")
     },
     // 1000-bin Variable axis: binary-search bin path (large-axis regime)
@@ -429,6 +438,10 @@ object SparkEntry {
       s"""SELECT ${axQty.sqlExpr("l_quantity")} AS i0,
          |round(sum(l_discount), 6) AS value,
          |round(sum(l_discount * l_discount), 6) AS variance
+         |FROM ${li()} GROUP BY 1 ORDER BY i0""".stripMargin,
+    "hist1d_sqrt" ->
+      s"""SELECT ${axPriceSqrt.sqlExpr("l_extendedprice")} AS i0,
+         |count(*) AS value
          |FROM ${li()} GROUP BY 1 ORDER BY i0""".stripMargin,
     "hist1d_variable_1000" ->
       s"""SELECT ${axPriceBig.sqlExpr("l_extendedprice")} AS i0,

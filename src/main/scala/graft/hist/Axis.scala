@@ -250,6 +250,37 @@ final case class RegularLog(n: Int, lo: Double, hi: Double, name: String = "")
   }
 }
 
+/** Sqrt-transform axis — boost `Regular(..., transform=sqrt)`: n bins
+  * uniform in √x over [lo, hi), right-exclusive, NaN/NULL→overflow.
+  * Unlike log/pow (libm functions whose last ulp can differ between
+  * engines), IEEE-754 `sqrt` is CORRECTLY ROUNDED everywhere, so the
+  * bin arithmetic is bit-identical across Spark and DuckDB with no
+  * libm-twin caveat. Requires lo >= 0 (the transform's domain). */
+final case class RegularSqrt(n: Int, lo: Double, hi: Double, name: String = "")
+    extends Axis {
+  require(n > 0 && 0 <= lo && lo < hi,
+    s"RegularSqrt needs n > 0 and 0 <= lo < hi, got n=$n [$lo, $hi)")
+  override def nBins: Int = n
+  override def keyType: DataType = LongType
+  private val (slo, shi) = (math.sqrt(lo), math.sqrt(hi))
+  override def binCol(c: Column): Column = {
+    val d = c.cast(DoubleType)
+    when(d.isNull || isnan(d) || d >= hi, lit(n + 1).cast(LongType))
+      .when(d < lo, lit(0L))
+      .otherwise(floor((sqrt(d) - lit(slo)) * lit(n.toDouble) / lit(shi - slo)) + lit(1L))
+  }
+  override def edges: Array[Double] = Array.tabulate(n + 1) { i =>
+    val s = slo + (shi - slo) * i / n
+    s * s
+  }
+  def sqlExpr(v: String): String = {
+    import Axis.{sqlDouble => D}
+    s"(CASE WHEN $v IS NULL OR isnan($v) OR $v >= ${D(hi)} THEN ${n + 1} " +
+      s"WHEN $v < ${D(lo)} THEN 0 " +
+      s"ELSE CAST(floor((sqrt($v) - ${D(slo)}) * ${D(n.toDouble)} / ${D(shi - slo)}) AS BIGINT) + 1 END)"
+  }
+}
+
 /** Unit-width integer bins covering [lo, hi) — boost `Integer(lo, hi)`. */
 final case class IntegerAxis(lo: Long, hi: Long, name: String = "") extends Axis {
   require(lo < hi, s"Integer axis needs lo < hi, got [$lo, $hi)")

@@ -72,6 +72,17 @@ class HistCoreSpec extends AnyFunSuite {
     assert(got.filterNot(_.isNullAt(0)).map(_.getLong(0)).toSeq == Seq(2L))
   }
 
+  test("RegularSqrt bins uniformly in sqrt(x)") {
+    // edges of RegularSqrt(2, 0, 4): sqrt-space [0, 1, 2] -> x-space
+    // [0, 1, 4): bin 1 = [0, 1), bin 2 = [1, 4)
+    val ax = RegularSqrt(2, 0.0, 4.0)
+    assert(ax.edges.toSeq == Seq(0.0, 1.0, 4.0))
+    val df = Seq(-0.5, 0.0, 0.99, 1.0, 3.99, 4.0, Double.NaN).toDF("x")
+    val got = df.select(ax.binCol(col("x")).as("i")).collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(0L, 1L, 1L, 2L, 2L, 3L, 3L))
+    intercept[IllegalArgumentException](RegularSqrt(2, -1.0, 4.0))
+  }
+
   test("Variable axis matches binary-search semantics") {
     val ax = Variable(Seq(1.0, 10.0, 25.0, 40.0, 51.0))
     val df = Seq(0.5, 1.0, 9.99, 10.0, 24.9, 39.0, 50.9, 51.0, 60.0).toDF("x")
