@@ -387,6 +387,15 @@ object SparkEntry {
       Hist.fill(spec, Tables.lineitem(s, dir), Seq(col("l_quantity")))
         .orderBy("i0")
     },
+    // percentiles straight off the log-axis histogram — THE monitoring
+    // estimator (log-bucketed latency -> interpolated p50/p90/p99) via
+    // the per-bin edge lookup
+    "hist_quantiles_log" -> { (s, dir) =>
+      val ax = RegularLog(8, 1000.0, 100000.0)
+      val spec = HistSpec(Seq(ax), DoubleStorage)
+      val h = Hist.fill(spec, Tables.lineitem(s, dir), Seq(col("l_extendedprice")))
+      HistAlgebra.quantiles(spec, h, Seq(0.5, 0.9, 0.99)).orderBy("q")
+    },
     // Log-transformed axis over prices
     "hist_log_axis" -> { (s, dir) =>
       val ax = RegularLog(8, 1000.0, 100000.0)
@@ -641,6 +650,14 @@ object SparkEntry {
       val ax = RegularCircular(7, 0.0, 7.0)
       s"""SELECT ${ax.sqlExpr("l_quantity")} AS i0, count(*) AS value
          |FROM ${li()} GROUP BY 1 ORDER BY i0 NULLS FIRST""".stripMargin
+    },
+    "hist_quantiles_log" -> {
+      val ax = RegularLog(8, 1000.0, 100000.0)
+      s"""WITH h AS (
+         |  SELECT ${ax.sqlExpr("l_extendedprice")} AS i0, sum(1.0) AS value
+         |  FROM ${li()} GROUP BY 1),
+         |${HistAlgebra.quantilesEdgesSql(ax, Seq(0.5, 0.9, 0.99))}
+         |ORDER BY q""".stripMargin
     },
     "hist_log_axis" -> {
       val ax = RegularLog(8, 1000.0, 100000.0)

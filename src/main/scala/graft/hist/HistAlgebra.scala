@@ -227,6 +227,15 @@ object HistAlgebra {
         round(lit(lo) + (col("i0") - 1L).cast("double") * lit(w) +
           lit(w) * (col("__t") - col("__cb")) / col("__c"), 6).as("est"))
     }
+    def edgeEst(ax: Axis) = {
+      val ed = broadcast((1 to nb).map(i =>
+        (i.toLong, ax.binLo(i - 1), ax.binWidth(i - 1)))
+        .toDF("i0", "__blo", "__bw"))
+      hit.join(ed, Seq("i0"))
+        .select(col("q"),
+          round(col("__blo") +
+            col("__bw") * (col("__t") - col("__cb")) / col("__c"), 6).as("est"))
+    }
     spec.axes.head match {
       case ax: Regular => regularEst(ax.lo, ax.hi, ax.n)
       // unit-width bins: exactly the Regular closed form with w = 1.0
@@ -234,16 +243,11 @@ object HistAlgebra {
       // quantilesSql(Regular(nBins, lo, hi)) verbatim)
       case ax: IntegerAxis =>
         regularEst(ax.lo.toDouble, ax.hi.toDouble, ax.nBins)
-      case ax: Variable =>
-        val ed = broadcast((1 to nb).map(i =>
-          (i.toLong, ax.binLo(i - 1), ax.binWidth(i - 1)))
-          .toDF("i0", "__blo", "__bw"))
-        hit.join(ed, Seq("i0"))
-          .select(col("q"),
-            round(col("__blo") +
-              col("__bw") * (col("__t") - col("__cb")) / col("__c"), 6).as("est"))
+      // nonuniform x-space widths: per-bin edge lookup (the latency-
+      // histogram percentile estimator — log axes are its home turf)
+      case ax @ (_: Variable | _: RegularLog | _: RegularSqrt) => edgeEst(ax)
       case other => throw new IllegalArgumentException(
-        s"quantiles needs a Regular, Integer, or Variable axis, got $other")
+        s"quantiles needs a Regular, Integer, Variable, Log, or Sqrt axis, got $other")
     }
   }
 
@@ -268,13 +272,19 @@ object HistAlgebra {
        |FROM cum JOIN qs ON q * n > cb AND q * n <= cb + c""".stripMargin
   }
 
-  /** DuckDB twin of [[quantiles]] for a Variable axis over a histogram
-    * CTE named `h` (columns i0, value): same interior filter and rank
-    * space; the per-bin (lower-edge, width) pairs are emitted as double
-    * literals computed by the SAME driver-side arithmetic the engine
-    * broadcasts, so interpolation op order stays bit-identical. */
-  def quantilesVariableSql(ax: Variable, qs: Seq[Double]): String = {
+  /** DuckDB twin of [[quantiles]] for any edge-lookup axis (Variable /
+    * RegularLog / RegularSqrt) over a histogram CTE named `h` (columns
+    * i0, value): same interior filter and rank space; the per-bin
+    * (lower-edge, width) pairs are emitted as double literals computed
+    * by the SAME driver-side arithmetic the engine broadcasts, so
+    * interpolation op order stays bit-identical. */
+  def quantilesVariableSql(ax: Variable, qs: Seq[Double]): String =
+    quantilesEdgesSql(ax, qs)
+
+  def quantilesEdgesSql(ax: Axis, qs: Seq[Double]): String = {
     import Axis.{sqlDouble => D}
+    require(ax.edges.length == ax.nBins + 1,
+      s"quantilesEdgesSql needs an edge-carrying numeric axis, got $ax")
     val nb = ax.nBins
     val edgeRows = (1 to nb).map(i =>
       s"($i, ${D(ax.binLo(i - 1))}, ${D(ax.binWidth(i - 1))})").mkString(", ")
