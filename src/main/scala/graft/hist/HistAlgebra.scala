@@ -245,10 +245,20 @@ object HistAlgebra {
         regularEst(ax.lo.toDouble, ax.hi.toDouble, ax.nBins)
       // nonuniform x-space widths: per-bin edge lookup (the latency-
       // histogram percentile estimator — log axes are its home turf)
-      case ax @ (_: Variable | _: RegularLog | _: RegularSqrt) => edgeEst(ax)
+      case ax if edgeQuantileEligible(ax) => edgeEst(ax)
       case other => throw new IllegalArgumentException(
         s"quantiles needs a Regular, Integer, Variable, Log, or Sqrt axis, got $other")
     }
+  }
+
+  /** Axis kinds whose quantiles go through the per-bin edge lookup — the
+    * ONE eligibility check shared by the engine path ([[quantiles]]) and
+    * the oracle emitter ([[quantilesEdgesSql]]), so neither side can
+    * accept an axis the other rejects (e.g. RegularCircular, whose
+    * wrap-around makes a rank-space quantile meaningless). */
+  private def edgeQuantileEligible(ax: Axis): Boolean = ax match {
+    case _: Variable | _: RegularLog | _: RegularSqrt => true
+    case _ => false
   }
 
   /** DuckDB twin of [[quantiles]] over a histogram CTE named `h`
@@ -283,6 +293,9 @@ object HistAlgebra {
 
   def quantilesEdgesSql(ax: Axis, qs: Seq[Double]): String = {
     import Axis.{sqlDouble => D}
+    require(edgeQuantileEligible(ax),
+      s"quantilesEdgesSql accepts exactly the axes the engine-side " +
+        s"quantiles routes through the edge lookup (Variable/Log/Sqrt), got $ax")
     require(ax.edges.length == ax.nBins + 1,
       s"quantilesEdgesSql needs an edge-carrying numeric axis, got $ax")
     val nb = ax.nBins

@@ -137,7 +137,7 @@ object FunnelOps {
       if (i == 0)
         s"""s0 AS (
            |  SELECT user_id, min(ts_us) AS t FROM e
-           |  WHERE event_type = '$s' GROUP BY 1)"""
+           |  WHERE event_type = '$s' GROUP BY 1)""".stripMargin
       else
         s"""s$i AS (
            |  SELECT e.user_id, min(e.ts_us) AS t
@@ -192,7 +192,7 @@ object FunnelOps {
       if (i == 0)
         s"""s0 AS (
            |  SELECT user_id, min(ts_us) AS t FROM e
-           |  WHERE event_type = '$s' GROUP BY 1)"""
+           |  WHERE event_type = '$s' GROUP BY 1)""".stripMargin
       else
         s"""s$i AS (
            |  SELECT e.user_id, min(e.ts_us) AS t

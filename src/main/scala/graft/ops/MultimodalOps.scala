@@ -115,7 +115,14 @@ object MultimodalOps {
     * Corruption contract: a payload no registered reader accepts
     * (`ImageIO.read` returns null), a reader abort mid-parse (truncated
     * file), and null/empty payloads all surface as
-    * [[CorruptPayloadException]] for [[CorruptPolicy]] to act on. */
+    * [[CorruptPayloadException]] for [[CorruptPolicy]] to act on.
+    *
+    * Determinism caveat: checksum/byteLen are byte-level (always
+    * replayable), but `brightness`/dimensions come from DECODED pixels —
+    * stable across engines/JDKs only for LOSSLESS formats (PNG/BMP/GIF).
+    * Lossy JPEG's IDCT output may differ by ±1 per channel across JDK
+    * versions, so oracle-compared queries (and the driver fixtures) use
+    * lossless payloads only. */
   object ImageIoCodec extends MediaCodecFactory {
     // ImageIO's default ImageInputStream cache is a TEMP FILE per stream
     // — per-image disk I/O that dominates small-image decode throughput.

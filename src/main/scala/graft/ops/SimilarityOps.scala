@@ -657,9 +657,17 @@ object SimilarityOps {
     raw.foreach { case (j, c, bv) => books(j)(c) = bv }
     require(books.forall(_.forall(_ != null)),
       s"PQ books sidecar is incomplete (expected dense $m x $k)")
+    // shape validation at LOAD time: a truncated/mixed sidecar must fail
+    // here, not as a confusing lut/NearestCentroid dimension error later
+    val sub = books(0)(0).length
+    require(books.forall(_.forall(_.length == sub)),
+      s"PQ books sidecar has mixed sub-dimensions (expected all $sub)")
     val cents = spark.read.parquet(s"$path/meta").collect()
       .sortBy(_.getInt(0))
       .map(_.getAs[scala.collection.Seq[Long]]("centroid").toArray)
+    require(cents.nonEmpty && cents.forall(_.length == m * sub),
+      s"PQ meta sidecar centroid dim ${cents.headOption.map(_.length)} " +
+        s"inconsistent with books m*sub = ${m * sub}")
     PqIndex(spark.read.parquet(s"$path/data"), books, cents)
   }
 
