@@ -55,6 +55,16 @@ object Examples {
       spark.stop()
       return
     }
+    if (args.headOption.contains("soak-tokenize")) {
+      // tokenizer-apply soak: `runMain graft.Examples soak-tokenize
+      // 100000,1000000` — docs/s and tokens/s with a frozen merge list;
+      // the Zipf evidence is distinct_words staying pool-bounded while
+      // token volume grows linearly
+      args.lift(1).getOrElse("100000,1000000").split(",").map(_.trim.toLong)
+        .foreach(n => tokenizeSoak(spark, n))
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("bpe")) {
       // BPE round-trip exhibit: `runMain graft.Examples bpe 512` — train
       // the same merge list sequentially and batched on a Zipfian
@@ -249,6 +259,41 @@ object Examples {
     val mx = cells.agg(max("count")).as[Long].collect()(0)
     val enRows = docs.filter(col("lang") === "en").count()
     println(f"""{"example":"mix_soak","docs":$nDocs,"skew_en_frac":0.95,"sec":$sec%.3f,"docs_per_sec":${nDocs / sec}%.0f,"giant_domain_rows":$enRows,"buckets":$buckets,"max_cell_rows":$mx,"max_cell_frac_of_domain":${mx.toDouble / enRows}%.4f,"kept_tokens_en":${keptTok.getOrElse("en", 0L)},"kept_tokens_de":${keptTok.getOrElse("de", 0L)}}""")
+  }
+
+  /** Tokenizer-apply soak: 20-word docs over a Zipf-ish shared
+    * vocabulary (pool of ~nDocs/100 hex words, density ∝ rank^(-1/2) via
+    * the u² trick), tokenized with a merge list trained ONCE on a 1%
+    * sample — the production shape: train once, apply to every snapshot.
+    * Reports the two volumes the [[graft.ops.BpeOps.tokenize]] scale
+    * argument rests on: the distinct-word working set (all the merge
+    * rewrite ever touches — pool-bounded, NOT corpus-bounded) vs the
+    * emitted token relation (linear in corpus), plus docs/s. */
+  private def tokenizeSoak(spark: SparkSession, nDocs: Long): Unit = {
+    import spark.implicits._
+    val pool = math.max(nDocs / 100, 1000L)
+    def docs = spark.range(nDocs).toDF("doc_id")
+      .withColumn("text", concat_ws(" ", (0 until 20).map { i =>
+        // Zipf-ish rank: square a uniform [0,1) to concentrate mass at
+        // low ranks, then pick the rank-th pool word
+        val u = pmod(xxhash64(col("doc_id") + lit(i.toLong << 40)),
+          lit(1000000L)) / 1000000.0
+        hex(xxhash64((u * u * pool).cast("long") + lit(1L << 62)))
+      }: _*))
+    val merges = graft.ops.BpeOps.trainBatched(
+      docs.limit((nDocs / 100).toInt), 48).merges
+    // warm codegen on 1%
+    graft.ops.BpeOps.tokenize(docs.limit((nDocs / 100).toInt), merges)
+      .write.format("noop").mode("overwrite").save()
+    val distinctWords = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").distinct().count()
+    val t0 = System.nanoTime()
+    val out = graft.ops.BpeOps.tokenize(docs, merges)
+    out.write.format("noop").mode("overwrite").save()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val tokRows = graft.ops.BpeOps.tokenize(docs, merges).count()
+    println(f"""{"example":"tokenize_soak","docs":$nDocs,"merges":${merges.size},"distinct_words":$distinctWords,"token_rows":$tokRows,"tokens_per_doc":${tokRows.toDouble / nDocs}%.1f,"sec":$sec%.3f,"docs_per_sec":${nDocs / sec}%.0f,"tokens_per_sec":${tokRows / sec}%.0f}""")
   }
 
   /** Embedding-search soak: synthetic 64-dim unit-ish vectors (uniform

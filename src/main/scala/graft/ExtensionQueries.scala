@@ -42,6 +42,18 @@ object ExtensionQueries {
   // underflow, > ~11 days → overflow)
   private val interArrAxis = RegularLog(12, 1.0, 1000000.0)
 
+  // Frozen tokenizer for the bpe_tokenize exhibit: the first 24 merges
+  // trainBatched learns from the sf0.01 documents fixture (15 batched
+  // rounds). Frozen-at-build is the production contract — a tokenizer is
+  // trained once and applied to every corpus snapshot thereafter — and it
+  // is what lets the DuckDB oracle replay the exact same merge list.
+  private val bpeMerges: Seq[(String, String)] = Seq(
+    ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("er", "</w>"), ("o", "w"),
+    ("ow", "</w>"), ("o", "r"), ("s", "t"), ("h", "</w>"), ("a", "t"),
+    ("l", "u"), ("i", "n"), ("a", "</w>"), ("g", "</w>"), ("y", "</w>"),
+    ("a", "r"), ("p", "ar"), ("t", "</w>"), ("i", "n</w>"), ("j", "o"),
+    ("jo", "in</w>"), ("a", "s"), ("as", "h</w>"), ("h", "ash</w>"))
+
   // log-spaced Variable edges (1 ms .. ~11.5 days in microseconds) for
   // time-to-convert gap distributions: percentile-shaped axes are the
   // Variable-quantiles use case, and the edge doubles are computed ONCE
@@ -135,6 +147,12 @@ object ExtensionQueries {
       BpeOps.pairCounts(BpeOps.wordDict(Tables.documents(s, dir)))
         .orderBy(col("pair_freq").desc, col("l").asc, col("r").asc)
         .limit(30)
+    },
+    // Tokenizer APPLY: every document encoded to token ids with the
+    // frozen merge list — the most-executed op in a training pipeline
+    "bpe_tokenize" -> { (s, dir) =>
+      BpeOps.tokenize(Tables.documents(s, dir), bpeMerges)
+        .orderBy("doc_id", "pos")
     },
     // Benchmark decontamination: corpus docs sharing 5-grams with a
     // (demo) eval set = the first 10 docs
@@ -789,6 +807,7 @@ object ExtensionQueries {
     "mix_token_budget" -> PipelineOps.tokenBudgetMixSql(
       Map("en" -> 5000L, "zh" -> 1500L, "fr" -> 800L)),
     "bpe_pair_counts" -> BpeOps.pairCountsSql(30),
+    "bpe_tokenize" -> BpeOps.tokenizeSql(bpeMerges),
     "dedup_contamination" -> {
       def sh(src: String) = shingleSql(5, src)
       s"""WITH c AS (${sh("doc_id >= 10")}), e AS (${sh("doc_id < 10")}),

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** BPE (byte-pair-encoding) merge induction — tokenizer training as a
@@ -40,10 +41,14 @@ object BpeOps {
     docs.select(explode(split(col(textCol), " ")).as("word"))
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("freq"))
-      .withColumn("symbols", expr(
-        s"array_append(transform(sequence(1, length(word)), " +
-          s"i -> substring(word, i, 1)), '$endMark')"))
+      .withColumn("symbols", symbolsExpr(endMark))
   }
+
+  /** Initial symbol sequence of a `word` column: code points + the
+    * end-of-word marker (the [[wordDict]] unicode contract). */
+  private def symbolsExpr(endMark: String): Column = expr(
+    s"array_append(transform(sequence(1, length(word)), " +
+      s"i -> substring(word, i, 1)), '$endMark')")
 
   /** Adjacent symbol-pair frequencies over a dictionary — the statistic
     * one BPE round maximizes: Σ word-freq per (left, right) pair.
@@ -229,6 +234,108 @@ object BpeOps {
     * checkpoints. 32 keeps analysis cost trivial while amortizing the
     * checkpoint materialization over many rewrites. */
   val ApplyCheckpointEvery: Int = 32
+
+  /** Corpus-scale tokenizer APPLY — encode raw documents into token-id
+    * sequences with a trained (frozen) merge list. The single
+    * most-executed operator in a training-data pipeline: every run
+    * tokenizes the full corpus exactly once.
+    *
+    * Scale design (the Zipf trick): the merge rewrite never touches
+    * corpus-cardinality data. Documents reduce to (doc_id, word_pos,
+    * word) in one narrow pass; the DISTINCT word set — Zipf-small
+    * relative to token volume — is segmented once via [[applyMerges]]
+    * (the same rewrite training used, so apply == training segmentation
+    * by construction); token rows then come from an equi-join of the
+    * positions relation against the segmented dictionary. The vocab id
+    * table is bounded by |alphabet| + |merges| + 1 (segmentation can
+    * only emit single code points or merge outputs), so its row_number
+    * window and the join against it are broadcast-sized at any corpus
+    * scale. The only corpus-sized shuffles are the word equi-join and
+    * the per-document position window (partitioned by doc_id).
+    *
+    * Token ids are assigned by lexicographic (binary code-point) order
+    * over the emitted vocabulary — deterministic and replayable by the
+    * [[tokenizeSql]] oracle. Output: (doc_id, pos, token, token_id) with
+    * pos 1-based in document order. */
+  def tokenize(docs: DataFrame, merges: Seq[(String, String)],
+      textCol: String = "text", idCol: String = "doc_id",
+      endMark: String = "</w>"): DataFrame = {
+    require(merges.nonEmpty, "tokenize needs at least one merge")
+    require(!endMark.exists(c => c == '\'' || c == '\\'),
+      s"endMark must not contain quotes/backslashes: $endMark")
+    val pw = docs.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("word_pos", "word")))
+      .filter(col("word") =!= "")
+    val segmented = applyMerges(
+      pw.select("word").distinct().withColumn("symbols", symbolsExpr(endMark)),
+      merges)
+    // |vocab| <= alphabet + merges + 1: the one-partition window is fine
+    val vocab = broadcast(
+      segmented.select(explode(col("symbols")).as("token")).distinct()
+        .withColumn("token_id",
+          row_number().over(Window.orderBy("token")).cast("long")))
+    pw.join(segmented, Seq("word"))
+      .select(col("doc_id"), col("word_pos"),
+        posexplode(col("symbols")).as(Seq("piece_idx", "token")))
+      .join(vocab, Seq("token"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("doc_id").orderBy("word_pos", "piece_idx"))
+        .cast("long"))
+      .select("doc_id", "pos", "token", "token_id")
+  }
+
+  /** DuckDB twin of [[tokenize]] over the `documents` table. Each merge
+    * becomes one CTE layer whose `list_reduce` fold is PROVABLY the
+    * engine's leftmost-first non-overlapping rewrite: the accumulator is
+    * the output symbols joined by chr(31) (symbols cannot contain it —
+    * they are corpus code points and merge concatenations); "last
+    * emitted symbol == l" is exactly "acc = l OR acc ends with
+    * chr(31)||l"; merging appends r WITHOUT a separator (the trailing l
+    * becomes l||r); and a just-created l||r can never re-fire the rule
+    * since l||r = l would need an empty r. Same grapheme-vs-code-point
+    * contract as [[pairCountsSql]]. */
+  def tokenizeSql(merges: Seq[(String, String)],
+      docFilter: String = "TRUE", endMark: String = "</w>"): String = {
+    require(merges.nonEmpty, "tokenizeSql needs at least one merge")
+    require(!endMark.exists(c => c == '\'' || c == '\\'),
+      s"endMark must not contain quotes/backslashes: $endMark")
+    def q(s: String) = s.replace("'", "''")
+    require(!merges.exists { case (l, r) => (l + r).contains('') },
+      "merge symbols must not contain the chr(31) separator")
+    val layers = merges.zipWithIndex.map { case ((l, r), i) =>
+      s"""d${i + 1} AS (
+         |  SELECT word, string_split(list_reduce(symbols,
+         |    (acc, s) -> CASE WHEN (acc = '${q(l)}'
+         |        OR ends_with(acc, chr(31) || '${q(l)}')) AND s = '${q(r)}'
+         |      THEN acc || '${q(r)}' ELSE acc || chr(31) || s END),
+         |    chr(31)) AS symbols FROM d$i)""".stripMargin
+    }.mkString(",\n")
+    val last = s"d${merges.size}"
+    s"""WITH pw AS (
+       |  SELECT doc_id, i AS word_pos, words[i + 1] AS word
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS words
+       |        FROM documents WHERE $docFilter),
+       |       unnest(range(0, len(words))) t(i)
+       |  WHERE words[i + 1] <> ''),
+       |d0 AS (
+       |  SELECT word, list_append(string_split(word, ''), '$endMark') AS symbols
+       |  FROM (SELECT DISTINCT word FROM pw)),
+       |$layers,
+       |vocab AS (
+       |  SELECT token, row_number() OVER (ORDER BY token) AS token_id
+       |  FROM (SELECT DISTINCT unnest(symbols) AS token FROM $last)),
+       |tok AS (
+       |  SELECT pw.doc_id, pw.word_pos, j AS piece_idx,
+       |    p.symbols[j + 1] AS token
+       |  FROM pw JOIN $last p USING (word),
+       |       unnest(range(0, len(p.symbols))) t(j))
+       |SELECT tok.doc_id,
+       |  row_number() OVER (PARTITION BY tok.doc_id
+       |    ORDER BY tok.word_pos, tok.piece_idx) AS pos,
+       |  tok.token, v.token_id
+       |FROM tok JOIN vocab v USING (token)
+       |ORDER BY doc_id, pos""".stripMargin
+  }
 
   /** DuckDB twin of `pairCounts(wordDict(documents))` top-`k` (by
     * frequency, lexicographic tie-break) — the one-round statistics

@@ -133,6 +133,72 @@ class BpeSpec extends AnyFunSuite {
     assert(syms("e\u0301") == Seq("e", "\u0301", "</w>"))
   }
 
+  /** Driver-side reference tokenizer: leftmost-first non-overlapping
+    * rewrite per merge in list order, then ids by code-point-sorted
+    * distinct vocabulary — the [[BpeOps.tokenize]] contract, transcribed
+    * independently of the engine's HOF rewrite. */
+  private def referenceTokenize(docs: Seq[(Long, String)],
+      merges: Seq[(String, String)]): Seq[(Long, Long, String, Long)] = {
+    def segment(word: String): Vector[String] =
+      merges.foldLeft(word.map(_.toString).toVector :+ "</w>") {
+        case (syms, (l, r)) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var j = 0
+          while (j < syms.length) {
+            if (j + 1 < syms.length && syms(j) == l && syms(j + 1) == r) {
+              out += l + r; j += 2
+            } else { out += syms(j); j += 1 }
+          }
+          out.toVector
+      }
+    val perDoc = docs.map { case (id, text) =>
+      id -> text.split(" ").filter(_.nonEmpty).toSeq.flatMap(segment)
+    }
+    import scala.math.Ordering.Implicits._
+    def cp(s: String): List[Int] = s.codePoints().toArray.toList
+    val vocab = perDoc.flatMap(_._2).distinct.sortBy(cp)
+      .zipWithIndex.map { case (t, i) => t -> (i + 1).toLong }.toMap
+    perDoc.flatMap { case (id, toks) =>
+      toks.zipWithIndex.map { case (t, i) => (id, (i + 1).toLong, t, vocab(t)) }
+    }
+  }
+
+  test("tokenize == driver-side reference on classic + zh corpora") {
+    val classic = Seq(
+      0L -> "low lower newest widest low newest",
+      1L -> "newest low lowest wide wider")
+    val zh = Seq(2L -> "你好 世界 你好吗 世界 和平 你好")
+    for ((tag, corpus) <- Seq("classic" -> classic, "zh" -> zh)) {
+      val docs = corpus.toDF("doc_id", "text")
+      val merges = BpeOps.train(docs, 6)
+      val got = BpeOps.tokenize(docs, merges)
+        .orderBy("doc_id", "pos").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+        .toSeq
+      assert(got == referenceTokenize(corpus, merges), s"corpus=$tag")
+    }
+  }
+
+  test("tokenize on the training corpus reproduces the trained dictionary" +
+      " segmentation") {
+    // apply == training-segmentation by construction is the contract;
+    // pin it: every (word → token seq) tokenize emits equals the
+    // applyMerges(wordDict) symbols for that word
+    val text = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val docs = Seq((0L, text.mkString(" "))).toDF("doc_id", "text")
+    val merges = BpeOps.train(docs, 8)
+    val dictSeg = BpeOps.applyMerges(BpeOps.wordDict(docs), merges)
+      .select("word", "symbols").collect()
+      .map(r => r.getString(0) ->
+        r.getAs[scala.collection.Seq[String]](1).toSeq).toMap
+    val toks = BpeOps.tokenize(docs, merges)
+      .orderBy("doc_id", "pos").select("token").collect()
+      .map(_.getString(0)).toSeq
+    val expected = text.flatMap(w => dictSeg(w))
+    assert(toks == expected)
+  }
+
   test("applyMerges rewrites leftmost-first without overlap") {
     val dict = Seq((1L, "aaa")).toDF("doc_id", "text")
     val d0 = BpeOps.wordDict(dict)
