@@ -378,6 +378,22 @@ object ExtensionQueries {
           round(col("brightness"), 6).as("brightness"))
         .orderBy("id")
     },
+    // REAL audio decode: one deterministic synthetic 16-bit PCM WAV per
+    // doc is encoded and parsed back through javax.sound.sampled
+    // (AudioCodec); sample_rate/n_samples/mean_amp come from DECODED
+    // samples, and the oracle replays the lossless PCM formula
+    "multimodal_audio" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val media = Tables.documents(s, dir).select(col("doc_id"))
+        .as[Long].map(id => MultimodalOps.MediaRow(
+          id, MultimodalOps.syntheticWav(id), "audio/wav", 0, 0))
+      MultimodalOps.extractFeatures(media, MultimodalOps.AudioCodec).toDF()
+        .select(col("id"), col("width").as("sample_rate"),
+          col("height").as("n_samples"),
+          round(col("brightness"), 6).as("mean_amp"))
+        .orderBy("id")
+    },
     // ROLLUP aggregation surface: corpus stats at (lang, source), (lang),
     // and grand-total levels in one pass
     "text_rollup_stats" -> { (s, dir) =>
@@ -944,6 +960,16 @@ object ExtensionQueries {
         |    + 114 * ((3 * doc_id + 29 * (2 * x) + 19 * (2 * y) + 203) % 256))
         |    / (255000.0 * 16), 6) AS brightness
         |FROM documents, unnest(range(0, 4)) tx(x), unnest(range(0, 4)) ty(y)
+        |GROUP BY doc_id ORDER BY id""".stripMargin,
+    // twin of AudioCodec over syntheticWav(doc_id): PCM is lossless, so
+    // decoded samples == the generating formula and the unsigned bias
+    // cancels — (sample + 32768) = (7·doc_id + 13·i) mod 65536
+    "multimodal_audio" ->
+      """SELECT doc_id AS id, 8000 AS sample_rate,
+        |  CAST(200 + doc_id % 57 AS INT) AS n_samples,
+        |  round(sum((7 * doc_id + 13 * i) % 65536)
+        |    / (65535.0 * (200 + doc_id % 57)), 6) AS mean_amp
+        |FROM documents, unnest(range(0, 200 + doc_id % 57)) t(i)
         |GROUP BY doc_id ORDER BY id""".stripMargin,
     "events_props_hist" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS i0,

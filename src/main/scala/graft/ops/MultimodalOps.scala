@@ -8,11 +8,12 @@ import org.apache.spark.sql.functions._
   * Media ride as opaque `binary` columns next to typed metadata; the
   * Spark-side machinery — schema, batch iteration, partition sizing — is
   * real and tested. IMAGES decode for real via [[ImageIoCodec]] (the
-  * JDK's `javax.imageio` PNG/JPEG/BMP/GIF readers — no native libs);
-  * video/audio stay STUBBED ([[StubCodec]] derives deterministic fake
-  * features from bytes) because this container ships no codec for them.
-  * Swap `StubCodec` for a real JNI/library codec without touching the
-  * pipeline shape.
+  * JDK's `javax.imageio` PNG/JPEG/BMP/GIF readers — no native libs) and
+  * AUDIO via [[AudioCodec]] (`javax.sound.sampled` WAV/PCM); VIDEO stays
+  * STUBBED ([[StubCodec]] derives deterministic fake features from
+  * bytes) because neither the JDK nor this container ships a video
+  * decoder. Swap `StubCodec` for a real JNI/library codec without
+  * touching the pipeline shape.
   *
   * Scale notes: decode runs in `mapPartitions` (one codec init per
   * partition, not per row); blobs never shuffle — features are extracted
@@ -68,8 +69,9 @@ object MultimodalOps {
   }
 
   /** STUB codec for media kinds this container has no decoder for
-    * (video/audio — ffmpeg and friends are absent; IMAGES have the real
-    * [[ImageIoCodec]]). Deterministic: features derive from bytes.
+    * (video — ffmpeg and friends are absent, and the JDK has no video
+    * decoder; IMAGES have the real [[ImageIoCodec]] and AUDIO the real
+    * [[AudioCodec]]). Deterministic: features derive from bytes.
     * Contract pieces a real codec shares: a NULL payload is corrupt
     * (binary columns are nullable; a real decoder would segfault or
     * throw), features are a pure function of (id, payload, mediaType). */
@@ -109,8 +111,8 @@ object MultimodalOps {
     * dimensions and mean Rec.601 luma (integer 299/587/114 milli-weights
     * summed exactly in Long, one double divide at the end, so the value
     * is engine-portable for lossless formats where the oracle can replay
-    * the pixel formula). Video/audio remain honestly stubbed — this
-    * container ships no codec for them (see [[StubCodec]]).
+    * the pixel formula). Audio decodes via [[AudioCodec]]; video remains
+    * honestly stubbed — no decoder in the JDK (see [[StubCodec]]).
     *
     * Corruption contract: a payload no registered reader accepts
     * (`ImageIO.read` returns null), a reader abort mid-parse (truncated
@@ -160,6 +162,116 @@ object MultimodalOps {
       MediaFeatures(r.id, r.mediaType, r.payload.length.toLong,
         byteChecksum(r.payload), brightness, w, h)
     }
+  }
+
+  /** REAL audio codec over the JDK's built-in `javax.sound.sampled`
+    * WAV/AIFF/AU parsers (no native libraries): parses the actual
+    * container bytes and derives features from DECODED PCM SAMPLES.
+    * Feature mapping onto [[MediaFeatures]] (documented reuse, so the
+    * whole [[extractFeatures]] pipeline applies unchanged):
+    * `width` = sample rate (Hz), `height` = frame count, `brightness` =
+    * mean normalized amplitude — Σ(sample + 32768) over all samples,
+    * summed exactly in Long, one double divide by 65535·n at the end.
+    * PCM is lossless, so every feature is an exact integer function of
+    * the payload and an oracle can replay it in closed form (the
+    * `multimodal_audio` query does).
+    *
+    * Scope: 16-bit integer PCM (signed or unsigned, either endianness,
+    * any channel count) — what WAV ingest pipelines actually carry.
+    * Other encodings (float PCM, u-law, 8/24-bit) surface as
+    * [[CorruptPayloadException]] rather than silently mis-decoding.
+    *
+    * Corruption contract: bytes no parser claims
+    * (`UnsupportedAudioFileException`), a data chunk shorter than the
+    * header's frame count (truncation), and null/empty payloads all
+    * surface as [[CorruptPayloadException]] for [[CorruptPolicy]].
+    * Video remains honestly stubbed — the JDK ships no video decoder
+    * (see [[StubCodec]]). */
+  object AudioCodec extends MediaCodecFactory {
+    def open(): MediaDecoder = new MediaDecoder {
+      def decode(r: MediaRow): MediaFeatures = AudioCodec.decodeRow(r)
+    }
+    def decodeRow(r: MediaRow): MediaFeatures = {
+      if (r.payload == null)
+        throw new CorruptPayloadException(r.id, "null payload")
+      val ais =
+        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        catch {
+          case e: javax.sound.sampled.UnsupportedAudioFileException =>
+            throw new CorruptPayloadException(r.id,
+              s"undecodable audio payload: ${e.getMessage}", e)
+          case e: java.io.IOException =>
+            throw new CorruptPayloadException(r.id,
+              s"audio parse failed: ${e.getMessage}", e)
+        }
+      try {
+        val fmt = ais.getFormat
+        val enc = fmt.getEncoding
+        val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        if (!signed && enc != javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED)
+          throw new CorruptPayloadException(r.id,
+            s"unsupported audio encoding: $enc")
+        if (fmt.getSampleSizeInBits != 16)
+          throw new CorruptPayloadException(r.id,
+            s"unsupported sample size: ${fmt.getSampleSizeInBits} bits")
+        val frames = ais.getFrameLength
+        val channels = fmt.getChannels
+        val frameSize = fmt.getFrameSize // channels × 2 bytes
+        if (frames < 0 || frames * frameSize > Int.MaxValue)
+          throw new CorruptPayloadException(r.id,
+            s"unbounded or oversized frame length: $frames")
+        val want = (frames * frameSize).toInt
+        val data = ais.readNBytes(want)
+        if (data.length < want)
+          throw new CorruptPayloadException(r.id,
+            s"truncated audio data: ${data.length} of $want bytes")
+        var ampSum = 0L // Σ over samples of (sample + 32768) ∈ [0, 65535]
+        var i = 0
+        while (i < want) {
+          val (lo, hi) = if (fmt.isBigEndian) (data(i + 1), data(i))
+            else (data(i), data(i + 1))
+          val raw = ((hi & 0xff) << 8) | (lo & 0xff)
+          // signed → +32768 biases into [0, 65535]; unsigned is already there
+          ampSum += (if (signed) ((raw << 16) >> 16) + 32768 else raw)
+          i += 2
+        }
+        val nSamples = frames * channels
+        val amp = if (nSamples == 0) 0.0
+          else ampSum.toDouble / (65535.0 * nSamples)
+        MediaFeatures(r.id, r.mediaType, r.payload.length.toLong,
+          byteChecksum(r.payload), amp,
+          math.round(fmt.getSampleRate).toInt, frames.toInt)
+      } finally ais.close()
+    }
+  }
+
+  /** Deterministic synthetic mono 16-bit signed PCM WAV: sample `i` of
+    * clip `id` is `((7·id + 13·i) mod 65536) − 32768`, frame count
+    * `200 + id mod 57`, 8 kHz — PCM round-trips exactly, so an oracle
+    * recomputes [[AudioCodec]]'s amplitude sum from the formula alone
+    * (the unsigned bias cancels: sample + 32768 = (7·id + 13·i) mod
+    * 65536). Encoded through `javax.sound.sampled.AudioSystem.write`,
+    * so decode exercises the real container parser. */
+  def syntheticWav(id: Long): Array[Byte] = {
+    require(id >= 0, s"id must be non-negative (JVM % differs from SQL on " +
+      s"negatives), got $id")
+    val n = (200 + id % 57).toInt
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = ((7 * id + 13 * i) % 65536).toInt - 32768
+      pcm(2 * i) = (s & 0xff).toByte // little-endian
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
   }
 
   /** Deterministic synthetic truecolor PNG: pixel (x, y) of image `id`

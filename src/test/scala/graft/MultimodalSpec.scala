@@ -121,6 +121,67 @@ class MultimodalSpec extends AnyFunSuite {
       codec = ImageIoCodec, onCorrupt = CorruptPolicy.Fail).collect())
   }
 
+  test("AudioCodec decodes real WAV PCM: rate, frames, exact amplitude") {
+    val wav = MultimodalOps.syntheticWav(5L)
+    // a real RIFF/WAVE container: magic bytes present
+    assert(wav.take(4).toSeq == "RIFF".getBytes("US-ASCII").toSeq)
+    assert(wav.slice(8, 12).toSeq == "WAVE".getBytes("US-ASCII").toSeq)
+    val f = AudioCodec.decodeRow(MediaRow(5L, wav, "audio/wav", 0, 0))
+    val n = (200 + 5 % 57).toInt
+    assert(f.width == 8000 && f.height == n)
+    assert(f.byteLen == wav.length.toLong)
+    // closed-form expected amplitude from the generating formula: the
+    // signed sample + 32768 bias cancels back to the raw mod value
+    var ampSum = 0L
+    for (i <- 0 until n) ampSum += (7 * 5 + 13 * i) % 65536
+    assert(f.brightness == ampSum.toDouble / (65535.0 * n))
+    // endianness / sign regression pins: a constant-sample WAV decodes
+    // to exactly that level (0 → bias 32768 → ~0.5)
+    def constWav(sample: Int, frames: Int): Array[Byte] = {
+      val pcm = new Array[Byte](frames * 2)
+      for (i <- 0 until frames) {
+        pcm(2 * i) = (sample & 0xff).toByte
+        pcm(2 * i + 1) = ((sample >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val mid = AudioCodec.decodeRow(MediaRow(1L, constWav(0, 10), "audio/wav", 0, 0))
+    assert(mid.brightness == 32768.0 / 65535.0)
+    val max = AudioCodec.decodeRow(MediaRow(2L, constWav(32767, 10), "audio/wav", 0, 0))
+    assert(max.brightness == 1.0)
+    val min = AudioCodec.decodeRow(MediaRow(3L, constWav(-32768, 10), "audio/wav", 0, 0))
+    assert(min.brightness == 0.0)
+  }
+
+  test("AudioCodec corrupt contract: non-audio, truncated, null payloads") {
+    def decodeOf(bytes: Array[Byte]) =
+      intercept[CorruptPayloadException](
+        AudioCodec.decodeRow(MediaRow(7L, bytes, "audio/wav", 0, 0)))
+    // bytes no parser claims
+    decodeOf("definitely not audio".getBytes("UTF-8"))
+    // a TRULY corrupt WAV: valid header, data chunk chopped mid-stream
+    val wav = MultimodalOps.syntheticWav(1L)
+    decodeOf(wav.take(60))
+    decodeOf(null)
+    decodeOf(Array.empty[Byte])
+    // and the pipeline-level policy still applies over real audio bytes
+    val rows = Seq(
+      MediaRow(1L, MultimodalOps.syntheticWav(1L), "audio/wav", 0, 0),
+      MediaRow(2L, wav.take(60), "audio/wav", 0, 0))
+    val kept = MultimodalOps.extractFeatures(rows.toDS(),
+      codec = AudioCodec, onCorrupt = CorruptPolicy.Skip).collect()
+    assert(kept.map(_.id).toSeq == Seq(1L))
+    assert(kept.head.width == 8000)
+    intercept[Exception](MultimodalOps.extractFeatures(rows.toDS(),
+      codec = AudioCodec, onCorrupt = CorruptPolicy.Fail).collect())
+  }
+
   test("imageResize: nearest-neighbor pixel selection, corrupt policy") {
     // 2x2 source with distinct corner colors -> 1x1 keeps pixel (0, 0)
     val src = new java.awt.image.BufferedImage(
