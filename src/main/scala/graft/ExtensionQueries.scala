@@ -54,6 +54,21 @@ object ExtensionQueries {
     ("a", "r"), ("p", "ar"), ("t", "</w>"), ("i", "n</w>"), ("j", "o"),
     ("jo", "in</w>"), ("a", "s"), ("as", "h</w>"), ("h", "ash</w>"))
 
+  // One persisted PQ index per sf dir, built+written on first use (the
+  // per-snapshot amortized cost); queries re-read it like production
+  // would — books/centroids come from the sidecar, never re-derived
+  private val pqIndexPaths = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def pqIndexFor(s: SparkSession, dir: String): SimilarityOps.PqIndex = {
+    val path = pqIndexPaths.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("graft-pq-index").toString
+      SimilarityOps.writePqIndex(
+        SimilarityOps.buildPqIndex(Tables.embeddings(s, dir), annDim,
+          m = pqM, k = pqK, nCentroids = ivfCentroids, seed = annSeed), p)
+      p
+    })
+    SimilarityOps.readPqIndex(s, path)
+  }
+
   // log-spaced Variable edges (1 ms .. ~11.5 days in microseconds) for
   // time-to-convert gap distributions: percentile-shaped axes are the
   // Variable-quantiles use case, and the edge doubles are computed ONCE
@@ -244,13 +259,16 @@ object ExtensionQueries {
         annK, m = pqM, k = pqK, seed = annSeed)
         .orderBy("query_id", "rank")
     },
-    // IVF+PQ: cell-pruned ADC — the production composition (coarse cell
-    // + codes in one pass; queries scan only probed cells' codes)
+    // IVF+PQ against the PERSISTED index — the plan production runs:
+    // build+write happen once per corpus snapshot (amortized; first rep
+    // pays it here), every query batch reads (cell, codes) only, with
+    // books/centroids from the sidecar and probe-cell partition pruning.
+    // Results are identical to the in-query ivfPqTopK (same seeded
+    // family), so the same oracle checks both
     "ann_ivfpq_topk" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      SimilarityOps.ivfPqTopK(emb.filter(col("vec_id") < 10), emb, annDim,
-        annK, m = pqM, k = pqK, nCentroids = ivfCentroids,
-        nprobe = ivfProbe, seed = annSeed)
+      SimilarityOps.pqTopKIndexed(emb.filter(col("vec_id") < 10),
+        pqIndexFor(s, dir), annK, nprobe = ivfProbe)
         .orderBy("query_id", "rank")
     },
     // ---- text analysis --------------------------------------------------

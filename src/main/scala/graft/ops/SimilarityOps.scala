@@ -550,7 +550,13 @@ object SimilarityOps {
     * end-to-end (same quantization as the encode side), rank by
     * (adc asc, neighbor_id) — deterministic and oracle-checkable.
     * Approximation contract: ADC ranks by distance-to-codes, so recall
-    * vs [[bruteForceTopK]] is < 1 by construction (tested). */
+    * vs [[bruteForceTopK]] is < 1 by construction (tested).
+    *
+    * SCALE NOTE — this is the brute-ADC BASELINE: every query batch
+    * scans the FULL encoded corpus (a BroadcastNestedLoopJoin by
+    * contract). At corpus scale, default to [[pqTopKIndexed]] against a
+    * persisted [[PqIndex]] (or [[ivfPqTopK]] when not persisting): the
+    * cell equi-join prunes the scan to the probed fraction. */
   def pqTopK(queries: DataFrame, encoded: DataFrame, dim: Int, topK: Int,
       m: Int = 8, k: Int = 16, seed: Long = 42L,
       books: Option[Array[Array[Array[Long]]]] = None): DataFrame = {
