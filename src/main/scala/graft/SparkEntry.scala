@@ -200,6 +200,37 @@ object SparkEntry {
     "hist_add" -> { (s, dir) => algebraQuery(s, dir, HistAlgebra.Add) },
     "hist_sub" -> { (s, dir) => algebraQuery(s, dir, HistAlgebra.Sub) },
     "hist_mul" -> { (s, dir) => algebraQuery(s, dir, HistAlgebra.Mul) },
+    // Weight-storage `+` (bh merges (Σw, Σw²) by addition — ref
+    // tests/test_core.py:207-305 with storage != Double)
+    "hist_add_weight" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val spec = HistSpec(Seq(axQtyR), WeightStorage)
+      val h1 = Hist.fill(spec, li.filter(col("l_shipdate") < cutTs),
+        Seq(col("l_quantity")), weight = Some(col("l_discount")))
+      val h2 = Hist.fill(spec, li.filter(col("l_shipdate") >= cutTs),
+        Seq(col("l_quantity")), weight = Some(col("l_discount")))
+      HistAlgebra.binOp(spec, h1, h2, HistAlgebra.Add)
+        .withColumn("value", round(col("value"), 6))
+        .withColumn("variance", round(col("variance"), 6))
+        .orderBy("i0")
+    },
+    // Mean-storage `+`: the (n, Σs, Σs²) sums merge by addition and the
+    // mean/variance views re-derive from the MERGED sums (binOp's
+    // finalizer refresh — stale pass-through would be wrong)
+    "hist_add_mean" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val spec = HistSpec(Seq(axQtyR), MeanStorage)
+      val h1 = Hist.fill(spec, li.filter(col("l_shipdate") < cutTs),
+        Seq(col("l_quantity")), sample = Some(col("l_tax")))
+      val h2 = Hist.fill(spec, li.filter(col("l_shipdate") >= cutTs),
+        Seq(col("l_quantity")), sample = Some(col("l_tax")))
+      HistAlgebra.binOp(spec, h1, h2, HistAlgebra.Add)
+        .withColumn("sum_s", round(col("sum_s"), 6))
+        .withColumn("sum_s2", round(col("sum_s2"), 6))
+        .withColumn("mean", round(col("mean"), 6))
+        .withColumn("variance", round(col("variance"), 8))
+        .orderBy("i0")
+    },
     // marginal projection: 2-D fill summed over the tax axis == the 1-D
     // discount histogram (every row lands in SOME tax bin incl. flow)
     "hist_marginal" -> { (s, dir) =>
@@ -510,6 +541,42 @@ object SparkEntry {
     "hist_add" -> algebraOracle("+"),
     "hist_sub" -> algebraOracle("-"),
     "hist_mul" -> algebraOracle("*"),
+    // mirrors binOp's merge order: per-subset sums first, THEN add, THEN
+    // round — within-subset FP order differs across engines (the 6-dp
+    // tolerance the plain storage queries already rely on)
+    "hist_add_weight" ->
+      s"""SELECT COALESCE(a.i0, b.i0) AS i0,
+         |round(COALESCE(a.v, 0.0) + COALESCE(b.v, 0.0), 6) AS value,
+         |round(COALESCE(a.vv, 0.0) + COALESCE(b.vv, 0.0), 6) AS variance FROM (
+         |  SELECT ${axQtyR.sqlExpr("l_quantity")} AS i0, sum(l_discount) AS v,
+         |    sum(l_discount * l_discount) AS vv
+         |  FROM ${li()} WHERE l_shipdate < TIMESTAMP '$cutoff' GROUP BY 1
+         |) a FULL OUTER JOIN (
+         |  SELECT ${axQtyR.sqlExpr("l_quantity")} AS i0, sum(l_discount) AS v,
+         |    sum(l_discount * l_discount) AS vv
+         |  FROM ${li()} WHERE l_shipdate >= TIMESTAMP '$cutoff' GROUP BY 1
+         |) b ON a.i0 = b.i0 ORDER BY i0""".stripMargin,
+    "hist_add_mean" ->
+      s"""WITH a AS (
+         |  SELECT ${axQtyR.sqlExpr("l_quantity")} AS i0,
+         |    CAST(count(l_tax) AS DOUBLE) AS n, sum(l_tax) AS s,
+         |    sum(l_tax * l_tax) AS s2
+         |  FROM ${li()} WHERE l_shipdate < TIMESTAMP '$cutoff' GROUP BY 1),
+         |b AS (
+         |  SELECT ${axQtyR.sqlExpr("l_quantity")} AS i0,
+         |    CAST(count(l_tax) AS DOUBLE) AS n, sum(l_tax) AS s,
+         |    sum(l_tax * l_tax) AS s2
+         |  FROM ${li()} WHERE l_shipdate >= TIMESTAMP '$cutoff' GROUP BY 1),
+         |m AS (
+         |  SELECT COALESCE(a.i0, b.i0) AS i0,
+         |    COALESCE(a.n, 0.0) + COALESCE(b.n, 0.0) AS n,
+         |    COALESCE(a.s, 0.0) + COALESCE(b.s, 0.0) AS s,
+         |    COALESCE(a.s2, 0.0) + COALESCE(b.s2, 0.0) AS s2
+         |  FROM a FULL OUTER JOIN b ON a.i0 = b.i0)
+         |SELECT i0, n, round(s, 6) AS sum_s, round(s2, 6) AS sum_s2,
+         |  round(s / n, 6) AS mean,
+         |  round(CASE WHEN n > 1 THEN (s2 - s * s / n) / (n - 1) END, 8) AS variance
+         |FROM m ORDER BY i0""".stripMargin,
     "hist_marginal" ->
       s"""SELECT ${axDisc.sqlExpr("l_discount")} AS i0, count(*) AS value
          |FROM ${li()} GROUP BY 1 ORDER BY i0""".stripMargin,

@@ -72,7 +72,15 @@ object HistAlgebra {
     val out = vals.map { c =>
       op(coalesce(col(s"__l_$c"), lit(0.0)), coalesce(col(s"__r_$c"), lit(0.0))).as(c)
     }
-    joined.select(keys.map(col) ++ out: _*)
+    val merged = joined.select(keys.map(col) ++ out: _*)
+    // moment storages: re-derive mean/variance views from the merged
+    // sums (bh's `+` on Mean/Weight state merges accumulators the same
+    // way — tests/test_core.py:207-305). Derived columns are only
+    // meaningful where the state op is (Add, and Sub of sums); they are
+    // recomputed, never passed through stale.
+    spec.storage.finalizers.foldLeft(merged) { case (d, (n, c)) =>
+      d.withColumn(n, c)
+    }
   }
 
   /** Histogram ⊕ scalar (reference: scalar operands,

@@ -115,6 +115,51 @@ class HistCoreSpec extends AnyFunSuite {
     }
   }
 
+  test("moment-storage merge: h(A) + h(B) == h(A union B) for Weight and Mean") {
+    val rows = Seq.tabulate(120)(i =>
+      (math.abs(math.sin(i.toDouble)) * 3, 0.1 + (i % 5) * 0.2, (i % 7).toDouble))
+    val df = rows.toDF("x", "w", "s")
+    val a = df.filter(col("s") < 3.0)
+    val b = df.filter(col("s") >= 3.0)
+    // Weight: (Σw, Σw²) both merge by addition
+    val ws = HistSpec(Seq(Regular(6, 0.0, 3.0)), WeightStorage)
+    val wWhole = Hist.fill(ws, df, Seq(col("x")), weight = Some(col("w")))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val wMerged = HistAlgebra.binOp(ws,
+        Hist.fill(ws, a, Seq(col("x")), weight = Some(col("w"))),
+        Hist.fill(ws, b, Seq(col("x")), weight = Some(col("w"))),
+        HistAlgebra.Add)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(wWhole.keySet == wMerged.keySet)
+    wWhole.foreach { case (k, (v, vv)) =>
+      assert(math.abs(v - wMerged(k)._1) < 1e-9, s"bin $k value")
+      assert(math.abs(vv - wMerged(k)._2) < 1e-9, s"bin $k variance")
+    }
+    // Mean: sums merge; mean/variance views re-derive from MERGED sums
+    val ms = HistSpec(Seq(Regular(6, 0.0, 3.0)), MeanStorage)
+    val mWhole = Hist.fill(ms, df, Seq(col("x")), sample = Some(col("s")))
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Number](1).doubleValue, r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5))).toMap
+    val mm = HistAlgebra.binOp(ms,
+      Hist.fill(ms, a, Seq(col("x")), sample = Some(col("s"))),
+      Hist.fill(ms, b, Seq(col("x")), sample = Some(col("s"))),
+      HistAlgebra.Add)
+    assert(mm.columns.toSeq ==
+      Seq("i0", "n", "sum_s", "sum_s2", "mean", "variance"))
+    val mMerged = mm.collect().map(r => r.getLong(0) ->
+      (r.getAs[Number](1).doubleValue, r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toMap
+    assert(mWhole.keySet == mMerged.keySet)
+    mWhole.foreach { case (k, (n, s, s2, mean, varr)) =>
+      val (n2, s2b, s2sq, mean2, var2) = mMerged(k)
+      assert(n == n2, s"bin $k n")
+      assert(math.abs(s - s2b) < 1e-9 && math.abs(s2 - s2sq) < 1e-9, s"bin $k sums")
+      assert(math.abs(mean - mean2) < 1e-9, s"bin $k mean")
+      assert(math.abs(varr - var2) < 1e-9, s"bin $k variance")
+    }
+  }
+
   test("Weight storage: value=sum w, variance=sum w^2") {
     val df = Seq((0.5, 1.0), (1.5, 2.0), (1.7, 3.0)).toDF("x", "w")
     val spec = HistSpec(Seq(Regular(2, 0.0, 2.0)), WeightStorage)
