@@ -674,6 +674,19 @@ object ExtensionQueries {
           col("i0"), round(col("value"), 2).as("value"))
         .orderBy("bucket_start", "i0")
     },
+    // Per-window monitoring quantiles: hourly value-distribution
+    // histograms -> p50/p90/p99 per window (one rank space per window;
+    // the streaming twin is pinned stream-vs-batch in StreamingHistSpec)
+    "events_hourly_quantiles" -> { (s, dir) =>
+      val ev = graft.sources.Sources.eventsWithTimestamp(s, dir)
+      val spec = HistSpec(Seq(axVal), Int64Storage)
+      val h = StreamingHist.windowedFill(spec, ev, col("ts"), "1 hour",
+        Seq(col("value")))
+      StreamingHist.windowedQuantiles(spec, h, Seq(0.5, 0.9, 0.99))
+        .select(col("window.start").cast("long").as("bucket_start"),
+          col("q"), col("est"))
+        .orderBy("bucket_start", "q")
+    },
     // As-of (point-in-time) join: each purchase picks the same user's
     // latest click within the preceding hour — union+window form, ONE
     // shuffle on user_id, no nested-loop (JoinOps.asOfJoin)
@@ -1099,6 +1112,16 @@ object ExtensionQueries {
       s"""SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS bucket_start,
          |${axVal.sqlExpr("value")} AS i0, round(sum(value), 2) AS value
          |FROM events GROUP BY 1, 2 ORDER BY bucket_start, i0""".stripMargin,
+    // per-window rank spaces: the SAME interpolation formula as
+    // hist_quantiles, partitioned on the hourly bucket
+    "events_hourly_quantiles" ->
+      s"""WITH h AS (
+         |  SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT)
+         |    AS bucket_start, ${axVal.sqlExpr("value")} AS i0,
+         |    count(*) AS value
+         |  FROM events GROUP BY 1, 2),
+         |${HistAlgebra.quantilesSqlBy(axVal, Seq(0.5, 0.9, 0.99), Seq("bucket_start"))}
+         |ORDER BY bucket_start, q""".stripMargin,
     // naive executable spec of the as-of join: left join all qualifying
     // right rows, keep the latest (independent of the union+window form)
     "events_asof_click" ->

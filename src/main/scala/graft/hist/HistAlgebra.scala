@@ -204,7 +204,18 @@ object HistAlgebra {
     * the 6-dp round (FIXTURES.md §6 class E, sans libm).
     *
     * A window + join over a BIN-COUNT-sized relation — never data. */
-  def quantiles(spec: HistSpec, h: DataFrame, qs: Seq[Double]): DataFrame = {
+  def quantiles(spec: HistSpec, h: DataFrame, qs: Seq[Double]): DataFrame =
+    quantilesBy(spec, h, qs, Nil)
+
+  /** [[quantiles]] grouped by extra key columns — ONE rank space per
+    * distinct key (the per-time-window p50/p99 monitoring estimator over
+    * [[graft.streaming.StreamingHist.windowedFill]] output, or per-tenant
+    * quantiles over a keyed fill). `part = Nil` is exactly [[quantiles]].
+    * The cum-sum window partitions by the keys, so a long-running
+    * windowed stream stays parallel across windows — each window task
+    * sorts only its own ≤ bin-count rows. */
+  def quantilesBy(spec: HistSpec, h: DataFrame, qs: Seq[Double],
+      part: Seq[String]): DataFrame = {
     require(spec.ndim == 1, "quantiles supports 1-D histograms")
     require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
       s"quantiles must be in (0, 1], got $qs")
@@ -214,15 +225,17 @@ object HistAlgebra {
         "wrong state column; project or finalize to counts first")
     val spark = h.sparkSession
     import spark.implicits._
+    val pcols = part.map(col)
     val nb = spec.axes.head.nBins
     val interior = h.filter(col("i0") >= 1L && col("i0") <= nb.toLong)
-      .select(col("i0"), col("value").cast("double").as("__c"))
-    val win = org.apache.spark.sql.expressions.Window.orderBy(col("i0"))
+      .select(pcols :+ col("i0") :+ col("value").cast("double").as("__c"): _*)
+    val win = org.apache.spark.sql.expressions.Window.partitionBy(pcols: _*)
+      .orderBy(col("i0"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val cum = interior
       .withColumn("__cb", coalesce(sum(col("__c")).over(win), lit(0.0)))
       .withColumn("__n", sum(col("__c")).over(
-        org.apache.spark.sql.expressions.Window
+        org.apache.spark.sql.expressions.Window.partitionBy(pcols: _*)
           .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
             org.apache.spark.sql.expressions.Window.unboundedFollowing)))
     val qdf = broadcast(qs.toDF("q"))
@@ -231,18 +244,18 @@ object HistAlgebra {
       .filter(col("__t") > col("__cb") && col("__t") <= col("__cb") + col("__c"))
     def regularEst(lo: Double, hi: Double, n: Int) = {
       val w = (hi - lo) / n
-      hit.select(col("q"),
+      hit.select(pcols :+ col("q") :+
         round(lit(lo) + (col("i0") - 1L).cast("double") * lit(w) +
-          lit(w) * (col("__t") - col("__cb")) / col("__c"), 6).as("est"))
+          lit(w) * (col("__t") - col("__cb")) / col("__c"), 6).as("est"): _*)
     }
     def edgeEst(ax: Axis) = {
       val ed = broadcast((1 to nb).map(i =>
         (i.toLong, ax.binLo(i - 1), ax.binWidth(i - 1)))
         .toDF("i0", "__blo", "__bw"))
       hit.join(ed, Seq("i0"))
-        .select(col("q"),
+        .select(pcols :+ col("q") :+
           round(col("__blo") +
-            col("__bw") * (col("__t") - col("__cb")) / col("__c"), 6).as("est"))
+            col("__bw") * (col("__t") - col("__cb")) / col("__c"), 6).as("est"): _*)
     }
     spec.axes.head match {
       case ax: Regular => regularEst(ax.lo, ax.hi, ax.n)
@@ -273,20 +286,29 @@ object HistAlgebra {
     * (columns i0, value) — same interior filter, same rank space, same
     * interpolation op order. String-formatted double literals round-trip
     * exactly through CAST(... AS DOUBLE). */
-  def quantilesSql(ax: Regular, qs: Seq[Double]): String = {
+  def quantilesSql(ax: Regular, qs: Seq[Double]): String =
+    quantilesSqlBy(ax, qs, Nil)
+
+  /** [[quantilesSql]] with extra grouping keys — the SAME interpolation
+    * formula, one rank space per distinct key (the oracle twin of
+    * [[quantilesBy]]; e.g. `part = Seq("bucket_start")` for per-window
+    * monitoring quantiles). */
+  def quantilesSqlBy(ax: Regular, qs: Seq[Double], part: Seq[String]): String = {
     val w = (ax.hi - ax.lo) / ax.n
     val lo = s"CAST('${ax.lo}' AS DOUBLE)"
     val ws = s"CAST('$w' AS DOUBLE)"
     val vals = qs.map(q => s"(CAST('$q' AS DOUBLE))").mkString(", ")
-    s"""ih AS (SELECT i0, CAST(value AS DOUBLE) AS c FROM h
+    val pSel = part.map(p => s"$p, ").mkString
+    val pBy = if (part.isEmpty) "" else s"PARTITION BY ${part.mkString(", ")} "
+    s"""ih AS (SELECT $pSel i0, CAST(value AS DOUBLE) AS c FROM h
        |       WHERE i0 BETWEEN 1 AND ${ax.n}),
        |cum AS (
-       |  SELECT i0, c,
-       |    COALESCE(sum(c) OVER (ORDER BY i0
+       |  SELECT $pSel i0, c,
+       |    COALESCE(sum(c) OVER ($pBy ORDER BY i0
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
-       |    sum(c) OVER () AS n FROM ih),
+       |    sum(c) OVER ($pBy) AS n FROM ih),
        |qs(q) AS (VALUES $vals)
-       |SELECT q, round($lo + (i0 - 1) * $ws + $ws * (q * n - cb) / c, 6) AS est
+       |SELECT $pSel q, round($lo + (i0 - 1) * $ws + $ws * (q * n - cb) / c, 6) AS est
        |FROM cum JOIN qs ON q * n > cb AND q * n <= cb + c""".stripMargin
   }
 

@@ -75,4 +75,22 @@ object StreamingHist {
       .agg(aggs.head, aggs.tail: _*)
     spec.storage.finalizers.foldLeft(base) { case (d, (n, c)) => d.withColumn(n, c) }
   }
+
+  /** Per-window quantile estimates over a [[windowedFill]] result — the
+    * p50/p99-per-time-window monitoring estimator latency histograms
+    * exist for. One rank space per window ([[HistAlgebra.quantilesBy]]
+    * partitioned on the window struct), so every axis kind the batch
+    * quantiles support (Regular/Integer closed form, Variable/Log/Sqrt
+    * edge lookup) works per-window unchanged.
+    *
+    * Streaming composition: window functions can't run inside a
+    * streaming aggregate, so apply this OUTSIDE the stream — in a
+    * `foreachBatch` sink over the windowed fill (recompute quantiles for
+    * the windows the batch touched) or on the complete/update-mode sink
+    * table, as the stream-vs-batch spec does. The input is bin-count ×
+    * open-windows sized — never data-sized — so the per-batch cost is a
+    * few window tasks over tiny relations. */
+  def windowedQuantiles(spec: HistSpec, h: DataFrame,
+      qs: Seq[Double]): DataFrame =
+    HistAlgebra.quantilesBy(spec, h, qs, Seq("window"))
 }

@@ -123,6 +123,50 @@ class StreamingHistSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("streamed windowed quantiles == batch quantiles on the same windows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-squant").toFile
+    // 3 hourly windows with different value distributions, so per-window
+    // p50/p99 actually differ (a shared rank space would be caught)
+    val data = Seq.tabulate(600) { i =>
+      val hour = i % 3
+      (java.sql.Timestamp.valueOf(f"2024-01-01 $hour%02d:10:00"),
+        ((i * 7) % (20 * (hour + 1))).toDouble)
+    }
+    val batchDf = data.toDF("ts", "v")
+    batchDf.coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    val spec = HistSpec(Seq(Regular(12, 0.0, 60.0)), Int64Storage)
+    val qs = Seq(0.5, 0.9, 0.99)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getStruct(0).getTimestamp(0).getTime, r.getDouble(1)) -> r.getDouble(2)
+    val batchFill = StreamingHist.windowedFill(spec, batchDf, $"ts", "1 hour", Seq($"v"))
+    val batch = StreamingHist.windowedQuantiles(spec, batchFill, qs)
+      .collect().map(key).toMap
+    assert(batch.size == 9) // 3 windows x 3 quantiles
+    // cross-check each window against the UNPARTITIONED batch estimator:
+    // per-window rank spaces must equal quantiles() run window-by-window
+    val windows = batchFill.select($"window").distinct().collect()
+      .map(_.getStruct(0).getTimestamp(0))
+    windows.foreach { w =>
+      val one = batchFill.filter($"window.start" === w)
+      val expect = HistAlgebra.quantiles(spec, one, qs)
+        .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+      qs.foreach { q =>
+        assert(batch((w.getTime, q)) == expect(q), s"window $w q=$q")
+      }
+    }
+    // the streaming composition: complete-mode windowed fill sink, then
+    // quantiles OVER the sink table (window fns can't run in-stream)
+    val streamIn = spark.readStream.schema(batchDf.schema).parquet(dir.toString)
+      .withWatermark("ts", "2 hours")
+    val q = StreamingHist.windowedFill(spec, streamIn, $"ts", "1 hour", Seq($"v"))
+      .writeStream.outputMode("complete").format("memory").queryName("squant")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = StreamingHist.windowedQuantiles(spec, spark.table("squant"), qs)
+      .collect().map(key).toMap
+    assert(got == batch)
+  }
+
   test("streamed windowed KMV distinct == batch windowed estimate") {
     val dir = java.nio.file.Files.createTempDirectory("graft-skmv").toFile
     val data = Seq.tabulate(400) { i =>
