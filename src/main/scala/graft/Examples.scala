@@ -65,6 +65,28 @@ object Examples {
       spark.stop()
       return
     }
+    if (args.headOption.contains("soak-funnel")) {
+      // streaming-funnel state soak: `runMain graft.Examples soak-funnel
+      // 200000,2000000` — total users grow 10× while the ACTIVE set is
+      // held fixed; the eviction bound says post-retention state rows
+      // track actives, not users-ever-seen
+      args.lift(1).getOrElse("200000,2000000").split(",").map(_.trim.toInt)
+        .foreach(n => funnelSoak(spark, n,
+          args.lift(2).map(_.toInt).getOrElse(20000)))
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("bpe-approx")) {
+      // approximate-mode exhibit: `runMain graft.Examples bpe-approx
+      // 4096 64` — merges/round on a production-shaped corpus (the
+      // acceptance rate the rounds claim rests on), plus measured
+      // merge-set overlap vs the exact mode at a prefix size where the
+      // exact mode is affordable
+      bpeApproxExhibit(spark, args.lift(1).map(_.toInt).getOrElse(4096),
+        args.lift(2).map(_.toInt).getOrElse(64))
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("bpe")) {
       // BPE round-trip exhibit: `runMain graft.Examples bpe 512` — train
       // the same merge list sequentially and batched on a Zipfian
@@ -296,6 +318,70 @@ object Examples {
     println(f"""{"example":"tokenize_soak","docs":$nDocs,"merges":${merges.size},"distinct_words":$distinctWords,"token_rows":$tokRows,"tokens_per_doc":${tokRows.toDouble / nDocs}%.1f,"sec":$sec%.3f,"docs_per_sec":${nDocs / sec}%.0f,"tokens_per_sec":${tokRows / sec}%.0f}""")
   }
 
+  /** Streaming-funnel state soak: the eviction-bound claim
+    * ([[graft.streaming.FunnelStream]] scaladoc — "state is bounded by
+    * users ACTIVE within the retention horizon, not by every user ever
+    * seen") measured, not just test-pinned. Three micro-batch phases:
+    *
+    *  1. ALL `nUsers` complete a view→click funnel at old timestamps —
+    *     peak state tracks every user ever seen;
+    *  2. a fixed `nActive` set (held CONSTANT as nUsers grows 10×)
+    *     emits recent traffic, advancing the watermark past every
+    *     phase-1 user's retention deadline;
+    *  3. one more active batch fires the armed timeouts.
+    *
+    * Evidence = `stateOperators.numRowsTotal` from the query progress:
+    * peak ≈ nUsers, final ≈ nActive — flat across 10× total users —
+    * plus end-to-end events/s (driver-fed MemoryStream, so throughput
+    * is a lower bound: production sources read in-executor). */
+  private def funnelSoak(spark: SparkSession, nUsers: Int,
+      nActive: Int): Unit = {
+    import spark.implicits._
+    import graft.streaming.FunnelStream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val s: SparkSession = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val retention = 3600L
+    val in = MemoryStream[FunnelStream.TypedEvent]
+    val name = s"funnel_soak_$nUsers"
+    val q = FunnelStream.funnelStream(in.toDS()
+        .withColumn("et", timestamp_micros($"ts_us"))
+        .withWatermark("et", "1 second").as[FunnelStream.TypedEvent],
+        Seq("view", "click"), retentionSec = retention)
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .start()
+    def stateRows: Long =
+      Option(q.lastProgress).map(_.stateOperators(0).numRowsTotal).getOrElse(0L)
+    try {
+      val t0 = System.nanoTime()
+      // phase 1: every user converts at old event times (spread over ~17
+      // min so per-batch sort buffers stay per-user-tiny)
+      val base = 1000000000L
+      in.addData((0 until nUsers).iterator.map(u =>
+        FunnelStream.TypedEvent(u.toLong, base + u.toLong, "view")).toSeq)
+      in.addData((0 until nUsers).iterator.map(u =>
+        FunnelStream.TypedEvent(u.toLong, base + u.toLong + 500L, "click")).toSeq)
+      q.processAllAvailable()
+      val peak = stateRows
+      // phase 2: only the fixed active set returns, far past retention —
+      // the batch's closing watermark passes every phase-1 deadline
+      val recent = base + (retention + 7200L) * 1000000L
+      in.addData((0 until nActive).iterator.map(u =>
+        FunnelStream.TypedEvent(u.toLong, recent + u.toLong, "view")).toSeq)
+      q.processAllAvailable()
+      // phase 3: the next batch actually fires the armed timeouts
+      in.addData((0 until nActive).iterator.map(u =>
+        FunnelStream.TypedEvent(u.toLong, recent + 3600000000L + u.toLong,
+          "click")).toSeq)
+      q.processAllAvailable()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val fin = stateRows
+      val events = 2L * nUsers + 2L * nActive
+      val emitted = spark.table(name).count()
+      println(f"""{"example":"funnel_soak","users":$nUsers,"active":$nActive,"events":$events,"peak_state_rows":$peak,"final_state_rows":$fin,"final_per_active":${fin.toDouble / nActive}%.3f,"emitted":$emitted,"sec":$sec%.3f,"events_per_sec":${events / sec}%.0f}""")
+    } finally q.stop()
+  }
+
   /** Embedding-search soak: synthetic 64-dim unit-ish vectors (uniform
     * [-1, 1] lanes from xxhash64 — the worst case for IVF, since real
     * clustered data concentrates probes), 256 queries. Measures IVF and
@@ -369,6 +455,35 @@ object Examples {
     * lists by construction ([[graft.ops.BpeOps.trainBatched]]'s
     * dominance gate); the exhibit measures driver ROUND-TRIPS and
     * wall-clock, the cost that scales to a 30k-merge vocabulary. */
+  /** Approximate-BPE exhibit: a 20k-word Zipfian vocabulary (large
+    * enough to support production-ish merge counts), trainApprox at the
+    * requested vocab size — the claim under test is the accepted
+    * merges/round (how far symbol-conflict skipping erodes the ideal
+    * nMerges/topK) — plus merge-set overlap vs the EXACT batched mode
+    * at a 512-merge prefix (where exact is affordable to run). */
+  private def bpeApproxExhibit(spark: SparkSession, nMerges: Int,
+      topK: Int): Unit = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val vocab = (0 until 20000).map { _ =>
+      Seq.fill(2 + rnd.nextInt(11))(('a' + rnd.nextInt(26)).toChar).mkString
+    }.distinct
+    val docs = vocab.zipWithIndex.map { case (w, rank) =>
+      (rank.toLong, ((w + " ") * math.max(1, 5000 / (rank + 1))).trim)
+    }.toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val approx = graft.ops.BpeOps.trainApprox(docs, nMerges, topK = topK)
+    val sec = (System.nanoTime() - t0) / 1e9
+    val prefix = 512
+    val t1 = System.nanoTime()
+    val exact = graft.ops.BpeOps.trainBatched(docs, prefix, topK = topK)
+    val exactSec = (System.nanoTime() - t1) / 1e9
+    val approxPrefix = graft.ops.BpeOps.trainApprox(docs, prefix, topK = topK)
+    val overlap = approxPrefix.merges.toSet.intersect(exact.merges.toSet)
+      .size.toDouble / exact.merges.size
+    println(f"""{"example":"bpe_approx","merges":${approx.merges.size},"topK":$topK,"rounds":${approx.rounds},"merges_per_round":${approx.merges.size.toDouble / approx.rounds}%.1f,"sec":$sec%.3f,"exact_prefix":$prefix,"exact_rounds":${exact.rounds},"exact_sec":$exactSec%.3f,"prefix_overlap":$overlap%.3f}""")
+  }
+
   private def bpeExhibit(spark: SparkSession, nMerges: Int,
       topK: Int): Unit = {
     import spark.implicits._

@@ -119,6 +119,46 @@ class BpeSpec extends AnyFunSuite {
         s"${seqMerges.size} merges")
   }
 
+  test("trainApprox: topK=1 is exactly train; divergence quantified above") {
+    val classic = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val zh = (Seq.fill(4)("你好 世界") ++ Seq.fill(3)("你好吗") ++
+      Seq.fill(2)("世界 和平")).mkString(" ")
+    for ((tag, text) <- Seq("classic" -> classic, "zh" -> zh)) {
+      val docs = Seq((0L, text)).toDF("doc_id", "text")
+      val n = 16
+      val exact = BpeOps.train(docs, n)
+      // degenerate case: one pair per round == the exact sequential mode
+      val k1 = BpeOps.trainApprox(docs, n, topK = 1)
+      assert(k1.merges == exact, s"corpus=$tag topK=1 must be exact")
+      // approximate mode: fewer rounds; divergence measured, not assumed.
+      // These fixtures are the WORST case for greedy parallel acceptance:
+      // classic has 4 distinct words trained to near-exhaustion (measured
+      // overlap 0.53), zh similar — every pair interacts with every
+      // other. Production Zipf corpora interact far less (the
+      // disjoint-alphabet case below is exact; Examples bpe-approx
+      // reports exhibit-scale overlap)
+      val approx = BpeOps.trainApprox(docs, n, topK = 8)
+      assert(approx.rounds < exact.size,
+        s"corpus=$tag rounds=${approx.rounds} should beat ${exact.size}")
+      val overlap = approx.merges.toSet.intersect(exact.toSet).size.toDouble /
+        exact.size
+      assert(overlap >= 0.5,
+        s"corpus=$tag merge-set overlap $overlap below the pinned floor")
+    }
+    // disjoint-alphabet repeated bigrams: zero pair interaction, so the
+    // approximate mode is EXACT here and takes ~nMerges/topK rounds
+    val interleaved = Seq.fill(10)("ababab") ++ Seq.fill(9)("cdcdcd") ++
+      Seq.fill(8)("efefef") ++ Seq.fill(7)("ghghgh") ++ Seq.fill(6)("ijijij")
+    val docs = Seq((0L, interleaved.mkString(" "))).toDF("doc_id", "text")
+    val n = 10
+    val exact = BpeOps.train(docs, n)
+    val approx = BpeOps.trainApprox(docs, n, topK = 5)
+    assert(approx.merges.toSet == exact.toSet)
+    assert(approx.rounds <= n / 5 + 1,
+      s"expected ~n/topK rounds, got ${approx.rounds}")
+  }
+
   test("wordDict splits by code point (unicode contract vs the oracle)") {
     def syms(word: String): Seq[String] =
       BpeOps.wordDict(Seq((0L, word)).toDF("doc_id", "text"))
