@@ -326,6 +326,29 @@ object ExtensionQueries {
         .orderBy(col("df").desc, col("tok").asc)
         .limit(25)
     },
+    // Corpus heavy-hitter words: a Misra–Gries candidate pass (k
+    // counters per partition, the distinct vocabulary never shuffles)
+    // + an exact broadcast-pruned verify pass; the n/(k+1) guarantee
+    // makes the output EQUAL the sketch-free GROUP BY/HAVING oracle
+    "text_heavy_hitters" -> { (s, dir) =>
+      TextOps.heavyHitterWords(Tables.documents(s, dir), k = 64,
+        minFrac = 0.02).orderBy("w")
+    },
+    // Link-graph centrality for corpus curation: PageRank (6 fixed
+    // power iterations) on a bipartite order<->part graph derived from
+    // lineitem; every third part has no out-edges, so the dangling-mass
+    // term is exercised, not just present
+    "graph_pagerank" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val fwd = li.select((col("l_orderkey") * 2).as("src"),
+        (col("l_partkey") * 2 + 1).as("dst"))
+      val rev = li.filter(col("l_partkey") % 3 =!= 0)
+        .select((col("l_partkey") * 2 + 1).as("src"),
+          (col("l_orderkey") * 2).as("dst"))
+      GraphOps.pageRank(fwd.unionByName(rev), iters = 6)
+        .select(col("node"), round(col("rank"), 9).as("rank"))
+        .orderBy("node")
+    },
     // Vector analytics: per-label centroid of the embedding column
     // (posexplode -> groupBy (label, dim) -> order-independent quantized
     // mean; raw-double avg over float lanes is summation-order-dependent
@@ -1026,6 +1049,16 @@ object ExtensionQueries {
       """SELECT tok, count(*) AS df FROM (
         |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
         |) GROUP BY 1 ORDER BY df DESC, tok ASC LIMIT 25""".stripMargin,
+    "text_heavy_hitters" ->
+      (TextOps.heavyHitterWordsSql(0.02) + "\nORDER BY w"),
+    "graph_pagerank" ->
+      (GraphOps.pageRankSql(
+        """SELECT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst
+          |FROM lineitem
+          |UNION ALL
+          |SELECT l_partkey * 2 + 1, l_orderkey * 2
+          |FROM lineitem WHERE l_partkey % 3 <> 0""".stripMargin,
+        iters = 6, damping = 0.85) + "\nORDER BY node"),
     "emb_label_centroids" ->
       s"""SELECT label, CAST(d.dim AS INT) AS dim, count(*) AS n,
          |${SimilarityOps.quantizedMeanSql("embedding[CAST(d.dim AS INT) + 1]")} AS mean_v

@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph analytics for corpus curation. Web-scale training-data
+  * pipelines score documents by link-graph centrality (crawl frontiers,
+  * harmonic/PageRank quality priors — the reference pipeline literature:
+  * Page et al. 1999); this module gives that as a DataFrame-iterative
+  * operator sharing the scale discipline of
+  * [[DedupOps.connectedComponents]]: the edge relation is normalized and
+  * checkpointed ONCE, every power-iteration round is one shuffle on the
+  * destination key, and the per-round logical plan is cut with
+  * `localCheckpoint` so N rounds cost N bounded jobs instead of one
+  * super-linear mega-plan.
+  */
+object GraphOps {
+
+  /** PageRank by fixed-iteration power method over a directed edge list
+    * (`src`, `dst` long columns; duplicate edges collapse — simple-graph
+    * semantics, matching the oracle).
+    *
+    * Per round: rank mass moves along `contrib = rank(src) / outdeg(src)`
+    * (the out-degree is joined into the edge relation ONCE, up front, so
+    * a round is exactly edges⋈ranks on `src` + groupBy `dst`), dangling
+    * mass (nodes with no out-edges) and the teleport term spread
+    * uniformly: `r' = (1−d)/N + d·(Σ contrib + dangling/N)`.
+    *
+    * Fixed `iters` — NOT convergence-probed — so the result is a
+    * deterministic function of the graph and the oracle can unroll the
+    * same rounds ([[pageRankSql]]). Each round collects ONE scalar (the
+    * dangling mass — same driver-probe budget as the components
+    * fixpoint).
+    *
+    * 100 TB shape: ranks are one row per node (8+8 bytes), edges are the
+    * big relation and move through a single hash exchange per round keyed
+    * first on `src` (join) then `dst` (reduce); AQE handles hub skew
+    * (a viral page's in-edges are many rows of 16 bytes, salted by the
+    * skew-join rule, not a single hot cell). The degree join is
+    * edge-partitioned, not broadcast — node count at web scale exceeds
+    * broadcast limits. Iteration count is the O(10) constant the power
+    * method needs for ranking stability, not a data-dependent loop. */
+  def pageRank(edges: DataFrame, iters: Int = 8,
+      damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(damping > 0 && damping < 1, s"damping in (0,1), got $damping")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .distinct().localCheckpoint(eager = false)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(eager = false)
+    val n = nodes.count()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // weighted edge relation, built once, reused every round
+    val ew = e.join(deg, Seq("src"))
+      .select(col("src"), col("dst"), (lit(1.0) / col("outdeg")).as("w"))
+      .localCheckpoint(eager = false)
+    val sinks = nodes.join(deg.select(col("src").as("node")), Seq("node"),
+      "left_anti").localCheckpoint(eager = false)
+    var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
+      .localCheckpoint(eager = false)
+    for (_ <- 1 to iters) {
+      val dangling = sinks.join(ranks, Seq("node"))
+        .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
+      val contribs = ew.join(ranks, ew("src") === ranks("node"))
+        .groupBy(col("dst"))
+        .agg(sum(col("w") * col("rank")).as("c"))
+      ranks = nodes.join(contribs, nodes("node") === contribs("dst"), "left")
+        .select(col("node"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * (coalesce(col("c"), lit(0.0)) +
+              lit(dangling / n))).as("rank"))
+        .localCheckpoint(eager = false)
+    }
+    ranks
+  }
+
+  /** DuckDB twin of [[pageRank]]: the same rounds UNROLLED as CTEs
+    * (r0..rN with one dangling-mass CTE per round), over an `e(src, dst)`
+    * CTE the caller supplies. Same simple-graph DISTINCT, same
+    * `(1−d)/N + d·(Σ rank/outdeg + dangling/N)` update, same fixed
+    * iteration count — the only divergence is floating-point summation
+    * order, absorbed by the caller rounding both sides identically. */
+  def pageRankSql(edgesCte: String, iters: Int, damping: Double): String = {
+    val d = s"CAST('$damping' AS DOUBLE)"
+    val rounds = (1 to iters).map { i =>
+      val p = s"r${i - 1}"
+      s"""dm$i AS (
+         |  SELECT COALESCE(sum(rank), 0.0) AS m FROM $p
+         |  WHERE node NOT IN (SELECT src FROM deg)),
+         |r$i AS (
+         |  SELECT nodes.node,
+         |    (1.0 - $d) / nc.n + $d * (COALESCE(c.s, 0.0) + dm$i.m / nc.n)
+         |      AS rank
+         |  FROM nodes
+         |  CROSS JOIN nc CROSS JOIN dm$i
+         |  LEFT JOIN (
+         |    SELECT ew.dst, sum(ew.w * $p.rank) AS s
+         |    FROM ew JOIN $p ON ew.src = $p.node GROUP BY ew.dst) c
+         |    ON nodes.node = c.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT DISTINCT src, dst FROM ($edgesCte)),
+       |nodes AS (
+       |  SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |nc AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+       |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+       |ew AS (
+       |  SELECT e.src, e.dst, 1.0 / deg.outdeg AS w
+       |  FROM e JOIN deg ON e.src = deg.src),
+       |r0 AS (SELECT node, 1.0 / nc.n AS rank FROM nodes CROSS JOIN nc),
+       |$rounds
+       |SELECT node, round(rank, 9) AS rank FROM r$iters""".stripMargin
+  }
+}

@@ -164,6 +164,59 @@ object TextOps {
           col("__s") / col("n_tokens").cast("double"), 6).as("entropy"))
   }
 
+  /** Corpus heavy-hitter words — the two-pass candidate/verify pattern
+    * that makes a merge-order-dependent sketch DETERMINISTIC end to end:
+    *
+    *  1. one scan aggregates a [[graft.functions.MisraGriesAgg]] summary
+    *     (k counters per partition, k-sized merges — the full distinct
+    *     vocabulary never shuffles) together with the exact token total n;
+    *  2. the ≤ k candidate strings come back to the driver (sidecar-sized
+    *     collect), and the MG guarantee `true > n/(k+1) ⇒ candidate` is
+    *     CHECKED: `minCount > n/(k+1)` must hold or this throws — that
+    *     inequality is exactly what makes "exact-count the candidates" a
+    *     complete answer rather than a lossy one;
+    *  3. a second scan exact-counts ONLY the candidates (broadcast hash
+    *     semi-join prunes the explode) and thresholds on the exact count.
+    *
+    * Output = precisely the words with true frequency ≥ minCount, so the
+    * DuckDB twin is a plain GROUP BY ... HAVING — sketch-free. At 100 TB
+    * this is 2 scans + a k-row broadcast instead of a full-vocabulary
+    * shuffle (billions of distinct tokens under Zipf). */
+  def heavyHitterWords(docs: org.apache.spark.sql.DataFrame, k: Int,
+      minFrac: Double, textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    require(minFrac > 1.0 / (k + 1) && minFrac <= 1.0,
+      s"minFrac=$minFrac must exceed the MG miss bound 1/(k+1) = " +
+        s"${1.0 / (k + 1)} or a true heavy hitter could be missed — " +
+        "raise k or minFrac (scale-free: the check never depends on n)")
+    val words = docs.select(
+      explode(split(col(textCol), " ")).as("w")).filter(col("w") =!= "")
+    val first = words.agg(count(lit(1)).as("n"),
+      graft.functions.MisraGriesAgg(col("w"), k).as("mg")).head()
+    val n = first.getLong(0)
+    // identical threshold arithmetic to the oracle: ceil over ieee754
+    val minCount = math.ceil(minFrac * n).toLong
+    val cand = first.getMap[String, Long](1).keys.toSeq
+    val spark = docs.sparkSession
+    import spark.implicits._
+    words.join(broadcast(cand.toDF("w")), Seq("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+  }
+
+  /** DuckDB twin of [[heavyHitterWords]]: the exact definition the
+    * two-pass operator provably equals (same split, same empty-token
+    * filter, same ceil(frac·n) threshold). */
+  def heavyHitterWordsSql(minFrac: Double): String =
+    s"""WITH w AS (
+       |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+       |t AS (SELECT count(*) AS n FROM w WHERE w <> '')
+       |SELECT w, CAST(count(*) AS BIGINT) AS cnt
+       |FROM w CROSS JOIN t
+       |WHERE w <> ''
+       |GROUP BY w, t.n
+       |HAVING count(*) >= ceil(CAST('$minFrac' AS DOUBLE) * t.n)""".stripMargin
+
   /** DuckDB twin of [[tokenEntropy]] (same tokenization, same
     * ln-n − Σc·ln(c)/n form, same rounding). */
   def tokenEntropySql(): String =

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops._
+
+/** PageRank + Misra–Gries heavy hitters: the round-7 graph/text adds. */
+class GraphTextSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.get
+  import spark.implicits._
+
+  // ---- Misra–Gries ----
+
+  test("MisraGriesAgg: guarantee holds under k << distinct (Zipf plant)") {
+    // 2000 arrivals over ~200 distinct items, head items planted heavy
+    val arrivals = (0 until 1000).map(i => s"tail${i % 197}") ++
+      Seq.fill(400)("alpha") ++ Seq.fill(350)("beta") ++ Seq.fill(250)("gamma")
+    val n = arrivals.size
+    val k = 8
+    // shuffle deterministically so heavy items interleave with the tail
+    val df = new scala.util.Random(7).shuffle(arrivals).zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("id", "w")
+      .repartition(4)
+    val mg = df.agg(graft.functions.MisraGriesAgg(col("w"), k)).head()
+      .getMap[String, Long](0)
+    val exact = arrivals.groupBy(identity).map { case (w, xs) => (w, xs.size.toLong) }
+    val bound = n.toDouble / (k + 1)
+    // every item above the miss bound MUST be a candidate
+    for ((w, c) <- exact if c > bound)
+      assert(mg.contains(w), s"heavy item $w (true=$c > bound=$bound) missed")
+    // estimates are conservative: true - n/(k+1) <= est <= true
+    for ((w, est) <- mg) {
+      val t = exact(w)
+      assert(est <= t, s"$w est=$est overshoots true=$t")
+      assert(est >= t - bound, s"$w est=$est below true-bound ${t - bound}")
+    }
+    assert(mg.size <= k)
+  }
+
+  test("heavyHitterWords == exact GROUP BY/HAVING with k << distinct") {
+    val words = Seq.fill(300)("hot") ++ Seq.fill(200)("warm") ++
+      (0 until 500).map(i => s"cold${i % 311}")
+    val shuffled = new scala.util.Random(13).shuffle(words)
+    val docs = shuffled.grouped(25).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text").repartition(4)
+    val k = 8
+    val frac = 0.15 // > 1/9; only "hot" (30%) and "warm" (20%) qualify
+    val got = TextOps.heavyHitterWords(docs, k, frac)
+      .orderBy("w").as[(String, Long)].collect().toSeq
+    assert(got == Seq(("hot", 300L), ("warm", 200L)))
+  }
+
+  test("heavyHitterWords rejects a threshold below the miss bound") {
+    val docs = Seq((0L, "a b c")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      TextOps.heavyHitterWords(docs, k = 9, minFrac = 0.05)
+    }
+    assert(e.getMessage.contains("miss bound"))
+  }
+
+  // ---- PageRank ----
+
+  /** Driver-side reference power iteration (dense, exact same update). */
+  private def refPageRank(edges: Seq[(Long, Long)], iters: Int,
+      d: Double): Map[Long, Double] = {
+    val e = edges.distinct
+    val nodes = e.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    val n = nodes.size
+    val out = e.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    var rank = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val dangling = nodes.filterNot(out.contains).map(rank).sum
+      val contrib = e.groupBy(_._2).view.mapValues(
+        _.map(p => rank(p._1) / out(p._1)).sum).toMap
+      rank = nodes.map(v => v ->
+        ((1.0 - d) / n + d * (contrib.getOrElse(v, 0.0) + dangling / n))).toMap
+    }
+    rank
+  }
+
+  test("pageRank matches a dense reference implementation incl. dangling") {
+    // 1 -> 2 -> 3 (sink), 1 -> 3, 4 -> 1, 3 dangles; plus isolated-ish 5 -> 4
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 1L), (5L, 4L))
+    val got = GraphOps.pageRank(edges.toDF("src", "dst"), iters = 7)
+      .as[(Long, Double)].collect().toMap
+    val want = refPageRank(edges, 7, 0.85)
+    assert(got.keySet == want.keySet)
+    for ((v, r) <- want)
+      assert(math.abs(got(v) - r) < 1e-12, s"node $v: got ${got(v)} want $r")
+    // total mass conserved: teleport + dangling redistribution keep sum 1
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+  }
+
+  test("pageRank: symmetric 2-cycle is uniform at any iteration count") {
+    val got = GraphOps.pageRank(Seq((1L, 2L), (2L, 1L)).toDF("src", "dst"),
+      iters = 3).as[(Long, Double)].collect().toMap
+    assert(math.abs(got(1L) - 0.5) < 1e-15)
+    assert(math.abs(got(2L) - 0.5) < 1e-15)
+  }
+
+  test("pageRank collapses duplicate edges (simple-graph semantics)") {
+    val dup = Seq((1L, 2L), (1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val got = GraphOps.pageRank(dup, iters = 4).as[(Long, Double)].collect().toMap
+    assert(math.abs(got(1L) - 0.5) < 1e-15 && math.abs(got(2L) - 0.5) < 1e-15)
+  }
+}
