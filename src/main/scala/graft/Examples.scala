@@ -355,13 +355,18 @@ object Examples {
     try {
       val t0 = System.nanoTime()
       // phase 1: every user converts at old event times (spread over ~17
-      // min so per-batch sort buffers stay per-user-tiny)
+      // min so per-batch sort buffers stay per-user-tiny). Fed and
+      // PROCESSED in bounded micro-batches — one giant driver-side batch
+      // is both unrealistic and a driver-memory cliff
       val base = 1000000000L
-      in.addData((0 until nUsers).iterator.map(u =>
-        FunnelStream.TypedEvent(u.toLong, base + u.toLong, "view")).toSeq)
-      in.addData((0 until nUsers).iterator.map(u =>
-        FunnelStream.TypedEvent(u.toLong, base + u.toLong + 500L, "click")).toSeq)
-      q.processAllAvailable()
+      val chunk = 250000
+      (0 until nUsers).grouped(chunk).foreach { us =>
+        in.addData(us.iterator.map(u =>
+          FunnelStream.TypedEvent(u.toLong, base + u.toLong, "view")).toSeq)
+        in.addData(us.iterator.map(u =>
+          FunnelStream.TypedEvent(u.toLong, base + u.toLong + 500L, "click")).toSeq)
+        q.processAllAvailable()
+      }
       val peak = stateRows
       // phase 2: only the fixed active set returns, far past retention —
       // the batch's closing watermark passes every phase-1 deadline
