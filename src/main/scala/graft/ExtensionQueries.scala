@@ -169,6 +169,14 @@ object ExtensionQueries {
       BpeOps.tokenize(Tables.documents(s, dir), bpeMerges)
         .orderBy("doc_id", "pos")
     },
+    // Tokenize-and-pack: the frozen tokenizer's ids chopped into
+    // fixed-128 training sequences per (lang, source) shard — the
+    // concat-and-chop artifact LM training consumes, with REAL token
+    // ids (not the n_tok proxy pack_sequences plans with)
+    "bpe_tokenize_pack" -> { (s, dir) =>
+      BpeOps.tokenizeAndPack(Tables.documents(s, dir), bpeMerges,
+        seqLen = 128L).orderBy("lang", "source", "seq_id")
+    },
     // Benchmark decontamination: corpus docs sharing 5-grams with a
     // (demo) eval set = the first 10 docs
     "dedup_contamination" -> { (s, dir) =>
@@ -878,6 +886,9 @@ object ExtensionQueries {
       Map("en" -> 5000L, "zh" -> 1500L, "fr" -> 800L)),
     "bpe_pair_counts" -> BpeOps.pairCountsSql(30),
     "bpe_tokenize" -> BpeOps.tokenizeSql(bpeMerges),
+    "bpe_tokenize_pack" ->
+      (BpeOps.tokenizeAndPackSql(bpeMerges, seqLen = 128L) +
+        "\nORDER BY lang, source, seq_id"),
     "dedup_contamination" -> {
       def sh(src: String) = shingleSql(5, src)
       s"""WITH c AS (${sh("doc_id >= 10")}), e AS (${sh("doc_id < 10")}),

@@ -399,6 +399,85 @@ object BpeOps {
        |ORDER BY doc_id, pos""".stripMargin
   }
 
+  /** Tokenize-and-pack: encode documents with a frozen merge list
+    * ([[tokenize]]) and chop the per-shard token stream into fixed
+    * `seqLen` training sequences — the concat-and-chop shape LM training
+    * actually consumes, emitted as REAL token-id sequences (not the
+    * `n_tok` proxy [[PipelineOps.packSequences]] plans with).
+    *
+    * Within a shard, documents concatenate in `doc_id` order and split
+    * at exact token boundaries: global position = (running sum of prior
+    * docs' token counts) + in-doc pos − 1, sequence = gpos div seqLen,
+    * offset = gpos mod seqLen. Every interior sequence holds exactly
+    * `seqLen` ids; only each shard's last is partial.
+    *
+    * Scale shape: the offsets window runs over the DOC-cardinality
+    * (shard, doc_id, n_tok) relation — never tokens (same rule as
+    * packSequences, and the same shard-granularity caveat: production
+    * adds a finer shard component so one (lang, source) is task-sized).
+    * Token rows move through two equi-exchanges: the doc_id offsets
+    * join and the (shard, seq_id) assembly groupBy — the latter is the
+    * unavoidable materialization of the output artifact itself, and
+    * seq_id granularity keeps it uniformly parallel (no per-shard
+    * reducer holds more than its sequences). Ids are emitted as a
+    * space-joined string so the engine/oracle compare is exact.
+    *
+    * Output: (shardCols..., seq_id, n_docs, n_tokens, token_ids). */
+  def tokenizeAndPack(docs: DataFrame, merges: Seq[(String, String)],
+      seqLen: Long = 128L, shardCols: Seq[String] = Seq("lang", "source"),
+      textCol: String = "text", idCol: String = "doc_id",
+      endMark: String = "</w>"): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    require(shardCols.nonEmpty, "tokenizeAndPack needs >= 1 shard column")
+    val shard = shardCols.map(col)
+    val tok = tokenize(docs, merges, textCol, idCol, endMark)
+    val nTok = tok.groupBy("doc_id").agg(max(col("pos")).as("n_tok"))
+    val w = Window.partitionBy(shard: _*).orderBy("doc_id")
+    val offsets = docs.select(col(idCol).as("doc_id") +: shard: _*)
+      .join(nTok, Seq("doc_id"))
+      .withColumn("start_tok", sum(col("n_tok")).over(w) - col("n_tok"))
+      .select((col("doc_id") +: shard :+ col("start_tok")): _*)
+    tok.join(offsets, Seq("doc_id"))
+      .withColumn("gpos", col("start_tok") + col("pos") - 1)
+      .withColumn("seq_id", expr(s"gpos div ${seqLen}L"))
+      .withColumn("seq_pos", col("gpos") % seqLen)
+      .groupBy((shardCols :+ "seq_id").map(col): _*)
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("seq_pos"), col("token_id")))),
+          x => x.getField("token_id").cast("string")), " ").as("token_ids"))
+  }
+
+  /** DuckDB twin of [[tokenizeAndPack]]: wraps [[tokenizeSql]] as a CTE
+    * and replays the same doc-order running sum, div/mod chop, and
+    * ordered id join (`string_agg ... ORDER BY seq_pos`). Integer
+    * arithmetic end to end — no float divergence possible. */
+  def tokenizeAndPackSql(merges: Seq[(String, String)], seqLen: Long = 128L,
+      endMark: String = "</w>"): String = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    s"""WITH tk AS (
+       |${tokenizeSql(merges, endMark = endMark)}),
+       |nt AS (SELECT doc_id, max(pos) AS n_tok FROM tk GROUP BY 1),
+       |off AS (
+       |  SELECT d.doc_id, d.lang, d.source,
+       |    CAST(sum(nt.n_tok) OVER (PARTITION BY d.lang, d.source
+       |      ORDER BY d.doc_id) AS BIGINT) - nt.n_tok AS start_tok
+       |  FROM documents d JOIN nt USING (doc_id)),
+       |g AS (
+       |  SELECT off.lang, off.source, tk.doc_id,
+       |    (off.start_tok + tk.pos - 1) // $seqLen AS seq_id,
+       |    (off.start_tok + tk.pos - 1) % $seqLen AS seq_pos,
+       |    tk.token_id
+       |  FROM tk JOIN off USING (doc_id))
+       |SELECT lang, source, seq_id,
+       |  count(DISTINCT doc_id) AS n_docs,
+       |  count(*) AS n_tokens,
+       |  string_agg(CAST(token_id AS VARCHAR), ' ' ORDER BY seq_pos)
+       |    AS token_ids
+       |FROM g GROUP BY 1, 2, 3""".stripMargin
+  }
+
   /** DuckDB twin of `pairCounts(wordDict(documents))` top-`k` (by
     * frequency, lexicographic tie-break) — the one-round statistics
     * oracle. `string_split(word, '')` is grapheme-cluster semantics vs

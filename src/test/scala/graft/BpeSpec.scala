@@ -239,6 +239,45 @@ class BpeSpec extends AnyFunSuite {
     assert(toks == expected)
   }
 
+  test("tokenizeAndPack: exact chop — interior seqs full, stream preserved") {
+    // multi-shard corpus: two (lang, source) shards with several docs
+    val docs = Seq(
+      (0L, "low lower newest widest low newest", "en", "web"),
+      (1L, "newest low lowest wide wider", "en", "web"),
+      (2L, "wide wider widest low low", "en", "web"),
+      (3L, "newest newest lowest wider low", "de", "web"),
+      (4L, "low wide lowest widest newest", "de", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val merges = BpeOps.train(docs, 6)
+    val seqLen = 7L
+    val packed = BpeOps.tokenizeAndPack(docs, merges, seqLen = seqLen)
+      .orderBy("lang", "source", "seq_id").collect()
+    val tok = BpeOps.tokenize(docs, merges).orderBy("doc_id", "pos")
+      .select("doc_id", "token_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val shardOf = Map(0L -> "en", 1L -> "en", 2L -> "en",
+      3L -> "de", 4L -> "de")
+    // expected per-shard id stream: docs concatenated in doc_id order
+    val streams = tok.groupBy { case (d, _) => shardOf(d) }
+      .map { case (sh, rows) => sh -> rows.sortBy(_._1).map(_._2).toSeq }
+    for ((sh, ids) <- streams) {
+      val rows = packed.filter(_.getString(0) == sh)
+      // every interior sequence is exactly full; ids re-concatenate to
+      // the shard stream in seq_id order
+      val got = rows.sortBy(_.getLong(2)).flatMap(
+        _.getString(5).split(" ").map(_.toLong)).toSeq
+      assert(got == ids, s"shard=$sh stream mismatch")
+      val sizes = rows.sortBy(_.getLong(2)).map(_.getLong(4))
+      assert(sizes.init.forall(_ == seqLen),
+        s"shard=$sh interior seqs not full: ${sizes.toSeq}")
+      assert(sizes.last == (ids.size - (sizes.size - 1) * seqLen),
+        s"shard=$sh tail size wrong")
+      // n_tokens agrees with the emitted id count per row
+      rows.foreach(r => assert(
+        r.getString(5).split(" ").length.toLong == r.getLong(4)))
+    }
+  }
+
   test("applyMerges rewrites leftmost-first without overlap") {
     val dict = Seq((1L, "aaa")).toDF("doc_id", "text")
     val d0 = BpeOps.wordDict(dict)
