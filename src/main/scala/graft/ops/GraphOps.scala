@@ -28,18 +28,24 @@ object GraphOps {
     *
     * Fixed `iters` — NOT convergence-probed — so the result is a
     * deterministic function of the graph and the oracle can unroll the
-    * same rounds ([[pageRankSql]]). Each round collects ONE scalar (the
-    * dangling mass — same driver-probe budget as the components
-    * fixpoint).
+    * same rounds ([[pageRankSql]]). The dangling mass rides as a ONE-ROW
+    * broadcast aggregate crossed into the rank update (the
+    * broadcast-one-row-totals idiom) — no driver collect inside the
+    * loop; each round is one eager-checkpointed bounded job.
     *
     * 100 TB shape: ranks are one row per node (8+8 bytes), edges are the
     * big relation and move through a single hash exchange per round keyed
     * first on `src` (join) then `dst` (reduce); AQE handles hub skew
     * (a viral page's in-edges are many rows of 16 bytes, salted by the
-    * skew-join rule, not a single hot cell). The degree join is
-    * edge-partitioned, not broadcast — node count at web scale exceeds
-    * broadcast limits. Iteration count is the O(10) constant the power
-    * method needs for ranking stability, not a data-dependent loop. */
+    * skew-join rule, not a single hot cell). The per-round joins are
+    * size-picked: at exhibit scale the planner broadcasts the rank-sized
+    * sides (measured in the captured plan); at web scale — node counts
+    * past broadcast limits — the same plan degrades to shuffled joins on
+    * the checkpointed relations, no hints. Iteration count is the O(10)
+    * constant the power method needs for ranking stability, not a
+    * data-dependent loop. Local-mode cost is dominated by the per-round
+    * planning/scheduling constant (~0.7 s/round at sf0.1 — the
+    * dedup_components job-constant class), not data volume. */
   def pageRank(edges: DataFrame, iters: Int = 8,
       damping: Double = 0.85): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
@@ -60,17 +66,23 @@ object GraphOps {
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
       .localCheckpoint(eager = false)
     for (_ <- 1 to iters) {
-      val dangling = sinks.join(ranks, Seq("node"))
-        .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
+      val dangling = broadcast(sinks.join(ranks, Seq("node"))
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm")))
       val contribs = ew.join(ranks, ew("src") === ranks("node"))
         .groupBy(col("dst"))
         .agg(sum(col("w") * col("rank")).as("c"))
       ranks = nodes.join(contribs, nodes("node") === contribs("dst"), "left")
+        .crossJoin(dangling)
         .select(col("node"),
           (lit((1.0 - damping) / n) +
             lit(damping) * (coalesce(col("c"), lit(0.0)) +
-              lit(dangling / n))).as("rank"))
-        .localCheckpoint(eager = false)
+              col("dm") / lit(n.toDouble))).as("rank"))
+        // EAGER: each round materializes once and the next reads cached
+        // blocks — N rounds = N bounded jobs. A lazy mark here lets the
+        // final action re-derive round k's ranks through every branch
+        // that references it (dangling + contribs + node join): the
+        // recompute tree grows with iters instead of staying linear.
+        .localCheckpoint()
     }
     ranks
   }
