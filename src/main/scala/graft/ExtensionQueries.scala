@@ -357,6 +357,20 @@ object ExtensionQueries {
         .select(col("node"), round(col("rank"), 9).as("rank"))
         .orderBy("node")
     },
+    // Degree distribution THROUGH the histogram engine (cross-module:
+    // graph relation -> IntegerAxis fill; overflow bin catches the hub
+    // tail — the power-law signal a curation pipeline thresholds on)
+    "graph_degree_hist" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val fwd = li.select((col("l_orderkey") * 2).as("src"),
+        (col("l_partkey") * 2 + 1).as("dst"))
+      val rev = li.filter(col("l_partkey") % 3 =!= 0)
+        .select((col("l_partkey") * 2 + 1).as("src"),
+          (col("l_orderkey") * 2).as("dst"))
+      val deg = GraphOps.outDegrees(fwd.unionByName(rev))
+      val spec = HistSpec(Seq(IntegerAxis(1L, 64L)), Int64Storage)
+      Hist.fill(spec, deg, Seq(col("deg"))).orderBy("i0")
+    },
     // Vector analytics: per-label centroid of the embedding column
     // (posexplode -> groupBy (label, dim) -> order-independent quantized
     // mean; raw-double avg over float lanes is summation-order-dependent
@@ -1062,6 +1076,19 @@ object ExtensionQueries {
         |) GROUP BY 1 ORDER BY df DESC, tok ASC LIMIT 25""".stripMargin,
     "text_heavy_hitters" ->
       (TextOps.heavyHitterWordsSql(0.02) + "\nORDER BY w"),
+    "graph_degree_hist" -> {
+      val ax = IntegerAxis(1L, 64L)
+      s"""WITH e AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst
+         |    FROM lineitem
+         |    UNION ALL
+         |    SELECT l_partkey * 2 + 1, l_orderkey * 2
+         |    FROM lineitem WHERE l_partkey % 3 <> 0)),
+         |d AS (SELECT src, count(*) AS deg FROM e GROUP BY 1)
+         |SELECT ${ax.sqlExpr("deg")} AS i0, count(*) AS value
+         |FROM d GROUP BY 1 ORDER BY i0""".stripMargin
+    },
     "graph_pagerank" ->
       (GraphOps.pageRankSql(
         """SELECT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst

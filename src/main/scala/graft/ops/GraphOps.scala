@@ -87,6 +87,17 @@ object GraphOps {
     ranks
   }
 
+  /** Out-degree relation of a simple directed graph — same edge
+    * normalization as [[pageRank]] (cast, duplicate edges collapse).
+    * One distinct + one count aggregate; the degree relation is one row
+    * per non-sink node. Feed it to the histogram engine for the degree
+    * distribution (the power-law curation signal). */
+  def outDegrees(edges: DataFrame): DataFrame =
+    edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .distinct()
+      .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .select(col("src").as("node"), col("deg"))
+
   /** DuckDB twin of [[pageRank]]: the same rounds UNROLLED as CTEs
     * (r0..rN with one dangling-mass CTE per round), over an `e(src, dst)`
     * CTE the caller supplies. Same simple-graph DISTINCT, same

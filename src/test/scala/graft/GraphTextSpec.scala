@@ -106,4 +106,12 @@ class GraphTextSpec extends AnyFunSuite {
     val got = GraphOps.pageRank(dup, iters = 4).as[(Long, Double)].collect().toMap
     assert(math.abs(got(1L) - 0.5) < 1e-15 && math.abs(got(2L) - 0.5) < 1e-15)
   }
+
+  test("outDegrees: duplicate edges collapse, sinks absent, sum = |E|") {
+    val edges = Seq((1L, 2L), (1L, 2L), (1L, 3L), (2L, 3L), (4L, 1L))
+      .toDF("src", "dst")
+    val got = GraphOps.outDegrees(edges).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 1L, 4L -> 1L)) // 3 is a sink
+    assert(got.values.sum == 4L) // distinct edge count
+  }
 }
