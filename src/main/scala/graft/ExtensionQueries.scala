@@ -371,6 +371,20 @@ object ExtensionQueries {
       val spec = HistSpec(Seq(IntegerAxis(1L, 64L)), Int64Storage)
       Hist.fill(spec, deg, Seq(col("deg"))).orderBy("i0")
     },
+    // Incremental-pipeline CDC: classify docs across two snapshots
+    // (synthetic new snapshot: every 11th removed, every 7th edited,
+    // first 20 re-added under new ids). Text reduces to 8-byte hashes
+    // on the scan; the full-outer join ships 16-byte rows only
+    "snapshot_diff" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val newSnap = docs.filter(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      PipelineOps.snapshotDiff(docs, newSnap).orderBy("doc_id")
+    },
     // Vector analytics: per-label centroid of the embedding column
     // (posexplode -> groupBy (label, dim) -> order-independent quantized
     // mean; raw-double avg over float lanes is summation-order-dependent
@@ -1097,6 +1111,15 @@ object ExtensionQueries {
           |SELECT l_partkey * 2 + 1, l_orderkey * 2
           |FROM lineitem WHERE l_partkey % 3 <> 0""".stripMargin,
         iters = 6, damping = 0.85) + "\nORDER BY node"),
+    "snapshot_diff" ->
+      (PipelineOps.snapshotDiffSql(
+        "SELECT doc_id, text FROM documents",
+        """SELECT doc_id,
+          |  CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+          |FROM documents WHERE doc_id % 11 <> 0
+          |UNION ALL
+          |SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 20"""
+          .stripMargin) + "\nORDER BY doc_id"),
     "emb_label_centroids" ->
       s"""SELECT label, CAST(d.dim AS INT) AS dim, count(*) AS n,
          |${SimilarityOps.quantizedMeanSql("embedding[CAST(d.dim AS INT) + 1]")} AS mean_v

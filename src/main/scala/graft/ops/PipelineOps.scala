@@ -198,6 +198,46 @@ object PipelineOps {
       s"ELSE 'test' END)"
   }
 
+  // ---- snapshot diff (incremental-pipeline CDC) --------------------------
+  /** Classify every document across two corpus snapshots as
+    * added / removed / changed / unchanged — the delta an incremental
+    * pipeline feeds downstream (re-tokenize changed docs, retire removed
+    * ids, dedup-check added ones) instead of reprocessing the corpus.
+    *
+    * Scale shape: each snapshot reduces ON THE SCAN to (id, 8-byte
+    * xxhash64 of content) — document text never reaches the exchange;
+    * the full-outer join ships 16-byte rows keyed by id. Hash equality
+    * stands in for content equality (same 2⁻⁶⁴ collision contract as
+    * [[DedupOps.exactDups]]); the oracle compares raw text and agrees
+    * barring a collision. Null content hashes like empty on both sides
+    * (Spark xxhash64 skips null inputs), and the oracle's
+    * IS NOT DISTINCT FROM matches that: null == null → unchanged. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val o = oldSnap.select(col(idCol).as("id"), xxhash64(col(textCol)).as("oh"))
+    val nw = newSnap.select(col(idCol).as("id"), xxhash64(col(textCol)).as("nh"))
+    o.join(nw, Seq("id"), "full_outer")
+      .select(col("id").as(idCol),
+        when(col("oh").isNull, "added")
+          .when(col("nh").isNull, "removed")
+          .when(col("oh") === col("nh"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
+  /** DuckDB twin of [[snapshotDiff]] over caller-supplied snapshot CTE
+    * bodies (each selecting `doc_id, text`). Compares raw text via
+    * IS NOT DISTINCT FROM — equal to the engine's hash compare barring
+    * a 2⁻⁶⁴ collision. */
+  def snapshotDiffSql(oldCte: String, newCte: String): String =
+    s"""WITH o AS ($oldCte),
+       |n AS ($newCte)
+       |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       |  CASE WHEN o.doc_id IS NULL THEN 'added'
+       |       WHEN n.doc_id IS NULL THEN 'removed'
+       |       WHEN o.text IS NOT DISTINCT FROM n.text THEN 'unchanged'
+       |       ELSE 'changed' END AS status
+       |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin
+
   // ---- PII scan / redaction ---------------------------------------------
   // RE2-safe common-subset patterns (no lookaround/backrefs): identical
   // semantics under Java regex (Spark) and RE2 (DuckDB).

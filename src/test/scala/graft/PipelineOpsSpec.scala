@@ -395,4 +395,17 @@ class PipelineOpsSpec extends AnyFunSuite {
     // mass conservation: 90·w_en + 10·w_zh == 100 (to rounding)
     assert(math.abs(90 * flat("en") + 10 * flat("zh") - 100.0) < 1e-3)
   }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged + null text") {
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, null: String),
+      (5L, null: String)).toDF("doc_id", "text")
+    val nw = Seq((2L, "b"), (3L, "C!"), (4L, null: String), (5L, "now"),
+      (6L, "new")).toDF("doc_id", "text")
+    val got = PipelineOps.snapshotDiff(old, nw)
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed",
+      4L -> "unchanged", // null == null, both hash as empty
+      5L -> "changed",   // null -> text
+      6L -> "added"))
+  }
 }
