@@ -342,6 +342,15 @@ object ExtensionQueries {
       TextOps.heavyHitterWords(Tables.documents(s, dir), k = 64,
         minFrac = 0.02).orderBy("w")
     },
+    // Per-day dominant users: the windowed two-pass Misra–Gries monitor
+    // (141 distinct users per window vs k = 64 counters — the sketch
+    // genuinely compresses; output still provably exact)
+    "events_heavy_users" -> { (s, dir) =>
+      val ev = graft.sources.Sources.eventsWithTimestamp(s, dir)
+      TextOps.windowedHeavyHitters(ev, col("ts"), "1 day",
+        col("user_id").cast("string"), k = 64, minFrac = 0.02)
+        .orderBy("window_start", "w")
+    },
     // Link-graph centrality for corpus curation: PageRank (6 fixed
     // power iterations) on a bipartite order<->part graph derived from
     // lineitem; every third part has no out-edges, so the dangling-mass
@@ -1090,6 +1099,9 @@ object ExtensionQueries {
         |) GROUP BY 1 ORDER BY df DESC, tok ASC LIMIT 25""".stripMargin,
     "text_heavy_hitters" ->
       (TextOps.heavyHitterWordsSql(0.02) + "\nORDER BY w"),
+    "events_heavy_users" ->
+      (TextOps.windowedHeavyHittersSql("events", "ts", "1 day",
+        "CAST(user_id AS VARCHAR)", 0.02) + "\nORDER BY window_start, w"),
     "graph_degree_hist" -> {
       val ax = IntegerAxis(1L, 64L)
       s"""WITH e AS (

@@ -204,6 +204,55 @@ object TextOps {
       .filter(col("cnt") >= minCount)
   }
 
+  /** Per-window heavy hitters — [[heavyHitterWords]]' two-pass
+    * candidate/verify pattern grouped by event-time window (the
+    * per-window dominant-key monitor: abusive users, hot query terms,
+    * viral documents). Pass 1 keeps ONE k-counter Misra–Gries summary
+    * plus the exact count per window (state per open window is k cells,
+    * the sketch's point — same bound class as the windowed CMS/hist
+    * fills); pass 2 exact-counts only the per-window candidates via an
+    * equi-join on (window, token) and thresholds on ceil(minFrac·n_w).
+    * The scale-free `minFrac > 1/(k+1)` check makes the per-window MG
+    * guarantee cover EVERY window regardless of its size, so the output
+    * equals the sketch-free per-window GROUP BY/HAVING oracle exactly.
+    * The candidate relation is windows×k rows — orders below the token
+    * stream it prunes. */
+  def windowedHeavyHitters(events: org.apache.spark.sql.DataFrame,
+      tsCol: Column, windowDuration: String, tokenCol: Column, k: Int,
+      minFrac: Double): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    require(minFrac > 1.0 / (k + 1) && minFrac <= 1.0,
+      s"minFrac=$minFrac must exceed the MG miss bound 1/(k+1) = " +
+        s"${1.0 / (k + 1)} or a true heavy hitter could be missed in " +
+        "some window — raise k or minFrac")
+    val wtok = events.select(
+      window(tsCol, windowDuration).as("window"), tokenCol.as("w"))
+    val cand = wtok.groupBy("window")
+      .agg(count(lit(1)).as("n"),
+        graft.functions.MisraGriesAgg(col("w"), k).as("mg"))
+      .select(col("window"), col("n"), explode(map_keys(col("mg"))).as("w"))
+    wtok.join(cand, Seq("window", "w"))
+      .groupBy(col("window"), col("w"), col("n"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= ceil(col("n") * minFrac))
+      .select(col("window.start").cast("long").as("window_start"),
+        col("w"), col("cnt"))
+  }
+
+  /** DuckDB twin of [[windowedHeavyHitters]]: per-window exact
+    * GROUP BY/HAVING with the same time_bucket windowing and
+    * ceil(minFrac·n) threshold. */
+  def windowedHeavyHittersSql(table: String, tsCol: String, interval: String,
+      tokenExpr: String, minFrac: Double): String =
+    s"""WITH w AS (
+       |  SELECT CAST(epoch(time_bucket(INTERVAL '$interval', $tsCol)) AS BIGINT)
+       |    AS window_start, $tokenExpr AS w FROM $table),
+       |t AS (SELECT window_start, count(*) AS n FROM w GROUP BY 1)
+       |SELECT w.window_start, w.w, CAST(count(*) AS BIGINT) AS cnt
+       |FROM w JOIN t USING (window_start)
+       |GROUP BY w.window_start, w.w, t.n
+       |HAVING count(*) >= ceil(CAST('$minFrac' AS DOUBLE) * t.n)""".stripMargin
+
   /** DuckDB twin of [[heavyHitterWords]]: the exact definition the
     * two-pass operator provably equals (same split, same empty-token
     * filter, same ceil(frac·n) threshold). */

@@ -61,6 +61,25 @@ class GraphTextSpec extends AnyFunSuite {
     assert(e.getMessage.contains("miss bound"))
   }
 
+  test("windowedHeavyHitters == exact per-window GROUP BY/HAVING") {
+    // two 1-hour windows; window A plants one dominant user among 300
+    // distinct (>> k = 8), window B has no qualifier at 20%
+    val base = 1700000000L
+    val rows =
+      (0 until 300).map(i => (base + i, s"u$i")) ++        // window A tail
+      Seq.fill(100)((base + 500L, "whale")) ++             // window A heavy
+      (0 until 50).map(i => (base + 3600 + i, s"v${i % 40}")) // window B
+    val df = new scala.util.Random(5).shuffle(rows).toDF("sec", "w")
+      .select(timestamp_seconds(col("sec")).as("ts"), col("w"))
+      .repartition(4)
+    val got = TextOps.windowedHeavyHitters(df, col("ts"), "1 hour",
+      col("w"), k = 8, minFrac = 0.2)
+      .as[(Long, String, Long)].collect().toSet
+    // exact: window A n=400, threshold 80 -> only whale (100); window B
+    // n=50, threshold 10 -> no v-user reaches 10 (each <= 2)
+    assert(got == Set((base - base % 3600, "whale", 100L)))
+  }
+
   // ---- PageRank ----
 
   /** Driver-side reference power iteration (dense, exact same update). */
