@@ -366,6 +366,21 @@ object ExtensionQueries {
         .select(col("node"), round(col("rank"), 9).as("rank"))
         .orderBy("node")
     },
+    // Personalized PageRank: restart into 5 seed part-nodes — mass
+    // concentrates in the seeds' link neighborhood (expand-from-
+    // known-good curation); unreachable nodes stay exactly 0
+    "graph_ppr" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val fwd = li.select((col("l_orderkey") * 2).as("src"),
+        (col("l_partkey") * 2 + 1).as("dst"))
+      val rev = li.filter(col("l_partkey") % 3 =!= 0)
+        .select((col("l_partkey") * 2 + 1).as("src"),
+          (col("l_orderkey") * 2).as("dst"))
+      GraphOps.personalizedPageRank(fwd.unionByName(rev),
+        seeds = Seq(3L, 5L, 7L, 9L, 11L), iters = 6)
+        .select(col("node"), round(col("rank"), 9).as("rank"))
+        .orderBy("node")
+    },
     // Degree distribution THROUGH the histogram engine (cross-module:
     // graph relation -> IntegerAxis fill; overflow bin catches the hub
     // tail — the power-law signal a curation pipeline thresholds on)
@@ -1102,6 +1117,14 @@ object ExtensionQueries {
     "events_heavy_users" ->
       (TextOps.windowedHeavyHittersSql("events", "ts", "1 day",
         "CAST(user_id AS VARCHAR)", 0.02) + "\nORDER BY window_start, w"),
+    "graph_ppr" ->
+      (GraphOps.personalizedPageRankSql(
+        """SELECT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst
+          |FROM lineitem
+          |UNION ALL
+          |SELECT l_partkey * 2 + 1, l_orderkey * 2
+          |FROM lineitem WHERE l_partkey % 3 <> 0""".stripMargin,
+        "3, 5, 7, 9, 11", iters = 6, damping = 0.85) + "\nORDER BY node"),
     "graph_degree_hist" -> {
       val ax = IntegerAxis(1L, 64L)
       s"""WITH e AS (

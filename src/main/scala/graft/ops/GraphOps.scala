@@ -87,6 +87,100 @@ object GraphOps {
     ranks
   }
 
+  /** Personalized PageRank: power iteration whose teleport AND dangling
+    * mass restart into a caller-supplied seed distribution instead of
+    * uniform — the "expand from known-good documents" curation
+    * primitive (Haveliwala 2002 topic-sensitive PageRank). Update:
+    * `r'(v) = (1−d)·s(v) + d·(Σ contrib(v) + dangling·s(v))` with
+    * `s(v) = 1/|S|` on the seed set, 0 elsewhere; init `r = s`.
+    * Mass stays concentrated around the seeds' neighborhoods; nodes
+    * unreachable from S stay at exactly 0.
+    *
+    * Same scale shape, loop structure, and oracle discipline as
+    * [[pageRank]] (fixed rounds, one-row broadcast dangling aggregate,
+    * eager per-round checkpoint). Seeds are a driver-side Seq by
+    * contract — personalization sets are small; the indicator joins in
+    * as a broadcast `isin`. */
+  def personalizedPageRank(edges: DataFrame, seeds: Seq[Long],
+      iters: Int = 8, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(damping > 0 && damping < 1, s"damping in (0,1), got $damping")
+    require(seeds.nonEmpty, "personalizedPageRank needs >= 1 seed")
+    require(seeds.distinct.size == seeds.size, "duplicate seed ids")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .distinct().localCheckpoint(eager = false)
+    val s0 = 1.0 / seeds.size
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+      .withColumn("s",
+        when(col("node").isInCollection(seeds), lit(s0)).otherwise(lit(0.0)))
+      .localCheckpoint(eager = false)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val ew = e.join(deg, Seq("src"))
+      .select(col("src"), col("dst"), (lit(1.0) / col("outdeg")).as("w"))
+      .localCheckpoint(eager = false)
+    val sinks = nodes.select("node").join(
+      deg.select(col("src").as("node")), Seq("node"), "left_anti")
+      .localCheckpoint(eager = false)
+    var ranks = nodes.select(col("node"), col("s").as("rank"))
+      .localCheckpoint(eager = false)
+    for (_ <- 1 to iters) {
+      val dangling = broadcast(sinks.join(ranks, Seq("node"))
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm")))
+      val contribs = ew.join(ranks, ew("src") === ranks("node"))
+        .groupBy(col("dst"))
+        .agg(sum(col("w") * col("rank")).as("c"))
+      ranks = nodes.join(contribs, nodes("node") === contribs("dst"), "left")
+        .crossJoin(dangling)
+        .select(col("node"),
+          (lit(1.0 - damping) * col("s") +
+            lit(damping) * (coalesce(col("c"), lit(0.0)) +
+              col("dm") * col("s"))).as("rank"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
+  /** DuckDB twin of [[personalizedPageRank]]: [[pageRankSql]]'s unrolled
+    * rounds with the uniform teleport replaced by the seed indicator
+    * (`seedsSql` = comma-separated literal ids). Identical float
+    * operation order to the engine: `(1−d)·s + d·(c + dm·s)`. */
+  def personalizedPageRankSql(edgesCte: String, seedsSql: String,
+      iters: Int, damping: Double): String = {
+    val d = s"CAST('$damping' AS DOUBLE)"
+    val rounds = (1 to iters).map { i =>
+      val p = s"r${i - 1}"
+      s"""dm$i AS (
+         |  SELECT COALESCE(sum(rank), 0.0) AS m FROM $p
+         |  WHERE node NOT IN (SELECT src FROM deg)),
+         |r$i AS (
+         |  SELECT nodes.node, nodes.s,
+         |    (1.0 - $d) * nodes.s + $d * (COALESCE(c.s2, 0.0) + dm$i.m * nodes.s)
+         |      AS rank
+         |  FROM nodes
+         |  CROSS JOIN dm$i
+         |  LEFT JOIN (
+         |    SELECT ew.dst, sum(ew.w * $p.rank) AS s2
+         |    FROM ew JOIN $p ON ew.src = $p.node GROUP BY ew.dst) c
+         |    ON nodes.node = c.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT DISTINCT src, dst FROM ($edgesCte)),
+       |ns AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |sc AS (SELECT CAST(1.0 AS DOUBLE) / count(*) AS s0
+       |       FROM (SELECT DISTINCT x FROM (SELECT unnest([$seedsSql]) AS x))),
+       |nodes AS (
+       |  SELECT node, CASE WHEN node IN ($seedsSql) THEN sc.s0
+       |               ELSE 0.0 END AS s
+       |  FROM ns CROSS JOIN sc),
+       |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+       |ew AS (
+       |  SELECT e.src, e.dst, 1.0 / deg.outdeg AS w
+       |  FROM e JOIN deg ON e.src = deg.src),
+       |r0 AS (SELECT node, s, s AS rank FROM nodes),
+       |$rounds
+       |SELECT node, round(rank, 9) AS rank FROM r$iters""".stripMargin
+  }
+
   /** Out-degree relation of a simple directed graph — same edge
     * normalization as [[pageRank]] (cast, duplicate edges collapse).
     * One distinct + one count aggregate; the degree relation is one row

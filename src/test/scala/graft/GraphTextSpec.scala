@@ -126,6 +126,31 @@ class GraphTextSpec extends AnyFunSuite {
     assert(math.abs(got(1L) - 0.5) < 1e-15 && math.abs(got(2L) - 0.5) < 1e-15)
   }
 
+  test("personalizedPageRank: seed restart, unreachable nodes exactly 0") {
+    // 1 -> 2 -> 3 (sink); 4 -> 5 in a separate component, unreachable
+    // from seed 1; dangling node 3 restarts into the seed
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L))
+    val iters = 6
+    val d = 0.85
+    val got = GraphOps.personalizedPageRank(edges.toDF("src", "dst"),
+      seeds = Seq(1L), iters = iters).as[(Long, Double)].collect().toMap
+    // dense reference with the same update
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L)
+    val out = Map(1L -> Seq(2L), 2L -> Seq(3L), 4L -> Seq(5L))
+    val s = Map(1L -> 1.0, 2L -> 0.0, 3L -> 0.0, 4L -> 0.0, 5L -> 0.0)
+    var rank = s
+    for (_ <- 1 to iters) {
+      val dangling = nodes.filter(v => !out.contains(v)).map(rank).sum
+      val contrib = nodes.map(v => v -> out.filter(_._2.contains(v))
+        .map { case (u, os) => rank(u) / os.size }.sum).toMap
+      rank = nodes.map(v => v ->
+        ((1.0 - d) * s(v) + d * (contrib(v) + dangling * s(v)))).toMap
+    }
+    for ((v, r) <- rank)
+      assert(math.abs(got(v) - r) < 1e-12, s"node $v: got ${got(v)} want $r")
+    assert(got(4L) == 0.0 && got(5L) == 0.0) // exactly, not approximately
+  }
+
   test("outDegrees: duplicate edges collapse, sinks absent, sum = |E|") {
     val edges = Seq((1L, 2L), (1L, 2L), (1L, 3L), (2L, 3L), (4L, 1L))
       .toDF("src", "dst")
