@@ -395,6 +395,18 @@ object ExtensionQueries {
       val spec = HistSpec(Seq(IntegerAxis(1L, 64L)), Int64Storage)
       Hist.fill(spec, deg, Seq(col("deg"))).orderBy("i0")
     },
+    // Percentile-rank scoring through the histogram CDF: every doc's
+    // length percentile WITHOUT a global sort (one fill aggregate, a
+    // bin-count-sized CDF, a broadcast bin join) — how a 100 TB corpus
+    // thresholds "drop the shortest 10%"
+    "docs_length_percentile" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val spec = HistSpec(Seq(IntegerAxis(0L, 600L)), Int64Storage)
+      val h = Hist.fill(spec, docs, Seq(col("n_chars")))
+      HistAlgebra.percentileRank(spec, h, docs, col("n_chars"))
+        .select(col("doc_id"), round(col("pct"), 9).as("pct"))
+        .orderBy("doc_id")
+    },
     // Incremental-pipeline CDC: classify docs across two snapshots
     // (synthetic new snapshot: every 11th removed, every 7th edited,
     // first 20 re-added under new ids). Text reduces to 8-byte hashes
@@ -1146,6 +1158,21 @@ object ExtensionQueries {
           |SELECT l_partkey * 2 + 1, l_orderkey * 2
           |FROM lineitem WHERE l_partkey % 3 <> 0""".stripMargin,
         iters = 6, damping = 0.85) + "\nORDER BY node"),
+    "docs_length_percentile" -> {
+      val ax = IntegerAxis(0L, 600L)
+      s"""WITH h AS (
+         |  SELECT ${ax.sqlExpr("n_chars")} AS i0, count(*) AS value
+         |  FROM documents GROUP BY 1),
+         |cum AS (
+         |  SELECT i0,
+         |    COALESCE(sum(value) OVER (ORDER BY i0
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+         |    sum(value) OVER () AS n FROM h)
+         |SELECT d.doc_id, round(cum.cb / cum.n, 9) AS pct
+         |FROM (SELECT doc_id, ${ax.sqlExpr("n_chars")} AS i0
+         |      FROM documents) d
+         |JOIN cum USING (i0) ORDER BY doc_id""".stripMargin
+    },
     "snapshot_diff" ->
       (PipelineOps.snapshotDiffSql(
         "SELECT doc_id, text FROM documents",

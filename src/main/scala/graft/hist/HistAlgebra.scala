@@ -345,6 +345,38 @@ object HistAlgebra {
        |FROM cum JOIN ed USING (i0) JOIN qs ON q * n > cb AND q * n <= cb + c""".stripMargin
   }
 
+  /** Per-row percentile rank from a filled 1-D histogram: each row of
+    * `df` gets `pct = (mass in strictly lower bins) / total` — the
+    * binned CDF evaluated at the row's bin. The scale point: percentile
+    * scoring/thresholding of a 100 TB corpus WITHOUT a global sort — the
+    * CDF is a bin-count-sized relation derived from one fill aggregate,
+    * and scoring is a narrow join on the bin index (broadcast-sized by
+    * construction). Ties within a bin share a percentile (resolution =
+    * bin width), the trade every binned rank makes.
+    *
+    * `df` must be the relation the histogram was filled from (every
+    * row's bin exists in `h`); `v` is the same value expression. */
+  def percentileRank(spec: HistSpec, h: DataFrame, df: DataFrame,
+      v: Column): DataFrame = {
+    require(spec.ndim == 1, "percentileRank supports 1-D histograms")
+    require(h.columns.contains("value"),
+      s"percentileRank needs a count-like 'value' column (storage " +
+        s"${spec.storage} carries moment sums — project or finalize first)")
+    val wb = org.apache.spark.sql.expressions.Window.orderBy(col("i0"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wa = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val cdf = h.select(col("i0"),
+      coalesce(sum(col("value")).over(wb), lit(0L)).as("__cb"),
+      sum(col("value")).over(wa.orderBy(col("i0"))).as("__n"))
+    df.withColumn("__i0", spec.axes.head.binCol(v))
+      .join(broadcast(cdf), col("__i0") === cdf("i0"))
+      .drop("i0").drop("__i0")
+      .withColumn("pct", col("__cb") / col("__n"))
+      .drop("__cb", "__n")
+  }
+
   /** Cumulative histogram along a 1-D axis (the CDF view): running sum of
     * `value` in bin-index order, flow included. A window over a
     * bin-count-sized relation — NOT over data. */

@@ -571,4 +571,21 @@ class HistCoreSpec extends AnyFunSuite {
     val dres = HistResult.collect(dspec, Hist.fill(dspec, df, Seq(col("x"))))
     intercept[IllegalArgumentException](dres.denseLong("value"))
   }
+
+  test("percentileRank: binned CDF rank — exact fractions, ties share") {
+    // values: 10 x1, 20 x3, 30 x6 over unit bins -> pct = cb/total
+    val vals = Seq.fill(1)(10L) ++ Seq.fill(3)(20L) ++ Seq.fill(6)(30L)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v").repartition(3)
+    val spec = HistSpec(Seq(IntegerAxis(0L, 40L)), Int64Storage)
+    val h = Hist.fill(spec, df, Seq(col("v")))
+    val got = HistAlgebra.percentileRank(spec, h, df, col("v"))
+      .select("v", "pct").distinct().as[(Long, Double)].collect().toMap
+    assert(got == Map(10L -> 0.0, 20L -> 0.1, 30L -> 0.4))
+    // storage guard: moment storages are refused
+    val mspec = HistSpec(Seq(IntegerAxis(0L, 40L)), MeanStorage)
+    val mh = Hist.fill(mspec, df, Seq(col("v")), sample = Some(col("v")))
+    intercept[IllegalArgumentException](
+      HistAlgebra.percentileRank(mspec, mh, df, col("v")))
+  }
 }
