@@ -231,7 +231,11 @@ object TextOps {
       .agg(count(lit(1)).as("n"),
         graft.functions.MisraGriesAgg(col("w"), k).as("mg"))
       .select(col("window"), col("n"), explode(map_keys(col("mg"))).as("w"))
-    wtok.join(cand, Seq("window", "w"))
+    // candidates are windows×k rows by construction — broadcast them so
+    // the token stream is pruned map-side at any corpus scale (without
+    // the hint the planner sees unknown post-aggregate stats and may
+    // broadcast the STREAM side instead, which only works at toy scale)
+    wtok.join(broadcast(cand), Seq("window", "w"))
       .groupBy(col("window"), col("w"), col("n"))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= ceil(col("n") * minFrac))
