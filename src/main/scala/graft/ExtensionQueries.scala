@@ -279,6 +279,16 @@ object ExtensionQueries {
         pqIndexFor(s, dir), annK, nprobe = ivfProbe)
         .orderBy("query_id", "rank")
     },
+    // Scalar quantization (SQ8): per-dimension affine 8-bit levels from
+    // corpus-trained [min,max] ranges; search is an exact integer dot
+    // product over code levels — no float comparison anywhere in the
+    // ranking, so scores AND order hash-match the oracle
+    "ann_sq_topk" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      SimilarityOps.sqTopK(emb.filter(col("vec_id") < 10), emb, dim = annDim,
+        k = annK)
+        .orderBy("query_id", "rank")
+    },
     // ---- text analysis --------------------------------------------------
     "text_stats" -> { (s, dir) =>
       Tables.documents(s, dir).select(
@@ -995,6 +1005,8 @@ object ExtensionQueries {
     "ann_ivf_topk" -> ivfTopkOracleSql(),
     "ann_pq_topk" -> pqTopkOracleSql(),
     "ann_ivfpq_topk" -> ivfPqTopkOracleSql(),
+    "ann_sq_topk" ->
+      (SimilarityOps.sqTopKSql(annDim, annK) + "\nORDER BY query_id, rank"),
     "dedup_semantic" -> semanticDedupOracleSql(semDedupCos),
     "pack_sequences" ->
       (PipelineOps.packSequencesSql(packBudget) + " ORDER BY lang, source, seq_id"),

@@ -741,4 +741,111 @@ object SimilarityOps {
       .withColumn("adc", pqAdc(m, k))
     pqRank(scored, topK)
   }
+
+  // ---- scalar quantization (SQ8) ----------------------------------------
+  // The FAISS ScalarQuantizer shape (Jégou et al.'s engineering sibling to
+  // PQ): each dimension is independently affine-mapped to an 8-bit level
+  // with per-dimension [min, max] trained from the corpus. Codes are
+  // dim bytes instead of dim*4 float bytes (4x compression at full
+  // dimensionality — PQ compresses harder but coarser), and search is an
+  // exact *integer* dot product over code levels, so scoring is
+  // deterministic Long arithmetic and the DuckDB oracle replays it
+  // bit-for-bit. 100 TB shape: the range vector is a 2·dim-double sidecar
+  // (trained once, rides with the index like PQ books); encoding is one
+  // narrow corpus pass; search is broadcast-queries x codes with the same
+  // two-phase WindowGroupLimit top-k as every other ANN path here.
+
+  /** Per-dimension [min, max] over the corpus — ONE aggregate scan with
+    * 2·dim agg expressions (no posexplode shuffle of n·dim rows); result
+    * is a driver-sized sidecar (16 bytes/dim), the trained-offline
+    * artifact at scale. */
+  def sqRanges(corpus: DataFrame, dim: Int): Array[(Double, Double)] = {
+    val aggs = (1 to dim).flatMap { i =>
+      val v = element_at(col("embedding"), i).cast("double")
+      Seq(min(v).as(s"m$i"), max(v).as(s"x$i"))
+    }
+    val row = corpus.agg(aggs.head, aggs.tail: _*).collect()(0)
+    Array.tabulate(dim)(i => (row.getDouble(2 * i), row.getDouble(2 * i + 1)))
+  }
+
+  /** level = clamp(floor((v − min) · 255 / (max − min)), 0, 255); a
+    * degenerate dimension (max == min) encodes 0. Double math in the
+    * exact literal shape the oracle mirrors, so levels are identical. */
+  private def sqCode(v: Column, lo: Double, hi: Double): Column =
+    if (hi > lo)
+      least(lit(255L), greatest(lit(0L),
+        floor((v.cast("double") - lit(lo)) * lit(255.0) / lit(hi - lo))
+          .cast("long")))
+    else lit(0L)
+
+  /** Encode vectors to `codes: array<long>` of 0..255 levels (one narrow
+    * pass; at rest these are byte-packable — the 4x figure). */
+  def sqEncode(df: DataFrame, ranges: Array[(Double, Double)],
+      idAlias: String = "vec_id"): DataFrame =
+    df.select(col("vec_id").as(idAlias),
+      array(ranges.indices.map { i =>
+        sqCode(element_at(col("embedding"), i + 1), ranges(i)._1, ranges(i)._2)
+      }: _*).as("codes"))
+
+  /** SQ8 top-k: exact integer squared-L2 distance between code levels
+    * (the ScalarQuantizer analog of PQ's ADC — scoring on the quantized
+    * grid, here at full dimensionality). Queries broadcast against the
+    * encoded corpus (corpus codes never shuffle); per-query top-k via
+    * the rank-window that Spark rewrites to a two-phase
+    * WindowGroupLimit. Distance ties break on neighbor id, so ordering
+    * is engine-portable with no float comparison anywhere in the rank. */
+  def sqTopK(queries: DataFrame, corpus: DataFrame, dim: Int, k: Int,
+      ranges: Option[Array[(Double, Double)]] = None): DataFrame = {
+    val r = ranges.getOrElse(sqRanges(corpus, dim))
+    require(r.length == dim, s"ranges length ${r.length} != dim $dim")
+    val q = sqEncode(queries, r, "query_id")
+      .withColumnRenamed("codes", "qcodes")
+    val c = sqEncode(spread(corpus), r, "neighbor_id")
+    val dist = (1 to dim).map { i =>
+      val d = element_at(col("qcodes"), i) - element_at(col("codes"), i)
+      d * d
+    }.reduce(_ + _)
+    val scored = broadcast(q)
+      .join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("dist", dist)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dist").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "dist", "rank")
+  }
+
+  /** DuckDB twin of [[sqTopK]]: ranges CTE (same min/max over
+    * CAST-to-double), same clamp/floor level math, same integer L2 and
+    * (dist ASC, id ASC) rank. */
+  def sqTopKSql(dim: Int, k: Int,
+      queryWhere: String = "q.vec_id < 10"): String = {
+    val rangeAggs = (1 to dim).map(i =>
+      s"min(CAST(embedding[$i] AS DOUBLE)) AS m$i, " +
+        s"max(CAST(embedding[$i] AS DOUBLE)) AS x$i").mkString(",\n    ")
+    val codeExprs = (1 to dim).map(i =>
+      s"""CASE WHEN r.x$i > r.m$i THEN LEAST(255, GREATEST(0,
+         |      CAST(floor((CAST(embedding[$i] AS DOUBLE) - r.m$i) * 255.0
+         |        / (r.x$i - r.m$i)) AS BIGINT))) ELSE 0 END AS c$i"""
+        .stripMargin).mkString(",\n    ")
+    val distExpr = (1 to dim).map(i =>
+      s"(q.c$i - c.c$i) * (q.c$i - c.c$i)").mkString(" + ")
+    s"""WITH r AS (
+       |  SELECT $rangeAggs
+       |  FROM embeddings),
+       |codes AS (
+       |  SELECT vec_id,
+       |    $codeExprs
+       |  FROM embeddings CROSS JOIN r),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    $distExpr AS dist
+       |  FROM codes q JOIN codes c ON q.vec_id <> c.vec_id
+       |  WHERE $queryWhere),
+       |ranked AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY dist ASC, neighbor_id ASC) AS INT) AS rank FROM scored)
+       |SELECT query_id, neighbor_id, dist, rank FROM ranked
+       |WHERE rank <= $k""".stripMargin
+  }
 }
