@@ -90,6 +90,13 @@ object ExtensionQueries {
       DedupOps.jaccardNearDupStats(Tables.documents(s, dir),
         ops.DfCap.Capped(jaccardMaxDf), jaccardK, jaccardThresh).orderBy("doc_id")
     },
+    // EXACT all-pairs similarity join (AllPairs/PPJoin prefix filter):
+    // the oracle runs the UNPRUNED full token join, so a hash match
+    // certifies the prefix+size pruning is lossless
+    "dedup_jaccard_join" -> { (s, dir) =>
+      DedupOps.jaccardJoin(Tables.documents(s, dir), tau = 0.9)
+        .orderBy("doc_a", "doc_b")
+    },
     // MinHash LSH: per-doc candidate count (deterministic seeded hash
     // family; engine-specific xxhash64 → rows-only check)
     "dedup_minhash_candidates" -> { (s, dir) =>
@@ -914,6 +921,8 @@ object ExtensionQueries {
     "dedup_exact_salted" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "dedup_jaccard_join" ->
+      (DedupOps.jaccardJoinSql(0.9) + "\nORDER BY doc_a, doc_b"),
     "dedup_jaccard_stats" -> {
       s"""WITH sh AS (${shingleSql(jaccardK)}),
          |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),

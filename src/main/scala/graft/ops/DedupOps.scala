@@ -237,6 +237,98 @@ object DedupOps {
         coalesce(col("max_j"), lit(0.0)).as("max_j"))
   }
 
+  /** EXACT all-pairs token-set similarity join: every (doc_a < doc_b)
+    * pair with Jaccard(tokens(a), tokens(b)) >= tau — no LSH, no false
+    * negatives — via the AllPairs/PPJoin prefix filter (Bayardo et al.
+    * WWW'07; Xiao et al. WWW'08 Lemma 1).
+    *
+    * Principle: order every document's tokens by ONE global order
+    * (document frequency ascending — rarest first — with the token
+    * string as tie-break). J(A,B) >= tau implies |A∩B| >= ceil(tau·|A|),
+    * so by pigeonhole the first |A| − ceil(tau·|A|) + 1 tokens of A must
+    * contain a shared token; with both sides cut to that prefix, the
+    * shared-global-order lemma keeps the guarantee. Candidates are an
+    * equi-join on PREFIX tokens only, then a size filter
+    * (tau·|A| <= |B| <= |A|/tau), then exact intersection counting
+    * verifies — so pruning can only drop pairs the threshold already
+    * excludes. The DuckDB oracle computes the UNPRUNED full token join;
+    * a hash match certifies the filter lost nothing.
+    *
+    * 100 TB shape: the quadratic term lives only on prefix tokens, which
+    * are each document's RAREST — on a Zipfian vocabulary the prefix df
+    * distribution is the flat tail, so the Σdf² blowup of the naive
+    * token join never materializes (the df ordering is precisely what
+    * makes AllPairs scale; here the ordering is consistent because df
+    * comes from one corpus-wide aggregate, reusing the token-key
+    * exchange for the join back). Verification cost is Σ_cand |A| — a
+    * candidate-linear expansion of token lists, not a shuffle of text.
+    * Per-doc ranking windows partition on doc_id: bounded by document
+    * length, unskewable. */
+  def jaccardJoin(df: DataFrame, tau: Double, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau in (0,1], got $tau")
+    import org.apache.spark.sql.expressions.Window
+    val tok = spread(df)
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("tok"))
+      .distinct()
+    val dfreq = tok.groupBy("tok").agg(count(lit(1)).as("__df"))
+    val wRank = Window.partitionBy("doc_id").orderBy(col("__df").asc, col("tok").asc)
+    val wSize = Window.partitionBy("doc_id")
+    val ordered = tok.join(dfreq, Seq("tok"))
+      .withColumn("rnk", row_number().over(wRank))
+      .withColumn("size", count(lit(1)).over(wSize))
+    // epsilon guard: pruning bounds only ever LENGTHEN the prefix /
+    // WIDEN the size band under float rounding (extra candidates are
+    // verified away; the final threshold below is exact), so the filter
+    // is lossless for ANY tau, not just ones whose products hit exact
+    // doubles
+    val eps = 1e-9
+    val prefix = ordered
+      .filter(col("rnk") <=
+        col("size") - ceil(lit(tau) * col("size") - lit(eps)) + 1)
+    val pa = prefix.select(col("doc_id").as("doc_a"), col("tok"),
+      col("size").as("size_a"))
+    val pb = prefix.select(col("doc_id").as("doc_b"), col("tok"),
+      col("size").as("size_b"))
+    val cand = pa.join(pb, Seq("tok"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(lit(tau) * col("size_a") - lit(eps) <= col("size_b") &&
+        lit(tau) * col("size_b") - lit(eps) <= col("size_a"))
+      .select("doc_a", "doc_b", "size_a", "size_b").distinct()
+    val ta = tok.select(col("doc_id").as("doc_a"), col("tok"))
+    val tb = tok.select(col("doc_id").as("doc_b"), col("tok"))
+    val inter = cand.join(ta, Seq("doc_a")).join(tb, Seq("doc_b", "tok"))
+      .groupBy("doc_a", "doc_b", "size_a", "size_b")
+      .agg(count(lit(1)).as("inter"))
+    val jac = col("inter").cast("double") /
+      (col("size_a") + col("size_b") - col("inter"))
+    inter.withColumn("__jac", jac)
+      .filter(col("__jac") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        col("size_a"), col("size_b"), round(col("__jac"), 6).as("jaccard"))
+  }
+
+  /** DuckDB twin of [[jaccardJoin]] — deliberately UNPRUNED (full token
+    * equi-join), so the hash match proves the prefix filter is lossless. */
+  def jaccardJoinSql(tau: Double): String =
+    s"""WITH tok AS (
+       |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |sz AS (SELECT doc_id, count(*) AS size FROM tok GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |j AS (
+       |  SELECT doc_a, doc_b, inter, sa.size AS size_a, sb.size AS size_b,
+       |    CAST(inter AS DOUBLE) / (sa.size + sb.size - inter) AS jac
+       |  FROM inter
+       |  JOIN sz sa ON doc_a = sa.doc_id
+       |  JOIN sz sb ON doc_b = sb.doc_id)
+       |SELECT doc_a, doc_b, inter, size_a, size_b,
+       |  round(jac, 6) AS jaccard
+       |FROM j WHERE jac >= $tau""".stripMargin
+
   /** Substring-level duplication metrics (the Lee et al. 2022
     * "Deduplicating Training Data Makes Language Models Better" family,
     * at shingle granularity): for each document, what fraction of its

@@ -429,6 +429,37 @@ class OpsSpec extends AnyFunSuite {
     // structure; probing half the cells must beat random subset baseline
   }
 
+  test("jaccardJoin: prefix filter lossless vs unpruned join; boundary pair kept") {
+    import spark.implicits._
+    // boundary construction: B = first 18 tokens of A's 20 => B ⊂ A,
+    // J = 18/20 = 0.9 exactly — must survive at tau = 0.9
+    val aToks = (1 to 20).map(i => s"w$i")
+    val planted = Seq(
+      (9001L, aToks.mkString(" ")),
+      (9002L, aToks.take(18).mkString(" "))).toDF("doc_id", "text")
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text").unionByName(planted)
+    val tau = 0.9
+    val got = DedupOps.jaccardJoin(docs, tau).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((9001L, 9002L)), "exact-boundary J=0.9 pair dropped")
+    // unpruned reference join computed directly in Spark
+    val tok = docs.select($"doc_id",
+      explode(split($"text", " ")).as("tok")).distinct()
+    val sz = tok.groupBy("doc_id").agg(count(lit(1)).as("size"))
+    val brute = tok.select($"doc_id".as("doc_a"), $"tok")
+      .join(tok.select($"doc_id".as("doc_b"), $"tok"), Seq("tok"))
+      .filter($"doc_a" < $"doc_b")
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      .join(sz.select($"doc_id".as("doc_a"), $"size".as("sa")), Seq("doc_a"))
+      .join(sz.select($"doc_id".as("doc_b"), $"size".as("sb")), Seq("doc_b"))
+      .filter($"inter".cast("double") / ($"sa" + $"sb" - $"inter") >= tau)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute,
+      s"prefix filter changed the result: missing=${brute -- got} extra=${got -- brute}")
+  }
+
   test("SQ8: planted duplicate at dist 0 ranks first; codes bounded; L2 recall") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
