@@ -398,6 +398,17 @@ object ExtensionQueries {
         .select(col("node"), round(col("rank"), 9).as("rank"))
         .orderBy("node")
     },
+    // Per-node exact triangle counts on the part co-purchase graph
+    // (parts sharing an order), via degree-ordered orientation — the
+    // O(sqrt(m)) out-degree bound that makes wedge counting survive hubs
+    "graph_triangles" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val e = li.join(li.select(col("o"), col("p").as("p2")), Seq("o"))
+        .filter(col("p") < col("p2"))
+        .select(col("p").as("a"), col("p2").as("b"))
+      GraphOps.triangleCounts(e).orderBy("node")
+    },
     // Degree distribution THROUGH the histogram engine (cross-module:
     // graph relation -> IntegerAxis fill; overflow bin catches the hub
     // tail — the power-law signal a curation pipeline thresholds on)
@@ -1158,6 +1169,14 @@ object ExtensionQueries {
           |SELECT l_partkey * 2 + 1, l_orderkey * 2
           |FROM lineitem WHERE l_partkey % 3 <> 0""".stripMargin,
         "3, 5, 7, 9, 11", iters = 6, damping = 0.85) + "\nORDER BY node"),
+    "graph_triangles" ->
+      (GraphOps.triangleCountsSql(
+        """SELECT a.p AS a, b.p AS b
+          |FROM (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+          |      FROM lineitem) a
+          |JOIN (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+          |      FROM lineitem) b
+          |  ON a.o = b.o AND a.p < b.p""".stripMargin) + "\nORDER BY node"),
     "graph_degree_hist" -> {
       val ax = IntegerAxis(1L, 64L)
       s"""WITH e AS (

@@ -228,4 +228,88 @@ object GraphOps {
        |$rounds
        |SELECT node, round(rank, 9) AS rank FROM r$iters""".stripMargin
   }
+
+  /** Per-node EXACT triangle counts over an undirected edge list
+    * (`a`, `b` long columns; canonicalized and deduped here), via
+    * degree-ordered orientation (the Schank–Wagner / Suri–Vassilvitskii
+    * "node-iterator++" shape that MapReduce triangle counting uses).
+    *
+    * Each undirected edge is directed from the smaller endpoint under
+    * the total order (degree, id); wedges are enumerated only at their
+    * lowest-ordered apex and only with ordered arms (v ≺ w carries the
+    * arm-degree alongside, so the wedge self-join emits each candidate
+    * once); a wedge closes iff its (v, w) arm exists in the oriented
+    * relation — an equi-join, never a membership broadcast. Every
+    * triangle {x ≺ y ≺ z} is found exactly once, as the wedge at x.
+    *
+    * 100 TB shape: the wedge volume is Σ_v outdeg(v)², and degree
+    * orientation bounds outdeg by O(√m) — the hub that breaks naive
+    * wedge counting (a 10⁶-degree celebrity → 10¹² wedges) gets
+    * out-degree √m because ALL its edges point away from it under the
+    * degree order. Everything is equi-joins on node keys (AQE-saltable);
+    * the closing join keys on the (v, w) pair — uniform by
+    * construction. The oriented relation is checkpoint-pinned once and
+    * reused by both wedge arms and the closing probe. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val e = edges.select(
+        least(col("a").cast("long"), col("b").cast("long")).as("a"),
+        greatest(col("a").cast("long"), col("b").cast("long")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = e.select(col("a").as("n")).unionByName(e.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val wd = e
+      .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
+    val aFirst = (col("da") < col("db")) ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val ord = wd.select(
+        when(aFirst, col("a")).otherwise(col("b")).as("src"),
+        when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+        when(aFirst, col("db")).otherwise(col("da")).as("dd"))
+      .localCheckpoint(eager = false)
+    val p1 = ord.select(col("src").as("u"), col("dst").as("v"), col("dd").as("dv"))
+    val p2 = ord.select(col("src").as("u"), col("dst").as("w"), col("dd").as("dw"))
+    val wedges = p1.join(p2, Seq("u"))
+      .filter((col("dv") < col("dw")) ||
+        (col("dv") === col("dw") && col("v") < col("w")))
+    val tri = wedges.join(ord.select(col("src").as("v"), col("dst").as("w")),
+      Seq("v", "w"))
+    tri.select(col("u").as("node"))
+      .unionByName(tri.select(col("v").as("node")))
+      .unionByName(tri.select(col("w").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** DuckDB twin of [[triangleCounts]] over an `edgesCte` producing
+    * undirected (a, b) rows: same canonicalization, same (degree, id)
+    * orientation and ordered-wedge enumeration. */
+  def triangleCountsSql(edgesCte: String): String =
+    s"""WITH e0 AS ($edgesCte),
+       |e AS (
+       |  SELECT DISTINCT LEAST(a, b) AS a, GREATEST(a, b) AS b
+       |  FROM e0 WHERE a <> b),
+       |deg AS (
+       |  SELECT n, count(*) AS d FROM (
+       |    SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e) GROUP BY 1),
+       |ord AS (
+       |  SELECT
+       |    CASE WHEN (da.d < db.d) OR (da.d = db.d AND e.a < e.b)
+       |      THEN e.a ELSE e.b END AS src,
+       |    CASE WHEN (da.d < db.d) OR (da.d = db.d AND e.a < e.b)
+       |      THEN e.b ELSE e.a END AS dst,
+       |    CASE WHEN (da.d < db.d) OR (da.d = db.d AND e.a < e.b)
+       |      THEN db.d ELSE da.d END AS dd
+       |  FROM e JOIN deg da ON e.a = da.n JOIN deg db ON e.b = db.n),
+       |tri AS (
+       |  SELECT p1.u, p1.v, p2.w
+       |  FROM (SELECT src AS u, dst AS v, dd AS dv FROM ord) p1
+       |  JOIN (SELECT src AS u, dst AS w, dd AS dw FROM ord) p2
+       |    ON p1.u = p2.u
+       |    AND ((p1.dv < p2.dw) OR (p1.dv = p2.dw AND p1.v < p2.w))
+       |  JOIN ord e3 ON e3.src = p1.v AND e3.dst = p2.w),
+       |nodes AS (
+       |  SELECT u AS node FROM tri
+       |  UNION ALL SELECT v FROM tri UNION ALL SELECT w FROM tri)
+       |SELECT node, count(*) AS n_tri FROM nodes GROUP BY 1""".stripMargin
 }

@@ -158,4 +158,25 @@ class GraphTextSpec extends AnyFunSuite {
     assert(got == Map(1L -> 2L, 2L -> 1L, 4L -> 1L)) // 3 is a sink
     assert(got.values.sum == 4L) // distinct edge count
   }
+
+  test("triangleCounts: K4 + pendant, duplicates/reversals collapse") {
+    // K4 on {1,2,3,4} has C(4,3)=4 triangles, each node in exactly 3;
+    // pendant node 5 attached to 1 joins none. Feed duplicates and
+    // reversed copies to exercise canonicalization.
+    val k4 = for {
+      a <- 1L to 4L; b <- 1L to 4L if a < b
+    } yield (a, b)
+    val edges = (k4 ++ k4.map(_.swap) ++ Seq((1L, 5L), (5L, 1L), (1L, 1L)))
+      .toDF("a", "b")
+    val got = GraphOps.triangleCounts(edges).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got $got")
+    // every triangle contributes 3 node-increments: total = 3 * 4
+    assert(got.values.sum == 12L)
+  }
+
+  test("triangleCounts: triangle-free bipartite graph is empty") {
+    val edges = (for (l <- 1L to 3L; r <- 11L to 13L) yield (l, r))
+      .toDF("a", "b")
+    assert(GraphOps.triangleCounts(edges).count() == 0L)
+  }
 }
