@@ -398,6 +398,13 @@ object ExtensionQueries {
         .select(col("node"), round(col("rank"), 9).as("rank"))
         .orderBy("node")
     },
+    // Entity resolution: all customer-name pairs at edit distance 1 via
+    // the FastSS deletion-signature equi-join; the oracle runs the
+    // unpruned quadratic levenshtein join — hash match = no false negs
+    "text_fuzzy_join" -> { (s, dir) =>
+      val names = Tables.customer(s, dir).select(col("c_name").as("s")).distinct()
+      TextOps.fuzzyPairs(names).orderBy("s_a", "s_b")
+    },
     // Per-node exact triangle counts on the part co-purchase graph
     // (parts sharing an order), via degree-ordered orientation — the
     // O(sqrt(m)) out-degree bound that makes wedge counting survive hubs
@@ -1169,6 +1176,9 @@ object ExtensionQueries {
           |SELECT l_partkey * 2 + 1, l_orderkey * 2
           |FROM lineitem WHERE l_partkey % 3 <> 0""".stripMargin,
         "3, 5, 7, 9, 11", iters = 6, damping = 0.85) + "\nORDER BY node"),
+    "text_fuzzy_join" ->
+      (TextOps.fuzzyPairsSql("SELECT DISTINCT c_name AS s FROM customer") +
+        "\nORDER BY s_a, s_b"),
     "graph_triangles" ->
       (GraphOps.triangleCountsSql(
         """SELECT a.p AS a, b.p AS b

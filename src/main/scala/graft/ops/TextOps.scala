@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -269,6 +269,56 @@ object TextOps {
        |WHERE w <> ''
        |GROUP BY w, t.n
        |HAVING count(*) >= ceil(CAST('$minFrac' AS DOUBLE) * t.n)""".stripMargin
+
+  /** The FastSS deletion neighborhood of a string as a distinct array:
+    * the string itself plus every single-character deletion. Two
+    * DISTINCT strings are within Levenshtein distance 1 iff their
+    * neighborhoods intersect-with-verification: a substitution at
+    * position i means both share the delete-at-i string; an
+    * insertion/deletion means one IS a deletion of the other (hence the
+    * identity entry). Sharing alone over-generates (e.g. "ab"/"ba"
+    * share {"a","b"} at distance 2), which is why [[fuzzyPairs]]
+    * re-verifies with the exact DP distance. */
+  def deletionSigs(s: Column): Column = {
+    val dels = transform(sequence(lit(1), length(s)),
+      i => concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s))))
+    array_distinct(when(length(s) === 0, array(s))
+      .otherwise(concat(array(s), dels)))
+  }
+
+  /** EXACT all-pairs Levenshtein-distance-1 join over a string relation
+    * (record linkage / near-identical-ID detection — the entity
+    * resolution primitive): every (s_a < s_b) pair at edit distance
+    * exactly 1, found via a deletion-signature equi-join (Bocek et al.
+    * 2007 FastSS), never a cartesian product.
+    *
+    * 100 TB shape: the input is vocabulary-sized by construction (the
+    * caller dedups to distinct strings — Zipf makes that the tiny
+    * relation); signatures blow it up by only (len+1)x; candidates meet
+    * on an equi-join over signature strings, so the quadratic term is
+    * confined to same-signature families (IDs sharing all-but-one
+    * character), and verification is candidate-linear. No broadcast of
+    * either side is required — both sides shuffle on the signature key. */
+  def fuzzyPairs(strs: DataFrame, strCol: String = "s"): DataFrame = {
+    val sigs = strs.select(col(strCol).as("s"))
+      .select(col("s"), explode(deletionSigs(col("s"))).as("sig"))
+    val cand = sigs.select(col("s").as("s_a"), col("sig"))
+      .join(sigs.select(col("s").as("s_b"), col("sig")), Seq("sig"))
+      .filter(col("s_a") < col("s_b"))
+      .select("s_a", "s_b").distinct()
+    cand.withColumn("dist", levenshtein(col("s_a"), col("s_b")))
+      .filter(col("dist") <= 1)
+  }
+
+  /** DuckDB twin of [[fuzzyPairs]] — deliberately the UNPRUNED
+    * quadratic join, so a hash match certifies the signature join has
+    * no false negatives. */
+  def fuzzyPairsSql(strsCte: String): String =
+    s"""WITH v AS ($strsCte)
+       |SELECT a.s AS s_a, b.s AS s_b,
+       |  CAST(levenshtein(a.s, b.s) AS INT) AS dist
+       |FROM v a JOIN v b
+       |  ON a.s < b.s AND levenshtein(a.s, b.s) <= 1""".stripMargin
 
   /** DuckDB twin of [[tokenEntropy]] (same tokenization, same
     * ln-n − Σc·ln(c)/n form, same rounding). */

@@ -174,6 +174,31 @@ class GraphTextSpec extends AnyFunSuite {
     assert(got.values.sum == 12L)
   }
 
+  test("fuzzyPairs: FastSS candidates verified; equals unpruned join") {
+    // sub ("cat"/"cab"), delete ("cat"/"at"), insert ("cat"/"cart"),
+    // transposition trap ("ab"/"ba" share deletion sigs but dist 2),
+    // far pair ("dog"), empty string (dist 1 to "a")
+    val strs = Seq("cat", "cab", "at", "cart", "ab", "ba", "dog", "a", "")
+      .toDF("s")
+    val got = TextOps.fuzzyPairs(strs).select("s_a", "s_b").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // reference: brute-force DP over all pairs
+    val all = Seq("cat", "cab", "at", "cart", "ab", "ba", "dog", "a", "")
+    def lev(x: String, y: String): Int = {
+      val d = Array.tabulate(x.length + 1, y.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to x.length; j <- 1 to y.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (x(i - 1) == y(j - 1)) 0 else 1))
+      d(x.length)(y.length)
+    }
+    val brute = (for {
+      x <- all; y <- all if x < y && lev(x, y) <= 1
+    } yield (x, y)).toSet
+    assert(got == brute, s"missing=${brute -- got} extra=${got -- brute}")
+    assert(!got.contains(("ab", "ba")), "transposition must be rejected")
+  }
+
   test("triangleCounts: triangle-free bipartite graph is empty") {
     val edges = (for (l <- 1L to 3L; r <- 11L to 13L) yield (l, r))
       .toDF("a", "b")
