@@ -15,6 +15,16 @@ object ExtensionQueries {
 
   private val annK = 5
   private val nearDupCos = 0.9
+  // static lineitem schema for the profile_table oracle emitter (the
+  // oracle map is built without a session; the engine reads the real
+  // schema from parquet — identical by construction, spec-checked)
+  private val lineitemSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "l_orderkey BIGINT, l_partkey BIGINT, l_suppkey BIGINT, " +
+      "l_linenumber INT, l_quantity DOUBLE, l_extendedprice DOUBLE, " +
+      "l_discount DOUBLE, l_tax DOUBLE, l_returnflag STRING, " +
+      "l_linestatus STRING, l_shipdate TIMESTAMP")
+  // exposed for the schema-drift guard in OpsSpec
+  private[graft] def lineitemSchemaForTest = lineitemSchema
   // ANN pipeline shape — shared by the Spark queries and the DuckDB
   // oracles (plane/centroid matrices are seeded + integer-quantized, so
   // signature bits and cell assignments are bit-exact on both engines)
@@ -397,6 +407,13 @@ object ExtensionQueries {
         seeds = Seq(3L, 5L, 7L, 9L, 11L), iters = 6)
         .select(col("node"), round(col("rank"), 9).as("rank"))
         .orderBy("node")
+    },
+    // Single-scan profiling: every column's nulls/ndv/extrema/mean in
+    // ONE FileScan (plan-asserted); the oracle scans per-column — the
+    // engine must not. Exact-distinct mode for the oracle; HLL mode is
+    // the 100 TB default (no Expand)
+    "profile_table" -> { (s, dir) =>
+      ProfileOps.profile(Tables.lineitem(s, dir)).orderBy("col_name")
     },
     // Entity resolution: all customer-name pairs at edit distance 1 via
     // the FastSS deletion-signature equi-join; the oracle runs the
@@ -1176,6 +1193,9 @@ object ExtensionQueries {
           |SELECT l_partkey * 2 + 1, l_orderkey * 2
           |FROM lineitem WHERE l_partkey % 3 <> 0""".stripMargin,
         "3, 5, 7, 9, 11", iters = 6, damping = 0.85) + "\nORDER BY node"),
+    "profile_table" ->
+      (ProfileOps.profileSql("lineitem", lineitemSchema) +
+        "\nORDER BY col_name"),
     "text_fuzzy_join" ->
       (TextOps.fuzzyPairsSql("SELECT DISTINCT c_name AS s FROM customer") +
         "\nORDER BY s_a, s_b"),

@@ -1,0 +1,131 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Single-scan data profiling: per-column null counts, exact distinct
+  * cardinality, min/max, and an order-independent mean — the first query
+  * every pipeline runs against a new 100 TB corpus snapshot, and the one
+  * that's catastrophically wrong to run as C separate scans.
+  *
+  * Scale design:
+  *  - ONE pass: all per-column aggregates go into a single `agg(...)`,
+  *    so the plan has exactly ONE FileScan regardless of column count
+  *    (plan-asserted in the spec). The exact-distinct aggregates add one
+  *    Expand of xC over the scan — the classic exact-profiling trade;
+  *    `approxDistinct = true` swaps in HLL `approx_count_distinct`,
+  *    removing the Expand entirely (no per-column row multiplication) —
+  *    that is the default you'd run at 100 TB, exact is the
+  *    oracle-checkable parity mode.
+  *  - Means are computed as DECIMAL(38,6) sums divided driver-side —
+  *    decimal summation is associative and order-independent, so the
+  *    result is bit-identical across partitionings and engines (the
+  *    double-summation-order flake class that quantizedMean exists for).
+  *  - Output is long-form (one row per column) via `inline` over the
+  *    single aggregated row — reshaping is free, no second scan.
+  */
+object ProfileOps {
+
+  private def isNum(dt: DataType): Boolean = dt match {
+    case _: NumericType => true
+    case _ => false
+  }
+
+  /** Long-form profile of every column in `df`:
+    * (col_name, n_nonnull, n_nulls, n_distinct, min_d, max_d, avg_d,
+    * min_s, max_s, min_ts, max_ts) with type-inapplicable slots NULL.
+    * Numeric min/max/avg are double (avg rounded 6dp from the exact
+    * decimal sum); string and timestamp extrema keep their own types. */
+  def profile(df: DataFrame, approxDistinct: Boolean = false): DataFrame = {
+    val fields = df.schema.fields.toSeq
+    def aggsFor(f: StructField): Seq[Column] = {
+      val c = col(f.name); val n = f.name
+      val base = Seq(
+        count(c).as(s"${n}__nn"),
+        (count(lit(1)) - count(c)).as(s"${n}__nulls"),
+        (if (approxDistinct) approx_count_distinct(c)
+         else count_distinct(c)).as(s"${n}__nd"))
+      val num =
+        if (isNum(f.dataType)) Seq(
+          min(c.cast("double")).as(s"${n}__min_d"),
+          max(c.cast("double")).as(s"${n}__max_d"),
+          sum(c.cast(DecimalType(38, 6))).as(s"${n}__sum_dec"))
+        else Nil
+      val other = f.dataType match {
+        case StringType =>
+          Seq(min(c).as(s"${n}__min_s"), max(c).as(s"${n}__max_s"))
+        // parquet ms/us timestamps surface as NTZ in Spark 4; normalize
+        // extrema to the session timestamp type (UTC session — the same
+        // wall-clock instant the DuckDB oracle reads)
+        case TimestampType | TimestampNTZType =>
+          Seq(min(c).cast("timestamp").as(s"${n}__min_ts"),
+            max(c).cast("timestamp").as(s"${n}__max_ts"))
+        case _ => Nil
+      }
+      base ++ num ++ other
+    }
+    val aggs = fields.flatMap(aggsFor)
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val nullD = lit(null).cast("double")
+    val nullS = lit(null).cast("string")
+    val nullT = lit(null).cast("timestamp")
+    val rows = fields.map { f =>
+      val n = f.name
+      struct(
+        lit(n).as("col_name"),
+        col(s"${n}__nn").as("n_nonnull"),
+        col(s"${n}__nulls").as("n_nulls"),
+        col(s"${n}__nd").cast("long").as("n_distinct"),
+        (if (isNum(f.dataType)) col(s"${n}__min_d") else nullD).as("min_d"),
+        (if (isNum(f.dataType)) col(s"${n}__max_d") else nullD).as("max_d"),
+        (if (isNum(f.dataType))
+           round(col(s"${n}__sum_dec").cast("double") / col(s"${n}__nn"), 6)
+         else nullD).as("avg_d"),
+        (f.dataType match {
+          case StringType => col(s"${n}__min_s"); case _ => nullS
+        }).as("min_s"),
+        (f.dataType match {
+          case StringType => col(s"${n}__max_s"); case _ => nullS
+        }).as("max_s"),
+        (f.dataType match {
+          case TimestampType | TimestampNTZType => col(s"${n}__min_ts")
+          case _ => nullT
+        }).as("min_ts"),
+        (f.dataType match {
+          case TimestampType | TimestampNTZType => col(s"${n}__max_ts")
+          case _ => nullT
+        }).as("max_ts"))
+    }
+    wide.select(inline(array(rows: _*)))
+  }
+
+  /** DuckDB twin of [[profile]] (exact mode): one UNION ALL branch per
+    * column — the oracle may scan C times; the ENGINE must not. Same
+    * decimal-sum mean, same typed NULL slots. */
+  def profileSql(table: String, schema: StructType): String =
+    schema.fields.map { f =>
+      val n = f.name
+      val (minD, maxD, avgD) =
+        if (isNum(f.dataType))
+          (s"CAST(min($n) AS DOUBLE)", s"CAST(max($n) AS DOUBLE)",
+            s"round(CAST(sum(CAST($n AS DECIMAL(38,6))) AS DOUBLE) / count($n), 6)")
+        else ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
+          "CAST(NULL AS DOUBLE)")
+      val (minS, maxS) = f.dataType match {
+        case StringType => (s"min($n)", s"max($n)")
+        case _ => ("CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+      }
+      val (minT, maxT) = f.dataType match {
+        case TimestampType => (s"min($n)", s"max($n)")
+        case _ => ("CAST(NULL AS TIMESTAMP)", "CAST(NULL AS TIMESTAMP)")
+      }
+      s"""SELECT '$n' AS col_name, count($n) AS n_nonnull,
+         |  count(*) - count($n) AS n_nulls,
+         |  count(DISTINCT $n) AS n_distinct,
+         |  $minD AS min_d, $maxD AS max_d, $avgD AS avg_d,
+         |  $minS AS min_s, $maxS AS max_s,
+         |  $minT AS min_ts, $maxT AS max_ts
+         |FROM $table""".stripMargin
+    }.mkString("\nUNION ALL\n")
+}

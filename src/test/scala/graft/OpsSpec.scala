@@ -429,6 +429,43 @@ class OpsSpec extends AnyFunSuite {
     // structure; probing half the cells must beat random subset baseline
   }
 
+  test("profile: one FileScan for all columns; values exact; schema match") {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val prof = ProfileOps.profile(li)
+    // THE scale property: C columns profiled, exactly ONE scan
+    val plan = prof.queryExecution.executedPlan.toString
+    val nScans = "Scan parquet".r.findAllIn(plan).size
+    assert(nScans == 1, s"profile must be a single scan, plan has $nScans")
+    val rows = prof.collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == li.schema.fields.map(_.name).toSet)
+    val n = li.count()
+    val ok = rows("l_orderkey")
+    assert(ok.getLong(1) == n && ok.getLong(2) == 0L)
+    assert(ok.getLong(3) == li.select("l_orderkey").distinct().count())
+    assert(ok.getDouble(4) == li.agg(min($"l_orderkey")).collect()(0).getLong(0).toDouble)
+    // string & timestamp slots populated only where applicable
+    assert(rows("l_returnflag").isNullAt(4) && !rows("l_returnflag").isNullAt(7))
+    assert(rows("l_shipdate").isNullAt(7) && !rows("l_shipdate").isNullAt(9))
+    // the engine schema the static oracle schema must keep matching
+    // (NTZ and LTZ timestamps are the same profiling kind)
+    def kind(dt: org.apache.spark.sql.types.DataType): String = dt match {
+      case org.apache.spark.sql.types.TimestampNTZType => "timestamp"
+      case other => other.simpleString
+    }
+    assert(graft.ExtensionQueries.lineitemSchemaForTest.fields.map(f =>
+      (f.name, kind(f.dataType))).toSeq ==
+      li.schema.fields.map(f => (f.name, kind(f.dataType))).toSeq,
+      "static oracle schema drifted from the parquet schema")
+    // approx mode: no Expand in the plan, ndv within HLL tolerance
+    val approx = ProfileOps.profile(li, approxDistinct = true)
+    assert(!approx.queryExecution.executedPlan.toString.contains("Expand"),
+      "approx profile must not expand rows")
+    val apOk = approx.collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val exact = ok.getLong(3).toDouble
+    assert(math.abs(apOk("l_orderkey") - exact) / exact < 0.1)
+  }
+
   test("jaccardJoin: prefix filter lossless vs unpruned join; boundary pair kept") {
     import spark.implicits._
     // boundary construction: B = first 18 tokens of A's 20 => B ⊂ A,
