@@ -25,6 +25,23 @@ object ExtensionQueries {
       "l_linestatus STRING, l_shipdate TIMESTAMP")
   // exposed for the schema-drift guard in OpsSpec
   private[graft] def lineitemSchemaForTest = lineitemSchema
+
+  // undirected part co-purchase graph (parts sharing an order) — the
+  // edge relation behind graph_triangles / graph_kcore
+  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    li.join(li.select(col("o"), col("p").as("p2")), Seq("o"))
+      .filter(col("p") < col("p2"))
+      .select(col("p").as("a"), col("p2").as("b"))
+  }
+  private val coPurchaseEdgesSql =
+    """SELECT a.p AS a, b.p AS b
+      |FROM (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+      |      FROM lineitem) a
+      |JOIN (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+      |      FROM lineitem) b
+      |  ON a.o = b.o AND a.p < b.p""".stripMargin
   // ANN pipeline shape — shared by the Spark queries and the DuckDB
   // oracles (plane/centroid matrices are seeded + integer-quantized, so
   // signature bits and cell assignments are bit-exact on both engines)
@@ -408,6 +425,12 @@ object ExtensionQueries {
         .select(col("node"), round(col("rank"), 9).as("rank"))
         .orderBy("node")
     },
+    // Collocation mining: document-level PMI for token pairs — the
+    // per-doc self-join bounds pair generation by doc length, never df²
+    "text_pmi" -> { (s, dir) =>
+      TextOps.pmiPairs(Tables.documents(s, dir), minCount = 5L)
+        .orderBy("tok_a", "tok_b")
+    },
     // Single-scan profiling: every column's nulls/ndv/extrema/mean in
     // ONE FileScan (plan-asserted); the oracle scans per-column — the
     // engine must not. Exact-distinct mode for the oracle; HLL mode is
@@ -426,12 +449,12 @@ object ExtensionQueries {
     // (parts sharing an order), via degree-ordered orientation — the
     // O(sqrt(m)) out-degree bound that makes wedge counting survive hubs
     "graph_triangles" -> { (s, dir) =>
-      val li = Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val e = li.join(li.select(col("o"), col("p").as("p2")), Seq("o"))
-        .filter(col("p") < col("p2"))
-        .select(col("p").as("a"), col("p2").as("b"))
-      GraphOps.triangleCounts(e).orderBy("node")
+      GraphOps.triangleCounts(coPurchaseEdges(s, dir)).orderBy("node")
+    },
+    // 64-core of the co-purchase graph: iterative degree peeling to the
+    // unique fixpoint (the "dense interaction core" curation signal)
+    "graph_kcore" -> { (s, dir) =>
+      GraphOps.kCore(coPurchaseEdges(s, dir), k = 64).orderBy("node")
     },
     // Degree distribution THROUGH the histogram engine (cross-module:
     // graph relation -> IntegerAxis fill; overflow bin catches the hub
@@ -1193,6 +1216,8 @@ object ExtensionQueries {
           |SELECT l_partkey * 2 + 1, l_orderkey * 2
           |FROM lineitem WHERE l_partkey % 3 <> 0""".stripMargin,
         "3, 5, 7, 9, 11", iters = 6, damping = 0.85) + "\nORDER BY node"),
+    "text_pmi" ->
+      (TextOps.pmiPairsSql(5L) + "\nORDER BY tok_a, tok_b"),
     "profile_table" ->
       (ProfileOps.profileSql("lineitem", lineitemSchema) +
         "\nORDER BY col_name"),
@@ -1200,13 +1225,10 @@ object ExtensionQueries {
       (TextOps.fuzzyPairsSql("SELECT DISTINCT c_name AS s FROM customer") +
         "\nORDER BY s_a, s_b"),
     "graph_triangles" ->
-      (GraphOps.triangleCountsSql(
-        """SELECT a.p AS a, b.p AS b
-          |FROM (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
-          |      FROM lineitem) a
-          |JOIN (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
-          |      FROM lineitem) b
-          |  ON a.o = b.o AND a.p < b.p""".stripMargin) + "\nORDER BY node"),
+      (GraphOps.triangleCountsSql(coPurchaseEdgesSql) + "\nORDER BY node"),
+    "graph_kcore" ->
+      (GraphOps.kCoreSql(coPurchaseEdgesSql, k = 64, rounds = 6) +
+        "\nORDER BY node"),
     "graph_degree_hist" -> {
       val ax = IntegerAxis(1L, 64L)
       s"""WITH e AS (

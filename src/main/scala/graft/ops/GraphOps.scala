@@ -281,6 +281,82 @@ object GraphOps {
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
   }
 
+  /** The k-core of an undirected graph: the maximal subgraph where every
+    * node has degree >= k, by iterative degree peeling (Batagelj–Zaversnik
+    * shape, relational form). Returns (node, deg) — each survivor with
+    * its degree INSIDE the core.
+    *
+    * The fixpoint is unique (order of peeling never matters), so the
+    * result is deterministic and the oracle can reach the same set by
+    * unrolling rounds ([[kCoreSql]]; extra rounds past convergence are
+    * no-ops because peeling is monotone).
+    *
+    * 100 TB shape: one degree aggregate + two anti-joins per round, all
+    * keyed on node ids (AQE-saltable); the edge relation only ever
+    * SHRINKS, and each round is an eager localCheckpoint so N rounds are
+    * N bounded jobs on cached blocks, not a growing mega-plan (the
+    * connectedComponents discipline). Round count is bounded by the
+    * peel depth, O(sqrt(m)) worst case but single-digit on real degree
+    * distributions; non-convergence inside `maxIter` fails loudly
+    * rather than returning a non-core. */
+  def kCore(edges: DataFrame, k: Int, maxIter: Int = 50): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val e0 = edges.select(
+        least(col("a").cast("long"), col("b").cast("long")).as("a"),
+        greatest(col("a").cast("long"), col("b").cast("long")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    var cur = e0.localCheckpoint()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      it += 1
+      val deg = cur.select(col("a").as("n")).unionByName(cur.select(col("b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      val bad = deg.filter(col("d") < k).select("n")
+      if (bad.isEmpty) converged = true
+      else {
+        cur = cur
+          .join(bad.select(col("n").as("a")), Seq("a"), "left_anti")
+          .join(bad.select(col("n").as("b")), Seq("b"), "left_anti")
+          .select("a", "b")
+          .localCheckpoint()
+      }
+    }
+    require(converged, s"kCore did not converge within $maxIter rounds")
+    cur.select(col("a").as("node")).unionByName(cur.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+  }
+
+  /** DuckDB twin of [[kCore]]: `rounds` peel rounds unrolled as CTEs
+    * (idempotent once converged — choose `rounds` >= the observed peel
+    * depth; the engine fails loudly if ITS fixpoint needs more). Every
+    * round CTE is MATERIALIZED: each round references its predecessor
+    * several times, and default CTE inlining would expand the reference
+    * tree exponentially — thousands of re-opens of the base parquet. */
+  def kCoreSql(edgesCte: String, k: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      val p = s"e${i - 1}"
+      s"""bad$i AS MATERIALIZED (
+         |  SELECT n FROM (
+         |    SELECT n, count(*) AS d FROM (
+         |      SELECT a AS n FROM $p UNION ALL SELECT b FROM $p) GROUP BY 1)
+         |  WHERE d < $k),
+         |e$i AS MATERIALIZED (
+         |  SELECT a, b FROM $p
+         |  WHERE a NOT IN (SELECT n FROM bad$i)
+         |    AND b NOT IN (SELECT n FROM bad$i))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e00 AS ($edgesCte),
+       |e0 AS MATERIALIZED (
+       |  SELECT DISTINCT LEAST(a, b) AS a, GREATEST(a, b) AS b
+       |  FROM e00 WHERE a <> b),
+       |$steps
+       |SELECT node, count(*) AS deg FROM (
+       |  SELECT a AS node FROM e$rounds
+       |  UNION ALL SELECT b FROM e$rounds) GROUP BY 1""".stripMargin
+  }
+
   /** DuckDB twin of [[triangleCounts]] over an `edgesCte` producing
     * undirected (a, b) rows: same canonicalization, same (degree, id)
     * orientation and ordered-wedge enumeration. */

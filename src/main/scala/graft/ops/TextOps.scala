@@ -320,6 +320,59 @@ object TextOps {
        |FROM v a JOIN v b
        |  ON a.s < b.s AND levenshtein(a.s, b.s) <= 1""".stripMargin
 
+  /** Pointwise mutual information over document-level token
+    * co-occurrence (Church & Hanks 1990): for token pairs appearing
+    * together in >= `minCount` documents,
+    * `pmi = ln(n_docs · c_ab / (c_a · c_b))` — the collocation /
+    * topic-coherence signal pipelines threshold on.
+    *
+    * 100 TB shape: co-occurrence pairs are generated by a per-DOCUMENT
+    * self-join on doc_id — bounded by (tokens per doc)², never by
+    * corpus-wide df² (the viral-token blowup lives in c_a·c_b, which is
+    * just two counters here). The df relation is vocabulary-sized
+    * (Zipf-small, broadcastable); the corpus total rides as the one-row
+    * broadcast aggregate. All counts are exact integers; the single
+    * double division + ln is rounded identically on both engines. */
+  def pmiPairs(docs: DataFrame, minCount: Long = 5L,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val tok = docs
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("tok"))
+      .distinct()
+    val n = docs.agg(count(lit(1)).as("n"))
+    val dfreq = tok.groupBy("tok").agg(count(lit(1)).as("c"))
+    val co = tok.select(col("doc_id"), col("tok").as("tok_a"))
+      .join(tok.select(col("doc_id"), col("tok").as("tok_b")), Seq("doc_id"))
+      .filter(col("tok_a") < col("tok_b"))
+      .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    co.crossJoin(broadcast(n))
+      .join(broadcast(dfreq.select(col("tok").as("tok_a"), col("c").as("c_a"))),
+        Seq("tok_a"))
+      .join(broadcast(dfreq.select(col("tok").as("tok_b"), col("c").as("c_b"))),
+        Seq("tok_b"))
+      .select(col("tok_a"), col("tok_b"), col("c_ab"),
+        round(log((col("n") * col("c_ab")).cast("double") /
+          (col("c_a") * col("c_b"))), 6).as("pmi"))
+  }
+
+  /** DuckDB twin of [[pmiPairs]]: same distinct doc-token relation, same
+    * exact integer counts, same single division + ln + 6dp round. */
+  def pmiPairsSql(minCount: Long): String =
+    s"""WITH tok AS (
+       |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |nd AS (SELECT count(*) AS n FROM documents),
+       |df AS (SELECT tok, count(*) AS c FROM tok GROUP BY 1),
+       |co AS (
+       |  SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS c_ab
+       |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.tok < b.tok
+       |  GROUP BY 1, 2 HAVING count(*) >= $minCount)
+       |SELECT tok_a, tok_b, c_ab,
+       |  round(ln(CAST(nd.n * c_ab AS DOUBLE) / (da.c * db.c)), 6) AS pmi
+       |FROM co CROSS JOIN nd
+       |JOIN df da ON tok_a = da.tok
+       |JOIN df db ON tok_b = db.tok""".stripMargin
+
   /** DuckDB twin of [[tokenEntropy]] (same tokenization, same
     * ln-n − Σc·ln(c)/n form, same rounding). */
   def tokenEntropySql(): String =

@@ -204,4 +204,36 @@ class GraphTextSpec extends AnyFunSuite {
       .toDF("a", "b")
     assert(GraphOps.triangleCounts(edges).count() == 0L)
   }
+
+  test("pmiPairs: hand-computed PMI; duplicate tokens in a doc count once") {
+    // 4 docs: (x y) (x y) (x z) (w w) — "w w" checks per-doc distinct.
+    // c_x=3 c_y=2 c_z=1 c_w=1; c_xy=2 c_xz=1; n=4
+    // pmi(x,y) = ln(4*2/(3*2)) = ln(4/3); pmi(x,z) = ln(4/3)
+    val docs = Seq((1L, "x y"), (2L, "x y"), (3L, "x z"), (4L, "w w"))
+      .toDF("doc_id", "text")
+    val got = TextOps.pmiPairs(docs, minCount = 1L).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    val expPmi = BigDecimal(math.log(4.0 / 3.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.keySet == Set(("x", "y"), ("x", "z")), s"got $got")
+    assert(got(("x", "y")) == ((2L, expPmi)))
+    assert(got(("x", "z")) == ((1L, expPmi)))
+  }
+
+  test("kCore: chain cascades to empty; clique+tail peels to the clique") {
+    // path 1-2-3-4-5 at k=2: endpoints peel, then the cascade eats the
+    // whole chain — multi-round fixpoint, not a single filter
+    val chain = (1L to 4L).map(i => (i, i + 1)).toDF("a", "b")
+    assert(GraphOps.kCore(chain, k = 2).count() == 0L)
+    // K4 {1..4} plus tail 4-5-6: tail peels in 2 rounds, K4 survives
+    // with in-core degree 3
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    val got = GraphOps.kCore((k4 ++ Seq((4L, 5L), (5L, 6L))).toDF("a", "b"),
+      k = 2).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got $got")
+    // cycle is its own 2-core (already converged: zero peel rounds)
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("a", "b")
+    assert(GraphOps.kCore(cyc, k = 2).count() == 3L)
+  }
 }
