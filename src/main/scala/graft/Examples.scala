@@ -76,6 +76,26 @@ object Examples {
       spark.stop()
       return
     }
+    if (args.headOption.contains("soak-simjoin")) {
+      // exact-similarity-join soak: `runMain graft.Examples soak-simjoin
+      // 100000,1000000` — planted near-dups (every 4th doc); candidate
+      // volume must stay ~linear in docs (the prefix filter's whole
+      // point), recall of planted pairs exactly n/4
+      args.lift(1).getOrElse("100000,1000000").split(",").map(_.trim.toLong)
+        .foreach(n => simjoinSoak(spark, n))
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("soak-triangles")) {
+      // triangle-count soak: `runMain graft.Examples soak-triangles
+      // 100000,1000000` — a planted hub (degree n/20) must NOT appear as
+      // a wedge apex: oriented out-degree stays near sqrt(m) while the
+      // raw hub degree grows linearly
+      args.lift(1).getOrElse("100000,1000000").split(",").map(_.trim.toLong)
+        .foreach(n => triangleSoak(spark, n))
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("bpe-approx")) {
       // approximate-mode exhibit: `runMain graft.Examples bpe-approx
       // 4096 64` — merges/round on a production-shaped corpus (the
@@ -203,6 +223,50 @@ object Examples {
         ((0 until 12).map(i => hex(xxhash64(col("base") + lit(i.toLong << 40))))
           :+ when(col("doc_id") % 4 === 3, lit("variant")).otherwise(lit("orig"))): _*))
       .drop("base")
+  }
+
+  /** Exact-similarity-join soak on the planted near-dup corpus: every
+    * 4th doc is its predecessor with one word changed (token Jaccard
+    * 12/14 ≈ 0.857 > 0.8). Reports candidate volume (the pruning
+    * bound), verified pairs (exactly n/4 — recall 1.0 by construction),
+    * and throughput. */
+  private def simjoinSoak(spark: SparkSession, nDocs: Long): Unit = {
+    val docs = nearDupDocs(spark, nDocs)
+    val t0 = System.nanoTime()
+    val (cand, res) = graft.ops.DedupOps.jaccardJoinInternals(
+      docs, 0.8, "text", "doc_id")
+    val nCand = cand.count()
+    val nRes = res.count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"""{"example":"simjoin_soak","docs":$nDocs,"candidates":$nCand,"cand_per_doc":${nCand.toDouble / nDocs}%.3f,"pairs":$nRes,"expected_pairs":${nDocs / 4},"sec":$sec%.3f,"docs_per_sec":${nDocs / sec}%.0f}""")
+  }
+
+  /** Triangle-count soak on a hub-planted synthetic graph: ring + two
+    * hash chords (~3 edges/node) + one hub wired to every 20th node.
+    * The point measured: the hub's RAW degree grows linearly with n,
+    * but after degree orientation its OUT-degree (wedge-apex width)
+    * collapses — no n² wedge blowup at the hub. */
+  private def triangleSoak(spark: SparkSession, n: Long): Unit = {
+    val base = spark.range(1L, n).toDF("id") // node 0 is the hub
+    val e1 = base.select(col("id").as("a"), ((col("id") + 1) % n).as("b"))
+    val e2 = base.select(col("id").as("a"),
+      pmod(xxhash64(col("id")), lit(n)).as("b"))
+    val hub = base.filter(col("id") % 20 === 0)
+      .select(lit(0L).as("a"), col("id").as("b"))
+    val edges = e1.unionByName(e2).unionByName(hub)
+    val t0 = System.nanoTime()
+    val ord = graft.ops.GraphOps.orientEdges(edges)
+    val outdeg = ord.groupBy("src").agg(count(lit(1)).as("od"))
+    val Array(maxOut, wedges) = outdeg
+      .agg(max(col("od")), sum(col("od") * (col("od") - 1) / 2)).collect()(0)
+      .toSeq.map(v => v.toString.toDouble.toLong).toArray
+    val hubOut = outdeg.filter(col("src") === 0L).collect()
+      .headOption.map(_.getLong(1)).getOrElse(0L)
+    val nTri = graft.ops.GraphOps.triangleCounts(edges)
+      .agg(coalesce(sum(col("n_tri")), lit(0L))).collect()(0).getLong(0) / 3
+    val sec = (System.nanoTime() - t0) / 1e9
+    val m = ord.count()
+    println(f"""{"example":"triangle_soak","nodes":$n,"edges":$m,"hub_raw_deg":${n / 20},"hub_out_deg":$hubOut,"max_out_deg":$maxOut,"sqrt_m":${math.sqrt(m.toDouble)}%.0f,"wedges":$wedges,"triangles":$nTri,"sec":$sec%.3f}""")
   }
 
   /** Repeated-passage removal soak: synthetic 12-token docs where 25%

@@ -265,7 +265,13 @@ object DedupOps {
     * Per-doc ranking windows partition on doc_id: bounded by document
     * length, unskewable. */
   def jaccardJoin(df: DataFrame, tau: Double, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id"): DataFrame =
+    jaccardJoinInternals(df, tau, textCol, idCol)._2
+
+  /** (candidates, verified-result) — the candidate relation is exposed
+    * so soaks can measure the pruning bound the scaladoc claims. */
+  private[graft] def jaccardJoinInternals(df: DataFrame, tau: Double,
+      textCol: String, idCol: String): (DataFrame, DataFrame) = {
     require(tau > 0 && tau <= 1, s"tau in (0,1], got $tau")
     import org.apache.spark.sql.expressions.Window
     val tok = spread(df)
@@ -302,10 +308,11 @@ object DedupOps {
       .agg(count(lit(1)).as("inter"))
     val jac = col("inter").cast("double") /
       (col("size_a") + col("size_b") - col("inter"))
-    inter.withColumn("__jac", jac)
+    val result = inter.withColumn("__jac", jac)
       .filter(col("__jac") >= tau)
       .select(col("doc_a"), col("doc_b"), col("inter"),
         col("size_a"), col("size_b"), round(col("__jac"), 6).as("jaccard"))
+    (cand, result)
   }
 
   /** DuckDB twin of [[jaccardJoin]] — deliberately UNPRUNED (full token

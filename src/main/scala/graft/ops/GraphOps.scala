@@ -251,23 +251,7 @@ object GraphOps {
     * construction. The oriented relation is checkpoint-pinned once and
     * reused by both wedge arms and the closing probe. */
   def triangleCounts(edges: DataFrame): DataFrame = {
-    val e = edges.select(
-        least(col("a").cast("long"), col("b").cast("long")).as("a"),
-        greatest(col("a").cast("long"), col("b").cast("long")).as("b"))
-      .filter(col("a") =!= col("b"))
-      .distinct()
-    val deg = e.select(col("a").as("n")).unionByName(e.select(col("b").as("n")))
-      .groupBy("n").agg(count(lit(1)).as("d"))
-    val wd = e
-      .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
-      .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
-    val aFirst = (col("da") < col("db")) ||
-      (col("da") === col("db") && col("a") < col("b"))
-    val ord = wd.select(
-        when(aFirst, col("a")).otherwise(col("b")).as("src"),
-        when(aFirst, col("b")).otherwise(col("a")).as("dst"),
-        when(aFirst, col("db")).otherwise(col("da")).as("dd"))
-      .localCheckpoint(eager = false)
+    val ord = orientEdges(edges)
     val p1 = ord.select(col("src").as("u"), col("dst").as("v"), col("dd").as("dv"))
     val p2 = ord.select(col("src").as("u"), col("dst").as("w"), col("dd").as("dw"))
     val wedges = p1.join(p2, Seq("u"))
@@ -326,6 +310,30 @@ object GraphOps {
     require(converged, s"kCore did not converge within $maxIter rounds")
     cur.select(col("a").as("node")).unionByName(cur.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
+  }
+
+  /** Canonicalize (dedup, drop loops) and degree-orient an undirected
+    * edge list: (src, dst, dd) with src ≺ dst under (degree, id) and dd
+    * the dst-side degree — the [[triangleCounts]] building block,
+    * exposed so soaks can measure the orientation's out-degree bound. */
+  private[graft] def orientEdges(edges: DataFrame): DataFrame = {
+    val e = edges.select(
+        least(col("a").cast("long"), col("b").cast("long")).as("a"),
+        greatest(col("a").cast("long"), col("b").cast("long")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = e.select(col("a").as("n")).unionByName(e.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val wd = e
+      .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
+    val aFirst = (col("da") < col("db")) ||
+      (col("da") === col("db") && col("a") < col("b"))
+    wd.select(
+        when(aFirst, col("a")).otherwise(col("b")).as("src"),
+        when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+        when(aFirst, col("db")).otherwise(col("da")).as("dd"))
+      .localCheckpoint(eager = false)
   }
 
   /** DuckDB twin of [[kCore]]: `rounds` peel rounds unrolled as CTEs

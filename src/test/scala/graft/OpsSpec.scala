@@ -461,6 +461,13 @@ class OpsSpec extends AnyFunSuite {
     val approx = ProfileOps.profile(li, approxDistinct = true)
     assert(!approx.queryExecution.executedPlan.toString.contains("Expand"),
       "approx profile must not expand rows")
+    // ...and with no Expand there are no distinct grouping keys, so the
+    // string-extrema SortAggregates degrade to sortless folds: no
+    // SortExec anywhere in the scale-mode plan
+    val approxSorts = approx.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.SortExec => s
+    }
+    assert(approxSorts.isEmpty, s"approx profile must not sort: $approxSorts")
     val apOk = approx.collect().map(r => r.getString(0) -> r.getLong(3)).toMap
     val exact = ok.getLong(3).toDouble
     assert(math.abs(apOk("l_orderkey") - exact) / exact < 0.1)
