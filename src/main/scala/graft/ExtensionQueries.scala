@@ -124,6 +124,12 @@ object ExtensionQueries {
       DedupOps.jaccardJoin(Tables.documents(s, dir), tau = 0.9)
         .orderBy("doc_a", "doc_b")
     },
+    // EXACT end-to-end keep decision: exact pairs -> components ->
+    // min-id election — the compliance-grade dedup (no LSH recall term)
+    "dedup_jaccard_keep" -> { (s, dir) =>
+      DedupOps.jaccardDedupKeep(Tables.documents(s, dir), tau = 0.9)
+        .orderBy("doc_id")
+    },
     // MinHash LSH: per-doc candidate count (deterministic seeded hash
     // family; engine-specific xxhash64 → rows-only check)
     "dedup_minhash_candidates" -> { (s, dir) =>
@@ -981,6 +987,7 @@ object ExtensionQueries {
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
     "dedup_jaccard_join" ->
       (DedupOps.jaccardJoinSql(0.9) + "\nORDER BY doc_a, doc_b"),
+    "dedup_jaccard_keep" -> jaccardKeepOracleSql(0.9),
     "dedup_jaccard_stats" -> {
       s"""WITH sh AS (${shingleSql(jaccardK)}),
          |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
@@ -1741,6 +1748,35 @@ object ExtensionQueries {
        |comp AS (SELECT src AS doc_id, min(dst) AS component
        |         FROM reach GROUP BY 1)""".stripMargin
   }
+
+  /** Oracle for the EXACT end-to-end keep decision: the unpruned
+    * token-jaccard pair join (the [[DedupOps.jaccardJoinSql]] relation)
+    * + recursive-CTE components + min-id election, zero-filled. */
+  private def jaccardKeepOracleSql(tau: Double): String =
+    s"""WITH RECURSIVE tok AS (
+       |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |sz AS (SELECT doc_id, count(*) AS size FROM tok GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+       |  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |ver AS (
+       |  SELECT da, db FROM inter
+       |  JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
+       |  WHERE CAST(i AS DOUBLE) / (sa.size + sb.size - i) >= $tau),
+       |edges AS (SELECT da AS a, db AS b FROM ver
+       |          UNION SELECT db, da FROM ver),
+       |reach(src, dst) AS (
+       |  SELECT DISTINCT a, a FROM edges
+       |  UNION
+       |  SELECT rh.src, e.b FROM reach rh JOIN edges e ON rh.dst = e.a),
+       |comp AS (SELECT src AS doc_id, min(dst) AS component
+       |         FROM reach GROUP BY 1)
+       |SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS keep_id,
+       |  COALESCE(c.component, d.doc_id) = d.doc_id AS is_kept
+       |FROM documents d LEFT JOIN comp c USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
 
   /** Full oracle for the end-to-end MinHash dedup decision:
     * [[minhashComponentCtes]] + min-id election, zero-filled over the

@@ -336,6 +336,29 @@ object DedupOps {
        |  round(jac, 6) AS jaccard
        |FROM j WHERE jac >= $tau""".stripMargin
 
+  /** EXACT end-to-end dedup keep decision: [[jaccardJoin]] pairs (zero
+    * false negatives — unlike the MinHash pipeline there is no
+    * probabilistic recall term anywhere) → connected components over the
+    * qualifying-pair relation → min-id election, zero-filled over the
+    * corpus. The guarantee a compliance-grade dedup needs: every pair at
+    * Jaccard >= tau IS in one cluster, provably.
+    *
+    * Scale: the pair relation is threshold-qualified (cluster-sized, far
+    * below corpus cardinality); components inherit the star-contraction
+    * discipline; election is the same left-join + coalesce tail as
+    * [[minhashDedupKeep]]. */
+  def jaccardDedupKeep(df: DataFrame, tau: Double, textCol: String = "text",
+      idCol: String = "doc_id", maxIter: Int = 64): DataFrame = {
+    val pairs = jaccardJoin(df, tau, textCol, idCol).select("doc_a", "doc_b")
+    val comp = connectedComponents(pairs, maxIter)
+    df.select(col(idCol).as("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("keep_id"),
+        (coalesce(col("component"), col("doc_id")) === col("doc_id"))
+          .as("is_kept"))
+  }
+
   /** Substring-level duplication metrics (the Lee et al. 2022
     * "Deduplicating Training Data Makes Language Models Better" family,
     * at shingle granularity): for each document, what fraction of its
