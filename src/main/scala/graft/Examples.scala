@@ -96,6 +96,17 @@ object Examples {
       spark.stop()
       return
     }
+    if (args.headOption.contains("soak-knn")) {
+      // knn-graph soak: `runMain graft.Examples soak-knn 100000,1000000`
+      // — cells scale with n (fixed ~1000-vector occupancy), so
+      // candidates/node must stay FLAT across 10× corpus growth: the
+      // claim that the cell equi-join, not an n² pair relation, is what
+      // shuffles
+      args.lift(1).getOrElse("100000,1000000").split(",").map(_.trim.toLong)
+        .foreach(n => knnSoak(spark, n))
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("bpe-approx")) {
       // approximate-mode exhibit: `runMain graft.Examples bpe-approx
       // 4096 64` — merges/round on a production-shaped corpus (the
@@ -458,6 +469,44 @@ object Examples {
     * accounting bounds: the per-cell population spread (max/mean — one
     * re-rank join partition per cell) and the SemDedup pair term
     * Σ|cell|² relative to n². */
+  /** k-NN-graph soak: synthetic 64-dim corpus; cell count scales with n
+    * (target occupancy ~1000 vectors/cell) as a production quantizer
+    * would, so candidate volume per node — the quantity that shuffles —
+    * must stay flat while the corpus grows 10×. Candidates are computed
+    * exactly as Σ_cells corpusCount(c)·probeCount(c), the size of the
+    * cell equi-join [[graft.ops.SimilarityOps.knnGraph]] executes. */
+  private def knnSoak(spark: SparkSession, n: Long): Unit = {
+    val dim = 64
+    val corpus = spark.range(n).toDF("vec_id")
+      .withColumn("embedding", expr(
+        s"transform(sequence(0, ${dim - 1}), i -> " +
+          s"CAST(CAST(pmod(xxhash64(vec_id + i * 1000003L), 2000001) " +
+          s"- 1000000 AS FLOAT) / 1000000.0 AS FLOAT))"))
+    val nCells = math.max(16L, n / 1000L).toInt
+    val cents = graft.ops.SimilarityOps.seededCentroids(nCells, dim)
+    val nprobe = 4
+    // warm codegen on 1%
+    graft.ops.SimilarityOps.knnGraph(corpus.limit((n / 100).toInt), dim,
+      k = 5, nCentroids = nCells, nprobe = nprobe,
+      centroids = Some(cents))
+      .write.format("noop").mode("overwrite").save()
+    val t0 = System.nanoTime()
+    graft.ops.SimilarityOps.knnGraph(corpus, dim, k = 5,
+      nCentroids = nCells, nprobe = nprobe, centroids = Some(cents))
+      .write.format("noop").mode("overwrite").save()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val cc = corpus.select(element_at(
+        graft.functions.NearestCentroid(col("embedding"), cents, 1), 1)
+        .as("cell")).groupBy("cell").count()
+    val pc = corpus.select(explode(
+        graft.functions.NearestCentroid(col("embedding"), cents, nprobe))
+        .as("cell")).groupBy("cell").count()
+    val cand = cc.withColumnRenamed("count", "nc")
+      .join(pc.withColumnRenamed("count", "np"), Seq("cell"))
+      .agg(sum(col("nc") * col("np"))).collect()(0).getLong(0)
+    println(f"""{"example":"knn_soak","vectors":$n,"dim":$dim,"cells":$nCells,"nprobe":$nprobe,"candidates":$cand,"cand_per_node":${cand.toDouble / n}%.1f,"sec":$sec%.3f,"nodes_per_sec":${n / sec}%.0f}""")
+  }
+
   private def annSoak(spark: SparkSession, n: Long): Unit = {
     import spark.implicits._
     val dim = 64

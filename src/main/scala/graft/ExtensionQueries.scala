@@ -51,6 +51,8 @@ object ExtensionQueries {
   private val lshRowsPerBand = 8
   private val ivfCentroids = 16
   private val ivfProbe = 4
+  private val knnK = 3
+  private val tfidfK = 5
   private val pqM = 8
   private val pqK = 16
   private val jaccardK = 3
@@ -129,6 +131,24 @@ object ExtensionQueries {
     "dedup_jaccard_keep" -> { (s, dir) =>
       DedupOps.jaccardDedupKeep(Tables.documents(s, dir), tau = 0.9)
         .orderBy("doc_id")
+    },
+    // Dedup-cluster size distribution THROUGH the hist engine
+    // (cross-module: exact-jaccard components -> cluster sizes ->
+    // IntegerAxis fill; the overflow bin catches boilerplate
+    // mega-clusters — the curation dashboard for "how duplicated is
+    // this corpus")
+    "dedup_cluster_size_hist" -> { (s, dir) =>
+      val keep = DedupOps.jaccardDedupKeep(Tables.documents(s, dir), tau = 0.9)
+      val sizes = keep.groupBy("keep_id").agg(count(lit(1)).as("csize"))
+      val spec = HistSpec(Seq(IntegerAxis(1L, 16L)), Int64Storage)
+      Hist.fill(spec, sizes, Seq(col("csize"))).orderBy("i0")
+    },
+    // EXACT containment (subsumption) join: |A∩B|/|A| >= tau ordered
+    // pairs — quote/excerpt detection resemblance misses; hash-checked
+    // against the UNPRUNED oracle (prefix filter certified lossless)
+    "dedup_containment_join" -> { (s, dir) =>
+      DedupOps.containmentJoin(Tables.documents(s, dir), tau = 0.8)
+        .orderBy("doc_a", "doc_b")
     },
     // MinHash LSH: per-doc candidate count (deterministic seeded hash
     // family; engine-specific xxhash64 → rows-only check)
@@ -329,6 +349,21 @@ object ExtensionQueries {
         k = annK)
         .orderBy("query_id", "rank")
     },
+    // Label-centroid outlier pruning: integer-exact distance to own-label
+    // centroid, is_outlier = dist > 4x label mean (decimal compare)
+    "emb_outliers" -> { (s, dir) =>
+      SimilarityOps.labelOutliers(Tables.embeddings(s, dir))
+        .orderBy("vec_id")
+    },
+    // k-NN GRAPH: top-k neighbors of EVERY vector — corpus meets corpus
+    // in a cell equi-join (both sides shuffle on cell; nothing
+    // broadcasts, unlike the query-batch ANN family above)
+    "emb_knn_graph" -> { (s, dir) =>
+      SimilarityOps.knnGraph(Tables.embeddings(s, dir), dim = annDim,
+        k = knnK, nCentroids = ivfCentroids, nprobe = ivfProbe,
+        seed = annSeed)
+        .orderBy("src", "rank")
+    },
     // ---- text analysis --------------------------------------------------
     "text_stats" -> { (s, dir) =>
       Tables.documents(s, dir).select(
@@ -383,6 +418,13 @@ object ExtensionQueries {
         .groupBy("tok").agg(count(lit(1)).as("df"))
         .orderBy(col("df").desc, col("tok").asc)
         .limit(25)
+    },
+    // Per-doc TF-IDF top-k keywords: tf born aggregated on the scan, df
+    // equi-join (NOT broadcast-hinted — vocab is corpus-sized at scale;
+    // AQE decides), WindowGroupLimit per-doc rank
+    "text_tfidf_topk" -> { (s, dir) =>
+      TextOps.tfidfTopK(Tables.documents(s, dir), k = tfidfK)
+        .orderBy("doc_id", "rank")
     },
     // Corpus heavy-hitter words: a Misra–Gries candidate pass (k
     // counters per partition, the distinct vocabulary never shuffles)
@@ -461,6 +503,12 @@ object ExtensionQueries {
     // unique fixpoint (the "dense interaction core" curation signal)
     "graph_kcore" -> { (s, dir) =>
       GraphOps.kCore(coPurchaseEdges(s, dir), k = 64).orderBy("node")
+    },
+    // Community detection: deterministic synchronous label propagation
+    // (min-label ties, fixed rounds) over the co-purchase graph
+    "graph_labelprop" -> { (s, dir) =>
+      GraphOps.labelPropagation(coPurchaseEdges(s, dir), iters = 4)
+        .orderBy("node")
     },
     // Degree distribution THROUGH the histogram engine (cross-module:
     // graph relation -> IntegerAxis fill; overflow bin catches the hub
@@ -988,6 +1036,18 @@ object ExtensionQueries {
     "dedup_jaccard_join" ->
       (DedupOps.jaccardJoinSql(0.9) + "\nORDER BY doc_a, doc_b"),
     "dedup_jaccard_keep" -> jaccardKeepOracleSql(0.9),
+    "dedup_containment_join" ->
+      (DedupOps.containmentJoinSql(0.8) + "\nORDER BY doc_a, doc_b"),
+    "dedup_cluster_size_hist" -> {
+      val ax = IntegerAxis(1L, 16L)
+      s"""WITH RECURSIVE ${jaccardCompCtes(0.9)},
+         |keep AS (
+         |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS keep_id
+         |  FROM documents d LEFT JOIN comp c USING (doc_id)),
+         |sizes AS (SELECT keep_id, count(*) AS csize FROM keep GROUP BY 1)
+         |SELECT ${ax.sqlExpr("csize")} AS i0, count(*) AS value
+         |FROM sizes GROUP BY 1 ORDER BY i0""".stripMargin
+    },
     "dedup_jaccard_stats" -> {
       s"""WITH sh AS (${shingleSql(jaccardK)}),
          |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
@@ -1081,6 +1141,9 @@ object ExtensionQueries {
     "ann_ivfpq_topk" -> ivfPqTopkOracleSql(),
     "ann_sq_topk" ->
       (SimilarityOps.sqTopKSql(annDim, annK) + "\nORDER BY query_id, rank"),
+    "emb_knn_graph" -> knnGraphOracleSql(),
+    "emb_outliers" ->
+      (SimilarityOps.labelOutliersSql(annDim) + "\nORDER BY vec_id"),
     "dedup_semantic" -> semanticDedupOracleSql(semDedupCos),
     "pack_sequences" ->
       (PipelineOps.packSequencesSql(packBudget) + " ORDER BY lang, source, seq_id"),
@@ -1212,6 +1275,8 @@ object ExtensionQueries {
         |) GROUP BY 1 ORDER BY df DESC, tok ASC LIMIT 25""".stripMargin,
     "text_heavy_hitters" ->
       (TextOps.heavyHitterWordsSql(0.02) + "\nORDER BY w"),
+    "text_tfidf_topk" ->
+      (TextOps.tfidfTopKSql(tfidfK) + "\nORDER BY doc_id, rank"),
     "events_heavy_users" ->
       (TextOps.windowedHeavyHittersSql("events", "ts", "1 day",
         "CAST(user_id AS VARCHAR)", 0.02) + "\nORDER BY window_start, w"),
@@ -1235,6 +1300,9 @@ object ExtensionQueries {
       (GraphOps.triangleCountsSql(coPurchaseEdgesSql) + "\nORDER BY node"),
     "graph_kcore" ->
       (GraphOps.kCoreSql(coPurchaseEdgesSql, k = 64, rounds = 6) +
+        "\nORDER BY node"),
+    "graph_labelprop" ->
+      (GraphOps.labelPropagationSql(coPurchaseEdgesSql, iters = 4) +
         "\nORDER BY node"),
     "graph_degree_hist" -> {
       val ax = IntegerAxis(1L, 64L)
@@ -1626,6 +1694,35 @@ object ExtensionQueries {
          |  WHERE query_id <> neighbor_id)""".stripMargin)
   }
 
+  /** Full k-NN-graph oracle: [[ivfTopkOracleSql]]'s seeded integer
+    * centroids and exact integer cell assignment, but with EVERY vector
+    * as a source (no query restriction) and (src, dst, sim, rank)
+    * naming; dst sits in exactly one cell so the candidate relation is
+    * duplicate-free by construction, exactly as in the engine. */
+  private def knnGraphOracleSql(): String = {
+    val cents = SimilarityOps.seededCentroids(ivfCentroids, annDim, annSeed)
+    s"""WITH ${centroidAssignCtes(cents)},
+       |corpus_cell AS (SELECT vec_id AS dst, ci AS cell
+       |                FROM rankedc WHERE rc = 1),
+       |src_cell AS (SELECT vec_id AS src, ci AS cell
+       |             FROM rankedc WHERE rc <= $ivfProbe),
+       |cand AS (
+       |  SELECT src, dst FROM src_cell JOIN corpus_cell USING (cell)
+       |  WHERE src <> dst),
+       |scored AS (
+       |  SELECT src, dst,
+       |    round(${SimilarityOps.cosineSql("qe.embedding", "ce.embedding")}, 6) AS sim
+       |  FROM cand
+       |  JOIN embeddings qe ON qe.vec_id = src
+       |  JOIN embeddings ce ON ce.vec_id = dst),
+       |ranked AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY src
+       |    ORDER BY sim DESC, dst ASC) AS INT) AS rank FROM scored
+       |  WHERE NOT isnan(sim))
+       |SELECT src, dst, sim, rank FROM ranked
+       |WHERE rank <= $knnK ORDER BY src, rank""".stripMargin
+  }
+
   /** k-means Lloyd-step oracle: identical seeded integer centroids, exact
     * integer cell assignment (the same CTEs as the IVF/SemDedup oracles),
     * then per-(cell, dim) order-independent quantized means. */
@@ -1752,8 +1849,12 @@ object ExtensionQueries {
   /** Oracle for the EXACT end-to-end keep decision: the unpruned
     * token-jaccard pair join (the [[DedupOps.jaccardJoinSql]] relation)
     * + recursive-CTE components + min-id election, zero-filled. */
-  private def jaccardKeepOracleSql(tau: Double): String =
-    s"""WITH RECURSIVE tok AS (
+  /** Shared CTE body for the exact-Jaccard components: unpruned pair
+    * join + recursive-CTE reachability, ending in
+    * `comp(doc_id, component)`. Used by the keep-decision oracle and the
+    * cluster-size-histogram oracle. */
+  private def jaccardCompCtes(tau: Double): String =
+    s"""tok AS (
        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
        |  FROM documents),
        |sz AS (SELECT doc_id, count(*) AS size FROM tok GROUP BY 1),
@@ -1772,7 +1873,10 @@ object ExtensionQueries {
        |  UNION
        |  SELECT rh.src, e.b FROM reach rh JOIN edges e ON rh.dst = e.a),
        |comp AS (SELECT src AS doc_id, min(dst) AS component
-       |         FROM reach GROUP BY 1)
+       |         FROM reach GROUP BY 1)""".stripMargin
+
+  private def jaccardKeepOracleSql(tau: Double): String =
+    s"""WITH RECURSIVE ${jaccardCompCtes(tau)}
        |SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS keep_id,
        |  COALESCE(c.component, d.doc_id) = d.doc_id AS is_kept
        |FROM documents d LEFT JOIN comp c USING (doc_id)

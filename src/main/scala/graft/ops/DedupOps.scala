@@ -336,6 +336,98 @@ object DedupOps {
        |  round(jac, 6) AS jaccard
        |FROM j WHERE jac >= $tau""".stripMargin
 
+  /** EXACT containment (subsumption) join: ordered pairs (a, b) with
+    * |A∩B| / |A| >= tau over distinct k-word SHINGLES — "document a's
+    * phrases are mostly inside document b". The asymmetric complement to
+    * [[jaccardJoin]]: quote/excerpt detection, boilerplate-supersets, and
+    * the "short doc swallowed by a long one" dups that resemblance misses
+    * (a 50-token quote inside a 5000-token page has Jaccard ~0.01 but
+    * containment 1.0). Shingle granularity is what makes the signal
+    * selective: single-token containment saturates on any corpus with a
+    * shared vocabulary (58% of ALL ordered pairs qualify at tau = 0.8 on
+    * the test corpus; at 3-word shingles only true quotes survive —
+    * 50 of 250k pairs).
+    *
+    * Pruning (exact, zero false negatives): shingles carry a global
+    * (df asc, shingle asc) order; if |A∩B| >= ceil(tau·|A|) then among
+    * the first |A| − ceil(tau·|A|) + 1 shingles of A at least one is in
+    * B — so only A's prefix joins B's FULL shingle list (B cannot take a
+    * prefix: the threshold never references |B|). One one-sided size
+    * bound holds: |B| >= tau·|A|. The epsilon guard only ever lengthens
+    * the prefix / loosens the bound; the final threshold is exact.
+    * Certified by the driver hash-match against the UNPRUNED oracle
+    * ([[containmentJoinSql]]). */
+  def containmentJoin(df: DataFrame, tau: Double, k: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    containmentJoinInternals(df, tau, k, textCol, idCol)._2
+
+  private[graft] def containmentJoinInternals(df: DataFrame, tau: Double,
+      k: Int, textCol: String, idCol: String): (DataFrame, DataFrame) = {
+    require(tau > 0 && tau <= 1, s"tau in (0,1], got $tau")
+    import org.apache.spark.sql.expressions.Window
+    val tok = shingles(df, k, textCol, idCol)
+      .withColumnRenamed("shingle", "tok")
+    val dfreq = tok.groupBy("tok").agg(count(lit(1)).as("__df"))
+    val wRank = Window.partitionBy("doc_id").orderBy(col("__df").asc, col("tok").asc)
+    val wSize = Window.partitionBy("doc_id")
+    val ordered = tok.join(dfreq, Seq("tok"))
+      .withColumn("rnk", row_number().over(wRank))
+      .withColumn("size", count(lit(1)).over(wSize))
+    val eps = 1e-9
+    val prefix = ordered
+      .filter(col("rnk") <=
+        col("size") - ceil(lit(tau) * col("size") - lit(eps)) + 1)
+    val pa = prefix.select(col("doc_id").as("doc_a"), col("tok"),
+      col("size").as("size_a"))
+    val tb = ordered.select(col("doc_id").as("doc_b"), col("tok"),
+      col("size").as("size_b"))
+    val cand = pa.join(tb, Seq("tok"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .filter(lit(tau) * col("size_a") - lit(eps) <= col("size_b"))
+      .select("doc_a", "doc_b", "size_a", "size_b").distinct()
+    val ta = tok.select(col("doc_id").as("doc_a"), col("tok"))
+    val tb2 = tok.select(col("doc_id").as("doc_b"), col("tok"))
+    val inter = cand.join(ta, Seq("doc_a")).join(tb2, Seq("doc_b", "tok"))
+      .groupBy("doc_a", "doc_b", "size_a", "size_b")
+      .agg(count(lit(1)).as("inter"))
+    val cont = col("inter").cast("double") / col("size_a")
+    val result = inter.withColumn("__c", cont)
+      .filter(col("__c") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        col("size_a"), col("size_b"), round(col("__c"), 6).as("containment"))
+    (cand, result)
+  }
+
+  /** DuckDB twin of [[containmentJoin]] — deliberately UNPRUNED (full
+    * ordered-pair shingle join), so the hash match certifies the prefix
+    * filter dropped no qualifying pair. Same k-word shingle construction
+    * as every shingle oracle in this file. */
+  def containmentJoinSql(tau: Double, k: Int = 3): String = {
+    val terms = (0 until k).map {
+      case 0 => "string_split(text,' ')[pos]"
+      case i => s"string_split(text,' ')[pos+$i]"
+    }.mkString(" || ' ' || ")
+    s"""WITH tok AS (
+       |  SELECT DISTINCT doc_id, $terms AS tok
+       |  FROM (SELECT doc_id, text,
+       |    unnest(range(1, greatest(len(string_split(text,' ')) - ${k - 2}, 1))) AS pos
+       |    FROM documents)),
+       |sz AS (SELECT doc_id, count(*) AS size FROM tok GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+       |  GROUP BY 1, 2),
+       |c AS (
+       |  SELECT doc_a, doc_b, inter, sa.size AS size_a, sb.size AS size_b,
+       |    CAST(inter AS DOUBLE) / sa.size AS c
+       |  FROM inter
+       |  JOIN sz sa ON doc_a = sa.doc_id
+       |  JOIN sz sb ON doc_b = sb.doc_id)
+       |SELECT doc_a, doc_b, inter, size_a, size_b,
+       |  round(c, 6) AS containment
+       |FROM c WHERE c >= $tau""".stripMargin
+  }
+
   /** EXACT end-to-end dedup keep decision: [[jaccardJoin]] pairs (zero
     * false negatives — unlike the MinHash pipeline there is no
     * probabilistic recall term anywhere) → connected components over the

@@ -396,4 +396,70 @@ object GraphOps {
        |  SELECT u AS node FROM tri
        |  UNION ALL SELECT v FROM tri UNION ALL SELECT w FROM tri)
        |SELECT node, count(*) AS n_tri FROM nodes GROUP BY 1""".stripMargin
+
+  /** Community detection by synchronous label propagation (Raghavan et
+    * al. 2007), deterministic form: every node starts labeled with its
+    * own id; each round it adopts the label most frequent among its
+    * neighbours, ties to the SMALLEST label; all updates read the
+    * previous round (synchronous), for a FIXED `iters` rounds. Fixed
+    * synchronous rounds + min-label ties make the result a pure function
+    * of the graph — no randomized tie-breaking, so the oracle unrolls the
+    * same rounds ([[labelPropagationSql]]). (Synchronous LPA can
+    * oscillate on bipartite structure — a known artifact; fixed rounds
+    * keep that deterministic too. Production label counts here are
+    * hash aggregates, never per-node sorts.)
+    *
+    * 100 TB shape: each round is one neighbour-label equi-join + two
+    * hash aggregates (count, then struct-max argmax — no rank window),
+    * all keyed on node ids; eager per-round localCheckpoint bounds the
+    * plan exactly like [[kCore]]/[[pageRank]]. */
+  def labelPropagation(edges: DataFrame, iters: Int = 4): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e0 = edges.select(
+        least(col("a").cast("long"), col("b").cast("long")).as("a"),
+        greatest(col("a").cast("long"), col("b").cast("long")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val sym = e0.select(col("a").as("n"), col("b").as("m"))
+      .unionByName(e0.select(col("b").as("n"), col("a").as("m")))
+      .localCheckpoint(eager = false)
+    var lab = sym.select(col("n")).distinct()
+      .withColumn("lbl", col("n")).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val counts = sym.join(lab.select(col("n").as("m"), col("lbl")), Seq("m"))
+        .groupBy("n", "lbl").agg(count(lit(1)).as("c"))
+      // argmax by (count desc, label asc) as a struct-max hash aggregate
+      lab = counts.groupBy("n")
+        .agg(max(struct(col("c"), (-col("lbl")).as("neg"))).as("best"))
+        .select(col("n"), (-col("best").getField("neg")).as("lbl"))
+        .localCheckpoint()
+    }
+    lab.select(col("n").as("node"), col("lbl").as("label"))
+  }
+
+  /** DuckDB twin of [[labelPropagation]]: identical canonicalization,
+    * identical synchronous rounds unrolled as MATERIALIZED CTEs (each
+    * round re-reads its predecessor; inlining would re-expand the tree),
+    * identical (count desc, label asc) argmax. */
+  def labelPropagationSql(edgesCte: String, iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      val p = s"lab${i - 1}"
+      s"""lab$i AS MATERIALIZED (
+         |  SELECT n, lbl FROM (
+         |    SELECT e.n, l.lbl,
+         |      row_number() OVER (PARTITION BY e.n
+         |        ORDER BY count(*) DESC, l.lbl ASC) AS r
+         |    FROM sym e JOIN $p l ON e.m = l.n
+         |    GROUP BY e.n, l.lbl) WHERE r = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e00 AS ($edgesCte),
+       |e0 AS MATERIALIZED (
+       |  SELECT DISTINCT LEAST(a, b) AS a, GREATEST(a, b) AS b
+       |  FROM e00 WHERE a <> b),
+       |sym AS MATERIALIZED (
+       |  SELECT a AS n, b AS m FROM e0 UNION ALL SELECT b, a FROM e0),
+       |lab0 AS MATERIALIZED (SELECT DISTINCT n, n AS lbl FROM sym),
+       |$steps
+       |SELECT n AS node, lbl AS label FROM lab$iters""".stripMargin
+  }
 }

@@ -848,4 +848,125 @@ object SimilarityOps {
        |SELECT query_id, neighbor_id, dist, rank FROM ranked
        |WHERE rank <= $k""".stripMargin
   }
+
+  // ---- embedding outlier pruning ----------------------------------------
+  /** Per-vector outlier score against the vector's OWN label centroid —
+    * the "mislabeled / noise sample" pruning signal a curation pipeline
+    * runs before training on labeled embeddings. INTEGER-EXACT end to
+    * end, so the oracle hash-matches with no float-comparison hazard:
+    *
+    *  - coordinates quantize to the shared integer grid
+    *    (floor(v·256 + 0.5), the [[graft.functions.NearestCentroid]]
+    *    quantizer), shifted +4096 so every value is positive and both
+    *    engines' integral division agree (trunc == floor on positives);
+    *  - the label centroid coordinate is round-half-up(sum/n) computed as
+    *    (2·sum + n) div (2·n) — pure integer, no doubles anywhere;
+    *  - dist = Σ_d (q_d − c_d)² (exact BIGINT; ≤ 64·8192² ≈ 4.3e9 at any
+    *    corpus size — per-vector, not per-corpus);
+    *  - is_outlier ⇔ dist > 4·mean-dist(label), compared as
+    *    dist·n > 4·Σdist in decimal(38,0) so the product cannot overflow
+    *    at 100 TB label cardinalities.
+    *
+    * Scale shape: the d-fold posexplode feeds two hash aggregates with
+    * map-side combine (per-label·dim centroid rows are tiny; per-vec dist
+    * rows collapse to one per vector before the exchange); the centroid
+    * join broadcasts a labels×d relation. No sort, no window, no collect. */
+  def labelOutliers(corpus: DataFrame): DataFrame = {
+    val qd = spread(corpus).select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .withColumn("q", floor(col("v").cast("double") * lit(256.0) + lit(0.5))
+        .cast("long") + lit(4096L))
+      .drop("v")
+    val cent = qd.groupBy("label", "dim")
+      .agg(expr("(2 * sum(q) + count(q)) div (2 * count(q))").as("c"))
+    val dist = qd.join(broadcast(cent), Seq("label", "dim"))
+      .withColumn("d1", (col("q") - col("c")) * (col("q") - col("c")))
+      .groupBy("vec_id", "label").agg(sum(col("d1")).as("dist"))
+    val st = dist.groupBy("label")
+      .agg(sum(col("dist")).as("s"), count(lit(1)).as("n"))
+    dist.join(broadcast(st), Seq("label"))
+      .select(col("vec_id"), col("label"), col("dist"),
+        (col("dist").cast("decimal(38,0)") * col("n") >
+          col("s").cast("decimal(38,0)") * lit(4)).as("is_outlier"))
+  }
+
+  /** DuckDB twin of [[labelOutliers]]: identical quantizer/shift, floor
+    * division on positives, exact integer distance, HUGEINT threshold. */
+  def labelOutliersSql(dim: Int): String =
+    s"""WITH qd AS (
+       |  SELECT vec_id, label, CAST(d.dim AS INT) AS dim,
+       |    CAST(floor(CAST(embedding[CAST(d.dim AS INT) + 1] AS DOUBLE)
+       |      * 256.0 + 0.5) AS BIGINT) + 4096 AS q
+       |  FROM embeddings
+       |  CROSS JOIN (SELECT unnest(range(0, $dim)) AS dim) d),
+       |cent AS (
+       |  SELECT label, dim,
+       |    (2 * sum(q) + count(q)) // (2 * count(q)) AS c
+       |  FROM qd GROUP BY 1, 2),
+       |dist AS (
+       |  SELECT vec_id, q.label, sum((q.q - c.c) * (q.q - c.c)) AS dist
+       |  FROM qd q JOIN cent c USING (label, dim) GROUP BY 1, 2),
+       |st AS (SELECT label, sum(dist) AS s, count(*) AS n
+       |       FROM dist GROUP BY 1)
+       |SELECT d.vec_id, d.label, CAST(d.dist AS BIGINT) AS dist,
+       |  (CAST(d.dist AS HUGEINT) * st.n > CAST(st.s AS HUGEINT) * 4)
+       |    AS is_outlier
+       |FROM dist d JOIN st USING (label)""".stripMargin
+
+  // ---- k-NN graph construction ------------------------------------------
+  /** Distributed k-NN GRAPH: the top-k nearest neighbors of EVERY corpus
+    * vector — the substrate for SemDedup-style clustering, graph-based
+    * diversity sampling, and kNN label audits (reference-analog: the
+    * embedding near-dup family, `/root/reference` has no graph op; this is
+    * the extension surface).
+    *
+    * Scale shape — the crucial difference from [[ivfTopK]]: there the tiny
+    * query batch broadcasts; here the "query side" IS the corpus, so
+    * NOTHING broadcasts. Both sides reduce to (cell, id, vec) rows and meet
+    * in a cell equi-join — a plain shuffle on the cell key, candidate
+    * volume Σ_c n_c·m_c (nprobe-bounded), never n². A (src, dst) pair
+    * can arise from at most ONE cell (dst is assigned to exactly one),
+    * so no post-join dedup is needed. Ranking is the shared
+    * rounded-cosine + id-tie-break WindowGroupLimit top-k. Recall vs the
+    * exact [[knnGraphBrute]] is test-measured; pass offline-trained
+    * centroids for production recall targets. */
+  def knnGraph(corpus: DataFrame, dim: Int, k: Int, nCentroids: Int = 16,
+      nprobe: Int = 4, seed: Long = 42L,
+      centroids: Option[Array[Array[Long]]] = None): DataFrame = {
+    val cents = centroids.getOrElse(seededCentroids(nCentroids, dim, seed))
+    val cs = spread(corpus).select(col("vec_id").as("dst"),
+      col("embedding").as("ce"),
+      element_at(graft.functions.NearestCentroid(col("embedding"), cents, 1), 1)
+        .as("cell"))
+    val qs = spread(corpus).select(col("vec_id").as("src"),
+      col("embedding").as("qe"),
+      explode(graft.functions.NearestCentroid(col("embedding"), cents, nprobe))
+        .as("cell"))
+    val scored = qs.join(cs, Seq("cell"))
+      .filter(col("src") =!= col("dst"))
+      .withColumn("sim", round(cosine(col("qe"), col("ce")), 6))
+      .filter(!isnan(col("sim"))) // zero-norm guard (see bruteForceTopK)
+    val w = Window.partitionBy("src")
+      .orderBy(col("sim").desc, col("dst").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("src", "dst", "sim", "rank")
+  }
+
+  /** Exact O(n²) twin of [[knnGraph]] — the certifying baseline for
+    * recall tests and small corpora. All-pairs cosine with the same
+    * rounded ranking; never use beyond broadcast scale. */
+  def knnGraphBrute(corpus: DataFrame, k: Int): DataFrame = {
+    val a = corpus.select(col("vec_id").as("src"), col("embedding").as("qe"))
+    val b = spread(corpus).select(col("vec_id").as("dst"),
+      col("embedding").as("ce"))
+    val scored = broadcast(a).join(b, col("src") =!= col("dst"))
+      .withColumn("sim", round(cosine(col("qe"), col("ce")), 6))
+      .filter(!isnan(col("sim")))
+    val w = Window.partitionBy("src")
+      .orderBy(col("sim").desc, col("dst").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("src", "dst", "sim", "rank")
+  }
 }

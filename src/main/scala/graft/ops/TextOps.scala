@@ -373,6 +373,62 @@ object TextOps {
        |JOIN df da ON tok_a = da.tok
        |JOIN df db ON tok_b = db.tok""".stripMargin
 
+  // ---- TF-IDF keyword extraction ----------------------------------------
+  /** Per-document top-k keywords by TF-IDF — the standard "what is this
+    * document about" signal used for topic tagging, cluster naming, and
+    * per-domain vocabulary audits in a curation pipeline.
+    *
+    * score = tf · ln(N/df), ranked per doc by (rounded score desc, token
+    * asc) — the engine-portable rounded-score discipline shared with BM25.
+    *
+    * Scale shape: tf is born aggregated in the (doc, token) groupBy on the
+    * scan (map-side partial combine eats Zipf skew); df reduces tf again
+    * by token. The tf⋈df join is a plain token equi-join — deliberately
+    * NOT broadcast-hinted, because at 100 TB the distinct-token relation
+    * is itself huge (noise tokens); AQE broadcasts it when it is in fact
+    * small. N rides a one-row broadcast. The per-doc rank is a
+    * WindowGroupLimit (partial top-k before the doc exchange). */
+  def tfidfTopK(docs: DataFrame, k: Int = 5, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, Seq("tok"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", round(col("tf").cast("double") *
+        log(col("n_docs").cast("double") / col("df").cast("double")), 6))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("tok").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("doc_id", "tok", "tf", "df", "score", "rank")
+  }
+
+  /** DuckDB twin of [[tfidfTopK]]: same tokenization, same tf·ln(N/df)
+    * operation order, same rounded-score + token tie-break rank. */
+  def tfidfTopKSql(k: Int = 5): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |tf AS (
+       |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+       |  FROM tok GROUP BY 1, 2),
+       |dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+       |          FROM tf GROUP BY 1),
+       |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT doc_id, tok, tf, df,
+       |    round(CAST(tf AS DOUBLE) *
+       |      ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS score
+       |  FROM tf JOIN dfreq USING (tok) CROSS JOIN nd),
+       |ranked AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY score DESC, tok ASC) AS INT) AS rank FROM scored)
+       |SELECT doc_id, tok, tf, df, score, rank FROM ranked
+       |WHERE rank <= $k""".stripMargin
+
   /** DuckDB twin of [[tokenEntropy]] (same tokenization, same
     * ln-n − Σc·ln(c)/n form, same rounding). */
   def tokenEntropySql(): String =

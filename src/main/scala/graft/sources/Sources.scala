@@ -21,9 +21,15 @@ object Sources {
   def json(spark: SparkSession, path: String): DataFrame =
     spark.read.json(path)
 
-  /** Events table: parquet TIMESTAMP(NANOS) is unreadable by Spark 4's
-    * vectorized reader without the nanosAsLong legacy conf; normalize to a
-    * microsecond timestamp column via exact integral division.
+  /** Events table, normalized to a microsecond TIMESTAMP `ts` whatever
+    * physical type the generator wrote:
+    *
+    *  - TIMESTAMP(NANOS) parquet is unreadable by Spark 4's vectorized
+    *    reader without the nanosAsLong legacy conf — with it the column
+    *    arrives as LongType nanos and is divided down exactly;
+    *  - TIMESTAMP/TIMESTAMP_NTZ columns pass through (NTZ is cast to the
+    *    session-zone type; sessions here pin UTC, so the wall-clock is
+    *    unchanged and window/bucket arithmetic agrees with the oracle).
     *
     * SESSION-WIDE EFFECT (documented contract): `nanosAsLong` exists only
     * as a SQL conf — ParquetOptions accepts no per-read equivalent — and
@@ -39,8 +45,13 @@ object Sources {
     // overridden. getAll holds explicit entries only; getOption would also
     // see the registered default ("false") and make this guard a no-op.
     if (!spark.conf.getAll.contains(key)) spark.conf.set(key, "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Streaming reader with an explicit schema (streaming sources cannot

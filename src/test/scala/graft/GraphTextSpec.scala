@@ -236,4 +236,32 @@ class GraphTextSpec extends AnyFunSuite {
     val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("a", "b")
     assert(GraphOps.kCore(cyc, k = 2).count() == 3L)
   }
+
+  test("labelPropagation: two cliques + bridge converge to two communities") {
+    // K4 {1..4} and K4 {11..14} joined by one bridge 4-11: round 1 is
+    // all count-1 ties (a node never counts its own label) resolving to
+    // each node's min NEIGHBOUR; by round 3 both cliques sit on their
+    // minimum and the bridge never flips a 3-vs-1 majority — stable
+    val k4a = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    val k4b = for { a <- 11L to 14L; b <- 11L to 14L if a < b } yield (a, b)
+    val edges = (k4a ++ k4b ++ Seq((4L, 11L))).toDF("a", "b")
+    val got = GraphOps.labelPropagation(edges, iters = 4)
+      .as[(Long, Long)].collect().toMap
+    val expected = ((1L to 4L).map(_ -> 1L) ++ (11L to 14L).map(_ -> 11L)).toMap
+    assert(got == expected, s"got $got")
+  }
+
+  test("labelPropagation: synchronous rounds are deterministic on a star") {
+    // star 0-{1,2,3}: round 1 sends every leaf to 0's label (0) and 0 to
+    // min leaf (1); round 2 swaps them back except leaves now hold 0 —
+    // the classic bipartite oscillation, which fixed synchronous rounds
+    // must reproduce EXACTLY (determinism is the contract, odd vs even)
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("a", "b")
+    val r1 = GraphOps.labelPropagation(star, iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == Map(0L -> 1L, 1L -> 0L, 2L -> 0L, 3L -> 0L), s"got $r1")
+    val r2 = GraphOps.labelPropagation(star, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r2 == Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 1L), s"got $r2")
+  }
 }

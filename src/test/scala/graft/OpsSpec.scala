@@ -429,6 +429,36 @@ class OpsSpec extends AnyFunSuite {
     // structure; probing half the cells must beat random subset baseline
   }
 
+  test("knn graph brute: every node ranked, crafted neighbors exact") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f)), (1L, Array(0.9f, 0.1f, 0f)),
+      (2L, Array(0f, 1f, 0f)), (3L, Array(-1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val g = SimilarityOps.knnGraphBrute(vecs, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // mutual nearest pair (0,1); 2's best is 1 (0.1 component); 3's best
+    // is 2 (orthogonal beats antipodal)
+    assert(g == Map(0L -> 1L, 1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("knn graph: candidate pairs unique, recall vs brute, all nodes kept") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val g = SimilarityOps.knnGraph(emb, dim = 64, k = 3,
+      nCentroids = 16, nprobe = 8)
+    val rows = g.collect()
+    // dst lives in exactly one cell => (src, dst) duplicate-free without
+    // any dedup operator in the plan
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length == pairs.distinct.length, "duplicate candidate pair")
+    // every source present (nprobe cells always contain >= k+1 vectors
+    // at this corpus/cell ratio)
+    assert(rows.map(_.getLong(0)).distinct.length == emb.count())
+    val brute = SimilarityOps.knnGraphBrute(emb, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = pairs.toSet
+    val recall = (brute & got).size.toDouble / brute.size
+    assert(recall >= 0.3, s"recall $recall") // same regime as IVF ANN above
+  }
+
   test("profile: one FileScan for all columns; values exact; schema match") {
     import spark.implicits._
     val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
@@ -502,6 +532,85 @@ class OpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == brute,
       s"prefix filter changed the result: missing=${brute -- got} extra=${got -- brute}")
+  }
+
+  test("containmentJoin: asymmetric quote pair, boundary kept, lossless vs unpruned") {
+    import spark.implicits._
+    // B = verbatim 10-word quote from A (100 distinct words): all 8 of
+    // B's 3-shingles are in A => containment(B->A) = 1.0; (A->B) = 8/98 —
+    // only one direction qualifies at tau = 0.8. C = the same quote's
+    // first 10 words plus 2 fresh words: 8 of C's 10 shingles are in A
+    // => containment(C->A) = 0.8 exactly — boundary kept.
+    val aToks = (1 to 100).map(i => s"c$i")
+    val planted = Seq(
+      (9101L, aToks.mkString(" ")),
+      (9102L, aToks.take(10).mkString(" ")),
+      (9103L, (aToks.take(10) ++ Seq("zz1", "zz2")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text").unionByName(planted)
+    val tau = 0.8
+    val got = DedupOps.containmentJoin(docs, tau).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((9102L, 9101L)), "verbatim quote pair dropped")
+    assert(!got.contains((9101L, 9102L)), "reverse direction must not qualify")
+    assert(got.contains((9103L, 9101L)), "exact-boundary C=0.8 pair dropped")
+    // unpruned ordered-pair reference join over the SAME shingle relation
+    val tok = DedupOps.shingles(docs, 3)
+    val sz = tok.groupBy("doc_id").agg(count(lit(1)).as("size"))
+    val brute = tok.select($"doc_id".as("doc_a"), $"shingle")
+      .join(tok.select($"doc_id".as("doc_b"), $"shingle"), Seq("shingle"))
+      .filter($"doc_a" =!= $"doc_b")
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      .join(sz.select($"doc_id".as("doc_a"), $"size".as("sa")), Seq("doc_a"))
+      .filter($"inter".cast("double") / $"sa" >= tau)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute,
+      s"prefix filter changed the result: missing=${brute -- got} extra=${got -- brute}")
+  }
+
+  test("labelOutliers: planted far vector flagged, tight cluster clean") {
+    import spark.implicits._
+    // label 1: nine identical vectors plus one far outlier (flag needs
+    // dist_out > 16*dist_in once the centroid drag is accounted for);
+    // label 2: a tight pair — nothing flagged (dist == mean for both,
+    // and mean > 4*mean requires dist > 0)
+    val inliers = (1L to 9L).map(i => (i, Array(1f, 0f), 1))
+    val rows = (inliers ++ Seq(
+      (10L, Array(40f, 40f), 1),
+      (11L, Array(0f, 1f), 2), (12L, Array(0f, 1f), 2)))
+      .toDF("vec_id", "embedding", "label")
+    val got = SimilarityOps.labelOutliers(rows).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    val expected = ((1L to 9L).map(_ -> false) ++
+      Seq(10L -> true, 11L -> false, 12L -> false)).toMap
+    assert(got == expected, s"got $got")
+    // dist is exact integer: identical vectors share one dist value
+    val dists = SimilarityOps.labelOutliers(rows).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(dists(1L) == dists(2L) && dists(11L) == dists(12L) &&
+      dists(11L) == 0L)
+  }
+
+  test("tfidfTopK: crafted corpus scores and ranks") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a b"), (2L, "a c"), (3L, "c c c d")).toDF("doc_id", "text")
+    val rows = TextOps.tfidfTopK(docs, k = 2).collect()
+      .map(r => ((r.getLong(0), r.getInt(5)), (r.getString(1), r.getDouble(4))))
+      .toMap
+    val ln3 = math.log(3.0); val ln15 = math.log(1.5)
+    // doc 1: b (1·ln3 ≈ 1.098612) beats a (2·ln1.5 ≈ 0.810930)
+    assert(rows((1L, 1)) == ("b", BigDecimal(ln3).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble))
+    assert(rows((1L, 2))._1 == "a")
+    assert(rows((1L, 2))._2 == BigDecimal(2 * ln15).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // doc 2: ties at ln1.5 for a and c break alphabetically
+    assert(rows((2L, 1))._1 == "a" && rows((2L, 2))._1 == "c")
+    // doc 3: d unique (ln3) vs c tf=3 (3·ln1.5 ≈ 1.216) — c wins
+    assert(rows((3L, 1))._1 == "c" && rows((3L, 2))._1 == "d")
   }
 
   test("SQ8: planted duplicate at dist 0 ranks first; codes bounded; L2 recall") {
