@@ -349,6 +349,13 @@ object ExtensionQueries {
         k = annK)
         .orderBy("query_id", "rank")
     },
+    // Per-dimension z-score standardization: exact decimal moments +
+    // identical IEEE finishing sequence — feature scaling before
+    // distance ops
+    "emb_standardize" -> { (s, dir) =>
+      SimilarityOps.standardizeDims(Tables.embeddings(s, dir))
+        .orderBy("vec_id", "dim")
+    },
     // Label-centroid outlier pruning: integer-exact distance to own-label
     // centroid, is_outlier = dist > 4x label mean (decimal compare)
     "emb_outliers" -> { (s, dir) =>
@@ -418,6 +425,12 @@ object ExtensionQueries {
         .groupBy("tok").agg(count(lit(1)).as("df"))
         .orderBy(col("df").desc, col("tok").asc)
         .limit(25)
+    },
+    // Domain-distinctive terms: TF-IDF at source granularity — the
+    // "what is this domain about" audit behind mixture-weight choices
+    "domain_tfidf_topk" -> { (s, dir) =>
+      TextOps.domainTfidfTopK(Tables.documents(s, dir), groupCol = "source",
+        k = 10).orderBy("domain", "rank")
     },
     // Per-doc TF-IDF top-k keywords: tf born aggregated on the scan, df
     // equi-join (NOT broadcast-hinted — vocab is corpus-sized at scale;
@@ -838,6 +851,14 @@ object ExtensionQueries {
       PipelineOps.classifierScoreTrained(Tables.documents(s, dir),
         PipelineOps.demoTrainedWeights(s)).orderBy("doc_id")
     },
+    // Classifier-score distribution THROUGH the hist engine
+    // (cross-module: where does the quality threshold sit before you
+    // pick it — the calibration view over the full corpus, no sort)
+    "quality_score_hist" -> { (s, dir) =>
+      val scored = PipelineOps.classifierScore(Tables.documents(s, dir))
+      val spec = HistSpec(Seq(Regular(20, -1.0, 1.0)), Int64Storage)
+      Hist.fill(spec, scored, Seq(col("score"))).orderBy("i0")
+    },
     // End-to-end curation decision: lang-ID + Gopher gate + exact-dup
     // election (portable fingerprint keys) + classifier floor, one keep
     // flag with every reason visible
@@ -1144,6 +1165,8 @@ object ExtensionQueries {
     "emb_knn_graph" -> knnGraphOracleSql(),
     "emb_outliers" ->
       (SimilarityOps.labelOutliersSql(annDim) + "\nORDER BY vec_id"),
+    "emb_standardize" ->
+      (SimilarityOps.standardizeDimsSql(annDim) + "\nORDER BY vec_id, dim"),
     "dedup_semantic" -> semanticDedupOracleSql(semDedupCos),
     "pack_sequences" ->
       (PipelineOps.packSequencesSql(packBudget) + " ORDER BY lang, source, seq_id"),
@@ -1154,6 +1177,12 @@ object ExtensionQueries {
     "text_pii" -> (PipelineOps.piiStatsSql + " ORDER BY doc_id"),
     "text_repetition" -> (PipelineOps.repetitionStatsSql + " ORDER BY doc_id"),
     "quality_classifier" -> (PipelineOps.classifierScoreSql + " ORDER BY doc_id"),
+    "quality_score_hist" -> {
+      val ax = Regular(20, -1.0, 1.0)
+      s"""SELECT ${ax.sqlExpr("score")} AS i0, count(*) AS value
+         |FROM (${PipelineOps.classifierScoreSql})
+         |GROUP BY 1 ORDER BY i0""".stripMargin
+    },
     "quality_classifier_trained" ->
       (PipelineOps.classifierScoreTrainedSql + " ORDER BY doc_id"),
     "curation_pipeline" -> (PipelineOps.curationPipelineSql + " ORDER BY doc_id"),
@@ -1277,6 +1306,8 @@ object ExtensionQueries {
       (TextOps.heavyHitterWordsSql(0.02) + "\nORDER BY w"),
     "text_tfidf_topk" ->
       (TextOps.tfidfTopKSql(tfidfK) + "\nORDER BY doc_id, rank"),
+    "domain_tfidf_topk" ->
+      (TextOps.domainTfidfTopKSql("source", 10) + "\nORDER BY domain, rank"),
     "events_heavy_users" ->
       (TextOps.windowedHeavyHittersSql("events", "ts", "1 day",
         "CAST(user_id AS VARCHAR)", 0.02) + "\nORDER BY window_start, w"),

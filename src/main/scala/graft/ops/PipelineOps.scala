@@ -808,4 +808,72 @@ object PipelineOps {
        |  (1.0 + abs(s / (1000.0 * n))), 6) AS score
        |FROM agg""".stripMargin
   }
+
+  // ---- deterministic training-shard export ---------------------------------
+  /** Export a corpus as deterministic training shards — the SINK the
+    * rest of this package feeds: trainer workers read disjoint shard
+    * directories; a re-run of the export (any input partitioning, any
+    * cluster size) produces bit-identical shard membership and order, so
+    * a resumed job or a second cluster sees the same byte stream.
+    *
+    *  - shard = shuffle_key mod nShards, with the key the seeded
+    *    [[epochShuffleKey]] bijection — balanced by the hash, stable
+    *    under corpus growth (a doc's shard never depends on other docs);
+    *  - within-shard order = (shuffle_key, id) — the epoch order,
+    *    written via repartition-on-shard + sortWithinPartitions (no
+    *    global row_number; one task per shard);
+    *  - `_manifest` records per-shard row counts and an ORDER-INDEPENDENT
+    *    content fingerprint (decimal sum of per-row id hashes), so
+    *    completeness is checkable without re-reading in order.
+    *
+    * 100 TB shape: one narrow projection + one shuffle on the shard id;
+    * shard directories are parquet partitions, so a per-shard read
+    * prunes to one directory ([[readTrainingShard]]). `nShards` should
+    * be >> max-skew tolerance at real scale (it is the write
+    * parallelism); hash sharding keeps sizes within a few percent. */
+  def writeTrainingShards(docs: DataFrame, path: String, nShards: Int,
+      seed: Long, idCol: String = "doc_id"): Unit = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val keyed = docs
+      .withColumn("__key", epochShuffleKey(col(idCol), seed))
+      .withColumn("shard", pmod(col("__key"), lit(nShards.toLong)))
+    keyed.repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("__key"), col(idCol))
+      .write.mode("overwrite").partitionBy("shard").parquet(s"$path/data")
+    val spark = docs.sparkSession
+    keyed.groupBy("shard").agg(
+        count(lit(1)).as("n_rows"),
+        sum(xxhash64(col(idCol)).cast("decimal(38,0)")).as("fingerprint"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_manifest")
+    // seed + shard count ride with the data so a reader never guesses
+    import spark.implicits._
+    Seq((seed, nShards)).toDF("seed", "n_shards")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_meta")
+  }
+
+  /** Read one shard (directory-pruned) or the whole export. The shard
+    * column is a parquet partition key, so the filter prunes at listing
+    * time — a trainer worker touches exactly its own files. */
+  def readTrainingShard(spark: SparkSession, path: String,
+      shard: Option[Int] = None): DataFrame = {
+    val all = spark.read.parquet(s"$path/data")
+    shard.map(s => all.filter(col("shard") === s)).getOrElse(all)
+  }
+
+  /** Recompute the manifest from the written data and compare — the
+    * completeness check a resumed pipeline runs before training. Throws
+    * with the offending shards on any mismatch. */
+  def validateTrainingShards(spark: SparkSession, path: String,
+      idCol: String = "doc_id"): Unit = {
+    val got = spark.read.parquet(s"$path/data").groupBy("shard").agg(
+        count(lit(1)).as("n_rows"),
+        sum(xxhash64(col(idCol)).cast("decimal(38,0)")).as("fingerprint"))
+    val want = spark.read.parquet(s"$path/_manifest")
+    val bad = want.as("w").join(got.as("g"), Seq("shard"), "full")
+      .filter(!(col("w.n_rows") <=> col("g.n_rows")) ||
+        !(col("w.fingerprint") <=> col("g.fingerprint")))
+      .select("shard").collect().map(_.get(0)).toSeq
+    require(bad.isEmpty, s"training-shard manifest mismatch on shards: " +
+      bad.mkString(", "))
+  }
 }

@@ -849,6 +849,67 @@ object SimilarityOps {
        |WHERE rank <= $k""".stripMargin
   }
 
+  // ---- per-dimension standardization --------------------------------------
+  /** Per-dimension z-score standardization of the embedding column — the
+    * feature-scaling pass run before distance-based ops (k-means, SQ8,
+    * PQ) when dimensions carry unequal variance. Deterministic and
+    * engine-portable: coordinates quantize to the 1e6 integer grid, the
+    * per-dim moments (Σq, Σq²) are EXACT decimal sums (order-independent
+    * — no float accumulation), and the finishing mean/var/sqrt/divide is
+    * the identical IEEE double sequence on both engines, so the rounded
+    * z-scores hash-match. Constant dimensions (var 0) map to z = 0
+    * rather than NaN.
+    *
+    * Scale shape: one d-fold posexplode into a (dim)-keyed hash
+    * aggregate (d rows out regardless of corpus size, map-side combine),
+    * then a broadcast join of the d-row moment table back onto the
+    * narrow scan. Output is (vec_id, dim, z) rows; `zipBack = true`
+    * would reassemble arrays with collect_list ordered by dim — left to
+    * the caller, who usually feeds columnar consumers anyway. */
+  def standardizeDims(corpus: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val qd = spread(corpus).select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .withColumn("q", round(col("v").cast("double") * lit(1e6), 0)
+        .cast("long"))
+    val mom = qd.groupBy("dim").agg(
+      sum(col("q").cast(dec)).as("s"),
+      sum((col("q") * col("q")).cast(dec)).as("ss"),
+      count(col("q")).as("n"))
+    val s = col("s").cast("double"); val ss = col("ss").cast("double")
+    val n = col("n").cast("double")
+    val meanQ = s / n
+    val varQ = ss / n - (s / n) * (s / n)
+    qd.join(broadcast(mom), Seq("dim"))
+      .select(col("vec_id"), col("dim"),
+        when(varQ <= 0.0, lit(0.0))
+          .otherwise(round((col("q").cast("double") - meanQ) / sqrt(varQ), 6))
+          .as("z"))
+  }
+
+  /** DuckDB twin of [[standardizeDims]]: identical quantizer, exact
+    * HUGEINT moments, identical finishing double sequence. */
+  def standardizeDimsSql(dim: Int): String =
+    s"""WITH qd AS (
+       |  SELECT vec_id, CAST(d.dim AS INT) AS dim,
+       |    CAST(round(CAST(embedding[CAST(d.dim AS INT) + 1] AS DOUBLE)
+       |      * 1e6) AS BIGINT) AS q
+       |  FROM embeddings
+       |  CROSS JOIN (SELECT unnest(range(0, $dim)) AS dim) d),
+       |mom AS (
+       |  SELECT dim, sum(q) AS s, sum(q * q) AS ss, count(q) AS n
+       |  FROM qd GROUP BY 1)
+       |SELECT vec_id, qd.dim,
+       |  CASE WHEN (CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+       |      - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+       |        * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) <= 0.0 THEN 0.0
+       |    ELSE round((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+       |      / sqrt(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+       |        - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+       |          * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))), 6)
+       |  END AS z
+       |FROM qd JOIN mom USING (dim)""".stripMargin
+
   // ---- embedding outlier pruning ----------------------------------------
   /** Per-vector outlier score against the vector's OWN label centroid —
     * the "mislabeled / noise sample" pruning signal a curation pipeline

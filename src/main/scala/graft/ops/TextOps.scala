@@ -429,6 +429,54 @@ object TextOps {
        |SELECT doc_id, tok, tf, df, score, rank FROM ranked
        |WHERE rank <= $k""".stripMargin
 
+  /** Domain-distinctive terms: TF-IDF at GROUP granularity — tf is the
+    * term's total count inside the domain (source/language), df the
+    * number of domains containing it, N the domain count. The "what is
+    * this source about, relative to the others" audit a mixture designer
+    * reads before setting domain weights. Same scale shape and rounded
+    * ranking as [[tfidfTopK]], but every aggregate is domain-sized:
+    * (domain, token) rows after the first combine, never doc-sized. */
+  def domainTfidfTopK(docs: DataFrame, groupCol: String, k: Int = 10,
+      textCol: String = "text"): DataFrame = {
+    val tf = docs
+      .select(col(groupCol).as("domain"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy("domain", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val nd = docs.agg(countDistinct(col(groupCol)).as("n_domains"))
+    val scored = tf.join(dfreq, Seq("tok"))
+      .crossJoin(broadcast(nd))
+      .withColumn("score", round(col("tf").cast("double") *
+        log(col("n_domains").cast("double") / col("df").cast("double")), 6))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("domain")
+      .orderBy(col("score").desc, col("tok").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("domain", "tok", "tf", "df", "score", "rank")
+  }
+
+  /** DuckDB twin of [[domainTfidfTopK]] over the documents table. */
+  def domainTfidfTopKSql(groupCol: String, k: Int = 10): String =
+    s"""WITH tok AS (
+       |  SELECT $groupCol AS domain, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |tf AS (
+       |  SELECT domain, tok, CAST(count(*) AS BIGINT) AS tf
+       |  FROM tok GROUP BY 1, 2),
+       |dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+       |          FROM tf GROUP BY 1),
+       |nd AS (SELECT CAST(count(DISTINCT $groupCol) AS BIGINT) AS n_domains
+       |       FROM documents),
+       |scored AS (
+       |  SELECT domain, tok, tf, df,
+       |    round(CAST(tf AS DOUBLE) *
+       |      ln(CAST(n_domains AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS score
+       |  FROM tf JOIN dfreq USING (tok) CROSS JOIN nd),
+       |ranked AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY domain
+       |    ORDER BY score DESC, tok ASC) AS INT) AS rank FROM scored)
+       |SELECT domain, tok, tf, df, score, rank FROM ranked
+       |WHERE rank <= $k""".stripMargin
+
   /** DuckDB twin of [[tokenEntropy]] (same tokenization, same
     * ln-n − Σc·ln(c)/n form, same rounding). */
   def tokenEntropySql(): String =

@@ -613,6 +613,30 @@ class OpsSpec extends AnyFunSuite {
     assert(rows((3L, 1))._1 == "c" && rows((3L, 2))._1 == "d")
   }
 
+  test("standardizeDims: z-scores exact on a crafted corpus; constant dim -> 0") {
+    import spark.implicits._
+    // dim 0 values {1, 3}: mean 2, std 1 => z = ±1; dim 1 constant => 0
+    val vecs = Seq((1L, Array(1f, 5f)), (2L, Array(3f, 5f)))
+      .toDF("vec_id", "embedding")
+    val z = SimilarityOps.standardizeDims(vecs).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(z == Map((1L, 0) -> -1.0, (2L, 0) -> 1.0,
+      (1L, 1) -> 0.0, (2L, 1) -> 0.0), s"got $z")
+  }
+
+  test("domainTfidfTopK: shared terms score 0, exclusive terms rank first") {
+    import spark.implicits._
+    val docs = Seq(
+      ("web", "the cat"), ("web", "the dog"),
+      ("code", "the function"), ("code", "the function"))
+      .toDF("source", "text")
+    val got = TextOps.domainTfidfTopK(docs, "source", k = 1).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    // "the" is in both domains: ln(2/2) = 0; exclusives carry ln 2
+    assert(got("web")._1 == "cat") // tf 1 each, alphabetical tie-break
+    assert(got("code") == ("function", 2L))
+  }
+
   test("SQ8: planted duplicate at dist 0 ranks first; codes bounded; L2 recall") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")

@@ -396,6 +396,52 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(math.abs(90 * flat("en") + 10 * flat("zh") - 100.0) < 1e-3)
   }
 
+  test("training shards: deterministic across input partitionings; pruned reads; manifest validates") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    val docs = spark.range(1000L).toDF("doc_id")
+      .withColumn("text", concat(lit("doc "), col("doc_id")))
+    PipelineOps.writeTrainingShards(docs.repartition(7), dir, nShards = 8,
+      seed = 7L)
+    val m1 = spark.read.parquet(s"$dir/_manifest")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDecimal(2).toBigInteger)).sortBy(_._1).toSeq
+    // re-export from a DIFFERENT input partitioning into a second dir:
+    // shard membership, counts, and fingerprints must be identical
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-shards2").toString
+    PipelineOps.writeTrainingShards(docs.repartition(3), dir2, nShards = 8,
+      seed = 7L)
+    val m2 = spark.read.parquet(s"$dir2/_manifest")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDecimal(2).toBigInteger)).sortBy(_._1).toSeq
+    assert(m1 == m2, "manifest differs across input partitionings")
+    // all shards present, sizes hash-balanced, union is the corpus
+    assert(m1.map(_._1) == (0L until 8L).toSeq)
+    assert(m1.map(_._2).sum == 1000L)
+    assert(m1.map(_._2).max < 2 * 1000 / 8, s"skewed shards: $m1")
+    // a single-shard read is directory-pruned and disjoint
+    val s0 = PipelineOps.readTrainingShard(spark, dir, Some(0))
+    assert(s0.count() == m1.head._2)
+    val ids = PipelineOps.readTrainingShard(spark, dir)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == (0L until 1000L).toSeq)
+    // within-shard rows come back in epoch order (the written sort)
+    val keys = s0.withColumn("k",
+        PipelineOps.epochShuffleKey(col("doc_id"), 7L))
+      .select("k").as[Long].collect().toSeq
+    assert(keys == keys.sorted, "shard not in epoch-key order")
+    PipelineOps.validateTrainingShards(spark, dir)
+    // a tampered manifest fails loudly
+    val bad = spark.read.parquet(s"$dir/_manifest")
+      .withColumn("n_rows", col("n_rows") + 1)
+    bad.write.mode("overwrite").parquet(s"$dir/_manifest_tmp")
+    spark.read.parquet(s"$dir/_manifest_tmp").write.mode("overwrite")
+      .parquet(s"$dir/_manifest")
+    val e = intercept[IllegalArgumentException] {
+      PipelineOps.validateTrainingShards(spark, dir)
+    }
+    assert(e.getMessage.contains("manifest mismatch"))
+  }
+
   test("snapshotDiff classifies added/removed/changed/unchanged + null text") {
     val old = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, null: String),
       (5L, null: String)).toDF("doc_id", "text")
