@@ -523,6 +523,23 @@ object ExtensionQueries {
       GraphOps.labelPropagation(coPurchaseEdges(s, dir), iters = 4)
         .orderBy("node")
     },
+    // Graph-embedding ingestion: deterministic truncated random walks
+    // (DeepWalk corpus) over the bipartite order<->part graph — walks
+    // from part nodes, 2 walks x 4 hops each, stopping at the sink
+    // parts (every third part has no out-edges)
+    "graph_walks" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val fwd = li.select((col("l_orderkey") * 2).as("src"),
+        (col("l_partkey") * 2 + 1).as("dst"))
+      val rev = li.filter(col("l_partkey") % 3 =!= 0)
+        .select((col("l_partkey") * 2 + 1).as("src"),
+          (col("l_orderkey") * 2).as("dst"))
+      val starts = li.filter(col("l_partkey") % 10 === 1)
+        .select((col("l_partkey") * 2 + 1).as("node"))
+      GraphOps.randomWalks(fwd.unionByName(rev), starts,
+          walksPerStart = 2, steps = 4, seed = 7L)
+        .orderBy("walk_id", "step")
+    },
     // Degree distribution THROUGH the histogram engine (cross-module:
     // graph relation -> IntegerAxis fill; overflow bin catches the hub
     // tail — the power-law signal a curation pipeline thresholds on)
@@ -1356,6 +1373,15 @@ object ExtensionQueries {
           |SELECT l_partkey * 2 + 1, l_orderkey * 2
           |FROM lineitem WHERE l_partkey % 3 <> 0""".stripMargin,
         iters = 6, damping = 0.85) + "\nORDER BY node"),
+    "graph_walks" ->
+      (GraphOps.randomWalksSql(
+        """SELECT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst
+          |FROM lineitem
+          |UNION ALL
+          |SELECT l_partkey * 2 + 1, l_orderkey * 2
+          |FROM lineitem WHERE l_partkey % 3 <> 0""".stripMargin,
+        "SELECT l_partkey * 2 + 1 AS node FROM lineitem WHERE l_partkey % 10 = 1",
+        walksPerStart = 2, steps = 4, seed = 7L) + "\nORDER BY walk_id, step"),
     "docs_length_percentile" -> {
       val ax = IntegerAxis(0L, 600L)
       s"""WITH h AS (

@@ -437,6 +437,112 @@ object GraphOps {
     lab.select(col("n").as("node"), col("lbl").as("label"))
   }
 
+  // Portable LCG-style mix for the walk-step choice, kept mod
+  // PolyHash.P so every product stays under 2^62 in BIGINT on both
+  // engines (same discipline as the MinHash (h*a+b) family).
+  private[graft] final val WalkA = 1103515245L
+  private[graft] final val WalkB = 12345L
+
+  /** Deterministic random-walk corpus over a directed edge list — the
+    * DeepWalk/node2vec ingestion primitive (Perozzi et al. 2014): emit
+    * `walksPerStart` truncated walks of `steps` hops from each start
+    * node, as (walk_id, step, node) rows ready to feed a skip-gram
+    * trainer (or [[graft.ops.TextOps]] co-occurrence ops on the
+    * stringified walks).
+    *
+    * "Random" is a deterministic pseudo-random choice, which is what a
+    * reproducible pipeline wants anyway: at step t, walk w moves from
+    * node v to the neighbor with index
+    * `((w mod P)·A + t·B + seed) mod P mod outdeg(v)` in v's
+    * dst-sorted adjacency — a pure function of (graph, w, t, seed), so
+    * re-runs (and the DuckDB oracle, [[randomWalksSql]]) reproduce the
+    * corpus bit-for-bit. Walks stop at sinks (no out-edges): later
+    * steps simply emit no row for that walk, the truncated-walk
+    * convention.
+    *
+    * 100 TB shape: the indexed adjacency (src, dst, idx) + out-degree
+    * relation are built ONCE (one sort-window per src partition — the
+    * same one-time cost class as a bucketed-layout write) and
+    * checkpoint-pinned; each hop is two equi-joins on node keys — the
+    * frontier (one row per live walk) against the node-sized degree
+    * relation, then against the adjacency on (src, idx) — so a hop
+    * shuffles O(live walks) rows, never O(edges), and hub skew lands on
+    * AQE-saltable hash joins (the (src, idx) key spreads a hub's
+    * probes across its degree). Frontiers are eager-checkpointed per
+    * hop (the [[pageRank]] round discipline): `steps` hops = `steps`
+    * bounded jobs, not one mega-plan. */
+  def randomWalks(edges: DataFrame, starts: DataFrame, walksPerStart: Int,
+      steps: Int, seed: Long): DataFrame = {
+    require(walksPerStart >= 1, s"walksPerStart must be >= 1, got $walksPerStart")
+    require(steps >= 1, s"steps must be >= 1, got $steps")
+    require(seed >= 0, s"seed must be >= 0 (portable mod), got $seed")
+    val p = graft.functions.PolyHash.P
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .distinct().localCheckpoint(eager = false)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(eager = false)
+    val ew = e.select(col("src"), col("dst"),
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("src")).orderBy(col("dst"))) - 1).cast("long").as("idx"))
+      .localCheckpoint(eager = false)
+    var frontier = starts.select(col("node").cast("long"))
+      .distinct()
+      .select(explode(sequence(lit(0L), lit(walksPerStart - 1L))).as("w"),
+        col("node"))
+      .select((col("node") * walksPerStart + col("w")).as("walk_id"),
+        col("node"))
+      .localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer[DataFrame](
+      frontier.select(col("walk_id"), lit(0L).as("step"), col("node")))
+    for (t <- 1 to steps) {
+      val hv = pmod(pmod(col("walk_id"), lit(p)) * lit(WalkA)
+        + lit(t.toLong * WalkB) + lit(seed), lit(p))
+      frontier = frontier
+        .join(deg, frontier("node") === deg("src"))
+        .select(col("walk_id"), col("node").as("src"),
+          pmod(hv, col("outdeg")).as("idx"))
+        .join(ew, Seq("src", "idx"))
+        .select(col("walk_id"), col("dst").as("node"))
+        .localCheckpoint()
+      out += frontier.select(col("walk_id"), lit(t.toLong).as("step"), col("node"))
+    }
+    out.reduce(_ unionByName _)
+  }
+
+  /** DuckDB twin of [[randomWalks]]: same dst-sorted adjacency index,
+    * same portable step mix, hops unrolled as MATERIALIZED CTEs.
+    * `startsCte` must yield a `node` column. */
+  def randomWalksSql(edgesCte: String, startsCte: String,
+      walksPerStart: Int, steps: Int, seed: Long): String = {
+    val p = graft.functions.PolyHash.P
+    val hops = (1 to steps).map { t =>
+      val prev = s"s${t - 1}"
+      s"""s$t AS MATERIALIZED (
+         |  SELECT f.walk_id, ew.dst AS node
+         |  FROM $prev f
+         |  JOIN deg ON f.node = deg.src
+         |  JOIN ew ON ew.src = f.node
+         |    AND ew.idx = ((f.walk_id % $p) * $WalkA + ${t.toLong * WalkB}
+         |                  + $seed) % $p % deg.outdeg)""".stripMargin
+    }.mkString(",\n")
+    val unions = (0 to steps).map(t =>
+      s"SELECT walk_id, CAST($t AS BIGINT) AS step, node FROM s$t")
+      .mkString("\nUNION ALL\n")
+    s"""WITH e0 AS ($edgesCte),
+       |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0),
+       |deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+       |ew AS MATERIALIZED (
+       |  SELECT src, dst,
+       |    row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx
+       |  FROM e),
+       |starts AS (SELECT DISTINCT node FROM ($startsCte)),
+       |s0 AS MATERIALIZED (
+       |  SELECT node * $walksPerStart + w.range AS walk_id, node
+       |  FROM starts CROSS JOIN range(0, $walksPerStart) w),
+       |$hops
+       |$unions""".stripMargin
+  }
+
   /** DuckDB twin of [[labelPropagation]]: identical canonicalization,
     * identical synchronous rounds unrolled as MATERIALIZED CTEs (each
     * round re-reads its predecessor; inlining would re-expand the tree),

@@ -264,4 +264,72 @@ class GraphTextSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(r2 == Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 1L), s"got $r2")
   }
+
+  // ---- deterministic random walks ----
+
+  /** Driver-side reference walker with the SAME portable step mix. */
+  private def naiveWalks(edges: Seq[(Long, Long)], starts: Seq[Long],
+      w: Int, steps: Int, seed: Long): Seq[(Long, Long, Long)] = {
+    val p = graft.functions.PolyHash.P
+    val adj = edges.distinct.groupBy(_._1)
+      .map { case (s, es) => (s, es.map(_._2).distinct.sorted) }
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    for (n <- starts.distinct; k <- 0 until w) {
+      val walkId = n * w + k
+      var cur = n
+      out += ((walkId, 0L, cur))
+      var t = 1
+      var alive = true
+      while (t <= steps && alive) {
+        adj.get(cur) match {
+          case Some(nbrs) =>
+            val hv = ((walkId % p) * GraphOps.WalkA +
+              t.toLong * GraphOps.WalkB + seed) % p
+            cur = nbrs((hv % nbrs.size).toInt)
+            out += ((walkId, t.toLong, cur))
+          case None => alive = false
+        }
+        t += 1
+      }
+    }
+    out.toSeq
+  }
+
+  test("randomWalks: chain walks the chain, sink truncates") {
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val starts = Seq(1L).toDF("node")
+    val got = GraphOps.randomWalks(chain, starts, walksPerStart = 1,
+      steps = 5, seed = 0L).as[(Long, Long, Long)].collect().sorted
+    // outdeg is 1 everywhere, so any hash walks 1->2->3->4 and stops at
+    // the sink 4 — steps 4 and 5 emit nothing (truncated-walk contract)
+    assert(got.toSeq == Seq((1L, 0L, 1L), (1L, 1L, 2L), (1L, 2L, 3L),
+      (1L, 3L, 4L)), s"got ${got.toSeq}")
+  }
+
+  test("randomWalks == driver-side reference walker on a random digraph") {
+    val rnd = new scala.util.Random(99)
+    val edges = Seq.fill(400)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }
+    val starts = (0L until 40L by 3L).toSeq
+    val got = GraphOps.randomWalks(edges.toDF("src", "dst"),
+        starts.toDF("node"), walksPerStart = 3, steps = 4, seed = 11L)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val want = naiveWalks(edges, starts, w = 3, steps = 4, seed = 11L).sorted
+    assert(got == want, s"got ${got.take(8)}.. want ${want.take(8)}..")
+  }
+
+  test("randomWalks: distinct walk ids per start, reruns bit-identical") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
+    val starts = Seq(1L, 2L).toDF("node")
+    val a = GraphOps.randomWalks(edges, starts, walksPerStart = 4,
+      steps = 3, seed = 5L).as[(Long, Long, Long)].collect().sorted.toSeq
+    val b = GraphOps.randomWalks(edges, starts, walksPerStart = 4,
+      steps = 3, seed = 5L).as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(a == b)
+    assert(a.filter(_._2 == 0L).map(_._1).distinct.size == 8)
+    // a different seed must actually change some choice on this graph
+    val c = GraphOps.randomWalks(edges, starts, walksPerStart = 4,
+      steps = 3, seed = 6L).as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(a != c, "seed had no effect")
+  }
 }
