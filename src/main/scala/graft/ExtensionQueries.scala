@@ -406,6 +406,11 @@ object ExtensionQueries {
     "lm_perplexity" -> { (s, dir) =>
       LmOps.bigramPerplexity(Tables.documents(s, dir)).orderBy("doc_id")
     },
+    // Interpolated Kneser-Ney bigram perplexity — the smoothing real
+    // filtering LMs use (continuation probabilities, not raw frequency)
+    "lm_perplexity_kn" -> { (s, dir) =>
+      LmOps.knBigramPerplexity(Tables.documents(s, dir)).orderBy("doc_id")
+    },
     // (N,D)-array input dispatch: 2-D histogram from one array column
     "hist_from_array" -> { (s, dir) =>
       val (_, h) = graft.hist.Routines.histogramddFromArray(
@@ -1171,6 +1176,8 @@ object ExtensionQueries {
     "emb_covariance" ->
       (SimilarityOps.embeddingCovarianceSql() + " ORDER BY 1, 2"),
     "lm_perplexity" -> (LmOps.bigramPerplexitySql() + " ORDER BY doc_id"),
+    "lm_perplexity_kn" ->
+      (LmOps.knBigramPerplexitySql() + " ORDER BY doc_id"),
     "text_token_entropy" ->
       (TextOps.tokenEntropySql() + " ORDER BY doc_id"),
     "ann_lsh_topk" -> lshTopkOracleSql(),

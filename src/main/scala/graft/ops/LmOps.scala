@@ -77,8 +77,107 @@ object LmOps {
         round(exp(col("nll")), 6).as("ppl"))
   }
 
-  /** DuckDB twin of [[bigramPerplexity]] (same tokenization — single-space
-    * split with empties kept — same smoothing, same rounding). */
+  /** Per-document perplexity under an INTERPOLATED KNESER–NEY bigram LM
+    * trained on the same corpus — the smoothing real filtering LMs use
+    * (Kneser & Ney 1995; the KenLM/CCNet quality-filter family), where
+    * add-k systematically over-penalizes frequent-context bigrams:
+    *
+    *   P(w|v) = max(c(vw) − D, 0) / c(v·)
+    *          + (D · N₁₊(v·) / c(v·)) · (N₁₊(·w) / N₁₊(··))
+    *
+    * with absolute discount `D ∈ (0,1)`, `N₁₊(v·)` = distinct
+    * continuations of v, `N₁₊(·w)` = distinct predecessors of w (the
+    * continuation probability — "how promiscuous is w", not "how
+    * frequent"), `N₁₊(··)` = distinct bigram types. Trained-on-scored
+    * corpus means every scored bigram is seen, so the backoff never
+    * hits a zero context (the same closure property
+    * [[bigramPerplexity]] relies on).
+    *
+    * Scale shape: identical to [[bigramPerplexity]] — per-doc counts
+    * partial-aggregate map-side, the model and BOTH continuation-count
+    * relations re-aggregate the same per-doc counts (model-sized, not
+    * corpus-sized), the type total rides as a one-row broadcast. The
+    * extra KN statistics cost two hash aggregates over the bigram-type
+    * relation, nothing over raw text.
+    *
+    * Returns (doc_id, n_ngrams, ppl); < 2-token docs score NULL. */
+  def knBigramPerplexity(df: DataFrame, d: Double = 0.75,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(d > 0 && d < 1, s"absolute discount D in (0,1), got $d")
+    val bg = Spread(df).select(col(idCol).as("doc_id"),
+      explode(graft.functions.WordShingles.all(col(textCol), 2)).as("bg"))
+    val perDoc = bg.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+    val model = perDoc.groupBy("bg").agg(sum(col("c")).as("c2"))
+      .withColumn("pfx", substring_index(col("bg"), " ", 1))
+      .withColumn("sfx", substring_index(col("bg"), " ", -1))
+    val prefix = model.groupBy("pfx")
+      .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1v"))
+    val cont = model.groupBy("sfx").agg(count(lit(1)).as("n1w"))
+    val total = model.agg(count(lit(1)).cast("double").as("n1all"))
+    val p =
+      greatest(col("c2").cast("double") - lit(d), lit(0.0)) /
+        col("c1").cast("double") +
+      ((lit(d) * col("n1v").cast("double")) / col("c1").cast("double")) *
+        (col("n1w").cast("double") / col("n1all"))
+    val scored = perDoc
+      .join(model.select("bg", "c2", "pfx", "sfx"), Seq("bg"))
+      .join(prefix, Seq("pfx"))
+      .join(cont, Seq("sfx"))
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_ngrams"),
+        (sum(col("c").cast("double") * -log(p)) /
+          sum(col("c").cast("double"))).as("nll"))
+    df.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+        round(exp(col("nll")), 6).as("ppl"))
+  }
+
+  /** DuckDB twin of [[knBigramPerplexity]]: same tokenization, same
+    * statistics, IDENTICAL float operation order in the probability
+    * (max-discount term + (D·N₁₊(v·)/c1)·(N₁₊(·w)/N₁₊(··))). */
+  def knBigramPerplexitySql(d: Double = 0.75): String =
+    s"""WITH bg0 AS (
+       |  SELECT doc_id,
+       |    string_split(text,' ')[pos] || ' ' || string_split(text,' ')[pos+1] AS bg
+       |  FROM (SELECT doc_id, text,
+       |    unnest(range(1, greatest(len(string_split(text,' ')), 1))) AS pos
+       |    FROM documents)),
+       |perdoc AS (
+       |  SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS c FROM bg0 GROUP BY 1, 2),
+       |model AS (
+       |  SELECT bg, CAST(sum(c) AS BIGINT) AS c2,
+       |    string_split(bg,' ')[1] AS pfx,
+       |    string_split(bg,' ')[-1] AS sfx
+       |  FROM perdoc GROUP BY 1),
+       |pfxs AS (
+       |  SELECT pfx, CAST(sum(c2) AS BIGINT) AS c1,
+       |    CAST(count(*) AS BIGINT) AS n1v
+       |  FROM model GROUP BY 1),
+       |conts AS (
+       |  SELECT sfx, CAST(count(*) AS BIGINT) AS n1w FROM model GROUP BY 1),
+       |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n1all FROM model),
+       |sc AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_ngrams,
+       |    sum(CAST(c AS DOUBLE) * -ln(
+       |      greatest(CAST(c2 AS DOUBLE) - $d, 0.0) / CAST(c1 AS DOUBLE)
+       |      + (($d * CAST(n1v AS DOUBLE)) / CAST(c1 AS DOUBLE))
+       |        * (CAST(n1w AS DOUBLE) / n1all)))
+       |      / sum(CAST(c AS DOUBLE)) AS nll
+       |  FROM perdoc
+       |  JOIN model USING (bg)
+       |  JOIN pfxs USING (pfx)
+       |  JOIN conts USING (sfx)
+       |  CROSS JOIN tot
+       |  GROUP BY 1)
+       |SELECT d.doc_id, COALESCE(s.n_ngrams, 0) AS n_ngrams,
+       |  round(exp(s.nll), 6) AS ppl
+       |FROM documents d LEFT JOIN sc s USING (doc_id)""".stripMargin
+
+  /** DuckDB twin of [[bigramPerplexity]] (same tokenization — same
+    * smoothing, same rounding). */
   def bigramPerplexitySql(k: Double = 0.5): String =
     s"""WITH bg0 AS (
        |  SELECT doc_id,

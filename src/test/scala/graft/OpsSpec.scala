@@ -943,6 +943,58 @@ class OpsSpec extends AnyFunSuite {
     assert(b1 == b2)
   }
 
+  test("knBigramPerplexity == driver-side Kneser-Ney recompute") {
+    val docs = Seq(
+      (0L, "the cat sat on the mat"),
+      (1L, "the dog sat on the rug"),
+      (2L, "a cat and a dog and a rat"),
+      (3L, "the cat sat on the mat"),
+      (4L, "solo"))
+    val d = 0.75
+    // reference: positional bigram stats over the whole corpus
+    val allBg = docs.flatMap { case (id, t) =>
+      val ts = t.split(" ", -1); ts.zip(ts.drop(1)).map(p => (id, p)) }
+    val c2 = allBg.groupBy(_._2).map { case (b, xs) => (b, xs.size.toLong) }
+    val c1 = c2.groupBy(_._1._1).map { case (v, m) => (v, m.values.sum) }
+    val n1v = c2.groupBy(_._1._1).map { case (v, m) => (v, m.size.toLong) }
+    val n1w = c2.groupBy(_._1._2).map { case (w, m) => (w, m.size.toLong) }
+    val n1all = c2.size.toDouble
+    def prob(b: (String, String)): Double =
+      math.max(c2(b) - d, 0.0) / c1(b._1) +
+        ((d * n1v(b._1)) / c1(b._1)) * (n1w(b._2) / n1all)
+    val want = docs.map { case (id, t) =>
+      val bs = { val ts = t.split(" ", -1); ts.zip(ts.drop(1)).toSeq }
+      if (bs.isEmpty) (id, 0L, Double.NaN)
+      else {
+        val nll = bs.map(b => -math.log(prob(b))).sum / bs.size
+        (id, bs.size.toLong,
+          BigDecimal(math.exp(nll)).setScale(6,
+            BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }.map { case (a, b, c) => a -> ((b, c)) }.toMap
+    val got = LmOps.knBigramPerplexity(docs.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) Double.NaN else r.getDouble(2))))
+      .toMap
+    for ((id, (n, p)) <- want) {
+      assert(got(id)._1 == n, s"doc $id n_ngrams")
+      if (p.isNaN) assert(got(id)._2.isNaN, s"doc $id expected NULL ppl")
+      else assert(math.abs(got(id)._2 - p) < 2e-6,
+        s"doc $id: got ${got(id)._2} want $p")
+    }
+    // KN sanity: every conditional distribution sums to 1 over the
+    // corpus vocabulary restricted to seen continuations + backoff mass
+    val vocabAfter = c2.keys.map(_._2).toSet
+    for (v <- c1.keys) {
+      val mass = vocabAfter.toSeq.map { w =>
+        val disc = c2.get((v, w)).map(c => math.max(c - d, 0.0) / c1(v))
+          .getOrElse(0.0)
+        disc + ((d * n1v(v)) / c1(v)) * (n1w(w) / n1all)
+      }.sum
+      assert(math.abs(mass - 1.0) < 1e-9, s"context '$v' mass $mass != 1")
+    }
+  }
+
   test("embeddingCovariance matches direct computation; PCA finds the axis") {
     // 2-D points stretched along (1, 1): cov = [[s, s], [s, s]] shape
     val vecs = Seq(
