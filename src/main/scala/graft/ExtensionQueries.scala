@@ -203,6 +203,17 @@ object ExtensionQueries {
       DedupOps.minhashDedupKeepBest(Tables.documents(s, dir),
         k = jaccardK, threshold = jaccardThresh).orderBy("doc_id")
     },
+    // Z-order (Morton) layout key: user x hour interleaved into one
+    // clustering key — the multidimensional file-pruning layout; the
+    // interleave itself is BIGINT bit arithmetic, oracle-checkable
+    "zorder_key" -> { (s, dir) =>
+      val ev = graft.sources.Sources.eventsWithTimestamp(s, dir)
+      val a = pmod(col("user_id"), lit(256L))
+      val b = pmod(floor(unix_timestamp(col("ts")) / 3600).cast("long"),
+        lit(256L))
+      ev.select(col("event_id"), LayoutOps.mortonKey2(a, b).as("zkey"))
+        .orderBy("event_id")
+    },
     // Deterministic per-epoch shuffle order: seeded portable hash key
     "epoch_shuffle" -> { (s, dir) =>
       PipelineOps.epochShuffle(Tables.documents(s, dir), seed = 7L)
@@ -1130,6 +1141,11 @@ object ExtensionQueries {
          |FROM reach GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "dedup_minhash_keep" -> minhashKeepOracleSql(jaccardThresh),
     "dedup_keep_best" -> minhashKeepBestOracleSql(jaccardThresh),
+    "zorder_key" ->
+      s"""SELECT event_id, ${LayoutOps.mortonKey2Sql(
+             "((user_id % 256) + 256) % 256",
+             "(epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 256")} AS zkey
+         |FROM events ORDER BY event_id""".stripMargin,
     "epoch_shuffle" ->
       s"""SELECT doc_id, ${PipelineOps.epochShuffleKeySql(7L)} AS shuffle_key
          |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin,

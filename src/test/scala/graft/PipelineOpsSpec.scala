@@ -454,4 +454,52 @@ class PipelineOpsSpec extends AnyFunSuite {
       5L -> "changed",   // null -> text
       6L -> "added"))
   }
+
+  // ---- Z-order layout ----
+
+  test("mortonKey2 == driver-side interleave; de-interleave recovers") {
+    val rnd = new scala.util.Random(4)
+    val pts = Seq((0L, 0L), (65535L, 65535L), (0L, 65535L), (65535L, 0L),
+      (1L, 2L)) ++ Seq.fill(200)((rnd.nextInt(65536).toLong,
+      rnd.nextInt(65536).toLong))
+    val got = pts.toDF("a", "b")
+      .select(col("a"), col("b"),
+        LayoutOps.mortonKey2(col("a"), col("b")).as("z"))
+      .as[(Long, Long, Long)].collect()
+    for ((a, b, z) <- got) {
+      assert(z == LayoutOps.mortonKey2Local(a, b), s"($a,$b)")
+      // de-interleave: even bits -> a, odd bits -> b
+      var (ra, rb) = (0L, 0L)
+      for (i <- 0 until 16) {
+        ra |= ((z >> (2 * i)) & 1L) << i
+        rb |= ((z >> (2 * i + 1)) & 1L) << i
+      }
+      assert(ra == a && rb == b, s"roundtrip ($a,$b) -> $z -> ($ra,$rb)")
+    }
+  }
+
+  test("writeZOrdered: disjoint per-file key ranges; box query prunes files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    // 64x64 grid, one row per cell — uniform occupancy of the Z-space
+    val rows = for (a <- 0L until 64L; b <- 0L until 64L) yield (a, b)
+    val df = rows.toDF("a", "b").repartition(8)
+    LayoutOps.writeZOrdered(df,
+      LayoutOps.mortonKey2(col("a"), col("b")), dir, numFiles = 16)
+    val ranges = LayoutOps.fileZRanges(spark, dir)
+    assert(ranges.size == 16)
+    val sorted = ranges.sortBy(_._2)
+    for (Seq((_, _, hi), (_, lo, _)) <- sorted.sliding(2))
+      assert(hi < lo, "file key ranges overlap")
+    // aligned quadrant a in [16,31], b in [48,63]: morton range is
+    // contiguous, so exact file pruning applies
+    val zLo = LayoutOps.mortonKey2Local(16L, 48L)
+    val zHi = LayoutOps.mortonKey2Local(31L, 63L)
+    val hit = sorted.filter { case (_, lo, hi) => hi >= zLo && lo <= zHi }
+    assert(hit.size < sorted.size / 2,
+      s"box touched ${hit.size}/${sorted.size} files - no pruning")
+    // correctness: the pruned file set contains every box row
+    val inBox = spark.read.parquet(hit.map(_._1): _*)
+      .filter(col("a").between(16, 31) && col("b").between(48, 63)).count()
+    assert(inBox == 16L * 16L)
+  }
 }
