@@ -311,6 +311,13 @@ object ExtensionQueries {
       SimilarityOps.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, annK)
         .orderBy("query_id", "rank")
     },
+    // Hard-negative mining: nearest DIFFERENT-label vectors per query —
+    // the contrastive-training sampler (label filter before ranking)
+    "ann_hard_negatives" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      SimilarityOps.hardNegatives(emb.filter(col("vec_id") < 10), emb, annK)
+        .orderBy("query_id", "rank")
+    },
     // LSH-bucketed ANN (scale path; full oracle via integer-quantized
     // hyperplanes; recall vs brute force additionally checked in tests)
     "ann_lsh_topk" -> { (s, dir) =>
@@ -1254,6 +1261,18 @@ object ExtensionQueries {
          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          |    round(${SimilarityOps.cosineSql("q.embedding", "c.embedding")}, 6) AS sim
          |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 10),
+         |ranked AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank FROM scored
+         |  WHERE NOT isnan(sim))
+         |SELECT query_id, neighbor_id, sim, rank FROM ranked
+         |WHERE rank <= $annK ORDER BY query_id, rank""".stripMargin,
+    "ann_hard_negatives" ->
+      s"""WITH scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    round(${SimilarityOps.cosineSql("q.embedding", "c.embedding")}, 6) AS sim
+         |  FROM embeddings q JOIN embeddings c ON q.label <> c.label
          |  WHERE q.vec_id < 10),
          |ranked AS (
          |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id

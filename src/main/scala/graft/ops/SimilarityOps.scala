@@ -62,6 +62,38 @@ object SimilarityOps {
       .select("query_id", "neighbor_id", "sim", "rank")
   }
 
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the k most-similar corpus vectors with a DIFFERENT label —
+    * the negatives that sit closest to the decision boundary (the
+    * in-batch-negatives upgrade every embedding-model recipe reaches
+    * for; Karpukhin et al. 2020 DPR-style). Identical plan shape to
+    * [[bruteForceTopK]] (broadcast queries, label inequality rides in
+    * the join condition, two-phase WindowGroupLimit top-k); the label
+    * filter drops same-class pairs BEFORE ranking, so k true negatives
+    * come back even when a query's own class dominates its
+    * neighborhood. Self-pairs are excluded by the label inequality.
+    *
+    * 100 TB shape: same contract as [[bruteForceTopK]] — a linear scan
+    * per query batch, correct as the exhaustive baseline and for
+    * nightly hard-negative refreshes over bounded query sets; for
+    * corpus-scale mining swap the scan for [[annTopK]]/[[ivfPqTopK]]
+    * candidates and apply the same label-inequality filter before the
+    * re-rank (candidate generation is label-blind either way). */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("label").as("qlabel"), col("embedding").as("qe"))
+    val c = spread(corpus).select(col("vec_id").as("neighbor_id"),
+      col("label").as("nlabel"), col("embedding").as("ce"))
+    val scored = broadcast(q).join(c, col("qlabel") =!= col("nlabel"))
+      .withColumn("sim", round(cosine(col("qe"), col("ce")), 6))
+      .filter(!isnan(col("sim")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "sim", "rank")
+  }
+
   /** Seeded integer centroid matrix for [[ivfTopK]]'s coarse quantizer:
     * Gaussian coordinates scaled to the quantized-embedding magnitude
     * (embedding std ≈ 0.125 × QuantScale ≈ 32) and rounded. Public so the

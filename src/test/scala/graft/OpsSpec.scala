@@ -290,6 +290,33 @@ class OpsSpec extends AnyFunSuite {
     assert(top.toSeq == Seq((1L, 1), (2L, 2)))
   }
 
+  test("hardNegatives: nearest other-label only; self and same-label excluded") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f), 1),
+      (1L, Array(0.99f, 0.05f, 0f), 1),  // same label: must not appear
+      (2L, Array(0.9f, 0.2f, 0f), 2),    // closest other-label
+      (3L, Array(0.5f, 0.5f, 0f), 2),
+      (4L, Array(-1f, 0f, 0f), 3)).toDF("vec_id", "embedding", "label")
+    val got = SimilarityOps.hardNegatives(vecs.filter($"vec_id" === 0L), vecs, 2)
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(got.toSeq == Seq((2L, 1), (3L, 2)), s"got ${got.toSeq}")
+    // differential on real embeddings: hard negatives == brute ranking
+    // restricted to other-label, re-ranked
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter($"vec_id" < 5)
+    val hn = SimilarityOps.hardNegatives(q, emb, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val labels = emb.select("vec_id", "label").as[(Long, Int)].collect().toMap
+    val naive = SimilarityOps.bruteForceTopK(q, emb, 10000).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+      .filter { case (qid, nid, _) => labels(qid) != labels(nid) }
+      .groupBy(_._1).toSeq.flatMap { case (qid, xs) =>
+        xs.sortBy(_._3).take(3).zipWithIndex
+          .map { case ((_, nid, _), i) => (qid, nid, i + 1) }.toSeq }
+      .toSet
+    assert(hn == naive, s"diff ${hn.diff(naive)} / ${naive.diff(hn)}")
+  }
+
   test("LSH ANN recall vs brute force on real embeddings") {
     // random synthetic embeddings have weak top-k structure (cos ~0.3-0.5);
     // 16 bands x 4 bits targets that regime. The 8x8 default targets the
