@@ -1054,6 +1054,13 @@ object ExtensionQueries {
       SearchOps.bm25TopK(Tables.documents(s, dir), bm25Queries)
         .orderBy("query_id", "rank")
     },
+    // The persisted-index read path (the plan users run per query
+    // batch): term-bucketed postings + bucket partition pruning; the
+    // index is lossless so the DIRECT query's oracle applies verbatim
+    "search_bm25_indexed" -> { (s, dir) =>
+      SearchOps.bm25TopKIndexed(s, bm25IndexFor(s, dir), bm25Queries)
+        .orderBy("query_id", "rank")
+    },
     // Windowed HLL: distinct users per hour as an m-byte sketch per
     // window (streaming-ready — see AsOfRangeHllSpec's stream-vs-batch
     // test); exercises the linear-counting small-range branch (~14
@@ -1075,6 +1082,17 @@ object ExtensionQueries {
     0 -> Seq("hash", "join"),
     1 -> Seq("scan", "filter", "column"),
     2 -> Seq("stream", "window", "agg", "sort"))
+
+  // One persisted inverted index per sf dir (built on first use) — the
+  // pqIndexFor discipline applied to search: amortized tokenize-once,
+  // queries read only their terms' bucket directories
+  private val bm25IndexPaths = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def bm25IndexFor(s: SparkSession, dir: String): String =
+    bm25IndexPaths.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("graft-bm25-index").toString
+      SearchOps.writeIndex(Tables.documents(s, dir), p)
+      p
+    })
 
   /** (event_type, key) where key = "user-day" — the HLL demo's distinct
     * domain (daily-active-user keys; ~1.5-2k per type at sf0.01, safely in
@@ -1599,6 +1617,9 @@ object ExtensionQueries {
 
   private def searchOracles: Map[String, String] = Map(
     "search_bm25" ->
+      (SearchOps.bm25TopKSql(bm25Queries) + " ORDER BY query_id, rank"),
+    // lossless index => identical scores/ranks to the direct form
+    "search_bm25_indexed" ->
       (SearchOps.bm25TopKSql(bm25Queries) + " ORDER BY query_id, rank"),
     "events_hourly_distinct" ->
       s"""SELECT grp AS bucket_start, n_exact, hll_est FROM (

@@ -84,6 +84,84 @@ object SearchOps {
       .filter(col("rank") <= k)
   }
 
+  /** Build and persist a term-bucketed INVERTED INDEX: postings
+    * (doc_id, term, tf, dl) written as parquet partition directories
+    * keyed by `bucket = PolyHash(term) mod nBuckets`, plus a one-row
+    * corpus-stats sidecar (n_docs, avgdl). The [[PqIndex]]-style
+    * amortization for search: tokenize the corpus ONCE at ingest, and
+    * every subsequent query reads only the partition directories its
+    * terms hash into — directory-level pruning the scan planner applies
+    * before opening a single file.
+    *
+    * A term's postings live entirely in its bucket (hash partitioning
+    * is a function of the term), so per-term document frequencies are
+    * exact when recomputed from pruned buckets alone — the index needs
+    * no separate df table and stays trivially consistent. Postings are
+    * (8+str+8+8)-byte rows; text never reaches the index.
+    *
+    * 100 TB shape: one corpus scan + one (doc, term) count shuffle at
+    * build; the partitionBy write fans each task's output into its
+    * buckets. Queries touch |query vocab| directories out of
+    * `nBuckets` — at production scale pick nBuckets ~ thousands so a
+    * 10-term query opens ~0.1% of the index bytes. */
+  def writeIndex(docs: DataFrame, path: String, nBuckets: Int = 64,
+      textCol: String = "text", idCol: String = "doc_id"): Unit = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val toks = Spread(docs).select(col(idCol).as("doc_id"),
+      size(split(col(textCol), " ", -1)).as("dl"),
+      explode(split(col(textCol), " ", -1)).as("term"))
+    toks.groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      .withColumn("bucket",
+        pmod(graft.functions.PolyHash(col("term")), lit(nBuckets.toLong)))
+      .write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"$path/postings")
+    docs.select(size(split(col(textCol), " ", -1)).cast("double").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** [[bm25TopK]] against a persisted [[writeIndex]] layout — the plan
+    * users run per query batch: bucket partition-pruning + term filter
+    * reach the postings scan; df comes from the pruned postings (exact,
+    * see [[writeIndex]]); corpus stats ride from the one-row sidecar.
+    * Scores and ranks are IDENTICAL to the direct [[bm25TopK]] (the
+    * index is lossless), which is what lets `search_bm25_indexed` share
+    * the direct query's oracle. */
+  def bm25TopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: Seq[(Int, Seq[String])], k: Int = 10, nBuckets: Int = 64,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty), "need query terms")
+    require(queries.forall(_._2.forall(_.nonEmpty)),
+      "query terms must be non-empty strings")
+    import spark.implicits._
+    val vocab = queries.flatMap(_._2).distinct
+    val buckets = vocab
+      .map(t => graft.functions.PolyHash.hash(t, 31L) % nBuckets).distinct
+    val tf = spark.read.parquet(s"$path/postings")
+      .filter(col("bucket").isInCollection(buckets) &&
+        col("term").isInCollection(vocab))
+      .select("doc_id", "term", "tf", "dl")
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = spark.read.parquet(s"$path/stats")
+    val qterms = queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    val scored = tf
+      .join(broadcast(dfreq), Seq("term"))
+      .join(broadcast(qterms), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log((col("n_docs") - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("contrib", col("idf") * col("tf") /
+        (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum(col("contrib")), 6).as("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** DuckDB twin of [[bm25TopK]]: identical formula, identical operation
     * order (so the doubles agree bit-for-bit up to the final ln ulp),
     * identical rounded-score ranking. */

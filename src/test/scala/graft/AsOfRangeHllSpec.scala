@@ -165,6 +165,37 @@ class AsOfRangeHllSpec extends AnyFunSuite {
       want.toSeq.sortBy { case (d, s) => (-s, d) }.map(_._1))
   }
 
+  test("bm25TopKIndexed == direct bm25TopK; scan prunes to term buckets") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val qs = Seq(0 -> Seq("hash", "join"), 1 -> Seq("scan", "filter"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-idx").toString
+    SearchOps.writeIndex(docs, dir, nBuckets = 64)
+    val idx = SearchOps.bm25TopKIndexed(spark, dir, qs, k = 10, nBuckets = 64)
+    val direct = SearchOps.bm25TopK(docs, qs, k = 10)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Int]("query_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Double]("score"), r.getAs[Int]("rank"))).toSet
+    assert(key(idx) == key(direct))
+    // the postings scan must carry a bucket partition filter (directory
+    // pruning) — the entire point of the layout
+    val plan = idx.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("bucket"), s"no bucket pruning in:\n$plan")
+    // and only the query terms' buckets are opened (checked on the
+    // pruned scan itself — input_file_name is a scan-side column)
+    val vocab = qs.flatMap(_._2).distinct
+    val buckets = vocab
+      .map(t => graft.functions.PolyHash.hash(t, 31L) % 64).distinct
+    val scanned = spark.read.parquet(s"$dir/postings")
+      .filter(col("bucket").isInCollection(buckets) &&
+        col("term").isInCollection(vocab))
+      .select(input_file_name()).distinct().collect()
+      .map(_.getString(0)).filter(_.contains("bucket="))
+    assert(scanned.nonEmpty &&
+      scanned.forall(f => buckets.exists(b => f.contains(s"bucket=$b"))),
+      s"scanned files outside query buckets: ${scanned.mkString(", ")}")
+  }
+
   // ---- substring-level dup stats -----------------------------------------
 
   test("ngramDupStats: shared 3-grams counted, unique and short docs zero") {
