@@ -515,6 +515,13 @@ object ExtensionQueries {
       TextOps.pmiPairs(Tables.documents(s, dir), minCount = 5L)
         .orderBy("tok_a", "tok_b")
     },
+    // GloVe co-occurrence statistic: positional window-4 pairs with
+    // 1/d discount held EXACT as lcm-scaled integers (w12 = sum 12/d) —
+    // pair generation is slice+zip on the scan, no self-join
+    "text_cooc_glove" -> { (s, dir) =>
+      TextOps.cooccurPairs(Tables.documents(s, dir), window = 4,
+        minPairs = 5L).orderBy("tok_a", "tok_b")
+    },
     // Single-scan profiling: every column's nulls/ndv/extrema/mean in
     // ONE FileScan (plan-asserted); the oracle scans per-column — the
     // engine must not. Exact-distinct mode for the oracle; HLL mode is
@@ -1398,6 +1405,8 @@ object ExtensionQueries {
         "3, 5, 7, 9, 11", iters = 6, damping = 0.85) + "\nORDER BY node"),
     "text_pmi" ->
       (TextOps.pmiPairsSql(5L) + "\nORDER BY tok_a, tok_b"),
+    "text_cooc_glove" ->
+      (TextOps.cooccurPairsSql(4, 5L) + "\nORDER BY tok_a, tok_b"),
     "profile_table" ->
       (ProfileOps.profileSql("lineitem", lineitemSchema) +
         "\nORDER BY col_name"),

@@ -373,6 +373,70 @@ object TextOps {
        |JOIN df da ON tok_a = da.tok
        |JOIN df db ON tok_b = db.tok""".stripMargin
 
+  /** GloVe-style positional co-occurrence counts (Pennington et al.
+    * 2014): for every token pair within `window` positions, accumulate
+    * the distance-discounted weight 1/d — the statistic GloVe factorizes
+    * into word vectors, and the positional upgrade of [[pmiPairs]]'
+    * doc-level counts.
+    *
+    * Exactness trick: weights are scaled by lcm(1..window) (12 for the
+    * default window 4) so every contribution is an INTEGER — `w12 =
+    * Σ 12/d` sums exactly in any order on any engine, where Σ 1/3-style
+    * float sums would be summation-order-dependent and break the oracle
+    * hash. Callers wanting the real weight divide once at the end.
+    *
+    * Pairs are canonical (least, greatest — both directions of the
+    * window fold together; same-token pairs kept, as GloVe does).
+    *
+    * 100 TB shape: NO self-join anywhere — each distance d emits its
+    * pairs by zipping the token array against itself shifted by d
+    * (array slice + zip on the scan, pairs per doc = Σ(len−d), linear
+    * in corpus length), and the only shuffle is the final (tok_a,
+    * tok_b) count aggregate, map-side-combined under Zipf skew. As a
+    * DAG the text is scanned `window` times (one slice-shift per
+    * distance); at corpus scale persist the tokenized relation once
+    * (the [[LmOps.bigramPerplexity]] note) or fuse the distances into
+    * one generator expression. */
+  def cooccurPairs(docs: DataFrame, window: Int = 4, minPairs: Long = 5L,
+      textCol: String = "text"): DataFrame = {
+    require(window >= 1 && window <= 4, s"window in [1,4] (lcm=12), got $window")
+    require(minPairs >= 1, s"minPairs must be >= 1, got $minPairs")
+    val branches = (1 to window).map { d =>
+      val t = split(col(textCol), " ", -1)
+      val n = greatest(size(t) - d, lit(0))
+      docs.select(explode(arrays_zip(
+          slice(t, lit(1), n), slice(t, lit(d + 1), n))).as("p"))
+        .select(
+          least(col("p").getField("0"), col("p").getField("1")).as("tok_a"),
+          greatest(col("p").getField("0"), col("p").getField("1")).as("tok_b"),
+          lit(12L / d).as("w"))
+    }
+    branches.reduce(_ unionByName _)
+      .groupBy("tok_a", "tok_b")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("w")).as("w12"))
+      .filter(col("n_pairs") >= minPairs)
+  }
+
+  /** DuckDB twin of [[cooccurPairs]]: same per-distance shifted pairs,
+    * same integer lcm weights, same canonicalization. */
+  def cooccurPairsSql(window: Int = 4, minPairs: Long = 5L): String = {
+    require(window >= 1 && window <= 4, s"window in [1,4] (lcm=12), got $window")
+    val branches = (1 to window).map { d =>
+      s"""  SELECT least(ts[i], ts[i + $d]) AS tok_a,
+         |    greatest(ts[i], ts[i + $d]) AS tok_b,
+         |    CAST(${12L / d} AS BIGINT) AS w
+         |  FROM ipos WHERE i + $d <= len(ts)""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH ts0 AS (SELECT string_split(text, ' ') AS ts FROM documents),
+       |ipos AS (
+       |  SELECT ts, unnest(range(1, len(ts) + 1)) AS i FROM ts0),
+       |pairs AS (
+       |$branches)
+       |SELECT tok_a, tok_b, count(*) AS n_pairs,
+       |  CAST(sum(w) AS BIGINT) AS w12
+       |FROM pairs GROUP BY 1, 2 HAVING count(*) >= $minPairs""".stripMargin
+  }
+
   // ---- TF-IDF keyword extraction ----------------------------------------
   /** Per-document top-k keywords by TF-IDF — the standard "what is this
     * document about" signal used for topic tagging, cluster naming, and

@@ -455,6 +455,23 @@ class PipelineOpsSpec extends AnyFunSuite {
       6L -> "added"))
   }
 
+  test("cooccurPairs: hand-checked window pairs, exact integer weights") {
+    val docs = Seq((0L, "a b a c")).toDF("doc_id", "text")
+    val got = TextOps.cooccurPairs(docs, window = 2, minPairs = 1L)
+      .as[(String, String, Long, Long)].collect().toSet
+    // d=1: (a,b) (b,a)->(a,b) (a,c); d=2: (a,a) (b,c)
+    assert(got == Set(
+      ("a", "b", 2L, 24L), ("a", "c", 1L, 12L),
+      ("a", "a", 1L, 6L), ("b", "c", 1L, 6L)), s"got $got")
+    // short docs emit nothing at distances past their length
+    val tiny = Seq((0L, "x")).toDF("doc_id", "text")
+    assert(TextOps.cooccurPairs(tiny, window = 4, minPairs = 1L).count() == 0L)
+    // w12 identity: for window 1 every pair weight is exactly 12
+    val w1 = TextOps.cooccurPairs(docs, window = 1, minPairs = 1L)
+      .as[(String, String, Long, Long)].collect()
+    assert(w1.forall { case (_, _, n, w) => w == 12L * n })
+  }
+
   // ---- Z-order layout ----
 
   test("mortonKey2 == driver-side interleave; de-interleave recovers") {
