@@ -107,6 +107,35 @@ object Examples {
       spark.stop()
       return
     }
+    if (args.headOption.contains("soak-walks")) {
+      // random-walk soak: `runMain graft.Examples soak-walks
+      // 100000,1000000` — per-hop frontier rows must equal live walks
+      // (linear), and a planted celebrity node (30% of all in-edges)
+      // must spread its probes across (src, idx) slots instead of
+      // concentrating on one join key
+      args.lift(1).getOrElse("100000,1000000").split(",").map(_.trim.toLong)
+        .foreach(n => walksSoak(spark, n))
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("soak-cooc")) {
+      // co-occurrence soak: `runMain graft.Examples soak-cooc
+      // 100000,1000000` — pair volume exactly Σ_d (len−d) per doc
+      // (linear, no self-join term), throughput in pairs/s
+      args.lift(1).getOrElse("100000,1000000").split(",").map(_.trim.toLong)
+        .foreach(n => coocSoak(spark, n))
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("zorder")) {
+      // layout exhibit: `runMain graft.Examples zorder 4000000 64` —
+      // write a Z-clustered dataset, run an aligned box query, report
+      // the fraction of files a pruned scan opens
+      zorderExhibit(spark, args.lift(1).map(_.toLong).getOrElse(4000000L),
+        args.lift(2).map(_.toInt).getOrElse(64))
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("bpe-approx")) {
       // approximate-mode exhibit: `runMain graft.Examples bpe-approx
       // 4096 64` — merges/round on a production-shaped corpus (the
@@ -647,5 +676,85 @@ object Examples {
     val nRemoved = graft.ops.DedupOps.minhashDedupKeep(docs, threshold = 0.5)
       .filter(!col("is_kept")).count()
     println(f"""{"example":"dedup_soak","docs":$nDocs,"planted_dup_rate":0.25,"keep_sec":$keepSec%.3f,"docs_per_sec":${nDocs / keepSec}%.0f,"candidates":$nCand,"cand_sec":$candSec%.3f,"candidates_per_doc":${nCand.toDouble / nDocs}%.4f,"verified_pairs":$nVer,"removed":$nRemoved}""")
+  }
+
+  /** Random-walk soak: n-node digraph, 8 out-edges each, a planted
+    * celebrity (slot-0 edge of 30% of nodes points at node 0 — hub
+    * in-degree 0.3n·(1−1/n)). Walks from every 10th node. The scale
+    * claims under test: per-hop shuffled rows == live walks (linear in
+    * starts, never in edges), and hub pressure lands on (src, idx)
+    * slots — max rows per join key ≈ walks-at-hub / outdeg(hub), not
+    * walks-at-hub. */
+  private def walksSoak(spark: SparkSession, n: Long): Unit = {
+    val edges = spark.range(n).toDF("src")
+      .withColumn("e", explode(sequence(lit(0L), lit(7L))))
+      .withColumn("dst",
+        when(col("e") === 0L && pmod(col("src"), lit(10L)) < 3L, lit(0L))
+          .otherwise(pmod(xxhash64(col("src") * 8L + col("e")), lit(n))))
+      .filter(col("dst") =!= col("src"))
+      .select("src", "dst")
+    val starts = spark.range(0L, n, 10L).toDF("node")
+    val steps = 4
+    val t0 = System.nanoTime()
+    val walks = graft.ops.GraphOps.randomWalks(edges, starts,
+      walksPerStart = 1, steps = steps, seed = 3L)
+    walks.write.format("noop").mode("overwrite").save()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val byStep = walks.groupBy("step").count().orderBy("step")
+      .collect().map(r => r.getLong(1))
+    val hubRows = walks.filter(col("node") === 0L && col("step") > 0L).count()
+    val hubOutdeg = edges.filter(col("src") === 0L).count()
+    println(f"""{"example":"walks_soak","nodes":$n,"walks":${n / 10},"steps":$steps,"rows_by_step":[${byStep.mkString(",")}],"hub_frontier_rows":$hubRows,"hub_outdeg":$hubOutdeg,"hub_max_key_rows":${hubRows / math.max(hubOutdeg, 1)},"sec":$sec%.3f,"walks_per_sec":${n / 10 / sec}%.0f}""")
+  }
+
+  /** Co-occurrence soak: ~30-token synthetic docs over a 1000-word
+    * vocab; pair volume must be EXACTLY n·Σ_d(30−d) (the no-self-join
+    * claim: generation is linear in corpus tokens). */
+  private def coocSoak(spark: SparkSession, n: Long): Unit = {
+    val docs = spark.range(n).toDF("doc_id")
+      .withColumn("text", expr(
+        "concat_ws(' ', transform(sequence(0, 29), i -> " +
+          "concat('w', pmod(xxhash64(doc_id * 31 + i), 1000))))"))
+    val t0 = System.nanoTime()
+    val pairs = graft.ops.TextOps.cooccurPairs(docs, window = 4, minPairs = 1L)
+    val (groups, volume) = {
+      val r = pairs.agg(count(lit(1)), sum(col("n_pairs"))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    val expected = n * (29L + 28L + 27L + 26L)
+    require(volume == expected, s"pair volume $volume != expected $expected")
+    println(f"""{"example":"cooc_soak","docs":$n,"pair_occurrences":$volume,"expected":$expected,"distinct_pairs":$groups,"sec":$sec%.3f,"pairs_per_sec":${volume / sec}%.0f}""")
+  }
+
+  /** Z-order layout exhibit: write a Z-clustered dataset on a 4096²
+    * grid, run an aligned 1/16-area box query, report the fraction of
+    * files a footer-pruned scan opens (and verify the pruned set is
+    * complete). */
+  private def zorderExhibit(spark: SparkSession, rows: Long, files: Int): Unit = {
+    import graft.ops.LayoutOps
+    val df = spark.range(rows).toDF("id")
+      .withColumn("a", pmod(xxhash64(col("id")), lit(4096L)))
+      .withColumn("b", pmod(xxhash64(col("id") + 1L), lit(4096L)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder-ex").toString
+    val t0 = System.nanoTime()
+    LayoutOps.writeZOrdered(df, LayoutOps.mortonKey2(col("a"), col("b")),
+      dir, numFiles = files)
+    val writeSec = (System.nanoTime() - t0) / 1e9
+    val ranges = LayoutOps.fileZRanges(spark, dir)
+    // aligned quadrant a in [1024,2047], b in [2048,3071]: contiguous
+    // morton range, 1/16 of the grid area
+    val zLo = LayoutOps.mortonKey2Local(1024L, 2048L)
+    val zHi = LayoutOps.mortonKey2Local(2047L, 3071L)
+    val hit = ranges.filter { case (_, lo, hi) => hi >= zLo && lo <= zHi }
+    val boxRows = spark.read.parquet(hit.map(_._1): _*)
+      .filter(col("a").between(1024, 2047) && col("b").between(2048, 3071))
+      .count()
+    val fullRows = spark.read.parquet(dir)
+      .filter(col("a").between(1024, 2047) && col("b").between(2048, 3071))
+      .count()
+    require(boxRows == fullRows,
+      s"pruned scan dropped rows: $boxRows != $fullRows")
+    println(f"""{"example":"zorder","rows":$rows,"files":${ranges.size},"files_hit":${hit.size},"hit_fraction":${hit.size.toDouble / ranges.size}%.4f,"box_rows":$boxRows,"write_sec":$writeSec%.3f}""")
   }
 }
