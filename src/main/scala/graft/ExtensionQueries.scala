@@ -553,6 +553,19 @@ object ExtensionQueries {
       GraphOps.labelPropagation(coPurchaseEdges(s, dir), iters = 4)
         .orderBy("node")
     },
+    // Crawl-depth prior: min hop distance from 5 trusted seed parts
+    // (level-synchronous multi-source BFS, 4 levels; beyond = absent)
+    "graph_bfs_depth" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val fwd = li.select((col("l_orderkey") * 2).as("src"),
+        (col("l_partkey") * 2 + 1).as("dst"))
+      val rev = li.filter(col("l_partkey") % 3 =!= 0)
+        .select((col("l_partkey") * 2 + 1).as("src"),
+          (col("l_orderkey") * 2).as("dst"))
+      GraphOps.bfsDepth(fwd.unionByName(rev),
+          seeds = Seq(3L, 5L, 7L, 9L, 11L), maxDepth = 4)
+        .orderBy("node")
+    },
     // Graph-embedding ingestion: deterministic truncated random walks
     // (DeepWalk corpus) over the bipartite order<->part graph — walks
     // from part nodes, 2 walks x 4 hops each, stopping at the sink
@@ -1442,6 +1455,14 @@ object ExtensionQueries {
           |SELECT l_partkey * 2 + 1, l_orderkey * 2
           |FROM lineitem WHERE l_partkey % 3 <> 0""".stripMargin,
         iters = 6, damping = 0.85) + "\nORDER BY node"),
+    "graph_bfs_depth" ->
+      (GraphOps.bfsDepthSql(
+        """SELECT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst
+          |FROM lineitem
+          |UNION ALL
+          |SELECT l_partkey * 2 + 1, l_orderkey * 2
+          |FROM lineitem WHERE l_partkey % 3 <> 0""".stripMargin,
+        "3, 5, 7, 9, 11", maxDepth = 4) + "\nORDER BY node"),
     "graph_walks" ->
       (GraphOps.randomWalksSql(
         """SELECT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst

@@ -437,6 +437,73 @@ object GraphOps {
     lab.select(col("n").as("node"), col("lbl").as("label"))
   }
 
+  /** Multi-source BFS depth: the minimum hop distance from a seed set,
+    * for every node within `maxDepth` hops — the "crawl depth from
+    * trusted seeds" curation prior (TrustRank-adjacent: documents far
+    * from known-good sources are demoted), and the exact-distance
+    * complement to [[personalizedPageRank]]'s mass diffusion.
+    *
+    * Level-synchronous frontier expansion: depth t's frontier is the
+    * neighbors of depth t−1's frontier minus everything already
+    * visited. Min-distance is unique, so the result is deterministic
+    * and the oracle unrolls the same levels ([[bfsDepthSql]]). Nodes
+    * beyond `maxDepth` hops are absent (truncated-BFS contract —
+    * callers treat absence as "too far").
+    *
+    * 100 TB shape: per level, one equi-join frontier⋈edges on the src
+    * key + one anti-join against the visited relation — both node-keyed
+    * (AQE-saltable); shuffled rows are frontier-adjacent edges, and the
+    * frontier relation is (node)-only, 8 bytes a row. Eager per-level
+    * localCheckpoint keeps N levels = N bounded jobs (the [[pageRank]]
+    * discipline). Level count is the graph diameter cut at `maxDepth` —
+    * single-digit for web-shaped graphs. */
+  def bfsDepth(edges: DataFrame, seeds: Seq[Long], maxDepth: Int): DataFrame = {
+    require(seeds.nonEmpty, "bfsDepth needs >= 1 seed")
+    require(seeds.distinct.size == seeds.size, "duplicate seed ids")
+    require(maxDepth >= 0, s"maxDepth must be >= 0, got $maxDepth")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .distinct().localCheckpoint(eager = false)
+    var visited = seeds.toDF("node")
+      .select(col("node"), lit(0L).as("depth")).localCheckpoint()
+    var frontier = visited.select("node").localCheckpoint()
+    for (t <- 1 to maxDepth) {
+      frontier = frontier.join(e, frontier("node") === e("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .localCheckpoint()
+      visited = visited
+        .unionByName(frontier.select(col("node"), lit(t.toLong).as("depth")))
+        .localCheckpoint()
+    }
+    visited
+  }
+
+  /** DuckDB twin of [[bfsDepth]]: identical level-synchronous rounds
+    * unrolled as MATERIALIZED CTEs over an `e(src, dst)` CTE;
+    * `seedsSql` = comma-separated literal ids. */
+  def bfsDepthSql(edgesCte: String, seedsSql: String, maxDepth: Int): String = {
+    val levels = (1 to maxDepth).map { t =>
+      val pf = s"f${t - 1}"
+      val pv = s"v${t - 1}"
+      s"""f$t AS MATERIALIZED (
+         |  SELECT DISTINCT e.dst AS node FROM e JOIN $pf ON e.src = $pf.node
+         |  WHERE e.dst NOT IN (SELECT node FROM $pv)),
+         |v$t AS MATERIALIZED (
+         |  SELECT node, depth FROM $pv
+         |  UNION ALL SELECT node, CAST($t AS BIGINT) FROM f$t)""".stripMargin
+    }.mkString(",\n")
+    val body = if (maxDepth == 0) "" else s",\n$levels"
+    s"""WITH e0 AS ($edgesCte),
+       |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0),
+       |v0 AS MATERIALIZED (
+       |  SELECT CAST(unnest([$seedsSql]) AS BIGINT) AS node,
+       |    CAST(0 AS BIGINT) AS depth),
+       |f0 AS MATERIALIZED (SELECT node FROM v0)$body
+       |SELECT node, depth FROM v$maxDepth""".stripMargin
+  }
+
   // Portable LCG-style mix for the walk-step choice, kept mod
   // PolyHash.P so every product stays under 2^62 in BIGINT on both
   // engines (same discipline as the MinHash (h*a+b) family).

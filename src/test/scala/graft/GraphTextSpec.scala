@@ -265,6 +265,31 @@ class GraphTextSpec extends AnyFunSuite {
     assert(r2 == Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 1L), s"got $r2")
   }
 
+  // ---- multi-source BFS depth ----
+
+  test("bfsDepth: min distance, multi-source ties, truncation, cycles") {
+    // 1 -> 2 -> 3 -> 4 -> 5, plus 10 -> 4 (second source reaches 4 in
+    // one hop) and a back-edge 3 -> 1 (cycle must not loop)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 4L),
+      (3L, 1L)).toDF("src", "dst")
+    val got = GraphOps.bfsDepth(edges, Seq(1L, 10L), maxDepth = 2)
+      .as[(Long, Long)].collect().toMap
+    // 4 is depth 1 via seed 10, NOT depth 3 via seed 1; 5 is depth 2;
+    // nothing deeper than 2 appears
+    assert(got == Map(1L -> 0L, 10L -> 0L, 2L -> 1L, 4L -> 1L,
+      3L -> 2L, 5L -> 2L), s"got $got")
+    // maxDepth 0 = seeds only
+    val d0 = GraphOps.bfsDepth(edges, Seq(1L), maxDepth = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(d0 == Map(1L -> 0L))
+    // a node reachable two ways keeps its MIN depth (not duplicated)
+    val diamond = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)).toDF("src", "dst")
+    val dd = GraphOps.bfsDepth(diamond, Seq(1L), maxDepth = 3)
+      .as[(Long, Long)].collect()
+    assert(dd.length == dd.map(_._1).distinct.length, "duplicate nodes")
+    assert(dd.toMap == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+  }
+
   // ---- deterministic random walks ----
 
   /** Driver-side reference walker with the SAME portable step mix. */
