@@ -709,6 +709,23 @@ object ExtensionQueries {
           round(col("brightness"), 6).as("mean_amp"))
         .orderBy("id")
     },
+    // REAL video CONTAINER parsing: RIFF/AVI chunk walk to the avih
+    // main header (dimensions / frame count / frame interval) — the
+    // frame-sampling planner's inputs, no pixel decode (stub remains
+    // only for the bitstream, documented)
+    "multimodal_video_meta" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val media = Tables.documents(s, dir).select(col("doc_id"))
+        .as[Long].map(id => MultimodalOps.MediaRow(
+          id, MultimodalOps.syntheticAvi(id), "video/avi", 0, 0))
+      MultimodalOps.extractVideoMeta(media).toDF()
+        .select(col("id"), col("width"), col("height"),
+          col("nFrames").as("n_frames"),
+          col("usecPerFrame").as("usec_per_frame"),
+          col("byteLen").as("byte_len"))
+        .orderBy("id")
+    },
     // ROLLUP aggregation surface: corpus stats at (lang, source), (lang),
     // and grand-total levels in one pass
     "text_rollup_stats" -> { (s, dir) =>
@@ -1375,6 +1392,17 @@ object ExtensionQueries {
         |    / (65535.0 * (200 + doc_id % 57)), 6) AS mean_amp
         |FROM documents, unnest(range(0, 200 + doc_id % 57)) t(i)
         |GROUP BY doc_id ORDER BY id""".stripMargin,
+    // closed-form replay of the synthetic generator's header fields;
+    // the byte_len base constant is DERIVED from the generator at
+    // oracle-build time, so it cannot drift
+    "multimodal_video_meta" ->
+      s"""SELECT doc_id AS id,
+         |  CAST(160 + (doc_id % 8) * 16 AS INT) AS width,
+         |  CAST(120 + (doc_id % 5) * 24 AS INT) AS height,
+         |  30 + doc_id % 91 AS n_frames,
+         |  20000 + (doc_id % 7) * 5000 AS usec_per_frame,
+         |  ${MultimodalOps.syntheticAviBaseLen} + 2 * (doc_id % 32) AS byte_len
+         |FROM documents ORDER BY id""".stripMargin,
     "events_props_hist" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS i0,
         |count(*) AS value FROM events GROUP BY 1

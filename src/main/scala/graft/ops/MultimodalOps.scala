@@ -9,11 +9,13 @@ import org.apache.spark.sql.functions._
   * Spark-side machinery — schema, batch iteration, partition sizing — is
   * real and tested. IMAGES decode for real via [[ImageIoCodec]] (the
   * JDK's `javax.imageio` PNG/JPEG/BMP/GIF readers — no native libs) and
-  * AUDIO via [[AudioCodec]] (`javax.sound.sampled` WAV/PCM); VIDEO stays
-  * STUBBED ([[StubCodec]] derives deterministic fake features from
-  * bytes) because neither the JDK nor this container ships a video
-  * decoder. Swap `StubCodec` for a real JNI/library codec without
-  * touching the pipeline shape.
+  * AUDIO via [[AudioCodec]] (`javax.sound.sampled` WAV/PCM); VIDEO
+  * container METADATA parses for real ([[extractVideoMeta]], a RIFF/AVI
+  * chunk walk) while frame PIXEL decode stays STUBBED ([[StubCodec]]
+  * derives deterministic fake features from bytes) because neither the
+  * JDK nor this container ships a video bitstream decoder. Swap
+  * `StubCodec` for a real JNI/library codec without touching the
+  * pipeline shape.
   *
   * Scale notes: decode runs in `mapPartitions` (one codec init per
   * partition, not per row); blobs never shuffle — features are extracted
@@ -338,6 +340,140 @@ object MultimodalOps {
       }
     }
   }
+
+  /** Parsed video-container metadata (no pixel decode — see
+    * [[extractVideoMeta]]). `usecPerFrame` is the container's exact
+    * integer frame interval (fps = 1e6 / usecPerFrame). */
+  final case class VideoMeta(id: Long, width: Int, height: Int,
+    nFrames: Long, usecPerFrame: Long, byteLen: Long, checksum: Long)
+
+  /** REAL video CONTAINER parsing: walk the RIFF/AVI chunk tree
+    * (Microsoft's public AVI RIFF form) to the `avih` MainAVIHeader and
+    * read dimensions, total frames, and the exact per-frame interval —
+    * the metadata a pipeline needs for frame-sampling plans, duration
+    * filters, and resolution buckets, extracted WITHOUT any frame
+    * decode. Frame PIXEL decode remains honestly stubbed
+    * ([[StubCodec]]): the JDK ships container parsers for images/audio
+    * but no video bitstream decoder, and this container has no ffmpeg.
+    * This closes the metadata half for real: the parser reads actual
+    * container bytes (chunk walk, not fixed offsets), and the
+    * corruption contract matches the other codecs — bad magic,
+    * truncation mid-chunk, and a missing `avih` all surface as
+    * [[CorruptPayloadException]].
+    *
+    * Scale shape: identical to [[extractFeatures]] — mapPartitions,
+    * header-only reads (the first KB of each blob), blobs never
+    * shuffle; only the 7-scalar meta rows move. */
+  def extractVideoMeta(media: Dataset[MediaRow],
+      onCorrupt: CorruptPolicy = CorruptPolicy.Fail)
+      (implicit spark: SparkSession): Dataset[VideoMeta] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        try Some(parseAviMeta(r.id, r.payload, r.mediaType))
+        catch {
+          case e: CorruptPayloadException => onCorrupt match {
+            case CorruptPolicy.Fail => throw e
+            case CorruptPolicy.Skip => None
+          }
+        }
+      }
+    }
+  }
+
+  private def u32le(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL)) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+  private def fourcc(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** RIFF/AVI chunk walk to the MainAVIHeader. Public layout: `RIFF`
+    * size `AVI ` then chunks; `LIST` chunks carry a 4-byte form type
+    * then sub-chunks; `avih` holds 14 little-endian u32s starting with
+    * dwMicroSecPerFrame; dwTotalFrames/dwWidth/dwHeight at u32 offsets
+    * 4/8/9. */
+  private[graft] def parseAviMeta(id: Long, payload: Array[Byte],
+      mediaType: String): VideoMeta = {
+    if (payload == null)
+      throw new CorruptPayloadException(id, "null payload")
+    if (payload.length < 24)
+      throw new CorruptPayloadException(id,
+        s"payload too short for a RIFF header: ${payload.length} bytes")
+    if (fourcc(payload, 0) != "RIFF" || fourcc(payload, 8) != "AVI ")
+      throw new CorruptPayloadException(id,
+        s"not a RIFF/AVI container: ${fourcc(payload, 0)}/${fourcc(payload, 8)}")
+    val riffEnd = math.min(payload.length.toLong, 8L + u32le(payload, 4))
+    // walk top-level chunks; descend into LIST/hdrl for avih
+    def findAvih(pos0: Long, end: Long): Option[Int] = {
+      var pos = pos0
+      while (pos + 8 <= end) {
+        val cc = fourcc(payload, pos.toInt)
+        val sz = u32le(payload, pos.toInt + 4)
+        if (pos + 8 + sz > payload.length)
+          throw new CorruptPayloadException(id,
+            s"truncated chunk $cc at $pos: declares $sz bytes")
+        if (cc == "LIST" && sz >= 4 &&
+            fourcc(payload, pos.toInt + 8) == "hdrl") {
+          val r = findAvih(pos + 12, pos + 8 + sz)
+          if (r.isDefined) return r
+        } else if (cc == "avih") {
+          if (sz < 56)
+            throw new CorruptPayloadException(id,
+              s"avih chunk too small: $sz bytes")
+          return Some(pos.toInt + 8)
+        }
+        pos += 8 + sz + (sz & 1L) // chunks are word-aligned
+      }
+      None
+    }
+    val at = findAvih(12L, riffEnd).getOrElse(
+      throw new CorruptPayloadException(id, "no avih header in container"))
+    VideoMeta(id,
+      width = u32le(payload, at + 32).toInt,
+      height = u32le(payload, at + 36).toInt,
+      nFrames = u32le(payload, at + 16),
+      usecPerFrame = u32le(payload, at),
+      byteLen = payload.length.toLong,
+      checksum = byteChecksum(payload))
+  }
+
+  /** Deterministic synthetic AVI container: a well-formed RIFF tree
+    * (hdrl LIST with a 56-byte avih + a movi LIST with one `00dc`
+    * chunk of 2·(id mod 32) filler bytes). Every header field is a
+    * closed form of `id`, so the oracle replays
+    * [[extractVideoMeta]] without touching bytes:
+    * width = 160 + (id%8)·16, height = 120 + (id%5)·24,
+    * frames = 30 + id%91, usecPerFrame = 20000 + (id%7)·5000,
+    * byteLen = [[syntheticAviBaseLen]] + 2·(id%32). */
+  def syntheticAvi(id: Long): Array[Byte] = {
+    require(id >= 0, s"id must be non-negative, got $id")
+    val width = (160 + (id % 8) * 16).toInt
+    val height = (120 + (id % 5) * 24).toInt
+    val frames = (30 + id % 91).toInt
+    val uspf = (20000 + (id % 7) * 5000).toInt
+    val jlen = (2 * (id % 32)).toInt
+    val bb = java.nio.ByteBuffer.allocate(108 + jlen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def cc(s: String): Unit = bb.put(s.getBytes(
+      java.nio.charset.StandardCharsets.US_ASCII))
+    cc("RIFF"); bb.putInt(100 + jlen); cc("AVI ")
+    cc("LIST"); bb.putInt(68); cc("hdrl")
+    cc("avih"); bb.putInt(56)
+    bb.putInt(uspf); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+    bb.putInt(frames); bb.putInt(0); bb.putInt(1); bb.putInt(0)
+    bb.putInt(width); bb.putInt(height)
+    bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+    cc("LIST"); bb.putInt(12 + jlen); cc("movi")
+    cc("00dc"); bb.putInt(jlen)
+    bb.put(new Array[Byte](jlen))
+    bb.array()
+  }
+
+  /** byteLen of [[syntheticAvi]] at zero filler — derived, not
+    * hardcoded, so the oracle constant cannot drift from the
+    * generator. */
+  lazy val syntheticAviBaseLen: Int = syntheticAvi(0L).length
 
   /** One sampled frame of a media payload. */
   final case class FrameRow(id: Long, frameIdx: Int, payload: Array[Byte])

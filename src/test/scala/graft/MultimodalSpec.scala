@@ -230,4 +230,67 @@ class MultimodalSpec extends AnyFunSuite {
       .map(f => f.id -> f).toMap
     assert(got.forall(f => viaStub(f.id) == f))
   }
+
+  test("parseAviMeta reads real RIFF chunk tree; fields match generator") {
+    for (id <- Seq(0L, 1L, 7L, 31L, 32L, 63L, 456L)) {
+      val m = MultimodalOps.parseAviMeta(id,
+        MultimodalOps.syntheticAvi(id), "video/avi")
+      assert(m.width == 160 + (id % 8) * 16, s"id $id width")
+      assert(m.height == 120 + (id % 5) * 24, s"id $id height")
+      assert(m.nFrames == 30 + id % 91, s"id $id frames")
+      assert(m.usecPerFrame == 20000 + (id % 7) * 5000, s"id $id uspf")
+      assert(m.byteLen ==
+        MultimodalOps.syntheticAviBaseLen + 2 * (id % 32), s"id $id len")
+    }
+    // the parser walks chunks, it does not assume fixed offsets: a
+    // JUNK chunk inserted BEFORE the hdrl LIST must not break it
+    val base = MultimodalOps.syntheticAvi(5L)
+    val bb = java.nio.ByteBuffer.allocate(base.length + 12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(base, 0, 12) // RIFF header
+    bb.put("JUNK".getBytes("US-ASCII")); bb.putInt(4)
+    bb.put(Array[Byte](1, 2, 3, 4))
+    bb.put(base, 12, base.length - 12)
+    val shifted = bb.array()
+    // fix the RIFF size field for the inserted 12 bytes
+    val sz = java.nio.ByteBuffer.wrap(shifted, 4, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    sz.putInt(shifted.length - 8)
+    val m5 = MultimodalOps.parseAviMeta(5L, shifted, "video/avi")
+    assert(m5.width == 160 + 5 * 16 && m5.nFrames == 35L)
+  }
+
+  test("parseAviMeta corrupt contract: magic, truncation, missing avih") {
+    def corrupt(bytes: Array[Byte]): String =
+      intercept[MultimodalOps.CorruptPayloadException] {
+        MultimodalOps.parseAviMeta(9L, bytes, "video/avi")
+      }.getMessage
+    assert(corrupt(null).contains("null payload"))
+    assert(corrupt(Array[Byte](1, 2, 3)).contains("too short"))
+    assert(corrupt("RIFX".getBytes("US-ASCII") ++
+      new Array[Byte](40)).contains("not a RIFF/AVI"))
+    // truncate mid-avih: chunk declares 56 bytes it does not have
+    val good = MultimodalOps.syntheticAvi(9L)
+    assert(corrupt(good.take(40)).contains("truncated chunk"))
+    // a RIFF/AVI shell with no avih anywhere
+    val bb = java.nio.ByteBuffer.allocate(24)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(16)
+    bb.put("AVI ".getBytes("US-ASCII"))
+    bb.put("JUNK".getBytes("US-ASCII")); bb.putInt(4)
+    bb.put(Array[Byte](0, 0, 0, 0))
+    assert(corrupt(bb.array()).contains("no avih"))
+    // Skip policy drops corrupt rows instead of failing the pass
+    val media = spark.createDataset(Seq(
+      MultimodalOps.MediaRow(0L, MultimodalOps.syntheticAvi(0L), "video/avi", 0, 0),
+      MultimodalOps.MediaRow(1L, Array[Byte](9, 9, 9), "video/avi", 0, 0)))
+    val kept = MultimodalOps.extractVideoMeta(media,
+      MultimodalOps.CorruptPolicy.Skip).collect()
+    assert(kept.map(_.id).toSeq == Seq(0L))
+    val e = intercept[org.apache.spark.SparkException] {
+      MultimodalOps.extractVideoMeta(media,
+        MultimodalOps.CorruptPolicy.Fail).collect()
+    }
+    assert(e.getCause.isInstanceOf[MultimodalOps.CorruptPayloadException])
+  }
 }
