@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.cosineDescriptor)
     e.injectFunction(GraftExtensions.regularBinDescriptor)
+    e.injectFunction(GraftExtensions.mortonDescriptor)
   }
 }
 
@@ -69,11 +70,34 @@ object GraftExtensions {
         lit(args(3), "hi"))
     })
 
+  /** Catalyst mirror of [[graft.ops.LayoutOps.mortonKey2]] — the same
+    * magic-mask dilation, so the SQL surface and the DataFrame/oracle
+    * paths agree bitwise (cross-checked in OpsSpec "SQL surface"). */
+  private def mortonExpr(a: Expression, b: Expression): Expression = {
+    def spread(x0: Expression): Expression = {
+      def step(x: Expression, s: Int, m: Long): Expression =
+        BitwiseAnd(BitwiseOr(x, ShiftLeft(x, Literal(s))), Literal(m))
+      val x = BitwiseAnd(Cast(x0, LongType), Literal(0xFFFFL))
+      step(step(step(step(x, 8, 0x00FF00FFL), 4, 0x0F0F0F0FL),
+        2, 0x33333333L), 1, 0x55555555L)
+    }
+    BitwiseOr(spread(a), ShiftLeft(spread(b), Literal(1)))
+  }
+
+  private[graft] val mortonDescriptor = (
+    new FunctionIdentifier("graft_morton"),
+    new ExpressionInfo(classOf[graft.ops.LayoutOps.type].getName, "graft_morton"),
+    (args: Seq[Expression]) => {
+      require(args.size == 2, "graft_morton(a, b)")
+      mortonExpr(args(0), args(1))
+    })
+
   /** Register on an existing session (tests / driver-owned sessions). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    Seq(cosineDescriptor, regularBinDescriptor).foreach { case (id, info, builder) =>
-      reg.registerFunction(id, info, builder)
-    }
+    Seq(cosineDescriptor, regularBinDescriptor, mortonDescriptor)
+      .foreach { case (id, info, builder) =>
+        reg.registerFunction(id, info, builder)
+      }
   }
 }

@@ -343,6 +343,32 @@ class GraphTextSpec extends AnyFunSuite {
     assert(got == want, s"got ${got.take(8)}.. want ${want.take(8)}..")
   }
 
+  test("DeepWalk composition: walks -> sentences -> co-occurrence corpus") {
+    val rnd = new scala.util.Random(17)
+    val edges = Seq.fill(200)((rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+      .filter { case (a, b) => a != b }.toDF("src", "dst")
+    val starts = (0L until 20L).toDF("node")
+    val walks = GraphOps.randomWalks(edges, starts, walksPerStart = 2,
+      steps = 4, seed = 5L)
+    // stringify each walk in step order — the "sentence" a skip-gram
+    // trainer consumes
+    val docs = walks.groupBy(col("walk_id").as("doc_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("step"), col("node")))),
+        s => s.getField("node").cast("string")), " ").as("text"))
+    val pairs = TextOps.cooccurPairs(docs, window = 2, minPairs = 1L)
+      .as[(String, String, Long, Long)].collect()
+    // exact volume law: sum over walks of sum_d (len - d)
+    val lens = walks.groupBy("walk_id").count()
+      .collect().map(_.getLong(1).toInt)
+    val expected = lens.map(l =>
+      (1 to 2).map(d => math.max(l - d, 0)).sum.toLong).sum
+    assert(pairs.map(_._3).sum == expected,
+      s"pair volume ${pairs.map(_._3).sum} != $expected")
+    assert(pairs.forall { case (a, b, _, _) => a <= b })
+    assert(pairs.nonEmpty)
+  }
+
   test("randomWalks: distinct walk ids per start, reruns bit-identical") {
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
     val starts = Seq(1L, 2L).toDF("node")

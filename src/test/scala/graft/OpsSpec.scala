@@ -737,6 +737,17 @@ class OpsSpec extends AnyFunSuite {
       .select(ax.binCol(org.apache.spark.sql.functions.col("x")))
       .collect().map(_.getLong(0)).toSeq
     assert(viaSql == viaCol)
+    // graft_morton agrees bitwise with the DataFrame interleave
+    val rnd = new scala.util.Random(21)
+    val pts = Seq((0L, 0L), (65535L, 65535L)) ++
+      Seq.fill(50)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    pts.toDF("a", "b").createOrReplaceTempView("gm")
+    val viaMSql = spark.sql("SELECT graft_morton(a, b) FROM gm")
+      .collect().map(_.getLong(0)).toSeq
+    val viaMCol = pts.toDF("a", "b")
+      .select(graft.ops.LayoutOps.mortonKey2(col("a"), col("b")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaMSql == viaMCol)
   }
 
   test("multimodal stub pipeline: features deterministic, schema typed") {
