@@ -522,6 +522,33 @@ object ExtensionQueries {
       TextOps.cooccurPairs(Tables.documents(s, dir), window = 4,
         minPairs = 5L).orderBy("tok_a", "tok_b")
     },
+    // Snapshot distribution drift: per-source KL and PSI terms between
+    // the corpus and a synthetic refresh (src7 lost, src3 doubled, a
+    // brand-new srcNEW appears, every 11th doc dropped) — add-one
+    // smoothing keeps appear/disappear keys finite
+    "drift_source_dist" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val newSnap = docs
+        .filter(col("source") =!= "src7" && col("doc_id") % 11 =!= 0)
+        .unionByName(docs.filter(col("source") === "src3"))
+        .unionByName(docs.filter(col("doc_id") < 10)
+          .withColumn("source", lit("srcNEW")))
+      ProfileOps.distributionDrift(docs, newSnap, "source")
+        .orderBy("key")
+    },
+    // Numeric drift THROUGH the histogram engine: doc-length
+    // distribution binned by the same Regular axis on both engines,
+    // then the categorical drift op over bin indices (cross-module)
+    "drift_length_dist" -> { (s, dir) =>
+      val ax = Regular(12, 0.0, 600.0)
+      val docs = Tables.documents(s, dir)
+      val oldK = docs.select(ax.binCol(col("n_chars")).as("nbin"))
+      val newK = docs.withColumn("n_chars",
+          when(col("doc_id") % 7 === 0, col("n_chars") + 50)
+            .otherwise(col("n_chars")))
+        .select(ax.binCol(col("n_chars")).as("nbin"))
+      ProfileOps.distributionDrift(oldK, newK, "nbin").orderBy("key")
+    },
     // Single-scan profiling: every column's nulls/ndv/extrema/mean in
     // ONE FileScan (plan-asserted); the oracle scans per-column — the
     // engine must not. Exact-distinct mode for the oracle; HLL mode is
@@ -1451,6 +1478,22 @@ object ExtensionQueries {
     "profile_table" ->
       (ProfileOps.profileSql("lineitem", lineitemSchema) +
         "\nORDER BY col_name"),
+    "drift_length_dist" -> {
+      val ax = Regular(12, 0.0, 600.0)
+      ProfileOps.distributionDriftSql(
+        s"""SELECT ${ax.sqlExpr("n_chars")} AS key FROM documents""",
+        s"""SELECT ${ax.sqlExpr(
+            "CASE WHEN doc_id % 7 = 0 THEN n_chars + 50 ELSE n_chars END")}
+           |AS key FROM documents""".stripMargin) + "\nORDER BY key"
+    },
+    "drift_source_dist" ->
+      (ProfileOps.distributionDriftSql(
+        "SELECT source AS key FROM documents",
+        """SELECT source AS key FROM documents
+          |WHERE source <> 'src7' AND doc_id % 11 <> 0
+          |UNION ALL SELECT source FROM documents WHERE source = 'src3'
+          |UNION ALL SELECT 'srcNEW' FROM documents WHERE doc_id < 10"""
+          .stripMargin) + "\nORDER BY key"),
     "text_fuzzy_join" ->
       (TextOps.fuzzyPairsSql("SELECT DISTINCT c_name AS s FROM customer") +
         "\nORDER BY s_a, s_b"),

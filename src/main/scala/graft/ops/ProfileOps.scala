@@ -128,4 +128,75 @@ object ProfileOps {
          |  $minT AS min_ts, $maxT AS max_ts
          |FROM $table""".stripMargin
     }.mkString("\nUNION ALL\n")
+
+  /** Categorical distribution DRIFT between two corpus snapshots — the
+    * dataset-health monitor a pipeline runs on every refresh (detect
+    * "the crawler lost a domain" / "one source tripled" before
+    * training). Per key: both counts, add-one-smoothed shares, the
+    * KL(p‖q) term p·ln(p/q), and the PSI term (p−q)·ln(p/q) (the
+    * industry-standard population-stability index; sum the column for
+    * the scalar index, >0.25 conventionally = major shift).
+    *
+    * Add-one smoothing over the UNION key set keeps appear/disappear
+    * keys finite (no ±∞ terms) and both shares exactly computable from
+    * integer counts: p = (c_old+1)/(n_old+K), q = (c_new+1)/(n_new+K),
+    * K = |union keys|. Operation order is pinned for the oracle twin
+    * ([[distributionDriftSql]]); ln is the usual ≤1-ulp class, rounded
+    * away at 6 dp.
+    *
+    * Scale shape: two count aggregates (key-cardinality-sized output), a
+    * full-outer join on the key, and two one-row broadcast totals —
+    * corpus rows reduce on the scan; nothing data-sized shuffles twice. */
+  def distributionDrift(oldDf: DataFrame, newDf: DataFrame,
+      keyCol: String): DataFrame = {
+    val co = oldDf.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n_old"))
+    val cn = newDf.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n_new"))
+    val joined = co.join(cn, Seq("key"), "full_outer")
+      .select(col("key"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+    val totals = broadcast(joined.agg(
+      sum(col("n_old")).as("t_old"),
+      sum(col("n_new")).as("t_new"),
+      count(lit(1)).as("k")))
+    joined.crossJoin(totals)
+      .select(col("key"), col("n_old"), col("n_new"),
+        ((col("n_old") + lit(1L)).cast("double") /
+          (col("t_old") + col("k")).cast("double")).as("p"),
+        ((col("n_new") + lit(1L)).cast("double") /
+          (col("t_new") + col("k")).cast("double")).as("q"))
+      .select(col("key"), col("n_old"), col("n_new"),
+        round(col("p"), 9).as("p"), round(col("q"), 9).as("q"),
+        round(col("p") * log(col("p") / col("q")), 6).as("kl_term"),
+        round((col("p") - col("q")) * log(col("p") / col("q")), 6).as("psi_term"))
+  }
+
+  /** DuckDB twin of [[distributionDrift]] over `oldCte` / `newCte`
+    * (each yielding a `key` column): identical smoothing, identical
+    * operation order, identical rounding. */
+  def distributionDriftSql(oldCte: String, newCte: String): String =
+    s"""WITH co AS (
+       |  SELECT key, count(*) AS n_old FROM ($oldCte) GROUP BY 1),
+       |cn AS (
+       |  SELECT key, count(*) AS n_new FROM ($newCte) GROUP BY 1),
+       |j AS (
+       |  SELECT COALESCE(co.key, cn.key) AS key,
+       |    COALESCE(n_old, 0) AS n_old, COALESCE(n_new, 0) AS n_new
+       |  FROM co FULL OUTER JOIN cn ON co.key = cn.key),
+       |t AS (
+       |  SELECT CAST(sum(n_old) AS BIGINT) AS t_old,
+       |    CAST(sum(n_new) AS BIGINT) AS t_new, count(*) AS k FROM j),
+       |s AS (
+       |  SELECT key, n_old, n_new,
+       |    CAST(n_old + 1 AS DOUBLE) / CAST(t_old + k AS DOUBLE) AS p,
+       |    CAST(n_new + 1 AS DOUBLE) / CAST(t_new + k AS DOUBLE) AS q
+       |  FROM j CROSS JOIN t)
+       |SELECT key, CAST(n_old AS BIGINT) AS n_old,
+       |  CAST(n_new AS BIGINT) AS n_new,
+       |  round(p, 9) AS p, round(q, 9) AS q,
+       |  round(p * ln(p / q), 6) AS kl_term,
+       |  round((p - q) * ln(p / q), 6) AS psi_term
+       |FROM s""".stripMargin
 }

@@ -455,6 +455,37 @@ class PipelineOpsSpec extends AnyFunSuite {
       6L -> "added"))
   }
 
+  test("distributionDrift: zero on identical, positive PSI on shifts") {
+    val old = (Seq.fill(40)("a") ++ Seq.fill(40)("b") ++ Seq.fill(20)("c"))
+      .toDF("k")
+    // identical snapshots: p == q exactly -> every term exactly 0
+    val same = ProfileOps.distributionDrift(old, old, "k")
+      .as[(String, Long, Long, Double, Double, Double, Double)].collect()
+    assert(same.forall { case (_, _, _, p, q, kl, psi) =>
+      p == q && kl == 0.0 && psi == 0.0 })
+    // c disappears, d appears, a doubles
+    val nw = (Seq.fill(80)("a") ++ Seq.fill(40)("b") ++ Seq.fill(20)("d"))
+      .toDF("k")
+    val got = ProfileOps.distributionDrift(old, nw, "k")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(5), r.getDouble(6)))).toMap
+    assert(got.keySet == Set("a", "b", "c", "d"))
+    assert(got("c")._1 == 20L && got("c")._2 == 0L)
+    assert(got("d")._1 == 0L && got("d")._2 == 20L)
+    // PSI terms are nonnegative by construction ((p-q) and ln(p/q)
+    // share sign); disappear/appear/shift keys are strictly positive
+    assert(got.values.forall(_._4 >= 0.0))
+    for (k <- Seq("a", "c", "d")) assert(got(k)._4 > 0.0, s"psi($k)")
+    // KL(p||q) total over the union support is nonnegative
+    assert(got.values.map(_._3).sum >= 0.0)
+    // hand-check one term: key c, K=4 union keys -> p = (20+1)/(100+4),
+    // q = (0+1)/(140+4)
+    val p = 21.0 / 104.0; val q = 1.0 / 144.0
+    assert(math.abs(got("c")._3 -
+      BigDecimal(p * math.log(p / q)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) < 2e-6)
+  }
+
   test("cooccurPairs: hand-checked window pairs, exact integer weights") {
     val docs = Seq((0L, "a b a c")).toDF("doc_id", "text")
     val got = TextOps.cooccurPairs(docs, window = 2, minPairs = 1L)
