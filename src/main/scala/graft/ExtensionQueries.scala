@@ -877,6 +877,14 @@ object ExtensionQueries {
       HistAlgebra.quantiles(spec, h, Seq(0.5, 0.9, 0.99)).orderBy("q")
     },
     // Weekly cohort retention triangle (first-activity cohort × offset)
+    // First-order Markov transitions over per-user event streams: the
+    // "after signup, where do users go" path matrix (one user-keyed
+    // shuffle, lead window, type^2-bounded output)
+    "events_transitions" -> { (s, dir) =>
+      FunnelOps.eventTransitions(
+          graft.sources.Sources.eventsWithTimestamp(s, dir))
+        .orderBy("from_type", "to_type")
+    },
     "events_retention" -> { (s, dir) =>
       val ev = graft.sources.Sources.eventsWithTimestamp(s, dir)
         .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
@@ -1646,6 +1654,8 @@ object ExtensionQueries {
          |  FROM g2 GROUP BY 1),
          |${HistAlgebra.quantilesVariableSql(funnelGapAxis, Seq(0.5, 0.9, 0.99))}
          |ORDER BY q""".stripMargin,
+    "events_transitions" ->
+      (FunnelOps.eventTransitionsSql() + "\nORDER BY from_type, to_type"),
     "events_retention" ->
       (FunnelOps.retentionCohortsSql(604800000000L, 4) +
         " ORDER BY cohort, \"offset\""),

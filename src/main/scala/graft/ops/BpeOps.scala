@@ -509,4 +509,40 @@ object BpeOps {
        |FROM p GROUP BY 1, 2
        |ORDER BY pair_freq DESC, l, r LIMIT $k""".stripMargin
   }
+
+  /** Persist a trained merge list as a parquet sidecar (rank, left,
+    * right) — the tokenizer-vocabulary artifact of the "train once,
+    * apply to every snapshot" contract (the [[graft.ops.SimilarityOps]]
+    * PqIndex / inverted-index amortization discipline applied to
+    * tokenizers). Rank IS the merge priority; a reload must see the
+    * exact ordered list or downstream token ids silently shift, so
+    * [[readMerges]] validates contiguity and fails loudly on a
+    * truncated or duplicated sidecar. */
+  def writeMerges(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[(String, String)], path: String): Unit = {
+    require(merges.nonEmpty, "refusing to write an empty merge list")
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case ((l, r), i) => (i, l, r) }
+      .toDF("rank", "left", "right")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[writeMerges]] sidecar back into the ordered merge list.
+    * Fails loudly on rank gaps/duplicates (a damaged vocabulary must
+    * never silently tokenize differently). */
+  def readMerges(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(String, String)] = {
+    val rows = spark.read.parquet(path)
+      .select("rank", "left", "right")
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    require(rows.nonEmpty, s"empty merge sidecar at $path")
+    require(rows.map(_._1).toSeq == rows.indices.toSeq,
+      s"merge sidecar ranks not contiguous 0..${rows.length - 1} at $path")
+    require(rows.forall(r => r._2 != null && r._3 != null),
+      s"null merge symbol in sidecar at $path")
+    rows.map(r => (r._2, r._3)).toSeq
+  }
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-sequence analytics over user event streams: ordered funnels and
@@ -220,6 +221,59 @@ object FunnelOps {
     * Scale: first-activity and per-bucket-activity are both
     * user-cardinality aggregates of the event scan; the retention join
     * moves (user, bucket) pairs only. */
+  /** First-order Markov transition matrix over per-user event streams:
+    * for each ordered (event_type → next event_type) adjacency in a
+    * user's timeline, the count and the conditional probability
+    * `p = c(a→b) / c(a→·)` — the path-analysis view product/behavior
+    * pipelines compute next to funnels ("after signup, where do users
+    * actually go"), and the event-sequence analog of the bigram LM.
+    *
+    * Ordering is (ts, event_id) so simultaneous events break ties
+    * deterministically on both engines. `p` rounds at 9dp (single
+    * division of exact integers — the engine-portable ratio class).
+    *
+    * 100 TB shape: ONE shuffle on user_id, per-user sort bounded by
+    * that user's own stream (a hyperactive user costs their own log n,
+    * never a global sort); adjacent pairs come from a `lead` window —
+    * no self-join; the transition relation is event-type² at most,
+    * broadcast-sized, and the row-count aggregate re-reduces the same
+    * pair relation. */
+  def eventTransitions(events: DataFrame, minCount: Long = 1L): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+    val counts = pairs.groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+    val fromTotals = counts.groupBy("from_type").agg(sum(col("n")).as("n_from"))
+    counts.join(fromTotals, Seq("from_type"))
+      .filter(col("n") >= minCount)
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("n_from").cast("double"), 9)
+          .as("p"))
+  }
+
+  /** DuckDB twin of [[eventTransitions]]: identical (ts, event_id)
+    * ordering, identical single-division rounding. */
+  def eventTransitionsSql(minCount: Long = 1L): String =
+    s"""WITH pairs AS (
+       |  SELECT event_type AS from_type,
+       |    lead(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS to_type
+       |  FROM events),
+       |c AS (
+       |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+       |  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2),
+       |ft AS (
+       |  SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from FROM c GROUP BY 1)
+       |SELECT from_type, to_type, n,
+       |  round(CAST(n AS DOUBLE) / CAST(n_from AS DOUBLE), 9) AS p
+       |FROM c JOIN ft USING (from_type)
+       |WHERE n >= $minCount""".stripMargin
+
   def retentionCohorts(events: DataFrame, bucketUs: Long, maxOffset: Int,
       userCol: String = "user_id", tsCol: String = "ts_us"): DataFrame = {
     require(bucketUs > 0, "bucketUs must be positive")

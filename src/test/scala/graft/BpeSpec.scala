@@ -290,4 +290,26 @@ class BpeSpec extends AnyFunSuite {
       .getAs[scala.collection.Seq[String]](0).toSeq
     assert(twice == Seq("aaa", "</w>"))
   }
+
+  test("merge sidecar roundtrips; damaged sidecars fail loudly") {
+    val docs = Seq((0L, "low lower lowest newest newer new")).toDF("doc_id", "text")
+    val merges = BpeOps.train(docs, 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-merges").toString
+    BpeOps.writeMerges(spark, merges, dir)
+    val back = BpeOps.readMerges(spark, dir)
+    assert(back == merges, s"roundtrip: $back vs $merges")
+    // tokenization through the reloaded list is bit-identical
+    val a = BpeOps.tokenize(docs, merges).collect().map(_.toString).toSeq
+    val b = BpeOps.tokenize(docs, back).collect().map(_.toString).toSeq
+    assert(a == b)
+    // a truncated sidecar (rank gap) must refuse to load
+    import org.apache.spark.sql.functions.col
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-merges2").toString
+    spark.read.parquet(dir).filter(col("rank") =!= 2)
+      .write.mode("overwrite").parquet(dir2)
+    val e = intercept[IllegalArgumentException] {
+      BpeOps.readMerges(spark, dir2)
+    }
+    assert(e.getMessage.contains("not contiguous"))
+  }
 }

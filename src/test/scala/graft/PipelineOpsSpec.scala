@@ -455,6 +455,29 @@ class PipelineOpsSpec extends AnyFunSuite {
       6L -> "added"))
   }
 
+  test("eventTransitions: adjacency counts, row-stochastic, tie order") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val ev = Seq(
+      (1L, ts(10), 1L, "a"), (2L, ts(20), 1L, "b"), (3L, ts(30), 1L, "a"),
+      (4L, ts(10), 2L, "a"), (5L, ts(20), 2L, "b"),
+      // user 3: two simultaneous events — event_id breaks the tie
+      (6L, ts(10), 3L, "x"), (7L, ts(10), 3L, "y"), (8L, ts(20), 3L, "z"),
+      (9L, ts(5), 4L, "solo")) // single event: no transition
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = FunnelOps.eventTransitions(ev)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got == Map(
+      ("a", "b") -> ((2L, 1.0)),       // both a->b users
+      ("b", "a") -> ((1L, 1.0)),       // only user 1 continues past b
+      ("x", "y") -> ((1L, 1.0)), ("y", "z") -> ((1L, 1.0))), s"got $got")
+    // row-stochastic: per from_type the probabilities sum to 1
+    val rows = got.toSeq.groupBy(_._1._1)
+      .map { case (_, xs) => xs.map(_._2._2).sum }
+    assert(rows.forall(s => math.abs(s - 1.0) < 1e-9))
+  }
+
   test("distributionDrift: zero on identical, positive PSI on shifts") {
     val old = (Seq.fill(40)("a") ++ Seq.fill(40)("b") ++ Seq.fill(20)("c"))
       .toDF("k")
