@@ -266,15 +266,15 @@ object Examples {
   }
 
   /** Exact-similarity-join soak on the planted near-dup corpus: every
-    * 4th doc is its predecessor with one word changed (token Jaccard
-    * 12/14 ≈ 0.857 > 0.8). Reports candidate volume (the pruning
-    * bound), verified pairs (exactly n/4 — recall 1.0 by construction),
-    * and throughput. */
+    * 4th doc is its predecessor with one word changed (3-shingle
+    * Jaccard 10/12 ≈ 0.833 > 0.8). Reports candidate volume (the
+    * pruning bound), verified pairs (exactly n/4 — recall 1.0 by
+    * construction), and throughput. */
   private def simjoinSoak(spark: SparkSession, nDocs: Long): Unit = {
     val docs = nearDupDocs(spark, nDocs)
     val t0 = System.nanoTime()
     val (cand, res) = graft.ops.DedupOps.jaccardJoinInternals(
-      docs, 0.8, "text", "doc_id")
+      docs, 0.8, 3, "text", "doc_id")
     val nCand = cand.count()
     val nRes = res.count()
     val sec = (System.nanoTime() - t0) / 1e9

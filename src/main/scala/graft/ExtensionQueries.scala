@@ -2085,9 +2085,7 @@ object ExtensionQueries {
     * `comp(doc_id, component)`. Used by the keep-decision oracle and the
     * cluster-size-histogram oracle. */
   private def jaccardCompCtes(tau: Double): String =
-    s"""tok AS (
-       |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
-       |  FROM documents),
+    s"""tok AS (${DedupOps.shinglesSqlCte(jaccardK)}),
        |sz AS (SELECT doc_id, count(*) AS size FROM tok GROUP BY 1),
        |inter AS (
        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i

@@ -3,14 +3,18 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftShims
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
 /** Coarse-quantizer assignment for IVF-style ANN: index/indices of the
   * nearest centroid(s) by squared L2 distance. Centroid matrix lives in
   * the operator (same rationale as [[HyperplaneSig]]: literal-tree
-  * expression encodings of k×d constants make Catalyst the bottleneck).
+  * expression encodings of k×d constants make Catalyst the bottleneck)
+  * and ships into generated code via `addReferenceObj` — the expression
+  * is fully codegen'd (an earlier CodegenFallback version made the
+  * interpreted per-row eval the dominant cost of every encode pass:
+  * ann_pq_topk spent ~4 s/run in boxed argmin loops).
   *
   * Centroid entries are INTEGERS and the input embedding is quantized with
   * [[HyperplaneSig.QuantScale]] (floor(v·scale + 0.5)), so the whole
@@ -26,7 +30,7 @@ import org.apache.spark.sql.types._
   * corpus assignment, >1 for query-side multi-probe).
   */
 case class NearestCentroid(child: Expression, centroids: Array[Array[Long]],
-    nprobe: Int, scale: Double) extends UnaryExpression with CodegenFallback {
+    nprobe: Int, scale: Double) extends UnaryExpression {
 
   require(centroids.nonEmpty && nprobe >= 1 && nprobe <= centroids.length)
   require(scale > 0, "quantization scale must be positive")
@@ -40,8 +44,33 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Long]],
     case t => throw new IllegalArgumentException(s"unsupported embedding type $t")
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    NearestCentroid.assign(input.asInstanceOf[ArrayData], centroids, nprobe,
+      scale, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cents = ctx.addReferenceObj("centroids", centroids, "long[][]")
+    val fl = if (isFloat) "true" else "false"
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.NearestCentroid.assign(
+         |  $c, $cents, $nprobe, $scale, $fl);""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(c: Expression): NearestCentroid =
+    copy(child = c)
+}
+
+object NearestCentroid {
+  def apply(embedding: Column, centroids: Array[Array[Long]], nprobe: Int): Column =
+    GraftShims.toColumn(
+      NearestCentroid(GraftShims.toExpression(embedding), centroids, nprobe,
+        HyperplaneSig.QuantScale))
+
+  /** Shared by interpreted eval and generated code: quantize, exact-Long
+    * squared distances, selection of the `nprobe` smallest with
+    * ties-to-lower-id — primitive loops, no boxing, no sort. */
+  def assign(arr: ArrayData, centroids: Array[Array[Long]], nprobe: Int,
+      scale: Double, isFloat: Boolean): ArrayData = {
     val n = arr.numElements()
     val dim = centroids(0).length
     if (n != dim) {
@@ -55,9 +84,10 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Long]],
     } else {
       while (i < n) { q(i) = math.floor(arr.getDouble(i) * scale + 0.5).toLong; i += 1 }
     }
-    val d2 = new Array[Long](centroids.length)
+    val k = centroids.length
+    val d2 = new Array[Long](k)
     var c = 0
-    while (c < centroids.length) {
+    while (c < k) {
       val ct = centroids(c)
       var s = 0L
       var j = 0
@@ -65,18 +95,23 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Long]],
       d2(c) = s
       c += 1
     }
-    // indices of nprobe smallest distances (ties -> lower centroid id)
-    val idx = d2.indices.sortBy(i => (d2(i), i)).take(nprobe).toArray
-    new GenericArrayData(idx)
+    // nprobe smallest by (distance, id): repeated strict-min selection —
+    // the first occurrence of the minimum IS the lowest id
+    val out = new Array[Int](nprobe)
+    val used = new Array[Boolean](k)
+    var p = 0
+    while (p < nprobe) {
+      var best = -1
+      var bestD = Long.MaxValue
+      var c2 = 0
+      while (c2 < k) {
+        if (!used(c2) && d2(c2) < bestD) { best = c2; bestD = d2(c2) }
+        c2 += 1
+      }
+      used(best) = true
+      out(p) = best
+      p += 1
+    }
+    new GenericArrayData(out)
   }
-
-  override protected def withNewChildInternal(c: Expression): NearestCentroid =
-    copy(child = c)
-}
-
-object NearestCentroid {
-  def apply(embedding: Column, centroids: Array[Array[Long]], nprobe: Int): Column =
-    GraftShims.toColumn(
-      NearestCentroid(GraftShims.toExpression(embedding), centroids, nprobe,
-        HyperplaneSig.QuantScale))
 }

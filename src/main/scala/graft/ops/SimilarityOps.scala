@@ -609,19 +609,14 @@ object SimilarityOps {
   /** The per-query ADC lookup table as a flat array<long> column: entry
     * j·k + c = exact integer ||q_j − book(j)(c)||² (same quantization as
     * NearestCentroid, so encode and search live on one grid). */
-  private def pqLut(cb: Array[Array[Array[Long]]], sub: Int): Column = {
-    val scale = graft.functions.HyperplaneSig.QuantScale
-    def qLane(i: Int): Column =
-      floor(element_at(col("embedding"), i + 1).cast("double") * scale + 0.5)
-        .cast("long")
-    array((for (j <- cb.indices; c <- cb(j).indices) yield {
-      val cent = cb(j)(c)
-      (0 until sub).map { l =>
-        val d = qLane(j * sub + l) - lit(cent(l))
-        d * d
-      }.reduce(_ + _)
-    }): _*)
-  }
+  private[graft] def pqLutForTest(dim: Int, m: Int, k: Int, seed: Long): Column =
+    pqLut(pqCodebooks(m, k, dim, seed), dim / m)
+
+  /** Native operator-held-state LUT ([[graft.functions.PqLut]]): the
+    * earlier literal-tree form (m·k·sub arithmetic nodes) cost seconds
+    * of optimizer/codegen time per query run. */
+  private def pqLut(cb: Array[Array[Array[Long]]], sub: Int): Column =
+    graft.functions.PqLut(col("embedding"), cb)
 
   /** Σ_j lut[j·k + codes[j]] — m codegen'd element_at's. */
   private def pqAdc(m: Int, k: Int): Column =

@@ -486,14 +486,27 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"recall $recall") // same regime as IVF ANN above
   }
 
-  test("profile: one FileScan for all columns; values exact; schema match") {
+  test("profile: bounded scans for all columns; values exact; schema match") {
     import spark.implicits._
     val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
     val prof = ProfileOps.profile(li)
-    // THE scale property: C columns profiled, exactly ONE scan
+    // THE scale property: C columns profiled in exactly TWO scans
+    // (hash-friendly Expand branch + sort-based extrema branch — one
+    // combined agg drags the expanded relation through SortAggregate,
+    // the measured 5.5x cliff)
     val plan = prof.queryExecution.executedPlan.toString
     val nScans = "Scan parquet".r.findAllIn(plan).size
-    assert(nScans == 1, s"profile must be a single scan, plan has $nScans")
+    assert(nScans == 2, s"exact profile must be two scans, plan has $nScans")
+    // and no SortAggregate may sit above the Expand
+    def hasExpand(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      p.collectWithSubqueries {
+        case e: org.apache.spark.sql.execution.ExpandExec => e }.nonEmpty
+    val badSortAggs = prof.queryExecution.executedPlan.collectWithSubqueries {
+      case s: org.apache.spark.sql.execution.aggregate.SortAggregateExec
+        if hasExpand(s) => s
+    }
+    assert(badSortAggs.isEmpty,
+      s"SortAggregate over the Expand branch: $badSortAggs")
     val rows = prof.collect().map(r => r.getString(0) -> r).toMap
     assert(rows.keySet == li.schema.fields.map(_.name).toSet)
     val n = li.count()
@@ -532,21 +545,22 @@ class OpsSpec extends AnyFunSuite {
 
   test("jaccardJoin: prefix filter lossless vs unpruned join; boundary pair kept") {
     import spark.implicits._
-    // boundary construction: B = first 18 tokens of A's 20 => B ⊂ A,
-    // J = 18/20 = 0.9 exactly — must survive at tau = 0.9
-    val aToks = (1 to 20).map(i => s"w$i")
+    // boundary construction AT SHINGLE GRANULARITY: A = t1..t21
+    // (19 3-shingles), B = t1..t20 + u (19 shingles, 18 shared) =>
+    // J = 18/(19+19-18) = 0.9 exactly — must survive at tau = 0.9
+    val aToks = (1 to 21).map(i => s"w$i")
     val planted = Seq(
       (9001L, aToks.mkString(" ")),
-      (9002L, aToks.take(18).mkString(" "))).toDF("doc_id", "text")
+      (9002L, (aToks.take(20) :+ "u9").mkString(" "))).toDF("doc_id", "text")
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
       .select($"doc_id", $"text").unionByName(planted)
     val tau = 0.9
     val got = DedupOps.jaccardJoin(docs, tau).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got.contains((9001L, 9002L)), "exact-boundary J=0.9 pair dropped")
-    // unpruned reference join computed directly in Spark
-    val tok = docs.select($"doc_id",
-      explode(split($"text", " ")).as("tok")).distinct()
+    // unpruned reference join computed directly in Spark, same shingles
+    val tok = DedupOps.shingles(docs, 3)
+      .withColumnRenamed("shingle", "tok")
     val sz = tok.groupBy("doc_id").agg(count(lit(1)).as("size"))
     val brute = tok.select($"doc_id".as("doc_a"), $"tok")
       .join(tok.select($"doc_id".as("doc_b"), $"tok"), Seq("tok"))
