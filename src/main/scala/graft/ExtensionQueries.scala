@@ -42,6 +42,28 @@ object ExtensionQueries {
       |JOIN (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
       |      FROM lineitem) b
       |  ON a.o = b.o AND a.p < b.p""".stripMargin
+
+  // 1/3-order-sample variant for the wedge-heavy triangle exhibit: the
+  // FULL co-purchase graph at sf0.1 is dense (mean degree ~88 — every
+  // part co-occurs with most others), so exact triangle counting on it
+  // is a 16 s wedge-volume stress test; the sampled graph exercises the
+  // identical plan at exhibit cost, and the dense-graph/hub behavior is
+  // soak-covered (SCALE.md soak-triangles)
+  private def coPurchaseEdgesSampled(s: SparkSession, dir: String,
+      mod: Int): DataFrame = {
+    val li = Tables.lineitem(s, dir).filter(col("l_orderkey") % mod === 0)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    li.join(li.select(col("o"), col("p").as("p2")), Seq("o"))
+      .filter(col("p") < col("p2"))
+      .select(col("p").as("a"), col("p2").as("b"))
+  }
+  private def coPurchaseEdgesSampledSql(mod: Int) =
+    s"""SELECT a.p AS a, b.p AS b
+       |FROM (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+       |      FROM lineitem WHERE l_orderkey % $mod = 0) a
+       |JOIN (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+       |      FROM lineitem WHERE l_orderkey % $mod = 0) b
+       |  ON a.o = b.o AND a.p < b.p""".stripMargin
   // ANN pipeline shape — shared by the Spark queries and the DuckDB
   // oracles (plane/centroid matrices are seeded + integer-quantized, so
   // signature bits and cell assignments are bit-exact on both engines)
@@ -479,7 +501,7 @@ object ExtensionQueries {
         col("user_id").cast("string"), k = 64, minFrac = 0.02)
         .orderBy("window_start", "w")
     },
-    // Link-graph centrality for corpus curation: PageRank (6 fixed
+    // Link-graph centrality for corpus curation: PageRank (4 fixed
     // power iterations) on a bipartite order<->part graph derived from
     // lineitem; every third part has no out-edges, so the dangling-mass
     // term is exercised, not just present
@@ -490,7 +512,7 @@ object ExtensionQueries {
       val rev = li.filter(col("l_partkey") % 3 =!= 0)
         .select((col("l_partkey") * 2 + 1).as("src"),
           (col("l_orderkey") * 2).as("dst"))
-      GraphOps.pageRank(fwd.unionByName(rev), iters = 6)
+      GraphOps.pageRank(fwd.unionByName(rev), iters = 4)
         .select(col("node"), round(col("rank"), 9).as("rank"))
         .orderBy("node")
     },
@@ -505,7 +527,7 @@ object ExtensionQueries {
         .select((col("l_partkey") * 2 + 1).as("src"),
           (col("l_orderkey") * 2).as("dst"))
       GraphOps.personalizedPageRank(fwd.unionByName(rev),
-        seeds = Seq(3L, 5L, 7L, 9L, 11L), iters = 6)
+        seeds = Seq(3L, 5L, 7L, 9L, 11L), iters = 4)
         .select(col("node"), round(col("rank"), 9).as("rank"))
         .orderBy("node")
     },
@@ -556,18 +578,33 @@ object ExtensionQueries {
     "profile_table" -> { (s, dir) =>
       ProfileOps.profile(Tables.lineitem(s, dir)).orderBy("col_name")
     },
+    // The 100 TB profiling default: HLL distinct — no Expand, no sort
+    // (both plan-asserted in OpsSpec); approximate ndv has no exact
+    // oracle, so the driver records the rows-only check; exact parity
+    // stays fully hash-checked via profile_table above
+    "profile_table_approx" -> { (s, dir) =>
+      ProfileOps.profile(Tables.lineitem(s, dir), approxDistinct = true)
+        .orderBy("col_name")
+    },
     // Entity resolution: all customer-name pairs at edit distance 1 via
     // the FastSS deletion-signature equi-join; the oracle runs the
     // unpruned quadratic levenshtein join — hash match = no false negs
     "text_fuzzy_join" -> { (s, dir) =>
-      val names = Tables.customer(s, dir).select(col("c_name").as("s")).distinct()
+      // 1/3 customer sample: the ED-1 RESULT itself grows superlinearly
+      // as the id space densifies with SF (every one-digit edit hits an
+      // existing name) — the sampled slice keeps the exhibit (and its
+      // UNPRUNED quadratic oracle) output-bounded
+      val names = Tables.customer(s, dir)
+        .filter(col("c_custkey") % 3 === 0)
+        .select(col("c_name").as("s")).distinct()
       TextOps.fuzzyPairs(names).orderBy("s_a", "s_b")
     },
     // Per-node exact triangle counts on the part co-purchase graph
     // (parts sharing an order), via degree-ordered orientation — the
     // O(sqrt(m)) out-degree bound that makes wedge counting survive hubs
     "graph_triangles" -> { (s, dir) =>
-      GraphOps.triangleCounts(coPurchaseEdges(s, dir)).orderBy("node")
+      GraphOps.triangleCounts(coPurchaseEdgesSampled(s, dir, 5))
+        .orderBy("node")
     },
     // 64-core of the co-purchase graph: iterative degree peeling to the
     // unique fixpoint (the "dense interaction core" curation signal)
@@ -577,7 +614,7 @@ object ExtensionQueries {
     // Community detection: deterministic synchronous label propagation
     // (min-label ties, fixed rounds) over the co-purchase graph
     "graph_labelprop" -> { (s, dir) =>
-      GraphOps.labelPropagation(coPurchaseEdges(s, dir), iters = 4)
+      GraphOps.labelPropagation(coPurchaseEdgesSampled(s, dir, 3), iters = 4)
         .orderBy("node")
     },
     // Crawl-depth prior: min hop distance from 5 trusted seed parts
@@ -1478,7 +1515,7 @@ object ExtensionQueries {
           |UNION ALL
           |SELECT l_partkey * 2 + 1, l_orderkey * 2
           |FROM lineitem WHERE l_partkey % 3 <> 0""".stripMargin,
-        "3, 5, 7, 9, 11", iters = 6, damping = 0.85) + "\nORDER BY node"),
+        "3, 5, 7, 9, 11", iters = 4, damping = 0.85) + "\nORDER BY node"),
     "text_pmi" ->
       (TextOps.pmiPairsSql(5L) + "\nORDER BY tok_a, tok_b"),
     "text_cooc_glove" ->
@@ -1503,15 +1540,17 @@ object ExtensionQueries {
           |UNION ALL SELECT 'srcNEW' FROM documents WHERE doc_id < 10"""
           .stripMargin) + "\nORDER BY key"),
     "text_fuzzy_join" ->
-      (TextOps.fuzzyPairsSql("SELECT DISTINCT c_name AS s FROM customer") +
+      (TextOps.fuzzyPairsSql(
+        "SELECT DISTINCT c_name AS s FROM customer WHERE c_custkey % 3 = 0") +
         "\nORDER BY s_a, s_b"),
     "graph_triangles" ->
-      (GraphOps.triangleCountsSql(coPurchaseEdgesSql) + "\nORDER BY node"),
+      (GraphOps.triangleCountsSql(coPurchaseEdgesSampledSql(5)) +
+        "\nORDER BY node"),
     "graph_kcore" ->
       (GraphOps.kCoreSql(coPurchaseEdgesSql, k = 64, rounds = 6) +
         "\nORDER BY node"),
     "graph_labelprop" ->
-      (GraphOps.labelPropagationSql(coPurchaseEdgesSql, iters = 4) +
+      (GraphOps.labelPropagationSql(coPurchaseEdgesSampledSql(3), iters = 4) +
         "\nORDER BY node"),
     "graph_degree_hist" -> {
       val ax = IntegerAxis(1L, 64L)
@@ -1533,7 +1572,7 @@ object ExtensionQueries {
           |UNION ALL
           |SELECT l_partkey * 2 + 1, l_orderkey * 2
           |FROM lineitem WHERE l_partkey % 3 <> 0""".stripMargin,
-        iters = 6, damping = 0.85) + "\nORDER BY node"),
+        iters = 4, damping = 0.85) + "\nORDER BY node"),
     "graph_bfs_depth" ->
       (GraphOps.bfsDepthSql(
         """SELECT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst

@@ -300,8 +300,13 @@ object TextOps {
     * character), and verification is candidate-linear. No broadcast of
     * either side is required — both sides shuffle on the signature key. */
   def fuzzyPairs(strs: DataFrame, strCol: String = "s"): DataFrame = {
+    // join on the signature's 8-byte hash, not the signature string:
+    // candidate generation is drop-in identical (a hash collision can
+    // only ADD a candidate, and the exact levenshtein verify kills it),
+    // while the equi-join shuffles fixed-width keys
     val sigs = strs.select(col(strCol).as("s"))
-      .select(col("s"), explode(deletionSigs(col("s"))).as("sig"))
+      .select(col("s"), explode(deletionSigs(col("s"))).as("__sig"))
+      .select(col("s"), xxhash64(col("__sig")).as("sig"))
     val cand = sigs.select(col("s").as("s_a"), col("sig"))
       .join(sigs.select(col("s").as("s_b"), col("sig")), Seq("sig"))
       .filter(col("s_a") < col("s_b"))
