@@ -465,17 +465,22 @@ object GraphOps {
     import spark.implicits._
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .distinct().localCheckpoint(eager = false)
+    // lazy checkpoints: fixed-depth BFS branches each frontier/visited
+    // at most twice (next level + output), so one action materializes
+    // each level once — maxDepth levels in ONE job, not 2·maxDepth
+    // eager jobs (see randomWalks; convergence loops stay eager)
     var visited = seeds.toDF("node")
-      .select(col("node"), lit(0L).as("depth")).localCheckpoint()
-    var frontier = visited.select("node").localCheckpoint()
+      .select(col("node"), lit(0L).as("depth"))
+      .localCheckpoint(eager = false)
+    var frontier = visited.select("node").localCheckpoint(eager = false)
     for (t <- 1 to maxDepth) {
       frontier = frontier.join(e, frontier("node") === e("src"))
         .select(col("dst").as("node")).distinct()
         .join(visited.select("node"), Seq("node"), "left_anti")
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       visited = visited
         .unionByName(frontier.select(col("node"), lit(t.toLong).as("depth")))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
     }
     visited
   }
@@ -564,13 +569,20 @@ object GraphOps {
     for (t <- 1 to steps) {
       val hv = pmod(pmod(col("walk_id"), lit(p)) * lit(WalkA)
         + lit(t.toLong * WalkB) + lit(seed), lit(p))
+      // LAZY checkpoint: fixed-depth expansion has branching factor 1
+      // (hop k feeds hop k+1 once + the output union once), so one
+      // final action materializes each frontier exactly once into its
+      // cache — `steps` hops run as ONE job instead of `steps` eager
+      // jobs (measured ~0.7 s/job of scheduling constant at sf0.1).
+      // Convergence LOOPS (components, kCore, pageRank's multi-branch
+      // rounds) keep the eager form — their recompute trees grow.
       frontier = frontier
         .join(deg, frontier("node") === deg("src"))
         .select(col("walk_id"), col("node").as("src"),
           pmod(hv, col("outdeg")).as("idx"))
         .join(ew, Seq("src", "idx"))
         .select(col("walk_id"), col("dst").as("node"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       out += frontier.select(col("walk_id"), lit(t.toLong).as("step"), col("node"))
     }
     out.reduce(_ unionByName _)
