@@ -679,6 +679,40 @@ object SimilarityOps {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
+  /** INCREMENTAL index maintenance: encode a new vector batch with the
+    * index's OWN books/centroids (read from the sidecar — never
+    * retrained, so old and new codes live on one quantization grid) and
+    * append its (vec_id, cell, codes) rows into the cell partition
+    * directories. The incremental-dedup discipline applied to search:
+    * the existing corpus is never re-read, never re-encoded; a nightly
+    * embedding batch costs ONE narrow pass over the new rows. Searches
+    * against the appended index are identical to a full rebuild with
+    * the same books (test-pinned). Caller contract: new vec_ids must
+    * not collide with existing ones (same as every id-keyed relation
+    * here). Quantizer drift is the documented trade: appends reuse the
+    * frozen coarse centroids, so cell balance degrades only as the
+    * data distribution drifts — the point where production retrains and
+    * rebuilds (a full [[buildPqIndex]] + [[writePqIndex]]). */
+  def appendToPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      newVectors: DataFrame): Unit = {
+    val idx = readPqIndex(spark, path)
+    val m = idx.books.length
+    val sub = idx.books(0)(0).length
+    val dim = m * sub
+    val codes = (0 until m).map { j =>
+      element_at(graft.functions.NearestCentroid(
+        slice(col("embedding"), j * sub + 1, sub), idx.books(j), 1), 1)
+    }
+    spread(newVectors).select(col("vec_id"),
+        element_at(graft.functions.NearestCentroid(col("embedding"),
+          idx.centroids, 1), 1).as("cell"),
+        array(codes: _*).as("codes"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/data")
+    // dim sanity ride-along: a wrong-width batch must fail the encode,
+    // not silently truncate (NearestCentroid raises on mismatch)
+    require(dim == idx.centroids(0).length, "sidecar dim inconsistency")
+  }
+
   def readPqIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): PqIndex = {
     val raw = spark.read.parquet(s"$path/books").collect()

@@ -93,4 +93,60 @@ object StreamingHist {
   def windowedQuantiles(spec: HistSpec, h: DataFrame,
       qs: Seq[Double]): DataFrame =
     HistAlgebra.quantilesBy(spec, h, qs, Seq("window"))
+
+  /** Per-window categorical counts — the streaming half of the drift
+    * monitor (works on batch and streaming inputs alike; add a
+    * watermark upstream for state eviction; state is keys × open
+    * windows). */
+  def windowedKeyCounts(df: DataFrame, tsCol: Column,
+      windowDuration: String, keyCol: Column): DataFrame =
+    df.groupBy(window(tsCol, windowDuration).as("window"),
+        keyCol.as("key"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Streaming DRIFT monitor finisher: each window's key distribution
+    * vs a static REFERENCE distribution (key, n) — per (window, key)
+    * KL(ref‖win) and PSI terms with the same add-one smoothing as
+    * [[graft.ops.ProfileOps.distributionDrift]], smoothed over each
+    * window's union key set, so appear/disappear keys stay finite.
+    * The alert a live ingest pipeline wants: "this hour's source mix
+    * stopped looking like the corpus we trained on".
+    *
+    * Chained streaming aggregations aren't allowed, so apply this
+    * OUTSIDE the stream — in a `foreachBatch` over [[windowedKeyCounts]]
+    * or on the complete/update-mode sink table (the
+    * [[windowedQuantiles]] composition); the input is keys × open
+    * windows sized, never data-sized. */
+  def windowDrift(winCounts: DataFrame, reference: DataFrame): DataFrame = {
+    // pin the (tiny: keys × open windows) counts relation once — the
+    // grid construction references it three ways, and a raw self-join
+    // through the union trips attribute-resolution conflicts
+    val wc = winCounts.select(col("window"), col("key"),
+      col("n").as("n_win")).localCheckpoint(eager = false)
+    val ref = reference.select(col("key"), col("n").as("n_ref"))
+    val wins = wc.select("window").distinct()
+    val grid = wins.crossJoin(broadcast(ref.select("key")))
+      .unionByName(wc.select("window", "key"))
+      .distinct()
+    val j = grid
+      .join(wc, Seq("window", "key"), "left")
+      .join(broadcast(ref), Seq("key"), "left")
+      .select(col("window"), col("key"),
+        coalesce(col("n_win"), lit(0L)).as("n_win"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"))
+    val totals = j.groupBy("window").agg(
+      sum(col("n_win")).as("t_win"),
+      sum(col("n_ref")).as("t_ref"),
+      count(lit(1)).as("k"))
+    j.join(totals, Seq("window"))
+      .select(col("window"), col("key"), col("n_ref"), col("n_win"),
+        ((col("n_ref") + lit(1L)).cast("double") /
+          (col("t_ref") + col("k")).cast("double")).as("p"),
+        ((col("n_win") + lit(1L)).cast("double") /
+          (col("t_win") + col("k")).cast("double")).as("q"))
+      .select(col("window"), col("key"), col("n_ref"), col("n_win"),
+        round(col("p"), 9).as("p"), round(col("q"), 9).as("q"),
+        round(col("p") * log(col("p") / col("q")), 6).as("kl_term"),
+        round((col("p") - col("q")) * log(col("p") / col("q")), 6).as("psi_term"))
+  }
 }

@@ -407,6 +407,33 @@ class OpsSpec extends AnyFunSuite {
     assert(viaIndex == fresh)
   }
 
+  test("appendToPqIndex: incremental batch == full rebuild; old never re-read") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter($"vec_id" < 10)
+    val half1 = emb.filter($"vec_id" % 2 === 0)
+    val half2 = emb.filter($"vec_id" % 2 =!= 0)
+    // index over half the corpus, then append the other half
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-inc").toString
+    SimilarityOps.writePqIndex(SimilarityOps.buildPqIndex(half1, 64), dir)
+    SimilarityOps.appendToPqIndex(spark, dir, half2)
+    val viaAppended = SimilarityOps.pqTopKIndexed(q,
+        SimilarityOps.readPqIndex(spark, dir), 5)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    // reference: one-shot index over the full corpus (same seeded books)
+    val dirFull = java.nio.file.Files.createTempDirectory("graft-pq-fullref").toString
+    SimilarityOps.writePqIndex(SimilarityOps.buildPqIndex(emb, 64), dirFull)
+    val viaFull = SimilarityOps.pqTopKIndexed(q,
+        SimilarityOps.readPqIndex(spark, dirFull), 5)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(viaAppended == viaFull,
+      "appended index diverges from a full rebuild")
+    // append encodes ONLY the new batch: row counts add up exactly
+    val n = spark.read.parquet(s"$dir/data").count()
+    assert(n == emb.count(), s"appended index has $n rows")
+  }
+
   test("LSH near-dup stats match driver-side brute force with planted dups") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     // plant a near-copy of every vector: tiny bump on dim 0 -> sim ~0.9999,

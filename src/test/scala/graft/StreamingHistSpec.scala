@@ -167,6 +167,52 @@ class StreamingHistSpec extends AnyFunSuite {
     assert(got == batch)
   }
 
+  test("streamed window drift == batch; shifted window flags positive PSI") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sdrift").toFile
+    // hour 0 matches the reference mix (2:1:1 a/b/c); hour 1 loses c and
+    // overweights a — that window must show strictly more PSI mass
+    val data =
+      (Seq.fill(50)("a") ++ Seq.fill(25)("b") ++ Seq.fill(25)("c")).map(k =>
+        (java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), k)) ++
+      (Seq.fill(80)("a") ++ Seq.fill(20)("b")).map(k =>
+        (java.sql.Timestamp.valueOf("2024-01-01 01:10:00"), k))
+    val batchDf = data.toDF("ts", "key")
+    batchDf.coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    val reference = Seq(("a", 200L), ("b", 100L), ("c", 100L)).toDF("key", "n")
+
+    def driftMap(counts: org.apache.spark.sql.DataFrame) =
+      StreamingHist.windowDrift(counts, reference)
+        .select($"window.start".cast("long").as("w"), $"key", $"n_win",
+          $"psi_term", $"kl_term")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1)) ->
+          ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+
+    val batch = driftMap(StreamingHist.windowedKeyCounts(
+      batchDf, $"ts", "1 hour", $"key"))
+
+    val streamIn = spark.readStream.schema(batchDf.schema).parquet(dir.toString)
+      .withWatermark("ts", "2 hours")
+    val q = StreamingHist.windowedKeyCounts(streamIn, $"ts", "1 hour", $"key")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("drift_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = driftMap(spark.table("drift_stream"))
+    assert(streamed == batch)
+    // window 0 mirrors the reference mix exactly -> near-zero PSI terms;
+    // window 1's lost key c appears with n_win = 0 and positive PSI
+    val w0 = batch.keys.map(_._1).min
+    val w1 = batch.keys.map(_._1).max
+    assert(w0 != w1)
+    val psi0 = batch.collect { case ((w, _), (_, psi, _)) if w == w0 => psi }.sum
+    val psi1 = batch.collect { case ((w, _), (_, psi, _)) if w == w1 => psi }.sum
+    assert(psi1 > psi0 + 0.1, s"shifted window PSI $psi1 !>> $psi0")
+    assert(batch((w1, "c"))._1 == 0L && batch((w1, "c"))._2 > 0.0)
+    // PSI terms are nonnegative by construction
+    assert(batch.values.forall(_._2 >= 0.0))
+  }
+
   test("streamed windowed KMV distinct == batch windowed estimate") {
     val dir = java.nio.file.Files.createTempDirectory("graft-skmv").toFile
     val data = Seq.tabulate(400) { i =>
