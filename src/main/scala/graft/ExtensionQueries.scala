@@ -1031,6 +1031,17 @@ object ExtensionQueries {
         .groupBy("split", "lang").agg(count(lit(1)).as("n"))
         .orderBy("split", "lang")
     },
+    // LEAKAGE-SAFE splits: near-dup CLUSTERS route to one split (hash
+    // the cluster representative, not the doc id) — a near-copy of a
+    // training doc can never land in val/test; the split-leakage bug
+    // that silently inflates eval. Pairs-never-straddle is test-pinned;
+    // the full (doc_id -> split) map is hash-checked here
+    "dataset_splits_safe" -> { (s, dir) =>
+      val keep = DedupOps.jaccardDedupKeep(Tables.documents(s, dir), tau = 0.9)
+      keep.select(col("doc_id"),
+          PipelineOps.hashSplit(col("keep_id")).as("split"))
+        .orderBy("doc_id")
+    },
     // Per-domain quota cap: deterministic pseudo-random top-N per
     // (lang, source) shard; digest = count + kept-id checksum
     "text_domain_cap" -> { (s, dir) =>
@@ -1366,6 +1377,13 @@ object ExtensionQueries {
       s"""SELECT ${PipelineOps.hashSplitSql("doc_id")} AS split, lang,
          |count(*) AS n FROM documents GROUP BY 1, 2
          |ORDER BY split, lang""".stripMargin,
+    "dataset_splits_safe" ->
+      s"""WITH RECURSIVE ${jaccardCompCtes(0.9)},
+         |keep AS (
+         |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS keep_id
+         |  FROM documents d LEFT JOIN comp c USING (doc_id))
+         |SELECT doc_id, ${PipelineOps.hashSplitSql("keep_id")} AS split
+         |FROM keep ORDER BY doc_id""".stripMargin,
     "text_domain_cap" ->
       (PipelineOps.domainCapStatsSql(20) + " ORDER BY lang, source"),
     "text_chunks" ->

@@ -455,6 +455,27 @@ class PipelineOpsSpec extends AnyFunSuite {
       6L -> "added"))
   }
 
+  test("leakage-safe splits: near-dup pairs never straddle a split") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text")
+    val keep = DedupOps.jaccardDedupKeep(docs, tau = 0.9)
+    val split = keep.select($"doc_id",
+        PipelineOps.hashSplit($"keep_id").as("split"))
+      .as[(Long, String)].collect().toMap
+    val pairs = DedupOps.jaccardJoin(docs, tau = 0.9)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty, "fixture has no near-dup pairs to test")
+    for ((a, b) <- pairs)
+      assert(split(a) == split(b), s"pair ($a,$b) straddles splits")
+    // and the naive doc_id split DOES straddle some pair on this corpus
+    // (otherwise this operator tests nothing)
+    val naive = docs.select($"doc_id",
+        PipelineOps.hashSplit($"doc_id").as("split"))
+      .as[(Long, String)].collect().toMap
+    assert(pairs.exists { case (a, b) => naive(a) != naive(b) },
+      "fixture too easy: naive split also leak-free")
+  }
+
   test("eventTransitions: adjacency counts, row-stochastic, tie order") {
     import java.sql.Timestamp
     def ts(s: Long) = new Timestamp(s * 1000L)
