@@ -340,6 +340,15 @@ object ExtensionQueries {
       SimilarityOps.hardNegatives(emb.filter(col("vec_id") < 10), emb, annK)
         .orderBy("query_id", "rank")
     },
+    // The SCALE path for hard-negative mining: LSH candidates (label-
+    // blind) -> label-inequality filter -> exact re-rank; no linear scan
+    "ann_hard_negatives_lsh" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      SimilarityOps.hardNegativesLsh(emb.filter(col("vec_id") < 10), emb,
+        dim = annDim, k = annK, bands = lshBands,
+        rowsPerBand = lshRowsPerBand, seed = annSeed)
+        .orderBy("query_id", "rank")
+    },
     // LSH-bucketed ANN (scale path; full oracle via integer-quantized
     // hyperplanes; recall vs brute force additionally checked in tests)
     "ann_lsh_topk" -> { (s, dir) =>
@@ -1342,6 +1351,7 @@ object ExtensionQueries {
     "text_token_entropy" ->
       (TextOps.tokenEntropySql() + " ORDER BY doc_id"),
     "ann_lsh_topk" -> lshTopkOracleSql(),
+    "ann_hard_negatives_lsh" -> lshHardNegOracleSql(),
     "ann_ivf_topk" -> ivfTopkOracleSql(),
     "ann_pq_topk" -> pqTopkOracleSql(),
     "ann_ivfpq_topk" -> ivfPqTopkOracleSql(),
@@ -1963,6 +1973,31 @@ object ExtensionQueries {
          |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
          |  FROM sigs q JOIN sigs c USING (b, sig)
          |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)""".stripMargin)
+  }
+
+  /** [[lshTopkOracleSql]] with the label-inequality filter inside the
+    * candidate CTE — the hard-negatives scale-path twin. */
+  private def lshHardNegOracleSql(): String = {
+    val planes = graft.functions.HyperplaneSig.planeMatrix(
+      annDim, lshBands, lshRowsPerBand, annSeed)
+    annRerankSql(
+      s"""WITH planes(pi, pv) AS (VALUES ${longMatrixValues(planes)}),
+         |qv AS (SELECT vec_id, $quantListSql AS q FROM embeddings),
+         |dots AS (
+         |  SELECT vec_id, pi, list_dot_product(q, pv) AS dot
+         |  FROM qv CROSS JOIN planes),
+         |sigs AS (
+         |  SELECT vec_id, pi // $lshRowsPerBand AS b,
+         |    CAST(sum(CASE WHEN dot >= 0
+         |      THEN (1 << (pi % $lshRowsPerBand)) ELSE 0 END) AS BIGINT) AS sig
+         |  FROM dots GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |  FROM sigs q JOIN sigs c USING (b, sig)
+         |  JOIN embeddings eq ON eq.vec_id = q.vec_id
+         |  JOIN embeddings ec ON ec.vec_id = c.vec_id
+         |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+         |    AND eq.label <> ec.label)""".stripMargin)
   }
 
   /** Full IVF-ANN oracle: identical seeded integer centroids as VALUES,

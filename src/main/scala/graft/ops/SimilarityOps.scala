@@ -406,6 +406,37 @@ object SimilarityOps {
       .select("query_id", "neighbor_id", "sim", "rank")
   }
 
+  /** The SCALE path for [[hardNegatives]]: LSH-bucketed candidate
+    * generation (the [[annTopK]] machinery, label-blind) with the
+    * label-inequality filter applied BEFORE the exact re-rank — at
+    * corpus scale the linear scan goes away and mining cost tracks
+    * bucket-collision volume. Recall inherits annTopK's band/bits
+    * trade (tested against the brute form on real embeddings);
+    * same-label collisions are dropped post-candidate, so k negatives
+    * come back whenever enough other-label candidates collide. */
+  def hardNegativesLsh(queries: DataFrame, corpus: DataFrame, dim: Int,
+      k: Int, bands: Int = 8, rowsPerBand: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val qs = explodeSigs(lshSignatures(queries, dim, bands, rowsPerBand, seed), "query_id")
+    val cs = explodeSigs(lshSignatures(spread(corpus), dim, bands, rowsPerBand, seed), "neighbor_id")
+    val cand = broadcast(qs).join(cs, Seq("b", "sig"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val scored = cand
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("label").as("qlabel"), col("embedding").as("qe"))), Seq("query_id"))
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nlabel"), col("embedding").as("ce")), Seq("neighbor_id"))
+      .filter(col("qlabel") =!= col("nlabel"))
+      .withColumn("sim", round(cosine(col("qe"), col("ce")), 6))
+      .filter(!isnan(col("sim")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "sim", "rank")
+  }
+
   // ---- covariance / PCA -------------------------------------------------
   /** Upper-triangle covariance matrix of the embedding column, one
     * distributed pass over lanes quantized to integers:

@@ -317,6 +317,23 @@ class OpsSpec extends AnyFunSuite {
     assert(hn == naive, s"diff ${hn.diff(naive)} / ${naive.diff(hn)}")
   }
 
+  test("hardNegativesLsh recall vs brute hard negatives") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter($"vec_id" < 20)
+    val brute = SimilarityOps.hardNegatives(q, emb, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the random-embedding regime needs wider bands (see the LSH ANN
+    // recall test above): 16 bands x 4 bits
+    val lsh = SimilarityOps.hardNegativesLsh(q, emb, dim = 64, k = 5,
+        bands = 16, rowsPerBand = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.5, s"hard-negative LSH recall $recall")
+    // label contract: every returned pair is other-label
+    val labels = emb.select("vec_id", "label").as[(Long, Int)].collect().toMap
+    assert(lsh.forall { case (a, b) => labels(a) != labels(b) })
+  }
+
   test("LSH ANN recall vs brute force on real embeddings") {
     // random synthetic embeddings have weak top-k structure (cos ~0.3-0.5);
     // 16 bands x 4 bits targets that regime. The 8x8 default targets the
