@@ -145,13 +145,13 @@ object ExtensionQueries {
     // the oracle runs the UNPRUNED full token join, so a hash match
     // certifies the prefix+size pruning is lossless
     "dedup_jaccard_join" -> { (s, dir) =>
-      DedupOps.jaccardJoin(Tables.documents(s, dir), tau = 0.9)
+      DedupOps.jaccardJoin(Tables.documents(s, dir), tau = 0.9, k = jaccardK)
         .orderBy("doc_a", "doc_b")
     },
     // EXACT end-to-end keep decision: exact pairs -> components ->
     // min-id election — the compliance-grade dedup (no LSH recall term)
     "dedup_jaccard_keep" -> { (s, dir) =>
-      DedupOps.jaccardDedupKeep(Tables.documents(s, dir), tau = 0.9)
+      DedupOps.jaccardDedupKeep(Tables.documents(s, dir), tau = 0.9, k = jaccardK)
         .orderBy("doc_id")
     },
     // Dedup-cluster size distribution THROUGH the hist engine
@@ -160,7 +160,7 @@ object ExtensionQueries {
     // mega-clusters — the curation dashboard for "how duplicated is
     // this corpus")
     "dedup_cluster_size_hist" -> { (s, dir) =>
-      val keep = DedupOps.jaccardDedupKeep(Tables.documents(s, dir), tau = 0.9)
+      val keep = DedupOps.jaccardDedupKeep(Tables.documents(s, dir), tau = 0.9, k = jaccardK)
       val sizes = keep.groupBy("keep_id").agg(count(lit(1)).as("csize"))
       val spec = HistSpec(Seq(IntegerAxis(1L, 16L)), Int64Storage)
       Hist.fill(spec, sizes, Seq(col("csize"))).orderBy("i0")
@@ -1046,7 +1046,7 @@ object ExtensionQueries {
     // that silently inflates eval. Pairs-never-straddle is test-pinned;
     // the full (doc_id -> split) map is hash-checked here
     "dataset_splits_safe" -> { (s, dir) =>
-      val keep = DedupOps.jaccardDedupKeep(Tables.documents(s, dir), tau = 0.9)
+      val keep = DedupOps.jaccardDedupKeep(Tables.documents(s, dir), tau = 0.9, k = jaccardK)
       keep.select(col("doc_id"),
           PipelineOps.hashSplit(col("keep_id")).as("split"))
         .orderBy("doc_id")
@@ -1242,7 +1242,7 @@ object ExtensionQueries {
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
     "dedup_jaccard_join" ->
-      (DedupOps.jaccardJoinSql(0.9) + "\nORDER BY doc_a, doc_b"),
+      (DedupOps.jaccardJoinSql(0.9, jaccardK) + "\nORDER BY doc_a, doc_b"),
     "dedup_jaccard_keep" -> jaccardKeepOracleSql(0.9),
     "dedup_containment_join" ->
       (DedupOps.containmentJoinSql(0.8) + "\nORDER BY doc_a, doc_b"),

@@ -179,7 +179,13 @@ object ProfileOps {
     *
     * Scale shape: two count aggregates (key-cardinality-sized output), a
     * full-outer join on the key, and two one-row broadcast totals —
-    * corpus rows reduce on the scan; nothing data-sized shuffles twice. */
+    * corpus rows reduce on the scan; nothing data-sized shuffles twice.
+    *
+    * NULL keys follow SQL join semantics on BOTH engines (null does not
+    * equal null in the full-outer join), so a null key in both
+    * snapshots surfaces as TWO rows rather than one matched row —
+    * normalize nulls upstream (coalesce to a sentinel) if they carry
+    * meaning in your key domain. */
   def distributionDrift(oldDf: DataFrame, newDf: DataFrame,
       keyCol: String): DataFrame = {
     val co = oldDf.groupBy(col(keyCol).as("key"))
