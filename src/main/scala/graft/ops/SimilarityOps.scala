@@ -640,9 +640,6 @@ object SimilarityOps {
   /** The per-query ADC lookup table as a flat array<long> column: entry
     * j·k + c = exact integer ||q_j − book(j)(c)||² (same quantization as
     * NearestCentroid, so encode and search live on one grid). */
-  private[graft] def pqLutForTest(dim: Int, m: Int, k: Int, seed: Long): Column =
-    pqLut(pqCodebooks(m, k, dim, seed), dim / m)
-
   /** Native operator-held-state LUT ([[graft.functions.PqLut]]): the
     * earlier literal-tree form (m·k·sub arithmetic nodes) cost seconds
     * of optimizer/codegen time per query run. */
