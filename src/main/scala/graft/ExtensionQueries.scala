@@ -553,6 +553,19 @@ object ExtensionQueries {
       TextOps.cooccurPairs(Tables.documents(s, dir), window = 4,
         minPairs = 5L).orderBy("tok_a", "tok_b")
     },
+    // Dataset CARD: the per-source datasheet row a released corpus
+    // ships with — volume, token mass, language spread, exact-dup rate
+    // — one grouped aggregate, every stat exact
+    "dataset_card" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(size(split(col("text"), " ", -1)).cast("long")).as("sum_tokens"),
+          (count(lit(1)) - countDistinct(col("text"))).as("n_exact_dups"))
+        .orderBy("source")
+    },
     // Snapshot distribution drift: per-source KL and PSI terms between
     // the corpus and a synthetic refresh (src7 lost, src3 doubled, a
     // brand-new srcNEW appears, every 11th doc dropped) — add-one
@@ -1551,6 +1564,13 @@ object ExtensionQueries {
     "profile_table" ->
       (ProfileOps.profileSql("lineitem", lineitemSchema) +
         "\nORDER BY col_name"),
+    "dataset_card" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+        |  CAST(count(*) - count(DISTINCT text) AS BIGINT) AS n_exact_dups
+        |FROM documents GROUP BY 1 ORDER BY source""".stripMargin,
     "drift_length_dist" -> {
       val ax = Regular(12, 0.0, 600.0)
       ProfileOps.distributionDriftSql(
