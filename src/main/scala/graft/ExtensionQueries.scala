@@ -546,6 +546,12 @@ object ExtensionQueries {
       TextOps.pmiPairs(Tables.documents(s, dir), minCount = 5L)
         .orderBy("tok_a", "tok_b")
     },
+    // Positional PMI: the window-bounded collocation estimator over
+    // the GloVe pair relation (vs text_pmi's document-level counts)
+    "text_pmi_positional" -> { (s, dir) =>
+      TextOps.positionalPmi(Tables.documents(s, dir), window = 4,
+        minPairs = 5L).orderBy("tok_a", "tok_b")
+    },
     // GloVe co-occurrence statistic: positional window-4 pairs with
     // 1/d discount held EXACT as lcm-scaled integers (w12 = sum 12/d) —
     // pair generation is slice+zip on the scan, no self-join
@@ -1561,6 +1567,8 @@ object ExtensionQueries {
       (TextOps.pmiPairsSql(5L) + "\nORDER BY tok_a, tok_b"),
     "text_cooc_glove" ->
       (TextOps.cooccurPairsSql(4, 5L) + "\nORDER BY tok_a, tok_b"),
+    "text_pmi_positional" ->
+      (TextOps.positionalPmiSql(4, 5L) + "\nORDER BY tok_a, tok_b"),
     "profile_table" ->
       (ProfileOps.profileSql("lineitem", lineitemSchema) +
         "\nORDER BY col_name"),

@@ -442,6 +442,66 @@ object TextOps {
        |FROM pairs GROUP BY 1, 2 HAVING count(*) >= $minPairs""".stripMargin
   }
 
+  /** POSITIONAL PMI: pointwise mutual information over the windowed
+    * pair relation ([[cooccurPairs]]' occurrences, unweighted) instead
+    * of document-level co-occurrence ([[pmiPairs]]) — the collocation
+    * estimator word-embedding evaluations use (window-bounded, so
+    * "York" pairs with "New", not with everything in the page):
+    * `pmi = ln(N · c_ab / (m_a · m_b))` with c_ab = windowed pair
+    * occurrences, m = symmetric marginals, N = total pair occurrences.
+    * Self-pairs count twice in their own marginal (the symmetric-fold
+    * convention, identical in the oracle). All counts exact integers;
+    * one division + ln, rounded at 6.
+    *
+    * Scale shape: inherits [[cooccurPairs]]' no-self-join generation;
+    * marginals re-aggregate the pair relation (vocab-sized), the total
+    * rides a one-row broadcast. */
+  def positionalPmi(docs: DataFrame, window: Int = 4, minPairs: Long = 5L,
+      textCol: String = "text"): DataFrame = {
+    val pairs = cooccurPairs(docs, window, minPairs = 1L, textCol)
+      .select("tok_a", "tok_b", "n_pairs")
+    val sym = pairs.select(col("tok_a").as("tok"), col("n_pairs"))
+      .unionByName(pairs.select(col("tok_b").as("tok"), col("n_pairs")))
+    val marg = sym.groupBy("tok").agg(sum(col("n_pairs")).as("m"))
+    val tot = pairs.agg(sum(col("n_pairs")).as("n"))
+    pairs.filter(col("n_pairs") >= minPairs)
+      .join(marg.select(col("tok").as("tok_a"), col("m").as("m_a")), Seq("tok_a"))
+      .join(marg.select(col("tok").as("tok_b"), col("m").as("m_b")), Seq("tok_b"))
+      .crossJoin(broadcast(tot))
+      .select(col("tok_a"), col("tok_b"), col("n_pairs"),
+        round(log((col("n") * col("n_pairs")).cast("double") /
+          (col("m_a") * col("m_b"))), 6).as("pmi"))
+  }
+
+  /** DuckDB twin of [[positionalPmi]]: [[cooccurPairsSql]]'s pair
+    * relation + identical marginals, single division + ln + 6dp. */
+  def positionalPmiSql(window: Int = 4, minPairs: Long = 5L): String = {
+    val branches = (1 to window).map { d =>
+      s"""  SELECT least(ts[i], ts[i + $d]) AS tok_a,
+         |    greatest(ts[i], ts[i + $d]) AS tok_b
+         |  FROM ipos WHERE i + $d <= len(ts)""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH ts0 AS (SELECT string_split(text, ' ') AS ts FROM documents),
+       |ipos AS (
+       |  SELECT ts, unnest(range(1, len(ts) + 1)) AS i FROM ts0),
+       |praw AS (
+       |$branches),
+       |pairs AS (
+       |  SELECT tok_a, tok_b, CAST(count(*) AS BIGINT) AS n_pairs
+       |  FROM praw GROUP BY 1, 2),
+       |marg AS (
+       |  SELECT tok, CAST(sum(n_pairs) AS BIGINT) AS m FROM (
+       |    SELECT tok_a AS tok, n_pairs FROM pairs
+       |    UNION ALL SELECT tok_b, n_pairs FROM pairs) GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS n FROM pairs)
+       |SELECT tok_a, tok_b, n_pairs,
+       |  round(ln(CAST(tot.n * n_pairs AS DOUBLE) / (ma.m * mb.m)), 6) AS pmi
+       |FROM pairs CROSS JOIN tot
+       |JOIN marg ma ON tok_a = ma.tok
+       |JOIN marg mb ON tok_b = mb.tok
+       |WHERE n_pairs >= $minPairs""".stripMargin
+  }
+
   // ---- TF-IDF keyword extraction ----------------------------------------
   /** Per-document top-k keywords by TF-IDF — the standard "what is this
     * document about" signal used for topic tagging, cluster naming, and

@@ -547,6 +547,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(w1.forall { case (_, _, n, w) => w == 12L * n })
   }
 
+  test("positionalPmi: hand-checked values, perfect-collocation zero") {
+    // "a b a b": window 1 -> 3 (a,b) pair occurrences; marginals 3 and 3,
+    // N = 3 -> pmi = ln(3*3/(3*3)) = 0 exactly (a and b ONLY occur
+    // together: no association signal beyond their frequency)
+    val d1 = Seq((0L, "a b a b")).toDF("doc_id", "text")
+    val g1 = TextOps.positionalPmi(d1, window = 1, minPairs = 1L)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(g1 == Seq(("a", "b", 3L, 0.0)), s"got $g1")
+    // add an unrelated pair: (a,b) now carries positive PMI because the
+    // corpus total N grew while its marginals did not
+    val d2 = Seq((0L, "a b a b"), (1L, "x y")).toDF("doc_id", "text")
+    val g2 = TextOps.positionalPmi(d2, window = 1, minPairs = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3))
+      .toMap
+    val want = BigDecimal(math.log(4.0 * 3 / (3 * 3))).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(g2(("a", "b")) - want) < 2e-6, s"got ${g2(("a", "b"))}")
+    assert(g2(("x", "y")) > 0.0)
+  }
+
   // ---- Z-order layout ----
 
   test("mortonKey2 == driver-side interleave; de-interleave recovers") {
