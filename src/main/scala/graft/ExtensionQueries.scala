@@ -525,6 +525,21 @@ object ExtensionQueries {
         .select(col("node"), round(col("rank"), 9).as("rank"))
         .orderBy("node")
     },
+    // WEIGHTED PageRank: endorsement proportional to evidence strength
+    // (edge weight = shipped quantity linking order and part)
+    "graph_pagerank_weighted" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val fwd = li.select((col("l_orderkey") * 2).as("src"),
+        (col("l_partkey") * 2 + 1).as("dst"),
+        col("l_quantity").cast("long").as("w"))
+      val rev = li.filter(col("l_partkey") % 3 =!= 0)
+        .select((col("l_partkey") * 2 + 1).as("src"),
+          (col("l_orderkey") * 2).as("dst"),
+          col("l_quantity").cast("long").as("w"))
+      GraphOps.weightedPageRank(fwd.unionByName(rev), iters = 4)
+        .select(col("node"), round(col("rank"), 9).as("rank"))
+        .orderBy("node")
+    },
     // Personalized PageRank: restart into 5 seed part-nodes — mass
     // concentrates in the seeds' link neighborhood (expand-from-
     // known-good curation); unreachable nodes stay exactly 0
@@ -1637,6 +1652,16 @@ object ExtensionQueries {
           |SELECT l_partkey * 2 + 1, l_orderkey * 2
           |FROM lineitem WHERE l_partkey % 3 <> 0""".stripMargin,
         "3, 5, 7, 9, 11", maxDepth = 4) + "\nORDER BY node"),
+    "graph_pagerank_weighted" ->
+      (GraphOps.weightedPageRankSql(
+        """SELECT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst,
+          |  CAST(l_quantity AS BIGINT) AS w
+          |FROM lineitem
+          |UNION ALL
+          |SELECT l_partkey * 2 + 1, l_orderkey * 2,
+          |  CAST(l_quantity AS BIGINT)
+          |FROM lineitem WHERE l_partkey % 3 <> 0""".stripMargin,
+        iters = 4, damping = 0.85) + "\nORDER BY node"),
     "graph_walks" ->
       (GraphOps.randomWalksSql(
         """SELECT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst

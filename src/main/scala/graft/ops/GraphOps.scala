@@ -87,6 +87,98 @@ object GraphOps {
     ranks
   }
 
+  /** WEIGHTED PageRank: rank mass moves proportionally to edge weight —
+    * `contrib(v→u) = rank(v) · w(v,u) / Σ_u' w(v,u')` — the form link
+    * curation uses when edges carry evidence strength (co-occurrence
+    * counts, anchor frequency) instead of mere existence; an edge seen
+    * 100× should carry 100× the endorsement of an edge seen once.
+    *
+    * Same loop, scale shape and oracle discipline as [[pageRank]]
+    * (fixed rounds, one-row broadcast dangling aggregate, eager
+    * per-round checkpoint); the only delta is the weight normalization
+    * joined into the edge relation once, up front. Edges: (src, dst, w)
+    * with INTEGER weights (exact normalization denominators on both
+    * engines); duplicate (src, dst) rows sum their weights. Zero/
+    * negative weights are rejected — a zero-weight edge is a non-edge
+    * and must be filtered upstream, not silently carried. */
+  def weightedPageRank(edges: DataFrame, iters: Int = 4,
+      damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(damping > 0 && damping < 1, s"damping in (0,1), got $damping")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
+        col("w").cast("long"))
+      .groupBy("src", "dst").agg(sum(col("w")).as("w"))
+      .localCheckpoint(eager = false)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(eager = false)
+    val n = nodes.count()
+    require(e.filter(col("w") <= 0).isEmpty,
+      "weightedPageRank: nonpositive edge weight (filter non-edges upstream)")
+    val deg = e.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+    val ew = e.join(deg, Seq("src"))
+      .select(col("src"), col("dst"),
+        (col("w").cast("double") / col("wout").cast("double")).as("w"))
+      .localCheckpoint(eager = false)
+    val sinks = nodes.join(deg.select(col("src").as("node")), Seq("node"),
+      "left_anti").localCheckpoint(eager = false)
+    var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
+      .localCheckpoint(eager = false)
+    for (_ <- 1 to iters) {
+      val dangling = broadcast(sinks.join(ranks, Seq("node"))
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm")))
+      val contribs = ew.join(ranks, ew("src") === ranks("node"))
+        .groupBy(col("dst"))
+        .agg(sum(col("w") * col("rank")).as("c"))
+      ranks = nodes.join(contribs, nodes("node") === contribs("dst"), "left")
+        .crossJoin(dangling)
+        .select(col("node"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * (coalesce(col("c"), lit(0.0)) +
+              col("dm") / lit(n.toDouble))).as("rank"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
+  /** DuckDB twin of [[weightedPageRank]]: [[pageRankSql]]'s unrolled
+    * rounds with the weight-normalized edge relation; `edgesCte` yields
+    * (src, dst, w). */
+  def weightedPageRankSql(edgesCte: String, iters: Int,
+      damping: Double): String = {
+    val d = s"CAST('$damping' AS DOUBLE)"
+    val rounds = (1 to iters).map { i =>
+      val p = s"r${i - 1}"
+      s"""dm$i AS (
+         |  SELECT COALESCE(sum(rank), 0.0) AS m FROM $p
+         |  WHERE node NOT IN (SELECT src FROM deg)),
+         |r$i AS (
+         |  SELECT nodes.node,
+         |    (1.0 - $d) / nc.n + $d * (COALESCE(c.s, 0.0) + dm$i.m / nc.n)
+         |      AS rank
+         |  FROM nodes
+         |  CROSS JOIN nc CROSS JOIN dm$i
+         |  LEFT JOIN (
+         |    SELECT ew.dst, sum(ew.w * $p.rank) AS s
+         |    FROM ew JOIN $p ON ew.src = $p.node GROUP BY ew.dst) c
+         |    ON nodes.node = c.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e00 AS ($edgesCte),
+       |e AS (SELECT src, dst, CAST(sum(w) AS BIGINT) AS w
+       |      FROM e00 GROUP BY 1, 2),
+       |nodes AS (
+       |  SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |nc AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+       |deg AS (SELECT src, CAST(sum(w) AS BIGINT) AS wout FROM e GROUP BY 1),
+       |ew AS (
+       |  SELECT e.src, e.dst,
+       |    CAST(e.w AS DOUBLE) / CAST(deg.wout AS DOUBLE) AS w
+       |  FROM e JOIN deg ON e.src = deg.src),
+       |r0 AS (SELECT node, 1.0 / nc.n AS rank FROM nodes CROSS JOIN nc),
+       |$rounds
+       |SELECT node, round(rank, 9) AS rank FROM r$iters""".stripMargin
+  }
+
   /** Personalized PageRank: power iteration whose teleport AND dangling
     * mass restart into a caller-supplied seed distribution instead of
     * uniform — the "expand from known-good documents" curation

@@ -265,6 +265,37 @@ class GraphTextSpec extends AnyFunSuite {
     assert(r2 == Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 1L), s"got $r2")
   }
 
+  test("weightedPageRank: uniform weights == pageRank; heavy edge pulls rank") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val uw = edges.withColumn("w", lit(5L))
+    val a = GraphOps.weightedPageRank(uw, iters = 3)
+      .as[(Long, Double)].collect().toMap
+    val b = GraphOps.pageRank(edges, iters = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(a.keySet == b.keySet)
+    for (k <- a.keySet) assert(math.abs(a(k) - b(k)) < 1e-12, s"node $k")
+    // skewed: 1 -> 2 carries weight 9 vs 1 -> 3 weight 1: node 2 must
+    // out-rank node 3 (they are symmetric under uniform weights ONLY in
+    // in-flow from node 1; give 2 and 3 identical out-structure)
+    val skew = Seq((1L, 2L, 9L), (1L, 3L, 1L), (2L, 1L, 1L), (3L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    val r = GraphOps.weightedPageRank(skew, iters = 4)
+      .as[(Long, Double)].collect().toMap
+    assert(r(2L) > r(3L), s"heavy edge did not pull rank: $r")
+    // duplicate (src, dst) rows sum their weights
+    val dup = Seq((1L, 2L, 4L), (1L, 2L, 5L), (1L, 3L, 1L),
+      (2L, 1L, 1L), (3L, 1L, 1L)).toDF("src", "dst", "w")
+    val rd = GraphOps.weightedPageRank(dup, iters = 4)
+      .as[(Long, Double)].collect().toMap
+    for (k <- r.keySet) assert(math.abs(rd(k) - r(k)) < 1e-12)
+    // nonpositive weights are rejected
+    val e = intercept[IllegalArgumentException] {
+      GraphOps.weightedPageRank(
+        Seq((1L, 2L, 0L)).toDF("src", "dst", "w"), iters = 1)
+    }
+    assert(e.getMessage.contains("nonpositive"))
+  }
+
   // ---- multi-source BFS depth ----
 
   test("bfsDepth: min distance, multi-source ties, truncation, cycles") {
