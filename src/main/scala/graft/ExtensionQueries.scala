@@ -622,9 +622,10 @@ object ExtensionQueries {
       ProfileOps.profile(Tables.lineitem(s, dir)).orderBy("col_name")
     },
     // The 100 TB profiling default: HLL distinct — no Expand, no sort
-    // (both plan-asserted in OpsSpec); approximate ndv has no exact
-    // oracle, so the driver records the rows-only check; exact parity
-    // stays fully hash-checked via profile_table above
+    // (both plan-asserted in OpsSpec). NDV goes through the in-repo
+    // PORTABLE HllAgg over canonical keys, so the oracle recomputes the
+    // exact registers relationally and this mode hash-matches like
+    // every other query (the r7 verdict's one red row, closed)
     "profile_table_approx" -> { (s, dir) =>
       ProfileOps.profile(Tables.lineitem(s, dir), approxDistinct = true)
         .orderBy("col_name")
@@ -1586,6 +1587,9 @@ object ExtensionQueries {
       (TextOps.positionalPmiSql(4, 5L) + "\nORDER BY tok_a, tok_b"),
     "profile_table" ->
       (ProfileOps.profileSql("lineitem", lineitemSchema) +
+        "\nORDER BY col_name"),
+    "profile_table_approx" ->
+      (ProfileOps.profileApproxSql("lineitem", lineitemSchema) +
         "\nORDER BY col_name"),
     "dataset_card" ->
       """SELECT source, count(*) AS n_docs,

@@ -37,6 +37,59 @@ object ProfileOps {
     case _ => false
   }
 
+  /** Registers per approx-NDV sketch: 1.04/√256 ≈ 6.5% nominal error at
+    * 256 bytes/column of aggregation state. */
+  val ApproxNdvRegisters = 256
+
+  /** Cross-engine CANONICAL string key for approx-NDV hashing — the
+    * [[graft.functions.PolyHash]] discipline needs both engines to hash
+    * byte-identical strings, and raw `CAST(double AS VARCHAR)` is NOT
+    * portable (Java prints 1e7 as "1.0E7", DuckDB as "10000000.0").
+    * Per type:
+    *  - integral → plain decimal string (identical on both engines);
+    *  - double/float → via DECIMAL(38,6) (both engines print full-scale
+    *    plain form, never scientific at scale 6), with non-finite values
+    *    mapped to 'nan'/'inf'/'-inf' sentinels (ANSI casts would throw);
+    *    NDV is therefore "distinct at 6-decimal granularity" — the right
+    *    contract for profiling, and the only portable one. Dyadic values
+    *    landing exactly on a 7th-digit midpoint (k·2^-7 family) could in
+    *    principle round differently across engines' double→decimal modes
+    *    — measured absent from the fixtures and harmless at sketch
+    *    accuracy;
+    *  - timestamp → epoch microseconds (the unix_micros/epoch_us pair
+    *    every temporal oracle here already relies on);
+    *  - string → the value itself. */
+  private[graft] def canonKey(f: StructField): Column = {
+    val c = col(f.name)
+    f.dataType match {
+      case DoubleType | FloatType =>
+        when(isnan(c), lit("nan"))
+          .when(c === lit(Double.PositiveInfinity), lit("inf"))
+          .when(c === lit(Double.NegativeInfinity), lit("-inf"))
+          .otherwise(c.cast(DecimalType(38, 6)).cast("string"))
+      case TimestampType | TimestampNTZType =>
+        unix_micros(c.cast("timestamp")).cast("string")
+      case StringType => c
+      case _ => c.cast("string")
+    }
+  }
+
+  /** DuckDB twin of [[canonKey]] — must stay the verbatim counterpart. */
+  private[graft] def canonKeySql(f: StructField): String = {
+    val n = f.name
+    f.dataType match {
+      case DoubleType | FloatType =>
+        s"CASE WHEN isnan($n) THEN 'nan' " +
+          s"WHEN $n = CAST('inf' AS DOUBLE) THEN 'inf' " +
+          s"WHEN $n = CAST('-inf' AS DOUBLE) THEN '-inf' " +
+          s"ELSE CAST(CAST($n AS DECIMAL(38,6)) AS VARCHAR) END"
+      case TimestampType | TimestampNTZType =>
+        s"CAST(epoch_us(CAST($n AS TIMESTAMP)) AS VARCHAR)"
+      case StringType => n
+      case _ => s"CAST($n AS VARCHAR)"
+    }
+  }
+
   /** Long-form profile of every column in `df`:
     * (col_name, n_nonnull, n_nulls, n_distinct, min_d, max_d, avg_d,
     * min_s, max_s, min_ts, max_ts) with type-inapplicable slots NULL.
@@ -52,7 +105,13 @@ object ProfileOps {
       Seq(
         count(c).as(s"${n}__nn"),
         (count(lit(1)) - count(c)).as(s"${n}__nulls"),
-        (if (approxDistinct) approx_count_distinct(c)
+        // approx NDV goes through the in-repo PORTABLE HllAgg (not
+        // Spark's engine-private HLL++): the oracle recomputes the exact
+        // register contents relationally, so the 100 TB default mode
+        // carries the same hash-match certificate as exact mode
+        (if (approxDistinct)
+           graft.functions.HllAgg(
+             SketchOps.hllHash(canonKey(f)), ApproxNdvRegisters)
          else count_distinct(c)).as(s"${n}__nd")) ++
         (if (isNum(f.dataType)) Seq(
           min(c.cast("double")).as(s"${n}__min_d"),
@@ -109,7 +168,12 @@ object ProfileOps {
         lit(n).as("col_name"),
         col(s"${n}__nn").as("n_nonnull"),
         col(s"${n}__nulls").as("n_nulls"),
-        col(s"${n}__nd").cast("long").as("n_distinct"),
+        (if (approxDistinct)
+           // floor, not cast: double→long CAST truncates on Spark but
+           // rounds on DuckDB — floor is the one portable integerization
+           floor(SketchOps.hllEstimate(s"${n}__nd", ApproxNdvRegisters))
+             .cast("long")
+         else col(s"${n}__nd").cast("long")).as("n_distinct"),
         (if (isNum(f.dataType)) col(s"${n}__min_d") else nullD).as("min_d"),
         (if (isNum(f.dataType)) col(s"${n}__max_d") else nullD).as("max_d"),
         (if (isNum(f.dataType))
@@ -160,6 +224,49 @@ object ProfileOps {
          |  $minS AS min_s, $maxS AS max_s,
          |  $minT AS min_ts, $maxT AS max_ts
          |FROM $table""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
+  /** DuckDB twin of [[profile]] in APPROX mode: per column, the exact
+    * stats branches are identical to [[profileSql]], and `n_distinct`
+    * is the RELATIONAL recompute of the engine's portable HLL sketch —
+    * hash the [[canonKeySql]] canonical key, rebuild the registers with
+    * `GROUP BY h % m → max(rank)`, and apply the identical scaled-integer
+    * estimator ([[SketchOps.hllEstimateScalarSql]]). floor() matches the
+    * engine's portable integerization. The oracle may scan per column;
+    * the ENGINE runs ONE scan (plan-asserted in OpsSpec). */
+  def profileApproxSql(table: String, schema: StructType,
+      m: Int = ApproxNdvRegisters): String =
+    schema.fields.map { f =>
+      val n = f.name
+      val (minD, maxD, avgD) =
+        if (isNum(f.dataType))
+          (s"CAST(min($n) AS DOUBLE)", s"CAST(max($n) AS DOUBLE)",
+            s"round(CAST(sum(CAST($n AS DECIMAL(38,6))) AS DOUBLE) / count($n), 6)")
+        else ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
+          "CAST(NULL AS DOUBLE)")
+      val (minS, maxS) = f.dataType match {
+        case StringType => (s"min($n)", s"max($n)")
+        case _ => ("CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+      }
+      val (minT, maxT) = f.dataType match {
+        case TimestampType => (s"min($n)", s"max($n)")
+        case _ => ("CAST(NULL AS TIMESTAMP)", "CAST(NULL AS TIMESTAMP)")
+      }
+      val est = SketchOps.hllEstimateScalarSql(
+        SketchOps.hllHashSql(
+          s"SELECT ${canonKeySql(f)} AS key FROM $table WHERE $n IS NOT NULL"),
+        m)
+      s"""SELECT '$n' AS col_name, st.n_nonnull, st.n_nulls, nd.n_distinct,
+         |  st.min_d, st.max_d, st.avg_d, st.min_s, st.max_s,
+         |  st.min_ts, st.max_ts
+         |FROM (SELECT count($n) AS n_nonnull,
+         |  count(*) - count($n) AS n_nulls,
+         |  $minD AS min_d, $maxD AS max_d, $avgD AS avg_d,
+         |  $minS AS min_s, $maxS AS max_s,
+         |  $minT AS min_ts, $maxT AS max_ts
+         |  FROM $table) st
+         |CROSS JOIN (SELECT CAST(floor(hll_est) AS BIGINT) AS n_distinct
+         |  FROM ($est)) nd""".stripMargin
     }.mkString("\nUNION ALL\n")
 
   /** Categorical distribution DRIFT between two corpus snapshots — the

@@ -321,21 +321,52 @@ object SketchOps {
     * sketch, zero-filled to all m registers per group. */
   /** The cube-then-affine mix as SQL — must stay the verbatim twin of
     * [[hllHash]]. Emitted as FROM-clause staging so the list_reduce
-    * polynomial evaluates once per key, not three times. */
-  private def hllKeyedHashCte(keyCte: String): String = {
+    * polynomial evaluates once per key, not three times. `keyCte` must
+    * yield a `key` column (plus any `carry` columns passed through
+    * untouched) — this is the ONE hash emitter every HLL oracle uses. */
+  def hllHashSql(keyCte: String, carry: Seq[String] = Nil): String = {
+    val cs = carry.map(c => s"$c, ").mkString
     val poly = graft.functions.PolyHash.sql("key")
-    s"""SELECT DISTINCT grp, (p3 * $hllA + $hllB) % $P AS h FROM (
-       |  SELECT grp, ((p * p) % $P * p) % $P AS p3 FROM (
-       |    SELECT grp, ($poly) AS p FROM ($keyCte)))""".stripMargin
+    s"""SELECT $cs(p3 * $hllA + $hllB) % $P AS h FROM (
+       |  SELECT $cs((p * p) % $P * p) % $P AS p3 FROM (
+       |    SELECT $cs($poly) AS p FROM ($keyCte)))""".stripMargin
+  }
+
+  private def hllKeyedHashCte(keyCte: String): String =
+    s"""SELECT DISTINCT grp, h FROM (
+       |${hllHashSql(keyCte, Seq("grp"))})""".stripMargin
+
+  /** The register-rank expression over a hash column `h` — shared by the
+    * keyed and scalar estimate twins so the rank formula cannot drift. */
+  private def hllRankSql(m: Int): String = {
+    val rmax = graft.functions.HllAgg.rankBits(m) + 1
+    s"CASE WHEN h // $m = 0 THEN $rmax ELSE $rmax - length(bin(h // $m)) END"
+  }
+
+  /** Scalar (ungrouped) DuckDB twin of [[hllEstimate]]: one row
+    * `(hll_est)` from a relation of hash values (`hashCte` yields `h`).
+    * Identical scaled-integer register sum and small-range branch as the
+    * keyed [[hllEstimateSql]]; empty input estimates 0 (COALESCE guard,
+    * matching the engine's all-zero-registers linear-counting branch). */
+  def hllEstimateScalarSql(hashCte: String, m: Int = 64): String = {
+    val rmax = graft.functions.HllAgg.rankBits(m) + 1
+    val aM2 = hllAlphaM2(m) * 2.0 * hllDomainSize(m)
+    s"""SELECT round(CASE WHEN $aM2 / CAST(s_scaled AS DOUBLE) <= ${2.5 * m}
+       |    AND v > 0 THEN $m.0 * ln($m.0 / CAST(v AS DOUBLE))
+       |    ELSE $aM2 / CAST(s_scaled AS DOUBLE) END, 4) AS hll_est
+       |FROM (SELECT
+       |  COALESCE(CAST(sum(CAST(1 AS BIGINT) << ($rmax - rank)) AS BIGINT), 0)
+       |    + ($m - count(*)) * (CAST(1 AS BIGINT) << $rmax) AS s_scaled,
+       |  $m - count(*) AS v
+       |  FROM (SELECT h % $m AS idx, max(${hllRankSql(m)}) AS rank
+       |    FROM ($hashCte) GROUP BY 1))""".stripMargin
   }
 
   def hllRegistersSql(keyCte: String, m: Int = 64): String = {
     val rmax = graft.functions.HllAgg.rankBits(m) + 1
     s"""WITH keys AS ($keyCte),
        |hs AS (${hllKeyedHashCte("SELECT grp, key FROM keys")}),
-       |reg AS (SELECT grp, h % $m AS idx,
-       |  max(CASE WHEN h // $m = 0 THEN $rmax
-       |      ELSE $rmax - length(bin(h // $m)) END) AS rank
+       |reg AS (SELECT grp, h % $m AS idx, max(${hllRankSql(m)}) AS rank
        |  FROM hs GROUP BY 1, 2),
        |grid AS (SELECT g.grp, r.range AS idx
        |  FROM (SELECT DISTINCT grp FROM keys) g CROSS JOIN range(0, $m) r)
@@ -351,9 +382,7 @@ object SketchOps {
     val aM2 = hllAlphaM2(m) * 2.0 * hllDomainSize(m)
     s"""WITH keys AS ($keyCte),
        |hs AS (${hllKeyedHashCte("SELECT grp, key FROM keys")}),
-       |reg AS (SELECT grp, h % $m AS idx,
-       |  max(CASE WHEN h // $m = 0 THEN $rmax
-       |      ELSE $rmax - length(bin(h // $m)) END) AS rank
+       |reg AS (SELECT grp, h % $m AS idx, max(${hllRankSql(m)}) AS rank
        |  FROM hs GROUP BY 1, 2),
        |s AS (SELECT grp,
        |  CAST(sum(CAST(1 AS BIGINT) << ($rmax - rank)) AS BIGINT)

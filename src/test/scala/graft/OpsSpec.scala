@@ -575,6 +575,12 @@ class OpsSpec extends AnyFunSuite {
     val approx = ProfileOps.profile(li, approxDistinct = true)
     assert(!approx.queryExecution.executedPlan.toString.contains("Expand"),
       "approx profile must not expand rows")
+    // ...and the whole approx profile (portable HLL sketches + all exact
+    // stats) is ONE scan — the 100 TB default's defining property
+    val nApproxScans = "Scan parquet".r
+      .findAllIn(approx.queryExecution.executedPlan.toString).size
+    assert(nApproxScans == 1,
+      s"approx profile must be one scan, plan has $nApproxScans")
     // ...and with no Expand there are no distinct grouping keys, so the
     // string-extrema SortAggregates degrade to sortless folds: no
     // SortExec anywhere in the scale-mode plan
