@@ -113,8 +113,13 @@ object GraphOps {
       .unionByName(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint(eager = false)
     val n = nodes.count()
-    require(e.filter(col("w") <= 0).isEmpty,
-      "weightedPageRank: nonpositive edge weight (filter non-edges upstream)")
+    // null catches both SQL nulls and unparseable weights the long cast
+    // nulled out — without it such an edge silently drops from the
+    // contribution sum while its endpoints still enter the node set,
+    // violating the fail-loudly contract this require documents
+    require(e.filter(col("w").isNull || col("w") <= 0).isEmpty,
+      "weightedPageRank: null or nonpositive edge weight " +
+        "(filter non-edges upstream)")
     val deg = e.groupBy(col("src")).agg(sum(col("w")).as("wout"))
     val ew = e.join(deg, Seq("src"))
       .select(col("src"), col("dst"),

@@ -99,8 +99,12 @@ object LayoutOps {
     * (one row per FILE); used by tests and the SCALE.md exhibit to
     * measure the pruned fraction for a box predicate. */
   def fileZRanges(spark: SparkSession, path: String): Seq[(String, Long, Long)] = {
-    val files = new java.io.File(path).listFiles()
-      .filter(f => f.getName.endsWith(".parquet")).map(_.getPath).sorted
+    // list via the Hadoop FileSystem API so the audit works on any
+    // filesystem the session can read (object store, HDFS, local alike)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(p).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
     files.toSeq.map { f =>
       val r = spark.read.parquet(f).agg(min(col("zkey")), max(col("zkey"))).head()
       (f, r.getLong(0), r.getLong(1))

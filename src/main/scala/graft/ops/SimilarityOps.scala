@@ -731,14 +731,15 @@ object SimilarityOps {
       element_at(graft.functions.NearestCentroid(
         slice(col("embedding"), j * sub + 1, sub), idx.books(j), 1), 1)
     }
+    // dim sanity BEFORE the append: an inconsistent books/centroids
+    // sidecar must refuse up front, not after the index has already been
+    // mutated with rows encoded from it
+    require(dim == idx.centroids(0).length, "sidecar dim inconsistency")
     spread(newVectors).select(col("vec_id"),
         element_at(graft.functions.NearestCentroid(col("embedding"),
           idx.centroids, 1), 1).as("cell"),
         array(codes: _*).as("codes"))
       .write.mode("append").partitionBy("cell").parquet(s"$path/data")
-    // dim sanity ride-along: a wrong-width batch must fail the encode,
-    // not silently truncate (NearestCentroid raises on mismatch)
-    require(dim == idx.centroids(0).length, "sidecar dim inconsistency")
   }
 
   def readPqIndex(spark: org.apache.spark.sql.SparkSession,

@@ -356,8 +356,13 @@ object TextOps {
       .join(broadcast(dfreq.select(col("tok").as("tok_b"), col("c").as("c_b"))),
         Seq("tok_b"))
       .select(col("tok_a"), col("tok_b"), col("c_ab"),
-        round(log((col("n") * col("c_ab")).cast("double") /
-          (col("c_a") * col("c_b"))), 6).as("pmi"))
+        // each factor cast to double BEFORE the multiply: BIGINT products
+        // n·c_ab / c_a·c_b exceed int64 at claimed corpus scales, where
+        // Spark would wrap silently while DuckDB raises — casting first
+        // keeps both engines exact-to-the-ulp on the same operation order
+        round(log((col("n").cast("double") * col("c_ab").cast("double")) /
+          (col("c_a").cast("double") * col("c_b").cast("double"))), 6)
+          .as("pmi"))
   }
 
   /** DuckDB twin of [[pmiPairs]]: same distinct doc-token relation, same
@@ -373,7 +378,8 @@ object TextOps {
        |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.tok < b.tok
        |  GROUP BY 1, 2 HAVING count(*) >= $minCount)
        |SELECT tok_a, tok_b, c_ab,
-       |  round(ln(CAST(nd.n * c_ab AS DOUBLE) / (da.c * db.c)), 6) AS pmi
+       |  round(ln((CAST(nd.n AS DOUBLE) * CAST(c_ab AS DOUBLE)) /
+       |    (CAST(da.c AS DOUBLE) * CAST(db.c AS DOUBLE))), 6) AS pmi
        |FROM co CROSS JOIN nd
        |JOIN df da ON tok_a = da.tok
        |JOIN df db ON tok_b = db.tok""".stripMargin
@@ -469,8 +475,11 @@ object TextOps {
       .join(marg.select(col("tok").as("tok_b"), col("m").as("m_b")), Seq("tok_b"))
       .crossJoin(broadcast(tot))
       .select(col("tok_a"), col("tok_b"), col("n_pairs"),
-        round(log((col("n") * col("n_pairs")).cast("double") /
-          (col("m_a") * col("m_b"))), 6).as("pmi"))
+        // factor-wise double cast before multiply — same int64-overflow
+        // guard (and identical operation order) as [[pmiPairs]]
+        round(log((col("n").cast("double") * col("n_pairs").cast("double")) /
+          (col("m_a").cast("double") * col("m_b").cast("double"))), 6)
+          .as("pmi"))
   }
 
   /** DuckDB twin of [[positionalPmi]]: [[cooccurPairsSql]]'s pair
@@ -495,7 +504,8 @@ object TextOps {
        |    UNION ALL SELECT tok_b, n_pairs FROM pairs) GROUP BY 1),
        |tot AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS n FROM pairs)
        |SELECT tok_a, tok_b, n_pairs,
-       |  round(ln(CAST(tot.n * n_pairs AS DOUBLE) / (ma.m * mb.m)), 6) AS pmi
+       |  round(ln((CAST(tot.n AS DOUBLE) * CAST(n_pairs AS DOUBLE)) /
+       |    (CAST(ma.m AS DOUBLE) * CAST(mb.m AS DOUBLE))), 6) AS pmi
        |FROM pairs CROSS JOIN tot
        |JOIN marg ma ON tok_a = ma.tok
        |JOIN marg mb ON tok_b = mb.tok

@@ -294,6 +294,15 @@ class GraphTextSpec extends AnyFunSuite {
         Seq((1L, 2L, 0L)).toDF("src", "dst", "w"), iters = 1)
     }
     assert(e.getMessage.contains("nonpositive"))
+    // ...and so are NULL weights (e.g. an unparseable w nulled by the
+    // cast) — previously these slipped the <= 0 filter and silently
+    // dropped the edge while its endpoints still entered the node set
+    val en = intercept[IllegalArgumentException] {
+      GraphOps.weightedPageRank(
+        Seq((1L, 2L, Some(3L)), (2L, 1L, Option.empty[Long]))
+          .toDF("src", "dst", "w"), iters = 1)
+    }
+    assert(en.getMessage.contains("null or nonpositive"))
   }
 
   // ---- multi-source BFS depth ----
