@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ops.Checkpoints._
 
 /** BPE (byte-pair-encoding) merge induction — tokenizer training as a
   * relational workload (Sennrich et al. 2016, the word-dictionary
@@ -92,7 +93,7 @@ object BpeOps {
     * eager job materializing the final dictionary nobody reads. */
   def train(docs: DataFrame, nMerges: Int, textCol: String = "text"): Seq[(String, String)] = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
-    var dict = wordDict(docs, textCol).localCheckpoint(false)
+    var dict = wordDict(docs, textCol).lineageBarrier(false)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var round = 0
     while (round < nMerges) {
@@ -104,7 +105,7 @@ object BpeOps {
         val (l, r) = (top(0).getString(0), top(0).getString(1))
         merges += ((l, r))
         dict = dict.withColumn("symbols", applyMerge(l, r))
-          .localCheckpoint(false)
+          .lineageBarrier(false)
         round += 1
       }
     }
@@ -159,7 +160,7 @@ object BpeOps {
       topK: Int = 64): TrainResult = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     require(topK >= 1, s"topK must be >= 1, got $topK")
-    var dict = wordDict(docs, textCol).localCheckpoint(false)
+    var dict = wordDict(docs, textCol).lineageBarrier(false)
     val spark = docs.sparkSession
     import spark.implicits._
     // exact symbol vocabulary for gate (c): initial distinct symbols
@@ -210,7 +211,7 @@ object BpeOps {
           idx += 1
         }
         merges ++= accepted
-        dict = applyMerges(dict, accepted.toSeq).localCheckpoint(false)
+        dict = applyMerges(dict, accepted.toSeq).lineageBarrier(false)
       }
     }
     TrainResult(merges.toSeq, rounds)
@@ -248,7 +249,7 @@ object BpeOps {
       topK: Int = 64): TrainResult = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     require(topK >= 1, s"topK must be >= 1, got $topK")
-    var dict = wordDict(docs, textCol).localCheckpoint(false)
+    var dict = wordDict(docs, textCol).lineageBarrier(false)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var rounds = 0
     var exhausted = false
@@ -272,7 +273,7 @@ object BpeOps {
           idx += 1
         }
         merges ++= accepted
-        dict = applyMerges(dict, accepted.toSeq).localCheckpoint(false)
+        dict = applyMerges(dict, accepted.toSeq).lineageBarrier(false)
       }
     }
     TrainResult(merges.toSeq, rounds)
@@ -288,7 +289,7 @@ object BpeOps {
   def applyMerges(dict: DataFrame, merges: Seq[(String, String)]): DataFrame =
     merges.zipWithIndex.foldLeft(dict) { case (d, ((l, r), i)) =>
       val next = d.withColumn("symbols", applyMerge(l, r))
-      if ((i + 1) % ApplyCheckpointEvery == 0) next.localCheckpoint(false)
+      if ((i + 1) % ApplyCheckpointEvery == 0) next.lineageBarrier(false)
       else next
     }
 
@@ -337,7 +338,7 @@ object BpeOps {
     // the operator's Zipf accounting is unchanged.
     val segmented = applyMerges(
       pw.select("word").distinct().withColumn("symbols", symbolsExpr(endMark)),
-      merges).localCheckpoint()
+      merges).lineageBarrier()
     // |vocab| <= alphabet + merges + 1: the one-partition window is fine
     val vocab = broadcast(
       segmented.select(explode(col("symbols")).as("token")).distinct()

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ops.Checkpoints._
 
 /** Document-frequency cap policy for inverted-index candidate generation
   * ([[DedupOps.jaccardNearDupStats]]). A shared-key self-join costs
@@ -1092,7 +1093,7 @@ object DedupOps {
     // the whole LSH candidate + verification DAG) a second time for the
     // final label join
     val base = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .distinct().localCheckpoint(eager = false)
+      .distinct().lineageBarrier(eager = false)
     val nodes = base.select(col("u").as("doc_id"))
       .unionByName(base.select(col("v").as("doc_id"))).distinct()
     // fixpoint probe: (count, xor-of-edge-hashes) computed in ONE aggregate
@@ -1117,7 +1118,7 @@ object DedupOps {
     var iter = 0
     var prev = probe(e)
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint(eager = false)
+      val next = smallStar(largeStar(e)).lineageBarrier(eager = false)
       val cur = probe(next)
       converged = cur == prev
       prev = cur

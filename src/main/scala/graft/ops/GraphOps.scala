@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.ops.Checkpoints._
 
 /** Link-graph analytics for corpus curation. Web-scale training-data
   * pipelines score documents by link-graph centrality (crawl frontiers,
@@ -10,9 +11,12 @@ import org.apache.spark.sql.functions._
   * operator sharing the scale discipline of
   * [[DedupOps.connectedComponents]]: the edge relation is normalized and
   * checkpointed ONCE, every power-iteration round is one shuffle on the
-  * destination key, and the per-round logical plan is cut with
-  * `localCheckpoint` so N rounds cost N bounded jobs instead of one
-  * super-linear mega-plan.
+  * destination key, and the per-round logical plan is cut with a
+  * [[Checkpoints.BarrierOps.lineageBarrier lineage barrier]] so N rounds
+  * cost N bounded jobs instead of one super-linear mega-plan
+  * (localCheckpoint single-JVM; reliable `checkpoint()` when
+  * `spark.graft.checkpointDir` points at a shared filesystem — the
+  * executor-loss-safe mode a multi-hour cluster iteration needs).
   */
 object GraphOps {
 
@@ -51,20 +55,20 @@ object GraphOps {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(damping > 0 && damping < 1, s"damping in (0,1), got $damping")
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .distinct().localCheckpoint(eager = false)
+      .distinct().lineageBarrier(eager = false)
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(eager = false)
+      .lineageBarrier(eager = false)
     val n = nodes.count()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     // weighted edge relation, built once, reused every round
     val ew = e.join(deg, Seq("src"))
       .select(col("src"), col("dst"), (lit(1.0) / col("outdeg")).as("w"))
-      .localCheckpoint(eager = false)
+      .lineageBarrier(eager = false)
     val sinks = nodes.join(deg.select(col("src").as("node")), Seq("node"),
-      "left_anti").localCheckpoint(eager = false)
+      "left_anti").lineageBarrier(eager = false)
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
-      .localCheckpoint(eager = false)
+      .lineageBarrier(eager = false)
     for (_ <- 1 to iters) {
       val dangling = broadcast(sinks.join(ranks, Seq("node"))
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm")))
@@ -82,7 +86,7 @@ object GraphOps {
         // final action re-derive round k's ranks through every branch
         // that references it (dangling + contribs + node join): the
         // recompute tree grows with iters instead of staying linear.
-        .localCheckpoint()
+        .lineageBarrier()
     }
     ranks
   }
@@ -108,10 +112,10 @@ object GraphOps {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
         col("w").cast("long"))
       .groupBy("src", "dst").agg(sum(col("w")).as("w"))
-      .localCheckpoint(eager = false)
+      .lineageBarrier(eager = false)
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(eager = false)
+      .lineageBarrier(eager = false)
     val n = nodes.count()
     // null catches both SQL nulls and unparseable weights the long cast
     // nulled out — without it such an edge silently drops from the
@@ -124,11 +128,11 @@ object GraphOps {
     val ew = e.join(deg, Seq("src"))
       .select(col("src"), col("dst"),
         (col("w").cast("double") / col("wout").cast("double")).as("w"))
-      .localCheckpoint(eager = false)
+      .lineageBarrier(eager = false)
     val sinks = nodes.join(deg.select(col("src").as("node")), Seq("node"),
-      "left_anti").localCheckpoint(eager = false)
+      "left_anti").lineageBarrier(eager = false)
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
-      .localCheckpoint(eager = false)
+      .lineageBarrier(eager = false)
     for (_ <- 1 to iters) {
       val dangling = broadcast(sinks.join(ranks, Seq("node"))
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm")))
@@ -141,7 +145,7 @@ object GraphOps {
           (lit((1.0 - damping) / n) +
             lit(damping) * (coalesce(col("c"), lit(0.0)) +
               col("dm") / lit(n.toDouble))).as("rank"))
-        .localCheckpoint()
+        .lineageBarrier()
     }
     ranks
   }
@@ -205,22 +209,22 @@ object GraphOps {
     require(seeds.nonEmpty, "personalizedPageRank needs >= 1 seed")
     require(seeds.distinct.size == seeds.size, "duplicate seed ids")
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .distinct().localCheckpoint(eager = false)
+      .distinct().lineageBarrier(eager = false)
     val s0 = 1.0 / seeds.size
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
       .withColumn("s",
         when(col("node").isInCollection(seeds), lit(s0)).otherwise(lit(0.0)))
-      .localCheckpoint(eager = false)
+      .lineageBarrier(eager = false)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val ew = e.join(deg, Seq("src"))
       .select(col("src"), col("dst"), (lit(1.0) / col("outdeg")).as("w"))
-      .localCheckpoint(eager = false)
+      .lineageBarrier(eager = false)
     val sinks = nodes.select("node").join(
       deg.select(col("src").as("node")), Seq("node"), "left_anti")
-      .localCheckpoint(eager = false)
+      .lineageBarrier(eager = false)
     var ranks = nodes.select(col("node"), col("s").as("rank"))
-      .localCheckpoint(eager = false)
+      .lineageBarrier(eager = false)
     for (_ <- 1 to iters) {
       val dangling = broadcast(sinks.join(ranks, Seq("node"))
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm")))
@@ -233,7 +237,7 @@ object GraphOps {
           (lit(1.0 - damping) * col("s") +
             lit(damping) * (coalesce(col("c"), lit(0.0)) +
               col("dm") * col("s"))).as("rank"))
-        .localCheckpoint()
+        .lineageBarrier()
     }
     ranks
   }
@@ -387,7 +391,7 @@ object GraphOps {
         greatest(col("a").cast("long"), col("b").cast("long")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-    var cur = e0.localCheckpoint()
+    var cur = e0.lineageBarrier()
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -401,7 +405,7 @@ object GraphOps {
           .join(bad.select(col("n").as("a")), Seq("a"), "left_anti")
           .join(bad.select(col("n").as("b")), Seq("b"), "left_anti")
           .select("a", "b")
-          .localCheckpoint()
+          .lineageBarrier()
       }
     }
     require(converged, s"kCore did not converge within $maxIter rounds")
@@ -430,7 +434,7 @@ object GraphOps {
         when(aFirst, col("a")).otherwise(col("b")).as("src"),
         when(aFirst, col("b")).otherwise(col("a")).as("dst"),
         when(aFirst, col("db")).otherwise(col("da")).as("dd"))
-      .localCheckpoint(eager = false)
+      .lineageBarrier(eager = false)
   }
 
   /** DuckDB twin of [[kCore]]: `rounds` peel rounds unrolled as CTEs
@@ -519,9 +523,9 @@ object GraphOps {
       .distinct()
     val sym = e0.select(col("a").as("n"), col("b").as("m"))
       .unionByName(e0.select(col("b").as("n"), col("a").as("m")))
-      .localCheckpoint(eager = false)
+      .lineageBarrier(eager = false)
     var lab = sym.select(col("n")).distinct()
-      .withColumn("lbl", col("n")).localCheckpoint()
+      .withColumn("lbl", col("n")).lineageBarrier()
     for (_ <- 1 to iters) {
       val counts = sym.join(lab.select(col("n").as("m"), col("lbl")), Seq("m"))
         .groupBy("n", "lbl").agg(count(lit(1)).as("c"))
@@ -529,7 +533,7 @@ object GraphOps {
       lab = counts.groupBy("n")
         .agg(max(struct(col("c"), (-col("lbl")).as("neg"))).as("best"))
         .select(col("n"), (-col("best").getField("neg")).as("lbl"))
-        .localCheckpoint()
+        .lineageBarrier()
     }
     lab.select(col("n").as("node"), col("lbl").as("label"))
   }
@@ -561,23 +565,23 @@ object GraphOps {
     val spark = edges.sparkSession
     import spark.implicits._
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .distinct().localCheckpoint(eager = false)
+      .distinct().lineageBarrier(eager = false)
     // lazy checkpoints: fixed-depth BFS branches each frontier/visited
     // at most twice (next level + output), so one action materializes
     // each level once — maxDepth levels in ONE job, not 2·maxDepth
     // eager jobs (see randomWalks; convergence loops stay eager)
     var visited = seeds.toDF("node")
       .select(col("node"), lit(0L).as("depth"))
-      .localCheckpoint(eager = false)
-    var frontier = visited.select("node").localCheckpoint(eager = false)
+      .lineageBarrier(eager = false)
+    var frontier = visited.select("node").lineageBarrier(eager = false)
     for (t <- 1 to maxDepth) {
       frontier = frontier.join(e, frontier("node") === e("src"))
         .select(col("dst").as("node")).distinct()
         .join(visited.select("node"), Seq("node"), "left_anti")
-        .localCheckpoint(eager = false)
+        .lineageBarrier(eager = false)
       visited = visited
         .unionByName(frontier.select(col("node"), lit(t.toLong).as("depth")))
-        .localCheckpoint(eager = false)
+        .lineageBarrier(eager = false)
     }
     visited
   }
@@ -647,20 +651,20 @@ object GraphOps {
     require(seed >= 0, s"seed must be >= 0 (portable mod), got $seed")
     val p = graft.functions.PolyHash.P
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .distinct().localCheckpoint(eager = false)
+      .distinct().lineageBarrier(eager = false)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-      .localCheckpoint(eager = false)
+      .lineageBarrier(eager = false)
     val ew = e.select(col("src"), col("dst"),
         (row_number().over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("src")).orderBy(col("dst"))) - 1).cast("long").as("idx"))
-      .localCheckpoint(eager = false)
+      .lineageBarrier(eager = false)
     var frontier = starts.select(col("node").cast("long"))
       .distinct()
       .select(explode(sequence(lit(0L), lit(walksPerStart - 1L))).as("w"),
         col("node"))
       .select((col("node") * walksPerStart + col("w")).as("walk_id"),
         col("node"))
-      .localCheckpoint()
+      .lineageBarrier()
     val out = scala.collection.mutable.ArrayBuffer[DataFrame](
       frontier.select(col("walk_id"), lit(0L).as("step"), col("node")))
     for (t <- 1 to steps) {
@@ -679,7 +683,7 @@ object GraphOps {
           pmod(hv, col("outdeg")).as("idx"))
         .join(ew, Seq("src", "idx"))
         .select(col("walk_id"), col("dst").as("node"))
-        .localCheckpoint(eager = false)
+        .lineageBarrier(eager = false)
       out += frontier.select(col("walk_id"), lit(t.toLong).as("step"), col("node"))
     }
     out.reduce(_ unionByName _)

@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.hist._
+import graft.ops.Checkpoints._
 
 /** Streaming histogram aggregation.
   *
@@ -122,7 +123,7 @@ object StreamingHist {
     // grid construction references it three ways, and a raw self-join
     // through the union trips attribute-resolution conflicts
     val wc = winCounts.select(col("window"), col("key"),
-      col("n").as("n_win")).localCheckpoint(eager = false)
+      col("n").as("n_win")).lineageBarrier(eager = false)
     val ref = reference.select(col("key"), col("n").as("n_ref"))
     val wins = wc.select("window").distinct()
     val grid = wins.crossJoin(broadcast(ref.select("key")))

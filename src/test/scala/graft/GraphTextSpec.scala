@@ -265,6 +265,30 @@ class GraphTextSpec extends AnyFunSuite {
     assert(r2 == Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 1L), s"got $r2")
   }
 
+  test("lineageBarrier: reliable-checkpoint mode is bit-identical to local mode") {
+    // the availability story for cluster iteration: with
+    // spark.graft.checkpointDir set, every barrier persists to a
+    // reliable filesystem (executor loss recoverable) — and the RESULT
+    // must not move by a single bit vs the localCheckpoint default
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (4L, 1L))
+      .toDF("src", "dst")
+    val local = GraphOps.pageRank(edges, iters = 4)
+      .as[(Long, Double)].collect().toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.conf.set(graft.ops.Checkpoints.DirConf, dir)
+    try {
+      val reliable = GraphOps.pageRank(edges, iters = 4)
+        .as[(Long, Double)].collect().toMap
+      assert(reliable == local, "reliable-checkpoint mode changed results")
+      // the barrier actually wrote to the reliable dir (mode really on)
+      assert(spark.sparkContext.getCheckpointDir.isDefined)
+      val ckDir = new java.io.File(
+        new java.net.URI(spark.sparkContext.getCheckpointDir.get))
+      assert(ckDir.exists && ckDir.listFiles().nonEmpty,
+        "no reliable checkpoint data written")
+    } finally spark.conf.unset(graft.ops.Checkpoints.DirConf)
+  }
+
   test("weightedPageRank: uniform weights == pageRank; heavy edge pulls rank") {
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
     val uw = edges.withColumn("w", lit(5L))
