@@ -105,6 +105,19 @@ object ExtensionQueries {
     ("a", "r"), ("p", "ar"), ("t", "</w>"), ("i", "n</w>"), ("j", "o"),
     ("jo", "in</w>"), ("a", "s"), ("as", "h</w>"), ("h", "ash</w>"))
 
+  // Frozen BYTE-LEVEL tokenizer (GPT-2 formulation) for the
+  // bpe_tokenize_bytes exhibit: the first 24 merges trainBytes learns
+  // from the sf0.01 documents fixture. Symbols are byte-mapped chars
+  // ('Ġ' = U+0120, the GPT-2 leading-space marker = mapped byte 0x20);
+  // same frozen-at-build contract as bpeMerges above.
+  private val bpeByteMerges: Seq[(String, String)] = Seq(
+    ("Ġ", "s"), ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"),
+    ("m", "er"), ("a", "t"), ("l", "u"), ("Ġ", "c"), ("a", "s"),
+    ("Ġ", "b"), ("Ġ", "v"), ("a", "r"), ("p", "ar"),
+    ("Ġ", "f"), ("Ġ", "a"), ("Ġ", "t"), ("j", "o"),
+    ("jo", "in"), ("as", "h"), ("h", "ash"), ("Ġ", "join"),
+    ("s", "t"), ("r", "ow"))
+
   // One persisted PQ index per sf dir, built+written on first use (the
   // per-snapshot amortized cost); queries re-read it like production
   // would — books/centroids come from the sidecar, never re-derived
@@ -260,6 +273,14 @@ object ExtensionQueries {
     // frozen merge list — the most-executed op in a training pipeline
     "bpe_tokenize" -> { (s, dir) =>
       BpeOps.tokenize(Tables.documents(s, dir), bpeMerges)
+        .orderBy("doc_id", "pos")
+    },
+    // BYTE-LEVEL tokenizer APPLY (GPT-2 formulation): pre-tokenization
+    // regex + UTF-8 byte alphabet lifted through the bytes→unicode
+    // table — no OOV symbol class; the oracle decomposes UTF-8
+    // relationally and replays the same frozen merges
+    "bpe_tokenize_bytes" -> { (s, dir) =>
+      BpeOps.tokenizeBytes(Tables.documents(s, dir), bpeByteMerges)
         .orderBy("doc_id", "pos")
     },
     // Tokenize-and-pack: the frozen tokenizer's ids chopped into
@@ -1342,6 +1363,7 @@ object ExtensionQueries {
       Map("en" -> 5000L, "zh" -> 1500L, "fr" -> 800L)),
     "bpe_pair_counts" -> BpeOps.pairCountsSql(30),
     "bpe_tokenize" -> BpeOps.tokenizeSql(bpeMerges),
+    "bpe_tokenize_bytes" -> BpeOps.tokenizeBytesSql(bpeByteMerges),
     "bpe_tokenize_pack" ->
       (BpeOps.tokenizeAndPackSql(bpeMerges, seqLen = 128L) +
         "\nORDER BY lang, source, seq_id"),

@@ -51,6 +51,68 @@ object BpeOps {
     s"array_append(transform(sequence(1, length(word)), " +
       s"i -> substring(word, i, 1)), '$endMark')")
 
+  // ---- byte-level mode (GPT-2 style) -------------------------------------
+
+  /** GPT-2's bytes→unicode table (public algorithm from the released
+    * encoder): printable bytes (33–126, 161–172, 174–255) map to
+    * themselves; the rest map to U+0100.. in byte order. Purpose is a
+    * BIJECTIVE byte↔codepoint lift so byte-level BPE can reuse string
+    * symbol machinery with visible, lossless symbols (space → 'Ġ' =
+    * U+0120, the familiar GPT-2 marker). */
+  val ByteToUnicode: IndexedSeq[String] = {
+    val keep = ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    val out = Array.ofDim[String](256)
+    var n = 0
+    for (b <- 0 to 255) {
+      if (keep(b)) out(b) = new String(Character.toChars(b))
+      else { out(b) = new String(Character.toChars(256 + n)); n += 1 }
+    }
+    out.toIndexedSeq
+  }
+
+  /** GPT-2-STYLE pre-tokenization regex (public spec), lookahead-free so
+    * the Java (Spark) and RE2 (DuckDB) dialects agree: contractions,
+    * optional-leading-space letter/digit/other runs, whitespace runs.
+    * Deliberate deltas from the original GPT-2 pattern, both documented
+    * divergences rather than bugs: `\s+(?!\S)` is dropped (RE2 has no
+    * lookahead), so in a MULTI-space run all spaces group together
+    * instead of leaving the last to prefix the next word — single
+    * spaces (the common case) attach to the following word exactly as
+    * GPT-2; and Java's `\s` additionally matches U+000B where RE2's
+    * does not (vertical tab is absent from real corpora). */
+  val PreTokenPattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Byte-level initial symbols of a `word` column: UTF-8 bytes lifted
+    * through [[ByteToUnicode]] — one symbol per BYTE, so the alphabet is
+    * closed (≤256 symbols, no OOV class) and a trained vocab reproduces
+    * the production byte-level formulation. No end-of-word marker:
+    * byte-level merges simply never cross pre-token boundaries. Runs on
+    * the DISTINCT pre-token dictionary only (Zipf-bounded), same as the
+    * code-point mode. */
+  private def byteSymbolsExpr: Column = {
+    val mapArr = array(ByteToUnicode.map(lit): _*)
+    transform(
+      // byte i of the UTF-8 encoding, as 0..255: one-byte latin-1 decode
+      // makes codepoint == byte value, so ascii() reads the byte exactly
+      expr("transform(sequence(1, octet_length(encode(word, 'UTF-8'))), " +
+        "i -> ascii(decode(substring(encode(word, 'UTF-8'), i, 1), " +
+        "'ISO-8859-1')))"),
+      b => element_at(mapArr, b + lit(1)))
+  }
+
+  /** Byte-level pre-token dictionary: one row per distinct PRE-TOKEN
+    * (from [[PreTokenPattern]] — spaces ride with their word, GPT-2
+    * convention) with corpus frequency and byte symbols. The byte-mode
+    * twin of [[wordDict]]; feeds the same [[trainFromDict]] /
+    * [[pairCounts]] / [[applyMerges]] machinery unchanged. */
+  def byteWordDict(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(regexp_extract_all(col(textCol),
+        lit(PreTokenPattern), lit(0))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("symbols", byteSymbolsExpr)
+
   /** Adjacent symbol-pair frequencies over a dictionary — the statistic
     * one BPE round maximizes: Σ word-freq per (left, right) pair.
     * Includes overlapping occurrences ("a a a" counts (a,a) twice),
@@ -91,9 +153,20 @@ object BpeOps {
     * lineage stays one round deep, and materialization folds into the
     * next round's argmax collect — one job per round, with no wasted
     * eager job materializing the final dictionary nobody reads. */
-  def train(docs: DataFrame, nMerges: Int, textCol: String = "text"): Seq[(String, String)] = {
+  def train(docs: DataFrame, nMerges: Int, textCol: String = "text"): Seq[(String, String)] =
+    trainFromDict(wordDict(docs, textCol), nMerges)
+
+  /** [[train]] over the byte-level pre-token dictionary — same loop,
+    * same argmax/tie-break, byte symbols as the initial alphabet. */
+  def trainBytes(docs: DataFrame, nMerges: Int,
+      textCol: String = "text"): Seq[(String, String)] =
+    trainFromDict(byteWordDict(docs, textCol), nMerges)
+
+  /** The sequential training loop over any prepared (freq, symbols)
+    * dictionary — shared by the code-point and byte-level modes. */
+  def trainFromDict(dict0: DataFrame, nMerges: Int): Seq[(String, String)] = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
-    var dict = wordDict(docs, textCol).lineageBarrier(false)
+    var dict: DataFrame = dict0.lineageBarrier(false)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var round = 0
     while (round < nMerges) {
@@ -329,16 +402,39 @@ object BpeOps {
     val pw = docs.select(col(idCol).as("doc_id"),
         posexplode(split(col(textCol), " ")).as(Seq("word_pos", "word")))
       .filter(col("word") =!= "")
-    // The eager localCheckpoint is a PLAN BARRIER, not a convenience:
-    // without it Catalyst floats the merge-fold projection above the
-    // corpus join (and can pick the wrong build side), re-evaluating the
-    // chained rewrite per CORPUS row instead of per dict row — measured
-    // 8 s vs 0.3 s at sf0.1. Materializing pins the rewrite to the
-    // dict-sized relation; it stays distributed (no driver collect), so
-    // the operator's Zipf accounting is unchanged.
-    val segmented = applyMerges(
+    tokenizeCore(pw,
       pw.select("word").distinct().withColumn("symbols", symbolsExpr(endMark)),
-      merges).lineageBarrier()
+      merges)
+  }
+
+  /** Byte-level tokenizer APPLY — [[tokenize]]'s twin over
+    * [[PreTokenPattern]] pre-tokens and [[byteSymbolsExpr byte symbols]]
+    * (no end-of-word marker). Identical Zipf/scale shape; token ids by
+    * binary order over the emitted byte-mapped vocabulary. */
+  def tokenizeBytes(docs: DataFrame, merges: Seq[(String, String)],
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(merges.nonEmpty, "tokenizeBytes needs at least one merge")
+    val pw = docs.select(col(idCol).as("doc_id"),
+        posexplode(regexp_extract_all(col(textCol),
+          lit(PreTokenPattern), lit(0))).as(Seq("word_pos", "word")))
+      .filter(col("word") =!= "")
+    tokenizeCore(pw,
+      pw.select("word").distinct().withColumn("symbols", byteSymbolsExpr),
+      merges)
+  }
+
+  /** Shared apply tail: segment the distinct-word dictionary, then join
+    * corpus positions against it. */
+  private def tokenizeCore(pw: DataFrame, d0: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    // The eager barrier is a PLAN BARRIER, not a convenience: without it
+    // Catalyst floats the merge-fold projection above the corpus join
+    // (and can pick the wrong build side), re-evaluating the chained
+    // rewrite per CORPUS row instead of per dict row — measured 8 s vs
+    // 0.3 s at sf0.1. Materializing pins the rewrite to the dict-sized
+    // relation; it stays distributed (no driver collect), so the
+    // operator's Zipf accounting is unchanged.
+    val segmented = applyMerges(d0, merges).lineageBarrier()
     // |vocab| <= alphabet + merges + 1: the one-partition window is fine
     val vocab = broadcast(
       segmented.select(explode(col("symbols")).as("token")).distinct()
@@ -369,17 +465,7 @@ object BpeOps {
     require(merges.nonEmpty, "tokenizeSql needs at least one merge")
     require(!endMark.exists(c => c == '\'' || c == '\\'),
       s"endMark must not contain quotes/backslashes: $endMark")
-    def q(s: String) = s.replace("'", "''")
-    require(!merges.exists { case (l, r) => (l + r).contains('') },
-      "merge symbols must not contain the chr(31) separator")
-    val layers = merges.zipWithIndex.map { case ((l, r), i) =>
-      s"""d${i + 1} AS (
-         |  SELECT word, string_split(list_reduce(symbols,
-         |    (acc, s) -> CASE WHEN (acc = '${q(l)}'
-         |        OR ends_with(acc, chr(31) || '${q(l)}')) AND s = '${q(r)}'
-         |      THEN acc || '${q(r)}' ELSE acc || chr(31) || s END),
-         |    chr(31)) AS symbols FROM d$i)""".stripMargin
-    }.mkString(",\n")
+    val layers = mergeLayersSql(merges)
     val last = s"d${merges.size}"
     s"""WITH pw AS (
        |  SELECT doc_id, i AS word_pos, words[i + 1] AS word
@@ -391,7 +477,30 @@ object BpeOps {
        |  SELECT word, list_append(string_split(word, ''), '$endMark') AS symbols
        |  FROM (SELECT DISTINCT word FROM pw)),
        |$layers,
-       |vocab AS (
+       |${tokenizeTailSql(last)}""".stripMargin
+  }
+
+  /** One CTE layer per merge — the fold documented on [[tokenizeSql]];
+    * shared with the byte-level twin so the rewrite encoding cannot
+    * drift between modes. */
+  private def mergeLayersSql(merges: Seq[(String, String)]): String = {
+    def q(s: String) = s.replace("'", "''")
+    require(!merges.exists { case (l, r) => (l + r).contains('') },
+      "merge symbols must not contain the chr(31) separator")
+    merges.zipWithIndex.map { case ((l, r), i) =>
+      s"""d${i + 1} AS (
+         |  SELECT word, string_split(list_reduce(symbols,
+         |    (acc, s) -> CASE WHEN (acc = '${q(l)}'
+         |        OR ends_with(acc, chr(31) || '${q(l)}')) AND s = '${q(r)}'
+         |      THEN acc || '${q(r)}' ELSE acc || chr(31) || s END),
+         |    chr(31)) AS symbols FROM d$i)""".stripMargin
+    }.mkString(",\n")
+  }
+
+  /** Vocab / position-join / final-select tail shared by both tokenize
+    * twins (`pw` and the segmented `last` CTE are in scope). */
+  private def tokenizeTailSql(last: String): String =
+    s"""vocab AS (
        |  SELECT token, row_number() OVER (ORDER BY token) AS token_id
        |  FROM (SELECT DISTINCT unnest(symbols) AS token FROM $last)),
        |tok AS (
@@ -405,6 +514,56 @@ object BpeOps {
        |  tok.token, v.token_id
        |FROM tok JOIN vocab v USING (token)
        |ORDER BY doc_id, pos""".stripMargin
+
+  /** DuckDB twin of [[tokenizeBytes]]: pre-tokens via the SAME
+    * [[PreTokenPattern]] (RE2 and Java agree on it — the lookahead-free
+    * design constraint), then the UTF-8 byte decomposition done
+    * RELATIONALLY: per distinct pre-token, per character, the 1-4 UTF-8
+    * bytes from pure codepoint arithmetic, each byte lifted through a
+    * 256-row [[ByteToUnicode]] VALUES table — an independent formulation
+    * of the engine's `encode(word,'UTF-8')` that agrees byte-for-byte on
+    * ALL of unicode (astral planes included). Merge layers and the apply
+    * tail are the exact emitters [[tokenizeSql]] uses. */
+  def tokenizeBytesSql(merges: Seq[(String, String)],
+      docFilter: String = "TRUE"): String = {
+    require(merges.nonEmpty, "tokenizeBytesSql needs at least one merge")
+    def q(s: String) = s.replace("'", "''")
+    val layers = mergeLayersSql(merges)
+    val last = s"d${merges.size}"
+    val bm = ByteToUnicode.zipWithIndex
+      .map { case (c, b) => s"($b, '${q(c)}')" }.mkString(", ")
+    s"""WITH pw AS (
+       |  SELECT doc_id, i AS word_pos, toks[i + 1] AS word
+       |  FROM (SELECT doc_id,
+       |          regexp_extract_all(text, '${q(PreTokenPattern)}', 0) AS toks
+       |        FROM documents WHERE $docFilter),
+       |       unnest(range(0, len(toks))) t(i)
+       |  WHERE toks[i + 1] <> ''),
+       |bm(b, c) AS (VALUES $bm),
+       |wchars AS (
+       |  SELECT word, i, unicode(substr(word, CAST(i AS INT), 1)) AS cp
+       |  FROM (SELECT DISTINCT word FROM pw) w,
+       |       unnest(range(1, length(word) + 1)) t(i)),
+       |wbytes AS (
+       |  SELECT word, i, j,
+       |    CASE WHEN cp < 128 THEN cp
+       |         WHEN cp < 2048 THEN CASE j WHEN 1 THEN 192 + cp // 64
+       |           ELSE 128 + cp % 64 END
+       |         WHEN cp < 65536 THEN CASE j WHEN 1 THEN 224 + cp // 4096
+       |           WHEN 2 THEN 128 + (cp // 64) % 64 ELSE 128 + cp % 64 END
+       |         ELSE CASE j WHEN 1 THEN 240 + cp // 262144
+       |           WHEN 2 THEN 128 + (cp // 4096) % 64
+       |           WHEN 3 THEN 128 + (cp // 64) % 64
+       |           ELSE 128 + cp % 64 END
+       |    END AS b
+       |  FROM wchars, unnest(range(1, 5)) t(j)
+       |  WHERE j <= CASE WHEN cp < 128 THEN 1 WHEN cp < 2048 THEN 2
+       |             WHEN cp < 65536 THEN 3 ELSE 4 END),
+       |d0 AS (
+       |  SELECT word, list(c ORDER BY i, j) AS symbols
+       |  FROM wbytes JOIN bm USING (b) GROUP BY word),
+       |$layers,
+       |${tokenizeTailSql(last)}""".stripMargin
   }
 
   /** Tokenize-and-pack: encode documents with a frozen merge list

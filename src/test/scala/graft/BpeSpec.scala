@@ -173,6 +173,112 @@ class BpeSpec extends AnyFunSuite {
     assert(syms("e\u0301") == Seq("e", "\u0301", "</w>"))
   }
 
+  // ---- byte-level mode --------------------------------------------------
+
+  /** UTF-8 bytes of a pre-token lifted through the GPT-2 table — the
+    * driver-side transcription of the engine's byte symbols. */
+  private def byteSyms(word: String): Vector[String] =
+    word.getBytes("UTF-8").map(b => BpeOps.ByteToUnicode(b & 0xff)).toVector
+
+  /** Pre-tokenize with the SAME Java regex the engine uses. */
+  private def preToks(text: String): Seq[String] =
+    BpeOps.PreTokenPattern.r.findAllIn(text).toSeq.filter(_.nonEmpty)
+
+  /** Driver-side reference byte-level trainer: [[referenceTrain]]'s loop
+    * over the pre-token byte dictionary (no end-of-word marker). */
+  private def referenceByteTrain(corpus: Seq[String],
+      nMerges: Int): Seq[(String, String)] = {
+    var dict: Map[Vector[String], Long] = corpus.flatMap(preToks)
+      .groupBy(identity).map { case (w, ws) => byteSyms(w) -> ws.size.toLong }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var i = 0
+    while (i < nMerges) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      dict.foreach { case (syms, f) =>
+        syms.sliding(2).filter(_.size == 2).foreach { p =>
+          counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + f
+        }
+      }
+      if (counts.isEmpty) i = nMerges
+      else {
+        import scala.math.Ordering.Implicits._
+        def cp(s: String): List[Int] = s.codePoints().toArray.toList
+        val (l, r) = counts.toSeq
+          .minBy { case ((a, b), c) => (-c, cp(a), cp(b)) }._1
+        merges += ((l, r))
+        dict = dict.map { case (syms, f) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var j = 0
+          while (j < syms.length) {
+            if (j + 1 < syms.length && syms(j) == l && syms(j + 1) == r) {
+              out += l + r; j += 2
+            } else { out += syms(j); j += 1 }
+          }
+          out.toVector -> f
+        }
+        i += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  test("byte mode: trainBytes == driver reference on a mixed corpus") {
+    val corpus = Seq(
+      "the cat's hat", "low lower  lowest 42 it's low!",
+      "newest widest low café")
+    val docs = corpus.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = BpeOps.trainBytes(docs, 8)
+    assert(got == referenceByteTrain(corpus, 8))
+  }
+
+  test("byte mode: ASCII one-word docs == code-point dynamics (no marker)") {
+    // one word per doc, printable ASCII: pre-token == word, byte symbols
+    // == characters (the identity region of the byte map) — so the byte
+    // trainer must reproduce a code-point trainer without the end marker
+    val words = Seq("low", "low", "lower", "newest", "newest", "newest",
+      "widest", "wide")
+    val docs = words.zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val charDict = docs
+      .select(org.apache.spark.sql.functions.col("text").as("word"))
+      .groupBy("word")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("freq"))
+      .withColumn("symbols", org.apache.spark.sql.functions.expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+    assert(BpeOps.trainBytes(docs, 6) == BpeOps.trainFromDict(charDict, 6))
+  }
+
+  test("byte mode: multibyte diverges from code-point mode; bytes round-trip") {
+    // 'é' NFC is ONE code point but TWO UTF-8 bytes: the byte dict must
+    // hold 2 symbols where the code-point dict holds 1 (+ marker) — the
+    // deliberate divergence between the two formulations
+    val docs = Seq((0L, "café")).toDF("doc_id", "text")
+    val bs = BpeOps.byteWordDict(docs).select("symbols").collect()(0)
+      .getAs[scala.collection.Seq[String]](0).toSeq
+    assert(bs.length == 5, s"café must be 5 byte symbols, got $bs")
+    assert(bs == byteSyms("café"))
+    // and the lift is LOSSLESS on the full unicode mix (astral included):
+    // inverse-mapping the tokenized symbols reconstructs the exact text
+    val inv: Map[String, Int] =
+      BpeOps.ByteToUnicode.zipWithIndex.map { case (c, b) => c -> b }.toMap
+    val texts = Seq((0L, "café müller low"),
+      (1L, "你好 世界 low"),
+      (2L, "rock😀roll low's 42!"))
+    val tdocs = texts.toDF("doc_id", "text")
+    val merges = BpeOps.trainBytes(tdocs, 5)
+    val toks = BpeOps.tokenizeBytes(tdocs, merges)
+      .orderBy("doc_id", "pos").collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    for ((id, text) <- texts) {
+      val joined = toks.filter(_._1 == id).map(_._2).mkString
+      val bytes = joined.codePoints().toArray
+        .map(cp => inv(new String(Character.toChars(cp))).toByte)
+      assert(new String(bytes, "UTF-8") == text, s"doc $id not lossless")
+    }
+  }
+
   /** Driver-side reference tokenizer: leftmost-first non-overlapping
     * rewrite per merge in list order, then ids by code-point-sorted
     * distinct vocabulary — the [[BpeOps.tokenize]] contract, transcribed
