@@ -118,6 +118,32 @@ object ExtensionQueries {
     ("jo", "in"), ("as", "h"), ("h", "ash"), ("Ġ", "join"),
     ("s", "t"), ("r", "ow"))
 
+  // One synthetic WARC dump per sf dir (mixed plain + gzip members),
+  // generated ONCE from the documents table — records are a pure
+  // function of (doc_id, text), which is what gives the warc_read query
+  // a closed-form oracle over `documents`. Driver-side generation is
+  // fixture-only (the SOURCE is the distributed artifact under test).
+  private val warcPaths = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def warcFixtureFor(s: SparkSession, dir: String): String =
+    warcPaths.getOrElseUpdate(dir, {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-warc").toString
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+        .orderBy("doc_id").collect()
+      val base = java.time.Instant.parse("2020-01-01T00:00:00Z")
+      val per = math.max(1, docs.length / 3 + 1)
+      for ((g, i) <- docs.grouped(per).zipWithIndex) {
+        val recs = g.iterator.map { r =>
+          val id = r.getLong(0)
+          graft.sources.warc.WarcIO.Record(s"<urn:graft:$id>", "response",
+            s"https://example.org/doc/$id", base.plusSeconds(id).toString,
+            "text/plain", r.getString(1).getBytes("UTF-8"))
+        }
+        val ext = if (i == 0) ".warc.gz" else ".warc"
+        graft.sources.warc.WarcIO.writeFile(recs, s"$tmp/part-$i$ext")
+      }
+      tmp
+    })
+
   // One persisted PQ index per sf dir, built+written on first use (the
   // per-snapshot amortized cost); queries re-read it like production
   // would — books/centroids come from the sidecar, never re-derived
@@ -274,6 +300,16 @@ object ExtensionQueries {
     "bpe_tokenize" -> { (s, dir) =>
       BpeOps.tokenize(Tables.documents(s, dir), bpeMerges)
         .orderBy("doc_id", "pos")
+    },
+    // WARC ingestion: the synthetic dump (plain + gzip files) read back
+    // through the native DataSource V2 source — bounded-memory streaming
+    // record reads, one task per file; payload decoded to text so the
+    // documents-table oracle checks every field closed-form
+    "warc_read" -> { (s, dir) =>
+      graft.sources.Sources.warc(s, warcFixtureFor(s, dir))
+        .select(col("url"), col("ts"), col("mime"), col("content_length"),
+          col("payload").cast("string").as("text"))
+        .orderBy("url")
     },
     // BYTE-LEVEL tokenizer APPLY (GPT-2 formulation): pre-tokenization
     // regex + UTF-8 byte alphabet lifted through the bytes→unicode
@@ -1364,6 +1400,13 @@ object ExtensionQueries {
     "bpe_pair_counts" -> BpeOps.pairCountsSql(30),
     "bpe_tokenize" -> BpeOps.tokenizeSql(bpeMerges),
     "bpe_tokenize_bytes" -> BpeOps.tokenizeBytesSql(bpeByteMerges),
+    "warc_read" ->
+      """SELECT 'https://example.org/doc/' || doc_id AS url,
+        |  TIMESTAMP '2020-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND AS ts,
+        |  'text/plain' AS mime,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+        |  text
+        |FROM documents ORDER BY url""".stripMargin,
     "bpe_tokenize_pack" ->
       (BpeOps.tokenizeAndPackSql(bpeMerges, seqLen = 128L) +
         "\nORDER BY lang, source, seq_id"),

@@ -54,6 +54,13 @@ object Sources {
     }
   }
 
+  /** WARC (ISO 28500 / CommonCrawl) ingestion via the native
+    * [[graft.sources.warc.WarcDataSource]] DataSource V2 — one task per
+    * file, streaming bounded-memory record reads, payload-pruning scans.
+    * See the source scaladoc for the full contract. */
+  def warc(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("warc").load(path)
+
   /** Streaming reader with an explicit schema (streaming sources cannot
     * infer), plus watermark. */
   def parquetStream(spark: SparkSession, path: String,
