@@ -891,6 +891,22 @@ object ExtensionQueries {
           col("byteLen").as("byte_len"))
         .orderBy("id")
     },
+    // MJPEG frame PIXEL decode (the codec family the JDK closes end to
+    // end): every movi chunk is a real JPEG decoded via ImageIO; the
+    // DC-exact uniform-gray fixtures make per-frame brightness a closed
+    // form of (id, frame) the oracle states without a JPEG decoder
+    "multimodal_video_decode" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val media = Tables.documents(s, dir).select(col("doc_id"))
+        .as[Long].map(id => MultimodalOps.MediaRow(
+          id, MultimodalOps.syntheticMjpegAvi(id), "video/avi", 0, 0))
+      MultimodalOps.decodeVideoFrames(media).toDF()
+        .select(col("id"), col("frameIdx").as("frame_idx"),
+          col("width"), col("height"),
+          round(col("brightness"), 6).as("brightness"))
+        .orderBy("id", "frame_idx")
+    },
     // ROLLUP aggregation surface: corpus stats at (lang, source), (lang),
     // and grand-total levels in one pass
     "text_rollup_stats" -> { (s, dir) =>
@@ -1603,6 +1619,16 @@ object ExtensionQueries {
          |  20000 + (doc_id % 7) * 5000 AS usec_per_frame,
          |  ${MultimodalOps.syntheticAviBaseLen} + 2 * (doc_id % 32) AS byte_len
          |FROM documents ORDER BY id""".stripMargin,
+    // brightness of a DC-exact uniform-gray JPEG frame is exactly v/255
+    // (decode identity pinned in MultimodalSpec): the oracle needs no
+    // JPEG decoder, only the fixture's closed form
+    "multimodal_video_decode" ->
+      """SELECT doc_id AS id, CAST(k AS BIGINT) AS frame_idx,
+        |  CAST(64 + (doc_id % 4) * 16 AS INT) AS width,
+        |  CAST(48 + (doc_id % 3) * 16 AS INT) AS height,
+        |  round(((doc_id * 7 + k * 31) % 256) / 255.0, 6) AS brightness
+        |FROM documents, unnest(range(0, 2 + doc_id % 3)) t(k)
+        |ORDER BY id, frame_idx""".stripMargin,
     "events_props_hist" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS i0,
         |count(*) AS value FROM events GROUP BY 1

@@ -11,10 +11,12 @@ import org.apache.spark.sql.functions._
   * JDK's `javax.imageio` PNG/JPEG/BMP/GIF readers — no native libs) and
   * AUDIO via [[AudioCodec]] (`javax.sound.sampled` WAV/PCM); VIDEO
   * container METADATA parses for real ([[extractVideoMeta]], a RIFF/AVI
-  * chunk walk) while frame PIXEL decode stays STUBBED ([[StubCodec]]
-  * derives deterministic fake features from bytes) because neither the
-  * JDK nor this container ships a video bitstream decoder. Swap
-  * `StubCodec` for a real JNI/library codec without touching the
+  * chunk walk) and MJPEG-in-AVI frame PIXELS decode for real
+  * ([[decodeVideoFrames]] — each movi chunk is a self-contained JPEG
+  * the imageio path handles). Only INTER-frame video codecs (H.264
+  * etc.) stay STUBBED ([[StubCodec]] derives deterministic fake
+  * features from bytes): the JDK ships no bitstream decoder for them.
+  * Swap `StubCodec` for a real JNI/library codec without touching the
   * pipeline shape.
   *
   * Scale notes: decode runs in `mapPartitions` (one codec init per
@@ -477,6 +479,152 @@ object MultimodalOps {
 
   /** One sampled frame of a media payload. */
   final case class FrameRow(id: Long, frameIdx: Int, payload: Array[Byte])
+
+  /** Per-frame decoded features ([[decodeVideoFrames]]). */
+  final case class FrameFeatures(id: Long, frameIdx: Long, width: Int,
+    height: Int, brightness: Double, frameBytes: Long)
+
+  /** REAL video FRAME decode for the MJPEG-in-AVI codec family: every
+    * `00dc`/`00db` chunk in the `movi` LIST is one self-contained JPEG,
+    * which the same `javax.imageio` path as [[ImageIoCodec]] decodes —
+    * closing the frame-pixel half of video for the one codec family the
+    * JDK can handle end to end. INTER-frame codecs (H.264 etc.) remain
+    * the honest stub: their chunks are not independently decodable and
+    * the JDK ships no bitstream decoder — such payloads surface as
+    * [[CorruptPayloadException]] ("undecodable frame"), never a silent
+    * skip.
+    *
+    * Features per frame: decoded dimensions + the exact Rec.601
+    * milli-weight luma mean (the [[ImageIoCodec]] formula — engine-
+    * portable for DC-exact fixtures, see [[syntheticMjpegAvi]]).
+    *
+    * Scale shape: mapPartitions, one container resident per task at a
+    * time, frames decoded streaming within it; only fixed-width feature
+    * rows leave the partition. */
+  def decodeVideoFrames(media: Dataset[MediaRow],
+      onCorrupt: CorruptPolicy = CorruptPolicy.Fail)
+      (implicit spark: SparkSession): Dataset[FrameFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        try decodeMjpegFrames(r.id, r.payload)
+        catch {
+          case e: CorruptPayloadException => onCorrupt match {
+            case CorruptPolicy.Fail => throw e
+            case CorruptPolicy.Skip => Seq.empty
+          }
+        }
+      }
+    }
+  }
+
+  private[graft] def decodeMjpegFrames(id: Long,
+      payload: Array[Byte]): Seq[FrameFeatures] = {
+    // container validation identical to the metadata walk
+    parseAviMeta(id, payload, "video/avi")
+    val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    def walkMovi(pos0: Long, end: Long): Unit = {
+      var pos = pos0
+      while (pos + 8 <= end) {
+        val cc = fourcc(payload, pos.toInt)
+        val sz = u32le(payload, pos.toInt + 4)
+        if (pos + 8 + sz > payload.length)
+          throw new CorruptPayloadException(id,
+            s"truncated chunk $cc at $pos: declares $sz bytes")
+        if (cc == "LIST" && sz >= 4) {
+          val form = fourcc(payload, pos.toInt + 8)
+          // frames live in movi; interleaved files nest them in 'rec '
+          if (form == "movi" || form == "rec ")
+            walkMovi(pos + 12, pos + 8 + sz)
+        } else if (cc.endsWith("dc") || cc.endsWith("db")) {
+          frames += ((pos.toInt + 8, sz.toInt))
+        }
+        pos += 8 + sz + (sz & 1L)
+      }
+    }
+    walkMovi(12L, math.min(payload.length.toLong, 8L + u32le(payload, 4)))
+    frames.zipWithIndex.map { case ((off, len), k) =>
+      val img =
+        try javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload, off, len))
+        catch { case e: java.io.IOException =>
+          throw new CorruptPayloadException(id,
+            s"frame $k parse failed: ${e.getMessage}", e)
+        }
+      if (img == null)
+        throw new CorruptPayloadException(id,
+          s"undecodable frame $k (only MJPEG — per-frame JPEG/DIB — is " +
+            "supported; inter-frame codecs remain stubbed)")
+      val w = img.getWidth
+      val h = img.getHeight
+      var lumaMilli = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          lumaMilli += 299L * ((rgb >> 16) & 0xff) +
+            587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      FrameFeatures(id, k.toLong, w, h,
+        lumaMilli.toDouble / (255000.0 * (w.toLong * h)), len.toLong)
+    }.toSeq
+  }
+
+  /** Deterministic synthetic MJPEG-in-AVI: the [[syntheticAvi]] RIFF
+    * tree with REAL JPEG frames — each `00dc` chunk is a uniform-gray
+    * JPEG whose value is a closed form of (id, frame):
+    * v = (id·7 + k·31) mod 256, w = 64 + (id mod 4)·16,
+    * h = 48 + (id mod 3)·16, frames = 2 + id mod 3.
+    *
+    * Uniform gray is the DC-EXACT fixture class: every 8×8 block is
+    * constant, so the JPEG pipeline is DC-only and decode returns v
+    * exactly (round-trip identity verified for ALL v in
+    * MultimodalSpec) — which is what lets the oracle state
+    * brightness = v/255 in closed form without a JPEG decoder. */
+  def syntheticMjpegAvi(id: Long): Array[Byte] = {
+    require(id >= 0, s"id must be non-negative, got $id")
+    val width = (64 + (id % 4) * 16).toInt
+    val height = (48 + (id % 3) * 16).toInt
+    val nFrames = (2 + id % 3).toInt
+    val jpegs = (0 until nFrames).map { k =>
+      val v = ((id * 7 + k * 31) % 256).toInt
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (v << 16) | (v << 8) | v
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val moviSz = 4 + jpegs.map(j => 8 + j.length + (j.length & 1)).sum
+    val riffSz = 4 + (8 + 68) + (8 + moviSz)
+    val bb = java.nio.ByteBuffer.allocate(8 + riffSz)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def cc(s: String): Unit = bb.put(s.getBytes(
+      java.nio.charset.StandardCharsets.US_ASCII))
+    cc("RIFF"); bb.putInt(riffSz); cc("AVI ")
+    cc("LIST"); bb.putInt(68); cc("hdrl")
+    cc("avih"); bb.putInt(56)
+    bb.putInt(33333); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+    bb.putInt(nFrames); bb.putInt(0); bb.putInt(1); bb.putInt(0)
+    bb.putInt(width); bb.putInt(height)
+    bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+    cc("LIST"); bb.putInt(moviSz); cc("movi")
+    jpegs.foreach { j =>
+      cc("00dc"); bb.putInt(j.length); bb.put(j)
+      if ((j.length & 1) == 1) bb.put(0.toByte)
+    }
+    bb.array()
+  }
 
   /** REAL image resize (images only — video/audio keep the [[resize]]
     * stub): decode via the same `javax.imageio` path as [[ImageIoCodec]],

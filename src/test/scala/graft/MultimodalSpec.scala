@@ -293,4 +293,72 @@ class MultimodalSpec extends AnyFunSuite {
     }
     assert(e.getCause.isInstanceOf[MultimodalOps.CorruptPayloadException])
   }
+
+  test("uniform-gray JPEG round-trip is the identity for ALL 256 values") {
+    // the DC-exactness assumption behind the multimodal_video_decode
+    // oracle (brightness = v/255 in closed form): every 8x8 block of a
+    // uniform image is DC-only, and the JDK's JPEG path reconstructs it
+    // exactly. If a JDK change ever breaks this, fail HERE, loudly, not
+    // as a silent oracle drift.
+    for (v <- 0 to 255) {
+      val img = new java.awt.image.BufferedImage(
+        16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (v << 16) | (v << 8) | v
+      for (y <- 0 until 16; x <- 0 until 16) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      val back = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bos.toByteArray))
+      assert((back.getRGB(7, 7) & 0xffffff) == rgb, s"v=$v not DC-exact")
+    }
+  }
+
+  test("decodeVideoFrames: MJPEG frames decode to the fixture closed form") {
+    val ids = Seq(0L, 1L, 5L, 11L)
+    val media = spark.createDataset(ids.map(id =>
+      MediaRow(id, MultimodalOps.syntheticMjpegAvi(id), "video/avi", 0, 0)))
+    val got = MultimodalOps.decodeVideoFrames(media).collect()
+      .sortBy(f => (f.id, f.frameIdx))
+    val exp = ids.sorted.flatMap { id =>
+      (0 until (2 + id % 3).toInt).map { k =>
+        val v = ((id * 7 + k * 31) % 256).toInt
+        (id, k.toLong, (64 + (id % 4) * 16).toInt, (48 + (id % 3) * 16).toInt,
+          v / 255.0)
+      }
+    }
+    assert(got.length == exp.length)
+    for ((f, (id, k, w, h, b)) <- got.zip(exp)) {
+      assert(f.id == id && f.frameIdx == k && f.width == w && f.height == h)
+      assert(f.brightness == b, s"id=$id k=$k: ${f.brightness} vs $b")
+    }
+    // ...and the metadata walk agrees with the frame count
+    val meta = MultimodalOps.extractVideoMeta(media).collect()
+      .map(m => m.id -> m.nFrames).toMap
+    assert(meta == ids.map(id => id -> (2 + id % 3)).toMap)
+  }
+
+  test("decodeVideoFrames corrupt contract: inter-frame codec refuses loudly") {
+    // a valid container whose frame bytes are NOT a self-contained JPEG
+    // (the inter-frame-codec shape): must refuse, naming the frame
+    val good = MultimodalOps.syntheticMjpegAvi(3L)
+    val bad = good.clone()
+    // find the first JPEG SOI (ff d8) after the movi list and corrupt it
+    val idx = bad.indices.drop(100).find(i =>
+      (bad(i) & 0xff) == 0xff && (bad(i + 1) & 0xff) == 0xd8).get
+    bad(idx) = 0x00
+    val media = spark.createDataset(Seq(
+      MediaRow(3L, bad, "video/avi", 0, 0)))
+    val e = intercept[org.apache.spark.SparkException] {
+      MultimodalOps.decodeVideoFrames(media).collect()
+    }
+    assert(e.getCause.isInstanceOf[CorruptPayloadException])
+    assert(e.getCause.getMessage.contains("frame"))
+    // Skip policy drops the whole corrupt container, keeps good ones
+    val mixed = spark.createDataset(Seq(
+      MediaRow(3L, bad, "video/avi", 0, 0),
+      MediaRow(4L, MultimodalOps.syntheticMjpegAvi(4L), "video/avi", 0, 0)))
+    val kept = MultimodalOps.decodeVideoFrames(mixed,
+      CorruptPolicy.Skip).collect()
+    assert(kept.map(_.id).distinct.toSeq == Seq(4L))
+  }
 }
