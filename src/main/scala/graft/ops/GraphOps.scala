@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.ops.Checkpoints._
 
@@ -53,6 +53,23 @@ object GraphOps {
   def pageRank(edges: DataFrame, iters: Int = 8,
       damping: Double = 0.85): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    pageRankMode(edges, FixedIters(iters), damping)
+  }
+
+  /** [[pageRank]] iterated to an L1 fixpoint instead of fixed rounds:
+    * stop when Σ|r_t − r_{t−1}| ≤ `tol`, FAIL LOUDLY past `maxIters`
+    * (production ranking wants "converged or tell me", not a silent
+    * best-effort vector). Non-oracle variant by design — the round
+    * count is data-dependent, so there is no unrollable twin; the
+    * fixed-round default stays the certified mode. The L1 delta is one
+    * node-keyed join + a one-row aggregate per round — the same scale
+    * class as the round itself. */
+  def pageRankConverged(edges: DataFrame, tol: Double = 1e-9,
+      maxIters: Int = 100, damping: Double = 0.85): DataFrame =
+    pageRankMode(edges, convergeMode(tol, maxIters), damping)
+
+  private def pageRankMode(edges: DataFrame, mode: IterMode,
+      damping: Double): DataFrame = {
     require(damping > 0 && damping < 1, s"damping in (0,1), got $damping")
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .distinct().lineageBarrier(eager = false)
@@ -67,28 +84,73 @@ object GraphOps {
       .lineageBarrier(eager = false)
     val sinks = nodes.join(deg.select(col("src").as("node")), Seq("node"),
       "left_anti").lineageBarrier(eager = false)
-    var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
-      .lineageBarrier(eager = false)
-    for (_ <- 1 to iters) {
-      val dangling = broadcast(sinks.join(ranks, Seq("node"))
+    val init = nodes.select(col("node"), lit(1.0 / n).as("rank"))
+    // EAGER per-round barrier (inside prLoop): each round materializes
+    // once and the next reads cached blocks — N rounds = N bounded jobs.
+    // A lazy mark would let the final action re-derive round k's ranks
+    // through every branch that references it (dangling + contribs +
+    // node join): the recompute tree grows with iters instead of
+    // staying linear.
+    prLoop(nodes, ew, sinks, init, mode, (c, dm) =>
+      lit((1.0 - damping) / n) +
+        lit(damping) * (c + dm / lit(n.toDouble)))
+  }
+
+  private def convergeMode(tol: Double, maxIters: Int): IterMode = {
+    require(tol > 0, s"tol must be > 0, got $tol")
+    require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
+    Converge(tol, maxIters)
+  }
+
+  /** Iteration policy for the power-method loop. */
+  private sealed trait IterMode
+  private final case class FixedIters(iters: Int) extends IterMode
+  private final case class Converge(tol: Double, maxIters: Int) extends IterMode
+
+  /** The ONE power-method loop behind [[pageRank]], [[weightedPageRank]]
+    * and [[personalizedPageRank]] (fixed or convergence-probed): per
+    * round, one-row broadcast dangling aggregate, edge⋈rank contribution
+    * reduce on `dst`, then `update(contrib, danglingMass)` — the update
+    * CLOSURE keeps each op's exact float operation order, which is what
+    * the unrolled oracles replay. */
+  private def prLoop(nodes: DataFrame, ew: DataFrame, sinks: DataFrame,
+      init: DataFrame, mode: IterMode,
+      update: (Column, Column) => Column): DataFrame = {
+    def round(r: DataFrame): DataFrame = {
+      val dangling = broadcast(sinks.join(r, Seq("node"))
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm")))
-      val contribs = ew.join(ranks, ew("src") === ranks("node"))
+      val contribs = ew.join(r, ew("src") === r("node"))
         .groupBy(col("dst"))
         .agg(sum(col("w") * col("rank")).as("c"))
-      ranks = nodes.join(contribs, nodes("node") === contribs("dst"), "left")
+      nodes.join(contribs, nodes("node") === contribs("dst"), "left")
         .crossJoin(dangling)
         .select(col("node"),
-          (lit((1.0 - damping) / n) +
-            lit(damping) * (coalesce(col("c"), lit(0.0)) +
-              col("dm") / lit(n.toDouble))).as("rank"))
-        // EAGER: each round materializes once and the next reads cached
-        // blocks — N rounds = N bounded jobs. A lazy mark here lets the
-        // final action re-derive round k's ranks through every branch
-        // that references it (dangling + contribs + node join): the
-        // recompute tree grows with iters instead of staying linear.
+          update(coalesce(col("c"), lit(0.0)), col("dm")).as("rank"))
         .lineageBarrier()
     }
-    ranks
+    var ranks = init.lineageBarrier(eager = false)
+    mode match {
+      case FixedIters(iters) =>
+        for (_ <- 1 to iters) ranks = round(ranks)
+        ranks
+      case Converge(tol, maxIters) =>
+        var i = 0
+        var delta = Double.MaxValue
+        while (delta > tol) {
+          if (i >= maxIters) throw new IllegalStateException(
+            s"power iteration did not converge to L1 tol $tol within " +
+              s"$maxIters rounds (last delta $delta) — raise maxIters or " +
+              "loosen tol; refusing to return an unconverged vector")
+          val next = round(ranks)
+          delta = next
+            .join(ranks.select(col("node"), col("rank").as("prev")), Seq("node"))
+            .agg(sum(abs(col("rank") - col("prev"))))
+            .collect()(0).getDouble(0)
+          ranks = next
+          i += 1
+        }
+        ranks
+    }
   }
 
   /** WEIGHTED PageRank: rank mass moves proportionally to edge weight —
@@ -108,6 +170,17 @@ object GraphOps {
   def weightedPageRank(edges: DataFrame, iters: Int = 4,
       damping: Double = 0.85): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    weightedPageRankMode(edges, FixedIters(iters), damping)
+  }
+
+  /** [[weightedPageRank]] to an L1 fixpoint — the [[pageRankConverged]]
+    * contract over the weighted edge relation. */
+  def weightedPageRankConverged(edges: DataFrame, tol: Double = 1e-9,
+      maxIters: Int = 100, damping: Double = 0.85): DataFrame =
+    weightedPageRankMode(edges, convergeMode(tol, maxIters), damping)
+
+  private def weightedPageRankMode(edges: DataFrame, mode: IterMode,
+      damping: Double): DataFrame = {
     require(damping > 0 && damping < 1, s"damping in (0,1), got $damping")
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
         col("w").cast("long"))
@@ -131,23 +204,10 @@ object GraphOps {
       .lineageBarrier(eager = false)
     val sinks = nodes.join(deg.select(col("src").as("node")), Seq("node"),
       "left_anti").lineageBarrier(eager = false)
-    var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
-      .lineageBarrier(eager = false)
-    for (_ <- 1 to iters) {
-      val dangling = broadcast(sinks.join(ranks, Seq("node"))
-        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm")))
-      val contribs = ew.join(ranks, ew("src") === ranks("node"))
-        .groupBy(col("dst"))
-        .agg(sum(col("w") * col("rank")).as("c"))
-      ranks = nodes.join(contribs, nodes("node") === contribs("dst"), "left")
-        .crossJoin(dangling)
-        .select(col("node"),
-          (lit((1.0 - damping) / n) +
-            lit(damping) * (coalesce(col("c"), lit(0.0)) +
-              col("dm") / lit(n.toDouble))).as("rank"))
-        .lineageBarrier()
-    }
-    ranks
+    val init = nodes.select(col("node"), lit(1.0 / n).as("rank"))
+    prLoop(nodes, ew, sinks, init, mode, (c, dm) =>
+      lit((1.0 - damping) / n) +
+        lit(damping) * (c + dm / lit(n.toDouble)))
   }
 
   /** DuckDB twin of [[weightedPageRank]]: [[pageRankSql]]'s unrolled
@@ -205,6 +265,18 @@ object GraphOps {
   def personalizedPageRank(edges: DataFrame, seeds: Seq[Long],
       iters: Int = 8, damping: Double = 0.85): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    personalizedPageRankMode(edges, seeds, FixedIters(iters), damping)
+  }
+
+  /** [[personalizedPageRank]] to an L1 fixpoint — the
+    * [[pageRankConverged]] contract over the seed teleport vector. */
+  def personalizedPageRankConverged(edges: DataFrame, seeds: Seq[Long],
+      tol: Double = 1e-9, maxIters: Int = 100,
+      damping: Double = 0.85): DataFrame =
+    personalizedPageRankMode(edges, seeds, convergeMode(tol, maxIters), damping)
+
+  private def personalizedPageRankMode(edges: DataFrame, seeds: Seq[Long],
+      mode: IterMode, damping: Double): DataFrame = {
     require(damping > 0 && damping < 1, s"damping in (0,1), got $damping")
     require(seeds.nonEmpty, "personalizedPageRank needs >= 1 seed")
     require(seeds.distinct.size == seeds.size, "duplicate seed ids")
@@ -223,23 +295,10 @@ object GraphOps {
     val sinks = nodes.select("node").join(
       deg.select(col("src").as("node")), Seq("node"), "left_anti")
       .lineageBarrier(eager = false)
-    var ranks = nodes.select(col("node"), col("s").as("rank"))
-      .lineageBarrier(eager = false)
-    for (_ <- 1 to iters) {
-      val dangling = broadcast(sinks.join(ranks, Seq("node"))
-        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm")))
-      val contribs = ew.join(ranks, ew("src") === ranks("node"))
-        .groupBy(col("dst"))
-        .agg(sum(col("w") * col("rank")).as("c"))
-      ranks = nodes.join(contribs, nodes("node") === contribs("dst"), "left")
-        .crossJoin(dangling)
-        .select(col("node"),
-          (lit(1.0 - damping) * col("s") +
-            lit(damping) * (coalesce(col("c"), lit(0.0)) +
-              col("dm") * col("s"))).as("rank"))
-        .lineageBarrier()
-    }
-    ranks
+    val init = nodes.select(col("node"), col("s").as("rank"))
+    prLoop(nodes, ew, sinks, init, mode, (c, dm) =>
+      lit(1.0 - damping) * col("s") +
+        lit(damping) * (c + dm * col("s")))
   }
 
   /** DuckDB twin of [[personalizedPageRank]]: [[pageRankSql]]'s unrolled
@@ -534,6 +593,49 @@ object GraphOps {
         .agg(max(struct(col("c"), (-col("lbl")).as("neg"))).as("best"))
         .select(col("n"), (-col("best").getField("neg")).as("lbl"))
         .lineageBarrier()
+    }
+    lab.select(col("n").as("node"), col("lbl").as("label"))
+  }
+
+  /** [[labelPropagation]] iterated to a FIXPOINT (no label changed in a
+    * round), failing LOUDLY past `maxIters` — which is exactly what
+    * synchronous LPA does on oscillating (bipartite-like) structure, so
+    * the loud failure is a feature: "converged or tell me", never a
+    * silently mid-oscillation labeling. Non-oracle variant; the
+    * fixed-round default stays the certified mode. The change count is
+    * one node-keyed join + one-row aggregate per round. */
+  def labelPropagationConverged(edges: DataFrame,
+      maxIters: Int = 50): DataFrame = {
+    require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
+    val e0 = edges.select(
+        least(col("a").cast("long"), col("b").cast("long")).as("a"),
+        greatest(col("a").cast("long"), col("b").cast("long")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val sym = e0.select(col("a").as("n"), col("b").as("m"))
+      .unionByName(e0.select(col("b").as("n"), col("a").as("m")))
+      .lineageBarrier(eager = false)
+    var lab = sym.select(col("n")).distinct()
+      .withColumn("lbl", col("n")).lineageBarrier()
+    var changed = Long.MaxValue
+    var i = 0
+    while (changed > 0) {
+      if (i >= maxIters) throw new IllegalStateException(
+        s"label propagation did not reach a fixpoint within $maxIters " +
+          s"rounds ($changed labels still changing) — synchronous LPA " +
+          "oscillates on bipartite-like structure; use the fixed-round " +
+          "labelPropagation for a deterministic cut, or raise maxIters")
+      val counts = sym.join(lab.select(col("n").as("m"), col("lbl")), Seq("m"))
+        .groupBy("n", "lbl").agg(count(lit(1)).as("c"))
+      val next = counts.groupBy("n")
+        .agg(max(struct(col("c"), (-col("lbl")).as("neg"))).as("best"))
+        .select(col("n"), (-col("best").getField("neg")).as("lbl"))
+        .lineageBarrier()
+      changed = next
+        .join(lab.select(col("n"), col("lbl").as("prev")), Seq("n"))
+        .filter(col("lbl") =!= col("prev")).count()
+      lab = next
+      i += 1
     }
     lab.select(col("n").as("node"), col("lbl").as("label"))
   }

@@ -265,6 +265,57 @@ class GraphTextSpec extends AnyFunSuite {
     assert(r2 == Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 1L), s"got $r2")
   }
 
+  test("converged power iteration: fixpoint equals long fixed run; loud failure") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (4L, 1L),
+      (2L, 4L)).toDF("src", "dst")
+    // a 50-round fixed run is far past the power method's mixing time on
+    // this graph: the converged variant must land within tol of it
+    val fixed = GraphOps.pageRank(edges, iters = 50)
+      .as[(Long, Double)].collect().toMap
+    val conv = GraphOps.pageRankConverged(edges, tol = 1e-9, maxIters = 100)
+      .as[(Long, Double)].collect().toMap
+    assert(conv.keySet == fixed.keySet)
+    for (k <- fixed.keySet)
+      assert(math.abs(conv(k) - fixed(k)) < 1e-8, s"node $k")
+    // seeded variant converges too and stays a probability vector
+    val pprConv = GraphOps.personalizedPageRankConverged(edges, Seq(1L),
+      tol = 1e-9).as[(Long, Double)].collect()
+    assert(math.abs(pprConv.map(_._2).sum - 1.0) < 1e-9)
+    // weighted variant: uniform weights == unweighted converged result
+    val wConv = GraphOps.weightedPageRankConverged(
+      edges.withColumn("w", lit(3L)), tol = 1e-9)
+      .as[(Long, Double)].collect().toMap
+    for (k <- fixed.keySet)
+      assert(math.abs(wConv(k) - conv(k)) < 1e-12, s"node $k")
+    // too-small iteration budget refuses loudly instead of returning an
+    // unconverged vector
+    val e = intercept[IllegalStateException] {
+      GraphOps.pageRankConverged(edges, tol = 1e-15, maxIters = 2).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("converged label propagation: fixpoint on a clique; oscillation refuses") {
+    // two disjoint triangles reach the min-label fixpoint quickly
+    val tris = Seq((0L, 1L), (1L, 2L), (0L, 2L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("a", "b")
+    val got = GraphOps.labelPropagationConverged(tris, maxIters = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+    // ...and equals the fixed-round mode once stable
+    val fixed = GraphOps.labelPropagation(tris, iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got == fixed)
+    // the star oscillates (documented bipartite artifact): the converged
+    // mode must refuse loudly rather than return a mid-oscillation state
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("a", "b")
+    val e = intercept[IllegalStateException] {
+      GraphOps.labelPropagationConverged(star, maxIters = 6)
+    }
+    assert(e.getMessage.contains("fixpoint"))
+  }
+
   test("lineageBarrier: reliable-checkpoint mode is bit-identical to local mode") {
     // the availability story for cluster iteration: with
     // spark.graft.checkpointDir set, every barrier persists to a
