@@ -1624,8 +1624,8 @@ object ExtensionQueries {
     // JPEG decoder, only the fixture's closed form
     "multimodal_video_decode" ->
       """SELECT doc_id AS id, CAST(k AS BIGINT) AS frame_idx,
-        |  CAST(64 + (doc_id % 4) * 16 AS INT) AS width,
-        |  CAST(48 + (doc_id % 3) * 16 AS INT) AS height,
+        |  CAST(32 + (doc_id % 4) * 8 AS INT) AS width,
+        |  CAST(24 + (doc_id % 3) * 8 AS INT) AS height,
         |  round(((doc_id * 7 + k * 31) % 256) / 255.0, 6) AS brightness
         |FROM documents, unnest(range(0, 2 + doc_id % 3)) t(k)
         |ORDER BY id, frame_idx""".stripMargin,

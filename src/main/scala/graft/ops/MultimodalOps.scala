@@ -577,8 +577,10 @@ object MultimodalOps {
   /** Deterministic synthetic MJPEG-in-AVI: the [[syntheticAvi]] RIFF
     * tree with REAL JPEG frames — each `00dc` chunk is a uniform-gray
     * JPEG whose value is a closed form of (id, frame):
-    * v = (id·7 + k·31) mod 256, w = 64 + (id mod 4)·16,
-    * h = 48 + (id mod 3)·16, frames = 2 + id mod 3.
+    * v = (id·7 + k·31) mod 256, w = 32 + (id mod 4)·8,
+    * h = 24 + (id mod 3)·8, frames = 2 + id mod 3. (Dims are kept
+    * small: the fixture's JPEG ENCODE is bench-visible cost that is
+    * generator overhead, not operator work.)
     *
     * Uniform gray is the DC-EXACT fixture class: every 8×8 block is
     * constant, so the JPEG pipeline is DC-only and decode returns v
@@ -587,8 +589,8 @@ object MultimodalOps {
     * brightness = v/255 in closed form without a JPEG decoder. */
   def syntheticMjpegAvi(id: Long): Array[Byte] = {
     require(id >= 0, s"id must be non-negative, got $id")
-    val width = (64 + (id % 4) * 16).toInt
-    val height = (48 + (id % 3) * 16).toInt
+    val width = (32 + (id % 4) * 8).toInt
+    val height = (24 + (id % 3) * 8).toInt
     val nFrames = (2 + id % 3).toInt
     val jpegs = (0 until nFrames).map { k =>
       val v = ((id * 7 + k * 31) % 256).toInt

@@ -322,7 +322,7 @@ class MultimodalSpec extends AnyFunSuite {
     val exp = ids.sorted.flatMap { id =>
       (0 until (2 + id % 3).toInt).map { k =>
         val v = ((id * 7 + k * 31) % 256).toInt
-        (id, k.toLong, (64 + (id % 4) * 16).toInt, (48 + (id % 3) * 16).toInt,
+        (id, k.toLong, (32 + (id % 4) * 8).toInt, (24 + (id % 3) * 8).toInt,
           v / 255.0)
       }
     }
