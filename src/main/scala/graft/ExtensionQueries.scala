@@ -144,6 +144,34 @@ object ExtensionQueries {
       tmp
     })
 
+  // HTML variant of the WARC fixture: each document wrapped in a
+  // deterministic page template (title, style+script blocks, comment,
+  // entities) — what crawled payloads actually look like; the
+  // extraction oracle states the visible text in closed form.
+  private val warcHtmlPaths = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def warcHtmlFixtureFor(s: SparkSession, dir: String): String =
+    warcHtmlPaths.getOrElseUpdate(dir, {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-warc-html").toString
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+        .orderBy("doc_id").collect()
+      val base = java.time.Instant.parse("2020-01-01T00:00:00Z")
+      val recs = docs.iterator.map { r =>
+        val id = r.getLong(0)
+        val html =
+          s"""<html><head><title>doc $id</title>
+             |<style>p{color:red}</style>
+             |<script type="text/javascript">var x=1&&2;</script></head>
+             |<body><!-- boilerplate -->
+             |<p>It&#39;s a &quot;page&quot; &amp; more&nbsp;text</p>
+             |<p>${r.getString(1)}</p></body></html>""".stripMargin
+        graft.sources.warc.WarcIO.Record(s"<urn:graft:html:$id>", "response",
+          s"https://example.org/doc/$id", base.plusSeconds(id).toString,
+          "text/html", html.getBytes("UTF-8"))
+      }
+      graft.sources.warc.WarcIO.writeFile(recs, s"$tmp/pages.warc.gz")
+      tmp
+    })
+
   // One persisted PQ index per sf dir, built+written on first use (the
   // per-snapshot amortized cost); queries re-read it like production
   // would — books/centroids come from the sidecar, never re-derived
@@ -309,6 +337,31 @@ object ExtensionQueries {
       graft.sources.Sources.warc(s, warcFixtureFor(s, dir))
         .select(col("url"), col("ts"), col("mime"), col("content_length"),
           col("payload").cast("string").as("text"))
+        .orderBy("url")
+    },
+    // Unicode NFC canonicalization (native codegen'd expression; Spark
+    // has no normalizer builtin): decomposed combining marks compose so
+    // mixed-encoder corpora hash/shingle/tokenize identically. The
+    // fixture suffixes decomposed forms onto every doc; DuckDB's
+    // nfc_normalize is the oracle twin (same public UAX #15 algorithm)
+    "text_normalize_nfc" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.functions.NfcNormalize(
+            concat(col("text"), lit(" expose\u0301 nai\u0308ve")))
+            .as("text_nfc"))
+        .orderBy("doc_id")
+    },
+    // The crawl first mile end to end: WARC pages → regex-class HTML
+    // text extraction (script/style/comment removal, tag strip, entity
+    // decode, whitespace collapse) → the text pipeline's token count.
+    // The oracle replays the IDENTICAL patterns over the closed-form
+    // page template
+    "warc_extract_text" -> { (s, dir) =>
+      graft.sources.Sources.warc(s, warcHtmlFixtureFor(s, dir))
+        .select(col("url"),
+          TextOps.htmlToText(col("payload").cast("string")).as("text"))
+        .withColumn("n_tokens", TextOps.tokenCount(col("text")))
         .orderBy("url")
     },
     // BYTE-LEVEL tokenizer APPLY (GPT-2 formulation): pre-tokenization
@@ -1423,6 +1476,25 @@ object ExtensionQueries {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
         |  text
         |FROM documents ORDER BY url""".stripMargin,
+    "text_normalize_nfc" ->
+      """SELECT doc_id,
+        |  nfc_normalize(text || ' expose' || chr(769) || ' nai' ||
+        |    chr(776) || 've') AS text_nfc
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "warc_extract_text" ->
+      s"""WITH pages AS (
+         |  SELECT 'https://example.org/doc/' || doc_id AS url,
+         |    '<html><head><title>doc ' || doc_id || '</title>
+         |<style>p{color:red}</style>
+         |<script type="text/javascript">var x=1&&2;</script></head>
+         |<body><!-- boilerplate -->
+         |<p>It&#39;s a &quot;page&quot; &amp; more&nbsp;text</p>
+         |<p>' || text || '</p></body></html>' AS html
+         |  FROM documents),
+         |ex AS (SELECT url, ${TextOps.htmlToTextSql("html")} AS text
+         |  FROM pages)
+         |SELECT url, text, ${TextOps.tokenCountSql("text")} AS n_tokens
+         |FROM ex ORDER BY url""".stripMargin,
     "bpe_tokenize_pack" ->
       (BpeOps.tokenizeAndPackSql(bpeMerges, seqLen = 128L) +
         "\nORDER BY lang, source, seq_id"),

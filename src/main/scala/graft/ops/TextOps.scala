@@ -128,6 +128,47 @@ object TextOps {
   def normalizeSql(t: String): String =
     s"trim(regexp_replace(regexp_replace(lower($t), '[.,!?;:]+', ' ', 'g'), ' +', ' ', 'g'))"
 
+  // ---- HTML text extraction ---------------------------------------------
+  /** Shared Java∩RE2 patterns (no lookaround, no backreferences) so the
+    * engine and the DuckDB twin run the VERBATIM same extraction. */
+  private val HtmlScriptPat = "(?is)<script\\b[^>]*>.*?</script>"
+  private val HtmlStylePat = "(?is)<style\\b[^>]*>.*?</style>"
+  private val HtmlCommentPat = "(?s)<!--.*?-->"
+  private val HtmlTagPat = "(?s)<[^>]*>"
+  /** Decode order matters: named/numeric entities FIRST, `&amp;` LAST —
+    * otherwise `&amp;lt;` would double-decode into `<`. */
+  private val HtmlEntities = Seq("&lt;" -> "<", "&gt;" -> ">",
+    "&quot;" -> "\"", "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+
+  /** Crawled-HTML → visible text: drop script/style blocks (content
+    * included) and comments, strip remaining tags, decode the common
+    * entities, collapse whitespace. This is the REGEX-CLASS extractor —
+    * the standard first pass between WARC ingestion and the text
+    * pipeline (boilerplate scoring/dedup/quality run downstream);
+    * deliberately NOT a DOM parser, so malformed nesting degrades
+    * gracefully to tag-strip instead of failing the shard. Pure
+    * codegen'd string expressions — no UDF on the corpus path. */
+  def htmlToText(html: Column): Column = {
+    val stripped = Seq(HtmlScriptPat, HtmlStylePat, HtmlCommentPat,
+      HtmlTagPat).foldLeft(html)((c, p) => regexp_replace(c, p, " "))
+    val decoded = HtmlEntities.foldLeft(stripped) { case (c, (k, v)) =>
+      replace(c, lit(k), lit(v))
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** DuckDB twin of [[htmlToText]] — identical patterns, replace order,
+    * and collapse. */
+  def htmlToTextSql(h: String): String = {
+    def q(s: String) = s.replace("'", "''")
+    val stripped = Seq(HtmlScriptPat, HtmlStylePat, HtmlCommentPat,
+      HtmlTagPat).foldLeft(h)((e, p) => s"regexp_replace($e, '${q(p)}', ' ', 'g')")
+    val decoded = HtmlEntities.foldLeft(stripped) { case (e, (k, v)) =>
+      s"replace($e, '${q(k)}', '${q(v)}')"
+    }
+    s"trim(regexp_replace($decoded, '\\s+', ' ', 'g'))"
+  }
+
   // ---- fingerprint ------------------------------------------------------
   /** Rolling polynomial hash (base 31 mod 1e9+7) of the first `maxLen`
     * characters — a deterministic document fingerprint. Delegates to the

@@ -205,6 +205,52 @@ class GraphTextSpec extends AnyFunSuite {
     assert(GraphOps.triangleCounts(edges).count() == 0L)
   }
 
+  test("NfcNormalize: composes decomposed marks; ASCII fast-path; nulls") {
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      Some("expose\u0301 nai\u0308ve"), // decomposed -> precomposed
+      Some("expos\u00e9"),               // already NFC: unchanged
+      Some("plain ascii 42!"),           // quick-check fast path
+      None)
+    val got = rows.toDF("t")
+      .select(graft.functions.NfcNormalize(col("t"))).collect()
+      .map(r => if (r.isNullAt(0)) null else r.getString(0))
+    assert(got(0) == "expos\u00e9 na\u00efve")
+    assert(got(0).codePointCount(0, got(0).length) == 12)
+    assert(got(1) == "expos\u00e9")
+    assert(got(2) == "plain ascii 42!")
+    assert(got(3) == null)
+    // idempotence: NFC(NFC(x)) == NFC(x)
+    val twice = rows.take(1).toDF("t")
+      .select(graft.functions.NfcNormalize(
+        graft.functions.NfcNormalize(col("t")))).collect()(0).getString(0)
+    assert(twice == "expos\u00e9 na\u00efve")
+  }
+
+  test("htmlToText: script/style/comment removal, entities, malformed tags") {
+    def ex(h: String): String = {
+      import org.apache.spark.sql.functions.{col, lit}
+      Seq(h).toDF("h").select(graft.ops.TextOps.htmlToText(col("h")))
+        .collect()(0).getString(0)
+    }
+    // script and style content is DROPPED (not just tags), comments too;
+    // case-insensitive, attributes tolerated
+    assert(ex("<p>a</p><SCRIPT src='x'>var b = '<p>hidden</p>';</SCRIPT>b") ==
+      "a b")
+    assert(ex("<style media=\"all\">p { display: none }</style>keep") ==
+      "keep")
+    assert(ex("pre<!-- a <b> comment -->post") == "pre post")
+    // entity decode order: &amp;lt; must yield the LITERAL "&lt;", never
+    // double-decode into "<"
+    assert(ex("x &amp;lt; y &amp; z") == "x &lt; y & z")
+    assert(ex("It&#39;s &quot;here&quot;&nbsp;now") == "It's \"here\" now")
+    // malformed nesting degrades to tag-strip, never throws
+    assert(ex("<p>open <b>bold</p> stray</b> <i>tail") ==
+      "open bold stray tail")
+    // whitespace (newlines, runs) collapses; ends trimmed
+    assert(ex("  <div>\n a\n\n  b </div>\t") == "a b")
+  }
+
   test("pmiPairs: hand-computed PMI; duplicate tokens in a doc count once") {
     // 4 docs: (x y) (x y) (x z) (w w) — "w w" checks per-doc distinct.
     // c_x=3 c_y=2 c_z=1 c_w=1; c_xy=2 c_xz=1; n=4
