@@ -54,6 +54,9 @@ import org.apache.spark.util.SerializableConfiguration
 object WarcSource {
   val MaxHeaderLine = 64 * 1024
   val DefaultMaxPayload: Long = 64L * 1024 * 1024
+  /** Plain .warc files larger than this split into byte-range
+    * partitions (option `splitSizeBytes`); gzip never splits. */
+  val DefaultSplitSize: Long = 128L * 1024 * 1024
 
   val schema: StructType = StructType(Seq(
     StructField("path", StringType, nullable = false),
@@ -113,6 +116,9 @@ class WarcScan(options: CaseInsensitiveStringMap, required: StructType)
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = org.apache.spark.sql.SparkSession.active
     val conf = spark.sessionState.newHadoopConf()
+    val splitSize = Option(options.get("splitSizeBytes")).map(_.toLong)
+      .getOrElse(WarcSource.DefaultSplitSize)
+    require(splitSize >= 1024, s"splitSizeBytes too small: $splitSize")
     val files = WarcTable.paths(options).flatMap { p =>
       val path = new Path(p)
       val fs = path.getFileSystem(conf)
@@ -120,11 +126,28 @@ class WarcScan(options: CaseInsensitiveStringMap, required: StructType)
       if (st.isDirectory)
         fs.listStatus(path).toSeq.filter(_.isFile).map(_.getPath)
           .filter(f => f.getName.endsWith(".warc") || f.getName.endsWith(".warc.gz"))
-      else Seq(path)
+          .map(fp => fs.getFileStatus(fp))
+      else Seq(st)
     }
     require(files.nonEmpty,
       s"warc source found no .warc/.warc.gz files under ${WarcTable.paths(options)}")
-    files.sortBy(_.toString).map(f => WarcInputPartition(f.toString)).toArray
+    files.sortBy(_.getPath.toString).flatMap { st =>
+      val p = st.getPath.toString
+      // gzip streams are not seekable mid-member: whole file per task
+      // (crawl dumps ship ~1 GB gz files — file granularity IS the
+      // intended split there). Plain .warc splits by byte range with
+      // record-boundary sync (see the reader's contract).
+      if (p.endsWith(".gz") || st.getLen <= splitSize)
+        Seq(WarcInputPartition(p, 0L, Long.MaxValue))
+      else {
+        val n = ((st.getLen + splitSize - 1) / splitSize).toInt
+        (0 until n).map { i =>
+          val start = i.toLong * splitSize
+          val end = math.min(st.getLen, start + splitSize)
+          WarcInputPartition(p, start, end)
+        }
+      }
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -136,31 +159,152 @@ class WarcScan(options: CaseInsensitiveStringMap, required: StructType)
   }
 }
 
-case class WarcInputPartition(path: String) extends InputPartition
+/** `[start, end)` byte range of `path`; a partition owns exactly the
+  * records whose FIRST byte lies in its range (reads run past `end` to
+  * finish the last owned record — standard split semantics). */
+case class WarcInputPartition(path: String, start: Long, end: Long)
+    extends InputPartition
 
 case class WarcReaderFactory(required: StructType,
     conf: SerializableConfiguration, maxPayload: Long)
     extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new WarcPartitionReader(p.asInstanceOf[WarcInputPartition].path,
-      required, conf, maxPayload)
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val wp = p.asInstanceOf[WarcInputPartition]
+    new WarcPartitionReader(wp.path, wp.start, wp.end, required, conf,
+      maxPayload)
+  }
 }
 
-/** Streaming single-file reader: one record resident at a time. */
-class WarcPartitionReader(pathStr: String, required: StructType,
-    conf: SerializableConfiguration, maxPayload: Long)
+/** Streaming range reader: one record resident at a time.
+  *
+  * SPLIT SYNC (plain .warc, `start > 0`): WARC has no escape-safe sync
+  * marks, so the reader scans from `start − 4` for the inter-record
+  * `CRLF CRLF "WARC/"` pattern and VALIDATES each candidate by parsing
+  * a full header block (version + headers with mandatory Content-Length
+  * and WARC-Date) through an independent probe stream — a payload that
+  * merely contains the magic bytes fails validation and the scan
+  * continues. This is the standard Hadoop-style container-splitting
+  * trust model: it assumes container integrity (a payload embedding a
+  * COMPLETE well-formed WARC record at the scanned boundary would be
+  * double-read); for adversarial payloads use gzip members or
+  * `splitSizeBytes` ≥ file size, both of which read at file granularity
+  * with the strict corrupt-refuse contract everywhere. */
+class WarcPartitionReader(pathStr: String, startOffset: Long, endOffset: Long,
+    required: StructType, conf: SerializableConfiguration, maxPayload: Long)
     extends PartitionReader[InternalRow] {
 
   private val path = new Path(pathStr)
-  private val raw: InputStream = {
-    val fs = path.getFileSystem(conf.value)
-    val base = fs.open(path)
-    if (pathStr.endsWith(".gz")) new GZIPInputStream(base, 64 * 1024)
-    else new BufferedInputStream(base, 64 * 1024)
+  private val fs = path.getFileSystem(conf.value)
+  private val isGz = pathStr.endsWith(".gz")
+  /** Absolute offset of the next unconsumed byte (plain files only). */
+  private var pos: Long = 0L
+  private final class Counting(s: InputStream)
+      extends java.io.FilterInputStream(s) {
+    override def read(): Int = {
+      val b = super.read(); if (b >= 0) pos += 1; b
+    }
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      val k = super.read(b, off, len); if (k > 0) pos += k; k
+    }
   }
+  private def openAt(offset: Long): InputStream = {
+    val base = fs.open(path)
+    if (isGz) new GZIPInputStream(base, 64 * 1024)
+    else {
+      base.seek(offset)
+      pos = offset
+      new Counting(new BufferedInputStream(base, 64 * 1024))
+    }
+  }
+  private var raw: InputStream = openAt(if (isGz) 0L else startOffset)
+  private var exhausted = false
+  if (!isGz && startOffset > 0L) syncToRecordStart()
+
   private val needPayload = required.fieldNames.contains("payload")
   private var recordIdx = 0L
   private var row: InternalRow = _
+
+  /** Scan forward for the first VALIDATED record start in
+    * [startOffset, endOffset); reposition there, or mark the partition
+    * exhausted (a record spanning the whole range belongs to the
+    * partition owning its first byte). */
+  private def syncToRecordStart(): Unit = {
+    raw.close()
+    val scan = fs.open(path)
+    try {
+      var at = math.max(0L, startOffset - 1)
+      scan.seek(at)
+      // "\nWARC/": a record's version line always follows an LF (the
+      // previous record's separator, blank-line tolerant). The pattern
+      // has NO self-overlap ('\n' appears only at position 0), so the
+      // simple restart below is exact — a hand-rolled KMP over an
+      // overlapping pattern like CRLFCRLF is precisely where a missed
+      // boundary (= silently lost records) would hide.
+      val pat = Array[Byte]('\n', 'W', 'A', 'R', 'C', '/')
+      var matched = 0
+      val buf = new Array[Byte](64 * 1024)
+      var found = -1L
+      while (found < 0 && at < endOffset + pat.length) {
+        val k = scan.read(buf, 0, buf.length)
+        if (k < 0) { at = Long.MaxValue }
+        else {
+          var i = 0
+          while (found < 0 && i < k) {
+            val b = buf(i)
+            if (b == pat(matched)) {
+              matched += 1
+              if (matched == pat.length) {
+                val cand = at + i + 1 - pat.length + 1 // the 'W'
+                if (cand >= startOffset && cand < endOffset &&
+                    validRecordAt(cand)) found = cand
+                else matched = 0
+              }
+            } else matched = if (b == pat(0)) 1 else 0
+            i += 1
+          }
+          at += k
+        }
+      }
+      if (found >= 0) raw = openAt(found) else exhausted = true
+    } finally scan.close()
+  }
+
+  /** Probe `cand` through an independent stream: true iff a full valid
+    * header block (version + mandatory headers) parses there. */
+  private def validRecordAt(cand: Long): Boolean = {
+    val probe = fs.open(path)
+    try {
+      probe.seek(cand)
+      val in = new BufferedInputStream(probe, 8 * 1024)
+      def line(): String = {
+        val sb = new java.lang.StringBuilder(64)
+        var b = in.read()
+        while (b >= 0 && b != '\n' && sb.length <= WarcSource.MaxHeaderLine) {
+          if (b != '\r') sb.append(b.toChar)
+          b = in.read()
+        }
+        if (b != '\n') null else sb.toString
+      }
+      val v = line()
+      if (v == null || !v.startsWith("WARC/")) return false
+      var sawLen = false
+      var sawDate = false
+      var l = line()
+      var nHeaders = 0
+      while (l != null && l.nonEmpty && nHeaders < 1000) {
+        val i = l.indexOf(':')
+        if (i <= 0) return false
+        val k = l.substring(0, i).trim.toLowerCase
+        if (k == "content-length" &&
+            l.substring(i + 1).trim.matches("\\d+")) sawLen = true
+        if (k == "warc-date") sawDate = true
+        nHeaders += 1
+        l = line()
+      }
+      l != null && l.isEmpty && sawLen && sawDate
+    } catch { case _: java.io.IOException => false
+    } finally probe.close()
+  }
 
   private def fail(msg: String): Nothing =
     throw new java.io.IOException(
@@ -203,13 +347,17 @@ class WarcPartitionReader(pathStr: String, required: StructType,
   }
 
   override def next(): Boolean = {
+    if (exhausted) return false
     // skip inter-record blank lines (the two CRLFs after the previous
-    // payload are consumed with the payload; tolerate extras)
+    // payload are consumed with the payload; tolerate extras), tracking
+    // where the version line STARTS — the range-ownership boundary
+    var lineStart = pos
     var first: Option[String] = readLine()
-    while (first.exists(_.isEmpty)) first = readLine()
+    while (first.exists(_.isEmpty)) { lineStart = pos; first = readLine() }
     first match {
       case None => false
       case Some(version) =>
+        if (!isGz && lineStart >= endOffset) { exhausted = true; return false }
         recordIdx += 1
         if (!version.startsWith("WARC/")) fail(s"bad magic '$version'")
         val headers = scala.collection.mutable.Map.empty[String, String]

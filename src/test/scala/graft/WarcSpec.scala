@@ -75,6 +75,45 @@ class WarcSpec extends AnyFunSuite {
     assert(tiny.select("url").count() == 1)
   }
 
+  test("split read: byte-range partitions tile exactly — no loss, no dupes") {
+    val dir = Files.createTempDirectory("warc-split").toString
+    // 400 records with variable payloads so record boundaries land at
+    // arbitrary positions relative to any split size
+    val texts = (0 until 400).map(i => ("payload " + ("x" * (i % 97))) + i)
+    WarcIO.writeFile(texts.zipWithIndex.iterator.map { case (t, i) =>
+      rec(i.toLong, t) }, s"$dir/big.warc")
+    val whole = Sources.warc(spark, dir)
+      .selectExpr("url", "CAST(payload AS STRING) AS t")
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+    assert(whole.length == 400)
+    for (split <- Seq(1500L, 4096L, 10000L)) {
+      val df = spark.read.format("warc")
+        .option("splitSizeBytes", split.toString).load(dir)
+      val parts = df.rdd.getNumPartitions
+      assert(parts > 3, s"split=$split produced only $parts partitions")
+      val got = df.selectExpr("url", "CAST(payload AS STRING) AS t")
+        .collect().map(r => (r.getString(0), r.getString(1))).sorted
+      assert(got.toSeq == whole.toSeq, s"split=$split lost/duplicated records")
+    }
+  }
+
+  test("split sync: magic bytes inside a payload are rejected by validation") {
+    val dir = Files.createTempDirectory("warc-decoy").toString
+    // payloads embed the sync pattern WITHOUT a valid header block
+    // following — the validator must skip them, or a split lands inside
+    // a payload and reads garbage records
+    val decoy = "before\r\n\r\nWARC/1.0\r\nnot-a-header-line\r\nafter " + ("z" * 200)
+    val texts = (0 until 120).map(i => decoy + i)
+    WarcIO.writeFile(texts.zipWithIndex.iterator.map { case (t, i) =>
+      rec(i.toLong, t) }, s"$dir/decoy.warc")
+    val df = spark.read.format("warc")
+      .option("splitSizeBytes", "2048").load(dir)
+    assert(df.rdd.getNumPartitions > 3)
+    val got = df.selectExpr("url").collect().map(_.getString(0)).sorted
+    assert(got.length == 120, s"decoy corrupted the split: ${got.length}")
+    assert(got.distinct.length == 120)
+  }
+
   test("payload over maxPayloadBytes refuses loudly when projected") {
     val dir = Files.createTempDirectory("warc-cap").toString
     WarcIO.writeFile(Iterator(rec(0, "y" * 2048)), s"$dir/a.warc")
