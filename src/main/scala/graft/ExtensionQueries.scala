@@ -26,6 +26,38 @@ object ExtensionQueries {
   // exposed for the schema-drift guard in OpsSpec
   private[graft] def lineitemSchemaForTest = lineitemSchema
 
+  // static orders schema for the constraint-suite oracle emitter (same
+  // contract as lineitemSchema above, spec-checked against parquet)
+  private val ordersSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, " +
+      "o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING")
+  private[graft] def ordersSchemaForTest = ordersSchema
+
+  // The ingest-gate expectation suites, defined ONCE so the engine and
+  // the oracle compile the identical constraint list. Two deliberate
+  // failures (lineitem cids 3 and 6) prove fail rows flow through — a
+  // verification surface that can only say "pass" is untrustworthy.
+  import ConstraintOps._
+  private val lineitemSuite: Seq[ConstraintOps.Constraint] = Seq(
+    Completeness("l_orderkey", 1.0), // 0
+    Completeness("l_shipdate", 1.0), // 1
+    MinGe("l_quantity", 1.0), // 2
+    MaxLe("l_quantity", 10.0), // 3: FAILS (max is 50)
+    MaxLe("l_discount", 0.1), // 4
+    MeanBetween("l_extendedprice", 10000.0, 80000.0), // 5
+    Uniqueness("l_partkey"), // 6: FAILS (parts repeat across lines)
+    Distinctness("l_orderkey", 0.2), // 7
+    InSet("l_returnflag", Seq("A", "N", "R")), // 8
+    InSet("l_linestatus", Seq("O", "F")), // 9
+    PatternRatio("l_returnflag", "^[A-Z]$", 1.0), // 10
+    RowCountBetween(1L, 1000000000000L)) // 11
+  private val ordersSuite: Seq[ConstraintOps.Constraint] = Seq(
+    Uniqueness("o_orderkey"), // 0
+    Completeness("o_custkey", 1.0), // 1
+    InSet("o_orderstatus", Seq("P", "O", "F")), // 2
+    MinGe("o_totalprice", 0.0), // 3
+    MinGe("o_orderdate", 0.0)) // 4: epoch-micros >= 0 (post-1970)
+
   // undirected part co-purchase graph (parts sharing an order) — the
   // edge relation behind graph_triangles / graph_kcore
   private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
@@ -739,6 +771,22 @@ object ExtensionQueries {
     "profile_table_approx" -> { (s, dir) =>
       ProfileOps.profile(Tables.lineitem(s, dir), approxDistinct = true)
         .orderBy("col_name")
+    },
+    // Declarative data-quality constraint verification (the ingest
+    // gate): two expectation suites + two referential-integrity checks,
+    // each suite compiled into ≤ 2 scans regardless of constraint count
+    // (plan-asserted in ConstraintSpec); includes two deliberately
+    // failing constraints so fail rows are exercised end to end
+    "quality_constraints" -> { (s, dir) =>
+      ConstraintOps.check(Tables.lineitem(s, dir), "lineitem", lineitemSuite)
+        .unionAll(ConstraintOps.check(Tables.orders(s, dir), "orders", ordersSuite))
+        .unionAll(ConstraintOps.referentialIntegrity(
+          Tables.orders(s, dir), "o_custkey",
+          Tables.customer(s, dir), "c_custkey", "orders->customer"))
+        .unionAll(ConstraintOps.referentialIntegrity(
+          Tables.lineitem(s, dir), "l_orderkey",
+          Tables.orders(s, dir), "o_orderkey", "lineitem->orders"))
+        .orderBy("relation", "cid")
     },
     // Entity resolution: all customer-name pairs at edit distance 1 via
     // the FastSS deletion-signature equi-join; the oracle runs the
@@ -1754,6 +1802,18 @@ object ExtensionQueries {
     "profile_table_approx" ->
       (ProfileOps.profileApproxSql("lineitem", lineitemSchema) +
         "\nORDER BY col_name"),
+    "quality_constraints" ->
+      ("SELECT * FROM (\n" +
+        ConstraintOps.checkSql("lineitem", "lineitem", lineitemSchema, lineitemSuite) +
+        "\n)\nUNION ALL\nSELECT * FROM (\n" +
+        ConstraintOps.checkSql("orders", "orders", ordersSchema, ordersSuite) +
+        "\n)\nUNION ALL\n" +
+        ConstraintOps.referentialIntegritySql(
+          "orders", "o_custkey", "customer", "c_custkey", "orders->customer") +
+        "\nUNION ALL\n" +
+        ConstraintOps.referentialIntegritySql(
+          "lineitem", "l_orderkey", "orders", "o_orderkey", "lineitem->orders") +
+        "\nORDER BY relation, cid"),
     "dataset_card" ->
       """SELECT source, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
