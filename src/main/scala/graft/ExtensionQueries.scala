@@ -1008,6 +1008,27 @@ object ExtensionQueries {
           round(col("brightness"), 6).as("brightness"))
         .orderBy("id", "frame_idx")
     },
+    // Perceptual image dedup: dHash over DECODED pixels (8x8 grid = 56
+    // adjacent-comparison bits on exact Rec.601 luma), then hamming<=4
+    // pairs through the SimHash banding machinery — only 8-byte hashes
+    // shuffle, images never pairwise compare. doc_id%97 collides ids
+    // onto identical fixtures so real duplicate clusters exist; the
+    // oracle replays the lossless pixel formula AND the UNPRUNED pair
+    // join, so a hash match certifies the banding lossless
+    "multimodal_phash" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val media = Tables.documents(s, dir).select(col("doc_id"))
+        .as[Long].map(id => MultimodalOps.MediaRow(
+          id, MultimodalOps.syntheticPng(id % 97, 8, 8), "image/png", 0, 0))
+      val fp = MultimodalOps.imageDHash(media, gridW = 8, gridH = 8).toDF()
+        .select(col("id").as("doc_id"), col("dhash"))
+      val pairs = DedupOps.simhashNearDupPairsFromFp(
+        fp.withColumnRenamed("dhash", "simhash"), maxHamming = 4)
+      val counts = DedupOps.perDocPairCounts(
+        pairs, Tables.documents(s, dir), "n_near")
+      fp.join(counts, Seq("doc_id")).orderBy("doc_id")
+    },
     // ROLLUP aggregation surface: corpus stats at (lang, source), (lang),
     // and grand-total levels in one pass
     "text_rollup_stats" -> { (s, dir) =>
@@ -1749,6 +1770,37 @@ object ExtensionQueries {
         |  round(((doc_id * 7 + k * 31) % 256) / 255.0, 6) AS brightness
         |FROM documents, unnest(range(0, 2 + doc_id % 3)) t(k)
         |ORDER BY id, frame_idx""".stripMargin,
+    // dHash twin: PNG round-trips are lossless, so the sampled-grid luma
+    // is the generating formula; bits pack little-endian (k = y*7 + x);
+    // the pair join is deliberately UNPRUNED (all id pairs, bit_count on
+    // the xor) — certifying the engine's banded join loses nothing
+    "multimodal_phash" ->
+      """WITH g AS (
+        |  SELECT doc_id, y, x,
+        |    299 * ((7 * (doc_id % 97) + 13 * x + 31 * y) % 256)
+        |    + 587 * ((11 * (doc_id % 97) + 17 * x + 5 * y + 101) % 256)
+        |    + 114 * ((3 * (doc_id % 97) + 29 * x + 19 * y + 203) % 256) AS lum
+        |  FROM documents, unnest(range(0, 8)) tx(x), unnest(range(0, 8)) ty(y)),
+        |fp AS (
+        |  SELECT a.doc_id,
+        |    CAST(sum(CASE WHEN b.lum > a.lum
+        |      THEN CAST(1 AS BIGINT) << CAST(a.y * 7 + a.x AS INT)
+        |      ELSE 0 END) AS BIGINT) AS dhash
+        |  FROM g a JOIN g b ON a.doc_id = b.doc_id AND b.y = a.y AND b.x = a.x + 1
+        |  WHERE a.x < 7
+        |  GROUP BY a.doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.dhash, b.dhash)) <= 4),
+        |counts AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_near FROM (
+        |    SELECT doc_a AS doc_id FROM pairs
+        |    UNION ALL SELECT doc_b AS doc_id FROM pairs)
+        |  GROUP BY doc_id)
+        |SELECT f.doc_id, f.dhash, coalesce(c.n_near, 0) AS n_near
+        |FROM fp f LEFT JOIN counts c USING (doc_id)
+        |ORDER BY f.doc_id""".stripMargin,
     "events_props_hist" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS i0,
         |count(*) AS value FROM events GROUP BY 1

@@ -723,4 +723,86 @@ object MultimodalOps {
     val parts = math.min(totalBytesHint / targetBytes, Int.MaxValue.toLong)
     media.repartition(math.max(1L, parts).toInt, col("id"))
   }
+
+  /** Per-image difference hash ([[imageDHash]]). */
+  final case class ImageHash(id: Long, width: Int, height: Int, dhash: Long)
+
+  /** Perceptual difference hash (dHash) over DECODED pixels: the image
+    * is nearest-neighbor-sampled onto a `gridW × gridH` luma grid
+    * (source pixel `(gx·w/gw, gy·h/gh)`, integer division — for a
+    * grid-sized input this is the identity, keeping the fixture oracle
+    * closed-form), and each grid row contributes `gridW - 1`
+    * adjacent-comparison bits (`luma(x+1) > luma(x)`), packed
+    * little-endian into one BIGINT. Luma is the exact Rec.601 integer
+    * milli-weight sum (299R + 587G + 114B) — monotone in luminance, no
+    * divisions, so the bit pattern is an exact integer function of the
+    * pixels and a relational oracle can replay it.
+    *
+    * Near-dup detection then reduces to hamming distance on 8-byte
+    * keys — the SimHash banding machinery in
+    * [[graft.ops.DedupOps.simhashNearDupPairsFromFp]] applies verbatim
+    * (rename `dhash` → `simhash`): at 100 TB, images never pairwise
+    * compare; only 8-byte hashes shuffle through the band equi-join.
+    *
+    * Default grid 9×8 = 64 bits, the published dHash shape;
+    * `gridH · (gridW - 1)` must fit 64 bits. */
+  def imageDHash(media: Dataset[MediaRow], gridW: Int = 9, gridH: Int = 8,
+      onCorrupt: CorruptPolicy = CorruptPolicy.Fail)
+      (implicit spark: SparkSession): Dataset[ImageHash] = {
+    import spark.implicits._
+    require(gridW >= 2 && gridH >= 1, "grid must be at least 2x1")
+    require(gridH * (gridW - 1) <= 64,
+      s"dhash bits ${gridH * (gridW - 1)} exceed one BIGINT (grid " +
+        s"$gridW x $gridH)")
+    media.mapPartitions(_.flatMap { r =>
+      try Some(dhashRow(r, gridW, gridH))
+      catch {
+        case e: CorruptPayloadException => onCorrupt match {
+          case CorruptPolicy.Fail => throw e
+          case CorruptPolicy.Skip => None
+        }
+      }
+    })
+  }
+
+  private[graft] def dhashRow(r: MediaRow, gw: Int, gh: Int): ImageHash = {
+    if (r.payload == null)
+      throw new CorruptPayloadException(r.id, "null payload")
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+      catch { case e: java.io.IOException =>
+        throw new CorruptPayloadException(r.id,
+          s"image parse failed: ${e.getMessage}", e)
+      }
+    if (img == null)
+      throw new CorruptPayloadException(r.id, "undecodable image payload")
+    val w = img.getWidth
+    val h = img.getHeight
+    if (w < gw)
+      throw new CorruptPayloadException(r.id,
+        s"image narrower ($w) than hash grid ($gw): sampling would repeat " +
+          "columns and zero the difference bits")
+    def luma(x: Int, y: Int): Long = {
+      val rgb = img.getRGB(x, y)
+      299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+        114L * (rgb & 0xff)
+    }
+    var hash = 0L
+    var gy = 0
+    var k = 0
+    while (gy < gh) {
+      val sy = (gy * h) / gh
+      var gx = 0
+      var prev = luma((0 * w) / gw, sy)
+      while (gx < gw - 1) {
+        val cur = luma(((gx + 1) * w) / gw, sy)
+        if (cur > prev) hash |= (1L << k)
+        prev = cur
+        k += 1
+        gx += 1
+      }
+      gy += 1
+    }
+    ImageHash(r.id, w, h, hash)
+  }
 }

@@ -361,4 +361,60 @@ class MultimodalSpec extends AnyFunSuite {
       CorruptPolicy.Skip).collect()
     assert(kept.map(_.id).distinct.toSeq == Seq(4L))
   }
+
+  test("dhash: deterministic, collision-exact on identical fixtures") {
+    implicit val s = spark
+    val media = spark.createDataset(Seq(
+      MediaRow(1L, MultimodalOps.syntheticPng(5L, 8, 8), "image/png", 0, 0),
+      MediaRow(2L, MultimodalOps.syntheticPng(5L, 8, 8), "image/png", 0, 0),
+      MediaRow(3L, MultimodalOps.syntheticPng(6L, 8, 8), "image/png", 0, 0)))
+    val hs = MultimodalOps.imageDHash(media, gridW = 8, gridH = 8)
+      .collect().sortBy(_.id)
+    assert(hs(0).dhash == hs(1).dhash) // identical pixels, identical hash
+    assert(hs(0).dhash != hs(2).dhash) // different fixture differs
+    assert(hs(0).width == 8 && hs(0).height == 8)
+    // 56-bit grid: no bit above position 55
+    assert((hs(0).dhash >>> 56) == 0L)
+  }
+
+  test("dhash: grid sampling replays exact source coordinates") {
+    implicit val s = spark
+    // a 16x16 fixture hashed on an 8x8 grid must sample pixels at
+    // (2gx, 2gy) — verify against the generating formula directly
+    val id = 9L
+    val media = spark.createDataset(Seq(
+      MediaRow(id, MultimodalOps.syntheticPng(id, 16, 16), "image/png", 0, 0)))
+    val got = MultimodalOps.imageDHash(media, gridW = 8, gridH = 8)
+      .collect().head.dhash
+    def lum(x: Int, y: Int): Long =
+      299L * ((7 * id + 13 * x + 31 * y) % 256) +
+        587L * ((11 * id + 17 * x + 5 * y + 101) % 256) +
+        114L * ((3 * id + 29 * x + 19 * y + 203) % 256)
+    var want = 0L
+    var k = 0
+    for (gy <- 0 until 8; gx <- 0 until 7) {
+      if (lum(2 * (gx + 1), 2 * gy) > lum(2 * gx, 2 * gy)) want |= (1L << k)
+      k += 1
+    }
+    assert(got == want)
+  }
+
+  test("dhash: image narrower than grid refuses; corrupt payload contract") {
+    implicit val s = spark
+    val narrow = spark.createDataset(Seq(
+      MediaRow(1L, MultimodalOps.syntheticPng(1L, 4, 8), "image/png", 0, 0)))
+    val e = intercept[org.apache.spark.SparkException] {
+      MultimodalOps.imageDHash(narrow, gridW = 8, gridH = 8).collect()
+    }
+    assert(e.getCause.isInstanceOf[CorruptPayloadException])
+    val junk = spark.createDataset(Seq(
+      MediaRow(2L, Array[Byte](1, 2, 3), "image/png", 0, 0),
+      MediaRow(3L, MultimodalOps.syntheticPng(3L, 8, 8), "image/png", 0, 0)))
+    val kept = MultimodalOps.imageDHash(junk, 8, 8, CorruptPolicy.Skip)
+      .collect()
+    assert(kept.map(_.id).toSeq == Seq(3L))
+    intercept[IllegalArgumentException] {
+      MultimodalOps.imageDHash(junk, gridW = 12, gridH = 8) // 88 bits
+    }
+  }
 }
