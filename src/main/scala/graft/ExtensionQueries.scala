@@ -204,6 +204,79 @@ object ExtensionQueries {
       tmp
     })
 
+  // Link-graph variant of the WARC fixture: every page lives on one of
+  // 23 site hosts and carries five anchors — two absolute cross-site
+  // links (one deliberately SHOUTY with an explicit :443 port and a
+  // fragment, exercising case/port/fragment normalization), one
+  // site-relative path, one external CDN link, one mailto (must be
+  // excluded) — plus <link href> and <img src> decoys that must NOT
+  // count as endorsements. Link targets are closed-form in doc_id, so
+  // the oracle replays the GENERATOR (ground truth), not the regex:
+  // extraction bugs cannot self-certify.
+  private val warcLinkPaths = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def warcLinkFixtureFor(s: SparkSession, dir: String): String =
+    warcLinkPaths.getOrElseUpdate(dir, {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-warc-link").toString
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+        .orderBy("doc_id").collect()
+      val base = java.time.Instant.parse("2020-01-01T00:00:00Z")
+      val recs = docs.iterator.map { r =>
+        val id = r.getLong(0)
+        val (t1, t2, t3) = ((7 * id + 1) % 1000, (13 * id + 5) % 1000,
+          (3 * id + 2) % 1000)
+        val html =
+          s"""<html><head><title>page $id</title>
+             |<link rel="stylesheet" href="https://styles.example.net/main.css">
+             |</head><body>
+             |<a href="https://site${t1 % 23}.example.org/doc/$t1">one</a>
+             |<A HREF="HTTPS://SITE${t2 % 23}.EXAMPLE.ORG:443/doc/$t2#sec">two</A>
+             |<a class="nav" href="/doc/$t3">rel</a>
+             |<a href="https://cdn${id % 5}.example.net/a.js">asset</a>
+             |<a href="mailto:noreply@example.org">mail</a>
+             |<img src="https://img.example.net/i.png">
+             |<p>${r.getString(1)}</p></body></html>""".stripMargin
+        graft.sources.warc.WarcIO.Record(s"<urn:graft:link:$id>", "response",
+          s"https://site${id % 23}.example.org/doc/$id", base.plusSeconds(id).toString,
+          "text/html", html.getBytes("UTF-8"))
+      }
+      graft.sources.warc.WarcIO.writeFile(recs, s"$tmp/pages.warc.gz")
+      tmp
+    })
+
+  // host -> node id for the fixture's two host families (site K -> K,
+  // cdn J -> 100 + J) — deterministic and replayable relationally; the
+  // generic path would xxhash hosts, which no SQL twin can replay
+  private def hostNodeId(c: org.apache.spark.sql.Column) =
+    when(c.rlike("^site"), regexp_extract(c, "^site(\\d+)\\.", 1).cast("long"))
+      .otherwise(regexp_extract(c, "^cdn(\\d+)\\.", 1).cast("long") + 100L)
+
+  private def warcHostEdges(s: SparkSession, dir: String): DataFrame = {
+    val pages = graft.sources.Sources.warc(s, warcLinkFixtureFor(s, dir))
+      .select(col("url"), col("payload").cast("string").as("html"))
+    pages
+      .select(TextOps.urlHost(col("url")).as("src_host"),
+        explode(TextOps.hrefs(col("html"))).as("href"))
+      .withColumn("dst_host", TextOps.linkHost(col("href"), col("src_host")))
+      .filter(col("dst_host").isNotNull)
+  }
+
+  private val warcLinkOracleEdges =
+    """SELECT 'site' || (doc_id % 23) || '.example.org' AS src_host,
+      |  'site' || (((7 * doc_id + 1) % 1000) % 23) || '.example.org' AS dst_host
+      |FROM documents
+      |UNION ALL
+      |SELECT 'site' || (doc_id % 23) || '.example.org',
+      |  'site' || (((13 * doc_id + 5) % 1000) % 23) || '.example.org'
+      |FROM documents
+      |UNION ALL
+      |SELECT 'site' || (doc_id % 23) || '.example.org',
+      |  'site' || (doc_id % 23) || '.example.org'
+      |FROM documents
+      |UNION ALL
+      |SELECT 'site' || (doc_id % 23) || '.example.org',
+      |  'cdn' || (doc_id % 5) || '.example.net'
+      |FROM documents""".stripMargin
+
   // One persisted PQ index per sf dir, built+written on first use (the
   // per-snapshot amortized cost); queries re-read it like production
   // would — books/centroids come from the sidecar, never re-derived
@@ -395,6 +468,27 @@ object ExtensionQueries {
           TextOps.htmlToText(col("payload").cast("string")).as("text"))
         .withColumn("n_tokens", TextOps.tokenCount(col("text")))
         .orderBy("url")
+    },
+    // Crawl link graph: WARC pages → anchor-href extraction → host-level
+    // edge aggregation. The oracle replays the fixture GENERATOR's link
+    // formulas (ground truth), so regex extraction bugs (missed SHOUTY
+    // hrefs, counted <img src> decoys, unexcluded mailto) hash-mismatch
+    "warc_link_graph" -> { (s, dir) =>
+      warcHostEdges(s, dir)
+        .groupBy("src_host", "dst_host")
+        .agg(count(lit(1)).as("n_links"))
+        .orderBy("src_host", "dst_host")
+    },
+    // Crawl-to-rank end to end: the same link graph mapped to node ids
+    // and ranked with PageRank — the composition a curation pipeline
+    // uses for host-authority quality weights
+    "warc_host_rank" -> { (s, dir) =>
+      val e = warcHostEdges(s, dir).select(
+        hostNodeId(col("src_host")).as("src"),
+        hostNodeId(col("dst_host")).as("dst"))
+      GraphOps.pageRank(e, iters = 4)
+        .select(col("node"), round(col("rank"), 9).as("rank"))
+        .orderBy("node")
     },
     // BYTE-LEVEL tokenizer APPLY (GPT-2 formulation): pre-tokenization
     // regex + UTF-8 byte alphabet lifted through the bytes→unicode
@@ -1567,6 +1661,23 @@ object ExtensionQueries {
     "bpe_tokenize_pack" ->
       (BpeOps.tokenizeAndPackSql(bpeMerges, seqLen = 128L) +
         "\nORDER BY lang, source, seq_id"),
+    "warc_link_graph" ->
+      (s"""WITH l AS (
+          |$warcLinkOracleEdges)
+          |SELECT src_host, dst_host, count(*) AS n_links
+          |FROM l GROUP BY 1, 2
+          |ORDER BY 1, 2""".stripMargin),
+    "warc_host_rank" ->
+      (GraphOps.pageRankSql(
+        s"""SELECT doc_id % 23 AS src,
+           |  ((7 * doc_id + 1) % 1000) % 23 AS dst FROM documents
+           |UNION ALL
+           |SELECT doc_id % 23, ((13 * doc_id + 5) % 1000) % 23 FROM documents
+           |UNION ALL
+           |SELECT doc_id % 23, doc_id % 23 FROM documents
+           |UNION ALL
+           |SELECT doc_id % 23, 100 + doc_id % 5 FROM documents""".stripMargin,
+        iters = 4, damping = 0.85) + "\nORDER BY node"),
     "dedup_contamination" -> {
       def sh(src: String) = shingleSql(5, src)
       s"""WITH c AS (${sh("doc_id >= 10")}), e AS (${sh("doc_id < 10")}),

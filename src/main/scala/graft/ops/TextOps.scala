@@ -169,6 +169,34 @@ object TextOps {
     s"trim(regexp_replace($decoded, '\\s+', ' ', 'g'))"
   }
 
+  // ---- hyperlink extraction ---------------------------------------------
+  /** All `<a ... href="...">` targets in an HTML page (raw, undecoded).
+    * Anchor tags ONLY — `<link href>`, `<img src>`, script URLs are
+    * boilerplate, not endorsements, and must not enter the link graph.
+    * Same regex-class contract as [[htmlToText]]: not a DOM parser,
+    * malformed nesting degrades to missed links, never a failed shard.
+    * Codegen'd `regexp_extract_all` — no UDF on the crawl path. */
+  def hrefs(html: Column): Column =
+    regexp_extract_all(html, lit("(?i)<a\\s[^>]*href\\s*=\\s*\"([^\"]*)\""), lit(1))
+
+  /** Resolve one href to a normalized HOST: absolute http(s) URLs keep
+    * their own authority (lowercased, port/path/query/fragment
+    * stripped); site-relative paths inherit the page's host; every
+    * other scheme (mailto:, javascript:, data:) returns NULL — filter
+    * before grouping. Host-granularity is the 100 TB link-graph
+    * contract: hosts bound the node set (millions, not trillions), and
+    * per-URL graphs can always re-derive from the same extraction. */
+  def linkHost(href: Column, pageHost: Column): Column =
+    when(href.rlike("(?i)^https?://"),
+      lower(regexp_extract(href, "(?i)^https?://([^/:#?]+)", 1)))
+      .when(href.startsWith("/"), pageHost)
+      .otherwise(lit(null).cast("string"))
+
+  /** Normalized host of a page URL (same extraction as [[linkHost]]'s
+    * absolute branch). */
+  def urlHost(url: Column): Column =
+    lower(regexp_extract(url, "(?i)^https?://([^/:#?]+)", 1))
+
   // ---- fingerprint ------------------------------------------------------
   /** Rolling polynomial hash (base 31 mod 1e9+7) of the first `maxLen`
     * characters — a deterministic document fingerprint. Delegates to the

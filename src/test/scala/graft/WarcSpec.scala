@@ -172,4 +172,32 @@ class WarcSpec extends AnyFunSuite {
     // every refuse message names the file and record for triage
     assert(msgOf(e3).contains("c.warc") && msgOf(e3).contains("record 1"))
   }
+
+  test("link extraction: anchors only, schemes filtered, hosts normalized") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.TextOps
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    val html =
+      """<html><head><link rel="x" href="https://styles.example.net/m.css">
+        |</head><body>
+        |<a href="https://siteA.example.org/p">a</a>
+        |<A HREF="HTTPS://SiteB.Example.ORG:443/q#frag">b</A>
+        |<a class="n" href="/rel/path">c</a>
+        |<a href="mailto:x@example.org">d</a>
+        |<a href="javascript:void(0)">e</a>
+        |<img src="https://img.example.net/i.png">
+        |</body></html>""".stripMargin
+    val df = Seq(("https://Page.Example.ORG:8080/here", html)).toDF("url", "html")
+    val out = df.select(TextOps.urlHost(col("url")).as("src"),
+        explode(TextOps.hrefs(col("html"))).as("href"))
+      .withColumn("dst", TextOps.linkHost(col("href"), col("src")))
+      .collect()
+    // 5 anchors extracted (the <link> and <img> decoys are not anchors)
+    assert(out.length == 5)
+    val dsts = out.map(r => Option(r.getAs[String]("dst"))).toSeq
+    // mailto:/javascript: resolve to None; http(s) + relative resolve
+    assert(dsts == Seq(Some("sitea.example.org"), Some("siteb.example.org"),
+      Some("page.example.org"), None, None))
+  }
 }
