@@ -490,6 +490,35 @@ object ExtensionQueries {
         .select(col("node"), round(col("rank"), 9).as("rank"))
         .orderBy("node")
     },
+    // robots.txt compliance gate: per-host policies parsed relationally
+    // (window-attributed User-agent groups), pages gated by wildcard
+    // Disallow prefixes. The fixture exercises every semantic corner —
+    // googlebot-only rules must NOT bind, consecutive UA lines share a
+    // group, comments/Crawl-delay lines are inert, same-named private
+    // dirs on OTHER hosts stay allowed — and the oracle states ground
+    // truth closed-form, so parser bugs cannot self-certify
+    "crawl_robots_gate" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      def ds(c: org.apache.spark.sql.Column) = c.cast("string")
+      val host = concat(lit("site"), ds(col("doc_id") % 23), lit(".example.org"))
+      val pages = docs.select(col("doc_id"), host.as("host"),
+        when(col("doc_id") % 8 === 0,
+          concat(lit("/private"), ds(col("doc_id") % 23), lit("/"), ds(col("doc_id"))))
+          .when(col("doc_id") % 8 === 4,
+            concat(lit("/private"), ds((col("doc_id") + 1) % 23), lit("/"), ds(col("doc_id"))))
+          .when(col("doc_id") % 7 === 0, concat(lit("/tmp/"), ds(col("doc_id"))))
+          .otherwise(concat(lit("/doc/"), ds(col("doc_id")))).as("path"))
+      val robots = docs.select((col("doc_id") % 23).as("k")).distinct()
+        .select(concat(lit("site"), ds(col("k")), lit(".example.org")).as("host"),
+          concat(
+            lit("# crawler policy\nUser-agent: googlebot\nDisallow: /doc/\n" +
+              "User-agent: *\nCrawl-delay: 1\nDisallow: /private"),
+            ds(col("k")),
+            lit("/\nDisallow: /tmp/\n\nUser-agent: archiver\nUser-agent: mirror\n" +
+              "Disallow: /")).as("robots_txt"))
+      val rules = CrawlOps.robotsWildcardDisallows(robots)
+      CrawlOps.robotsGate(pages, rules).orderBy("doc_id")
+    },
     // BYTE-LEVEL tokenizer APPLY (GPT-2 formulation): pre-tokenization
     // regex + UTF-8 byte alphabet lifted through the bytes→unicode
     // table — no OOV symbol class; the oracle decomposes UTF-8
@@ -1661,6 +1690,20 @@ object ExtensionQueries {
     "bpe_tokenize_pack" ->
       (BpeOps.tokenizeAndPackSql(bpeMerges, seqLen = 128L) +
         "\nORDER BY lang, source, seq_id"),
+    "crawl_robots_gate" ->
+      """SELECT doc_id,
+        |  'site' || (doc_id % 23) || '.example.org' AS host,
+        |  CASE WHEN doc_id % 8 = 0
+        |         THEN '/private' || (doc_id % 23) || '/' || doc_id
+        |       WHEN doc_id % 8 = 4
+        |         THEN '/private' || ((doc_id + 1) % 23) || '/' || doc_id
+        |       WHEN doc_id % 7 = 0 THEN '/tmp/' || doc_id
+        |       ELSE '/doc/' || doc_id END AS path,
+        |  CASE WHEN doc_id % 8 = 0 THEN false
+        |       WHEN doc_id % 8 = 4 THEN true
+        |       WHEN doc_id % 7 = 0 THEN false
+        |       ELSE true END AS allowed
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "warc_link_graph" ->
       (s"""WITH l AS (
           |$warcLinkOracleEdges)
