@@ -519,6 +519,34 @@ object ExtensionQueries {
       val rules = CrawlOps.robotsWildcardDisallows(robots)
       CrawlOps.robotsGate(pages, rules).orderBy("doc_id")
     },
+    // URL canonicalization (the crawl-frontier dedup key): case, default
+    // ports, fragments, tracking params, and query-param order all
+    // normalize away. Six fixture variants cover each rule; the oracle
+    // states input AND canonical output closed-form per variant
+    "url_canonicalize" -> { (s, dir) =>
+      def ds(c: org.apache.spark.sql.Column) = c.cast("string")
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), (col("doc_id") % 6).as("m"),
+          ds(col("doc_id") % 23).as("k"), ds(col("doc_id")).as("i"))
+      val url = when(col("m") === 0,
+        concat(lit("HTTP://WWW.Site"), col("k"), lit(".Example.ORG:80/Path/"),
+          col("i"), lit("?b=2&utm_source=x&a=1#frag")))
+        .when(col("m") === 1,
+          concat(lit("https://site"), col("k"), lit(".example.org:8443/p/"), col("i")))
+        .when(col("m") === 2,
+          concat(lit("https://site"), col("k"), lit(".example.org:443/p/"),
+            col("i"), lit("?gclid=Z")))
+        .when(col("m") === 3,
+          concat(lit("http://site"), col("k"), lit(".example.org")))
+        .when(col("m") === 4,
+          concat(lit("https://site"), col("k"), lit(".example.org/p?z=1&y=2&x=3")))
+        .otherwise(
+          concat(lit("https://site"), col("k"), lit(".example.org/p/"),
+            col("i"), lit("?a=1&fbclid=F&utm_campaign=c#x")))
+      docs.select(col("doc_id"), url.as("url"),
+          CrawlOps.canonicalizeUrl(url).as("canon_url"))
+        .orderBy("doc_id")
+    },
     // BYTE-LEVEL tokenizer APPLY (GPT-2 formulation): pre-tokenization
     // regex + UTF-8 byte alphabet lifted through the bytes→unicode
     // table — no OOV symbol class; the oracle decomposes UTF-8
@@ -1690,6 +1718,28 @@ object ExtensionQueries {
     "bpe_tokenize_pack" ->
       (BpeOps.tokenizeAndPackSql(bpeMerges, seqLen = 128L) +
         "\nORDER BY lang, source, seq_id"),
+    "url_canonicalize" ->
+      """WITH d AS (SELECT doc_id, doc_id % 6 AS m,
+        |  CAST(doc_id % 23 AS VARCHAR) AS k, CAST(doc_id AS VARCHAR) AS i
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE m
+        |    WHEN 0 THEN 'HTTP://WWW.Site' || k || '.Example.ORG:80/Path/' || i
+        |      || '?b=2&utm_source=x&a=1#frag'
+        |    WHEN 1 THEN 'https://site' || k || '.example.org:8443/p/' || i
+        |    WHEN 2 THEN 'https://site' || k || '.example.org:443/p/' || i || '?gclid=Z'
+        |    WHEN 3 THEN 'http://site' || k || '.example.org'
+        |    WHEN 4 THEN 'https://site' || k || '.example.org/p?z=1&y=2&x=3'
+        |    ELSE 'https://site' || k || '.example.org/p/' || i
+        |      || '?a=1&fbclid=F&utm_campaign=c#x' END AS url,
+        |  CASE m
+        |    WHEN 0 THEN 'http://www.site' || k || '.example.org/Path/' || i || '?a=1&b=2'
+        |    WHEN 1 THEN 'https://site' || k || '.example.org:8443/p/' || i
+        |    WHEN 2 THEN 'https://site' || k || '.example.org/p/' || i
+        |    WHEN 3 THEN 'http://site' || k || '.example.org/'
+        |    WHEN 4 THEN 'https://site' || k || '.example.org/p?x=3&y=2&z=1'
+        |    ELSE 'https://site' || k || '.example.org/p/' || i || '?a=1' END AS canon_url
+        |FROM d ORDER BY doc_id""".stripMargin,
     "crawl_robots_gate" ->
       """SELECT doc_id,
         |  'site' || (doc_id % 23) || '.example.org' AS host,

@@ -69,6 +69,47 @@ object CrawlOps {
       .distinct()
   }
 
+  /** Canonical URL form — the crawl-frontier/dedup key. Two URLs that
+    * differ only in scheme/host case, an explicit default port, a
+    * fragment, tracking parameters (utm_*, gclid, fbclid), or query
+    * parameter ORDER are the same resource; canonicalizing before the
+    * frontier's exact-dedup collapses them so the crawler neither
+    * refetches nor double-counts. Normalizations applied:
+    *   - scheme and host lowercased (path case is PRESERVED — paths
+    *     are case-sensitive per the URI spec);
+    *   - `:80` on http / `:443` on https dropped, other ports kept;
+    *   - fragment dropped;
+    *   - empty path becomes `/`;
+    *   - tracking params removed, survivors sorted bytewise, `?`
+    *     dropped when nothing survives.
+    * Non-http(s) or unparseable input → NULL (filter upstream).
+    * Dot-segment resolution (`/a/../b`) is documented out of scope —
+    * servers disagree on it, so rewriting is not identity-safe.
+    * Pure builtin expressions; the one lambda (`filter` over split
+    * query params) runs per-URL on frontier-sized relations, never on
+    * payload bytes. */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "(?i)^([a-z][a-z0-9+.-]*)://", 1))
+    val host = lower(regexp_extract(url, "(?i)^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1))
+    val port = regexp_extract(url, "(?i)^[a-z][a-z0-9+.-]*://[^/:?#]+:(\\d+)", 1)
+    val rest = regexp_extract(url, "(?i)^[a-z][a-z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    val path = regexp_extract(rest, "^([^?]*)", 1)
+    val query = regexp_extract(rest, "^[^?]*\\?(.*)$", 1)
+    val keepPort = !(port === "" ||
+      (scheme === "http" && port === "80") ||
+      (scheme === "https" && port === "443"))
+    val portPart = when(keepPort, concat(lit(":"), port)).otherwise(lit(""))
+    val pathPart = when(path === "", lit("/")).otherwise(path)
+    val kept = filter(split(query, "&"),
+      p => !(p === "" || p.rlike("(?i)^(utm_[^=]*|gclid|fbclid)(=|$)")))
+    val sortedQ = array_join(array_sort(kept), "&")
+    val queryPart = when(query === "" || sortedQ === "", lit(""))
+      .otherwise(concat(lit("?"), sortedQ))
+    when(!scheme.isin("http", "https") || host === "",
+      lit(null).cast("string"))
+      .otherwise(concat(scheme, lit("://"), host, portPart, pathPart, queryPart))
+  }
+
   /** Gate pages against wildcard Disallow rules: `allowed` = no rule of
     * the page's host is a prefix of its path. Rules are host-keyed and
     * tiny relative to the crawl (a few per host) — the join fans each

@@ -66,4 +66,43 @@ class CrawlSpec extends AnyFunSuite {
     assert(out == Seq((1L, false), (2L, true), (3L, false), (4L, true),
       (5L, true), (6L, true)))
   }
+
+  test("url canonicalization: corner cases") {
+    import org.apache.spark.sql.functions.col
+    val in = Seq(
+      "HTTP://Host.ORG:80/A/B?utm_source=s&b=1&a=2#f",
+      "https://host.org:443/",
+      "https://host.org:8443/x",
+      "http://host.org",
+      "https://host.org/p?utm_a=1&utm_b=2&gclid=x&fbclid=y",
+      "https://host.org/p?gclidx=keep", // prefix must not over-match
+      "ftp://host.org/file", // non-http scheme -> NULL
+      "mailto:x@host.org", // no authority -> NULL
+      "not a url at all")
+    val out = in.toDF("u")
+      .select(graft.ops.CrawlOps.canonicalizeUrl(col("u")).as("c"))
+      .collect().map(r => Option(r.getString(0))).toSeq
+    assert(out == Seq(
+      Some("http://host.org/A/B?a=2&b=1"), // case+port+frag+track+sort
+      Some("https://host.org/"),
+      Some("https://host.org:8443/x"), // non-default port kept
+      Some("http://host.org/"), // empty path -> /
+      Some("https://host.org/p"), // all params tracking -> no ?
+      Some("https://host.org/p?gclidx=keep"),
+      None, None, None))
+  }
+
+  test("url canonicalization: idempotent on its own output") {
+    import org.apache.spark.sql.functions.col
+    val in = Seq(
+      "HTTP://Host.ORG:80/A/B?utm_source=s&b=1&a=2#f",
+      "https://host.org/p?z=1&y=2")
+    val once = in.toDF("u")
+      .select(graft.ops.CrawlOps.canonicalizeUrl(col("u")).as("c"))
+    val twice = once
+      .select(graft.ops.CrawlOps.canonicalizeUrl(col("c")).as("c2"),
+        col("c"))
+      .collect()
+    twice.foreach(r => assert(r.getString(0) == r.getString(1)))
+  }
 }
