@@ -243,6 +243,22 @@ object ExtensionQueries {
       tmp
     })
 
+  // PNG-payload fixture persisted ONCE per sf dir (the WARC-fixture
+  // discipline): images arrive as stored bytes the way a real corpus
+  // ships them, and the bench measures decode+hash, not the generator's
+  // per-rep encode cost
+  private val pngFixturePaths = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def pngFixtureFor(s: SparkSession, dir: String): String =
+    pngFixturePaths.getOrElseUpdate(dir, {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-png").toString
+      import s.implicits._
+      Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .map(id => (id, MultimodalOps.syntheticPng(id % 97, 8, 8)))
+        .toDF("doc_id", "payload")
+        .write.mode("overwrite").parquet(tmp)
+      tmp
+    })
+
   // host -> node id for the fixture's two host families (site K -> K,
   // cdn J -> 100 + J) — deterministic and replayable relationally; the
   // generic path would xxhash hosts, which no SQL twin can replay
@@ -1168,10 +1184,8 @@ object ExtensionQueries {
     // join, so a hash match certifies the banding lossless
     "multimodal_phash" -> { (s, dir) =>
       implicit val sp: SparkSession = s
-      import s.implicits._
-      val media = Tables.documents(s, dir).select(col("doc_id"))
-        .as[Long].map(id => MultimodalOps.MediaRow(
-          id, MultimodalOps.syntheticPng(id % 97, 8, 8), "image/png", 0, 0))
+      val media = MultimodalOps.asMedia(
+        s.read.parquet(pngFixtureFor(s, dir)), "doc_id", "payload", "image/png")
       val fp = MultimodalOps.imageDHash(media, gridW = 8, gridH = 8).toDF()
         .select(col("id").as("doc_id"), col("dhash"))
       val pairs = DedupOps.simhashNearDupPairsFromFp(
@@ -1520,6 +1534,18 @@ object ExtensionQueries {
     },
     // HLL distinct-count registers per event_type over (user, day) keys —
     // register contents recomputed RELATIONALLY by the oracle
+    // KMV set algebra: audience overlap between two event segments from
+    // two k-long sketches (union minima, ρ-Jaccard, intersection
+    // estimate), never from the distinct domains; the exact overlap
+    // rides along as the error exhibit. Deterministic portable hash ⇒
+    // every estimate recomputes relationally and the row hash-matches
+    "events_kmv_overlap" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      SketchOps.kmvSetOps(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"),
+        col("user_id").cast("string"))
+    },
     "events_hll_registers" -> { (s, dir) =>
       SketchOps.hllRegisters(hllKeyed(s, dir), Seq("event_type"), col("key"))
         .select(col("event_type"), posexplode(col("registers")).as(Seq("idx", "rank")))
@@ -2304,6 +2330,11 @@ object ExtensionQueries {
         |  ON e.user_id = r.user_id
         |  AND e.ts_us BETWEEN r.ts_us AND r.ts_us + 3600000000
         |GROUP BY 1 ORDER BY err_id""".stripMargin,
+    "events_kmv_overlap" ->
+      SketchOps.kmvSetOpsSql(
+        "SELECT CAST(user_id AS VARCHAR) AS v FROM events WHERE event_type = 'click'",
+        "SELECT CAST(user_id AS VARCHAR) AS v FROM events WHERE event_type = 'purchase'",
+        "v"),
     "events_hll_registers" ->
       s"""SELECT grp AS event_type, idx, rank FROM (
          |${SketchOps.hllRegistersSql(hllKeySql)}

@@ -218,6 +218,79 @@ object SketchOps {
        |FROM ex CROSS JOIN kk""".stripMargin
   }
 
+  /** KMV set algebra (Beyer et al., SIGMOD 2007): distinct-count
+    * estimates for A, B, A∪B plus Jaccard and intersection estimates —
+    * from two k-long sketches, never from the raw sets. The union
+    * sketch is the k smallest of the combined minima (the same law
+    * [[kmvUnion]] states); the Jaccard estimator is ρ = |{h ∈ K(A∪B) :
+    * h ∈ K(A) ∧ h ∈ K(B)}| / |K(A∪B)|, and the intersection estimate
+    * is ρ · D̂(A∪B). Everything downstream of the two aggregates is
+    * array math on one row.
+    *
+    * 100 TB shape: each side reduces map-side to a k-long buffer —
+    * audience-overlap between two segments costs two scans (or zero,
+    * against persisted sketches) and never shuffles the distinct
+    * domain. Exact overlap is emitted alongside as the error exhibit
+    * (production drops it — it costs the real distinct join).
+    * Deterministic given the portable hash, so the oracle recomputes
+    * every estimate relationally and the row hash-matches. */
+  def kmvSetOps(a: DataFrame, b: DataFrame, value: Column,
+      k: Int = 256): DataFrame = {
+    val sa = a.agg(graft.functions.KmvAgg(kmvHashCol(value), k).as("ka"))
+    val sb = b.agg(graft.functions.KmvAgg(kmvHashCol(value), k).as("kb"))
+    val exact = a.select(value.as("v")).intersect(b.select(value.as("v")))
+      .agg(count(lit(1)).as("n_exact_inter"))
+    val ku = slice(array_sort(array_distinct(concat(col("ka"), col("kb")))), 1, k)
+    val rhoN = size(filter(col("ku"),
+      x => array_contains(col("ka"), x) && array_contains(col("kb"), x)))
+    sa.crossJoin(sb).crossJoin(exact)
+      .withColumn("ku", ku)
+      .withColumn("est_a", kmvEstimateCol(col("ka"), k))
+      .withColumn("est_b", kmvEstimateCol(col("kb"), k))
+      .withColumn("est_union", kmvEstimateCol(col("ku"), k))
+      .withColumn("jaccard_est",
+        round(rhoN.cast("double") / size(col("ku")), 6))
+      .withColumn("est_inter",
+        round(col("jaccard_est") * col("est_union"), 6))
+      .select("est_a", "est_b", "est_union", "jaccard_est", "est_inter",
+        "n_exact_inter")
+  }
+
+  /** DuckDB twin of [[kmvSetOps]]: same mixed hash, same order
+    * statistics, same rounded-operand order for the derived estimates. */
+  def kmvSetOpsSql(relACte: String, relBCte: String, valueCol: String,
+      k: Int = 256): String = {
+    val poly = graft.functions.PolyHash.sql(valueCol)
+    def est(nCol: String, hkCol: String) =
+      s"CASE WHEN $nCol < $k THEN CAST($nCol AS DOUBLE) " +
+        s"ELSE round(${k - 1}.0 * $P.0 / CAST($hkCol AS DOUBLE), 6) END"
+    s"""WITH ra AS ($relACte),
+       |rb AS ($relBCte),
+       |ha AS (SELECT DISTINCT (($poly) * $kmvA + $kmvB) % $P AS h FROM ra),
+       |hb AS (SELECT DISTINCT (($poly) * $kmvA + $kmvB) % $P AS h FROM rb),
+       |ka AS (SELECT h FROM ha ORDER BY h LIMIT $k),
+       |kb AS (SELECT h FROM hb ORDER BY h LIMIT $k),
+       |ku AS (SELECT h FROM (SELECT h FROM ha UNION SELECT h FROM hb)
+       |       ORDER BY h LIMIT $k),
+       |su AS (SELECT count(*) AS nu, max(h) AS hku FROM ku),
+       |s1 AS (SELECT count(*) AS na, max(h) AS hka FROM ka),
+       |s2 AS (SELECT count(*) AS nb, max(h) AS hkb FROM kb),
+       |rho AS (SELECT count(*) AS rn FROM ku
+       |        WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)),
+       |ex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact_inter FROM
+       |        (SELECT DISTINCT $valueCol FROM ra
+       |         INTERSECT SELECT DISTINCT $valueCol FROM rb)),
+       |es AS (SELECT
+       |  ${est("na", "hka")} AS est_a,
+       |  ${est("nb", "hkb")} AS est_b,
+       |  ${est("nu", "hku")} AS est_union,
+       |  round(CAST(rn AS DOUBLE) / nu, 6) AS jaccard_est
+       |  FROM s1 CROSS JOIN s2 CROSS JOIN su CROSS JOIN rho)
+       |SELECT est_a, est_b, est_union, jaccard_est,
+       |  round(jaccard_est * est_union, 6) AS est_inter, n_exact_inter
+       |FROM es CROSS JOIN ex""".stripMargin
+  }
+
   // ---- HLL distinct-count registers --------------------------------------
   /** Same decorrelation rationale as the KMV mix: rank = zero-run length
     * is an order-statistic-like use of the hash bits, and raw PolyHash of

@@ -213,4 +213,33 @@ class AsOfRangeHllSpec extends AnyFunSuite {
     assert(out(2L) == ((2L, 0L, 0.0)))
     assert(out(3L) == ((0L, 0L, 0.0)))
   }
+
+  test("kmv set ops: exact below k, sane estimates above k") {
+    import org.apache.spark.sql.functions._
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    // below k: sketches hold the full sets, every estimate is exact
+    val a = (1 to 100).map(i => s"u$i").toDF("v")
+    val b = (51 to 150).map(i => s"u$i").toDF("v")
+    val r = graft.ops.SketchOps.kmvSetOps(a, b, col("v"), k = 256)
+      .collect().head
+    assert(r.getAs[Double]("est_a") == 100.0)
+    assert(r.getAs[Double]("est_b") == 100.0)
+    assert(r.getAs[Double]("est_union") == 150.0)
+    assert(r.getAs[Long]("n_exact_inter") == 50L)
+    // est_inter multiplies the 6dp-rounded Jaccard — carry that grain
+    assert(math.abs(r.getAs[Double]("est_inter") - 50.0) < 1e-3)
+    assert(math.abs(r.getAs[Double]("jaccard_est") - 50.0 / 150.0) < 1e-6)
+    // above k: estimates land within a few sketch standard errors
+    val bigA = (1 to 20000).map(i => s"x$i").toDF("v")
+    val bigB = (10001 to 30000).map(i => s"x$i").toDF("v")
+    val rb = graft.ops.SketchOps.kmvSetOps(bigA, bigB, col("v"), k = 256)
+      .collect().head
+    val se = 1.0 / math.sqrt(256.0) // ~6.25% nominal
+    assert(math.abs(rb.getAs[Double]("est_union") - 30000.0) < 30000.0 * 4 * se)
+    assert(rb.getAs[Long]("n_exact_inter") == 10000L)
+    assert(math.abs(rb.getAs[Double]("est_inter") - 10000.0) < 10000.0 * 8 * se)
+    val jac = rb.getAs[Double]("jaccard_est")
+    assert(jac > 0.2 && jac < 0.5) // true 1/3
+  }
 }
