@@ -955,6 +955,27 @@ object ExtensionQueries {
           Tables.orders(s, dir), "o_orderkey", "lineitem->orders"))
         .orderBy("relation", "cid")
     },
+    // JSON schema inference: per-key presence/coverage/cardinality/
+    // numeric-parse profile of a semi-structured column. Four fixture
+    // schema variants (full, partial, boolean, empty object) built
+    // closed-form; the oracle replays the GENERATOR relationally, so
+    // the engine's actual JSON parse is checked against ground truth
+    "json_profile" -> { (s, dir) =>
+      def ds(c: org.apache.spark.sql.Column) = c.cast("string")
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), (col("doc_id") % 4).as("m"))
+      val js = when(col("m") === 0,
+        concat(lit("{\"user\":\"u"), ds(col("doc_id") % 50),
+          lit("\",\"score\":"), ds(col("doc_id") % 100), lit(",\"tags\":\"a,b\"}")))
+        .when(col("m") === 1,
+          concat(lit("{\"user\":\"u"), ds(col("doc_id") % 50),
+            lit("\",\"score\":"), ds(col("doc_id") % 100), lit("}")))
+        .when(col("m") === 2,
+          concat(lit("{\"user\":\"u"), ds(col("doc_id") % 50), lit("\",\"flag\":true}")))
+        .otherwise(lit("{}"))
+      ProfileOps.jsonKeyProfile(d.select(js.as("j")), col("j"))
+        .orderBy("key")
+    },
     // Entity resolution: all customer-name pairs at edit distance 1 via
     // the FastSS deletion-signature equi-join; the oracle runs the
     // unpruned quadratic levenshtein join — hash match = no false negs
@@ -1744,6 +1765,27 @@ object ExtensionQueries {
     "bpe_tokenize_pack" ->
       (BpeOps.tokenizeAndPackSql(bpeMerges, seqLen = 128L) +
         "\nORDER BY lang, source, seq_id"),
+    "json_profile" ->
+      """WITH t AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM documents),
+        |rows AS (
+        |  SELECT 'user' AS key, count(*) AS n_present,
+        |    CAST(count(DISTINCT doc_id % 50) AS BIGINT) AS n_distinct,
+        |    CAST(0 AS BIGINT) AS n_numeric
+        |  FROM documents WHERE doc_id % 4 IN (0, 1, 2)
+        |  UNION ALL
+        |  SELECT 'score', count(*),
+        |    CAST(count(DISTINCT doc_id % 100) AS BIGINT),
+        |    count(*)
+        |  FROM documents WHERE doc_id % 4 IN (0, 1)
+        |  UNION ALL
+        |  SELECT 'tags', count(*), CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+        |  FROM documents WHERE doc_id % 4 = 0
+        |  UNION ALL
+        |  SELECT 'flag', count(*), CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+        |  FROM documents WHERE doc_id % 4 = 2)
+        |SELECT key, CAST(n_present AS BIGINT) AS n_present,
+        |  round(n_present / total, 6) AS coverage, n_distinct, n_numeric
+        |FROM rows CROSS JOIN t ORDER BY key""".stripMargin,
     "url_canonicalize" ->
       """WITH d AS (SELECT doc_id, doc_id % 6 AS m,
         |  CAST(doc_id % 23 AS VARCHAR) AS k, CAST(doc_id AS VARCHAR) AS i

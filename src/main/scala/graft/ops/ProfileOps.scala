@@ -352,4 +352,36 @@ object ProfileOps {
        |  round(p * ln(p / q), 6) AS kl_term,
        |  round((p - q) * ln(p / q), 6) AS psi_term
        |FROM s""".stripMargin
+
+  /** Schema inference for a semi-structured JSON column: one row per
+    * top-level key with presence count, coverage, distinct-value
+    * cardinality, and how many values parse as numbers — the "what is
+    * actually inside this props blob" profile that decides whether a
+    * field is promotable to a real column. Flat map parse
+    * (`from_json` → `map<string,string>`, JSON scalars coerced to
+    * text); unparseable or null JSON contributes no keys (the parse
+    * failure count is the gap between Σ coverage and 1 on any key the
+    * caller expects to be total).
+    *
+    * 100 TB shape: explode emits (key, value) pairs that partial-
+    * aggregate map-side per key; only key-cardinality rows shuffle.
+    * The corpus total rides along as a one-row cross join. Exact
+    * `count_distinct` per key is the oracle-parity choice — route wide
+    * domains through the portable HllAgg as the table profiler's
+    * approx mode does. */
+  def jsonKeyProfile(df: DataFrame, json: Column): DataFrame = {
+    val total = df.agg(count(lit(1)).as("__total"))
+    val kv = df.select(explode(
+      from_json(json, MapType(StringType, StringType))).as(Seq("key", "value")))
+    kv.groupBy("key")
+      .agg(count(lit(1)).as("n_present"),
+        count_distinct(col("value")).as("n_distinct"),
+        count(when(col("value").rlike("^-?\\d+(\\.\\d+)?$"), lit(1)))
+          .as("n_numeric"))
+      .crossJoin(total)
+      .select(col("key"), col("n_present"),
+        round(col("n_present").cast("double") / col("__total"), 6)
+          .as("coverage"),
+        col("n_distinct"), col("n_numeric"))
+  }
 }

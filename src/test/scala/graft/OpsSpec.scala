@@ -1277,4 +1277,26 @@ class OpsSpec extends AnyFunSuite {
     val s = 1.0 / math.sqrt(2.0)
     assert(math.abs(v(0) - s) < 1e-9 && math.abs(v(1) - s) < 1e-9)
   }
+
+  test("json key profile: coverage, cardinality, numeric detection, bad rows") {
+    import graft.ops.ProfileOps
+    val df = Seq(
+      """{"a": 1, "b": "x"}""",
+      """{"a": 2.5, "b": "x"}""",
+      """{"a": "notnum"}""",
+      "not json at all", // parse failure -> contributes no keys
+      null.asInstanceOf[String])
+      .toDF("j")
+    val rows = ProfileOps.jsonKeyProfile(df, col("j"))
+      .orderBy("key").collect()
+    val byKey = rows.map(r => r.getString(0) -> r).toMap
+    assert(byKey.keySet == Set("a", "b"))
+    assert(byKey("a").getAs[Long]("n_present") == 3)
+    assert(byKey("a").getAs[Double]("coverage") == 0.6) // 3 of 5 rows
+    assert(byKey("a").getAs[Long]("n_distinct") == 3)
+    assert(byKey("a").getAs[Long]("n_numeric") == 2) // 1 and 2.5
+    assert(byKey("b").getAs[Long]("n_present") == 2)
+    assert(byKey("b").getAs[Long]("n_distinct") == 1)
+    assert(byKey("b").getAs[Long]("n_numeric") == 0)
+  }
 }
