@@ -243,21 +243,38 @@ object ExtensionQueries {
       tmp
     })
 
-  // PNG-payload fixture persisted ONCE per sf dir (the WARC-fixture
-  // discipline): images arrive as stored bytes the way a real corpus
-  // ships them, and the bench measures decode+hash, not the generator's
-  // per-rep encode cost
-  private val pngFixturePaths = scala.collection.concurrent.TrieMap.empty[String, String]
-  private def pngFixtureFor(s: SparkSession, dir: String): String =
-    pngFixturePaths.getOrElseUpdate(dir, {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-png").toString
+  // Media-payload fixtures persisted ONCE per (sf dir, kind) — the
+  // WARC-fixture discipline: payloads arrive as stored bytes the way a
+  // real corpus ships them, and the bench measures the DECODE operator,
+  // not the generator's per-rep encode cost (measured: the MJPEG
+  // fixture's 15k JPEG encodes dominated multimodal_video_decode)
+  private val mediaFixturePaths = scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  private def mediaFixtureFor(s: SparkSession, dir: String, kind: String)(
+      gen: Long => Array[Byte]): String =
+    mediaFixturePaths.getOrElseUpdate((dir, kind), {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft-media-$kind").toString
       import s.implicits._
       Tables.documents(s, dir).select(col("doc_id")).as[Long]
-        .map(id => (id, MultimodalOps.syntheticPng(id % 97, 8, 8)))
+        .map(id => (id, gen(id)))
         .toDF("doc_id", "payload")
         .write.mode("overwrite").parquet(tmp)
       tmp
     })
+  private def mediaFixture(s: SparkSession, dir: String, kind: String,
+      mediaType: String)(gen: Long => Array[Byte]) = {
+    implicit val sp: SparkSession = s
+    // the fixture lands as ONE small parquet file → a one-partition scan
+    // that would serialize the codec work; spread by id the way a real
+    // blob-table read sizes its tasks (repartitionByBytes)
+    val parts = s.sparkContext.defaultParallelism
+    MultimodalOps.asMedia(
+      s.read.parquet(mediaFixtureFor(s, dir, kind)(gen)),
+      "doc_id", "payload", mediaType)
+      .repartition(parts, col("id"))
+  }
+  private def pngFixtureFor(s: SparkSession, dir: String): String =
+    mediaFixtureFor(s, dir, "phash")(id =>
+      MultimodalOps.syntheticPng(id % 97, 8, 8))
 
   // host -> node id for the fixture's two host families (site K -> K,
   // cdn J -> 100 + J) — deterministic and replayable relationally; the
@@ -1121,12 +1138,9 @@ object ExtensionQueries {
     // width/height/brightness come from DECODED pixels, and the oracle
     // replays the lossless pixel formula in closed form
     "multimodal_decode" -> { (s, dir) =>
-      implicit val sp: SparkSession = s
-      import s.implicits._
-      val media = Tables.documents(s, dir).select(col("doc_id"))
-        .as[Long].map(id => MultimodalOps.MediaRow(
-          id, MultimodalOps.syntheticPng(id, 8, 8), "image/png", 0, 0))
-      MultimodalOps.extractFeatures(media, MultimodalOps.ImageIoCodec).toDF()
+      val media = mediaFixture(s, dir, "png", "image/png")(
+        id => MultimodalOps.syntheticPng(id, 8, 8))
+      MultimodalOps.extractFeatures(media, MultimodalOps.ImageIoCodec)(s).toDF()
         .select(col("id"), col("width"), col("height"),
           round(col("brightness"), 6).as("brightness"))
         .orderBy("id")
@@ -1137,10 +1151,8 @@ object ExtensionQueries {
     // pixels (2x, 2y) in closed form
     "multimodal_resize" -> { (s, dir) =>
       implicit val sp: SparkSession = s
-      import s.implicits._
-      val media = Tables.documents(s, dir).select(col("doc_id"))
-        .as[Long].map(id => MultimodalOps.MediaRow(
-          id, MultimodalOps.syntheticPng(id, 8, 8), "image/png", 0, 0))
+      val media = mediaFixture(s, dir, "png", "image/png")(
+        id => MultimodalOps.syntheticPng(id, 8, 8))
       val small = MultimodalOps.imageResize(media, 4, 4)
       MultimodalOps.extractFeatures(small, MultimodalOps.ImageIoCodec).toDF()
         .select(col("id"), col("width"), col("height"),
@@ -1152,12 +1164,9 @@ object ExtensionQueries {
     // (AudioCodec); sample_rate/n_samples/mean_amp come from DECODED
     // samples, and the oracle replays the lossless PCM formula
     "multimodal_audio" -> { (s, dir) =>
-      implicit val sp: SparkSession = s
-      import s.implicits._
-      val media = Tables.documents(s, dir).select(col("doc_id"))
-        .as[Long].map(id => MultimodalOps.MediaRow(
-          id, MultimodalOps.syntheticWav(id), "audio/wav", 0, 0))
-      MultimodalOps.extractFeatures(media, MultimodalOps.AudioCodec).toDF()
+      val media = mediaFixture(s, dir, "wav", "audio/wav")(
+        id => MultimodalOps.syntheticWav(id))
+      MultimodalOps.extractFeatures(media, MultimodalOps.AudioCodec)(s).toDF()
         .select(col("id"), col("width").as("sample_rate"),
           col("height").as("n_samples"),
           round(col("brightness"), 6).as("mean_amp"))
@@ -1168,12 +1177,9 @@ object ExtensionQueries {
     // frame-sampling planner's inputs, no pixel decode (stub remains
     // only for the bitstream, documented)
     "multimodal_video_meta" -> { (s, dir) =>
-      implicit val sp: SparkSession = s
-      import s.implicits._
-      val media = Tables.documents(s, dir).select(col("doc_id"))
-        .as[Long].map(id => MultimodalOps.MediaRow(
-          id, MultimodalOps.syntheticAvi(id), "video/avi", 0, 0))
-      MultimodalOps.extractVideoMeta(media).toDF()
+      val media = mediaFixture(s, dir, "avi", "video/avi")(
+        id => MultimodalOps.syntheticAvi(id))
+      MultimodalOps.extractVideoMeta(media)(s).toDF()
         .select(col("id"), col("width"), col("height"),
           col("nFrames").as("n_frames"),
           col("usecPerFrame").as("usec_per_frame"),
@@ -1185,12 +1191,9 @@ object ExtensionQueries {
     // DC-exact uniform-gray fixtures make per-frame brightness a closed
     // form of (id, frame) the oracle states without a JPEG decoder
     "multimodal_video_decode" -> { (s, dir) =>
-      implicit val sp: SparkSession = s
-      import s.implicits._
-      val media = Tables.documents(s, dir).select(col("doc_id"))
-        .as[Long].map(id => MultimodalOps.MediaRow(
-          id, MultimodalOps.syntheticMjpegAvi(id), "video/avi", 0, 0))
-      MultimodalOps.decodeVideoFrames(media).toDF()
+      val media = mediaFixture(s, dir, "mjpeg", "video/avi")(
+        id => MultimodalOps.syntheticMjpegAvi(id))
+      MultimodalOps.decodeVideoFrames(media)(s).toDF()
         .select(col("id"), col("frameIdx").as("frame_idx"),
           col("width"), col("height"),
           round(col("brightness"), 6).as("brightness"))
