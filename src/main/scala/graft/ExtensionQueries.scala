@@ -467,6 +467,24 @@ object ExtensionQueries {
       BpeOps.tokenize(Tables.documents(s, dir), bpeMerges)
         .orderBy("doc_id", "pos")
     },
+    // Tokenizer fertility report: tokens-per-character by language from
+    // the REAL frozen tokenizer's output — the evaluation every
+    // tokenizer change reruns (a lang whose fertility jumps is being
+    // over-segmented and will eat the context window)
+    "bpe_fertility" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val perDoc = BpeOps.tokenize(docs, bpeMerges)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+      docs.select(col("doc_id"), col("lang"), col("n_chars"))
+        .join(perDoc, Seq("doc_id"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tok").as("sum_tokens"),
+          sum("n_chars").as("sum_chars"))
+        .withColumn("fertility",
+          round(col("sum_tokens").cast("double") / col("sum_chars"), 6))
+        .orderBy("lang")
+    },
     // WARC ingestion: the synthetic dump (plain + gzip files) read back
     // through the native DataSource V2 source — bounded-memory streaming
     // record reads, one task per file; payload decoded to text so the
@@ -1825,6 +1843,16 @@ object ExtensionQueries {
         |       WHEN doc_id % 7 = 0 THEN false
         |       ELSE true END AS allowed
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "bpe_fertility" ->
+      s"""WITH tok AS (SELECT * FROM (${BpeOps.tokenizeSql(bpeMerges)})),
+         |pd AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY 1)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  round(CAST(sum(n_tok) AS DOUBLE) / CAST(sum(n_chars) AS BIGINT), 6)
+         |    AS fertility
+         |FROM pd JOIN documents USING (doc_id)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     "warc_link_graph" ->
       (s"""WITH l AS (
           |$warcLinkOracleEdges)

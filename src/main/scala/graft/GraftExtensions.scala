@@ -22,6 +22,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.cosineDescriptor)
     e.injectFunction(GraftExtensions.regularBinDescriptor)
     e.injectFunction(GraftExtensions.mortonDescriptor)
+    e.injectFunction(GraftExtensions.nfcDescriptor)
+    e.injectFunction(GraftExtensions.polyHashDescriptor)
   }
 }
 
@@ -92,10 +94,28 @@ object GraftExtensions {
       mortonExpr(args(0), args(1))
     })
 
+  private[graft] val nfcDescriptor = (
+    new FunctionIdentifier("graft_nfc"),
+    new ExpressionInfo(classOf[functions.NfcNormalize].getName, "graft_nfc"),
+    (args: Seq[Expression]) => {
+      require(args.size == 1, "graft_nfc(s)")
+      functions.NfcNormalize(args(0))
+    })
+
+  private[graft] val polyHashDescriptor = (
+    new FunctionIdentifier("graft_polyhash"),
+    new ExpressionInfo(classOf[functions.PolyHash].getName, "graft_polyhash"),
+    (args: Seq[Expression]) => {
+      require(args.size == 1 || args.size == 2, "graft_polyhash(s[, mult])")
+      if (args.size == 1) functions.PolyHash(args(0))
+      else functions.PolyHash(args(0), lit(args(1), "mult").toLong)
+    })
+
   /** Register on an existing session (tests / driver-owned sessions). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    Seq(cosineDescriptor, regularBinDescriptor, mortonDescriptor)
+    Seq(cosineDescriptor, regularBinDescriptor, mortonDescriptor,
+      nfcDescriptor, polyHashDescriptor)
       .foreach { case (id, info, builder) =>
         reg.registerFunction(id, info, builder)
       }

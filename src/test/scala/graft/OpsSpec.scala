@@ -812,6 +812,17 @@ class OpsSpec extends AnyFunSuite {
       .select(graft.ops.LayoutOps.mortonKey2(col("a"), col("b")))
       .collect().map(_.getLong(0)).toSeq
     assert(viaMSql == viaMCol)
+    // graft_nfc composes decomposed marks; graft_polyhash matches the
+    // Column path (default and explicit multiplier)
+    Seq(("exposé", "abc")).toDF("s", "t").createOrReplaceTempView("gn")
+    val n = spark.sql("SELECT graft_nfc(s), graft_polyhash(t), " +
+      "graft_polyhash(t, 131) FROM gn").collect()(0)
+    assert(n.getString(0) == "exposé")
+    val viaPh = Seq("abc").toDF("t")
+      .select(graft.functions.PolyHash(col("t")),
+        graft.functions.PolyHash(col("t"), 131L)).collect()(0)
+    assert(n.getLong(1) == viaPh.getLong(0))
+    assert(n.getLong(2) == viaPh.getLong(1))
   }
 
   test("multimodal stub pipeline: features deterministic, schema typed") {
