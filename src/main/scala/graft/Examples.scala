@@ -127,6 +127,16 @@ object Examples {
       spark.stop()
       return
     }
+    if (args.headOption.contains("soak-crawl")) {
+      // crawl-first-mile soak: `runMain graft.Examples soak-crawl
+      // 400000` — WARC ingest (payload-skipping metadata scan vs full
+      // read), HTML text extraction, and link-graph aggregation
+      // throughput on a synthetic page dump (plain + gzip files)
+      args.lift(1).getOrElse("400000").split(",").map(_.trim.toLong)
+        .foreach(n => crawlSoak(spark, n))
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("zorder")) {
       // layout exhibit: `runMain graft.Examples zorder 4000000 64` —
       // write a Z-clustered dataset, run an aligned box query, report
@@ -660,6 +670,77 @@ object Examples {
     * actions — candidates ≈ verified ≈ removed ≈ n/4 when the LSH layer
     * adds ~no false candidates, and candidates-per-doc staying flat
     * across sizes is the linearity evidence SCALE.md cites. */
+  /** Crawl-first-mile soak: generate nPages of synthetic HTML as a
+    * mixed plain+gzip WARC dump, then measure the three stages every
+    * crawl pipeline runs: (a) payload-skipping metadata scan (column
+    * pruning must reach the reader), (b) HTML text extraction + token
+    * count, (c) anchor extraction into the host-level link graph.
+    * Reported as pages/s per stage; all stages stream bounded-memory. */
+  private def crawlSoak(spark: SparkSession, nPages: Long): Unit = {
+    import graft.sources.warc.WarcIO
+    import graft.ops.TextOps
+    val dir = java.nio.file.Files.createTempDirectory("graft-crawl-soak").toString
+    val files = 8
+    val per = nPages / files
+    val t0 = System.nanoTime()
+    for (f <- 0 until files) {
+      val recs = (0L until per).iterator.map { i =>
+        val id = f * per + i
+        val t1 = (7 * id + 1) % 1000
+        val t3 = (3 * id + 2) % 1000
+        val html =
+          s"""<html><head><title>p$id</title></head><body>
+             |<a href="https://site${t1 % 23}.example.org/doc/$t1">x</a>
+             |<a href="/doc/$t3">y</a>
+             |<a href="https://cdn${id % 5}.example.net/a.js">z</a>
+             |<p>page $id body with some filler tokens word$id alpha beta
+             |gamma delta epsilon zeta eta theta</p></body></html>""".stripMargin
+        WarcIO.Record(s"<urn:soak:$id>", "response",
+          s"https://site${id % 23}.example.org/doc/$id",
+          "2020-01-01T00:00:00Z", "text/html", html.getBytes("UTF-8"))
+      }
+      val ext = if (f % 2 == 0) ".warc" else ".warc.gz"
+      WarcIO.writeFile(recs, s"$dir/part-$f$ext")
+    }
+    val genS = (System.nanoTime() - t0) / 1e9
+    def stage(tag: String)(body: => Long): Unit = {
+      // two runs, warm minimum: the first stage otherwise pays the page-
+      // cache warmup of the whole dump and mis-ranks the stages
+      var rows = 0L
+      val el = (1 to 2).map { _ =>
+        val s0 = System.nanoTime()
+        rows = body
+        (System.nanoTime() - s0) / 1e9
+      }.min
+      println(f"soak-crawl n=$nPages $tag%-12s ${el}%7.2f s  " +
+        f"${nPages / el / 1000.0}%8.1f kpages/s  (rows=$rows)")
+    }
+    println(f"soak-crawl n=$nPages generate    $genS%7.2f s")
+    stage("meta-scan") {
+      graft.sources.Sources.warc(spark, dir).select("url", "content_length")
+        .count()
+    }
+    stage("extract") {
+      graft.sources.Sources.warc(spark, dir)
+        .select(TextOps.htmlToText(org.apache.spark.sql.functions.col("payload")
+          .cast("string")).as("text"))
+        .select(TextOps.tokenCount(org.apache.spark.sql.functions.col("text"))
+          .as("n_tok"))
+        .agg(org.apache.spark.sql.functions.sum("n_tok")).count()
+    }
+    stage("link-graph") {
+      import org.apache.spark.sql.functions._
+      val pages = graft.sources.Sources.warc(spark, dir)
+        .select(col("url"), col("payload").cast("string").as("html"))
+      pages.select(TextOps.urlHost(col("url")).as("src_host"),
+          explode(TextOps.hrefs(col("html"))).as("href"))
+        .withColumn("dst_host", TextOps.linkHost(col("href"), col("src_host")))
+        .filter(col("dst_host").isNotNull)
+        .groupBy("src_host", "dst_host").agg(count(lit(1)))
+        .count()
+    }
+  }
+
   private def dedupSoak(spark: SparkSession, nDocs: Long): Unit = {
     def docs = nearDupDocs(spark, nDocs)
     // warm codegen on 1%

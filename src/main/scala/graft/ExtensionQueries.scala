@@ -261,16 +261,19 @@ object ExtensionQueries {
       tmp
     })
   private def mediaFixture(s: SparkSession, dir: String, kind: String,
-      mediaType: String)(gen: Long => Array[Byte]) = {
+      mediaType: String, spread: Boolean = true)(gen: Long => Array[Byte]) = {
     implicit val sp: SparkSession = s
-    // the fixture lands as ONE small parquet file → a one-partition scan
-    // that would serialize the codec work; spread by id the way a real
-    // blob-table read sizes its tasks (repartitionByBytes)
-    val parts = s.sparkContext.defaultParallelism
-    MultimodalOps.asMedia(
+    val media = MultimodalOps.asMedia(
       s.read.parquet(mediaFixtureFor(s, dir, kind)(gen)),
       "doc_id", "payload", mediaType)
-      .repartition(parts, col("id"))
+    // the fixture lands as ONE small parquet file → a one-partition scan
+    // that would serialize the codec work; spread by id the way a real
+    // blob-table read sizes its tasks (repartitionByBytes). Spread only
+    // when decode outweighs a payload shuffle (JPEG/PNG pixel work) —
+    // for header-only parses and cheap PCM the shuffle IS the cost
+    if (spread)
+      media.repartition(s.sparkContext.defaultParallelism, col("id"))
+    else media
   }
   private def pngFixtureFor(s: SparkSession, dir: String): String =
     mediaFixtureFor(s, dir, "phash")(id =>
@@ -569,6 +572,31 @@ object ExtensionQueries {
               "Disallow: /")).as("robots_txt"))
       val rules = CrawlOps.robotsWildcardDisallows(robots)
       CrawlOps.robotsGate(pages, rules).orderBy("doc_id")
+    },
+    // The frontier loop end to end: links out of crawled pages resolve
+    // to absolute URLs, canonicalize, distinct, and anti-join the
+    // already-crawled set — "what do we fetch next", per host. The
+    // SHOUTY/ported/fragmented variant only dedups against its crawled
+    // twin BECAUSE canonicalization ran; the oracle replays the
+    // generator and checks crawled-ness relationally against documents
+    "crawl_frontier_new" -> { (s, dir) =>
+      val pages = graft.sources.Sources.warc(s, warcLinkFixtureFor(s, dir))
+        .select(col("url"), col("payload").cast("string").as("html"))
+      val crawled = pages.select(CrawlOps.canonicalizeUrl(col("url")).as("curl"))
+      val targets = pages
+        .select(col("url"), explode(TextOps.hrefs(col("html"))).as("href"))
+        .select(when(col("href").rlike("(?i)^https?://"), col("href"))
+          .when(col("href").startsWith("/"),
+            concat(lit("https://"), TextOps.urlHost(col("url")), col("href")))
+          .otherwise(lit(null).cast("string")).as("target"))
+        .filter(col("target").isNotNull)
+        .select(CrawlOps.canonicalizeUrl(col("target")).as("curl"))
+        .filter(col("curl").isNotNull)
+        .distinct()
+      targets.join(crawled, Seq("curl"), "left_anti")
+        .select(TextOps.urlHost(col("curl")).as("host"))
+        .groupBy("host").agg(count(lit(1)).as("n_new"))
+        .orderBy("host")
     },
     // URL canonicalization (the crawl-frontier dedup key): case, default
     // ports, fragments, tracking params, and query-param order all
@@ -1182,7 +1210,7 @@ object ExtensionQueries {
     // (AudioCodec); sample_rate/n_samples/mean_amp come from DECODED
     // samples, and the oracle replays the lossless PCM formula
     "multimodal_audio" -> { (s, dir) =>
-      val media = mediaFixture(s, dir, "wav", "audio/wav")(
+      val media = mediaFixture(s, dir, "wav", "audio/wav", spread = false)(
         id => MultimodalOps.syntheticWav(id))
       MultimodalOps.extractFeatures(media, MultimodalOps.AudioCodec)(s).toDF()
         .select(col("id"), col("width").as("sample_rate"),
@@ -1195,7 +1223,7 @@ object ExtensionQueries {
     // frame-sampling planner's inputs, no pixel decode (stub remains
     // only for the bitstream, documented)
     "multimodal_video_meta" -> { (s, dir) =>
-      val media = mediaFixture(s, dir, "avi", "video/avi")(
+      val media = mediaFixture(s, dir, "avi", "video/avi", spread = false)(
         id => MultimodalOps.syntheticAvi(id))
       MultimodalOps.extractVideoMeta(media)(s).toDF()
         .select(col("id"), col("width"), col("height"),
@@ -1807,6 +1835,29 @@ object ExtensionQueries {
         |SELECT key, CAST(n_present AS BIGINT) AS n_present,
         |  round(n_present / total, 6) AS coverage, n_distinct, n_numeric
         |FROM rows CROSS JOIN t ORDER BY key""".stripMargin,
+    "crawl_frontier_new" ->
+      """WITH crawled AS (
+        |  SELECT 'https://site' || (doc_id % 23) || '.example.org/doc/' || doc_id
+        |    AS curl FROM documents),
+        |targets AS (
+        |  SELECT 'https://site' || (((7 * doc_id + 1) % 1000) % 23)
+        |    || '.example.org/doc/' || ((7 * doc_id + 1) % 1000) AS curl
+        |  FROM documents
+        |  UNION
+        |  SELECT 'https://site' || (((13 * doc_id + 5) % 1000) % 23)
+        |    || '.example.org/doc/' || ((13 * doc_id + 5) % 1000)
+        |  FROM documents
+        |  UNION
+        |  SELECT 'https://site' || (doc_id % 23)
+        |    || '.example.org/doc/' || ((3 * doc_id + 2) % 1000)
+        |  FROM documents
+        |  UNION
+        |  SELECT 'https://cdn' || (doc_id % 5) || '.example.net/a.js'
+        |  FROM documents)
+        |SELECT regexp_extract(curl, '^https://([^/]+)', 1) AS host,
+        |  count(*) AS n_new
+        |FROM targets WHERE curl NOT IN (SELECT curl FROM crawled)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "url_canonicalize" ->
       """WITH d AS (SELECT doc_id, doc_id % 6 AS m,
         |  CAST(doc_id % 23 AS VARCHAR) AS k, CAST(doc_id AS VARCHAR) AS i
