@@ -1660,6 +1660,31 @@ object ExtensionQueries {
       SearchOps.bm25TopK(Tables.documents(s, dir), bm25Queries)
         .orderBy("query_id", "rank")
     },
+    // Hybrid retrieval: BM25 (lexical) and brute-cosine (semantic)
+    // top-20 lists fused by reciprocal-rank fusion (Cormack et al.,
+    // SIGIR 2009: score = Σ 1/(60+rank)) — the standard two-tower
+    // retrieval merge. Rank-space fusion needs no score calibration
+    // between the two systems; each side's ranks are already
+    // deterministic (score desc, id asc), and the two-term RRF sum has
+    // fixed operand order, so the fused ranking hash-matches
+    "search_hybrid_rrf" -> { (s, dir) =>
+      val lex = SearchOps.bm25TopK(Tables.documents(s, dir), bm25Queries, k = 20)
+        .select(col("query_id").cast("long").as("query_id"), col("doc_id"),
+          col("rank").as("lex_rank"))
+      val emb = Tables.embeddings(s, dir)
+      val sem = SimilarityOps.bruteForceTopK(emb.filter(col("vec_id") < 3), emb, 20)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank").as("sem_rank"))
+      val fused = lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
+        .withColumn("rrf", round(
+          coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("sem_rank")), lit(0.0)), 9))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("rrf").desc, col("doc_id").asc)
+      fused.withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
+        .select("query_id", "doc_id", "rrf", "rank")
+        .orderBy("query_id", "rank")
+    },
     // The persisted-index read path (the plan users run per query
     // batch): term-bucketed postings + bucket partition pruning; the
     // index is lossless so the DIRECT query's oracle applies verbatim
@@ -2490,6 +2515,34 @@ object ExtensionQueries {
     // lossless index => identical scores/ranks to the direct form
     "search_bm25_indexed" ->
       (SearchOps.bm25TopKSql(bm25Queries) + " ORDER BY query_id, rank"),
+    "search_hybrid_rrf" ->
+      s"""WITH lex AS (
+         |  SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+         |    rank AS lex_rank
+         |  FROM (${SearchOps.bm25TopKSql(bm25Queries, k = 20)})),
+         |sem_scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+         |    round(${SimilarityOps.cosineSql("q.embedding", "c.embedding")}, 6) AS sim
+         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 3),
+         |sem AS (
+         |  SELECT query_id, doc_id, sem_rank FROM (
+         |    SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, doc_id ASC) AS INT) AS sem_rank
+         |    FROM sem_scored WHERE NOT isnan(sim))
+         |  WHERE sem_rank <= 20),
+         |fused AS (
+         |  SELECT coalesce(l.query_id, s.query_id) AS query_id,
+         |    coalesce(l.doc_id, s.doc_id) AS doc_id,
+         |    round(coalesce(CAST(1.0 AS DOUBLE) / (60 + l.lex_rank), 0)
+         |      + coalesce(CAST(1.0 AS DOUBLE) / (60 + s.sem_rank), 0), 9) AS rrf
+         |  FROM lex l FULL OUTER JOIN sem s
+         |    ON l.query_id = s.query_id AND l.doc_id = s.doc_id),
+         |ranked AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rrf DESC, doc_id ASC) AS INT) AS rank FROM fused)
+         |SELECT query_id, doc_id, rrf, rank FROM ranked
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "events_hourly_distinct" ->
       s"""SELECT grp AS bucket_start, n_exact, hll_est FROM (
          |${SketchOps.hllEstimateSql(
