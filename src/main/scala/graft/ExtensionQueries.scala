@@ -852,6 +852,26 @@ object ExtensionQueries {
         .orderBy(col("df").desc, col("tok").asc)
         .limit(25)
     },
+    // Grouped top-k through the NATIVE bounded-buffer aggregate
+    // (functions/TopKAgg) instead of a window rank: the window form
+    // shuffles and per-group sorts EVERY (source, token) row; the
+    // aggregate form partial-aggregates map-side so at most k pairs per
+    // group leave each partition — the exchange carries k·groups rows,
+    // not the domain. Exact (top-k under a total order merges
+    // losslessly), so the window-rank oracle hash-matches
+    "source_token_topk" -> { (s, dir) =>
+      val rel = Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"),
+          explode(split(col("text"), " ")).as("tok"))
+        .distinct()
+        .groupBy("source", "tok").agg(count(lit(1)).as("df"))
+      rel.groupBy("source")
+        .agg(graft.functions.TopKAgg(col("tok"), col("df"), 10).as("topk"))
+        .select(col("source"), posexplode(col("topk")).as(Seq("i", "e")))
+        .select(col("source"), (col("i") + 1).cast("int").as("rank"),
+          col("e.item").as("tok"), col("e.score").as("df"))
+        .orderBy("source", "rank")
+    },
     // Domain-distinctive terms: TF-IDF at source granularity — the
     // "what is this domain about" audit behind mixture-weight choices
     "domain_tfidf_topk" -> { (s, dir) =>
@@ -2204,6 +2224,18 @@ object ExtensionQueries {
       """SELECT tok, count(*) AS df FROM (
         |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
         |) GROUP BY 1 ORDER BY df DESC, tok ASC LIMIT 25""".stripMargin,
+    "source_token_topk" ->
+      """WITH rel AS (
+        |  SELECT source, tok, count(*) AS df FROM (
+        |    SELECT DISTINCT source, doc_id,
+        |      unnest(string_split(text, ' ')) AS tok FROM documents
+        |  ) GROUP BY 1, 2),
+        |r AS (
+        |  SELECT source, tok, df, CAST(row_number() OVER (
+        |    PARTITION BY source ORDER BY df DESC, tok ASC) AS INT) AS rank
+        |  FROM rel)
+        |SELECT source, rank, tok, df FROM r WHERE rank <= 10
+        |ORDER BY source, rank""".stripMargin,
     "text_heavy_hitters" ->
       (TextOps.heavyHitterWordsSql(0.02) + "\nORDER BY w"),
     "text_tfidf_topk" ->

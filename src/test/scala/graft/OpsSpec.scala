@@ -1310,4 +1310,46 @@ class OpsSpec extends AnyFunSuite {
     assert(byKey("b").getAs[Long]("n_distinct") == 1)
     assert(byKey("b").getAs[Long]("n_numeric") == 0)
   }
+
+  test("TopKAgg: equals the window rank under any partitioning; bounded merge") {
+    import graft.functions.TopKAgg
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.tabulate(5000) { i =>
+      (s"g${i % 7}", s"item${rnd.nextInt(300)}", rnd.nextInt(1000).toLong)
+    }
+    // pre-aggregate scores (the aggregate consumes one row per item)
+    val base = rows.toDF("g", "item", "v")
+      .groupBy("g", "item").agg(sum("v").as("score"))
+    for (parts <- Seq(1, 4, 13)) {
+      val agg = base.repartition(parts)
+        .groupBy("g").agg(TopKAgg(col("item"), col("score"), 10).as("topk"))
+        .select(col("g"), posexplode(col("topk")).as(Seq("i", "e")))
+        .select(col("g"), (col("i") + 1).cast("long").as("rank"),
+          col("e.item").as("item"), col("e.score").as("score"))
+        .orderBy("g", "rank")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+          r.getLong(3))).toSeq
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
+        .orderBy(col("score").desc, col("item").asc)
+      val win = base.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 10)
+        .select("g", "rank", "item", "score").orderBy("g", "rank")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+          r.getLong(3))).toSeq
+      assert(agg == win, s"parts=$parts")
+    }
+    // k wider than the domain: returns the whole domain in rank order
+    val tiny = Seq(("g", "a", 5L), ("g", "b", 9L), ("g", "c", 5L))
+      .toDF("g", "item", "score")
+      .groupBy("g").agg(TopKAgg(col("item"), col("score"), 10).as("t"))
+      .select(posexplode(col("t"))).select("col.item").collect()
+      .map(_.getString(0)).toSeq
+    assert(tiny == Seq("b", "a", "c")) // score desc, item asc on the tie
+    // the partial aggregate is visible in the plan (map-side bounding)
+    val plan = base.groupBy("g")
+      .agg(TopKAgg(col("item"), col("score"), 10))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_topkagg") ||
+      plan.toLowerCase.contains("partial") && plan.contains("TopKAgg"), plan)
+  }
 }
