@@ -1038,6 +1038,24 @@ object ExtensionQueries {
           Tables.orders(s, dir), "o_orderkey", "lineitem->orders"))
         .orderBy("relation", "cid")
     },
+    // SCD2 dimension history from a snapshot stream: unchanged runs
+    // collapse into validity intervals, a value change OR a key gap
+    // (deletion-and-return) breaks the run, is_current marks intervals
+    // reaching the latest snapshot. Fixture plants a value change at
+    // snap 2 for doc_id%5==0 and a one-snapshot deletion for
+    // doc_id%7==0, so both break conditions are exercised
+    "scd2_history" -> { (s, dir) =>
+      val snaps = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          explode(sequence(lit(0L), lit(3L))).as("snap"))
+        .filter(!(col("snap") === 2 && col("doc_id") % 7 === 0))
+        .withColumn("val",
+          when(col("snap") >= 2 && col("doc_id") % 5 === 0, lit("moved"))
+            .otherwise(col("source")))
+        .select(col("doc_id"), col("val"), col("snap"))
+      PipelineOps.scd2(snaps, "doc_id", "val", "snap", maxSnap = 3L)
+        .orderBy("doc_id", "valid_from")
+    },
     // JSON schema inference: per-key presence/coverage/cardinality/
     // numeric-parse profile of a semi-structured column. Four fixture
     // schema variants (full, partial, boolean, empty object) built
@@ -1859,6 +1877,16 @@ object ExtensionQueries {
     "bpe_tokenize_pack" ->
       (BpeOps.tokenizeAndPackSql(bpeMerges, seqLen = 128L) +
         "\nORDER BY lang, source, seq_id"),
+    "scd2_history" ->
+      (PipelineOps.scd2Sql(
+        """SELECT doc_id,
+          |  CASE WHEN snap >= 2 AND doc_id % 5 = 0 THEN 'moved'
+          |       ELSE source END AS val,
+          |  snap
+          |FROM documents, unnest(range(0, 4)) t(snap)
+          |WHERE NOT (snap = 2 AND doc_id % 7 = 0)""".stripMargin,
+        "doc_id", "val", "snap", maxSnap = 3L) +
+        "\nORDER BY doc_id, valid_from"),
     "json_profile" ->
       """WITH t AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM documents),
         |rows AS (

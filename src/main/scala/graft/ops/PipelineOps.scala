@@ -876,4 +876,57 @@ object PipelineOps {
     require(bad.isEmpty, s"training-shard manifest mismatch on shards: " +
       bad.mkString(", "))
   }
+
+  /** SCD2 (slowly-changing-dimension type 2) history from a snapshot
+    * stream: given one row per (key, snapshot) where the key exists,
+    * collapse consecutive snapshots with an unchanged value into
+    * validity intervals — the warehouse-standard "what did this row say
+    * WHEN" table that downstream time-travel joins consume. A run
+    * breaks when the value changes OR the key skips a snapshot
+    * (deletion-and-return produces two intervals, not one lie of
+    * continuity); `is_current` marks intervals reaching `maxSnap`
+    * (supplied by the caller — the latest ingested snapshot id; absent
+    * keys' last intervals correctly read as closed).
+    *
+    * 100 TB shape: one key-partitioned window (lag) + one grouped
+    * aggregate over the same partitioning — Catalyst reuses the single
+    * key exchange; no self-join of history against itself, no
+    * driver-side timeline walk. Snapshot ids are the interval algebra
+    * (integers, not timestamps): exact, gap-detectable, and
+    * engine-portable. */
+  def scd2(history: DataFrame, keyCol: String, valCol: String,
+      snapCol: String, maxSnap: Long): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(snapCol)
+    val runs = history
+      .withColumn("__chg",
+        (lag(col(valCol), 1).over(w).isNull ||
+          lag(col(valCol), 1).over(w) =!= col(valCol) ||
+          lag(col(snapCol), 1).over(w) =!= col(snapCol) - 1).cast("long"))
+      .withColumn("__run", sum(col("__chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    runs.groupBy(col(keyCol), col("__run"), col(valCol))
+      .agg(min(col(snapCol)).as("valid_from"),
+        max(col(snapCol)).as("valid_to"))
+      .select(col(keyCol), col(valCol),
+        col("valid_from"), col("valid_to"),
+        (col("valid_to") === maxSnap).as("is_current"))
+  }
+
+  /** DuckDB twin of [[scd2]] over a `(key, val, snap)` CTE. */
+  def scd2Sql(relCte: String, keyCol: String, valCol: String,
+      snapCol: String, maxSnap: Long): String =
+    s"""WITH rel AS ($relCte),
+       |marked AS (
+       |  SELECT *, CASE WHEN lag($valCol) OVER w IS NULL
+       |      OR lag($valCol) OVER w <> $valCol
+       |      OR lag($snapCol) OVER w <> $snapCol - 1
+       |    THEN 1 ELSE 0 END AS chg
+       |  FROM rel WINDOW w AS (PARTITION BY $keyCol ORDER BY $snapCol)),
+       |runs AS (
+       |  SELECT *, sum(chg) OVER (PARTITION BY $keyCol ORDER BY $snapCol
+       |    ROWS UNBOUNDED PRECEDING) AS run FROM marked)
+       |SELECT $keyCol, $valCol,
+       |  min($snapCol) AS valid_from, max($snapCol) AS valid_to,
+       |  max($snapCol) = $maxSnap AS is_current
+       |FROM runs GROUP BY $keyCol, run, $valCol""".stripMargin
 }

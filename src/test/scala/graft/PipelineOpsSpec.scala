@@ -614,4 +614,33 @@ class PipelineOpsSpec extends AnyFunSuite {
       .filter(col("a").between(16, 31) && col("b").between(48, 63)).count()
     assert(inBox == 16L * 16L)
   }
+
+  test("scd2: runs collapse, gaps split, is_current marks the open tail") {
+    import graft.ops.PipelineOps
+    // key 1: stable a..a            -> one current interval [0,3]
+    // key 2: a,a,b,b                -> [0,1] closed + [2,3] current
+    // key 3: a, GAP at 1, a, a      -> [0,0] closed + [2,3] current (no
+    //   continuity lie across the deletion)
+    // key 4: last seen at snap 1    -> [0,1] closed, nothing current
+    val rows = Seq(
+      (1L, "a", 0L), (1L, "a", 1L), (1L, "a", 2L), (1L, "a", 3L),
+      (2L, "a", 0L), (2L, "a", 1L), (2L, "b", 2L), (2L, "b", 3L),
+      (3L, "a", 0L), (3L, "a", 2L), (3L, "a", 3L),
+      (4L, "a", 0L), (4L, "a", 1L)).toDF("k", "v", "snap")
+    val out = PipelineOps.scd2(rows, "k", "v", "snap", maxSnap = 3L)
+      .orderBy("k", "valid_from").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSeq
+    assert(out == Seq(
+      (1L, "a", 0L, 3L, true),
+      (2L, "a", 0L, 1L, false), (2L, "b", 2L, 3L, true),
+      (3L, "a", 0L, 0L, false), (3L, "a", 2L, 3L, true),
+      (4L, "a", 0L, 1L, false)))
+    // invariant: intervals per key never overlap and cover exactly the
+    // snapshots the key appeared in
+    val covered = out.flatMap { case (k, _, f, t, _) => (f to t).map(k -> _) }
+    assert(covered.distinct.size == covered.size)
+    assert(covered.toSet == rows.collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toSet)
+  }
 }
