@@ -1654,6 +1654,17 @@ object ExtensionQueries {
         ev.filter(col("event_type") === "purchase"),
         col("user_id").cast("string"))
     },
+    // Join-cardinality estimate from two count-min sketches (the CM
+    // inner product): what a planner asks BEFORE committing to a
+    // shuffle join — answered from two depth×width grids without
+    // co-locating either side; the exact product rides along as the
+    // error exhibit
+    "events_join_size_est" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      def toks(t: String) = ev.filter(col("event_type") === t)
+        .select(col("user_id").cast("string").as("tok"))
+      SketchOps.cmsJoinSize(toks("click"), toks("purchase"))
+    },
     "events_hll_registers" -> { (s, dir) =>
       SketchOps.hllRegisters(hllKeyed(s, dir), Seq("event_type"), col("key"))
         .select(col("event_type"), posexplode(col("registers")).as(Seq("idx", "rank")))
@@ -2539,6 +2550,10 @@ object ExtensionQueries {
         |  ON e.user_id = r.user_id
         |  AND e.ts_us BETWEEN r.ts_us AND r.ts_us + 3600000000
         |GROUP BY 1 ORDER BY err_id""".stripMargin,
+    "events_join_size_est" ->
+      SketchOps.cmsJoinSizeSql(
+        "SELECT CAST(user_id AS VARCHAR) AS tok FROM events WHERE event_type = 'click'",
+        "SELECT CAST(user_id AS VARCHAR) AS tok FROM events WHERE event_type = 'purchase'"),
     "events_kmv_overlap" ->
       SketchOps.kmvSetOpsSql(
         "SELECT CAST(user_id AS VARCHAR) AS v FROM events WHERE event_type = 'click'",

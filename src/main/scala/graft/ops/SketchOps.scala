@@ -65,6 +65,63 @@ object SketchOps {
         cellGen(depth, width, seed).as(Seq("r", "bucket")))
       .groupBy("window", "r", "bucket").agg(count(lit(1)).as("cnt"))
 
+  /** Equi-join cardinality estimate from two count-min sketches
+    * (Cormode & Muthukrishnan 2005, §4.2: the CM inner product):
+    * |A ⋈_k B| = Σ_k f_A(k)·f_B(k), estimated as min over sketch rows
+    * of Σ_bucket cntA(r,b)·cntB(r,b) — one-sided (always ≥ exact),
+    * error ≤ e/width · |A|·|B| with prob. 1−e^−depth. The statistic a
+    * planner wants BEFORE committing to a shuffle join: two
+    * depth×width sketches answer it without co-locating either side,
+    * and persisted sketches answer it with zero scans. The exact
+    * product rides along as the error exhibit (it costs the real
+    * key-join the sketch exists to avoid). Cell counts are exact
+    * integers, so the estimate is deterministic and the oracle
+    * recomputes it relationally. */
+  def cmsJoinSize(aTok: DataFrame, bTok: DataFrame, depth: Int = 4,
+      width: Int = 1024, seed: Long = 7L): DataFrame = {
+    val sa = cmsSketch(aTok, depth, width, seed)
+    val sb = cmsSketch(bTok, depth, width, seed)
+    val est = sa.as("a")
+      .join(sb.as("b"), Seq("r", "bucket"))
+      .groupBy("r").agg(sum(col("a.cnt") * col("b.cnt")).as("dot"))
+      .agg(min("dot").as("join_size_est"))
+    val exact = aTok.groupBy("tok").agg(count(lit(1)).as("ca"))
+      .join(bTok.groupBy("tok").agg(count(lit(1)).as("cb")), Seq("tok"))
+      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("join_size_exact"))
+    est.crossJoin(exact)
+  }
+
+  /** DuckDB twin of [[cmsJoinSize]] over two `tok`-columned CTEs. */
+  def cmsJoinSizeSql(aCte: String, bCte: String, depth: Int = 4,
+      width: Int = 1024, seed: Long = 7L): String = {
+    val (as, bs) = cmsCoefficients(depth, seed)
+    val coef = (0 until depth).map(r => s"($r, ${as(r)}, ${bs(r)})").mkString(", ")
+    def poly(c: String) = graft.functions.PolyHash.sql(c)
+    s"""WITH ta AS ($aCte),
+       |tb AS ($bCte),
+       |coef(r, a, b) AS (VALUES $coef),
+       |ca AS (
+       |  SELECT r, (((${poly("tok")}) * a + b) % $P) % $width AS bucket,
+       |    count(*) AS cnt
+       |  FROM ta CROSS JOIN coef GROUP BY 1, 2),
+       |cb AS (
+       |  SELECT r, (((${poly("tok")}) * a + b) % $P) % $width AS bucket,
+       |    count(*) AS cnt
+       |  FROM tb CROSS JOIN coef GROUP BY 1, 2),
+       |dots AS (
+       |  SELECT ca.r, CAST(sum(ca.cnt * cb.cnt) AS BIGINT) AS dot
+       |  FROM ca JOIN cb ON ca.r = cb.r AND ca.bucket = cb.bucket
+       |  GROUP BY 1),
+       |est AS (SELECT CAST(min(dot) AS BIGINT) AS join_size_est FROM dots),
+       |ex AS (
+       |  SELECT CAST(coalesce(sum(fa.n * fb.n), 0) AS BIGINT)
+       |    AS join_size_exact
+       |  FROM (SELECT tok, count(*) AS n FROM ta GROUP BY 1) fa
+       |  JOIN (SELECT tok, count(*) AS n FROM tb GROUP BY 1) fb
+       |    USING (tok))
+       |SELECT join_size_est, join_size_exact FROM est CROSS JOIN ex""".stripMargin
+  }
+
   /** Count-min estimates vs exact counts for a fixed probe vocabulary:
     * (token, exact_n, cms_est), est = min over rows of the probed cells —
     * always ≥ exact (one-sided error, ε ≈ e/width of the stream length).

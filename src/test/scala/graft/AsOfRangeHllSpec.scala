@@ -242,4 +242,25 @@ class AsOfRangeHllSpec extends AnyFunSuite {
     val jac = rb.getAs[Double]("jaccard_est")
     assert(jac > 0.2 && jac < 0.5) // true 1/3
   }
+
+  test("cms join size: one-sided, exact when collision-free") {
+    import org.apache.spark.sql.functions._
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    val a = (1 to 500).flatMap(i => Seq.fill(i % 3 + 1)(s"k$i")).toDF("tok")
+    val b = (250 to 750).map(i => s"k$i").toDF("tok")
+    val exact = a.groupBy("tok").agg(count(lit(1)).as("ca"))
+      .join(b.groupBy("tok").agg(count(lit(1)).as("cb")), Seq("tok"))
+      .agg(sum(col("ca") * col("cb"))).collect()(0).getLong(0)
+    // wide sketch: few collisions, estimate tight; ALWAYS >= exact
+    val wide = graft.ops.SketchOps.cmsJoinSize(a, b, width = 4096)
+      .collect()(0)
+    assert(wide.getAs[Long]("join_size_exact") == exact)
+    assert(wide.getAs[Long]("join_size_est") >= exact)
+    assert(wide.getAs[Long]("join_size_est") <= (exact * 1.2).toLong + 16)
+    // narrow sketch: collisions inflate, but one-sidedness must hold
+    val narrow = graft.ops.SketchOps.cmsJoinSize(a, b, width = 16)
+      .collect()(0)
+    assert(narrow.getAs[Long]("join_size_est") >= exact)
+  }
 }
