@@ -1591,6 +1591,25 @@ object ExtensionQueries {
           col("i0"), round(col("value"), 2).as("value"))
         .orderBy("bucket_start", "i0")
     },
+    // Hourly trending users: per-window grouped top-5 through the
+    // native bounded-buffer TopKAgg — per (window, user) counts reduce
+    // map-side, then at most k pairs per window cross the final
+    // exchange (the streaming-trending shape: state per open window is
+    // k pairs, not the user domain)
+    "events_trending_hourly" -> { (s, dir) =>
+      val ev = graft.sources.Sources.eventsWithTimestamp(s, dir)
+      val perUser = ev.groupBy(window(col("ts"), "1 hour").as("window"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n"))
+      perUser.groupBy(col("window"))
+        .agg(graft.functions.TopKAgg(
+          col("user_id").cast("string"), col("n"), 5).as("topk"))
+        .select(col("window.start").cast("long").as("bucket_start"),
+          posexplode(col("topk")).as(Seq("i", "e")))
+        .select(col("bucket_start"), (col("i") + 1).cast("int").as("rank"),
+          col("e.item").cast("long").as("user_id"), col("e.score").as("n"))
+        .orderBy("bucket_start", "rank")
+    },
     // Per-window monitoring quantiles: hourly value-distribution
     // histograms -> p50/p90/p99 per window (one rank space per window;
     // the streaming twin is pinned stream-vs-batch in StreamingHistSpec)
@@ -2508,6 +2527,19 @@ object ExtensionQueries {
     "events_retention" ->
       (FunnelOps.retentionCohortsSql(604800000000L, 4) +
         " ORDER BY cohort, \"offset\""),
+    // NOTE: the aggregate's tiebreak is on the STRING item (the sketch
+    // key), so the twin orders by CAST(user_id AS VARCHAR) — "10" < "9"
+    "events_trending_hourly" ->
+      """WITH pu AS (
+        |  SELECT time_bucket(INTERVAL '1 hour', ts) AS w, user_id,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT w, user_id, n, CAST(row_number() OVER (PARTITION BY w
+        |    ORDER BY n DESC, CAST(user_id AS VARCHAR) ASC) AS INT) AS rank
+        |  FROM pu)
+        |SELECT CAST(epoch(w) AS BIGINT) AS bucket_start, rank, user_id, n
+        |FROM r WHERE rank <= 5 ORDER BY bucket_start, rank""".stripMargin,
     "events_hourly_hist" ->
       s"""SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS bucket_start,
          |${axVal.sqlExpr("value")} AS i0, round(sum(value), 2) AS value
