@@ -444,6 +444,24 @@ object ExtensionQueries {
       ev.select(col("event_id"), LayoutOps.mortonKey2(a, b).as("zkey"))
         .orderBy("event_id")
     },
+    // Small-file compaction plan: documents read as a per-source file
+    // manifest (doc_id = file, n_chars = bytes), offset-bin packed into
+    // ~32 KiB output bins — pure window prefix-sum BIGINT arithmetic,
+    // hash-checked end to end
+    "layout_compaction" -> { (s, dir) =>
+      LayoutOps.compactionPlan(Tables.documents(s, dir),
+        "source", "doc_id", "n_chars", targetBytes = 32768L)
+        .orderBy("source", "doc_id")
+    },
+    // Per-source linear sanity model chars ~ tokens: exact integer
+    // normal-equation sums, closed-form slope/intercept/r2 at 6dp —
+    // the drift probe behind token budgeting
+    "profile_linear_fit" -> { (s, dir) =>
+      ProfileOps.linearFit(Tables.documents(s, dir), "source",
+        size(filter(split(col("text"), " "), w => w =!= lit(""))),
+        col("n_chars"))
+        .orderBy("source")
+    },
     // Deterministic per-epoch shuffle order: seeded portable hash key
     "epoch_shuffle" -> { (s, dir) =>
       PipelineOps.epochShuffle(Tables.documents(s, dir), seed = 7L)
@@ -1870,6 +1888,12 @@ object ExtensionQueries {
              "((user_id % 256) + 256) % 256",
              "(epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 256")} AS zkey
          |FROM events ORDER BY event_id""".stripMargin,
+    "layout_compaction" ->
+      (LayoutOps.compactionPlanSql(32768L) + "\nORDER BY source, doc_id"),
+    "profile_linear_fit" ->
+      (ProfileOps.linearFitSql("documents", "source",
+        "len(list_filter(string_split(text, ' '), w -> w <> ''))",
+        "n_chars") + "\nORDER BY source"),
     "epoch_shuffle" ->
       s"""SELECT doc_id, ${PipelineOps.epochShuffleKeySql(7L)} AS shuffle_key
          |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin,

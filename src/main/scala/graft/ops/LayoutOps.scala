@@ -94,6 +94,62 @@ object LayoutOps {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Small-file compaction PLAN: deterministic offset-bin packing of a
+    * file manifest into target-size output files, per partition.
+    *
+    * The 100 TB problem: streaming sinks, per-executor writers and
+    * incremental appends leave hive-style tables with millions of
+    * kilobyte files; every subsequent scan then pays a task per file
+    * and the NameNode/object-store listing dominates the job. The
+    * remedy every lakehouse engine ships (OPTIMIZE / compaction) starts
+    * from exactly this plan: group small files into target-size output
+    * bins WITHOUT crossing partition boundaries and WITHOUT reordering
+    * rows (order-preserving compaction keeps any clustering the layout
+    * already paid for — see [[writeZOrdered]]).
+    *
+    * Packing rule: files ordered by `fileCol` within each `partCol`
+    * value; a file's bin is `floor(bytes-before-it / targetBytes)` —
+    * i.e. a new bin opens exactly when the cumulative size crosses a
+    * target multiple. Each bin overshoots the target by less than one
+    * file, the assignment is a single window pass, and — because it is
+    * pure BIGINT prefix-sum arithmetic — the whole plan is
+    * oracle-checkable in SQL (driver query `layout_compaction`).
+    *
+    * 100 TB shape: one shuffle on `partCol`; the sequential prefix sum
+    * runs per PARTITION DIRECTORY (thousands of manifest rows each,
+    * never corpus rows), while distinct partitions pack in parallel.
+    * The manifest itself is file-count-sized — at 100 TB with 128 MB
+    * files that is ~800k rows, a trivially small DataFrame. Executing
+    * the plan is then an embarrassingly parallel copy per bin.
+    *
+    * Contract: `bytesCol` must be non-negative and non-null — a
+    * negative or null size means a corrupt manifest and the plan
+    * refuses loudly rather than packing garbage (same fail-loud rule as
+    * [[GraphOps.weightedPageRank]]). */
+  def compactionPlan(manifest: DataFrame, partCol: String, fileCol: String,
+      bytesCol: String, targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val m = manifest.select(col(partCol), col(fileCol),
+      col(bytesCol).cast("long").as("bytes"))
+    require(m.filter(col("bytes").isNull || col("bytes") < 0L).isEmpty,
+      s"compactionPlan: $bytesCol must be non-null and non-negative")
+    m.withColumn("bin",
+      expr(s"coalesce(sum(bytes) over (partition by $partCol order by $fileCol " +
+        s"rows between unbounded preceding and 1 preceding), 0L) div ${targetBytes}L"))
+  }
+
+  /** DuckDB twin of [[compactionPlan]] over the `documents` table read
+    * as a synthetic manifest (source = partition dir, doc_id = file,
+    * n_chars = file bytes): same window frame, same BIGINT integer
+    * division. */
+  def compactionPlanSql(targetBytes: Long): String =
+    s"""SELECT source, doc_id, CAST(n_chars AS BIGINT) AS bytes,
+       |  (COALESCE(sum(CAST(n_chars AS BIGINT)) OVER (
+       |     PARTITION BY source ORDER BY doc_id
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |   // $targetBytes) AS bin
+       |FROM documents""".stripMargin
+
   /** Per-file (min, max) of `zkey` in a Z-ordered dataset — what the
     * scan planner's footer pruning sees. Driver-sized by construction
     * (one row per FILE); used by tests and the SCALE.md exhibit to

@@ -384,4 +384,90 @@ object ProfileOps {
           .as("coverage"),
         col("n_distinct"), col("n_numeric"))
   }
+
+  /** Per-group simple linear regression, closed form: for each group,
+    * fit y = intercept + slope*x by ordinary least squares and report
+    * the fit quality (r2). The normal-equation sums (n, Σx, Σy, Σxx,
+    * Σyy, Σxy) are EXACT integer aggregates; the closed-form solution
+    *
+    *   slope = (nΣxy − ΣxΣy) / (nΣxx − (Σx)²)
+    *   intercept = (Σy − slope·Σx) / n
+    *   r2 = (nΣxy − ΣxΣy)² / ((nΣxx − (Σx)²)(nΣyy − (Σy)²))
+    *
+    * is evaluated in DOUBLE with every factor cast BEFORE multiplying
+    * (int64 products of corpus-scale sums overflow — the positionalPmi
+    * lesson) and identical operation order in the SQL twin, then
+    * rounded to 6dp. A group with constant x (or constant y, for r2)
+    * yields null rather than a division artifact.
+    *
+    * Why it belongs in a profiler: "is n_chars ≈ k · n_tokens per
+    * source, and how tight?" is the one-line sanity model behind token
+    * budgeting ([[graft.ops.PipelineOps.tokenBudgetMix]]) — a source
+    * whose slope or r2 drifts between snapshots changed its content
+    * mix (markup, code, CJK share) even when its row counts held.
+    *
+    * 100 TB shape: one map-side-combining aggregate to six numbers per
+    * group — the same shuffle volume as a count. No second pass, no
+    * windows, no collect. */
+  def linearFit(df: DataFrame, groupCol: String, x: Column, y: Column)
+      : DataFrame = {
+    val d = df.select(col(groupCol), x.cast("long").as("__x"),
+      y.cast("long").as("__y"))
+    d.groupBy(groupCol)
+      .agg(count(lit(1)).as("n"), sum("__x").as("sx"), sum("__y").as("sy"),
+        sum(col("__x") * col("__x")).as("sxx"),
+        sum(col("__y") * col("__y")).as("syy"),
+        sum(col("__x") * col("__y")).as("sxy"))
+      .select(outCols(groupCol): _*)
+  }
+
+  private def nullif0(c: Column): Column = when(c =!= 0.0, c)
+
+  /** Closed-form output columns over the normal-equation sums (shared
+    * operation order with [[linearFitSql]] — the 6dp contract). */
+  private def outCols(groupCol: String): Seq[Column] = {
+    def dbl(c: Column) = c.cast("double")
+    val cov = dbl(col("n")) * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy"))
+    val varX = dbl(col("n")) * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx"))
+    val varY = dbl(col("n")) * dbl(col("syy")) - dbl(col("sy")) * dbl(col("sy"))
+    val slope = cov / nullif0(varX)
+    Seq(col(groupCol), col("n"), round(slope, 6).as("slope"),
+      round((dbl(col("sy")) - slope * dbl(col("sx"))) / dbl(col("n")), 6)
+        .as("intercept"),
+      round(cov * cov / nullif0(varX * varY), 6).as("r2"))
+  }
+
+  /** DuckDB twin of [[linearFit]] — same exact-integer sums, same
+    * cast-then-multiply order, same nullif-zero guards, 6dp. `xSql`
+    * must be a BIGINT expression over the table's columns. */
+  def linearFitSql(table: String, groupCol: String, xSql: String,
+      ySql: String): String =
+    s"""WITH s AS (
+       |  SELECT $groupCol, count(*) AS n,
+       |    sum(__x) AS sx, sum(__y) AS sy,
+       |    sum(__x * __x) AS sxx, sum(__y * __y) AS syy,
+       |    sum(__x * __y) AS sxy
+       |  FROM (SELECT $groupCol, CAST($xSql AS BIGINT) AS __x,
+       |          CAST($ySql AS BIGINT) AS __y FROM $table)
+       |  GROUP BY $groupCol)
+       |SELECT $groupCol, n,
+       |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |    / nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0), 6) AS slope,
+       |  round((CAST(sy AS DOUBLE)
+       |      - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |         / nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0))
+       |        * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept,
+       |  round(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |       * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+       |    / nullif((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |       * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+       |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0), 6) AS r2
+       |FROM s""".stripMargin
 }

@@ -1352,4 +1352,45 @@ class OpsSpec extends AnyFunSuite {
     assert(plan.contains("partial_topkagg") ||
       plan.toLowerCase.contains("partial") && plan.contains("TopKAgg"), plan)
   }
+
+  test("compactionPlan: offset-bin packing per partition, fail-loud manifest") {
+    val manifest = Seq(
+      ("p1", 1L, 60L), ("p1", 2L, 60L), ("p1", 3L, 60L), // 0,0,1 @ target 100
+      ("p1", 4L, 250L),                                  // big file -> own offset bin
+      ("p2", 1L, 10L), ("p2", 2L, 10L))                  // all in bin 0
+      .toDF("part", "file", "bytes")
+    val plan = LayoutOps.compactionPlan(manifest, "part", "file", "bytes", 100L)
+      .orderBy("part", "file").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(plan.toSeq == Seq(
+      ("p1", 1L, 0L), ("p1", 2L, 0L), ("p1", 3L, 1L), ("p1", 4L, 1L),
+      ("p2", 1L, 0L), ("p2", 2L, 0L)))
+    // bins never straddle partitions; bin ids are dense from 0 per part
+    intercept[IllegalArgumentException] {
+      LayoutOps.compactionPlan(manifest, "part", "file", "bytes", 0L)
+    }
+    intercept[IllegalArgumentException] {
+      LayoutOps.compactionPlan(
+        Seq(("p", 1L, -5L)).toDF("part", "file", "bytes"),
+        "part", "file", "bytes", 100L)
+    }
+    intercept[IllegalArgumentException] {
+      LayoutOps.compactionPlan(
+        Seq(("p", 1L, Option.empty[Long])).toDF("part", "file", "bytes"),
+        "part", "file", "bytes", 100L)
+    }
+  }
+
+  test("linearFit: exact line recovered; degenerate groups yield nulls") {
+    val pts = (1L to 10L).map(x => ("lin", x, 3L * x + 2L)) ++
+      (1L to 5L).map(x => ("noisy", x, 2L * x + (if (x % 2 == 0) 1L else -1L))) ++
+      Seq(("flatx", 4L, 1L), ("flatx", 4L, 9L)) // constant x: no slope
+    val got = ProfileOps.linearFit(pts.toDF("g", "x", "y"), "g",
+      col("x"), col("y")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got("lin").getDouble(2) == 3.0 && got("lin").getDouble(3) == 2.0 &&
+      got("lin").getDouble(4) == 1.0)
+    assert(got("noisy").getDouble(4) > 0.8 && got("noisy").getDouble(4) < 1.0)
+    assert(got("flatx").isNullAt(2) && got("flatx").isNullAt(4))
+  }
 }
