@@ -516,6 +516,15 @@ object ExtensionQueries {
           col("payload").cast("string").as("text"))
         .orderBy("url")
     },
+    // ORC source parity: documents mirrored to ORC once, read back via
+    // the native vectorized ORC reader, hash-matched column-for-column
+    // against the parquet-reading oracle — write->read losslessness for
+    // the second lake format
+    "source_orc_roundtrip" -> { (s, dir) =>
+      graft.sources.Sources.orc(s, orcMirrorFor(s, dir))
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    },
     // Unicode NFC canonicalization (native codegen'd expression; Spark
     // has no normalizer builtin): decomposed combining marks compose so
     // mixed-encoder corpora hash/shingle/tokenize identically. The
@@ -1811,6 +1820,18 @@ object ExtensionQueries {
       p
     })
 
+  // ORC mirror of documents, written once per sf dir (amortized like the
+  // indexes above): the roundtrip query reads ONLY the ORC copy, so a
+  // hash match against the parquet-reading oracle certifies the ORC
+  // write->read path end to end
+  private val orcMirrorPaths = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def orcMirrorFor(s: SparkSession, dir: String): String =
+    orcMirrorPaths.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("graft-orc-mirror").toString
+      Tables.documents(s, dir).write.mode("overwrite").orc(p)
+      p
+    })
+
   /** (event_type, key) where key = "user-day" — the HLL demo's distinct
     * domain (daily-active-user keys; ~1.5-2k per type at sf0.01, safely in
     * the sketch's raw-estimate regime). */
@@ -1909,6 +1930,9 @@ object ExtensionQueries {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
         |  text
         |FROM documents ORDER BY url""".stripMargin,
+    "source_orc_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "text_normalize_nfc" ->
       """SELECT doc_id,
         |  nfc_normalize(text || ' expose' || chr(769) || ' nai' ||

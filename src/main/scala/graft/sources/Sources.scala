@@ -21,6 +21,16 @@ object Sources {
   def json(spark: SparkSession, path: String): DataFrame =
     spark.read.json(path)
 
+  /** ORC read — the second columnar format real lakes hold (Hive-era
+    * tables are overwhelmingly ORC). Spark's native vectorized ORC
+    * reader gives the same predicate-pushdown / column-pruning / footer
+    * min-max pruning economics as parquet; the driver query
+    * `source_orc_roundtrip` certifies write→read losslessness by
+    * hash-matching an ORC mirror of `documents` against the parquet
+    * oracle, and BucketingSpec asserts filters reach the ORC scan. */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Events table, normalized to a microsecond TIMESTAMP `ts` whatever
     * physical type the generator wrote:
     *

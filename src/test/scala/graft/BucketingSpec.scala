@@ -39,4 +39,21 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS graft_tb")
     }
   }
+
+  test("ORC roundtrip is lossless; filters and pruning reach the ORC scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    val rows = (0L until 500L).map(i => (i, s"text $i", i % 7))
+    rows.toDF("id", "txt", "grp").write.mode("overwrite").orc(dir)
+    val back = graft.sources.Sources.orc(spark, dir)
+    // lossless: same rows, same values
+    assert(back.count() == 500L)
+    assert(back.orderBy("id").collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2))).toSeq == rows)
+    // pushdown + pruning evidence: the filter appears as a pushed
+    // predicate on the ORC scan and the unread column is pruned
+    val q = back.filter(col("grp") === 3L).select("id")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("grp"), scan)
+    assert(!scan.contains("txt"), s"txt should be pruned from ReadSchema:\n$scan")
+  }
 }
