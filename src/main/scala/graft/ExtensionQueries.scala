@@ -482,6 +482,17 @@ object ExtensionQueries {
         .orderBy(col("pair_freq").desc, col("l").asc, col("r").asc)
         .limit(30)
     },
+    // Unigram-LM (SentencePiece-family) tokenizer: substring-candidate
+    // vocab induction + integer-cost Viterbi decode; the oracle replays
+    // the dp as layered CTEs, so the decode itself is hash-certified
+    "unigram_vocab" -> { (s, dir) =>
+      UnigramOps.vocab(Tables.documents(s, dir), ratioPpm = 20000L)
+        .orderBy("token_id")
+    },
+    "tokenize_unigram" -> { (s, dir) =>
+      UnigramOps.tokenize(Tables.documents(s, dir), ratioPpm = 20000L)
+        .orderBy("doc_id", "pos")
+    },
     // Tokenizer APPLY: every document encoded to token ids with the
     // frozen merge list — the most-executed op in a training pipeline
     "bpe_tokenize" -> { (s, dir) =>
@@ -1921,6 +1932,9 @@ object ExtensionQueries {
     "mix_token_budget" -> PipelineOps.tokenBudgetMixSql(
       Map("en" -> 5000L, "zh" -> 1500L, "fr" -> 800L)),
     "bpe_pair_counts" -> BpeOps.pairCountsSql(30),
+    "unigram_vocab" ->
+      (UnigramOps.vocabSql(20000L) + "\nORDER BY token_id"),
+    "tokenize_unigram" -> UnigramOps.tokenizeSql(20000L),
     "bpe_tokenize" -> BpeOps.tokenizeSql(bpeMerges),
     "bpe_tokenize_bytes" -> BpeOps.tokenizeBytesSql(bpeByteMerges),
     "warc_read" ->
