@@ -1664,6 +1664,24 @@ object ExtensionQueries {
     // As-of (point-in-time) join: each purchase picks the same user's
     // latest click within the preceding hour — union+window form, ONE
     // shuffle on user_id, no nested-loop (JoinOps.asOfJoin)
+    // Attribution window join: ALL (view, purchase) pairs of a user
+    // within 6 hours — the batch face of the stream-stream join
+    // (StreamingHistSpec pins stream==batch on the same operator)
+    "events_attribution_pairs" -> { (s, dir) =>
+      val ev = graft.sources.Sources.eventsWithTimestamp(s, dir)
+      val imps = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("imp_ts"),
+          col("event_id").as("imp_id"))
+      val convs = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("conv_ts"),
+          col("event_id").as("conv_id"))
+      graft.streaming.StreamingHist.attributionJoin(imps, convs,
+          "user_id", "imp_ts", "conv_ts", "6 hours")
+        .select(col("user_id"), col("imp_id"), col("conv_id"),
+          (unix_micros(col("conv_ts")) - unix_micros(col("imp_ts")))
+            .as("gap_us"))
+        .orderBy("user_id", "imp_id", "conv_id")
+    },
     "events_asof_click" -> { (s, dir) =>
       val ev = graft.sources.Sources.eventsWithTimestamp(s, dir)
         .select(col("event_id"), col("user_id"),
@@ -2618,6 +2636,16 @@ object ExtensionQueries {
          |ORDER BY bucket_start, q""".stripMargin,
     // naive executable spec of the as-of join: left join all qualifying
     // right rows, keep the latest (independent of the union+window form)
+    "events_attribution_pairs" ->
+      """SELECT i.user_id, i.event_id AS imp_id, c.event_id AS conv_id,
+        |  c.ts_us - i.ts_us AS gap_us
+        |FROM (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |      FROM events WHERE event_type = 'view') i
+        |JOIN (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |      FROM events WHERE event_type = 'purchase') c
+        |  ON i.user_id = c.user_id
+        | AND c.ts_us >= i.ts_us AND c.ts_us <= i.ts_us + 21600000000
+        |ORDER BY i.user_id, imp_id, conv_id""".stripMargin,
     "events_asof_click" ->
       """SELECT p.event_id, p.user_id, p.ts_us, r.ts_us AS click_ts,
         |  r.event_id AS click_id, r.value AS click_value,

@@ -53,6 +53,40 @@ object StreamingHist {
     stream.filter(
       !graft.functions.BloomContains(xxhash64(keyCol), filterBytes, numHashes))
 
+  /** Stream-stream attribution join: every (impression, conversion)
+    * pair of the same key where the conversion lands within `maxGap`
+    * after the impression — the click/view-to-purchase join every
+    * event pipeline runs. Works on batch and streaming frames alike
+    * (one definition, stream==batch test-pinned); on streaming inputs
+    * both sides are watermarked with `delay` and the two-sided
+    * event-time bound is what lets Structured Streaming evict join
+    * state: an impression can be dropped once the conversion-side
+    * watermark passes `impTs + maxGap`, a conversion once the
+    * impression side passes its timestamp. State is O(events inside
+    * the watermark horizon) per key — bounded by construction, never
+    * by corpus size.
+    *
+    * Column contract: the ONLY shared column name may be `keyCol`
+    * (enforced loudly) — the join returns all columns of both sides
+    * with the key once. Emitting ALL qualifying pairs (not first
+    * touch) keeps the op deterministic and composable; first/last
+    * touch is one grouped argmin downstream. */
+  def attributionJoin(impressions: DataFrame, conversions: DataFrame,
+      keyCol: String, impTsCol: String, convTsCol: String,
+      maxGap: String, delay: String = "10 minutes"): DataFrame = {
+    val shared = impressions.columns.toSet.intersect(conversions.columns.toSet)
+    require(shared == Set(keyCol),
+      s"attributionJoin: sides must share ONLY '$keyCol', got $shared")
+    def wm(df: DataFrame, ts: String) =
+      if (df.isStreaming) df.withWatermark(ts, delay) else df
+    val i = wm(impressions, impTsCol).alias("i")
+    val c = wm(conversions, convTsCol).alias("c")
+    i.join(c, expr(
+        s"i.$keyCol = c.$keyCol AND c.$convTsCol >= i.$impTsCol " +
+          s"AND c.$convTsCol <= i.$impTsCol + interval $maxGap"))
+      .drop(col(s"c.$keyCol"))
+  }
+
   /** Windowed histogram: per (time window, bin...) aggregate. Works on
     * batch and streaming inputs alike; for streaming add
     * `.withWatermark(tsCol, ...)` upstream for state eviction. */

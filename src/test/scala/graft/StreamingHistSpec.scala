@@ -237,4 +237,47 @@ class StreamingHistSpec extends AnyFunSuite {
     // 61 distinct values per window, k = 32: the estimate must be sane
     got.values.foreach(v => assert(v > 30 && v < 120, s"estimate $v"))
   }
+
+  test("stream-stream attribution join == batch; gap and key bounds honored") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val imps = Seq(
+      (1L, t("2024-01-01 00:00:00"), 101L), // -> conv 201 (+5m) and 202 (+9m)
+      (1L, t("2024-01-01 00:08:00"), 102L), // -> conv 202 (+1m)
+      (2L, t("2024-01-01 00:00:00"), 103L), // other user: no pair with u1
+      (3L, t("2024-01-01 00:00:00"), 104L)) // conv outside gap: no pair
+    val convs = Seq(
+      (1L, t("2024-01-01 00:05:00"), 201L),
+      (1L, t("2024-01-01 00:09:00"), 202L),
+      (2L, t("2024-01-01 00:04:00"), 203L),
+      (3L, t("2024-01-01 00:30:00"), 204L), // 30m > 10m gap
+      (4L, t("2024-01-01 00:01:00"), 205L)) // no impression at all
+    val iDf = imps.toDF("user_id", "imp_ts", "imp_id")
+    val cDf = convs.toDF("user_id", "conv_ts", "conv_id")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("imp_id", "conv_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = pairs(graft.streaming.StreamingHist.attributionJoin(
+      iDf, cDf, "user_id", "imp_ts", "conv_ts", "10 minutes"))
+    assert(batch == Set((101L, 201L), (101L, 202L), (102L, 202L), (103L, 203L)))
+    // identical operator on streaming inputs emits the same pairs
+    val d1 = java.nio.file.Files.createTempDirectory("graft-sattr-i").toString
+    val d2 = java.nio.file.Files.createTempDirectory("graft-sattr-c").toString
+    iDf.coalesce(1).write.mode("overwrite").parquet(d1)
+    cDf.coalesce(1).write.mode("overwrite").parquet(d2)
+    val q = graft.streaming.StreamingHist.attributionJoin(
+        spark.readStream.schema(iDf.schema).parquet(d1),
+        spark.readStream.schema(cDf.schema).parquet(d2),
+        "user_id", "imp_ts", "conv_ts", "10 minutes", delay = "1 minute")
+      .writeStream.outputMode("append").format("memory").queryName("sattr")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(pairs(spark.table("sattr")) == batch)
+    // shared non-key columns are refused loudly
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.StreamingHist.attributionJoin(
+        iDf, cDf.withColumnRenamed("conv_ts", "imp_ts"),
+        "user_id", "imp_ts", "imp_ts", "10 minutes")
+    }
+    assert(e.getMessage.contains("share ONLY"))
+  }
 }
