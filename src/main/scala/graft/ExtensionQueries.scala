@@ -1664,6 +1664,19 @@ object ExtensionQueries {
     // As-of (point-in-time) join: each purchase picks the same user's
     // latest click within the preceding hour — union+window form, ONE
     // shuffle on user_id, no nested-loop (JoinOps.asOfJoin)
+    // Time-series regularization: purchase values resampled to each
+    // user's own daily grid, forward-filled — the gap-fill every lag
+    // feature and rolling window assumes; values copy unchanged so the
+    // fill is hash-exact
+    "events_resample_ffill" -> { (s, dir) =>
+      val ev = graft.sources.Sources.eventsWithTimestamp(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("value"), col("event_id"))
+      FunnelOps.resampleFfill(ev, "user_id", "ts_us", "value", "event_id",
+          stepUs = 86400000000L)
+        .orderBy("user_id", "bucket")
+    },
     // Attribution window join: ALL (view, purchase) pairs of a user
     // within 6 hours — the batch face of the stream-stream join
     // (StreamingHistSpec pins stream==batch on the same operator)
@@ -2636,6 +2649,9 @@ object ExtensionQueries {
          |ORDER BY bucket_start, q""".stripMargin,
     // naive executable spec of the as-of join: left join all qualifying
     // right rows, keep the latest (independent of the union+window form)
+    "events_resample_ffill" ->
+      (FunnelOps.resampleFfillSql("purchase", 86400000000L) +
+        "\nORDER BY user_id, bucket"),
     "events_attribution_pairs" ->
       """SELECT i.user_id, i.event_id AS imp_id, c.event_id AS conv_id,
         |  c.ts_us - i.ts_us AS gap_us

@@ -303,4 +303,70 @@ object FunnelOps {
        |FROM a JOIN f ON a.user_id = f.user_id
        |WHERE a.b - f.cohort BETWEEN 0 AND $maxOffset
        |GROUP BY 1, 2""".stripMargin
+
+  /** Per-key time-series regularization: resample an irregular event
+    * stream onto a fixed grid (bucket width `stepUs` microseconds) and
+    * forward-fill each key's last observed value across empty buckets —
+    * the gap-fill every downstream window/feature computation assumes
+    * (regular grids are what make lag features, rolling means and
+    * drift windows well-defined). Grid spans each key's OWN
+    * [min, max] bucket — no global calendar materialization.
+    *
+    * Within-bucket reduction takes the LAST observation by
+    * (`tsUsCol`, `tieCol`) — a total order, so the value per bucket is
+    * unique and the whole op is oracle-checkable (values forward-fill
+    * unchanged: no arithmetic, exact compare).
+    *
+    * 100 TB shape: one groupBy(key) span aggregate (two longs per
+    * key), one `sequence` explode producing only each key's own grid
+    * rows, one key-partitioned window for the fill — no global sort,
+    * no calendar cross join, skew bounded by the noisiest key's span.
+    * The fill state in a streaming re-expression is the same last
+    * value (`attributionJoin`-style stream parity is a natural
+    * extension; batch is the oracle face). */
+  def resampleFfill(events: DataFrame, keyCol: String, tsUsCol: String,
+      valueCol: String, tieCol: String, stepUs: Long): DataFrame = {
+    require(stepUs > 0, s"stepUs must be positive, got $stepUs")
+    val bucketed = events.select(col(keyCol),
+      expr(s"$tsUsCol div ${stepUs}L").as("bucket"),
+      col(valueCol).as("__v"), col(tsUsCol).as("__ts"), col(tieCol).as("__tie"))
+    val obs = bucketed.withColumn("__rn", row_number().over(
+        Window.partitionBy(keyCol, "bucket")
+          .orderBy(col("__ts").desc, col("__tie").desc)))
+      .filter(col("__rn") === 1).select(col(keyCol), col("bucket"), col("__v"))
+    val grid = bucketed.groupBy(keyCol)
+      .agg(min("bucket").as("b0"), max("bucket").as("b1"))
+      .select(col(keyCol), explode(expr("sequence(b0, b1)")).as("bucket"))
+    grid.join(obs, Seq(keyCol, "bucket"), "left")
+      .withColumn("value", last(col("__v"), ignoreNulls = true).over(
+        Window.partitionBy(keyCol).orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col(keyCol), col("bucket"), col("value"))
+  }
+
+  /** DuckDB twin of [[resampleFfill]] over purchase events: same bucket
+    * arithmetic, same (ts, event_id) last-observation tie-break, same
+    * ignore-nulls running fill. */
+  def resampleFfillSql(eventType: String, stepUs: Long): String =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+       |    value, event_id
+       |  FROM events WHERE event_type = '$eventType'),
+       |b AS (
+       |  SELECT user_id, ts_us // $stepUs AS bucket, value,
+       |    row_number() OVER (PARTITION BY user_id, ts_us // $stepUs
+       |      ORDER BY ts_us DESC, event_id DESC) AS rn
+       |  FROM e),
+       |obs AS (SELECT user_id, bucket, value FROM b WHERE rn = 1),
+       |span AS (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+       |         FROM b GROUP BY 1),
+       |grid AS (SELECT user_id, unnest(range(b0, b1 + 1)) AS bucket
+       |         FROM span),
+       |f AS (SELECT g.user_id, g.bucket, obs.value
+       |      FROM grid g LEFT JOIN obs USING (user_id, bucket))
+       |SELECT user_id, bucket,
+       |  last_value(value IGNORE NULLS) OVER (PARTITION BY user_id
+       |    ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+       |    AND CURRENT ROW) AS value
+       |FROM f""".stripMargin
 }

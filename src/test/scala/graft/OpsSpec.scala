@@ -1381,6 +1381,26 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("resampleFfill: per-key grid, last-obs tie-break, forward fill") {
+    // key 1: buckets 0 (two obs — later ts wins), 3 (gap 1-2 filled)
+    // key 2: single observation -> single-row grid
+    val ev = Seq(
+      (1L, 5L, 10.0, 100L), (1L, 9L, 11.0, 101L),   // bucket 0, last = 11.0
+      (1L, 9L, 12.0, 99L),                          // same ts: higher tie wins -> 11.0
+      (1L, 35L, 40.0, 102L),                        // bucket 3
+      (2L, 12L, 7.0, 103L))                         // bucket 1 only
+      .toDF("k", "ts_us", "value", "id")
+    val got = FunnelOps.resampleFfill(ev, "k", "ts_us", "value", "id", stepUs = 10L)
+      .orderBy("k", "bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(
+      (1L, 0L, 11.0), (1L, 1L, 11.0), (1L, 2L, 11.0), (1L, 3L, 40.0),
+      (2L, 1L, 7.0)))
+    intercept[IllegalArgumentException] {
+      FunnelOps.resampleFfill(ev, "k", "ts_us", "value", "id", stepUs = 0L)
+    }
+  }
+
   test("linearFit: exact line recovered; degenerate groups yield nulls") {
     val pts = (1L to 10L).map(x => ("lin", x, 3L * x + 2L)) ++
       (1L to 5L).map(x => ("noisy", x, 2L * x + (if (x % 2 == 0) 1L else -1L))) ++
