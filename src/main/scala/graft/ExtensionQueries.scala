@@ -493,6 +493,14 @@ object ExtensionQueries {
       UnigramOps.tokenize(Tables.documents(s, dir), ratioPpm = 20000L)
         .orderBy("doc_id", "pos")
     },
+    // One hard-EM round: piece probabilities re-estimated from actual
+    // Viterbi usage (unused threshold picks drop out, single-char floor
+    // retained, add-one smoothed) — the oracle re-aggregates the same
+    // certified decode chain
+    "unigram_vocab_refined" -> { (s, dir) =>
+      UnigramOps.refinedVocab(Tables.documents(s, dir), ratioPpm = 20000L)
+        .orderBy("token_id")
+    },
     // Tokenizer APPLY: every document encoded to token ids with the
     // frozen merge list — the most-executed op in a training pipeline
     "bpe_tokenize" -> { (s, dir) =>
@@ -1966,6 +1974,8 @@ object ExtensionQueries {
     "unigram_vocab" ->
       (UnigramOps.vocabSql(20000L) + "\nORDER BY token_id"),
     "tokenize_unigram" -> UnigramOps.tokenizeSql(20000L),
+    "unigram_vocab_refined" ->
+      (UnigramOps.refinedVocabSql(20000L) + "\nORDER BY token_id"),
     "bpe_tokenize" -> BpeOps.tokenizeSql(bpeMerges),
     "bpe_tokenize_bytes" -> BpeOps.tokenizeBytesSql(bpeByteMerges),
     "warc_read" ->

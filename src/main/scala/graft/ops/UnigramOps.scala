@@ -253,7 +253,20 @@ object UnigramOps {
     * `substr`/`substring` here, and the Spark-side decode uses Java
     * UTF-16 indexing — the three agree on all Basic-Multilingual-Plane
     * text (the [[BpeOps.wordDict]] contract, one plane stricter). */
-  def tokenizeSql(ratioPpm: Long): String = {
+  def tokenizeSql(ratioPpm: Long): String =
+    s"""WITH ${decodeCtes(ratioPpm)}
+       |SELECT tok.doc_id,
+       |  row_number() OVER (PARTITION BY tok.doc_id
+       |    ORDER BY tok.word_pos, tok.piece_idx) AS pos,
+       |  tok.token, c.token_id
+       |FROM tok JOIN costs c ON c.piece = tok.token
+       |ORDER BY doc_id, pos""".stripMargin
+
+  /** Model + full corpus decode as CTEs (through `tok`, one row per
+    * emitted token position) — shared by [[tokenizeSql]] and
+    * [[refinedVocabSql]] so the refined model's E-step re-aggregates
+    * the SAME certified decode. */
+  private def decodeCtes(ratioPpm: Long): String = {
     val layers = (1 to MaxWordLen).map { j =>
       s"""dp$j AS (
          |  SELECT * FROM (
@@ -268,7 +281,7 @@ object UnigramOps {
          |a$j AS MATERIALIZED (SELECT * FROM a${j - 1} UNION ALL SELECT * FROM dp$j)"""
         .stripMargin
     }.mkString(",\n")
-    s"""WITH ${modelCtes(ratioPpm)},
+    s"""${modelCtes(ratioPpm)},
        |words AS (SELECT word FROM wd),
        |edges AS MATERIALIZED (
        |  SELECT s.word, s.src, s.src + len(c.piece) AS dst, c.cost, c.piece
@@ -290,12 +303,58 @@ object UnigramOps {
        |  SELECT pw.doc_id, pw.word_pos, j AS piece_idx,
        |    p.pieces[j + 1] AS token
        |  FROM pw JOIN segf p USING (word),
-       |       unnest(range(0, len(p.pieces))) t(j))
-       |SELECT tok.doc_id,
-       |  row_number() OVER (PARTITION BY tok.doc_id
-       |    ORDER BY tok.word_pos, tok.piece_idx) AS pos,
-       |  tok.token, c.token_id
-       |FROM tok JOIN costs c ON c.piece = tok.token
-       |ORDER BY doc_id, pos""".stripMargin
+       |       unnest(range(0, len(p.pieces))) t(j))""".stripMargin
   }
+
+  /** One hard-EM refinement round over the unigram model: decode the
+    * corpus under the seed model ([[tokenize]]), re-estimate piece
+    * probabilities from the ACTUAL Viterbi usage counts, and rebuild
+    * costs over the surviving support. This is the M-step every
+    * SentencePiece-style trainer iterates (Kudo 2018 runs soft EM;
+    * hard EM — count the argmax path only — is its deterministic,
+    * oracle-checkable variant): threshold-selected pieces the decoder
+    * never uses drop out, the single-char floor is retained for
+    * coverage, and add-one smoothing over the retained support keeps
+    * every cost finite.
+    *
+    * Scale shape: the E-step re-aggregation is one groupBy over the
+    * token output (corpus-sized input, vocab-sized output, map-side
+    * combining); everything after is model-sized. Iterating k rounds
+    * multiplies by k — no new shuffle classes. */
+  def refinedVocab(docs: DataFrame, ratioPpm: Long,
+      textCol: String = "text"): DataFrame = {
+    val used = tokenize(docs, ratioPpm, textCol)
+      .groupBy(col("token").as("piece")).agg(count(lit(1)).as("used"))
+    val floor = vocab(docs, ratioPpm, textCol)
+      .filter(length(col("piece")) === 1).select("piece")
+    val support = used.join(floor, Seq("piece"), "full")
+      .select(col("piece"), (coalesce(col("used"), lit(0L)) + 1L).as("cnt"))
+    val tot = support.agg(sum("cnt").as("tot"))
+    support.crossJoin(broadcast(tot))
+      .withColumn("cost",
+        round(lit(1000000.0) * log(col("tot").cast("double") /
+          col("cnt").cast("double")), 0).cast("long"))
+      .withColumn("token_id",
+        row_number().over(Window.orderBy("piece")).cast("long"))
+      .select("piece", "cnt", "cost", "token_id")
+  }
+
+  /** DuckDB twin of [[refinedVocab]]: the E-step re-aggregates the
+    * SAME decode CTE chain the tokenize oracle certifies, so a hash
+    * match here certifies the refinement end to end (decode → usage
+    * counts → smoothed costs → ids). */
+  def refinedVocabSql(ratioPpm: Long): String =
+    s"""WITH ${decodeCtes(ratioPpm)},
+       |used AS (SELECT token AS piece, count(*) AS used FROM tok GROUP BY 1),
+       |floor0 AS (SELECT piece FROM costs WHERE len(piece) = 1),
+       |support AS (
+       |  SELECT COALESCE(u.piece, f.piece) AS piece,
+       |    COALESCE(u.used, 0) + 1 AS cnt
+       |  FROM used u FULL JOIN floor0 f ON u.piece = f.piece),
+       |tot2 AS (SELECT sum(cnt) AS tot FROM support)
+       |SELECT piece, cnt,
+       |  CAST(round(1000000 * ln(CAST(tot2.tot AS DOUBLE)
+       |    / CAST(cnt AS DOUBLE))) AS BIGINT) AS cost,
+       |  row_number() OVER (ORDER BY piece) AS token_id
+       |FROM support, tot2""".stripMargin
 }

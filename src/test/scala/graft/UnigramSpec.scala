@@ -74,6 +74,27 @@ class UnigramSpec extends AnyFunSuite {
     assert(e.getMessage.contains("MaxWordLen"))
   }
 
+  test("refinedVocab: unused pieces drop, floor survives, counts match decode") {
+    val ref = UnigramOps.refinedVocab(corpus, ratioPpm = 200000L)
+    val refined = ref.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // E-step counts == actual decode usage + 1 (add-one smoothing)
+    val usage = UnigramOps.tokenize(corpus, 200000L)
+      .groupBy("token").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    usage.foreach { case (p, c) => assert(refined(p) == c + 1L, p) }
+    // the single-char floor survives even when unused (count 1)
+    assert("tablesrmow".toSet.forall(c => refined.contains(c.toString)))
+    // seed pieces the decoder never used are GONE from the refined model
+    val seed = UnigramOps.vocab(corpus, 200000L).collect()
+      .map(_.getString(0)).toSet
+    val droppable = seed.filter(p => p.length > 1 && !usage.contains(p))
+    assert(droppable.nonEmpty) // the fixture must exercise the dropout
+    assert(droppable.forall(p => !refined.contains(p)))
+    // dense lexicographic ids, like the seed model
+    val byId = ref.orderBy("token_id").collect().map(_.getString(0))
+    assert(byId.toSeq == byId.toSeq.sorted)
+  }
+
   test("differential vs BPE: unigram lifts a frequent piece in one shot") {
     // BPE after ONE merge can only have glued one pair; unigram with
     // the same corpus already emits a max-length piece ('t'+'able' —
