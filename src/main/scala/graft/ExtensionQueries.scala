@@ -1672,6 +1672,21 @@ object ExtensionQueries {
     // As-of (point-in-time) join: each purchase picks the same user's
     // latest click within the preceding hour — union+window form, ONE
     // shuffle on user_id, no nested-loop (JoinOps.asOfJoin)
+    // Pre-shuffle skew report: the exact top hot keys with ppm shares —
+    // what decides plain shuffle vs salting vs AQE skew split; compiles
+    // to TakeOrderedAndProject (bounded per-partition heaps, no sort)
+    "profile_key_skew" -> { (s, dir) =>
+      ProfileOps.keySkew(graft.sources.Sources.eventsWithTimestamp(s, dir),
+        "user_id", k = 25).orderBy("rank")
+    },
+    // Cross-source score calibration: within-source midrank mapped onto
+    // the global distribution (pure BIGINT order statistics) — one
+    // corpus-wide threshold then means the same selectivity everywhere
+    "quality_quantile_norm" -> { (s, dir) =>
+      PipelineOps.quantileNormalize(Tables.documents(s, dir),
+        "source", "n_chars", "doc_id")
+        .orderBy("tie")
+    },
     // Time-series regularization: purchase values resampled to each
     // user's own daily grid, forward-filled — the gap-fill every lag
     // feature and rolling window assumes; values copy unchanged so the
@@ -2659,6 +2674,10 @@ object ExtensionQueries {
          |ORDER BY bucket_start, q""".stripMargin,
     // naive executable spec of the as-of join: left join all qualifying
     // right rows, keep the latest (independent of the union+window form)
+    "profile_key_skew" ->
+      (ProfileOps.keySkewSql("events", "user_id", 25) + "\nORDER BY rank"),
+    "quality_quantile_norm" ->
+      (PipelineOps.quantileNormalizeSql + "\nORDER BY tie"),
     "events_resample_ffill" ->
       (FunnelOps.resampleFfillSql("purchase", 86400000000L) +
         "\nORDER BY user_id, bucket"),

@@ -929,4 +929,73 @@ object PipelineOps {
        |  min($snapCol) AS valid_from, max($snapCol) AS valid_to,
        |  max($snapCol) = $maxSnap AS is_current
        |FROM runs GROUP BY $keyCol, run, $valCol""".stripMargin
+
+  /** Cross-group quantile normalization: map each row's WITHIN-group
+    * midrank quantile onto the GLOBAL score distribution — the
+    * standard fix when per-source quality scores aren't calibrated
+    * against each other (a 0.7 from a news-domain classifier and a
+    * 0.7 from a code-domain one are different animals; after quantile
+    * normalization a single corpus-wide threshold means the same
+    * selectivity in every source). The map is pure order statistics:
+    *
+    *   k = ceil( ((2·rn − 1) / (2·n_g)) · N )    (midrank → global rank)
+    *   norm = the global score of rank k
+    *
+    * computed in BIGINT throughout ((2rn−1)·N then div — engine-exact;
+    * scores themselves copy unchanged), under the (score, tie) total
+    * order on both the group and global sides — fully deterministic
+    * and hash-certifiable.
+    *
+    * Scale contract (enforced loudly): the (2rn−1)·N product caps the
+    * EXACT formulation at N ≤ 2^31 rows — and the global rank window
+    * is a global sort besides. Past that, substitute the G-point grid
+    * variant: compute G global order statistics once (distributed
+    * sort-and-offset or a mergeable quantile sketch), broadcast the
+    * grid, and bucket each midrank into it — same semantics at 1/G
+    * resolution, no global window, no overflow. The exhibit keeps the
+    * exact form because it is the oracle-checkable spec the grid
+    * variant must approximate. */
+  def quantileNormalize(df: DataFrame, groupCol: String, scoreCol: String,
+      tieCol: String): DataFrame = {
+    val base = df.select(col(tieCol).as("tie"), col(groupCol).as("grp"),
+      col(scoreCol).cast("long").as("score"))
+    val w = base
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("grp").orderBy("score", "tie")).cast("long"))
+      .withColumn("n_g", count(lit(1)).over(
+        Window.partitionBy("grp")).cast("long"))
+    val g = base.select(col("score").as("g_score"), col("tie"))
+      .withColumn("gr", row_number().over(
+        Window.orderBy("g_score", "tie")).cast("long"))
+      .select("gr", "g_score")
+    val n = base.count()
+    require(n <= Int.MaxValue.toLong,
+      s"quantileNormalize: exact form capped at 2^31 rows (got $n) — " +
+        "use the grid variant documented on this method at that scale")
+    w.withColumn("k",
+        expr(s"((2L*rn - 1L) * ${n}L + 2L*n_g - 1L) div (2L*n_g)"))
+      .join(g, col("k") === col("gr"))
+      .select(col("tie"), col("grp"), col("score"),
+        col("g_score").as("norm_score"))
+  }
+
+  /** DuckDB twin of [[quantileNormalize]] over documents
+    * (source-grouped n_chars, doc_id ties). */
+  def quantileNormalizeSql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, source AS grp, CAST(n_chars AS BIGINT) AS score
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id, grp, score,
+       |    row_number() OVER (PARTITION BY grp ORDER BY score, doc_id)
+       |      AS rn,
+       |    count(*) OVER (PARTITION BY grp) AS n_g
+       |  FROM b),
+       |g AS (SELECT score AS g_score,
+       |        row_number() OVER (ORDER BY score, doc_id) AS gr FROM b),
+       |t AS (SELECT count(*) AS n FROM b)
+       |SELECT w.doc_id AS tie, w.grp, w.score, g.g_score AS norm_score
+       |FROM w CROSS JOIN t
+       |JOIN g ON g.gr = ((2*w.rn - 1) * t.n + 2*w.n_g - 1) // (2*w.n_g)"""
+      .stripMargin
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -436,6 +437,46 @@ object ProfileOps {
         .as("intercept"),
       round(cov * cov / nullif0(varX * varY), 6).as("r2"))
   }
+
+  /** Key-skew diagnostic: the top `k` hottest keys with their exact
+    * counts and corpus share (ppm, integer arithmetic) — the number a
+    * join/aggregation planner needs BEFORE shuffling on a key. A key
+    * holding >~5% of a 100 TB relation turns one reducer into the
+    * job's critical path; this report is what decides between a plain
+    * shuffle, [[graft.ops.JoinOps.saltedJoin]], or AQE skew splitting.
+    *
+    * 100 TB shape: one map-side-combining count per key, then
+    * `orderBy(...).limit(k)` — which compiles to
+    * TakeOrderedAndProject: a bounded k-row heap per partition, k rows
+    * to the driver-side merge, NEVER a full sort of the key domain.
+    * The rank window runs on the k survivors only. Share uses BIGINT
+    * ppm (cnt·1e6 div total): engine-portable, no float division.
+    * Ties rank deterministically (count desc, key asc). */
+  def keySkew(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val counts = df.groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum("cnt").as("__total"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("share_ppm", expr("(cnt * 1000000L) div __total"))
+      .orderBy(col("cnt").desc, col("key").asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("key").asc)).cast("long"))
+      .select("rank", "key", "cnt", "share_ppm")
+  }
+
+  /** DuckDB twin of [[keySkew]]. `keySql` must cast/stringify the key
+    * the same way the Spark call does. */
+  def keySkewSql(table: String, keySql: String, k: Int): String =
+    s"""WITH c AS (
+       |  SELECT CAST($keySql AS VARCHAR) AS key, count(*) AS cnt
+       |  FROM $table GROUP BY 1),
+       |t AS (SELECT sum(cnt) AS total FROM c)
+       |SELECT row_number() OVER (ORDER BY cnt DESC, key ASC) AS rank,
+       |  key, cnt, (cnt * 1000000) // t.total AS share_ppm
+       |FROM c, t
+       |QUALIFY rank <= $k""".stripMargin
 
   /** DuckDB twin of [[linearFit]] — same exact-integer sums, same
     * cast-then-multiply order, same nullif-zero guards, 6dp. `xSql`

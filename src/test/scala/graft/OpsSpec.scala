@@ -1401,6 +1401,35 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("keySkew: hot keys ranked with exact ppm shares, bounded plan") {
+    val rows = Seq.fill(50)("hot") ++ Seq.fill(30)("warm") ++
+      (1 to 20).map(i => s"cold$i")
+    val df = rows.toDF("k")
+    val got = ProfileOps.keySkew(df, "k", 3).orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, "hot", 50L, 500000L), (2L, "warm", 30L, 300000L),
+      (3L, "cold1", 1L, 10000L))) // count tie: key asc
+    // the top-k is a bounded heap, not a full sort of the key domain
+    val plan = ProfileOps.keySkew(df, "k", 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    intercept[IllegalArgumentException] { ProfileOps.keySkew(df, "k", 0) }
+  }
+
+  test("quantileNormalize: midrank maps onto the global distribution") {
+    val df = Seq(
+      (1L, "a", 1L), (2L, "a", 2L), (3L, "a", 3L), (4L, "a", 4L),
+      (5L, "b", 10L), (6L, "b", 20L)).toDF("doc_id", "source", "score")
+    val got = PipelineOps.quantileNormalize(df, "source", "score", "doc_id")
+      .orderBy("tie").collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toMap
+    // N=6; a's midranks 1/8,3/8,5/8,7/8 -> global ranks 1,3,4,6
+    // b's midranks 1/4,3/4 -> global ranks 2,5
+    assert(got == Map(1L -> 1L, 2L -> 3L, 3L -> 4L, 4L -> 20L,
+      5L -> 2L, 6L -> 10L))
+  }
+
   test("linearFit: exact line recovered; degenerate groups yield nulls") {
     val pts = (1L to 10L).map(x => ("lin", x, 3L * x + 2L)) ++
       (1L to 5L).map(x => ("noisy", x, 2L * x + (if (x % 2 == 0) 1L else -1L))) ++
