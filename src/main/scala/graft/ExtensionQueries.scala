@@ -707,6 +707,20 @@ object ExtensionQueries {
             .otherwise(concat(col("text"), lit(" updated"))).as("text"))
       DedupOps.incrementalDedup(newBatch, docs).orderBy("doc_id")
     },
+    // Incremental NEAR-dup: the batch band-joins PERSISTED snapshot
+    // signatures (old text never re-read); the oracle recomputes the
+    // full LSH from scratch over snapshot+batch — a hash match
+    // certifies the index path lossless
+    "dedup_incremental_minhash" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val newBatch = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          when(col("doc_id") % 3 === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" updated"))).as("text"))
+      DedupOps.incrementalMinhashCandidates(newBatch,
+          minhashIndexFor(s, dir))
+        .orderBy("doc_a", "doc_b")
+    },
     // Normalization-aware exact dedup: reformatted copies (case +
     // punctuation + spacing changes) collapse into one group
     "dedup_normalized" -> { (s, dir) =>
@@ -1885,6 +1899,20 @@ object ExtensionQueries {
       p
     })
 
+  // Persisted MinHash signatures of the full snapshot, written once per
+  // sf dir: the incremental near-dup query band-joins these instead of
+  // re-reading the old corpus text (the batch is a re-crawl — modified
+  // copies of indexed docs — so the planted near-dups exercise the index)
+  private val mhIndexPaths = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def minhashIndexFor(s: SparkSession, dir: String): String =
+    mhIndexPaths.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("graft-mh-index").toString
+      ops.DedupOps.writeSignatures(
+        ops.DedupOps.minhashSignatures(Tables.documents(s, dir)), p,
+        k = 3, numHashes = 64, seed = 42L)
+      p
+    })
+
   // ORC mirror of documents, written once per sf dir (amortized like the
   // indexes above): the roundtrip query reads ONLY the ORC copy, so a
   // hash match against the parquet-reading oracle certifies the ORC
@@ -2240,6 +2268,7 @@ object ExtensionQueries {
          |  FROM events)
          |WHERE gap_s IS NOT NULL GROUP BY 1 ORDER BY i0""".stripMargin,
     "dedup_minhash_candidates" -> minhashOracleSql(),
+    "dedup_incremental_minhash" -> incrementalMinhashOracleSql(),
     "dedup_simhash" -> simhashOracleSql(),
     "dedup_embedding" -> perVectorNearDupSql(nearDupCos),
     "dedup_embedding_lsh" -> qualifyingNearDupSql(nearDupCos),
@@ -2816,7 +2845,8 @@ object ExtensionQueries {
     * for every shingle-based oracle (jaccard, minhash, contamination,
     * KMV); hand-inlined copies of this CTE drifting apart would silently
     * desynchronize an oracle from the Spark shingling. */
-  private def shingleSql(k: Int, where: String = ""): String = {
+  private def shingleSql(k: Int, where: String = "",
+      table: String = "documents"): String = {
     val terms = (0 until k).map {
       case 0 => "string_split(text,' ')[pos]"
       case i => s"string_split(text,' ')[pos+$i]"
@@ -2825,7 +2855,7 @@ object ExtensionQueries {
     s"""SELECT DISTINCT doc_id, $terms AS shingle
        |FROM (SELECT doc_id, text,
        |unnest(range(1, greatest(len(string_split(text,' ')) - ${k - 2}, 1))) AS pos
-       |FROM documents$w)""".stripMargin
+       |FROM $table$w)""".stripMargin
   }
 
   /** Shared CTE prefix for every oracle that assigns centroid cells (IVF,
@@ -3076,6 +3106,43 @@ object ExtensionQueries {
   /** Full MinHash-LSH oracle: same shingles, same PolyHash base hash, the
     * SAME seeded (a_i, b_i) family embedded as a VALUES list, band keys =
     * the min-value tuples; per-doc distinct candidate counts. */
+  /** Relational recompute of the INCREMENTAL LSH candidate set: full
+    * LSH over (snapshot UNION transformed batch), restricted to pairs
+    * touching the batch. A hash match against
+    * `DedupOps.incrementalMinhashCandidates` certifies the persisted-
+    * signature path (saved family params + band join against stored
+    * sigs, old text never re-read) equals the from-scratch recompute. */
+  private def incrementalMinhashOracleSql(numHashes: Int = 64,
+      bands: Int = 16, k: Int = 3): String = {
+    val (as, bs) = DedupOps.minhashCoefficients(numHashes)
+    val r = numHashes / bands
+    val p = DedupOps.MinHashP
+    val coef = (0 until numHashes)
+      .map(i => s"($i, ${as(i)}, ${bs(i)})").mkString(", ")
+    s"""WITH all_docs AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id,
+       |    CASE WHEN doc_id % 3 = 0 THEN text
+       |         ELSE text || ' updated' END AS text
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |sh AS (${shingleSql(k, table = "all_docs")}),
+       |hs AS (
+       |  SELECT doc_id, ${graft.functions.PolyHash.sql("shingle", 31L, p)} AS h
+       |  FROM sh),
+       |coef(i, a, b) AS (VALUES $coef),
+       |mins AS (
+       |  SELECT doc_id, i // $r AS band, i, min((h * a + b) % $p) AS m
+       |  FROM hs CROSS JOIN coef GROUP BY doc_id, i),
+       |sigs AS (SELECT doc_id, band, list(m ORDER BY i) AS sig
+       |         FROM mins GROUP BY 1, 2)
+       |SELECT DISTINCT l.doc_id AS doc_a, rr.doc_id AS doc_b
+       |FROM sigs l JOIN sigs rr ON l.band = rr.band AND l.sig = rr.sig
+       |WHERE l.doc_id < rr.doc_id
+       |  AND (l.doc_id >= 1000000 OR rr.doc_id >= 1000000)
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   private def minhashOracleSql(numHashes: Int = 64, bands: Int = 16,
       k: Int = 3): String = {
     val (as, bs) = DedupOps.minhashCoefficients(numHashes)
