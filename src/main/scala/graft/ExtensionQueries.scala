@@ -1714,6 +1714,19 @@ object ExtensionQueries {
           stepUs = 86400000000L)
         .orderBy("user_id", "bucket")
     },
+    // Lag + trailing-mean features on the regular grid — integer-exact
+    // rolling arithmetic, the standard forecasting feature pair
+    "events_rolling_features" -> { (s, dir) =>
+      val ev = graft.sources.Sources.eventsWithTimestamp(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("value"), col("event_id"))
+      FunnelOps.rollingFeatures(
+        FunnelOps.resampleFfill(ev, "user_id", "ts_us", "value", "event_id",
+          stepUs = 86400000000L),
+        "user_id", "bucket", "value", windowLen = 7)
+        .orderBy("user_id", "bucket")
+    },
     // Attribution window join: ALL (view, purchase) pairs of a user
     // within 6 hours — the batch face of the stream-stream join
     // (StreamingHistSpec pins stream==batch on the same operator)
@@ -2710,6 +2723,9 @@ object ExtensionQueries {
     "events_resample_ffill" ->
       (FunnelOps.resampleFfillSql("purchase", 86400000000L) +
         "\nORDER BY user_id, bucket"),
+    "events_rolling_features" ->
+      (s"WITH grid AS (\n${FunnelOps.resampleFfillSql("purchase", 86400000000L)})\n" +
+        FunnelOps.rollingFeaturesSql(7) + "\nORDER BY user_id, bucket"),
     "events_attribution_pairs" ->
       """SELECT i.user_id, i.event_id AS imp_id, c.event_id AS conv_id,
         |  c.ts_us - i.ts_us AS gap_us

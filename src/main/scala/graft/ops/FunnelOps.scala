@@ -344,6 +344,53 @@ object FunnelOps {
       .select(col(keyCol), col("bucket"), col("value"))
   }
 
+  /** Rolling features over a REGULAR per-key grid (the
+    * [[resampleFfill]] output): previous-bucket lag and a trailing
+    * `windowLen`-bucket mean — the standard lag/rolling feature pair
+    * every forecasting and drift model starts from, well-defined only
+    * BECAUSE the grid is regular (on raw irregular events, "lag 1"
+    * conflates time gaps with observation gaps).
+    *
+    * Exactness: the mean is computed over 1e6-scaled integers
+    * (round(value·1e6) as BIGINT — one double op, identical in both
+    * engines), summed exactly, divided once and rounded to 6dp; the
+    * lag copies the value unchanged. No float accumulation order can
+    * diverge.
+    *
+    * 100 TB shape: two frames over ONE key-partitioned sort — Catalyst
+    * computes both in a single Window exchange; state per key is the
+    * windowLen-row frame. */
+  def rollingFeatures(grid: DataFrame, keyCol: String, bucketCol: String,
+      valueCol: String, windowLen: Int): DataFrame = {
+    require(windowLen >= 1, s"windowLen must be >= 1, got $windowLen")
+    val w = Window.partitionBy(keyCol).orderBy(bucketCol)
+    val trail = w.rowsBetween(-(windowLen - 1).toLong, Window.currentRow)
+    val v6 = expr(s"CAST(round($valueCol * 1000000.0) AS BIGINT)")
+    grid.withColumn("lag1", lag(col(valueCol), 1).over(w))
+      .withColumn("__s", sum(v6).over(trail))
+      .withColumn("__n", count(lit(1)).over(trail))
+      .withColumn("roll_mean", round(
+        col("__s").cast("double") / (col("__n").cast("double") * 1000000.0),
+        6))
+      .select(col(keyCol), col(bucketCol), col(valueCol),
+        col("lag1"), col("roll_mean"))
+  }
+
+  /** DuckDB twin of [[rollingFeatures]] over a `grid` CTE with
+    * (user_id, bucket, value) columns. */
+  def rollingFeaturesSql(windowLen: Int): String =
+    s"""SELECT user_id, bucket, value,
+       |  lag(value) OVER w AS lag1,
+       |  round(CAST(sum(CAST(round(value * 1000000.0) AS BIGINT))
+       |      OVER (PARTITION BY user_id ORDER BY bucket
+       |            ROWS BETWEEN ${windowLen - 1} PRECEDING AND CURRENT ROW)
+       |    AS DOUBLE)
+       |   / (CAST(count(*) OVER (PARTITION BY user_id ORDER BY bucket
+       |            ROWS BETWEEN ${windowLen - 1} PRECEDING AND CURRENT ROW)
+       |      AS DOUBLE) * 1000000.0), 6) AS roll_mean
+       |FROM grid
+       |WINDOW w AS (PARTITION BY user_id ORDER BY bucket)""".stripMargin
+
   /** DuckDB twin of [[resampleFfill]] over purchase events: same bucket
     * arithmetic, same (ts, event_id) last-observation tie-break, same
     * ignore-nulls running fill. */

@@ -1430,6 +1430,26 @@ class OpsSpec extends AnyFunSuite {
       5L -> 2L, 6L -> 10L))
   }
 
+  test("rollingFeatures: lag and trailing mean, exact at 6dp") {
+    val grid = Seq(
+      (1L, 0L, 1.5), (1L, 1L, 2.5), (1L, 2L, 4.0), (1L, 3L, 4.0),
+      (2L, 0L, 9.0))
+      .toDF("k", "bucket", "value")
+    val got = FunnelOps.rollingFeatures(grid, "k", "bucket", "value", 3)
+      .orderBy("k", "bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(3)) null else r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      (1L, 0L, null, 1.5),            // window [1.5]
+      (1L, 1L, 1.5, 2.0),             // [1.5, 2.5]
+      (1L, 2L, 2.5, 2.666667),        // [1.5, 2.5, 4.0] -> 8/3 @ 6dp
+      (1L, 3L, 4.0, 3.5),             // [2.5, 4.0, 4.0]
+      (2L, 0L, null, 9.0)))           // series start per key
+    intercept[IllegalArgumentException] {
+      FunnelOps.rollingFeatures(grid, "k", "bucket", "value", 0)
+    }
+  }
+
   test("linearFit: exact line recovered; degenerate groups yield nulls") {
     val pts = (1L to 10L).map(x => ("lin", x, 3L * x + 2L)) ++
       (1L to 5L).map(x => ("noisy", x, 2L * x + (if (x % 2 == 0) 1L else -1L))) ++
