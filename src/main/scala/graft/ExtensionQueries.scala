@@ -1686,6 +1686,26 @@ object ExtensionQueries {
     // As-of (point-in-time) join: each purchase picks the same user's
     // latest click within the preceding hour — union+window form, ONE
     // shuffle on user_id, no nested-loop (JoinOps.asOfJoin)
+    // Cumulative unique users per hour via the first-seen reduction —
+    // linear where running COUNT(DISTINCT) is quadratic in state
+    "events_cumulative_users" -> { (s, dir) =>
+      FunnelOps.cumulativeDistinct(
+        graft.sources.Sources.eventsWithTimestamp(s, dir), "user_id",
+        expr("unix_micros(ts) div 3600000000").cast("long"))
+        .orderBy("bucket")
+    },
+    // One-row join-strategy report for orders x customer: exact sizes,
+    // NDVs, skew shares, containment, and the playbook decision
+    "profile_join_advisor" -> { (s, dir) =>
+      JoinOps.joinAdvisor(Tables.orders(s, dir), Tables.customer(s, dir),
+        "o_custkey", "c_custkey", broadcastRowLimit = 1000L)
+    },
+    // Freedman-Diaconis auto-binned histogram of document lengths —
+    // closes the "what bins?" question the reference leaves to callers
+    "hist_auto_bins" -> { (s, dir) =>
+      ProfileOps.fdHistogram(Tables.documents(s, dir), col("n_chars"))
+        .orderBy("bin")
+    },
     // Pre-shuffle skew report: the exact top hot keys with ppm shares —
     // what decides plain shuffle vs salting vs AQE skew split; compiles
     // to TakeOrderedAndProject (bounded per-partition heaps, no sort)
@@ -2716,6 +2736,13 @@ object ExtensionQueries {
          |ORDER BY bucket_start, q""".stripMargin,
     // naive executable spec of the as-of join: left join all qualifying
     // right rows, keep the latest (independent of the union+window form)
+    "events_cumulative_users" ->
+      (FunnelOps.cumulativeDistinctSql(3600000000L) + "\nORDER BY bucket"),
+    "profile_join_advisor" ->
+      JoinOps.joinAdvisorSql("orders", "customer", "o_custkey", "c_custkey",
+        broadcastRowLimit = 1000L),
+    "hist_auto_bins" ->
+      (ProfileOps.fdHistogramSql("documents", "n_chars") + "\nORDER BY bin"),
     "profile_key_skew" ->
       (ProfileOps.keySkewSql("events", "user_id", 25) + "\nORDER BY rank"),
     "quality_quantile_norm" ->

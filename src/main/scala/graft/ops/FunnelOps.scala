@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -343,6 +343,44 @@ object FunnelOps {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select(col(keyCol), col("bucket"), col("value"))
   }
+
+  /** Cumulative distinct keys per time bucket — "total unique users to
+    * date", the growth metric a naive implementation computes with a
+    * running COUNT(DISTINCT) over an ever-growing window (quadratic
+    * state). The first-seen reduction makes it linear: a key
+    * contributes to the cumulative count exactly at its FIRST bucket,
+    * so cumulative-distinct = prefix sum of first-seen counts.
+    *
+    * 100 TB shape: one groupBy(key) min-aggregate (map-side combining,
+    * one row per key), one bucket-cardinality aggregate, and a prefix
+    * sum over BUCKET-cardinality rows (days/hours — thousands, not the
+    * key domain). The only full-key pass is the first aggregate.
+    * Buckets with no new keys are absent from the output (join a
+    * calendar grid downstream if gap rows are needed —
+    * [[resampleFfill]] is that operator). */
+  def cumulativeDistinct(events: DataFrame, keyCol: String,
+      bucketCol: Column): DataFrame = {
+    val first = events.select(col(keyCol).as("__k"), bucketCol.as("bucket"))
+      .groupBy("__k").agg(min("bucket").as("b0"))
+    first.groupBy(col("b0").as("bucket"))
+      .agg(count(lit(1)).as("new_keys"))
+      .withColumn("cum_keys", sum("new_keys").over(
+        Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** DuckDB twin of [[cumulativeDistinct]] over events at day
+    * granularity. */
+  def cumulativeDistinctSql(bucketUs: Long): String =
+    s"""WITH f AS (
+       |  SELECT user_id,
+       |    min(epoch_us(CAST(ts AS TIMESTAMP)) // $bucketUs) AS b0
+       |  FROM events GROUP BY 1),
+       |n AS (SELECT b0 AS bucket, count(*) AS new_keys FROM f GROUP BY 1)
+       |SELECT bucket, new_keys,
+       |  sum(new_keys) OVER (ORDER BY bucket
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_keys
+       |FROM n""".stripMargin
 
   /** Rolling features over a REGULAR per-key grid (the
     * [[resampleFfill]] output): previous-bucket lag and a trailing

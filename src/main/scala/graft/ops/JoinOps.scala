@@ -136,4 +136,76 @@ object JoinOps {
       .filter(col(pointCol).between(col(loCol), col(hiCol)))
       .drop(b)
   }
+
+  /** Join-strategy advisor: the ONE-ROW statistics report that decides
+    * how to run an expensive equi-join BEFORE paying for it — row
+    * counts, exact key NDVs, the hottest key's share on each side
+    * (BIGINT ppm), and key containment (what fraction of left's
+    * distinct keys the right side actually has — a low number means
+    * the join is also a filter and a pre-join semi-filter pays off).
+    * The `decision` column applies the standard playbook:
+    * either side under `broadcastRowLimit` → broadcast it; else a top
+    * key over `skewSharePpm` on either side → salt or AQE skew-split
+    * ([[saltedJoin]]); else plain shuffle join.
+    *
+    * 100 TB shape: two independent single-pass aggregates (count +
+    * count_distinct + max-key-count via a per-key count then a max —
+    * all map-side combining) and one distinct-key semi-join for
+    * containment; the report itself is one row. This codifies what
+    * [[graft.ops.ProfileOps.keySkew]] + row counts tell a human — as
+    * an operator, so pipelines can gate on it. */
+  def joinAdvisor(left: DataFrame, right: DataFrame, leftKey: String,
+      rightKey: String, broadcastRowLimit: Long = 1000000L,
+      skewSharePpm: Long = 50000L): DataFrame = {
+    def sideStats(df: DataFrame, key: String, p: String) = {
+      val perKey = df.groupBy(col(key)).agg(count(lit(1)).as("c"))
+      perKey.agg(sum("c").as(s"${p}_rows"),
+        count(lit(1)).as(s"${p}_ndv"), max("c").as(s"${p}_top"))
+    }
+    val l = sideStats(left, leftKey, "l")
+    val r = sideStats(right, rightKey, "r")
+    val contained = left.select(col(leftKey).as("k")).distinct()
+      .join(right.select(col(rightKey).as("k")).distinct(), Seq("k"),
+        "left_semi")
+      .agg(count(lit(1)).as("l_keys_in_r"))
+    l.crossJoin(r).crossJoin(contained)
+      .select(col("l_rows"), col("r_rows"), col("l_ndv"), col("r_ndv"),
+        expr("(l_top * 1000000L) div l_rows").as("l_top_share_ppm"),
+        expr("(r_top * 1000000L) div r_rows").as("r_top_share_ppm"),
+        expr("(l_keys_in_r * 1000000L) div l_ndv").as("containment_ppm"),
+        expr(s"""CASE
+          WHEN r_rows <= ${broadcastRowLimit}L THEN 'broadcast_right'
+          WHEN l_rows <= ${broadcastRowLimit}L THEN 'broadcast_left'
+          WHEN (l_top * 1000000L) div l_rows >= ${skewSharePpm}L
+            OR (r_top * 1000000L) div r_rows >= ${skewSharePpm}L
+            THEN 'salt_or_aqe_skew'
+          ELSE 'shuffle' END""").as("decision"))
+  }
+
+  /** DuckDB twin of [[joinAdvisor]]. */
+  def joinAdvisorSql(leftTable: String, rightTable: String,
+      leftKey: String, rightKey: String, broadcastRowLimit: Long = 1000000L,
+      skewSharePpm: Long = 50000L): String =
+    s"""WITH lk AS (SELECT $leftKey AS k, count(*) AS c
+       |            FROM $leftTable GROUP BY 1),
+       |rk AS (SELECT $rightKey AS k, count(*) AS c
+       |       FROM $rightTable GROUP BY 1),
+       |l AS (SELECT CAST(sum(c) AS BIGINT) AS l_rows, count(*) AS l_ndv,
+       |        CAST(max(c) AS BIGINT) AS l_top FROM lk),
+       |r AS (SELECT CAST(sum(c) AS BIGINT) AS r_rows, count(*) AS r_ndv,
+       |        CAST(max(c) AS BIGINT) AS r_top FROM rk),
+       |ct AS (SELECT count(*) AS l_keys_in_r FROM lk
+       |       WHERE k IN (SELECT k FROM rk))
+       |SELECT l_rows, r_rows, l_ndv, r_ndv,
+       |  (l_top * 1000000) // l_rows AS l_top_share_ppm,
+       |  (r_top * 1000000) // r_rows AS r_top_share_ppm,
+       |  (l_keys_in_r * 1000000) // l_ndv AS containment_ppm,
+       |  CASE
+       |    WHEN r_rows <= $broadcastRowLimit THEN 'broadcast_right'
+       |    WHEN l_rows <= $broadcastRowLimit THEN 'broadcast_left'
+       |    WHEN (l_top * 1000000) // l_rows >= $skewSharePpm
+       |      OR (r_top * 1000000) // r_rows >= $skewSharePpm
+       |      THEN 'salt_or_aqe_skew'
+       |    ELSE 'shuffle' END AS decision
+       |FROM l, r, ct""".stripMargin
 }

@@ -438,6 +438,89 @@ object ProfileOps {
       round(cov * cov / nullif0(varX * varY), 6).as("r2"))
   }
 
+  /** Auto-binned histogram: Freedman–Diaconis bin-width selection
+    * (h = 2·IQR/∛n — robust to outliers where Sturges/√n are not)
+    * followed by an exact integer-arithmetic binning. The reference
+    * engine leaves bin choice entirely to the caller
+    * (`/root/reference/src/dask_histogram/routines.py` takes bins as
+    * an argument); this closes the "what bins?" first question every
+    * exploratory histogram starts with.
+    *
+    * Determinism contract: quartiles are EXACT order statistics (the
+    * value at rank ceil(n/4)/ceil(3n/4) — rank-of-value is tie-safe),
+    * the only float arithmetic is the bin-count formula itself
+    * (identical operation order in the SQL twin, cbrt included), and
+    * row→bin assignment is pure BIGINT: ((v−mn)·nb) div (mx−mn),
+    * clamped — no float boundary can disagree between engines.
+    *
+    * Scale contract (loud): the rank window caps this exact form at
+    * 2^31 rows, as [[graft.ops.PipelineOps.quantileNormalize]]; at
+    * corpus scale substitute sketch quantiles for q1/q3 (the binning
+    * arithmetic is unchanged) — FD is robust to quantile error by
+    * construction. */
+  def fdHistogram(df: DataFrame, valueCol: Column, maxBins: Int = 200)
+      : DataFrame = {
+    require(maxBins >= 1, s"maxBins must be >= 1, got $maxBins")
+    val vals = df.select(valueCol.cast("long").as("v"))
+      .filter(col("v").isNotNull)
+    val s = vals.agg(count(lit(1)).as("n"), min("v").as("mn"),
+      max("v").as("mx")).head()
+    val n = s.getLong(0)
+    require(n > 0, "fdHistogram: empty input")
+    require(n <= Int.MaxValue.toLong,
+      s"fdHistogram: exact rank form capped at 2^31 rows (got $n) — " +
+        "substitute sketch quantiles at that scale")
+    val (mn, mx) = (s.getLong(1), s.getLong(2))
+    val (r1, r3) = ((n + 3) / 4, (3 * n + 3) / 4)
+    val ranked = vals.withColumn("rn",
+      row_number().over(Window.orderBy("v")).cast("long"))
+    val qs = ranked.filter(col("rn") === r1 || col("rn") === r3)
+      .agg(min(when(col("rn") === r1, col("v"))).as("q1"),
+        min(when(col("rn") === r3, col("v"))).as("q3")).head()
+    val (q1, q3) = (qs.getLong(0), qs.getLong(1))
+    val nb: Long =
+      if (q3 <= q1 || mx == mn) 1L
+      else math.min(maxBins.toLong, math.max(1L,
+        math.ceil((mx - mn).toDouble /
+          (2.0 * (q3 - q1).toDouble / math.cbrt(n.toDouble))).toLong))
+    val idx =
+      if (mx == mn) lit(0L)
+      else expr(s"least(((v - ${mn}L) * ${nb}L) div ${mx - mn}L, ${nb - 1}L)")
+    vals.select(idx.as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n_rows"))
+      .select(col("bin"), col("n_rows"), lit(nb).as("n_bins"),
+        lit(q1).as("q1"), lit(q3).as("q3"))
+  }
+
+  /** DuckDB twin of [[fdHistogram]] — same rank rule, same float
+    * operation order in the bin-count formula, same BIGINT binning. */
+  def fdHistogramSql(table: String, valueSql: String,
+      maxBins: Int = 200): String =
+    s"""WITH v AS (
+       |  SELECT CAST($valueSql AS BIGINT) AS v FROM $table
+       |  WHERE $valueSql IS NOT NULL),
+       |s AS (SELECT count(*) AS n, min(v) AS mn, max(v) AS mx FROM v),
+       |rk AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v),
+       |q AS (
+       |  SELECT min(CASE WHEN rn = (s.n + 3) // 4 THEN v END) AS q1,
+       |    min(CASE WHEN rn = (3 * s.n + 3) // 4 THEN v END) AS q3
+       |  FROM rk, s),
+       |m AS (
+       |  SELECT s.mn, s.mx, q.q1, q.q3,
+       |    CASE WHEN q.q3 <= q.q1 OR s.mx = s.mn THEN 1
+       |      ELSE least($maxBins, greatest(1,
+       |        CAST(ceil(CAST(s.mx - s.mn AS DOUBLE)
+       |          / (2.0 * CAST(q.q3 - q.q1 AS DOUBLE)
+       |             / cbrt(CAST(s.n AS DOUBLE)))) AS BIGINT)))
+       |    END AS nb
+       |  FROM s, q)
+       |SELECT CASE WHEN m.mx = m.mn THEN 0
+       |    ELSE least(((v.v - m.mn) * m.nb) // (m.mx - m.mn), m.nb - 1)
+       |  END AS bin,
+       |  count(*) AS n_rows, m.nb AS n_bins, m.q1, m.q3
+       |FROM v, m
+       |GROUP BY 1, m.nb, m.q1, m.q3""".stripMargin
+
   /** Key-skew diagnostic: the top `k` hottest keys with their exact
     * counts and corpus share (ppm, integer arithmetic) — the number a
     * join/aggregation planner needs BEFORE shuffling on a key. A key

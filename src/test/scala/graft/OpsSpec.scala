@@ -1430,6 +1430,53 @@ class OpsSpec extends AnyFunSuite {
       5L -> 2L, 6L -> 10L))
   }
 
+  test("cumulativeDistinct: first-seen reduction equals running distinct") {
+    val ev = Seq((1L, 0L), (1L, 5L), (2L, 0L), (3L, 1L), (3L, 9L), (4L, 9L))
+      .toDF("user_id", "b")
+    val got = FunnelOps.cumulativeDistinct(ev, "user_id", col("b"))
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // bucket 0: users 1,2 new; 1: user 3; 9: user 4 (3 already counted)
+    assert(got.toSeq == Seq((0L, 2L, 2L), (1L, 1L, 3L), (9L, 1L, 4L)))
+  }
+
+  test("joinAdvisor: playbook decisions and exact containment") {
+    val fact = (1L to 100L).flatMap(k => Seq.fill(if (k == 7L) 60 else 1)(k))
+      .toDF("fk") // key 7 holds 60/159 rows ~ 377k ppm
+    val smallDim = (1L to 50L).toDF("pk") // covers half of fact's keys
+    val r1 = JoinOps.joinAdvisor(fact, smallDim, "fk", "pk",
+      broadcastRowLimit = 100L).head()
+    assert(r1.getAs[String]("decision") == "broadcast_right")
+    assert(r1.getAs[Long]("containment_ppm") == 500000L) // 50 of 100 keys
+    assert(r1.getAs[Long]("l_top_share_ppm") == 60L * 1000000L / 159L)
+    // no broadcastable side + hot key -> salting recommendation
+    val r2 = JoinOps.joinAdvisor(fact, smallDim, "fk", "pk",
+      broadcastRowLimit = 10L).head()
+    assert(r2.getAs[String]("decision") == "salt_or_aqe_skew")
+    // no skew, no broadcast -> plain shuffle
+    val r3 = JoinOps.joinAdvisor((1L to 100L).toDF("fk"), smallDim,
+      "fk", "pk", broadcastRowLimit = 10L).head()
+    assert(r3.getAs[String]("decision") == "shuffle")
+  }
+
+  test("fdHistogram: FD bin rule, constant and degenerate inputs") {
+    // uniform 1..1000: IQR = 500, h = 2*500/cbrt(1000) = 100 -> 10 bins
+    val got = ProfileOps.fdHistogram((1L to 1000L).toDF("v"), col("v"))
+      .orderBy("bin").collect()
+    assert(got.length == 10 && got.head.getLong(2) == 10L)
+    // exact integer binning: ((v-1)*10) div 999 spreads 1000 values
+    assert(got.map(_.getLong(1)).sum == 1000L)
+    assert(got.head.getAs[Long]("q1") == 250L && got.head.getAs[Long]("q3") == 750L)
+    // constant column: one bin, everything in it
+    val const = ProfileOps.fdHistogram(Seq.fill(20)(5L).toDF("v"), col("v"))
+      .collect()
+    assert(const.length == 1 && const.head.getLong(0) == 0L &&
+      const.head.getLong(1) == 20L && const.head.getLong(2) == 1L)
+    intercept[IllegalArgumentException] {
+      ProfileOps.fdHistogram(Seq.empty[Long].toDF("v"), col("v"))
+    }
+  }
+
   test("rollingFeatures: lag and trailing mean, exact at 6dp") {
     val grid = Seq(
       (1L, 0L, 1.5), (1L, 1L, 2.5), (1L, 2L, 4.0), (1L, 3L, 4.0),
