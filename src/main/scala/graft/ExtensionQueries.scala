@@ -1706,6 +1706,28 @@ object ExtensionQueries {
       ProfileOps.fdHistogram(Tables.documents(s, dir), col("n_chars"))
         .orderBy("bin")
     },
+    // Contingency table: source x language counts with a declared
+    // column domain (deterministic schema, absent combos = 0)
+    "docs_pivot_source_lang" -> { (s, dir) =>
+      ProfileOps.crosstab(Tables.documents(s, dir), "source", "lang",
+        Seq("en", "fr", "de", "es", "zh")).orderBy("source")
+    },
+    // Chi-squared drift between two sources' length histograms —
+    // integer-scaled per-bin contributions so the statistic sums exactly
+    "hist_chi2_drift" -> { (s, dir) =>
+      ProfileOps.binnedChi2(Tables.documents(s, dir), "source",
+        axVal.binCol(col("n_chars").cast("double")), "src0", "src1")
+    },
+    // Robust volume alarm: hourly event counts vs trailing lower-median
+    // and lower-MAD — integer order statistics, bit-identical alarms
+    "events_anomaly_mad" -> { (s, dir) =>
+      val series = graft.sources.Sources.eventsWithTimestamp(s, dir)
+        .groupBy(expr("unix_micros(ts) div 3600000000").cast("long")
+          .as("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+      ProfileOps.madAnomalies(series, "bucket", "cnt", windowLen = 24)
+        .orderBy("bucket")
+    },
     // Pre-shuffle skew report: the exact top hot keys with ppm shares —
     // what decides plain shuffle vs salting vs AQE skew split; compiles
     // to TakeOrderedAndProject (bounded per-partition heaps, no sort)
@@ -2738,6 +2760,19 @@ object ExtensionQueries {
     // right rows, keep the latest (independent of the union+window form)
     "events_cumulative_users" ->
       (FunnelOps.cumulativeDistinctSql(3600000000L) + "\nORDER BY bucket"),
+    "docs_pivot_source_lang" ->
+      (ProfileOps.crosstabSql("documents", "source", "lang",
+        Seq("en", "fr", "de", "es", "zh")) + "\nORDER BY source"),
+    "hist_chi2_drift" ->
+      ProfileOps.binnedChi2Sql("documents", "source",
+        axVal.sqlExpr("CAST(n_chars AS DOUBLE)"), "src0", "src1"),
+    "events_anomaly_mad" ->
+      (s"""WITH series AS (
+          |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS bucket,
+          |    count(*) AS cnt
+          |  FROM events GROUP BY 1)
+          |""".stripMargin + ProfileOps.madAnomaliesSql(24) +
+        "\nORDER BY bucket"),
     "profile_join_advisor" ->
       JoinOps.joinAdvisorSql("orders", "customer", "o_custkey", "c_custkey",
         broadcastRowLimit = 1000L),

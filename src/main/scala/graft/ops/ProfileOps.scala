@@ -438,6 +438,133 @@ object ProfileOps {
       round(cov * cov / nullif0(varX * varY), 6).as("r2"))
   }
 
+  /** Contingency table (crosstab): one row per `rowCol` value, one
+    * count column per DECLARED `colCol` value — the reshape every
+    * source×language / segment×status report ends in. Column values
+    * are an explicit argument (not discovered) so the output schema is
+    * deterministic and the driver-side pivot never scans for the
+    * domain; absent combinations are 0, not null.
+    *
+    * 100 TB shape: Spark's pivot compiles to ONE grouped aggregate
+    * with |colValues| count slots per row-key — map-side combining,
+    * one shuffle at rowCol cardinality. */
+  def crosstab(df: DataFrame, rowCol: String, colCol: String,
+      colValues: Seq[String]): DataFrame = {
+    require(colValues.nonEmpty, "crosstab needs at least one column value")
+    require(colValues.distinct == colValues, "duplicate column values")
+    val p = df.groupBy(col(rowCol)).pivot(colCol, colValues)
+      .agg(count(lit(1)))
+    p.select(col(rowCol) +: colValues.map(v =>
+      coalesce(col(s"`$v`"), lit(0L)).as(v)): _*)
+  }
+
+  /** DuckDB twin of [[crosstab]] (FILTER-clause formulation — no
+    * PIVOT syntax dependency). */
+  def crosstabSql(table: String, rowCol: String, colCol: String,
+      colValues: Seq[String]): String = {
+    def q(s: String) = s.replace("'", "''")
+    val cols = colValues.map(v =>
+      s"""count(*) FILTER ($colCol = '${q(v)}') AS "$v"""").mkString(",\n  ")
+    s"""SELECT $rowCol,
+       |  $cols
+       |FROM $table GROUP BY $rowCol""".stripMargin
+  }
+
+  /** Chi-squared comparison of two groups' binned distributions — the
+    * classic "did this source's length/score histogram move?" test,
+    * computed so the statistic is ENGINE-EXACT: each bin's
+    * contribution (a−b)²/(a+b) is scaled to an integer
+    * (round(1e6·…) as BIGINT, one double op per bin with identical
+    * order in the twin), and the total is then a sum of BIGINTs —
+    * no float accumulation order anywhere (the GloVe lcm-discount
+    * lesson applied to a statistic). Returns ONE row:
+    * (chi2_e6, dof, n_a, n_b); dof = occupied bins − 1.
+    *
+    * 100 TB shape: one grouped count per bin (map-side combining at
+    * bin cardinality), one bin-cardinality reduction. */
+  def binnedChi2(df: DataFrame, groupCol: String, binCol: Column,
+      groupA: String, groupB: String): DataFrame = {
+    val binned = df.filter(col(groupCol).isin(groupA, groupB))
+      .select(col(groupCol).as("__g"), binCol.as("bin"))
+      .groupBy("bin")
+      .agg(count(when(col("__g") === groupA, lit(1))).as("a"),
+        count(when(col("__g") === groupB, lit(1))).as("b"))
+    binned.agg(
+      sum(expr("CAST(round(1000000.0 * CAST((a - b) * (a - b) AS DOUBLE)" +
+        " / CAST(a + b AS DOUBLE)) AS BIGINT)")).as("chi2_e6"),
+      (count(lit(1)) - 1L).as("dof"),
+      sum("a").as("n_a"), sum("b").as("n_b"))
+  }
+
+  /** DuckDB twin of [[binnedChi2]]. `binSql` must emit the SAME bin
+    * index expression the Spark call used. */
+  def binnedChi2Sql(table: String, groupCol: String, binSql: String,
+      groupA: String, groupB: String): String = {
+    def q(s: String) = s.replace("'", "''")
+    s"""WITH binned AS (
+       |  SELECT $binSql AS bin,
+       |    count(*) FILTER ($groupCol = '${q(groupA)}') AS a,
+       |    count(*) FILTER ($groupCol = '${q(groupB)}') AS b
+       |  FROM $table WHERE $groupCol IN ('${q(groupA)}', '${q(groupB)}')
+       |  GROUP BY 1)
+       |SELECT sum(CAST(round(1000000.0 * CAST((a - b) * (a - b) AS DOUBLE)
+       |    / CAST(a + b AS DOUBLE)) AS BIGINT)) AS chi2_e6,
+       |  count(*) - 1 AS dof,
+       |  CAST(sum(a) AS BIGINT) AS n_a, CAST(sum(b) AS BIGINT) AS n_b
+       |FROM binned""".stripMargin
+  }
+
+  /** Median/MAD volume anomaly detection over a per-bucket count
+    * series: a bucket is anomalous when its count deviates from the
+    * trailing-`windowLen` LOWER median by more than `k` lower-MADs —
+    * the robust version of the z-score alarm (a single spike cannot
+    * drag the mean it is judged against). Every statistic is an
+    * integer order statistic of the window list (sorted-list element,
+    * not interpolated median), so the alarm is bit-identical across
+    * engines. Buckets whose trailing window is not yet FULL never
+    * alarm — a half-filled warm-up window has a degenerate (often
+    * zero) MAD that would flag ordinary jitter.
+    *
+    * 100 TB shape: the series is BUCKET-cardinality (hours/days); the
+    * window list holds `windowLen` longs per row. The corpus-sized
+    * work is the one grouped count producing the series. */
+  def madAnomalies(series: DataFrame, bucketCol: String, cntCol: String,
+      windowLen: Int = 24, k: Long = 3L): DataFrame = {
+    require(windowLen >= 2, s"windowLen must be >= 2, got $windowLen")
+    require(k >= 1L, s"k must be >= 1, got $k")
+    val w = Window.orderBy(bucketCol)
+      .rowsBetween(-(windowLen - 1).toLong, Window.currentRow)
+    series.select(col(bucketCol).as("bucket"), col(cntCol).cast("long").as("cnt"))
+      .withColumn("__lst", sort_array(collect_list("cnt").over(w)))
+      .withColumn("med",
+        expr("element_at(__lst, CAST((size(__lst) + 1) div 2 AS INT))"))
+      .withColumn("mad", expr(
+        "element_at(array_sort(transform(__lst, x -> abs(x - med)))," +
+          " CAST((size(__lst) + 1) div 2 AS INT))"))
+      .withColumn("is_anomaly",
+        size(col("__lst")) === windowLen &&
+          abs(col("cnt") - col("med")) > lit(k) * col("mad"))
+      .select("bucket", "cnt", "med", "mad", "is_anomaly")
+  }
+
+  /** DuckDB twin of [[madAnomalies]] over a `series` CTE with
+    * (bucket, cnt) columns. */
+  def madAnomaliesSql(windowLen: Int = 24, k: Long = 3L): String =
+    s"""SELECT bucket, cnt, med, mad,
+       |  winfull AND abs(cnt - med) > $k * mad AS is_anomaly
+       |FROM (
+       |  SELECT bucket, cnt, len(lst) = $windowLen AS winfull,
+       |    list_sort(lst)[(len(lst) + 1) // 2] AS med,
+       |    list_sort(list_transform(lst,
+       |      x -> abs(x - list_sort(lst)[(len(lst) + 1) // 2])))
+       |      [(len(lst) + 1) // 2] AS mad
+       |  FROM (
+       |    SELECT bucket, cnt,
+       |      list(cnt) OVER (ORDER BY bucket
+       |        ROWS BETWEEN ${windowLen - 1} PRECEDING AND CURRENT ROW)
+       |        AS lst
+       |    FROM series))""".stripMargin
+
   /** Auto-binned histogram: Freedman–Diaconis bin-width selection
     * (h = 2·IQR/∛n — robust to outliers where Sturges/√n are not)
     * followed by an exact integer-arithmetic binning. The reference

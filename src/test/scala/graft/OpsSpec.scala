@@ -1430,6 +1430,44 @@ class OpsSpec extends AnyFunSuite {
       5L -> 2L, 6L -> 10L))
   }
 
+  test("crosstab: declared domain, absent combos are zero") {
+    val df = Seq(("s1", "en"), ("s1", "en"), ("s1", "fr"), ("s2", "zh"))
+      .toDF("src", "lang")
+    val got = ProfileOps.crosstab(df, "src", "lang", Seq("en", "fr", "zh"))
+      .orderBy("src").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("s1", 2L, 1L, 0L), ("s2", 0L, 0L, 1L)))
+    intercept[IllegalArgumentException] {
+      ProfileOps.crosstab(df, "src", "lang", Seq("en", "en"))
+    }
+  }
+
+  test("binnedChi2: zero on identical distributions, exact on a hand case") {
+    val same = Seq(("a", 0L), ("a", 1L), ("b", 0L), ("b", 1L))
+      .toDF("g", "bin")
+    val r0 = ProfileOps.binnedChi2(same, "g", col("bin"), "a", "b").head()
+    assert(r0.getLong(0) == 0L && r0.getLong(1) == 1L)
+    // bins: (a=3,b=1) -> 1e6*4/4 = 1_000_000; (a=0,b=2) -> 1e6*4/2 = 2_000_000
+    val diff = (Seq.fill(3)(("a", 0L)) ++ Seq(("b", 0L), ("b", 1L), ("b", 1L)))
+      .toDF("g", "bin")
+    val r1 = ProfileOps.binnedChi2(diff, "g", col("bin"), "a", "b").head()
+    assert(r1.getLong(0) == 3000000L && r1.getLong(1) == 1L &&
+      r1.getLong(2) == 3L && r1.getLong(3) == 3L)
+  }
+
+  test("madAnomalies: a planted spike alarms, steady load does not") {
+    val steady = (0L until 30L).map(b => (b, 100L + (b % 3)))
+    val spiked = steady.map { case (b, c) => (b, if (b == 20L) 1000L else c) }
+    val flags = ProfileOps.madAnomalies(
+      spiked.toDF("bucket", "cnt"), "bucket", "cnt", windowLen = 8)
+      .filter(col("is_anomaly")).select("bucket").collect().map(_.getLong(0))
+    assert(flags.toSeq == Seq(20L))
+    val none = ProfileOps.madAnomalies(
+      steady.toDF("bucket", "cnt"), "bucket", "cnt", windowLen = 8)
+      .filter(col("is_anomaly")).count()
+    assert(none == 0L)
+  }
+
   test("cumulativeDistinct: first-seen reduction equals running distinct") {
     val ev = Seq((1L, 0L), (1L, 5L), (2L, 0L), (3L, 1L), (3L, 9L), (4L, 9L))
       .toDF("user_id", "b")
