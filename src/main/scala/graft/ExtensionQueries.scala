@@ -1889,6 +1889,16 @@ object ExtensionQueries {
       SearchOps.bm25TopK(Tables.documents(s, dir), bm25Queries)
         .orderBy("query_id", "rank")
     },
+    // Rank-biased overlap between the default BM25 ranking and a
+    // retuned (k1=2.0, b=0.5) one — "how much did retrieval change",
+    // top-weighted; integer-scaled depth contributions sum exactly
+    "search_rank_rbo" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      SearchOps.rankingRbo(
+        SearchOps.bm25TopK(docs, bm25Queries),
+        SearchOps.bm25TopK(docs, bm25Queries, k1 = 2.0, b = 0.5),
+        k = 10).orderBy("query_id")
+    },
     // Hybrid retrieval: BM25 (lexical) and brute-cosine (semantic)
     // top-20 lists fused by reciprocal-rank fusion (Cormack et al.,
     // SIGIR 2009: score = Σ 1/(60+rank)) — the standard two-tower
@@ -2864,6 +2874,15 @@ object ExtensionQueries {
     // lossless index => identical scores/ranks to the direct form
     "search_bm25_indexed" ->
       (SearchOps.bm25TopKSql(bm25Queries) + " ORDER BY query_id, rank"),
+    "search_rank_rbo" ->
+      (s"""WITH ra AS (
+          |${SearchOps.bm25TopKSql(bm25Queries)}
+          |),
+          |rb AS (
+          |${SearchOps.bm25TopKSql(bm25Queries, k1 = 2.0, b = 0.5)}
+          |)
+          |""".stripMargin + SearchOps.rankingRboSql(10) +
+        "\nORDER BY query_id"),
     "search_hybrid_rrf" ->
       s"""WITH lex AS (
          |  SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,

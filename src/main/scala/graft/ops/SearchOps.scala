@@ -165,6 +165,71 @@ object SearchOps {
   /** DuckDB twin of [[bm25TopK]]: identical formula, identical operation
     * order (so the doubles agree bit-for-bit up to the final ln ulp),
     * identical rounded-score ranking. */
+  /** Rank-biased overlap (Webber et al., TOIS 2010) between two
+    * top-`k` rankings, per query — THE similarity measure for "how
+    * much did my retrieval change after retuning", top-weighted so a
+    * swap at rank 1 moves the score far more than one at rank k.
+    * Truncated-depth form with normalized geometric weights:
+    *
+    *   RBO@k = Σ_{d=1..k} [ p^(d−1)·(1−p)/(1−p^k) ] · |A_d ∩ B_d| / d
+    *
+    * Engine-exactness: prefix agreements come from the identity
+    * "doc counts toward every depth ≥ max(rank_A, rank_B)" — pure
+    * integer counting; each depth's contribution is scaled to BIGINT
+    * (round(1e9·…), with (1−p) and the normalizer precomputed as
+    * literals so only pow(p, d−1) is engine-evaluated) and the total
+    * is an exact integer sum. Queries with zero overlap report 0, not
+    * an absent row.
+    *
+    * 100 TB shape: one (query, doc) equi-join of two k·|queries|-row
+    * relations, one depth explode bounded by k — evaluation cost is
+    * rankings-sized, never corpus-sized. */
+  def rankingRbo(a: DataFrame, b: DataFrame, k: Int, p: Double = 0.9)
+      : DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(p > 0.0 && p < 1.0, s"p must be in (0,1), got $p")
+    val norm = (1.0 - p) / (1.0 - math.pow(p, k))
+    val joined = a.select(col("query_id"), col("doc_id"),
+        col("rank").as("ra"))
+      .join(b.select(col("query_id"), col("doc_id"), col("rank").as("rb")),
+        Seq("query_id", "doc_id"))
+      .withColumn("m", greatest(col("ra"), col("rb")))
+      .filter(col("m") <= k)
+    val contribs = joined
+      .select(col("query_id"), explode(expr(s"sequence(m, ${k}L)")).as("d"))
+      .groupBy("query_id", "d").agg(count(lit(1)).as("inter"))
+      .select(col("query_id"), expr(
+        s"CAST(round(1000000000.0 * pow($p, d - 1) * $norm * inter / d)" +
+          " AS BIGINT)").as("c"))
+      .groupBy("query_id").agg(sum("c").as("rbo_e9"))
+    a.select("query_id").distinct()
+      .join(contribs, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("rbo_e9"), lit(0L)).as("rbo_e9"))
+  }
+
+  /** DuckDB twin of [[rankingRbo]] over `ra`/`rb` CTEs with
+    * (query_id, doc_id, rank) columns. */
+  def rankingRboSql(k: Int, p: Double = 0.9): String = {
+    val norm = (1.0 - p) / (1.0 - math.pow(p, k))
+    s"""SELECT q.query_id, COALESCE(c.rbo_e9, 0) AS rbo_e9
+       |FROM (SELECT DISTINCT query_id FROM ra) q
+       |LEFT JOIN (
+       |  SELECT query_id, sum(c) AS rbo_e9 FROM (
+       |    SELECT query_id,
+       |      CAST(round(1000000000.0 * pow($p, d - 1) * $norm
+       |        * inter / d) AS BIGINT) AS c
+       |    FROM (
+       |      SELECT query_id, d, count(*) AS inter
+       |      FROM (
+       |        SELECT ra.query_id, greatest(ra.rank, rb.rank) AS m
+       |        FROM ra JOIN rb USING (query_id, doc_id)
+       |        WHERE greatest(ra.rank, rb.rank) <= $k) mm,
+       |        unnest(range(mm.m, ${k + 1})) t(d)
+       |      GROUP BY 1, 2))
+       |  GROUP BY 1) c USING (query_id)""".stripMargin
+  }
+
   def bm25TopKSql(queries: Seq[(Int, Seq[String])], k: Int = 10,
       k1: Double = 1.2, b: Double = 0.75): String = {
     // SQL-quote each term: '' doubling guards terms carrying quotes, and

@@ -1430,6 +1430,25 @@ class OpsSpec extends AnyFunSuite {
       5L -> 2L, 6L -> 10L))
   }
 
+  test("rankingRbo: identity ~ 1, disjoint = 0, top-weighted swaps") {
+    def rk(q: Int, docs: Seq[Long]) =
+      docs.zipWithIndex.map { case (d, i) => (q, d, i + 1) }
+    def df(rows: Seq[(Int, Long, Int)]) =
+      rows.toDF("query_id", "doc_id", "rank")
+    val base = rk(1, 1L to 10L)
+    val idRbo = SearchOps.rankingRbo(df(base), df(base), k = 10).head().getLong(1)
+    assert(math.abs(idRbo - 1000000000L) <= 10L) // per-depth rounding only
+    val disjoint = SearchOps.rankingRbo(df(base), df(rk(1, 11L to 20L)), k = 10)
+      .head().getLong(1)
+    assert(disjoint == 0L)
+    // a swap at ranks 1-2 hurts much more than one at ranks 9-10
+    val headSwap = SearchOps.rankingRbo(df(base),
+      df(rk(1, Seq(2L, 1L) ++ (3L to 10L))), k = 10).head().getLong(1)
+    val tailSwap = SearchOps.rankingRbo(df(base),
+      df(rk(1, (1L to 8L) ++ Seq(10L, 9L))), k = 10).head().getLong(1)
+    assert(headSwap < tailSwap && tailSwap < 1000000000L)
+  }
+
   test("crosstab: declared domain, absent combos are zero") {
     val df = Seq(("s1", "en"), ("s1", "en"), ("s1", "fr"), ("s2", "zh"))
       .toDF("src", "lang")
