@@ -552,6 +552,120 @@ object SimilarityOps {
       round(dot(col(vecCol), lit1), 6).as("projection"))
   }
 
+  /** FULL eigendecomposition of the embedding covariance — the PCA
+    * model behind whitening, OPQ-style rotation before product
+    * quantization, and variance-explained reports. The matrix is d×d
+    * (driver-bounded whatever the corpus size; the distributed work is
+    * [[embeddingCovariance]]'s single pass + one mean pass), solved
+    * with cyclic Jacobi — the textbook symmetric eigensolver, chosen
+    * here because its fixed sweep order makes the decomposition
+    * DETERMINISTIC bit-for-bit for a given covariance.
+    *
+    * Conventions (all deterministic): eigenpairs sorted by eigenvalue
+    * descending, ties by original column index; each eigenvector's
+    * sign fixed so its largest-|component| entry (first such index on
+    * ties) is positive.
+    *
+    * Returns (mean, eigenvalues desc, rotation) — rotation rows are
+    * components, so `rotation(j)` dot (v − mean) is score j. */
+  def pcaModel(df: DataFrame, vecCol: String = "embedding")
+      : (Array[Double], Array[Double], Array[Array[Double]]) = {
+    val cells = embeddingCovariance(df, vecCol)
+      .select("i", "j", "cov").collect()
+    require(cells.nonEmpty, "pcaModel: no covariance cells")
+    val d = cells.iterator.map(_.getInt(1)).max + 1
+    val m = Array.ofDim[Double](d, d)
+    cells.foreach { r =>
+      val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      m(i)(j) = c; m(j)(i) = c
+    }
+    val mean = df.select(posexplode(col(vecCol).cast("array<double>"))
+        .as(Seq("i", "x")))
+      .groupBy("i").agg(sum("x").as("s"), count(lit(1)).as("n"))
+      .orderBy("i").collect()
+      .map(r => r.getDouble(1) / r.getLong(2))
+    require(mean.length == d, s"mean dim ${mean.length} != cov dim $d")
+    val (evals, evecs) = jacobiEigen(m)
+    (mean, evals, evecs)
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix
+    * (driver-side; exposed for tests). Sweeps rotate every (p,q) pair
+    * in fixed row-major order until the off-diagonal Frobenius norm
+    * drops below 1e-12·‖A‖ (loud failure at 64 sweeps — far beyond
+    * Jacobi's quadratic-convergence needs). Returns (eigenvalues desc,
+    * eigenvectors as ROWS aligned to them, sign-fixed). */
+  def jacobiEigen(a0: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    val normA = math.sqrt(a.map(_.map(x => x * x).sum).sum)
+    def off(): Double = {
+      var s = 0.0
+      for (p <- 0 until d; q <- 0 until d if p != q) s += a(p)(q) * a(p)(q)
+      math.sqrt(s)
+    }
+    var sweep = 0
+    while (off() > 1e-12 * math.max(normA, 1e-300)) {
+      require(sweep < 64, "jacobiEigen: no convergence in 64 sweeps")
+      for (p <- 0 until d; q <- p + 1 until d if a(p)(q) != 0.0) {
+        val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+        val t = math.signum(theta) match {
+          case 0.0 => 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+          case s0 => s0 / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+        }
+        val c = 1.0 / math.sqrt(t * t + 1.0)
+        val s = t * c
+        for (k <- 0 until d) {
+          val akp = a(k)(p); val akq = a(k)(q)
+          a(k)(p) = c * akp - s * akq
+          a(k)(q) = s * akp + c * akq
+        }
+        for (k <- 0 until d) {
+          val apk = a(p)(k); val aqk = a(q)(k)
+          a(p)(k) = c * apk - s * aqk
+          a(q)(k) = s * apk + c * aqk
+        }
+        for (k <- 0 until d) {
+          val vkp = v(k)(p); val vkq = v(k)(q)
+          v(k)(p) = c * vkp - s * vkq
+          v(k)(q) = s * vkp + c * vkq
+        }
+      }
+      sweep += 1
+    }
+    val order = (0 until d).sortBy(j => (-a(j)(j), j))
+    val evals = order.map(j => a(j)(j)).toArray
+    val evecs = order.map { j =>
+      val col0 = Array.tabulate(d)(i => v(i)(j))
+      val mi = col0.indices.maxBy(i => (math.abs(col0(i)), -i))
+      if (col0(mi) < 0) col0.map(-_) else col0
+    }.toArray
+    (evals, evecs)
+  }
+
+  /** Project embeddings onto the top `nComponents` of a [[pcaModel]]:
+    * centered dot products against literal component rows — one narrow
+    * codegen'd pass (array literals are SINGLE literal objects, not
+    * per-element trees — the PqLut literal-cost lesson), no shuffle.
+    * Scores round 6dp (sequential fold — deterministic order). */
+  def pcaProjectAll(df: DataFrame, mean: Array[Double],
+      rotation: Array[Array[Double]], nComponents: Int,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    require(nComponents >= 1 && nComponents <= rotation.length,
+      s"nComponents must be in [1, ${rotation.length}], got $nComponents")
+    val muLit = typedLit(mean)
+    val centered = zip_with(col(vecCol).cast("array<double>"), muLit,
+      (x, mu) => x - mu)
+    val scores = (0 until nComponents).map { j =>
+      val rLit = typedLit(rotation(j))
+      round(aggregate(zip_with(centered, rLit, (x, r) => x * r),
+        lit(0.0), (acc, x) => acc + x), 6)
+    }
+    df.select(col(idCol), array(scores: _*).as("scores"))
+  }
+
   // ---- product quantization (Jégou et al., TPAMI 2011) ---------------------
 
   /** Seeded PQ codebooks: `m` subspaces × `k` sub-centroids × (dim/m)

@@ -1430,6 +1430,44 @@ class OpsSpec extends AnyFunSuite {
       5L -> 2L, 6L -> 10L))
   }
 
+  test("pcaModel: orthonormal rotation, sorted eigenvalues, decorrelated scores") {
+    // deterministic anisotropic cloud: dominant (x0+x1) direction,
+    // weak independent x2, constant x3
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 400).map { i =>
+      val a = rnd.nextGaussian() * 10; val b = rnd.nextGaussian()
+      (i.toLong, Array((a + b).toFloat, (a - b).toFloat,
+        (rnd.nextGaussian() * 0.1).toFloat, 0.5f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val (mean, evals, rot) = SimilarityOps.pcaModel(df)
+    for (i <- rot.indices; j <- rot.indices) {
+      val dotv = rot(i).zip(rot(j)).map { case (x, y) => x * y }.sum
+      assert(math.abs(dotv - (if (i == j) 1.0 else 0.0)) < 1e-9, s"($i,$j)")
+    }
+    assert(evals.sliding(2).forall(p => p(0) >= p(1) - 1e-12))
+    assert(math.abs(math.abs(rot(0)(0)) - math.sqrt(0.5)) < 0.05)
+    assert(evals.last < 1e-6) // the constant dimension
+    // projected scores: sample covariance ~ diag(eigenvalues)
+    val scores = SimilarityOps.pcaProjectAll(df, mean, rot, 4).collect()
+      .map(_.getSeq[Double](1).toArray)
+    val n = scores.length.toDouble
+    for (i <- 0 until 4; j <- i until 4) {
+      val mi = scores.map(_(i)).sum / n; val mj = scores.map(_(j)).sum / n
+      val cov = scores.map(s => (s(i) - mi) * (s(j) - mj)).sum / n
+      if (i == j) assert(math.abs(cov - evals(i)) <
+        math.max(0.05 * evals(i), 1e-3), s"var($i)")
+      else assert(math.abs(cov) < 0.05 * math.sqrt(
+        math.max(evals(i) * evals(j), 1e-12)) + 1e-3, s"cov($i,$j)")
+    }
+    // partitioning-invariant (the determinism contract)
+    val (_, e2, r2) = SimilarityOps.pcaModel(df.repartition(7))
+    assert(e2.zip(evals).forall { case (x, y) => math.abs(x - y) < 1e-9 })
+    assert(r2.flatten[Double].zip(rot.flatten[Double]).forall {
+      case (x, y) => math.abs(x - y) < 1e-9
+    })
+  }
+
   test("rankingRbo: identity ~ 1, disjoint = 0, top-weighted swaps") {
     def rk(q: Int, docs: Seq[Long]) =
       docs.zipWithIndex.map { case (d, i) => (q, d, i + 1) }
