@@ -1718,6 +1718,20 @@ object ExtensionQueries {
       ProfileOps.binnedChi2(Tables.documents(s, dir), "source",
         axVal.binCol(col("n_chars").cast("double")), "src0", "src1")
     },
+    // KS max-CDF-gap between the same two sources' length histograms —
+    // chi2's scale-free sibling; cross-multiplied integer CDFs
+    "hist_ks_drift" -> { (s, dir) =>
+      ProfileOps.binnedKs(Tables.documents(s, dir), "source",
+        axVal.binCol(col("n_chars").cast("double")), "src0", "src1")
+    },
+    // Top first-5-event journeys: whole-sequence Sankey counts beyond
+    // pairwise transitions; bounded per-user prefix, bounded top-k
+    "events_top_paths" -> { (s, dir) =>
+      val ev = graft.sources.Sources.eventsWithTimestamp(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("event_type"))
+      FunnelOps.topPaths(ev, pathLen = 5, k = 20).orderBy("rank")
+    },
     // Robust volume alarm: hourly event counts vs trailing lower-median
     // and lower-MAD — integer order statistics, bit-identical alarms
     "events_anomaly_mad" -> { (s, dir) =>
@@ -2776,6 +2790,11 @@ object ExtensionQueries {
     "hist_chi2_drift" ->
       ProfileOps.binnedChi2Sql("documents", "source",
         axVal.sqlExpr("CAST(n_chars AS DOUBLE)"), "src0", "src1"),
+    "hist_ks_drift" ->
+      ProfileOps.binnedKsSql("documents", "source",
+        axVal.sqlExpr("CAST(n_chars AS DOUBLE)"), "src0", "src1"),
+    "events_top_paths" ->
+      (FunnelOps.topPathsSql(5, 20) + "\nORDER BY rank"),
     "events_anomaly_mad" ->
       (s"""WITH series AS (
           |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS bucket,

@@ -344,6 +344,58 @@ object FunnelOps {
       .select(col(keyCol), col("bucket"), col("value"))
   }
 
+  /** Top user journeys: each user's first `pathLen` events (by the
+    * (ts, tie) total order) joined into a path string, counted, top-k
+    * by frequency — the Sankey/journey report product analytics runs
+    * beyond pairwise [[events_transitions Markov transitions]]: "what
+    * do users actually DO first", as whole sequences.
+    *
+    * Determinism: the per-user ordering is a total order (struct sort
+    * on (ts, tie, type)); path strings are exact; top-k ties break by
+    * path ascending.
+    *
+    * 100 TB shape: one groupBy(user) building a bounded prefix (the
+    * collected list is each user's events, sliced to `pathLen` — a
+    * hyperactive user costs list memory but never a window sort of the
+    * whole relation), one path-cardinality count, and a bounded top-k
+    * (TakeOrderedAndProject). */
+  def topPaths(events: DataFrame, pathLen: Int, k: Int,
+      userCol: String = "user_id", tsCol: String = "ts_us",
+      tieCol: String = "event_id", typeCol: String = "event_type")
+      : DataFrame = {
+    require(pathLen >= 1, s"pathLen must be >= 1, got $pathLen")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val paths = events
+      .select(col(userCol).as("__u"), struct(col(tsCol).as("ts"),
+        col(tieCol).as("tie"), col(typeCol).as("t")).as("__e"))
+      .groupBy("__u")
+      .agg(expr(s"concat_ws('>', transform(slice(sort_array(" +
+        s"collect_list(__e)), 1, $pathLen), x -> x.t))").as("path"))
+    paths.groupBy("path").agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path").asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_users").desc, col("path").asc)).cast("long"))
+      .select("rank", "path", "n_users")
+  }
+
+  /** DuckDB twin of [[topPaths]] over events. */
+  def topPathsSql(pathLen: Int, k: Int): String =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+       |    event_id, event_type
+       |  FROM events),
+       |p AS (
+       |  SELECT user_id,
+       |    array_to_string(list(event_type
+       |      ORDER BY ts_us, event_id)[1:$pathLen], '>') AS path
+       |  FROM e GROUP BY 1),
+       |c AS (SELECT path, count(*) AS n_users FROM p GROUP BY 1)
+       |SELECT row_number() OVER (ORDER BY n_users DESC, path ASC) AS rank,
+       |  path, n_users
+       |FROM c
+       |QUALIFY rank <= $k""".stripMargin
+
   /** Cumulative distinct keys per time bucket — "total unique users to
     * date", the growth metric a naive implementation computes with a
     * running COUNT(DISTINCT) over an ever-growing window (quadratic

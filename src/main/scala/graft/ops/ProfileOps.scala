@@ -514,6 +514,66 @@ object ProfileOps {
        |FROM binned""".stripMargin
   }
 
+  /** Kolmogorov–Smirnov statistic between two groups' binned
+    * distributions — the max CDF gap, [[binnedChi2]]'s scale-free
+    * sibling (chi2 weights by occupancy; KS answers "how far apart are
+    * the distribution SHAPES"). Engine-exact throughout: the gap is
+    * maximized as the INTEGER |cumA·nB − cumB·nA| (cross-multiplied
+    * CDFs — no per-bin float), divided once and rounded 6dp.
+    *
+    * Bound (documented, the [[linearFit]] convention): cumA·nB needs
+    * each side under ~3e9 rows to stay in int64 — past that, compute
+    * per-shard KS on stratified samples or scale counts down first.
+    *
+    * One row: (ks_e6 = round(1e6·max|ΔCDF|), n_a, n_b). The bin walk
+    * is a bin-cardinality window — corpus cost is the grouped count. */
+  def binnedKs(df: DataFrame, groupCol: String, binCol: Column,
+      groupA: String, groupB: String): DataFrame = {
+    val binned = df.filter(col(groupCol).isin(groupA, groupB))
+      .select(col(groupCol).as("__g"), binCol.as("bin"))
+      .groupBy("bin")
+      .agg(count(when(col("__g") === groupA, lit(1))).as("a"),
+        count(when(col("__g") === groupB, lit(1))).as("b"))
+    val w = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    binned
+      .withColumn("ca", sum("a").over(w))
+      .withColumn("cb", sum("b").over(w))
+      .crossJoin(broadcast(binned.agg(sum("a").as("na"), sum("b").as("nb"))))
+      .agg(
+        round(max(abs(col("ca") * col("nb") - col("cb") * col("na")))
+          .cast("double") /
+          (max("na").cast("double") * max("nb").cast("double")) * 1000000.0, 0)
+          .cast("long").as("ks_e6"),
+        max("na").as("n_a"), max("nb").as("n_b"))
+  }
+
+  /** DuckDB twin of [[binnedKs]]. */
+  def binnedKsSql(table: String, groupCol: String, binSql: String,
+      groupA: String, groupB: String): String = {
+    def q(s: String) = s.replace("'", "''")
+    s"""WITH binned AS (
+       |  SELECT $binSql AS bin,
+       |    count(*) FILTER ($groupCol = '${q(groupA)}') AS a,
+       |    count(*) FILTER ($groupCol = '${q(groupB)}') AS b
+       |  FROM $table WHERE $groupCol IN ('${q(groupA)}', '${q(groupB)}')
+       |  GROUP BY 1),
+       |cum AS (
+       |  SELECT
+       |    sum(a) OVER (ORDER BY bin
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+       |    sum(b) OVER (ORDER BY bin
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+       |  FROM binned),
+       |tot AS (SELECT CAST(sum(a) AS BIGINT) AS na,
+       |          CAST(sum(b) AS BIGINT) AS nb FROM binned)
+       |SELECT CAST(round(CAST(max(abs(ca * nb - cb * na)) AS DOUBLE)
+       |    / (CAST(max(na) AS DOUBLE) * CAST(max(nb) AS DOUBLE))
+       |    * 1000000.0) AS BIGINT) AS ks_e6,
+       |  max(na) AS n_a, max(nb) AS n_b
+       |FROM cum, tot""".stripMargin
+  }
+
   /** Median/MAD volume anomaly detection over a per-bucket count
     * series: a bucket is anomalous when its count deviates from the
     * trailing-`windowLen` LOWER median by more than `k` lower-MADs —

@@ -1430,6 +1430,36 @@ class OpsSpec extends AnyFunSuite {
       5L -> 2L, 6L -> 10L))
   }
 
+  test("binnedKs: zero on identical, exact max CDF gap on a hand case") {
+    val same = Seq(("a", 0L), ("a", 1L), ("b", 0L), ("b", 1L)).toDF("g", "bin")
+    assert(ProfileOps.binnedKs(same, "g", col("bin"), "a", "b")
+      .head().getLong(0) == 0L)
+    // a: 3 in bin0, 1 in bin1; b: 1 in bin0, 3 in bin1
+    // CDF gap at bin0 = |3/4 - 1/4| = 0.5 -> 500000
+    val diff = (Seq.fill(3)(("a", 0L)) :+ ("a", 1L)) ++
+      (("b", 0L) +: Seq.fill(3)(("b", 1L)))
+    val r = ProfileOps.binnedKs(diff.toDF("g", "bin"), "g", col("bin"),
+      "a", "b").head()
+    assert(r.getLong(0) == 500000L && r.getLong(1) == 4L && r.getLong(2) == 4L)
+  }
+
+  test("topPaths: deterministic prefix paths, frequency-ranked") {
+    val ev = Seq(
+      (1L, 1L, 10L, "a"), (1L, 2L, 20L, "b"), (1L, 3L, 30L, "c"),
+      (2L, 4L, 10L, "a"), (2L, 5L, 20L, "b"),
+      (3L, 6L, 10L, "a"), (3L, 7L, 20L, "b"), (3L, 8L, 30L, "c"),
+      (4L, 9L, 5L, "x"))
+      .toDF("user_id", "event_id", "ts_us", "event_type")
+    val got = FunnelOps.topPaths(ev, pathLen = 2, k = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, "a>b", 3L), (2L, "x", 1L)))
+    // same-ts tie resolves by event_id: an earlier id sorts first
+    val tie = Seq((1L, 2L, 10L, "z"), (1L, 1L, 10L, "y"))
+      .toDF("user_id", "event_id", "ts_us", "event_type")
+    assert(FunnelOps.topPaths(tie, 2, 1).head().getString(1) == "y>z")
+  }
+
   test("pcaModel: orthonormal rotation, sorted eigenvalues, decorrelated scores") {
     // deterministic anisotropic cloud: dominant (x0+x1) direction,
     // weak independent x2, constant x3
