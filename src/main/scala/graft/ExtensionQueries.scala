@@ -1960,6 +1960,35 @@ object ExtensionQueries {
           col("n_exact"), SketchOps.hllEstimate().as("hll_est"))
         .orderBy("bucket_start")
     },
+    // Exact tie-aware ROC-AUC of the fastText-style classifier score
+    // against the Gopher rule-suite keep label — "does the cheap scorer
+    // reproduce the expensive rules". Rank arithmetic all-integer over
+    // the quantized-score GROUP relation (<= 2e6+1 rows at any corpus
+    // size), so the discrimination certificate costs one groupBy.
+    "quality_auc" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val scored = PipelineOps.classifierScore(docs).join(
+        docs.select(col("doc_id"),
+          TextOps.gopherKeep(col("text")).as("label")), Seq("doc_id"))
+      EvalOps.rocAuc(scored)
+    },
+    // Exact mutual-information decomposition between the corpus metadata
+    // columns — "does source determine lang" as the per-cell PMI table
+    // whose mi_term column sums to I(lang; source)
+    "profile_mutual_info" -> { (s, dir) =>
+      EvalOps.mutualInfo(Tables.documents(s, dir), "lang", "source")
+        .orderBy("x", "y")
+    },
+    // k-anonymity risk report over the (lang, source, length-band)
+    // quasi-identifier: for each threshold k, how many groups/rows are
+    // re-identifiable (group size < k), plus the dataset's anonymity
+    // level (global min group size)
+    "privacy_k_anonymity" -> { (s, dir) =>
+      EvalOps.kAnonymity(
+        Tables.documents(s, dir).select(col("lang"), col("source"),
+          expr("n_chars div 100").as("len_band")),
+        Seq("lang", "source", "len_band")).orderBy("k")
+    },
   )
 
   private val bm25Queries: Seq[(Int, Seq[String])] = Seq(
@@ -2885,6 +2914,17 @@ object ExtensionQueries {
          |    CAST(greatest(COALESCE(per.n_shingles, 0), 1) AS DOUBLE), 6) AS dup_frac
          |FROM documents d LEFT JOIN per USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+    "quality_auc" ->
+      EvalOps.rocAucSql(
+        s"""SELECT c.score AS score, ${TextOps.gopherKeepSql("d.text")} AS label
+           |FROM (${PipelineOps.classifierScoreSql}) c
+           |JOIN documents d USING (doc_id)""".stripMargin),
+    "profile_mutual_info" ->
+      (EvalOps.mutualInfoSql("documents", "lang", "source") +
+        "\nORDER BY x, y"),
+    "privacy_k_anonymity" ->
+      (EvalOps.kAnonymitySql("documents",
+        Seq("lang", "source", "n_chars // 100")) + "\nORDER BY k"),
   ) ++ searchOracles
 
   private def searchOracles: Map[String, String] = Map(

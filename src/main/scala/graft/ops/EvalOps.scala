@@ -1,0 +1,199 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Model-quality evaluation and data-governance measurements over corpus
+  * relations — the "did the filter work, and is the data safe to ship"
+  * layer a curation pipeline runs after scoring/dedup and before export.
+  *
+  * The reference engine has no evaluation surface (reference scope:
+  * /root/reference/src/dask_histogram covers histogram aggregation only);
+  * this module extends the pipeline family with three measurements every
+  * production run needs: classifier discrimination (ROC-AUC), metadata
+  * dependence (mutual information), and re-identification risk
+  * (k-anonymity).
+  */
+object EvalOps {
+
+  // ---- ROC-AUC ----------------------------------------------------------
+  /** Exact tie-aware ROC-AUC of a score column against a boolean label —
+    * the one-number answer to "does the quality classifier actually
+    * separate keep from drop". Computed via the Mann-Whitney rank-sum
+    * identity: AUC = (Σ ranks of positives − P(P+1)/2) / (P·N), with tied
+    * scores receiving their average rank (the standard mid-rank
+    * convention, which makes AUC invariant to tie ordering).
+    *
+    * Engine-portable exactness: scores are quantized to integer
+    * micro-units (the input contract is a 6dp-rounded score, so the
+    * quantization is lossless), all rank arithmetic is integral —
+    * 2·Σ avgrank(positives) = Σ_groups pos·(2·below + cnt + 1) — and only
+    * the final division is floating point, rounded at 6dp.
+    *
+    * 100 TB shape: one groupBy on the quantized score bounds the ranked
+    * relation at 2,000,001 rows REGARDLESS of corpus size (scores live in
+    * [-1, 1] at 6dp), so the single-partition rank window is constant-size
+    * — the corpus-sized input never passes through a global sort. The
+    * rank sums stay in int64 for corpora up to ~2·10^9 positives; beyond
+    * that the group relation is unchanged and the two sum aggregates
+    * switch to DECIMAL(38,0) (same plan).
+    *
+    * Returns ONE row: (n_pos, n_neg, n_score_groups, auc). */
+  def rocAuc(scored: DataFrame, scoreCol: String = "score",
+      labelCol: String = "label"): DataFrame = {
+    val g = scored
+      .select((round(col(scoreCol) * 1e6) cast "long").as("s"),
+        col(labelCol).cast("boolean").as("y"))
+      .groupBy("s")
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("pos"))
+    // below = rows with strictly smaller score; the window runs over the
+    // score-group relation (bounded at 2e6+1 rows by quantization), never
+    // over the corpus
+    val w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = g.select(col("cnt"), col("pos"),
+      coalesce(sum(col("cnt")).over(w), lit(0L)).as("below"))
+    ranked.agg(
+        sum(col("pos")).as("p"),
+        sum(col("cnt") - col("pos")).as("n"),
+        count(lit(1)).as("n_score_groups"),
+        sum(col("pos") * (lit(2L) * col("below") + col("cnt") + lit(1L)))
+          .as("r2"))
+      .select(col("p").as("n_pos"), col("n").as("n_neg"),
+        col("n_score_groups"),
+        round((col("r2") - col("p") * (col("p") + lit(1L))).cast("double") /
+          (lit(2.0) * col("p").cast("double") * col("n").cast("double")), 6)
+          .as("auc"))
+  }
+
+  /** DuckDB twin of [[rocAuc]]: `scoredCte` must yield (score, label)
+    * with the identical 6dp-rounded score. */
+  def rocAucSql(scoredCte: String, scoreExpr: String = "score",
+      labelExpr: String = "label"): String =
+    s"""WITH scored AS ($scoredCte),
+       |g AS (
+       |  SELECT CAST(round($scoreExpr * 1e6) AS BIGINT) AS s,
+       |    CAST(count(*) AS BIGINT) AS cnt,
+       |    CAST(sum(CASE WHEN $labelExpr THEN 1 ELSE 0 END) AS BIGINT) AS pos
+       |  FROM scored GROUP BY 1),
+       |ranked AS (
+       |  SELECT cnt, pos,
+       |    COALESCE(sum(cnt) OVER (ORDER BY s
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+       |  FROM g),
+       |agg AS (
+       |  SELECT CAST(sum(pos) AS BIGINT) AS p,
+       |    CAST(sum(cnt - pos) AS BIGINT) AS n,
+       |    CAST(count(*) AS BIGINT) AS n_score_groups,
+       |    CAST(sum(pos * (2 * below + cnt + 1)) AS BIGINT) AS r2
+       |  FROM ranked)
+       |SELECT p AS n_pos, n AS n_neg, n_score_groups,
+       |  round(CAST(r2 - p * (p + 1) AS DOUBLE) /
+       |    (2.0 * CAST(p AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS auc
+       |FROM agg""".stripMargin
+
+  // ---- mutual information -----------------------------------------------
+  /** Exact mutual-information decomposition between two categorical
+    * columns — "does `source` leak `lang`" and every other
+    * metadata-dependence question, as the per-cell table
+    * (x, y, c_xy, c_x, c_y, n, pmi, mi_term) with
+    * pmi = ln(n·c_xy / (c_x·c_y)) and mi_term = pmi·c_xy/n (the cell's
+    * contribution to I(X;Y); Σ mi_term = MI).
+    *
+    * Exactness: counts are exact integers; the marginals re-aggregate the
+    * CELL relation (x-cardinality × y-cardinality, never corpus-sized),
+    * so raw rows are scanned once; each ln factor is cast to double
+    * individually before multiplying (int64-overflow guard, the
+    * [[TextOps.positionalPmi]] discipline); pmi rounds at 6dp and mi_term
+    * is derived from the ROUNDED pmi (both engines multiply the identical
+    * double), rounded at 9dp.
+    *
+    * 100 TB shape: one scan + one map-side-combined groupBy on (x, y);
+    * marginals and the total are re-aggregates of the cell relation; the
+    * total rides a one-row broadcast. */
+  def mutualInfo(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cells = df.groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).as("c_xy"))
+    val mx = cells.groupBy("x").agg(sum(col("c_xy")).as("c_x"))
+    val my = cells.groupBy("y").agg(sum(col("c_xy")).as("c_y"))
+    val tot = cells.agg(sum(col("c_xy")).as("n"))
+    val pmi = round(log((col("n").cast("double") * col("c_xy").cast("double")) /
+      (col("c_x").cast("double") * col("c_y").cast("double"))), 6)
+    cells.join(mx, Seq("x")).join(my, Seq("y"))
+      .crossJoin(broadcast(tot))
+      .select(col("x"), col("y"), col("c_xy"), col("c_x"), col("c_y"),
+        col("n"), pmi.as("pmi"),
+        round(pmi * col("c_xy").cast("double") / col("n").cast("double"), 9)
+          .as("mi_term"))
+  }
+
+  /** DuckDB twin of [[mutualInfo]]. */
+  def mutualInfoSql(table: String, xCol: String, yCol: String): String =
+    s"""WITH cells AS (
+       |  SELECT $xCol AS x, $yCol AS y, CAST(count(*) AS BIGINT) AS c_xy
+       |  FROM $table GROUP BY 1, 2),
+       |mx AS (SELECT x, CAST(sum(c_xy) AS BIGINT) AS c_x FROM cells GROUP BY 1),
+       |my AS (SELECT y, CAST(sum(c_xy) AS BIGINT) AS c_y FROM cells GROUP BY 1),
+       |tot AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n FROM cells)
+       |SELECT x, y, c_xy, c_x, c_y, n,
+       |  round(ln((CAST(n AS DOUBLE) * CAST(c_xy AS DOUBLE)) /
+       |    (CAST(c_x AS DOUBLE) * CAST(c_y AS DOUBLE))), 6) AS pmi,
+       |  round(round(ln((CAST(n AS DOUBLE) * CAST(c_xy AS DOUBLE)) /
+       |    (CAST(c_x AS DOUBLE) * CAST(c_y AS DOUBLE))), 6)
+       |    * CAST(c_xy AS DOUBLE) / CAST(n AS DOUBLE), 9) AS mi_term
+       |FROM cells JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot""".stripMargin
+
+  // ---- k-anonymity -------------------------------------------------------
+  /** k-anonymity risk report over a quasi-identifier grouping — "how many
+    * records are re-identifiable from their metadata alone". A record is
+    * k-anonymous iff its quasi-identifier combination is shared by at
+    * least k records; the report gives, for each requested k, how many
+    * groups and rows fall BELOW the threshold, plus the global minimum
+    * group size (the dataset's k-anonymity level).
+    *
+    * All-integer output → exact on any engine. 100 TB shape: one
+    * map-side-combined groupBy on the quasi-identifier tuple (the only
+    * corpus-sized pass), then per-k aggregates over the GROUP relation
+    * via a literal-k cross join — group count is bounded by the
+    * quasi-identifier domain, not the corpus. */
+  def kAnonymity(df: DataFrame, qidCols: Seq[String],
+      ks: Seq[Int] = Seq(2, 5, 10, 20)): DataFrame = {
+    require(qidCols.nonEmpty, "kAnonymity needs at least one quasi-identifier")
+    require(ks.nonEmpty && ks.forall(_ >= 2), s"thresholds must be >= 2, got $ks")
+    val g = df.groupBy(qidCols.map(col): _*).agg(count(lit(1)).as("sz"))
+    val kRel = explode(array(ks.map(k => lit(k)): _*)).as("k")
+    g.select(col("sz"), kRel)
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("sz")).as("n_rows"),
+        sum(when(col("sz") < col("k"), 1L).otherwise(0L)).as("groups_below"),
+        sum(when(col("sz") < col("k"), col("sz")).otherwise(0L)).as("rows_below"),
+        min(col("sz")).as("min_group"))
+      .select(col("k").cast("int").as("k"), col("n_groups"), col("n_rows"),
+        col("groups_below"), col("rows_below"), col("min_group"))
+  }
+
+  /** DuckDB twin of [[kAnonymity]]: `qidExprs` must compute the identical
+    * quasi-identifier tuple. */
+  def kAnonymitySql(table: String, qidExprs: Seq[String],
+      ks: Seq[Int] = Seq(2, 5, 10, 20)): String = {
+    val qs = qidExprs.zipWithIndex.map { case (e, i) => s"$e AS q$i" }
+      .mkString(", ")
+    val kVals = ks.map(k => s"($k)").mkString(", ")
+    s"""WITH g AS (
+       |  SELECT ${qidExprs.indices.map(i => s"q$i").mkString(", ")},
+       |    CAST(count(*) AS BIGINT) AS sz
+       |  FROM (SELECT $qs FROM $table)
+       |  GROUP BY ${qidExprs.indices.map(_ + 1).mkString(", ")}),
+       |kk(k) AS (VALUES $kVals)
+       |SELECT CAST(k AS INT) AS k,
+       |  CAST(count(*) AS BIGINT) AS n_groups,
+       |  CAST(sum(sz) AS BIGINT) AS n_rows,
+       |  CAST(sum(CASE WHEN sz < k THEN 1 ELSE 0 END) AS BIGINT) AS groups_below,
+       |  CAST(sum(CASE WHEN sz < k THEN sz ELSE 0 END) AS BIGINT) AS rows_below,
+       |  CAST(min(sz) AS BIGINT) AS min_group
+       |FROM g CROSS JOIN kk
+       |GROUP BY k""".stripMargin
+  }
+}

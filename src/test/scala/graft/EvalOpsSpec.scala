@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.EvalOps
+
+/** Closed-form checks for the evaluation/governance operators. */
+class EvalOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.get
+  import spark.implicits._
+
+  private def auc(rows: Seq[(Double, Boolean)]): (Long, Long, Double) = {
+    val r = EvalOps.rocAuc(rows.toDF("score", "label")).collect()(0)
+    (r.getAs[Long]("n_pos"), r.getAs[Long]("n_neg"), r.getAs[Double]("auc"))
+  }
+
+  test("rocAuc: perfect separation scores 1.0, reversed scores 0.0") {
+    assert(auc(Seq(0.1 -> false, 0.2 -> false, 0.3 -> true, 0.4 -> true)) ==
+      ((2L, 2L, 1.0)))
+    assert(auc(Seq(0.1 -> true, 0.2 -> true, 0.3 -> false, 0.4 -> false)) ==
+      ((2L, 2L, 0.0)))
+  }
+
+  test("rocAuc: all-tied scores give exactly 0.5 (mid-rank convention)") {
+    assert(auc(Seq(0.5 -> true, 0.5 -> false, 0.5 -> true, 0.5 -> false)) ==
+      ((2L, 2L, 0.5)))
+  }
+
+  test("rocAuc: cross-class tie counts half a win") {
+    // pairs: T(.2) beats F(.1), ties F(.2); T(.3) beats both => 3.5/4
+    assert(auc(Seq(0.1 -> false, 0.2 -> true, 0.2 -> false, 0.3 -> true)) ==
+      ((2L, 2L, 0.875)))
+  }
+
+  test("rocAuc: label complement mirrors the score, negative scores fine") {
+    val rows = Seq(-0.4 -> false, -0.1 -> true, 0.0 -> false, 0.25 -> true,
+      0.25 -> false, 0.9 -> true)
+    val a = auc(rows)._3
+    val b = auc(rows.map { case (s, y) => (s, !y) })._3
+    assert(math.abs((a + b) - 1.0) < 1e-12)
+  }
+
+  test("mutualInfo: deterministic dependence yields MI = H(X) = ln 2") {
+    val df = Seq(("a", "a"), ("a", "a"), ("b", "b"), ("b", "b"))
+      .toDF("lang", "source")
+    val rows = EvalOps.mutualInfo(df, "lang", "source").collect()
+    assert(rows.length == 2)
+    val ln2r = BigDecimal(math.log(2)).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { r =>
+      assert(r.getAs[Double]("pmi") == ln2r)
+      assert(r.getAs[Long]("c_xy") == 2L && r.getAs[Long]("n") == 4L)
+    }
+    val mi = rows.map(_.getAs[Double]("mi_term")).sum
+    assert(math.abs(mi - math.log(2)) < 1e-5)
+  }
+
+  test("mutualInfo: independent columns decompose to zero PMI everywhere") {
+    val df = for {x <- Seq("a", "b"); y <- Seq("u", "v")} yield (x, y)
+    val rows = EvalOps.mutualInfo(df.toDF("x", "y"), "x", "y").collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("pmi") == 0.0)
+      assert(r.getAs[Double]("mi_term") == 0.0)
+    }
+  }
+
+  test("kAnonymity: per-k group/row counts and global minimum") {
+    val df = (Seq(("g1", 1)) ++ Seq.fill(2)(("g2", 1)) ++ Seq.fill(3)(("g3", 1)))
+      .toDF("qid", "pad")
+    val got = EvalOps.kAnonymity(df, Seq("qid"), Seq(2, 3)).collect()
+      .map(r => r.getAs[Int]("k") ->
+        ((r.getAs[Long]("n_groups"), r.getAs[Long]("n_rows"),
+          r.getAs[Long]("groups_below"), r.getAs[Long]("rows_below"),
+          r.getAs[Long]("min_group")))).toMap
+    assert(got(2) == ((3L, 6L, 1L, 1L, 1L)))
+    assert(got(3) == ((3L, 6L, 2L, 3L, 1L)))
+  }
+
+  test("kAnonymity: rejects empty qid list and k < 2") {
+    val df = Seq(("a", 1)).toDF("qid", "pad")
+    intercept[IllegalArgumentException](EvalOps.kAnonymity(df, Nil))
+    intercept[IllegalArgumentException](
+      EvalOps.kAnonymity(df, Seq("qid"), Seq(1)))
+  }
+}
