@@ -1960,6 +1960,21 @@ object ExtensionQueries {
           col("n_exact"), SketchOps.hllEstimate().as("hll_est"))
         .orderBy("bucket_start")
     },
+    // HITS hubs & authorities over the order→part link graph — the
+    // mutual-reinforcement centrality pair next to graph_pagerank; fixed
+    // 4 rounds, L1 normalization, unrolled-CTE oracle
+    "graph_hits" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val fwd = li.select((col("l_orderkey") * 2).as("src"),
+        (col("l_partkey") * 2 + 1).as("dst"))
+      val rev = li.filter(col("l_partkey") % 3 =!= 0)
+        .select((col("l_partkey") * 2 + 1).as("src"),
+          (col("l_orderkey") * 2).as("dst"))
+      GraphOps.hits(fwd.unionByName(rev), iters = 4)
+        .select(col("node"), round(col("auth"), 9).as("auth"),
+          round(col("hub"), 9).as("hub"))
+        .orderBy("node")
+    },
     // Exact tie-aware ROC-AUC of the fastText-style classifier score
     // against the Gopher rule-suite keep label — "does the cheap scorer
     // reproduce the expensive rules". Rank arithmetic all-integer over
@@ -2914,6 +2929,14 @@ object ExtensionQueries {
          |    CAST(greatest(COALESCE(per.n_shingles, 0), 1) AS DOUBLE), 6) AS dup_frac
          |FROM documents d LEFT JOIN per USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+    "graph_hits" ->
+      (GraphOps.hitsSql(
+        """SELECT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst
+          |FROM lineitem
+          |UNION ALL
+          |SELECT l_partkey * 2 + 1, l_orderkey * 2
+          |FROM lineitem WHERE l_partkey % 3 <> 0""".stripMargin,
+        iters = 4) + "\nORDER BY node"),
     "quality_auc" ->
       EvalOps.rocAucSql(
         s"""SELECT c.score AS score, ${TextOps.gopherKeepSql("d.text")} AS label

@@ -352,6 +352,85 @@ object GraphOps {
       .groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .select(col("src").as("node"), col("deg"))
 
+  /** HITS hubs & authorities (Kleinberg 1999) by fixed-iteration mutual
+    * reinforcement over a directed edge list — the "good directory vs
+    * good page" decomposition a link-curation pass uses alongside
+    * [[pageRank]]: a hub is endorsed by pointing AT authorities, an
+    * authority by being pointed at BY hubs.
+    *
+    * Per round (L1-normalized — a sum, not the textbook L2, so both the
+    * normalization and its oracle twin stay a plain aggregate with no
+    * sqrt in the fixpoint):
+    *   auth_i = (Σ_{j→i} hub_j) / Σ_k auth_raw_k,
+    *   hub_i  = (Σ_{i→j} auth_j) / Σ_k hub_raw_k.
+    * Fixed `iters` (not convergence-probed) so [[hitsSql]] can unroll the
+    * identical rounds; hubs init at 1.0 exactly.
+    *
+    * 100 TB shape: same class as [[pageRank]] — scores are one row per
+    * node, each half-round is edges⋈scores on one endpoint key plus a
+    * groupBy on the other, the normalizer rides a ONE-ROW broadcast
+    * cross join (no driver collect in the loop), and every half-round is
+    * cut with an eager lineage barrier (reliable checkpoints when
+    * `spark.graft.checkpointDir` is set). AQE salts hub skew. Returns
+    * (node, auth, hub), unrounded — callers round for oracles. */
+  def hits(edges: DataFrame, iters: Int = 4): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .distinct().lineageBarrier(eager = false)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+      .lineageBarrier(eager = false)
+    // one half-round: pull scores across edges (joinKey → groupKey),
+    // L1-normalize via the broadcast one-row total
+    def half(scores: DataFrame, joinKey: String, groupKey: String): DataFrame = {
+      val raw = nodes.join(
+          e.join(scores, e(joinKey) === scores("node"))
+            .groupBy(e(groupKey).as("nn")).agg(sum(col("v")).as("s")),
+          nodes("node") === col("nn"), "left")
+        .select(col("node"), coalesce(col("s"), lit(0.0)).as("raw"))
+        .lineageBarrier()
+      raw.crossJoin(broadcast(raw.agg(sum(col("raw")).as("t"))))
+        .select(col("node"), (col("raw") / col("t")).as("v"))
+    }
+    var hub = nodes.select(col("node"), lit(1.0).as("v"))
+    var auth = hub
+    for (_ <- 1 to iters) {
+      auth = half(hub, "src", "dst")
+      hub = half(auth, "dst", "src")
+    }
+    auth.select(col("node"), col("v").as("auth"))
+      .join(hub.select(col("node"), col("v").as("hub")), Seq("node"))
+  }
+
+  /** DuckDB twin of [[hits]]: the same L1-normalized half-rounds UNROLLED
+    * as CTEs over a caller-supplied `e(src, dst)` CTE — identical
+    * coalesce-then-divide float op order; callers round both sides. */
+  def hitsSql(edgesCte: String, iters: Int): String = {
+    def halfCte(i: Int, out: String, in: String, joinKey: String,
+        groupKey: String): String =
+      s"""${out}r$i AS (
+         |  SELECT nodes.node, COALESCE(s.s, 0.0) AS raw
+         |  FROM nodes LEFT JOIN (
+         |    SELECT e.$groupKey AS node, sum($in.v) AS s
+         |    FROM e JOIN $in ON e.$joinKey = $in.node GROUP BY 1) s
+         |    USING (node)),
+         |${out}t$i AS (SELECT sum(raw) AS t FROM ${out}r$i),
+         |$out$i AS (
+         |  SELECT node, raw / t AS v FROM ${out}r$i CROSS JOIN ${out}t$i)"""
+        .stripMargin
+    val rounds = (1 to iters).map { i =>
+      val hubIn = if (i == 1) "h0" else s"h${i - 1}"
+      halfCte(i, "a", hubIn, "src", "dst") + ",\n" +
+        halfCte(i, "h", s"a$i", "dst", "src")
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT DISTINCT src, dst FROM ($edgesCte)),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |h0 AS (SELECT node, 1.0 AS v FROM nodes),
+       |$rounds
+       |SELECT node, round(a$iters.v, 9) AS auth, round(h$iters.v, 9) AS hub
+       |FROM a$iters JOIN h$iters USING (node)""".stripMargin
+  }
+
   /** DuckDB twin of [[pageRank]]: the same rounds UNROLLED as CTEs
     * (r0..rN with one dangling-mass CTE per round), over an `e(src, dst)`
     * CTE the caller supplies. Same simple-graph DISTINCT, same

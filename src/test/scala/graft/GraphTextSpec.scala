@@ -151,6 +151,34 @@ class GraphTextSpec extends AnyFunSuite {
     assert(got(4L) == 0.0 && got(5L) == 0.0) // exactly, not approximately
   }
 
+  test("hits: two hubs endorsing one authority reach the fixpoint") {
+    // 1 -> 3, 2 -> 3: auth mass all on 3, hub mass split between 1 and 2;
+    // this is the exact fixpoint, so any iteration count returns it
+    val edges = Seq((1L, 3L), (2L, 3L)).toDF("src", "dst")
+    for (iters <- Seq(1, 4)) {
+      val got = GraphOps.hits(edges, iters).collect()
+        .map(r => r.getAs[Long]("node") ->
+          ((r.getAs[Double]("auth"), r.getAs[Double]("hub")))).toMap
+      assert(got(3L) == ((1.0, 0.0)))
+      assert(got(1L) == ((0.0, 0.5)) && got(2L) == ((0.0, 0.5)))
+    }
+  }
+
+  test("hits: chain splits mass evenly; duplicate edges collapse") {
+    // 1 -> 2 -> 3 (with a duplicate 1->2): auths 2 and 3 at 0.5 each,
+    // hubs 1 and 2 at 0.5 each — stable from round 1 onward
+    val edges = Seq((1L, 2L), (1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val got = GraphOps.hits(edges, iters = 3).collect()
+      .map(r => r.getAs[Long]("node") ->
+        ((r.getAs[Double]("auth"), r.getAs[Double]("hub")))).toMap
+    assert(got(1L) == ((0.0, 0.5)))
+    assert(got(2L) == ((0.5, 0.5)))
+    assert(got(3L) == ((0.5, 0.0)))
+    // L1 normalization: both score vectors sum to 1
+    assert(math.abs(got.values.map(_._1).sum - 1.0) < 1e-12)
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-12)
+  }
+
   test("outDegrees: duplicate edges collapse, sinks absent, sum = |E|") {
     val edges = Seq((1L, 2L), (1L, 2L), (1L, 3L), (2L, 3L), (4L, 1L))
       .toDF("src", "dst")
