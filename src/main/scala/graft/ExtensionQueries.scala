@@ -356,6 +356,14 @@ object ExtensionQueries {
       DedupOps.jaccardJoin(Tables.documents(s, dir), tau = 0.9, k = jaccardK)
         .orderBy("doc_a", "doc_b")
     },
+    // EXACT binary-cosine (Ochiai) resemblance tier: geometric-mean
+    // normalization admits the size-imbalanced near-dups Jaccard's union
+    // denominator rejects; same AllPairs prefix certificate (unpruned
+    // oracle), tau²-scaled prefixes
+    "dedup_cosine_join" -> { (s, dir) =>
+      DedupOps.cosineJoin(Tables.documents(s, dir), tau = 0.9, k = jaccardK)
+        .orderBy("doc_a", "doc_b")
+    },
     // EXACT end-to-end keep decision: exact pairs -> components ->
     // min-id election — the compliance-grade dedup (no LSH recall term)
     "dedup_jaccard_keep" -> { (s, dir) =>
@@ -2068,6 +2076,8 @@ object ExtensionQueries {
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
     "dedup_jaccard_join" ->
       (DedupOps.jaccardJoinSql(0.9, jaccardK) + "\nORDER BY doc_a, doc_b"),
+    "dedup_cosine_join" ->
+      (DedupOps.cosineJoinSql(0.9, jaccardK) + "\nORDER BY doc_a, doc_b"),
     "dedup_jaccard_keep" -> jaccardKeepOracleSql(0.9),
     "dedup_containment_join" ->
       (DedupOps.containmentJoinSql(0.8) + "\nORDER BY doc_a, doc_b"),

@@ -354,6 +354,99 @@ object DedupOps {
        |  round(jac, 6) AS jaccard
        |FROM j WHERE jac >= $tau""".stripMargin
 
+  /** EXACT all-pairs BINARY-COSINE join: every (doc_a < doc_b) pair with
+    * |A∩B| / √(|A|·|B|) >= tau over distinct k-word shingles — the
+    * set-cosine (Ochiai) resemblance tier between [[jaccardJoin]]
+    * (stricter: J <= cos always) and [[containmentJoin]] (asymmetric):
+    * geometric-mean normalization tolerates moderate size imbalance that
+    * Jaccard's union denominator punishes, which is the behavior
+    * retrieval-style dedup (near-identical articles with different
+    * boilerplate mass) wants.
+    *
+    * Pruning (exact, zero false negatives — the AllPairs prefix lemma
+    * specialized to cosine, Bayardo et al. WWW'07 §4): from
+    * o >= tau·√(a·b) and o <= min(a, b) follows o >= tau²·a for EACH
+    * side's own size a (substitute b >= o), so under the global
+    * (df asc, shingle asc) order the first a − ceil(tau²·a) + 1 shingles
+    * of each document must contain a shared shingle; and the sizes obey
+    * the band tau²·a <= b, tau²·b <= a. Candidates are the prefix
+    * equi-join + band filter; exact intersection counting verifies. The
+    * epsilon guard only lengthens prefixes / widens the band; the final
+    * threshold compares the exact o/√(a·b) (IEEE sqrt and divide — both
+    * engines correctly rounded). The DuckDB oracle runs the UNPRUNED
+    * full shingle join ([[cosineJoinSql]]); a hash match certifies the
+    * filter lost nothing.
+    *
+    * 100 TB shape: identical to [[jaccardJoin]] — the quadratic term
+    * lives only on prefix shingles (each document's rarest; tau² makes
+    * cosine prefixes longer than Jaccard's at equal tau, which is the
+    * price of the looser metric — pick tau accordingly); df is one
+    * corpus aggregate; verification is candidate-linear. */
+  def cosineJoin(df: DataFrame, tau: Double, k: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    cosineJoinInternals(df, tau, k, textCol, idCol)._2
+
+  private[graft] def cosineJoinInternals(df: DataFrame, tau: Double,
+      k: Int, textCol: String, idCol: String): (DataFrame, DataFrame) = {
+    require(tau > 0 && tau <= 1, s"tau in (0,1], got $tau")
+    import org.apache.spark.sql.expressions.Window
+    val t2 = tau * tau
+    val tok = shingles(df, k, textCol, idCol)
+      .withColumnRenamed("shingle", "tok")
+    val dfreq = tok.groupBy("tok").agg(count(lit(1)).as("__df"))
+    val wRank = Window.partitionBy("doc_id").orderBy(col("__df").asc, col("tok").asc)
+    val wSize = Window.partitionBy("doc_id")
+    val ordered = tok.join(dfreq, Seq("tok"))
+      .withColumn("rnk", row_number().over(wRank))
+      .withColumn("size", count(lit(1)).over(wSize))
+    val eps = 1e-9
+    val prefix = ordered
+      .filter(col("rnk") <=
+        col("size") - ceil(lit(t2) * col("size") - lit(eps)) + 1)
+    val pa = prefix.select(col("doc_id").as("doc_a"), col("tok"),
+      col("size").as("size_a"))
+    val pb = prefix.select(col("doc_id").as("doc_b"), col("tok"),
+      col("size").as("size_b"))
+    val cand = pa.join(pb, Seq("tok"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(lit(t2) * col("size_a") - lit(eps) <= col("size_b") &&
+        lit(t2) * col("size_b") - lit(eps) <= col("size_a"))
+      .select("doc_a", "doc_b", "size_a", "size_b").distinct()
+    val ta = tok.select(col("doc_id").as("doc_a"), col("tok"))
+    val tb = tok.select(col("doc_id").as("doc_b"), col("tok"))
+    val inter = cand.join(ta, Seq("doc_a")).join(tb, Seq("doc_b", "tok"))
+      .groupBy("doc_a", "doc_b", "size_a", "size_b")
+      .agg(count(lit(1)).as("inter"))
+    val cosv = col("inter").cast("double") /
+      sqrt(col("size_a").cast("double") * col("size_b").cast("double"))
+    val result = inter.withColumn("__cos", cosv)
+      .filter(col("__cos") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        col("size_a"), col("size_b"), round(col("__cos"), 6).as("cosine"))
+    (cand, result)
+  }
+
+  /** DuckDB twin of [[cosineJoin]] — deliberately UNPRUNED (full shingle
+    * equi-join), so the hash match proves the prefix filter is
+    * lossless. */
+  def cosineJoinSql(tau: Double, k: Int = 3): String =
+    s"""WITH tok AS (${shinglesSqlCte(k)}),
+       |sz AS (SELECT doc_id, count(*) AS size FROM tok GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |j AS (
+       |  SELECT doc_a, doc_b, inter, sa.size AS size_a, sb.size AS size_b,
+       |    CAST(inter AS DOUBLE) /
+       |      sqrt(CAST(sa.size AS DOUBLE) * CAST(sb.size AS DOUBLE)) AS cosv
+       |  FROM inter
+       |  JOIN sz sa ON doc_a = sa.doc_id
+       |  JOIN sz sb ON doc_b = sb.doc_id)
+       |SELECT doc_a, doc_b, inter, size_a, size_b,
+       |  round(cosv, 6) AS cosine
+       |FROM j WHERE cosv >= $tau""".stripMargin
+
   /** EXACT containment (subsumption) join: ordered pairs (a, b) with
     * |A∩B| / |A| >= tau over distinct k-word SHINGLES — "document a's
     * phrases are mostly inside document b". The asymmetric complement to

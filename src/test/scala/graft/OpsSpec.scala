@@ -625,6 +625,55 @@ class OpsSpec extends AnyFunSuite {
       s"prefix filter changed the result: missing=${brute -- got} extra=${got -- brute}")
   }
 
+  test("cosineJoin: prefix filter lossless vs unpruned join; boundary pair kept") {
+    import spark.implicits._
+    // boundary AT SHINGLE GRANULARITY: A = w1..w22 (20 3-shingles),
+    // B = w1..w20 + u1 u2 (20 shingles, 18 shared) =>
+    // cos = 18/sqrt(20*20) = 0.9 exactly — must survive at tau = 0.9
+    val aToks = (1 to 22).map(i => s"w$i")
+    val planted = Seq(
+      (9101L, aToks.mkString(" ")),
+      (9102L, (aToks.take(20) ++ Seq("u1", "u2")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text").unionByName(planted)
+    val tau = 0.9
+    val res = DedupOps.cosineJoin(docs, tau).collect()
+    val got = res.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((9101L, 9102L)), "exact-boundary cos=0.9 pair dropped")
+    assert(res.find(r => r.getLong(0) == 9101L && r.getLong(1) == 9102L)
+      .get.getAs[Double]("cosine") == 0.9)
+    // unpruned reference join computed directly in Spark, same shingles
+    val tok = DedupOps.shingles(docs, 3)
+      .withColumnRenamed("shingle", "tok")
+    val sz = tok.groupBy("doc_id").agg(count(lit(1)).as("size"))
+    val bruteSet = tok.select($"doc_id".as("doc_a"), $"tok")
+      .join(tok.select($"doc_id".as("doc_b"), $"tok"), Seq("tok"))
+      .filter($"doc_a" < $"doc_b")
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      .join(sz.select($"doc_id".as("doc_a"), $"size".as("sa")), Seq("doc_a"))
+      .join(sz.select($"doc_id".as("doc_b"), $"size".as("sb")), Seq("doc_b"))
+      .filter($"inter".cast("double") /
+        sqrt($"sa".cast("double") * $"sb".cast("double")) >= tau)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == bruteSet,
+      s"prefix filter changed the result: missing=${bruteSet -- got} extra=${got -- bruteSet}")
+  }
+
+  test("cosineJoin admits the size-imbalanced pair Jaccard rejects") {
+    import spark.implicits._
+    // A = 12 shingles all inside B's 25: o=12, cos = 12/sqrt(12*25)
+    // = 0.6928; J = 12/25 = 0.48 — at tau 0.6 cosine keeps, jaccard drops
+    val bToks = (1 to 27).map(i => s"v$i") // 25 shingles
+    val docs = Seq(
+      (1L, bToks.take(14).mkString(" ")), // 12 shingles, prefix of B
+      (2L, bToks.mkString(" "))).toDF("doc_id", "text")
+    val cosGot = DedupOps.cosineJoin(docs, 0.6).collect()
+    assert(cosGot.length == 1 && cosGot(0).getLong(0) == 1L)
+    assert(DedupOps.jaccardJoin(docs, 0.6).collect().isEmpty)
+  }
+
   test("containmentJoin: asymmetric quote pair, boundary kept, lossless vs unpruned") {
     import spark.implicits._
     // B = verbatim 10-word quote from A (100 distinct words): all 8 of
