@@ -137,6 +137,81 @@ object ExtensionQueries {
     ("a", "r"), ("p", "ar"), ("t", "</w>"), ("i", "n</w>"), ("j", "o"),
     ("jo", "in</w>"), ("a", "s"), ("as", "h</w>"), ("h", "ash</w>"))
 
+  // Frozen PCA model (mean + top-2 components) trained once by
+  // graft.FreezePca on the sf0.01 embeddings — the frozen-tokenizer
+  // discipline applied to a rotation: production trains a PCA once and
+  // projects every later snapshot with it, and freezing is what lets the
+  // DuckDB oracle replay the projection with identical literals.
+  private val pcaMean: Array[Double] = Array(
+    0.0021647098540561274, -0.004547794351470656, 0.003930154383007902,
+    -0.004793201057444094, 0.009943076466443017, 0.007772532952541951,
+    -0.01823135569485021, 0.009217355088097975, -0.0024274034147092607,
+    -6.178791260463186E-4, 0.006436078068451025, 0.0033540127822197976,
+    -0.0026588912964216433, 0.0020540317017294003, -2.1456623025005683E-4,
+    0.005910249243548606, 0.0033342206680827074, 0.005826121678226628,
+    -4.6127636556047945E-4, 0.0012317155191558413, -0.0038391390424221752,
+    0.0023021840666187926, 0.004168265111627988, -0.008054586122045293,
+    -0.0018911654613621067, 0.012808142676018179, -0.0015970649567898362,
+    0.01062632681982359, -0.0011532765734009445, 3.903653704910539E-4,
+    0.0056047214816790075, -0.005792685562460974, 0.008335300238788477,
+    -0.0066753798398422074, 0.005155627750558779, 0.001177179405814968,
+    -0.0053353315424174074, -0.0015937965741213702, -9.667016767925815E-4,
+    -0.001140981935830496, -0.0017442115085141267, -0.01183411476330366,
+    3.1351819908741164E-4, -5.631569666620635E-4, -0.011520562025547406,
+    0.003832613509031944, -5.98060307384003E-4, 0.005890298187849112,
+    -0.003749661162350094, -0.010264404615503736, 0.009377152467495762,
+    -0.001481992187706055, 0.007770042697302415, -0.003917563282562696,
+    0.00470978261413984, -0.003577291431953199, 0.004773866848874604,
+    -0.0024703639050130733, -0.004844514904165408, -0.00872118095526821,
+    -2.811656921039685E-4, 0.005004184705336229, -0.0011590625974931754,
+    -0.013266222528531216)
+  private val pcaComp0: Array[Double] = Array(
+    -0.20963976696490932, -0.12057326683447579, 0.0365471311450396,
+    0.011819893544239008, 0.07566971293799651, 0.013214891159906197,
+    0.09058414178097818, 0.28661788434648006, 0.04954670980060663,
+    0.41405647128818673, 0.06530472608941662, 0.18208021815741465,
+    0.06513188326790068, -0.0365307067679387, 0.17114935094307326,
+    -0.18535008704155476, 0.08899009899273747, -0.15702766548911795,
+    -0.030137109024496577, 0.032178768951265944, 0.06121259552143358,
+    -0.11068789010345761, -0.08347548871535067, -0.05543674160841818,
+    0.019550391567952175, 0.19912597942090576, -0.037517222745251745,
+    0.14950686369419153, -0.1728791207099118, -0.006123854896488001,
+    -0.05871547039065565, 0.06203798436513776, 0.29653810117484586,
+    0.10616325830823768, -0.032042224103779396, 0.10414300207112241,
+    0.0445390909325061, 0.06146413479027128, 0.013005880580767761,
+    0.021771134953733794, -0.11667894821283627, 0.005525232522445741,
+    -0.2408380136188355, 0.09570751605668565, -0.028307228430955334,
+    -0.22512733766559273, 0.008731663544204724, -0.07903701008770642,
+    -0.08368084781575155, -0.1184514441969107, 0.1204597920277547,
+    0.07248317018891948, -0.017185719877959377, 0.08160392976877844,
+    -0.015032915726422865, -0.066764560547814, -0.055650768478316154,
+    -0.051375696263326096, 0.06019699144232402, -0.09113871302271366,
+    0.12198702448451877, 0.050650485623596676, -0.21821125587430093,
+    -0.10201390795908402)
+  private val pcaComp1: Array[Double] = Array(
+    -0.003837261368586388, -0.05443086435367226, -0.012568484286813881,
+    -0.08813339555097055, 0.1748581763328374, 0.025214547428329123,
+    0.07494649829167913, -0.06998162584396873, 0.07744767952008749,
+    0.030696653062833056, 0.10575827224214564, -0.01788245715854766,
+    0.012975628495440383, 0.1336974924554414, 0.01455980995719922,
+    0.04139149795083811, 0.14841129991364868, 0.360309048786525,
+    -0.054188530635519566, -0.05076487433292371, 0.032543162927797846,
+    0.03539106345074888, 0.0653346859654254, -0.30912210535622686,
+    -0.2576819146861503, -0.23906548819979737, -0.020637745338234845,
+    -2.234063561261285E-4, -0.08628587908736293, -0.1745333503760134,
+    -0.024067954482070084, -0.2175448330525344, 0.029464213317911755,
+    0.06153829497635898, 0.03375319812265983, 0.07921953480589951,
+    0.059467442839598546, 0.036498420271736456, 0.18210708730881633,
+    0.04667360022730505, 8.503493737220249E-6, 0.046987589723719046,
+    -0.06276744553172679, -0.17919036590886356, 0.17268715147989028,
+    -0.18883558427334435, -0.04694608178125734, 0.1457789512831254,
+    0.11292419912646134, -0.11328085930650826, -0.15743145854112428,
+    -0.08197572540060918, 0.01298009702308299, -0.016092453096651874,
+    0.238034338656795, 0.023384060527839805, -0.3028201711031047,
+    0.016383001824322407, 0.1354343172251909, -0.12158619745192681,
+    -0.08366953082588664, 0.08483955104739883, -4.4328040429194394E-4,
+    -0.0786157727258883)
+
   // Frozen BYTE-LEVEL tokenizer (GPT-2 formulation) for the
   // bpe_tokenize_bytes exhibit: the first 24 merges trainBytes learns
   // from the sf0.01 documents fixture. Symbols are byte-mapped chars
@@ -1968,6 +2043,18 @@ object ExtensionQueries {
           col("n_exact"), SketchOps.hllEstimate().as("hll_est"))
         .orderBy("bucket_start")
     },
+    // Frozen-PCA projection of every embedding onto the top-2 principal
+    // components — the decorrelated 2-D view downstream visualization /
+    // coarse clustering reads; model trained ONCE (FreezePca), applied
+    // to any snapshot, oracle replays the identical literals with the
+    // identical centered sequential dot
+    "emb_pca_project" -> { (s, dir) =>
+      SimilarityOps.pcaProjectAll(Tables.embeddings(s, dir), pcaMean,
+          Array(pcaComp0, pcaComp1), 2)
+        .select(col("vec_id"), element_at(col("scores"), 1).as("pc0"),
+          element_at(col("scores"), 2).as("pc1"))
+        .orderBy("vec_id")
+    },
     // HITS hubs & authorities over the order→part link graph — the
     // mutual-reinforcement centrality pair next to graph_pagerank; fixed
     // 4 rounds, L1 normalization, unrolled-CTE oracle
@@ -2939,6 +3026,21 @@ object ExtensionQueries {
          |    CAST(greatest(COALESCE(per.n_shingles, 0), 1) AS DOUBLE), 6) AS dup_frac
          |FROM documents d LEFT JOIN per USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+    "emb_pca_project" -> {
+      def sqlList(xs: Array[Double]) = xs.mkString("[", ", ", "]")
+      // centered-then-sequential-dot, the exact float op order of
+      // pcaProjectAll's zip_with fold (the list_dot_product parity the
+      // ann_brute_topk oracle already certifies)
+      def score(comp: Array[Double]) =
+        s"""round(list_dot_product(
+           |    list_transform(range(1, ${pcaMean.length + 1}),
+           |      i -> CAST(embedding[i] AS DOUBLE) - (${sqlList(pcaMean)})[i]),
+           |    ${sqlList(comp)}), 6)""".stripMargin
+      s"""SELECT vec_id,
+         |  ${score(pcaComp0)} AS pc0,
+         |  ${score(pcaComp1)} AS pc1
+         |FROM embeddings ORDER BY vec_id""".stripMargin
+    },
     "graph_hits" ->
       (GraphOps.hitsSql(
         """SELECT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst
