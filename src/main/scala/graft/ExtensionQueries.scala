@@ -2043,6 +2043,35 @@ object ExtensionQueries {
           col("n_exact"), SketchOps.hllEstimate().as("hll_est"))
         .orderBy("bucket_start")
     },
+    // Trailing-24h distinct users per hour via HLL register merges over
+    // a RANGE window — the sliding-DAU curve at O(buckets × m) integers,
+    // where exact rolling COUNT(DISTINCT) recounts every window; oracle
+    // recomputes registers + window merge + estimator relationally
+    "events_sliding_distinct" -> { (s, dir) =>
+      SketchOps.slidingHllEstimate(
+          graft.sources.Sources.eventsWithTimestamp(s, dir),
+          col("ts"), col("user_id").cast("string"))
+        .orderBy("bucket_start")
+    },
+    // Zipf exponent of the corpus token distribution: integer-exact OLS
+    // (the linearFit discipline) over (ln rank, ln count) of the top-1000
+    // tokens — the corpus-health number (natural text ≈ −1) a curation
+    // run tracks across snapshots; corpus side is one token aggregate +
+    // a bounded TakeOrdered
+    "text_zipf_fit" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val tok = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+      val top = tok.orderBy(col("c").desc, col("tok").asc).limit(1000)
+      val ranked = top.withColumn("rank",
+          row_number().over(Window.orderBy(col("c").desc, col("tok").asc)))
+        .withColumn("g", lit("corpus"))
+      ProfileOps.linearFit(ranked, "g",
+          round(log(col("rank").cast("double")) * 1e6),
+          round(log(col("c").cast("double")) * 1e6))
+        .select(col("n"), col("slope"), col("intercept"), col("r2"))
+    },
     // Frozen-PCA projection of every embedding onto the top-2 principal
     // components — the decorrelated 2-D view downstream visualization /
     // coarse clustering reads; model trained ONCE (FreezePca), applied
@@ -3026,6 +3055,24 @@ object ExtensionQueries {
          |    CAST(greatest(COALESCE(per.n_shingles, 0), 1) AS DOUBLE), 6) AS dup_frac
          |FROM documents d LEFT JOIN per USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+    "events_sliding_distinct" ->
+      (SketchOps.slidingHllEstimateSql(
+        """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT)
+          |  AS grp, CAST(user_id AS VARCHAR) AS key FROM events"""
+          .stripMargin) + "\nORDER BY bucket_start"),
+    "text_zipf_fit" ->
+      s"""SELECT n, slope, intercept, r2 FROM (
+         |${ProfileOps.linearFitSql(
+        """(SELECT 'corpus' AS g,
+          |   row_number() OVER (ORDER BY c DESC, tok ASC) AS rank, c
+          | FROM (SELECT tok, count(*) AS c
+          |       FROM (SELECT unnest(string_split(text, ' ')) AS tok
+          |             FROM documents) GROUP BY 1)
+          | ORDER BY c DESC, tok ASC LIMIT 1000)""".stripMargin,
+        "g",
+        "round(ln(CAST(rank AS DOUBLE)) * 1e6)",
+        "round(ln(CAST(c AS DOUBLE)) * 1e6)")}
+         |)""".stripMargin,
     "emb_pca_project" -> {
       def sqlList(xs: Array[Double]) = xs.mkString("[", ", ", "]")
       // centered-then-sequential-dot, the exact float op order of

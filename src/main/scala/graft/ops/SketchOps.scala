@@ -445,6 +445,77 @@ object SketchOps {
       .groupBy("window")
       .agg(graft.functions.HllAgg(hllHash(col("key")), m).as("registers"))
 
+  /** Trailing-window distinct-key estimate — "distinct users in the last
+    * 24 hours, per hour" — via HLL register merges over a RANGE window:
+    * one m-register sketch per bucket (the only corpus-sized pass), then
+    * per register index a trailing `max` window over the BUCKET relation,
+    * then the standard estimator per bucket. The sliding merge costs
+    * O(buckets × m) integers regardless of corpus size — the exact
+    * rolling COUNT(DISTINCT) this replaces recounts every window.
+    *
+    * The RANGE frame is on the bucket epoch (seconds), so missing
+    * buckets (quiet hours) do NOT stretch the trailing horizon the way a
+    * ROWS frame would. All window arithmetic is integer (register ranks);
+    * only the final estimate divides, with the same deterministic
+    * branch + round(4) contract as [[hllEstimate]].
+    *
+    * Returns (bucket_start epoch-seconds, hll_est) — one row per
+    * NON-EMPTY bucket (an empty bucket has no row to anchor a window;
+    * callers wanting a dense grid resample first). */
+  def slidingHllEstimate(rel: DataFrame, tsCol: Column, key: Column,
+      bucketSeconds: Long = 3600L, trailingBuckets: Int = 24,
+      m: Int = 64): DataFrame = {
+    require(bucketSeconds > 0, s"bucketSeconds must be > 0, got $bucketSeconds")
+    require(trailingBuckets >= 1, s"trailingBuckets >= 1, got $trailingBuckets")
+    import org.apache.spark.sql.expressions.Window
+    val rmax = graft.functions.HllAgg.rankBits(m) + 1
+    val buckets = windowedHllRegisters(
+        rel.select(tsCol.as("__ts"), key.as("__key")),
+        col("__ts"), s"$bucketSeconds seconds", col("__key"), m)
+      .select(col("window.start").cast("long").as("bucket_start"),
+        col("registers"))
+    val ex = buckets.select(col("bucket_start"),
+      posexplode(col("registers")).as(Seq("idx", "rank")))
+    val w = Window.partitionBy("idx").orderBy(col("bucket_start"))
+      .rangeBetween(-(trailingBuckets - 1) * bucketSeconds, 0)
+    val merged = ex.select(col("bucket_start"),
+      max(col("rank")).over(w).as("mrank"))
+    val s = merged.groupBy("bucket_start").agg(
+      expr(s"sum(shiftleft(CAST(1 AS BIGINT), $rmax - mrank))").as("s_scaled"),
+      sum(when(col("mrank") === 0, 1L).otherwise(0L)).as("v"))
+    val aM2 = hllAlphaM2(m) * 2.0 * hllDomainSize(m)
+    val raw = lit(aM2) / col("s_scaled").cast("double")
+    s.select(col("bucket_start"),
+      round(when(raw <= lit(2.5 * m) && col("v") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("v").cast("double")))
+        .otherwise(raw), 4).as("hll_est"))
+  }
+
+  /** DuckDB twin of [[slidingHllEstimate]]: the relational register
+    * recompute ([[hllRegistersSql]]) + the identical RANGE window merge
+    * and scaled-integer estimator. `keyCte` must yield (grp, key) with
+    * grp the bucket epoch-seconds. */
+  def slidingHllEstimateSql(keyCte: String, bucketSeconds: Long = 3600L,
+      trailingBuckets: Int = 24, m: Int = 64): String = {
+    val rmax = graft.functions.HllAgg.rankBits(m) + 1
+    val aM2 = hllAlphaM2(m) * 2.0 * hllDomainSize(m)
+    val range = (trailingBuckets - 1) * bucketSeconds
+    s"""WITH reg AS (SELECT * FROM (${hllRegistersSql(keyCte, m)})),
+       |mg AS (SELECT grp AS bucket_start,
+       |  max(rank) OVER (PARTITION BY idx ORDER BY grp
+       |    RANGE BETWEEN $range PRECEDING AND CURRENT ROW) AS mrank
+       |  FROM reg),
+       |s AS (SELECT bucket_start,
+       |  CAST(sum(CAST(1 AS BIGINT) << ($rmax - mrank)) AS BIGINT) AS s_scaled,
+       |  CAST(sum(CASE WHEN mrank = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
+       |  FROM mg GROUP BY 1)
+       |SELECT bucket_start,
+       |  round(CASE WHEN $aM2 / CAST(s_scaled AS DOUBLE) <= ${2.5 * m}
+       |    AND v > 0 THEN $m.0 * ln($m.0 / CAST(v AS DOUBLE))
+       |    ELSE $aM2 / CAST(s_scaled AS DOUBLE) END, 4) AS hll_est
+       |FROM s""".stripMargin
+  }
+
   /** DuckDB twin of the register computation: `keyCte` must yield columns
     * (`grp`, `key`). Recomputes registers RELATIONALLY — group by
     * `h % m` with max rank — i.e. an independent formulation of the same

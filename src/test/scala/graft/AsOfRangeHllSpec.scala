@@ -126,6 +126,47 @@ class AsOfRangeHllSpec extends AnyFunSuite {
     assert(viaCol == merged)
   }
 
+  test("slidingHllEstimate: window merge == direct sketch of the union") {
+    import spark.implicits._
+    // buckets at hours 0,1,2 (epoch secs), plus an isolated bucket at
+    // hour 10 that no trailing-2 window should reach back from
+    def ts(h: Long) = new java.sql.Timestamp(h * 3600L * 1000L)
+    val rows = (
+      (1 to 40).map(i => (ts(0), s"u$i")) ++
+      (21 to 60).map(i => (ts(1), s"u$i")) ++
+      (51 to 70).map(i => (ts(2), s"u$i")) ++
+      (1 to 5).map(i => (ts(10), s"z$i"))).toDF("ts", "key")
+    val got = SketchOps.slidingHllEstimate(rows, col("ts"), col("key"),
+        trailingBuckets = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // direct sketch of each trailing-2 union via the SAME estimator
+    def direct(keys: Seq[String]): Double =
+      SketchOps.hllRegisters(keys.toDF("key"), Nil, col("key"))
+        .select(SketchOps.hllEstimate().as("e")).collect()(0).getDouble(0)
+    assert(got(0L) == direct((1 to 40).map(i => s"u$i")))
+    assert(got(3600L) == direct((1 to 60).map(i => s"u$i")))
+    assert(got(7200L) == direct((21 to 70).map(i => s"u$i")))
+    // RANGE frame: hour 10 is isolated — its window is itself only
+    assert(got(36000L) == direct((1 to 5).map(i => s"z$i")))
+    assert(got.size == 4)
+  }
+
+  test("slidingHllEstimate: trailing 1 bucket == per-bucket estimate") {
+    import spark.implicits._
+    def ts(h: Long) = new java.sql.Timestamp(h * 3600L * 1000L)
+    val rows = ((1 to 30).map(i => (ts(0), s"a$i")) ++
+      (1 to 50).map(i => (ts(1), s"b$i"))).toDF("ts", "key")
+    val sliding = SketchOps.slidingHllEstimate(rows, col("ts"), col("key"),
+        trailingBuckets = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val perBucket = SketchOps.windowedHllRegisters(rows, col("ts"), "1 hour",
+        col("key"))
+      .select(col("window.start").cast("long").as("b"),
+        SketchOps.hllEstimate().as("e"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(sliding == perBucket)
+  }
+
   test("HLL estimate lands within the sketch's error envelope") {
     for (n <- Seq(1000, 20000)) {
       val keys = spark.range(n).select(concat(lit("u"), col("id")).as("key"))
