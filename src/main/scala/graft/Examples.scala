@@ -86,6 +86,16 @@ object Examples {
       spark.stop()
       return
     }
+    if (args.headOption.contains("soak-cosjoin")) {
+      // binary-cosine-join soak: `runMain graft.Examples soak-cosjoin
+      // 100000,1000000` — same planted corpus as soak-simjoin; the
+      // tau²-scaled prefixes must keep candidates ~linear in docs and
+      // recall of planted pairs exactly n/4
+      args.lift(1).getOrElse("100000,1000000").split(",").map(_.trim.toLong)
+        .foreach(n => cosjoinSoak(spark, n))
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("soak-triangles")) {
       // triangle-count soak: `runMain graft.Examples soak-triangles
       // 100000,1000000` — a planted hub (degree n/20) must NOT appear as
@@ -289,6 +299,22 @@ object Examples {
     val nRes = res.count()
     val sec = (System.nanoTime() - t0) / 1e9
     println(f"""{"example":"simjoin_soak","docs":$nDocs,"candidates":$nCand,"cand_per_doc":${nCand.toDouble / nDocs}%.3f,"pairs":$nRes,"expected_pairs":${nDocs / 4},"sec":$sec%.3f,"docs_per_sec":${nDocs / sec}%.0f}""")
+  }
+
+  /** Binary-cosine-join soak on the SAME planted corpus as
+    * [[simjoinSoak]]: cosine's tau²-scaled prefixes are LONGER than
+    * Jaccard's at equal tau (the looser metric's price), so the claim
+    * under test is that candidates still stay ~linear in docs and the
+    * planted pairs (n/4) are recalled exactly. */
+  private def cosjoinSoak(spark: SparkSession, nDocs: Long): Unit = {
+    val docs = nearDupDocs(spark, nDocs)
+    val t0 = System.nanoTime()
+    val (cand, res) = graft.ops.DedupOps.cosineJoinInternals(
+      docs, 0.85, 3, "text", "doc_id")
+    val nCand = cand.count()
+    val nRes = res.count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"""{"example":"cosjoin_soak","docs":$nDocs,"candidates":$nCand,"cand_per_doc":${nCand.toDouble / nDocs}%.3f,"pairs":$nRes,"expected_pairs":${nDocs / 4},"sec":$sec%.3f,"docs_per_sec":${nDocs / sec}%.0f}""")
   }
 
   /** Triangle-count soak on a hub-planted synthetic graph: ring + two
