@@ -2043,6 +2043,13 @@ object ExtensionQueries {
           col("n_exact"), SketchOps.hllEstimate().as("hll_est"))
         .orderBy("bucket_start")
     },
+    // Confusion matrix of the IN-ENGINE-TRAINED naive-Bayes char-trigram
+    // language classifier vs corpus labels — the production upgrade of
+    // the marker-heuristic text_langid_confusion; integer-exact scores
+    "text_langid_nb" -> { (s, dir) =>
+      TextOps.nbLangConfusion(Tables.documents(s, dir))
+        .orderBy("lang", "pred_lang")
+    },
     // Trailing-24h distinct users per hour via HLL register merges over
     // a RANGE window — the sliding-DAU curve at O(buckets × m) integers,
     // where exact rolling COUNT(DISTINCT) recounts every window; oracle
@@ -3055,6 +3062,8 @@ object ExtensionQueries {
          |    CAST(greatest(COALESCE(per.n_shingles, 0), 1) AS DOUBLE), 6) AS dup_frac
          |FROM documents d LEFT JOIN per USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+    "text_langid_nb" ->
+      (TextOps.nbLangConfusionSql() + "\nORDER BY lang, pred_lang"),
     "events_sliding_distinct" ->
       (SketchOps.slidingHllEstimateSql(
         """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT)

@@ -702,4 +702,105 @@ object TextOps {
       |  round(ln(CAST(n_tokens AS DOUBLE)) - s / CAST(n_tokens AS DOUBLE), 6)
       |    AS entropy
       |FROM a""".stripMargin
+
+  // ---- trained naive-Bayes language identification -----------------------
+  /** Char-trigram relation of (carry..., tri) — the feature extractor
+    * shared by training and scoring (and, verbatim, by the SQL twin).
+    * Docs shorter than 3 chars emit nothing (unclassifiable; the
+    * descending-`sequence` footgun is guarded). */
+  private def charTrigrams(df: DataFrame, textCol: String,
+      carry: Seq[String]): DataFrame =
+    df.select(carry.map(col) :+ explode(expr(
+      s"CASE WHEN length($textCol) >= 3 THEN transform(" +
+        s"sequence(1, length($textCol) - 2), i -> substring($textCol, i, 3)) " +
+        "ELSE CAST(array() AS array<string>) END")).as("tri"): _*)
+
+  /** Language-ID confusion matrix of an IN-ENGINE-TRAINED multinomial
+    * naive-Bayes char-trigram classifier against the corpus labels —
+    * the production upgrade of the [[langId]] marker heuristic (the
+    * fastText-langid formulation, trained and applied as one relational
+    * pipeline; resubstitution evaluation, the
+    * `quality_classifier_trained` discipline).
+    *
+    * Engine-portable exactness: model weights are 1e6-scaled INTEGER
+    * log-likelihoods w(l,t) = round(ln((c+1)/(T_l+V))·1e6) (add-one
+    * smoothing; OOV trigrams get the same-denominator zero-count
+    * weight), so every per-doc score is an exact integer sum
+    * Σ c_d(t)·w(l,t) — no float accumulation order anywhere — and the
+    * argmax tie-breaks on lang ascending.
+    *
+    * 100 TB shape: the trigram relation is char-volume but feeds exactly
+    * two map-side-combined aggregates (per-doc profile, per-lang model);
+    * the model is langs × trigram-vocab (bounded, broadcast-joinable);
+    * scoring is doc-profile × |langs| (a small broadcast lang list +
+    * one model equi-join); the argmax window partitions per doc.
+    * Returns (lang, pred_lang, n) — sub-3-char docs are excluded
+    * (documented above). */
+  def nbLangConfusion(docs: DataFrame, textCol: String = "text",
+      langCol: String = "lang", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tri = charTrigrams(Spread(docs), textCol, Seq(idCol, langCol))
+    val dt = tri.groupBy(col(idCol).as("doc_id"), col("tri"))
+      .agg(count(lit(1)).as("cd"))
+    val model = tri.groupBy(col(langCol).as("lang"), col("tri"))
+      .agg(count(lit(1)).as("c"))
+    val tl = model.groupBy("lang").agg(sum(col("c")).as("t"))
+    val vocab = broadcast(model.agg(count_distinct(col("tri")).as("v")))
+    val w = model.join(tl, Seq("lang")).crossJoin(vocab)
+      .select(col("lang"), col("tri"),
+        round(log((col("c") + 1).cast("double") /
+          (col("t") + col("v")).cast("double")) * 1e6).cast("long").as("w"))
+    val oov = tl.crossJoin(vocab).select(col("lang"),
+      round(log(lit(1.0) / (col("t") + col("v")).cast("double")) * 1e6)
+        .cast("long").as("w0"))
+    val scored = dt.crossJoin(broadcast(oov))
+      .join(w, Seq("lang", "tri"), "left")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("cd") * coalesce(col("w"), col("w0"))).as("score"))
+    val wn = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("lang").asc)
+    val pred = scored.withColumn("rn", row_number().over(wn))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang").as("pred_lang"))
+    docs.select(col(idCol).as("doc_id"), col(langCol).as("lang"))
+      .join(pred, Seq("doc_id"))
+      .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+  }
+
+  /** DuckDB twin of [[nbLangConfusion]] over the documents table: same
+    * trigram extractor, same integer weights, same argmax tie-break. */
+  def nbLangConfusionSql(): String =
+    """WITH tri AS (
+      |  SELECT doc_id, lang, substr(text, CAST(i AS INT), 3) AS tri
+      |  FROM (SELECT doc_id, lang, text,
+      |          unnest(range(1, greatest(length(text) - 1, 1))) AS i
+      |        FROM documents)),
+      |dt AS (SELECT doc_id, tri, CAST(count(*) AS BIGINT) AS cd
+      |       FROM tri GROUP BY 1, 2),
+      |model AS (SELECT lang, tri, CAST(count(*) AS BIGINT) AS c
+      |          FROM tri GROUP BY 1, 2),
+      |tl AS (SELECT lang, CAST(sum(c) AS BIGINT) AS t FROM model GROUP BY 1),
+      |vocab AS (SELECT CAST(count(DISTINCT tri) AS BIGINT) AS v FROM model),
+      |w AS (SELECT model.lang, model.tri,
+      |        CAST(round(ln(CAST(c + 1 AS DOUBLE) /
+      |          CAST(t + v AS DOUBLE)) * 1e6) AS BIGINT) AS w
+      |      FROM model JOIN tl USING (lang) CROSS JOIN vocab),
+      |oov AS (SELECT lang,
+      |          CAST(round(ln(1.0 / CAST(t + v AS DOUBLE)) * 1e6) AS BIGINT)
+      |            AS w0
+      |        FROM tl CROSS JOIN vocab),
+      |scored AS (
+      |  SELECT dt.doc_id, oov.lang,
+      |    CAST(sum(dt.cd * COALESCE(w.w, oov.w0)) AS BIGINT) AS score
+      |  FROM dt CROSS JOIN oov
+      |  LEFT JOIN w ON w.lang = oov.lang AND w.tri = dt.tri
+      |  GROUP BY 1, 2),
+      |pred AS (
+      |  SELECT doc_id, lang AS pred_lang FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY score DESC, lang ASC) AS rn FROM scored)
+      |  WHERE rn = 1)
+      |SELECT d.lang, p.pred_lang, CAST(count(*) AS BIGINT) AS n
+      |FROM documents d JOIN pred p USING (doc_id)
+      |GROUP BY 1, 2""".stripMargin
 }

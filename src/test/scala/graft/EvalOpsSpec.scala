@@ -78,6 +78,25 @@ class EvalOpsSpec extends AnyFunSuite {
     assert(got(3) == ((3L, 6L, 2L, 3L, 1L)))
   }
 
+  test("nbLangConfusion: separable trigram corpora classify perfectly") {
+    val docs = (
+      (1 to 5).map(i => (i.toLong, "aaaa aaaa aaaa", "aa")) ++
+      (6 to 10).map(i => (i.toLong, "bbbb bbbb bbbb", "bb")) ++
+      (11 to 15).map(i => (i.toLong, "cccc cccc cccc", "cc")))
+      .toDF("doc_id", "text", "lang")
+    val got = graft.ops.TextOps.nbLangConfusion(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("aa", "aa") -> 5L, ("bb", "bb") -> 5L,
+      ("cc", "cc") -> 5L))
+  }
+
+  test("nbLangConfusion: sub-3-char docs are excluded, not misassigned") {
+    val docs = Seq((1L, "aaaa aaaa", "aa"), (2L, "zz", "aa"))
+      .toDF("doc_id", "text", "lang")
+    val got = graft.ops.TextOps.nbLangConfusion(docs).collect()
+    assert(got.length == 1 && got(0).getLong(2) == 1L)
+  }
+
   test("kAnonymity: rejects empty qid list and k < 2") {
     val df = Seq(("a", 1)).toDF("qid", "pad")
     intercept[IllegalArgumentException](EvalOps.kAnonymity(df, Nil))
