@@ -1240,6 +1240,14 @@ object ExtensionQueries {
       GraphOps.triangleCounts(coPurchaseEdgesSampled(s, dir, 5))
         .orderBy("node")
     },
+    // Link prediction on the sampled co-purchase graph: common-neighbor /
+    // Jaccard / hub-capped Adamic-Adar (1e9-scaled integer sums) for
+    // non-adjacent pairs — "which parts should be co-recommended"
+    "graph_link_pred" -> { (s, dir) =>
+      GraphOps.linkPrediction(coPurchaseEdgesSampled(s, dir, 5),
+          minCommon = 3)
+        .orderBy("u", "v")
+    },
     // 64-core of the co-purchase graph: iterative degree peeling to the
     // unique fixpoint (the "dense interaction core" curation signal)
     "graph_kcore" -> { (s, dir) =>
@@ -2768,6 +2776,9 @@ object ExtensionQueries {
     "graph_triangles" ->
       (GraphOps.triangleCountsSql(coPurchaseEdgesSampledSql(5)) +
         "\nORDER BY node"),
+    "graph_link_pred" ->
+      (GraphOps.linkPredictionSql(coPurchaseEdgesSampledSql(5),
+        minCommon = 3) + "\nORDER BY u, v"),
     "graph_kcore" ->
       (GraphOps.kCoreSql(coPurchaseEdgesSql, k = 64, rounds = 6) +
         "\nORDER BY node"),

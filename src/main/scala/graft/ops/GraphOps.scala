@@ -431,6 +431,95 @@ object GraphOps {
        |FROM a$iters JOIN h$iters USING (node)""".stripMargin
   }
 
+  /** Link-prediction scores over an undirected edge list (`a`, `b`;
+    * canonicalized, duplicates collapse): for every NON-adjacent pair
+    * with at least `minCommon` common neighbors, the classic triad
+    * features — common-neighbor count, neighborhood Jaccard, and
+    * Adamic–Adar Σ_w 1/ln(deg w) (Liben-Nowell & Kleinberg 2003) — the
+    * "which nodes should be connected" signal a crawl scheduler or
+    * recommendation pass reads.
+    *
+    * Engine-portable exactness: Adamic–Adar is summed as 1e9-scaled
+    * INTEGER per-mediator weights (round(1e9/ln deg)), so the sum is
+    * order-free exact; Jaccard divides exact integers; both round at 6dp
+    * for reporting.
+    *
+    * Scale shape: wedge enumeration at the mediator (per-w pair join) —
+    * the SAME volume term as triangle counting, but here the wedge pairs
+    * ARE the output, so degree orientation cannot help; instead
+    * super-hub mediators are CAPPED at `maxDegree` (the standard LP
+    * practice: a 10⁶-degree hub contributes 1/ln(10⁶) ≈ 0.07 per pair —
+    * noise — while generating 10¹² wedges). The cap is part of the
+    * operator contract (cn counts capped mediators; the oracle replays
+    * it identically). Degree-1 mediators are vacuous (no wedge) and
+    * ln(1) = 0 is guarded by the deg >= 2 filter. Non-adjacency is one
+    * anti-join against the edge relation; Jaccard uses FULL degrees. */
+  def linkPrediction(edges: DataFrame, minCommon: Int = 2,
+      maxDegree: Long = 1000L): DataFrame = {
+    require(minCommon >= 1, s"minCommon >= 1, got $minCommon")
+    require(maxDegree >= 2, s"maxDegree >= 2, got $maxDegree")
+    val e = edges.select(
+        least(col("a"), col("b")).cast("long").as("a"),
+        greatest(col("a"), col("b")).cast("long").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .lineageBarrier(eager = false)
+    val nb = e.select(col("a").as("w"), col("b").as("n"))
+      .unionByName(e.select(col("b").as("w"), col("a").as("n")))
+    val deg = nb.groupBy("w").agg(count(lit(1)).as("deg"))
+    val nbd = nb.join(deg, Seq("w"))
+      .filter(col("deg") >= 2 && col("deg") <= maxDegree)
+      .withColumn("wgt",
+        round(lit(1e9) / log(col("deg").cast("double"))).cast("long"))
+    val wedges = nbd.select(col("w"), col("n").as("u"), col("wgt"))
+      .join(nbd.select(col("w"), col("n").as("v")), Seq("w"))
+      .filter(col("u") < col("v"))
+    val scores = wedges.groupBy("u", "v")
+      .agg(count(lit(1)).as("cn"), sum(col("wgt")).as("aa_scaled"))
+      .filter(col("cn") >= minCommon)
+    val nonEdge = scores.join(e,
+      scores("u") === e("a") && scores("v") === e("b"), "left_anti")
+    nonEdge
+      .join(deg.select(col("w").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("w").as("v"), col("deg").as("dv")), Seq("v"))
+      .select(col("u"), col("v"), col("cn"), col("aa_scaled"),
+        round(col("aa_scaled").cast("double") / 1e9, 6).as("adamic_adar"),
+        round(col("cn").cast("double") /
+          (col("du") + col("dv") - col("cn")).cast("double"), 6).as("jaccard"))
+  }
+
+  /** DuckDB twin of [[linkPrediction]] over an `(a, b)` edge CTE. */
+  def linkPredictionSql(edgesCte: String, minCommon: Int = 2,
+      maxDegree: Long = 1000L): String =
+    s"""WITH e AS (
+       |  SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+       |  FROM ($edgesCte) WHERE a <> b),
+       |nb AS (SELECT a AS w, b AS n FROM e
+       |       UNION ALL SELECT b, a FROM e),
+       |deg AS (SELECT w, CAST(count(*) AS BIGINT) AS deg FROM nb GROUP BY 1),
+       |nbd AS (
+       |  SELECT nb.w, nb.n,
+       |    CAST(round(1e9 / ln(CAST(deg AS DOUBLE))) AS BIGINT) AS wgt
+       |  FROM nb JOIN deg USING (w)
+       |  WHERE deg >= 2 AND deg <= $maxDegree),
+       |scores AS (
+       |  SELECT p1.n AS u, p2.n AS v,
+       |    CAST(count(*) AS BIGINT) AS cn,
+       |    CAST(sum(p1.wgt) AS BIGINT) AS aa_scaled
+       |  FROM nbd p1 JOIN nbd p2 ON p1.w = p2.w AND p1.n < p2.n
+       |  GROUP BY 1, 2
+       |  HAVING count(*) >= $minCommon),
+       |ne AS (
+       |  SELECT s.* FROM scores s
+       |  LEFT JOIN e ON s.u = e.a AND s.v = e.b
+       |  WHERE e.a IS NULL)
+       |SELECT u, v, cn, aa_scaled,
+       |  round(CAST(aa_scaled AS DOUBLE) / 1e9, 6) AS adamic_adar,
+       |  round(CAST(cn AS DOUBLE) / CAST(du.deg + dv.deg - cn AS DOUBLE), 6)
+       |    AS jaccard
+       |FROM ne
+       |JOIN deg du ON ne.u = du.w
+       |JOIN deg dv ON ne.v = dv.w""".stripMargin
+
   /** DuckDB twin of [[pageRank]]: the same rounds UNROLLED as CTEs
     * (r0..rN with one dangling-mass CTE per round), over an `e(src, dst)`
     * CTE the caller supplies. Same simple-graph DISTINCT, same

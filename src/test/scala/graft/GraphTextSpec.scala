@@ -179,6 +179,33 @@ class GraphTextSpec extends AnyFunSuite {
     assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-12)
   }
 
+  test("linkPrediction: 4-cycle diagonals score exactly; edges excluded") {
+    // cycle 1-2-3-4-1: non-edges (1,3) and (2,4) share 2 mediators of
+    // degree 2 each; AA = 2 * round(1e9/ln 2)/1e9, Jaccard = 2/(2+2-2)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("a", "b")
+    val got = GraphOps.linkPrediction(edges, minCommon = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getAs[Double]("adamic_adar"),
+          r.getAs[Double]("jaccard")))).toMap
+    val w = math.round(1e9 / math.log(2.0))
+    val aa = BigDecimal(2.0 * w / 1e9).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.keySet == Set((1L, 3L), (2L, 4L)))
+    assert(got((1L, 3L)) == ((2L, 2 * w, aa, 1.0)))
+    assert(got((2L, 4L)) == ((2L, 2 * w, aa, 1.0)))
+  }
+
+  test("linkPrediction: hub cap drops super-hub mediators; deg-1 vacuous") {
+    // star: center 0 wired to 1..5 (deg 5); leaves are deg 1. With
+    // maxDegree = 4 the only possible mediator is capped away -> empty;
+    // uncapped, all 10 leaf pairs appear via the center
+    val edges = (1L to 5L).map(i => (0L, i)).toDF("a", "b")
+    assert(GraphOps.linkPrediction(edges, minCommon = 1,
+      maxDegree = 4).collect().isEmpty)
+    assert(GraphOps.linkPrediction(edges, minCommon = 1,
+      maxDegree = 1000).count() == 10L)
+  }
+
   test("outDegrees: duplicate edges collapse, sinks absent, sum = |E|") {
     val edges = Seq((1L, 2L), (1L, 2L), (1L, 3L), (2L, 3L), (4L, 1L))
       .toDF("src", "dst")
