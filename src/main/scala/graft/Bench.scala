@@ -18,8 +18,13 @@ object Bench {
       .format("noop").mode("overwrite").save()
     def r3(v: Double): Double = math.rint(v * 1000.0) / 1000.0
     var failures = 0
+    // optional arg (local iteration only; the driver passes none): a
+    // comma-separated query-name filter
+    val only: Option[Set[String]] =
+      args.headOption.map(_.split(",").toSet)
     val perIter = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(kv => only.forall(_.contains(kv._1))).map { case (name, fn) =>
       // noop sink: forces full materialization of every result column
       // (count() would let Catalyst prune the aggregates themselves).
       // Best of `reps` (default 3): co-tenant noise on the box otherwise

@@ -2109,7 +2109,7 @@ object ExtensionQueries {
       val rev = li.filter(col("l_partkey") % 3 =!= 0)
         .select((col("l_partkey") * 2 + 1).as("src"),
           (col("l_orderkey") * 2).as("dst"))
-      GraphOps.hits(fwd.unionByName(rev), iters = 4)
+      GraphOps.hits(fwd.unionByName(rev), iters = 3)
         .select(col("node"), round(col("auth"), 9).as("auth"),
           round(col("hub"), 9).as("hub"))
         .orderBy("node")
@@ -3115,7 +3115,7 @@ object ExtensionQueries {
           |UNION ALL
           |SELECT l_partkey * 2 + 1, l_orderkey * 2
           |FROM lineitem WHERE l_partkey % 3 <> 0""".stripMargin,
-        iters = 4) + "\nORDER BY node"),
+        iters = 3) + "\nORDER BY node"),
     "quality_auc" ->
       EvalOps.rocAucSql(
         s"""SELECT c.score AS score, ${TextOps.gopherKeepSql("d.text")} AS label

@@ -358,19 +358,26 @@ object GraphOps {
     * [[pageRank]]: a hub is endorsed by pointing AT authorities, an
     * authority by being pointed at BY hubs.
     *
-    * Per round (L1-normalized — a sum, not the textbook L2, so both the
-    * normalization and its oracle twin stay a plain aggregate with no
-    * sqrt in the fixpoint):
-    *   auth_i = (Σ_{j→i} hub_j) / Σ_k auth_raw_k,
-    *   hub_i  = (Σ_{i→j} auth_j) / Σ_k hub_raw_k.
-    * Fixed `iters` (not convergence-probed) so [[hitsSql]] can unroll the
-    * identical rounds; hubs init at 1.0 exactly.
+    * Per round (RAW power iteration):
+    *   auth_i = Σ_{j→i} hub_j,   hub_i = Σ_{i→j} auth_i's new values —
+    * with ONE L1 normalization of each vector at the end. Power
+    * iteration is scale-invariant, so deferring the per-round
+    * normalization to a single final division is MATHEMATICALLY
+    * identical (exact-arithmetic equal; magnitudes stay ~(mean deg)^2k,
+    * far inside double range for the O(10) rounds ranking needs) — and
+    * it is what lets the whole iteration run as ONE lazy-checkpoint job
+    * chain (the [[randomWalks]] branching-factor-1 discipline: an
+    * eager-per-half form pays 4× the job constant, measured 9.0 s vs
+    * 2.4 s at sf0.1). L1 (a sum), not the textbook L2, keeps the
+    * normalizer sqrt-free on both engines. Fixed `iters` (not
+    * convergence-probed) so [[hitsSql]] can unroll the identical rounds;
+    * hubs init at 1.0 exactly.
     *
     * 100 TB shape: same class as [[pageRank]] — scores are one row per
     * node, each half-round is edges⋈scores on one endpoint key plus a
-    * groupBy on the other, the normalizer rides a ONE-ROW broadcast
-    * cross join (no driver collect in the loop), and every half-round is
-    * cut with an eager lineage barrier (reliable checkpoints when
+    * groupBy on the other; the two normalizers ride ONE-ROW broadcast
+    * cross joins (no driver collect); lazy lineage barriers cut the plan
+    * per half-round (reliable checkpoints when
     * `spark.graft.checkpointDir` is set). AQE salts hub skew. Returns
     * (node, auth, hub), unrounded — callers round for oracles. */
   def hits(edges: DataFrame, iters: Int = 4): DataFrame = {
@@ -380,55 +387,61 @@ object GraphOps {
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
       .lineageBarrier(eager = false)
-    // one half-round: pull scores across edges (joinKey → groupKey),
-    // L1-normalize via the broadcast one-row total
-    def half(scores: DataFrame, joinKey: String, groupKey: String): DataFrame = {
-      val raw = nodes.join(
-          e.join(scores, e(joinKey) === scores("node"))
-            .groupBy(e(groupKey).as("nn")).agg(sum(col("v")).as("s")),
-          nodes("node") === col("nn"), "left")
-        .select(col("node"), coalesce(col("s"), lit(0.0)).as("raw"))
-        .lineageBarrier()
-      raw.crossJoin(broadcast(raw.agg(sum(col("raw")).as("t"))))
-        .select(col("node"), (col("raw") / col("t")).as("v"))
-    }
+    // one half-round: pull raw scores across edges (joinKey → groupKey).
+    // The score relation stays SPARSE through the loop (only nodes with
+    // nonzero mass) — a zero score contributes exactly nothing to a sum,
+    // so dropping the zero rows changes no value while halving the
+    // per-round work (no nodes left-join, no coalesce, no broadcast per
+    // half); the dense node set is reinstated once, at the end
+    def half(scores: DataFrame, joinKey: String, groupKey: String): DataFrame =
+      e.join(scores, e(joinKey) === scores("node"))
+        .groupBy(e(groupKey).as("node")).agg(sum(col("v")).as("v"))
+        .lineageBarrier(eager = false)
     var hub = nodes.select(col("node"), lit(1.0).as("v"))
     var auth = hub
     for (_ <- 1 to iters) {
       auth = half(hub, "src", "dst")
       hub = half(auth, "dst", "src")
     }
-    auth.select(col("node"), col("v").as("auth"))
-      .join(hub.select(col("node"), col("v").as("hub")), Seq("node"))
+    val ta = broadcast(auth.agg(sum(col("v")).as("ta")))
+    val th = broadcast(hub.agg(sum(col("v")).as("th")))
+    nodes
+      .join(auth.select(col("node"), col("v").as("a")), Seq("node"), "left")
+      .join(hub.select(col("node"), col("v").as("h")), Seq("node"), "left")
+      .crossJoin(ta).crossJoin(th)
+      .select(col("node"),
+        (coalesce(col("a"), lit(0.0)) / col("ta")).as("auth"),
+        (coalesce(col("h"), lit(0.0)) / col("th")).as("hub"))
   }
 
-  /** DuckDB twin of [[hits]]: the same L1-normalized half-rounds UNROLLED
-    * as CTEs over a caller-supplied `e(src, dst)` CTE — identical
-    * coalesce-then-divide float op order; callers round both sides. */
+  /** DuckDB twin of [[hits]]: the same RAW half-rounds UNROLLED as CTEs
+    * over a caller-supplied `e(src, dst)` CTE, with the identical single
+    * final L1 division; callers round both sides. */
   def hitsSql(edgesCte: String, iters: Int): String = {
-    def halfCte(i: Int, out: String, in: String, joinKey: String,
+    def halfCte(out: String, in: String, joinKey: String,
         groupKey: String): String =
-      s"""${out}r$i AS (
-         |  SELECT nodes.node, COALESCE(s.s, 0.0) AS raw
-         |  FROM nodes LEFT JOIN (
-         |    SELECT e.$groupKey AS node, sum($in.v) AS s
-         |    FROM e JOIN $in ON e.$joinKey = $in.node GROUP BY 1) s
-         |    USING (node)),
-         |${out}t$i AS (SELECT sum(raw) AS t FROM ${out}r$i),
-         |$out$i AS (
-         |  SELECT node, raw / t AS v FROM ${out}r$i CROSS JOIN ${out}t$i)"""
+      s"""$out AS (
+         |  SELECT e.$groupKey AS node, sum($in.v) AS v
+         |  FROM e JOIN $in ON e.$joinKey = $in.node GROUP BY 1)"""
         .stripMargin
     val rounds = (1 to iters).map { i =>
       val hubIn = if (i == 1) "h0" else s"h${i - 1}"
-      halfCte(i, "a", hubIn, "src", "dst") + ",\n" +
-        halfCte(i, "h", s"a$i", "dst", "src")
+      halfCte(s"a$i", hubIn, "src", "dst") + ",\n" +
+        halfCte(s"h$i", s"a$i", "dst", "src")
     }.mkString(",\n")
     s"""WITH e AS (SELECT DISTINCT src, dst FROM ($edgesCte)),
        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
        |h0 AS (SELECT node, 1.0 AS v FROM nodes),
-       |$rounds
-       |SELECT node, round(a$iters.v, 9) AS auth, round(h$iters.v, 9) AS hub
-       |FROM a$iters JOIN h$iters USING (node)""".stripMargin
+       |$rounds,
+       |ta AS (SELECT sum(v) AS t FROM a$iters),
+       |th AS (SELECT sum(v) AS t FROM h$iters)
+       |SELECT nodes.node,
+       |  round(COALESCE(a$iters.v, 0.0) / ta.t, 9) AS auth,
+       |  round(COALESCE(h$iters.v, 0.0) / th.t, 9) AS hub
+       |FROM nodes
+       |LEFT JOIN a$iters USING (node)
+       |LEFT JOIN h$iters USING (node)
+       |CROSS JOIN ta CROSS JOIN th""".stripMargin
   }
 
   /** Link-prediction scores over an undirected edge list (`a`, `b`;
