@@ -1815,6 +1815,31 @@ object ExtensionQueries {
       ProfileOps.binnedKs(Tables.documents(s, dir), "source",
         axVal.binCol(col("n_chars").cast("double")), "src0", "src1")
     },
+    // Earth-mover drift: "how far did the mass move" in bin-width units
+    // — the KS/chi2 sibling that distinguishes a 1-bin from a 10-bin
+    // shift; integer cross-CDFs summed as wide decimals
+    "hist_emd_drift" -> { (s, dir) =>
+      ProfileOps.binnedEmd(Tables.documents(s, dir), "source",
+        axVal.binCol(col("n_chars").cast("double")), "src0", "src1")
+    },
+    // Declared-candidate functional-dependency audit on orders: the key
+    // FDs hold (orderkey → custkey/totalprice), the attribute pairs
+    // don't — the schema-inference check a new snapshot runs
+    "profile_fd_check" -> { (s, dir) =>
+      ProfileOps.fdCheck(Tables.orders(s, dir), Seq(
+        "o_orderkey" -> "o_custkey",
+        "o_orderkey" -> "o_totalprice",
+        "o_custkey" -> "o_orderstatus",
+        "o_orderpriority" -> "o_orderstatus")).orderBy("det", "dep")
+    },
+    // Pairwise Pearson correlation of the lineitem numeric columns in
+    // ONE scan (6 decimal slots per pair, no Expand) — the
+    // feature-redundancy / drift-root-cause matrix
+    "profile_correlation" -> { (s, dir) =>
+      ProfileOps.correlation(Tables.lineitem(s, dir), Seq(
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("col_a", "col_b")
+    },
     // Top first-5-event journeys: whole-sequence Sankey counts beyond
     // pairwise transitions; bounded per-user prefix, bounded top-k
     "events_top_paths" -> { (s, dir) =>
@@ -2981,6 +3006,19 @@ object ExtensionQueries {
     "hist_ks_drift" ->
       ProfileOps.binnedKsSql("documents", "source",
         axVal.sqlExpr("CAST(n_chars AS DOUBLE)"), "src0", "src1"),
+    "hist_emd_drift" ->
+      ProfileOps.binnedEmdSql("documents", "source",
+        axVal.sqlExpr("CAST(n_chars AS DOUBLE)"), "src0", "src1"),
+    "profile_fd_check" ->
+      (ProfileOps.fdCheckSql("orders", Seq(
+        "o_orderkey" -> "o_custkey",
+        "o_orderkey" -> "o_totalprice",
+        "o_custkey" -> "o_orderstatus",
+        "o_orderpriority" -> "o_orderstatus")) + "\nORDER BY det, dep"),
+    "profile_correlation" ->
+      (ProfileOps.correlationSql("lineitem", Seq(
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax")) +
+        "\nORDER BY col_a, col_b"),
     "events_top_paths" ->
       (FunnelOps.topPathsSql(5, 20) + "\nORDER BY rank"),
     "events_anomaly_mad" ->

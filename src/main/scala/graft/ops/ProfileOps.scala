@@ -574,6 +574,184 @@ object ProfileOps {
        |FROM cum, tot""".stripMargin
   }
 
+  /** Earth-mover (Wasserstein-1) distance between two groups' binned
+    * distributions, in BIN-WIDTH units — the drift statistic that scores
+    * "how far did mass move", complementing [[binnedKs]] (max gap) and
+    * [[binnedChi2]] (occupancy-weighted): a one-bin shift of all mass
+    * and a 10-bin shift score identically in KS but 10× apart in EMD.
+    *
+    * On the integer bin line, EMD = Σ |CDF_a(x) − CDF_b(x)| over ALL x —
+    * a CDF gap persists across EMPTY bins, so each occupied bin's
+    * integer cross-product gap |ca·nb − cb·na| is weighted by the
+    * distance to the NEXT occupied bin (`lead` − bin; the final bin's
+    * gap is zero since total CDFs agree). Products are summed as
+    * DECIMAL(38,0) (the Σ multiplies the [[binnedKs]] int64 bound by
+    * the bin span, so the sum gets the wide-decimal treatment), divided
+    * once, rounded 6dp.
+    *
+    * One row: (emd, n_a, n_b). Corpus cost is the grouped count; the
+    * CDF walk is a bin-cardinality window. */
+  def binnedEmd(df: DataFrame, groupCol: String, binCol: Column,
+      groupA: String, groupB: String): DataFrame = {
+    val binned = df.filter(col(groupCol).isin(groupA, groupB))
+      .select(col(groupCol).as("__g"), binCol.cast("long").as("bin"))
+      .groupBy("bin")
+      .agg(count(when(col("__g") === groupA, lit(1))).as("a"),
+        count(when(col("__g") === groupB, lit(1))).as("b"))
+    val cumW = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val leadW = Window.orderBy("bin")
+    binned
+      .withColumn("ca", sum("a").over(cumW))
+      .withColumn("cb", sum("b").over(cumW))
+      .withColumn("gap", coalesce(lead(col("bin"), 1).over(leadW) - col("bin"),
+        lit(0L)))
+      .crossJoin(broadcast(binned.agg(sum("a").as("na"), sum("b").as("nb"))))
+      .agg(
+        round(sum((abs(col("ca") * col("nb") - col("cb") * col("na")) *
+            col("gap")).cast(DecimalType(38, 0))).cast("double") /
+          (max("na").cast("double") * max("nb").cast("double")), 6).as("emd"),
+        max("na").as("n_a"), max("nb").as("n_b"))
+  }
+
+  /** DuckDB twin of [[binnedEmd]]. */
+  def binnedEmdSql(table: String, groupCol: String, binSql: String,
+      groupA: String, groupB: String): String = {
+    def q(s: String) = s.replace("'", "''")
+    s"""WITH binned AS (
+       |  SELECT $binSql AS bin,
+       |    count(*) FILTER ($groupCol = '${q(groupA)}') AS a,
+       |    count(*) FILTER ($groupCol = '${q(groupB)}') AS b
+       |  FROM $table WHERE $groupCol IN ('${q(groupA)}', '${q(groupB)}')
+       |  GROUP BY 1),
+       |cum AS (
+       |  SELECT
+       |    sum(a) OVER (ORDER BY bin
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+       |    sum(b) OVER (ORDER BY bin
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+       |    COALESCE(lead(bin, 1) OVER (ORDER BY bin) - bin, 0) AS gap
+       |  FROM (SELECT CAST(bin AS BIGINT) AS bin, a, b FROM binned)),
+       |tot AS (SELECT CAST(sum(a) AS BIGINT) AS na,
+       |          CAST(sum(b) AS BIGINT) AS nb FROM binned)
+       |SELECT round(CAST(sum(CAST(abs(ca * nb - cb * na) * gap
+       |      AS DECIMAL(38, 0))) AS DOUBLE)
+       |    / (CAST(max(na) AS DOUBLE) * CAST(max(nb) AS DOUBLE)), 6) AS emd,
+       |  max(na) AS n_a, max(nb) AS n_b
+       |FROM cum, tot""".stripMargin
+  }
+
+  /** Functional-dependency check over DECLARED candidate pairs — the
+    * data-profiling primitive behind "is doc_id a key", "does source
+    * determine lang", schema-inference audits (Metanome-style, but as a
+    * declared-candidate CHECK: discovery over all column pairs is the
+    * same op mapped over the pair lattice). For each (det, dep): the
+    * determinant's group count and how many groups witness MORE than one
+    * distinct dependent value (0 ⟺ det → dep holds).
+    *
+    * All-integer output. Per-pair cost is one groupBy(det) +
+    * count_distinct(dep) — deliberately ONE pair per aggregate (fusing
+    * pairs shares the scan but trips the multi-distinct Expand; at
+    * exhibit pair-counts the extra scans are the cheap side of that
+    * trade, the [[profile]] lesson). */
+  def fdCheck(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "fdCheck needs at least one candidate pair")
+    pairs.map { case (det, dep) =>
+      df.groupBy(col(det).as("__k"))
+        .agg(count_distinct(col(dep)).as("__nd"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("__nd") > 1, 1L).otherwise(0L)).as("violating_groups"))
+        .select(lit(det).as("det"), lit(dep).as("dep"),
+          col("n_groups"), col("violating_groups"),
+          (col("violating_groups") === 0).as("holds"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** DuckDB twin of [[fdCheck]]. */
+  def fdCheckSql(table: String, pairs: Seq[(String, String)]): String =
+    pairs.map { case (det, dep) =>
+      s"""SELECT '$det' AS det, '$dep' AS dep,
+         |  CAST(count(*) AS BIGINT) AS n_groups,
+         |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS violating_groups,
+         |  sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS holds
+         |FROM (SELECT $det AS k, count(DISTINCT $dep) AS nd
+         |      FROM $table GROUP BY 1)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
+  /** Pairwise Pearson correlation of numeric columns in ONE scan — the
+    * profiling matrix behind "is totalprice just quantity × price",
+    * feature-redundancy pruning, and drift root-causing. Long-form
+    * (col_a, col_b, n, corr) per unordered pair.
+    *
+    * Exactness: per-row products are doubles (order-free), all SUMS are
+    * DECIMAL(38,6) (associative, order-independent — the [[profile]]
+    * mean discipline applied to second moments); the closed form then
+    * divides once in a fixed op order and rounds 6dp; zero-variance
+    * pairs yield NULL via the nullif guard. Null rows: a pair's sums
+    * count only rows where BOTH columns are non-null (pairwise
+    * deletion, the standard corr contract).
+    *
+    * 100 TB shape: ONE aggregate over the scan with 6 decimal slots per
+    * pair — no Expand, no sort risk from grouping (global aggregate);
+    * C(C−1)/2 pairs of bounded state. */
+  def correlation(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"need >= 2 columns, got $cols")
+    require(cols.distinct == cols, s"duplicate columns in $cols")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    def dec(c: Column) = c.cast(DecimalType(38, 6))
+    val aggs = pairs.zipWithIndex.flatMap { case ((x, y), i) =>
+      val both = col(x).isNotNull && col(y).isNotNull
+      def m(c: Column) = when(both, c)
+      Seq(
+        count(when(both, lit(1))).as(s"n_$i"),
+        sum(m(dec(col(x)))).as(s"sx_$i"),
+        sum(m(dec(col(y)))).as(s"sy_$i"),
+        sum(m(dec(col(x) * col(x)))).as(s"sxx_$i"),
+        sum(m(dec(col(y) * col(y)))).as(s"syy_$i"),
+        sum(m(dec(col(x) * col(y)))).as(s"sxy_$i"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val rows = pairs.zipWithIndex.map { case ((x, y), i) =>
+      def d(n: String) = col(s"${n}_$i").cast("double")
+      val n = d("n")
+      val cov = n * d("sxy") - d("sx") * d("sy")
+      val vx = n * d("sxx") - d("sx") * d("sx")
+      val vy = n * d("syy") - d("sy") * d("sy")
+      struct(lit(x).as("col_a"), lit(y).as("col_b"),
+        col(s"n_$i").as("n"),
+        round(cov / when(sqrt(vx * vy) =!= 0.0, sqrt(vx * vy)), 6).as("corr"))
+    }
+    wide.select(inline(array(rows: _*)))
+  }
+
+  /** DuckDB twin of [[correlation]]. */
+  def correlationSql(table: String, cols: Seq[String]): String = {
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    pairs.map { case (x, y) =>
+      s"""SELECT '$x' AS col_a, '$y' AS col_b,
+         |  CAST(n AS BIGINT) AS n,
+         |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |    / nullif(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+         |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 0), 6) AS corr
+         |FROM (SELECT count(*) AS n,
+         |    sum(CAST($x AS DECIMAL(38,6))) AS sx,
+         |    sum(CAST($y AS DECIMAL(38,6))) AS sy,
+         |    sum(CAST($x * $x AS DECIMAL(38,6))) AS sxx,
+         |    sum(CAST($y * $y AS DECIMAL(38,6))) AS syy,
+         |    sum(CAST($x * $y AS DECIMAL(38,6))) AS sxy
+         |  FROM $table WHERE $x IS NOT NULL AND $y IS NOT NULL)"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+  }
+
   /** Median/MAD volume anomaly detection over a per-bucket count
     * series: a bucket is anomalous when its count deviates from the
     * trailing-`windowLen` LOWER median by more than `k` lower-MADs —

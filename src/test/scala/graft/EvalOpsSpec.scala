@@ -97,6 +97,46 @@ class EvalOpsSpec extends AnyFunSuite {
     assert(got.length == 1 && got(0).getLong(2) == 1L)
   }
 
+  test("binnedEmd: one-bin shift of all mass scores exactly 1 bin unit") {
+    import org.apache.spark.sql.functions.col
+    // group a: all mass in bin 0; group b: all in bin 1 -> EMD = 1.0;
+    // KS would also be 1.0 here, but a 3-bin shift separates them
+    val df = (Seq.fill(10)(("a", 0L)) ++ Seq.fill(10)(("b", 1L)) ++
+      Seq.fill(5)(("c", 0L)) ++ Seq.fill(5)(("d", 3L)))
+      .toDF("g", "bin")
+    val r1 = graft.ops.ProfileOps.binnedEmd(df, "g", col("bin"), "a", "b")
+      .collect()(0)
+    assert(r1.getAs[Double]("emd") == 1.0 && r1.getAs[Long]("n_a") == 10L)
+    val r3 = graft.ops.ProfileOps.binnedEmd(df, "g", col("bin"), "c", "d")
+      .collect()(0)
+    assert(r3.getAs[Double]("emd") == 3.0)
+    // identical distributions -> 0
+    val r0 = graft.ops.ProfileOps.binnedEmd(df, "g", col("bin"), "a", "a")
+    assert(r0.collect()(0).getAs[Double]("emd") == 0.0)
+  }
+
+  test("fdCheck: key FD holds, attribute FD reports exact violations") {
+    val df = Seq((1L, "x", "p"), (2L, "x", "q"), (3L, "y", "p"),
+      (4L, "y", "p")).toDF("id", "a", "b")
+    val got = graft.ops.ProfileOps.fdCheck(df,
+        Seq("id" -> "a", "a" -> "b")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got(("id", "a")) == ((4L, 0L, true)))   // id -> a holds
+    assert(got(("a", "b")) == ((2L, 1L, false)))   // group x sees p,q
+  }
+
+  test("correlation: exact line gives 1.0, anti-line -1.0, constant NULL") {
+    val df = Seq((1.0, 2.0, 9.0, 5.0), (2.0, 4.0, 8.0, 5.0),
+      (3.0, 6.0, 7.0, 5.0)).toDF("x", "y", "z", "k")
+    val got = graft.ops.ProfileOps.correlation(df, Seq("x", "y", "z", "k"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    assert(got(("x", "y")) == Some(1.0))
+    assert(got(("x", "z")) == Some(-1.0))
+    assert(got(("x", "k")).isEmpty) // zero variance -> NULL, not NaN
+  }
+
   test("kAnonymity: rejects empty qid list and k < 2") {
     val df = Seq(("a", 1)).toDF("qid", "pad")
     intercept[IllegalArgumentException](EvalOps.kAnonymity(df, Nil))
