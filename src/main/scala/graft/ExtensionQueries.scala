@@ -1815,6 +1815,30 @@ object ExtensionQueries {
       ProfileOps.binnedKs(Tables.documents(s, dir), "source",
         axVal.binCol(col("n_chars").cast("double")), "src0", "src1")
     },
+    // The ApproxNdvRewrite certificate: a plain two-distinct-count SQL
+    // query planned UNDER the optimizer rule (plan-asserted: HllNdvAgg
+    // substituted, no multi-distinct Expand) whose estimates the oracle
+    // recomputes relationally — certifying the whole rewrite path, hash
+    // to estimator. Result collected eagerly so the conf reset cannot
+    // race the lazy plan.
+    "profile_ndv_rewrite" -> { (s, dir) =>
+      import scala.jdk.CollectionConverters._
+      s.conf.set(graft.plans.ApproxNdvRewrite.ConfKey, "64")
+      try {
+        Tables.lineitem(s, dir).select(col("l_partkey"), col("l_suppkey"))
+          .createOrReplaceTempView("li_ndv")
+        val df = s.sql(
+          "SELECT count(DISTINCT l_partkey) AS ndv_part, " +
+            "count(DISTINCT l_suppkey) AS ndv_supp, count(*) AS n FROM li_ndv")
+        val optimized = df.queryExecution.optimizedPlan.toString
+        require(optimized.toLowerCase.contains("hllndvagg"),
+          s"approx-NDV rewrite did not fire:\n$optimized")
+        val physical = df.queryExecution.executedPlan.toString
+        require(!physical.contains("Expand"),
+          s"multi-distinct Expand survived the rewrite:\n$physical")
+        s.createDataFrame(df.collect().toSeq.asJava, df.schema)
+      } finally s.conf.set(graft.plans.ApproxNdvRewrite.ConfKey, "")
+    },
     // Earth-mover drift: "how far did the mass move" in bin-width units
     // — the KS/chi2 sibling that distinguishes a 1-bin from a 10-bin
     // shift; integer cross-CDFs summed as wide decimals
@@ -3009,6 +3033,18 @@ object ExtensionQueries {
     "hist_emd_drift" ->
       ProfileOps.binnedEmdSql("documents", "source",
         axVal.sqlExpr("CAST(n_chars AS DOUBLE)"), "src0", "src1"),
+    "profile_ndv_rewrite" -> {
+      def ndv(c: String) =
+        s"""(SELECT CAST(floor(hll_est) AS BIGINT) FROM (
+           |${SketchOps.hllEstimateScalarSql(SketchOps.hllHashSql(
+          s"SELECT CAST($c AS VARCHAR) AS key FROM lineitem"))}
+           |))""".stripMargin
+      s"""SELECT
+         |  ${ndv("l_partkey")} AS ndv_part,
+         |  ${ndv("l_suppkey")} AS ndv_supp,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n"""
+        .stripMargin
+    },
     "profile_fd_check" ->
       (ProfileOps.fdCheckSql("orders", Seq(
         "o_orderkey" -> "o_custkey",

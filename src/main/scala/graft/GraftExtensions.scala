@@ -24,6 +24,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.mortonDescriptor)
     e.injectFunction(GraftExtensions.nfcDescriptor)
     e.injectFunction(GraftExtensions.polyHashDescriptor)
+    // opt-in COUNT(DISTINCT) → HLL rewrite (inert unless
+    // spark.graft.approxDistinct is set); injected into the
+    // operator-optimization batch so it sees multi-distinct plans
+    // BEFORE RewriteDistinctAggregates expands them
+    e.injectOptimizerRule(_ => graft.plans.ApproxNdvRewrite())
   }
 }
 
@@ -111,7 +116,11 @@ object GraftExtensions {
       else functions.PolyHash(args(0), lit(args(1), "mult").toLong)
     })
 
-  /** Register on an existing session (tests / driver-owned sessions). */
+  /** Register on an existing session (tests / driver-owned sessions).
+    * The ApproxNdvRewrite lands in `experimental.extraOptimizations`
+    * (idempotently), which runs LAST — multi-distinct plans are already
+    * expanded there, so live-session installs catch single-distinct
+    * counts only; build the session `.withExtensions` for full scope. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     Seq(cosineDescriptor, regularBinDescriptor, mortonDescriptor,
@@ -119,5 +128,8 @@ object GraftExtensions {
       .foreach { case (id, info, builder) =>
         reg.registerFunction(id, info, builder)
       }
+    if (!spark.experimental.extraOptimizations.exists(
+        _.isInstanceOf[graft.plans.ApproxNdvRewrite]))
+      spark.experimental.extraOptimizations ++= Seq(graft.plans.ApproxNdvRewrite())
   }
 }

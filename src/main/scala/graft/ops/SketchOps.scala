@@ -352,7 +352,8 @@ object SketchOps {
   /** Same decorrelation rationale as the KMV mix: rank = zero-run length
     * is an order-statistic-like use of the hash bits, and raw PolyHash of
     * structured strings clusters. Distinct seed from CMS (7) and KMV (11). */
-  private val (hllA, hllB): (Long, Long) = {
+  // exposed for ApproxNdvRewrite's catalyst hash mirror (one definition)
+  private[graft] val (hllA, hllB): (Long, Long) = {
     val (as, bs) = cmsCoefficients(1, seed = 13L)
     (as(0), bs(0))
   }
