@@ -2100,6 +2100,28 @@ object ExtensionQueries {
           col("n_exact"), SketchOps.hllEstimate().as("hll_est"))
         .orderBy("bucket_start")
     },
+    // 2-D Pareto skyline: documents maximal under (quality score,
+    // length) — "best under two competing criteria" via the sort-sweep
+    // decomposition, certified against the quadratic dominance oracle
+    "quality_skyline" -> { (s, dir) =>
+      val scored = PipelineOps.classifierScore(Tables.documents(s, dir))
+        .join(Tables.documents(s, dir).select(col("doc_id"), col("n_chars")),
+          Seq("doc_id"))
+        .select(col("doc_id"),
+          (round(col("score") * 1e6)).cast("long").as("s_milli"),
+          col("n_chars"))
+      EvalOps.skyline2d(scored, "s_milli", "n_chars", "doc_id")
+        .orderBy("id")
+    },
+    // Market-basket association rules over order→part co-purchases:
+    // exact support / confidence / lift for pairs above min support
+    "market_basket_rules" -> { (s, dir) =>
+      EvalOps.associationRules(
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
+        "o", "p", minSupport = 2L)
+        .orderBy("item_a", "item_b")
+    },
     // Confusion matrix of the IN-ENGINE-TRAINED naive-Bayes char-trigram
     // language classifier vs corpus labels — the production upgrade of
     // the marker-heuristic text_langid_confusion; integer-exact scores
@@ -3147,6 +3169,17 @@ object ExtensionQueries {
          |    CAST(greatest(COALESCE(per.n_shingles, 0), 1) AS DOUBLE), 6) AS dup_frac
          |FROM documents d LEFT JOIN per USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+    "quality_skyline" ->
+      (EvalOps.skyline2dSql(
+        s"""SELECT c.doc_id AS id,
+           |  CAST(round(c.score * 1e6) AS BIGINT) AS x, d.n_chars AS y
+           |FROM (${PipelineOps.classifierScoreSql}) c
+           |JOIN documents d USING (doc_id)""".stripMargin) +
+        "\nORDER BY id"),
+    "market_basket_rules" ->
+      (EvalOps.associationRulesSql(
+        "SELECT l_orderkey AS o, l_partkey AS p FROM lineitem",
+        minSupport = 2L) + "\nORDER BY item_a, item_b"),
     "text_langid_nb" ->
       (TextOps.nbLangConfusionSql() + "\nORDER BY lang, pred_lang"),
     "events_sliding_distinct" ->

@@ -144,6 +144,78 @@ object EvalOps {
        |    * CAST(c_xy AS DOUBLE) / CAST(n AS DOUBLE), 9) AS mi_term
        |FROM cells JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot""".stripMargin
 
+  // ---- association rules (market basket) ----------------------------------
+  /** Pairwise association rules over (basket, item) co-occurrence:
+    * support, directional confidence, and lift for every unordered item
+    * pair seen in at least `minSupport` baskets — the Agrawal–Srikant
+    * market-basket statistic (here exact, pairs-only: higher-order
+    * itemsets are the same op over the pair relation).
+    *
+    * All counts exact integers; confidences and lift divide once and
+    * round 6dp (lift factors cast to double individually — the int64
+    * product guard).
+    *
+    * 100 TB shape: the pair generation joins the distinct (basket, item)
+    * relation to itself ON THE BASKET KEY — volume Σ per-basket size²,
+    * bounded by basket width, never by item popularity (a hub ITEM never
+    * concentrates a join key; baskets are the keys). Map-side-combined
+    * counts; minSupport prunes before the stats joins; the basket total
+    * rides a one-row broadcast. */
+  def associationRules(baskets: DataFrame, basketCol: String,
+      itemCol: String, minSupport: Long = 2L): DataFrame = {
+    require(minSupport >= 1, s"minSupport >= 1, got $minSupport")
+    val items = baskets.select(col(basketCol).as("o"), col(itemCol).as("p"))
+      .distinct()
+    val nB = broadcast(items.agg(count_distinct(col("o")).as("n_baskets")))
+    val sup = items.groupBy("p").agg(count(lit(1)).as("sup"))
+    val pairs = items.join(items.select(col("o"), col("p").as("p2")), Seq("o"))
+      .filter(col("p") < col("p2"))
+      .groupBy(col("p").as("item_a"), col("p2").as("item_b"))
+      .agg(count(lit(1)).as("sup_ab"))
+      .filter(col("sup_ab") >= minSupport)
+    pairs
+      .join(sup.select(col("p").as("item_a"), col("sup").as("sup_a")),
+        Seq("item_a"))
+      .join(sup.select(col("p").as("item_b"), col("sup").as("sup_b")),
+        Seq("item_b"))
+      .crossJoin(nB)
+      .select(col("item_a"), col("item_b"), col("sup_ab"), col("sup_a"),
+        col("sup_b"),
+        round(col("sup_ab").cast("double") / col("sup_a").cast("double"), 6)
+          .as("conf_a_b"),
+        round(col("sup_ab").cast("double") / col("sup_b").cast("double"), 6)
+          .as("conf_b_a"),
+        round((col("n_baskets").cast("double") * col("sup_ab").cast("double")) /
+          (col("sup_a").cast("double") * col("sup_b").cast("double")), 6)
+          .as("lift"))
+  }
+
+  /** DuckDB twin of [[associationRules]]: `basketsCte` must yield
+    * (o, p). */
+  def associationRulesSql(basketsCte: String, minSupport: Long = 2L): String =
+    s"""WITH items AS (SELECT DISTINCT o, p FROM ($basketsCte)),
+       |nb AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_baskets
+       |       FROM items),
+       |sup AS (SELECT p, CAST(count(*) AS BIGINT) AS sup
+       |        FROM items GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.p AS item_a, b.p AS item_b,
+       |    CAST(count(*) AS BIGINT) AS sup_ab
+       |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+       |  GROUP BY 1, 2
+       |  HAVING count(*) >= $minSupport)
+       |SELECT item_a, item_b, sup_ab, sa.sup AS sup_a, sb.sup AS sup_b,
+       |  round(CAST(sup_ab AS DOUBLE) / CAST(sa.sup AS DOUBLE), 6)
+       |    AS conf_a_b,
+       |  round(CAST(sup_ab AS DOUBLE) / CAST(sb.sup AS DOUBLE), 6)
+       |    AS conf_b_a,
+       |  round((CAST(n_baskets AS DOUBLE) * CAST(sup_ab AS DOUBLE)) /
+       |    (CAST(sa.sup AS DOUBLE) * CAST(sb.sup AS DOUBLE)), 6) AS lift
+       |FROM pairs
+       |JOIN sup sa ON item_a = sa.p
+       |JOIN sup sb ON item_b = sb.p
+       |CROSS JOIN nb""".stripMargin
+
   // ---- k-anonymity -------------------------------------------------------
   /** k-anonymity risk report over a quasi-identifier grouping — "how many
     * records are re-identifiable from their metadata alone". A record is
@@ -173,6 +245,58 @@ object EvalOps {
       .select(col("k").cast("int").as("k"), col("n_groups"), col("n_rows"),
         col("groups_below"), col("rows_below"), col("min_group"))
   }
+
+  // ---- 2-D Pareto skyline -------------------------------------------------
+  /** 2-D skyline (Pareto front, maximize both): rows not STRICTLY
+    * dominated by any other row (dominator ≥ in both coordinates, > in at
+    * least one — so exact duplicates never dominate each other and all
+    * survive together). The classic "best under two competing criteria"
+    * selector (Börzsönyi et al., ICDE'01) Spark has no operator for —
+    * here as the sort-sweep decomposition:
+    *
+    *  1. per distinct x keep only max-y rows (same-x, lower-y rows are
+    *     dominated at their own x) — one grouped aggregate;
+    *  2. a distinct-x candidate survives iff its y exceeds the running
+    *     max y over all STRICTLY larger x — one lag-style window over
+    *     the DISTINCT-X relation (bounded by x-cardinality, not corpus);
+    *  3. join survivors back to emit every tied row.
+    *
+    * All comparisons exact (no float arithmetic is introduced), so any
+    * engine agrees row-for-row; the oracle is the quadratic NOT-EXISTS
+    * dominance query — a hash match certifies the sweep. Null
+    * coordinates are excluded (dominance is undefined on them).
+    *
+    * 100 TB shape: corpus-sized work is one groupBy(x); the sweep window
+    * runs over distinct x values. A quantized score axis (the
+    * [[rocAuc]] trick) bounds that at the quantization cardinality. */
+  def skyline2d(df: DataFrame, xCol: String, yCol: String,
+      idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = df.select(col(idCol).as("id"), col(xCol).as("x"),
+        col(yCol).as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+    val bestPerX = rows.groupBy("x").agg(max(col("y")).as("my"))
+    val sweep = Window.orderBy(col("x").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val front = bestPerX
+      .withColumn("pm", max(col("my")).over(sweep))
+      .filter(col("pm").isNull || col("my") > col("pm"))
+      .select(col("x").as("fx"), col("my"))
+    rows.join(front, col("x") === col("fx") && col("y") === col("my"))
+      .select(col("id"), col("x"), col("y"))
+  }
+
+  /** DuckDB twin of [[skyline2d]] — deliberately the QUADRATIC
+    * NOT-EXISTS dominance definition, so a hash match certifies the
+    * sort-sweep decomposition lost and invented nothing. */
+  def skyline2dSql(rowsCte: String): String =
+    s"""WITH r AS (SELECT * FROM ($rowsCte)
+       |  WHERE x IS NOT NULL AND y IS NOT NULL)
+       |SELECT id, x, y FROM r a
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM r b
+       |  WHERE b.x >= a.x AND b.y >= a.y
+       |    AND (b.x > a.x OR b.y > a.y))""".stripMargin
 
   /** DuckDB twin of [[kAnonymity]]: `qidExprs` must compute the identical
     * quasi-identifier tuple. */

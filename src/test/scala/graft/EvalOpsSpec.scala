@@ -78,6 +78,55 @@ class EvalOpsSpec extends AnyFunSuite {
     assert(got(3) == ((3L, 6L, 2L, 3L, 1L)))
   }
 
+  test("skyline2d: hand front, duplicate points co-survive, nulls out") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, 1L, 9L),   // front (best y)
+      (2L, 5L, 5L),   // front
+      (3L, 9L, 1L),   // front (best x)
+      (4L, 4L, 4L),   // dominated by 2
+      (5L, 5L, 5L),   // duplicate of 2: ties never dominate -> survives
+      (6L, 1L, 9L),   // duplicate of 1 -> survives
+      (7L, 9L, 0L))   // dominated by 3
+      .toDF("id", "x", "y")
+      .unionByName(Seq((8L, Option.empty[Long], Option(9L)))
+        .toDF("id", "x", "y"))
+    val got = EvalOps.skyline2d(df, "x", "y", "id").collect()
+      .map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 3L, 5L, 6L))
+  }
+
+  test("skyline2d == quadratic dominance filter on a random cloud") {
+    import org.apache.spark.sql.functions.col
+    val pts = spark.range(500).select(col("id"),
+      (org.apache.spark.sql.functions.xxhash64(col("id")) % 100).as("x"),
+      (org.apache.spark.sql.functions.xxhash64(col("id") + 7919) % 100).as("y"))
+    val got = EvalOps.skyline2d(pts, "x", "y", "id").collect()
+      .map(_.getLong(0)).toSet
+    val rows = pts.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = rows.filter { case (_, x, y) =>
+      !rows.exists { case (_, bx, by) =>
+        bx >= x && by >= y && (bx > x || by > y) }
+    }.map(_._1).toSet
+    assert(got == brute)
+  }
+
+  test("associationRules: hand-computed support/confidence/lift") {
+    // baskets: {A,B}, {A,B}, {A,C} -> sup(A)=3, sup(B)=2, sup(C)=1,
+    // sup(AB)=2, conf(A->B)=2/3, conf(B->A)=1, lift=3*2/(3*2)=1
+    val df = Seq((1L, "A"), (1L, "B"), (2L, "A"), (2L, "B"), (3L, "A"),
+      (3L, "C"), (3L, "C")).toDF("o", "p") // dup (3,C) collapses
+    val got = EvalOps.associationRules(df, "o", "p", minSupport = 2L)
+      .collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert((r.getString(0), r.getString(1)) == (("A", "B")))
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) == ((2L, 3L, 2L)))
+    assert(r.getAs[Double]("conf_a_b") == 0.666667)
+    assert(r.getAs[Double]("conf_b_a") == 1.0)
+    assert(r.getAs[Double]("lift") == 1.0)
+  }
+
   test("nbLangConfusion: separable trigram corpora classify perfectly") {
     val docs = (
       (1 to 5).map(i => (i.toLong, "aaaa aaaa aaaa", "aa")) ++
