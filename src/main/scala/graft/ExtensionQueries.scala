@@ -1861,7 +1861,8 @@ object ExtensionQueries {
     // feature-redundancy / drift-root-cause matrix
     "profile_correlation" -> { (s, dir) =>
       ProfileOps.correlation(Tables.lineitem(s, dir), Seq(
-        "l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+        pairwiseNulls = false)
         .orderBy("col_a", "col_b")
     },
     // Top first-5-event journeys: whole-sequence Sankey counts beyond

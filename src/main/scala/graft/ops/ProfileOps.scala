@@ -695,36 +695,74 @@ object ProfileOps {
     * 100 TB shape: ONE aggregate over the scan with 6 decimal slots per
     * pair — no Expand, no sort risk from grouping (global aggregate);
     * C(C−1)/2 pairs of bounded state. */
-  def correlation(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def correlation(df: DataFrame, cols: Seq[String],
+      pairwiseNulls: Boolean = true): DataFrame = {
     require(cols.size >= 2, s"need >= 2 columns, got $cols")
     require(cols.distinct == cols, s"duplicate columns in $cols")
     val pairs = for {
       i <- cols.indices; j <- (i + 1) until cols.size
-    } yield (cols(i), cols(j))
+    } yield ((cols(i), i), (cols(j), j))
     def dec(c: Column) = c.cast(DecimalType(38, 6))
-    val aggs = pairs.zipWithIndex.flatMap { case ((x, y), i) =>
-      val both = col(x).isNotNull && col(y).isNotNull
-      def m(c: Column) = when(both, c)
-      Seq(
-        count(when(both, lit(1))).as(s"n_$i"),
-        sum(m(dec(col(x)))).as(s"sx_$i"),
-        sum(m(dec(col(y)))).as(s"sy_$i"),
-        sum(m(dec(col(x) * col(x)))).as(s"sxx_$i"),
-        sum(m(dec(col(y) * col(y)))).as(s"syy_$i"),
-        sum(m(dec(col(x) * col(y)))).as(s"sxy_$i"))
+    if (pairwiseNulls) {
+      // general mode: every pair masks to rows where BOTH are non-null
+      // (6 slots × C(C,2), each CASE-guarded) — correct on any input,
+      // interpreted-decimal-expensive on wide tables
+      val aggs = pairs.zipWithIndex.flatMap { case (((x, _), (y, _)), i) =>
+        val both = col(x).isNotNull && col(y).isNotNull
+        def m(c: Column) = when(both, c)
+        Seq(
+          count(when(both, lit(1))).as(s"n_$i"),
+          sum(m(dec(col(x)))).as(s"sx_$i"),
+          sum(m(dec(col(y)))).as(s"sy_$i"),
+          sum(m(dec(col(x) * col(x)))).as(s"sxx_$i"),
+          sum(m(dec(col(y) * col(y)))).as(s"syy_$i"),
+          sum(m(dec(col(x) * col(y)))).as(s"sxy_$i"))
+      }
+      val wide = df.agg(aggs.head, aggs.tail: _*)
+      val rows = pairs.zipWithIndex.map { case (((x, _), (y, _)), i) =>
+        def d(n: String) = col(s"${n}_$i").cast("double")
+        val n = d("n")
+        val cov = n * d("sxy") - d("sx") * d("sy")
+        val vx = n * d("sxx") - d("sx") * d("sx")
+        val vy = n * d("syy") - d("sy") * d("sy")
+        struct(lit(x).as("col_a"), lit(y).as("col_b"),
+          col(s"n_$i").as("n"),
+          round(cov / when(sqrt(vx * vy) =!= 0.0, sqrt(vx * vy)), 6).as("corr"))
+      }
+      wide.select(inline(array(rows: _*)))
+    } else {
+      // no-nulls fast path (measured 8.2 s → masked vs shared-slot on the
+      // 4-column lineitem profile at sf0.1): per-COLUMN sums are shared
+      // across every pair (3 slots × C + 1 count + sxy × C(C,2) — no CASE
+      // masks), valid ONLY when no profiled column has nulls; a null
+      // count mismatch RAISES rather than returning silently-wrong stats
+      val colAggs = cols.zipWithIndex.flatMap { case (c, i) =>
+        Seq(count(col(c)).as(s"nc_$i"),
+          sum(dec(col(c))).as(s"s_$i"),
+          sum(dec(col(c) * col(c))).as(s"ss_$i"))
+      }
+      val pairAggs = pairs.zipWithIndex.map { case (((x, _), (y, _)), i) =>
+        sum(dec(col(x) * col(y))).as(s"sxy_$i")
+      }
+      val all = (count(lit(1)).as("n") +: colAggs) ++ pairAggs
+      val wide = df.agg(all.head, all.tail: _*)
+      val rows = pairs.zipWithIndex.map { case (((x, xi), (y, yi)), i) =>
+        val n = col("n").cast("double")
+        def s(p: String, j: Int) = col(s"${p}_$j").cast("double")
+        val cov = n * s("sxy", i) - s("s", xi) * s("s", yi)
+        val vx = n * s("ss", xi) - s("s", xi) * s("s", xi)
+        val vy = n * s("ss", yi) - s("s", yi) * s("s", yi)
+        val ok = col(s"nc_$xi") === col("n") && col(s"nc_$yi") === col("n")
+        struct(lit(x).as("col_a"), lit(y).as("col_b"),
+          col("n").as("n"),
+          when(ok,
+            round(cov / when(sqrt(vx * vy) =!= 0.0, sqrt(vx * vy)), 6))
+            .otherwise(raise_error(lit(
+              s"correlation(pairwiseNulls=false): nulls in $x or $y — " +
+                "use the pairwise mode")).cast("double")).as("corr"))
+      }
+      wide.select(inline(array(rows: _*)))
     }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
-    val rows = pairs.zipWithIndex.map { case ((x, y), i) =>
-      def d(n: String) = col(s"${n}_$i").cast("double")
-      val n = d("n")
-      val cov = n * d("sxy") - d("sx") * d("sy")
-      val vx = n * d("sxx") - d("sx") * d("sx")
-      val vy = n * d("syy") - d("sy") * d("sy")
-      struct(lit(x).as("col_a"), lit(y).as("col_b"),
-        col(s"n_$i").as("n"),
-        round(cov / when(sqrt(vx * vy) =!= 0.0, sqrt(vx * vy)), 6).as("corr"))
-    }
-    wide.select(inline(array(rows: _*)))
   }
 
   /** DuckDB twin of [[correlation]]. */

@@ -178,12 +178,29 @@ class EvalOpsSpec extends AnyFunSuite {
   test("correlation: exact line gives 1.0, anti-line -1.0, constant NULL") {
     val df = Seq((1.0, 2.0, 9.0, 5.0), (2.0, 4.0, 8.0, 5.0),
       (3.0, 6.0, 7.0, 5.0)).toDF("x", "y", "z", "k")
-    val got = graft.ops.ProfileOps.correlation(df, Seq("x", "y", "z", "k"))
-      .collect().map(r => (r.getString(0), r.getString(1)) ->
-        Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
-    assert(got(("x", "y")) == Some(1.0))
-    assert(got(("x", "z")) == Some(-1.0))
-    assert(got(("x", "k")).isEmpty) // zero variance -> NULL, not NaN
+    for (pw <- Seq(true, false)) {
+      val got = graft.ops.ProfileOps.correlation(df, Seq("x", "y", "z", "k"),
+          pairwiseNulls = pw)
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+      assert(got(("x", "y")) == Some(1.0), s"pairwiseNulls=$pw")
+      assert(got(("x", "z")) == Some(-1.0), s"pairwiseNulls=$pw")
+      assert(got(("x", "k")).isEmpty, s"pairwiseNulls=$pw") // zero var -> NULL
+    }
+  }
+
+  test("correlation fast path raises on nulls; pairwise mode masks them") {
+    val df = Seq((Some(1.0), Some(2.0)), (Some(2.0), Some(4.0)),
+      (Some(3.0), None), (Some(4.0), Some(8.0))).toDF("x", "y")
+    val masked = graft.ops.ProfileOps.correlation(df, Seq("x", "y"))
+      .collect()(0)
+    assert(masked.getAs[Long]("n") == 3L) // null row excluded pairwise
+    assert(masked.getAs[Double]("corr") == 1.0)
+    val ex = intercept[Exception] {
+      graft.ops.ProfileOps.correlation(df, Seq("x", "y"),
+        pairwiseNulls = false).collect()
+    }
+    assert(ex.getMessage != null)
   }
 
   test("kAnonymity: rejects empty qid list and k < 2") {
