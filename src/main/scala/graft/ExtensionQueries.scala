@@ -2101,6 +2101,18 @@ object ExtensionQueries {
           col("n_exact"), SketchOps.hllEstimate().as("hll_est"))
         .orderBy("bucket_start")
     },
+    // Trigram add-k perplexity — the general-n form of lm_perplexity
+    // (a wider model only widens the join key; same scale shape)
+    "lm_perplexity_trigram" -> { (s, dir) =>
+      LmOps.ngramPerplexity(Tables.documents(s, dir), n = 3)
+        .orderBy("doc_id")
+    },
+    // Gini concentration of document length mass — the corpus-balance
+    // number next to text_zipf_fit; L-statistic via the grouped
+    // mid-rank identity, no corpus sort
+    "docs_length_gini" -> { (s, dir) =>
+      ProfileOps.giniIndex(Tables.documents(s, dir), col("n_chars"))
+    },
     // 2-D Pareto skyline: documents maximal under (quality score,
     // length) — "best under two competing criteria" via the sort-sweep
     // decomposition, certified against the quadratic dominance oracle
@@ -3170,6 +3182,10 @@ object ExtensionQueries {
          |    CAST(greatest(COALESCE(per.n_shingles, 0), 1) AS DOUBLE), 6) AS dup_frac
          |FROM documents d LEFT JOIN per USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+    "lm_perplexity_trigram" ->
+      (LmOps.ngramPerplexitySql(3) + " ORDER BY doc_id"),
+    "docs_length_gini" ->
+      ProfileOps.giniIndexSql("documents", "n_chars"),
     "quality_skyline" ->
       (EvalOps.skyline2dSql(
         s"""SELECT c.doc_id AS id,

@@ -178,6 +178,48 @@ object LmOps {
 
   /** DuckDB twin of [[bigramPerplexity]] (same tokenization — same
     * smoothing, same rounding). */
+  /** General-n DuckDB twin of [[ngramPerplexity]] — the [[bigramPerplexitySql]]
+    * shape with the gram built from n adjacent tokens and the prefix cut
+    * by list slicing (identical strings to `substring_index(bg, ' ', n-1)`
+    * on space-joined grams). */
+  def ngramPerplexitySql(n: Int, k: Double = 0.5): String = {
+    require(n >= 2, s"ngram order must be >= 2, got $n")
+    val gram = (0 until n).map {
+      case 0 => "ts[pos]"
+      case i => s"ts[pos+$i]"
+    }.mkString(" || ' ' || ")
+    s"""WITH bg0 AS (
+       |  SELECT doc_id, $gram AS bg
+       |  FROM (SELECT doc_id, string_split(text,' ') AS ts,
+       |    unnest(range(1, greatest(len(string_split(text,' ')) - ${n - 2}, 1)))
+       |      AS pos
+       |    FROM documents)),
+       |perdoc AS (
+       |  SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS c FROM bg0 GROUP BY 1, 2),
+       |model AS (
+       |  SELECT bg, CAST(sum(c) AS BIGINT) AS c2 FROM perdoc GROUP BY 1),
+       |pfx AS (
+       |  SELECT array_to_string(string_split(bg,' ')[1:${n - 1}], ' ') AS pfx,
+       |    CAST(sum(c2) AS BIGINT) AS c1
+       |  FROM model GROUP BY 1),
+       |voc AS (
+       |  SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
+       |  FROM (SELECT unnest(string_split(text,' ')) AS tok FROM documents)),
+       |sc AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_ngrams,
+       |    sum(CAST(c AS DOUBLE) * -ln((c2 + $k)/(c1 + $k * v)))
+       |      / sum(CAST(c AS DOUBLE)) AS nll
+       |  FROM perdoc
+       |  JOIN model USING (bg)
+       |  JOIN pfx ON array_to_string(string_split(bg,' ')[1:${n - 1}], ' ')
+       |    = pfx.pfx
+       |  CROSS JOIN voc
+       |  GROUP BY 1)
+       |SELECT d.doc_id, COALESCE(s.n_ngrams, 0) AS n_ngrams,
+       |  round(exp(s.nll), 6) AS ppl
+       |FROM documents d LEFT JOIN sc s USING (doc_id)""".stripMargin
+  }
+
   def bigramPerplexitySql(k: Double = 0.5): String =
     s"""WITH bg0 AS (
        |  SELECT doc_id,

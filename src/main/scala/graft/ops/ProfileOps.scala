@@ -641,6 +641,64 @@ object ProfileOps {
        |FROM cum, tot""".stripMargin
   }
 
+  /** Gini concentration index of a NON-NEGATIVE bounded-domain integer
+    * value column — "how concentrated is the token/byte mass" (0 =
+    * perfectly even, →1 = one row holds everything), the corpus-
+    * concentration number next to the Zipf fit.
+    *
+    * G = (2·Σᵢ i·x₍ᵢ₎)/(n·Σx) − (n+1)/n over ascending-sorted values —
+    * computed WITHOUT a corpus sort: group by distinct value (the domain
+    * is bounded — lengths, quantized scores), cumulative count window
+    * over the DISTINCT-VALUE relation, and a tie group of value v at
+    * ranks cb+1..cb+cnt contributes 2·Σ ranks·v = v·cnt·(2·cb+cnt+1)
+    * exactly — the [[graft.ops.EvalOps.rocAuc]] mid-rank trick pointed
+    * at an L-statistic. Products ride DECIMAL(38,0) (v·n² exceeds int64
+    * fast); only the final division is floating point, rounded 6dp.
+    *
+    * One row: (n, sum_x, gini). Corpus cost is one groupBy(v). */
+  def giniIndex(df: DataFrame, valueCol: Column): DataFrame = {
+    val g = df.select(valueCol.cast("long").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy("v").agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = g.withColumn("cb", coalesce(sum(col("cnt")).over(w), lit(0L)))
+    cum.agg(
+        sum(col("cnt")).as("n"),
+        sum(col("v") * col("cnt")).as("sum_x"),
+        sum((col("v") * col("cnt")).cast(DecimalType(38, 0)) *
+          (lit(2L) * col("cb") + col("cnt") + lit(1L))
+            .cast(DecimalType(38, 0))).as("r2x"))
+      .select(col("n"), col("sum_x"),
+        round(col("r2x").cast("double") /
+          (col("n").cast("double") * col("sum_x").cast("double")) -
+          (col("n") + lit(1L)).cast("double") / col("n").cast("double"), 6)
+          .as("gini"))
+  }
+
+  /** DuckDB twin of [[giniIndex]]: `valueSql` must compute the identical
+    * integer value. */
+  def giniIndexSql(table: String, valueSql: String): String =
+    s"""WITH g AS (
+       |  SELECT v, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT CAST($valueSql AS BIGINT) AS v FROM $table)
+       |  WHERE v IS NOT NULL GROUP BY 1),
+       |cum AS (
+       |  SELECT v, cnt,
+       |    COALESCE(sum(cnt) OVER (ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+       |  FROM g),
+       |s AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+       |  CAST(sum(v * cnt) AS BIGINT) AS sum_x,
+       |  sum(CAST(v * cnt AS DECIMAL(38,0))
+       |    * CAST(2 * cb + cnt + 1 AS DECIMAL(38,0))) AS r2x
+       |  FROM cum)
+       |SELECT n, sum_x,
+       |  round(CAST(r2x AS DOUBLE) /
+       |    (CAST(n AS DOUBLE) * CAST(sum_x AS DOUBLE)) -
+       |    CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS gini
+       |FROM s""".stripMargin
+
   /** Functional-dependency check over DECLARED candidate pairs — the
     * data-profiling primitive behind "is doc_id a key", "does source
     * determine lang", schema-inference audits (Metanome-style, but as a

@@ -78,6 +78,30 @@ class EvalOpsSpec extends AnyFunSuite {
     assert(got(3) == ((3L, 6L, 2L, 3L, 1L)))
   }
 
+  test("giniIndex: uniform mass 0, single holder (n-1)/n, hand case") {
+    import org.apache.spark.sql.functions.col
+    def gini(xs: Seq[Long]): Double =
+      graft.ops.ProfileOps.giniIndex(xs.toDF("x"), col("x"))
+        .collect()(0).getAs[Double]("gini")
+    assert(gini(Seq(5L, 5L, 5L, 5L)) == 0.0)
+    assert(gini(Seq(0L, 0L, 0L, 6L)) == 0.75) // (n-1)/n
+    // hand case: x = (1,2,3,6), n=4, Σx=12, Σi·x = 1+4+9+24 = 38
+    // G = 2*38/(4*12) - 5/4 = 19/12 - 15/12 = 4/12
+    assert(gini(Seq(3L, 1L, 6L, 2L)) == BigDecimal(4.0 / 12.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("ngramPerplexity n=3: uniform trigram doc scores the closed form") {
+    // one doc, all trigrams distinct => every p = (1+k)/(1+k*V)
+    val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val r = graft.ops.LmOps.ngramPerplexity(docs, 3, k = 0.5).collect()(0)
+    assert(r.getAs[Long]("n_ngrams") == 3L)
+    val p = (1.0 + 0.5) / (1.0 + 0.5 * 5.0) // V = 5 distinct tokens
+    val want = BigDecimal(1.0 / p).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("ppl") == want)
+  }
+
   test("skyline2d: hand front, duplicate points co-survive, nulls out") {
     import org.apache.spark.sql.functions.col
     val df = Seq(
