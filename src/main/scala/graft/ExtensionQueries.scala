@@ -354,6 +354,29 @@ object ExtensionQueries {
     mediaFixtureFor(s, dir, "phash")(id =>
       MultimodalOps.syntheticPng(id % 97, 8, 8))
 
+  // Hash-bucketed table layout persisted ONCE per sf dir: orders and
+  // lineitem each bucketed (8 buckets, sorted) on their join key — the
+  // pay-the-shuffle-once-at-write layout that makes every subsequent
+  // key join exchange-free (plan-asserted in BucketingSpec; the driver
+  // query certifies the WRITE path lossless on the real tables)
+  private val bucketTableNames =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+  private def bucketedTablesFor(s: SparkSession, dir: String): (String, String) =
+    bucketTableNames.getOrElseUpdate(dir, {
+      val tag = java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
+      val base = java.nio.file.Files.createTempDirectory("graft-buckets").toString
+      def write(df: org.apache.spark.sql.DataFrame, name: String,
+          key: String): String = {
+        val t = s"graft_${name}_$tag"
+        df.write.bucketBy(8, key).sortBy(key)
+          .option("path", s"$base/$name").mode("overwrite").saveAsTable(t)
+        t
+      }
+      (write(Tables.orders(s, dir), "orders_b", "o_orderkey"),
+        write(Tables.lineitem(s, dir), "lineitem_b", "l_orderkey"))
+    })
+
   // host -> node id for the fixture's two host families (site K -> K,
   // cdn J -> 100 + J) — deterministic and replayable relationally; the
   // generic path would xxhash hosts, which no SQL twin can replay
@@ -531,6 +554,19 @@ object ExtensionQueries {
     // manifest (doc_id = file, n_chars = bytes), offset-bin packed into
     // ~32 KiB output bins — pure window prefix-sum BIGINT arithmetic,
     // hash-checked end to end
+    // co-located join over the bucketed layout: both sides pre-bucketed
+    // on the join key at write time, so the join runs exchange-free
+    // (plan evidence in BucketingSpec); the oracle joins the raw parquet
+    // — a hash match certifies the bucketed WRITE lossless end to end
+    "layout_bucketed_join" -> { (s, dir) =>
+      val (ordersB, lineitemB) = bucketedTablesFor(s, dir)
+      s.table(ordersB)
+        .join(s.table(lineitemB), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .orderBy("o_orderpriority")
+    },
     "layout_compaction" -> { (s, dir) =>
       LayoutOps.compactionPlan(Tables.documents(s, dir),
         "source", "doc_id", "n_chars", targetBytes = 32768L)
@@ -1329,6 +1365,28 @@ object ExtensionQueries {
           .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
       PipelineOps.snapshotDiff(docs, newSnap).orderBy("doc_id")
     },
+    // Materialized-view DELTA maintenance: the per-source (docs, chars)
+    // aggregate is maintained from the old view + the CDC change feed —
+    // the corpus is never re-aggregated — and the oracle recomputes the
+    // view from the NEW snapshot directly, certifying the counting
+    // algebra (retract old side, assert new side) end to end
+    "cdc_agg_maintain" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val newSnap = docs.filter(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"), col("source"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+            col("text")))
+      val base = PipelineOps.snapshotAgg(docs, "source", length(col("text")))
+      val changes = PipelineOps.cdcChanges(
+        docs, newSnap, "doc_id", "source", length(col("text")))
+      PipelineOps.maintainAgg(base, changes)
+        .select(col("key").as("source"), col("n_rows").as("n_docs"),
+          col("sum_m").as("sum_len"))
+        .orderBy("source")
+    },
     // Vector analytics: per-label centroid of the embedding column
     // (posexplode -> groupBy (label, dim) -> order-independent quantized
     // mean; raw-double avg over float lanes is summation-order-dependent
@@ -1406,6 +1464,22 @@ object ExtensionQueries {
           col("height").as("n_samples"),
           round(col("brightness"), 6).as("mean_amp"))
         .orderBy("id")
+    },
+    // WINDOWED audio features over the same decoded PCM: per-64-sample
+    // mean/peak amplitude and within-window zero crossings — the
+    // silence/clipping/voicing cues an audio curation pass filters on;
+    // stats are exact integer sums per window, so the oracle replays
+    // them window-by-window from the lossless PCM formula
+    "multimodal_audio_windows" -> { (s, dir) =>
+      val media = mediaFixture(s, dir, "wav", "audio/wav", spread = false)(
+        id => MultimodalOps.syntheticWav(id))
+      MultimodalOps.audioWindowFeatures(media, windowSamples = 64)(s).toDF()
+        .select(col("id"), col("winIdx").as("win_idx"),
+          col("winN").as("win_n"),
+          round(col("meanAmp"), 6).as("mean_amp"),
+          col("peakAmp").as("peak_amp"),
+          col("zeroCrossings").as("zero_crossings"))
+        .orderBy("id", "win_idx")
     },
     // REAL video CONTAINER parsing: RIFF/AVI chunk walk to the avih
     // main header (dimensions / frame count / frame interval) — the
@@ -2217,6 +2291,16 @@ object ExtensionQueries {
       EvalOps.mutualInfo(Tables.documents(s, dir), "lang", "source")
         .orderBy("x", "y")
     },
+    // Kitagawa mix-vs-rate decomposition of the overall high-value-event
+    // rate between two event cohorts, with per-segment Simpson flags —
+    // "did segments change, or did the mix shift" for any moved metric
+    "metric_decomposition" -> { (s, dir) =>
+      EvalOps.metricDecomposition(Tables.events(s, dir),
+        period = when(col("event_id") % 2 === 0, 1).otherwise(2),
+        segment = col("event_type"),
+        success = when(col("value") > lit(40.0), 1L).otherwise(0L))
+        .orderBy("segment")
+    },
     // k-anonymity risk report over the (lang, source, length-band)
     // quasi-identifier: for each threshold k, how many groups/rows are
     // re-identifiable (group size < k), plus the dataset's anonymity
@@ -2350,6 +2434,11 @@ object ExtensionQueries {
              "((user_id % 256) + 256) % 256",
              "(epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 256")} AS zkey
          |FROM events ORDER BY event_id""".stripMargin,
+    "layout_bucketed_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "layout_compaction" ->
       (LayoutOps.compactionPlanSql(32768L) + "\nORDER BY source, doc_id"),
     "profile_linear_fit" ->
@@ -2701,6 +2790,22 @@ object ExtensionQueries {
         |    / (65535.0 * (200 + doc_id % 57)), 6) AS mean_amp
         |FROM documents, unnest(range(0, 200 + doc_id % 57)) t(i)
         |GROUP BY doc_id ORDER BY id""".stripMargin,
+    // per-64-sample windows of the same lossless PCM stream; signed
+    // sample < 0 ⟺ biased amp < 32768, and crossings count only
+    // within-window adjacent pairs (i % 64 <> 0), matching the operator
+    "multimodal_audio_windows" ->
+      """WITH samp AS (
+        |  SELECT doc_id, i, (7 * doc_id + 13 * i) % 65536 AS amp
+        |  FROM documents, unnest(range(0, 200 + doc_id % 57)) t(i))
+        |SELECT doc_id AS id, CAST(i // 64 AS INT) AS win_idx,
+        |  COUNT(*) AS win_n,
+        |  round(sum(amp) / (65535.0 * COUNT(*)), 6) AS mean_amp,
+        |  MAX(amp) AS peak_amp,
+        |  CAST(SUM(CASE WHEN i % 64 <> 0 AND ((amp < 32768) <>
+        |      ((7 * doc_id + 13 * (i - 1)) % 65536 < 32768))
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+        |FROM samp GROUP BY doc_id, i // 64
+        |ORDER BY id, win_idx""".stripMargin,
     // closed-form replay of the synthetic generator's header fields;
     // the byte_len base constant is DERIVED from the generator at
     // oracle-build time, so it cannot drift
@@ -2941,6 +3046,19 @@ object ExtensionQueries {
           |UNION ALL
           |SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 20"""
           .stripMargin) + "\nORDER BY doc_id"),
+    // the FULL recompute over the new snapshot — the incremental
+    // maintenance must land on exactly this view
+    "cdc_agg_maintain" ->
+      """WITH newsnap AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 11 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, source, text FROM documents
+        |  WHERE doc_id < 20)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_len
+        |FROM newsnap GROUP BY source ORDER BY source""".stripMargin,
     "emb_label_centroids" ->
       s"""SELECT label, CAST(d.dim AS INT) AS dim, count(*) AS n,
          |${SimilarityOps.quantizedMeanSql("embedding[CAST(d.dim AS INT) + 1]")} AS mean_v
@@ -3248,6 +3366,12 @@ object ExtensionQueries {
     "profile_mutual_info" ->
       (EvalOps.mutualInfoSql("documents", "lang", "source") +
         "\nORDER BY x, y"),
+    "metric_decomposition" ->
+      (EvalOps.metricDecompositionSql(
+        """SELECT CASE WHEN event_id % 2 = 0 THEN 1 ELSE 2 END AS period,
+          |  event_type AS segment,
+          |  CASE WHEN value > 40.0 THEN 1 ELSE 0 END AS success
+          |FROM events""".stripMargin) + "\nORDER BY segment"),
     "privacy_k_anonymity" ->
       (EvalOps.kAnonymitySql("documents",
         Seq("lang", "source", "n_chars // 100")) + "\nORDER BY k"),

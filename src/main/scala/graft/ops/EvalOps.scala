@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -143,6 +143,98 @@ object EvalOps {
        |    (CAST(c_x AS DOUBLE) * CAST(c_y AS DOUBLE))), 6)
        |    * CAST(c_xy AS DOUBLE) / CAST(n AS DOUBLE), 9) AS mi_term
        |FROM cells JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot""".stripMargin
+
+  // ---- metric decomposition (mix vs rate, Simpson detector) --------------
+  /** Decompose the change in an overall binary rate between two periods
+    * into per-segment MIX and RATE effects — the first question on any
+    * moved metric: did segments get better/worse, or did the traffic mix
+    * shift toward different segments? (Kitagawa's decomposition; the
+    * standard A/B "why did the topline move" breakdown.) Per segment s
+    * with share w_p = n_ps / N_p and rate r_p = k_ps / n_ps:
+    *
+    *   mix_s  = (w2 − w1) · r1        (share shift at old rate)
+    *   rate_s = w1 · (r2 − r1)        (rate shift at old share)
+    *   inter_s = (w2 − w1)(r2 − r1)   (the cross term)
+    *
+    * and Σ_s (mix + rate + inter) = R2 − R1 exactly in real arithmetic.
+    * `direction_flip` marks Simpson-paradox segments: the segment rate
+    * moved strictly opposite to the overall rate.
+    *
+    * Exactness: all counts exact integers from ONE map-side-combined
+    * groupBy(segment) with conditional sums (no period×segment pivot
+    * shuffle); every ratio divides cast-to-double integers once; effect
+    * products multiply identical doubles in identical order on both
+    * engines, rounded at 9dp. A segment absent from a period contributes
+    * w = 0, r = 0 (the convention the SQL twin replays).
+    *
+    * 100 TB shape: one corpus scan → one segment-cardinality aggregate;
+    * period totals re-aggregate the segment relation and ride a one-row
+    * broadcast. Nothing else moves. */
+  def metricDecomposition(df: DataFrame, period: Column, segment: Column,
+      success: Column): DataFrame = {
+    val seg = df
+      .select(period.cast("int").as("p"), segment.as("segment"),
+        success.cast("long").as("y"))
+      .groupBy("segment")
+      .agg(sum(when(col("p") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("p") === 1, col("y")).otherwise(0L)).as("k1"),
+        sum(when(col("p") === 2, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("p") === 2, col("y")).otherwise(0L)).as("k2"))
+    val tot = seg.agg(sum("n1").as("t1"), sum("k1").as("s1"),
+      sum("n2").as("t2"), sum("k2").as("s2"))
+    def ratio(k: Column, n: Column): Column =
+      when(n === 0L, 0.0).otherwise(k.cast("double") / n.cast("double"))
+    seg.crossJoin(broadcast(tot))
+      .select(col("segment"), col("n1"), col("n2"),
+        ratio(col("k1"), col("n1")).as("r1"),
+        ratio(col("k2"), col("n2")).as("r2"),
+        ratio(col("n1"), col("t1")).as("w1"),
+        ratio(col("n2"), col("t2")).as("w2"),
+        ratio(col("s1"), col("t1")).as("bigr1"),
+        ratio(col("s2"), col("t2")).as("bigr2"))
+      .select(col("segment"), col("n1"), col("n2"),
+        round(col("r1"), 6).as("r1"), round(col("r2"), 6).as("r2"),
+        round((col("w2") - col("w1")) * col("r1"), 9).as("mix_effect"),
+        round(col("w1") * (col("r2") - col("r1")), 9).as("rate_effect"),
+        round((col("w2") - col("w1")) * (col("r2") - col("r1")), 9)
+          .as("interaction"),
+        (((col("r2") - col("r1")) > 0.0 && (col("bigr2") - col("bigr1")) < 0.0)
+          || ((col("r2") - col("r1")) < 0.0
+            && (col("bigr2") - col("bigr1")) > 0.0)).as("direction_flip"))
+  }
+
+  /** DuckDB twin of [[metricDecomposition]]: `rowsCte` must yield
+    * (period, segment, success) with period ∈ {1, 2} and success ∈ {0, 1},
+    * derived by the identical expressions. */
+  def metricDecompositionSql(rowsCte: String): String =
+    s"""WITH rows_ AS ($rowsCte),
+       |seg AS (
+       |  SELECT segment,
+       |    CAST(sum(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |    CAST(sum(CASE WHEN period = 1 THEN success ELSE 0 END) AS BIGINT) AS k1,
+       |    CAST(sum(CASE WHEN period = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+       |    CAST(sum(CASE WHEN period = 2 THEN success ELSE 0 END) AS BIGINT) AS k2
+       |  FROM rows_ GROUP BY segment),
+       |tot AS (
+       |  SELECT CAST(sum(n1) AS BIGINT) AS t1, CAST(sum(k1) AS BIGINT) AS s1,
+       |    CAST(sum(n2) AS BIGINT) AS t2, CAST(sum(k2) AS BIGINT) AS s2
+       |  FROM seg),
+       |rat AS (
+       |  SELECT segment, n1, n2,
+       |    CASE WHEN n1 = 0 THEN 0.0 ELSE CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE) END AS r1,
+       |    CASE WHEN n2 = 0 THEN 0.0 ELSE CAST(k2 AS DOUBLE) / CAST(n2 AS DOUBLE) END AS r2,
+       |    CASE WHEN t1 = 0 THEN 0.0 ELSE CAST(n1 AS DOUBLE) / CAST(t1 AS DOUBLE) END AS w1,
+       |    CASE WHEN t2 = 0 THEN 0.0 ELSE CAST(n2 AS DOUBLE) / CAST(t2 AS DOUBLE) END AS w2,
+       |    CASE WHEN t1 = 0 THEN 0.0 ELSE CAST(s1 AS DOUBLE) / CAST(t1 AS DOUBLE) END AS bigr1,
+       |    CASE WHEN t2 = 0 THEN 0.0 ELSE CAST(s2 AS DOUBLE) / CAST(t2 AS DOUBLE) END AS bigr2
+       |  FROM seg CROSS JOIN tot)
+       |SELECT segment, n1, n2, round(r1, 6) AS r1, round(r2, 6) AS r2,
+       |  round((w2 - w1) * r1, 9) AS mix_effect,
+       |  round(w1 * (r2 - r1), 9) AS rate_effect,
+       |  round((w2 - w1) * (r2 - r1), 9) AS interaction,
+       |  (((r2 - r1) > 0.0 AND (bigr2 - bigr1) < 0.0) OR
+       |   ((r2 - r1) < 0.0 AND (bigr2 - bigr1) > 0.0)) AS direction_flip
+       |FROM rat""".stripMargin
 
   // ---- association rules (market basket) ----------------------------------
   /** Pairwise association rules over (basket, item) co-occurrence:

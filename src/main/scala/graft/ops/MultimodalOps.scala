@@ -196,57 +196,131 @@ object MultimodalOps {
       def decode(r: MediaRow): MediaFeatures = AudioCodec.decodeRow(r)
     }
     def decodeRow(r: MediaRow): MediaFeatures = {
-      if (r.payload == null)
-        throw new CorruptPayloadException(r.id, "null payload")
-      val ais =
-        try javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(r.payload))
-        catch {
-          case e: javax.sound.sampled.UnsupportedAudioFileException =>
-            throw new CorruptPayloadException(r.id,
-              s"undecodable audio payload: ${e.getMessage}", e)
-          case e: java.io.IOException =>
-            throw new CorruptPayloadException(r.id,
-              s"audio parse failed: ${e.getMessage}", e)
+      val (rate, frames, biased) = decodePcmBiased(r.id, r.payload)
+      var ampSum = 0L
+      var i = 0
+      while (i < biased.length) { ampSum += biased(i); i += 1 }
+      val amp = if (biased.length == 0) 0.0
+        else ampSum.toDouble / (65535.0 * biased.length)
+      MediaFeatures(r.id, r.mediaType, r.payload.length.toLong,
+        byteChecksum(r.payload), amp, rate, frames)
+    }
+  }
+
+  /** Decode a 16-bit PCM container to the bias-shifted sample stream
+    * `sample + 32768 ∈ [0, 65535]` (channels interleaved, the stream
+    * [[AudioCodec]] aggregates) plus (sampleRateHz, frameCount). One
+    * decode path shared by the clip-level and window-level features, so
+    * the two can never disagree on parsing. All corruption surfaces as
+    * [[CorruptPayloadException]] for [[CorruptPolicy]]. */
+  private[graft] def decodePcmBiased(id: Long,
+      payload: Array[Byte]): (Int, Int, Array[Int]) = {
+    if (payload == null)
+      throw new CorruptPayloadException(id, "null payload")
+    val ais =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      catch {
+        case e: javax.sound.sampled.UnsupportedAudioFileException =>
+          throw new CorruptPayloadException(id,
+            s"undecodable audio payload: ${e.getMessage}", e)
+        case e: java.io.IOException =>
+          throw new CorruptPayloadException(id,
+            s"audio parse failed: ${e.getMessage}", e)
+      }
+    try {
+      val fmt = ais.getFormat
+      val enc = fmt.getEncoding
+      val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+      if (!signed && enc != javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED)
+        throw new CorruptPayloadException(id,
+          s"unsupported audio encoding: $enc")
+      if (fmt.getSampleSizeInBits != 16)
+        throw new CorruptPayloadException(id,
+          s"unsupported sample size: ${fmt.getSampleSizeInBits} bits")
+      val frames = ais.getFrameLength
+      val frameSize = fmt.getFrameSize // channels × 2 bytes
+      if (frames < 0 || frames * frameSize > Int.MaxValue)
+        throw new CorruptPayloadException(id,
+          s"unbounded or oversized frame length: $frames")
+      val want = (frames * frameSize).toInt
+      val data = ais.readNBytes(want)
+      if (data.length < want)
+        throw new CorruptPayloadException(id,
+          s"truncated audio data: ${data.length} of $want bytes")
+      val biased = new Array[Int](want / 2)
+      var i = 0
+      while (i < want) {
+        val (lo, hi) = if (fmt.isBigEndian) (data(i + 1), data(i))
+          else (data(i), data(i + 1))
+        val raw = ((hi & 0xff) << 8) | (lo & 0xff)
+        // signed → +32768 biases into [0, 65535]; unsigned is already there
+        biased(i / 2) = if (signed) ((raw << 16) >> 16) + 32768 else raw
+        i += 2
+      }
+      (math.round(fmt.getSampleRate).toInt, frames.toInt, biased)
+    } finally ais.close()
+  }
+
+  /** One fixed-length analysis window of a decoded PCM clip. `meanAmp`
+    * is mean bias-shifted amplitude in [0, 1]; `peakAmp` the window max
+    * of the bias-shifted sample (∈ [0, 65535]); `zeroCrossings` counts
+    * WITHIN-window adjacent sign changes of the signed sample (s = 0
+    * counts as non-negative) — the classic cheap voiced/unvoiced and
+    * silence cues. */
+  final case class AudioWindow(id: Long, winIdx: Int, winN: Long,
+      meanAmp: Double, peakAmp: Long, zeroCrossings: Long)
+
+  /** Fixed-size windowed PCM features — the per-segment stats an audio
+    * curation pass filters on (silence trim, clipping detection, speech
+    * activity) where one clip-level mean hides everything local.
+    *
+    * Scale shape: identical to [[extractFeatures]] — decode runs in
+    * `mapPartitions`, blobs never shuffle, and each clip emits only
+    * ceil(n / windowSamples) small scalar rows. Window stats are exact
+    * integer sums over the decoded stream; crossings are counted within
+    * windows only (no cross-window state), so every window is
+    * independently recomputable — what makes the closed-form oracle and
+    * any downstream incremental re-windowing possible. */
+  def audioWindowFeatures(media: Dataset[MediaRow], windowSamples: Int,
+      onCorrupt: CorruptPolicy = CorruptPolicy.Fail)
+      (implicit spark: SparkSession): Dataset[AudioWindow] = {
+    require(windowSamples >= 2,
+      s"windowSamples must be >= 2 (crossings need a pair), got $windowSamples")
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        val decoded =
+          try Some(decodePcmBiased(r.id, r.payload))
+          catch {
+            case e: CorruptPayloadException => onCorrupt match {
+              case CorruptPolicy.Fail => throw e
+              case CorruptPolicy.Skip => None
+            }
+          }
+        decoded.iterator.flatMap { case (_, _, biased) =>
+          (0 until (biased.length + windowSamples - 1) / windowSamples)
+            .iterator.map { w =>
+              val start = w * windowSamples
+              val end = math.min(start + windowSamples, biased.length)
+              var sum = 0L; var peak = 0L; var zc = 0L
+              var i = start
+              while (i < end) {
+                val b = biased(i)
+                sum += b
+                if (b > peak) peak = b
+                if (i > start && ((biased(i - 1) < 32768) != (b < 32768)))
+                  zc += 1
+                i += 1
+              }
+              val n = end - start
+              // exact integer sum ÷ one double divide; 6dp rounding is the
+              // QUERY's job (same operation order as the oracle)
+              AudioWindow(r.id, w, n.toLong,
+                sum.toDouble / (65535.0 * n), peak, zc)
+            }
         }
-      try {
-        val fmt = ais.getFormat
-        val enc = fmt.getEncoding
-        val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
-        if (!signed && enc != javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED)
-          throw new CorruptPayloadException(r.id,
-            s"unsupported audio encoding: $enc")
-        if (fmt.getSampleSizeInBits != 16)
-          throw new CorruptPayloadException(r.id,
-            s"unsupported sample size: ${fmt.getSampleSizeInBits} bits")
-        val frames = ais.getFrameLength
-        val channels = fmt.getChannels
-        val frameSize = fmt.getFrameSize // channels × 2 bytes
-        if (frames < 0 || frames * frameSize > Int.MaxValue)
-          throw new CorruptPayloadException(r.id,
-            s"unbounded or oversized frame length: $frames")
-        val want = (frames * frameSize).toInt
-        val data = ais.readNBytes(want)
-        if (data.length < want)
-          throw new CorruptPayloadException(r.id,
-            s"truncated audio data: ${data.length} of $want bytes")
-        var ampSum = 0L // Σ over samples of (sample + 32768) ∈ [0, 65535]
-        var i = 0
-        while (i < want) {
-          val (lo, hi) = if (fmt.isBigEndian) (data(i + 1), data(i))
-            else (data(i), data(i + 1))
-          val raw = ((hi & 0xff) << 8) | (lo & 0xff)
-          // signed → +32768 biases into [0, 65535]; unsigned is already there
-          ampSum += (if (signed) ((raw << 16) >> 16) + 32768 else raw)
-          i += 2
-        }
-        val nSamples = frames * channels
-        val amp = if (nSamples == 0) 0.0
-          else ampSum.toDouble / (65535.0 * nSamples)
-        MediaFeatures(r.id, r.mediaType, r.payload.length.toLong,
-          byteChecksum(r.payload), amp,
-          math.round(fmt.getSampleRate).toInt, frames.toInt)
-      } finally ais.close()
+      }
     }
   }
 

@@ -233,4 +233,57 @@ class EvalOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       EvalOps.kAnonymity(df, Seq("qid"), Seq(1)))
   }
+
+  private def decomp(rows: Seq[(Int, String, Int)]) = {
+    import org.apache.spark.sql.functions.col
+    EvalOps.metricDecomposition(rows.toDF("period", "segment", "success"),
+      col("period"), col("segment"), col("success"))
+      .collect().map(r => r.getAs[String]("segment") -> r).toMap
+  }
+
+  test("metricDecomposition: effects sum to the overall rate change") {
+    // seg a: 4/8 -> 3/4; seg b: 1/2 -> 3/6 — mixed shares and rates
+    val rows =
+      (Seq.fill(8)((1, "a", 0)).zipWithIndex.map { case (_, i) =>
+        (1, "a", if (i < 4) 1 else 0) }) ++
+      Seq((1, "b", 1), (1, "b", 0)) ++
+      (0 until 4).map(i => (2, "a", if (i < 3) 1 else 0)) ++
+      (0 until 6).map(i => (2, "b", if (i < 3) 1 else 0))
+    val out = decomp(rows)
+    assert(out("a").getAs[Long]("n1") == 8L && out("a").getAs[Long]("n2") == 4L)
+    assert(out("a").getAs[Double]("r1") == 0.5 && out("a").getAs[Double]("r2") == 0.75)
+    val total = out.values.map(r => r.getAs[Double]("mix_effect")
+      + r.getAs[Double]("rate_effect") + r.getAs[Double]("interaction")).sum
+    val r1 = 5.0 / 10.0; val r2 = 6.0 / 10.0
+    assert(math.abs(total - (r2 - r1)) < 1e-8, s"$total vs ${r2 - r1}")
+  }
+
+  test("metricDecomposition: Simpson flip — segments up, overall down") {
+    // both segment rates RISE (.1->.2, .8->.9) while the mix shifts to
+    // the weak segment, dragging the overall rate .73 -> .27
+    val rows =
+      (0 until 10).map(i => (1, "lo", if (i < 1) 1 else 0)) ++
+      (0 until 90).map(i => (1, "hi", if (i < 72) 1 else 0)) ++
+      (0 until 90).map(i => (2, "lo", if (i < 18) 1 else 0)) ++
+      (0 until 10).map(i => (2, "hi", if (i < 9) 1 else 0))
+    val out = decomp(rows)
+    assert(out("lo").getAs[Double]("r1") == 0.1
+      && out("lo").getAs[Double]("r2") == 0.2)
+    assert(out.values.forall(_.getAs[Boolean]("direction_flip")),
+      "every segment moved against the overall rate")
+  }
+
+  test("metricDecomposition: segment absent from a period gets w=r=0") {
+    val out = decomp(Seq((1, "only1", 1), (1, "both", 0), (2, "both", 1)))
+    val o = out("only1")
+    assert(o.getAs[Long]("n2") == 0L && o.getAs[Double]("r2") == 0.0)
+    // w2 = 0, r2 = 0 convention: mix = (0 − ½)·1, rate = ½·(0 − 1),
+    // inter = +½ — and the identity still closes: Σ effects = ΔR = +½
+    assert(math.abs(o.getAs[Double]("mix_effect") - (-0.5)) < 1e-9)
+    assert(math.abs(o.getAs[Double]("rate_effect") - (-0.5)) < 1e-9)
+    assert(math.abs(o.getAs[Double]("interaction") - 0.5) < 1e-9)
+    val total = out.values.map(r => r.getAs[Double]("mix_effect")
+      + r.getAs[Double]("rate_effect") + r.getAs[Double]("interaction")).sum
+    assert(math.abs(total - 0.5) < 1e-8)
+  }
 }

@@ -182,6 +182,42 @@ class MultimodalSpec extends AnyFunSuite {
       codec = AudioCodec, onCorrupt = CorruptPolicy.Fail).collect())
   }
 
+  test("audioWindowFeatures: per-window closed form, partial tail, policy") {
+    val id = 5L
+    val wav = MultimodalOps.syntheticWav(id)
+    val n = (200 + id % 57).toInt // 205 samples → 64, 64, 64, 13
+    val wins = MultimodalOps.audioWindowFeatures(
+      Seq(MediaRow(id, wav, "audio/wav", 0, 0)).toDS(), windowSamples = 64)
+      .collect().sortBy(_.winIdx)
+    assert(wins.map(_.winIdx).toSeq == wins.indices.toSeq)
+    assert(wins.map(_.winN).sum == n.toLong)
+    assert(wins.last.winN == (n % 64).toLong) // the partial tail window
+    // every window matches the generating formula exactly (PCM lossless)
+    val biased = (0 until n).map(i => ((7 * id + 13 * i) % 65536).toInt)
+    wins.foreach { w =>
+      val seg = biased.slice(w.winIdx * 64, math.min((w.winIdx + 1) * 64, n))
+      assert(w.meanAmp == seg.map(_.toLong).sum.toDouble / (65535.0 * seg.size))
+      assert(w.peakAmp == seg.max.toLong)
+      val zc = seg.sliding(2).count(p =>
+        p.size == 2 && ((p(0) < 32768) != (p(1) < 32768)))
+      assert(w.zeroCrossings == zc.toLong, s"win ${w.winIdx}")
+    }
+    // the shared decode path keeps clip-level and window-level consistent
+    val clip = AudioCodec.decodeRow(MediaRow(id, wav, "audio/wav", 0, 0))
+    assert(clip.brightness ==
+      biased.map(_.toLong).sum.toDouble / (65535.0 * n))
+    // corrupt contract matches the other audio entry points
+    val mixed = Seq(MediaRow(1L, wav, "audio/wav", 0, 0),
+      MediaRow(2L, wav.take(60), "audio/wav", 0, 0)).toDS()
+    assert(MultimodalOps.audioWindowFeatures(mixed, 64,
+      onCorrupt = CorruptPolicy.Skip).collect().map(_.id).distinct.toSeq
+      == Seq(1L))
+    intercept[Exception](MultimodalOps.audioWindowFeatures(mixed, 64,
+      onCorrupt = CorruptPolicy.Fail).collect())
+    intercept[IllegalArgumentException](
+      MultimodalOps.audioWindowFeatures(mixed, 1).collect())
+  }
+
   test("imageResize: nearest-neighbor pixel selection, corrupt policy") {
     // 2x2 source with distinct corner colors -> 1x1 keeps pixel (0, 0)
     val src = new java.awt.image.BufferedImage(

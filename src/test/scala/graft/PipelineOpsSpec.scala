@@ -643,4 +643,47 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(covered.toSet == rows.collect()
       .map(r => r.getLong(0) -> r.getLong(2)).toSet)
   }
+
+  test("maintainAgg: delta maintenance lands on the full recompute") {
+    import org.apache.spark.sql.functions.{col, length}
+    // old: key moves, measure edits, deletes, inserts, an emptied key
+    val oldSnap = Seq(
+      (1L, "a", "xxxx"), (2L, "a", "yy"), (3L, "b", "zzz"),
+      (4L, "c", "qq"), (5L, "b", "w")).toDF("doc_id", "source", "text")
+    val newSnap = Seq(
+      (1L, "b", "xxxx"),  // key move a -> b
+      (2L, "a", "yyyyyy"), // in-place measure edit
+      (3L, "b", "zzz"),    // untouched
+      (6L, "d", "new"),    // insert into a NEW key
+      (5L, "b", "w")).toDF("doc_id", "source", "text") // 4L deleted, c emptied
+    val base = PipelineOps.snapshotAgg(oldSnap, "source", length(col("text")))
+    val changes = PipelineOps.cdcChanges(
+      oldSnap, newSnap, "doc_id", "source", length(col("text")))
+    // only the 4 affecting rows survive the feed filter
+    assert(changes.count() == 4L)
+    val got = PipelineOps.maintainAgg(base, changes)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    val want = PipelineOps.snapshotAgg(newSnap, "source", length(col("text")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    assert(got.sameElements(want), s"${got.toSeq} vs ${want.toSeq}")
+    assert(!got.exists(_._1 == "c"), "emptied key must leave the view")
+
+    // a SUPERSET feed (no-op rows included) cancels to the same view
+    val o = oldSnap.select(col("doc_id").as("id"), col("source").as("old_key"),
+      length(col("text")).cast("long").as("old_m"),
+      org.apache.spark.sql.functions.lit(true).as("old_present"))
+    val n = newSnap.select(col("doc_id").as("id"), col("source").as("new_key"),
+      length(col("text")).cast("long").as("new_m"),
+      org.apache.spark.sql.functions.lit(true).as("new_present"))
+    val superset = o.join(n, Seq("id"), "full_outer")
+      .na.fill(false, Seq("old_present", "new_present"))
+    val got2 = PipelineOps.maintainAgg(base, superset)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    assert(got2.sameElements(want))
+
+    // a feed that disagrees with the base (double-retract) fails loudly
+    val bogus = changes.unionByName(changes)
+    intercept[Exception](PipelineOps.maintainAgg(
+      base.filter(col("key") === "c"), bogus).collect())
+  }
 }
