@@ -273,6 +273,24 @@ class EvalOpsSpec extends AnyFunSuite {
       "every segment moved against the overall rate")
   }
 
+  test("metricDecomposition: AQE reuses the segment exchange (one scan)") {
+    import org.apache.spark.sql.functions.col
+    val rows = (0 until 200).map(i =>
+      (1 + i % 2, s"s${i % 5}", i % 3 min 1)).toDF("period", "segment", "success")
+    rows.write.mode("overwrite").parquet("/tmp/graft-decomp-reuse")
+    val src = spark.read.parquet("/tmp/graft-decomp-reuse")
+    val out = EvalOps.metricDecomposition(src,
+      col("period"), col("segment"), col("success"))
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    // the totals branch must re-aggregate the SEGMENT relation via AQE
+    // exchange reuse, not rescan the corpus — the one-scan contract the
+    // scaladoc promises
+    assert(plan.contains("ReusedExchange") ||
+      "Scan parquet".r.findAllIn(plan).size == 1,
+      s"expected exchange reuse or a single scan, got:\n$plan")
+  }
+
   test("metricDecomposition: segment absent from a period gets w=r=0") {
     val out = decomp(Seq((1, "only1", 1), (1, "both", 0), (2, "both", 1)))
     val o = out("only1")
