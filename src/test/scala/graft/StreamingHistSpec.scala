@@ -7,6 +7,12 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.hist._
 import graft.streaming.StreamingHist
 
+/** CDC change row for the streaming view-maintenance tests — top-level
+  * so MemoryStream gets a plain product encoder. */
+case class ViewChg(id: Long, old_key: String, old_m: Long,
+    old_present: Boolean, new_key: String, new_m: Long,
+    new_present: Boolean)
+
 /** The windowed histogram path under a real Structured Streaming query:
   * the same fill code drives readStream → writeStream with a watermark,
   * and the streamed result equals the batch result. */
@@ -279,5 +285,49 @@ class StreamingHistSpec extends AnyFunSuite {
         "user_id", "imp_ts", "imp_ts", "10 minutes")
     }
     assert(e.getMessage.contains("share ONLY"))
+  }
+
+  test("streaming view maintenance: batch-invariant, idempotent, == recompute") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ops.PipelineOps
+    import graft.streaming.ViewMaintenance
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val viewDir = java.nio.file.Files.createTempDirectory("graft-view").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-view-ck").toString
+    val oldSnap = Seq((1L, "a", 4L), (2L, "a", 2L), (3L, "b", 3L),
+      (4L, "c", 2L), (5L, "b", 1L)).toDF("doc_id", "key", "m")
+    val initial = PipelineOps.snapshotAgg(oldSnap, "key", col("m"))
+    val changes = Seq(
+      ViewChg(6L, null, 0L, false, "d", 5L, true), // insert into a new key
+      ViewChg(1L, "a", 4L, true, "a", 6L, true),   // in-place measure edit
+      ViewChg(3L, "b", 3L, true, "c", 3L, true),   // key move b -> c
+      ViewChg(4L, "c", 2L, true, null, 0L, false), // delete
+      ViewChg(5L, "b", 1L, true, null, 0L, false)) // delete -> b empties
+    val newSnap = Seq((1L, "a", 6L), (2L, "a", 2L), (3L, "c", 3L),
+      (6L, "d", 5L)).toDF("doc_id", "key", "m")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    val want = rows(PipelineOps.snapshotAgg(newSnap, "key", col("m")))
+
+    val in = MemoryStream[ViewChg]
+    val q = ViewMaintenance.start(in.toDF(), initial, viewDir, ckpt)
+    try {
+      in.addData(changes(0), changes(1)); q.processAllAvailable()
+      in.addData(changes(2)); q.processAllAvailable()
+      in.addData(changes(3), changes(4)); q.processAllAvailable()
+    } finally q.stop()
+    def view() = rows(ViewMaintenance.readView(spark, viewDir))
+    assert(view().sameElements(want), s"${view().toSeq} vs ${want.toSeq}")
+    assert(!view().exists(_._1 == "b"), "emptied key must leave the view")
+    // idempotence: a replayed batch id is skipped, never double-applied
+    ViewMaintenance.applyBatch(changes.take(2).toDF(), 0L, viewDir)
+    assert(view().sameElements(want))
+    // associativity: one-shot fold of the whole feed lands on the same
+    // view as the 3-micro-batch fold
+    assert(rows(PipelineOps.maintainAgg(initial, changes.toDF()))
+      .sameElements(want))
+    // restart: re-seeding an existing view is a no-op
+    ViewMaintenance.writeInitial(initial, viewDir)
+    assert(view().sameElements(want))
   }
 }
