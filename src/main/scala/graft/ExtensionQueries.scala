@@ -2160,6 +2160,14 @@ object ExtensionQueries {
       SearchOps.bm25TopKIndexed(s, bm25IndexFor(s, dir), bm25Queries)
         .orderBy("query_id", "rank")
     },
+    // INCREMENTALLY-built index: 2/3 of the corpus indexed, the rest
+    // appended (postings into the same bucket dirs, stats by exact
+    // integer update) — scores must land on the DIRECT query's oracle,
+    // certifying the append path lossless end to end
+    "search_bm25_appended" -> { (s, dir) =>
+      SearchOps.bm25TopKIndexed(s, bm25AppendedIndexFor(s, dir), bm25Queries)
+        .orderBy("query_id", "rank")
+    },
     // Windowed HLL: distinct users per hour as an m-byte sketch per
     // window (streaming-ready — see AsOfRangeHllSpec's stream-vs-batch
     // test); exercises the linear-counting small-range branch (~14
@@ -2326,6 +2334,17 @@ object ExtensionQueries {
     bm25IndexPaths.getOrElseUpdate(dir, {
       val p = java.nio.file.Files.createTempDirectory("graft-bm25-index").toString
       SearchOps.writeIndex(Tables.documents(s, dir), p)
+      p
+    })
+  // index built from 2/3 of the corpus, remaining third APPENDED — the
+  // incremental build the search_bm25_appended query certifies lossless
+  private val bm25AppendPaths = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def bm25AppendedIndexFor(s: SparkSession, dir: String): String =
+    bm25AppendPaths.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("graft-bm25-appended").toString
+      val docs = Tables.documents(s, dir)
+      SearchOps.writeIndex(docs.filter(col("doc_id") % 3 =!= 0), p)
+      SearchOps.appendToIndex(s, p, docs.filter(col("doc_id") % 3 === 0))
       p
     })
 
@@ -3382,6 +3401,8 @@ object ExtensionQueries {
       (SearchOps.bm25TopKSql(bm25Queries) + " ORDER BY query_id, rank"),
     // lossless index => identical scores/ranks to the direct form
     "search_bm25_indexed" ->
+      (SearchOps.bm25TopKSql(bm25Queries) + " ORDER BY query_id, rank"),
+    "search_bm25_appended" ->
       (SearchOps.bm25TopKSql(bm25Queries) + " ORDER BY query_id, rank"),
     "search_rank_rbo" ->
       (s"""WITH ra AS (

@@ -107,18 +107,107 @@ object SearchOps {
   def writeIndex(docs: DataFrame, path: String, nBuckets: Int = 64,
       textCol: String = "text", idCol: String = "doc_id"): Unit = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
-    val toks = Spread(docs).select(col(idCol).as("doc_id"),
-      size(split(col(textCol), " ", -1)).as("dl"),
-      explode(split(col(textCol), " ", -1)).as("term"))
-    toks.groupBy("doc_id", "term")
+    newPostings(docs, textCol, idCol, nBuckets)
+      .write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"$path/postings")
+    // stats carry EXACT integer (n_docs, sum_dl) alongside the derived
+    // avgdl, plus the bucket count — the sidecar [[appendToIndex]]
+    // validates against (a mismatched bucket scheme would scatter a
+    // term's postings across directories and silently break pruning).
+    // avgdl keeps the historical avg() expression: dl are integers, so
+    // the double sum is exact (< 2^53 ≈ 9e15 tokens — beyond 100 TB of
+    // text) and avg(dl) == sum_dl/n_docs bit-for-bit.
+    docs.select(size(split(col(textCol), " ", -1)).as("dl"))
+      .agg(count(lit(1)).as("n_docs"),
+        avg(col("dl").cast("double")).as("avgdl"),
+        sum(col("dl").cast("long")).as("sum_dl"))
+      .withColumn("n_buckets", lit(nBuckets))
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** The (doc_id, term, tf, dl, bucket) posting derivation — ONE code
+    * path shared by build and append so the two can never disagree on
+    * tokenization or bucketing. */
+  private def newPostings(docs: DataFrame, textCol: String, idCol: String,
+      nBuckets: Int): DataFrame =
+    Spread(docs).select(col(idCol).as("doc_id"),
+        size(split(col(textCol), " ", -1)).as("dl"),
+        explode(split(col(textCol), " ", -1)).as("term"))
+      .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
       .withColumn("bucket",
         pmod(graft.functions.PolyHash(col("term")), lit(nBuckets.toLong)))
-      .write.partitionBy("bucket").mode("overwrite")
-      .parquet(s"$path/postings")
-    docs.select(size(split(col(textCol), " ", -1)).cast("double").as("dl"))
-      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-      .write.mode("overwrite").parquet(s"$path/stats")
+
+  /** Append a batch of NEW documents to a persisted [[writeIndex]]
+    * layout without re-reading or re-tokenizing the indexed corpus —
+    * the incremental-index discipline of [[SimilarityOps.appendToPqIndex]]
+    * applied to search. Postings append into the same bucket partition
+    * directories (the bucket count comes from the index's own sidecar,
+    * never from the caller — a wrong scheme would silently break
+    * directory pruning, so an index without the sidecar refuses);
+    * corpus stats update by EXACT integer arithmetic
+    * (n' = n + n_batch, sum_dl' = sum_dl + Σ batch dl), which lands on
+    * bit-identical avgdl to a full rebuild — so an appended index
+    * returns IDENTICAL scores and ranks (test-pinned).
+    *
+    * Contract: batch ids must be new (same as the PQ append); postings
+    * for a re-sent id would double-count. Crash between the postings
+    * append and the stats swap leaves stats stale — [[auditIndex]]
+    * detects it; re-running the append is NOT safe (postings are not
+    * idempotent), recovery is a stats rebuild from postings via the
+    * audit's exact counts. Stats swap is staged + atomic-renamed via
+    * the Hadoop FS API. */
+  def appendToIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      newDocs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): Unit = {
+    val stats = spark.read.parquet(s"$path/stats")
+    require(stats.columns.contains("sum_dl") &&
+      stats.columns.contains("n_buckets"),
+      s"index at $path lacks the append sidecar (sum_dl, n_buckets) — " +
+        "rebuilt with an older writer; rebuild via writeIndex before appending")
+    val row = stats.head()
+    val (n0, sum0) = (row.getAs[Long]("n_docs"), row.getAs[Long]("sum_dl"))
+    val nBuckets = row.getAs[Int]("n_buckets")
+    newPostings(newDocs, textCol, idCol, nBuckets)
+      .write.partitionBy("bucket").mode("append").parquet(s"$path/postings")
+    val add = newDocs
+      .select(size(split(col(textCol), " ", -1)).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("s"))
+      .head()
+    val (n1, s1) = (add.getAs[Long]("n"), add.getAs[Long]("s"))
+    import spark.implicits._
+    val next = Seq(((n0 + n1), (sum0 + s1).toDouble / (n0 + n1),
+        (sum0 + s1), nBuckets))
+      .toDF("n_docs", "avgdl", "sum_dl", "n_buckets")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/.stats-staging")
+    val dst = new org.apache.hadoop.fs.Path(s"$path/stats")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    next.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(dst, true)
+    if (!fs.rename(tmp, dst))
+      sys.error(s"stats swap failed: $tmp -> $dst")
+  }
+
+  /** Consistency audit for a persisted index: recompute the exact doc
+    * count and dl sum FROM THE POSTINGS (one scan — the recovery path
+    * after a crashed [[appendToIndex]]) and compare with the sidecar.
+    * One row: (stats_n_docs, postings_n_docs, stats_sum_dl,
+    * postings_sum_dl, consistent). */
+  def auditIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val perDoc = spark.read.parquet(s"$path/postings")
+      .groupBy("doc_id").agg(max(col("dl")).cast("long").as("dl"))
+    val fromPostings = perDoc.agg(count(lit(1)).as("postings_n_docs"),
+      coalesce(sum(col("dl")), lit(0L)).as("postings_sum_dl"))
+    spark.read.parquet(s"$path/stats")
+      .select(col("n_docs").as("stats_n_docs"),
+        col("sum_dl").as("stats_sum_dl"))
+      .crossJoin(fromPostings)
+      .withColumn("consistent",
+        col("stats_n_docs") === col("postings_n_docs") &&
+          col("stats_sum_dl") === col("postings_sum_dl"))
   }
 
   /** [[bm25TopK]] against a persisted [[writeIndex]] layout — the plan
@@ -135,6 +224,15 @@ object SearchOps {
     require(queries.forall(_._2.forall(_.nonEmpty)),
       "query terms must be non-empty strings")
     import spark.implicits._
+    val statsDf = spark.read.parquet(s"$path/stats")
+    // bucket-scheme guard: probing with the wrong count computes wrong
+    // bucket ids and silently MISSES postings — refuse instead
+    if (statsDf.columns.contains("n_buckets")) {
+      val nb = statsDf.head().getAs[Int]("n_buckets")
+      require(nb == nBuckets,
+        s"index at $path was bucketed with n_buckets=$nb, probed with " +
+          s"$nBuckets — a mismatched scheme would silently miss postings")
+    }
     val vocab = queries.flatMap(_._2).distinct
     val buckets = vocab
       .map(t => graft.functions.PolyHash.hash(t, 31L) % nBuckets).distinct
@@ -143,7 +241,7 @@ object SearchOps {
         col("term").isInCollection(vocab))
       .select("doc_id", "term", "tf", "dl")
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val stats = spark.read.parquet(s"$path/stats")
+    val stats = statsDf.select("n_docs", "avgdl")
     val qterms = queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
       .toDF("query_id", "term")
     val scored = tf

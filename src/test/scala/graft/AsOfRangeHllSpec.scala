@@ -237,6 +237,61 @@ class AsOfRangeHllSpec extends AnyFunSuite {
       s"scanned files outside query buckets: ${scanned.mkString(", ")}")
   }
 
+  test("appendToIndex: appended index == full rebuild; guards refuse") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val qs = Seq(0 -> Seq("hash", "join"), 1 -> Seq("scan", "filter"))
+    val full = java.nio.file.Files.createTempDirectory("graft-idx-f").toString
+    val inc = java.nio.file.Files.createTempDirectory("graft-idx-i").toString
+    SearchOps.writeIndex(docs, full, nBuckets = 64)
+    SearchOps.writeIndex(docs.filter(col("doc_id") % 3 =!= 0), inc,
+      nBuckets = 64)
+    SearchOps.appendToIndex(spark, inc, docs.filter(col("doc_id") % 3 === 0))
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Int]("query_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Double]("score"), r.getAs[Int]("rank"))).toSet
+    // bit-identical scores AND ranks: postings land in the same bucket
+    // dirs, stats update by exact integers — the lossless-append claim
+    assert(key(SearchOps.bm25TopKIndexed(spark, inc, qs, k = 10,
+      nBuckets = 64)) ==
+      key(SearchOps.bm25TopKIndexed(spark, full, qs, k = 10, nBuckets = 64)))
+    // stats sidecars agree exactly between append and rebuild
+    val sf = spark.read.parquet(s"$full/stats").head()
+    val si = spark.read.parquet(s"$inc/stats").head()
+    assert(sf.getAs[Long]("n_docs") == si.getAs[Long]("n_docs"))
+    assert(sf.getAs[Long]("sum_dl") == si.getAs[Long]("sum_dl"))
+    assert(sf.getAs[Double]("avgdl") == si.getAs[Double]("avgdl"))
+    // a consistent index passes the audit
+    assert(SearchOps.auditIndex(spark, inc).head().getAs[Boolean]("consistent"))
+    // probing with the wrong bucket count refuses (silent-miss guard)
+    intercept[IllegalArgumentException](
+      SearchOps.bm25TopKIndexed(spark, inc, qs, nBuckets = 32))
+    // an index without the append sidecar refuses to append
+    val old = java.nio.file.Files.createTempDirectory("graft-idx-o").toString
+    SearchOps.writeIndex(docs, old, nBuckets = 64)
+    spark.read.parquet(s"$old/stats").drop("sum_dl", "n_buckets")
+      .write.mode("overwrite").parquet(s"$old/stats2")
+    def mv(a: String, b: String): Unit = {
+      val fs = new org.apache.hadoop.fs.Path(old)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(a), true)
+      fs.rename(new org.apache.hadoop.fs.Path(b),
+        new org.apache.hadoop.fs.Path(a))
+    }
+    mv(s"$old/stats", s"$old/stats2")
+    intercept[IllegalArgumentException](
+      SearchOps.appendToIndex(spark, old, docs.limit(1)))
+    // audit catches a crashed append (postings written, stats stale)
+    val crashed = java.nio.file.Files
+      .createTempDirectory("graft-idx-c").toString
+    SearchOps.writeIndex(docs.filter(col("doc_id") % 3 =!= 0), crashed,
+      nBuckets = 64)
+    spark.read.parquet(s"$inc/postings")
+      .write.mode("overwrite").parquet(s"$crashed/postings2")
+    mv(s"$crashed/postings", s"$crashed/postings2")
+    assert(!SearchOps.auditIndex(spark, crashed).head()
+      .getAs[Boolean]("consistent"))
+  }
+
   // ---- substring-level dup stats -----------------------------------------
 
   test("ngramDupStats: shared 3-grams counted, unique and short docs zero") {
