@@ -359,23 +359,23 @@ object ExtensionQueries {
   // pay-the-shuffle-once-at-write layout that makes every subsequent
   // key join exchange-free (plan-asserted in BucketingSpec; the driver
   // query certifies the WRITE path lossless on the real tables)
-  private val bucketTableNames =
-    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
-  private def bucketedTablesFor(s: SparkSession, dir: String): (String, String) =
-    bucketTableNames.getOrElseUpdate(dir, {
-      val tag = java.lang.Long.toHexString(
-        scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
+  private def bucketedTablesFor(s: SparkSession, dir: String): (String, String) = {
+    val tag = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
+    val (ot, lt) = (s"graft_orders_b_$tag", s"graft_lineitem_b_$tag")
+    // catalog entries are SESSION-scoped (a path cache would go stale
+    // across sessions in one JVM) — probe the catalog, not a map
+    if (!s.catalog.tableExists(ot) || !s.catalog.tableExists(lt)) {
       val base = java.nio.file.Files.createTempDirectory("graft-buckets").toString
-      def write(df: org.apache.spark.sql.DataFrame, name: String,
-          key: String): String = {
-        val t = s"graft_${name}_$tag"
+      def write(df: org.apache.spark.sql.DataFrame, name: String, t: String,
+          key: String): Unit =
         df.write.bucketBy(8, key).sortBy(key)
           .option("path", s"$base/$name").mode("overwrite").saveAsTable(t)
-        t
-      }
-      (write(Tables.orders(s, dir), "orders_b", "o_orderkey"),
-        write(Tables.lineitem(s, dir), "lineitem_b", "l_orderkey"))
-    })
+      write(Tables.orders(s, dir), "orders_b", ot, "o_orderkey")
+      write(Tables.lineitem(s, dir), "lineitem_b", lt, "l_orderkey")
+    }
+    (ot, lt)
+  }
 
   // host -> node id for the fixture's two host families (site K -> K,
   // cdn J -> 100 + J) — deterministic and replayable relationally; the
