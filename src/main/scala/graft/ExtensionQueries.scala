@@ -2292,6 +2292,25 @@ object ExtensionQueries {
           TextOps.gopherKeep(col("text")).as("label")), Seq("doc_id"))
       EvalOps.rocAuc(scored)
     },
+    // Reliability table: classifier score bins vs empirical Gopher-keep
+    // rate — the calibration shape behind quality_auc's one number
+    "quality_calibration" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val scored = PipelineOps.classifierScore(docs).join(
+        docs.select(col("doc_id"),
+          TextOps.gopherKeep(col("text")).as("label")), Seq("doc_id"))
+      EvalOps.calibrationBins(scored, col("score"), col("label"),
+        lo = -1.0, hi = 1.0, nBins = 10).orderBy("bin")
+    },
+    // Chance-corrected agreement between the cheap classifier's keep
+    // decision and the expensive Gopher rule suite
+    "quality_kappa" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val scored = PipelineOps.classifierScore(docs).join(
+        docs.select(col("doc_id"),
+          TextOps.gopherKeep(col("text")).as("label")), Seq("doc_id"))
+      EvalOps.cohenKappa(scored, col("score") > 0.0, col("label"))
+    },
     // Exact mutual-information decomposition between the corpus metadata
     // columns — "does source determine lang" as the per-cell PMI table
     // whose mi_term column sums to I(lang; source)
@@ -3385,6 +3404,17 @@ object ExtensionQueries {
     "profile_mutual_info" ->
       (EvalOps.mutualInfoSql("documents", "lang", "source") +
         "\nORDER BY x, y"),
+    "quality_calibration" ->
+      (EvalOps.calibrationBinsSql(
+        s"""SELECT c.score AS score, ${TextOps.gopherKeepSql("d.text")} AS label
+           |FROM (${PipelineOps.classifierScoreSql}) c
+           |JOIN documents d USING (doc_id)""".stripMargin,
+        lo = -1.0, hi = 1.0, nBins = 10) + "\nORDER BY bin"),
+    "quality_kappa" ->
+      EvalOps.cohenKappaSql(
+        s"""SELECT c.score > 0.0 AS a, ${TextOps.gopherKeepSql("d.text")} AS b
+           |FROM (${PipelineOps.classifierScoreSql}) c
+           |JOIN documents d USING (doc_id)""".stripMargin),
     "metric_decomposition" ->
       (EvalOps.metricDecompositionSql(
         """SELECT CASE WHEN event_id % 2 = 0 THEN 1 ELSE 2 END AS period,

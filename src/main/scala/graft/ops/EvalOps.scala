@@ -144,6 +144,113 @@ object EvalOps {
        |    * CAST(c_xy AS DOUBLE) / CAST(n AS DOUBLE), 9) AS mi_term
        |FROM cells JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot""".stripMargin
 
+  // ---- calibration (reliability diagram) ----------------------------------
+  /** Reliability table for a scoring model against a binary label: the
+    * score range [lo, hi) cut into `nBins` equal bins, each reporting
+    * its row count, positive count and empirical positive rate — the
+    * relation a reliability diagram plots and a threshold choice reads.
+    * A monotone pos_rate column is what "the score is calibrated for
+    * ranking" looks like; AUC ([[rocAuc]]) summarizes it to one number,
+    * this keeps the shape.
+    *
+    * Exactness: the bin index is floor arithmetic on the raw score
+    * (identical doubles → identical bins on both engines, clamped into
+    * range); counts are exact; pos_rate divides exact integers once,
+    * rounded 6dp. One map-side-combined groupBy(bin); empty bins are
+    * absent rows (the oracle agrees).
+    *
+    * 100 TB shape: one corpus scan → an nBins-row relation. */
+  def calibrationBins(scored: DataFrame, score: Column, label: Column,
+      lo: Double, hi: Double, nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
+    val bin = greatest(lit(0L), least(lit(nBins - 1L),
+      floor((score - lit(lo)) / lit(hi - lo) * lit(nBins)).cast("long")))
+    scored.select(bin.as("bin"), label.cast("boolean").as("y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("n_pos"))
+      .select(col("bin").cast("int").as("bin"), col("n"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n").cast("double"), 6)
+          .as("pos_rate"))
+  }
+
+  /** DuckDB twin of [[calibrationBins]]: `scoredCte` yields
+    * (score, label) by identical expressions. */
+  def calibrationBinsSql(scoredCte: String, lo: Double, hi: Double,
+      nBins: Int = 10): String =
+    s"""WITH scored AS ($scoredCte),
+       |binned AS (
+       |  SELECT greatest(0, least(${nBins - 1},
+       |      CAST(floor((score - ($lo)) / (${hi - lo}) * $nBins) AS BIGINT)))
+       |    AS bin, label AS y
+       |  FROM scored)
+       |SELECT CAST(bin AS INT) AS bin, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |  round(CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE) /
+       |    CAST(count(*) AS DOUBLE), 6) AS pos_rate
+       |FROM binned GROUP BY bin""".stripMargin
+
+  // ---- inter-rule agreement (Cohen's kappa) -------------------------------
+  /** Chance-corrected agreement between two binary labelers over the
+    * same rows (Cohen 1960) — "does the cheap classifier agree with the
+    * expensive rule suite beyond what their base rates force":
+    * κ = (p_o − p_e) / (1 − p_e) with p_o the observed agreement and
+    * p_e = p_a·p_b + (1−p_a)(1−p_b) the chance agreement.
+    *
+    * Exactness: the four cell counts come from ONE map-side-combined
+    * aggregate of conditional sums; every probability divides exact
+    * integers once, and both engines combine the identical doubles in
+    * identical order; κ rounds at 6dp. Degenerate case (p_e = 1: both
+    * labelers constant) reports κ = 0 with agreement 1 — the standard
+    * convention, stated rather than NaN.
+    *
+    * 100 TB shape: one corpus scan → a one-row result. Nothing else. */
+  def cohenKappa(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val cells = df.select(a.cast("boolean").as("a"), b.cast("boolean").as("b"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("n11"),
+        sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("n10"),
+        sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("n01"),
+        sum(when(!col("a") && !col("b"), 1L).otherwise(0L)).as("n00"))
+    def r(x: Column) = x.cast("double") / col("n").cast("double")
+    cells.select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+        r(col("n11") + col("n00")).as("po"),
+        (r(col("n11") + col("n10")) * r(col("n11") + col("n01")) +
+          r(col("n01") + col("n00")) * r(col("n10") + col("n00"))).as("pe"))
+      .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+        round(col("po"), 6).as("p_observed"),
+        round(col("pe"), 6).as("p_chance"),
+        when(col("pe") === 1.0, 0.0)
+          .otherwise(round((col("po") - col("pe")) / (lit(1.0) - col("pe")), 6))
+          .as("kappa"))
+  }
+
+  /** DuckDB twin of [[cohenKappa]]: `rowsCte` yields boolean columns
+    * (a, b) derived by identical expressions. */
+  def cohenKappaSql(rowsCte: String): String =
+    s"""WITH rows_ AS ($rowsCte),
+       |cells AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+       |    CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+       |    CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+       |    CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n00
+       |  FROM rows_),
+       |probs AS (
+       |  SELECT n, n11, n10, n01, n00,
+       |    CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+       |    (CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE)) *
+       |      (CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE)) +
+       |    (CAST(n01 + n00 AS DOUBLE) / CAST(n AS DOUBLE)) *
+       |      (CAST(n10 + n00 AS DOUBLE) / CAST(n AS DOUBLE)) AS pe
+       |  FROM cells)
+       |SELECT n, n11, n10, n01, n00,
+       |  round(po, 6) AS p_observed, round(pe, 6) AS p_chance,
+       |  CASE WHEN pe = 1.0 THEN 0.0
+       |       ELSE round((po - pe) / (1.0 - pe), 6) END AS kappa
+       |FROM probs""".stripMargin
+
   // ---- metric decomposition (mix vs rate, Simpson detector) --------------
   /** Decompose the change in an overall binary rate between two periods
     * into per-segment MIX and RATE effects — the first question on any

@@ -234,6 +234,46 @@ class EvalOpsSpec extends AnyFunSuite {
       EvalOps.kAnonymity(df, Seq("qid"), Seq(1)))
   }
 
+  test("cohenKappa: textbook cells, perfect, inverse, degenerate") {
+    import org.apache.spark.sql.functions.col
+    def kappa(cells: (Int, Int, Int, Int)) = {
+      val (n11, n10, n01, n00) = cells
+      val rows = Seq.fill(n11)((true, true)) ++ Seq.fill(n10)((true, false)) ++
+        Seq.fill(n01)((false, true)) ++ Seq.fill(n00)((false, false))
+      EvalOps.cohenKappa(rows.toDF("a", "b"), col("a"), col("b")).head()
+    }
+    // classic 2x2: po=0.7, pa=0.5, pb=0.6, pe=0.5 -> kappa=0.4
+    val r = kappa((20, 5, 10, 15))
+    assert(r.getAs[Double]("p_observed") == 0.7)
+    assert(r.getAs[Double]("p_chance") == 0.5)
+    assert(r.getAs[Double]("kappa") == 0.4)
+    assert(kappa((30, 0, 0, 70)).getAs[Double]("kappa") == 1.0)
+    // exact complement at 50/50 base rates: po=0, pe=0.5 -> kappa=-1
+    assert(kappa((0, 50, 50, 0)).getAs[Double]("kappa") == -1.0)
+    // both labelers constant: pe=1 -> convention kappa=0, agreement 1
+    val d = kappa((40, 0, 0, 0))
+    assert(d.getAs[Double]("p_observed") == 1.0 &&
+      d.getAs[Double]("kappa") == 0.0)
+  }
+
+  test("calibrationBins: bin edges, clamping, empirical rates") {
+    import org.apache.spark.sql.functions.col
+    val rows = Seq((0.0, false), (0.24, false), (0.25, true), (0.49, true),
+      (0.99, true), (1.0, true), (-0.1, false)).toDF("score", "label")
+    val out = EvalOps.calibrationBins(rows, col("score"), col("label"),
+      lo = 0.0, hi = 1.0, nBins = 4).collect()
+      .map(r => r.getAs[Int]("bin") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("n_pos"),
+          r.getAs[Double]("pos_rate"))).toMap
+    // -0.1 clamps into bin 0; 1.0 clamps into the last bin
+    assert(out(0) == ((3L, 0L, 0.0)))           // 0.0, 0.24, -0.1
+    assert(out(1) == ((2L, 2L, 1.0)))           // 0.25, 0.49
+    assert(out(3) == ((2L, 2L, 1.0)))           // 0.99, 1.0(clamped)
+    assert(!out.contains(2))                    // empty bin absent
+    intercept[IllegalArgumentException](EvalOps.calibrationBins(
+      rows, col("score"), col("label"), 1.0, 0.0))
+  }
+
   private def decomp(rows: Seq[(Int, String, Int)]) = {
     import org.apache.spark.sql.functions.col
     EvalOps.metricDecomposition(rows.toDF("period", "segment", "success"),
