@@ -2016,6 +2016,24 @@ object ExtensionQueries {
             .as("gap_us"))
         .orderBy("user_id", "imp_id", "conv_id")
     },
+    // Multi-touch attribution MODELS over the same certified pair
+    // relation: first/last/linear credit per campaign channel, capped at
+    // the 20 most recent touches per conversion (the lookback contract,
+    // replayed by the oracle); linear credit is lcm-scaled exact
+    "events_attribution_credit" -> { (s, dir) =>
+      val ev = graft.sources.Sources.eventsWithTimestamp(s, dir)
+      val imps = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("imp_ts"),
+          col("event_id").as("imp_id"))
+      val convs = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("conv_ts"),
+          col("event_id").as("conv_id"))
+      val pairs = graft.streaming.StreamingHist.attributionJoin(imps, convs,
+        "user_id", "imp_ts", "conv_ts", "6 hours")
+      FunnelOps.attributionCredit(pairs, "conv_id", "imp_id", "imp_ts",
+          channel = pmod(col("imp_id"), lit(5L)))
+        .orderBy("channel")
+    },
     "events_asof_click" -> { (s, dir) =>
       val ev = graft.sources.Sources.eventsWithTimestamp(s, dir)
         .select(col("event_id"), col("user_id"),
@@ -3280,6 +3298,19 @@ object ExtensionQueries {
         |  ON i.user_id = c.user_id
         | AND c.ts_us >= i.ts_us AND c.ts_us <= i.ts_us + 21600000000
         |ORDER BY i.user_id, imp_id, conv_id""".stripMargin,
+    "events_attribution_credit" ->
+      (FunnelOps.attributionCreditSql(
+        """SELECT c.event_id AS conv, i.event_id AS imp,
+          |  i.ts_us AS imp_ts_us, i.event_id % 5 AS channel
+          |FROM (SELECT user_id, event_id,
+          |        epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+          |      FROM events WHERE event_type = 'view') i
+          |JOIN (SELECT user_id, event_id,
+          |        epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+          |      FROM events WHERE event_type = 'purchase') c
+          |  ON i.user_id = c.user_id
+          | AND c.ts_us >= i.ts_us AND c.ts_us <= i.ts_us + 21600000000"""
+          .stripMargin) + "\nORDER BY channel"),
     "events_asof_click" ->
       """SELECT p.event_id, p.user_id, p.ts_us, r.ts_us AS click_ts,
         |  r.event_id AS click_id, r.value AS click_value,

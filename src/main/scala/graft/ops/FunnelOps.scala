@@ -506,4 +506,94 @@ object FunnelOps {
        |    ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
        |    AND CURRENT ROW) AS value
        |FROM f""".stripMargin
+
+  // ---- multi-touch attribution credit ------------------------------------
+  private[graft] def lcmTo(n: Int): Long = {
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    (1L to n.toLong).foldLeft(1L)((l, k) => l / gcd(l, k) * k)
+  }
+
+  /** Multi-touch attribution over the (impression, conversion) PAIR
+    * relation ([[graft.streaming.StreamingHist.attributionJoin]]'s
+    * output): per channel, total FIRST-touch, LAST-touch and LINEAR
+    * credit — the three standard models every marketing/event pipeline
+    * reports side by side.
+    *
+    * Contract: each conversion credits at most `maxTouches` of its MOST
+    * RECENT impressions (ties broken by impression id — deterministic),
+    * the standard lookback cap and the same bounded-contract move as
+    * [[GraphOps.linkPrediction]]'s hub cap: a bot user with 10⁶ views
+    * before one purchase would otherwise dominate the window sort AND
+    * dilute linear credit to noise. The oracle replays the cap.
+    *
+    * Exactness: linear credit 1/k is lcm-scaled to an EXACT integer
+    * L/k (L = lcm(1..maxTouches), the [[TextOps]] GloVe-discount
+    * discipline), summed in DECIMAL(38,0) (no int64 ceiling at corpus
+    * scale), divided by L once per channel and rounded 6dp — identical
+    * single double op on both engines. First/last flags are integer
+    * window ranks.
+    *
+    * 100 TB shape: one conversion-keyed window (per-conversion bounded
+    * sort), one channel aggregate. Pairs are the join's output — this
+    * op adds no corpus pass. */
+  def attributionCredit(pairs: DataFrame, convCol: String, impCol: String,
+      impTsCol: String, channel: Column, maxTouches: Int = 20): DataFrame = {
+    require(maxTouches >= 1 && maxTouches <= 25,
+      s"maxTouches in [1, 25] (lcm(1..25) is the long-safe ceiling), " +
+        s"got $maxTouches")
+    val L = lcmTo(maxTouches)
+    val wDesc = Window.partitionBy(convCol)
+      .orderBy(col(impTsCol).desc, col(impCol).desc)
+    val kept = pairs.withColumn("__rn_d", row_number().over(wDesc))
+      .filter(col("__rn_d") <= maxTouches)
+    val credited = kept
+      .withColumn("__rn_a", row_number().over(
+        Window.partitionBy(convCol)
+          .orderBy(col(impTsCol).asc, col(impCol).asc)))
+      .withColumn("__k", count(lit(1)).over(Window.partitionBy(convCol)))
+      .select(channel.as("channel"),
+        when(col("__rn_a") === 1, 1L).otherwise(0L).as("__f"),
+        when(col("__rn_d") === 1, 1L).otherwise(0L).as("__l"),
+        // L/k is an exact integer (k | L); the double divide is exact
+        // for L < 2^53 and the cast recovers the integer
+        (lit(L).cast("double") / col("__k").cast("double")).cast("long")
+          .as("__lin"))
+    credited.groupBy("channel")
+      .agg(sum(col("__f")).as("first_touch"),
+        sum(col("__l")).as("last_touch"),
+        sum(col("__lin").cast("decimal(38,0)")).as("__lins"))
+      .select(col("channel"), col("first_touch"), col("last_touch"),
+        round(col("__lins").cast("double") / lit(L.toDouble), 6)
+          .as("linear_credit"))
+  }
+
+  /** DuckDB twin of [[attributionCredit]]: `pairsCte` yields
+    * (conv, imp, imp_ts_us, channel) derived identically; `imp_ts_us`
+    * must be the integer event-time the Spark side ordered by. */
+  def attributionCreditSql(pairsCte: String, maxTouches: Int = 20): String = {
+    val L = lcmTo(maxTouches)
+    s"""WITH pairs AS ($pairsCte),
+       |ranked AS (
+       |  SELECT channel, conv, imp,
+       |    row_number() OVER (PARTITION BY conv
+       |      ORDER BY imp_ts_us DESC, imp DESC) AS rn_d,
+       |    row_number() OVER (PARTITION BY conv
+       |      ORDER BY imp_ts_us ASC, imp ASC) AS rn_a0
+       |  FROM pairs),
+       |kept AS (SELECT * FROM ranked WHERE rn_d <= $maxTouches),
+       |cred AS (
+       |  SELECT channel,
+       |    row_number() OVER (PARTITION BY conv
+       |      ORDER BY rn_a0 ASC) AS rn_a,
+       |    rn_d,
+       |    CAST(count(*) OVER (PARTITION BY conv) AS BIGINT) AS k
+       |  FROM kept)
+       |SELECT channel,
+       |  CAST(sum(CASE WHEN rn_a = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS first_touch,
+       |  CAST(sum(CASE WHEN rn_d = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS last_touch,
+       |  round(CAST(sum($L // k) AS DOUBLE) / $L.0, 6) AS linear_credit
+       |FROM cred GROUP BY channel""".stripMargin
+  }
 }

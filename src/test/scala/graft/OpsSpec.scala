@@ -1683,4 +1683,34 @@ class OpsSpec extends AnyFunSuite {
     assert(got("noisy").getDouble(4) > 0.8 && got("noisy").getDouble(4) < 1.0)
     assert(got("flatx").isNullAt(2) && got("flatx").isNullAt(4))
   }
+
+  test("attributionCredit: first/last/linear by hand; cap keeps most recent") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    // conv A: imps 1@10, 2@20, 3@30 (k=3); B: 4@10, 5@20 (k=2); C: 6@10
+    val pairs = Seq((100L, 1L, 10L), (100L, 2L, 20L), (100L, 3L, 30L),
+      (200L, 4L, 10L), (200L, 5L, 20L), (300L, 6L, 10L))
+      .toDF("conv_id", "imp_id", "imp_ts")
+    def run(cap: Int) = FunnelOps.attributionCredit(pairs, "conv_id",
+        "imp_id", "imp_ts", channel = pmod(col("imp_id"), lit(2L)), cap)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val full = run(20)
+    // firsts: 1(A), 4(B), 6(C); lasts: 3(A), 5(B), 6(C); channel = id%2
+    assert(full(0L) == ((2L, 1L, 1.833333)))  // imps 2,4,6: 1/3+1/2+1
+    assert(full(1L) == ((1L, 2L, 1.166667)))  // imps 1,3,5: 1/3+1/3+1/2
+    // cap=2: A keeps its 2 MOST RECENT (2@20, 3@30) — imp1 uncredited,
+    // first-of-kept becomes imp2
+    val capped = run(2)
+    assert(capped(0L) == ((3L, 1L, 2.0)))     // 2 first(A)+first(B,4)+C; 1/2+1/2+1
+    assert(capped(1L) == ((0L, 2L, 1.0)))     // imp1 dropped; 3,5 last; 1/2+1/2
+    // recency tie at equal ts breaks by imp id (higher id = more recent)
+    val tie = Seq((9L, 7L, 5L), (9L, 8L, 5L)).toDF("conv_id", "imp_id", "imp_ts")
+    val t = FunnelOps.attributionCredit(tie, "conv_id", "imp_id", "imp_ts",
+      channel = col("imp_id"), maxTouches = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(t == Map(8L -> 1L)) // only the higher id survives the cap
+    assert(FunnelOps.lcmTo(20) == 232792560L)
+    intercept[IllegalArgumentException](FunnelOps.attributionCredit(
+      pairs, "conv_id", "imp_id", "imp_ts", col("imp_id"), 26))
+  }
 }
