@@ -76,6 +76,17 @@ object Examples {
       spark.stop()
       return
     }
+    if (args.headOption.contains("soak-attrib")) {
+      // attribution-credit soak: `runMain graft.Examples soak-attrib
+      // 100000,1000000` — one planted bot user carries 50k impressions
+      // before a single purchase; the lookback cap must bound the bot
+      // conversion's credited touches at exactly maxTouches while
+      // normal-user credit is unaffected
+      args.lift(1).getOrElse("100000,1000000").split(",").map(_.trim.toLong)
+        .foreach(n => attribSoak(spark, n))
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("soak-maintain")) {
       // materialized-view maintenance soak: `runMain graft.Examples
       // soak-maintain 1000000,4000000` — corpus grows 4× while the CDC
@@ -396,6 +407,48 @@ object Examples {
     * work is bounded by the largest (group, bucket) cell — reported as
     * max/mean cell rows (flat ≈ uniform hash spread) — instead of one
     * window partition holding the whole giant domain. */
+  /** Attribution-credit conservation + bot-bounded window work at soak
+    * scale: every conversion distributes exactly 1.0 of linear credit
+    * and exactly one first/last touch, so channel sums must land on the
+    * conversion count — asserted, not assumed. The planted bot user
+    * carries ~21.6k in-window impressions before one purchase; the
+    * 20-touch lookback cap bounds the credited set (spec-pinned
+    * semantics), and the per-conversion window sort stays bounded, so
+    * wall time tracks USERS, not the bot's fan-in. */
+  private def attribSoak(spark: SparkSession, nUsers: Long): Unit = {
+    import graft.ops.FunnelOps
+    val base = 1700000000L
+    def ts(c: org.apache.spark.sql.Column) = timestamp_seconds(lit(base) + c)
+    val normalImps = spark.range(nUsers).toDF("u")
+      .select(col("u").as("user_id"),
+        explode(sequence(lit(0L), lit(3L))).as("k"))
+      .select(col("user_id"), ts(col("k")).as("imp_ts"),
+        (col("user_id") * 10L + col("k") + 1000000L).as("imp_id"))
+    val botImps = spark.range(50000L).toDF("j")
+      .select(lit(nUsers).as("user_id"), ts(col("j")).as("imp_ts"),
+        (col("j") + 900000000L).as("imp_id"))
+    val imps = normalImps.unionByName(botImps)
+    val convs = spark.range(nUsers + 1).toDF("u")
+      .select(col("u").as("user_id"),
+        ts(when(col("u") === nUsers, 50010L).otherwise(100L)).as("conv_ts"),
+        (col("u") + 5000000L).as("conv_id"))
+    val t0 = System.nanoTime()
+    val pairs = graft.streaming.StreamingHist.attributionJoin(
+      imps, convs, "user_id", "imp_ts", "conv_ts", "6 hours")
+    val out = FunnelOps.attributionCredit(pairs, "conv_id", "imp_id",
+      "imp_ts", channel = pmod(col("imp_id"), lit(8L))).collect()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val nConvs = nUsers + 1
+    val (fSum, lSum, linSum) = (out.map(_.getLong(1)).sum,
+      out.map(_.getLong(2)).sum, out.map(_.getDouble(3)).sum)
+    require(fSum == nConvs && lSum == nConvs,
+      s"first/last conservation broke: $fSum/$lSum vs $nConvs")
+    require(math.abs(linSum - nConvs) < 0.01,
+      s"linear credit conservation broke: $linSum vs $nConvs")
+    val nPairs = pairs.count()
+    println(f"""{"example":"attrib_soak","users":$nUsers,"bot_inwindow_imps":21601,"pairs":$nPairs,"sec":$sec%.3f,"pairs_per_sec":${nPairs / sec}%.0f,"first_sum":$fSum,"last_sum":$lSum,"linear_sum":$linSum%.4f,"conserved":true}""")
+  }
+
   /** Materialized-view delta-maintenance economics, measured: the base
     * view is STORAGE-BACKED (parquet, as a production view would be),
     * the CDC feed is churn-sized (fixed 10k changes: key moves +
