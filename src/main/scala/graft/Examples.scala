@@ -439,12 +439,15 @@ object Examples {
       "imp_ts", channel = pmod(col("imp_id"), lit(8L))).collect()
     val sec = (System.nanoTime() - t0) / 1e9
     val nConvs = nUsers + 1
-    val (fSum, lSum, linSum) = (out.map(_.getLong(1)).sum,
-      out.map(_.getLong(2)).sum, out.map(_.getDouble(3)).sum)
+    val (fSum, lSum, linSum, posSum) = (out.map(_.getLong(1)).sum,
+      out.map(_.getLong(2)).sum, out.map(_.getDouble(3)).sum,
+      out.map(_.getDouble(4)).sum)
     require(fSum == nConvs && lSum == nConvs,
       s"first/last conservation broke: $fSum/$lSum vs $nConvs")
     require(math.abs(linSum - nConvs) < 0.01,
       s"linear credit conservation broke: $linSum vs $nConvs")
+    require(math.abs(posSum - nConvs) < 0.01,
+      s"position credit conservation broke: $posSum vs $nConvs")
     val nPairs = pairs.count()
     println(f"""{"example":"attrib_soak","users":$nUsers,"bot_inwindow_imps":21601,"pairs":$nPairs,"sec":$sec%.3f,"pairs_per_sec":${nPairs / sec}%.0f,"first_sum":$fSum,"last_sum":$lSum,"linear_sum":$linSum%.4f,"conserved":true}""")
   }

@@ -515,9 +515,9 @@ object FunnelOps {
 
   /** Multi-touch attribution over the (impression, conversion) PAIR
     * relation ([[graft.streaming.StreamingHist.attributionJoin]]'s
-    * output): per channel, total FIRST-touch, LAST-touch and LINEAR
-    * credit — the three standard models every marketing/event pipeline
-    * reports side by side.
+    * output): per channel, total FIRST-touch, LAST-touch, LINEAR and
+    * POSITION-BASED (U-shaped, 40/20/40) credit — the four standard
+    * models every marketing/event pipeline reports side by side.
     *
     * Contract: each conversion credits at most `maxTouches` of its MOST
     * RECENT impressions (ties broken by impression id — deterministic),
@@ -557,14 +557,26 @@ object FunnelOps {
         // L/k is an exact integer (k | L); the double divide is exact
         // for L < 2^53 and the cast recovers the integer
         (lit(L).cast("double") / col("__k").cast("double")).cast("long")
-          .as("__lin"))
+          .as("__lin"),
+        // position-based (U-shaped, 40/20/40) on the same scale S = 5L:
+        // k=1 → all S; k=2 → S/2 each; else ends get 2L (= 0.4·S) and
+        // middles split L (= 0.2·S) as exact L/(k−2) integers
+        when(col("__k") === 1L, lit(5L * L))
+          .when(col("__k") === 2L, lit(5L * L / 2L))
+          .when(col("__rn_a") === 1 || col("__rn_d") === 1, lit(2L * L))
+          .otherwise((lit(L).cast("double") /
+            (col("__k") - lit(2L)).cast("double")).cast("long"))
+          .as("__pos"))
     credited.groupBy("channel")
       .agg(sum(col("__f")).as("first_touch"),
         sum(col("__l")).as("last_touch"),
-        sum(col("__lin").cast("decimal(38,0)")).as("__lins"))
+        sum(col("__lin").cast("decimal(38,0)")).as("__lins"),
+        sum(col("__pos").cast("decimal(38,0)")).as("__poss"))
       .select(col("channel"), col("first_touch"), col("last_touch"),
         round(col("__lins").cast("double") / lit(L.toDouble), 6)
-          .as("linear_credit"))
+          .as("linear_credit"),
+        round(col("__poss").cast("double") / lit(5.0 * L), 6)
+          .as("position_credit"))
   }
 
   /** DuckDB twin of [[attributionCredit]]: `pairsCte` yields
@@ -593,7 +605,12 @@ object FunnelOps {
        |    AS first_touch,
        |  CAST(sum(CASE WHEN rn_d = 1 THEN 1 ELSE 0 END) AS BIGINT)
        |    AS last_touch,
-       |  round(CAST(sum($L // k) AS DOUBLE) / $L.0, 6) AS linear_credit
+       |  round(CAST(sum($L // k) AS DOUBLE) / $L.0, 6) AS linear_credit,
+       |  round(CAST(sum(CASE WHEN k = 1 THEN ${5L * L}
+       |    WHEN k = 2 THEN ${5L * L / 2L}
+       |    WHEN rn_a = 1 OR rn_d = 1 THEN ${2L * L}
+       |    ELSE $L // (k - 2) END) AS DOUBLE) / ${5L * L}.0, 6)
+       |    AS position_credit
        |FROM cred GROUP BY channel""".stripMargin
   }
 }

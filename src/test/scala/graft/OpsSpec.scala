@@ -1693,16 +1693,17 @@ class OpsSpec extends AnyFunSuite {
     def run(cap: Int) = FunnelOps.attributionCredit(pairs, "conv_id",
         "imp_id", "imp_ts", channel = pmod(col("imp_id"), lit(2L)), cap)
       .collect().map(r => r.getLong(0) ->
-        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
     val full = run(20)
     // firsts: 1(A), 4(B), 6(C); lasts: 3(A), 5(B), 6(C); channel = id%2
-    assert(full(0L) == ((2L, 1L, 1.833333)))  // imps 2,4,6: 1/3+1/2+1
-    assert(full(1L) == ((1L, 2L, 1.166667)))  // imps 1,3,5: 1/3+1/3+1/2
+    // position (U-shape): A ends .4 each, middle .2; B .5 each; C 1.0
+    assert(full(0L) == ((2L, 1L, 1.833333, 1.7))) // imps 2,4,6: .2+.5+1
+    assert(full(1L) == ((1L, 2L, 1.166667, 1.3))) // imps 1,3,5: .4+.4+.5
     // cap=2: A keeps its 2 MOST RECENT (2@20, 3@30) — imp1 uncredited,
     // first-of-kept becomes imp2
     val capped = run(2)
-    assert(capped(0L) == ((3L, 1L, 2.0)))     // 2 first(A)+first(B,4)+C; 1/2+1/2+1
-    assert(capped(1L) == ((0L, 2L, 1.0)))     // imp1 dropped; 3,5 last; 1/2+1/2
+    assert(capped(0L) == ((3L, 1L, 2.0, 2.0)))
+    assert(capped(1L) == ((0L, 2L, 1.0, 1.0)))
     // recency tie at equal ts breaks by imp id (higher id = more recent)
     val tie = Seq((9L, 7L, 5L), (9L, 8L, 5L)).toDF("conv_id", "imp_id", "imp_ts")
     val t = FunnelOps.attributionCredit(tie, "conv_id", "imp_id", "imp_ts",
