@@ -2336,6 +2336,15 @@ object ExtensionQueries {
       EvalOps.mutualInfo(Tables.documents(s, dir), "lang", "source")
         .orderBy("x", "y")
     },
+    // Welch two-sample t-test of per-user purchase revenue (exact cents)
+    // under deterministic 50/50 hash-bucket assignment — the A/B
+    // experiment readout: one row of (n, mean) per arm + lift + t + df
+    "events_ab_welch" -> { (s, dir) =>
+      EvalOps.welchTTest(Tables.events(s, dir).select(
+        col("user_id").as("unit"),
+        when(col("event_type") === "purchase",
+          round(col("value") * 100, 0).cast("long")).otherwise(0L).as("m")))
+    },
     // Kitagawa mix-vs-rate decomposition of the overall high-value-event
     // rate between two event cohorts, with per-segment Simpson flags —
     // "did segments change, or did the mix shift" for any moved metric
@@ -3446,6 +3455,12 @@ object ExtensionQueries {
         s"""SELECT c.score > 0.0 AS a, ${TextOps.gopherKeepSql("d.text")} AS b
            |FROM (${PipelineOps.classifierScoreSql}) c
            |JOIN documents d USING (doc_id)""".stripMargin),
+    "events_ab_welch" ->
+      EvalOps.welchTTestSql(
+        """SELECT user_id AS unit,
+          |  CASE WHEN event_type = 'purchase'
+          |    THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END AS m
+          |FROM events""".stripMargin),
     "metric_decomposition" ->
       (EvalOps.metricDecompositionSql(
         """SELECT CASE WHEN event_id % 2 = 0 THEN 1 ELSE 2 END AS period,

@@ -519,4 +519,138 @@ object EvalOps {
        |FROM g CROSS JOIN kk
        |GROUP BY k""".stripMargin
   }
+
+  // ---- Welch two-sample t-test (A/B experiment readout) -------------------
+  /** Welch two-sample t-test on a per-unit metric under deterministic
+    * hash-bucket variant assignment — the standard online-experiment
+    * readout ("did treatment move the metric, and by how much"), computed
+    * without ever materializing the unit population on the driver.
+    *
+    * `rows` must provide (unit BIGINT, m BIGINT): one row per event with
+    * the unit key (user) and an INTEGER metric contribution (e.g. cents,
+    * micro-units — the caller quantizes, so per-unit sums are exact on
+    * any engine regardless of summation order). Units are assigned
+    * treatment iff their [[PipelineOps.idBucket]] thousandth-bucket is
+    * below `treatMilli` — stable across runs, engines, and population
+    * growth, and independent of the split/resample hash multipliers used
+    * elsewhere so the same unit can be in an experiment AND a dataset
+    * split without correlation.
+    *
+    * Exactness contract: per-unit sums and the per-variant (n, Σm, Σm²)
+    * all ride integers (Σm² through DECIMAL(38,0) — exact for |m| up to
+    * ~10^9 per unit and ~10^18 units); the t statistic is assembled from
+    * those six numbers in ONE fixed floating-point expression order that
+    * the SQL twin replicates verbatim, then rounded at 6dp. Degenerate
+    * inputs (a variant with < 2 units, or zero pooled variance) yield
+    * NULL t/df via the same CASE in both engines rather than an
+    * engine-specific inf/NaN.
+    *
+    * Returns ONE row: (n_treat, n_control, mean_treat, mean_control,
+    * lift, t_stat, df) — Welch–Satterthwaite degrees of freedom, means in
+    * the caller's metric units.
+    *
+    * 100 TB shape: one unit-keyed map-side-combined groupBy (the only
+    * corpus-sized pass — same shuffle class as sessionization), then a
+    * 2-row variant aggregate and one-row math. Nothing driver-side, no
+    * window, no join. */
+  def welchTTest(rows: DataFrame, treatMilli: Int = 500): DataFrame = {
+    require(0 < treatMilli && treatMilli < 1000,
+      s"treatMilli must be in (0, 1000), got $treatMilli")
+    val perUnit = rows
+      .groupBy(col("unit"))
+      .agg(sum(col("m")).as("mu"))
+      .select(
+        (PipelineOps.idBucket(col("unit"), WelchMult) < treatMilli)
+          .as("treat"),
+        col("mu"))
+    val variant = perUnit.groupBy(col("treat"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("mu").cast("decimal(38,0)")).as("s1"),
+        sum(col("mu").cast("decimal(19,0)") * col("mu").cast("decimal(19,0)"))
+          .as("s2"))
+    // one-row pivot: 2-row input, broadcast-free conditional aggregate
+    val flat = variant.agg(
+      sum(when(col("treat"), col("n")).otherwise(0L)).cast("long").as("nt"),
+      sum(when(!col("treat"), col("n")).otherwise(0L)).cast("long").as("nc"),
+      sum(when(col("treat"), col("s1")).otherwise(lit(0))).cast("double").as("s1t"),
+      sum(when(!col("treat"), col("s1")).otherwise(lit(0))).cast("double").as("s1c"),
+      sum(when(col("treat"), col("s2")).otherwise(lit(0))).cast("double").as("s2t"),
+      sum(when(!col("treat"), col("s2")).otherwise(lit(0))).cast("double").as("s2c"))
+    def dbl(c: Column) = c.cast("double")
+    val mt = col("s1t") / dbl(col("nt"))
+    val mc = col("s1c") / dbl(col("nc"))
+    val vt = (col("s2t") - col("s1t") * col("s1t") / dbl(col("nt"))) /
+      (dbl(col("nt")) - 1.0)
+    val vc = (col("s2c") - col("s1c") * col("s1c") / dbl(col("nc"))) /
+      (dbl(col("nc")) - 1.0)
+    val vnt = vt / dbl(col("nt"))
+    val vnc = vc / dbl(col("nc"))
+    val se2 = vnt + vnc
+    val degenerate = col("nt") < 2L || col("nc") < 2L
+    flat.select(
+      col("nt").as("n_treat"), col("nc").as("n_control"),
+      when(col("nt") === 0L, lit(null).cast("double"))
+        .otherwise(round(mt, 6)).as("mean_treat"),
+      when(col("nc") === 0L, lit(null).cast("double"))
+        .otherwise(round(mc, 6)).as("mean_control"),
+      when(col("nt") === 0L || col("nc") === 0L, lit(null).cast("double"))
+        .otherwise(round(mt - mc, 6)).as("lift"),
+      when(degenerate || se2 <= 0.0, lit(null).cast("double"))
+        .otherwise(round((mt - mc) / sqrt(se2), 6)).as("t_stat"),
+      when(degenerate || se2 <= 0.0, lit(null).cast("double"))
+        .otherwise(round(se2 * se2 /
+          (vnt * vnt / (dbl(col("nt")) - 1.0) +
+            vnc * vnc / (dbl(col("nc")) - 1.0)), 6)).as("df"))
+  }
+
+  /** Hash multiplier reserved for experiment assignment — distinct from
+    * the split (3266489917) and resample (2246822519) multipliers so
+    * variant membership is uncorrelated with either. 2654435761 =
+    * floor(2^32/φ), Knuth's multiplicative constant. */
+  private val WelchMult = 2654435761L
+
+  /** DuckDB twin of [[welchTTest]]: `rowsCte` must yield (unit, m) by the
+    * identical expressions; the stats expression order matches the Scala
+    * op token-for-token so 6dp rounding agrees. */
+  def welchTTestSql(rowsCte: String, treatMilli: Int = 500): String = {
+    require(0 < treatMilli && treatMilli < 1000,
+      s"treatMilli must be in (0, 1000), got $treatMilli")
+    val bucket = PipelineOps.idBucketSql("unit", WelchMult)
+    s"""WITH rows_ AS ($rowsCte),
+       |pu AS (
+       |  SELECT ($bucket) < $treatMilli AS treat,
+       |    CAST(sum(m) AS BIGINT) AS mu
+       |  FROM rows_ GROUP BY unit),
+       |flat AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+       |    CAST(sum(CASE WHEN NOT treat THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+       |    CAST(sum(CASE WHEN treat THEN mu ELSE 0 END) AS DOUBLE) AS s1t,
+       |    CAST(sum(CASE WHEN NOT treat THEN mu ELSE 0 END) AS DOUBLE) AS s1c,
+       |    CAST(sum(CASE WHEN treat THEN CAST(mu AS HUGEINT) * mu ELSE 0 END)
+       |      AS DOUBLE) AS s2t,
+       |    CAST(sum(CASE WHEN NOT treat THEN CAST(mu AS HUGEINT) * mu ELSE 0 END)
+       |      AS DOUBLE) AS s2c
+       |  FROM pu),
+       |st AS (
+       |  SELECT nt, nc,
+       |    s1t / CAST(nt AS DOUBLE) AS mt, s1c / CAST(nc AS DOUBLE) AS mc,
+       |    (s2t - s1t * s1t / CAST(nt AS DOUBLE)) / (CAST(nt AS DOUBLE) - 1.0)
+       |      / CAST(nt AS DOUBLE) AS vnt,
+       |    (s2c - s1c * s1c / CAST(nc AS DOUBLE)) / (CAST(nc AS DOUBLE) - 1.0)
+       |      / CAST(nc AS DOUBLE) AS vnc
+       |  FROM flat)
+       |SELECT nt AS n_treat, nc AS n_control,
+       |  CASE WHEN nt = 0 THEN NULL ELSE round(mt, 6) END AS mean_treat,
+       |  CASE WHEN nc = 0 THEN NULL ELSE round(mc, 6) END AS mean_control,
+       |  CASE WHEN nt = 0 OR nc = 0 THEN NULL
+       |    ELSE round(mt - mc, 6) END AS lift,
+       |  CASE WHEN nt < 2 OR nc < 2 OR (vnt + vnc) <= 0.0 THEN NULL
+       |    ELSE round((mt - mc) / sqrt(vnt + vnc), 6) END AS t_stat,
+       |  CASE WHEN nt < 2 OR nc < 2 OR (vnt + vnc) <= 0.0 THEN NULL
+       |    ELSE round((vnt + vnc) * (vnt + vnc) /
+       |      (vnt * vnt / (CAST(nt AS DOUBLE) - 1.0) +
+       |       vnc * vnc / (CAST(nc AS DOUBLE) - 1.0)), 6) END AS df
+       |FROM st""".stripMargin
+  }
 }

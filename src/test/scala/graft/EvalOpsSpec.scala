@@ -344,4 +344,69 @@ class EvalOpsSpec extends AnyFunSuite {
       + r.getAs[Double]("rate_effect") + r.getAs[Double]("interaction")).sum
     assert(math.abs(total - 0.5) < 1e-8)
   }
+
+  // assignment replica of the op's bucket rule (Knuth multiplier)
+  private def abBucket(unit: Long): Long =
+    ((unit % 1000000007L) * 2654435761L % 1000000007L) % 1000L
+
+  test("welchTTest: matches an independently-computed Welch t on a fixture") {
+    // enough units that both arms get >= 2 under the real hash assignment
+    val rows = (1L to 40L).flatMap(u => Seq((u, u * 7 % 13), (u, u % 5)))
+    val out = EvalOps.welchTTest(rows.toDF("unit", "m")).collect()(0)
+    // independent replica: plain Scala sample stats over the same split
+    val per = rows.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+    val (t0, c0) = per.toSeq.partition { case (u, _) => abBucket(u) < 500 }
+    def stats(xs: Seq[Long]) = {
+      val n = xs.size.toDouble
+      val mean = xs.sum / n
+      (n, mean, xs.map(x => (x - mean) * (x - mean)).sum / (n - 1))
+    }
+    val (nt, mt, vt) = stats(t0.map(_._2)); val (nc, mc, vc) = stats(c0.map(_._2))
+    assert(out.getAs[Long]("n_treat") == nt.toLong
+      && out.getAs[Long]("n_control") == nc.toLong)
+    val se = math.sqrt(vt / nt + vc / nc)
+    assert(math.abs(out.getAs[Double]("t_stat") - (mt - mc) / se) < 1e-5)
+    val df = math.pow(vt / nt + vc / nc, 2) /
+      (math.pow(vt / nt, 2) / (nt - 1) + math.pow(vc / nc, 2) / (nc - 1))
+    assert(math.abs(out.getAs[Double]("df") - df) < 1e-4)
+    assert(math.abs(out.getAs[Double]("lift") - (mt - mc)) < 1e-6)
+  }
+
+  test("welchTTest: assignment is a pure function of the unit id") {
+    // the same unit lands in the same arm regardless of which other
+    // units are present — the growth-stability contract
+    def arm(units: Seq[Long]): Map[Long, Boolean] = {
+      val buckets = units.map(u => u -> (abBucket(u) < 500)).toMap
+      buckets
+    }
+    val small = arm(Seq(3L, 17L)); val big = arm((1L to 100L))
+    assert(small.forall { case (u, a) => big(u) == a })
+  }
+
+  test("welchTTest: degenerate arm (< 2 units) yields NULL t and df") {
+    // pick units all hashing into ONE arm plus a single opposite unit
+    val pool = (1L to 200L)
+    val treatArm = pool.filter(u => abBucket(u) < 500).take(5)
+    val loner = pool.find(u => abBucket(u) >= 500).get
+    val rows = (treatArm :+ loner).map(u => (u, u))
+    val out = EvalOps.welchTTest(rows.toDF("unit", "m")).collect()(0)
+    assert(out.isNullAt(out.fieldIndex("t_stat"))
+      && out.isNullAt(out.fieldIndex("df")))
+    assert(out.getAs[Long]("n_control") == 1L)
+  }
+
+  test("welchTTest: zero pooled variance yields NULL t, not inf") {
+    val rows = (1L to 60L).map(u => (u, 42L))
+    val out = EvalOps.welchTTest(rows.toDF("unit", "m")).collect()(0)
+    assert(out.isNullAt(out.fieldIndex("t_stat")))
+    assert(out.getAs[Double]("mean_treat") == 42.0
+      && out.getAs[Double]("lift") == 0.0)
+  }
+
+  test("welchTTest: Scala op and SQL twin reject invalid treatMilli alike") {
+    intercept[IllegalArgumentException](
+      EvalOps.welchTTest(Seq((1L, 1L)).toDF("unit", "m"), treatMilli = 0))
+    intercept[IllegalArgumentException](
+      EvalOps.welchTTestSql("SELECT 1 AS unit, 1 AS m", treatMilli = 1000))
+  }
 }
