@@ -2345,6 +2345,16 @@ object ExtensionQueries {
         when(col("event_type") === "purchase",
           round(col("value") * 100, 0).cast("long")).otherwise(0L).as("m")))
     },
+    // CUPED variance-reduced readout of the same experiment: per-user
+    // click count as the pre-period covariate regressed out of purchase
+    // revenue before the Welch assembly (theta reported alongside)
+    "events_ab_cuped" -> { (s, dir) =>
+      EvalOps.cupedTTest(Tables.events(s, dir).select(
+        col("user_id").as("unit"),
+        when(col("event_type") === "purchase",
+          round(col("value") * 100, 0).cast("long")).otherwise(0L).as("m"),
+        when(col("event_type") === "click", 1L).otherwise(0L).as("x")))
+    },
     // Kitagawa mix-vs-rate decomposition of the overall high-value-event
     // rate between two event cohorts, with per-segment Simpson flags —
     // "did segments change, or did the mix shift" for any moved metric
@@ -3455,6 +3465,13 @@ object ExtensionQueries {
         s"""SELECT c.score > 0.0 AS a, ${TextOps.gopherKeepSql("d.text")} AS b
            |FROM (${PipelineOps.classifierScoreSql}) c
            |JOIN documents d USING (doc_id)""".stripMargin),
+    "events_ab_cuped" ->
+      EvalOps.cupedTTestSql(
+        """SELECT user_id AS unit,
+          |  CASE WHEN event_type = 'purchase'
+          |    THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END AS m,
+          |  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS x
+          |FROM events""".stripMargin),
     "events_ab_welch" ->
       EvalOps.welchTTestSql(
         """SELECT user_id AS unit,

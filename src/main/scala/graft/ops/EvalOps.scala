@@ -609,6 +609,198 @@ object EvalOps {
     * floor(2^32/φ), Knuth's multiplicative constant. */
   private val WelchMult = 2654435761L
 
+  // ---- CUPED variance-reduced A/B readout ---------------------------------
+  /** CUPED-adjusted Welch t-test (Deng et al., WSDM'13): the
+    * [[welchTTest]] readout after regressing out a pre-experiment
+    * covariate — the standard variance-reduction move that lets the same
+    * traffic detect a smaller lift. `rows` must provide
+    * (unit BIGINT, m BIGINT, x BIGINT): the post-period metric
+    * contribution and the PRE-period covariate contribution per event,
+    * both caller-quantized to integers. Assignment is the identical
+    * bucket rule as [[welchTTest]] (same reserved multiplier), so the two
+    * readouts describe the same experiment arms.
+    *
+    * Adjusted metric y_u = m_u − θ(x_u − x̄) with θ = cov(m, x)/var(x)
+    * over ALL units pooled (the covariate predates assignment, so pooling
+    * is unbiased and both engines see one global θ). The arm statistics
+    * of y decompose algebraically onto exact integer aggregates —
+    * per arm (n, Σm, Σx, Σm², Σx², Σmx), all through DECIMAL(38,0) —
+    * so no per-unit double is ever summed: Σy = Σm − θ(Σx − n·x̄) and
+    * Σy² = Σm² − 2θ(Σmx − x̄Σm) + θ²(Σx² − 2x̄Σx + n·x̄²). The one-row
+    * t/df assembly then matches [[welchTTest]] token-for-token.
+    *
+    * Zero covariate variance (nothing to regress out) yields θ = 0 via
+    * the same CASE in both engines — the readout degrades to the plain
+    * Welch test rather than dividing by zero. Degenerate arms → NULL
+    * t/df as in [[welchTTest]].
+    *
+    * Returns ONE row: (n_treat, n_control, mean_treat, mean_control,
+    * lift, t_stat, df, theta) — adjusted means; `lift` is invariant to
+    * covariate shifts (Σ of the adjustment over both arms is 0 only in
+    * expectation, so arm means move, but a constant added to every x
+    * cancels exactly — spec-pinned).
+    *
+    * 100 TB shape: identical to [[welchTTest]] — one unit-keyed
+    * map-side-combined groupBy, then a 2-row arm aggregate, a one-row
+    * pooled aggregate, and one-row math joined by a literal-true cross
+    * of two one-row relations. */
+  def cupedTTest(rows: DataFrame, treatMilli: Int = 500): DataFrame = {
+    require(0 < treatMilli && treatMilli < 1000,
+      s"treatMilli must be in (0, 1000), got $treatMilli")
+    val perUnit = rows
+      .groupBy(col("unit"))
+      .agg(sum(col("m")).as("mu"), sum(col("x")).as("xu"))
+      .select(
+        (PipelineOps.idBucket(col("unit"), WelchMult) < treatMilli)
+          .as("treat"),
+        col("mu"), col("xu"))
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    val arm = perUnit.groupBy(col("treat"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("mu").cast("decimal(38,0)")).as("s1m"),
+        sum(col("xu").cast("decimal(38,0)")).as("s1x"),
+        sum(d19(col("mu")) * d19(col("mu"))).as("s2m"),
+        sum(d19(col("xu")) * d19(col("xu"))).as("s2x"),
+        sum(d19(col("mu")) * d19(col("xu"))).as("s11"))
+    val flat = arm.agg(
+      sum(when(col("treat"), col("n")).otherwise(0L)).cast("long").as("nt"),
+      sum(when(!col("treat"), col("n")).otherwise(0L)).cast("long").as("nc"),
+      sum(when(col("treat"), col("s1m")).otherwise(lit(0))).cast("double").as("s1mt"),
+      sum(when(!col("treat"), col("s1m")).otherwise(lit(0))).cast("double").as("s1mc"),
+      sum(when(col("treat"), col("s1x")).otherwise(lit(0))).cast("double").as("s1xt"),
+      sum(when(!col("treat"), col("s1x")).otherwise(lit(0))).cast("double").as("s1xc"),
+      sum(when(col("treat"), col("s2m")).otherwise(lit(0))).cast("double").as("s2mt"),
+      sum(when(!col("treat"), col("s2m")).otherwise(lit(0))).cast("double").as("s2mc"),
+      sum(when(col("treat"), col("s2x")).otherwise(lit(0))).cast("double").as("s2xt"),
+      sum(when(!col("treat"), col("s2x")).otherwise(lit(0))).cast("double").as("s2xc"),
+      sum(when(col("treat"), col("s11")).otherwise(lit(0))).cast("double").as("s11t"),
+      sum(when(!col("treat"), col("s11")).otherwise(lit(0))).cast("double").as("s11c"))
+    def dbl(c: Column) = c.cast("double")
+    val nN = dbl(col("nt")) + dbl(col("nc"))
+    val sm = col("s1mt") + col("s1mc")
+    val sx = col("s1xt") + col("s1xc")
+    val sxx = col("s2xt") + col("s2xc")
+    val smx = col("s11t") + col("s11c")
+    val xbar = sx / nN
+    val varxN = sxx - sx * sx / nN // N·var(x) (uncorrected) — sign only
+    val theta = when(varxN <= 0.0, 0.0)
+      .otherwise((smx - sm * sx / nN) / varxN)
+    val withTheta = flat.select(col("*"), xbar.as("xbar"), theta.as("theta"))
+    def armStats(n: Column, s1m: Column, s1x: Column, s2m: Column,
+        s2x: Column, s11: Column): (Column, Column) = {
+      val th = col("theta"); val xb = col("xbar")
+      val sy = s1m - th * (s1x - dbl(n) * xb)
+      val syy = s2m - lit(2.0) * th * (s11 - xb * s1m) +
+        th * th * (s2x - lit(2.0) * xb * s1x + dbl(n) * xb * xb)
+      val mean = sy / dbl(n)
+      val vr = (syy - sy * sy / dbl(n)) / (dbl(n) - 1.0)
+      (mean, vr)
+    }
+    val (mt, vt) = armStats(col("nt"), col("s1mt"), col("s1xt"),
+      col("s2mt"), col("s2xt"), col("s11t"))
+    val (mc, vc) = armStats(col("nc"), col("s1mc"), col("s1xc"),
+      col("s2mc"), col("s2xc"), col("s11c"))
+    val vnt = vt / dbl(col("nt"))
+    val vnc = vc / dbl(col("nc"))
+    val se2 = vnt + vnc
+    val degenerate = col("nt") < 2L || col("nc") < 2L
+    withTheta.select(
+      col("nt").as("n_treat"), col("nc").as("n_control"),
+      when(col("nt") === 0L, lit(null).cast("double"))
+        .otherwise(round(mt, 6)).as("mean_treat"),
+      when(col("nc") === 0L, lit(null).cast("double"))
+        .otherwise(round(mc, 6)).as("mean_control"),
+      when(col("nt") === 0L || col("nc") === 0L, lit(null).cast("double"))
+        .otherwise(round(mt - mc, 6)).as("lift"),
+      when(degenerate || se2 <= 0.0, lit(null).cast("double"))
+        .otherwise(round((mt - mc) / sqrt(se2), 6)).as("t_stat"),
+      when(degenerate || se2 <= 0.0, lit(null).cast("double"))
+        .otherwise(round(se2 * se2 /
+          (vnt * vnt / (dbl(col("nt")) - 1.0) +
+            vnc * vnc / (dbl(col("nc")) - 1.0)), 6)).as("df"),
+      round(col("theta"), 6).as("theta"))
+  }
+
+  /** DuckDB twin of [[cupedTTest]]: `rowsCte` must yield (unit, m, x) by
+    * the identical expressions; θ, the Σy/Σy² decomposition, and the
+    * Welch assembly replicate the Scala op's double order verbatim. */
+  def cupedTTestSql(rowsCte: String, treatMilli: Int = 500): String = {
+    require(0 < treatMilli && treatMilli < 1000,
+      s"treatMilli must be in (0, 1000), got $treatMilli")
+    val bucket = PipelineOps.idBucketSql("unit", WelchMult)
+    s"""WITH rows_ AS ($rowsCte),
+       |pu AS (
+       |  SELECT ($bucket) < $treatMilli AS treat,
+       |    CAST(sum(m) AS BIGINT) AS mu, CAST(sum(x) AS BIGINT) AS xu
+       |  FROM rows_ GROUP BY unit),
+       |flat AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+       |    CAST(sum(CASE WHEN NOT treat THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+       |    CAST(sum(CASE WHEN treat THEN mu ELSE 0 END) AS DOUBLE) AS s1mt,
+       |    CAST(sum(CASE WHEN NOT treat THEN mu ELSE 0 END) AS DOUBLE) AS s1mc,
+       |    CAST(sum(CASE WHEN treat THEN xu ELSE 0 END) AS DOUBLE) AS s1xt,
+       |    CAST(sum(CASE WHEN NOT treat THEN xu ELSE 0 END) AS DOUBLE) AS s1xc,
+       |    CAST(sum(CASE WHEN treat THEN CAST(mu AS HUGEINT) * mu ELSE 0 END)
+       |      AS DOUBLE) AS s2mt,
+       |    CAST(sum(CASE WHEN NOT treat THEN CAST(mu AS HUGEINT) * mu ELSE 0 END)
+       |      AS DOUBLE) AS s2mc,
+       |    CAST(sum(CASE WHEN treat THEN CAST(xu AS HUGEINT) * xu ELSE 0 END)
+       |      AS DOUBLE) AS s2xt,
+       |    CAST(sum(CASE WHEN NOT treat THEN CAST(xu AS HUGEINT) * xu ELSE 0 END)
+       |      AS DOUBLE) AS s2xc,
+       |    CAST(sum(CASE WHEN treat THEN CAST(mu AS HUGEINT) * xu ELSE 0 END)
+       |      AS DOUBLE) AS s11t,
+       |    CAST(sum(CASE WHEN NOT treat THEN CAST(mu AS HUGEINT) * xu ELSE 0 END)
+       |      AS DOUBLE) AS s11c
+       |  FROM pu),
+       |th AS (
+       |  SELECT *,
+       |    (s1xt + s1xc) / (CAST(nt AS DOUBLE) + CAST(nc AS DOUBLE)) AS xbar,
+       |    CASE WHEN ((s2xt + s2xc) - (s1xt + s1xc) * (s1xt + s1xc)
+       |        / (CAST(nt AS DOUBLE) + CAST(nc AS DOUBLE))) <= 0.0 THEN 0.0
+       |      ELSE ((s11t + s11c) - (s1mt + s1mc) * (s1xt + s1xc)
+       |          / (CAST(nt AS DOUBLE) + CAST(nc AS DOUBLE)))
+       |        / ((s2xt + s2xc) - (s1xt + s1xc) * (s1xt + s1xc)
+       |          / (CAST(nt AS DOUBLE) + CAST(nc AS DOUBLE)))
+       |    END AS theta
+       |  FROM flat),
+       |ar AS (
+       |  SELECT nt, nc, theta,
+       |    (s1mt - theta * (s1xt - CAST(nt AS DOUBLE) * xbar))
+       |      / CAST(nt AS DOUBLE) AS mt,
+       |    (s1mc - theta * (s1xc - CAST(nc AS DOUBLE) * xbar))
+       |      / CAST(nc AS DOUBLE) AS mc,
+       |    ((s2mt - 2.0 * theta * (s11t - xbar * s1mt)
+       |        + theta * theta * (s2xt - 2.0 * xbar * s1xt
+       |          + CAST(nt AS DOUBLE) * xbar * xbar))
+       |      - (s1mt - theta * (s1xt - CAST(nt AS DOUBLE) * xbar))
+       |        * (s1mt - theta * (s1xt - CAST(nt AS DOUBLE) * xbar))
+       |        / CAST(nt AS DOUBLE))
+       |      / (CAST(nt AS DOUBLE) - 1.0) / CAST(nt AS DOUBLE) AS vnt,
+       |    ((s2mc - 2.0 * theta * (s11c - xbar * s1mc)
+       |        + theta * theta * (s2xc - 2.0 * xbar * s1xc
+       |          + CAST(nc AS DOUBLE) * xbar * xbar))
+       |      - (s1mc - theta * (s1xc - CAST(nc AS DOUBLE) * xbar))
+       |        * (s1mc - theta * (s1xc - CAST(nc AS DOUBLE) * xbar))
+       |        / CAST(nc AS DOUBLE))
+       |      / (CAST(nc AS DOUBLE) - 1.0) / CAST(nc AS DOUBLE) AS vnc
+       |  FROM th)
+       |SELECT nt AS n_treat, nc AS n_control,
+       |  CASE WHEN nt = 0 THEN NULL ELSE round(mt, 6) END AS mean_treat,
+       |  CASE WHEN nc = 0 THEN NULL ELSE round(mc, 6) END AS mean_control,
+       |  CASE WHEN nt = 0 OR nc = 0 THEN NULL
+       |    ELSE round(mt - mc, 6) END AS lift,
+       |  CASE WHEN nt < 2 OR nc < 2 OR (vnt + vnc) <= 0.0 THEN NULL
+       |    ELSE round((mt - mc) / sqrt(vnt + vnc), 6) END AS t_stat,
+       |  CASE WHEN nt < 2 OR nc < 2 OR (vnt + vnc) <= 0.0 THEN NULL
+       |    ELSE round((vnt + vnc) * (vnt + vnc) /
+       |      (vnt * vnt / (CAST(nt AS DOUBLE) - 1.0) +
+       |       vnc * vnc / (CAST(nc AS DOUBLE) - 1.0)), 6) END AS df,
+       |  round(theta, 6) AS theta
+       |FROM ar""".stripMargin
+  }
+
   /** DuckDB twin of [[welchTTest]]: `rowsCte` must yield (unit, m) by the
     * identical expressions; the stats expression order matches the Scala
     * op token-for-token so 6dp rounding agrees. */

@@ -403,6 +403,53 @@ class EvalOpsSpec extends AnyFunSuite {
       && out.getAs[Double]("lift") == 0.0)
   }
 
+  test("cupedTTest: constant covariate degrades to the plain Welch test") {
+    // var(x) = 0 => theta = 0 by the guard => identical readout
+    val rows = (1L to 40L).map(u => (u, u * 7 % 13, 5L))
+    val cu = EvalOps.cupedTTest(rows.toDF("unit", "m", "x")).collect()(0)
+    val we = EvalOps.welchTTest(rows.map(r => (r._1, r._2))
+      .toDF("unit", "m")).collect()(0)
+    assert(cu.getAs[Double]("theta") == 0.0)
+    for (c <- Seq("n_treat", "n_control", "mean_treat", "mean_control",
+        "lift", "t_stat", "df"))
+      assert(cu.get(cu.fieldIndex(c)) == we.get(we.fieldIndex(c)), c)
+  }
+
+  test("cupedTTest: predictive covariate shrinks the t denominator") {
+    // m = 10x + arm-independent noise: regressing x out removes nearly
+    // all metric variance, so the standard error (= lift / t) must
+    // shrink vs the unadjusted Welch readout (the lift itself moves too
+    // — x-imbalance between arms is exactly what CUPED corrects — so
+    // |t| alone is not the invariant)
+    val rows = (1L to 80L).map { u =>
+      val x = u % 9; (u, 10 * x + (u % 3), x)
+    }
+    val cu = EvalOps.cupedTTest(rows.toDF("unit", "m", "x")).collect()(0)
+    val we = EvalOps.welchTTest(rows.map(r => (r._1, r._2))
+      .toDF("unit", "m")).collect()(0)
+    // theta replica: pooled cov(m,x)/var(x) over per-unit values
+    val ms = rows.map(_._2.toDouble); val xs = rows.map(_._3.toDouble)
+    val n = rows.size.toDouble
+    val th = (ms.zip(xs).map { case (a, b) => a * b }.sum - ms.sum * xs.sum / n) /
+      (xs.map(b => b * b).sum - xs.sum * xs.sum / n)
+    assert(math.abs(cu.getAs[Double]("theta") - th) < 1e-6)
+    def se(r: org.apache.spark.sql.Row) =
+      math.abs(r.getAs[Double]("lift") / r.getAs[Double]("t_stat"))
+    assert(se(cu) < se(we) / 2)
+  }
+
+  test("cupedTTest: a constant covariate shift changes nothing") {
+    // y_u = m - theta*(x - xbar) is invariant to x -> x + c exactly;
+    // the decomposed-sum arithmetic must preserve that through rounding
+    val rows = (1L to 50L).map(u => (u, u * 11 % 17, u % 7))
+    val a = EvalOps.cupedTTest(rows.toDF("unit", "m", "x")).collect()(0)
+    val b = EvalOps.cupedTTest(rows.map(r => (r._1, r._2, r._3 + 100))
+      .toDF("unit", "m", "x")).collect()(0)
+    for (c <- Seq("mean_treat", "mean_control", "lift", "t_stat", "df",
+        "theta"))
+      assert(math.abs(a.getAs[Double](c) - b.getAs[Double](c)) < 1e-5, c)
+  }
+
   test("welchTTest: Scala op and SQL twin reject invalid treatMilli alike") {
     intercept[IllegalArgumentException](
       EvalOps.welchTTest(Seq((1L, 1L)).toDF("unit", "m"), treatMilli = 0))
