@@ -2345,6 +2345,13 @@ object ExtensionQueries {
         when(col("event_type") === "purchase",
           round(col("value") * 100, 0).cast("long")).otherwise(0L).as("m")))
     },
+    // Sample-ratio-mismatch guard on the same assignment: chi-square of
+    // realized arm sizes vs the configured 50/50 — the validity gate a
+    // pipeline checks before believing either readout above
+    "events_ab_srm" -> { (s, dir) =>
+      EvalOps.srmCheck(Tables.events(s, dir)
+        .select(col("user_id").as("unit")))
+    },
     // CUPED variance-reduced readout of the same experiment: per-user
     // click count as the pre-period covariate regressed out of purchase
     // revenue before the Welch assembly (theta reported alongside)
@@ -3465,6 +3472,8 @@ object ExtensionQueries {
         s"""SELECT c.score > 0.0 AS a, ${TextOps.gopherKeepSql("d.text")} AS b
            |FROM (${PipelineOps.classifierScoreSql}) c
            |JOIN documents d USING (doc_id)""".stripMargin),
+    "events_ab_srm" ->
+      EvalOps.srmCheckSql("SELECT user_id AS unit FROM events"),
     "events_ab_cuped" ->
       EvalOps.cupedTTestSql(
         """SELECT user_id AS unit,

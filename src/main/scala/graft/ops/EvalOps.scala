@@ -721,6 +721,86 @@ object EvalOps {
       round(col("theta"), 6).as("theta"))
   }
 
+  // ---- sample-ratio-mismatch guard ---------------------------------------
+  /** Sample-ratio-mismatch check: a one-degree-of-freedom chi-square of
+    * the REALIZED arm sizes against the configured assignment ratio —
+    * the standard validity gate run before any experiment readout is
+    * believed (an SRM means units are leaking between arms or being
+    * dropped asymmetrically, which silently biases every downstream
+    * statistic). Uses the identical bucket rule as [[welchTTest]] /
+    * [[cupedTTest]], so it certifies exactly the split those readouts
+    * consumed.
+    *
+    * χ² = (n_t − Np)²/(Np) + (n_c − Nq)²/(Nq) with p = treatMilli/1000;
+    * unit counts are exact integers, the statistic is four double ops in
+    * fixed order, rounded 6dp. `srm_flag` fires at 3.841 — the 5%
+    * critical value of χ²₁ (Pearson) — computed by the same comparison
+    * in both engines (no p-value: Spark exposes no erfc and a flag is
+    * what a pipeline gates on).
+    *
+    * Returns ONE row: (n_treat, n_control, expected_milli, chi2,
+    * srm_flag).
+    *
+    * 100 TB shape: the [[welchTTest]] unit-keyed pass minus the metric —
+    * one map-side-combined distinct-unit aggregate, then one-row math. */
+  def srmCheck(rows: DataFrame, treatMilli: Int = 500): DataFrame = {
+    require(0 < treatMilli && treatMilli < 1000,
+      s"treatMilli must be in (0, 1000), got $treatMilli")
+    val perUnit = rows.groupBy(col("unit")).agg(count(lit(1)).as("__e"))
+      .select((PipelineOps.idBucket(col("unit"), WelchMult) < treatMilli)
+        .as("treat"))
+    val flat = perUnit.agg(
+      sum(when(col("treat"), 1L).otherwise(0L)).cast("long").as("nt"),
+      sum(when(!col("treat"), 1L).otherwise(0L)).cast("long").as("nc"))
+    def dbl(c: Column) = c.cast("double")
+    val nN = dbl(col("nt")) + dbl(col("nc"))
+    val p = lit(treatMilli / 1000.0)
+    val q = lit((1000 - treatMilli) / 1000.0)
+    val et = nN * p
+    val ec = nN * q
+    val chi2 = (dbl(col("nt")) - et) * (dbl(col("nt")) - et) / et +
+      (dbl(col("nc")) - ec) * (dbl(col("nc")) - ec) / ec
+    flat.select(col("nt").as("n_treat"), col("nc").as("n_control"),
+      lit(treatMilli).cast("int").as("expected_milli"),
+      when(nN === 0.0, lit(null).cast("double"))
+        .otherwise(round(chi2, 6)).as("chi2"),
+      when(nN === 0.0, lit(null).cast("boolean"))
+        .otherwise(chi2 > 3.841).as("srm_flag"))
+  }
+
+  /** DuckDB twin of [[srmCheck]]: `rowsCte` must yield (unit) by the
+    * identical expression. */
+  def srmCheckSql(rowsCte: String, treatMilli: Int = 500): String = {
+    require(0 < treatMilli && treatMilli < 1000,
+      s"treatMilli must be in (0, 1000), got $treatMilli")
+    val bucket = PipelineOps.idBucketSql("unit", WelchMult)
+    val p = treatMilli / 1000.0
+    val q = (1000 - treatMilli) / 1000.0
+    s"""WITH rows_ AS ($rowsCte),
+       |pu AS (
+       |  SELECT ($bucket) < $treatMilli AS treat
+       |  FROM rows_ GROUP BY unit),
+       |flat AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+       |    CAST(sum(CASE WHEN NOT treat THEN 1 ELSE 0 END) AS BIGINT) AS nc
+       |  FROM pu),
+       |st AS (
+       |  SELECT nt, nc,
+       |    (CAST(nt AS DOUBLE) - (CAST(nt AS DOUBLE) + CAST(nc AS DOUBLE)) * $p)
+       |      * (CAST(nt AS DOUBLE) - (CAST(nt AS DOUBLE) + CAST(nc AS DOUBLE)) * $p)
+       |      / ((CAST(nt AS DOUBLE) + CAST(nc AS DOUBLE)) * $p)
+       |    + (CAST(nc AS DOUBLE) - (CAST(nt AS DOUBLE) + CAST(nc AS DOUBLE)) * $q)
+       |      * (CAST(nc AS DOUBLE) - (CAST(nt AS DOUBLE) + CAST(nc AS DOUBLE)) * $q)
+       |      / ((CAST(nt AS DOUBLE) + CAST(nc AS DOUBLE)) * $q) AS chi2
+       |  FROM flat)
+       |SELECT nt AS n_treat, nc AS n_control,
+       |  CAST($treatMilli AS INT) AS expected_milli,
+       |  CASE WHEN nt + nc = 0 THEN NULL ELSE round(chi2, 6) END AS chi2,
+       |  CASE WHEN nt + nc = 0 THEN NULL ELSE chi2 > 3.841 END AS srm_flag
+       |FROM st""".stripMargin
+  }
+
   /** DuckDB twin of [[cupedTTest]]: `rowsCte` must yield (unit, m, x) by
     * the identical expressions; θ, the Σy/Σy² decomposition, and the
     * Welch assembly replicate the Scala op's double order verbatim. */

@@ -450,6 +450,36 @@ class EvalOpsSpec extends AnyFunSuite {
       assert(math.abs(a.getAs[Double](c) - b.getAs[Double](c)) < 1e-5, c)
   }
 
+  test("srmCheck: chi2 replica on the real assignment, no flag when fair") {
+    val units = (1L to 400L)
+    val out = EvalOps.srmCheck(units.map(u => (u, u)).toDF("unit", "e")
+      .select($"unit")).collect()(0)
+    val nt = units.count(u => abBucket(u) < 500).toDouble
+    val nc = units.size - nt
+    val n = nt + nc
+    val chi2 = math.pow(nt - n * 0.5, 2) / (n * 0.5) +
+      math.pow(nc - n * 0.5, 2) / (n * 0.5)
+    assert(out.getAs[Long]("n_treat") == nt.toLong)
+    assert(math.abs(out.getAs[Double]("chi2") - chi2) < 1e-6)
+    assert(!out.getAs[Boolean]("srm_flag")) // hash split is fair here
+  }
+
+  test("srmCheck: an asymmetrically-dropped arm fires the flag") {
+    // simulate a broken pipeline that lost most of one arm
+    val pool = (1L to 400L)
+    val kept = pool.filter(u => abBucket(u) < 500) ++
+      pool.filter(u => abBucket(u) >= 500).take(20)
+    val out = EvalOps.srmCheck(kept.toDF("unit")).collect()(0)
+    assert(out.getAs[Boolean]("srm_flag"))
+    assert(out.getAs[Long]("n_control") == 20L)
+  }
+
+  test("srmCheck: duplicate unit rows count once (distinct-unit contract)") {
+    val rows = Seq(1L, 1L, 1L, 2L, 2L, 3L, 4L, 5L, 6L, 7L)
+    val out = EvalOps.srmCheck(rows.toDF("unit")).collect()(0)
+    assert(out.getAs[Long]("n_treat") + out.getAs[Long]("n_control") == 7L)
+  }
+
   test("welchTTest: Scala op and SQL twin reject invalid treatMilli alike") {
     intercept[IllegalArgumentException](
       EvalOps.welchTTest(Seq((1L, 1L)).toDF("unit", "m"), treatMilli = 0))
