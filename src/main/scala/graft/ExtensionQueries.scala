@@ -1665,6 +1665,14 @@ object ExtensionQueries {
       FunnelOps.retentionCohorts(ev, bucketUs = 604800000000L, maxOffset = 4)
         .orderBy("cohort", "offset")
     },
+    // Kaplan-Meier churn curve: survival past t days of user lifetime,
+    // right-censored at the observation end for users still active
+    // within the 1-day quiet gap
+    "events_km_survival" -> { (s, dir) =>
+      val ev = graft.sources.Sources.eventsWithTimestamp(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      FunnelOps.kmSurvival(ev, gapUs = 86400000000L).orderBy("t_day")
+    },
     // JSON property extraction feeding a category histogram
     "events_props_hist" -> { (s, dir) =>
       val spec = HistSpec(Seq(IntCategory()), Int64Storage)
@@ -3225,6 +3233,8 @@ object ExtensionQueries {
     "events_retention" ->
       (FunnelOps.retentionCohortsSql(604800000000L, 4) +
         " ORDER BY cohort, \"offset\""),
+    "events_km_survival" ->
+      (FunnelOps.kmSurvivalSql(86400000000L) + "\nORDER BY t_day"),
     // NOTE: the aggregate's tiebreak is on the STRING item (the sketch
     // key), so the twin orders by CAST(user_id AS VARCHAR) — "10" < "9"
     "events_trending_hourly" ->

@@ -304,6 +304,117 @@ object FunnelOps {
        |WHERE a.b - f.cohort BETWEEN 0 AND $maxOffset
        |GROUP BY 1, 2""".stripMargin
 
+  // ---- Kaplan-Meier survival (churn) curve --------------------------------
+  /** Kaplan-Meier product-limit estimate of user lifetime (Kaplan &
+    * Meier 1958) with right-censoring at the observation horizon — the
+    * standard churn curve: "what fraction of users survive past t days",
+    * unbiased by users who simply haven't had time to churn yet (the
+    * mistake a naive lifetime histogram makes).
+    *
+    * A user's lifetime runs first→last event; the user CHURNED (event
+    * observed) iff their last event precedes the corpus's observation
+    * end by more than `gapUs` (they went quiet and stayed quiet),
+    * otherwise they are CENSORED with lifetime first→observation-end
+    * (still alive; their lifetime is only known to exceed that).
+    * Lifetimes quantize to whole days so the curve relation is bounded
+    * by the calendar span, never the user count.
+    *
+    * At each distinct day t: `d` churn events, `c` censorings,
+    * `n_risk` = users with lifetime ≥ t (N minus the prior cumulative
+    * exits), and S(t) = Π_{s ≤ t}(1 − d_s/n_s). The product is computed
+    * as exp(Σ ln(1 − d/n)) over the day-ordered window — a DETERMINISTIC
+    * summation order both engines share (the perplexity-oracle
+    * discipline); a day where d = n_risk sends S to exactly 0 via an
+    * explicit zero-factor flag in both engines rather than ln(0), where
+    * Spark (NULL) and DuckDB (−inf) disagree.
+    *
+    * Returns (t_day, n_risk, d, c, survival) ordered by day.
+    *
+    * 100 TB shape: one user-keyed map-side-combined aggregate (the
+    * corpus-sized pass), the observation end as a one-row broadcast,
+    * then all windows run on the DAY-level relation — bounded by the
+    * calendar span (thousands of rows at any corpus size), the
+    * single-partition-window-over-quantized-domain pattern of
+    * [[EvalOps.rocAuc]]. */
+  def kmSurvival(events: DataFrame, gapUs: Long,
+      userCol: String = "user_id", tsCol: String = "ts_us"): DataFrame = {
+    require(gapUs > 0, s"gapUs must be positive, got $gapUs")
+    val dayUs = 86400000000L
+    val u = events.groupBy(col(userCol))
+      .agg(min(col(tsCol)).as("f"), max(col(tsCol)).as("l"))
+    val end = events.agg(max(col(tsCol)).as("obs_end"))
+    val lives = u.crossJoin(broadcast(end))
+      .select(
+        (col("l") <= col("obs_end") - gapUs).as("churned"),
+        when(col("l") <= col("obs_end") - gapUs,
+          expr(s"(l - f) div ${dayUs}L"))
+          .otherwise(expr(s"(obs_end - f) div ${dayUs}L")).as("t_day"))
+    val byDay = lives.groupBy("t_day")
+      .agg(sum(when(col("churned"), 1L).otherwise(0L)).as("d"),
+        sum(when(!col("churned"), 1L).otherwise(0L)).as("c"))
+    val w = Window.orderBy("t_day")
+    val prior = Window.orderBy("t_day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val total = byDay.agg(sum(col("d") + col("c")).as("n_total"))
+    def dbl(x: Column) = x.cast("double")
+    byDay.crossJoin(broadcast(total))
+      .withColumn("n_risk",
+        col("n_total") - coalesce(sum(col("d") + col("c")).over(prior), lit(0L)))
+      .withColumn("__f", lit(1.0) - dbl(col("d")) / dbl(col("n_risk")))
+      .withColumn("__zeros",
+        sum(when(col("__f") <= 0.0, 1L).otherwise(0L)).over(w))
+      .withColumn("__lnsum",
+        sum(when(col("__f") > 0.0, log(col("__f"))).otherwise(0.0)).over(w))
+      .select(col("t_day"), col("n_risk"), col("d"), col("c"),
+        when(col("__zeros") > 0L, 0.0)
+          .otherwise(round(exp(col("__lnsum")), 6)).as("survival"))
+  }
+
+  /** DuckDB twin of [[kmSurvival]] over the events table (day
+    * quantization, censoring rule, zero-factor flag and ln-sum order all
+    * replicated). */
+  def kmSurvivalSql(gapUs: Long): String = {
+    require(gapUs > 0, s"gapUs must be positive, got $gapUs")
+    val dayUs = 86400000000L
+    s"""WITH u AS (
+       |  SELECT user_id,
+       |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS f,
+       |    max(epoch_us(CAST(ts AS TIMESTAMP))) AS l
+       |  FROM events GROUP BY 1),
+       |oe AS (SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) AS obs_end
+       |  FROM events),
+       |lives AS (
+       |  SELECT l <= obs_end - $gapUs AS churned,
+       |    CASE WHEN l <= obs_end - $gapUs THEN (l - f) // $dayUs
+       |      ELSE (obs_end - f) // $dayUs END AS t_day
+       |  FROM u CROSS JOIN oe),
+       |byday AS (
+       |  SELECT t_day,
+       |    CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT) AS d,
+       |    CAST(sum(CASE WHEN NOT churned THEN 1 ELSE 0 END) AS BIGINT) AS c
+       |  FROM lives GROUP BY 1),
+       |tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS n_total FROM byday),
+       |risk AS (
+       |  SELECT t_day, d, c,
+       |    n_total - COALESCE(sum(d + c) OVER (ORDER BY t_day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+       |  FROM byday CROSS JOIN tot),
+       |fct AS (
+       |  SELECT t_day, n_risk, d, c,
+       |    1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS f
+       |  FROM risk),
+       |cum AS (
+       |  SELECT t_day, n_risk, d, c,
+       |    sum(CASE WHEN f <= 0.0 THEN 1 ELSE 0 END) OVER (ORDER BY t_day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS zeros,
+       |    sum(CASE WHEN f > 0.0 THEN ln(f) ELSE 0.0 END) OVER (ORDER BY t_day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lnsum
+       |  FROM fct)
+       |SELECT t_day, CAST(n_risk AS BIGINT) AS n_risk, d, c,
+       |  CASE WHEN zeros > 0 THEN 0.0 ELSE round(exp(lnsum), 6) END AS survival
+       |FROM cum""".stripMargin
+  }
+
   /** Per-key time-series regularization: resample an irregular event
     * stream onto a fixed grid (bucket width `stepUs` microseconds) and
     * forward-fill each key's last observed value across empty buckets —

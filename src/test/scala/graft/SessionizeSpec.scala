@@ -233,4 +233,54 @@ class SessionizeSpec extends AnyFunSuite {
         s"late replay evicted an active user: $rows")
     } finally q.stop()
   }
+
+  // ---- Kaplan-Meier churn curve ----
+  private val dayUs = 86400000000L
+
+  test("kmSurvival: hand fixture matches the closed-form product limit") {
+    // obs_end = day 10 (user 4's last event). gap = 1 day.
+    // u1: days 0..2, quiet 8d  -> churned, T = 2
+    // u2: days 0..2, quiet 8d  -> churned, T = 2
+    // u3: days 1..5, quiet 5d  -> churned, T = 4
+    // u4: days 3..10, active   -> censored, T = 7
+    val ev = Seq(
+      (1L, 0L), (1L, 2 * dayUs),
+      (2L, 0L), (2L, 2 * dayUs),
+      (3L, 1 * dayUs), (3L, 5 * dayUs),
+      (4L, 3 * dayUs), (4L, 10 * dayUs)
+    ).toDF("user_id", "ts_us")
+    val out = graft.ops.FunnelOps.kmSurvival(ev, gapUs = dayUs)
+      .orderBy("t_day")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    // S(2) = 1 - 2/4 = 0.5; S(4) = 0.5 * (1 - 1/2) = 0.25; day 7 censor only
+    assert(out.toSeq == Seq((2L, 4L, 2L, 0L, 0.5), (4L, 2L, 1L, 0L, 0.25),
+      (7L, 1L, 0L, 1L, 0.25)))
+  }
+
+  test("kmSurvival: all-at-risk churning on one day sends S to exact 0") {
+    // C (days 8..9) sets obs_end and censors out at T=1; A and B churn
+    // together at T=5 when they are the entire risk set -> d = n_risk
+    // -> S = exact 0 through the zero-factor flag (not ln(0), where the
+    // engines disagree)
+    val ev = Seq((1L, 0L), (1L, 5 * dayUs), (2L, 0L), (2L, 5 * dayUs),
+      (3L, 8 * dayUs), (3L, 9 * dayUs)).toDF("user_id", "ts_us")
+    val out = graft.ops.FunnelOps.kmSurvival(ev, gapUs = dayUs)
+      .orderBy("t_day")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq == Seq((1L, 3L, 0L, 1L, 1.0), (5L, 2L, 2L, 0L, 0.0)))
+  }
+
+  test("kmSurvival: censored users never reduce survival, only risk") {
+    // one churn at T=1 among N=3; two censored at T=5: S stays at the
+    // T=1 level forever after
+    val ev = Seq((1L, 0L), (1L, dayUs),
+      (2L, 0L), (2L, 5 * dayUs), (3L, 0L), (3L, 5 * dayUs))
+      .toDF("user_id", "ts_us")
+    val out = graft.ops.FunnelOps.kmSurvival(ev, gapUs = dayUs)
+      .orderBy("t_day").collect()
+    assert(out.map(_.getDouble(4)).toSeq == Seq(0.666667, 0.666667))
+    assert(out.last.getLong(3) == 2L && out.last.getLong(2) == 0L)
+  }
 }
