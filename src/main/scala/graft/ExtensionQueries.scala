@@ -1665,6 +1665,14 @@ object ExtensionQueries {
       FunnelOps.retentionCohorts(ev, bucketUs = 604800000000L, maxOffset = 4)
         .orderBy("cohort", "offset")
     },
+    // Log-rank (Mantel-Cox) test: did the experiment arms' censored
+    // churn curves differ — the time-to-event counterpart of the
+    // Welch/CUPED readouts, on the same hash-bucket assignment
+    "events_ab_logrank" -> { (s, dir) =>
+      val ev = graft.sources.Sources.eventsWithTimestamp(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      FunnelOps.logRankTest(ev, gapUs = 86400000000L)
+    },
     // Kaplan-Meier churn curve: survival past t days of user lifetime,
     // right-censored at the observation end for users still active
     // within the 1-day quiet gap
@@ -3235,6 +3243,8 @@ object ExtensionQueries {
         " ORDER BY cohort, \"offset\""),
     "events_km_survival" ->
       (FunnelOps.kmSurvivalSql(86400000000L) + "\nORDER BY t_day"),
+    "events_ab_logrank" ->
+      FunnelOps.logRankTestSql(86400000000L),
     // NOTE: the aggregate's tiebreak is on the STRING item (the sketch
     // key), so the twin orders by CAST(user_id AS VARCHAR) — "10" < "9"
     "events_trending_hourly" ->

@@ -607,7 +607,7 @@ object EvalOps {
     * the split (3266489917) and resample (2246822519) multipliers so
     * variant membership is uncorrelated with either. 2654435761 =
     * floor(2^32/φ), Knuth's multiplicative constant. */
-  private val WelchMult = 2654435761L
+  private[ops] val WelchMult = 2654435761L
 
   // ---- CUPED variance-reduced A/B readout ---------------------------------
   /** CUPED-adjusted Welch t-test (Deng et al., WSDM'13): the

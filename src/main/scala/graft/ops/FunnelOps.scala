@@ -336,19 +336,27 @@ object FunnelOps {
     * calendar span (thousands of rows at any corpus size), the
     * single-partition-window-over-quantized-domain pattern of
     * [[EvalOps.rocAuc]]. */
-  def kmSurvival(events: DataFrame, gapUs: Long,
-      userCol: String = "user_id", tsCol: String = "ts_us"): DataFrame = {
-    require(gapUs > 0, s"gapUs must be positive, got $gapUs")
-    val dayUs = 86400000000L
+  private val KmDayUs = 86400000000L
+
+  /** (user, churned, t_day) lifetime relation shared by [[kmSurvival]]
+    * and [[logRankTest]] — quiet-gap churn rule, day quantization. */
+  private def userLives(events: DataFrame, gapUs: Long,
+      userCol: String, tsCol: String): DataFrame = {
     val u = events.groupBy(col(userCol))
       .agg(min(col(tsCol)).as("f"), max(col(tsCol)).as("l"))
     val end = events.agg(max(col(tsCol)).as("obs_end"))
-    val lives = u.crossJoin(broadcast(end))
-      .select(
+    u.crossJoin(broadcast(end))
+      .select(col(userCol).as("__u"),
         (col("l") <= col("obs_end") - gapUs).as("churned"),
         when(col("l") <= col("obs_end") - gapUs,
-          expr(s"(l - f) div ${dayUs}L"))
-          .otherwise(expr(s"(obs_end - f) div ${dayUs}L")).as("t_day"))
+          expr(s"(l - f) div ${KmDayUs}L"))
+          .otherwise(expr(s"(obs_end - f) div ${KmDayUs}L")).as("t_day"))
+  }
+
+  def kmSurvival(events: DataFrame, gapUs: Long,
+      userCol: String = "user_id", tsCol: String = "ts_us"): DataFrame = {
+    require(gapUs > 0, s"gapUs must be positive, got $gapUs")
+    val lives = userLives(events, gapUs, userCol, tsCol)
     val byDay = lives.groupBy("t_day")
       .agg(sum(when(col("churned"), 1L).otherwise(0L)).as("d"),
         sum(when(!col("churned"), 1L).otherwise(0L)).as("c"))
@@ -412,6 +420,153 @@ object FunnelOps {
        |  FROM fct)
        |SELECT t_day, CAST(n_risk AS BIGINT) AS n_risk, d, c,
        |  CASE WHEN zeros > 0 THEN 0.0 ELSE round(exp(lnsum), 6) END AS survival
+       |FROM cum""".stripMargin
+  }
+
+  /** Log-rank test (Mantel-Cox) between the censored churn curves of the
+    * two experiment arms — "did treatment change user LIFETIME", the
+    * survival-analysis counterpart of [[graft.ops.EvalOps.welchTTest]]
+    * and the correct reading when the metric is time-to-churn (a mean
+    * lifetime comparison is biased by censoring; the log-rank statistic
+    * is not). Arms use the identical reserved hash bucket as the A/B
+    * readouts, lifetimes the identical quiet-gap rule as [[kmSurvival]].
+    *
+    * At each day t with d = d₁+d₂ churn events: expected treatment
+    * churn E₁ = d·n₁/n and hypergeometric variance
+    * V = d·(n₁/n)·(n₂/n)·(n−d)/(n−1) (0 when n = 1). The statistic
+    * χ² = (O₁−E₁)²/V is chi-square with 1 dof under the null. O and the
+    * risk sets are exact integers; E and V accumulate as doubles in
+    * DAY-ASCENDING order on both engines (cumulative window, not a free
+    * aggregate — float summation order is part of the contract), rounded
+    * 6dp. V = 0 (no events, or a single at-risk user throughout) yields
+    * NULL χ²/flag via the same CASE both engines.
+    *
+    * Returns ONE row: (n_treat, n_control, observed_treat,
+    * expected_treat, chi2, lr_flag) — flag at 3.841 (5% χ²₁), the
+    * [[graft.ops.EvalOps.srmCheck]] convention.
+    *
+    * 100 TB shape: the [[kmSurvival]] shape — one user-keyed corpus
+    * pass, then day-relation windows (calendar-bounded) and a LIMIT-1
+    * read of the final cumulative row. */
+  def logRankTest(events: DataFrame, gapUs: Long, treatMilli: Int = 500,
+      userCol: String = "user_id", tsCol: String = "ts_us"): DataFrame = {
+    require(gapUs > 0, s"gapUs must be positive, got $gapUs")
+    require(0 < treatMilli && treatMilli < 1000,
+      s"treatMilli must be in (0, 1000), got $treatMilli")
+    val lives = userLives(events, gapUs, userCol, tsCol)
+      .select((graft.ops.PipelineOps.idBucket(col("__u"), EvalOps.WelchMult)
+          < treatMilli).as("treat"),
+        col("churned"), col("t_day"))
+    val byDay = lives.groupBy("t_day").agg(
+      sum(when(col("treat") && col("churned"), 1L).otherwise(0L)).as("d1"),
+      sum(when(col("treat") && !col("churned"), 1L).otherwise(0L)).as("c1"),
+      sum(when(!col("treat") && col("churned"), 1L).otherwise(0L)).as("d2"),
+      sum(when(!col("treat") && !col("churned"), 1L).otherwise(0L)).as("c2"))
+    val tot = byDay.agg(sum(col("d1") + col("c1")).as("nt1"),
+      sum(col("d2") + col("c2")).as("nt2"))
+    val prior = Window.orderBy("t_day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = Window.orderBy("t_day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def dbl(x: Column) = x.cast("double")
+    val risk = byDay.crossJoin(broadcast(tot))
+      .withColumn("n1",
+        col("nt1") - coalesce(sum(col("d1") + col("c1")).over(prior), lit(0L)))
+      .withColumn("n2",
+        col("nt2") - coalesce(sum(col("d2") + col("c2")).over(prior), lit(0L)))
+      .withColumn("d", col("d1") + col("d2"))
+      .withColumn("n", col("n1") + col("n2"))
+    val e1 = when(col("d") > 0L, dbl(col("d")) * dbl(col("n1")) / dbl(col("n")))
+      .otherwise(0.0)
+    val v = when(col("d") > 0L && col("n") > 1L,
+        dbl(col("d")) * dbl(col("n1")) / dbl(col("n")) * dbl(col("n2")) /
+          dbl(col("n")) * (dbl(col("n")) - dbl(col("d"))) /
+          (dbl(col("n")) - 1.0))
+      .otherwise(0.0)
+    risk
+      .withColumn("o1c", sum(col("d1")).over(cum))
+      .withColumn("e1c", sum(e1).over(cum))
+      .withColumn("vc", sum(v).over(cum))
+      .orderBy(col("t_day").desc).limit(1)
+      .select(col("nt1").as("n_treat"), col("nt2").as("n_control"),
+        col("o1c").as("observed_treat"),
+        round(col("e1c"), 6).as("expected_treat"),
+        when(col("vc") <= 0.0, lit(null).cast("double"))
+          .otherwise(round((dbl(col("o1c")) - col("e1c")) *
+            (dbl(col("o1c")) - col("e1c")) / col("vc"), 6)).as("chi2"),
+        when(col("vc") <= 0.0, lit(null).cast("boolean"))
+          .otherwise((dbl(col("o1c")) - col("e1c")) *
+            (dbl(col("o1c")) - col("e1c")) / col("vc") > 3.841).as("lr_flag"))
+  }
+
+  /** DuckDB twin of [[logRankTest]] over the events table. */
+  def logRankTestSql(gapUs: Long, treatMilli: Int = 500): String = {
+    require(gapUs > 0, s"gapUs must be positive, got $gapUs")
+    require(0 < treatMilli && treatMilli < 1000,
+      s"treatMilli must be in (0, 1000), got $treatMilli")
+    val bucket = graft.ops.PipelineOps.idBucketSql("user_id",
+      EvalOps.WelchMult)
+    s"""WITH u AS (
+       |  SELECT user_id,
+       |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS f,
+       |    max(epoch_us(CAST(ts AS TIMESTAMP))) AS l
+       |  FROM events GROUP BY 1),
+       |oe AS (SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) AS obs_end
+       |  FROM events),
+       |lives AS (
+       |  SELECT ($bucket) < $treatMilli AS treat,
+       |    l <= obs_end - $gapUs AS churned,
+       |    CASE WHEN l <= obs_end - $gapUs THEN (l - f) // $KmDayUs
+       |      ELSE (obs_end - f) // $KmDayUs END AS t_day
+       |  FROM u CROSS JOIN oe),
+       |byday AS (
+       |  SELECT t_day,
+       |    CAST(sum(CASE WHEN treat AND churned THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+       |    CAST(sum(CASE WHEN treat AND NOT churned THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+       |    CAST(sum(CASE WHEN NOT treat AND churned THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+       |    CAST(sum(CASE WHEN NOT treat AND NOT churned THEN 1 ELSE 0 END) AS BIGINT) AS c2
+       |  FROM lives GROUP BY 1),
+       |tot AS (SELECT CAST(sum(d1 + c1) AS BIGINT) AS nt1,
+       |  CAST(sum(d2 + c2) AS BIGINT) AS nt2 FROM byday),
+       |risk AS (
+       |  SELECT t_day, d1, d2, nt1, nt2,
+       |    nt1 - COALESCE(sum(d1 + c1) OVER (ORDER BY t_day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n1,
+       |    nt2 - COALESCE(sum(d2 + c2) OVER (ORDER BY t_day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n2
+       |  FROM byday CROSS JOIN tot),
+       |terms AS (
+       |  SELECT t_day, d1, nt1, nt2,
+       |    CASE WHEN d1 + d2 > 0
+       |      THEN CAST(d1 + d2 AS DOUBLE) * CAST(n1 AS DOUBLE)
+       |        / CAST(n1 + n2 AS DOUBLE)
+       |      ELSE 0.0 END AS e1,
+       |    CASE WHEN d1 + d2 > 0 AND n1 + n2 > 1
+       |      THEN CAST(d1 + d2 AS DOUBLE) * CAST(n1 AS DOUBLE)
+       |        / CAST(n1 + n2 AS DOUBLE) * CAST(n2 AS DOUBLE)
+       |        / CAST(n1 + n2 AS DOUBLE)
+       |        * (CAST(n1 + n2 AS DOUBLE) - CAST(d1 + d2 AS DOUBLE))
+       |        / (CAST(n1 + n2 AS DOUBLE) - 1.0)
+       |      ELSE 0.0 END AS v
+       |  FROM risk),
+       |cum AS (
+       |  SELECT nt1, nt2,
+       |    sum(d1) OVER (ORDER BY t_day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS o1c,
+       |    sum(e1) OVER (ORDER BY t_day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e1c,
+       |    sum(v) OVER (ORDER BY t_day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vc
+       |  FROM terms ORDER BY t_day DESC LIMIT 1)
+       |SELECT nt1 AS n_treat, nt2 AS n_control,
+       |  CAST(o1c AS BIGINT) AS observed_treat,
+       |  round(e1c, 6) AS expected_treat,
+       |  CASE WHEN vc <= 0.0 THEN NULL
+       |    ELSE round((CAST(o1c AS DOUBLE) - e1c)
+       |      * (CAST(o1c AS DOUBLE) - e1c) / vc, 6) END AS chi2,
+       |  CASE WHEN vc <= 0.0 THEN NULL
+       |    ELSE (CAST(o1c AS DOUBLE) - e1c)
+       |      * (CAST(o1c AS DOUBLE) - e1c) / vc > 3.841 END AS lr_flag
        |FROM cum""".stripMargin
   }
 

@@ -283,4 +283,69 @@ class SessionizeSpec extends AnyFunSuite {
     assert(out.map(_.getDouble(4)).toSeq == Seq(0.666667, 0.666667))
     assert(out.last.getLong(3) == 2L && out.last.getLong(2) == 0L)
   }
+
+  // assignment replica of the experiment bucket rule (Knuth multiplier)
+  private def abBucket(unit: Long): Long =
+    ((unit % 1000000007L) * 2654435761L % 1000000007L) % 1000L
+
+  test("logRankTest: symmetric arm lifetimes give chi2 = 0, no flag") {
+    // two treat + two control units with the IDENTICAL lifetime
+    // multiset: at every day d1 = d2 and n1 = n2, so O1 = E1 exactly
+    val pool = (1L to 100L)
+    val tu = pool.filter(u => abBucket(u) < 500).take(2)
+    val cu = pool.filter(u => abBucket(u) >= 500).take(2)
+    val mk = (u: Long, days: Long) => Seq((u, 0L), (u, days * dayUs))
+    // lifetimes: 1 and 2 days in each arm; a late sentinel pair (one
+    // per arm, days 8..9) pins obs_end so all four churn
+    val sn = (pool.filter(u => abBucket(u) < 500).drop(2).head,
+      pool.filter(u => abBucket(u) >= 500).drop(2).head)
+    val ev = (mk(tu(0), 1) ++ mk(tu(1), 2) ++ mk(cu(0), 1) ++ mk(cu(1), 2) ++
+      Seq((sn._1, 8 * dayUs), (sn._1, 9 * dayUs),
+        (sn._2, 8 * dayUs), (sn._2, 9 * dayUs))).toDF("user_id", "ts_us")
+    val out = graft.ops.FunnelOps.logRankTest(ev, gapUs = dayUs).collect()(0)
+    assert(out.getAs[Long]("observed_treat") == 2L)
+    assert(out.getAs[Double]("chi2") == 0.0)
+    assert(!out.getAs[Boolean]("lr_flag"))
+  }
+
+  test("logRankTest: chi2 replica on an asymmetric hand fixture") {
+    // treat churns at day 1, control churns at day 3 (2 users each) +
+    // a sentinel pair (days 8..9) pinning obs_end; replicate the
+    // Mantel-Cox accumulation independently
+    val pool = (1L to 100L)
+    val tus = pool.filter(u => abBucket(u) < 500)
+    val cus = pool.filter(u => abBucket(u) >= 500)
+    val mk = (u: Long, days: Long) => Seq((u, 0L), (u, days * dayUs))
+    val ev = (mk(tus(0), 1) ++ mk(tus(1), 1) ++ mk(cus(0), 3) ++
+      mk(cus(1), 3) ++
+      Seq((tus(2), 8 * dayUs), (tus(2), 9 * dayUs),
+        (cus(2), 8 * dayUs), (cus(2), 9 * dayUs))).toDF("user_id", "ts_us")
+    val out = graft.ops.FunnelOps.logRankTest(ev, gapUs = dayUs).collect()(0)
+    // independent replica over (day, d1, d2, n1, n2). Sentinels:
+    // first=day8, last=day9 > obs_end-gap=day8 -> censored at
+    // T=(day9-day8)//day=1, so they exit as day-1 censors. Hence
+    // day1: d1=2, c1=1, d2=0, c2=1, n1=3, n2=3;
+    // day3: d1=0, d2=2, n1=0 (all treat exited), n2=2.
+    val table = Seq( // (d1, d2, n1, n2) in day order: day1 then day3
+      (2.0, 0.0, 3.0, 3.0), (0.0, 2.0, 0.0, 2.0))
+    var (o1, e1, vv) = (0.0, 0.0, 0.0)
+    for ((d1, d2, n1, n2) <- table) {
+      val d = d1 + d2; val n = n1 + n2
+      o1 += d1; e1 += d * n1 / n
+      if (n > 1) vv += d * n1 / n * n2 / n * (n - d) / (n - 1)
+    }
+    val chi2 = (o1 - e1) * (o1 - e1) / vv
+    assert(out.getAs[Long]("observed_treat") == 2L)
+    assert(math.abs(out.getAs[Double]("expected_treat") - e1) < 1e-6)
+    assert(math.abs(out.getAs[Double]("chi2") - chi2) < 1e-5)
+  }
+
+  test("logRankTest: zero total variance yields NULL, not a crash") {
+    // a single user (one arm only, one at-risk throughout) -> V = 0
+    val ev = Seq((1L, 0L), (1L, dayUs), (1L, 9 * dayUs))
+      .toDF("user_id", "ts_us")
+    val out = graft.ops.FunnelOps.logRankTest(ev, gapUs = dayUs).collect()(0)
+    assert(out.isNullAt(out.fieldIndex("chi2"))
+      && out.isNullAt(out.fieldIndex("lr_flag")))
+  }
 }
