@@ -1747,6 +1747,15 @@ object ExtensionQueries {
     "quality_classifier" -> { (s, dir) =>
       PipelineOps.classifierScore(Tables.documents(s, dir)).orderBy("doc_id")
     },
+    // Split conformal calibration of the classifier score: the 90%-
+    // coverage threshold (exact order statistic over the hash-split
+    // calibration half) plus its held-out empirical coverage
+    "quality_conformal" -> { (s, dir) =>
+      EvalOps.conformalThreshold(
+        PipelineOps.classifierScore(Tables.documents(s, dir))
+          .select(col("doc_id").as("unit"), col("score")),
+        alphaMilli = 100)
+    },
     // Trained-weight classifier: (token, weight) table broadcast-joined —
     // the production form (real vocabularies swap in with no plan change)
     "quality_classifier_trained" -> { (s, dir) =>
@@ -2767,6 +2776,11 @@ object ExtensionQueries {
     "text_pii" -> (PipelineOps.piiStatsSql + " ORDER BY doc_id"),
     "text_repetition" -> (PipelineOps.repetitionStatsSql + " ORDER BY doc_id"),
     "quality_classifier" -> (PipelineOps.classifierScoreSql + " ORDER BY doc_id"),
+    "quality_conformal" ->
+      EvalOps.conformalThresholdSql(
+        "SELECT doc_id AS unit, score FROM (" +
+          PipelineOps.classifierScoreSql + ")",
+        alphaMilli = 100),
     "quality_score_hist" -> {
       val ax = Regular(20, -1.0, 1.0)
       s"""SELECT ${ax.sqlExpr("score")} AS i0, count(*) AS value

@@ -721,6 +721,120 @@ object EvalOps {
       round(col("theta"), 6).as("theta"))
   }
 
+  // ---- split conformal calibration ---------------------------------------
+  /** Split conformal calibration (Vovk et al.; Papadopoulos et al. 2002)
+    * of a score threshold with a distribution-free coverage guarantee —
+    * "pick the cutoff such that a fresh exchangeable example lands at or
+    * below it with probability ≥ 1−α", the modern way to turn ANY
+    * quality scorer into a filter with a stated guarantee instead of an
+    * eyeballed threshold.
+    *
+    * `scored` must provide (unit BIGINT, score DOUBLE) with the score
+    * already 6dp-rounded (every scorer in this repo emits that), so the
+    * micro-unit quantization s = round(score·10⁶) is lossless and the
+    * order statistic is exact integer arithmetic. Units hash-split into
+    * calibration (bucket < `calibMilli`) and test via a reserved
+    * multiplier (distinct from split/resample/experiment hashes).
+    * q̂ = the k-th smallest calibration score with
+    * k = ⌈(n_cal+1)(1−α)⌉ (exact: ((n_cal+1)·(1000−alphaMilli)+999)
+    * div 1000); the empirical coverage P(s ≤ q̂) is then measured on the
+    * held-out test split. k > n_cal (too few calibration points for the
+    * requested α) yields NULL q̂ and coverage 1.0 — the q̂ = +∞
+    * convention — via the same CASE both engines.
+    *
+    * Returns ONE row: (n_calib, n_test, k, qhat, coverage).
+    *
+    * 100 TB shape: one unit-level pass splits and quantizes on the scan;
+    * the order statistic runs on the DISTINCT-SCORE relation (≤ 2·10⁶+1
+    * rows by 6dp quantization — the [[rocAuc]] bounded-window pattern);
+    * n_cal, k and q̂ ride one-row broadcasts into the test-side count. */
+  def conformalThreshold(scored: DataFrame, alphaMilli: Int = 100,
+      calibMilli: Int = 500): DataFrame = {
+    require(0 < alphaMilli && alphaMilli < 1000,
+      s"alphaMilli must be in (0, 1000), got $alphaMilli")
+    require(0 < calibMilli && calibMilli < 1000,
+      s"calibMilli must be in (0, 1000), got $calibMilli")
+    val rows = scored.select(
+      (PipelineOps.idBucket(col("unit"), ConformalMult) < calibMilli)
+        .as("calib"),
+      (round(col("score") * 1e6, 0)).cast("long").as("s"))
+    val calG = rows.filter(col("calib")).groupBy("s")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nCal = calG.agg(sum(col("cnt")).as("n_calib"))
+    val ranked = calG.select(col("s"), sum(col("cnt")).over(w).as("cum"))
+      .crossJoin(broadcast(nCal))
+      .withColumn("k",
+        expr(s"((n_calib + 1) * ${1000 - alphaMilli}L + 999) div 1000L"))
+    val qhat = ranked.filter(col("cum") >= col("k"))
+      .agg(min(col("s")).as("qhat_micro"))
+    val meta = ranked.agg(max(col("n_calib")).as("n_calib"),
+      max(col("k")).as("k"))
+    val test = rows.filter(!col("calib"))
+      .crossJoin(broadcast(qhat))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("qhat_micro").isNull || col("s") <= col("qhat_micro"),
+          1L).otherwise(0L)).as("n_covered"),
+        max(col("qhat_micro")).as("qhat_micro"))
+    test.crossJoin(broadcast(meta))
+      .select(col("n_calib"), col("n_test"), col("k"),
+        when(col("qhat_micro").isNull, lit(null).cast("double"))
+          .otherwise(round(col("qhat_micro").cast("double") / 1e6, 6))
+          .as("qhat"),
+        when(col("n_test") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("n_covered").cast("double") /
+            col("n_test").cast("double"), 6)).as("coverage"))
+  }
+
+  /** Hash multiplier reserved for conformal calibration splits —
+    * distinct from the dataset-split (3266489917), resample (2246822519)
+    * and experiment (2654435761) multipliers. 1779033703 = the first
+    * SHA-256 IV word, an arbitrary public odd constant. */
+  private val ConformalMult = 1779033703L
+
+  /** DuckDB twin of [[conformalThreshold]]: `scoredCte` must yield
+    * (unit, score) by the identical expressions. */
+  def conformalThresholdSql(scoredCte: String, alphaMilli: Int = 100,
+      calibMilli: Int = 500): String = {
+    require(0 < alphaMilli && alphaMilli < 1000,
+      s"alphaMilli must be in (0, 1000), got $alphaMilli")
+    require(0 < calibMilli && calibMilli < 1000,
+      s"calibMilli must be in (0, 1000), got $calibMilli")
+    val bucket = PipelineOps.idBucketSql("unit", ConformalMult)
+    s"""WITH scored AS ($scoredCte),
+       |rows_ AS (
+       |  SELECT ($bucket) < $calibMilli AS calib,
+       |    CAST(round(score * 1e6) AS BIGINT) AS s
+       |  FROM scored),
+       |calg AS (
+       |  SELECT s, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM rows_ WHERE calib GROUP BY 1),
+       |ncal AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_calib FROM calg),
+       |ranked AS (
+       |  SELECT s, sum(cnt) OVER (ORDER BY s
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    n_calib,
+       |    ((n_calib + 1) * ${1000 - alphaMilli} + 999) // 1000 AS k
+       |  FROM calg CROSS JOIN ncal),
+       |qh AS (SELECT min(s) AS qhat_micro FROM ranked WHERE cum >= k),
+       |meta AS (SELECT max(n_calib) AS n_calib, max(k) AS k FROM ranked),
+       |test AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_test,
+       |    CAST(sum(CASE WHEN qhat_micro IS NULL OR s <= qhat_micro
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+       |    max(qhat_micro) AS qhat_micro
+       |  FROM rows_ CROSS JOIN qh WHERE NOT calib)
+       |SELECT CAST(n_calib AS BIGINT) AS n_calib, n_test,
+       |  CAST(k AS BIGINT) AS k,
+       |  CASE WHEN qhat_micro IS NULL THEN NULL
+       |    ELSE round(CAST(qhat_micro AS DOUBLE) / 1e6, 6) END AS qhat,
+       |  CASE WHEN n_test = 0 THEN NULL
+       |    ELSE round(CAST(n_covered AS DOUBLE) / CAST(n_test AS DOUBLE), 6)
+       |  END AS coverage
+       |FROM test CROSS JOIN meta""".stripMargin
+  }
+
   // ---- sample-ratio-mismatch guard ---------------------------------------
   /** Sample-ratio-mismatch check: a one-degree-of-freedom chi-square of
     * the REALIZED arm sizes against the configured assignment ratio —

@@ -480,6 +480,55 @@ class EvalOpsSpec extends AnyFunSuite {
     assert(out.getAs[Long]("n_treat") + out.getAs[Long]("n_control") == 7L)
   }
 
+  // replica of the conformal split bucket (SHA-256 IV word multiplier)
+  private def cfBucket(unit: Long): Long =
+    ((unit % 1000000007L) * 1779033703L % 1000000007L) % 1000L
+
+  test("conformalThreshold: hand-computed order statistic and coverage") {
+    val pool = (1L to 300L)
+    val calIds = pool.filter(u => cfBucket(u) < 500).take(9)
+    val testIds = pool.filter(u => cfBucket(u) >= 500).take(4)
+    // calib scores 0.1 .. 0.9; alpha = 0.2 => k = ceil(10 * 0.8) = 8
+    // => qhat = 8th smallest = 0.8
+    val cal = calIds.zipWithIndex.map { case (u, i) => (u, (i + 1) / 10.0) }
+    // test scores: 0.05, 0.5, 0.8 covered; 0.95 not => coverage 0.75
+    val tst = testIds.zip(Seq(0.05, 0.5, 0.8, 0.95))
+    val out = EvalOps.conformalThreshold((cal ++ tst).toDF("unit", "score"),
+      alphaMilli = 200).collect()(0)
+    assert(out.getAs[Long]("n_calib") == 9L && out.getAs[Long]("n_test") == 4L)
+    assert(out.getAs[Long]("k") == 8L)
+    assert(out.getAs[Double]("qhat") == 0.8)
+    assert(out.getAs[Double]("coverage") == 0.75)
+  }
+
+  test("conformalThreshold: coverage bound holds when test mirrors calib") {
+    // identical score multisets on both sides: by construction at least
+    // k of the n test scores are <= qhat, so coverage >= k/n exactly
+    val pool = (1L to 2000L)
+    val calIds = pool.filter(u => cfBucket(u) < 500).take(40)
+    val testIds = pool.filter(u => cfBucket(u) >= 500).take(40)
+    val scores = (1 to 40).map(i => (i * 37 % 100) / 100.0)
+    val rows = calIds.zip(scores) ++ testIds.zip(scores)
+    val out = EvalOps.conformalThreshold(rows.toDF("unit", "score"),
+      alphaMilli = 100).collect()(0)
+    val k = out.getAs[Long]("k")
+    val cov = out.getAs[Double]("coverage")
+    assert(cov * 40.0 >= k - 1e-9,
+      s"coverage $cov * 40 below k=$k on mirrored multisets")
+  }
+
+  test("conformalThreshold: too-small calibration yields NULL qhat, full coverage") {
+    // n_cal = 2, alpha = 0.1 => k = ceil(3 * 0.9) = 3 > 2 => qhat = +inf
+    val pool = (1L to 300L)
+    val calIds = pool.filter(u => cfBucket(u) < 500).take(2)
+    val testIds = pool.filter(u => cfBucket(u) >= 500).take(3)
+    val rows = calIds.map(u => (u, 0.5)) ++ testIds.map(u => (u, 0.9))
+    val out = EvalOps.conformalThreshold(rows.toDF("unit", "score"),
+      alphaMilli = 100).collect()(0)
+    assert(out.isNullAt(out.fieldIndex("qhat")))
+    assert(out.getAs[Double]("coverage") == 1.0)
+  }
+
   test("welchTTest: Scala op and SQL twin reject invalid treatMilli alike") {
     intercept[IllegalArgumentException](
       EvalOps.welchTTest(Seq((1L, 1L)).toDF("unit", "m"), treatMilli = 0))
