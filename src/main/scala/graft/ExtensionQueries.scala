@@ -2161,6 +2161,17 @@ object ExtensionQueries {
       SearchOps.bm25TopK(Tables.documents(s, dir), bm25Queries)
         .orderBy("query_id", "rank")
     },
+    // Retrieval-quality readout: nDCG@10 / MRR@10 / recall@10 of the
+    // BM25 ranking against term-coverage graded qrels — the "is the
+    // retriever any good" scorecard; DCG terms integer-scale to 1e-9
+    // units so the graded sums are order-independent and engine-exact
+    "search_eval_metrics" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      SearchOps.retrievalMetrics(
+        SearchOps.bm25TopK(docs, bm25Queries, k = 10),
+        SearchOps.termCoverageQrels(docs, bm25Queries),
+        k = 10).orderBy("query_id")
+    },
     // Rank-biased overlap between the default BM25 ranking and a
     // retuned (k1=2.0, b=0.5) one — "how much did retrieval change",
     // top-weighted; integer-scaled depth contributions sum exactly
@@ -3540,6 +3551,15 @@ object ExtensionQueries {
       (SearchOps.bm25TopKSql(bm25Queries) + " ORDER BY query_id, rank"),
     "search_bm25_appended" ->
       (SearchOps.bm25TopKSql(bm25Queries) + " ORDER BY query_id, rank"),
+    "search_eval_metrics" ->
+      (s"""WITH ranking AS (
+          |${SearchOps.bm25TopKSql(bm25Queries, k = 10)}
+          |),
+          |qrels AS (
+          |${SearchOps.termCoverageQrelsSql(bm25Queries)}
+          |)
+          |""".stripMargin + SearchOps.retrievalMetricsSql(10) +
+        "\nORDER BY query_id"),
     "search_rank_rbo" ->
       (s"""WITH ra AS (
           |${SearchOps.bm25TopKSql(bm25Queries)}

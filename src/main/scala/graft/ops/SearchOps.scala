@@ -366,4 +366,150 @@ object SearchOps {
        |FROM scored
        |QUALIFY rank <= $k""".stripMargin
   }
+
+  // ---- retrieval-quality metrics ------------------------------------------
+
+  /** Graded relevance judgments derived from query-term coverage:
+    * rel(query, doc) = the number of DISTINCT query terms the document
+    * contains (docs matching no term are absent = grade 0). A
+    * deterministic, corpus-derivable stand-in for human qrels that gives
+    * retrieval metrics an exact oracle; [[retrievalMetrics]] takes ANY
+    * (query_id, doc_id, rel) relation, so production labels drop in with
+    * no plan change.
+    *
+    * 100 TB shape: reuses the [[graft.functions.TermCounts]] single-pass
+    * scan (no token explode, no corpus shuffle) — only (doc, hit-term)
+    * rows leave the scan, and the query table broadcasts. */
+  def termCoverageQrels(docs: DataFrame, queries: Seq[(Int, Seq[String])],
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty), "need query terms")
+    require(queries.forall(_._2.forall(_.nonEmpty)),
+      "query terms must be non-empty strings")
+    val vocab = queries.flatMap(_._2).distinct
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hits = docs.select(col(idCol).as("doc_id"),
+        graft.functions.TermCounts(col(textCol), vocab).as("tc"))
+      .select(col("doc_id"),
+        posexplode(slice(col("tc"), 2, vocab.size)).as(Seq("vidx", "tf")))
+      .filter(col("tf") > 0)
+      .withColumn("term", element_at(typedlit(vocab), col("vidx") + 1))
+    val qterms = queries.flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    hits.join(broadcast(qterms), Seq("term"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("rel"))
+  }
+
+  /** DuckDB twin of [[termCoverageQrels]] over the `documents` table. */
+  def termCoverageQrelsSql(queries: Seq[(Int, Seq[String])]): String = {
+    def sq(t: String): String = {
+      require(t.nonEmpty, "termCoverageQrelsSql: empty query term")
+      "'" + t.replace("'", "''") + "'"
+    }
+    val vocab = queries.flatMap(_._2).distinct
+    val inList = vocab.map(sq).mkString(", ")
+    val qvals = queries
+      .flatMap { case (qid, ts) => ts.distinct.map(t => s"($qid, ${sq(t)})") }
+      .mkString(", ")
+    s"""SELECT q.query_id, h.doc_id, CAST(count(*) AS BIGINT) AS rel
+       |FROM (
+       |  SELECT DISTINCT doc_id, term FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |    FROM documents)
+       |  WHERE term IN ($inList)) h
+       |JOIN (SELECT * FROM (VALUES $qvals) v(query_id, term)) q USING (term)
+       |GROUP BY 1, 2""".stripMargin
+  }
+
+  /** Per-query retrieval-quality metrics at cutoff `k` — **nDCG@k**
+    * (graded, exponential gain — Järvelin & Kekäläinen, TOIS 2002),
+    * **MRR@k** and **recall@k** — of a ranking (query_id, doc_id, rank)
+    * against relevance judgments (query_id, doc_id, rel).
+    *
+    * Judgment contract: rel rows with rel <= 0 are ignored (absent and
+    * zero-graded mean the same thing on both engines); grades are small
+    * integers (the 1e9-scaled exponential gain stays within int64 for
+    * rel <= 32 — ranking-eval grades are single digits in practice).
+    *
+    * Cross-engine determinism: each DCG term (2^rel − 1)/log2(rank + 1)
+    * is integer-scaled to 1e-9 units and SUMMED AS BIGINT (the
+    * [[rankingRbo]] discipline) so float summation order never matters;
+    * nDCG is then ONE double division of two exact integers. MRR divides
+    * 1 by an integer rank once; recall divides two exact counts once. A
+    * query with no relevant docs yields NULL ndcg and recall (0/0) and
+    * mrr 0.0 via the same CASE on both engines.
+    *
+    * 100 TB shape: the ranking is k·|queries| rows and qrels are
+    * label-sized — every join and window here is evaluation-sized, never
+    * corpus-sized; the ideal-DCG window runs over the qrels relation
+    * only (rel-desc row_number, tie order irrelevant to the sum because
+    * equal grades contribute equal terms). */
+  def retrievalMetrics(ranking: DataFrame, qrels: DataFrame, k: Int)
+      : DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val rel = qrels.filter(col("rel") > 0)
+    val gain = "CAST(round(1000000000.0 * (pow(2.0, rel) - 1.0) / " +
+      "log2(%s + 1)) AS BIGINT)"
+    val dcg = ranking.filter(col("rank") <= k)
+      .join(rel, Seq("query_id", "doc_id"))
+      .groupBy("query_id")
+      .agg(sum(expr(gain.format("rank"))).as("dcg_e9"),
+        min("rank").as("first_rel"), count(lit(1)).as("hits"))
+    val iw = Window.partitionBy("query_id")
+      .orderBy(col("rel").desc, col("doc_id").asc)
+    val ideal = rel.withColumn("irank", row_number().over(iw))
+      .filter(col("irank") <= k)
+      .groupBy("query_id")
+      .agg(sum(expr(gain.format("irank"))).as("idcg_e9"))
+    val nrel = rel.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+    ranking.select("query_id").distinct()
+      .join(dcg, Seq("query_id"), "left")
+      .join(ideal, Seq("query_id"), "left")
+      .join(nrel, Seq("query_id"), "left")
+      .select(col("query_id"),
+        when(col("idcg_e9").isNull, lit(null).cast("double"))
+          .otherwise(round(coalesce(col("dcg_e9"), lit(0L)).cast("double") /
+            col("idcg_e9").cast("double"), 6)).as("ndcg"),
+        round(coalesce(lit(1.0) / col("first_rel"), lit(0.0)), 6).as("mrr"),
+        when(col("n_rel").isNull, lit(null).cast("double"))
+          .otherwise(round(coalesce(col("hits"), lit(0L)).cast("double") /
+            col("n_rel").cast("double"), 6)).as("recall"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"))
+  }
+
+  /** DuckDB twin of [[retrievalMetrics]] over `ranking`
+    * (query_id, doc_id, rank) and `qrels` (query_id, doc_id, rel) CTEs. */
+  def retrievalMetricsSql(k: Int): String = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    s"""SELECT b.query_id,
+       |  CASE WHEN i.idcg_e9 IS NULL THEN NULL
+       |    ELSE round(CAST(COALESCE(d.dcg_e9, 0) AS DOUBLE)
+       |      / CAST(i.idcg_e9 AS DOUBLE), 6) END AS ndcg,
+       |  round(COALESCE(1.0 / d.first_rel, 0.0), 6) AS mrr,
+       |  CASE WHEN n.n_rel IS NULL THEN NULL
+       |    ELSE round(CAST(COALESCE(d.hits, 0) AS DOUBLE)
+       |      / CAST(n.n_rel AS DOUBLE), 6) END AS recall,
+       |  COALESCE(n.n_rel, 0) AS n_rel
+       |FROM (SELECT DISTINCT query_id FROM ranking) b
+       |LEFT JOIN (
+       |  SELECT r.query_id,
+       |    sum(CAST(round(1000000000.0 * (pow(2.0, q.rel) - 1.0)
+       |      / log2(r.rank + 1)) AS BIGINT)) AS dcg_e9,
+       |    min(r.rank) AS first_rel, CAST(count(*) AS BIGINT) AS hits
+       |  FROM ranking r JOIN qrels q USING (query_id, doc_id)
+       |  WHERE r.rank <= $k AND q.rel > 0 GROUP BY 1) d USING (query_id)
+       |LEFT JOIN (
+       |  SELECT query_id,
+       |    sum(CAST(round(1000000000.0 * (pow(2.0, rel) - 1.0)
+       |      / log2(irank + 1)) AS BIGINT)) AS idcg_e9
+       |  FROM (
+       |    SELECT query_id, rel, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rel DESC, doc_id ASC) AS irank
+       |    FROM qrels WHERE rel > 0) t
+       |  WHERE irank <= $k GROUP BY 1) i USING (query_id)
+       |LEFT JOIN (
+       |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+       |  FROM qrels WHERE rel > 0 GROUP BY 1) n USING (query_id)""".stripMargin
+  }
 }

@@ -1566,6 +1566,63 @@ class OpsSpec extends AnyFunSuite {
     assert(headSwap < tailSwap && tailSwap < 1000000000L)
   }
 
+  test("retrievalMetrics: hand-computed nDCG/MRR/recall on a graded case") {
+    val ranking = Seq((0, 1L, 1), (0, 2L, 2), (0, 3L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    // doc1 unjudged, doc2 rel=1, doc3 rel=2; doc9 rel=3 never retrieved
+    val qrels = Seq((0, 2L, 1L), (0, 3L, 2L), (0, 9L, 3L))
+      .toDF("query_id", "doc_id", "rel")
+    val out = SearchOps.retrievalMetrics(ranking, qrels, k = 3).head()
+    // replicate the integer-scaled DCG with the same double ops
+    def g(rel: Long, rank: Int): Long =
+      math.round(1e9 * (math.pow(2.0, rel.toDouble) - 1.0) /
+        (math.log(rank + 1.0) / math.log(2.0)))
+    val dcg = g(1, 2) + g(2, 3)
+    val idcg = g(3, 1) + g(2, 2) + g(1, 3)
+    val ndcgExp = BigDecimal(dcg.toDouble / idcg.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.getAs[Double]("ndcg") == ndcgExp)
+    assert(out.getAs[Double]("mrr") == 0.5)       // first relevant at rank 2
+    assert(out.getAs[Double]("recall") == 0.666667) // 2 of 3 relevant found
+    assert(out.getAs[Long]("n_rel") == 3L)
+  }
+
+  test("retrievalMetrics: no-relevant query NULLs, rel<=0 rows ignored") {
+    val ranking = Seq((0, 1L, 1), (0, 2L, 2), (1, 1L, 1))
+      .toDF("query_id", "doc_id", "rank")
+    // q0 judged only with rel=0 rows (= unjudged); q1 fully relevant
+    val qrels = Seq((0, 1L, 0L), (0, 2L, 0L), (1, 1L, 2L))
+      .toDF("query_id", "doc_id", "rel")
+    val rows = SearchOps.retrievalMetrics(ranking, qrels, k = 2)
+      .orderBy("query_id").collect()
+    assert(rows(0).isNullAt(rows(0).fieldIndex("ndcg")))
+    assert(rows(0).getAs[Double]("mrr") == 0.0)
+    assert(rows(0).isNullAt(rows(0).fieldIndex("recall")))
+    assert(rows(0).getAs[Long]("n_rel") == 0L)
+    assert(rows(1).getAs[Double]("ndcg") == 1.0 &&
+      rows(1).getAs[Double]("mrr") == 1.0 &&
+      rows(1).getAs[Double]("recall") == 1.0)
+  }
+
+  test("retrievalMetrics: perfect ranking of its own qrels scores 1 everywhere") {
+    val qrels = Seq((0, 1L, 3L), (0, 2L, 2L), (0, 3L, 1L))
+      .toDF("query_id", "doc_id", "rel")
+    val ranking = Seq((0, 1L, 1), (0, 2L, 2), (0, 3L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val out = SearchOps.retrievalMetrics(ranking, qrels, k = 10).head()
+    assert(out.getAs[Double]("ndcg") == 1.0 &&
+      out.getAs[Double]("mrr") == 1.0 && out.getAs[Double]("recall") == 1.0)
+  }
+
+  test("termCoverageQrels: rel counts distinct matched terms only") {
+    val d = Seq((0L, "x x x y"), (1L, "y"), (2L, "z"), (3L, "a b"))
+      .toDF("doc_id", "text")
+    val got = SearchOps.termCoverageQrels(d, Seq(0 -> Seq("x", "y"), 1 -> Seq("z")))
+      .orderBy("query_id", "doc_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((0, 0L, 2L), (0, 1L, 1L), (1, 2L, 1L)))
+  }
+
   test("crosstab: declared domain, absent combos are zero") {
     val df = Seq(("s1", "en"), ("s1", "en"), ("s1", "fr"), ("s2", "zh"))
       .toDF("src", "lang")
