@@ -1126,6 +1126,14 @@ object ExtensionQueries {
         .select(col("node"), round(col("rank"), 9).as("rank"))
         .orderBy("node")
     },
+    // Distinctive terms of the English slice vs the rest: Monroe et al.
+    // weighted log-odds with informative Dirichlet prior — the
+    // shrinkage-and-variance-normalized alternative to domain TF-IDF
+    "text_log_odds" -> { (s, dir) =>
+      TextOps.logOddsTerms(Tables.documents(s, dir), groupCol = "lang",
+        groupA = "en", alpha0 = 100.0, minCount = 5L, k = 10)
+        .orderBy("side", "rank")
+    },
     // Collocation mining: document-level PMI for token pairs — the
     // per-doc self-join bounds pair generation by doc length, never df²
     "text_pmi" -> { (s, dir) =>
@@ -1157,6 +1165,17 @@ object ExtensionQueries {
           sum(size(split(col("text"), " ", -1)).cast("long")).as("sum_tokens"),
           (count(lit(1)) - countDistinct(col("text"))).as("n_exact_dups"))
         .orderBy("source")
+    },
+    // Sequential change-point monitor: upward CUSUM over daily event
+    // volume — reference level from the first 10 days, then the
+    // reflection-identity statistic (two windows, no recursion) with a
+    // 10%-of-baseline alarm threshold; pure BIGINT arithmetic
+    "events_cusum_shift" -> { (s, dir) =>
+      val daily = graft.sources.Sources.eventsWithTimestamp(s, dir)
+        .groupBy(expr("unix_micros(ts) div 86400000000L").as("day"))
+        .agg(count(lit(1)).as("x"))
+      ProfileOps.cusumShift(daily, refDays = 10, slackPermille = 0L,
+        hPermille = 100L).orderBy("day")
     },
     // Snapshot distribution drift: per-source KL and PSI terms between
     // the corpus and a synthetic refresh (src7 lost, src3 doubled, a
@@ -3034,6 +3053,9 @@ object ExtensionQueries {
           |SELECT l_partkey * 2 + 1, l_orderkey * 2
           |FROM lineitem WHERE l_partkey % 3 <> 0""".stripMargin,
         "3, 5, 7, 9, 11", iters = 4, damping = 0.85) + "\nORDER BY node"),
+    "text_log_odds" ->
+      (TextOps.logOddsTermsSql("lang", "en", alpha0 = 100.0, minCount = 5L,
+        k = 10) + "\nORDER BY side, rank"),
     "text_pmi" ->
       (TextOps.pmiPairsSql(5L) + "\nORDER BY tok_a, tok_b"),
     "text_cooc_glove" ->
@@ -3073,6 +3095,13 @@ object ExtensionQueries {
             "CASE WHEN doc_id % 7 = 0 THEN n_chars + 50 ELSE n_chars END")}
            |AS key FROM documents""".stripMargin) + "\nORDER BY key"
     },
+    "events_cusum_shift" ->
+      (ProfileOps.cusumShiftSql(
+        """SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+          |  AS BIGINT) AS day, CAST(count(*) AS BIGINT) AS x
+          |FROM events GROUP BY 1""".stripMargin,
+        refDays = 10, slackPermille = 0L, hPermille = 100L) +
+        "\nORDER BY day"),
     "drift_source_dist" ->
       (ProfileOps.distributionDriftSql(
         "SELECT source AS key FROM documents",

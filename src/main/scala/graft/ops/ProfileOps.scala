@@ -1055,4 +1055,98 @@ object ProfileOps {
        |       * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
        |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0), 6) AS r2
        |FROM s""".stripMargin
+
+  // ---- sequential change-point monitoring (CUSUM) --------------------------
+
+  /** One-sided upward CUSUM change-point monitor (Page 1954) over a
+    * daily metric relation `daily` = (day, x BIGINT): learn the
+    * reference level from the first `refDays` days, then raise a
+    * sticky per-day statistic that accumulates sustained upward
+    * deviation and alarm when it crosses the threshold — the classic
+    * "did ingest volume / error rate shift, and when" monitor, catching
+    * small persistent shifts that per-day thresholding misses.
+    *
+    * mu0 = floor(1000·Σx_ref / n_ref) milli-units (exact integer
+    * division); slack = mu0·slackPermille div 1000 (the CUSUM "k",
+    * tolerated drift before accumulation); h = mu0·hPermille div 1000.
+    * Over monitoring days (after the reference window), with
+    * Y_d = 1000·x_d − mu0 − slack, the recursion
+    * S_d = max(0, S_{d−1} + Y_d) is computed WITHOUT sequential state
+    * via the reflection identity S_d = C_d − min(0, min_{j≤d} C_j)
+    * over the cumulative sum C — two windows, no recursion, exactly the
+    * form both engines execute. Returns (day, x, cusum_milli, alarm)
+    * for monitoring days; alarm = S_d > h. All arithmetic is BIGINT —
+    * no float anywhere, bit-stable under any partitioning.
+    *
+    * 100 TB shape: the caller's daily aggregate is the only corpus
+    * pass; every window here runs on the calendar-bounded DAY relation
+    * (thousands of rows at any corpus size — the rocAuc quantized-
+    * domain pattern). Fewer than `refDays` days of data yields an
+    * empty monitoring relation rather than a spurious baseline. */
+  def cusumShift(daily: DataFrame, refDays: Int,
+      slackPermille: Long = 0L, hPermille: Long = 2000L): DataFrame = {
+    require(refDays >= 1, s"refDays must be >= 1, got $refDays")
+    require(slackPermille >= 0L, s"slackPermille must be >= 0")
+    require(hPermille > 0L, s"hPermille must be > 0")
+    val byDay = Window.orderBy(col("day").asc)
+    val ranked = daily.select(col("day"), col("x").cast("long").as("x"))
+      .withColumn("rn", row_number().over(byDay))
+    // integer division on BOTH engines (Spark `div` / DuckDB `//`): a
+    // double division + cast would truncate here and round there
+    val ref = ranked.filter(col("rn") <= refDays)
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n_ref"))
+      .filter(col("n_ref") === refDays)
+      .select(expr("(1000L * sx) div n_ref").as("mu0_milli"))
+    val mon = ranked.filter(col("rn") > refDays)
+      .crossJoin(broadcast(ref))
+      .withColumn("y", lit(1000L) * col("x") - col("mu0_milli") -
+        expr(s"CAST(mu0_milli * $slackPermille AS BIGINT) div 1000L"))
+    val cw = Window.orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mon.withColumn("c", sum(col("y")).over(cw))
+      .withColumn("floor_c", least(lit(0L), min(col("c")).over(cw)))
+      .select(col("day"), col("x"),
+        (col("c") - col("floor_c")).as("cusum_milli"),
+        ((col("c") - col("floor_c")) >
+          expr(s"CAST(mu0_milli * $hPermille AS BIGINT) div 1000L"))
+          .as("alarm"))
+  }
+
+  /** DuckDB twin of [[cusumShift]]: `dailyCte` must yield (day, x) by
+    * the identical expressions. */
+  def cusumShiftSql(dailyCte: String, refDays: Int,
+      slackPermille: Long = 0L, hPermille: Long = 2000L): String = {
+    require(refDays >= 1, s"refDays must be >= 1, got $refDays")
+    require(slackPermille >= 0L && hPermille > 0L, "invalid permille args")
+    s"""WITH daily AS ($dailyCte),
+       |ranked AS (
+       |  SELECT day, CAST(x AS BIGINT) AS x,
+       |    row_number() OVER (ORDER BY day ASC) AS rn
+       |  FROM daily),
+       |ref AS (
+       |  SELECT (1000 * sum(x)) // count(*) AS mu0_milli
+       |  FROM ranked WHERE rn <= $refDays
+       |  HAVING count(*) = $refDays),
+       |mon AS (
+       |  SELECT r.day, r.x,
+       |    1000 * r.x - f.mu0_milli
+       |      - CAST(f.mu0_milli * $slackPermille AS BIGINT) // 1000 AS y,
+       |    f.mu0_milli
+       |  FROM ranked r CROSS JOIN ref f WHERE r.rn > $refDays),
+       |cum AS (
+       |  SELECT day, x, mu0_milli,
+       |    sum(y) OVER (ORDER BY day ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+       |  FROM mon),
+       |s AS (
+       |  SELECT day, x, mu0_milli,
+       |    c - least(0, min(c) OVER (ORDER BY day ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |      AS cusum_milli
+       |  FROM cum)
+       |SELECT day, x, cusum_milli,
+       |  cusum_milli > CAST(mu0_milli * $hPermille AS BIGINT) // 1000
+       |    AS alarm
+       |FROM s""".stripMargin
+  }
 }

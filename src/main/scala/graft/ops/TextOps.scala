@@ -803,4 +803,124 @@ object TextOps {
       |SELECT d.lang, p.pred_lang, CAST(count(*) AS BIGINT) AS n
       |FROM documents d JOIN pred p USING (doc_id)
       |GROUP BY 1, 2""".stripMargin
+
+  // ---- distinctive terms (weighted log-odds) ------------------------------
+
+  /** Distinctive-terms readout between one document group and the rest:
+    * Monroe, Colaresi & Quinn 2008 ("Fightin' Words") weighted log-odds
+    * with an informative Dirichlet prior — the statistically-grounded
+    * alternative to [[domainTfidfTopK]] that does not over-reward rare
+    * words (the prior shrinks low-count terms toward the corpus rate,
+    * and the variance term z-normalizes the odds difference).
+    *
+    * For each word w with corpus count y and group counts y_a / y_b:
+    * prior a_w = alpha0 * y / n; delta = ln((y_a + a_w)/(n_a + alpha0 −
+    * y_a − a_w)) − ln((y_b + a_w)/(n_b + alpha0 − y_b − a_w)); var =
+    * 1/(y_a + a_w) + 1/(y_b + a_w); z = delta/sqrt(var), rounded at 6.
+    * Returns the k most A-distinctive (side 'a', z desc) and k most
+    * B-distinctive (side 'b', z asc) words as
+    * (side, rank, word, y_a, y_b, z) — ties break on the word so the
+    * cut is deterministic on both engines; a word qualifying for both
+    * sides (only possible when the pruned vocab is < 2k) reports side
+    * 'a'.
+    *
+    * Cross-engine determinism: all counts are exact integers; the z
+    * assembly is a fixed token-order double expression (factor-wise
+    * casts; division inside each ln) identical in the twin.
+    *
+    * 100 TB shape: ONE token scan feeds a vocab-sized conditional-sum
+    * groupBy (map-side combined — never a per-doc pivot); totals ride a
+    * one-row broadcast; the rank windows run on the minCount-pruned z
+    * relation, and Zipf makes that pruning hyperbolic — at corpus scale
+    * pick minCount so the ranked relation is small, which the analysis
+    * wants anyway (a 3-count word cannot be "distinctive"). */
+  def logOddsTerms(docs: DataFrame, groupCol: String, groupA: String,
+      alpha0: Double = 100.0, minCount: Long = 5L, k: Int = 20,
+      textCol: String = "text"): DataFrame = {
+    require(alpha0 > 0.0, s"alpha0 must be > 0, got $alpha0")
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val counts = docs.select((col(groupCol) === groupA).as("in_a"),
+        explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(
+        sum(when(col("in_a"), 1L).otherwise(0L)).as("y_a"),
+        sum(when(col("in_a"), 0L).otherwise(1L)).as("y_b"))
+    val tot = counts.agg(sum("y_a").as("n_a"), sum("y_b").as("n_b"))
+    val scored = counts.filter(col("y_a") + col("y_b") >= minCount)
+      .crossJoin(broadcast(tot))
+      .withColumn("aw", lit(alpha0) *
+        (col("y_a") + col("y_b")).cast("double") /
+        (col("n_a") + col("n_b")).cast("double"))
+      .withColumn("d",
+        log((col("y_a").cast("double") + col("aw")) /
+          (col("n_a").cast("double") + lit(alpha0) -
+            col("y_a").cast("double") - col("aw"))) -
+        log((col("y_b").cast("double") + col("aw")) /
+          (col("n_b").cast("double") + lit(alpha0) -
+            col("y_b").cast("double") - col("aw"))))
+      .withColumn("v",
+        lit(1.0) / (col("y_a").cast("double") + col("aw")) +
+        lit(1.0) / (col("y_b").cast("double") + col("aw")))
+      .withColumn("z", round(col("d") / sqrt(col("v")), 6))
+    val wa = org.apache.spark.sql.expressions.Window
+      .orderBy(col("z").desc, col("w").asc)
+    val wb = org.apache.spark.sql.expressions.Window
+      .orderBy(col("z").asc, col("w").asc)
+    scored.withColumn("ra", row_number().over(wa))
+      .withColumn("rb", row_number().over(wb))
+      .filter(col("ra") <= k || col("rb") <= k)
+      .select(
+        when(col("ra") <= k, lit("a")).otherwise(lit("b")).as("side"),
+        when(col("ra") <= k, col("ra")).otherwise(col("rb")).as("rank"),
+        col("w").as("word"), col("y_a"), col("y_b"), col("z"))
+  }
+
+  /** DuckDB twin of [[logOddsTerms]] over the `documents` table. */
+  def logOddsTermsSql(groupCol: String, groupA: String,
+      alpha0: Double = 100.0, minCount: Long = 5L, k: Int = 20): String = {
+    require(alpha0 > 0.0, s"alpha0 must be > 0, got $alpha0")
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val ga = "'" + groupA.replace("'", "''") + "'"
+    s"""WITH counts AS (
+       |  SELECT w,
+       |    CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS y_a,
+       |    CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS y_b
+       |  FROM (
+       |    SELECT ($groupCol = $ga) AS in_a,
+       |      unnest(string_split(text, ' ')) AS w
+       |    FROM documents)
+       |  WHERE w <> '' GROUP BY 1),
+       |tot AS (SELECT CAST(sum(y_a) AS BIGINT) AS n_a,
+       |  CAST(sum(y_b) AS BIGINT) AS n_b FROM counts),
+       |pruned AS (
+       |  SELECT w, y_a, y_b, n_a, n_b,
+       |    $alpha0 * CAST(y_a + y_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)
+       |      AS aw
+       |  FROM counts CROSS JOIN tot
+       |  WHERE y_a + y_b >= $minCount),
+       |dv AS (
+       |  SELECT w, y_a, y_b,
+       |    ln((CAST(y_a AS DOUBLE) + aw) /
+       |       (CAST(n_a AS DOUBLE) + $alpha0 - CAST(y_a AS DOUBLE) - aw))
+       |    - ln((CAST(y_b AS DOUBLE) + aw) /
+       |       (CAST(n_b AS DOUBLE) + $alpha0 - CAST(y_b AS DOUBLE) - aw))
+       |      AS d,
+       |    1.0 / (CAST(y_a AS DOUBLE) + aw)
+       |      + 1.0 / (CAST(y_b AS DOUBLE) + aw) AS v
+       |  FROM pruned),
+       |ranked AS (
+       |  SELECT w, y_a, y_b, round(d / sqrt(v), 6) AS z FROM dv),
+       |rr AS (
+       |  SELECT *,
+       |    CAST(row_number() OVER (ORDER BY z DESC, w ASC) AS INT) AS ra,
+       |    CAST(row_number() OVER (ORDER BY z ASC, w ASC) AS INT) AS rb
+       |  FROM ranked)
+       |SELECT CASE WHEN ra <= $k THEN 'a' ELSE 'b' END AS side,
+       |  CASE WHEN ra <= $k THEN ra ELSE rb END AS rank,
+       |  w AS word, y_a, y_b, z
+       |FROM rr WHERE ra <= $k OR rb <= $k""".stripMargin
+  }
 }
+

@@ -322,6 +322,51 @@ class GraphTextSpec extends AnyFunSuite {
     assert(got(("x", "z")) == ((1L, expPmi)))
   }
 
+  test("logOddsTerms: replica z, group swap negates, exclusive word tops") {
+    // group a: "x x y", "x z"; group b: "y y z", "z q q q q"
+    val docs = Seq(("a", "x x y"), ("a", "x z"),
+      ("b", "y y z"), ("b", "z q q q q")).toDF("grp", "text")
+    // k=2 so the b side is reachable (at k >= vocab every word ranks
+    // ra <= k and the documented both-sides tie rule reports side 'a')
+    val out = TextOps.logOddsTerms(docs, "grp", "a", alpha0 = 10.0,
+      minCount = 1L, k = 2).collect()
+      .map(r => (r.getString(2), (r.getString(0), r.getInt(1),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // independent replica of the Monroe statistic in driver doubles
+    def z(ya: Long, yb: Long, na: Long, nb: Long, a0: Double): Double = {
+      val aw = a0 * (ya + yb).toDouble / (na + nb).toDouble
+      val d = math.log((ya.toDouble + aw) / (na.toDouble + a0 - ya - aw)) -
+        math.log((yb.toDouble + aw) / (nb.toDouble + a0 - yb - aw))
+      val v = 1.0 / (ya.toDouble + aw) + 1.0 / (yb.toDouble + aw)
+      BigDecimal(d / math.sqrt(v))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    // counts: x: (3,0)  y: (1,2)  z: (1,2)  q: (0,4); n_a=5, n_b=8
+    assert(out("x")._3 == 3L && out("x")._4 == 0L)
+    assert(out("x")._5 == z(3, 0, 5, 8, 10.0))
+    assert(out("q")._5 == z(0, 4, 5, 8, 10.0))
+    // a-exclusive x is the most a-distinctive; b-heavy q the most b-
+    assert(out("x")._1 == "a" && out("x")._2 == 1)
+    assert(out("q")._1 == "b" && out("q")._2 == 1)
+    // swapping the focal group exactly negates every z (same ln pair
+    // subtracted in reverse order — bit-exact in IEEE)
+    val swapped = TextOps.logOddsTerms(docs, "grp", "b", alpha0 = 10.0,
+      minCount = 1L, k = 10).collect()
+      .map(r => (r.getString(2), r.getDouble(5))).toMap
+    out.foreach { case (w, t) => assert(swapped(w) == -t._5, s"word $w") }
+  }
+
+  test("logOddsTerms: minCount prunes and k cuts deterministically") {
+    val docs = Seq(("a", "x x x rare"), ("b", "y y y")).toDF("grp", "text")
+    val terms = TextOps.logOddsTerms(docs, "grp", "a", alpha0 = 5.0,
+      minCount = 2L, k = 1).collect()
+    val words = terms.map(_.getString(2)).toSet
+    assert(!words.contains("rare"))
+    assert(terms.length == 2) // one per side at k=1
+    assert(terms.map(r => (r.getString(0), r.getInt(1))).toSet ==
+      Set(("a", 1), ("b", 1)))
+  }
+
   test("kCore: chain cascades to empty; clique+tail peels to the clique") {
     // path 1-2-3-4-5 at k=2: endpoints peel, then the cascade eats the
     // whole chain — multi-round fixpoint, not a single filter

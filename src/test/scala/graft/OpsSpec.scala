@@ -1623,6 +1623,51 @@ class OpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((0, 0L, 2L), (0, 1L, 1L), (1, 2L, 1L)))
   }
 
+  test("cusumShift: reflection identity matches the max(0,·) recursion") {
+    // jittery baseline then a sustained +20% shift from day 16
+    val xs = Seq(100L, 103L, 97L, 101L, 99L, 102L, 98L, 100L, 101L, 99L,
+      100L, 97L, 104L, 99L, 101L, 120L, 121L, 119L, 122L, 120L)
+    val daily = xs.zipWithIndex
+      .map { case (x, i) => (java.sql.Date.valueOf(f"2024-02-${i + 1}%02d"), x) }
+      .toDF("day", "x")
+    val got = ProfileOps.cusumShift(daily, refDays = 10, slackPermille = 0L,
+      hPermille = 100L).orderBy("day").collect()
+    assert(got.length == 10)
+    // driver-side replica of the sequential recursion
+    val mu0 = 1000L * xs.take(10).sum / 10L
+    val h = mu0 * 100L / 1000L
+    var s = 0L
+    val exp = xs.drop(10).map { x =>
+      s = math.max(0L, s + (1000L * x - mu0)); (s, s > h)
+    }
+    got.zip(exp).foreach { case (r, (cs, al)) =>
+      assert(r.getAs[Long]("cusum_milli") == cs && r.getAs[Boolean]("alarm") == al)
+    }
+    // the sustained shift alarms; the pre-shift monitoring days do not
+    assert(!got(4).getAs[Boolean]("alarm") && got(9).getAs[Boolean]("alarm"))
+  }
+
+  test("cusumShift: dips reset the statistic; single spike under h stays quiet") {
+    val xs = Seq.fill(10)(100L) ++ Seq(105L, 90L, 100L, 100L, 100L)
+    val daily = xs.zipWithIndex
+      .map { case (x, i) => (java.sql.Date.valueOf(f"2024-03-${i + 1}%02d"), x) }
+      .toDF("day", "x")
+    val got = ProfileOps.cusumShift(daily, refDays = 10, slackPermille = 0L,
+      hPermille = 100L).orderBy("day").collect()
+    // +5 then -10: the dip floors at 0, not -5 (one-sided statistic)
+    assert(got.map(_.getAs[Long]("cusum_milli")).toSeq ==
+      Seq(5000L, 0L, 0L, 0L, 0L))
+    assert(got.forall(!_.getAs[Boolean]("alarm")))
+  }
+
+  test("cusumShift: fewer days than refDays yields an empty monitor") {
+    val daily = Seq((java.sql.Date.valueOf("2024-04-01"), 5L),
+      (java.sql.Date.valueOf("2024-04-02"), 6L)).toDF("day", "x")
+    assert(ProfileOps.cusumShift(daily, refDays = 10).count() == 0L)
+    intercept[IllegalArgumentException](
+      ProfileOps.cusumShift(daily, refDays = 0))
+  }
+
   test("crosstab: declared domain, absent combos are zero") {
     val df = Seq(("s1", "en"), ("s1", "en"), ("s1", "fr"), ("s2", "zh"))
       .toDF("src", "lang")
