@@ -1177,6 +1177,16 @@ object ExtensionQueries {
       ProfileOps.cusumShift(daily, refDays = 10, slackPermille = 0L,
         hPermille = 100L).orderBy("day")
     },
+    // Robust trend readout on the same daily relation: Theil-Sen median
+    // slope (outlier-immune) + tie-corrected Mann-Kendall z — "is a
+    // monotone drift underway", the companion question to CUSUM's
+    // "did the level shift"
+    "events_trend_robust" -> { (s, dir) =>
+      val daily = graft.sources.Sources.eventsWithTimestamp(s, dir)
+        .groupBy(expr("unix_micros(ts) div 86400000000L").as("day"))
+        .agg(count(lit(1)).as("x"))
+      ProfileOps.robustTrend(daily)
+    },
     // Snapshot distribution drift: per-source KL and PSI terms between
     // the corpus and a synthetic refresh (src7 lost, src3 doubled, a
     // brand-new srcNEW appears, every 11th doc dropped) — add-one
@@ -3102,6 +3112,11 @@ object ExtensionQueries {
           |FROM events GROUP BY 1""".stripMargin,
         refDays = 10, slackPermille = 0L, hPermille = 100L) +
         "\nORDER BY day"),
+    "events_trend_robust" ->
+      ProfileOps.robustTrendSql(
+        """SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+          |  AS BIGINT) AS day, CAST(count(*) AS BIGINT) AS x
+          |FROM events GROUP BY 1""".stripMargin),
     "drift_source_dist" ->
       (ProfileOps.distributionDriftSql(
         "SELECT source AS key FROM documents",

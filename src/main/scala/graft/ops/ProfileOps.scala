@@ -1149,4 +1149,102 @@ object ProfileOps {
        |    AS alarm
        |FROM s""".stripMargin
   }
+
+  /** Robust trend readout over a daily metric relation (day, x BIGINT):
+    * the Theil–Sen slope (median of all pairwise slopes — breakdown
+    * point 29%, immune to the outlier days that wreck least squares)
+    * plus the Mann–Kendall trend test (S = Σ sign(x_j − x_i) over
+    * ordered pairs, tie-corrected normal approximation) — the
+    * monitoring companion to [[cusumShift]]: CUSUM says "a level shift
+    * happened", this says "a monotone drift is underway, this steep,
+    * this significant".
+    *
+    * Returns ONE row (n_days, sen_slope, mk_s, mk_z). Determinism:
+    * pair slopes are one double division each; the median picks
+    * row-numbered middles (ties can reorder only equal values, so the
+    * median VALUE is invariant) and averages the two middles for even
+    * counts in fixed order; S and every tie/variance numerator are
+    * exact BIGINT, with var(S) = (n(n−1)(2n+5) − Σ_t t(t−1)(2t+5))/18
+    * divided and sqrt'd once; z applies the ±1 continuity correction
+    * via the same CASE both engines. n_days < 2 yields NULL slope and
+    * z with mk_s = 0.
+    *
+    * 100 TB shape: the caller's daily aggregate is the only corpus
+    * pass; the pair self-join is O(days²) on the CALENDAR-BOUNDED day
+    * relation (a decade is ~6.7M pairs — evaluation-sized), the same
+    * bounded-domain contract as [[cusumShift]]'s windows. */
+  def robustTrend(daily: DataFrame): DataFrame = {
+    val d = daily.select(col("day").cast("long").as("day"),
+      col("x").cast("long").as("x"))
+    val pairs = d.as("a").join(d.as("b"), col("a.day") < col("b.day"))
+      .select(
+        ((col("b.x") - col("a.x")).cast("double") /
+          (col("b.day") - col("a.day")).cast("double")).as("slope"),
+        signum(col("b.x") - col("a.x")).cast("long").as("sgn"))
+    val w = Window.orderBy(col("slope").asc)
+    val med = pairs.withColumn("rn", row_number().over(w))
+      .crossJoin(broadcast(pairs.agg(count(lit(1)).as("np"))))
+      // integer div: Column `/` is double division and would never
+      // match the integer row_number
+      .filter(col("rn") === expr("(np + 1) div 2") ||
+        col("rn") === expr("np div 2 + 1"))
+      .agg((sum(col("slope")) / count(lit(1))).as("sen_slope"))
+    val sAgg = pairs.agg(coalesce(sum(col("sgn")), lit(0L)).as("mk_s"))
+    val nDays = d.agg(count(lit(1)).as("n_days"))
+    val ties = d.groupBy("x").agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(expr("t * (t - 1) * (2 * t + 5)")), lit(0L))
+        .as("tie_num"))
+    nDays.crossJoin(broadcast(sAgg)).crossJoin(broadcast(ties))
+      .crossJoin(broadcast(med.select("sen_slope")))
+      .select(col("n_days"),
+        when(col("n_days") < 2, lit(null).cast("double"))
+          .otherwise(round(col("sen_slope"), 6)).as("sen_slope"),
+        col("mk_s"),
+        when(col("n_days") < 2, lit(null).cast("double"))
+          // S = 0 short-circuits BEFORE the division: an all-tied
+          // series has var(S) = 0 and would produce 0/0 = NaN
+          .when(col("mk_s") === 0, lit(0.0))
+          .otherwise(round(
+            when(col("mk_s") > 0, (col("mk_s") - lit(1)).cast("double"))
+              .otherwise((col("mk_s") + lit(1)).cast("double")) /
+            sqrt((expr("n_days * (n_days - 1) * (2 * n_days + 5)") -
+              col("tie_num")).cast("double") / lit(18.0)), 6)).as("mk_z"))
+  }
+
+  /** DuckDB twin of [[robustTrend]]: `dailyCte` must yield (day, x) by
+    * the identical expressions. */
+  def robustTrendSql(dailyCte: String): String =
+    s"""WITH daily AS ($dailyCte),
+       |d AS (SELECT CAST(day AS BIGINT) AS day, CAST(x AS BIGINT) AS x
+       |  FROM daily),
+       |pairs AS (
+       |  SELECT CAST(b.x - a.x AS DOUBLE) / CAST(b.day - a.day AS DOUBLE)
+       |      AS slope,
+       |    CAST(sign(b.x - a.x) AS BIGINT) AS sgn
+       |  FROM d a JOIN d b ON a.day < b.day),
+       |np AS (SELECT CAST(count(*) AS BIGINT) AS np FROM pairs),
+       |med AS (
+       |  SELECT sum(slope) / count(*) AS sen_slope
+       |  FROM (SELECT slope, row_number() OVER (ORDER BY slope ASC) AS rn
+       |        FROM pairs) r CROSS JOIN np
+       |  WHERE r.rn = (np.np + 1) // 2 OR r.rn = np.np // 2 + 1),
+       |sagg AS (SELECT COALESCE(CAST(sum(sgn) AS BIGINT), 0) AS mk_s
+       |  FROM pairs),
+       |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM d),
+       |ties AS (
+       |  SELECT COALESCE(CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT), 0)
+       |    AS tie_num
+       |  FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM d GROUP BY x))
+       |SELECT nd.n_days,
+       |  CASE WHEN nd.n_days < 2 THEN NULL
+       |    ELSE round(med.sen_slope, 6) END AS sen_slope,
+       |  sagg.mk_s,
+       |  CASE WHEN nd.n_days < 2 THEN NULL
+       |    WHEN sagg.mk_s = 0 THEN 0.0
+       |    ELSE round(
+       |      (CASE WHEN sagg.mk_s > 0 THEN CAST(sagg.mk_s - 1 AS DOUBLE)
+       |            ELSE CAST(sagg.mk_s + 1 AS DOUBLE) END) /
+       |      sqrt(CAST(nd.n_days * (nd.n_days - 1) * (2 * nd.n_days + 5)
+       |        - ties.tie_num AS DOUBLE) / 18.0), 6) END AS mk_z
+       |FROM nd CROSS JOIN sagg CROSS JOIN ties CROSS JOIN med""".stripMargin
 }

@@ -1660,6 +1660,48 @@ class OpsSpec extends AnyFunSuite {
     assert(got.forall(!_.getAs[Boolean]("alarm")))
   }
 
+  test("robustTrend: replica Sen slope and Mann-Kendall on a hand series") {
+    // days 0..5, x = 2*day except an outlier at day 3
+    val xs = Seq(0L, 2L, 4L, 100L, 8L, 10L)
+    val daily = xs.zipWithIndex.map { case (x, i) => (i.toLong, x) }
+      .toDF("day", "x")
+    val out = ProfileOps.robustTrend(daily).head()
+    // driver-side replica
+    val pts = xs.zipWithIndex.map { case (x, i) => (i.toLong, x) }
+    val pairs = for {
+      (di, xi) <- pts; (dj, xj) <- pts if di < dj
+    } yield ((xj - xi).toDouble / (dj - di).toDouble,
+      java.lang.Long.signum(xj - xi).toLong)
+    val sorted = pairs.map(_._1).sorted
+    val np = sorted.length
+    val mids = Seq((np + 1) / 2, np / 2 + 1).distinct.map(r => sorted(r - 1))
+    val sen = BigDecimal(mids.sum / mids.length)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val s = pairs.map(_._2).sum
+    val n = xs.length.toLong
+    val varS = (n * (n - 1) * (2 * n + 5)).toDouble / 18.0 // no ties here
+    val zExp = BigDecimal((s - 1).toDouble / math.sqrt(varS))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.getAs[Long]("n_days") == n)
+    assert(out.getAs[Double]("sen_slope") == sen)
+    assert(out.getAs[Long]("mk_s") == s)
+    assert(out.getAs[Double]("mk_z") == zExp)
+    // the outlier does not drag the median slope off 2
+    assert(out.getAs[Double]("sen_slope") == 2.0)
+  }
+
+  test("robustTrend: ties correct the variance; flat series is S=0, z=0") {
+    val daily = Seq((0L, 5L), (1L, 5L), (2L, 5L), (3L, 5L)).toDF("day", "x")
+    val out = ProfileOps.robustTrend(daily).head()
+    assert(out.getAs[Long]("mk_s") == 0L)
+    assert(out.getAs[Double]("mk_z") == 0.0)
+    assert(out.getAs[Double]("sen_slope") == 0.0)
+    // single day: NULL slope and z, S = 0
+    val one = ProfileOps.robustTrend(Seq((0L, 5L)).toDF("day", "x")).head()
+    assert(one.isNullAt(one.fieldIndex("sen_slope")) &&
+      one.isNullAt(one.fieldIndex("mk_z")) && one.getAs[Long]("mk_s") == 0L)
+  }
+
   test("cusumShift: fewer days than refDays yields an empty monitor") {
     val daily = Seq((java.sql.Date.valueOf("2024-04-01"), 5L),
       (java.sql.Date.valueOf("2024-04-02"), 6L)).toDF("day", "x")
