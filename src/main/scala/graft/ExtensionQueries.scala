@@ -2447,6 +2447,22 @@ object ExtensionQueries {
           expr("n_chars div 100").as("len_band")),
         Seq("lang", "source", "len_band")).orderBy("k")
     },
+    // Distinct l-diversity on the same release shape: groups whose rows
+    // all share few SOURCE values leak membership even when k-anonymous
+    "privacy_l_diversity" -> { (s, dir) =>
+      EvalOps.lDiversity(
+        Tables.documents(s, dir).select(col("lang"),
+          expr("n_chars div 200").as("len_band"), col("source")),
+        Seq("lang", "len_band"), "source").orderBy("l")
+    },
+    // t-closeness: groups whose source DISTRIBUTION strays from the
+    // global one (total-variation EMD, exact decimal cross-products)
+    "privacy_t_closeness" -> { (s, dir) =>
+      EvalOps.tCloseness(
+        Tables.documents(s, dir).select(col("lang"),
+          expr("n_chars div 200").as("len_band"), col("source")),
+        Seq("lang", "len_band"), "source").orderBy("t_permille")
+    },
   )
 
   private val bm25Queries: Seq[(Int, Seq[String])] = Seq(
@@ -3585,6 +3601,12 @@ object ExtensionQueries {
     "privacy_k_anonymity" ->
       (EvalOps.kAnonymitySql("documents",
         Seq("lang", "source", "n_chars // 100")) + "\nORDER BY k"),
+    "privacy_l_diversity" ->
+      (EvalOps.lDiversitySql("documents", Seq("lang", "n_chars // 200"),
+        "source") + "\nORDER BY l"),
+    "privacy_t_closeness" ->
+      (EvalOps.tClosenessSql("documents", Seq("lang", "n_chars // 200"),
+        "source") + "\nORDER BY t_permille"),
   ) ++ searchOracles
 
   private def searchOracles: Map[String, String] = Map(

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Model-quality evaluation and data-governance measurements over corpus
   * relations — the "did the filter work, and is the data safe to ship"
@@ -443,6 +444,176 @@ object EvalOps {
         min(col("sz")).as("min_group"))
       .select(col("k").cast("int").as("k"), col("n_groups"), col("n_rows"),
         col("groups_below"), col("rows_below"), col("min_group"))
+  }
+
+  /** Distinct l-diversity risk report (Machanavajjhala et al., ICDE
+    * 2006) — k-anonymity's necessary companion: a group can be large
+    * (k-anonymous) yet expose everyone in it because all its rows share
+    * ONE sensitive value. A group is l-diverse iff its rows carry at
+    * least l DISTINCT sensitive values; for each requested l the report
+    * counts the groups and rows below, plus the dataset's global
+    * diversity level (min distinct sensitive values over groups).
+    *
+    * All-integer output → exact on any engine. 100 TB shape: one
+    * map-side-combined groupBy on (quasi-identifier, sensitive) — the
+    * only corpus-sized pass — then group- and l-relation aggregates,
+    * both bounded by the attribute domains, not the corpus. */
+  def lDiversity(df: DataFrame, qidCols: Seq[String], sensitiveCol: String,
+      ls: Seq[Int] = Seq(2, 3, 5)): DataFrame = {
+    require(qidCols.nonEmpty, "lDiversity needs at least one quasi-identifier")
+    require(ls.nonEmpty && ls.forall(_ >= 2), s"thresholds must be >= 2, got $ls")
+    val cells = df.groupBy((qidCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("c"))
+    val g = cells.groupBy(qidCols.map(col): _*)
+      .agg(sum(col("c")).as("sz"), count(lit(1)).as("div"))
+    val lRel = explode(array(ls.map(l => lit(l)): _*)).as("l")
+    g.select(col("sz"), col("div"), lRel)
+      .groupBy("l")
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("div") < col("l"), 1L).otherwise(0L)).as("groups_below"),
+        sum(when(col("div") < col("l"), col("sz")).otherwise(0L)).as("rows_below"),
+        min(col("div")).as("min_diversity"))
+      .select(col("l").cast("int").as("l"), col("n_groups"),
+        col("groups_below"), col("rows_below"), col("min_diversity"))
+  }
+
+  /** DuckDB twin of [[lDiversity]]. */
+  def lDiversitySql(table: String, qidExprs: Seq[String],
+      sensitiveExpr: String, ls: Seq[Int] = Seq(2, 3, 5)): String = {
+    require(ls.nonEmpty && ls.forall(_ >= 2), s"thresholds must be >= 2, got $ls")
+    val qs = qidExprs.zipWithIndex.map { case (e, i) => s"$e AS q$i" }
+      .mkString(", ")
+    val qn = qidExprs.indices.map(i => s"q$i").mkString(", ")
+    val lVals = ls.map(l => s"($l)").mkString(", ")
+    s"""WITH cells AS (
+       |  SELECT $qn, s, CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT $qs, $sensitiveExpr AS s FROM $table)
+       |  GROUP BY ${(1 to qidExprs.size + 1).mkString(", ")}),
+       |g AS (
+       |  SELECT $qn, CAST(sum(c) AS BIGINT) AS sz,
+       |    CAST(count(*) AS BIGINT) AS div
+       |  FROM cells GROUP BY ${(1 to qidExprs.size).mkString(", ")}),
+       |ll(l) AS (VALUES $lVals)
+       |SELECT CAST(l AS INT) AS l,
+       |  CAST(count(*) AS BIGINT) AS n_groups,
+       |  CAST(sum(CASE WHEN div < l THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS groups_below,
+       |  CAST(sum(CASE WHEN div < l THEN sz ELSE 0 END) AS BIGINT)
+       |    AS rows_below,
+       |  CAST(min(div) AS BIGINT) AS min_diversity
+       |FROM g CROSS JOIN ll
+       |GROUP BY l""".stripMargin
+  }
+
+  /** t-closeness risk report (Li et al., ICDE 2007) — the tier above
+    * l-diversity: a group can be diverse yet still leak because its
+    * sensitive-value DISTRIBUTION differs sharply from the global one
+    * (e.g. 90% of one diagnosis in a group vs 5% globally). For
+    * categorical sensitive attributes with uniform ground distance the
+    * earth-mover distance reduces to total variation
+    * TV(g) = ½ Σ_s |c_gs/n_g − c_s/n|; the report gives, per requested
+    * threshold t (in permille), the groups and rows whose TV exceeds
+    * it, plus the dataset's worst group (max TV).
+    *
+    * Exactness: each |·| term rides DECIMAL(38,0) cross-products
+    * (c_gs·n and c_s·n_g — exact to ~10^18·10^18, the correlation-op
+    * discipline), and sensitive values ABSENT from a group enter via
+    * the algebraic complement n_g·(n − Σ_present c_s) instead of
+    * materialized zero cells; the single division per group rounds to
+    * a 1e6-scaled BIGINT (tv_e6), so every comparison and the output
+    * are integers.
+    *
+    * 100 TB shape: identical pass structure to [[lDiversity]] — one
+    * (qid, sensitive) groupBy is the corpus pass; the TV assembly joins
+    * cell/group/global relations all bounded by attribute domains; the
+    * global total rides a one-row broadcast. */
+  def tCloseness(df: DataFrame, qidCols: Seq[String], sensitiveCol: String,
+      tsPermille: Seq[Int] = Seq(100, 200, 500)): DataFrame = {
+    require(qidCols.nonEmpty, "tCloseness needs at least one quasi-identifier")
+    require(tsPermille.nonEmpty && tsPermille.forall(t => t > 0 && t < 1000),
+      s"thresholds must be in (0, 1000) permille, got $tsPermille")
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    val cells = df.groupBy((qidCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("c_gs"))
+      .withColumnRenamed(sensitiveCol, "s")
+    val g = cells.groupBy(qidCols.map(col): _*).agg(sum(col("c_gs")).as("n_g"))
+    val glob = cells.groupBy("s").agg(sum(col("c_gs")).as("c_s"))
+    val tot = cells.agg(sum(col("c_gs")).as("n"))
+    val tv = cells
+      .join(glob, Seq("s"))
+      .join(g, qidCols)
+      .crossJoin(broadcast(tot))
+      .groupBy(qidCols.map(col): _*)
+      .agg(max(col("n_g")).as("n_g"), max(col("n")).as("n"),
+        sum(abs(dec(col("c_gs")) * dec(col("n")) -
+          dec(col("c_s")) * dec(col("n_g")))).as("num_present"),
+        sum(col("c_s")).as("sum_cs"))
+      .select(col("n_g"),
+        expr("CAST(round(1000000.0 * CAST(num_present + " +
+          "CAST(n_g AS DECIMAL(38,0)) * (CAST(n AS DECIMAL(38,0)) - " +
+          "CAST(sum_cs AS DECIMAL(38,0))) AS DOUBLE) / " +
+          "(2.0 * CAST(n_g AS DOUBLE) * CAST(n AS DOUBLE))) AS BIGINT)")
+          .as("tv_e6"))
+    val tRel = explode(array(tsPermille.map(t => lit(t)): _*)).as("t_permille")
+    tv.select(col("n_g"), col("tv_e6"), tRel)
+      .groupBy("t_permille")
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("tv_e6") > col("t_permille") * 1000L, 1L).otherwise(0L))
+          .as("groups_above"),
+        sum(when(col("tv_e6") > col("t_permille") * 1000L, col("n_g"))
+          .otherwise(0L)).as("rows_above"),
+        max(col("tv_e6")).as("max_tv_e6"))
+      .select(col("t_permille").cast("int").as("t_permille"), col("n_groups"),
+        col("groups_above"), col("rows_above"), col("max_tv_e6"))
+  }
+
+  /** DuckDB twin of [[tCloseness]]. */
+  def tClosenessSql(table: String, qidExprs: Seq[String],
+      sensitiveExpr: String, tsPermille: Seq[Int] = Seq(100, 200, 500))
+      : String = {
+    require(tsPermille.nonEmpty && tsPermille.forall(t => t > 0 && t < 1000),
+      s"thresholds must be in (0, 1000) permille, got $tsPermille")
+    val qs = qidExprs.zipWithIndex.map { case (e, i) => s"$e AS q$i" }
+      .mkString(", ")
+    val qn = qidExprs.indices.map(i => s"q$i").mkString(", ")
+    val tVals = tsPermille.map(t => s"($t)").mkString(", ")
+    s"""WITH cells AS (
+       |  SELECT $qn, s, CAST(count(*) AS BIGINT) AS c_gs
+       |  FROM (SELECT $qs, $sensitiveExpr AS s FROM $table)
+       |  GROUP BY ${(1 to qidExprs.size + 1).mkString(", ")}),
+       |g AS (SELECT $qn, CAST(sum(c_gs) AS BIGINT) AS n_g
+       |  FROM cells GROUP BY ${(1 to qidExprs.size).mkString(", ")}),
+       |gdist AS (SELECT s, CAST(sum(c_gs) AS BIGINT) AS c_s
+       |  FROM cells GROUP BY 1),
+       |tot AS (SELECT CAST(sum(c_gs) AS BIGINT) AS n FROM cells),
+       |tv AS (
+       |  SELECT ${qidExprs.indices.map(i => s"cells.q$i").mkString(", ")},
+       |    max(g.n_g) AS n_g, max(tot.n) AS n,
+       |    sum(abs(CAST(c_gs AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))
+       |      - CAST(c_s AS DECIMAL(38,0)) * CAST(n_g AS DECIMAL(38,0))))
+       |      AS num_present,
+       |    CAST(sum(c_s) AS BIGINT) AS sum_cs
+       |  FROM cells JOIN gdist USING (s)
+       |  JOIN g USING ($qn) CROSS JOIN tot
+       |  GROUP BY ${(1 to qidExprs.size).mkString(", ")}),
+       |scored AS (
+       |  SELECT n_g,
+       |    CAST(round(1000000.0 * CAST(num_present
+       |      + CAST(n_g AS DECIMAL(38,0)) * (CAST(n AS DECIMAL(38,0))
+       |        - CAST(sum_cs AS DECIMAL(38,0))) AS DOUBLE) /
+       |      (2.0 * CAST(n_g AS DOUBLE) * CAST(n AS DOUBLE))) AS BIGINT)
+       |      AS tv_e6
+       |  FROM tv),
+       |tt(t_permille) AS (VALUES $tVals)
+       |SELECT CAST(t_permille AS INT) AS t_permille,
+       |  CAST(count(*) AS BIGINT) AS n_groups,
+       |  CAST(sum(CASE WHEN tv_e6 > t_permille * 1000 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS groups_above,
+       |  CAST(sum(CASE WHEN tv_e6 > t_permille * 1000 THEN n_g ELSE 0 END)
+       |    AS BIGINT) AS rows_above,
+       |  CAST(max(tv_e6) AS BIGINT) AS max_tv_e6
+       |FROM scored CROSS JOIN tt
+       |GROUP BY 1""".stripMargin
   }
 
   // ---- 2-D Pareto skyline -------------------------------------------------

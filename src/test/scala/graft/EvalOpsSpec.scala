@@ -78,6 +78,48 @@ class EvalOpsSpec extends AnyFunSuite {
     assert(got(3) == ((3L, 6L, 2L, 3L, 1L)))
   }
 
+  test("lDiversity: distinct sensitive values per group, not group size") {
+    // g1: 4 rows but ONE sensitive value (diverse fails at l=2)
+    // g2: 2 rows, two values; g3: 3 rows, three values
+    val df = (Seq.fill(4)(("g1", "s1")) ++ Seq(("g2", "s1"), ("g2", "s2")) ++
+      Seq(("g3", "s1"), ("g3", "s2"), ("g3", "s3"))).toDF("qid", "sens")
+    val got = EvalOps.lDiversity(df, Seq("qid"), "sens", Seq(2, 3)).collect()
+      .map(r => r.getAs[Int]("l") ->
+        ((r.getAs[Long]("n_groups"), r.getAs[Long]("groups_below"),
+          r.getAs[Long]("rows_below"), r.getAs[Long]("min_diversity")))).toMap
+    assert(got(2) == ((3L, 1L, 4L, 1L))) // only the big-but-uniform g1
+    assert(got(3) == ((3L, 2L, 6L, 1L)))
+    intercept[IllegalArgumentException](
+      EvalOps.lDiversity(df, Seq("qid"), "sens", Seq(1)))
+  }
+
+  test("tCloseness: hand TV with absent-value complement; identical dist = 0") {
+    // global: s1 x3, s2 x3 (n=6). g1 = (s1,s1,s2): TV = ½(|2/3−1/2|+|1/3−1/2|)
+    // = 1/6; g2 = (s1, s2, s2) symmetric = 1/6
+    val df = Seq(("g1", "s1"), ("g1", "s1"), ("g1", "s2"),
+      ("g2", "s1"), ("g2", "s2"), ("g2", "s2")).toDF("qid", "sens")
+    val got = EvalOps.tCloseness(df, Seq("qid"), "sens", Seq(100, 500))
+      .collect().map(r => r.getAs[Int]("t_permille") ->
+        ((r.getAs[Long]("groups_above"), r.getAs[Long]("rows_above"),
+          r.getAs[Long]("max_tv_e6")))).toMap
+    val tv16 = math.round(1e6 / 6.0) // 166667
+    assert(got(100) == ((2L, 6L, tv16))) // both groups above 0.1
+    assert(got(500) == ((0L, 0L, tv16)))
+    // a group missing a sensitive value entirely: g3 = (s3, s3) vs
+    // global (s1,s2,s3,s3): TV = ½(|0−1/4|+|0−1/4|+|1−1/2|) = 1/2
+    val df2 = Seq(("gA", "s1"), ("gA", "s2"), ("g3", "s3"), ("g3", "s3"))
+      .toDF("qid", "sens")
+    val m2 = EvalOps.tCloseness(df2, Seq("qid"), "sens", Seq(400))
+      .collect()(0)
+    assert(m2.getAs[Long]("max_tv_e6") == 500000L)
+    assert(m2.getAs[Long]("groups_above") == 2L) // gA is also 1/2 away
+    // one group = global distribution: TV exactly 0
+    val same = EvalOps.tCloseness(
+      Seq(("g", "s1"), ("g", "s2")).toDF("qid", "sens"),
+      Seq("qid"), "sens", Seq(100)).collect()(0)
+    assert(same.getAs[Long]("max_tv_e6") == 0L)
+  }
+
   test("giniIndex: uniform mass 0, single holder (n-1)/n, hand case") {
     import org.apache.spark.sql.functions.col
     def gini(xs: Seq[Long]): Double =
