@@ -2410,6 +2410,15 @@ object ExtensionQueries {
         when(col("event_type") === "purchase",
           round(col("value") * 100, 0).cast("long")).otherwise(0L).as("m")))
     },
+    // Winsorized robust arm means on the same assignment: whale-proof
+    // point estimates via exact per-arm order-statistic clamping
+    "events_ab_winsorized" -> { (s, dir) =>
+      EvalOps.winsorizedMeans(Tables.events(s, dir).select(
+        col("user_id").as("unit"),
+        when(col("event_type") === "purchase",
+          round(col("value") * 100, 0).cast("long")).otherwise(0L).as("m")),
+        pLowMilli = 50, pHighMilli = 950).orderBy("arm")
+    },
     // Sample-ratio-mismatch guard on the same assignment: chi-square of
     // realized arm sizes vs the configured 50/50 — the validity gate a
     // pipeline checks before believing either readout above
@@ -3592,6 +3601,13 @@ object ExtensionQueries {
           |  CASE WHEN event_type = 'purchase'
           |    THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END AS m
           |FROM events""".stripMargin),
+    "events_ab_winsorized" ->
+      (EvalOps.winsorizedMeansSql(
+        """SELECT user_id AS unit,
+          |  CASE WHEN event_type = 'purchase'
+          |    THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END AS m
+          |FROM events""".stripMargin,
+        pLowMilli = 50, pHighMilli = 950) + "\nORDER BY arm"),
     "metric_decomposition" ->
       (EvalOps.metricDecompositionSql(
         """SELECT CASE WHEN event_id % 2 = 0 THEN 1 ELSE 2 END AS period,

@@ -780,6 +780,115 @@ object EvalOps {
     * floor(2^32/φ), Knuth's multiplicative constant. */
   private[ops] val WelchMult = 2654435761L
 
+  // ---- winsorized robust arm means ----------------------------------------
+  /** Winsorized per-arm means — the robust A/B point estimate: clamp
+    * each arm's per-unit metric at its own [pLow, pHigh] order
+    * statistics before averaging, so one whale user cannot buy the
+    * experiment (the standard practice for revenue-shaped metrics whose
+    * raw mean the [[welchTTest]] reads). Assignment is the identical
+    * bucket rule / reserved multiplier as [[welchTTest]], so this is a
+    * second readout of the SAME arms.
+    *
+    * Order statistics are EXACT type-1 quantiles: k = ⌈p·n⌉ computed as
+    * (pMilli·n + 999) div 1000 (clamped to ≥ 1), and the k-th smallest
+    * per-unit metric is selected by a cumulative-count window over the
+    * arm's DISTINCT-METRIC relation. The winsorized sum decomposes to
+    * lo·n_below + Σ_{lo≤v≤hi} v·cnt + hi·n_above — every term an exact
+    * DECIMAL(38,0) product — and the single per-arm division rounds at
+    * 6dp. Returns one row per arm: (arm, n, lo, hi, wmean).
+    *
+    * 100 TB shape: the unit-keyed groupBy is the only corpus-sized pass
+    * (shared shuffle class with [[welchTTest]]); the quantile windows
+    * run on the per-arm distinct-metric relation, bounded by the
+    * caller's integer quantization (the rocAuc pattern), and the 2-row
+    * lo/hi relation joins back by arm. */
+  def winsorizedMeans(rows: DataFrame, pLowMilli: Int = 10,
+      pHighMilli: Int = 990, treatMilli: Int = 500): DataFrame = {
+    require(0 < treatMilli && treatMilli < 1000,
+      s"treatMilli must be in (0, 1000), got $treatMilli")
+    require(0 < pLowMilli && pLowMilli < pHighMilli && pHighMilli < 1000,
+      s"need 0 < pLowMilli < pHighMilli < 1000, got ($pLowMilli, $pHighMilli)")
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    val perUnit = rows.groupBy(col("unit"))
+      .agg(sum(col("m")).as("mu"))
+      .select(
+        (PipelineOps.idBucket(col("unit"), WelchMult) < treatMilli)
+          .as("treat"),
+        col("mu"))
+    val vals = perUnit.groupBy("treat", "mu").agg(count(lit(1)).as("cnt"))
+    val cw = Window.partitionBy("treat").orderBy(col("mu").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = vals.withColumn("cum", sum(col("cnt")).over(cw))
+    val armN = vals.groupBy("treat").agg(sum(col("cnt")).as("n"))
+    val ks = armN
+      .withColumn("k_lo",
+        greatest(lit(1L), expr(s"($pLowMilli * n + 999) div 1000")))
+      .withColumn("k_hi",
+        greatest(lit(1L), expr(s"($pHighMilli * n + 999) div 1000")))
+    val bounds = cum.join(ks, Seq("treat"))
+      .groupBy("treat")
+      .agg(max(col("n")).as("n"),
+        min(when(col("cum") >= col("k_lo"), col("mu"))).as("lo"),
+        min(when(col("cum") >= col("k_hi"), col("mu"))).as("hi"))
+    vals.join(bounds, Seq("treat"))
+      .groupBy("treat")
+      .agg(max(col("n")).as("n"), max(col("lo")).as("lo"),
+        max(col("hi")).as("hi"),
+        sum(when(col("mu") < col("lo"), dec(col("lo")) * dec(col("cnt")))
+          .when(col("mu") > col("hi"), dec(col("hi")) * dec(col("cnt")))
+          .otherwise(dec(col("mu")) * dec(col("cnt")))).as("wsum"))
+      .select(
+        when(col("treat"), lit("treat")).otherwise(lit("control")).as("arm"),
+        col("n"), col("lo"), col("hi"),
+        round(col("wsum").cast("double") / col("n").cast("double"), 6)
+          .as("wmean"))
+  }
+
+  /** DuckDB twin of [[winsorizedMeans]]: `rowsCte` must yield (unit, m)
+    * by the identical expressions. */
+  def winsorizedMeansSql(rowsCte: String, pLowMilli: Int = 10,
+      pHighMilli: Int = 990, treatMilli: Int = 500): String = {
+    require(0 < treatMilli && treatMilli < 1000,
+      s"treatMilli must be in (0, 1000), got $treatMilli")
+    require(0 < pLowMilli && pLowMilli < pHighMilli && pHighMilli < 1000,
+      s"need 0 < pLowMilli < pHighMilli < 1000, got ($pLowMilli, $pHighMilli)")
+    val bucket = PipelineOps.idBucketSql("unit", WelchMult)
+    s"""WITH rows_ AS ($rowsCte),
+       |pu AS (
+       |  SELECT ($bucket) < $treatMilli AS treat,
+       |    CAST(sum(m) AS BIGINT) AS mu
+       |  FROM rows_ GROUP BY unit),
+       |vals AS (
+       |  SELECT treat, mu, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM pu GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT treat, mu, cnt,
+       |    sum(cnt) OVER (PARTITION BY treat ORDER BY mu ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM vals),
+       |ks AS (
+       |  SELECT treat, CAST(sum(cnt) AS BIGINT) AS n,
+       |    greatest(1, ($pLowMilli * sum(cnt) + 999) // 1000) AS k_lo,
+       |    greatest(1, ($pHighMilli * sum(cnt) + 999) // 1000) AS k_hi
+       |  FROM vals GROUP BY 1),
+       |bounds AS (
+       |  SELECT cum.treat, max(ks.n) AS n,
+       |    min(CASE WHEN cum.cum >= ks.k_lo THEN cum.mu END) AS lo,
+       |    min(CASE WHEN cum.cum >= ks.k_hi THEN cum.mu END) AS hi
+       |  FROM cum JOIN ks USING (treat) GROUP BY 1)
+       |SELECT CASE WHEN v.treat THEN 'treat' ELSE 'control' END AS arm,
+       |  max(b.n) AS n, max(b.lo) AS lo, max(b.hi) AS hi,
+       |  round(CAST(sum(
+       |    CASE WHEN v.mu < b.lo
+       |           THEN CAST(b.lo AS DECIMAL(38,0)) * CAST(v.cnt AS DECIMAL(38,0))
+       |         WHEN v.mu > b.hi
+       |           THEN CAST(b.hi AS DECIMAL(38,0)) * CAST(v.cnt AS DECIMAL(38,0))
+       |         ELSE CAST(v.mu AS DECIMAL(38,0)) * CAST(v.cnt AS DECIMAL(38,0))
+       |    END) AS DOUBLE) / CAST(max(b.n) AS DOUBLE), 6) AS wmean
+       |FROM vals v JOIN bounds b USING (treat)
+       |GROUP BY 1""".stripMargin
+  }
+
   // ---- CUPED variance-reduced A/B readout ---------------------------------
   /** CUPED-adjusted Welch t-test (Deng et al., WSDM'13): the
     * [[welchTTest]] readout after regressing out a pre-experiment

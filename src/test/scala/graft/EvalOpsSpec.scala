@@ -522,6 +522,43 @@ class EvalOpsSpec extends AnyFunSuite {
     assert(out.getAs[Long]("n_treat") + out.getAs[Long]("n_control") == 7L)
   }
 
+  test("winsorizedMeans: hand order statistics clamp the whale") {
+    val pool = (1L to 5000L)
+    val treatIds = pool.filter(u => abBucket(u) < 500).take(10)
+    val ctrlIds = pool.filter(u => abBucket(u) >= 500).take(10)
+    // treat metric: 1..9 and a 1000 whale; p in [100, 900] milli:
+    // k_lo = ceil(0.1*10) = 1 -> lo = 1; k_hi = ceil(0.9*10) = 9 -> hi = 9
+    // winsorized sum = 1+2+..+9 + 9 = 54; mean 5.4 (raw mean 104.5)
+    val tm = (1L to 9L) :+ 1000L
+    val rows = treatIds.zip(tm) ++ ctrlIds.map(u => (u, 5L))
+    val got = EvalOps.winsorizedMeans(rows.toDF("unit", "m"),
+      pLowMilli = 100, pHighMilli = 900).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n"), r.getAs[Long]("lo"),
+        r.getAs[Long]("hi"), r.getAs[Double]("wmean")))).toMap
+    assert(got("treat") == ((10L, 1L, 9L, 5.4)))
+    // constant control arm: lo = hi = mean = 5
+    assert(got("control") == ((10L, 5L, 5L, 5.0)))
+  }
+
+  test("winsorizedMeans: full-width percentiles reproduce the plain mean") {
+    val pool = (1L to 5000L)
+    val ids = pool.filter(u => abBucket(u) < 500).take(4) ++
+      pool.filter(u => abBucket(u) >= 500).take(4)
+    val rows = ids.zipWithIndex.map { case (u, i) => (u, (i + 1).toLong) }
+    // pLow small enough that k_lo = 1 and pHigh high enough that
+    // k_hi = n: nothing clamps
+    val got = EvalOps.winsorizedMeans(rows.toDF("unit", "m"),
+      pLowMilli = 1, pHighMilli = 999).collect()
+    got.foreach { r =>
+      assert(r.getAs[Long]("lo") != r.getAs[Long]("hi")) // nothing collapsed
+    }
+    val all = got.map(r => r.getAs[Double]("wmean") * r.getAs[Long]("n")).sum
+    assert(all == rows.map(_._2).sum.toDouble)
+    intercept[IllegalArgumentException](
+      EvalOps.winsorizedMeans(rows.toDF("unit", "m"),
+        pLowMilli = 500, pHighMilli = 400))
+  }
+
   // replica of the conformal split bucket (SHA-256 IV word multiplier)
   private def cfBucket(unit: Long): Long =
     ((unit % 1000000007L) * 1779033703L % 1000000007L) % 1000L
