@@ -2410,6 +2410,16 @@ object ExtensionQueries {
         when(col("event_type") === "purchase",
           round(col("value") * 100, 0).cast("long")).otherwise(0L).as("m")))
     },
+    // One-pass Poisson-bootstrap CI for the per-user purchase mean —
+    // all 200 replicas in a single pass via deterministic quantized
+    // Poisson(1) multiplicities (expected weight exactly 1)
+    "events_bootstrap_ci" -> { (s, dir) =>
+      EvalOps.poissonBootstrapCi(Tables.events(s, dir).select(
+        col("user_id").as("unit"),
+        when(col("event_type") === "purchase",
+          round(col("value") * 100, 0).cast("long")).otherwise(0L).as("m")),
+        reps = 200, alphaMilli = 100)
+    },
     // Winsorized robust arm means on the same assignment: whale-proof
     // point estimates via exact per-arm order-statistic clamping
     "events_ab_winsorized" -> { (s, dir) =>
@@ -3601,6 +3611,13 @@ object ExtensionQueries {
           |  CASE WHEN event_type = 'purchase'
           |    THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END AS m
           |FROM events""".stripMargin),
+    "events_bootstrap_ci" ->
+      EvalOps.poissonBootstrapCiSql(
+        """SELECT user_id AS unit,
+          |  CASE WHEN event_type = 'purchase'
+          |    THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END AS m
+          |FROM events""".stripMargin,
+        reps = 200, alphaMilli = 100),
     "events_ab_winsorized" ->
       (EvalOps.winsorizedMeansSql(
         """SELECT user_id AS unit,

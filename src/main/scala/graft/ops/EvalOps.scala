@@ -780,6 +780,117 @@ object EvalOps {
     * floor(2^32/φ), Knuth's multiplicative constant. */
   private[ops] val WelchMult = 2654435761L
 
+  // ---- Poisson bootstrap confidence interval -------------------------------
+  /** One-pass percentile-bootstrap CI for a per-unit mean — the Poisson
+    * bootstrap (each unit enters replica b with a Poisson(1) multiplicity
+    * instead of being resampled-with-replacement, so ALL replicas compute
+    * in one pass with no unit-population materialization — the only
+    * bootstrap that works when the units don't fit anywhere).
+    *
+    * Determinism: the Poisson(1) draw is a QUANTIZED inverse CDF on a
+    * per-mille hash of (unit, replica) — thresholds 368/736/920/981/996/
+    * 999 out of 1000, whose expected multiplicity is EXACTLY 1
+    * (1·368 + 2·184 + 3·61 + 4·15 + 5·3 + 6·1 = 1000), so replica means
+    * are unbiased and bit-identical on any engine. Replica means are
+    * ratio-of-sums (Σw·m through DECIMAL(38,0) / Σw), one double
+    * division each; the CI picks exact type-1 order statistics among the
+    * B replica means (k = ⌈q·B⌉ by integer arithmetic) and rounds at 6dp.
+    *
+    * Returns ONE row: (n_units, reps, mean, ci_lo, ci_hi) — mean is the
+    * full-sample mean, [ci_lo, ci_hi] the (1 − alphaMilli/1000)
+    * percentile interval.
+    *
+    * 100 TB shape: the unit-keyed groupBy is the only corpus-sized pass;
+    * the replica explode multiplies the PER-UNIT relation by B but
+    * map-side combines into a B-row relation before the shuffle (B rows
+    * per task, not B·units); the order-statistic window runs on B rows.
+    * The hash mix `(h(unit) + b·611953) mod p mod 1000` is the same
+    * engine-portable pseudo-randomness contract as
+    * [[PipelineOps.idBucket]]. */
+  def poissonBootstrapCi(rows: DataFrame, reps: Int = 200,
+      alphaMilli: Int = 100): DataFrame = {
+    require(reps >= 10, s"reps must be >= 10, got $reps")
+    require(0 < alphaMilli && alphaMilli < 1000,
+      s"alphaMilli must be in (0, 1000), got $alphaMilli")
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    val perUnit = rows.groupBy(col("unit")).agg(sum(col("m")).as("mu"))
+    val weighted = perUnit
+      .select(col("unit"), col("mu"),
+        explode(expr(s"sequence(0, ${reps - 1})")).as("b"))
+      .withColumn("u1000", expr(
+        s"(((unit % 1000000007L) * $BootstrapMult % 1000000007L" +
+          " + b * 611953L) % 1000000007L) % 1000L"))
+      .withColumn("w",
+        when(col("u1000") < 368, 0L).when(col("u1000") < 736, 1L)
+          .when(col("u1000") < 920, 2L).when(col("u1000") < 981, 3L)
+          .when(col("u1000") < 996, 4L).when(col("u1000") < 999, 5L)
+          .otherwise(6L))
+    val repMeans = weighted.groupBy("b")
+      .agg((sum(dec(col("w")) * dec(col("mu"))).cast("double") /
+        sum(col("w")).cast("double")).as("rm"))
+    val rw = Window.orderBy(col("rm").asc)
+    val kLo = math.max(1, (alphaMilli * reps + 1999) / 2000)
+    val kHi = math.max(1, ((2000 - alphaMilli) * reps + 1999) / 2000)
+    val ci = repMeans.withColumn("rn", row_number().over(rw))
+      .agg(min(when(col("rn") === kLo, col("rm"))).as("lo"),
+        min(when(col("rn") === kHi, col("rm"))).as("hi"))
+    val base = perUnit.agg(count(lit(1)).as("n_units"),
+      sum(col("mu")).as("sm"))
+    base.crossJoin(broadcast(ci))
+      .select(col("n_units"), lit(reps).as("reps"),
+        round(col("sm").cast("double") / col("n_units").cast("double"), 6)
+          .as("mean"),
+        round(col("lo"), 6).as("ci_lo"), round(col("hi"), 6).as("ci_hi"))
+  }
+
+  /** Hash multiplier reserved for bootstrap replica draws — distinct
+    * from split/resample/experiment/conformal multipliers. 1104729673 is
+    * an arbitrary public odd constant (second SHA-224 IV word). */
+  private val BootstrapMult = 1104729673L
+
+  /** DuckDB twin of [[poissonBootstrapCi]]: `rowsCte` must yield
+    * (unit, m) by the identical expressions. */
+  def poissonBootstrapCiSql(rowsCte: String, reps: Int = 200,
+      alphaMilli: Int = 100): String = {
+    require(reps >= 10, s"reps must be >= 10, got $reps")
+    require(0 < alphaMilli && alphaMilli < 1000,
+      s"alphaMilli must be in (0, 1000), got $alphaMilli")
+    val kLo = math.max(1, (alphaMilli * reps + 1999) / 2000)
+    val kHi = math.max(1, ((2000 - alphaMilli) * reps + 1999) / 2000)
+    s"""WITH rows_ AS ($rowsCte),
+       |pu AS (SELECT unit, CAST(sum(m) AS BIGINT) AS mu
+       |  FROM rows_ GROUP BY 1),
+       |wt AS (
+       |  SELECT b, mu,
+       |    CASE WHEN u1000 < 368 THEN 0 WHEN u1000 < 736 THEN 1
+       |         WHEN u1000 < 920 THEN 2 WHEN u1000 < 981 THEN 3
+       |         WHEN u1000 < 996 THEN 4 WHEN u1000 < 999 THEN 5
+       |         ELSE 6 END AS w
+       |  FROM (
+       |    SELECT mu, b,
+       |      (((unit % 1000000007) * $BootstrapMult % 1000000007
+       |        + b * 611953) % 1000000007) % 1000 AS u1000
+       |    FROM pu CROSS JOIN (
+       |      SELECT unnest(range(0, $reps)) AS b) bb)),
+       |rm AS (
+       |  SELECT b,
+       |    CAST(sum(CAST(w AS DECIMAL(38,0)) * CAST(mu AS DECIMAL(38,0)))
+       |      AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS rm
+       |  FROM wt GROUP BY 1),
+       |ci AS (
+       |  SELECT min(CASE WHEN rn = $kLo THEN rm END) AS lo,
+       |    min(CASE WHEN rn = $kHi THEN rm END) AS hi
+       |  FROM (SELECT rm, row_number() OVER (ORDER BY rm ASC) AS rn
+       |        FROM rm)),
+       |base AS (SELECT CAST(count(*) AS BIGINT) AS n_units,
+       |  CAST(sum(mu) AS BIGINT) AS sm FROM pu)
+       |SELECT base.n_units, $reps AS reps,
+       |  round(CAST(base.sm AS DOUBLE) / CAST(base.n_units AS DOUBLE), 6)
+       |    AS mean,
+       |  round(ci.lo, 6) AS ci_lo, round(ci.hi, 6) AS ci_hi
+       |FROM base CROSS JOIN ci""".stripMargin
+  }
+
   // ---- winsorized robust arm means ----------------------------------------
   /** Winsorized per-arm means — the robust A/B point estimate: clamp
     * each arm's per-unit metric at its own [pLow, pHigh] order

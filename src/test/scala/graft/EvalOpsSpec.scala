@@ -522,6 +522,42 @@ class EvalOpsSpec extends AnyFunSuite {
     assert(out.getAs[Long]("n_treat") + out.getAs[Long]("n_control") == 7L)
   }
 
+  test("poissonBootstrapCi: CI brackets the mean and is order-stat exact") {
+    val rows = (1L to 400L).map(u => (u, (u % 13).toLong))
+    val out = EvalOps.poissonBootstrapCi(rows.toDF("unit", "m"),
+      reps = 50, alphaMilli = 200).head()
+    val mean = out.getAs[Double]("mean")
+    val lo = out.getAs[Double]("ci_lo")
+    val hi = out.getAs[Double]("ci_hi")
+    assert(out.getAs[Long]("n_units") == 400L && out.getAs[Int]("reps") == 50)
+    assert(lo <= hi, s"lo $lo > hi $hi")
+    assert(lo <= mean && mean <= hi,
+      s"mean $mean outside [$lo, $hi] on a 400-unit balanced metric")
+    // replica means are a deterministic function of (unit, b): rerun
+    // reproduces bit-identically
+    val again = EvalOps.poissonBootstrapCi(rows.toDF("unit", "m"),
+      reps = 50, alphaMilli = 200).head()
+    assert(again.getAs[Double]("ci_lo") == lo &&
+      again.getAs[Double]("ci_hi") == hi)
+  }
+
+  test("poissonBootstrapCi: quantized Poisson weights have mean exactly 1") {
+    // 1*368 + 2*184 + 3*61 + 4*15 + 5*3 + 6*1 = 1000 over the permille
+    // domain — the documented unbiasedness identity
+    val widths = Seq(368, 368, 184, 61, 15, 3, 1)
+    assert(widths.sum == 1000)
+    assert(widths.zipWithIndex.map { case (p, w) => p * w }.sum == 1000)
+    // degenerate metric: every unit identical -> every replica mean is
+    // the same value and the CI collapses to the point
+    val rows = (1L to 100L).map(u => (u, 7L))
+    val out = EvalOps.poissonBootstrapCi(rows.toDF("unit", "m"),
+      reps = 20, alphaMilli = 100).head()
+    assert(out.getAs[Double]("mean") == 7.0 &&
+      out.getAs[Double]("ci_lo") == 7.0 && out.getAs[Double]("ci_hi") == 7.0)
+    intercept[IllegalArgumentException](
+      EvalOps.poissonBootstrapCi(rows.toDF("unit", "m"), reps = 5))
+  }
+
   test("winsorizedMeans: hand order statistics clamp the whale") {
     val pool = (1L to 5000L)
     val treatIds = pool.filter(u => abBucket(u) < 500).take(10)
