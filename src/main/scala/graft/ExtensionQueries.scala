@@ -1298,6 +1298,20 @@ object ExtensionQueries {
         .select(col("c_name").as("s")).distinct()
       TextOps.fuzzyPairs(names).orderBy("s_a", "s_b")
     },
+    // Graded record-linkage join: all name pairs with Jaro-Winkler
+    // >= 0.98 — native codegen'd metric, lossless length-key pruning,
+    // certified against the unpruned quadratic oracle. 1/9 sample: ALL
+    // customer names share one length, so the exhibit is inherently
+    // pair-quadratic in the slice (the length bound can't prune equal
+    // lengths) — the sample keeps exhibit and oracle bounded, the
+    // text_fuzzy_join scoping discipline
+    "text_jw_join" -> { (s, dir) =>
+      val names = Tables.customer(s, dir)
+        .filter(col("c_custkey") % 9 === 0)
+        .select(col("c_name").as("s")).distinct()
+      TextOps.jaroWinklerPairs(names, tauMilli = 980)
+        .orderBy("s_a", "s_b")
+    },
     // Per-node exact triangle counts on the part co-purchase graph
     // (parts sharing an order), via degree-ordered orientation — the
     // O(sqrt(m)) out-degree bound that makes wedge counting survive hubs
@@ -3164,6 +3178,10 @@ object ExtensionQueries {
       (TextOps.fuzzyPairsSql(
         "SELECT DISTINCT c_name AS s FROM customer WHERE c_custkey % 3 = 0") +
         "\nORDER BY s_a, s_b"),
+    "text_jw_join" ->
+      (TextOps.jaroWinklerPairsSql(
+        "SELECT DISTINCT c_name AS s FROM customer WHERE c_custkey % 9 = 0",
+        tauMilli = 980) + "\nORDER BY s_a, s_b"),
     "graph_triangles" ->
       (GraphOps.triangleCountsSql(coPurchaseEdgesSampledSql(5)) +
         "\nORDER BY node"),

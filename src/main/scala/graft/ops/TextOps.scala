@@ -922,5 +922,85 @@ object TextOps {
        |  w AS word, y_a, y_b, z
        |FROM rr WHERE ra <= $k OR rb <= $k""".stripMargin
   }
-}
 
+  // ---- Jaro-Winkler similarity join ----------------------------------------
+
+  /** EXACT Jaro–Winkler self-join: all unordered string pairs with
+    * `round(jw, 6) >= tauMilli/1000` — the record-linkage counterpart
+    * of [[fuzzyPairs]] (graded similarity instead of edit-distance-1),
+    * scored by the native codegen'd [[graft.functions.JaroWinkler]]
+    * whose semantics are pinned to DuckDB/RapidFuzz so the UNPRUNED
+    * quadratic oracle recomputes it verbatim.
+    *
+    * Candidate pruning is LOSSLESS by the length bound: with prefix
+    * bonus capped at 0.4(1−jaro), jw >= τ forces jaro >= (τ−0.4)/0.6,
+    * and jaro <= (2 + min/max)/3 forces min/max >= 5τ−4 — so the
+    * shorter side's length must land in [⌈(5τ−4)·L⌉, L] of the longer
+    * side's L. The longer side emits exactly those INTEGER length keys
+    * (no float banding, so the capture guarantee is arithmetic, not
+    * approximate) and candidates equi-join on the shorter side's own
+    * length; the exact rounded-jw filter then decides. Requires
+    * tauMilli > 800 (below that the ratio bound is vacuous and the join
+    * would be quadratic by construction — block upstream instead).
+    *
+    * 100 TB shape: candidates are bounded by strings-per-length-band ×
+    * the (1−(5τ−4))·L keys each string emits (a handful for
+    * record-linkage strings); the join is a hash equi-join on the
+    * length key — no cross join anywhere; the certified-lossless
+    * contract is the same unpruned-oracle discipline as the
+    * Jaccard/containment tiers. */
+  def jaroWinklerPairs(strings: DataFrame, tauMilli: Int = 980,
+      salts: Int = 32): DataFrame = {
+    require(800 < tauMilli && tauMilli < 1000,
+      s"tauMilli must be in (800, 1000), got $tauMilli")
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    val r0num = 5L * tauMilli - 4000L // min/max >= r0num/1000, exact
+    val base = strings.select(col("s")).filter(col("s").isNotNull)
+      .distinct()
+      .withColumn("len", octet_length(col("s")).cast("long"))
+      .filter(col("len") > 0)
+    // record-linkage strings cluster on a handful of lengths, so the
+    // bare length key is maximally skewed (one key = one task = a
+    // serial nested loop); a deterministic salt on the shorter side +
+    // salt replication on the longer side splits each hot length
+    // across `salts` tasks without changing the candidate set
+    val short = base.select(col("s").as("s_x"), col("len").as("lx"))
+      .withColumn("salt", pmod(xxhash64(col("s_x")), lit(salts)))
+    val long_ = base.select(col("s").as("s_y"), col("len").as("ly"))
+      .withColumn("k",
+        explode(expr(s"sequence(($r0num * ly + 999) div 1000, ly)")))
+      .withColumn("salt", explode(expr(s"sequence(0L, ${salts - 1}L)")))
+    val tau = tauMilli.toDouble / 1000.0
+    // the similarity conjunct is written LAST so the cheap ordering
+    // test rejects the mirrored half of each bucket before the kernel
+    // runs; the explicit salt repartition keeps AQE from coalescing the
+    // row-tiny but compute-heavy probe side into one task
+    short.repartition(salts, col("salt"))
+      .join(long_,
+        col("lx") === col("k") && short("salt") === long_("salt") &&
+        (col("lx") < col("ly") ||
+          (col("lx") === col("ly") && col("s_x") < col("s_y"))) &&
+        round(graft.functions.JaroWinkler(col("s_x"), col("s_y")), 6)
+          >= lit(tau))
+      .select(least(col("s_x"), col("s_y")).as("s_a"),
+        greatest(col("s_x"), col("s_y")).as("s_b"),
+        round(graft.functions.JaroWinkler(col("s_x"), col("s_y")), 6)
+          .as("jw"))
+  }
+
+  /** DuckDB twin of [[jaroWinklerPairs]] — deliberately the UNPRUNED
+    * quadratic join over `stringsCte` (one column `s`), so a hash match
+    * certifies the length-key pruning lost nothing. */
+  def jaroWinklerPairsSql(stringsCte: String, tauMilli: Int = 980): String = {
+    require(800 < tauMilli && tauMilli < 1000,
+      s"tauMilli must be in (800, 1000), got $tauMilli")
+    val tau = tauMilli.toDouble / 1000.0
+    s"""WITH strs AS (
+       |  SELECT DISTINCT s FROM ($stringsCte)
+       |  WHERE s IS NOT NULL AND strlen(s) > 0)
+       |SELECT a.s AS s_a, b.s AS s_b,
+       |  round(jaro_winkler_similarity(a.s, b.s), 6) AS jw
+       |FROM strs a JOIN strs b ON a.s < b.s
+       |WHERE round(jaro_winkler_similarity(a.s, b.s), 6) >= $tau""".stripMargin
+  }
+}

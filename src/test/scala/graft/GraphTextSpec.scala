@@ -322,6 +322,55 @@ class GraphTextSpec extends AnyFunSuite {
     assert(got(("x", "z")) == ((1L, expPmi)))
   }
 
+  test("JaroWinkler kernel: pinned to DuckDB/RapidFuzz on classic fixtures") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def jw(a: String, b: String): Double = graft.functions.JaroWinkler.jw(
+      UTF8String.fromString(a), UTF8String.fromString(b))
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // values probed from DuckDB's jaro_winkler_similarity
+    assert(r6(jw("MARTHA", "MARHTA")) == 0.961111)
+    assert(r6(jw("DWAYNE", "DUANE")) == 0.84)
+    assert(r6(jw("DIXON", "DICKSONX")) == 0.813333)
+    assert(r6(jw("abcd", "abce")) == 0.883333)
+    // boost threshold: jaro <= 0.7 gets NO prefix bonus
+    assert(r6(jw("aBCDEF", "aXYZUV")) == 0.444444)
+    assert(r6(jw("abcdefgh", "abzzzzzz")) == 0.5)
+    // 3-cycle transposition tail: floor-halved (t=1, not 1.5) -> the
+    // DuckDB value, not the real-number-Jaro 0.983333
+    assert(r6(jw("Customer#000000012", "Customer#000000120")) == 0.988889)
+    // conventions: empty (either or both) is 0; window-0 swap is 0
+    assert(jw("", "") == 0.0 && jw("", "a") == 0.0 && jw("ab", "ba") == 0.0)
+    assert(jw("abc", "abc") == 1.0)
+    // symmetry
+    assert(jw("DIXON", "DICKSONX") == jw("DICKSONX", "DIXON"))
+  }
+
+  test("jaroWinklerPairs: blocked join == quadratic on variable lengths") {
+    // lengths 2..14: the length-key pruning actually prunes here
+    val strs = Seq("jonathan", "jonathon", "jon", "johnathan", "jo",
+      "smith", "smyth", "smithe", "anderson", "andersen", "xx",
+      "verylongsurname", "verylongsurnam").toDF("s")
+    val got = TextOps.jaroWinklerPairs(strs, tauMilli = 900)
+      .orderBy("s_a", "s_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    // driver-side quadratic replica with the same kernel
+    import org.apache.spark.unsafe.types.UTF8String
+    def jw(a: String, b: String): Double = graft.functions.JaroWinkler.jw(
+      UTF8String.fromString(a), UTF8String.fromString(b))
+    val names = strs.collect().map(_.getString(0))
+    val exp = (for {
+      a <- names; b <- names if a < b
+      j = BigDecimal(jw(a, b))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if j >= 0.9
+    } yield (a, b, j)).sortBy(t => (t._1, t._2))
+    assert(got.toSeq == exp.toSeq, s"got ${got.toSeq}")
+    assert(exp.nonEmpty) // the fixture produces real matches
+    intercept[IllegalArgumentException](
+      TextOps.jaroWinklerPairs(strs, tauMilli = 800))
+  }
+
   test("logOddsTerms: replica z, group swap negates, exclusive word tops") {
     // group a: "x x y", "x z"; group b: "y y z", "z q q q q"
     val docs = Seq(("a", "x x y"), ("a", "x z"),
