@@ -1006,6 +1006,11 @@ object ExtensionQueries {
     "lm_perplexity" -> { (s, dir) =>
       LmOps.bigramPerplexity(Tables.documents(s, dir)).orderBy("doc_id")
     },
+    // Good-Turing count-of-counts with discounted re-estimates and the
+    // unseen-mass row — the smoothing diagnostic behind Katz/KN discounts
+    "lm_good_turing" -> { (s, dir) =>
+      LmOps.goodTuring(Tables.documents(s, dir), maxR = 10L).orderBy("r")
+    },
     // Interpolated Kneser-Ney bigram perplexity — the smoothing real
     // filtering LMs use (continuation probabilities, not raw frequency)
     "lm_perplexity_kn" -> { (s, dir) =>
@@ -2841,6 +2846,7 @@ object ExtensionQueries {
     "lm_perplexity" -> (LmOps.bigramPerplexitySql() + " ORDER BY doc_id"),
     "lm_perplexity_kn" ->
       (LmOps.knBigramPerplexitySql() + " ORDER BY doc_id"),
+    "lm_good_turing" -> (LmOps.goodTuringSql(10L) + "\nORDER BY r"),
     "text_token_entropy" ->
       (TextOps.tokenEntropySql() + " ORDER BY doc_id"),
     "ann_lsh_topk" -> lshTopkOracleSql(),

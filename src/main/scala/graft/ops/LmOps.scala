@@ -249,4 +249,91 @@ object LmOps {
        |SELECT d.doc_id, COALESCE(s.n_ngrams, 0) AS n_ngrams,
        |  round(exp(s.nll), 6) AS ppl
        |FROM documents d LEFT JOIN sc s USING (doc_id)""".stripMargin
+
+  // ---- Good-Turing frequency-of-frequencies --------------------------------
+
+  /** Good–Turing count-of-counts table with the discounted re-estimates
+    * (Good 1953): for each observed unigram frequency r, how many types
+    * occur exactly r times (N_r) and the GT adjusted count
+    * r* = (r+1)·N_{r+1}/N_r — the smoothing diagnostic behind
+    * Katz/Kneser–Ney discounts ("how much probability mass do the
+    * singletons claim"), plus the unseen-mass row r=0 whose
+    * p0 = N_1/N is the leave-one-out estimate of unseen-type mass.
+    *
+    * Returns (r, n_types, r_star): r=0 carries (0, NULL, N_1/N);
+    * observed rows carry exact BIGINT (r, N_r) and r* as ONE double
+    * expression — NULL when N_{r+1} = 0 (the gap case real corpora hit
+    * at high r, where GT hands off to the raw MLE), same CASE both
+    * engines. `maxR` bounds the report to the rows smoothing actually
+    * uses (Katz cuts over at r ≥ 5-ish).
+    *
+    * Types are word n-grams (default 3): unigram tables on filtered
+    * corpora are often frequency-dense with no singleton tail, while
+    * the n-gram relation is exactly the sparse regime GT smoothing
+    * exists for (and the one the [[knBigramPerplexity]] discounts
+    * apply to).
+    *
+    * 100 TB shape: the n-gram-count groupBy is the corpus pass the LM
+    * ops already run; the count-of-counts re-aggregation is
+    * frequency-bounded (≤ maxR + 1 rows survive), and the r+1 lookup is
+    * a self-join of that tiny relation — nothing corpus-sized past the
+    * first aggregate. */
+  def goodTuring(docs: DataFrame, maxR: Long = 10L, n: Int = 3,
+      textCol: String = "text"): DataFrame = {
+    require(maxR >= 1L, s"maxR must be >= 1, got $maxR")
+    require(n >= 1, s"n must be >= 1, got $n")
+    val counts = docs
+      .select(split(col(textCol), " ").as("ts"))
+      // guard BEFORE sequence(): Spark's sequence(0, negative) counts
+      // DOWN instead of returning empty
+      .filter(size(col("ts")) >= n)
+      .select(explode(expr(
+        s"transform(sequence(0, size(ts) - $n)," +
+          s" i -> concat_ws(' ', slice(ts, i + 1, $n)))")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("r"))
+    val nr = counts.groupBy("r").agg(count(lit(1)).as("n_types"))
+    val tot = counts.agg(sum(col("r")).as("n_tokens"),
+      sum(when(col("r") === 1L, 1L).otherwise(0L)).as("n1"))
+    val next = nr.select((col("r") - 1).as("r"), col("n_types").as("nr1"))
+    val observed = nr.filter(col("r") <= maxR)
+      .join(next, Seq("r"), "left")
+      .select(col("r"), col("n_types"),
+        when(col("nr1").isNull, lit(null).cast("double"))
+          .otherwise(round((col("r") + 1).cast("double") *
+            col("nr1").cast("double") / col("n_types").cast("double"), 6))
+          .as("r_star"))
+    val unseen = tot.select(lit(0L).as("r"),
+      lit(null).cast("long").as("n_types"),
+      round(col("n1").cast("double") / col("n_tokens").cast("double"), 6)
+        .as("r_star"))
+    unseen.unionByName(observed)
+  }
+
+  /** DuckDB twin of [[goodTuring]] over the `documents` table. */
+  def goodTuringSql(maxR: Long = 10L, n: Int = 3): String = {
+    require(maxR >= 1L, s"maxR must be >= 1, got $maxR")
+    require(n >= 1, s"n must be >= 1, got $n")
+    val gram = (0 until n).map(d => s"ts[i + $d]").mkString(" || ' ' || ")
+    s"""WITH ts0 AS (SELECT string_split(text, ' ') AS ts FROM documents),
+       |grams AS (
+       |  SELECT $gram AS w
+       |  FROM ts0, unnest(range(1, len(ts) - ${n - 2})) t(i)),
+       |counts AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS r FROM grams GROUP BY 1),
+       |nr AS (SELECT r, CAST(count(*) AS BIGINT) AS n_types
+       |  FROM counts GROUP BY 1),
+       |tot AS (SELECT CAST(sum(r) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+       |  FROM counts)
+       |SELECT CAST(0 AS BIGINT) AS r, CAST(NULL AS BIGINT) AS n_types,
+       |  round(CAST(n1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS r_star
+       |FROM tot
+       |UNION ALL
+       |SELECT a.r, a.n_types,
+       |  CASE WHEN b.n_types IS NULL THEN NULL
+       |    ELSE round(CAST(a.r + 1 AS DOUBLE) * CAST(b.n_types AS DOUBLE)
+       |      / CAST(a.n_types AS DOUBLE), 6) END AS r_star
+       |FROM nr a LEFT JOIN nr b ON b.r = a.r + 1
+       |WHERE a.r <= $maxR""".stripMargin
+  }
 }

@@ -1105,6 +1105,42 @@ class OpsSpec extends AnyFunSuite {
     assert(b1 == b2)
   }
 
+  test("goodTuring: hand count-of-counts, gap NULL, unseen mass row") {
+    // tokens: a x4, b x2, c x2, d e f singletons -> N=11, N1=3,
+    // N2=2, N4=1; N3=0 (gap)
+    val docs = Seq((1L, "a a b c d"), (2L, "a a b c e f")).toDF("doc_id", "text")
+    val rows = LmOps.goodTuring(docs, maxR = 10L, n = 1).orderBy("r").collect()
+    val byR = rows.map(r => r.getLong(0) -> r).toMap
+    // unseen row: p0 = N1/N = 3/11
+    assert(byR(0L).isNullAt(1))
+    assert(byR(0L).getDouble(2) ==
+      BigDecimal(3.0 / 11.0).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+    // r=1: r* = 2*N2/N1 = 4/3; r=2: r* = 3*N3/N2 -> NULL (gap)
+    assert(byR(1L).getLong(1) == 3L)
+    assert(byR(1L).getDouble(2) ==
+      BigDecimal(4.0 / 3.0).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+    assert(byR(2L).getLong(1) == 2L && byR(2L).isNullAt(2))
+    // r=4 present with N5 = 0 -> NULL; no r=3 row at all
+    assert(byR(4L).getLong(1) == 1L && byR(4L).isNullAt(2))
+    assert(!byR.contains(3L))
+    // the GT identity: sum over observed r of r*·N_r + ... conserves N:
+    // here Σ (r+1)·N_{r+1} over r≥0 = N − 4·N_4 gaps aside; check the
+    // direct mass identity instead: Σ r·N_r = N
+    assert(rows.filter(_.getLong(0) > 0)
+      .map(r => r.getLong(0) * r.getLong(1)).sum == 11L)
+    // trigram mode: "a a b"/"a b c" twice, three singleton trigrams;
+    // docs shorter than n contribute nothing (no descending-sequence trap)
+    val tri = LmOps.goodTuring(
+      docs.unionByName(Seq((3L, "x y")).toDF("doc_id", "text")),
+      maxR = 10L, n = 3).orderBy("r").collect()
+    val triByR = tri.map(r => r.getLong(0) -> r).toMap
+    assert(triByR(1L).getLong(1) == 3L && triByR(2L).getLong(1) == 2L)
+    assert(tri.filter(_.getLong(0) > 0)
+      .map(r => r.getLong(0) * r.getLong(1)).sum == 7L)
+  }
+
   test("knBigramPerplexity == driver-side Kneser-Ney recompute") {
     val docs = Seq(
       (0L, "the cat sat on the mat"),
