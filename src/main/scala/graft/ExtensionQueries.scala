@@ -2439,6 +2439,16 @@ object ExtensionQueries {
           round(col("value") * 100, 0).cast("long")).otherwise(0L).as("m")),
         reps = 200, alphaMilli = 100)
     },
+    // Quantile treatment effects on the same assignment: exact per-arm
+    // order statistics at five quantiles — the distributional readout
+    // (all-integer output, nothing to round)
+    "events_ab_qte" -> { (s, dir) =>
+      EvalOps.quantileTreatmentEffects(Tables.events(s, dir).select(
+        col("user_id").as("unit"),
+        when(col("event_type") === "purchase",
+          round(col("value") * 100, 0).cast("long")).otherwise(0L).as("m")))
+        .orderBy("p_milli")
+    },
     // Winsorized robust arm means on the same assignment: whale-proof
     // point estimates via exact per-arm order-statistic clamping
     "events_ab_winsorized" -> { (s, dir) =>
@@ -3642,6 +3652,12 @@ object ExtensionQueries {
           |    THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END AS m
           |FROM events""".stripMargin,
         reps = 200, alphaMilli = 100),
+    "events_ab_qte" ->
+      (EvalOps.quantileTreatmentEffectsSql(
+        """SELECT user_id AS unit,
+          |  CASE WHEN event_type = 'purchase'
+          |    THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END AS m
+          |FROM events""".stripMargin) + "\nORDER BY p_milli"),
     "events_ab_winsorized" ->
       (EvalOps.winsorizedMeansSql(
         """SELECT user_id AS unit,

@@ -955,6 +955,92 @@ object EvalOps {
           .as("wmean"))
   }
 
+  /** Quantile treatment effects — the distributional A/B readout: the
+    * mean ([[welchTTest]]) can hide a lift concentrated in one tail, so
+    * this reports, per requested quantile p, each arm's EXACT type-1
+    * per-unit-metric quantile (k = ⌈p·n⌉, the [[winsorizedMeans]]
+    * order-statistic machinery) and their difference. Assignment is the
+    * identical reserved-multiplier bucket rule, so this reads the SAME
+    * arms as the mean/CUPED/winsorized readouts.
+    *
+    * All-integer output (quantiles are metric values): nothing to
+    * round, bit-stable on any engine. Returns one row per p:
+    * (p_milli, q_treat, q_control, qte).
+    *
+    * 100 TB shape: identical to [[winsorizedMeans]] — the unit-keyed
+    * groupBy is the shared corpus pass; one cumulative window per arm
+    * over the quantization-bounded distinct-metric relation serves ALL
+    * requested quantiles at once. */
+  def quantileTreatmentEffects(rows: DataFrame,
+      psMilli: Seq[Int] = Seq(100, 250, 500, 750, 900),
+      treatMilli: Int = 500): DataFrame = {
+    require(0 < treatMilli && treatMilli < 1000,
+      s"treatMilli must be in (0, 1000), got $treatMilli")
+    require(psMilli.nonEmpty && psMilli.forall(p => p > 0 && p < 1000),
+      s"quantiles must be in (0, 1000) permille, got $psMilli")
+    val perUnit = rows.groupBy(col("unit"))
+      .agg(sum(col("m")).as("mu"))
+      .select(
+        (PipelineOps.idBucket(col("unit"), WelchMult) < treatMilli)
+          .as("treat"),
+        col("mu"))
+    val vals = perUnit.groupBy("treat", "mu").agg(count(lit(1)).as("cnt"))
+    val cw = Window.partitionBy("treat").orderBy(col("mu").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = vals.withColumn("cum", sum(col("cnt")).over(cw))
+    val armN = vals.groupBy("treat").agg(sum(col("cnt")).as("n"))
+    val pRel = explode(array(psMilli.map(p => lit(p)): _*)).as("p_milli")
+    val qs = cum.join(armN, Seq("treat"))
+      .select(col("treat"), col("mu"), col("cum"), col("n"), pRel)
+      .filter(col("cum") >= expr("greatest(1L, (p_milli * n + 999) div 1000)"))
+      .groupBy("p_milli", "treat").agg(min(col("mu")).as("q"))
+    qs.groupBy("p_milli")
+      .agg(max(when(col("treat"), col("q"))).as("q_treat"),
+        max(when(!col("treat"), col("q"))).as("q_control"))
+      .select(col("p_milli").cast("int").as("p_milli"),
+        col("q_treat"), col("q_control"),
+        (col("q_treat") - col("q_control")).as("qte"))
+  }
+
+  /** DuckDB twin of [[quantileTreatmentEffects]]: `rowsCte` must yield
+    * (unit, m) by the identical expressions. */
+  def quantileTreatmentEffectsSql(rowsCte: String,
+      psMilli: Seq[Int] = Seq(100, 250, 500, 750, 900),
+      treatMilli: Int = 500): String = {
+    require(0 < treatMilli && treatMilli < 1000,
+      s"treatMilli must be in (0, 1000), got $treatMilli")
+    require(psMilli.nonEmpty && psMilli.forall(p => p > 0 && p < 1000),
+      s"quantiles must be in (0, 1000) permille, got $psMilli")
+    val bucket = PipelineOps.idBucketSql("unit", WelchMult)
+    val pVals = psMilli.map(p => s"($p)").mkString(", ")
+    s"""WITH rows_ AS ($rowsCte),
+       |pu AS (
+       |  SELECT ($bucket) < $treatMilli AS treat,
+       |    CAST(sum(m) AS BIGINT) AS mu
+       |  FROM rows_ GROUP BY unit),
+       |vals AS (SELECT treat, mu, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM pu GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT treat, mu,
+       |    sum(cnt) OVER (PARTITION BY treat ORDER BY mu ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM vals),
+       |an AS (SELECT treat, CAST(sum(cnt) AS BIGINT) AS n
+       |  FROM vals GROUP BY 1),
+       |pp(p_milli) AS (VALUES $pVals),
+       |qs AS (
+       |  SELECT p_milli, treat, min(mu) AS q
+       |  FROM cum JOIN an USING (treat) CROSS JOIN pp
+       |  WHERE cum >= greatest(1, (p_milli * n + 999) // 1000)
+       |  GROUP BY 1, 2)
+       |SELECT CAST(p_milli AS INT) AS p_milli,
+       |  max(CASE WHEN treat THEN q END) AS q_treat,
+       |  max(CASE WHEN NOT treat THEN q END) AS q_control,
+       |  max(CASE WHEN treat THEN q END)
+       |    - max(CASE WHEN NOT treat THEN q END) AS qte
+       |FROM qs GROUP BY 1""".stripMargin
+  }
+
   /** DuckDB twin of [[winsorizedMeans]]: `rowsCte` must yield (unit, m)
     * by the identical expressions. */
   def winsorizedMeansSql(rowsCte: String, pLowMilli: Int = 10,

@@ -522,6 +522,26 @@ class EvalOpsSpec extends AnyFunSuite {
     assert(out.getAs[Long]("n_treat") + out.getAs[Long]("n_control") == 7L)
   }
 
+  test("quantileTreatmentEffects: hand order statistics per arm") {
+    val pool = (1L to 5000L)
+    val treatIds = pool.filter(u => abBucket(u) < 500).take(10)
+    val ctrlIds = pool.filter(u => abBucket(u) >= 500).take(10)
+    // treat: 10..100 step 10; control: 1..10 — known type-1 quantiles
+    val rows = treatIds.zipWithIndex.map { case (u, i) => (u, (i + 1) * 10L) } ++
+      ctrlIds.zipWithIndex.map { case (u, i) => (u, (i + 1).toLong) }
+    val got = EvalOps.quantileTreatmentEffects(rows.toDF("unit", "m"),
+      psMilli = Seq(100, 500, 900)).orderBy("p_milli").collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // k = ceil(p*10): p=.1 -> 1st, p=.5 -> 5th, p=.9 -> 9th smallest
+    assert(got(100) == ((10L, 1L, 9L)))
+    assert(got(500) == ((50L, 5L, 45L)))
+    assert(got(900) == ((90L, 9L, 81L)))
+    intercept[IllegalArgumentException](
+      EvalOps.quantileTreatmentEffects(rows.toDF("unit", "m"),
+        psMilli = Seq(0)))
+  }
+
   test("poissonBootstrapCi: CI brackets the mean and is order-stat exact") {
     val rows = (1L to 400L).map(u => (u, (u % 13).toLong))
     val out = EvalOps.poissonBootstrapCi(rows.toDF("unit", "m"),
