@@ -2439,6 +2439,16 @@ object ExtensionQueries {
           round(col("value") * 100, 0).cast("long")).otherwise(0L).as("m")),
         reps = 200, alphaMilli = 100)
     },
+    // Difference-in-differences on the same assignment: per-unit
+    // post-minus-pre deltas (rollout boundary 2024-01-16) through the
+    // exact Welch machinery — cancels pre-existing arm level differences
+    "events_ab_did" -> { (s, dir) =>
+      EvalOps.didTTest(graft.sources.Sources.eventsWithTimestamp(s, dir)
+        .select(col("user_id").as("unit"),
+          when(col("event_type") === "purchase",
+            round(col("value") * 100, 0).cast("long")).otherwise(0L).as("m"),
+          (expr("unix_micros(ts) div 86400000000L") >= 19738L).as("post")))
+    },
     // Quantile treatment effects on the same assignment: exact per-arm
     // order statistics at five quantiles — the distributional readout
     // (all-integer output, nothing to round)
@@ -3652,6 +3662,14 @@ object ExtensionQueries {
           |    THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END AS m
           |FROM events""".stripMargin,
         reps = 200, alphaMilli = 100),
+    "events_ab_did" ->
+      EvalOps.didTTestSql(
+        """SELECT user_id AS unit,
+          |  CASE WHEN event_type = 'purchase'
+          |    THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END AS m,
+          |  CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+          |    AS BIGINT) >= 19738 AS post
+          |FROM events""".stripMargin),
     "events_ab_qte" ->
       (EvalOps.quantileTreatmentEffectsSql(
         """SELECT user_id AS unit,

@@ -955,6 +955,37 @@ object EvalOps {
           .as("wmean"))
   }
 
+  /** Difference-in-differences readout (panel form): the causal
+    * estimate when treatment rolls out at a known time and both arms
+    * have a pre-period — DiD = (ȳ_post,t − ȳ_pre,t) − (ȳ_post,c −
+    * ȳ_pre,c), which cancels any level difference between arms that
+    * predates the rollout. With per-unit panels this reduces EXACTLY to
+    * the [[welchTTest]] on the per-unit post-minus-pre delta
+    * (m′_u = Σ_post m − Σ_pre m), so the statistic inherits the Welch
+    * machinery's integer-exact sums, fixed-order t/df assembly, and the
+    * identical reserved-multiplier arm assignment.
+    *
+    * `rows` must provide (unit BIGINT, m BIGINT, post BOOLEAN): the
+    * caller decides the rollout boundary. Returns the [[welchTTest]]
+    * row where mean_treat/mean_control are the ARMS' MEAN DELTAS and
+    * `lift` is the DiD estimate.
+    *
+    * 100 TB shape: identical to [[welchTTest]] — the sign flip happens
+    * in the scan projection, adding nothing to the shuffle. */
+  def didTTest(rows: DataFrame, treatMilli: Int = 500): DataFrame =
+    welchTTest(
+      rows.select(col("unit"),
+        when(col("post"), col("m")).otherwise(-col("m")).as("m")),
+      treatMilli)
+
+  /** DuckDB twin of [[didTTest]]: `rowsCte` must yield (unit, m, post)
+    * by the identical expressions. */
+  def didTTestSql(rowsCte: String, treatMilli: Int = 500): String =
+    welchTTestSql(
+      s"""SELECT unit, CASE WHEN post THEN m ELSE -m END AS m
+         |FROM ($rowsCte)""".stripMargin,
+      treatMilli)
+
   /** Quantile treatment effects — the distributional A/B readout: the
     * mean ([[welchTTest]]) can hide a lift concentrated in one tail, so
     * this reports, per requested quantile p, each arm's EXACT type-1

@@ -522,6 +522,29 @@ class EvalOpsSpec extends AnyFunSuite {
     assert(out.getAs[Long]("n_treat") + out.getAs[Long]("n_control") == 7L)
   }
 
+  test("didTTest: cancels pre-existing arm level differences") {
+    val pool = (1L to 9000L)
+    val treatIds = pool.filter(u => abBucket(u) < 500).take(8)
+    val ctrlIds = pool.filter(u => abBucket(u) >= 500).take(8)
+    // treat arm starts 100 higher (pre) AND stays 100 higher (post):
+    // no within-unit change anywhere -> DiD lift must be exactly 0,
+    // while the naive post-only mean difference would read 100
+    def panel(ids: Seq[Long], base: Long) = ids.zipWithIndex.flatMap {
+      case (u, i) => Seq((u, base + i, false), (u, base + i, true))
+    }
+    val rows = panel(treatIds, 100L) ++ panel(ctrlIds, 0L)
+    val out = EvalOps.didTTest(rows.toDF("unit", "m", "post")).head()
+    assert(out.getAs[Double]("lift") == 0.0)
+    assert(out.getAs[Double]("mean_treat") == 0.0 &&
+      out.getAs[Double]("mean_control") == 0.0)
+    // now give ONLY the treated units a +7 post bump: DiD reads 7
+    val bumped = panel(treatIds, 100L).map { case (u, m, p) =>
+      (u, if (p) m + 7L else m, p) } ++ panel(ctrlIds, 0L)
+    val out2 = EvalOps.didTTest(bumped.toDF("unit", "m", "post")).head()
+    assert(out2.getAs[Double]("lift") == 7.0)
+    assert(out2.getAs[Double]("mean_control") == 0.0)
+  }
+
   test("quantileTreatmentEffects: hand order statistics per arm") {
     val pool = (1L to 5000L)
     val treatIds = pool.filter(u => abBucket(u) < 500).take(10)
