@@ -1171,6 +1171,14 @@ object ExtensionQueries {
           (count(lit(1)) - countDistinct(col("text"))).as("n_exact_dups"))
         .orderBy("source")
     },
+    // Benford first-digit audit of line-item prices: the classic
+    // fabricated-data / unit-mixing screen; exact integer digit
+    // extraction, per-digit chi-square terms
+    "profile_benford" -> { (s, dir) =>
+      ProfileOps.benfordAudit(Tables.lineitem(s, dir),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+        .orderBy("digit")
+    },
     // Sequential change-point monitor: upward CUSUM over daily event
     // volume — reference level from the first 10 days, then the
     // reflection-identity statistic (two windows, no recursion) with a
@@ -3180,6 +3188,10 @@ object ExtensionQueries {
             "CASE WHEN doc_id % 7 = 0 THEN n_chars + 50 ELSE n_chars END")}
            |AS key FROM documents""".stripMargin) + "\nORDER BY key"
     },
+    "profile_benford" ->
+      (ProfileOps.benfordAuditSql(
+        "SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v" +
+          " FROM lineitem") + "\nORDER BY digit"),
     "events_cusum_shift" ->
       (ProfileOps.cusumShiftSql(
         """SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000

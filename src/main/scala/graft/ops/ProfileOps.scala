@@ -1247,4 +1247,111 @@ object ProfileOps {
        |      sqrt(CAST(nd.n_days * (nd.n_days - 1) * (2 * nd.n_days + 5)
        |        - ties.tie_num AS DOUBLE) / 18.0), 6) END AS mk_z
        |FROM nd CROSS JOIN sagg CROSS JOIN ties CROSS JOIN med""".stripMargin
+
+  // ---- Benford first-digit audit -------------------------------------------
+
+  /** Benford's-law first-significant-digit audit of a positive numeric
+    * column — the classic fabricated-data / unit-mixing screen (Benford
+    * 1938; Nigrini's forensic-accounting test): natural multi-scale
+    * quantities put digit d first with probability log10(1 + 1/d), and
+    * hand-entered, capped, or unit-mixed columns visibly do not.
+    *
+    * `valueMicro` must be the value scaled to a positive BIGINT by the
+    * caller (micro-units — the repo's quantization contract), so the
+    * first digit is exact integer arithmetic on both engines (divide by
+    * 10 until < 10). Nonpositive values are excluded and reported via
+    * n_excluded. Returns one row per digit (1..9): (digit, n, expected
+    * = round(N·p_d, 6), chi2_term = round((n − N·p_d)²/(N·p_d), 6)) —
+    * the caller sums chi2_term against the 8-dof critical value. Each
+    * double expression has fixed token order; counts are exact.
+    *
+    * 100 TB shape: one scan → a 9-row map-side-combined digit
+    * aggregate; the one-row total broadcasts; absent digits are filled
+    * from a literal 1..9 relation so the report shape is constant. */
+  def benfordAudit(df: DataFrame, valueMicro: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = df.select(valueMicro.cast("long").as("v"))
+    val pos = vals.filter(col("v") > 0L)
+      .withColumn("digit", expr(
+        // first significant digit: strip trailing magnitude by integer
+        // division — exact, no float log
+        """CASE
+          |  WHEN v >= 1000000000000000000L THEN v div 1000000000000000000L
+          |  WHEN v >= 100000000000000000L THEN v div 100000000000000000L
+          |  WHEN v >= 10000000000000000L THEN v div 10000000000000000L
+          |  WHEN v >= 1000000000000000L THEN v div 1000000000000000L
+          |  WHEN v >= 100000000000000L THEN v div 100000000000000L
+          |  WHEN v >= 10000000000000L THEN v div 10000000000000L
+          |  WHEN v >= 1000000000000L THEN v div 1000000000000L
+          |  WHEN v >= 100000000000L THEN v div 100000000000L
+          |  WHEN v >= 10000000000L THEN v div 10000000000L
+          |  WHEN v >= 1000000000L THEN v div 1000000000L
+          |  WHEN v >= 100000000L THEN v div 100000000L
+          |  WHEN v >= 10000000L THEN v div 10000000L
+          |  WHEN v >= 1000000L THEN v div 1000000L
+          |  WHEN v >= 100000L THEN v div 100000L
+          |  WHEN v >= 10000L THEN v div 10000L
+          |  WHEN v >= 1000L THEN v div 1000L
+          |  WHEN v >= 100L THEN v div 100L
+          |  WHEN v >= 10L THEN v div 10L
+          |  ELSE v END""".stripMargin))
+    val counts = pos.groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = vals.agg(
+      coalesce(sum(when(col("v") > 0L, 1L).otherwise(0L)), lit(0L)).as("nn"),
+      coalesce(sum(when(col("v") <= 0L || col("v").isNull, 1L)
+        .otherwise(0L)), lit(0L)).as("n_excluded"))
+    val digits = (1L to 9L).toDF("digit")
+    digits.join(counts, Seq("digit"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"),
+        col("n_excluded"),
+        round(col("nn").cast("double") *
+          log10(lit(1.0) + lit(1.0) / col("digit").cast("double")), 6)
+          .as("expected"),
+        when(col("nn") === 0L, lit(null).cast("double"))
+          .otherwise(round(
+            pow(coalesce(col("n"), lit(0L)).cast("double") -
+              col("nn").cast("double") * log10(lit(1.0) +
+                lit(1.0) / col("digit").cast("double")), 2.0) /
+            (col("nn").cast("double") * log10(lit(1.0) +
+              lit(1.0) / col("digit").cast("double"))), 6)).as("chi2_term"))
+  }
+
+  /** DuckDB twin of [[benfordAudit]]: `valsCte` must yield `v` (the
+    * caller-scaled positive BIGINT) by the identical expressions. */
+  def benfordAuditSql(valsCte: String): String = {
+    val cases = (18 to 1 by -1).map { e =>
+      val p = "1" + "0" * e
+      s"WHEN v >= $p THEN v // $p"
+    }.mkString("\n          ")
+    s"""WITH vals AS ($valsCte),
+       |pos AS (
+       |  SELECT CASE
+       |          $cases
+       |          ELSE v END AS digit
+       |  FROM vals WHERE v > 0),
+       |counts AS (SELECT digit, CAST(count(*) AS BIGINT) AS n
+       |  FROM pos GROUP BY 1),
+       |tot AS (SELECT
+       |  CAST(COALESCE(sum(CASE WHEN v > 0 THEN 1 ELSE 0 END), 0)
+       |    AS BIGINT) AS nn,
+       |  CAST(COALESCE(sum(CASE WHEN v <= 0 OR v IS NULL THEN 1 ELSE 0 END),
+       |    0) AS BIGINT) AS n_excluded
+       |  FROM vals),
+       |dd(digit) AS (VALUES (1), (2), (3), (4), (5), (6), (7), (8), (9))
+       |SELECT CAST(dd.digit AS BIGINT) AS digit,
+       |  COALESCE(c.n, 0) AS n, tot.n_excluded,
+       |  round(CAST(tot.nn AS DOUBLE)
+       |    * log10(1.0 + 1.0 / CAST(dd.digit AS DOUBLE)), 6) AS expected,
+       |  CASE WHEN tot.nn = 0 THEN NULL
+       |    ELSE round(
+       |      pow(CAST(COALESCE(c.n, 0) AS DOUBLE) - CAST(tot.nn AS DOUBLE)
+       |        * log10(1.0 + 1.0 / CAST(dd.digit AS DOUBLE)), 2.0) /
+       |      (CAST(tot.nn AS DOUBLE)
+       |        * log10(1.0 + 1.0 / CAST(dd.digit AS DOUBLE))), 6)
+       |  END AS chi2_term
+       |FROM dd LEFT JOIN counts c ON c.digit = dd.digit
+       |CROSS JOIN tot""".stripMargin
+  }
 }

@@ -1696,6 +1696,33 @@ class OpsSpec extends AnyFunSuite {
     assert(got.forall(!_.getAs[Boolean]("alarm")))
   }
 
+  test("benfordAudit: exact digit extraction, expectations, exclusions") {
+    // values spanning magnitudes: first digits 1,1,2,9,3,1; one zero
+    // and one negative excluded
+    val vals = Seq(1L, 19L, 200L, 9999L, 3L, 1000000L, 0L, -5L)
+      .toDF("x")
+    val got = ProfileOps.benfordAudit(vals, col("x")).orderBy("digit")
+      .collect()
+    val byD = got.map(r => r.getLong(0) -> r).toMap
+    assert(byD(1L).getLong(1) == 3L && byD(2L).getLong(1) == 1L &&
+      byD(3L).getLong(1) == 1L && byD(9L).getLong(1) == 1L)
+    assert((4L to 8L).forall(d => byD(d).getLong(1) == 0L))
+    assert(byD(1L).getLong(2) == 2L) // zero + negative excluded
+    // expected(1) = 6 * log10(2)
+    val e1 = BigDecimal(6.0 * math.log10(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(byD(1L).getDouble(3) == e1)
+    // chi2 term replica for digit 9
+    val p9 = math.log10(1.0 + 1.0 / 9.0)
+    val t9 = BigDecimal(math.pow(1.0 - 6.0 * p9, 2.0) / (6.0 * p9))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(byD(9L).getDouble(4) == t9)
+    // all-excluded input: NULL chi2 terms, zero counts, report shape kept
+    val empty = ProfileOps.benfordAudit(Seq(-1L, 0L).toDF("x"), col("x"))
+      .collect()
+    assert(empty.length == 9 && empty.forall(_.isNullAt(4)))
+  }
+
   test("robustTrend: replica Sen slope and Mann-Kendall on a hand series") {
     // days 0..5, x = 2*day except an outlier at day 3
     val xs = Seq(0L, 2L, 4L, 100L, 8L, 10L)
