@@ -1200,6 +1200,16 @@ object ExtensionQueries {
         .agg(count(lit(1)).as("x"))
       ProfileOps.robustTrend(daily)
     },
+    // Weekday-seasonal CUSUM on the same daily relation: deviations
+    // accumulate against each day's own weekday baseline (dow = epoch
+    // day mod 7) so weekly cycles neither false-alarm nor mask shifts
+    "events_cusum_seasonal" -> { (s, dir) =>
+      val daily = graft.sources.Sources.eventsWithTimestamp(s, dir)
+        .groupBy(expr("unix_micros(ts) div 86400000000L").as("day"))
+        .agg(count(lit(1)).as("x"))
+      ProfileOps.cusumShiftSeasonal(daily, refDays = 14,
+        slackPermille = 0L, hPermille = 100L).orderBy("day")
+    },
     // Snapshot distribution drift: per-source KL and PSI terms between
     // the corpus and a synthetic refresh (src7 lost, src3 doubled, a
     // brand-new srcNEW appears, every 11th doc dropped) — add-one
@@ -3192,6 +3202,13 @@ object ExtensionQueries {
       (ProfileOps.benfordAuditSql(
         "SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v" +
           " FROM lineitem") + "\nORDER BY digit"),
+    "events_cusum_seasonal" ->
+      (ProfileOps.cusumShiftSeasonalSql(
+        """SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+          |  AS BIGINT) AS day, CAST(count(*) AS BIGINT) AS x
+          |FROM events GROUP BY 1""".stripMargin,
+        refDays = 14, slackPermille = 0L, hPermille = 100L) +
+        "\nORDER BY day"),
     "events_cusum_shift" ->
       (ProfileOps.cusumShiftSql(
         """SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000

@@ -1112,6 +1112,95 @@ object ProfileOps {
           .as("alarm"))
   }
 
+  /** Weekday-seasonal [[cusumShift]]: real event volume has a weekly
+    * cycle, so a flat reference level false-alarms every weekend (or
+    * masks a weekday-sized shift). This variant learns ONE reference
+    * level PER WEEKDAY (dow = day mod 7 — epoch-day arithmetic, no
+    * calendar library) from the first `refDays` days and accumulates
+    * deviations from the day's own weekday baseline; slack and the
+    * alarm threshold stay anchored to the global reference mean so the
+    * sensitivity contract matches [[cusumShift]]. Weekdays absent from
+    * the reference window fall back to the global mean (COALESCE, same
+    * both engines — pick refDays as a multiple of 7 to avoid it).
+    * Same reflection-identity evaluation, all-BIGINT, same output
+    * shape (day, x, cusum_milli, alarm). */
+  def cusumShiftSeasonal(daily: DataFrame, refDays: Int,
+      slackPermille: Long = 0L, hPermille: Long = 2000L): DataFrame = {
+    require(refDays >= 1, s"refDays must be >= 1, got $refDays")
+    require(slackPermille >= 0L, s"slackPermille must be >= 0")
+    require(hPermille > 0L, s"hPermille must be > 0")
+    val byDay = Window.orderBy(col("day").asc)
+    val ranked = daily.select(col("day").cast("long").as("day"),
+        col("x").cast("long").as("x"))
+      .withColumn("rn", row_number().over(byDay))
+      .withColumn("dow", pmod(col("day"), lit(7L)))
+    val refRows = ranked.filter(col("rn") <= refDays)
+    val ref = refRows
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n_ref"))
+      .filter(col("n_ref") === refDays)
+      .select(expr("(1000L * sx) div n_ref").as("mu0_milli"))
+    val refDow = refRows.groupBy("dow")
+      .agg(expr("(1000L * sum(x)) div count(1)").as("mu_dow_milli"))
+    val mon = ranked.filter(col("rn") > refDays)
+      .join(broadcast(refDow), Seq("dow"), "left")
+      .crossJoin(broadcast(ref))
+      .withColumn("y", lit(1000L) * col("x") -
+        coalesce(col("mu_dow_milli"), col("mu0_milli")) -
+        expr(s"CAST(mu0_milli * $slackPermille AS BIGINT) div 1000L"))
+    val cw = Window.orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mon.withColumn("c", sum(col("y")).over(cw))
+      .withColumn("floor_c", least(lit(0L), min(col("c")).over(cw)))
+      .select(col("day"), col("x"),
+        (col("c") - col("floor_c")).as("cusum_milli"),
+        ((col("c") - col("floor_c")) >
+          expr(s"CAST(mu0_milli * $hPermille AS BIGINT) div 1000L"))
+          .as("alarm"))
+  }
+
+  /** DuckDB twin of [[cusumShiftSeasonal]]. */
+  def cusumShiftSeasonalSql(dailyCte: String, refDays: Int,
+      slackPermille: Long = 0L, hPermille: Long = 2000L): String = {
+    require(refDays >= 1, s"refDays must be >= 1, got $refDays")
+    require(slackPermille >= 0L && hPermille > 0L, "invalid permille args")
+    s"""WITH daily AS ($dailyCte),
+       |ranked AS (
+       |  SELECT day, CAST(x AS BIGINT) AS x,
+       |    row_number() OVER (ORDER BY day ASC) AS rn,
+       |    ((CAST(day AS BIGINT) % 7) + 7) % 7 AS dow
+       |  FROM daily),
+       |ref AS (
+       |  SELECT (1000 * sum(x)) // count(*) AS mu0_milli
+       |  FROM ranked WHERE rn <= $refDays
+       |  HAVING count(*) = $refDays),
+       |refdow AS (
+       |  SELECT dow, (1000 * sum(x)) // count(*) AS mu_dow_milli
+       |  FROM ranked WHERE rn <= $refDays GROUP BY 1),
+       |mon AS (
+       |  SELECT r.day, r.x,
+       |    1000 * r.x - COALESCE(d.mu_dow_milli, f.mu0_milli)
+       |      - CAST(f.mu0_milli * $slackPermille AS BIGINT) // 1000 AS y,
+       |    f.mu0_milli
+       |  FROM ranked r
+       |  LEFT JOIN refdow d USING (dow)
+       |  CROSS JOIN ref f WHERE r.rn > $refDays),
+       |cum AS (
+       |  SELECT day, x, mu0_milli,
+       |    sum(y) OVER (ORDER BY day ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+       |  FROM mon),
+       |s AS (
+       |  SELECT day, x, mu0_milli,
+       |    c - least(0, min(c) OVER (ORDER BY day ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |      AS cusum_milli
+       |  FROM cum)
+       |SELECT day, x, cusum_milli,
+       |  cusum_milli > CAST(mu0_milli * $hPermille AS BIGINT) // 1000
+       |    AS alarm
+       |FROM s""".stripMargin
+  }
+
   /** DuckDB twin of [[cusumShift]]: `dailyCte` must yield (day, x) by
     * the identical expressions. */
   def cusumShiftSql(dailyCte: String, refDays: Int,

@@ -1765,6 +1765,31 @@ class OpsSpec extends AnyFunSuite {
       one.isNullAt(one.fieldIndex("mk_z")) && one.getAs[Long]("mk_s") == 0L)
   }
 
+  test("cusumShiftSeasonal: weekly cycle stays quiet where flat CUSUM fires") {
+    // strong weekly pattern (weekend dip), repeated identically: the
+    // weekday-baseline statistic is exactly 0 every day
+    val week = Seq(100L, 100L, 100L, 100L, 100L, 40L, 40L)
+    val xs = Seq.fill(4)(week).flatten // 28 days: 14 ref + 14 monitor
+    val daily = xs.zipWithIndex.map { case (x, i) => (i.toLong, x) }
+      .toDF("day", "x")
+    val seasonal = ProfileOps.cusumShiftSeasonal(daily, refDays = 14,
+      hPermille = 100L).orderBy("day").collect()
+    assert(seasonal.forall(_.getAs[Long]("cusum_milli") == 0L))
+    assert(seasonal.forall(!_.getAs[Boolean]("alarm")))
+    // the flat-baseline CUSUM on the same data accumulates the weekday
+    // structure itself and fires — the false alarm class this fixes
+    val flat = ProfileOps.cusumShift(daily, refDays = 14,
+      hPermille = 100L).orderBy("day").collect()
+    assert(flat.exists(_.getAs[Boolean]("alarm")))
+    // a +25% sustained shift on top of the cycle: seasonal catches it
+    val shifted = xs.take(14) ++ xs.drop(14).map(x => x + x / 4)
+    val daily2 = shifted.zipWithIndex.map { case (x, i) => (i.toLong, x) }
+      .toDF("day", "x")
+    val caught = ProfileOps.cusumShiftSeasonal(daily2, refDays = 14,
+      hPermille = 100L).orderBy("day").collect()
+    assert(caught.last.getAs[Boolean]("alarm"))
+  }
+
   test("cusumShift: fewer days than refDays yields an empty monitor") {
     val daily = Seq((java.sql.Date.valueOf("2024-04-01"), 5L),
       (java.sql.Date.valueOf("2024-04-02"), 6L)).toDF("day", "x")
