@@ -1739,6 +1739,15 @@ object ExtensionQueries {
         .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
       FunnelOps.logRankTest(ev, gapUs = 86400000000L)
     },
+    // Nelson-Aalen cumulative churn hazard: H(t)'s slope is the hazard
+    // rate (WHEN risk concentrates); Breslow exp(-H) rides along for
+    // direct comparison with the KM curve
+    "events_na_hazard" -> { (s, dir) =>
+      FunnelOps.naCumHazard(
+        graft.sources.Sources.eventsWithTimestamp(s, dir)
+          .select(col("user_id"), unix_micros(col("ts")).as("ts_us")),
+        gapUs = 86400000000L).orderBy("t_day")
+    },
     // Kaplan-Meier churn curve: survival past t days of user lifetime,
     // right-censored at the observation end for users still active
     // within the 1-day quiet gap
@@ -3420,6 +3429,8 @@ object ExtensionQueries {
         " ORDER BY cohort, \"offset\""),
     "events_km_survival" ->
       (FunnelOps.kmSurvivalSql(86400000000L) + "\nORDER BY t_day"),
+    "events_na_hazard" ->
+      (FunnelOps.naCumHazardSql(86400000000L) + "\nORDER BY t_day"),
     "events_ab_logrank" ->
       FunnelOps.logRankTestSql(86400000000L),
     // NOTE: the aggregate's tiebreak is on the STRING item (the sketch

@@ -378,6 +378,78 @@ object FunnelOps {
           .otherwise(round(exp(col("__lnsum")), 6)).as("survival"))
   }
 
+  /** Nelson–Aalen cumulative hazard of user churn — [[kmSurvival]]'s
+    * estimator-theory companion (Nelson 1972, Aalen 1978): instead of
+    * the product-limit survival it reports H(t) = Σ_{t' ≤ t} d/n_risk,
+    * whose slope IS the hazard rate — the readout that shows WHEN churn
+    * risk concentrates (a constant-hazard product line looks featureless
+    * on S(t) but is a straight line on H(t)). Same quiet-gap lifetimes,
+    * same right-censoring, same calendar-bounded day relation; the
+    * cumulative double sum runs in DAY-ASCENDING window order (the KM
+    * ln-sum discipline — float summation order is part of the
+    * contract), rounded at 6dp. Also emits the Breslow survival
+    * exp(−H) for direct comparison against the KM curve. */
+  def naCumHazard(events: DataFrame, gapUs: Long,
+      userCol: String = "user_id", tsCol: String = "ts_us"): DataFrame = {
+    require(gapUs > 0, s"gapUs must be positive, got $gapUs")
+    val lives = userLives(events, gapUs, userCol, tsCol)
+    val byDay = lives.groupBy("t_day")
+      .agg(sum(when(col("churned"), 1L).otherwise(0L)).as("d"),
+        sum(when(!col("churned"), 1L).otherwise(0L)).as("c"))
+    val w = Window.orderBy("t_day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prior = Window.orderBy("t_day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val total = byDay.agg(sum(col("d") + col("c")).as("n_total"))
+    def dbl(x: Column) = x.cast("double")
+    byDay.crossJoin(broadcast(total))
+      .withColumn("n_risk",
+        col("n_total") - coalesce(sum(col("d") + col("c")).over(prior), lit(0L)))
+      .withColumn("__h", sum(dbl(col("d")) / dbl(col("n_risk"))).over(w))
+      .select(col("t_day"), col("n_risk"), col("d"), col("c"),
+        round(col("__h"), 6).as("cum_hazard"),
+        round(exp(-col("__h")), 6).as("breslow_survival"))
+  }
+
+  /** DuckDB twin of [[naCumHazard]]. */
+  def naCumHazardSql(gapUs: Long): String = {
+    require(gapUs > 0, s"gapUs must be positive, got $gapUs")
+    val dayUs = 86400000000L
+    s"""WITH u AS (
+       |  SELECT user_id,
+       |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS f,
+       |    max(epoch_us(CAST(ts AS TIMESTAMP))) AS l
+       |  FROM events GROUP BY 1),
+       |oe AS (SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) AS obs_end
+       |  FROM events),
+       |lives AS (
+       |  SELECT l <= obs_end - $gapUs AS churned,
+       |    CASE WHEN l <= obs_end - $gapUs THEN (l - f) // $dayUs
+       |      ELSE (obs_end - f) // $dayUs END AS t_day
+       |  FROM u CROSS JOIN oe),
+       |byday AS (
+       |  SELECT t_day,
+       |    CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT) AS d,
+       |    CAST(sum(CASE WHEN NOT churned THEN 1 ELSE 0 END) AS BIGINT) AS c
+       |  FROM lives GROUP BY 1),
+       |tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS n_total FROM byday),
+       |risk AS (
+       |  SELECT t_day, d, c,
+       |    n_total - COALESCE(sum(d + c) OVER (ORDER BY t_day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+       |  FROM byday CROSS JOIN tot),
+       |cum AS (
+       |  SELECT t_day, n_risk, d, c,
+       |    sum(CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+       |      OVER (ORDER BY t_day
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS h
+       |  FROM risk)
+       |SELECT t_day, CAST(n_risk AS BIGINT) AS n_risk, d, c,
+       |  round(h, 6) AS cum_hazard,
+       |  round(exp(-h), 6) AS breslow_survival
+       |FROM cum""".stripMargin
+  }
+
   /** DuckDB twin of [[kmSurvival]] over the events table (day
     * quantization, censoring rule, zero-factor flag and ln-sum order all
     * replicated). */

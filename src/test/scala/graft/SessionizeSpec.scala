@@ -258,6 +258,31 @@ class SessionizeSpec extends AnyFunSuite {
       (7L, 1L, 0L, 1L, 0.25)))
   }
 
+  test("naCumHazard: hand fixture, and Breslow >= KM survival pointwise") {
+    // same fixture as the KM hand test
+    val ev = Seq(
+      (1L, 0L), (1L, 2 * dayUs),
+      (2L, 0L), (2L, 2 * dayUs),
+      (3L, 1 * dayUs), (3L, 5 * dayUs),
+      (4L, 3 * dayUs), (4L, 10 * dayUs)
+    ).toDF("user_id", "ts_us")
+    val out = graft.ops.FunnelOps.naCumHazard(ev, gapUs = dayUs)
+      .orderBy("t_day").collect()
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // H(2) = 2/4; H(4) = 1/2 + 1/2 = 1; H(7) = 1 (censor only)
+    assert(out.map(r => (r.getLong(0), r.getDouble(4))).toSeq ==
+      Seq((2L, 0.5), (4L, 1.0), (7L, 1.0)))
+    assert(out.map(_.getDouble(5)).toSeq ==
+      Seq(r6(math.exp(-0.5)), r6(math.exp(-1.0)), r6(math.exp(-1.0))))
+    // classic inequality: Breslow exp(-H) >= product-limit S, pointwise
+    val km = graft.ops.FunnelOps.kmSurvival(ev, gapUs = dayUs)
+      .orderBy("t_day").collect().map(_.getDouble(4))
+    out.map(_.getDouble(5)).zip(km).foreach { case (b, s) =>
+      assert(b >= s - 1e-9, s"breslow $b below KM $s")
+    }
+  }
+
   test("kmSurvival: all-at-risk churning on one day sends S to exact 0") {
     // C (days 8..9) sets obs_end and censors out at T=1; A and B churn
     // together at T=5 when they are the entire risk set -> d = n_risk
