@@ -1200,6 +1200,14 @@ object ExtensionQueries {
         .agg(count(lit(1)).as("x"))
       ProfileOps.robustTrend(daily)
     },
+    // ACF of daily volume at lags 1..14: the cycle detector that says
+    // WHETHER to reach for the seasonal monitor (lag-7 spike = weekly)
+    "events_autocorrelation" -> { (s, dir) =>
+      val daily = graft.sources.Sources.eventsWithTimestamp(s, dir)
+        .groupBy(expr("unix_micros(ts) div 86400000000L").as("day"))
+        .agg(count(lit(1)).as("x"))
+      ProfileOps.autocorrelation(daily, maxLag = 14).orderBy("lag")
+    },
     // Weekday-seasonal CUSUM on the same daily relation: deviations
     // accumulate against each day's own weekday baseline (dow = epoch
     // day mod 7) so weekly cycles neither false-alarm nor mask shifts
@@ -3211,6 +3219,12 @@ object ExtensionQueries {
       (ProfileOps.benfordAuditSql(
         "SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v" +
           " FROM lineitem") + "\nORDER BY digit"),
+    "events_autocorrelation" ->
+      (ProfileOps.autocorrelationSql(
+        """SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+          |  AS BIGINT) AS day, CAST(count(*) AS BIGINT) AS x
+          |FROM events GROUP BY 1""".stripMargin, maxLag = 14) +
+        "\nORDER BY lag"),
     "events_cusum_seasonal" ->
       (ProfileOps.cusumShiftSeasonalSql(
         """SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000

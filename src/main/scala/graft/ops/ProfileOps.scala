@@ -1337,6 +1337,89 @@ object ProfileOps {
        |        - ties.tie_num AS DOUBLE) / 18.0), 6) END AS mk_z
        |FROM nd CROSS JOIN sagg CROSS JOIN ties CROSS JOIN med""".stripMargin
 
+  /** Autocorrelation function of a daily metric (day, x BIGINT) at lags
+    * 1..maxLag — the "does this series have a cycle, and at what
+    * period" diagnostic that motivates [[cusumShiftSeasonal]] over
+    * [[cusumShift]] (a spike at lag 7 = weekly seasonality). Uses the
+    * global-mean ACF estimator: r_k = (P_k − μ(A_k+B_k) + m·μ²) /
+    * (Q − n·μ²) with P_k = Σ x_t·x_{t+k}, A/B the lag-pair side sums,
+    * m the pair count, μ = S/n.
+    *
+    * Exactness: every sum (S, Q, P_k, A_k, B_k) is an exact integer
+    * (products through DECIMAL(38,0)); μ and the r_k assembly are ONE
+    * fixed-token-order double expression per lag, rounded at 6dp. A
+    * constant series (zero variance) yields NULL acf via the same CASE
+    * both engines. Missing days pair naturally (the lag join only
+    * matches days that exist); n_pairs reports coverage per lag.
+    *
+    * 100 TB shape: the caller's daily aggregate is the only corpus
+    * pass; the lag join is day-relation × maxLag (calendar-bounded ×
+    * a constant), and the per-lag aggregate is maxLag rows. */
+  def autocorrelation(daily: DataFrame, maxLag: Int = 14): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    val d = daily.select(col("day").cast("long").as("day"),
+      col("x").cast("long").as("x"))
+    val glob = d.agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+      sum(dec(col("x")) * dec(col("x"))).as("q"))
+    val lagged = d.select(col("day"), col("x"),
+        explode(expr(s"sequence(1, $maxLag)")).as("lag"))
+      .withColumn("day", col("day") + col("lag"))
+      .select(col("day"), col("lag"), col("x").as("x_prev"))
+    val pairs = d.join(lagged, Seq("day"))
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(dec(col("x_prev")) * dec(col("x"))).as("p"),
+        sum(col("x_prev")).as("a"), sum(col("x")).as("b"))
+    def dbl(c: Column) = c.cast("double")
+    pairs.crossJoin(broadcast(glob))
+      .withColumn("mu", dbl(col("s")) / dbl(col("n")))
+      .select(col("lag").cast("int").as("lag"), col("n_pairs"),
+        when(dbl(col("q")) - dbl(col("n")) * col("mu") * col("mu") <= 0.0,
+          lit(null).cast("double"))
+          .otherwise(round(
+            (dbl(col("p")) - col("mu") * (dbl(col("a")) + dbl(col("b"))) +
+              dbl(col("n_pairs")) * col("mu") * col("mu")) /
+            (dbl(col("q")) - dbl(col("n")) * col("mu") * col("mu")), 6))
+          .as("acf"))
+  }
+
+  /** DuckDB twin of [[autocorrelation]] over a `daily` (day, x) CTE. */
+  def autocorrelationSql(dailyCte: String, maxLag: Int = 14): String = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    s"""WITH daily AS ($dailyCte),
+       |d AS (SELECT CAST(day AS BIGINT) AS day, CAST(x AS BIGINT) AS x
+       |  FROM daily),
+       |gstats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(x) AS BIGINT) AS s,
+       |  sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS q
+       |  FROM d),
+       |lagged AS (
+       |  SELECT d.day + t.lag AS day, t.lag, d.x AS x_prev
+       |  FROM d, (SELECT unnest(range(1, ${maxLag + 1})) AS lag) t),
+       |pairs AS (
+       |  SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+       |    sum(CAST(x_prev AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+       |      AS p,
+       |    CAST(sum(x_prev) AS BIGINT) AS a, CAST(sum(x) AS BIGINT) AS b
+       |  FROM d JOIN lagged USING (day) GROUP BY 1)
+       |SELECT CAST(lag AS INT) AS lag, n_pairs,
+       |  CASE WHEN CAST(q AS DOUBLE)
+       |      - CAST(n AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+       |        * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) <= 0.0 THEN NULL
+       |    ELSE round(
+       |      (CAST(p AS DOUBLE)
+       |        - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+       |          * (CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+       |        + CAST(n_pairs AS DOUBLE)
+       |          * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+       |          * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) /
+       |      (CAST(q AS DOUBLE)
+       |        - CAST(n AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+       |          * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))), 6) END AS acf
+       |FROM pairs CROSS JOIN gstats""".stripMargin
+  }
+
   // ---- Benford first-digit audit -------------------------------------------
 
   /** Benford's-law first-significant-digit audit of a positive numeric

@@ -1765,6 +1765,39 @@ class OpsSpec extends AnyFunSuite {
       one.isNullAt(one.fieldIndex("mk_z")) && one.getAs[Long]("mk_s") == 0L)
   }
 
+  test("autocorrelation: replica ACF, period spike, constant-series NULL") {
+    // period-4 cycle over 16 days
+    val cycle = Seq(10L, 20L, 30L, 40L)
+    val xs = Seq.fill(4)(cycle).flatten
+    val daily = xs.zipWithIndex.map { case (x, i) => (i.toLong, x) }
+      .toDF("day", "x")
+    val got = ProfileOps.autocorrelation(daily, maxLag = 8)
+      .orderBy("lag").collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // driver replica with the same global-mean estimator
+    def acf(k: Int): Double = {
+      val n = xs.length
+      val mu = xs.sum.toDouble / n
+      val p = (0 until n - k).map(t => xs(t).toDouble * xs(t + k)).sum
+      val a = (0 until n - k).map(xs(_).toDouble).sum
+      val b = (k until n).map(xs(_).toDouble).sum
+      val q = xs.map(x => x.toDouble * x).sum
+      BigDecimal((p - mu * (a + b) + (n - k) * mu * mu) / (q - n * mu * mu))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    (1 to 8).foreach { k =>
+      assert(got(k)._1 == (16 - k).toLong)
+      assert(math.abs(got(k)._2 - acf(k)) < 2e-6, s"lag $k")
+    }
+    // the period lags dominate every non-multiple lag
+    assert(got(4)._2 > got(1)._2 && got(4)._2 > got(2)._2 &&
+      got(4)._2 > got(3)._2 && got(8)._2 > got(5)._2)
+    // constant series: zero variance -> NULL acf at every lag
+    val const = (0L until 10L).map(d => (d, 5L)).toDF("day", "x")
+    assert(ProfileOps.autocorrelation(const, maxLag = 3).collect()
+      .forall(_.isNullAt(2)))
+  }
+
   test("cusumShiftSeasonal: weekly cycle stays quiet where flat CUSUM fires") {
     // strong weekly pattern (weekend dip), repeated identically: the
     // weekday-baseline statistic is exactly 0 every day
