@@ -1131,6 +1131,14 @@ object ExtensionQueries {
         .select(col("node"), round(col("rank"), 9).as("rank"))
         .orderBy("node")
     },
+    // RAKE corpus keyphrases: stopword-split candidate runs scored by
+    // summed deg/freq word scores (integer-scaled) — multi-word
+    // technical phrases outrank bare frequent words
+    "text_rake_keyphrases" -> { (s, dir) =>
+      TextOps.rakeKeyphrases(Tables.documents(s, dir),
+        stopwords = TextOps.langMarkers.flatMap(_._2), k = 20)
+        .orderBy("rank")
+    },
     // Distinctive terms of the English slice vs the rest: Monroe et al.
     // weighted log-odds with informative Dirichlet prior — the
     // shrinkage-and-variance-normalized alternative to domain TF-IDF
@@ -3173,6 +3181,10 @@ object ExtensionQueries {
           |SELECT l_partkey * 2 + 1, l_orderkey * 2
           |FROM lineitem WHERE l_partkey % 3 <> 0""".stripMargin,
         "3, 5, 7, 9, 11", iters = 4, damping = 0.85) + "\nORDER BY node"),
+    "text_rake_keyphrases" ->
+      (TextOps.rakeKeyphrasesSql(
+        stopwords = TextOps.langMarkers.flatMap(_._2), k = 20) +
+        "\nORDER BY rank"),
     "text_log_odds" ->
       (TextOps.logOddsTermsSql("lang", "en", alpha0 = 100.0, minCount = 5L,
         k = 10) + "\nORDER BY side, rank"),

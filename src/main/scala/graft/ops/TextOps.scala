@@ -1003,4 +1003,127 @@ object TextOps {
        |FROM strs a JOIN strs b ON a.s < b.s
        |WHERE round(jaro_winkler_similarity(a.s, b.s), 6) >= $tau""".stripMargin
   }
+
+  // ---- RAKE keyphrase extraction -------------------------------------------
+
+  /** RAKE keyphrase extraction (Rose et al. 2010): candidate phrases are
+    * maximal stopword-free token runs; each word scores deg/freq (deg =
+    * total length of candidate phrases containing it, freq = its
+    * occurrences), and a phrase scores the sum of its words' scores —
+    * multi-word technical phrases outrank bare frequent words, which is
+    * why RAKE is the classic cheap corpus-keyphrase pass.
+    *
+    * Determinism: deg and freq are exact integers; each word's score is
+    * integer-scaled to round(1e6·deg/freq) and phrases SUM those BIGINTs
+    * (the RBO/DCG discipline — float summation order never matters).
+    * Phrase strings rebuild via position-sorted aggregation on both
+    * engines. Returns the corpus top-k distinct phrases:
+    * (rank, phrase, n_occurrences, score_e6), ranked score desc with
+    * the phrase string as tie-break; singleton-run phrases score their
+    * single word, and phrases are counted once per occurrence.
+    *
+    * 100 TB shape: one posexplode scan → gaps-and-islands run ids via a
+    * per-doc window (doc-bounded) → phrase + word relations both
+    * corpus-sized but shingle-class (the dedup passes already move this
+    * volume); word stats aggregate to vocab size and broadcast back via
+    * an equi-join; the final rank window runs on the minCount-pruned
+    * distinct-phrase relation. */
+  def rakeKeyphrases(docs: DataFrame, stopwords: Seq[String], k: Int = 20,
+      minCount: Long = 2L, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(stopwords.nonEmpty, "need a stopword list")
+    require(k >= 1 && minCount >= 1, s"bad k=$k / minCount=$minCount")
+    val stopLit = typedlit(stopwords)
+    val toks = docs.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+      .filter(col("tok") =!= "")
+      .withColumn("stop", array_contains(stopLit, col("tok")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val runs = toks
+      .withColumn("nsrank",
+        sum(when(col("stop"), 0L).otherwise(1L)).over(w))
+      .filter(!col("stop"))
+      .withColumn("run", col("pos") - col("nsrank"))
+    val phrases = runs.groupBy("doc_id", "run")
+      .agg(array_join(expr(
+        "transform(array_sort(collect_list(struct(pos, tok))), s -> s.tok)"),
+        " ").as("phrase"),
+        collect_list(col("tok")).as("words"))
+    val wordStats = phrases
+      .select(explode(col("words")).as("tok"), size(col("words")).as("plen"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .select(col("tok"), expr(
+        "CAST(round(1000000.0 * CAST(deg AS DOUBLE)" +
+          " / CAST(freq AS DOUBLE)) AS BIGINT)").as("ws_e6"))
+    val scored = phrases.select(col("phrase"), explode(col("words")).as("tok"))
+      .join(wordStats, Seq("tok"))
+      .groupBy("phrase")
+      // each phrase OCCURRENCE contributes one copy of every word, so
+      // dividing the summed word scores by the occurrence count gives
+      // the per-occurrence phrase score exactly
+      .agg(sum(col("ws_e6")).as("total_e6"))
+    val occ = phrases.groupBy("phrase").agg(count(lit(1)).as("n_occurrences"))
+    val rw = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score_e6").desc, col("phrase").asc)
+    scored.join(occ, Seq("phrase"))
+      .filter(col("n_occurrences") >= minCount)
+      .withColumn("score_e6", expr("total_e6 div n_occurrences"))
+      .withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("phrase"), col("n_occurrences"),
+        col("score_e6"))
+  }
+
+  /** DuckDB twin of [[rakeKeyphrases]] over the `documents` table. */
+  def rakeKeyphrasesSql(stopwords: Seq[String], k: Int = 20,
+      minCount: Long = 2L): String = {
+    require(stopwords.nonEmpty, "need a stopword list")
+    require(k >= 1 && minCount >= 1, s"bad k=$k / minCount=$minCount")
+    val lst = stopwords.map(s => "'" + s.replace("'", "''") + "'")
+      .mkString("[", ", ", "]")
+    s"""WITH toks AS (
+       |  SELECT doc_id, i AS pos, ts[i] AS tok,
+       |    list_contains($lst, ts[i]) AS stop
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ts
+       |        FROM documents) t,
+       |    unnest(range(1, len(ts) + 1)) u(i)
+       |  WHERE ts[i] <> ''),
+       |runs AS (
+       |  SELECT doc_id, pos, tok,
+       |    pos - sum(CASE WHEN stop THEN 0 ELSE 1 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+       |  FROM toks QUALIFY NOT stop),
+       |phrases AS (
+       |  SELECT doc_id, run,
+       |    string_agg(tok, ' ' ORDER BY pos) AS phrase,
+       |    CAST(count(*) AS BIGINT) AS plen
+       |  FROM runs GROUP BY 1, 2),
+       |pw AS (
+       |  SELECT p.phrase, r.tok, p.plen
+       |  FROM phrases p JOIN runs r
+       |    ON r.doc_id = p.doc_id AND r.run = p.run),
+       |wordstats AS (
+       |  SELECT tok,
+       |    CAST(round(1000000.0 * CAST(sum(plen) AS DOUBLE)
+       |      / CAST(count(*) AS DOUBLE)) AS BIGINT) AS ws_e6
+       |  FROM pw GROUP BY 1),
+       |scored AS (
+       |  SELECT pw.phrase, CAST(sum(ws.ws_e6) AS BIGINT) AS total_e6
+       |  FROM pw JOIN wordstats ws USING (tok) GROUP BY 1),
+       |occ AS (
+       |  SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences
+       |  FROM phrases GROUP BY 1)
+       |SELECT CAST(rank AS INT) AS rank, phrase, n_occurrences, score_e6
+       |FROM (
+       |  SELECT s.phrase, o.n_occurrences,
+       |    s.total_e6 // o.n_occurrences AS score_e6,
+       |    row_number() OVER (ORDER BY s.total_e6 // o.n_occurrences DESC,
+       |      s.phrase ASC) AS rank
+       |  FROM scored s JOIN occ o USING (phrase)
+       |  WHERE o.n_occurrences >= $minCount)
+       |WHERE rank <= $k""".stripMargin
+  }
 }

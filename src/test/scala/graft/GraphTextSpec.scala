@@ -322,6 +322,30 @@ class GraphTextSpec extends AnyFunSuite {
     assert(got(("x", "z")) == ((1L, expPmi)))
   }
 
+  test("rakeKeyphrases: hand RAKE scores on the classic shape") {
+    // stopword 'of': doc "deep learning of deep models" twice ->
+    // phrases: "deep learning" x2, "deep models" x2
+    // freq(deep)=4 deg(deep)=8; freq(learning)=2 deg=4;
+    // freq(models)=2 deg=4 -> every word scores 2.0 -> both phrases 4.0
+    val docs = Seq((1L, "deep learning of deep models"),
+      (2L, "deep learning of deep models")).toDF("doc_id", "text")
+    val got = TextOps.rakeKeyphrases(docs, stopwords = Seq("of"), k = 5,
+      minCount = 1L).orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1, "deep learning", 2L, 4000000L),
+      (2, "deep models", 2L, 4000000L)))
+    // longer phrase beats its frequent single word: "gradient descent
+    // optimizer" (3 words) vs bare "gradient"
+    val d2 = Seq((1L, "gradient descent optimizer of gradient"),
+      (2L, "gradient descent optimizer of gradient")).toDF("doc_id", "text")
+    val g2 = TextOps.rakeKeyphrases(d2, stopwords = Seq("of"), k = 2,
+      minCount = 1L).orderBy("rank").collect()
+    assert(g2(0).getString(1) == "gradient descent optimizer")
+    assert(g2(1).getString(1) == "gradient")
+    intercept[IllegalArgumentException](
+      TextOps.rakeKeyphrases(docs, stopwords = Seq.empty))
+  }
+
   test("JaroWinkler kernel: pinned to DuckDB/RapidFuzz on classic fixtures") {
     import org.apache.spark.unsafe.types.UTF8String
     def jw(a: String, b: String): Double = graft.functions.JaroWinkler.jw(
