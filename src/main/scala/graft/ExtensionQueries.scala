@@ -1131,6 +1131,12 @@ object ExtensionQueries {
         .select(col("node"), round(col("rank"), 9).as("rank"))
         .orderBy("node")
     },
+    // TextRank keywords: PageRank centrality over the window
+    // co-occurrence word graph — hub terms RAKE's local runs miss
+    "text_textrank_keywords" -> { (s, dir) =>
+      TextOps.textRankKeywords(Tables.documents(s, dir), k = 20)
+        .orderBy("rank_pos")
+    },
     // RAKE corpus keyphrases: stopword-split candidate runs scored by
     // summed deg/freq word scores (integer-scaled) — multi-word
     // technical phrases outrank bare frequent words
@@ -3181,6 +3187,8 @@ object ExtensionQueries {
           |SELECT l_partkey * 2 + 1, l_orderkey * 2
           |FROM lineitem WHERE l_partkey % 3 <> 0""".stripMargin,
         "3, 5, 7, 9, 11", iters = 4, damping = 0.85) + "\nORDER BY node"),
+    "text_textrank_keywords" ->
+      (TextOps.textRankKeywordsSql(k = 20) + "\nORDER BY rank_pos"),
     "text_rake_keyphrases" ->
       (TextOps.rakeKeyphrasesSql(
         stopwords = TextOps.langMarkers.flatMap(_._2), k = 20) +

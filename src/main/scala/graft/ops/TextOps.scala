@@ -1126,4 +1126,92 @@ object TextOps {
        |  WHERE o.n_occurrences >= $minCount)
        |WHERE rank <= $k""".stripMargin
   }
+
+  // ---- TextRank keywords -----------------------------------------------------
+
+  /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004): run
+    * PageRank over the window-co-occurrence word graph and keep the
+    * top-k words — the graph-centrality complement to [[rakeKeyphrases]]
+    * (RAKE scores phrases locally; TextRank scores words by global
+    * graph position, surfacing hub terms that never sit in long runs).
+    *
+    * Pure composition of certified machinery: [[cooccurPairs]] builds
+    * the weighted undirected graph (lcm-integer window weights), a
+    * deterministic vocab numbering (row_number over token order) maps
+    * words onto the LONG node ids [[GraphOps.weightedPageRank]]
+    * requires, and the fixed-round rank vector joins back to words.
+    * The top-k cut orders by the ROUNDED rank (9dp, the PageRank twin's
+    * own contract) with the word as tie-break.
+    *
+    * 100 TB shape: inherits cooccurPairs' no-self-join pair generation
+    * and weightedPageRank's node-keyed per-round joins; the vocab
+    * numbering window runs on the minPairs-pruned vocabulary (Zipf-
+    * bounded, same contract as [[logOddsTerms]]'s rank window). */
+  def textRankKeywords(docs: DataFrame, window: Int = 4,
+      minPairs: Long = 5L, iters: Int = 4, k: Int = 20,
+      textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val pairs = cooccurPairs(docs, window, minPairs, textCol)
+    val vw = org.apache.spark.sql.expressions.Window.orderBy("tok")
+    val vocab = pairs.select(col("tok_a").as("tok"))
+      .unionByName(pairs.select(col("tok_b").as("tok"))).distinct()
+      .withColumn("id", row_number().over(vw).cast("long"))
+    val ed = pairs
+      .join(vocab.select(col("tok").as("tok_a"), col("id").as("src")),
+        Seq("tok_a"))
+      .join(vocab.select(col("tok").as("tok_b"), col("id").as("dst")),
+        Seq("tok_b"))
+      .select(col("src"), col("dst"), col("w12").as("w"))
+    val edges = ed.unionByName(
+      ed.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+    val pr = GraphOps.weightedPageRank(edges, iters)
+      .select(col("node").as("id"), round(col("rank"), 9).as("rank"))
+    val rw = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rank").desc, col("tok").asc)
+    pr.join(vocab, Seq("id"))
+      .withColumn("pos", row_number().over(rw))
+      .filter(col("pos") <= k)
+      .select(col("pos").as("rank_pos"), col("tok").as("word"), col("rank"))
+  }
+
+  /** DuckDB twin of [[textRankKeywords]] — composes the cooccurPairs
+    * and weightedPageRank twins around the same vocab numbering. */
+  def textRankKeywordsSql(window: Int = 4, minPairs: Long = 5L,
+      iters: Int = 4, k: Int = 20): String = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val pairsSql = cooccurPairsSql(window, minPairs)
+    val edgesCte =
+      s"""WITH pairs0 AS (
+         |$pairsSql
+         |),
+         |vocab0 AS (
+         |  SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS BIGINT)
+         |    AS id
+         |  FROM (SELECT tok_a AS tok FROM pairs0
+         |        UNION SELECT tok_b FROM pairs0)),
+         |ed AS (
+         |  SELECT va.id AS src, vb.id AS dst, p.w12 AS w
+         |  FROM pairs0 p
+         |  JOIN vocab0 va ON va.tok = p.tok_a
+         |  JOIN vocab0 vb ON vb.tok = p.tok_b)
+         |SELECT src, dst, w FROM ed
+         |UNION ALL SELECT dst, src, w FROM ed""".stripMargin
+    val prSql = GraphOps.weightedPageRankSql(edgesCte, iters, 0.85)
+    s"""WITH pr AS (
+       |$prSql
+       |),
+       |pairs1 AS (
+       |$pairsSql
+       |),
+       |vocab1 AS (
+       |  SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS BIGINT)
+       |    AS id
+       |  FROM (SELECT tok_a AS tok FROM pairs1
+       |        UNION SELECT tok_b FROM pairs1))
+       |SELECT CAST(pos AS INT) AS rank_pos, word, rank FROM (
+       |  SELECT v.tok AS word, pr.rank,
+       |    row_number() OVER (ORDER BY pr.rank DESC, v.tok ASC) AS pos
+       |  FROM pr JOIN vocab1 v ON v.id = pr.node)
+       |WHERE pos <= $k""".stripMargin
+  }
 }

@@ -322,6 +322,27 @@ class GraphTextSpec extends AnyFunSuite {
     assert(got(("x", "z")) == ((1L, expPmi)))
   }
 
+  test("textRankKeywords: hub word tops the centrality ranking") {
+    // "hub" co-occurs (window 1) with six distinct spokes; spokes only
+    // ever touch the hub -> hub is the centrality maximum
+    val docs = Seq((1L, "alpha hub beta"), (2L, "gamma hub delta"),
+      (3L, "epsilon hub zeta"), (4L, "alpha hub beta"),
+      (5L, "gamma hub delta"), (6L, "epsilon hub zeta"))
+      .toDF("doc_id", "text")
+    val got = TextOps.textRankKeywords(docs, window = 1, minPairs = 1L,
+      iters = 4, k = 10).orderBy("rank_pos").collect()
+    assert(got(0).getString(1) == "hub")
+    assert(got(0).getDouble(2) > got(1).getDouble(2))
+    // deterministic: identical rerun, identical rank vector
+    val again = TextOps.textRankKeywords(docs, window = 1, minPairs = 1L,
+      iters = 4, k = 10).orderBy("rank_pos").collect()
+    assert(got.map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSeq ==
+      again.map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSeq)
+    // rank mass sums to ~1 over the whole vocabulary (k covers it)
+    val mass = got.map(_.getDouble(2)).sum
+    assert(math.abs(mass - 1.0) < 1e-6, s"rank mass $mass")
+  }
+
   test("rakeKeyphrases: hand RAKE scores on the classic shape") {
     // stopword 'of': doc "deep learning of deep models" twice ->
     // phrases: "deep learning" x2, "deep models" x2
