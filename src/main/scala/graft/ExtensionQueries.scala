@@ -1761,6 +1761,11 @@ object ExtensionQueries {
         .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
       FunnelOps.logRankTest(ev, gapUs = 86400000000L)
     },
+    // Markov entropy rate of the event-type sequence: how predictable
+    // is behavior, and how much information the previous event carries
+    "events_entropy_rate" -> { (s, dir) =>
+      FunnelOps.entropyRate(Tables.events(s, dir))
+    },
     // Nelson-Aalen cumulative churn hazard: H(t)'s slope is the hazard
     // rate (WHEN risk concentrates); Breslow exp(-H) rides along for
     // direct comparison with the KM curve
@@ -3465,6 +3470,7 @@ object ExtensionQueries {
       (FunnelOps.kmSurvivalSql(86400000000L) + "\nORDER BY t_day"),
     "events_na_hazard" ->
       (FunnelOps.naCumHazardSql(86400000000L) + "\nORDER BY t_day"),
+    "events_entropy_rate" -> FunnelOps.entropyRateSql(),
     "events_ab_logrank" ->
       FunnelOps.logRankTestSql(86400000000L),
     // NOTE: the aggregate's tiebreak is on the STRING item (the sketch

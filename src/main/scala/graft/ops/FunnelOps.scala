@@ -274,6 +274,83 @@ object FunnelOps {
        |FROM c JOIN ft USING (from_type)
        |WHERE n >= $minCount""".stripMargin
 
+  /** Markov entropy rate of the event-type sequence — "how predictable
+    * is user behavior": H(next | prev) = −Σ_{a,b} p(a,b)·log₂ p(b|a)
+    * over the [[eventTransitions]] pair relation, plus the marginal
+    * entropy H(next) and their difference (the information the previous
+    * event carries). A falling entropy rate on a release day means
+    * behavior collapsed into fewer paths — the behavioral drift signal
+    * count-based monitors miss.
+    *
+    * Determinism: every count is exact; each entropy TERM is
+    * integer-scaled to round(1e9·(n/N)·log2(...)) and summed as BIGINT
+    * (the RBO/DCG discipline), so the type²-bounded summation order
+    * never matters; the final values are one division each at 6dp.
+    * Returns ONE row: (n_pairs, h_cond, h_marginal, info_gain). */
+  def entropyRate(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+    val counts = pairs.groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+    val fromTotals = counts.groupBy("from_type").agg(sum(col("n")).as("n_from"))
+    val toTotals = counts.groupBy("to_type").agg(sum(col("n")).as("n_to"))
+    val total = counts.agg(sum(col("n")).as("nn"))
+    val cond = counts.join(fromTotals, Seq("from_type"))
+      .crossJoin(broadcast(total))
+      .agg(sum(expr(
+        "CAST(round(1000000000.0 * (CAST(n AS DOUBLE) / CAST(nn AS DOUBLE))" +
+          " * log2(CAST(n_from AS DOUBLE) / CAST(n AS DOUBLE))) AS BIGINT)"))
+        .as("hc_e9"), max(col("nn")).as("nn"))
+    val marg = toTotals.crossJoin(broadcast(total))
+      .agg(sum(expr(
+        "CAST(round(1000000000.0 * (CAST(n_to AS DOUBLE) / CAST(nn AS DOUBLE))" +
+          " * log2(CAST(nn AS DOUBLE) / CAST(n_to AS DOUBLE))) AS BIGINT)"))
+        .as("hm_e9"))
+    cond.crossJoin(broadcast(marg))
+      .select(col("nn").as("n_pairs"),
+        round(col("hc_e9").cast("double") / 1e9, 6).as("h_cond"),
+        round(col("hm_e9").cast("double") / 1e9, 6).as("h_marginal"),
+        round((col("hm_e9") - col("hc_e9")).cast("double") / 1e9, 6)
+          .as("info_gain"))
+  }
+
+  /** DuckDB twin of [[entropyRate]]. */
+  def entropyRateSql(): String =
+    s"""WITH pairs AS (
+       |  SELECT event_type AS from_type,
+       |    lead(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS to_type
+       |  FROM events),
+       |c AS (
+       |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+       |  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2),
+       |ft AS (
+       |  SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from FROM c GROUP BY 1),
+       |tt AS (
+       |  SELECT to_type, CAST(sum(n) AS BIGINT) AS n_to FROM c GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM c),
+       |hc AS (
+       |  SELECT CAST(sum(CAST(round(1000000000.0
+       |      * (CAST(n AS DOUBLE) / CAST(nn AS DOUBLE))
+       |      * log2(CAST(n_from AS DOUBLE) / CAST(n AS DOUBLE)))
+       |    AS BIGINT)) AS BIGINT) AS hc_e9, max(nn) AS nn
+       |  FROM c JOIN ft USING (from_type) CROSS JOIN tot),
+       |hm AS (
+       |  SELECT CAST(sum(CAST(round(1000000000.0
+       |      * (CAST(n_to AS DOUBLE) / CAST(nn AS DOUBLE))
+       |      * log2(CAST(nn AS DOUBLE) / CAST(n_to AS DOUBLE)))
+       |    AS BIGINT)) AS BIGINT) AS hm_e9
+       |  FROM tt CROSS JOIN tot)
+       |SELECT hc.nn AS n_pairs,
+       |  round(CAST(hc.hc_e9 AS DOUBLE) / 1e9, 6) AS h_cond,
+       |  round(CAST(hm.hm_e9 AS DOUBLE) / 1e9, 6) AS h_marginal,
+       |  round(CAST(hm.hm_e9 - hc.hc_e9 AS DOUBLE) / 1e9, 6) AS info_gain
+       |FROM hc CROSS JOIN hm""".stripMargin
+
   def retentionCohorts(events: DataFrame, bucketUs: Long, maxOffset: Int,
       userCol: String = "user_id", tsCol: String = "ts_us"): DataFrame = {
     require(bucketUs > 0, "bucketUs must be positive")
