@@ -1214,6 +1214,15 @@ object ExtensionQueries {
         .agg(count(lit(1)).as("x"))
       ProfileOps.robustTrend(daily)
     },
+    // Per-event-type Fano factor of daily counts: dispersion >> 1 =
+    // bursty/bot traffic, << 1 = rate-limited or synthetic feeds
+    "events_dispersion" -> { (s, dir) =>
+      val daily = graft.sources.Sources.eventsWithTimestamp(s, dir)
+        .groupBy(col("event_type").as("key"),
+          expr("unix_micros(ts) div 86400000000L").as("day"))
+        .agg(count(lit(1)).as("x"))
+      ProfileOps.dispersionByKey(daily).orderBy("key")
+    },
     // ACF of daily volume at lags 1..14: the cycle detector that says
     // WHETHER to reach for the seasonal monitor (lag-7 spike = weekly)
     "events_autocorrelation" -> { (s, dir) =>
@@ -3244,6 +3253,13 @@ object ExtensionQueries {
       (ProfileOps.benfordAuditSql(
         "SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v" +
           " FROM lineitem") + "\nORDER BY digit"),
+    "events_dispersion" ->
+      (ProfileOps.dispersionByKeySql(
+        """SELECT event_type AS key,
+          |  CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+          |    AS BIGINT) AS day,
+          |  CAST(count(*) AS BIGINT) AS x
+          |FROM events GROUP BY 1, 2""".stripMargin) + "\nORDER BY key"),
     "events_autocorrelation" ->
       (ProfileOps.autocorrelationSql(
         """SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000

@@ -1337,6 +1337,57 @@ object ProfileOps {
        |        - ties.tie_num AS DOUBLE) / 18.0), 6) END AS mk_z
        |FROM nd CROSS JOIN sagg CROSS JOIN ties CROSS JOIN med""".stripMargin
 
+  /** Per-key overdispersion report of daily counts — the Fano factor
+    * (index of dispersion) var/mean per key: a Poisson arrival process
+    * has dispersion ≈ 1, so values well above 1 expose bursty/bot
+    * traffic and values below 1 rate-limited or synthetic feeds — the
+    * per-key companion to [[cusumShift]]'s level monitoring.
+    *
+    * Input (key, day, x BIGINT). Exactness: per-key (n, Σx, Σx²) ride
+    * exact integers (squares through DECIMAL(38,0)); mean, the UNBIASED
+    * variance and dispersion assemble in one fixed token order each,
+    * rounded at 6dp; keys with n < 2 or zero mean yield NULL dispersion
+    * via the same CASE. Returns (key, n_days, mean, dispersion).
+    *
+    * 100 TB shape: the caller's (key, day) aggregate is the corpus
+    * pass; this is one map-side-combined groupBy(key) over the
+    * key×calendar-bounded relation. */
+  def dispersionByKey(daily: DataFrame): DataFrame = {
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    def dbl(c: Column) = c.cast("double")
+    daily.select(col("key"), col("x").cast("long").as("x"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_days"), sum(col("x")).as("s"),
+        sum(dec(col("x")) * dec(col("x"))).as("q"))
+      .select(col("key"), col("n_days"),
+        round(dbl(col("s")) / dbl(col("n_days")), 6).as("mean"),
+        when(col("n_days") < 2L || col("s") === 0L,
+          lit(null).cast("double"))
+          .otherwise(round(
+            ((dbl(col("q")) - dbl(col("s")) * dbl(col("s")) /
+              dbl(col("n_days"))) / (dbl(col("n_days")) - 1.0)) /
+            (dbl(col("s")) / dbl(col("n_days"))), 6)).as("dispersion"))
+  }
+
+  /** DuckDB twin of [[dispersionByKey]] over a `daily` (key, day, x)
+    * CTE. */
+  def dispersionByKeySql(dailyCte: String): String =
+    s"""WITH daily AS ($dailyCte),
+       |agg AS (
+       |  SELECT key, CAST(count(*) AS BIGINT) AS n_days,
+       |    CAST(sum(x) AS BIGINT) AS s,
+       |    sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS q
+       |  FROM daily GROUP BY 1)
+       |SELECT key, n_days,
+       |  round(CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE), 6) AS mean,
+       |  CASE WHEN n_days < 2 OR s = 0 THEN NULL
+       |    ELSE round(
+       |      ((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+       |          / CAST(n_days AS DOUBLE)) / (CAST(n_days AS DOUBLE) - 1.0))
+       |      / (CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE)), 6)
+       |  END AS dispersion
+       |FROM agg""".stripMargin
+
   /** Autocorrelation function of a daily metric (day, x BIGINT) at lags
     * 1..maxLag — the "does this series have a cycle, and at what
     * period" diagnostic that motivates [[cusumShiftSeasonal]] over

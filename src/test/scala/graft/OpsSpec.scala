@@ -1765,6 +1765,24 @@ class OpsSpec extends AnyFunSuite {
       one.isNullAt(one.fieldIndex("mk_z")) && one.getAs[Long]("mk_s") == 0L)
   }
 
+  test("dispersionByKey: hand Fano factors and degenerate NULLs") {
+    val daily = Seq(
+      // key a: counts 2,4,6 -> mean 4, var 4, dispersion 1.0
+      ("a", 0L, 2L), ("a", 1L, 4L), ("a", 2L, 6L),
+      // key b: constant 5 -> var 0 -> dispersion 0
+      ("b", 0L, 5L), ("b", 1L, 5L),
+      // key c: one day -> NULL; key d: all zeros -> NULL (zero mean)
+      ("c", 0L, 7L), ("d", 0L, 0L), ("d", 1L, 0L))
+      .toDF("key", "day", "x")
+    val got = ProfileOps.dispersionByKey(daily).orderBy("key").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getAs[Double]("mean"),
+          Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    assert(got("a") == ((3L, 4.0, Some(1.0))))
+    assert(got("b") == ((2L, 5.0, Some(0.0))))
+    assert(got("c")._3.isEmpty && got("d")._3.isEmpty)
+  }
+
   test("autocorrelation: replica ACF, period spike, constant-series NULL") {
     // period-4 cycle over 16 days
     val cycle = Seq(10L, 20L, 30L, 40L)
