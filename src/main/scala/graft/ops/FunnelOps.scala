@@ -845,8 +845,9 @@ object FunnelOps {
        |  FROM events GROUP BY 1),
        |n AS (SELECT b0 AS bucket, count(*) AS new_keys FROM f GROUP BY 1)
        |SELECT bucket, new_keys,
-       |  sum(new_keys) OVER (ORDER BY bucket
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_keys
+       |  CAST(sum(new_keys) OVER (ORDER BY bucket
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS cum_keys
        |FROM n""".stripMargin
 
   /** Rolling features over a REGULAR per-key grid (the

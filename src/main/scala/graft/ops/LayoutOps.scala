@@ -144,10 +144,10 @@ object LayoutOps {
     * division. */
   def compactionPlanSql(targetBytes: Long): String =
     s"""SELECT source, doc_id, CAST(n_chars AS BIGINT) AS bytes,
-       |  (COALESCE(sum(CAST(n_chars AS BIGINT)) OVER (
+       |  CAST(COALESCE(sum(CAST(n_chars AS BIGINT)) OVER (
        |     PARTITION BY source ORDER BY doc_id
        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-       |   // $targetBytes) AS bin
+       |   // $targetBytes AS BIGINT) AS bin
        |FROM documents""".stripMargin
 
   /** Per-file (min, max) of `zkey` in a Z-ordered dataset — what the

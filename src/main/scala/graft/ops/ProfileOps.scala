@@ -507,8 +507,8 @@ object ProfileOps {
        |    count(*) FILTER ($groupCol = '${q(groupB)}') AS b
        |  FROM $table WHERE $groupCol IN ('${q(groupA)}', '${q(groupB)}')
        |  GROUP BY 1)
-       |SELECT sum(CAST(round(1000000.0 * CAST((a - b) * (a - b) AS DOUBLE)
-       |    / CAST(a + b AS DOUBLE)) AS BIGINT)) AS chi2_e6,
+       |SELECT CAST(sum(CAST(round(1000000.0 * CAST((a - b) * (a - b) AS DOUBLE)
+       |    / CAST(a + b AS DOUBLE)) AS BIGINT)) AS BIGINT) AS chi2_e6,
        |  count(*) - 1 AS dof,
        |  CAST(sum(a) AS BIGINT) AS n_a, CAST(sum(b) AS BIGINT) AS n_b
        |FROM binned""".stripMargin
@@ -608,8 +608,11 @@ object ProfileOps {
         lit(0L)))
       .crossJoin(broadcast(binned.agg(sum("a").as("na"), sum("b").as("nb"))))
       .agg(
-        round(sum((abs(col("ca") * col("nb") - col("cb") * col("na")) *
-            col("gap")).cast(DecimalType(38, 0))).cast("double") /
+        round(sum(abs(col("ca").cast(DecimalType(38, 0)) *
+              col("nb").cast(DecimalType(38, 0)) -
+            col("cb").cast(DecimalType(38, 0)) *
+              col("na").cast(DecimalType(38, 0))) *
+            col("gap").cast(DecimalType(38, 0))).cast("double") /
           (max("na").cast("double") * max("nb").cast("double")), 6).as("emd"),
         max("na").as("n_a"), max("nb").as("n_b"))
   }
@@ -634,8 +637,10 @@ object ProfileOps {
        |  FROM (SELECT CAST(bin AS BIGINT) AS bin, a, b FROM binned)),
        |tot AS (SELECT CAST(sum(a) AS BIGINT) AS na,
        |          CAST(sum(b) AS BIGINT) AS nb FROM binned)
-       |SELECT round(CAST(sum(CAST(abs(ca * nb - cb * na) * gap
-       |      AS DECIMAL(38, 0))) AS DOUBLE)
+       |SELECT round(CAST(sum(abs(CAST(ca AS DECIMAL(38,0))
+       |        * CAST(nb AS DECIMAL(38,0))
+       |      - CAST(cb AS DECIMAL(38,0)) * CAST(na AS DECIMAL(38,0)))
+       |      * CAST(gap AS DECIMAL(38,0))) AS DOUBLE)
        |    / (CAST(max(na) AS DOUBLE) * CAST(max(nb) AS DOUBLE)), 6) AS emd,
        |  max(na) AS n_a, max(nb) AS n_b
        |FROM cum, tot""".stripMargin
@@ -666,7 +671,8 @@ object ProfileOps {
     cum.agg(
         sum(col("cnt")).as("n"),
         sum(col("v") * col("cnt")).as("sum_x"),
-        sum((col("v") * col("cnt")).cast(DecimalType(38, 0)) *
+        sum(col("v").cast(DecimalType(38, 0)) *
+          col("cnt").cast(DecimalType(38, 0)) *
           (lit(2L) * col("cb") + col("cnt") + lit(1L))
             .cast(DecimalType(38, 0))).as("r2x"))
       .select(col("n"), col("sum_x"),
@@ -690,7 +696,7 @@ object ProfileOps {
        |  FROM g),
        |s AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
        |  CAST(sum(v * cnt) AS BIGINT) AS sum_x,
-       |  sum(CAST(v * cnt AS DECIMAL(38,0))
+       |  sum(CAST(v AS DECIMAL(38,0)) * CAST(cnt AS DECIMAL(38,0))
        |    * CAST(2 * cb + cnt + 1 AS DECIMAL(38,0))) AS r2x
        |  FROM cum)
        |SELECT n, sum_x,
@@ -1018,7 +1024,7 @@ object ProfileOps {
        |  FROM $table GROUP BY 1),
        |t AS (SELECT sum(cnt) AS total FROM c)
        |SELECT row_number() OVER (ORDER BY cnt DESC, key ASC) AS rank,
-       |  key, cnt, (cnt * 1000000) // t.total AS share_ppm
+       |  key, cnt, CAST((cnt * 1000000) // t.total AS BIGINT) AS share_ppm
        |FROM c, t
        |QUALIFY rank <= $k""".stripMargin
 
@@ -1191,9 +1197,9 @@ object ProfileOps {
        |  FROM mon),
        |s AS (
        |  SELECT day, x, mu0_milli,
-       |    c - least(0, min(c) OVER (ORDER BY day ASC
+       |    CAST(c - least(0, min(c) OVER (ORDER BY day ASC
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-       |      AS cusum_milli
+       |      AS BIGINT) AS cusum_milli
        |  FROM cum)
        |SELECT day, x, cusum_milli,
        |  cusum_milli > CAST(mu0_milli * $hPermille AS BIGINT) // 1000
@@ -1229,9 +1235,9 @@ object ProfileOps {
        |  FROM mon),
        |s AS (
        |  SELECT day, x, mu0_milli,
-       |    c - least(0, min(c) OVER (ORDER BY day ASC
+       |    CAST(c - least(0, min(c) OVER (ORDER BY day ASC
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-       |      AS cusum_milli
+       |      AS BIGINT) AS cusum_milli
        |  FROM cum)
        |SELECT day, x, cusum_milli,
        |  cusum_milli > CAST(mu0_milli * $hPermille AS BIGINT) // 1000

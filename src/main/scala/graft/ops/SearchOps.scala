@@ -310,10 +310,10 @@ object SearchOps {
     * (query_id, doc_id, rank) columns. */
   def rankingRboSql(k: Int, p: Double = 0.9): String = {
     val norm = (1.0 - p) / (1.0 - math.pow(p, k))
-    s"""SELECT q.query_id, COALESCE(c.rbo_e9, 0) AS rbo_e9
+    s"""SELECT q.query_id, CAST(COALESCE(c.rbo_e9, 0) AS BIGINT) AS rbo_e9
        |FROM (SELECT DISTINCT query_id FROM ra) q
        |LEFT JOIN (
-       |  SELECT query_id, sum(c) AS rbo_e9 FROM (
+       |  SELECT query_id, CAST(sum(c) AS BIGINT) AS rbo_e9 FROM (
        |    SELECT query_id,
        |      CAST(round(1000000000.0 * pow($p, d - 1) * $norm
        |        * inter / d) AS BIGINT) AS c

@@ -212,7 +212,7 @@ object UnigramOps {
        |nw AS (SELECT sum(freq) AS n FROM wd),
        |cand AS (
        |  SELECT substr(word, CAST(i AS INTEGER) + 1, CAST(l AS INTEGER))
-       |    AS piece, sum(freq) AS pfreq
+       |    AS piece, CAST(sum(freq) AS BIGINT) AS pfreq
        |  FROM wd,
        |       unnest(range(0, len(word))) t(i),
        |       unnest(range(1, ${MaxPieceLen + 1})) u(l)

@@ -1,7 +1,10 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's correctness gate: run graft.Verify
 output against the DuckDB oracle (oracle_sql.json) on the same parquet
-tables, compare values exactly (columns sorted by name, rows as ordered).
+tables, compare TYPES (the driver's hash is type-sensitive — a DuckDB
+HUGEINT/DECIMAL vs a Spark BIGINT is a driver failure even when every
+value matches; see FIXTURES.md §6) and then values exactly (columns
+sorted by name, rows as ordered).
 
 Usage: python3 tools/check.py <sfdir> <verify_out_dir>
 """
@@ -16,6 +19,26 @@ for p in glob.glob(f"{sfdir}/*.parquet"):
     name = os.path.basename(p)[:-len(".parquet")]
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
 
+
+def canon(t):
+    """Canonical type label for arrow-type comparison: width-insensitive
+    for string/binary flavors (duckdb emits large_string, spark plain
+    string), unit-insensitive for timestamps; everything else literal —
+    which is exactly what makes HUGEINT (arrow decimal128(38,0)) vs
+    BIGINT (int64) a loud local failure instead of a driver surprise."""
+    s = str(t)
+    if s in ("string", "large_string", "string_view"):
+        return "string"
+    if s in ("binary", "large_binary", "binary_view"):
+        return "binary"
+    if s.startswith("timestamp["):
+        return "timestamp"
+    if s.startswith("large_list<") or s.startswith("list<"):
+        inner = s[s.index("<") + 1:-1]
+        return f"list<{inner}>"
+    return s
+
+
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 fails = 0
 ftxt = f"{outdir}/failures.txt"
@@ -27,17 +50,29 @@ for name, sql in sorted(oracle.items()):
     spark_dir = f"{outdir}/{name}"
     try:
         files = glob.glob(f"{spark_dir}/*.parquet")
-        got = pq.read_table(files[0]).to_pandas()
+        got_tbl = pq.read_table(files[0])
+        got = got_tbl.to_pandas()
     except Exception as e:
         print(f"FAIL {name}: no spark output ({e})"); fails += 1; continue
     try:
-        exp = con.execute(sql).fetchdf()
+        exp_tbl = con.execute(sql).arrow()
+        exp = exp_tbl.to_pandas()
     except Exception as e:
         print(f"FAIL {name}: oracle error {e}"); fails += 1; continue
     got = got[sorted(got.columns)]
     exp = exp[sorted(exp.columns)]
     if list(got.columns) != list(exp.columns):
         print(f"FAIL {name}: columns {list(got.columns)} vs {list(exp.columns)}")
+        fails += 1; continue
+    # type gate: the driver hashes values WITH their types, so a
+    # HUGEINT- or DECIMAL-widened oracle column fails there even when
+    # values are exact — fail it here first.
+    gtypes = {f.name: canon(f.type) for f in got_tbl.schema}
+    etypes = {f.name: canon(f.type) for f in exp_tbl.schema}
+    tbad = [c for c in got.columns if gtypes[c] != etypes[c]]
+    if tbad:
+        for c in tbad:
+            print(f"FAIL {name}: col {c} TYPE spark={gtypes[c]} oracle={etypes[c]}")
         fails += 1; continue
     if len(got) != len(exp):
         print(f"FAIL {name}: rows {len(got)} vs {len(exp)}"); fails += 1; continue
