@@ -475,7 +475,7 @@ object SparkEntry {
          |round(sum(l_quantity), 6) AS value
          |FROM ${li()} GROUP BY 1 ORDER BY i0""".stripMargin,
     "hist1d_variable_weight" ->
-      s"""SELECT ${axQty.sqlExpr("l_quantity")} AS i0,
+      s"""SELECT CAST(${axQty.sqlExpr("l_quantity")} AS BIGINT) AS i0,
          |round(sum(l_discount), 6) AS value,
          |round(sum(l_discount * l_discount), 6) AS variance
          |FROM ${li()} GROUP BY 1 ORDER BY i0""".stripMargin,
@@ -484,7 +484,7 @@ object SparkEntry {
          |count(*) AS value
          |FROM ${li()} GROUP BY 1 ORDER BY i0""".stripMargin,
     "hist1d_variable_1000" ->
-      s"""SELECT ${axPriceBig.sqlExpr("l_extendedprice")} AS i0,
+      s"""SELECT CAST(${axPriceBig.sqlExpr("l_extendedprice")} AS BIGINT) AS i0,
          |count(*) AS value
          |FROM ${li()} GROUP BY 1 ORDER BY i0""".stripMargin,
     "hist_upper_edge" ->
@@ -527,11 +527,11 @@ object SparkEntry {
       s"""SELECT ${axLine.sqlExpr("l_linenumber")} AS i0, count(*) AS value
          |FROM ${li()} GROUP BY 1 ORDER BY i0""".stripMargin,
     "hist_bool" ->
-      s"""SELECT (CASE WHEN (l_discount > 0.05) IS NULL THEN 0
-         |WHEN l_discount > 0.05 THEN 2 ELSE 1 END) AS i0,
+      s"""SELECT CAST(CASE WHEN (l_discount > 0.05) IS NULL THEN 0
+         |WHEN l_discount > 0.05 THEN 2 ELSE 1 END AS BIGINT) AS i0,
          |count(*) AS value FROM ${li()} GROUP BY 1 ORDER BY i0""".stripMargin,
     "hist_multifill" ->
-      s"""SELECT i0, round(sum(w), 6) AS value FROM (
+      s"""SELECT i0, CAST(round(sum(w), 6) AS DOUBLE) AS value FROM (
          |  SELECT ${axPrice.sqlExpr("l_extendedprice")} AS i0, 1.0 AS w
          |  FROM ${li()} WHERE l_shipdate < TIMESTAMP '$cutoff'
          |  UNION ALL
@@ -585,20 +585,23 @@ object SparkEntry {
          |  SELECT ${axPrice.sqlExpr("l_extendedprice")} AS i0, sum(1.0) AS v
          |  FROM ${li()} GROUP BY 1)
          |SELECT CAST(CASE WHEN i0 = 0 THEN 0 WHEN i0 = 21 THEN 6
-         |  ELSE (i0 - 1) // 4 + 1 END AS BIGINT) AS i0, sum(v) AS value
+         |  ELSE (i0 - 1) // 4 + 1 END AS BIGINT) AS i0,
+         |CAST(sum(v) AS DOUBLE) AS value
          |FROM h GROUP BY 1 ORDER BY i0""".stripMargin,
     "hist_slice" ->
       s"""WITH h AS (
          |  SELECT ${axQtyR.sqlExpr("l_quantity")} AS i0, sum(1.0) AS v
          |  FROM ${li()} GROUP BY 1)
          |SELECT CAST(CASE WHEN i0 < 3 THEN 0 WHEN i0 >= 8 THEN 6
-         |  ELSE i0 - 2 END AS BIGINT) AS i0, sum(v) AS value
+         |  ELSE i0 - 2 END AS BIGINT) AS i0,
+         |CAST(sum(v) AS DOUBLE) AS value
          |FROM h GROUP BY 1 ORDER BY i0""".stripMargin,
     "hist_cdf" ->
       s"""WITH h AS (
          |  SELECT ${axQtyR.sqlExpr("l_quantity")} AS i0, sum(1.0) AS v
          |  FROM ${li()} GROUP BY 1)
-         |SELECT i0, round(sum(v) OVER (ORDER BY i0 ROWS UNBOUNDED PRECEDING), 6)
+         |SELECT i0, CAST(round(sum(v) OVER (ORDER BY i0
+         |  ROWS UNBOUNDED PRECEDING), 6) AS DOUBLE)
          |  AS cum_value FROM h ORDER BY i0""".stripMargin,
     "hist_quantiles" ->
       s"""WITH h AS (
@@ -629,11 +632,12 @@ object SparkEntry {
          |) b ON a.i0 = b.i0 ORDER BY i0""".stripMargin,
     "hist_scalar_mul" ->
       s"""SELECT ${axQtyR.sqlExpr("l_quantity")} AS i0,
-         |round(sum(1.0) * 2.5, 6) AS value
+         |CAST(round(sum(1.0) * 2.5, 6) AS DOUBLE) AS value
          |FROM ${li()} GROUP BY 1 ORDER BY i0""".stripMargin,
     "hist_array_add" -> {
       val vals = (1 to axQtyR.n).map(i => s"(${i.toLong}, ${i * 10.0})").mkString(", ")
-      s"""SELECT h.i0, round(h.v + COALESCE(a.av, 0.0), 6) AS value FROM (
+      s"""SELECT h.i0, CAST(round(h.v + COALESCE(a.av, 0.0), 6) AS DOUBLE)
+         |  AS value FROM (
          |  SELECT ${axQtyR.sqlExpr("l_quantity")} AS i0, sum(1.0) AS v
          |  FROM ${li()} GROUP BY 1
          |) h LEFT JOIN (VALUES $vals) a(i0, av) ON h.i0 = a.i0
@@ -652,7 +656,8 @@ object SparkEntry {
          |round(sum(l_discount * l_discount), 6) AS variance
          |FROM ${li()} GROUP BY 1, 2, 3, 4, 5 ORDER BY i0, i1, i2, i3, i4""".stripMargin,
     "hist_dense2d" ->
-      s"""SELECT g0.i0, g1.i1, round(COALESCE(h.value, 0.0), 6) AS value
+      s"""SELECT g0.i0, g1.i1, CAST(round(COALESCE(h.value, 0.0), 6)
+         |  AS DOUBLE) AS value
          |FROM (SELECT range AS i0 FROM range(0, ${axDisc.n + 2})) g0
          |CROSS JOIN (SELECT range AS i1 FROM range(0, ${axTax.n + 2})) g1
          |LEFT JOIN (
@@ -661,7 +666,7 @@ object SparkEntry {
          |  FROM ${li()} GROUP BY 1, 2
          |) h USING (i0, i1) ORDER BY g0.i0, g1.i1""".stripMargin,
     "hist_dense1d" ->
-      s"""SELECT g.i0, round(COALESCE(h.value, 0.0), 6) AS value
+      s"""SELECT g.i0, CAST(round(COALESCE(h.value, 0.0), 6) AS DOUBLE) AS value
          |FROM (SELECT range AS i0 FROM range(0, ${axQtyR.n + 2})) g
          |LEFT JOIN (
          |  SELECT ${axQtyR.sqlExpr("l_quantity")} AS i0, sum(1.0) AS value
@@ -674,7 +679,7 @@ object SparkEntry {
          |) GROUP BY 1 ORDER BY i0""".stripMargin
     },
     "hist_multifill_cat" ->
-      s"""SELECT cat AS i0, i1, round(sum(w), 6) AS value FROM (
+      s"""SELECT cat AS i0, i1, CAST(round(sum(w), 6) AS DOUBLE) AS value FROM (
          |  SELECT 'early' AS cat, ${axPrice.sqlExpr("l_extendedprice")} AS i1, 1.0 AS w
          |  FROM ${li()} WHERE l_shipdate < TIMESTAMP '$cutoff'
          |  UNION ALL
@@ -682,14 +687,15 @@ object SparkEntry {
          |  FROM ${li()} WHERE l_shipdate >= TIMESTAMP '$cutoff'
          |) GROUP BY 1, 2 ORDER BY i0, i1""".stripMargin,
     "hist_dense_fast" ->
-      s"""SELECT g.i0, round(COALESCE(h.value, 0.0), 6) AS value
+      s"""SELECT g.i0, CAST(round(COALESCE(h.value, 0.0), 6) AS DOUBLE) AS value
          |FROM (SELECT range AS i0 FROM range(0, ${axQtyR.n + 2})) g
          |LEFT JOIN (
          |  SELECT ${axQtyR.sqlExpr("l_quantity")} AS i0, sum(1.0) AS value
          |  FROM ${li()} GROUP BY 1
          |) h USING (i0) ORDER BY i0""".stripMargin,
     "hist_dense_fast2d" ->
-      s"""SELECT g0.i0, g1.i1, round(COALESCE(h.value, 0.0), 6) AS value
+      s"""SELECT g0.i0, g1.i1, CAST(round(COALESCE(h.value, 0.0), 6)
+         |  AS DOUBLE) AS value
          |FROM (SELECT range AS i0 FROM range(0, ${axDisc.n + 2})) g0
          |CROSS JOIN (SELECT range AS i1 FROM range(0, ${axTax.n + 2})) g1
          |LEFT JOIN (
@@ -711,7 +717,8 @@ object SparkEntry {
          |FROM ${li()} GROUP BY 1 ORDER BY i0""".stripMargin,
     "hist_partitioned" ->
       s"""SELECT ((l_orderkey % 4) + 4) % 4 AS partition,
-         |${axQtyR.sqlExpr("l_quantity")} AS i0, round(sum(1.0), 6) AS value
+         |${axQtyR.sqlExpr("l_quantity")} AS i0,
+         |CAST(round(sum(1.0), 6) AS DOUBLE) AS value
          |FROM ${li()} GROUP BY 1, 2 ORDER BY partition, i0""".stripMargin,
     "hist_circular" -> {
       val ax = RegularCircular(7, 0.0, 7.0)
@@ -732,7 +739,7 @@ object SparkEntry {
          |FROM ${li()} GROUP BY 1 ORDER BY i0""".stripMargin
     },
     "hist_density" ->
-      s"""SELECT i0, round(value, 6) AS value,
+      s"""SELECT i0, CAST(round(value, 6) AS DOUBLE) AS value,
          |CASE WHEN i0 BETWEEN 1 AND ${axPrice.n} THEN
          |round(value / (sum(CASE WHEN i0 BETWEEN 1 AND ${axPrice.n} THEN value
          |ELSE 0.0 END) OVER () * ${(axPrice.hi - axPrice.lo) / axPrice.n}), 9) END
@@ -744,7 +751,8 @@ object SparkEntry {
 
   private def algebraOracle(op: String): String =
     s"""SELECT COALESCE(a.i0, b.i0) AS i0,
-       |round(COALESCE(a.v, 0.0) $op COALESCE(b.v, 0.0), 6) AS value FROM (
+       |CAST(round(COALESCE(a.v, 0.0) $op COALESCE(b.v, 0.0), 6)
+       |  AS DOUBLE) AS value FROM (
        |  SELECT ${axQtyR.sqlExpr("l_quantity")} AS i0, sum(1.0) AS v
        |  FROM ${li()} WHERE l_shipdate < TIMESTAMP '$cutoff' GROUP BY 1
        |) a FULL OUTER JOIN (

@@ -489,7 +489,8 @@ object SimilarityOps {
     * HUGEINT moment sums, same double op order; 0-based indices. */
   def embeddingCovarianceSql(): String =
     """WITH e AS (
-      |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+      |  SELECT vec_id,
+      |    CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS i,
       |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS q
       |  FROM embeddings)
       |SELECT a.i, b.i AS j, CAST(count(*) AS BIGINT) AS n,
