@@ -378,7 +378,7 @@ object EvalOps {
         Seq("item_a"))
       .join(sup.select(col("p").as("item_b"), col("sup").as("sup_b")),
         Seq("item_b"))
-      .crossJoin(nB)
+      .crossJoin(broadcast(nB))
       .select(col("item_a"), col("item_b"), col("sup_ab"), col("sup_a"),
         col("sup_b"),
         round(col("sup_ab").cast("double") / col("sup_a").cast("double"), 6)
@@ -818,7 +818,7 @@ object EvalOps {
       .select(col("unit"), col("mu"),
         explode(expr(s"sequence(0, ${reps - 1})")).as("b"))
       .withColumn("u1000", expr(
-        s"(((unit % 1000000007L) * $BootstrapMult % 1000000007L" +
+        s"((pmod(unit, 1000000007L) * $BootstrapMult % 1000000007L" +
           " + b * 611953L) % 1000000007L) % 1000L"))
       .withColumn("w",
         when(col("u1000") < 368, 0L).when(col("u1000") < 736, 1L)
@@ -868,7 +868,8 @@ object EvalOps {
        |         ELSE 6 END AS w
        |  FROM (
        |    SELECT mu, b,
-       |      (((unit % 1000000007) * $BootstrapMult % 1000000007
+       |      ((((unit % 1000000007 + 1000000007) % 1000000007)
+       |        * $BootstrapMult % 1000000007
        |        + b * 611953) % 1000000007) % 1000 AS u1000
        |    FROM pu CROSS JOIN (
        |      SELECT unnest(range(0, $reps)) AS b) bb)),

@@ -50,7 +50,10 @@ case class ApproxNdvRewrite() extends Rule[LogicalPlan] {
     conf.getConfString(ApproxNdvRewrite.ConfKey, "") match {
       case "" | "false" => None
       case "true" => Some(64)
-      case s => Some(s.toInt)
+      case s => Some(s.toIntOption.filter(_ >= 16).getOrElse(
+        throw new IllegalArgumentException(
+          s"${ApproxNdvRewrite.ConfKey} must be an int >= 16 or " +
+            s"true/false, got '$s'")))
     }
 
   private def hashExpr(e: Expression): Expression = {
