@@ -1204,6 +1204,45 @@ object ExtensionQueries {
       ProfileOps.cusumShift(daily, refDays = 10, slackPermille = 0L,
         hPermille = 100L).orderBy("day")
     },
+    // The SAME monitor running live: daily volume maintained in
+    // flatMapGroupsWithState, the CUSUM recursion advanced one step per
+    // watermark-finalized day (streaming/CusumStream.scala), driven here
+    // over the events table as a one-shot AvailableNow stream — the
+    // oracle twin is the batch reflection-identity SQL restricted to the
+    // days the final watermark (max event ts, 0s delay) finalizes.
+    // Stream-vs-batch equality is pinned day-for-day in CusumStreamSpec.
+    "events_cusum_stream" -> { (s, dir) =>
+      import graft.streaming.CusumStream
+      implicit val sp: org.apache.spark.sql.SparkSession = s
+      import s.implicits._
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      // the file-stream source only accepts directories: a single-file
+      // events.parquet is reached as its parent dir + a glob filter, a
+      // directory-shaped one directly
+      val p = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+      val isDir = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .getFileStatus(p).isDirectory
+      val reader = s.readStream.schema(schema)
+      val src = if (isDir) reader.parquet(p.toString)
+        else reader.option("pathGlobFilter", "events.parquet").parquet(dir)
+      val ev = src
+        // the file lands TIMESTAMP_NTZ; watermarks require TIMESTAMP —
+        // same cast the batch eventsWithTimestamp path applies
+        .select(lit("events").as("series"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+          lit(1L).as("inc"))
+        .withColumn("et", timestamp_micros(col("ts_us")))
+        .withWatermark("et", "0 seconds")
+        .as[CusumStream.CusumEvent]
+      val sink = "events_cusum_stream_sink"
+      val q = CusumStream.cusumShiftStream(ev, refDays = 10,
+          slackPermille = 0L, hPermille = 100L)
+        .writeStream.outputMode("append").format("memory").queryName(sink)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink).select("day", "x", "cusum_milli", "alarm").orderBy("day")
+    },
     // Robust trend readout on the same daily relation: Theil-Sen median
     // slope (outlier-immune) + tie-corrected Mann-Kendall z — "is a
     // monotone drift underway", the companion question to CUSUM's
@@ -2244,6 +2283,23 @@ object ExtensionQueries {
           SketchOps.hllEstimate().as("hll_est"))
         .orderBy("event_type")
     },
+    // Axis-free quantiles from the mergeable bottom-k sketch
+    // (functions/QuantileSketchAgg.scala): per-event-type p50/p90/p99 of
+    // value via a k=256 hash-uniform sample — one groupBy with 4 KiB
+    // buffers where the exact form sorts the group; the sketch state is
+    // a pure function of the input set, so the oracle recomputes it
+    // relationally (DISTINCT pairs ORDER BY h LIMIT k)
+    "events_sketch_quantiles" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).filter(col("value").isNotNull)
+      SketchOps.quantileSketch(ev, Seq("event_type"),
+          col("event_id").cast("string"), col("value"))
+        .select(col("event_type"),
+          size(col("sample")).cast("long").as("n_sample"),
+          SketchOps.sketchQuantile(col("sample"), 0.5).as("q500"),
+          SketchOps.sketchQuantile(col("sample"), 0.9).as("q900"),
+          SketchOps.sketchQuantile(col("sample"), 0.99).as("q990"))
+        .orderBy("event_type")
+    },
     // Substring-level duplication (Lee et al. 2022 family at shingle
     // granularity): per-doc fraction of distinct k-grams shared with any
     // other document — no pairwise term, df-join only
@@ -3280,6 +3336,16 @@ object ExtensionQueries {
           |FROM events GROUP BY 1""".stripMargin,
         refDays = 10, slackPermille = 0L, hPermille = 100L) +
         "\nORDER BY day"),
+    "events_cusum_stream" ->
+      s"""SELECT day, x, cusum_milli, alarm FROM (
+         |${ProfileOps.cusumShiftSql(
+              """SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+                |  AS BIGINT) AS day, CAST(count(*) AS BIGINT) AS x
+                |FROM events GROUP BY 1""".stripMargin,
+              refDays = 10, slackPermille = 0L, hPermille = 100L)})
+         |WHERE (day + 1) * 86400000000 <=
+         |  (SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) FROM events)
+         |ORDER BY day""".stripMargin,
     "events_trend_robust" ->
       ProfileOps.robustTrendSql(
         """SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
@@ -3643,6 +3709,14 @@ object ExtensionQueries {
     "events_hll_estimate" ->
       s"""SELECT grp AS event_type, n_exact, hll_est FROM (
          |${SketchOps.hllEstimateSql(hllKeySql)}
+         |) ORDER BY event_type""".stripMargin,
+    "events_sketch_quantiles" ->
+      s"""SELECT grp AS event_type, n_sample, q500, q900, q990 FROM (
+         |${SketchOps.quantileSketchSql(
+              """SELECT event_type AS grp, CAST(event_id AS VARCHAR) AS key,
+                |  value AS v FROM events WHERE value IS NOT NULL"""
+                .stripMargin,
+              Seq(0.5, 0.9, 0.99))}
          |) ORDER BY event_type""".stripMargin,
     "dedup_passage_rewrite" -> DedupOps.passageDedupSql(5),
     "dedup_decontaminate_rewrite" ->

@@ -1,0 +1,127 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Per-series CUSUM monitor state (top-level for clean encoder codegen).
+  * `refSum`/`refCount` accumulate the reference window until `refCount`
+  * reaches the configured refDays; `mu0Milli` is the learned level
+  * (valid only once the reference is complete); `s` is the running
+  * CUSUM statistic S_d; `lastFinalDay` the newest finalized bucket
+  * (Long.MinValue before any); `pendDays`/`pendXs` are parallel arrays
+  * of still-open (not-yet-watermarked) bucket partial sums — bounded by
+  * the watermark horizon, NOT by stream length. */
+final case class CusumMonState(refSum: Long, refCount: Int, mu0Milli: Long,
+    s: Long, lastFinalDay: Long, pendDays: Seq[Long], pendXs: Seq[Long])
+
+/** Streaming form of [[graft.ops.ProfileOps.cusumShift]]: the one-sided
+  * upward Page CUSUM running LIVE on the ingest stream — the whole
+  * point of a change-point monitor (the batch form tells you about
+  * yesterday; this one raises the alarm during the shift).
+  *
+  * The batch operator evaluates S_d = max(0, S_{d−1} + Y_d) via the
+  * reflection identity (two windows, no recursion) because batch Spark
+  * has no per-row sequential state. A stream IS sequential state, so
+  * here the recursion runs literally, one step per finalized day, inside
+  * `flatMapGroupsWithState` — same statistic, same integer arithmetic
+  * (`div`-truncation identical to the batch `(1000·Σx) div n` forms),
+  * pinned stream-vs-batch in CusumStreamSpec.
+  *
+  * Day buckets are finalized in EVENT-TIME order when the watermark
+  * passes the bucket end, so the recursion consumes days exactly as the
+  * batch window does; events later than the watermark for an
+  * already-finalized bucket are dropped (the standard watermark
+  * contract — same trade as [[Sessionize]]'s documented late-merge
+  * caveat). A bucket with zero events never finalizes a row, matching
+  * the batch form where absent days simply aren't in the daily relation.
+  *
+  * 100 TB shape: per-series state is (reference scalars + CUSUM scalar +
+  * open-bucket partials) — tens of longs, NOT per-event; the shuffle is
+  * keyed by series, so feed high-volume streams pre-reduced (e.g. a
+  * per-partition count per (series, day) upstream — the map-side-combine
+  * discipline) or accept the series-key shuffle of raw increments. The
+  * emitted relation is day-bounded, same as batch.
+  *
+  * Input must carry a watermark on its event-time column (e.g.
+  * `withColumn("et", timestamp_micros($"ts_us")).withWatermark("et", …)`),
+  * the [[FunnelStream.funnelStream]] contract.
+  */
+object CusumStream {
+
+  /** One monitored increment: `inc` is the amount the series' bucket
+    * grows by (1 for raw count streams; a partial sum for pre-reduced
+    * feeds). */
+  final case class CusumEvent(series: String, ts_us: Long, inc: Long)
+
+  /** One finalized monitoring day, identical shape to the batch
+    * [[graft.ops.ProfileOps.cusumShift]] row plus the series key. */
+  final case class CusumPoint(series: String, day: Long, x: Long,
+      cusum_milli: Long, alarm: Boolean)
+
+  def cusumShiftStream(events: Dataset[CusumEvent], refDays: Int,
+      slackPermille: Long = 0L, hPermille: Long = 2000L,
+      bucketUs: Long = 86400000000L)
+      (implicit spark: SparkSession): Dataset[CusumPoint] = {
+    import spark.implicits._
+    require(refDays >= 1, s"refDays must be >= 1, got $refDays")
+    require(slackPermille >= 0L, "slackPermille must be >= 0")
+    require(hPermille > 0L, "hPermille must be > 0")
+    require(bucketUs > 0L, s"bucketUs must be positive, got $bucketUs")
+    events.groupByKey(_.series)
+      .flatMapGroupsWithState[CusumMonState, CusumPoint](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (series: String, it: Iterator[CusumEvent],
+            state: GroupState[CusumMonState]) =>
+          val old = state.getOption.getOrElse(
+            CusumMonState(0L, 0, 0L, 0L, Long.MinValue, Nil, Nil))
+          val pend = scala.collection.mutable.LongMap.empty[Long]
+          old.pendDays.zip(old.pendXs).foreach { case (d, x) => pend(d) = x }
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          if (!state.hasTimedOut) it.foreach { e =>
+            val d = Math.floorDiv(e.ts_us, bucketUs)
+            // the watermark contract: an event older than the watermark
+            // is dropped. Spark pre-filters late rows ahead of this
+            // operator (verified: an event AT the initial watermark
+            // boundary never reaches the iterator), so both guards are
+            // defense in depth — finalized buckets must stay immutable
+            // whatever the engine's filter does across versions.
+            if (e.ts_us >= wmUs && d > old.lastFinalDay)
+              pend(d) = pend.getOrElse(d, 0L) + e.inc
+          }
+          var (refSum, refCount) = (old.refSum, old.refCount)
+          var mu0 = old.mu0Milli
+          var s = old.s
+          var lastFinal = old.lastFinalDay
+          val out = scala.collection.mutable.ArrayBuffer.empty[CusumPoint]
+          // finalize complete buckets in event-time order — this IS the
+          // batch window's ORDER BY day
+          pend.keys.toArray.sorted
+            .takeWhile(d => (d + 1) * bucketUs <= wmUs).foreach { d =>
+              val x = pend.remove(d).get
+              lastFinal = d
+              if (refCount < refDays) {
+                refSum += x; refCount += 1
+                // truncating integral division — Spark's `div`, the
+                // batch twin's exact arithmetic
+                if (refCount == refDays) mu0 = (1000L * refSum) / refDays
+              } else {
+                val slack = mu0 * slackPermille / 1000L
+                val y = 1000L * x - mu0 - slack
+                s = math.max(0L, s + y)
+                out += CusumPoint(series, d, x, s, s > mu0 * hPermille / 1000L)
+              }
+            }
+          val days = pend.keys.toArray.sorted
+          state.update(CusumMonState(refSum, refCount, mu0, s, lastFinal,
+            days.toIndexedSeq, days.toIndexedSeq.map(pend(_))))
+          // wake when the earliest open bucket can finalize, so an idle
+          // series still emits once the watermark passes (never register
+          // at/below the watermark — throws)
+          if (days.nonEmpty)
+            state.setTimeoutTimestamp(math.max(
+              (days.head + 1) * bucketUs / 1000L,
+              state.getCurrentWatermarkMs() + 1000L))
+          out.iterator
+      }
+  }
+}
