@@ -348,6 +348,71 @@ object SketchOps {
        |FROM es CROSS JOIN ex""".stripMargin
   }
 
+  // ---- bottom-k quantile sketch -------------------------------------------
+  /** Affine mix for the quantile-sample hash — bottom-k order statistics
+    * are the same shallow use of the hash as KMV, so the affine mix that
+    * fixes KMV suffices; distinct seed from CMS (7), KMV (11), HLL (13)
+    * so co-resident sketches never correlate. */
+  private val (qsA, qsB): (Long, Long) = {
+    val (as, bs) = cmsCoefficients(1, seed = 17L)
+    (as(0), bs(0))
+  }
+
+  /** Mixed portable hash feeding [[graft.functions.QuantileSketchAgg]] —
+    * `key` must be row-unique (an id column), NOT the measured value:
+    * hashing the value itself would collapse duplicate measurements and
+    * sample the distinct-value distribution instead of the data
+    * distribution. */
+  def quantileSketchHash(key: Column): Column =
+    pmod(graft.functions.PolyHash(key) * lit(qsA) + lit(qsB), lit(P))
+
+  /** Per-group bottom-k quantile sketch: (groupCols..., sample
+    * array<double> sorted ascending). One groupBy, k·16-byte buffers,
+    * map-side combine — the [[hllRegisters]] shape pointed at order
+    * statistics. See [[graft.functions.QuantileSketchAgg]] for the
+    * design trade vs KLL/t-digest. */
+  def quantileSketch(rel: DataFrame, groupCols: Seq[String], key: Column,
+      value: Column, k: Int = 256): DataFrame =
+    rel.groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.QuantileSketchAgg(
+        quantileSketchHash(key), value.cast("double"), k).as("sample"))
+
+  /** Type-1 quantile readout from a sketch sample column: the
+    * ⌈q·|s|⌉-th smallest sampled value, as visible column arithmetic so
+    * the oracle mirrors it verbatim (the [[hllEstimate]] split). q·|s|
+    * is exact in double for the q grid anyone passes (|s| ≤ k ≪ 2^52),
+    * so the ceil cannot straddle an engine boundary. */
+  def sketchQuantile(sample: Column, q: Double): Column =
+    element_at(sample,
+      greatest(lit(1), ceil(lit(q) * size(sample)).cast("int")))
+
+  /** DuckDB twin of [[quantileSketch]] + [[sketchQuantile]]: `keyedCte`
+    * must yield (grp, key, v) by the identical expressions; emits one row
+    * per group (grp, n_sample, and one column per requested quantile
+    * named q<permille>). The sketch state is recomputed RELATIONALLY —
+    * `DISTINCT (h, v) ORDER BY h, v LIMIT k` per group IS the buffer. */
+  def quantileSketchSql(keyedCte: String, qs: Seq[Double],
+      k: Int = 256): String = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must be in (0, 1], got $qs")
+    val poly = graft.functions.PolyHash.sql("key")
+    val cols = qs.map { q =>
+      val name = s"q${(q * 1000).round}"
+      s"s[greatest(1, CAST(ceil($q * len(s)) AS INT))] AS $name"
+    }.mkString(",\n       |  ")
+    s"""WITH keyed AS ($keyedCte),
+       |pairs AS (SELECT DISTINCT grp,
+       |  (($poly) * $qsA + $qsB) % $P AS h, CAST(v AS DOUBLE) AS v
+       |  FROM keyed),
+       |kept AS (SELECT grp, h, v,
+       |  row_number() OVER (PARTITION BY grp ORDER BY h, v) AS rn
+       |  FROM pairs QUALIFY rn <= $k),
+       |samp AS (SELECT grp, list_sort(list(v)) AS s FROM kept GROUP BY 1)
+       |SELECT grp, CAST(len(s) AS BIGINT) AS n_sample,
+       |  $cols
+       |FROM samp""".stripMargin
+  }
+
   // ---- HLL distinct-count registers --------------------------------------
   /** Same decorrelation rationale as the KMV mix: rank = zero-run length
     * is an order-statistic-like use of the hash bits, and raw PolyHash of
