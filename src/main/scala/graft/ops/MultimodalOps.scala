@@ -13,11 +13,17 @@ import org.apache.spark.sql.functions._
   * container METADATA parses for real ([[extractVideoMeta]], a RIFF/AVI
   * chunk walk) and MJPEG-in-AVI frame PIXELS decode for real
   * ([[decodeVideoFrames]] — each movi chunk is a self-contained JPEG
-  * the imageio path handles). Only INTER-frame video codecs (H.264
-  * etc.) stay STUBBED ([[StubCodec]] derives deterministic fake
-  * features from bytes): the JDK ships no bitstream decoder for them.
-  * Swap `StubCodec` for a real JNI/library codec without touching the
-  * pipeline shape.
+  * the imageio path handles).
+  *
+  * DECLARED BOUNDARY (permanent, not pending): INTER-frame video
+  * bitstreams (H.264/H.265/VP9/AV1) are a non-goal of this JDK-only
+  * build — the JDK ships no bitstream decoder and bundling one means
+  * native binaries, which this library deliberately excludes. The seam
+  * is [[MediaCodecFactory]]: register an external JNI/library-backed
+  * factory and every pipeline stage (partitioning, lifecycle, feature
+  * schema, corrupt contract) is unchanged. In-repo, [[StubCodec]]
+  * supplies deterministic byte-derived features behind that seam so the
+  * plumbing stays fully testable.
   *
   * Scale notes: decode runs in `mapPartitions` (one codec init per
   * partition, not per row); blobs never shuffle — features are extracted
