@@ -45,17 +45,25 @@ import org.apache.spark.sql.types._
   * quantile readout `s[max(1, ceil(q·|s|))]` is left to visible column
   * arithmetic ([[graft.ops.SketchOps.sketchQuantile]]) so the formula
   * sits in the plan and is mirrored verbatim in the oracle, the
-  * [[HllAgg]]/`hllEstimate` split.
+  * [[HllAgg]]/`hllEstimate` split. With `withHashes = true` it instead
+  * returns the full (h, v) pair array sorted by (h, v) — the
+  * PERSISTENCE form: the pairs ARE the sketch state, so samples stored
+  * per snapshot merge later by the same k-smallest-union law
+  * ([[graft.ops.SketchOps.quantileSketchUnionCol]]), the CMS/KMV
+  * incremental-corpus pattern.
   */
 case class QuantileSketchAgg(hashChild: Expression, valueChild: Expression,
-    k: Int, mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    k: Int, withHashes: Boolean = false, mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[mutable.TreeSet[(Long, Double)]] {
 
   require(k >= 8, s"quantile sketch needs k >= 8, got $k")
 
   override def children: Seq[Expression] = Seq(hashChild, valueChild)
   override def nullable: Boolean = false
-  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def dataType: DataType =
+    if (withHashes) ArrayType(QuantileSketchAgg.pairType, containsNull = false)
+    else ArrayType(DoubleType, containsNull = false)
 
   override def createAggregationBuffer(): mutable.TreeSet[(Long, Double)] =
     mutable.TreeSet.empty[(Long, Double)]
@@ -85,7 +93,11 @@ case class QuantileSketchAgg(hashChild: Expression, valueChild: Expression,
   }
 
   override def eval(buf: mutable.TreeSet[(Long, Double)]): Any =
-    new GenericArrayData(buf.toArray.map(_._2).sorted)
+    if (withHashes)
+      new GenericArrayData(buf.toArray.map { case (h, v) =>
+        InternalRow(h, v)
+      })
+    else new GenericArrayData(buf.toArray.map(_._2).sorted)
 
   override def serialize(buf: mutable.TreeSet[(Long, Double)]): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(buf.size * 16)
@@ -111,8 +123,19 @@ case class QuantileSketchAgg(hashChild: Expression, valueChild: Expression,
 }
 
 object QuantileSketchAgg {
+  /** Field order (h, v) makes array_sort's lexicographic struct ordering
+    * THE pair ordering — the union law needs no comparator. */
+  val pairType: StructType = StructType(Seq(
+    StructField("h", LongType, nullable = false),
+    StructField("v", DoubleType, nullable = false)))
+
   def apply(h: Column, v: Column, k: Int): Column =
     GraftShims.toColumn(
       QuantileSketchAgg(GraftShims.toExpression(h), GraftShims.toExpression(v),
         k).toAggregateExpression())
+
+  def pairs(h: Column, v: Column, k: Int): Column =
+    GraftShims.toColumn(
+      QuantileSketchAgg(GraftShims.toExpression(h), GraftShims.toExpression(v),
+        k, withHashes = true).toAggregateExpression())
 }

@@ -386,6 +386,45 @@ object SketchOps {
     element_at(sample,
       greatest(lit(1), ceil(lit(q) * size(sample)).cast("int")))
 
+  /** Per-window bottom-k quantile sketch — the same aggregate under a
+    * time window, so it serves `readStream` inputs unchanged (standard
+    * windowed aggregation state; stream-vs-batch pinned in
+    * QuantileSketchSpec): axis-free windowed percentiles, the
+    * latency-monitoring readout [[graft.streaming.StreamingHist]]'s
+    * histogram quantiles need a pre-declared axis for. */
+  def windowedQuantileSketch(rel: DataFrame, tsCol: Column,
+      windowDuration: String, key: Column, value: Column,
+      k: Int = 256): DataFrame =
+    rel.groupBy(window(tsCol, windowDuration).as("window"))
+      .agg(graft.functions.QuantileSketchAgg(
+        quantileSketchHash(key), value.cast("double"), k).as("sample"))
+
+  /** PERSISTENCE form: the full (h, v) pair array per group — pairs ARE
+    * the sketch state, so per-snapshot samples stored out-of-band merge
+    * later via [[quantileSketchUnionCol]] (the CMS/KMV
+    * sketch-per-snapshot pattern; values-only samples cannot merge
+    * because the hash ranks are gone). */
+  def quantileSketchPairs(rel: DataFrame, groupCols: Seq[String],
+      key: Column, value: Column, k: Int = 256): DataFrame =
+    rel.groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.QuantileSketchAgg.pairs(
+        quantileSketchHash(key), value.cast("double"), k).as("pairs"))
+
+  /** Union law for persisted pair arrays: the k lexicographically-
+    * smallest distinct (h, v) pairs of both sketches — exactly the
+    * aggregate's merge (ScalaCheck-pinned), as visible column arithmetic
+    * (array_sort's struct ordering IS the pair ordering by field
+    * order). */
+  def quantileSketchUnionCol(a: Column, b: Column, k: Int): Column =
+    slice(array_sort(array_distinct(concat(a, b))), 1, k)
+
+  /** [[sketchQuantile]] over a PAIR array (persistence form): project
+    * values, sort, take the ⌈q·|s|⌉-th. */
+  def sketchQuantileFromPairs(pairs: Column, q: Double): Column = {
+    val vs = array_sort(transform(pairs, p => p.getField("v")))
+    element_at(vs, greatest(lit(1), ceil(lit(q) * size(vs)).cast("int")))
+  }
+
   /** DuckDB twin of [[quantileSketch]] + [[sketchQuantile]]: `keyedCte`
     * must yield (grp, key, v) by the identical expressions; emits one row
     * per group (grp, n_sample, and one column per requested quantile

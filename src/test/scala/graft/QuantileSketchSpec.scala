@@ -109,6 +109,64 @@ class QuantileSketchSpec extends AnyFunSuite {
     assert(r8.getDouble(1) == want((0.5 * k).ceil.toInt - 1))
   }
 
+  test("pair-array union law == the aggregate's merge (persistence form)") {
+    check(forAll(Gen.choose(8, 32), Gen.listOf(genPair),
+        Gen.listOf(genPair)) { (k, pa, pb) =>
+      val ka = model(pa, k)
+      val kb = model(pb, k)
+      // union of two k-truncated sketches == sketching the union
+      val unioned = model(ka ++ kb, k)
+      unioned == model(pa ++ pb, k)
+    })
+  }
+
+  test("quantileSketchUnionCol + sketchQuantileFromPairs: two snapshot " +
+      "sketches merge to the whole-corpus sketch") {
+    val k = 64
+    val dfA = (0 until 2000).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val dfB = (2000 until 4000).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    def pairsOf(df: org.apache.spark.sql.DataFrame) = SketchOps
+      .quantileSketchPairs(df, Nil, col("id").cast("string"), col("v"), k)
+    val merged = pairsOf(dfA).crossJoin(pairsOf(dfB).withColumnRenamed(
+        "pairs", "pairs_b"))
+      .select(SketchOps.quantileSketchUnionCol(
+        col("pairs"), col("pairs_b"), k).as("pairs"))
+    val whole = pairsOf(dfA.unionByName(dfB))
+    def readout(df: org.apache.spark.sql.DataFrame) = df
+      .select(SketchOps.sketchQuantileFromPairs(col("pairs"), 0.5).as("p50"),
+        transform(col("pairs"), p => p.getField("h")).as("hs"))
+      .collect().head
+    val m = readout(merged)
+    val w = readout(whole)
+    assert(m.getSeq[Long](1) == w.getSeq[Long](1)) // identical sketch state
+    assert(m.getDouble(0) == w.getDouble(0))
+  }
+
+  test("streamed windowed quantile sketch == batch windowed sketch") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("graft-qsketch").toFile
+    val data = Seq.tabulate(600) { i =>
+      (java.sql.Timestamp.valueOf(f"2024-01-01 ${i % 3}%02d:00:01"),
+        i.toLong, (i % 101).toDouble)
+    }
+    val batchDf = data.toDF("ts", "id", "v")
+    batchDf.coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    def key(r: org.apache.spark.sql.Row) =
+      r.getStruct(0).getTimestamp(0).getTime -> r.getSeq[Double](1)
+    val batch = SketchOps.windowedQuantileSketch(batchDf, $"ts", "1 hour",
+        $"id".cast("string"), $"v", k = 32)
+      .collect().map(key).toMap
+    val streamIn = spark.readStream.schema(batchDf.schema).parquet(dir.toString)
+      .withWatermark("ts", "2 hours")
+    val q = SketchOps.windowedQuantileSketch(streamIn, $"ts", "1 hour",
+        $"id".cast("string"), $"v", k = 32)
+      .writeStream.outputMode("complete").format("memory").queryName("qsk")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("qsk").collect().map(key).toMap
+    assert(got == batch && got.nonEmpty)
+  }
+
   test("accuracy: sampled p50/p90 of a uniform grid within sample error") {
     val n = 20000
     val df = (0 until n).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
