@@ -2132,6 +2132,38 @@ object ExtensionQueries {
       ProfileOps.madAnomalies(series, "bucket", "cnt", windowLen = 24)
         .orderBy("bucket")
     },
+    // The SAME alarm running live (streaming/MadStream.scala): hourly
+    // buckets finalized by the watermark feed the trailing median/MAD
+    // readout one bucket at a time — oracle = the batch SQL restricted
+    // to watermark-finalized buckets, the events_cusum_stream discipline
+    "events_anomaly_stream" -> { (s, dir) =>
+      import graft.streaming.{CusumStream, MadStream}
+      implicit val sp: org.apache.spark.sql.SparkSession = s
+      import s.implicits._
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val p = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+      val isDir = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .getFileStatus(p).isDirectory
+      val reader = s.readStream.schema(schema)
+      val src = if (isDir) reader.parquet(p.toString)
+        else reader.option("pathGlobFilter", "events.parquet").parquet(dir)
+      val ev = src
+        .select(lit("events").as("series"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+          lit(1L).as("inc"))
+        .withColumn("et", timestamp_micros(col("ts_us")))
+        .withWatermark("et", "0 seconds")
+        .as[CusumStream.CusumEvent]
+      val sink = "events_anomaly_stream_sink"
+      val q = MadStream.madAnomaliesStream(ev, windowLen = 24, k = 3L,
+          bucketUs = 3600000000L)
+        .writeStream.outputMode("append").format("memory").queryName(sink)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink).select("bucket", "cnt", "med", "mad", "is_anomaly")
+        .orderBy("bucket")
+    },
     // Pre-shuffle skew report: the exact top hot keys with ppm shares —
     // what decides plain shuffle vs salting vs AQE skew split; compiles
     // to TakeOrderedAndProject (bounded per-partition heaps, no sort)
@@ -3629,6 +3661,17 @@ object ExtensionQueries {
           |  FROM events GROUP BY 1)
           |""".stripMargin + ProfileOps.madAnomaliesSql(24) +
         "\nORDER BY bucket"),
+    "events_anomaly_stream" ->
+      (s"""WITH series AS (
+          |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS bucket,
+          |    count(*) AS cnt
+          |  FROM events GROUP BY 1)
+          |SELECT bucket, cnt, med, mad, is_anomaly FROM (
+          |""".stripMargin + ProfileOps.madAnomaliesSql(24) +
+        """)
+          |WHERE (bucket + 1) * 3600000000 <=
+          |  (SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) FROM events)
+          |ORDER BY bucket""".stripMargin),
     "profile_join_advisor" ->
       JoinOps.joinAdvisorSql("orders", "customer", "o_custkey", "c_custkey",
         broadcastRowLimit = 1000L),
