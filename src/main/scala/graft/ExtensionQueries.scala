@@ -2088,6 +2088,27 @@ object ExtensionQueries {
         s.createDataFrame(df.collect().toSeq.asJava, df.schema)
       } finally s.conf.set(graft.plans.ApproxNdvRewrite.ConfKey, "")
     },
+    // The ApproxQuantileRewrite certificate (the ndv_rewrite discipline
+    // pointed at percentiles): plain percentile() SQL planned UNDER the
+    // rule — plan-asserted that WeightedQuantileAgg substituted — with
+    // the estimates recomputed relationally by the oracle (exact
+    // per-value counts, qsA/qsB hash, ORDER BY h LIMIT k, BIGINT cum
+    // readout). Collected eagerly so the conf reset cannot race.
+    "profile_quantile_rewrite" -> { (s, dir) =>
+      import scala.jdk.CollectionConverters._
+      s.conf.set(graft.plans.ApproxQuantileRewrite.ConfKey, "256")
+      try {
+        graft.sources.Sources.eventsWithTimestamp(s, dir).select(col("value"))
+          .createOrReplaceTempView("ev_quantile")
+        val df = s.sql(
+          "SELECT percentile(value, 0.5) AS q500, " +
+            "percentile(value, 0.9) AS q900, count(*) AS n FROM ev_quantile")
+        val optimized = df.queryExecution.optimizedPlan.toString
+        require(optimized.toLowerCase.contains("weightedquantileagg"),
+          s"approx-quantile rewrite did not fire:\n$optimized")
+        s.createDataFrame(df.collect().toSeq.asJava, df.schema)
+      } finally s.conf.set(graft.plans.ApproxQuantileRewrite.ConfKey, "")
+    },
     // Earth-mover drift: "how far did the mass move" in bin-width units
     // — the KS/chi2 sibling that distinguishes a 1-bin from a 10-bin
     // shift; integer cross-CDFs summed as wide decimals
@@ -3642,6 +3663,12 @@ object ExtensionQueries {
          |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n"""
         .stripMargin
     },
+    "profile_quantile_rewrite" ->
+      s"""SELECT q500, q900,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM events) AS n FROM (
+         |${SketchOps.distinctValueQuantileSql(
+            "SELECT value AS v FROM events", Seq(0.5, 0.9), 256)})"""
+        .stripMargin,
     "profile_fd_check" ->
       (ProfileOps.fdCheckSql("orders", Seq(
         "o_orderkey" -> "o_custkey",

@@ -29,6 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // operator-optimization batch so it sees multi-distinct plans
     // BEFORE RewriteDistinctAggregates expands them
     e.injectOptimizerRule(_ => graft.plans.ApproxNdvRewrite())
+    // opt-in percentile(x, q) → bottom-k distinct-value estimate (inert
+    // unless spark.graft.approxQuantile is set)
+    e.injectOptimizerRule(_ => graft.plans.ApproxQuantileRewrite())
   }
 }
 
@@ -131,5 +134,9 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.exists(
         _.isInstanceOf[graft.plans.ApproxNdvRewrite]))
       spark.experimental.extraOptimizations ++= Seq(graft.plans.ApproxNdvRewrite())
+    if (!spark.experimental.extraOptimizations.exists(
+        _.isInstanceOf[graft.plans.ApproxQuantileRewrite]))
+      spark.experimental.extraOptimizations ++=
+        Seq(graft.plans.ApproxQuantileRewrite())
   }
 }

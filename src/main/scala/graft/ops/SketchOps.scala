@@ -353,7 +353,9 @@ object SketchOps {
     * are the same shallow use of the hash as KMV, so the affine mix that
     * fixes KMV suffices; distinct seed from CMS (7), KMV (11), HLL (13)
     * so co-resident sketches never correlate. */
-  private val (qsA, qsB): (Long, Long) = {
+  // exposed for ApproxQuantileRewrite's catalyst hash mirror (one
+  // definition), the hllA/hllB discipline
+  private[graft] val (qsA, qsB): (Long, Long) = {
     val (as, bs) = cmsCoefficients(1, seed = 17L)
     (as(0), bs(0))
   }
@@ -450,6 +452,39 @@ object SketchOps {
        |SELECT grp, CAST(len(s) AS BIGINT) AS n_sample,
        |  $cols
        |FROM samp""".stripMargin
+  }
+
+  /** DuckDB twin of [[graft.functions.WeightedQuantileAgg]] (the
+    * [[graft.plans.ApproxQuantileRewrite]] certificate): `relCte` must
+    * yield the value column `v`; emits one row with a `q<permille>`
+    * column per quantile plus `n_kept`. Recomputes the sketch state
+    * relationally — GROUP BY value for exact multiplicities, the qsA/qsB
+    * hash over CAST(v AS VARCHAR), ORDER BY h, v LIMIT k — and the
+    * identical BIGINT readout (smallest kept v with cum·1e6 ≥ qPpm·total). */
+  def distinctValueQuantileSql(relCte: String, qs: Seq[Double],
+      k: Int = 256): String = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must be in (0, 1], got $qs")
+    val poly = graft.functions.PolyHash.sql("key")
+    val cols = qs.map { q =>
+      val qPpm = math.max(1L, math.round(q * 1000000.0))
+      val name = s"q${(q * 1000).round}"
+      s"(SELECT min(v) FROM cum, tot WHERE cw * 1000000 >= $qPpm * t) AS $name"
+    }.mkString(",\n       |  ")
+    s"""WITH counted AS (
+       |  SELECT v, CAST(count(*) AS BIGINT) AS c
+       |  FROM ($relCte) WHERE v IS NOT NULL GROUP BY 1),
+       |hashed AS (
+       |  SELECT (($poly) * $qsA + $qsB) % $P AS h, v, c FROM (
+       |    SELECT CAST(v AS VARCHAR) AS key, v, c FROM counted)),
+       |kept AS (
+       |  SELECT h, v, c, row_number() OVER (ORDER BY h, v) AS rn
+       |  FROM hashed QUALIFY rn <= $k),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM kept),
+       |cum AS (SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cw
+       |  FROM kept)
+       |SELECT
+       |  $cols""".stripMargin
   }
 
   // ---- HLL distinct-count registers --------------------------------------

@@ -1,0 +1,106 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Percentile}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DecimalType, DoubleType, StringType}
+
+/** Opt-in Catalyst optimizer rule: rewrite exact `percentile(x, q)` to
+  * the bottom-k distinct-value estimate
+  * ([[graft.functions.WeightedQuantileAgg]]) when
+  * `spark.graft.approxQuantile` is set — [[ApproxNdvRewrite]]'s
+  * session-wide approximation mode pointed at quantiles.
+  *
+  * Why a RULE: exact `Percentile` buffers the ENTIRE per-group value
+  * multiset (an OpenHashMap of every distinct value with counts) in
+  * executor memory — at 100 TB a high-cardinality metric column is an
+  * OOM, not a slow query. The rewrite bounds the buffer at k triples and
+  * composes with any query shape because it runs inside the optimizer.
+  *
+  * Scope and contract (conservative by design — anything else stays
+  * exact):
+  *  - fires only when `spark.graft.approxQuantile` is a sample size
+  *    (int >= 16) or "true" (= 256); unset/empty/"false" = inert;
+  *  - rewrites scalar-percentage, frequency-1, non-reverse, unfiltered,
+  *    non-distinct `Percentile` whose percentage folds to a constant in
+  *    [0, 1]; array percentages (multi-quantile), percentile_disc's
+  *    reverse mode, FILTER clauses and explicit frequencies are left
+  *    exact;
+  *  - the value is hashed as CAST(x AS STRING) → [[graft.functions.PolyHash]]
+  *    → the qsA/qsB affine mix — [[graft.ops.SketchOps.quantileSketchHash]]
+  *    verbatim, so a DuckDB oracle recomputes the kept sample and the
+  *    estimate relationally (the `profile_quantile_rewrite` certificate);
+  *    sampling is therefore at string-representation granularity, the
+  *    [[ApproxNdvRewrite]] caveat;
+  *  - the estimate is a SAMPLED INPUT VALUE (percentile_disc flavor),
+  *    not Percentile's linear interpolation — a documented divergence of
+  *    the approximation mode, exact when the column has <= k distinct
+  *    values;
+  *  - null values never update the sketch and an empty group returns
+  *    null — Percentile's null semantics;
+  *  - q is quantized to ppm (round-half-up) for the integer readout;
+  *  - `resultId` is preserved via `copy`; output stays DOUBLE.
+  *
+  * Install: the [[ApproxNdvRewrite]] paths —
+  * `SparkSession.builder.withExtensions(new GraftExtensions)` or
+  * `GraftExtensions.register(spark)` on a live session.
+  */
+case class ApproxQuantileRewrite() extends Rule[LogicalPlan] {
+
+  private def sampleK: Option[Int] =
+    conf.getConfString(ApproxQuantileRewrite.ConfKey, "") match {
+      case "" | "false" => None
+      case "true" => Some(256)
+      case s => Some(s.toIntOption.filter(_ >= 16).getOrElse(
+        throw new IllegalArgumentException(
+          s"${ApproxQuantileRewrite.ConfKey} must be an int >= 16 or " +
+            s"true/false, got '$s'")))
+    }
+
+  private def hashExpr(e: Expression): Expression = {
+    val P = Literal(graft.functions.PolyHash.P)
+    val p = graft.functions.PolyHash(Cast(e, StringType))
+    Pmod(Add(Multiply(p, Literal(graft.ops.SketchOps.qsA)),
+      Literal(graft.ops.SketchOps.qsB)), P)
+  }
+
+  /** Fold a scalar percentage expression to a fraction in [0, 1]. */
+  private def foldedQ(e: Expression): Option[Double] =
+    if (!e.foldable) None
+    else e.dataType match {
+      case DoubleType => Option(e.eval()).map(_.asInstanceOf[Double])
+      case _: DecimalType =>
+        Option(e.eval()).map(_.asInstanceOf[org.apache.spark.sql.types.Decimal]
+          .toDouble)
+      case _ => None
+    }
+
+  private def isOne(e: Expression): Boolean = e match {
+    case Literal(v, _) => Option(v).exists(_.toString == "1")
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = sampleK match {
+    case None => plan
+    case Some(k) =>
+      plan transformUp {
+        case agg: Aggregate =>
+          agg transformExpressions {
+            case ae @ AggregateExpression(p: Percentile, _, false, None, _)
+                if !p.reverse && p.child.deterministic &&
+                  isOne(p.frequencyExpression) &&
+                  foldedQ(p.percentageExpression).exists(q =>
+                    q >= 0.0 && q <= 1.0) =>
+              val q = foldedQ(p.percentageExpression).get
+              val qPpm = math.max(1L, math.round(q * 1000000.0))
+              ae.copy(aggregateFunction = graft.functions.WeightedQuantileAgg(
+                hashExpr(p.child), Cast(p.child, DoubleType), qPpm, k))
+          }
+      }
+  }
+}
+
+object ApproxQuantileRewrite {
+  val ConfKey = "spark.graft.approxQuantile"
+}

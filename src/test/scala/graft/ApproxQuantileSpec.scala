@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.WeightedQuantileAgg
+import graft.plans.ApproxQuantileRewrite
+
+/** The opt-in percentile() → bottom-k distinct-value rewrite and its
+  * estimator. */
+class ApproxQuantileSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.get
+  import spark.implicits._
+
+  private def withApprox[T](m: String)(body: => T): T = {
+    spark.conf.set(ApproxQuantileRewrite.ConfKey, m)
+    try body finally spark.conf.set(ApproxQuantileRewrite.ConfKey, "")
+  }
+
+  private def fired(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.toString.toLowerCase
+      .contains("weightedquantileagg")
+
+  test("rewrite fires under the conf, is inert without it") {
+    spark.range(10000).select((col("id") % 100).cast("double").as("v"))
+      .createOrReplaceTempView("aq")
+    val sql = "SELECT percentile(v, 0.5) AS p FROM aq"
+    val exact = spark.sql(sql)
+    assert(!fired(exact))
+    assert(exact.collect()(0).getDouble(0) == 49.5) // interpolated exact
+    withApprox("256") {
+      val approx = spark.sql(sql)
+      assert(fired(approx))
+      // 100 distinct values <= k=256: every value kept with exact counts
+      // -> the type-1 readout is the exact 50th value
+      assert(approx.collect()(0).getDouble(0) == 49.0)
+    }
+  }
+
+  test("conservative scope: array percentage, frequency, FILTER, " +
+      "DISTINCT stay exact") {
+    spark.range(1000).select((col("id") % 10).cast("double").as("v"),
+      lit(2L).as("f")).createOrReplaceTempView("aq_scope")
+    withApprox("256") {
+      for (sql <- Seq(
+        "SELECT percentile(v, array(0.5, 0.9)) FROM aq_scope",
+        "SELECT percentile(v, 0.5, f) FROM aq_scope",
+        "SELECT percentile(v, 0.5) FILTER (WHERE v > 2) FROM aq_scope",
+        "SELECT percentile(DISTINCT v, 0.5) FROM aq_scope"))
+        assert(!fired(spark.sql(sql)), s"should stay exact: $sql")
+      assert(fired(spark.sql("SELECT percentile(v, 0.5) FROM aq_scope")))
+    }
+  }
+
+  test("null semantics and grouping match percentile") {
+    Seq(("a", Some(1.0)), ("a", Some(3.0)), ("a", None),
+      ("b", None), ("b", None)).toDF("g", "v")
+      .createOrReplaceTempView("aq_null")
+    withApprox("64") {
+      val got = spark.sql(
+        "SELECT g, percentile(v, 0.5) AS p FROM aq_null GROUP BY g ORDER BY g")
+      assert(fired(got))
+      val rows = got.collect()
+      assert(rows(0).getString(0) == "a" && rows(0).getDouble(1) == 1.0)
+      assert(rows(1).getString(0) == "b" && rows(1).isNullAt(1))
+    }
+  }
+
+  test("estimate: exact when distinct <= k; sane under high cardinality") {
+    // high cardinality: 20000 distinct uniform values, k = 256 sample
+    spark.range(20000).select(col("id").cast("double").as("v"))
+      .createOrReplaceTempView("aq_hc")
+    withApprox("256") {
+      val p = spark.sql("SELECT percentile(v, 0.9) AS p FROM aq_hc")
+        .collect()(0).getDouble(0)
+      assert(math.abs(p / 20000.0 - 0.9) < 0.125, s"p90 estimate $p")
+    }
+    // skewed multiplicities, few distincts: exact type-1 answer
+    val skew = Seq.fill(900)(1.0) ++ Seq.fill(50)(5.0) ++ Seq.fill(50)(9.0)
+    skew.toDF("v").createOrReplaceTempView("aq_skew")
+    withApprox("64") {
+      val p = spark.sql("SELECT percentile(v, 0.95) AS p FROM aq_skew")
+        .collect()(0).getDouble(0)
+      assert(p == 5.0) // rank 950 of 1000 -> the 5.0 block, exactly
+    }
+  }
+
+  test("estimate() readout: boundary ranks are type-1 exact") {
+    // cum*1e6 >= qPpm*total boundary: 4 values, weights 1 each
+    val s = Seq((1.0, 1L), (2.0, 1L), (3.0, 1L), (4.0, 1L))
+    assert(WeightedQuantileAgg.estimate(s, 250000L).contains(1.0))
+    assert(WeightedQuantileAgg.estimate(s, 250001L).contains(2.0))
+    assert(WeightedQuantileAgg.estimate(s, 1000000L).contains(4.0))
+    assert(WeightedQuantileAgg.estimate(Nil, 500000L).isEmpty)
+    // weighted: (1.0 w=9, 9.0 w=1) -> p90 is still 1.0, p91 is 9.0
+    val w = Seq((1.0, 9L), (9.0, 1L))
+    assert(WeightedQuantileAgg.estimate(w, 900000L).contains(1.0))
+    assert(WeightedQuantileAgg.estimate(w, 910000L).contains(9.0))
+  }
+
+  test("merge exactness: counts of surviving values are complete under " +
+      "any partitioning") {
+    val df = spark.range(30000)
+      .select(((col("id") * 7919L) % 500L).cast("double").as("v"))
+    withApprox("1000") {
+      df.createOrReplaceTempView("aq_part")
+      // 500 distinct <= k=1000: the readout must be EXACT type-1 no
+      // matter how the 30000 rows are partitioned
+      for (parts <- Seq(1, 7, 32)) {
+        spark.sql("SELECT 1").collect() // keep conf applied
+        val p = df.repartition(parts)
+        p.createOrReplaceTempView("aq_part")
+        val got = spark.sql("SELECT percentile(v, 0.5) AS p FROM aq_part")
+        assert(fired(got))
+        assert(got.collect()(0).getDouble(0) == 249.0, s"parts=$parts")
+      }
+    }
+  }
+}
