@@ -663,6 +663,29 @@ object ExtensionQueries {
         .select("doc_id", "text", "lang", "source", "n_chars")
         .orderBy("doc_id")
     },
+    // JSONL parity — the interchange format every LLM-data pipeline
+    // actually ships: documents mirrored to JSON Lines once, read back
+    // with the EXPLICIT parquet schema (inference re-orders columns and
+    // widens types; at 100 TB it also costs a full extra pass),
+    // hash-matched against the parquet oracle. Line-splittable, so the
+    // read parallelizes like parquet (minus pushdown — documented trade)
+    "source_jsonl_roundtrip" -> { (s, dir) =>
+      val schema = Tables.documents(s, dir).schema
+      s.read.schema(schema).json(jsonlMirrorFor(s, dir))
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+    // CSV parity, same discipline (explicit schema, no inference pass);
+    // quoting round-trips embedded commas/quotes — multiLine stays OFF
+    // so the read splits by line (multiLine forces one task per file,
+    // the 100 TB anti-pattern; corpora with newline-bearing text belong
+    // in JSONL/parquet, not CSV)
+    "source_csv_roundtrip" -> { (s, dir) =>
+      val schema = Tables.documents(s, dir).schema
+      s.read.schema(schema).option("header", "true").csv(csvMirrorFor(s, dir))
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    },
     // Unicode NFC canonicalization (native codegen'd expression; Spark
     // has no normalizer builtin): decomposed combining marks compose so
     // mixed-encoder corpora hash/shingle/tokenize identically. The
@@ -2748,6 +2771,27 @@ object ExtensionQueries {
       p
     })
 
+  // JSONL + CSV mirrors of documents (same amortization): the roundtrip
+  // queries read ONLY the mirror, so a hash match against the
+  // parquet-reading oracle certifies each text format's write->read
+  // path end to end — JSONL is the training-data interchange standard,
+  // CSV the eternal last mile
+  private val jsonlMirrorPaths = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def jsonlMirrorFor(s: SparkSession, dir: String): String =
+    jsonlMirrorPaths.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("graft-jsonl-mirror").toString
+      Tables.documents(s, dir).write.mode("overwrite").json(p)
+      p
+    })
+  private val csvMirrorPaths = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def csvMirrorFor(s: SparkSession, dir: String): String =
+    csvMirrorPaths.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("graft-csv-mirror").toString
+      Tables.documents(s, dir).write.mode("overwrite")
+        .option("header", "true").csv(p)
+      p
+    })
+
   /** (event_type, key) where key = "user-day" — the HLL demo's distinct
     * domain (daily-active-user keys; ~1.5-2k per type at sf0.01, safely in
     * the sketch's raw-estimate regime). */
@@ -2859,6 +2903,12 @@ object ExtensionQueries {
         |  text
         |FROM documents ORDER BY url""".stripMargin,
     "source_orc_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "source_jsonl_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "source_csv_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_normalize_nfc" ->
