@@ -2376,6 +2376,26 @@ object ExtensionQueries {
           SketchOps.sketchQuantile(col("sample"), 0.99).as("q990"))
         .orderBy("event_type")
     },
+    // The sketch-per-snapshot pattern END TO END on the driver surface:
+    // two half-corpus pair sketches (even/odd event_id — two
+    // "snapshots") merged by the visible-arithmetic union law must
+    // equal the ORACLE'S WHOLE-CORPUS recompute — certifying that
+    // persisted sketches merged later answer exactly like sketching
+    // everything at once (merge instead of rescanning history)
+    "events_sketch_merge" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).filter(col("value").isNotNull)
+      val k = 128
+      def pairsOf(half: DataFrame) = SketchOps.quantileSketchPairs(
+        half, Nil, col("event_id").cast("string"), col("value"), k)
+      val merged = pairsOf(ev.filter(col("event_id") % 2 === 0))
+        .crossJoin(broadcast(pairsOf(ev.filter(col("event_id") % 2 === 1))
+          .withColumnRenamed("pairs", "pairs_b")))
+        .select(SketchOps.quantileSketchUnionCol(
+          col("pairs"), col("pairs_b"), k).as("pairs"))
+      merged.select(size(col("pairs")).cast("long").as("n_sample"),
+        SketchOps.sketchQuantileFromPairs(col("pairs"), 0.5).as("q500"),
+        SketchOps.sketchQuantileFromPairs(col("pairs"), 0.9).as("q900"))
+    },
     // Substring-level duplication (Lee et al. 2022 family at shingle
     // granularity): per-doc fraction of distinct k-grams shared with any
     // other document — no pairwise term, df-join only
@@ -3830,6 +3850,14 @@ object ExtensionQueries {
       s"""SELECT grp AS event_type, n_exact, hll_est FROM (
          |${SketchOps.hllEstimateSql(hllKeySql)}
          |) ORDER BY event_type""".stripMargin,
+    "events_sketch_merge" ->
+      s"""SELECT n_sample, q500, q900 FROM (
+         |${SketchOps.quantileSketchSql(
+              """SELECT 'all' AS grp, CAST(event_id AS VARCHAR) AS key,
+                |  value AS v FROM events WHERE value IS NOT NULL"""
+                .stripMargin,
+              Seq(0.5, 0.9), 128)}
+         |)""".stripMargin,
     "events_sketch_quantiles" ->
       s"""SELECT grp AS event_type, n_sample, q500, q900, q990 FROM (
          |${SketchOps.quantileSketchSql(

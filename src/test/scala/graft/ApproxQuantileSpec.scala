@@ -99,6 +99,39 @@ class ApproxQuantileSpec extends AnyFunSuite {
     assert(WeightedQuantileAgg.estimate(w, 910000L).contains(9.0))
   }
 
+  test("buffer law (ScalaCheck): any chunking/fold order yields the " +
+      "k-smallest distinct values with complete counts") {
+    import org.scalacheck.{Gen, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+    import scala.collection.mutable
+    val genPair = for {
+      h <- Gen.choose(0L, 60L) // small domains force eviction churn
+      v <- Gen.choose(-20, 20).map(_.toDouble)
+    } yield (h, v)
+    val prop = forAll(Gen.choose(16, 24), Gen.listOf(Gen.listOf(genPair))) {
+      (k, chunks) =>
+        val agg = new WeightedQuantileAgg(null, null, 500000L, k)
+        def bufOf(c: Seq[(Long, Double)]) = {
+          val b = agg.createAggregationBuffer()
+          c.foreach(p => agg.merge(b, mutable.TreeMap(p -> 1L)))
+          b
+        }
+        val folded = chunks.map(bufOf)
+          .foldLeft(agg.createAggregationBuffer())(agg.merge)
+        val foldedRev = chunks.reverse.map(bufOf)
+          .foldLeft(agg.createAggregationBuffer())(agg.merge)
+        // model: exact multiset counts, k smallest (h, v) keys survive
+        val all = chunks.flatten
+        val model = all.groupBy(identity).view.mapValues(_.size.toLong)
+          .toSeq.sortBy(_._1).take(k).toMap
+        folded.toMap == model && foldedRev.toMap == model &&
+          agg.deserialize(agg.serialize(folded)).toMap == model
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("merge exactness: counts of surviving values are complete under " +
       "any partitioning") {
     val df = spark.range(30000)
