@@ -158,6 +158,17 @@ object Examples {
       spark.stop()
       return
     }
+    if (args.headOption.contains("soak-quantile")) {
+      // exact-percentile-vs-rewrite soak: `runMain graft.Examples
+      // soak-quantile 10000000,40000000` — a high-cardinality metric
+      // column (every value distinct) is exact Percentile's worst case:
+      // its buffer IS the per-group value multiset, so exact time grows
+      // superlinearly while the k-triple rewrite stays scan-bound
+      args.lift(1).getOrElse("10000000,40000000").split(",").map(_.trim.toLong)
+        .foreach(n => quantileSoak(spark, n))
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("soak-crawl")) {
       // crawl-first-mile soak: `runMain graft.Examples soak-crawl
       // 400000` — WARC ingest (payload-skipping metadata scan vs full
@@ -343,6 +354,41 @@ object Examples {
     * The point measured: the hub's RAW degree grows linearly with n,
     * but after degree orientation its OUT-degree (wedge-apex width)
     * collapses — no n² wedge blowup at the hub. */
+  /** Exact percentile vs the [[graft.plans.ApproxQuantileRewrite]]
+    * substitution on an all-distinct metric column (Knuth-hash spread),
+    * grouped 8 ways: warm best-of-2 each, same SQL text, only the conf
+    * differs. The exhibit behind the rewrite's 100 TB claim. */
+  private def quantileSoak(spark: SparkSession, n: Long): Unit = {
+    // the Examples session is built bare — install the optimizer rule
+    // (idempotent); percentile survives to extraOptimizations untouched,
+    // so the live-session path has full scope here
+    GraftExtensions.register(spark)
+    val df = spark.range(n).select(
+      (col("id") * 2654435761L % 4294967296L).cast("double").as("v"),
+      (col("id") % 8).as("g"))
+    df.createOrReplaceTempView("qsoak")
+    def best2(): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        spark.sql("SELECT g, percentile(v, 0.99) AS p FROM qsoak GROUP BY g")
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      math.min(once(), once())
+    }
+    val exactSec = best2()
+    spark.conf.set(graft.plans.ApproxQuantileRewrite.ConfKey, "256")
+    val rewriteSec =
+      try {
+        val plan = spark.sql("SELECT g, percentile(v, 0.99) FROM qsoak GROUP BY g")
+          .queryExecution.optimizedPlan.toString
+        require(plan.toLowerCase.contains("weightedquantileagg"),
+          s"soak is vacuous — rewrite did not fire:\n$plan")
+        best2()
+      } finally spark.conf.set(graft.plans.ApproxQuantileRewrite.ConfKey, "")
+    println(f"""{"example":"quantile_soak","rows":$n,"groups":8,"exact_sec":$exactSec%.2f,"rewrite_sec":$rewriteSec%.2f,"speedup":${exactSec / rewriteSec}%.1f}""")
+  }
+
   private def triangleSoak(spark: SparkSession, n: Long): Unit = {
     val base = spark.range(1L, n).toDF("id") // node 0 is the hub
     val e1 = base.select(col("id").as("a"), ((col("id") + 1) % n).as("b"))
