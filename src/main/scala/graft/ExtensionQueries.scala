@@ -2376,6 +2376,21 @@ object ExtensionQueries {
           SketchOps.sketchQuantile(col("sample"), 0.99).as("q990"))
         .orderBy("event_type")
     },
+    // Per-window axis-free quantiles — the latency-dashboard readout:
+    // the same bottom-k aggregate under an hourly window (the form that
+    // serves readStream unchanged, stream==batch pinned in
+    // QuantileSketchSpec), p50/p99 per hour with no pre-declared axis
+    "events_hourly_sketch" -> { (s, dir) =>
+      val ev = graft.sources.Sources.eventsWithTimestamp(s, dir)
+        .filter(col("value").isNotNull)
+      SketchOps.windowedQuantileSketch(ev, col("ts"), "1 hour",
+          col("event_id").cast("string"), col("value"), k = 64)
+        .select(col("window.start").cast("long").as("bucket_start"),
+          size(col("sample")).cast("long").as("n_sample"),
+          SketchOps.sketchQuantile(col("sample"), 0.5).as("q500"),
+          SketchOps.sketchQuantile(col("sample"), 0.99).as("q990"))
+        .orderBy("bucket_start")
+    },
     // The sketch-per-snapshot pattern END TO END on the driver surface:
     // two half-corpus pair sketches (even/odd event_id — two
     // "snapshots") merged by the visible-arithmetic union law must
@@ -3850,6 +3865,15 @@ object ExtensionQueries {
       s"""SELECT grp AS event_type, n_exact, hll_est FROM (
          |${SketchOps.hllEstimateSql(hllKeySql)}
          |) ORDER BY event_type""".stripMargin,
+    "events_hourly_sketch" ->
+      s"""SELECT grp AS bucket_start, n_sample, q500, q990 FROM (
+         |${SketchOps.quantileSketchSql(
+              """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP)))
+                |    // 1000000 AS grp,
+                |  CAST(event_id AS VARCHAR) AS key, value AS v
+                |FROM events WHERE value IS NOT NULL""".stripMargin,
+              Seq(0.5, 0.99), 64)}
+         |) ORDER BY bucket_start""".stripMargin,
     "events_sketch_merge" ->
       s"""SELECT n_sample, q500, q900 FROM (
          |${SketchOps.quantileSketchSql(
