@@ -1237,26 +1237,7 @@ object ExtensionQueries {
     "events_cusum_stream" -> { (s, dir) =>
       import graft.streaming.CusumStream
       implicit val sp: org.apache.spark.sql.SparkSession = s
-      import s.implicits._
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      // the file-stream source only accepts directories: a single-file
-      // events.parquet is reached as its parent dir + a glob filter, a
-      // directory-shaped one directly
-      val p = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
-      val isDir = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-        .getFileStatus(p).isDirectory
-      val reader = s.readStream.schema(schema)
-      val src = if (isDir) reader.parquet(p.toString)
-        else reader.option("pathGlobFilter", "events.parquet").parquet(dir)
-      val ev = src
-        // the file lands TIMESTAMP_NTZ; watermarks require TIMESTAMP —
-        // same cast the batch eventsWithTimestamp path applies
-        .select(lit("events").as("series"),
-          unix_micros(col("ts").cast("timestamp")).as("ts_us"),
-          lit(1L).as("inc"))
-        .withColumn("et", timestamp_micros(col("ts_us")))
-        .withWatermark("et", "0 seconds")
-        .as[CusumStream.CusumEvent]
+      val ev = eventsIncrementStream(s, dir)
       val sink = "events_cusum_stream_sink"
       val q = CusumStream.cusumShiftStream(ev, refDays = 10,
           slackPermille = 0L, hPermille = 100L)
@@ -2181,23 +2162,9 @@ object ExtensionQueries {
     // readout one bucket at a time — oracle = the batch SQL restricted
     // to watermark-finalized buckets, the events_cusum_stream discipline
     "events_anomaly_stream" -> { (s, dir) =>
-      import graft.streaming.{CusumStream, MadStream}
+      import graft.streaming.MadStream
       implicit val sp: org.apache.spark.sql.SparkSession = s
-      import s.implicits._
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val p = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
-      val isDir = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-        .getFileStatus(p).isDirectory
-      val reader = s.readStream.schema(schema)
-      val src = if (isDir) reader.parquet(p.toString)
-        else reader.option("pathGlobFilter", "events.parquet").parquet(dir)
-      val ev = src
-        .select(lit("events").as("series"),
-          unix_micros(col("ts").cast("timestamp")).as("ts_us"),
-          lit(1L).as("inc"))
-        .withColumn("et", timestamp_micros(col("ts_us")))
-        .withWatermark("et", "0 seconds")
-        .as[CusumStream.CusumEvent]
+      val ev = eventsIncrementStream(s, dir)
       val sink = "events_anomaly_stream_sink"
       val q = MadStream.madAnomaliesStream(ev, windowLen = 24, k = 3L,
           bucketUs = 3600000000L)
@@ -2822,10 +2789,38 @@ object ExtensionQueries {
   private def csvMirrorFor(s: SparkSession, dir: String): String =
     csvMirrorPaths.getOrElseUpdate(dir, {
       val p = java.nio.file.Files.createTempDirectory("graft-csv-mirror").toString
+      // emptyValue: quote empty strings on write so the read can tell
+      // them from null (CSV's default renders both as nothing — the
+      // classic silent null<->"" conflation this certificate must not
+      // depend on the fixture dodging)
       Tables.documents(s, dir).write.mode("overwrite")
-        .option("header", "true").csv(p)
+        .option("header", "true").option("emptyValue", "\"\"").csv(p)
       p
     })
+
+  /** The events table as a one-shot increment stream feeding the live
+    * monitors (cusum/MAD): file-stream source (the single-file
+    * events.parquet is reached as its parent dir + a glob filter — the
+    * source only accepts directories; a directory-shaped one directly),
+    * the TIMESTAMP_NTZ to TIMESTAMP cast the batch eventsWithTimestamp
+    * path applies (watermarks require TIMESTAMP), 0-second watermark. */
+  private def eventsIncrementStream(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[graft.streaming.CusumStream.CusumEvent] = {
+    import s.implicits._
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val p = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val isDir = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .getFileStatus(p).isDirectory
+    val reader = s.readStream.schema(schema)
+    val src = if (isDir) reader.parquet(p.toString)
+      else reader.option("pathGlobFilter", "events.parquet").parquet(dir)
+    src.select(lit("events").as("series"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+        lit(1L).as("inc"))
+      .withColumn("et", timestamp_micros(col("ts_us")))
+      .withWatermark("et", "0 seconds")
+      .as[graft.streaming.CusumStream.CusumEvent]
+  }
 
   /** (event_type, key) where key = "user-day" — the HLL demo's distinct
     * domain (daily-active-user keys; ~1.5-2k per type at sf0.01, safely in

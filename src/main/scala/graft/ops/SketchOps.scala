@@ -457,7 +457,7 @@ object SketchOps {
   /** DuckDB twin of [[graft.functions.WeightedQuantileAgg]] (the
     * [[graft.plans.ApproxQuantileRewrite]] certificate): `relCte` must
     * yield the value column `v`; emits one row with a `q<permille>`
-    * column per quantile plus `n_kept`. Recomputes the sketch state
+    * column per quantile. Recomputes the sketch state
     * relationally — GROUP BY value for exact multiplicities, the qsA/qsB
     * hash over CAST(v AS VARCHAR), ORDER BY h, v LIMIT k — and the
     * identical BIGINT readout (smallest kept v with cum·1e6 ≥ qPpm·total). */

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Percentile}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DecimalType, DoubleType, StringType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, NumericType, StringType}
 
 /** Opt-in Catalyst optimizer rule: rewrite exact `percentile(x, q)` to
   * the bottom-k distinct-value estimate
@@ -23,16 +23,26 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, StringType}
   *  - fires only when `spark.graft.approxQuantile` is a sample size
   *    (int >= 16) or "true" (= 256); unset/empty/"false" = inert;
   *  - rewrites scalar-percentage, frequency-1, non-reverse, unfiltered,
-  *    non-distinct `Percentile` whose percentage folds to a constant in
-  *    [0, 1]; array percentages (multi-quantile), percentile_disc's
-  *    reverse mode, FILTER clauses and explicit frequencies are left
-  *    exact;
+  *    non-distinct `Percentile` over a NUMERIC child whose percentage
+  *    folds to a constant in [0, 1]; array percentages (multi-quantile),
+  *    percentile_disc's reverse mode, FILTER clauses, explicit
+  *    frequencies, and ANSI-interval children (whose Percentile result
+  *    type is the interval, not double — a rewrite would corrupt the
+  *    schema) are left exact;
   *  - the value is hashed as CAST(x AS STRING) → [[graft.functions.PolyHash]]
   *    → the qsA/qsB affine mix — [[graft.ops.SketchOps.quantileSketchHash]]
   *    verbatim, so a DuckDB oracle recomputes the kept sample and the
   *    estimate relationally (the `profile_quantile_rewrite` certificate);
   *    sampling is therefore at string-representation granularity, the
-  *    [[ApproxNdvRewrite]] caveat;
+  *    [[ApproxNdvRewrite]] caveat. RUNTIME correctness needs only
+  *    within-Spark hash determinism (any rendering works); the
+  *    CROSS-ENGINE certificate additionally needs the two engines'
+  *    double→string renderings to agree, which holds for integers,
+  *    decimals, and doubles in ±[1e-3, 1e7) — outside that band Spark
+  *    emits scientific notation ("1.0E7") where DuckDB stays positional
+  *    ("10000000.0"), so a certificate over such a column would compare
+  *    differently-sampled sketches and fail LOUDLY (the gate catches
+  *    it; the documented-tighter-bound discipline of binnedKs);
   *  - the estimate is a SAMPLED INPUT VALUE (percentile_disc flavor),
   *    not Percentile's linear interpolation — a documented divergence of
   *    the approximation mode, exact when the column has <= k distinct
@@ -89,6 +99,7 @@ case class ApproxQuantileRewrite() extends Rule[LogicalPlan] {
           agg transformExpressions {
             case ae @ AggregateExpression(p: Percentile, _, false, None, _)
                 if !p.reverse && p.child.deterministic &&
+                  p.child.dataType.isInstanceOf[NumericType] &&
                   isOne(p.frequencyExpression) &&
                   foldedQ(p.percentageExpression).exists(q =>
                     q >= 0.0 && q <= 1.0) =>

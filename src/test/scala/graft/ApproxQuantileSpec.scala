@@ -47,8 +47,16 @@ class ApproxQuantileSpec extends AnyFunSuite {
         "SELECT percentile(v, array(0.5, 0.9)) FROM aq_scope",
         "SELECT percentile(v, 0.5, f) FROM aq_scope",
         "SELECT percentile(v, 0.5) FILTER (WHERE v > 2) FROM aq_scope",
-        "SELECT percentile(DISTINCT v, 0.5) FROM aq_scope"))
+        "SELECT percentile(DISTINCT v, 0.5) FROM aq_scope",
+        // ANSI-interval child: Percentile's result type IS the interval
+        // — a rewrite to double would corrupt the schema; must stay exact
+        "SELECT percentile(make_dt_interval(0, 0, 0, v), 0.5) FROM aq_scope"))
         assert(!fired(spark.sql(sql)), s"should stay exact: $sql")
+      // and the interval percentile still ANSWERS correctly under the conf
+      val iv = spark.sql(
+        "SELECT percentile(make_dt_interval(0, 0, 0, v), 0.5) FROM aq_scope")
+        .collect()(0).get(0)
+      assert(iv.toString.contains("4.5"), s"interval percentile: $iv")
       assert(fired(spark.sql("SELECT percentile(v, 0.5) FROM aq_scope")))
     }
   }

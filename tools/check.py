@@ -34,8 +34,12 @@ def canon(t):
     if s.startswith("timestamp["):
         return "timestamp"
     if s.startswith("large_list<") or s.startswith("list<"):
-        inner = s[s.index("<") + 1:-1]
-        return f"list<{inner}>"
+        # canonicalize the element type too (duckdb emits
+        # large_list<large_string> where spark reads list<string>)
+        try:
+            return f"list<{canon(t.value_type)}>"
+        except AttributeError:
+            return f"list<{s[s.index('<') + 1:-1]}>"
     return s
 
 
