@@ -1501,30 +1501,15 @@ object ProfileOps {
     val spark = df.sparkSession
     import spark.implicits._
     val vals = df.select(valueMicro.cast("long").as("v"))
+    // first significant digit = first char of the decimal rendering —
+    // exact for positive BIGINT on both engines, and it evaluates the
+    // caller's value expression ONCE. The previous 19-branch magnitude
+    // CASE got the caller's round()+cast INLINED into every branch by
+    // CollapseProject (plus the filter's isnotnull copy), a measured
+    // 10x per-row tax at sf0.1 (4.3 s -> 0.4 s on lineitem prices).
     val pos = vals.filter(col("v") > 0L)
-      .withColumn("digit", expr(
-        // first significant digit: strip trailing magnitude by integer
-        // division — exact, no float log
-        """CASE
-          |  WHEN v >= 1000000000000000000L THEN v div 1000000000000000000L
-          |  WHEN v >= 100000000000000000L THEN v div 100000000000000000L
-          |  WHEN v >= 10000000000000000L THEN v div 10000000000000000L
-          |  WHEN v >= 1000000000000000L THEN v div 1000000000000000L
-          |  WHEN v >= 100000000000000L THEN v div 100000000000000L
-          |  WHEN v >= 10000000000000L THEN v div 10000000000000L
-          |  WHEN v >= 1000000000000L THEN v div 1000000000000L
-          |  WHEN v >= 100000000000L THEN v div 100000000000L
-          |  WHEN v >= 10000000000L THEN v div 10000000000L
-          |  WHEN v >= 1000000000L THEN v div 1000000000L
-          |  WHEN v >= 100000000L THEN v div 100000000L
-          |  WHEN v >= 10000000L THEN v div 10000000L
-          |  WHEN v >= 1000000L THEN v div 1000000L
-          |  WHEN v >= 100000L THEN v div 100000L
-          |  WHEN v >= 10000L THEN v div 10000L
-          |  WHEN v >= 1000L THEN v div 1000L
-          |  WHEN v >= 100L THEN v div 100L
-          |  WHEN v >= 10L THEN v div 10L
-          |  ELSE v END""".stripMargin))
+      .withColumn("digit",
+        expr("CAST(substr(CAST(v AS STRING), 1, 1) AS BIGINT)"))
     val counts = pos.groupBy("digit").agg(count(lit(1)).as("n"))
     val tot = vals.agg(
       coalesce(sum(when(col("v") > 0L, 1L).otherwise(0L)), lit(0L)).as("nn"),
@@ -1550,15 +1535,9 @@ object ProfileOps {
   /** DuckDB twin of [[benfordAudit]]: `valsCte` must yield `v` (the
     * caller-scaled positive BIGINT) by the identical expressions. */
   def benfordAuditSql(valsCte: String): String = {
-    val cases = (18 to 1 by -1).map { e =>
-      val p = "1" + "0" * e
-      s"WHEN v >= $p THEN v // $p"
-    }.mkString("\n          ")
     s"""WITH vals AS ($valsCte),
        |pos AS (
-       |  SELECT CASE
-       |          $cases
-       |          ELSE v END AS digit
+       |  SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS digit
        |  FROM vals WHERE v > 0),
        |counts AS (SELECT digit, CAST(count(*) AS BIGINT) AS n
        |  FROM pos GROUP BY 1),
