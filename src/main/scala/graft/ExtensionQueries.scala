@@ -572,6 +572,15 @@ object ExtensionQueries {
         "source", "doc_id", "n_chars", targetBytes = 32768L)
         .orderBy("source", "doc_id")
     },
+    // Deterministic range-partition plan: equi-depth split points from
+    // the bottom-k sketch + the realized per-range balance — the
+    // write-path clustering decision without a global sort, replayable
+    // (Spark's RangePartitioner reservoir-samples nondeterministically;
+    // this plan is a pure function of the data, oracle-certified)
+    "layout_range_plan" -> { (s, dir) =>
+      LayoutOps.rangePlan(Tables.documents(s, dir), col("doc_id"),
+        col("n_chars"), buckets = 8).orderBy("bucket")
+    },
     // Per-source linear sanity model chars ~ tokens: exact integer
     // normal-equation sums, closed-form slope/intercept/r2 at 6dp —
     // the drift probe behind token budgeting
@@ -2908,6 +2917,11 @@ object ExtensionQueries {
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "layout_compaction" ->
       (LayoutOps.compactionPlanSql(32768L) + "\nORDER BY source, doc_id"),
+    "layout_range_plan" ->
+      (LayoutOps.rangePlanSql(
+        """SELECT CAST(doc_id AS VARCHAR) AS key, CAST(n_chars AS DOUBLE) AS v
+          |FROM documents WHERE n_chars IS NOT NULL""".stripMargin, 8) +
+        "\nORDER BY bucket"),
     "profile_linear_fit" ->
       (ProfileOps.linearFitSql("documents", "source",
         "len(list_filter(string_split(text, ' '), w -> w <> ''))",

@@ -150,6 +150,74 @@ object LayoutOps {
        |   // $targetBytes AS BIGINT) AS bin
        |FROM documents""".stripMargin
 
+  /** Deterministic RANGE-PARTITION PLAN from the bottom-k quantile
+    * sketch: equi-depth boundaries at i/buckets (i = 1..buckets−1) of
+    * the sketch sample, then one pass assigning every row to its range
+    * and reporting the realized balance — the write-path range
+    * clustering decision (sort keys for a range-clustered sink, split
+    * points for a custom partitioner) WITHOUT a global sort.
+    *
+    * Spark's own RangePartitioner answers the same question with a
+    * NONDETERMINISTIC reservoir sample (two runs → two layouts); this
+    * plan is a pure function of the data — the portable-hash sample is
+    * replayable, so the boundaries are certifiable against the
+    * relational oracle and stable across reruns/partitionings
+    * (LayoutSpec pins both).
+    *
+    * Assignment: bucket(v) = |{ b ∈ boundaries : v > b }| — a ≤
+    * (buckets−1)-element fold per row over the broadcast one-row
+    * boundary array. Returns one row per NON-EMPTY bucket: (bucket,
+    * n_rows, hi) with hi = the bucket's upper boundary (null for the
+    * last). Sample error O(1/√k) bounds the balance skew; buckets ≪ k
+    * or the boundaries repeat.
+    *
+    * 100 TB shape: one scan for the sketch (k·16-byte partial buffers),
+    * one scan for the assignment with a (buckets−1)-double broadcast —
+    * vs the global sort a naive equi-depth split pays. */
+  def rangePlan(df: DataFrame, keyCol: Column, valueCol: Column,
+      buckets: Int, k: Int = 256): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    require(k >= buckets, s"sample k=$k must be >= buckets=$buckets")
+    val vals = df.select(keyCol.cast("string").as("key"),
+      valueCol.cast("double").as("v")).filter(col("v").isNotNull)
+    val sk = SketchOps.quantileSketch(vals, Nil, col("key"), col("v"), k)
+    val bounds = sk.select(array((1 until buckets).map(i =>
+      SketchOps.sketchQuantile(col("sample"),
+        i.toDouble / buckets)): _*).as("bounds"))
+    vals.crossJoin(broadcast(bounds))
+      .select(expr("aggregate(bounds, 0, (acc, b) -> acc + " +
+        "(CASE WHEN v > b THEN 1 ELSE 0 END))").cast("long").as("bucket"),
+        col("bounds"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        first(when(col("bucket") < (buckets - 1).toLong,
+          expr("element_at(bounds, CAST(bucket + 1 AS INT))"))).as("hi"))
+  }
+
+  /** DuckDB twin of [[rangePlan]]: `keyedCte` must yield (key, v) by the
+    * identical expressions; same sketch recompute, same order-statistic
+    * boundaries, same strict-greater fold assignment. */
+  def rangePlanSql(keyedCte: String, buckets: Int, k: Int = 256): String = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val qs = (1 until buckets)
+      .map(i => s"s[greatest(1, CAST(ceil(${i.toDouble / buckets} * len(s))" +
+        " AS INT))]").mkString(", ")
+    s"""WITH keyed AS ($keyedCte),
+       |sk AS (${SketchOps.quantileSketchSampleSql("SELECT 'all' AS grp, key, v FROM keyed", k)}),
+       |bd AS (SELECT [$qs] AS bounds FROM sk),
+       |assigned AS (
+       |  SELECT len(list_filter(bd.bounds, b -> v > b)) AS bucket
+       |  FROM keyed CROSS JOIN bd),
+       |grouped AS (
+       |  SELECT CAST(bucket AS BIGINT) AS bucket,
+       |    CAST(count(*) AS BIGINT) AS n_rows
+       |  FROM assigned GROUP BY 1)
+       |SELECT g.bucket, g.n_rows,
+       |  CASE WHEN g.bucket < ${buckets - 1}
+       |    THEN bd.bounds[CAST(g.bucket + 1 AS INT)] END AS hi
+       |FROM grouped g CROSS JOIN bd""".stripMargin
+  }
+
   /** Per-file (min, max) of `zkey` in a Z-ordered dataset — what the
     * scan planner's footer pruning sees. Driver-sized by construction
     * (one row per FILE); used by tests and the SCALE.md exhibit to

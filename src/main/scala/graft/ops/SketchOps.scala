@@ -432,23 +432,31 @@ object SketchOps {
     * per group (grp, n_sample, and one column per requested quantile
     * named q<permille>). The sketch state is recomputed RELATIONALLY —
     * `DISTINCT (h, v) ORDER BY h, v LIMIT k` per group IS the buffer. */
+  /** The sample-recompute core every sketch oracle shares (and
+    * [[graft.ops.LayoutOps.rangePlanSql]] reuses): per-grp sorted sample
+    * list `s` — DISTINCT (hash, v) pairs, ORDER BY h, v LIMIT k,
+    * values sorted. `keyedCte` must yield (grp, key, v). */
+  def quantileSketchSampleSql(keyedCte: String, k: Int = 256): String = {
+    val poly = graft.functions.PolyHash.sql("key")
+    s"""SELECT grp, list_sort(list(v)) AS s FROM (
+       |  SELECT grp, h, v,
+       |    row_number() OVER (PARTITION BY grp ORDER BY h, v) AS rn
+       |  FROM (SELECT DISTINCT grp,
+       |      (($poly) * $qsA + $qsB) % $P AS h, CAST(v AS DOUBLE) AS v
+       |    FROM ($keyedCte))
+       |  QUALIFY rn <= $k)
+       |GROUP BY 1""".stripMargin
+  }
+
   def quantileSketchSql(keyedCte: String, qs: Seq[Double],
       k: Int = 256): String = {
     require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
       s"quantiles must be in (0, 1], got $qs")
-    val poly = graft.functions.PolyHash.sql("key")
     val cols = qs.map { q =>
       val name = s"q${(q * 1000).round}"
       s"s[greatest(1, CAST(ceil($q * len(s)) AS INT))] AS $name"
     }.mkString(",\n       |  ")
-    s"""WITH keyed AS ($keyedCte),
-       |pairs AS (SELECT DISTINCT grp,
-       |  (($poly) * $qsA + $qsB) % $P AS h, CAST(v AS DOUBLE) AS v
-       |  FROM keyed),
-       |kept AS (SELECT grp, h, v,
-       |  row_number() OVER (PARTITION BY grp ORDER BY h, v) AS rn
-       |  FROM pairs QUALIFY rn <= $k),
-       |samp AS (SELECT grp, list_sort(list(v)) AS s FROM kept GROUP BY 1)
+    s"""WITH samp AS (${quantileSketchSampleSql(keyedCte, k)})
        |SELECT grp, CAST(len(s) AS BIGINT) AS n_sample,
        |  $cols
        |FROM samp""".stripMargin

@@ -1438,6 +1438,28 @@ class OpsSpec extends AnyFunSuite {
       plan.toLowerCase.contains("partial") && plan.contains("TopKAgg"), plan)
   }
 
+  test("rangePlan: deterministic equi-depth split — partition-stable, " +
+      "monotone boundaries, balanced within sample error") {
+    val n = 20000
+    val df = (0 until n).map(i => (i.toLong, (i % 4001).toDouble)).toDF("id", "v")
+    def run(parts: Int) = LayoutOps
+      .rangePlan(df.repartition(parts), col("id"), col("v"), buckets = 8)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    val p1 = run(1)
+    val p16 = run(16)
+    assert(p1 == p16) // Spark's RangePartitioner cannot promise this
+    // every row lands somewhere; boundaries strictly ordered; last open
+    assert(p1.map(_._2).sum == n)
+    val bounds = p1.flatMap(_._3)
+    assert(bounds == bounds.sorted && bounds.distinct == bounds)
+    assert(p1.last._3.isEmpty && p1.init.forall(_._3.isDefined))
+    // equi-depth within bottom-k sample error (k=256, 8 buckets:
+    // expected 2500/bucket; allow a generous 4-sigma-ish band)
+    assert(p1.map(_._2).forall(c => c > 1000 && c < 4500), p1.toString)
+  }
+
   test("compactionPlan: offset-bin packing per partition, fail-loud manifest") {
     val manifest = Seq(
       ("p1", 1L, 60L), ("p1", 2L, 60L), ("p1", 3L, 60L), // 0,0,1 @ target 100
