@@ -134,15 +134,22 @@ object WeightedQuantileAgg {
 
   /** The ONE readout implementation (engine + specs share it): smallest
     * sampled value whose cumulative count reaches qPpm of the sample
-    * total — pure BIGINT compares, valid for totals up to 2^63/1e6. */
+    * total. The rank threshold ceil(qPpm*total/1e6) is computed once in
+    * arbitrary precision, so the compare is exact for any Long total —
+    * matching the DuckDB twin, whose `cum * 1000000 >= qPpm * total`
+    * auto-widens to HUGEINT. */
   def estimate(sample: Seq[(Double, Long)], qPpm: Long): Option[Double] = {
     if (sample.isEmpty) return None
     val sorted = sample.sortBy(_._1)
     val total = sorted.map(_._2).sum
+    // cum*1e6 >= qPpm*total  <=>  cum >= ceil(qPpm*total/1e6) for integer
+    // cum; the threshold is <= total so it always fits back in a Long.
+    val threshold =
+      ((BigInt(qPpm) * BigInt(total) + 999999) / 1000000).toLong
     var cum = 0L
     sorted.foreach { case (v, c) =>
       cum += c
-      if (cum * 1000000L >= qPpm * total) return Some(v)
+      if (cum >= threshold) return Some(v)
     }
     Some(sorted.last._1)
   }

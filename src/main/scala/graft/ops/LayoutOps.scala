@@ -180,13 +180,10 @@ object LayoutOps {
     require(k >= buckets, s"sample k=$k must be >= buckets=$buckets")
     val vals = df.select(keyCol.cast("string").as("key"),
       valueCol.cast("double").as("v")).filter(col("v").isNotNull)
-    val sk = SketchOps.quantileSketch(vals, Nil, col("key"), col("v"), k)
-    val bounds = sk.select(array((1 until buckets).map(i =>
-      SketchOps.sketchQuantile(col("sample"),
-        i.toDouble / buckets)): _*).as("bounds"))
+    val bounds = rangeBoundsDf(vals, col("key"), col("v"), buckets, k)
+      .withColumnRenamed("__bounds", "bounds")
     vals.crossJoin(broadcast(bounds))
-      .select(expr("aggregate(bounds, 0, (acc, b) -> acc + " +
-        "(CASE WHEN v > b THEN 1 ELSE 0 END))").cast("long").as("bucket"),
+      .select(rangeBucketOf("v", "bounds").as("bucket"),
         col("bounds"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_rows"),
@@ -217,6 +214,51 @@ object LayoutOps {
        |    THEN bd.bounds[CAST(g.bucket + 1 AS INT)] END AS hi
        |FROM grouped g CROSS JOIN bd""".stripMargin
   }
+
+  // ---- monotone range buckets (the distributed-window substrate) -------
+  /** One-row bounds relation for [[rangeBucketOf]]: the (buckets−1)
+    * deterministic sketch quantiles of `valueCol` — [[rangePlan]]'s
+    * boundary planning exposed as a reusable piece, because the same
+    * boundaries turn any GLOBAL ordered window into per-bucket windows
+    * plus a bounded bucket-offset prefix sum (the
+    * [[graft.ops.PipelineOps.tokenBudgetMix]] two-phase pattern pointed
+    * at value order instead of hash order). `keyCol` must be row-unique
+    * over `rel` (the sketch contract); empty input yields one row of
+    * null bounds, under which every row lands in bucket 0. Output: one
+    * row, column `__bounds` array<double>. */
+  def rangeBoundsDf(rel: DataFrame, keyCol: Column, valueCol: Column,
+      buckets: Int, k: Int = 1024): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    require(k >= buckets, s"sample k=$k must be >= buckets=$buckets")
+    val vals = rel.select(keyCol.cast("string").as("__rb_key"),
+      valueCol.cast("double").as("__rb_v")).filter(col("__rb_v").isNotNull)
+    val sk = SketchOps.quantileSketch(vals, Nil, col("__rb_key"),
+      col("__rb_v"), k)
+    // Empty (or all-null-value) input leaves the sketch sample empty;
+    // guard the order-statistic read so ANSI mode doesn't throw
+    // INVALID_ARRAY_INDEX while planning bounds an empty assignment
+    // scan never uses. CaseWhen evaluates the branch lazily, so the
+    // element_at never runs on an empty array.
+    sk.select(array((1 until buckets).map(i =>
+      when(size(col("sample")) > 0,
+        SketchOps.sketchQuantile(col("sample"),
+          i.toDouble / buckets))): _*).as("__bounds"))
+  }
+
+  /** Monotone bucket assignment against [[rangeBoundsDf]] boundaries:
+    * bucket(v) = #{b ∈ bounds : v > b} — a ≤(buckets−1)-element fold per
+    * row over the broadcast one-row boundary array. NON-DECREASING in v
+    * with equal values always sharing a bucket, so a window ordered by
+    * (v, …) within each bucket, offset by the cumulative count of the
+    * buckets below, reproduces the corresponding GLOBAL ordered window
+    * EXACTLY — the property [[graft.ops.ProfileOps.giniIndex]] and
+    * [[graft.ops.PipelineOps.quantileNormalize]] build their
+    * straggler-free forms on. `valueName` is compared as-is (numeric
+    * promotion against the double bounds is monotone). */
+  def rangeBucketOf(valueName: String, boundsName: String = "__bounds")
+      : Column =
+    expr(s"aggregate($boundsName, 0, (acc, b) -> acc + " +
+      s"(CASE WHEN $valueName > b THEN 1 ELSE 0 END))").cast("long")
 
   /** Per-file (min, max) of `zkey` in a Z-ordered dataset — what the
     * scan planner's footer pruning sees. Driver-sized by construction

@@ -1012,39 +1012,63 @@ object PipelineOps {
     *   k = ceil( ((2·rn − 1) / (2·n_g)) · N )    (midrank → global rank)
     *   norm = the global score of rank k
     *
-    * computed in BIGINT throughout ((2rn−1)·N then div — engine-exact;
+    * computed exactly throughout ((2rn−1)·N rides DECIMAL(38,0), the
+    * integral divide lands back in BIGINT — engine-exact at any N;
     * scores themselves copy unchanged), under the (score, tie) total
     * order on both the group and global sides — fully deterministic
     * and hash-certifiable.
     *
-    * Scale contract (enforced loudly): the (2rn−1)·N product caps the
-    * EXACT formulation at N ≤ 2^31 rows — and the global rank window
-    * is a global sort besides. Past that, substitute the G-point grid
-    * variant: compute G global order statistics once (distributed
-    * sort-and-offset or a mergeable quantile sketch), broadcast the
-    * grid, and bucket each midrank into it — same semantics at 1/G
-    * resolution, no global window, no overflow. The exhibit keeps the
-    * exact form because it is the oracle-checkable spec the grid
-    * variant must approximate. */
+    * EVERY rank is computed in GRID form — no global (or whole-group)
+    * sort anywhere: rows get a monotone range bucket from the
+    * deterministic sketch boundaries
+    * ([[graft.ops.LayoutOps.rangeBucketOf]] over score), ordered
+    * windows run within (grp, bucket) / (bucket), and the offsets are
+    * prefix sums over the bounded bucket-totals relations — the
+    * [[tokenBudgetMix]] two-phase pattern pointed at value order.
+    * Equal scores share a bucket and the bucketing is monotone in
+    * score, so each composed rank is BIT-IDENTICAL to its global
+    * window (spec-pinned) with no single-task straggler; per-bucket
+    * load is balanced to the sketch's O(1/√k) sample error (a single
+    * score value carrying a macroscopic share of all rows still
+    * concentrates — ties cannot be split across buckets by
+    * construction). */
   def quantileNormalize(df: DataFrame, groupCol: String, scoreCol: String,
-      tieCol: String): DataFrame = {
+      tieCol: String, buckets: Int = 256): DataFrame = {
     val base = df.select(col(tieCol).as("tie"), col(groupCol).as("grp"),
       col(scoreCol).cast("long").as("score"))
-    val w = base
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("grp").orderBy("score", "tie")).cast("long"))
-      .withColumn("n_g", count(lit(1)).over(
-        Window.partitionBy("grp")).cast("long"))
-    val g = base.select(col("score").as("g_score"), col("tie"))
-      .withColumn("gr", row_number().over(
-        Window.orderBy("g_score", "tie")).cast("long"))
-      .select("gr", "g_score")
+    val bounds = LayoutOps.rangeBoundsDf(base, col("tie"), col("score"),
+      buckets)
+    val gbase = base.crossJoin(broadcast(bounds))
+      .withColumn("bkt", LayoutOps.rangeBucketOf("score")).drop("__bounds")
+
+    // group side: rn = within-group rank by (score, tie); n_g = group size
+    val wGOff = Window.partitionBy("grp").orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val gOffsets = gbase.groupBy("grp", "bkt").agg(count(lit(1)).as("gbc"))
+      .withColumn("goff", coalesce(sum(col("gbc")).over(wGOff), lit(0L)))
+      .select("grp", "bkt", "goff")
+    val nG = gbase.groupBy("grp").agg(count(lit(1)).as("n_g"))
+    val wGIn = Window.partitionBy("grp", "bkt").orderBy("score", "tie")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val w = gbase.join(gOffsets, Seq("grp", "bkt")).join(nG, Seq("grp"))
+      .withColumn("rn", col("goff") + sum(lit(1L)).over(wGIn))
+
+    // global side: gr = global rank by (score, tie)
+    val wOff = Window.orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = gbase.groupBy("bkt").agg(count(lit(1)).as("bc"))
+      .withColumn("off", coalesce(sum(col("bc")).over(wOff), lit(0L)))
+      .select("bkt", "off")
+    val wIn = Window.partitionBy("bkt").orderBy("score", "tie")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val g = gbase.join(broadcast(offsets), Seq("bkt"))
+      .withColumn("gr", col("off") + sum(lit(1L)).over(wIn))
+      .select(col("gr"), col("score").as("g_score"))
+
     val n = base.count()
-    require(n <= Int.MaxValue.toLong,
-      s"quantileNormalize: exact form capped at 2^31 rows (got $n) — " +
-        "use the grid variant documented on this method at that scale")
     w.withColumn("k",
-        expr(s"((2L*rn - 1L) * ${n}L + 2L*n_g - 1L) div (2L*n_g)"))
+        expr(s"((CAST(2L*rn - 1L AS DECIMAL(38,0)) * ${n}L" +
+          s" + 2L*n_g - 1L) div (2L*n_g))"))
       .join(g, col("k") === col("gr"))
       .select(col("tie"), col("grp"), col("score"),
         col("g_score").as("norm_score"))

@@ -660,14 +660,38 @@ object ProfileOps {
     * at an L-statistic. Products ride DECIMAL(38,0) (v·n² exceeds int64
     * fast); only the final division is floating point, rounded 6dp.
     *
-    * One row: (n, sum_x, gini). Corpus cost is one groupBy(v). */
-  def giniIndex(df: DataFrame, valueCol: Column): DataFrame = {
+    * The cumulative count is computed in GRID form (no global window):
+    * distinct values get a monotone range bucket from the deterministic
+    * sketch boundaries ([[graft.ops.LayoutOps.rangeBucketOf]]), the
+    * within-bucket window is partitioned by bucket, and bucket offsets
+    * are a prefix sum over the ≤`buckets`-row totals relation — the
+    * [[graft.ops.PipelineOps.tokenBudgetMix]] two-phase pattern. Equal
+    * values share a bucket and the bucketing is monotone, so cb is
+    * BIT-IDENTICAL to the single global window (spec-pinned) with no
+    * single-task straggler at any distinct-value count; per-bucket load
+    * is balanced to the sketch's O(1/√k) sample error.
+    *
+    * One row: (n, sum_x, gini). Corpus cost is one groupBy(v); the
+    * grid adds one sketch pass + one ≤buckets-row aggregate over the
+    * (small) distinct relation. */
+  def giniIndex(df: DataFrame, valueCol: Column, buckets: Int = 256)
+      : DataFrame = {
     val g = df.select(valueCol.cast("long").as("v"))
       .filter(col("v").isNotNull)
       .groupBy("v").agg(count(lit(1)).as("cnt"))
-    val w = Window.orderBy("v")
+    val bounds = LayoutOps.rangeBoundsDf(g, col("v"), col("v"), buckets)
+    val gb = g.crossJoin(broadcast(bounds))
+      .withColumn("bkt", LayoutOps.rangeBucketOf("v")).drop("__bounds")
+    val wOff = Window.orderBy("bkt")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val cum = g.withColumn("cb", coalesce(sum(col("cnt")).over(w), lit(0L)))
+    val offsets = gb.groupBy("bkt").agg(sum(col("cnt")).as("bc"))
+      .withColumn("off", coalesce(sum(col("bc")).over(wOff), lit(0L)))
+      .select("bkt", "off")
+    val wIn = Window.partitionBy("bkt").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = gb.join(broadcast(offsets), Seq("bkt"))
+      .withColumn("cb",
+        col("off") + coalesce(sum(col("cnt")).over(wIn), lit(0L)))
     cum.agg(
         sum(col("cnt")).as("n"),
         sum(col("v") * col("cnt")).as("sum_x"),

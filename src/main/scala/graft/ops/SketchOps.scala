@@ -481,7 +481,8 @@ object SketchOps {
     }.mkString(",\n       |  ")
     s"""WITH counted AS (
        |  SELECT v, CAST(count(*) AS BIGINT) AS c
-       |  FROM ($relCte) WHERE v IS NOT NULL GROUP BY 1),
+       |  FROM ($relCte)
+       |  WHERE v IS NOT NULL AND isfinite(CAST(v AS DOUBLE)) GROUP BY 1),
        |hashed AS (
        |  SELECT (($poly) * $qsA + $qsB) % $P AS h, v, c FROM (
        |    SELECT CAST(v AS VARCHAR) AS key, v, c FROM counted)),

@@ -46,15 +46,20 @@ import org.apache.spark.sql.types.StringType
   */
 case class ApproxNdvRewrite() extends Rule[LogicalPlan] {
 
-  private def registers: Option[Int] =
-    conf.getConfString(ApproxNdvRewrite.ConfKey, "") match {
-      case "" | "false" => None
-      case "true" => Some(64)
-      case s => Some(s.toIntOption.filter(_ >= 16).getOrElse(
-        throw new IllegalArgumentException(
-          s"${ApproxNdvRewrite.ConfKey} must be an int >= 16 or " +
-            s"true/false, got '$s'")))
-    }
+  // Raw conf value, read once per apply(); parsing (and therefore the
+  // malformed-value throw) is deferred to the first actually-matching
+  // distinct count, so a typo'd conf cannot break unrelated queries —
+  // the optimizer runs this rule on EVERY plan in the session.
+  private def rawConf: String =
+    conf.getConfString(ApproxNdvRewrite.ConfKey, "")
+
+  private def parseRegisters(s: String): Int = s match {
+    case "true" => 64
+    case v => v.toIntOption.filter(_ >= 16).getOrElse(
+      throw new IllegalArgumentException(
+        s"${ApproxNdvRewrite.ConfKey} must be an int >= 16 or " +
+          s"true/false, got '$v'"))
+  }
 
   private def hashExpr(e: Expression): Expression = {
     val P = Literal(graft.functions.PolyHash.P)
@@ -64,9 +69,10 @@ case class ApproxNdvRewrite() extends Rule[LogicalPlan] {
       Literal(graft.ops.SketchOps.hllB)), P)
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = registers match {
-    case None => plan
-    case Some(m) =>
+  override def apply(plan: LogicalPlan): LogicalPlan = rawConf match {
+    case "" | "false" => plan
+    case raw =>
+      lazy val m = parseRegisters(raw) // throws only if a rewrite fires
       plan transformUp {
         case agg: Aggregate =>
           agg transformExpressions {

@@ -43,6 +43,9 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, NumericType, StringT
   *    ("10000000.0"), so a certificate over such a column would compare
   *    differently-sampled sketches and fail LOUDLY (the gate catches
   *    it; the documented-tighter-bound discipline of binnedKs);
+  *    NaN/±Infinity never reach the sketch at all — the rewrite nulls
+  *    non-finite values (and the SQL twin filters `isfinite`), so the
+  *    rendering caveat cannot be triggered by them;
   *  - the estimate is a SAMPLED INPUT VALUE (percentile_disc flavor),
   *    not Percentile's linear interpolation — a documented divergence of
   *    the approximation mode, exact when the column has <= k distinct
@@ -58,21 +61,41 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, NumericType, StringT
   */
 case class ApproxQuantileRewrite() extends Rule[LogicalPlan] {
 
-  private def sampleK: Option[Int] =
-    conf.getConfString(ApproxQuantileRewrite.ConfKey, "") match {
-      case "" | "false" => None
-      case "true" => Some(256)
-      case s => Some(s.toIntOption.filter(_ >= 16).getOrElse(
-        throw new IllegalArgumentException(
-          s"${ApproxQuantileRewrite.ConfKey} must be an int >= 16 or " +
-            s"true/false, got '$s'")))
-    }
+  // Raw conf value, read once per apply(); parsing (and therefore the
+  // malformed-value throw) is deferred to the first actually-matching
+  // Percentile, so a typo'd conf cannot break percentile-free queries —
+  // the optimizer runs this rule on EVERY plan in the session.
+  private def rawConf: String =
+    conf.getConfString(ApproxQuantileRewrite.ConfKey, "")
+
+  private def parseK(s: String): Int = s match {
+    case "true" => 256
+    case v => v.toIntOption.filter(_ >= 16).getOrElse(
+      throw new IllegalArgumentException(
+        s"${ApproxQuantileRewrite.ConfKey} must be an int >= 16 or " +
+          s"true/false, got '$v'"))
+  }
 
   private def hashExpr(e: Expression): Expression = {
     val P = Literal(graft.functions.PolyHash.P)
     val p = graft.functions.PolyHash(Cast(e, StringType))
     Pmod(Add(Multiply(p, Literal(graft.ops.SketchOps.qsA)),
       Literal(graft.ops.SketchOps.qsB)), P)
+  }
+
+  /** Non-finite values (NaN/±Infinity) → null, which never updates the
+    * sketch — [[graft.functions.QuantileSketchAgg]]'s stated
+    * finite-values contract applied to the rewrite path. Exact
+    * `Percentile` ORDERS NaN largest instead; excluding non-finite
+    * values is a documented divergence of the opt-in approximation mode
+    * (and the only choice that keeps the cross-engine certificate
+    * honest: Spark renders NaN/Infinity where DuckDB renders
+    * nan/inf, so non-finite values would hash differently and the two
+    * engines would keep DIFFERENT samples). */
+  private def finiteOrNull(e: Expression): Expression = {
+    val d = Cast(e, DoubleType)
+    If(Or(IsNaN(d), EqualTo(Abs(d), Literal(Double.PositiveInfinity))),
+      Literal(null, DoubleType), d)
   }
 
   /** Fold a scalar percentage expression to a fraction in [0, 1]. */
@@ -91,9 +114,10 @@ case class ApproxQuantileRewrite() extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = sampleK match {
-    case None => plan
-    case Some(k) =>
+  override def apply(plan: LogicalPlan): LogicalPlan = rawConf match {
+    case "" | "false" => plan
+    case raw =>
+      lazy val k = parseK(raw) // throws only if a rewrite fires
       plan transformUp {
         case agg: Aggregate =>
           agg transformExpressions {
@@ -105,8 +129,12 @@ case class ApproxQuantileRewrite() extends Rule[LogicalPlan] {
                     q >= 0.0 && q <= 1.0) =>
               val q = foldedQ(p.percentageExpression).get
               val qPpm = math.max(1L, math.round(q * 1000000.0))
+              // Hash the ORIGINAL child (its native string rendering is
+              // what the twin hashes); the aggregate skips any row whose
+              // VALUE lane is null, so nulling non-finite values alone
+              // excludes the row.
               ae.copy(aggregateFunction = graft.functions.WeightedQuantileAgg(
-                hashExpr(p.child), Cast(p.child, DoubleType), qPpm, k))
+                hashExpr(p.child), finiteOrNull(p.child), qPpm, k))
           }
       }
   }

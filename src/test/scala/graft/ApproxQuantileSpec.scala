@@ -158,4 +158,56 @@ class ApproxQuantileSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("malformed conf is inert for percentile-free queries, loud on match") {
+    spark.range(100).select(col("id").cast("double").as("v"))
+      .createOrReplaceTempView("aq_bad")
+    for (bad <- Seq("8", "not-a-number")) withApprox(bad) {
+      // no Percentile anywhere: the typo must NOT break the session
+      assert(spark.sql("SELECT sum(v) AS s FROM aq_bad")
+        .collect()(0).getDouble(0) == 4950.0)
+      // a matching Percentile validates the conf and throws loudly
+      val e = intercept[Exception] {
+        spark.sql("SELECT percentile(v, 0.5) FROM aq_bad").collect()
+      }
+      assert(e.getMessage.contains(ApproxQuantileRewrite.ConfKey) ||
+        Option(e.getCause).exists(
+          _.getMessage.contains(ApproxQuantileRewrite.ConfKey)),
+        s"expected conf-key error, got: ${e.getMessage}")
+    }
+    // same lazy-validation contract for the NDV rewrite
+    import graft.plans.ApproxNdvRewrite
+    spark.conf.set(ApproxNdvRewrite.ConfKey, "junk")
+    try {
+      assert(spark.sql("SELECT count(v) AS c FROM aq_bad")
+        .collect()(0).getLong(0) == 100L)
+      intercept[Exception] {
+        spark.sql("SELECT count(DISTINCT v) FROM aq_bad").collect()
+      }
+    } finally spark.conf.set(ApproxNdvRewrite.ConfKey, "")
+  }
+
+  test("non-finite values are excluded from the rewrite path") {
+    Seq(1.0, 2.0, 3.0, 4.0, Double.NaN, Double.PositiveInfinity,
+      Double.NegativeInfinity)
+      .toDF("v").createOrReplaceTempView("aq_nan")
+    withApprox("256") {
+      val df = spark.sql("SELECT percentile(v, 0.5) AS p FROM aq_nan")
+      assert(fired(df))
+      // 4 finite values, q=0.5 -> type-1 readout = 2.0; NaN/±Inf never
+      // enter the sketch (exact Percentile would rank NaN largest —
+      // the documented divergence of the approximation mode)
+      assert(df.collect()(0).getDouble(0) == 2.0)
+    }
+  }
+
+  test("estimate(): rank threshold is overflow-safe at huge totals") {
+    // counts near 2^62: the old cum*1e6 compare overflowed silently
+    val big = 4000000000000000000L // 4e18
+    val s = Seq((1.0, big), (2.0, big - 1L))
+    assert(WeightedQuantileAgg.estimate(s, 500000L).contains(1.0))
+    assert(WeightedQuantileAgg.estimate(s, 1000000L).contains(2.0))
+    // tiny qPpm at a huge total still selects the first value
+    assert(WeightedQuantileAgg.estimate(s, 1L).contains(1.0))
+  }
 }
