@@ -1925,6 +1925,27 @@ object ExtensionQueries {
       PipelineOps.classifierScoreTrained(Tables.documents(s, dir),
         PipelineOps.demoTrainedWeights(s)).orderBy("doc_id")
     },
+    // IN-ENGINE classifier training (the curation-loop model family
+    // previously imported): batch GD on the matching loss of the
+    // portable softsign link, every round-carried number an exact
+    // integer — the oracle REPLAYS the whole 6-round trajectory as
+    // chained CTEs (the pageRank discipline) and the trained weights
+    // hash-match bit-for-bit. Label: the fastText-style language
+    // filter (is this doc English).
+    "quality_train_lr" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val wq = TrainOps.trainLr(docs, (col("lang") === "en").cast("long"),
+        dim = 64, rounds = 6, lrNum = 10L, lrDen = 1L)
+      TrainOps.weightsDf(s, wq).orderBy("j")
+    },
+    // ... and the trained model APPLIED: exact integer margins + the
+    // boolean decision per doc, against the same replayed weights
+    "quality_train_lr_scores" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val label = (col("lang") === "en").cast("long")
+      val wq = TrainOps.trainLr(docs, label, 64, 6, 10L, 1L)
+      TrainOps.lrScore(docs, label, wq).orderBy("doc_id")
+    },
     // Classifier-score distribution THROUGH the hist engine
     // (cross-module: where does the quality threshold sit before you
     // pick it — the calibration view over the full corpus, no sort)
@@ -3170,6 +3191,12 @@ object ExtensionQueries {
     },
     "quality_classifier_trained" ->
       (PipelineOps.classifierScoreTrainedSql + " ORDER BY doc_id"),
+    "quality_train_lr" ->
+      (TrainOps.trainLrSql(64, 6, 10L, 1L, "(lang = 'en')") +
+        "\nORDER BY j"),
+    "quality_train_lr_scores" ->
+      (TrainOps.lrScoreSql(64, 6, 10L, 1L, "(lang = 'en')") +
+        "\nORDER BY doc_id"),
     "curation_pipeline" -> (PipelineOps.curationPipelineSql + " ORDER BY doc_id"),
     "domain_resample" ->
       (PipelineOps.resampleStatsSql + " ORDER BY lang"),

@@ -1,0 +1,273 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** In-engine training of the hashed-feature linear QUALITY CLASSIFIER —
+  * the FineWeb/DCLM curation-loop model
+  * ([[PipelineOps.classifierScoreTrained]] applies such weights; this
+  * trains them, closing the one model family the engine previously
+  * imported; cf. the in-engine k-means ([[SimilarityOps.kmeansLloyd]]),
+  * BPE ([[BpeOps]]), and unigram-LM ([[UnigramOps]]) trainers).
+  *
+  * Model: linear scorer over hashed unigram features with the engine's
+  * PORTABLE rational link σ(z) = 1/2 + z/(2(1+|z|)) — the same softsign
+  * squash [[PipelineOps.classifierScore]] scores with (chosen there
+  * because it needs no libm call whose last ulp differs across
+  * engines). Training is batch gradient descent with the textbook
+  * logistic-regression update form Δw ∝ −Σ(σ(zᵢ)−yᵢ)·xᵢ, which for ANY
+  * monotone link is the EXACT gradient of that link's convex matching
+  * loss (Helmbold–Kivinen–Warmuth, NIPS'95/"matching loss"; for the
+  * logistic link the matching loss is cross-entropy — the softsign link
+  * trades ≤1 bit of tail sharpness for engine-exact replayability).
+  *
+  * Determinism (the [[GraphOps.pageRankSql]] oracle discipline,
+  * integer-hardened): EVERY round-carried number is an exact integer —
+  *  - features x ∈ [0,1000]: per-doc token-bucket counts as
+  *    milli-fractions, (1000·c) div n_tok; bias feature = 1000;
+  *  - weights w in micro-units (real weight = w/10⁶);
+  *  - margins z' = Σ w·x exact BIGINT (real margin = z'/10⁹);
+  *  - σ−y is the exact rational (Z+|z'|+z'−2y(Z+|z'|)) / (2(Z+|z'|)),
+  *    Z = 10⁹, and each row's per-feature gradient contribution is
+  *    quantized to micro-units by TRUNCATION-TOWARD-ZERO division
+  *    (positive-operand `div`/`//` agree across engines; sign applied
+  *    outside — no floor-vs-trunc divergence, no rounding bias);
+  *  - the weight update w ← w − tdz(lrNum·G, lrDen·n·1000) is the same
+  *    all-integer rule on the summed gradient.
+  * Sums of integers are order-independent, so the DuckDB oracle replays
+  * the ENTIRE trajectory as `rounds` chained CTEs and the final
+  * weights/margins hash-match bit-for-bit (FIXTURES.md class A — pure
+  * integers end to end; products ride DECIMAL(38,0)/HUGEINT
+  * internally, outputs are BIGINT).
+  *
+  * 100 TB shape: the feature relation is built once (two token-keyed
+  * aggregates) and persisted; each round is ONE map-side-combined
+  * aggregate with dim+1 keys — a model-sized (65-row) result to the
+  * driver, the [[SimilarityOps.kmeansStep]] shape. The margin is a
+  * per-row fold against the broadcast weight literal (no join, no
+  * shuffle); nothing grows with corpus size except the one narrow
+  * gradient pass per round.
+  */
+object TrainOps {
+
+  /** Weight grid: micro-units (real w = w_q / 1e6). */
+  val S = 1000000L
+  /** Margin scale: z real = z' / Z (weight micro-units × milli-features). */
+  val Z = 1000000000L
+  /** Per-row gradient quantization: micro-units. */
+  val Q = 1000000L
+  /** Token→bucket decorrelation mixer (the demo-classifier mix;
+    * PolyHash < 2^30 × mix < 2^32 stays < 2^62 — ANSI-safe). */
+  val Mix = 2654435761L
+
+  /** Truncation-toward-zero integer division — the ONE quantizer
+    * (engine + specs + driver updates share it): both engines compute
+    * positive÷positive identically, so the sign is applied outside. */
+  def tdz(a: BigInt, b: BigInt): BigInt = {
+    require(b > 0, s"tdz needs a positive divisor, got $b")
+    if (a.signum < 0) -((-a) / b) else a / b
+  }
+
+  /** Dense per-doc feature vectors: (doc_id, xs array<bigint> of length
+    * dim+1) — hashed-unigram milli-fractions with the bias (=1000) at
+    * index dim. Two aggregates over the token relation; the dense array
+    * keeps the per-round margin a narrow per-row fold. */
+  def docFeatures(docs: DataFrame, dim: Int): DataFrame = {
+    require(dim >= 2 && dim <= 4096, s"dim must be in [2, 4096], got $dim")
+    val tok = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+    val cnt = tok.select(col("doc_id"),
+        pmod(graft.functions.PolyHash(col("tok")) * lit(Mix),
+          lit(dim.toLong)).as("j"))
+      .groupBy("doc_id", "j").agg(count(lit(1)).as("c"))
+    val nt = tok.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+    cnt.join(nt, "doc_id")
+      .select(col("doc_id"), col("j"),
+        expr("(1000L * c) div n_tok").as("x"))
+      .groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("j"), col("x"))))
+        .as("m"))
+      .select(col("doc_id"),
+        expr(s"transform(sequence(0L, ${dim}L), jj -> " +
+          s"CASE WHEN jj = ${dim}L THEN 1000L " +
+          s"ELSE coalesce(element_at(m, jj), 0L) END)").as("xs"))
+  }
+
+  /** Exact integer margin z' = Σⱼ wⱼ·xsⱼ against the broadcast weight
+    * literal — a per-row fold, no shuffle. Caller guarantees
+    * (dim+1)·1000·max|w| < 2^63 ([[trainLr]] asserts it per round). */
+  def marginCol(wq: Array[Long]): Column =
+    aggregate(zip_with(col("xs"), typedlit(wq), (x, w) => x * w),
+      lit(0L), (a, b) => a + b)
+
+  /** One gradient round: per-(feature) sums of the quantized per-row
+    * contributions tdz((σ−y)·x·Q). `labeled` = docFeatures ⋈ labels
+    * (columns xs, y). Returns dim+1 rows (j, g) — the model-sized
+    * aggregate. */
+  def lrGradientRound(labeled: DataFrame, wq: Array[Long]): Array[BigInt] = {
+    val d = wq.length - 1
+    val rows = labeled
+      .withColumn("zq", marginCol(wq))
+      .select(col("y"),
+        (lit(Z) + abs(col("zq")) + col("zq") -
+          lit(2L) * col("y") * (lit(Z) + abs(col("zq")))).as("n1"),
+        (lit(2L) * (lit(Z) + abs(col("zq")))).as("den"),
+        posexplode(col("xs")).as(Seq("j", "x")))
+      .select(col("j"),
+        expr(s"CASE WHEN n1 < 0 " +
+          s"THEN -((CAST(-n1 AS DECIMAL(38,0)) * x * ${Q}L) div den) " +
+          s"ELSE (CAST(n1 AS DECIMAL(38,0)) * x * ${Q}L) div den END")
+          .as("g"))
+      .groupBy("j")
+      .agg(sum(col("g").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+        .as("gg"))
+      .collect()
+    val out = Array.fill(d + 1)(BigInt(0))
+    rows.foreach { r =>
+      out(r.getInt(0)) = BigInt(r.getDecimal(1).toBigInteger)
+    }
+    out
+  }
+
+  /** Batch-GD training loop: `rounds` fixed rounds from w = 0, learning
+    * rate lrNum/lrDen, labels y ∈ {0,1} from `label`. Returns the dim+1
+    * integer micro-unit weights (bias last). The feature relation is
+    * persisted across rounds (built once; each round re-reads it for
+    * the one gradient aggregate). */
+  def trainLr(docs: DataFrame, label: Column, dim: Int, rounds: Int,
+      lrNum: Long, lrDen: Long): Array[Long] = {
+    require(rounds >= 1 && rounds <= 64,
+      s"rounds must be in [1, 64], got $rounds")
+    require(lrNum > 0 && lrDen > 0, s"lr must be positive: $lrNum/$lrDen")
+    val labeled = docFeatures(docs, dim)
+      .join(docs.select(col("doc_id"), label.cast("long").as("y")),
+        "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = labeled.count() // also materializes the persist
+      require(n > 0, "trainLr: empty corpus")
+      val wq = Array.fill(dim + 1)(0L)
+      val wBound = Long.MaxValue / (1000L * (dim + 1)) // z' overflow guard
+      var r = 0
+      while (r < rounds) {
+        val g = lrGradientRound(labeled, wq)
+        var j = 0
+        while (j <= dim) {
+          wq(j) = (BigInt(wq(j)) -
+            tdz(BigInt(lrNum) * g(j), BigInt(lrDen) * n * 1000L)).toLong
+          require(math.abs(wq(j)) < wBound,
+            s"trainLr: weight $j overflowed the margin bound " +
+              s"(|w| >= $wBound) — lower the learning rate")
+          j += 1
+        }
+        r += 1
+      }
+      wq
+    } finally labeled.unpersist()
+  }
+
+  /** Trained weights as a relation (j, w) — the hash-checkable model. */
+  def weightsDf(spark: SparkSession, wq: Array[Long]): DataFrame = {
+    import spark.implicits._
+    wq.zipWithIndex.map { case (w, j) => (j.toLong, w) }.toSeq
+      .toDF("j", "w")
+  }
+
+  /** Score the corpus with trained weights: exact integer margin
+    * (real margin = margin/10⁹), the boolean decision, and the label —
+    * all class-A integer outputs. */
+  def lrScore(docs: DataFrame, label: Column, wq: Array[Long])
+      : DataFrame = {
+    val dim = wq.length - 1
+    docFeatures(docs, dim)
+      .join(docs.select(col("doc_id"), label.cast("long").as("y")),
+        "doc_id")
+      .select(col("doc_id"), marginCol(wq).as("margin"),
+        (marginCol(wq) > 0L).as("pred"), col("y"))
+  }
+
+  // ---- DuckDB twins -------------------------------------------------------
+
+  /** Sparse feature CTEs over `documents` (tok/cnt/nt/f + labels/nd):
+    * the same milli-fraction features as [[docFeatures]], relational
+    * form (absent buckets are zero rows there and zero contributions
+    * here). `labelSql` must compute the identical 0/1 label from the
+    * `documents` row. */
+  private def featureCtes(dim: Int, labelSql: String): String = {
+    val poly = graft.functions.PolyHash.sql("tok")
+    s"""tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |cnt AS (
+       |  SELECT doc_id, ($poly * $Mix) % $dim AS j, count(*) AS c
+       |  FROM tok GROUP BY 1, 2),
+       |nt AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY 1),
+       |f AS (
+       |  SELECT cnt.doc_id, cnt.j, (1000 * c) // n_tok AS x
+       |  FROM cnt JOIN nt USING (doc_id)
+       |  UNION ALL
+       |  SELECT doc_id, $dim AS j, 1000 AS x FROM nt),
+       |lab AS (
+       |  SELECT doc_id, CAST($labelSql AS BIGINT) AS y FROM documents),
+       |nd AS (SELECT count(*) AS n FROM documents)""".stripMargin
+  }
+
+  /** The round-unrolled training replay ([[GraphOps.pageRankSql]]
+    * discipline): CTEs w0..w`rounds`, each round = margin join +
+    * rational residual + quantized gradient + integer update — the
+    * exact [[trainLr]] trajectory. Emits everything up to and
+    * including `w$rounds`; callers append their SELECT. */
+  private def trainCtes(dim: Int, rounds: Int, lrNum: Long, lrDen: Long,
+      labelSql: String): String = {
+    val roundCtes = (1 to rounds).map { i =>
+      val p = s"w${i - 1}"
+      s"""z$i AS (
+         |  SELECT f.doc_id, sum(CAST(f.x AS HUGEINT) * w.w) AS z
+         |  FROM f JOIN $p w ON w.j = f.j GROUP BY 1),
+         |r$i AS (
+         |  SELECT z.doc_id,
+         |    $Z + abs(z.z) + z.z - 2*lab.y*($Z + abs(z.z)) AS n1,
+         |    2*($Z + abs(z.z)) AS den
+         |  FROM z$i z JOIN lab USING (doc_id)),
+         |g$i AS (
+         |  SELECT f.j,
+         |    sum(CASE WHEN r.n1 < 0
+         |      THEN -(((-CAST(r.n1 AS HUGEINT)) * f.x * $Q) // r.den)
+         |      ELSE (CAST(r.n1 AS HUGEINT) * f.x * $Q) // r.den END) AS gg
+         |  FROM f JOIN r$i r USING (doc_id) GROUP BY 1),
+         |w$i AS (
+         |  SELECT w.j,
+         |    CAST(w.w - (CASE WHEN COALESCE(g.gg, 0) < 0
+         |      THEN -(((-COALESCE(g.gg, 0)) * $lrNum)
+         |             // (CAST($lrDen AS HUGEINT) * nd.n * 1000))
+         |      ELSE (COALESCE(g.gg, 0) * $lrNum)
+         |             // (CAST($lrDen AS HUGEINT) * nd.n * 1000) END)
+         |      AS BIGINT) AS w
+         |  FROM w${i - 1} w LEFT JOIN g$i g USING (j) CROSS JOIN nd)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""${featureCtes(dim, labelSql)},
+       |w0 AS (
+       |  SELECT unnest(generate_series(0, $dim)) AS j,
+       |    CAST(0 AS BIGINT) AS w),
+       |$roundCtes""".stripMargin
+  }
+
+  /** DuckDB twin of [[trainLr]] + [[weightsDf]]. */
+  def trainLrSql(dim: Int, rounds: Int, lrNum: Long, lrDen: Long,
+      labelSql: String): String =
+    s"""WITH ${trainCtes(dim, rounds, lrNum, lrDen, labelSql)}
+       |SELECT CAST(j AS BIGINT) AS j, w FROM w$rounds""".stripMargin
+
+  /** DuckDB twin of [[lrScore]] under the [[trainLrSql]]-replayed
+    * weights: the full trajectory, then one scoring join. */
+  def lrScoreSql(dim: Int, rounds: Int, lrNum: Long, lrDen: Long,
+      labelSql: String): String =
+    s"""WITH ${trainCtes(dim, rounds, lrNum, lrDen, labelSql)},
+       |sc AS (
+       |  SELECT f.doc_id, CAST(sum(CAST(f.x AS HUGEINT) * w.w) AS BIGINT)
+       |    AS margin
+       |  FROM f JOIN w$rounds w ON w.j = f.j GROUP BY 1)
+       |SELECT sc.doc_id, sc.margin, sc.margin > 0 AS pred, lab.y
+       |FROM sc JOIN lab USING (doc_id)""".stripMargin
+}

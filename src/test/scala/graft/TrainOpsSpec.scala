@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.TrainOps
+
+/** The in-engine logistic-regression-family quality-classifier trainer:
+  * convergence on a separable corpus, exact-integer trajectory laws,
+  * and the model-sized-aggregate plan shape. */
+class TrainOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.get
+  import spark.implicits._
+
+  /** Separable synthetic corpus: positive docs speak "good" vocabulary,
+    * negative docs "bad" vocabulary, with shared filler words. */
+  private def separable(n: Int): org.apache.spark.sql.DataFrame = {
+    val rng = new scala.util.Random(3)
+    val good = Seq("excellent", "rigorous", "insight", "coherent", "clear")
+    val bad = Seq("spam", "click", "winner", "casino", "pills")
+    val fill = Seq("the", "a", "of", "and", "to")
+    val rows = (0 until n).map { i =>
+      val pos = i % 2 == 0
+      val vocab = if (pos) good else bad
+      val words = Seq.fill(20)(
+        if (rng.nextInt(10) < 6) vocab(rng.nextInt(vocab.size))
+        else fill(rng.nextInt(fill.size)))
+      (i.toLong, words.mkString(" "), if (pos) 1L else 0L)
+    }
+    rows.toDF("doc_id", "text", "y")
+  }
+
+  test("tdz: truncation-toward-zero, positive divisor, exact on multiples") {
+    assert(TrainOps.tdz(7, 2) == 3 && TrainOps.tdz(-7, 2) == -3)
+    assert(TrainOps.tdz(8, 2) == 4 && TrainOps.tdz(-8, 2) == -4)
+    assert(TrainOps.tdz(0, 5) == 0)
+    intercept[IllegalArgumentException] { TrainOps.tdz(1, 0) }
+    intercept[IllegalArgumentException] { TrainOps.tdz(1, -2) }
+  }
+
+  test("docFeatures: milli-fractions with bias, dense length dim+1") {
+    val docs = Seq((1L, "a a b c"), (2L, "z")).toDF("doc_id", "text")
+    val xs = TrainOps.docFeatures(docs, 8).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(xs(1L).length == 9 && xs(2L).length == 9)
+    // bias is exactly 1000 at the last slot
+    assert(xs(1L).last == 1000L && xs(2L).last == 1000L)
+    // doc 1: 4 tokens -> per-token fraction 250; "a" twice = 500
+    assert(xs(1L).init.sum == 1000L) // (1000*c) div n_tok sums exactly here
+    assert(xs(1L).init.count(_ > 0) <= 3 && xs(1L).init.max == 500L)
+    // doc 2: single token gets the whole mass
+    assert(xs(2L).init.sum == 1000L && xs(2L).init.max == 1000L)
+  }
+
+  test("separable corpus: training converges to perfect accuracy") {
+    val docs = separable(400)
+    val wq = TrainOps.trainLr(docs, col("y"), dim = 64, rounds = 12,
+      lrNum = 10L, lrDen = 1L)
+    assert(wq.length == 65)
+    assert(wq.exists(_ != 0L), "weights never moved")
+    val scored = TrainOps.lrScore(docs, col("y"), wq)
+      .select(col("pred").cast("long").as("p"), col("y"))
+    val acc = scored.agg(
+      avg((col("p") === col("y")).cast("double"))).head().getDouble(0)
+    assert(acc == 1.0, s"separable corpus must train to 100%, got $acc")
+    // and the margins actually separate (not a degenerate all-positive)
+    val m = TrainOps.lrScore(docs, col("y"), wq)
+      .agg(min(when(col("y") === 1L, col("margin"))).as("minPos"),
+        max(when(col("y") === 0L, col("margin"))).as("maxNeg")).head()
+    assert(m.getLong(0) > 0L && m.getLong(1) < 0L)
+  }
+
+  test("matching loss decreases across rounds (convex descent, lr sane)") {
+    val docs = separable(400)
+    // squared residual against the link output is a monotone proxy for
+    // the matching loss; it must fall round over round at this lr
+    def meanSqResid(wq: Array[Long]): Double = {
+      TrainOps.lrScore(docs, col("y"), wq)
+        .select((((lit(TrainOps.Z) + abs(col("margin")) + col("margin"))
+          .cast("double") /
+          (lit(2.0) * (lit(TrainOps.Z) + abs(col("margin"))).cast("double")))
+          - col("y").cast("double")).as("r"))
+        .agg(avg(col("r") * col("r"))).head().getDouble(0)
+    }
+    val losses = (1 to 8).map { r =>
+      meanSqResid(TrainOps.trainLr(docs, col("y"), 32, r, 10L, 1L))
+    }
+    assert(losses.sliding(2).forall { case Seq(a, b) => b < a },
+      s"residual must fall monotonically, got $losses")
+    assert(losses.last < 0.08, s"final residual too high: $losses")
+  }
+
+  test("trajectory is deterministic under repartitioning") {
+    val docs = separable(200)
+    val w1 = TrainOps.trainLr(docs, col("y"), 16, 4, 20L, 1L)
+    val w2 = TrainOps.trainLr(docs.repartition(13), col("y"), 16, 4,
+      20L, 1L)
+    assert(w1.sameElements(w2),
+      "integer-quantized training must not depend on partitioning")
+  }
+
+  test("gradient round is one model-sized hash aggregate, no join, no sort") {
+    val docs = separable(100)
+    val labeled = TrainOps.docFeatures(docs, 16)
+      .join(docs.select(col("doc_id"), col("y")), "doc_id")
+    // the per-round relation: margin fold + explode + groupBy(j)
+    val round = labeled
+      .withColumn("zq", TrainOps.marginCol(Array.fill(17)(0L)))
+      .select(col("y"), col("zq"), posexplode(col("xs")).as(Seq("j", "x")))
+      .groupBy("j").agg(count(lit(1)))
+    val plan = round.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortAggregate"), s"gradient must hash-agg:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"per-round path must not re-join:\n$plan")
+  }
+
+  test("loud guards: empty corpus, bad lr, weight blow-up") {
+    val docs = separable(40)
+    intercept[IllegalArgumentException] {
+      TrainOps.trainLr(docs.filter(lit(false)), col("y"), 8, 2, 1L, 1L)
+    }
+    intercept[IllegalArgumentException] {
+      TrainOps.trainLr(docs, col("y"), 8, 2, 0L, 1L)
+    }
+    intercept[IllegalArgumentException] {
+      TrainOps.trainLr(docs, col("y"), 8, 0, 1L, 1L)
+    }
+    // an absurd learning rate trips the margin-overflow guard loudly
+    intercept[IllegalArgumentException] {
+      TrainOps.trainLr(docs, col("y"), 8, 8, Long.MaxValue / 4096, 1L)
+    }
+  }
+}
