@@ -684,6 +684,16 @@ object ExtensionQueries {
         .select("doc_id", "text", "lang", "source", "n_chars")
         .orderBy("doc_id")
     },
+    // Avro parity — the remaining interchange format (Kafka archives,
+    // schema-registry drops): documents mirrored to Avro container
+    // files via the native avro-core V2 source (block-splittable on
+    // sync markers, reader-schema column pruning), read back and
+    // hash-matched against the parquet oracle
+    "source_avro_roundtrip" -> { (s, dir) =>
+      graft.sources.Sources.avro(s, avroMirrorFor(s, dir))
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    },
     // CSV parity, same discipline (explicit schema, no inference pass);
     // quoting round-trips embedded commas/quotes — multiLine stays OFF
     // so the read splits by line (multiLine forces one task per file,
@@ -2815,6 +2825,13 @@ object ExtensionQueries {
       Tables.documents(s, dir).write.mode("overwrite").json(p)
       p
     })
+  private val avroMirrorPaths = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def avroMirrorFor(s: SparkSession, dir: String): String =
+    avroMirrorPaths.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("graft-avro-mirror").toString
+      graft.sources.Sources.writeAvro(Tables.documents(s, dir), p)
+      p
+    })
   private val csvMirrorPaths = scala.collection.concurrent.TrieMap.empty[String, String]
   private def csvMirrorFor(s: SparkSession, dir: String): String =
     csvMirrorPaths.getOrElseUpdate(dir, {
@@ -2974,6 +2991,9 @@ object ExtensionQueries {
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
     "source_csv_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "source_avro_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_normalize_nfc" ->

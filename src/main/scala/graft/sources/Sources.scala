@@ -31,6 +31,18 @@ object Sources {
   def orc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** Avro container read — the native block-splittable DataSource V2
+    * source built on avro-core ([[graft.sources.avro.AvroSource]]; no
+    * spark-avro module needed). Schema comes from the first file's
+    * embedded writer schema (one header read, no data pass); pass
+    * `.schema(...)` upstream to skip even that. */
+  def avro(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("graft-avro").load(path)
+
+  /** Avro container write (one file per non-empty partition). */
+  def writeAvro(df: DataFrame, path: String, codec: String = "null"): Unit =
+    graft.sources.avro.AvroSource.write(df, path, codec)
+
   /** Events table, normalized to a microsecond TIMESTAMP `ts` whatever
     * physical type the generator wrote:
     *

@@ -1,0 +1,121 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Sources
+
+/** The native avro-core DataSource V2: typed roundtrip, nullability,
+  * byte-range splitting on sync markers, decoder-level column pruning,
+  * and the loud corrupt/unsupported contracts. */
+class AvroSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.get
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-avro-spec").toString
+
+  test("roundtrip: all supported types incl. nulls, schema preserved") {
+    val df = Seq(
+      (1L, Some("alpha"), Some(1.5), Some(7), Some(true),
+        Some(Array[Byte](1, 2, 3)), Some(0.25f)),
+      (2L, None, None, None, None, None, None),
+      (3L, Some(""), Some(-0.0), Some(-1), Some(false),
+        Some(Array.empty[Byte]), Some(Float.MinPositiveValue)))
+      .toDF("id", "s", "d", "i", "b", "bin", "f")
+    val dir = tmp()
+    Sources.writeAvro(df, dir)
+    val back = Sources.avro(spark, dir)
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    // render rows with binary as a value (Array[Byte].toString is
+    // identity-hashed, useless for comparison)
+    def render(r: org.apache.spark.sql.Row): String =
+      (0 until r.length).map { i =>
+        r.get(i) match {
+          case b: Array[Byte] => b.mkString("[", ",", "]")
+          case v => String.valueOf(v)
+        }
+      }.mkString("|")
+    val want = df.collect().map(render).sorted
+    val got = back.collect().map(render).sorted
+    assert(got.sameElements(want))
+    // and the deflate codec roundtrips identically
+    val dir2 = tmp()
+    Sources.writeAvro(df, dir2, codec = "deflate")
+    assert(Sources.avro(spark, dir2).collect().map(render).sorted
+      .sameElements(want))
+  }
+
+  test("byte-range splits on sync markers: every row exactly once") {
+    // small sync interval -> many blocks; tiny splitSizeBytes -> many
+    // partitions; membership must be a partition of the row set
+    val df = spark.range(20000).select(col("id"),
+      concat(lit("txt-"), col("id")).as("s"))
+    val dir = tmp()
+    Sources.writeAvro(df.repartition(1), dir)
+    val whole = Sources.avro(spark, dir)
+    val split = spark.read.format("graft-avro")
+      .option("splitSizeBytes", "16384").load(dir)
+    assert(split.rdd.getNumPartitions > 4,
+      s"expected several byte-range splits, got ${split.rdd.getNumPartitions}")
+    assert(split.count() == 20000L && whole.count() == 20000L)
+    assert(split.agg(sum("id")).head().getLong(0) ==
+      whole.agg(sum("id")).head().getLong(0))
+    assert(split.select("id").distinct().count() == 20000L)
+  }
+
+  test("column pruning reaches the reader schema") {
+    val df = Seq((1L, "a", 2.0), (2L, "b", 3.0)).toDF("id", "s", "d")
+    val dir = tmp()
+    Sources.writeAvro(df, dir)
+    val pruned = Sources.avro(spark, dir).select("id")
+    val scan = pruned.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(scan.contains("ReadSchema") || scan.contains("id"),
+      s"scan plan:\n$scan")
+    // the physical scan must not carry the pruned columns
+    assert(!scan.contains("s#") || !scan.toLowerCase.contains("readschema" +
+      ": struct<id:bigint,s:string"), s"pruning failed:\n$scan")
+    assert(pruned.collect().map(_.getLong(0)).sorted.sameElements(Array(1L, 2L)))
+  }
+
+  test("loud contracts: unsupported type, corrupt file, missing field") {
+    val dir = tmp()
+    intercept[Exception] {
+      Sources.writeAvro(
+        Seq((1L, java.sql.Timestamp.valueOf("2020-01-01 00:00:00")))
+          .toDF("id", "ts"), dir)
+    }
+    val dir2 = tmp()
+    Sources.writeAvro(Seq((1L, "x")).toDF("id", "s"), dir2)
+    // corrupt magic
+    val bad = new java.io.File(dir2, "part-zzzzz.avro")
+    Files.write(bad.toPath, Array[Byte](1, 2, 3, 4, 5, 6, 7, 8))
+    intercept[Exception] {
+      Sources.avro(spark, dir2).collect()
+    }
+    bad.delete()
+    // projecting a field the file does not carry fails with its name
+    val e = intercept[Exception] {
+      spark.read.format("graft-avro")
+        .schema("id LONG, nope STRING").load(dir2).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("empty partitions write no files; whole-empty read refuses loudly") {
+    val dir = tmp()
+    Sources.writeAvro(
+      spark.range(10).filter(col("id") < 3).repartition(8).toDF(), dir)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".avro"))
+    assert(files.nonEmpty && files.length <= 8)
+    assert(Sources.avro(spark, dir).count() == 3L)
+    val dirE = tmp()
+    intercept[Exception] { Sources.avro(spark, dirE).collect() }
+  }
+}
