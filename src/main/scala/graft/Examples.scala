@@ -169,6 +169,32 @@ object Examples {
       spark.stop()
       return
     }
+    if (args.headOption.contains("soak-ksweep")) {
+      // quantile-sketch ERROR ENVELOPE: `runMain graft.Examples
+      // soak-ksweep 10000000,12` — observed rank-error quantiles of the
+      // percentile rewrite vs exact ranks, k ∈ {64..4096}, `trials`
+      // independent all-distinct value sets per k. The k→ε table the
+      // bottom-k design owes (its error is sampling-probabilistic, not
+      // a deterministic schedule — this measures the envelope).
+      val a = args.lift(1).getOrElse("10000000,12").split(",").map(_.trim)
+      ksweepSoak(spark, a(0).toLong, a(1).toInt)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("soak-gridrank")) {
+      // grid-window soak: `runMain graft.Examples soak-gridrank
+      // 10000000,40000000` — gini + quantileNormalize on ALL-DISTINCT
+      // value domains (the single-partition-window straggler shape the
+      // grid forms remove); at the first size the global-window
+      // reference runs too and results are asserted identical
+      val sizes = args.lift(1).getOrElse("10000000,40000000")
+        .split(",").map(_.trim.toLong)
+      sizes.zipWithIndex.foreach { case (n, i) =>
+        gridRankSoak(spark, n, compareGlobal = i == 0)
+      }
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("soak-crawl")) {
       // crawl-first-mile soak: `runMain graft.Examples soak-crawl
       // 400000` — WARC ingest (payload-skipping metadata scan vs full
@@ -387,6 +413,105 @@ object Examples {
         best2()
       } finally spark.conf.set(graft.plans.ApproxQuantileRewrite.ConfKey, "")
     println(f"""{"example":"quantile_soak","rows":$n,"groups":8,"exact_sec":$exactSec%.2f,"rewrite_sec":$rewriteSec%.2f,"speedup":${exactSec / rewriteSec}%.1f}""")
+  }
+
+  /** Observed rank-error envelope of the distinct-value bottom-k
+    * percentile estimate ([[graft.functions.WeightedQuantileAgg]] via
+    * the rewrite): per (k, trial), estimate p50/p90/p99 on an
+    * independent all-distinct value set (Knuth-spread, offset per
+    * trial so the portable hash draws a fresh sample), then measure
+    * each estimate's TRUE rank with one exact scan; report the
+    * |rank − q| quantiles in ppm across trials×quantiles. The theory
+    * line is the binomial envelope ~1/√k; the printed table is the
+    * measured one (SCALE.md records it; QuantileSketchSpec pins two
+    * rows at a smaller n — the envelope is n-free once n ≫ k). */
+  private def ksweepSoak(spark: SparkSession, n: Long, trials: Int): Unit = {
+    GraftExtensions.register(spark)
+    val qs = Seq(0.5, 0.9, 0.99)
+    for (k <- Seq(64, 256, 1024, 4096)) {
+      val errs = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val t0 = System.nanoTime()
+      for (t <- 0 until trials) {
+        spark.range(n).select(
+            (((col("id") + lit(t.toLong * 1000003L)) * 2654435761L) %
+              4294967296L).cast("double").as("v"))
+          .createOrReplaceTempView("ksweep")
+        spark.conf.set(graft.plans.ApproxQuantileRewrite.ConfKey, k.toString)
+        val est =
+          try {
+            val q = spark.sql(
+              "SELECT percentile(v, 0.5) AS q50, percentile(v, 0.9) AS " +
+                "q90, percentile(v, 0.99) AS q99 FROM ksweep")
+            require(q.queryExecution.optimizedPlan.toString.toLowerCase
+              .contains("weightedquantileagg"), "rewrite did not fire")
+            q.collect()(0)
+          } finally
+            spark.conf.set(graft.plans.ApproxQuantileRewrite.ConfKey, "")
+        val ranks = spark.sql(
+          s"""SELECT
+             |  avg(CASE WHEN v <= ${est.getDouble(0)} THEN 1.0D ELSE 0.0D END),
+             |  avg(CASE WHEN v <= ${est.getDouble(1)} THEN 1.0D ELSE 0.0D END),
+             |  avg(CASE WHEN v <= ${est.getDouble(2)} THEN 1.0D ELSE 0.0D END)
+             |FROM ksweep""".stripMargin).collect()(0)
+        qs.indices.foreach(i =>
+          errs += math.abs(ranks.getDouble(i) - qs(i)))
+      }
+      val sorted = errs.sorted.toIndexedSeq
+      def pq(p: Double): Double =
+        sorted(math.min(sorted.size - 1,
+          math.max(0, math.ceil(p * sorted.size).toInt - 1)))
+      val el = (System.nanoTime() - t0) / 1e9
+      println(f"""{"example":"ksweep","k":$k,"rows":$n,"trials":$trials,"err_ppm_p50":${pq(0.5) * 1e6}%.0f,"err_ppm_p90":${pq(0.9) * 1e6}%.0f,"err_ppm_max":${sorted.last * 1e6}%.0f,"theory_ppm_1_over_sqrt_k":${1e6 / math.sqrt(k.toDouble)}%.0f,"sec":$el%.1f}""")
+    }
+  }
+
+  /** Grid-window soak: [[graft.ops.ProfileOps.giniIndex]] and
+    * [[graft.ops.PipelineOps.quantileNormalize]] at n ALL-DISTINCT
+    * values — the shape where the old global rank window was one task
+    * sorting the whole domain. At `compareGlobal` the single-partition
+    * reference runs too (the straggler, timed) and results must be
+    * IDENTICAL. */
+  private def gridRankSoak(spark: SparkSession, n: Long,
+      compareGlobal: Boolean): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.range(n).select(
+      col("id").as("doc_id"),
+      (col("id") % 5).cast("string").as("grp"),
+      ((col("id") * 2654435761L) % 4294967296L).as("v"))
+    def time[T](body: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = body
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    // gini: grid form
+    val (gRow, gSec) = time(
+      graft.ops.ProfileOps.giniIndex(df, col("v")).collect()(0))
+    var gRefSec = -1.0
+    if (compareGlobal) {
+      val g = df.select(col("v")).groupBy("v").agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+      val cum = g.withColumn("cb",
+        coalesce(sum(col("cnt")).over(w), lit(0L)))
+      val (ref, s) = time(cum.agg(
+          sum(col("cnt")).as("n"),
+          sum(col("v") * col("cnt")).as("sum_x"),
+          sum(col("v").cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+            col("cnt").cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+            (lit(2L) * col("cb") + col("cnt") + lit(1L))
+              .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("r2x"))
+        .select(col("n"), col("sum_x"),
+          round(col("r2x").cast("double") /
+            (col("n").cast("double") * col("sum_x").cast("double")) -
+            (col("n") + lit(1L)).cast("double") / col("n").cast("double"), 6)
+            .as("gini")).collect()(0))
+      gRefSec = s
+      require(ref == gRow, s"grid gini diverged: $ref vs $gRow")
+    }
+    // quantileNormalize: grid form, checksum for the cross-check
+    val (qSum, qSec) = time(
+      graft.ops.PipelineOps.quantileNormalize(df, "grp", "v", "doc_id")
+        .agg(sum(col("norm_score")), count(lit(1))).collect()(0))
+    println(f"""{"example":"gridrank","rows":$n,"gini_grid_sec":$gSec%.2f,"gini_global_sec":$gRefSec%.2f,"gini":${gRow.getDouble(2)},"qnorm_grid_sec":$qSec%.2f,"qnorm_checksum":${qSum.getLong(0)},"qnorm_rows":${qSum.getLong(1)}}""")
   }
 
   private def triangleSoak(spark: SparkSession, n: Long): Unit = {

@@ -234,31 +234,42 @@ object LayoutOps {
       valueCol.cast("double").as("__rb_v")).filter(col("__rb_v").isNotNull)
     val sk = SketchOps.quantileSketch(vals, Nil, col("__rb_key"),
       col("__rb_v"), k)
-    // Empty (or all-null-value) input leaves the sketch sample empty;
-    // guard the order-statistic read so ANSI mode doesn't throw
-    // INVALID_ARRAY_INDEX while planning bounds an empty assignment
-    // scan never uses. CaseWhen evaluates the branch lazily, so the
-    // element_at never runs on an empty array.
-    sk.select(array((1 until buckets).map(i =>
-      when(size(col("sample")) > 0,
-        SketchOps.sketchQuantile(col("sample"),
-          i.toDouble / buckets))): _*).as("__bounds"))
+    // ONE transform over the boundary indices, not (buckets−1) separate
+    // CASE+element_at columns — the expanded form blew the 64 KB
+    // generated-method limit at 256 buckets (the SCALE.md CASE-fan-out
+    // cliff; one-row relation, but codegen size is plan-shaped). The
+    // in-lambda arithmetic ceil((i/B)·|s|) computes the IDENTICAL
+    // double as [[SketchOps.sketchQuantile]]'s driver-literal q
+    // (correctly-rounded small-int division), so the boundaries match
+    // the shared readout definition bit-for-bit. Empty (or
+    // all-null-value) input yields null bounds (every row → bucket 0)
+    // instead of an ANSI INVALID_ARRAY_INDEX while planning.
+    sk.select(when(size(col("sample")) > 0,
+        expr(s"transform(sequence(1, ${buckets - 1}), i -> " +
+          s"element_at(sample, greatest(1, CAST(ceil(CAST(i AS DOUBLE) " +
+          s"/ ${buckets}.0D * size(sample)) AS INT))))"))
+      .otherwise(expr(s"array_repeat(CAST(NULL AS DOUBLE), ${buckets - 1})"))
+      .as("__bounds"))
   }
 
   /** Monotone bucket assignment against [[rangeBoundsDf]] boundaries:
-    * bucket(v) = #{b ∈ bounds : v > b} — a ≤(buckets−1)-element fold per
-    * row over the broadcast one-row boundary array. NON-DECREASING in v
-    * with equal values always sharing a bucket, so a window ordered by
-    * (v, …) within each bucket, offset by the cumulative count of the
-    * buckets below, reproduces the corresponding GLOBAL ordered window
-    * EXACTLY — the property [[graft.ops.ProfileOps.giniIndex]] and
+    * bucket(v) = #{b ∈ bounds : v > b}, computed by the native
+    * binary-search expression [[graft.functions.RangeBucket]] (the
+    * bounds are non-decreasing by construction — sample quantiles at
+    * increasing q). NON-DECREASING in v with equal values always
+    * sharing a bucket, so a window ordered by (v, …) within each
+    * bucket, offset by the cumulative count of the buckets below,
+    * reproduces the corresponding GLOBAL ordered window EXACTLY — the
+    * property [[graft.ops.ProfileOps.giniIndex]] and
     * [[graft.ops.PipelineOps.quantileNormalize]] build their
-    * straggler-free forms on. `valueName` is compared as-is (numeric
-    * promotion against the double bounds is monotone). */
+    * straggler-free forms on. (An `aggregate(…)` HOF fold here blew
+    * the 64 KB generated-method limit at 256 buckets and fell back to
+    * interpreted execution — the SCALE.md CASE-fan-out cliff; the
+    * expression is O(log buckets) and stays inside codegen.) */
   def rangeBucketOf(valueName: String, boundsName: String = "__bounds")
       : Column =
-    expr(s"aggregate($boundsName, 0, (acc, b) -> acc + " +
-      s"(CASE WHEN $valueName > b THEN 1 ELSE 0 END))").cast("long")
+    graft.functions.RangeBucket(col(valueName).cast("double"),
+      col(boundsName))
 
   /** Per-file (min, max) of `zkey` in a Z-ordered dataset — what the
     * scan planner's footer pruning sees. Driver-sized by construction

@@ -21,7 +21,11 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, NumericType, StringT
   * Scope and contract (conservative by design — anything else stays
   * exact):
   *  - fires only when `spark.graft.approxQuantile` is a sample size
-  *    (int >= 16) or "true" (= 256); unset/empty/"false" = inert;
+  *    (int >= 16) or "true" (= 256); unset/empty/"false" = inert.
+  *    SIZING (measured envelope, SCALE.md k-sweep @ 10M distinct:
+  *    rank error p90 ≤ 0.65/√k, observed max ≤ 1.15/√k, n-free once
+  *    n ≫ k): for a ±ε p90 rank SLO set k ≈ (0.65/ε)² — ±3% → 512,
+  *    ±1% → 4096; the default 256 is the ±4% monitoring grade;
   *  - rewrites scalar-percentage, frequency-1, non-reverse, unfiltered,
   *    non-distinct `Percentile` over a NUMERIC child whose percentage
   *    folds to a constant in [0, 1]; array percentages (multi-quantile),

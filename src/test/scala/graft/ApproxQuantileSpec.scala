@@ -201,6 +201,45 @@ class ApproxQuantileSpec extends AnyFunSuite {
     }
   }
 
+  test("error envelope pinned at k=256 and k=1024 (the SCALE.md k-sweep)") {
+    // deterministic miniature of `Examples soak-ksweep`: independent
+    // all-distinct value sets per trial, observed |rank - q| across
+    // trials x quantiles must sit inside the published envelope
+    // (p90 <= 1/sqrt(k), max <= 1.6/sqrt(k); the 1e7-row sweep measured
+    // p90 ~ 0.65/sqrt(k), max ~ 1.15/sqrt(k))
+    val n = 200000L
+    for (k <- Seq(256, 1024)) {
+      val errs = scala.collection.mutable.ArrayBuffer.empty[Double]
+      for (t <- 0 until 5) {
+        spark.range(n).select(
+            (((col("id") + lit(t.toLong * 1000003L)) * 2654435761L) %
+              4294967296L).cast("double").as("v"))
+          .createOrReplaceTempView("aq_env")
+        val est = withApprox(k.toString) {
+          val q = spark.sql("SELECT percentile(v, 0.5) AS a, " +
+            "percentile(v, 0.9) AS b, percentile(v, 0.99) AS c FROM aq_env")
+          assert(fired(q))
+          q.collect()(0)
+        }
+        val ranks = spark.sql(
+          s"""SELECT
+             |  avg(CASE WHEN v <= ${est.getDouble(0)} THEN 1.0D ELSE 0.0D END),
+             |  avg(CASE WHEN v <= ${est.getDouble(1)} THEN 1.0D ELSE 0.0D END),
+             |  avg(CASE WHEN v <= ${est.getDouble(2)} THEN 1.0D ELSE 0.0D END)
+             |FROM aq_env""".stripMargin).collect()(0)
+        errs += math.abs(ranks.getDouble(0) - 0.5)
+        errs += math.abs(ranks.getDouble(1) - 0.9)
+        errs += math.abs(ranks.getDouble(2) - 0.99)
+      }
+      val sorted = errs.sorted.toIndexedSeq
+      val p90 = sorted(math.ceil(0.9 * sorted.size).toInt - 1)
+      assert(p90 <= 1.0 / math.sqrt(k.toDouble),
+        s"k=$k p90 rank error $p90 outside the envelope")
+      assert(sorted.last <= 1.6 / math.sqrt(k.toDouble),
+        s"k=$k max rank error ${sorted.last} outside the envelope")
+    }
+  }
+
   test("estimate(): rank threshold is overflow-safe at huge totals") {
     // counts near 2^62: the old cum*1e6 compare overflowed silently
     val big = 4000000000000000000L // 4e18
