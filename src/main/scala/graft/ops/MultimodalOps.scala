@@ -15,15 +15,17 @@ import org.apache.spark.sql.functions._
   * ([[decodeVideoFrames]] — each movi chunk is a self-contained JPEG
   * the imageio path handles).
   *
-  * DECLARED BOUNDARY (permanent, not pending): INTER-frame video
-  * bitstreams (H.264/H.265/VP9/AV1) are a non-goal of this JDK-only
-  * build — the JDK ships no bitstream decoder and bundling one means
-  * native binaries, which this library deliberately excludes. The seam
-  * is [[MediaCodecFactory]]: register an external JNI/library-backed
-  * factory and every pipeline stage (partitioning, lifecycle, feature
-  * schema, corrupt contract) is unchanged. In-repo, [[StubCodec]]
-  * supplies deterministic byte-derived features behind that seam so the
-  * plumbing stays fully testable.
+  * DECLARED BOUNDARY (bundled binaries only): INTER-frame video
+  * bitstreams (H.264/H.265/VP9/AV1) have no JDK decoder, and bundling
+  * one means native binaries, which this library deliberately
+  * excludes. The seam is [[MediaCodecFactory]], and it is now
+  * EXERCISED by a real external codec: [[FfmpegCodecFactory]] decodes
+  * any ffmpeg-supported bitstream through a subprocess wherever the
+  * deployment ships ffmpeg/ffprobe (opt-in; tests gate on binary
+  * presence, the subprocess plumbing itself is spec-covered with
+  * fakes). In-repo, [[StubCodec]] supplies deterministic byte-derived
+  * features behind the same seam so the plumbing stays testable with
+  * no binaries at all.
   *
   * Scale notes: decode runs in `mapPartitions` (one codec init per
   * partition, not per row); blobs never shuffle — features are extracted
