@@ -71,10 +71,17 @@ object Bench {
     val noisyJson = noisy.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).filter(_ >= 0).sum else 0.0
     // stop BEFORE printing (no shutdown logs after the artifact line), and
-    // put the headline total at the END of the line: tail-window captures
-    // that clip the front of a long line must still contain
-    // `"metric":"total","value":N` (JSON key order is parser-irrelevant)
+    // put the headline numbers at the END of the line: tail-window
+    // captures that clip the front of a long line must still contain
+    // `"sec_per_query":X,...,"metric":"total","value":N` (JSON key order
+    // is parser-irrelevant). sec_per_query is the gate-normalized
+    // reading: the raw total grows with COVERAGE (269 queries vs the
+    // 59-query baseline), so total-vs-baseline alone misreads breadth
+    // as slowness — BASELINE.md's normalization proposal, emitted here
+    // so the driver can parse it directly.
+    val nOk = results.count(_._2 >= 0)
+    val secPerQuery = if (nOk > 0) r3(total / nOk) else -1.0
     spark.stop()
-    println(s"""{"queries":$qs,"iterations":$iters,"noisy":$noisyJson,"reps":$reps,"failures":$failures,"sf":"$sfDir","unit":"sec","metric":"total","value":${r3(total)}}""")
+    println(s"""{"queries":$qs,"iterations":$iters,"noisy":$noisyJson,"reps":$reps,"failures":$failures,"sf":"$sfDir","unit":"sec","n_queries":$nOk,"sec_per_query":$secPerQuery,"metric":"total","value":${r3(total)}}""")
   }
 }

@@ -23,8 +23,11 @@ import org.apache.spark.sql.functions._
   *
   * Determinism (the [[GraphOps.pageRankSql]] oracle discipline,
   * integer-hardened): EVERY round-carried number is an exact integer —
-  *  - features x ∈ [0,1000]: per-doc token-bucket counts as
-  *    milli-fractions, (1000·c) div n_tok; bias feature = 1000;
+  *  - features x ∈ {0, 1000}: PRESENCE of a token bucket (binary
+  *    bag-of-words — the standard linear-classifier form; count
+  *    fractions were tried first and buried the sparse-token signal
+  *    200× below the bias, flatlining training at the base rate);
+  *    bias feature = 1000;
   *  - weights w in micro-units (real weight = w/10⁶);
   *  - margins z' = Σ w·x exact BIGINT (real margin = z'/10⁹);
   *  - σ−y is the exact rational (Z+|z'|+z'−2y(Z+|z'|)) / (2(Z+|z'|)),
@@ -32,8 +35,14 @@ import org.apache.spark.sql.functions._
   *    quantized to micro-units by TRUNCATION-TOWARD-ZERO division
   *    (positive-operand `div`/`//` agree across engines; sign applied
   *    outside — no floor-vs-trunc divergence, no rounding bias);
-  *  - the weight update w ← w − tdz(lrNum·G, lrDen·n·1000) is the same
-  *    all-integer rule on the summed gradient.
+  *  - the weight update w ← w − tdz(lrNum·G, lrDen·F·1000·r) is the
+  *    same all-integer rule on the summed gradient, where F = TOTAL
+  *    feature activations (Σ_docs (distinct buckets + 1)) — dividing
+  *    by the feature mass instead of the doc count is the integer form
+  *    of a Lipschitz/feature-scale normalization — and r is the
+  *    1-indexed round: the classic Robbins–Monro 1/r decay, which lets
+  *    a large first step coexist with stable late rounds (constant
+  *    steps measurably oscillated at high lr).
   * Sums of integers are order-independent, so the DuckDB oracle replays
   * the ENTIRE trajectory as `rounds` chained CTEs and the final
   * weights/margins hash-match bit-for-bit (FIXTURES.md class A — pure
@@ -69,21 +78,18 @@ object TrainOps {
   }
 
   /** Dense per-doc feature vectors: (doc_id, xs array<bigint> of length
-    * dim+1) — hashed-unigram milli-fractions with the bias (=1000) at
-    * index dim. Two aggregates over the token relation; the dense array
-    * keeps the per-round margin a narrow per-row fold. */
+    * dim+1) — hashed-unigram PRESENCE (1000 if any token hashes to the
+    * bucket) with the bias (=1000) at index dim. One aggregate over the
+    * token relation; the dense array keeps the per-round margin a
+    * narrow per-row fold. */
   def docFeatures(docs: DataFrame, dim: Int): DataFrame = {
     require(dim >= 2 && dim <= 4096, s"dim must be in [2, 4096], got $dim")
     val tok = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("tok"))
-    val cnt = tok.select(col("doc_id"),
+    tok.select(col("doc_id"),
         pmod(graft.functions.PolyHash(col("tok")) * lit(Mix),
           lit(dim.toLong)).as("j"))
-      .groupBy("doc_id", "j").agg(count(lit(1)).as("c"))
-    val nt = tok.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
-    cnt.join(nt, "doc_id")
-      .select(col("doc_id"), col("j"),
-        expr("(1000L * c) div n_tok").as("x"))
+      .groupBy("doc_id", "j").agg(lit(1000L).as("x"))
       .groupBy("doc_id")
       .agg(map_from_entries(collect_list(struct(col("j"), col("x"))))
         .as("m"))
@@ -144,8 +150,14 @@ object TrainOps {
         "doc_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val n = labeled.count() // also materializes the persist
+      // F = total feature activations (the update's normalizer); one
+      // aggregate, also materializes the persist
+      val fRow = labeled.agg(count(lit(1)).as("n"),
+        sum(expr("CAST(size(filter(xs, x -> x > 0L)) AS BIGINT)"))
+          .as("f")).head()
+      val n = fRow.getLong(0)
       require(n > 0, "trainLr: empty corpus")
+      val fAct = fRow.getLong(1)
       val wq = Array.fill(dim + 1)(0L)
       val wBound = Long.MaxValue / (1000L * (dim + 1)) // z' overflow guard
       var r = 0
@@ -153,8 +165,9 @@ object TrainOps {
         val g = lrGradientRound(labeled, wq)
         var j = 0
         while (j <= dim) {
-          wq(j) = (BigInt(wq(j)) -
-            tdz(BigInt(lrNum) * g(j), BigInt(lrDen) * n * 1000L)).toLong
+          // 1/r Robbins-Monro decay: large early steps, stable late ones
+          wq(j) = (BigInt(wq(j)) - tdz(BigInt(lrNum) * g(j),
+            BigInt(lrDen) * fAct * 1000L * (r + 1))).toLong
           require(math.abs(wq(j)) < wBound,
             s"trainLr: weight $j overflowed the margin bound " +
               s"(|w| >= $wBound) — lower the learning rate")
@@ -188,28 +201,29 @@ object TrainOps {
 
   // ---- DuckDB twins -------------------------------------------------------
 
-  /** Sparse feature CTEs over `documents` (tok/cnt/nt/f + labels/nd):
-    * the same milli-fraction features as [[docFeatures]], relational
-    * form (absent buckets are zero rows there and zero contributions
-    * here). `labelSql` must compute the identical 0/1 label from the
-    * `documents` row. */
+  /** Sparse feature CTEs over `documents` (tok/f + labels/fa): the
+    * same PRESENCE features as [[docFeatures]], relational form (absent
+    * buckets are zero rows there and zero contributions here; the bias
+    * row comes straight from `documents` — every doc tokenizes to at
+    * least one token, so the doc sets match). `fa` is F, the total
+    * feature-activation count normalizing the update. `labelSql` must
+    * compute the identical 0/1 label from the `documents` row. */
   private def featureCtes(dim: Int, labelSql: String): String = {
     val poly = graft.functions.PolyHash.sql("tok")
-    s"""tok AS (
+    // MATERIALIZED: the round CTEs reference f/lab once per round and
+    // DuckDB re-opens the documents parquet per un-materialized
+    // reference — 24 rounds blew the process fd limit before this
+    s"""tok AS MATERIALIZED (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
        |  FROM documents),
-       |cnt AS (
-       |  SELECT doc_id, ($poly * $Mix) % $dim AS j, count(*) AS c
-       |  FROM tok GROUP BY 1, 2),
-       |nt AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY 1),
-       |f AS (
-       |  SELECT cnt.doc_id, cnt.j, (1000 * c) // n_tok AS x
-       |  FROM cnt JOIN nt USING (doc_id)
+       |f AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, ($poly * $Mix) % $dim AS j, 1000 AS x
+       |  FROM tok
        |  UNION ALL
-       |  SELECT doc_id, $dim AS j, 1000 AS x FROM nt),
-       |lab AS (
+       |  SELECT doc_id, $dim AS j, 1000 AS x FROM documents),
+       |lab AS MATERIALIZED (
        |  SELECT doc_id, CAST($labelSql AS BIGINT) AS y FROM documents),
-       |nd AS (SELECT count(*) AS n FROM documents)""".stripMargin
+       |fa AS MATERIALIZED (SELECT count(*) AS f FROM f)""".stripMargin
   }
 
   /** The round-unrolled training replay ([[GraphOps.pageRankSql]]
@@ -221,7 +235,7 @@ object TrainOps {
       labelSql: String): String = {
     val roundCtes = (1 to rounds).map { i =>
       val p = s"w${i - 1}"
-      s"""z$i AS (
+      s"""z$i AS MATERIALIZED (
          |  SELECT f.doc_id, sum(CAST(f.x AS HUGEINT) * w.w) AS z
          |  FROM f JOIN $p w ON w.j = f.j GROUP BY 1),
          |r$i AS (
@@ -235,15 +249,15 @@ object TrainOps {
          |      THEN -(((-CAST(r.n1 AS HUGEINT)) * f.x * $Q) // r.den)
          |      ELSE (CAST(r.n1 AS HUGEINT) * f.x * $Q) // r.den END) AS gg
          |  FROM f JOIN r$i r USING (doc_id) GROUP BY 1),
-         |w$i AS (
+         |w$i AS MATERIALIZED (
          |  SELECT w.j,
          |    CAST(w.w - (CASE WHEN COALESCE(g.gg, 0) < 0
          |      THEN -(((-COALESCE(g.gg, 0)) * $lrNum)
-         |             // (CAST($lrDen AS HUGEINT) * nd.n * 1000))
+         |             // (CAST($lrDen AS HUGEINT) * fa.f * 1000 * $i))
          |      ELSE (COALESCE(g.gg, 0) * $lrNum)
-         |             // (CAST($lrDen AS HUGEINT) * nd.n * 1000) END)
+         |             // (CAST($lrDen AS HUGEINT) * fa.f * 1000 * $i) END)
          |      AS BIGINT) AS w
-         |  FROM w${i - 1} w LEFT JOIN g$i g USING (j) CROSS JOIN nd)"""
+         |  FROM w${i - 1} w LEFT JOIN g$i g USING (j) CROSS JOIN fa)"""
         .stripMargin
     }.mkString(",\n")
     s"""${featureCtes(dim, labelSql)},

@@ -40,18 +40,22 @@ class TrainOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { TrainOps.tdz(1, -2) }
   }
 
-  test("docFeatures: milli-fractions with bias, dense length dim+1") {
+  test("docFeatures: bucket presence with bias, dense length dim+1") {
     val docs = Seq((1L, "a a b c"), (2L, "z")).toDF("doc_id", "text")
     val xs = TrainOps.docFeatures(docs, 8).collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(xs(1L).length == 9 && xs(2L).length == 9)
     // bias is exactly 1000 at the last slot
     assert(xs(1L).last == 1000L && xs(2L).last == 1000L)
-    // doc 1: 4 tokens -> per-token fraction 250; "a" twice = 500
-    assert(xs(1L).init.sum == 1000L) // (1000*c) div n_tok sums exactly here
-    assert(xs(1L).init.count(_ > 0) <= 3 && xs(1L).init.max == 500L)
-    // doc 2: single token gets the whole mass
-    assert(xs(2L).init.sum == 1000L && xs(2L).init.max == 1000L)
+    // presence: 3 distinct tokens -> at most 3 active buckets, each
+    // exactly 1000 (the duplicate "a" adds nothing); at least 1 if all
+    // collide
+    val active1 = xs(1L).init.filter(_ > 0)
+    assert(active1.nonEmpty && active1.length <= 3 &&
+      active1.forall(_ == 1000L))
+    // doc 2: exactly one active bucket
+    assert(xs(2L).init.count(_ == 1000L) == 1 &&
+      xs(2L).init.count(_ > 0) == 1)
   }
 
   test("separable corpus: training converges to perfect accuracy") {
