@@ -1954,6 +1954,26 @@ object ExtensionQueries {
       TrainOps.lrScore(Tables.documents(s, dir), lrLabel,
         trainedLrFor(s, dir)).orderBy("doc_id")
     },
+    // ... and GENERALIZATION measured properly: train on the hashSplit
+    // train partition, evaluate on the held-out test partition —
+    // train/test contamination is structurally impossible (the split
+    // is the deterministic id-bucket hashSplit the dataset_splits
+    // queries certify)
+    "quality_train_lr_holdout" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val split = PipelineOps.hashSplit(col("doc_id"))
+      val wq = TrainOps.trainLr(docs.filter(split === "train"), lrLabel,
+        dim = 64, rounds = 24, lrNum = 400L, lrDen = 1L)
+      TrainOps.lrScore(docs.filter(split === "test"), lrLabel, wq)
+        .agg(
+          sum(when(col("pred") && col("y") === 1L, 1L).otherwise(0L)).as("tp"),
+          sum(when(col("pred") && col("y") === 0L, 1L).otherwise(0L)).as("fp"),
+          sum(when(!col("pred") && col("y") === 0L, 1L).otherwise(0L)).as("tn"),
+          sum(when(!col("pred") && col("y") === 1L, 1L).otherwise(0L)).as("fn"),
+          count(lit(1)).as("n"))
+        .select(col("tp"), col("fp"), col("tn"), col("fn"), col("n"),
+          expr("(1000000L * (tp + tn)) div n").as("acc_ppm"))
+    },
     // ... and the model EVALUATED: exact integer confusion counts +
     // ppm accuracy on the training corpus (the in-engine replacement
     // for the export-to-sklearn eval step)
@@ -3246,6 +3266,10 @@ object ExtensionQueries {
     "quality_train_lr_scores" ->
       (TrainOps.lrScoreSql(64, 24, 400L, 1L, lrLabelSql) +
         "\nORDER BY doc_id"),
+    "quality_train_lr_holdout" ->
+      TrainOps.lrHoldoutEvalSql(64, 24, 400L, 1L, lrLabelSql,
+        s"(SELECT * FROM documents WHERE ${PipelineOps.hashSplitSql("doc_id")} = 'train')",
+        s"(SELECT * FROM documents WHERE ${PipelineOps.hashSplitSql("doc_id")} = 'test')"),
     "quality_train_lr_eval" ->
       s"""SELECT tp, fp, tn, fn, n,
          |  (1000000 * (tp + tn)) // n AS acc_ppm FROM (

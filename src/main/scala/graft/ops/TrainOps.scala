@@ -201,29 +201,32 @@ object TrainOps {
 
   // ---- DuckDB twins -------------------------------------------------------
 
-  /** Sparse feature CTEs over `documents` (tok/f + labels/fa): the
-    * same PRESENCE features as [[docFeatures]], relational form (absent
-    * buckets are zero rows there and zero contributions here; the bias
-    * row comes straight from `documents` — every doc tokenizes to at
-    * least one token, so the doc sets match). `fa` is F, the total
-    * feature-activation count normalizing the update. `labelSql` must
-    * compute the identical 0/1 label from the `documents` row. */
-  private def featureCtes(dim: Int, labelSql: String): String = {
+  /** Sparse feature CTEs over `rel` (tok/f + labels/fa, names prefixed
+    * by `px`): the same PRESENCE features as [[docFeatures]],
+    * relational form (absent buckets are zero rows there and zero
+    * contributions here; the bias row comes straight from the doc
+    * relation — every doc tokenizes to at least one token, so the doc
+    * sets match). `fa` is F, the total feature-activation count
+    * normalizing the update. `labelSql` must compute the identical 0/1
+    * label from the doc row. */
+  private def featureCtes(dim: Int, labelSql: String,
+      rel: String = "documents", px: String = ""): String = {
     val poly = graft.functions.PolyHash.sql("tok")
     // MATERIALIZED: the round CTEs reference f/lab once per round and
     // DuckDB re-opens the documents parquet per un-materialized
     // reference — 24 rounds blew the process fd limit before this
-    s"""tok AS MATERIALIZED (
+    s"""${px}tok AS MATERIALIZED (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-       |  FROM documents),
-       |f AS MATERIALIZED (
+       |  FROM $rel),
+       |${px}f AS MATERIALIZED (
        |  SELECT DISTINCT doc_id, ($poly * $Mix) % $dim AS j, 1000 AS x
-       |  FROM tok
+       |  FROM ${px}tok
        |  UNION ALL
-       |  SELECT doc_id, $dim AS j, 1000 AS x FROM documents),
-       |lab AS MATERIALIZED (
-       |  SELECT doc_id, CAST($labelSql AS BIGINT) AS y FROM documents),
-       |fa AS MATERIALIZED (SELECT count(*) AS f FROM f)""".stripMargin
+       |  SELECT doc_id, $dim AS j, 1000 AS x FROM $rel),
+       |${px}lab AS MATERIALIZED (
+       |  SELECT doc_id, CAST($labelSql AS BIGINT) AS y FROM $rel),
+       |${px}fa AS MATERIALIZED (SELECT count(*) AS f FROM ${px}f)"""
+      .stripMargin
   }
 
   /** The round-unrolled training replay ([[GraphOps.pageRankSql]]
@@ -232,7 +235,7 @@ object TrainOps {
     * exact [[trainLr]] trajectory. Emits everything up to and
     * including `w$rounds`; callers append their SELECT. */
   private def trainCtes(dim: Int, rounds: Int, lrNum: Long, lrDen: Long,
-      labelSql: String): String = {
+      labelSql: String, rel: String = "documents"): String = {
     val roundCtes = (1 to rounds).map { i =>
       val p = s"w${i - 1}"
       s"""z$i AS MATERIALIZED (
@@ -260,7 +263,7 @@ object TrainOps {
          |  FROM w${i - 1} w LEFT JOIN g$i g USING (j) CROSS JOIN fa)"""
         .stripMargin
     }.mkString(",\n")
-    s"""${featureCtes(dim, labelSql)},
+    s"""${featureCtes(dim, labelSql, rel)},
        |w0 AS (
        |  SELECT unnest(generate_series(0, $dim)) AS j,
        |    CAST(0 AS BIGINT) AS w),
@@ -284,4 +287,30 @@ object TrainOps {
        |  FROM f JOIN w$rounds w ON w.j = f.j GROUP BY 1)
        |SELECT sc.doc_id, sc.margin, sc.margin > 0 AS pred, lab.y
        |FROM sc JOIN lab USING (doc_id)""".stripMargin
+
+  /** HELD-OUT evaluation twin: replay training over `trainRel`, build
+    * an independent feature/label set over `scoreRel` (CTEs prefixed
+    * s_), score it with the final weights, and emit the confusion
+    * counts + ppm accuracy — the generalization certificate next to
+    * the training-accuracy one. */
+  def lrHoldoutEvalSql(dim: Int, rounds: Int, lrNum: Long, lrDen: Long,
+      labelSql: String, trainRel: String, scoreRel: String): String =
+    s"""WITH ${trainCtes(dim, rounds, lrNum, lrDen, labelSql, trainRel)},
+       |${featureCtes(dim, labelSql, scoreRel, "s_")},
+       |sc AS (
+       |  SELECT f.doc_id, CAST(sum(CAST(f.x AS HUGEINT) * w.w) AS BIGINT)
+       |    AS margin
+       |  FROM s_f f JOIN w$rounds w ON w.j = f.j GROUP BY 1),
+       |pr AS (
+       |  SELECT sc.margin > 0 AS pred, lab.y
+       |  FROM sc JOIN s_lab lab USING (doc_id))
+       |SELECT tp, fp, tn, fn, n,
+       |  (1000000 * (tp + tn)) // n AS acc_ppm FROM (
+       |  SELECT
+       |    CAST(sum(CASE WHEN pred AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |    CAST(sum(CASE WHEN pred AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |    CAST(sum(CASE WHEN NOT pred AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+       |    CAST(sum(CASE WHEN NOT pred AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM pr)""".stripMargin
 }
