@@ -82,10 +82,15 @@ object TrainOps {
     * bucket) with the bias (=1000) at index dim. One aggregate over the
     * token relation; the dense array keeps the per-round margin a
     * narrow per-row fold. */
-  def docFeatures(docs: DataFrame, dim: Int): DataFrame = {
+  def docFeatures(docs: DataFrame, dim: Int, ngram: Int = 1): DataFrame = {
     require(dim >= 2 && dim <= 4096, s"dim must be in [2, 4096], got $dim")
-    val tok = docs.select(col("doc_id"),
-      explode(split(col("text"), " ")).as("tok"))
+    require(ngram >= 1 && ngram <= 3, s"ngram must be in [1, 3], got $ngram")
+    // word k-shingles for k = 1..ngram (fastText's word-ngram features;
+    // k = 1 is the plain token) — the dedup shingle expression, so the
+    // SQL twin shares its positional definition verbatim
+    val tok = (1 to ngram).map(k => docs.select(col("doc_id"),
+        explode(graft.functions.WordShingles(col("text"), k)).as("tok")))
+      .reduce(_ unionByName _)
     tok.select(col("doc_id"),
         pmod(graft.functions.PolyHash(col("tok")) * lit(Mix),
           lit(dim.toLong)).as("j"))
@@ -141,11 +146,11 @@ object TrainOps {
     * persisted across rounds (built once; each round re-reads it for
     * the one gradient aggregate). */
   def trainLr(docs: DataFrame, label: Column, dim: Int, rounds: Int,
-      lrNum: Long, lrDen: Long): Array[Long] = {
+      lrNum: Long, lrDen: Long, ngram: Int = 1): Array[Long] = {
     require(rounds >= 1 && rounds <= 64,
       s"rounds must be in [1, 64], got $rounds")
     require(lrNum > 0 && lrDen > 0, s"lr must be positive: $lrNum/$lrDen")
-    val labeled = docFeatures(docs, dim)
+    val labeled = docFeatures(docs, dim, ngram)
       .join(docs.select(col("doc_id"), label.cast("long").as("y")),
         "doc_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -189,10 +194,10 @@ object TrainOps {
   /** Score the corpus with trained weights: exact integer margin
     * (real margin = margin/10⁹), the boolean decision, and the label —
     * all class-A integer outputs. */
-  def lrScore(docs: DataFrame, label: Column, wq: Array[Long])
-      : DataFrame = {
+  def lrScore(docs: DataFrame, label: Column, wq: Array[Long],
+      ngram: Int = 1): DataFrame = {
     val dim = wq.length - 1
-    docFeatures(docs, dim)
+    docFeatures(docs, dim, ngram)
       .join(docs.select(col("doc_id"), label.cast("long").as("y")),
         "doc_id")
       .select(col("doc_id"), marginCol(wq).as("margin"),
@@ -210,14 +215,25 @@ object TrainOps {
     * normalizing the update. `labelSql` must compute the identical 0/1
     * label from the doc row. */
   private def featureCtes(dim: Int, labelSql: String,
-      rel: String = "documents", px: String = ""): String = {
+      rel: String = "documents", px: String = "", ngram: Int = 1): String = {
     val poly = graft.functions.PolyHash.sql("tok")
+    // word k-shingle union, k = 1..ngram — the dedup shinglesSqlCte
+    // positional definition, parameterized by relation
+    val shingleSelects = (1 to ngram).map { k =>
+      val terms = (0 until k).map {
+        case 0 => "string_split(text,' ')[pos]"
+        case i => s"string_split(text,' ')[pos+$i]"
+      }.mkString(" || ' ' || ")
+      s"""SELECT DISTINCT doc_id, $terms AS tok
+         |  FROM (SELECT doc_id, text,
+         |    unnest(range(1, greatest(len(string_split(text,' ')) - ${k - 2}, 1))) AS pos
+         |    FROM $rel)""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
     // MATERIALIZED: the round CTEs reference f/lab once per round and
     // DuckDB re-opens the documents parquet per un-materialized
     // reference — 24 rounds blew the process fd limit before this
     s"""${px}tok AS MATERIALIZED (
-       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-       |  FROM $rel),
+       |  $shingleSelects),
        |${px}f AS MATERIALIZED (
        |  SELECT DISTINCT doc_id, ($poly * $Mix) % $dim AS j, 1000 AS x
        |  FROM ${px}tok
@@ -235,7 +251,8 @@ object TrainOps {
     * exact [[trainLr]] trajectory. Emits everything up to and
     * including `w$rounds`; callers append their SELECT. */
   private def trainCtes(dim: Int, rounds: Int, lrNum: Long, lrDen: Long,
-      labelSql: String, rel: String = "documents"): String = {
+      labelSql: String, rel: String = "documents", ngram: Int = 1)
+      : String = {
     val roundCtes = (1 to rounds).map { i =>
       val p = s"w${i - 1}"
       s"""z$i AS MATERIALIZED (
@@ -263,7 +280,7 @@ object TrainOps {
          |  FROM w${i - 1} w LEFT JOIN g$i g USING (j) CROSS JOIN fa)"""
         .stripMargin
     }.mkString(",\n")
-    s"""${featureCtes(dim, labelSql, rel)},
+    s"""${featureCtes(dim, labelSql, rel, "", ngram)},
        |w0 AS (
        |  SELECT unnest(generate_series(0, $dim)) AS j,
        |    CAST(0 AS BIGINT) AS w),
@@ -272,15 +289,17 @@ object TrainOps {
 
   /** DuckDB twin of [[trainLr]] + [[weightsDf]]. */
   def trainLrSql(dim: Int, rounds: Int, lrNum: Long, lrDen: Long,
-      labelSql: String): String =
-    s"""WITH ${trainCtes(dim, rounds, lrNum, lrDen, labelSql)}
+      labelSql: String, ngram: Int = 1): String =
+    s"""WITH ${trainCtes(dim, rounds, lrNum, lrDen, labelSql,
+        "documents", ngram)}
        |SELECT CAST(j AS BIGINT) AS j, w FROM w$rounds""".stripMargin
 
   /** DuckDB twin of [[lrScore]] under the [[trainLrSql]]-replayed
     * weights: the full trajectory, then one scoring join. */
   def lrScoreSql(dim: Int, rounds: Int, lrNum: Long, lrDen: Long,
-      labelSql: String): String =
-    s"""WITH ${trainCtes(dim, rounds, lrNum, lrDen, labelSql)},
+      labelSql: String, ngram: Int = 1): String =
+    s"""WITH ${trainCtes(dim, rounds, lrNum, lrDen, labelSql,
+        "documents", ngram)},
        |sc AS (
        |  SELECT f.doc_id, CAST(sum(CAST(f.x AS HUGEINT) * w.w) AS BIGINT)
        |    AS margin
@@ -294,9 +313,11 @@ object TrainOps {
     * counts + ppm accuracy — the generalization certificate next to
     * the training-accuracy one. */
   def lrHoldoutEvalSql(dim: Int, rounds: Int, lrNum: Long, lrDen: Long,
-      labelSql: String, trainRel: String, scoreRel: String): String =
-    s"""WITH ${trainCtes(dim, rounds, lrNum, lrDen, labelSql, trainRel)},
-       |${featureCtes(dim, labelSql, scoreRel, "s_")},
+      labelSql: String, trainRel: String, scoreRel: String,
+      ngram: Int = 1): String =
+    s"""WITH ${trainCtes(dim, rounds, lrNum, lrDen, labelSql, trainRel,
+        ngram)},
+       |${featureCtes(dim, labelSql, scoreRel, "s_", ngram)},
        |sc AS (
        |  SELECT f.doc_id, CAST(sum(CAST(f.x AS HUGEINT) * w.w) AS BIGINT)
        |    AS margin
