@@ -1995,6 +1995,15 @@ object ExtensionQueries {
         .select(col("tp"), col("fp"), col("tn"), col("fn"), col("n"),
           expr("(1000000L * (tp + tn)) div n").as("acc_ppm"))
     },
+    // ... and CALIBRATED: the reliability table (10% probability bins
+    // -> empirical positive rate, all-integer) that justifies or
+    // refutes reading the squash output as a probability before
+    // picking a corpus threshold
+    "quality_train_lr_calibration" -> { (s, dir) =>
+      TrainOps.calibrationTable(
+        TrainOps.lrScore(Tables.documents(s, dir), lrLabel,
+          trainedLrFor(s, dir))).orderBy("bin")
+    },
     // ... and the model EVALUATED: exact integer confusion counts +
     // ppm accuracy on the training corpus (the in-engine replacement
     // for the export-to-sklearn eval step)
@@ -3296,6 +3305,9 @@ object ExtensionQueries {
         s"(SELECT * FROM documents WHERE ${PipelineOps.hashSplitSql("doc_id")} = 'train')",
         s"(SELECT * FROM documents WHERE ${PipelineOps.hashSplitSql("doc_id")} = 'test')",
         ngram = 2),
+    "quality_train_lr_calibration" ->
+      (TrainOps.calibrationSql(64, 24, 400L, 1L, lrLabelSql) +
+        "\nORDER BY bin"),
     "quality_train_lr_eval" ->
       s"""SELECT tp, fp, tn, fn, n,
          |  (1000000 * (tp + tn)) // n AS acc_ppm FROM (

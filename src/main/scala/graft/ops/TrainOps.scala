@@ -307,6 +307,37 @@ object TrainOps {
        |SELECT sc.doc_id, sc.margin, sc.margin > 0 AS pred, lab.y
        |FROM sc JOIN lab USING (doc_id)""".stripMargin
 
+  /** CALIBRATION (reliability) table for a scored corpus: bin each
+    * doc by its predicted probability p = σ(margin) in fixed 10%
+    * bins — bin = (10·(Z+|z'|+z')) div (2(Z+|z'|)), pure integer
+    * arithmetic on the exact softsign rational, clamped to 9 at p = 1 —
+    * and report per-bin doc count, positives, and the empirical
+    * positive rate in ppm. A well-calibrated filter has rate ≈ bin
+    * midpoint; the table is what justifies (or refutes) reading the
+    * squash output as a probability before thresholding. Class-A
+    * integer outputs end to end. */
+  def calibrationTable(scored: DataFrame): DataFrame =
+    scored
+      .withColumn("bin",
+        least(expr(s"(10L * (${Z}L + abs(margin) + margin)) div " +
+          s"(2L * (${Z}L + abs(margin)))"), lit(9L)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("positives"))
+      .select(col("bin"), col("n"), col("positives"),
+        expr("(1000000L * positives) div n").as("rate_ppm"))
+
+  /** DuckDB twin of [[calibrationTable]] over [[lrScoreSql]]. */
+  def calibrationSql(dim: Int, rounds: Int, lrNum: Long, lrDen: Long,
+      labelSql: String, ngram: Int = 1): String =
+    s"""SELECT bin, n, positives, (1000000 * positives) // n AS rate_ppm
+       |FROM (
+       |  SELECT least((10 * ($Z + abs(margin) + margin))
+       |      // (2 * ($Z + abs(margin))), 9) AS bin,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(y) AS BIGINT) AS positives
+       |  FROM (${lrScoreSql(dim, rounds, lrNum, lrDen, labelSql, ngram)})
+       |  GROUP BY 1)""".stripMargin
+
   /** HELD-OUT evaluation twin: replay training over `trainRel`, build
     * an independent feature/label set over `scoreRel` (CTEs prefixed
     * s_), score it with the final weights, and emit the confusion
