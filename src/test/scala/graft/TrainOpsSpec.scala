@@ -136,4 +136,46 @@ class TrainOpsSpec extends AnyFunSuite {
       TrainOps.trainLr(docs, col("y"), 8, 8, Long.MaxValue / 4096, 1L)
     }
   }
+
+  test("ngram features: bigrams add buckets; unigram path unchanged") {
+    val docs = Seq((1L, "a b a b"), (2L, "c d")).toDF("doc_id", "text")
+    val uni = TrainOps.docFeatures(docs, 512, ngram = 1).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val bi = TrainOps.docFeatures(docs, 512, ngram = 2).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // bigram features are a superset: every unigram bucket stays on
+    (1L to 2L).foreach { id =>
+      uni(id).zip(bi(id)).foreach { case (u, b) =>
+        if (u > 0) assert(b > 0, s"doc $id lost a unigram bucket")
+      }
+      assert(bi(id).init.count(_ > 0) > uni(id).init.count(_ > 0),
+        s"doc $id gained no bigram buckets")
+    }
+    // doc 1 bigrams: "a b", "b a" (distinct) -> exactly 2 new buckets
+    // barring collisions at dim=512
+    assert(bi(1L).init.count(_ > 0) - uni(1L).init.count(_ > 0) == 2)
+    intercept[IllegalArgumentException] {
+      TrainOps.docFeatures(docs, 512, ngram = 0)
+    }
+  }
+
+  test("calibrationTable: bins match the exact softsign rational") {
+    // margins engineered per bin: sigma(z) = 1/2 + z/(2(1+|z|));
+    // z' = Z gives p = 0.75 -> bin 7; z' = -Z gives 0.25 -> bin 2;
+    // z' = 0 -> 0.5 -> bin 5; huge z' -> p ~ 1 -> clamped bin 9
+    val scored = Seq(
+      (1L, TrainOps.Z, 1L), (2L, -TrainOps.Z, 0L),
+      (3L, 0L, 1L), (4L, 1000L * TrainOps.Z, 1L),
+      (5L, -1000L * TrainOps.Z, 0L))
+      .toDF("doc_id", "margin", "y")
+    val bins = TrainOps.calibrationTable(scored).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    assert(bins(7L) == ((1L, 1L, 1000000L)))
+    assert(bins(2L) == ((1L, 0L, 0L)))
+    assert(bins(5L) == ((1L, 1L, 1000000L)))
+    assert(bins(9L) == ((1L, 1L, 1000000L)))
+    assert(bins(0L) == ((1L, 0L, 0L)))
+    assert(bins.keySet == Set(0L, 2L, 5L, 7L, 9L))
+  }
 }
