@@ -1995,6 +1995,23 @@ object ExtensionQueries {
         .select(col("tp"), col("fp"), col("tn"), col("fn"), col("n"),
           expr("(1000000L * (tp + tn)) div n").as("acc_ppm"))
     },
+    // ... and RESUMED: train 12 rounds, PERSIST the model (weights
+    // parquet + meta sidecar), reload, warm-start 12 more — and
+    // hash-match the STRAIGHT 24-round oracle: the certificate that
+    // incremental retraining walks the identical trajectory (the decay
+    // divisor uses the global round index), so a nightly warm-start
+    // never diverges from the from-scratch run
+    "quality_train_lr_resume" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val w12 = TrainOps.trainLr(docs, lrLabel, 64, 12, 400L, 1L)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-lr-model").toString
+      TrainOps.writeModel(s, w12, ngram = 1, roundsDone = 12, path)
+      val (loaded, ng, done) = TrainOps.readModel(s, path)
+      val w24 = TrainOps.trainLr(docs, lrLabel, 64, 12, 400L, 1L,
+        ngram = ng, init = loaded, startRound = done)
+      TrainOps.weightsDf(s, w24).orderBy("j")
+    },
     // ... and CALIBRATED: the reliability table (10% probability bins
     // -> empirical positive rate, all-integer) that justifies or
     // refutes reading the squash output as a probability before
@@ -3308,6 +3325,10 @@ object ExtensionQueries {
     "quality_train_lr_calibration" ->
       (TrainOps.calibrationSql(64, 24, 400L, 1L, lrLabelSql) +
         "\nORDER BY bin"),
+    // the STRAIGHT 24-round twin — hash equality IS the resume law
+    "quality_train_lr_resume" ->
+      (TrainOps.trainLrSql(64, 24, 400L, 1L, lrLabelSql) +
+        "\nORDER BY j"),
     "quality_train_lr_eval" ->
       s"""SELECT tp, fp, tn, fn, n,
          |  (1000000 * (tp + tn)) // n AS acc_ppm FROM (

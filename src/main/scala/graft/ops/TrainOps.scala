@@ -146,9 +146,14 @@ object TrainOps {
     * persisted across rounds (built once; each round re-reads it for
     * the one gradient aggregate). */
   def trainLr(docs: DataFrame, label: Column, dim: Int, rounds: Int,
-      lrNum: Long, lrDen: Long, ngram: Int = 1): Array[Long] = {
-    require(rounds >= 1 && rounds <= 64,
-      s"rounds must be in [1, 64], got $rounds")
+      lrNum: Long, lrDen: Long, ngram: Int = 1,
+      init: Array[Long] = null, startRound: Int = 0): Array[Long] = {
+    require(rounds >= 1 && startRound >= 0 && startRound + rounds <= 64,
+      s"need 1 <= rounds, 0 <= startRound, startRound + rounds <= 64; " +
+        s"got rounds=$rounds startRound=$startRound")
+    require(init == null || init.length == dim + 1,
+      s"init weights must have dim+1 = ${dim + 1} entries, " +
+        s"got ${if (init == null) "null" else init.length.toString}")
     require(lrNum > 0 && lrDen > 0, s"lr must be positive: $lrNum/$lrDen")
     val labeled = docFeatures(docs, dim, ngram)
       .join(docs.select(col("doc_id"), label.cast("long").as("y")),
@@ -163,10 +168,15 @@ object TrainOps {
       val n = fRow.getLong(0)
       require(n > 0, "trainLr: empty corpus")
       val fAct = fRow.getLong(1)
-      val wq = Array.fill(dim + 1)(0L)
+      val wq = if (init == null) Array.fill(dim + 1)(0L) else init.clone()
       val wBound = Long.MaxValue / (1000L * (dim + 1)) // z' overflow guard
-      var r = 0
-      while (r < rounds) {
+      // the decay divisor uses the GLOBAL round index, so a warm-started
+      // continuation walks the identical trajectory as the straight run:
+      // resume(train(R1), R2, startRound = R1) == train(R1 + R2)
+      // bit-for-bit (the RESUME LAW, spec-pinned and oracle-certified by
+      // quality_train_lr_resume hashing against the straight twin)
+      var r = startRound
+      while (r < startRound + rounds) {
         val g = lrGradientRound(labeled, wq)
         var j = 0
         while (j <= dim) {
@@ -182,6 +192,41 @@ object TrainOps {
       }
       wq
     } finally labeled.unpersist()
+  }
+
+  /** Persist a trained model: weights parquet + a one-row meta sidecar
+    * (dim, ngram, rounds_done — what [[readModel]] validates and a
+    * warm-start continuation needs). The PqIndex sidecar discipline
+    * applied to the classifier. */
+  def writeModel(spark: SparkSession, wq: Array[Long], ngram: Int,
+      roundsDone: Int, path: String): Unit = {
+    import spark.implicits._
+    weightsDf(spark, wq).coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/weights")
+    Seq((wq.length - 1, ngram, roundsDone)).toDF("dim", "ngram", "rounds_done")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a persisted model with shape validation at LOAD time (a
+    * truncated or duplicated weights relation must fail up front, not
+    * mid-retrain). Returns (weights, ngram, rounds_done). */
+  def readModel(spark: SparkSession, path: String): (Array[Long], Int, Int) = {
+    val meta = spark.read.parquet(s"$path/meta").collect()
+    require(meta.length == 1, s"model meta must be one row, got ${meta.length}")
+    val dim = meta(0).getAs[Int]("dim")
+    val ngram = meta(0).getAs[Int]("ngram")
+    val roundsDone = meta(0).getAs[Int]("rounds_done")
+    val rows = spark.read.parquet(s"$path/weights").collect()
+    require(rows.length == dim + 1,
+      s"model weights incomplete: ${rows.length} rows for dim=$dim")
+    val wq = Array.fill(dim + 1)(Long.MinValue)
+    rows.foreach { r =>
+      val j = r.getAs[Long]("j").toInt
+      require(j >= 0 && j <= dim && wq(j) == Long.MinValue,
+        s"model weights corrupt at j=$j (out of range or duplicate)")
+      wq(j) = r.getAs[Long]("w")
+    }
+    (wq, ngram, roundsDone)
   }
 
   /** Trained weights as a relation (j, w) — the hash-checkable model. */

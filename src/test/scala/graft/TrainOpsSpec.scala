@@ -178,4 +178,44 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(bins(0L) == ((1L, 0L, 0L)))
     assert(bins.keySet == Set(0L, 2L, 5L, 7L, 9L))
   }
+
+  test("resume law: warm-started continuation == straight run, any split") {
+    val docs = separable(200)
+    val full = TrainOps.trainLr(docs, col("y"), 16, 12, 40L, 1L)
+    for (split <- Seq(1, 5, 11)) {
+      val first = TrainOps.trainLr(docs, col("y"), 16, split, 40L, 1L)
+      val resumed = TrainOps.trainLr(docs, col("y"), 16, 12 - split,
+        40L, 1L, init = first, startRound = split)
+      assert(resumed.sameElements(full), s"split=$split diverged")
+    }
+    intercept[IllegalArgumentException] {
+      TrainOps.trainLr(docs, col("y"), 16, 2, 1L, 1L,
+        init = Array(1L, 2L)) // wrong length
+    }
+    intercept[IllegalArgumentException] {
+      TrainOps.trainLr(docs, col("y"), 16, 60, 1L, 1L, startRound = 10)
+    }
+  }
+
+  test("model IO: roundtrip, and corrupt sidecars refuse at load") {
+    val wq = Array.tabulate(9)(i => i.toLong * 7 - 20)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-lr-model-spec").toString
+    TrainOps.writeModel(spark, wq, ngram = 2, roundsDone = 5, path)
+    val (loaded, ng, done) = TrainOps.readModel(spark, path)
+    assert(loaded.sameElements(wq) && ng == 2 && done == 5)
+    // truncated weights must refuse loudly
+    val bad = java.nio.file.Files
+      .createTempDirectory("graft-lr-model-bad").toString
+    TrainOps.writeModel(spark, wq, 1, 1, bad)
+    spark.read.parquet(s"$bad/weights").limit(5).write
+      .mode("overwrite").parquet(s"$bad/weights2")
+    // overwrite weights dir with the truncated copy
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(bad).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    fs.delete(new Path(s"$bad/weights"), true)
+    fs.rename(new Path(s"$bad/weights2"), new Path(s"$bad/weights"))
+    intercept[IllegalArgumentException] { TrainOps.readModel(spark, bad) }
+  }
 }
