@@ -181,6 +181,17 @@ object Examples {
       spark.stop()
       return
     }
+    if (args.headOption.contains("soak-train")) {
+      // classifier-training soak: `runMain graft.Examples soak-train
+      // 200000,1000000` — per-round gradient cost must scale linearly
+      // with the corpus (one map-side-combined aggregate per round) and
+      // the separable corpus must still train to 100% at every size
+      val sizes = args.lift(1).getOrElse("200000,1000000")
+        .split(",").map(_.trim.toInt)
+      sizes.foreach(n => trainSoak(spark, n))
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("soak-gridrank")) {
       // grid-window soak: `runMain graft.Examples soak-gridrank
       // 10000000,40000000` — gini + quantileNormalize on ALL-DISTINCT
@@ -463,6 +474,34 @@ object Examples {
       val el = (System.nanoTime() - t0) / 1e9
       println(f"""{"example":"ksweep","k":$k,"rows":$n,"trials":$trials,"err_ppm_p50":${pq(0.5) * 1e6}%.0f,"err_ppm_p90":${pq(0.9) * 1e6}%.0f,"err_ppm_max":${sorted.last * 1e6}%.0f,"theory_ppm_1_over_sqrt_k":${1e6 / math.sqrt(k.toDouble)}%.0f,"sec":$el%.1f}""")
     }
+  }
+
+  /** Training soak: generate an n-doc separable corpus IN-ENGINE
+    * (deterministic column arithmetic — no driver-side text), train 8
+    * rounds at dim=64, report feature-build and per-round gradient
+    * time, and require 100% accuracy. The scaling claim under test:
+    * each round is ONE map-side-combined dim+1-key aggregate over the
+    * persisted feature relation, so s/round grows linearly with the
+    * corpus and the model-sized collect is constant. */
+  private def trainSoak(spark: SparkSession, n: Int): Unit = {
+    // positive docs speak goodN vocab, negative badN, shared filler;
+    // ~16 tokens per doc, built with concat/pmod only
+    val w = (i: Int) => expr(s"CASE WHEN id % 2 = 0 THEN 'g' ELSE 'b' END" +
+      s" || CAST((id * ${7 + i}) % 5 AS STRING)")
+    val docs = spark.range(n.toLong).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 12).map(w) ++
+        Seq(expr("'the'"), expr("'of'"), expr("'and'"), expr("'to'")): _*)
+        .as("text"),
+      (col("id") % 2 === 0).cast("long").as("y"))
+    val t0 = System.nanoTime()
+    val wq = graft.ops.TrainOps.trainLr(docs, col("y"), dim = 64,
+      rounds = 8, lrNum = 10L, lrDen = 1L)
+    val trainS = (System.nanoTime() - t0) / 1e9
+    val acc = graft.ops.TrainOps.lrScore(docs, col("y"), wq)
+      .agg(avg((col("pred").cast("long") === col("y")).cast("double")))
+      .head().getDouble(0)
+    require(acc == 1.0, s"separable corpus must train to 100%, got $acc")
+    println(f"""{"example":"train_soak","docs":$n,"rounds":8,"train_sec":$trainS%.2f,"sec_per_round":${trainS / 8}%.2f,"acc":$acc}""")
   }
 
   /** Grid-window soak: [[graft.ops.ProfileOps.giniIndex]] and
