@@ -25,8 +25,14 @@ import org.apache.spark.sql.types._
   *
   * Semantics are EXACTLY the fold's (GridWindowSpec pins equality):
   * IEEE `<` compares (NaN value → 0 matches "v > b never true"), a null
-  * value or null bounds entries count as no boundary crossed (the
-  * empty-input all-null bounds guard → bucket 0), output is never null.
+  * value counts as no boundary crossed, and a null-bounds array yields
+  * bucket 0. BOUNDS CONTRACT: entries are either ALL non-null or ALL
+  * null — exactly what [[graft.ops.LayoutOps.rangeBoundsDf]] produces
+  * (its empty-input guard nulls the whole array at once); the binary
+  * search checks only the first entry, so a MIXED-null array is
+  * outside the contract (it would read null slots as 0.0 and break
+  * monotonicity — construct bounds through rangeBoundsDf). Output is
+  * never null.
   */
 case class RangeBucket(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -192,9 +192,12 @@ class FfmpegCodecFactory(ffmpegBin: String = "ffmpeg",
     }
 
     override def close(): Unit = {
-      // best-effort scratch cleanup; files are deleted per decode already
+      // best-effort scratch cleanup; files are deleted per decode
+      // already. The directory stream must close too — an unclosed
+      // Files.list leaks one fd per decoder close.
       try {
-        Files.list(tmpDir).forEach(p => Files.deleteIfExists(p))
+        val ls = Files.list(tmpDir)
+        try ls.forEach(p => Files.deleteIfExists(p)) finally ls.close()
         Files.deleteIfExists(tmpDir)
       } catch { case _: java.io.IOException => () }
     }

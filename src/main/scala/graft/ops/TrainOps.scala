@@ -124,6 +124,7 @@ object TrainOps {
           lit(2L) * col("y") * (lit(Z) + abs(col("zq")))).as("n1"),
         (lit(2L) * (lit(Z) + abs(col("zq")))).as("den"),
         posexplode(col("xs")).as(Seq("j", "x")))
+      .filter(col("x") > 0L) // x = 0 contributes exactly 0; don't shuffle it
       .select(col("j"),
         expr(s"CASE WHEN n1 < 0 " +
           s"THEN -((CAST(-n1 AS DECIMAL(38,0)) * x * ${Q}L) div den) " +
@@ -169,7 +170,11 @@ object TrainOps {
       require(n > 0, "trainLr: empty corpus")
       val fAct = fRow.getLong(1)
       val wq = if (init == null) Array.fill(dim + 1)(0L) else init.clone()
-      val wBound = Long.MaxValue / (1000L * (dim + 1)) // z' overflow guard
+      // guards EVERY downstream Long expression, not just z' itself:
+      // the largest is calibrationTable's 10*(Z+|z'|+z') <= 10*(Z+2|z'|),
+      // so cap |z'| <= Long.MaxValue/25 (then n1 <= 2(Z+|z'|) and the
+      // calibration numerator both stay < 2^63 with margin)
+      val wBound = Long.MaxValue / (25L * 1000L * (dim + 1))
       // the decay divisor uses the GLOBAL round index, so a warm-started
       // continuation walks the identical trajectory as the straight run:
       // resume(train(R1), R2, startRound = R1) == train(R1 + R2)
@@ -245,8 +250,9 @@ object TrainOps {
     docFeatures(docs, dim, ngram)
       .join(docs.select(col("doc_id"), label.cast("long").as("y")),
         "doc_id")
-      .select(col("doc_id"), marginCol(wq).as("margin"),
-        (marginCol(wq) > 0L).as("pred"), col("y"))
+      .select(col("doc_id"), marginCol(wq).as("margin"), col("y"))
+      .select(col("doc_id"), col("margin"),
+        (col("margin") > 0L).as("pred"), col("y"))
   }
 
   // ---- DuckDB twins -------------------------------------------------------

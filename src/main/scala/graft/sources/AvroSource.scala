@@ -138,16 +138,25 @@ object AvroSource {
     fs.mkdirs(dir)
     df.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
-        val pid = org.apache.spark.TaskContext.get().partitionId()
+        val tc = org.apache.spark.TaskContext.get()
+        val pid = tc.partitionId()
+        // TASK-COMMIT protocol: stream to an attempt-unique temp name,
+        // rename into place only on a complete close — a failed or
+        // speculative attempt can never leave a truncated container at
+        // the final name, and concurrent attempts never write one file
+        // (last rename wins with identical deterministic bytes)
+        val fs = dir.getFileSystem(conf.value)
+        val tmp = new Path(dir,
+          f".part-$pid%05d-attempt${tc.taskAttemptId()}.avro.tmp")
+        val fin = new Path(dir, f"part-$pid%05d.avro")
         val schema = new Schema.Parser().parse(schemaJson)
-        val out: OutputStream = new Path(dir, f"part-$pid%05d.avro")
-          .getFileSystem(conf.value)
-          .create(new Path(dir, f"part-$pid%05d.avro"), true)
+        val out: OutputStream = fs.create(tmp, true)
         val w = new DataFileWriter[GenericRecord](
           new GenericDatumWriter[GenericRecord](schema))
         if (codec == "deflate")
           w.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
         w.create(schema, out)
+        var committed = false
         try {
           it.foreach { row =>
             val rec = new GenericData.Record(schema)
@@ -158,7 +167,17 @@ object AvroSource {
             }
             w.append(rec)
           }
-        } finally w.close() // closes `out`
+          w.close() // closes `out`; container now complete
+          if (fs.exists(fin)) fs.delete(fin, false)
+          require(fs.rename(tmp, fin),
+            s"graft-avro: commit rename failed for $fin")
+          committed = true
+        } finally {
+          if (!committed) {
+            try w.close() catch { case _: Throwable => () }
+            fs.delete(tmp, false) // abandon the attempt's bytes
+          }
+        }
       }
     }
   }
@@ -183,7 +202,7 @@ class AvroDataSource extends TableProvider with DataSourceRegister {
     val first = AvroTable.files(options, conf).headOption.getOrElse(
       throw new IllegalArgumentException(
         s"graft-avro: no .avro files under ${AvroTable.paths(options)}"))
-    val in = new HadoopSeekableInput(first, conf)
+    val in = new HadoopSeekableInput(first.getPath, conf)
     val r = new DataFileReader[GenericRecord](in,
       new GenericDatumReader[GenericRecord]())
     try AvroSource.structTypeFor(r.getSchema) finally r.close()
@@ -195,25 +214,29 @@ class AvroDataSource extends TableProvider with DataSourceRegister {
 
 object AvroTable {
   def paths(options: CaseInsensitiveStringMap): Seq[String] = {
+    // Spark encodes .load(paths: _*) as a JSON array — parse it as one
+    // (a naive strip/split corrupts any path containing a comma)
     val multi = Option(options.get("paths")).map { js =>
-      js.stripPrefix("[").stripSuffix("]").split(",")
-        .map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
-        .filter(_.nonEmpty)
+      new com.fasterxml.jackson.databind.ObjectMapper()
+        .readValue(js, classOf[Array[String]]).toSeq
     }
     multi.getOrElse(Option(options.get("path")).toSeq)
   }
 
+  /** The ONE directory-listing rule (inferSchema and the scan must see
+    * the same file set): expand directories to their .avro files. */
   def files(options: CaseInsensitiveStringMap,
-      conf: org.apache.hadoop.conf.Configuration): Seq[Path] =
+      conf: org.apache.hadoop.conf.Configuration)
+      : Seq[org.apache.hadoop.fs.FileStatus] =
     paths(options).flatMap { p =>
       val path = new Path(p)
       val fs = path.getFileSystem(conf)
       val st = fs.getFileStatus(path)
       if (st.isDirectory)
-        fs.listStatus(path).toSeq.filter(_.isFile).map(_.getPath)
-          .filter(_.getName.endsWith(".avro"))
-      else Seq(st.getPath)
-    }.sortBy(_.toString)
+        fs.listStatus(path).toSeq.filter(_.isFile)
+          .filter(_.getPath.getName.endsWith(".avro"))
+      else Seq(st)
+    }.sortBy(_.getPath.toString)
 }
 
 class AvroTable(tableSchema: StructType, options: CaseInsensitiveStringMap)
@@ -247,18 +270,10 @@ class AvroScan(options: CaseInsensitiveStringMap, required: StructType)
     val splitSize = Option(options.get("splitSizeBytes")).map(_.toLong)
       .getOrElse(AvroSource.DefaultSplitSize)
     require(splitSize >= 1024, s"splitSizeBytes too small: $splitSize")
-    val files = AvroTable.paths(options).flatMap { p =>
-      val path = new Path(p)
-      val fs = path.getFileSystem(conf)
-      val st = fs.getFileStatus(path)
-      if (st.isDirectory)
-        fs.listStatus(path).toSeq.filter(_.isFile)
-          .filter(_.getPath.getName.endsWith(".avro"))
-      else Seq(st)
-    }
+    val files = AvroTable.files(options, conf) // the ONE listing rule
     require(files.nonEmpty,
       s"graft-avro: no .avro files under ${AvroTable.paths(options)}")
-    files.sortBy(_.getPath.toString).flatMap { st =>
+    files.flatMap { st =>
       val n = math.max(1L, (st.getLen + splitSize - 1) / splitSize).toInt
       (0 until n).map { i =>
         val start = i.toLong * splitSize
@@ -307,19 +322,18 @@ class AvroPartitionReader(pathStr: String, start: Long, end: Long,
 
   private val path = new Path(pathStr)
   private val reader: DataFileReader[GenericRecord] = {
+    // ONE open: the DataFileReader parses the header, then the pruned
+    // READER schema is installed via setExpected so avro's resolution
+    // skips non-projected fields byte-wise (no second header pass; on
+    // a projection error the input is closed, not leaked)
     val in = new HadoopSeekableInput(path, conf.value)
-    // file (writer) schema drives decode; the pruned READER schema makes
-    // avro's resolution skip non-projected fields byte-wise
-    val header = new DataFileReader[GenericRecord](in,
-      new GenericDatumReader[GenericRecord]())
-    val writerSchema = header.getSchema
-    val readerSchema = projectedSchema(writerSchema)
-    header.close()
-    val in2 = new HadoopSeekableInput(path, conf.value)
-    val r = new DataFileReader[GenericRecord](in2,
-      new GenericDatumReader[GenericRecord](writerSchema, readerSchema))
-    r.sync(start) // first block at or after start (0 -> first block)
-    r
+    val datumReader = new GenericDatumReader[GenericRecord]()
+    val r = new DataFileReader[GenericRecord](in, datumReader)
+    try {
+      datumReader.setExpected(projectedSchema(r.getSchema))
+      r.sync(start) // first block at or after start (0 -> first block)
+      r
+    } catch { case e: Throwable => r.close(); throw e }
   }
 
   /** Reader schema = writer schema filtered to the projected fields
@@ -332,9 +346,13 @@ class AvroPartitionReader(pathStr: String, start: Long, end: Long,
       val f = byName.getOrElse(n, throw new IllegalArgumentException(
         s"graft-avro: field '$n' absent from $pathStr " +
           s"(file has: ${writer.getFields.asScala.map(_.name()).mkString(", ")})"))
+      // a null default is only VALID when the union's first branch is
+      // null (avro validates defaults against the first branch) — a
+      // foreign file with [T, null] order must still read
+      val nullFirst = f.schema().getType == Schema.Type.UNION &&
+        f.schema().getTypes.get(0).getType == Schema.Type.NULL
       new Schema.Field(f.name(), f.schema(), null,
-        if (f.schema().getType == Schema.Type.UNION)
-          Schema.Field.NULL_DEFAULT_VALUE else null)
+        if (nullFirst) Schema.Field.NULL_DEFAULT_VALUE else null)
     }
     Schema.createRecord("graft_row_projected", null, "graft", false,
       java.util.List.of(fields: _*))
