@@ -550,7 +550,28 @@ object Examples {
     val (qSum, qSec) = time(
       graft.ops.PipelineOps.quantileNormalize(df, "grp", "v", "doc_id")
         .agg(sum(col("norm_score")), count(lit(1))).collect()(0))
-    println(f"""{"example":"gridrank","rows":$n,"gini_grid_sec":$gSec%.2f,"gini_global_sec":$gRefSec%.2f,"gini":${gRow.getDouble(2)},"qnorm_grid_sec":$qSec%.2f,"qnorm_checksum":${qSum.getLong(0)},"qnorm_rows":${qSum.getLong(1)}}""")
+    // fdHistogram: grid exact quartiles at all-distinct values — the
+    // shape where the old global row_number rank was one task sorting
+    // the whole corpus (and was hard-capped at 2^31 rows)
+    val (fdRows, fdSec) = time(
+      graft.ops.ProfileOps.fdHistogram(df, col("v")).collect())
+    require(fdRows.map(_.getLong(1)).sum == n,
+      s"fdHistogram lost rows: ${fdRows.map(_.getLong(1)).sum} != $n")
+    var fdRefSec = -1.0
+    if (compareGlobal) {
+      val (r1, r3) = ((n + 3) / 4, (3 * n + 3) / 4)
+      val (qs, s) = time(df.select(col("v"))
+        .withColumn("rn", org.apache.spark.sql.functions.row_number()
+          .over(Window.orderBy("v")).cast("long"))
+        .filter(col("rn") === r1 || col("rn") === r3)
+        .agg(min(when(col("rn") === r1, col("v"))).as("q1"),
+          min(when(col("rn") === r3, col("v"))).as("q3")).collect()(0))
+      fdRefSec = s
+      require(qs.getLong(0) == fdRows.head.getLong(3) &&
+        qs.getLong(1) == fdRows.head.getLong(4),
+        s"grid fd quartiles diverged: $qs vs ${fdRows.head}")
+    }
+    println(f"""{"example":"gridrank","rows":$n,"gini_grid_sec":$gSec%.2f,"gini_global_sec":$gRefSec%.2f,"gini":${gRow.getDouble(2)},"qnorm_grid_sec":$qSec%.2f,"qnorm_checksum":${qSum.getLong(0)},"qnorm_rows":${qSum.getLong(1)},"fd_grid_sec":$fdSec%.2f,"fd_global_sec":$fdRefSec%.2f,"fd_bins":${fdRows.head.getLong(2)}}""")
   }
 
   private def triangleSoak(spark: SparkSession, n: Long): Unit = {

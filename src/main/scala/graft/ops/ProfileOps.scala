@@ -676,9 +676,43 @@ object ProfileOps {
     * (small) distinct relation. */
   def giniIndex(df: DataFrame, valueCol: Column, buckets: Int = 256)
       : DataFrame = {
+    // persist the distinct relation: the grid derivation reads it four
+    // times (sketch bounds, bucket totals, the cumulative join's two
+    // sides) — at corpus scale that was four column-pruned corpus scans;
+    // one groupBy(v) now feeds them all, released before returning
+    // (the one-row result is materialized eagerly, as [[fdHistogram]])
     val g = df.select(valueCol.cast("long").as("v"))
       .filter(col("v").isNotNull)
       .groupBy("v").agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val out = gridCumCounts(g, buckets).agg(
+          sum(col("cnt")).as("n"),
+          sum(col("v") * col("cnt")).as("sum_x"),
+          sum(col("v").cast(DecimalType(38, 0)) *
+            col("cnt").cast(DecimalType(38, 0)) *
+            (lit(2L) * col("cb") + col("cnt") + lit(1L))
+              .cast(DecimalType(38, 0))).as("r2x"))
+        .select(col("n"), col("sum_x"),
+          round(col("r2x").cast("double") /
+            (col("n").cast("double") * col("sum_x").cast("double")) -
+            (col("n") + lit(1L)).cast("double") / col("n").cast("double"), 6)
+            .as("gini"))
+      df.sparkSession.createDataFrame(
+        java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally g.unpersist()
+  }
+
+  /** The shared GRID cumulative-count derivation over a distinct-value
+    * relation (v, cnt): appends `cb` = Σ cnt over all rows with smaller
+    * v — the exact prefix a global `Window.orderBy(v)` would compute,
+    * built straggler-free from (a) deterministic sketch range buckets
+    * ([[graft.ops.LayoutOps.rangeBucketOf]] — monotone, equal values
+    * share a bucket), (b) bucket-partitioned within-bucket windows, and
+    * (c) a prefix sum over the ≤`buckets`-row bucket-totals relation.
+    * [[giniIndex]] and [[fdHistogram]] both rank through this; the
+    * GridWindowSpec plan assertions run against it directly. */
+  private[graft] def gridCumCounts(g: DataFrame, buckets: Int): DataFrame = {
     val bounds = LayoutOps.rangeBoundsDf(g, col("v"), col("v"), buckets)
     val gb = g.crossJoin(broadcast(bounds))
       .withColumn("bkt", LayoutOps.rangeBucketOf("v")).drop("__bounds")
@@ -689,21 +723,9 @@ object ProfileOps {
       .select("bkt", "off")
     val wIn = Window.partitionBy("bkt").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val cum = gb.join(broadcast(offsets), Seq("bkt"))
+    gb.join(broadcast(offsets), Seq("bkt"))
       .withColumn("cb",
         col("off") + coalesce(sum(col("cnt")).over(wIn), lit(0L)))
-    cum.agg(
-        sum(col("cnt")).as("n"),
-        sum(col("v") * col("cnt")).as("sum_x"),
-        sum(col("v").cast(DecimalType(38, 0)) *
-          col("cnt").cast(DecimalType(38, 0)) *
-          (lit(2L) * col("cb") + col("cnt") + lit(1L))
-            .cast(DecimalType(38, 0))).as("r2x"))
-      .select(col("n"), col("sum_x"),
-        round(col("r2x").cast("double") /
-          (col("n").cast("double") * col("sum_x").cast("double")) -
-          (col("n") + lit(1L)).cast("double") / col("n").cast("double"), 6)
-          .as("gini"))
   }
 
   /** DuckDB twin of [[giniIndex]]: `valueSql` must compute the identical
@@ -944,43 +966,54 @@ object ProfileOps {
     * row→bin assignment is pure BIGINT: ((v−mn)·nb) div (mx−mn),
     * clamped — no float boundary can disagree between engines.
     *
-    * Scale contract (loud): the rank window caps this exact form at
-    * 2^31 rows, as [[graft.ops.PipelineOps.quantileNormalize]]; at
-    * corpus scale substitute sketch quantiles for q1/q3 (the binning
-    * arithmetic is unchanged) — FD is robust to quantile error by
-    * construction. */
-  def fdHistogram(df: DataFrame, valueCol: Column, maxBins: Int = 200)
-      : DataFrame = {
+    * 100 TB shape (the [[giniIndex]] grid form, pointed at order
+    * statistics): ONE corpus aggregate builds the distinct-value
+    * relation (v, cnt), persisted; the quartile at global rank r is the
+    * value whose cumulative range (cb, cb+cnt] covers r, where cb is
+    * the grid-bucketed cumulative count — bucket-partitioned windows
+    * plus a ≤`buckets`-row offset prefix sum, BIT-IDENTICAL to a global
+    * rank window (the [[graft.ops.LayoutOps.rangeBucketOf]] monotone-
+    * bucket property) with no single-task straggler and no row-count
+    * cap (counts are BIGINT — the old exact-rank form's 2^31
+    * `row_number` ceiling is gone). Binning then runs over the SAME
+    * distinct relation (Σcnt per bin), so the corpus is scanned exactly
+    * once. The result (≤maxBins rows) is materialized eagerly so the
+    * persisted relation can be released before returning. */
+  def fdHistogram(df: DataFrame, valueCol: Column, maxBins: Int = 200,
+      buckets: Int = 256): DataFrame = {
     require(maxBins >= 1, s"maxBins must be >= 1, got $maxBins")
-    val vals = df.select(valueCol.cast("long").as("v"))
+    val g = df.select(valueCol.cast("long").as("v"))
       .filter(col("v").isNotNull)
-    val s = vals.agg(count(lit(1)).as("n"), min("v").as("mn"),
-      max("v").as("mx")).head()
-    val n = s.getLong(0)
-    require(n > 0, "fdHistogram: empty input")
-    require(n <= Int.MaxValue.toLong,
-      s"fdHistogram: exact rank form capped at 2^31 rows (got $n) — " +
-        "substitute sketch quantiles at that scale")
-    val (mn, mx) = (s.getLong(1), s.getLong(2))
-    val (r1, r3) = ((n + 3) / 4, (3 * n + 3) / 4)
-    val ranked = vals.withColumn("rn",
-      row_number().over(Window.orderBy("v")).cast("long"))
-    val qs = ranked.filter(col("rn") === r1 || col("rn") === r3)
-      .agg(min(when(col("rn") === r1, col("v"))).as("q1"),
-        min(when(col("rn") === r3, col("v"))).as("q3")).head()
-    val (q1, q3) = (qs.getLong(0), qs.getLong(1))
-    val nb: Long =
-      if (q3 <= q1 || mx == mn) 1L
-      else math.min(maxBins.toLong, math.max(1L,
-        math.ceil((mx - mn).toDouble /
-          (2.0 * (q3 - q1).toDouble / math.cbrt(n.toDouble))).toLong))
-    val idx =
-      if (mx == mn) lit(0L)
-      else expr(s"least(((v - ${mn}L) * ${nb}L) div ${mx - mn}L, ${nb - 1}L)")
-    vals.select(idx.as("bin"))
-      .groupBy("bin").agg(count(lit(1)).as("n_rows"))
-      .select(col("bin"), col("n_rows"), lit(nb).as("n_bins"),
-        lit(q1).as("q1"), lit(q3).as("q3"))
+      .groupBy("v").agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val s = g.agg(sum("cnt").as("n"), min("v").as("mn"),
+        max("v").as("mx")).head()
+      require(!s.isNullAt(0), "fdHistogram: empty input")
+      val n = s.getLong(0)
+      val (mn, mx) = (s.getLong(1), s.getLong(2))
+      val (r1, r3) = ((n + 3) / 4, (3 * n + 3) / 4)
+      // rank-of-value: global rank r lands on the v with cb < r <= cb+cnt
+      def hit(r: Long) = col("cb") < r && col("cb") + col("cnt") >= r
+      val qs = gridCumCounts(g, buckets).filter(hit(r1) || hit(r3))
+        .agg(min(when(hit(r1), col("v"))).as("q1"),
+          min(when(hit(r3), col("v"))).as("q3")).head()
+      val (q1, q3) = (qs.getLong(0), qs.getLong(1))
+      val nb: Long =
+        if (q3 <= q1 || mx == mn) 1L
+        else math.min(maxBins.toLong, math.max(1L,
+          math.ceil((mx - mn).toDouble /
+            (2.0 * (q3 - q1).toDouble / math.cbrt(n.toDouble))).toLong))
+      val idx =
+        if (mx == mn) lit(0L)
+        else expr(s"least(((v - ${mn}L) * ${nb}L) div ${mx - mn}L, ${nb - 1}L)")
+      val binned = g.select(idx.as("bin"), col("cnt"))
+        .groupBy("bin").agg(sum("cnt").as("n_rows"))
+        .select(col("bin"), col("n_rows"), lit(nb).as("n_bins"),
+          lit(q1).as("q1"), lit(q3).as("q3"))
+      df.sparkSession.createDataFrame(
+        java.util.Arrays.asList(binned.collect(): _*), binned.schema)
+    } finally g.unpersist()
   }
 
   /** DuckDB twin of [[fdHistogram]] — same rank rule, same float

@@ -74,10 +74,60 @@ class GridWindowSpec extends AnyFunSuite {
     }
   }
 
-  test("giniIndex plan: value-ordered windows are bucket-partitioned") {
-    val df = (0L until 500L).toDF("x")
+  test("gridCumCounts plan: value-ordered windows are bucket-partitioned") {
+    // giniIndex and fdHistogram both rank through gridCumCounts and
+    // materialize their (one-row / <=maxBins-row) results eagerly, so
+    // the window-shape assertion runs against the shared derivation
+    val g = (0L until 500L).toDF("x").select(col("x").as("v"))
+      .groupBy("v").agg(count(lit(1)).as("cnt"))
     assertNoGlobalRowWindow(
-      ProfileOps.giniIndex(df, col("x")), Seq("v"))
+      ProfileOps.gridCumCounts(g, 256), Seq("v"))
+  }
+
+  // reference (old) fdHistogram definition: exact quartiles via a
+  // global row_number rank window — the 2^31-capped form the grid
+  // replaced; bin arithmetic identical
+  private def fdGlobal(xs: Seq[Long], maxBins: Int = 200): Seq[(Long, Long, Long, Long, Long)] = {
+    val vals = xs.toDF("x").select(col("x").as("v"))
+    val s = vals.agg(count(lit(1)).as("n"), min("v").as("mn"),
+      max("v").as("mx")).head()
+    val (n, mn, mx) = (s.getLong(0), s.getLong(1), s.getLong(2))
+    val (r1, r3) = ((n + 3) / 4, (3 * n + 3) / 4)
+    val qs = vals.withColumn("rn",
+        row_number().over(Window.orderBy("v")).cast("long"))
+      .filter(col("rn") === r1 || col("rn") === r3)
+      .agg(min(when(col("rn") === r1, col("v"))).as("q1"),
+        min(when(col("rn") === r3, col("v"))).as("q3")).head()
+    val (q1, q3) = (qs.getLong(0), qs.getLong(1))
+    val nb: Long =
+      if (q3 <= q1 || mx == mn) 1L
+      else math.min(maxBins.toLong, math.max(1L,
+        math.ceil((mx - mn).toDouble /
+          (2.0 * (q3 - q1).toDouble / math.cbrt(n.toDouble))).toLong))
+    val idx =
+      if (mx == mn) lit(0L)
+      else expr(s"least(((v - ${mn}L) * ${nb}L) div ${mx - mn}L, ${nb - 1}L)")
+    vals.select(idx.as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n_rows"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), nb, q1, q3))
+      .sortBy(_._1).toSeq
+  }
+
+  test("fdHistogram grid == global-rank definition, several bucket counts") {
+    val rng = new scala.util.Random(13)
+    // long tail + heavy point masses + a dense run: quartiles land both
+    // inside tie groups and on group boundaries
+    val xs = Seq.fill(3000)(math.abs(rng.nextGaussian() * 700).toLong) ++
+      Seq.fill(800)(64L) ++ (0L until 400L) ++ Seq.fill(3)(99999L)
+    val want = fdGlobal(xs)
+    for (b <- Seq(2, 8, 64, 256)) {
+      val got = ProfileOps.fdHistogram(xs.toDF("x"), col("x"), buckets = b)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+        .sortBy(_._1).toSeq
+      assert(got == want, s"buckets=$b: $got != $want")
+    }
   }
 
   test("giniIndex: empty and single-value inputs survive") {
