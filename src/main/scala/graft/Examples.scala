@@ -192,6 +192,17 @@ object Examples {
       spark.stop()
       return
     }
+    if (args.headOption.contains("soak-train-sampled")) {
+      // SAMPLED-round training soak: `runMain graft.Examples
+      // soak-train-sampled 2000000` — fixed corpus, sampleMilli sweep
+      // {1000, 500, 250, 125}; per-round gradient cost must scale with
+      // the SAMPLE (the 100 TB lever: rounds stop paying a full corpus
+      // pass) while the separable corpus still trains to 100%
+      val n = args.lift(1).getOrElse("2000000").trim.toInt
+      Seq(1000, 500, 250, 125).foreach(s => trainSampledSoak(spark, n, s))
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("soak-gridrank")) {
       // grid-window soak: `runMain graft.Examples soak-gridrank
       // 10000000,40000000` — gini + quantileNormalize on ALL-DISTINCT
@@ -502,6 +513,59 @@ object Examples {
       .head().getDouble(0)
     require(acc == 1.0, s"separable corpus must train to 100%, got $acc")
     println(f"""{"example":"train_soak","docs":$n,"rounds":8,"train_sec":$trainS%.2f,"sec_per_round":${trainS / 8}%.2f,"acc":$acc}""")
+  }
+
+  /** Sampled-round training soak: the [[trainSoak]] corpus at fixed n,
+    * swept over sampleMilli — isolates the per-round gradient cost from
+    * the (fixed) feature-build cost, so the line that must fall with
+    * the sample is `grad_sec_per_round`. The separable corpus must
+    * still train to 100% at every rate (rotating halves/quarters see
+    * the whole vocabulary across rounds). */
+  private def trainSampledSoak(spark: SparkSession, n: Int,
+      sampleMilli: Int): Unit = {
+    val w = (i: Int) => expr(s"CASE WHEN id % 2 = 0 THEN 'g' ELSE 'b' END" +
+      s" || CAST((id * ${7 + i}) % 5 AS STRING)")
+    val docs = spark.range(n.toLong).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 12).map(w) ++
+        Seq(expr("'the'"), expr("'of'"), expr("'and'"), expr("'to'")): _*)
+        .as("text"),
+      (col("id") % 2 === 0).cast("long").as("y"))
+    // time the per-round gradient in isolation: features persisted and
+    // materialized up front, then 8 gradient rounds on the live weights
+    val labeled = graft.ops.TrainOps.docFeatures(docs, 64)
+      .join(docs.select(col("doc_id"), col("y")), "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    labeled.count() // materialize outside the timed window
+    val wq = Array.fill(65)(0L)
+    val fFull = labeled.agg(
+      sum(expr("CAST(size(filter(xs, x -> x > 0L)) AS BIGINT)")))
+      .head().getLong(0)
+    val t0 = System.nanoTime()
+    var r = 0
+    var sampledMass = 0L
+    while (r < 8) {
+      val (g, fr) = graft.ops.TrainOps.lrGradientRoundSampled(
+        labeled, wq, r, sampleMilli)
+      sampledMass += fr
+      var j = 0
+      while (j <= 64) {
+        val nw = BigInt(wq(j)) - graft.ops.TrainOps.tdz(
+          BigInt(10L) * g(j), BigInt(fr) * 1000L * (r + 1))
+        wq(j) = nw.toLong
+        j += 1
+      }
+      r += 1
+    }
+    val gradS = (System.nanoTime() - t0) / 1e9
+    val acc = graft.ops.TrainOps.lrScore(docs, col("y"), wq)
+      .agg(avg((col("pred").cast("long") === col("y")).cast("double")))
+      .head().getDouble(0)
+    labeled.unpersist()
+    require(acc == 1.0,
+      s"separable corpus must train to 100% at s=$sampleMilli, got $acc")
+    // the shuffled-mass ratio IS the sample rate (the cost driver)
+    val massRatio = sampledMass.toDouble / (8L * fFull)
+    println(f"""{"example":"train_sampled_soak","docs":$n,"sample_milli":$sampleMilli,"rounds":8,"grad_sec":$gradS%.2f,"grad_sec_per_round":${gradS / 8}%.3f,"shuffled_mass_ratio":$massRatio%.3f,"acc":$acc}""")
   }
 
   /** Grid-window soak: [[graft.ops.ProfileOps.giniIndex]] and

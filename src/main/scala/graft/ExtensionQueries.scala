@@ -2012,6 +2012,38 @@ object ExtensionQueries {
         ngram = ng, init = loaded, startRound = done)
       TrainOps.weightsDf(s, w24).orderBy("j")
     },
+    // ... and SAMPLED — the 100 TB form of the training loop: each of
+    // the 24 rounds computes its gradient over a rotating deterministic
+    // hash-sampled HALF of the corpus (round index in the hash), so
+    // per-round cost is corpus/2 while the oracle still replays the
+    // exact trajectory (the sample predicate is pure replayable SQL in
+    // every round CTE). The update normalizes by the sample's own
+    // feature mass, read from the same one-pass aggregate.
+    "quality_train_lr_sampled" -> { (s, dir) =>
+      TrainOps.weightsDf(s,
+        TrainOps.trainLrSampled(Tables.documents(s, dir), lrLabel,
+          dim = 64, rounds = 24, lrNum = 400L, lrDen = 1L,
+          sampleMilli = 500)).orderBy("j")
+    },
+    // ... and the sampled trainer's GENERALIZATION certificate: half-
+    // corpus rotating batches still learn the distilled repetition gate
+    // (held-out confusion counts vs the full-pass holdout twin)
+    "quality_train_lr_sampled_holdout" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val split = PipelineOps.hashSplit(col("doc_id"))
+      val wq = TrainOps.trainLrSampled(docs.filter(split === "train"),
+        lrLabel, dim = 64, rounds = 24, lrNum = 400L, lrDen = 1L,
+        sampleMilli = 500)
+      TrainOps.lrScore(docs.filter(split === "test"), lrLabel, wq)
+        .agg(
+          sum(when(col("pred") && col("y") === 1L, 1L).otherwise(0L)).as("tp"),
+          sum(when(col("pred") && col("y") === 0L, 1L).otherwise(0L)).as("fp"),
+          sum(when(!col("pred") && col("y") === 0L, 1L).otherwise(0L)).as("tn"),
+          sum(when(!col("pred") && col("y") === 1L, 1L).otherwise(0L)).as("fn"),
+          count(lit(1)).as("n"))
+        .select(col("tp"), col("fp"), col("tn"), col("fn"), col("n"),
+          expr("(1000000L * (tp + tn)) div n").as("acc_ppm"))
+    },
     // ... and CALIBRATED: the reliability table (10% probability bins
     // -> empirical positive rate, all-integer) that justifies or
     // refutes reading the squash output as a probability before
@@ -3322,6 +3354,13 @@ object ExtensionQueries {
         s"(SELECT * FROM documents WHERE ${PipelineOps.hashSplitSql("doc_id")} = 'train')",
         s"(SELECT * FROM documents WHERE ${PipelineOps.hashSplitSql("doc_id")} = 'test')",
         ngram = 2),
+    "quality_train_lr_sampled" ->
+      (TrainOps.trainLrSampledSql(64, 24, 400L, 1L, 500, lrLabelSql) +
+        "\nORDER BY j"),
+    "quality_train_lr_sampled_holdout" ->
+      TrainOps.lrSampledHoldoutEvalSql(64, 24, 400L, 1L, 500, lrLabelSql,
+        s"(SELECT * FROM documents WHERE ${PipelineOps.hashSplitSql("doc_id")} = 'train')",
+        s"(SELECT * FROM documents WHERE ${PipelineOps.hashSplitSql("doc_id")} = 'test')"),
     "quality_train_lr_calibration" ->
       (TrainOps.calibrationSql(64, 24, 400L, 1L, lrLabelSql) +
         "\nORDER BY bin"),

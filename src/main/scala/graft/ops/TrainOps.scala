@@ -69,6 +69,35 @@ object TrainOps {
     * PolyHash < 2^30 × mix < 2^32 stays < 2^62 — ANSI-safe). */
   val Mix = 2654435761L
 
+  /** Per-round sample hash: prime modulus (the [[PipelineOps.idBucket]]
+    * discipline) and two public mixing constants — MurmurHash2's
+    * multiplier and the Numerical-Recipes LCG increment — chosen, like
+    * every idBucket use-site multiplier, to decorrelate from the other
+    * sampling decisions in the engine. */
+  val SampleP = 1000000007L
+  val SampleM1 = 1540483477L
+  val SampleM2 = 1013904223L
+
+  /** Deterministic per-round sample bucket in [0, 1000): the
+    * [[PipelineOps.idBucket]] discipline with the GLOBAL round index
+    * mixed into the hash, so successive rounds see rotating subsets
+    * (mini-batch GD's coverage property) while any given round's
+    * membership is a replayable pure function of (doc_id, round) — the
+    * oracle applies the identical predicate. Overflow-safe:
+    * (id mod P)·M1 < 10⁹·2^31 ≈ 2^61 and the round term adds < 2^36. */
+  def sampleBucket(id: Column, round: Int): Column =
+    pmod(pmod(pmod(id, lit(SampleP)) * lit(SampleM1) +
+      lit(round.toLong + 1L) * lit(SampleM2), lit(SampleP)), lit(1000L))
+
+  /** DuckDB twin of [[sampleBucket]] (doc ids are nonnegative, so `%`
+    * and pmod agree — the idBucketSql contract). */
+  def sampleBucketSql(id: String, round: Int): String = {
+    // pre-fold the round term: DuckDB types bare literals INT32, and
+    // (round+1) * M2 overflows INT32 from round 2 on
+    val roundTerm = (round + 1L) * SampleM2
+    s"((($id % $SampleP) * $SampleM1 + ${roundTerm}) % $SampleP) % 1000"
+  }
+
   /** Truncation-toward-zero integer division — the ONE quantizer
     * (engine + specs + driver updates share it): both engines compute
     * positive÷positive identically, so the sign is applied outside. */
@@ -115,7 +144,25 @@ object TrainOps {
     * contributions tdz((σ−y)·x·Q). `labeled` = docFeatures ⋈ labels
     * (columns xs, y). Returns dim+1 rows (j, g) — the model-sized
     * aggregate. */
-  def lrGradientRound(labeled: DataFrame, wq: Array[Long]): Array[BigInt] = {
+  def lrGradientRound(labeled: DataFrame, wq: Array[Long]): Array[BigInt] =
+    gradientRows(labeled, wq)._1
+
+  /** One SAMPLED gradient round: the identical aggregate restricted to
+    * the round's [[sampleBucket]] subset, returning (gradient, F_r)
+    * where F_r is the SAMPLE's total feature-activation mass — read
+    * from the same aggregate's per-key activation counts, so a sampled
+    * round pays exactly one (sample-sized) pass, no extra job. */
+  def lrGradientRoundSampled(labeled: DataFrame, wq: Array[Long],
+      round: Int, sampleMilli: Int): (Array[BigInt], Long) =
+    gradientRows(
+      labeled.filter(sampleBucket(col("doc_id"), round) <
+        lit(sampleMilli.toLong)), wq)
+
+  /** Shared gradient-aggregate body: per-feature quantized-contribution
+    * sums plus activation counts (the counts ride the same shuffle — at
+    * most dim+1 extra longs). Returns (gradient by j, Σ counts). */
+  private def gradientRows(labeled: DataFrame, wq: Array[Long])
+      : (Array[BigInt], Long) = {
     val d = wq.length - 1
     val rows = labeled
       .withColumn("zq", marginCol(wq))
@@ -132,13 +179,15 @@ object TrainOps {
           .as("g"))
       .groupBy("j")
       .agg(sum(col("g").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
-        .as("gg"))
+        .as("gg"), count(lit(1)).as("c"))
       .collect()
     val out = Array.fill(d + 1)(BigInt(0))
+    var mass = 0L
     rows.foreach { r =>
       out(r.getInt(0)) = BigInt(r.getDecimal(1).toBigInteger)
+      mass += r.getLong(2)
     }
-    out
+    (out, mass)
   }
 
   /** Batch-GD training loop: `rounds` fixed rounds from w = 0, learning
@@ -185,12 +234,78 @@ object TrainOps {
         val g = lrGradientRound(labeled, wq)
         var j = 0
         while (j <= dim) {
-          // 1/r Robbins-Monro decay: large early steps, stable late ones
-          wq(j) = (BigInt(wq(j)) - tdz(BigInt(lrNum) * g(j),
-            BigInt(lrDen) * fAct * 1000L * (r + 1))).toLong
-          require(math.abs(wq(j)) < wBound,
+          // 1/r Robbins-Monro decay: large early steps, stable late ones.
+          // Bound-check the BigInt BEFORE narrowing: .toLong wraps
+          // silently, so a blown-up update could alias back inside
+          // wBound (and math.abs(Long.MinValue) is negative) if the
+          // check ran on the narrowed value.
+          val newW = BigInt(wq(j)) - tdz(BigInt(lrNum) * g(j),
+            BigInt(lrDen) * fAct * 1000L * (r + 1))
+          require(newW.abs < wBound,
             s"trainLr: weight $j overflowed the margin bound " +
               s"(|w| >= $wBound) — lower the learning rate")
+          wq(j) = newW.toLong
+          j += 1
+        }
+        r += 1
+      }
+      wq
+    } finally labeled.unpersist()
+  }
+
+  /** SAMPLED batch-GD — the 100 TB form of [[trainLr]]'s loop: each
+    * round's gradient is computed over a deterministic hash-sampled
+    * subset ([[sampleBucket]] < sampleMilli, the round index in the
+    * hash so samples ROTATE — mini-batch GD with replayable batches),
+    * so per-round cost is corpus·sampleMilli/1000, not corpus. The
+    * update normalizes by F_r, the SAMPLE's feature mass (read from the
+    * same aggregate — still one pass per round), which is the integer
+    * form of the per-batch mean gradient; at sampleMilli = 1000 every
+    * round sees everything, F_r equals the corpus mass, and the
+    * trajectory is BIT-IDENTICAL to [[trainLr]] (spec-pinned — the
+    * full-pass trainer is the s = 1000 point of this family). The
+    * oracle replays the identical trajectory: the sample predicate is
+    * pure SQL over (doc_id, round), so [[trainLrSampledSql]] chains the
+    * same rotating-subset CTEs. Warm-start uses the GLOBAL round index
+    * in both the decay and the sample hash, so the RESUME LAW carries
+    * over unchanged. */
+  def trainLrSampled(docs: DataFrame, label: Column, dim: Int,
+      rounds: Int, lrNum: Long, lrDen: Long, sampleMilli: Int,
+      ngram: Int = 1, init: Array[Long] = null, startRound: Int = 0)
+      : Array[Long] = {
+    require(rounds >= 1 && startRound >= 0 && startRound + rounds <= 64,
+      s"need 1 <= rounds, 0 <= startRound, startRound + rounds <= 64; " +
+        s"got rounds=$rounds startRound=$startRound")
+    require(sampleMilli >= 1 && sampleMilli <= 1000,
+      s"sampleMilli must be in [1, 1000], got $sampleMilli")
+    require(init == null || init.length == dim + 1,
+      s"init weights must have dim+1 = ${dim + 1} entries, " +
+        s"got ${if (init == null) "null" else init.length.toString}")
+    require(lrNum > 0 && lrDen > 0, s"lr must be positive: $lrNum/$lrDen")
+    val labeled = docFeatures(docs, dim, ngram)
+      .join(docs.select(col("doc_id"), label.cast("long").as("y")),
+        "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val wq = if (init == null) Array.fill(dim + 1)(0L) else init.clone()
+      val wBound = Long.MaxValue / (25L * 1000L * (dim + 1))
+      var r = startRound
+      while (r < startRound + rounds) {
+        val (g, fr) = lrGradientRoundSampled(labeled, wq, r, sampleMilli)
+        // loud, not silent: an empty sample means the corpus is too
+        // small for this rate — skipping the round would diverge from
+        // the oracle's replay, which has no empty-group escape hatch
+        require(fr > 0,
+          s"trainLrSampled: round $r sampled zero docs — raise " +
+            s"sampleMilli ($sampleMilli) or the corpus")
+        var j = 0
+        while (j <= dim) {
+          val newW = BigInt(wq(j)) - tdz(BigInt(lrNum) * g(j),
+            BigInt(lrDen) * fr * 1000L * (r + 1))
+          require(newW.abs < wBound,
+            s"trainLrSampled: weight $j overflowed the margin bound " +
+              s"(|w| >= $wBound) — lower the learning rate")
+          wq(j) = newW.toLong
           j += 1
         }
         r += 1
@@ -224,12 +339,21 @@ object TrainOps {
     val rows = spark.read.parquet(s"$path/weights").collect()
     require(rows.length == dim + 1,
       s"model weights incomplete: ${rows.length} rows for dim=$dim")
+    // the same margin bound training enforces per round: a loaded model
+    // (hand-edited, or trained elsewhere) whose |w| exceeds it would
+    // overflow marginCol's dense Long fold silently — lrScore and
+    // calibrationTable have no per-round guard of their own
+    val wBound = Long.MaxValue / (25L * 1000L * (dim + 1))
     val wq = Array.fill(dim + 1)(Long.MinValue)
     rows.foreach { r =>
       val j = r.getAs[Long]("j").toInt
       require(j >= 0 && j <= dim && wq(j) == Long.MinValue,
         s"model weights corrupt at j=$j (out of range or duplicate)")
-      wq(j) = r.getAs[Long]("w")
+      val w = r.getAs[Long]("w")
+      require(w > -wBound && w < wBound,
+        s"model weight $j = $w exceeds the margin bound (|w| >= $wBound " +
+          s"for dim=$dim) — scoring it would overflow the margin fold")
+      wq(j) = w
     }
     (wq, ngram, roundsDone)
   }
@@ -344,6 +468,87 @@ object TrainOps {
     s"""WITH ${trainCtes(dim, rounds, lrNum, lrDen, labelSql,
         "documents", ngram)}
        |SELECT CAST(j AS BIGINT) AS j, w FROM w$rounds""".stripMargin
+
+  /** The SAMPLED-round replay ([[trainLrSampled]]'s twin body): round i
+    * restricts the feature relation to [[sampleBucketSql]]'s rotating
+    * subset, reads F_r from the restricted relation, and divides the
+    * update by it — the identical trajectory, sample predicate and all,
+    * as chained CTEs. */
+  private def trainSampledCtes(dim: Int, rounds: Int, lrNum: Long,
+      lrDen: Long, sampleMilli: Int, labelSql: String,
+      rel: String = "documents", ngram: Int = 1): String = {
+    val roundCtes = (1 to rounds).map { i =>
+      // Scala round index r = i - 1 (startRound = 0); sampleBucketSql
+      // mixes in r + 1 = i
+      val pred = s"${sampleBucketSql("doc_id", i - 1)} < $sampleMilli"
+      s"""sf$i AS MATERIALIZED (
+         |  SELECT doc_id, j, x FROM f WHERE $pred),
+         |fr$i AS (SELECT count(*) AS f FROM sf$i),
+         |z$i AS MATERIALIZED (
+         |  SELECT f.doc_id, sum(CAST(f.x AS HUGEINT) * w.w) AS z
+         |  FROM sf$i f JOIN w${i - 1} w ON w.j = f.j GROUP BY 1),
+         |r$i AS (
+         |  SELECT z.doc_id,
+         |    $Z + abs(z.z) + z.z - 2*lab.y*($Z + abs(z.z)) AS n1,
+         |    2*($Z + abs(z.z)) AS den
+         |  FROM z$i z JOIN lab USING (doc_id)),
+         |g$i AS (
+         |  SELECT f.j,
+         |    sum(CASE WHEN r.n1 < 0
+         |      THEN -(((-CAST(r.n1 AS HUGEINT)) * f.x * $Q) // r.den)
+         |      ELSE (CAST(r.n1 AS HUGEINT) * f.x * $Q) // r.den END) AS gg
+         |  FROM sf$i f JOIN r$i r USING (doc_id) GROUP BY 1),
+         |w$i AS MATERIALIZED (
+         |  SELECT w.j,
+         |    CAST(w.w - (CASE WHEN COALESCE(g.gg, 0) < 0
+         |      THEN -(((-COALESCE(g.gg, 0)) * $lrNum)
+         |             // (CAST($lrDen AS HUGEINT) * fr.f * 1000 * $i))
+         |      ELSE (COALESCE(g.gg, 0) * $lrNum)
+         |             // (CAST($lrDen AS HUGEINT) * fr.f * 1000 * $i) END)
+         |      AS BIGINT) AS w
+         |  FROM w${i - 1} w LEFT JOIN g$i g USING (j) CROSS JOIN fr$i fr)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""${featureCtes(dim, labelSql, rel, "", ngram)},
+       |w0 AS (
+       |  SELECT unnest(generate_series(0, $dim)) AS j,
+       |    CAST(0 AS BIGINT) AS w),
+       |$roundCtes""".stripMargin
+  }
+
+  /** DuckDB twin of [[trainLrSampled]] + [[weightsDf]]. */
+  def trainLrSampledSql(dim: Int, rounds: Int, lrNum: Long, lrDen: Long,
+      sampleMilli: Int, labelSql: String, ngram: Int = 1): String =
+    s"""WITH ${trainSampledCtes(dim, rounds, lrNum, lrDen, sampleMilli,
+        labelSql, "documents", ngram)}
+       |SELECT CAST(j AS BIGINT) AS j, w FROM w$rounds""".stripMargin
+
+  /** Held-out confusion twin for the SAMPLED trainer (the
+    * [[lrHoldoutEvalSql]] shape over [[trainSampledCtes]]): the
+    * convergence certificate that sampled rounds still learn the
+    * distilled gate. */
+  def lrSampledHoldoutEvalSql(dim: Int, rounds: Int, lrNum: Long,
+      lrDen: Long, sampleMilli: Int, labelSql: String, trainRel: String,
+      scoreRel: String, ngram: Int = 1): String =
+    s"""WITH ${trainSampledCtes(dim, rounds, lrNum, lrDen, sampleMilli,
+        labelSql, trainRel, ngram)},
+       |${featureCtes(dim, labelSql, scoreRel, "s_", ngram)},
+       |sc AS (
+       |  SELECT f.doc_id, CAST(sum(CAST(f.x AS HUGEINT) * w.w) AS BIGINT)
+       |    AS margin
+       |  FROM s_f f JOIN w$rounds w ON w.j = f.j GROUP BY 1),
+       |pr AS (
+       |  SELECT sc.margin > 0 AS pred, lab.y
+       |  FROM sc JOIN s_lab lab USING (doc_id))
+       |SELECT tp, fp, tn, fn, n,
+       |  (1000000 * (tp + tn)) // n AS acc_ppm FROM (
+       |  SELECT
+       |    CAST(sum(CASE WHEN pred AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |    CAST(sum(CASE WHEN pred AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |    CAST(sum(CASE WHEN NOT pred AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+       |    CAST(sum(CASE WHEN NOT pred AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM pr)""".stripMargin
 
   /** DuckDB twin of [[lrScore]] under the [[trainLrSql]]-replayed
     * weights: the full trajectory, then one scoring join. */

@@ -197,6 +197,96 @@ class TrainOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sampled trainer at s = 1000 IS the full-pass trainer, bit-for-bit") {
+    // every round samples everything and F_r equals the corpus feature
+    // mass, so the trajectories must coincide exactly — the full-pass
+    // trainer is the s = 1000 point of the sampled family
+    val docs = separable(200)
+    val full = TrainOps.trainLr(docs, col("y"), 16, 6, 20L, 1L)
+    val sampled = TrainOps.trainLrSampled(docs, col("y"), 16, 6, 20L, 1L,
+      sampleMilli = 1000)
+    assert(sampled.sameElements(full))
+  }
+
+  test("sampleBucket rotates: successive rounds sample different subsets") {
+    def bucket(id: Long, round: Int): Long =
+      ((id % TrainOps.SampleP) * TrainOps.SampleM1 +
+        (round + 1L) * TrainOps.SampleM2) % TrainOps.SampleP % 1000L
+    val ids = (0L until 2000L)
+    val s0 = ids.filter(bucket(_, 0) < 500).toSet
+    val s1 = ids.filter(bucket(_, 1) < 500).toSet
+    assert(s0 != s1, "round samples must rotate")
+    // both are near-half (the hash is uniform enough at n = 2000)
+    assert(math.abs(s0.size - 1000) < 150 && math.abs(s1.size - 1000) < 150)
+    // and the Spark column computes the identical buckets
+    val df = ids.toDF("doc_id")
+      .select(col("doc_id"), TrainOps.sampleBucket(col("doc_id"), 0).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ids.foreach(id => assert(df(id) == bucket(id, 0)))
+  }
+
+  test("sampled training converges on the separable corpus") {
+    val docs = separable(400)
+    val wq = TrainOps.trainLrSampled(docs, col("y"), dim = 64, rounds = 16,
+      lrNum = 10L, lrDen = 1L, sampleMilli = 500)
+    val acc = TrainOps.lrScore(docs, col("y"), wq)
+      .agg(avg((col("pred").cast("long") === col("y")).cast("double")))
+      .head().getDouble(0)
+    assert(acc >= 0.99,
+      s"half-corpus rotating batches must still separate, got $acc")
+  }
+
+  test("sampled trajectory: deterministic under repartitioning + resume law") {
+    val docs = separable(200)
+    val w1 = TrainOps.trainLrSampled(docs, col("y"), 16, 6, 20L, 1L, 500)
+    val w2 = TrainOps.trainLrSampled(docs.repartition(13), col("y"), 16, 6,
+      20L, 1L, 500)
+    assert(w1.sameElements(w2))
+    // warm start replays: global round index drives BOTH the decay and
+    // the sample hash, so the continuation walks the identical rounds
+    val first = TrainOps.trainLrSampled(docs, col("y"), 16, 2, 20L, 1L, 500)
+    val resumed = TrainOps.trainLrSampled(docs, col("y"), 16, 4, 20L, 1L,
+      500, init = first, startRound = 2)
+    assert(resumed.sameElements(w1), "sampled resume diverged")
+  }
+
+  test("sampled loud guards: empty sample, bad sampleMilli") {
+    // a single doc whose round-0 bucket is >= 1 makes sampleMilli = 1
+    // sample zero docs in round 0 — deterministically
+    def bucket(id: Long, round: Int): Long =
+      ((id % TrainOps.SampleP) * TrainOps.SampleM1 +
+        (round + 1L) * TrainOps.SampleM2) % TrainOps.SampleP % 1000L
+    val lone = (0L until 100L).find(bucket(_, 0) >= 1L).get
+    val docs = Seq((lone, "a b c", 1L)).toDF("doc_id", "text", "y")
+    val e = intercept[IllegalArgumentException] {
+      TrainOps.trainLrSampled(docs, col("y"), 8, 2, 1L, 1L, sampleMilli = 1)
+    }
+    assert(e.getMessage.contains("sampled zero docs"))
+    intercept[IllegalArgumentException] {
+      TrainOps.trainLrSampled(docs, col("y"), 8, 2, 1L, 1L, sampleMilli = 0)
+    }
+    intercept[IllegalArgumentException] {
+      TrainOps.trainLrSampled(docs, col("y"), 8, 2, 1L, 1L,
+        sampleMilli = 1001)
+    }
+  }
+
+  test("readModel refuses weights past the margin bound") {
+    val dim = 8
+    val wBound = Long.MaxValue / (25L * 1000L * (dim + 1))
+    val wq = Array.fill(dim + 1)(0L)
+    wq(3) = wBound // exactly at the bound -> must refuse (guard is strict)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-lr-model-big").toString
+    TrainOps.writeModel(spark, wq, ngram = 1, roundsDone = 1, path)
+    val e = intercept[IllegalArgumentException] { TrainOps.readModel(spark, path) }
+    assert(e.getMessage.contains("margin bound"))
+    // just inside the bound loads fine
+    wq(3) = wBound - 1
+    TrainOps.writeModel(spark, wq, ngram = 1, roundsDone = 1, path)
+    assert(TrainOps.readModel(spark, path)._1.sameElements(wq))
+  }
+
   test("model IO: roundtrip, and corrupt sidecars refuse at load") {
     val wq = Array.tabulate(9)(i => i.toLong * 7 - 20)
     val path = java.nio.file.Files
