@@ -125,10 +125,32 @@ object AvroSource {
   /** Write `df` as one container file per non-empty partition
     * (`part-NNNNN.avro`) through the Hadoop FileSystem API (works on any
     * filesystem the session can reach). `codec`: "null" (default) or
-    * "deflate" (JDK zlib — portable, no native lib). */
-  def write(df: DataFrame, path: String, codec: String = "null"): Unit = {
+    * "deflate" (JDK zlib — portable, no native lib).
+    *
+    * `mode` mirrors the DataFrameWriter vocabulary the parquet mirrors
+    * rely on, loudly:
+    *  - "error" (default): refuse if the target already holds container
+    *    files — silently merging a re-write's parts with a previous
+    *    run's stale `part-NNNNN.avro` (the reader lists ALL of them) is
+    *    the one corruption this sink could produce invisibly;
+    *  - "overwrite": write the new parts, then swap — stale containers
+    *    are deleted only AFTER the job succeeds, so a failed overwrite
+    *    leaves the previous dataset intact.
+    *
+    * JOB-LEVEL commit protocol: tasks stream to attempt-unique temp
+    * names under a per-job staging dir and publish within it via an
+    * OVERWRITE-semantics rename (`FileContext.rename(OVERWRITE)` — no
+    * exists→delete→rename window for a speculative twin to race: the
+    * committed file is never absent), and the driver moves the staged
+    * parts into the target exactly once after the job succeeds. A
+    * failed or abandoned job leaves only a staging dir, removed in the
+    * finally — never a partial final dataset. */
+  def write(df: DataFrame, path: String, codec: String = "null",
+      mode: String = "error"): Unit = {
     require(codec == "null" || codec == "deflate",
       s"graft-avro: codec must be null or deflate, got '$codec'")
+    require(mode == "error" || mode == "overwrite",
+      s"graft-avro: mode must be error or overwrite, got '$mode'")
     val schemaJson = avroSchemaFor(df.schema).toString
     val names = df.schema.fieldNames
     val conf = new SerializableConfiguration(
@@ -136,50 +158,74 @@ object AvroSource {
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf.value)
     fs.mkdirs(dir)
-    df.foreachPartition { (it: Iterator[Row]) =>
-      if (it.hasNext) {
-        val tc = org.apache.spark.TaskContext.get()
-        val pid = tc.partitionId()
-        // TASK-COMMIT protocol: stream to an attempt-unique temp name,
-        // rename into place only on a complete close — a failed or
-        // speculative attempt can never leave a truncated container at
-        // the final name, and concurrent attempts never write one file
-        // (last rename wins with identical deterministic bytes)
-        val fs = dir.getFileSystem(conf.value)
-        val tmp = new Path(dir,
-          f".part-$pid%05d-attempt${tc.taskAttemptId()}.avro.tmp")
-        val fin = new Path(dir, f"part-$pid%05d.avro")
-        val schema = new Schema.Parser().parse(schemaJson)
-        val out: OutputStream = fs.create(tmp, true)
-        val w = new DataFileWriter[GenericRecord](
-          new GenericDatumWriter[GenericRecord](schema))
-        if (codec == "deflate")
-          w.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
-        w.create(schema, out)
-        var committed = false
-        try {
-          it.foreach { row =>
-            val rec = new GenericData.Record(schema)
-            var i = 0
-            while (i < names.length) {
-              rec.put(i, toAvro(row.get(i)))
-              i += 1
+    def stale(): Seq[Path] = fs.listStatus(dir).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".avro"))
+      .map(_.getPath)
+    if (mode == "error") {
+      val existing = stale()
+      require(existing.isEmpty,
+        s"graft-avro: $path already holds ${existing.size} container " +
+          "file(s) — a re-write would merge with them on read; pass " +
+          "mode=\"overwrite\" to replace the dataset")
+    }
+    val staging = new Path(dir,
+      s".graft-staging-${java.util.UUID.randomUUID()}")
+    fs.mkdirs(staging)
+    try {
+      df.foreachPartition { (it: Iterator[Row]) =>
+        if (it.hasNext) {
+          val tc = org.apache.spark.TaskContext.get()
+          val pid = tc.partitionId()
+          val fs = staging.getFileSystem(conf.value)
+          val tmp = new Path(staging,
+            f".part-$pid%05d-attempt${tc.taskAttemptId()}.avro.tmp")
+          val fin = new Path(staging, f"part-$pid%05d.avro")
+          val schema = new Schema.Parser().parse(schemaJson)
+          val out: OutputStream = fs.create(tmp, true)
+          val w = new DataFileWriter[GenericRecord](
+            new GenericDatumWriter[GenericRecord](schema))
+          if (codec == "deflate")
+            w.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
+          w.create(schema, out)
+          var committed = false
+          try {
+            it.foreach { row =>
+              val rec = new GenericData.Record(schema)
+              var i = 0
+              while (i < names.length) {
+                rec.put(i, toAvro(row.get(i)))
+                i += 1
+              }
+              w.append(rec)
             }
-            w.append(rec)
-          }
-          w.close() // closes `out`; container now complete
-          if (fs.exists(fin)) fs.delete(fin, false)
-          require(fs.rename(tmp, fin),
-            s"graft-avro: commit rename failed for $fin")
-          committed = true
-        } finally {
-          if (!committed) {
-            try w.close() catch { case _: Throwable => () }
-            fs.delete(tmp, false) // abandon the attempt's bytes
+            w.close() // closes `out`; container now complete
+            // ATOMIC publish: rename-with-overwrite — concurrent
+            // attempts write identical deterministic bytes, and the
+            // committed name is never left missing mid-swap
+            org.apache.hadoop.fs.FileContext
+              .getFileContext(staging.toUri, conf.value)
+              .rename(tmp, fin, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+            committed = true
+          } finally {
+            if (!committed) {
+              try w.close() catch { case _: Throwable => () }
+              fs.delete(tmp, false) // abandon the attempt's bytes
+            }
           }
         }
       }
-    }
+      // job succeeded: swap — clear stale containers, then move the
+      // staged parts in (driver-side, once; no task ever touches the
+      // final names)
+      stale().foreach(p => fs.delete(p, false))
+      fs.listStatus(staging).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".avro"))
+        .foreach { st =>
+          val target = new Path(dir, st.getPath.getName)
+          require(fs.rename(st.getPath, target),
+            s"graft-avro: commit rename failed for $target")
+        }
+    } finally fs.delete(staging, true)
   }
 
   private def toAvro(v: Any): Any = v match {
@@ -203,8 +249,11 @@ class AvroDataSource extends TableProvider with DataSourceRegister {
       throw new IllegalArgumentException(
         s"graft-avro: no .avro files under ${AvroTable.paths(options)}"))
     val in = new HadoopSeekableInput(first.getPath, conf)
-    val r = new DataFileReader[GenericRecord](in,
-      new GenericDatumReader[GenericRecord]())
+    // a corrupt header throws from the CONSTRUCTOR — close the already-
+    // open input ourselves or the driver leaks an fd per corrupt file
+    val r = try new DataFileReader[GenericRecord](in,
+        new GenericDatumReader[GenericRecord]())
+      catch { case e: Throwable => in.close(); throw e }
     try AvroSource.structTypeFor(r.getSchema) finally r.close()
   }
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -328,7 +377,11 @@ class AvroPartitionReader(pathStr: String, start: Long, end: Long,
     // a projection error the input is closed, not leaked)
     val in = new HadoopSeekableInput(path, conf.value)
     val datumReader = new GenericDatumReader[GenericRecord]()
-    val r = new DataFileReader[GenericRecord](in, datumReader)
+    // corrupt magic/header throws from the constructor itself — the
+    // catch below only guards post-construction calls, so close the
+    // input explicitly on construction failure (task-side fd leak)
+    val r = try new DataFileReader[GenericRecord](in, datumReader)
+      catch { case e: Throwable => in.close(); throw e }
     try {
       datumReader.setExpected(projectedSchema(r.getSchema))
       r.sync(start) // first block at or after start (0 -> first block)

@@ -39,9 +39,12 @@ object Sources {
   def avro(spark: SparkSession, path: String): DataFrame =
     spark.read.format("graft-avro").load(path)
 
-  /** Avro container write (one file per non-empty partition). */
-  def writeAvro(df: DataFrame, path: String, codec: String = "null"): Unit =
-    graft.sources.avro.AvroSource.write(df, path, codec)
+  /** Avro container write (one file per non-empty partition). `mode`:
+    * "error" (default — refuse a directory that already holds
+    * containers) or "overwrite" (write-then-swap after job success). */
+  def writeAvro(df: DataFrame, path: String, codec: String = "null",
+      mode: String = "error"): Unit =
+    graft.sources.avro.AvroSource.write(df, path, codec, mode)
 
   /** Events table, normalized to a microsecond TIMESTAMP `ts` whatever
     * physical type the generator wrote:

@@ -108,6 +108,40 @@ class AvroSpec extends AnyFunSuite {
     assert(e.getMessage != null)
   }
 
+  test("write modes: error refuses stale containers; overwrite swaps them") {
+    val dir = tmp()
+    Sources.writeAvro(spark.range(100).toDF("id").repartition(4), dir)
+    // default mode refuses a directory that already holds containers —
+    // silently merging old part files into the next read is the one
+    // invisible corruption this sink could produce
+    val e = intercept[IllegalArgumentException] {
+      Sources.writeAvro(spark.range(5).toDF("id"), dir)
+    }
+    assert(e.getMessage.contains("overwrite"))
+    // overwrite with FEWER partitions must leave no stale parts behind
+    Sources.writeAvro(spark.range(7).toDF("id").repartition(1), dir,
+      mode = "overwrite")
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".avro"))
+    assert(files.length == 1, s"stale parts survived: ${files.toSeq}")
+    assert(Sources.avro(spark, dir).count() == 7L)
+    assert(Sources.avro(spark, dir).agg(sum("id")).head().getLong(0) == 21L)
+    // and no staging droppings remain
+    assert(!new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith(".graft-staging")))
+    // a FAILED overwrite leaves the previous dataset intact
+    intercept[Exception] {
+      Sources.writeAvro(
+        spark.range(5).select(col("id"),
+          expr("CAST(assert_true(id < 0) AS STRING)").as("chk")),
+        dir, mode = "overwrite")
+    }
+    assert(Sources.avro(spark, dir).count() == 7L,
+      "failed overwrite must not touch the committed dataset")
+    assert(!new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith(".graft-staging")))
+  }
+
   test("empty partitions write no files; whole-empty read refuses loudly") {
     val dir = tmp()
     Sources.writeAvro(
