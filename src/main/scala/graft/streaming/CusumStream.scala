@@ -36,11 +36,20 @@ final case class CusumMonState(refSum: Long, refCount: Int, mu0Milli: Long,
   * the batch form where absent days simply aren't in the daily relation.
   *
   * 100 TB shape: per-series state is (reference scalars + CUSUM scalar +
-  * open-bucket partials) — tens of longs, NOT per-event; the shuffle is
-  * keyed by series, so feed high-volume streams pre-reduced (e.g. a
-  * per-partition count per (series, day) upstream — the map-side-combine
-  * discipline) or accept the series-key shuffle of raw increments. The
-  * emitted relation is day-bounded, same as batch.
+  * open-bucket partials) — tens of longs, NOT per-event; and the
+  * series-key exchange carries (series, bucket) PARTIALS, not raw
+  * events: the operator folds a stateless per-micro-batch-partition
+  * increment-combine ([[preReduce]]) ahead of `groupByKeys`, the
+  * map-side-combine discipline callers previously had to apply
+  * themselves (an upstream streaming `groupBy(series, day)` aggregation
+  * is not an option — Spark forbids flatMapGroupsWithState after a
+  * streaming aggregation). The emitted relation is day-bounded, same as
+  * batch. Combine caveat (the [[Sessionize]] late-merge class of
+  * trade): a partial's lateness is judged by its NEWEST member event,
+  * so when one micro-batch partition holds both late and on-time events
+  * of the SAME still-open bucket, the late ones ride in rather than
+  * being dropped individually — observable only under that exact
+  * straddle, and on the keep-more side.
   *
   * Input must carry a watermark on its event-time column (e.g.
   * `withColumn("et", timestamp_micros($"ts_us")).withWatermark("et", …)`),
@@ -58,6 +67,50 @@ object CusumStream {
   final case class CusumPoint(series: String, day: Long, x: Long,
       cusum_milli: Long, alarm: Boolean)
 
+  /** Stateless per-micro-batch-partition increment combine: everything
+    * a partition holds for one (series, bucket) crosses the series-key
+    * exchange as ONE partial (sum of incs, newest member ts as the
+    * lateness representative) instead of raw events — the map-side
+    * combine the monitors' shuffle owes at feed volume. Bounded memory:
+    * one (sum, ts) pair per distinct (series, open bucket) per
+    * partition per micro-batch — the same cardinality the downstream
+    * state tracks. Shared by [[cusumShiftStream]] and
+    * [[MadStream.madAnomaliesStream]]. */
+  private[streaming] def preReduce(events: Dataset[CusumEvent],
+      bucketUs: Long)(implicit spark: SparkSession): Dataset[CusumEvent] = {
+    import spark.implicits._
+    // the caller's watermark column (tagged by withWatermark) must
+    // survive the combine: the event-time-timeout checker requires a
+    // tagged attribute in the stateful operator's child output, and the
+    // engine's own late-row pre-filter reads it — so find it here and
+    // re-attach name + metadata onto the combined partials, valued at
+    // the partial's newest-member timestamp
+    val wmField = events.toDF().schema.fields
+      .find(_.metadata.contains("spark.watermarkDelayMs"))
+    val combined = events.mapPartitions { it =>
+      val acc = scala.collection.mutable.HashMap
+        .empty[(String, Long), Array[Long]] // -> [inc sum, max ts]
+      it.foreach { e =>
+        val a = acc.getOrElseUpdate(
+          (e.series, Math.floorDiv(e.ts_us, bucketUs)),
+          Array(0L, Long.MinValue))
+        a(0) += e.inc
+        if (e.ts_us > a(1)) a(1) = e.ts_us
+      }
+      acc.iterator.map { case ((s, _), a) => CusumEvent(s, a(1), a(0)) }
+    }
+    wmField match {
+      case Some(f) => combined.select(
+        org.apache.spark.sql.functions.col("series"),
+        org.apache.spark.sql.functions.col("ts_us"),
+        org.apache.spark.sql.functions.col("inc"),
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.col("ts_us"))
+          .as(f.name, f.metadata)).as[CusumEvent]
+      case None => combined
+    }
+  }
+
   def cusumShiftStream(events: Dataset[CusumEvent], refDays: Int,
       slackPermille: Long = 0L, hPermille: Long = 2000L,
       bucketUs: Long = 86400000000L)
@@ -67,7 +120,7 @@ object CusumStream {
     require(slackPermille >= 0L, "slackPermille must be >= 0")
     require(hPermille > 0L, "hPermille must be > 0")
     require(bucketUs > 0L, s"bucketUs must be positive, got $bucketUs")
-    events.groupByKey(_.series)
+    preReduce(events, bucketUs).groupByKey(_.series)
       .flatMapGroupsWithState[CusumMonState, CusumPoint](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (series: String, it: Iterator[CusumEvent],

@@ -21,10 +21,11 @@ final case class MadMonState(recent: Seq[Long], lastFinalDay: Long,
   * sorted trailing list; alarm only on a FULL window), so the alarms are
   * bit-identical to batch — pinned in MadStreamSpec.
   *
-  * Bucket finalization, late-event handling, and the 100 TB feed
-  * contract (pre-reduce per (series, bucket) upstream or accept the
-  * series-key shuffle) are exactly [[CusumStream.cusumShiftStream]]'s;
-  * see its scaladoc. State per series is windowLen + open-bucket longs.
+  * Bucket finalization, late-event handling, and the 100 TB feed shape
+  * (the folded [[CusumStream.preReduce]] map-side combine — (series,
+  * bucket) partials cross the exchange, not raw events) are exactly
+  * [[CusumStream.cusumShiftStream]]'s; see its scaladoc. State per
+  * series is windowLen + open-bucket longs.
   */
 object MadStream {
 
@@ -39,7 +40,7 @@ object MadStream {
     require(windowLen >= 2, s"windowLen must be >= 2, got $windowLen")
     require(k >= 1L, s"k must be >= 1, got $k")
     require(bucketUs > 0L, s"bucketUs must be positive, got $bucketUs")
-    events.groupByKey(_.series)
+    CusumStream.preReduce(events, bucketUs).groupByKey(_.series)
       .flatMapGroupsWithState[MadMonState, MadPoint](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (series: String, it: Iterator[CusumStream.CusumEvent],
