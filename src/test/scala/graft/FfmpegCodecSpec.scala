@@ -120,6 +120,43 @@ class FfmpegCodecSpec extends AnyFunSuite {
     } finally dec.close()
   }
 
+  test("committed y4m fixture: bitstream hash pinned (runs everywhere)") {
+    // the fixture half of the decode certificate runs in EVERY
+    // environment: the committed bitstream must be byte-identical to
+    // what FIXTURES.md records, so a green gated decode on an
+    // ffmpeg-equipped box certifies a known input, not a drifted one
+    val bytes = fixtureBytes()
+    assert(bytes.length == 176)
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(bytes).map("%02x".format(_)).mkString
+    assert(sha ==
+      "634726a252304a5c59a4838812fbc0757b1fb3689a9e3cab0b7e051a6d75c224")
+  }
+
+  test("real ffmpeg: committed fixture decodes to the EXACT pinned features") {
+    assume(FfmpegCodecFactory.available(), "ffmpeg/ffprobe not installed")
+    // mono y4m is an IDENTITY decode (-pix_fmt gray copies the Y plane,
+    // no IDCT, no chroma math), so the features are exact across ffmpeg
+    // builds — the deterministic decode certificate FIXTURES.md records:
+    // 2 frames of 8x8, planes all-64 then all-200 -> mean 132/255
+    val bytes = fixtureBytes()
+    val dec = new FfmpegCodecFactory().open()
+    try {
+      val f = dec.decode(MediaRow(7L, bytes, "video/y4m", 0, 0))
+      assert(f.width == 8 && f.height == 8)
+      assert(f.byteLen == 176L)
+      val sum = 64.0 * 64 + 200.0 * 64
+      assert(f.brightness == sum / (255.0 * 128.0),
+        s"gray-plane mean drifted: ${f.brightness}")
+    } finally dec.close()
+  }
+
+  private def fixtureBytes(): Array[Byte] = {
+    val in = getClass.getResourceAsStream("/fixtures/gray-2f-8x8.y4m")
+    assert(in != null, "fixture resource missing")
+    try in.readAllBytes() finally in.close()
+  }
+
   test("real ffmpeg: corrupt-contract parity (garbage refused as corrupt)") {
     assume(FfmpegCodecFactory.available(), "ffmpeg/ffprobe not installed")
     val dec = new FfmpegCodecFactory().open()
