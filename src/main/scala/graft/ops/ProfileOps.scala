@@ -698,10 +698,17 @@ object ProfileOps {
             (col("n").cast("double") * col("sum_x").cast("double")) -
             (col("n") + lit(1L)).cast("double") / col("n").cast("double"), 6)
             .as("gini"))
-      df.sparkSession.createDataFrame(
-        java.util.Arrays.asList(out.collect(): _*), out.schema)
+      materialized(out)
     } finally g.unpersist()
   }
+
+  /** Eagerly materialize a driver-sized result so the caller's plan no
+    * longer references a persisted relation this method unpersists on
+    * return — the shared persist-lifecycle contract of [[giniIndex]]
+    * and [[fdHistogram]] (both return at most a few hundred rows). */
+  private def materialized(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(df.collect(): _*), df.schema)
 
   /** The shared GRID cumulative-count derivation over a distinct-value
     * relation (v, cnt): appends `cb` = Σ cnt over all rows with smaller
@@ -1011,8 +1018,7 @@ object ProfileOps {
         .groupBy("bin").agg(sum("cnt").as("n_rows"))
         .select(col("bin"), col("n_rows"), lit(nb).as("n_bins"),
           lit(q1).as("q1"), lit(q3).as("q3"))
-      df.sparkSession.createDataFrame(
-        java.util.Arrays.asList(binned.collect(): _*), binned.schema)
+      materialized(binned)
     } finally g.unpersist()
   }
 

@@ -390,7 +390,8 @@ object TrainOps {
     * normalizing the update. `labelSql` must compute the identical 0/1
     * label from the doc row. */
   private def featureCtes(dim: Int, labelSql: String,
-      rel: String = "documents", px: String = "", ngram: Int = 1): String = {
+      rel: String = "documents", px: String = "", ngram: Int = 1,
+      withFa: Boolean = true): String = {
     val poly = graft.functions.PolyHash.sql("tok")
     // word k-shingle union, k = 1..ngram — the dedup shinglesSqlCte
     // positional definition, parameterized by relation
@@ -415,9 +416,12 @@ object TrainOps {
        |  UNION ALL
        |  SELECT doc_id, $dim AS j, 1000 AS x FROM $rel),
        |${px}lab AS MATERIALIZED (
-       |  SELECT doc_id, CAST($labelSql AS BIGINT) AS y FROM $rel),
-       |${px}fa AS MATERIALIZED (SELECT count(*) AS f FROM ${px}f)"""
-      .stripMargin
+       |  SELECT doc_id, CAST($labelSql AS BIGINT) AS y FROM $rel)""".stripMargin +
+      (if (withFa)
+        s""",
+           |${px}fa AS MATERIALIZED (SELECT count(*) AS f FROM ${px}f)"""
+          .stripMargin
+       else "")
   }
 
   /** The round-unrolled training replay ([[GraphOps.pageRankSql]]
@@ -425,41 +429,50 @@ object TrainOps {
     * rational residual + quantized gradient + integer update — the
     * exact [[trainLr]] trajectory. Emits everything up to and
     * including `w$rounds`; callers append their SELECT. */
+  /** ONE round body shared by the full-pass and sampled replays (the
+    * quantized-gradient and weight-update arithmetic must never fork
+    * between the two twins): margin join over `feat`, rational
+    * residual, quantized gradient, and the integer update normalized by
+    * `norm` (a one-row (f) relation — corpus mass `fa` for the full
+    * pass, the round's `fr\$i` for the sampled one). */
+  private def roundCtes(i: Int, feat: String, norm: String, lrNum: Long,
+      lrDen: Long): String =
+    s"""z$i AS MATERIALIZED (
+       |  SELECT f.doc_id, sum(CAST(f.x AS HUGEINT) * w.w) AS z
+       |  FROM $feat f JOIN w${i - 1} w ON w.j = f.j GROUP BY 1),
+       |r$i AS (
+       |  SELECT z.doc_id,
+       |    $Z + abs(z.z) + z.z - 2*lab.y*($Z + abs(z.z)) AS n1,
+       |    2*($Z + abs(z.z)) AS den
+       |  FROM z$i z JOIN lab USING (doc_id)),
+       |g$i AS (
+       |  SELECT f.j,
+       |    sum(CASE WHEN r.n1 < 0
+       |      THEN -(((-CAST(r.n1 AS HUGEINT)) * f.x * $Q) // r.den)
+       |      ELSE (CAST(r.n1 AS HUGEINT) * f.x * $Q) // r.den END) AS gg
+       |  FROM $feat f JOIN r$i r USING (doc_id) GROUP BY 1),
+       |w$i AS MATERIALIZED (
+       |  SELECT w.j,
+       |    CAST(w.w - (CASE WHEN COALESCE(g.gg, 0) < 0
+       |      THEN -(((-COALESCE(g.gg, 0)) * $lrNum)
+       |             // (CAST($lrDen AS HUGEINT) * nrm.f * 1000 * $i))
+       |      ELSE (COALESCE(g.gg, 0) * $lrNum)
+       |             // (CAST($lrDen AS HUGEINT) * nrm.f * 1000 * $i) END)
+       |      AS BIGINT) AS w
+       |  FROM w${i - 1} w LEFT JOIN g$i g USING (j) CROSS JOIN $norm nrm)"""
+      .stripMargin
+
+  private val W0Cte = "w0 AS (\n  SELECT unnest(generate_series(0, %d))" +
+    " AS j,\n    CAST(0 AS BIGINT) AS w)"
+
   private def trainCtes(dim: Int, rounds: Int, lrNum: Long, lrDen: Long,
       labelSql: String, rel: String = "documents", ngram: Int = 1)
       : String = {
-    val roundCtes = (1 to rounds).map { i =>
-      val p = s"w${i - 1}"
-      s"""z$i AS MATERIALIZED (
-         |  SELECT f.doc_id, sum(CAST(f.x AS HUGEINT) * w.w) AS z
-         |  FROM f JOIN $p w ON w.j = f.j GROUP BY 1),
-         |r$i AS (
-         |  SELECT z.doc_id,
-         |    $Z + abs(z.z) + z.z - 2*lab.y*($Z + abs(z.z)) AS n1,
-         |    2*($Z + abs(z.z)) AS den
-         |  FROM z$i z JOIN lab USING (doc_id)),
-         |g$i AS (
-         |  SELECT f.j,
-         |    sum(CASE WHEN r.n1 < 0
-         |      THEN -(((-CAST(r.n1 AS HUGEINT)) * f.x * $Q) // r.den)
-         |      ELSE (CAST(r.n1 AS HUGEINT) * f.x * $Q) // r.den END) AS gg
-         |  FROM f JOIN r$i r USING (doc_id) GROUP BY 1),
-         |w$i AS MATERIALIZED (
-         |  SELECT w.j,
-         |    CAST(w.w - (CASE WHEN COALESCE(g.gg, 0) < 0
-         |      THEN -(((-COALESCE(g.gg, 0)) * $lrNum)
-         |             // (CAST($lrDen AS HUGEINT) * fa.f * 1000 * $i))
-         |      ELSE (COALESCE(g.gg, 0) * $lrNum)
-         |             // (CAST($lrDen AS HUGEINT) * fa.f * 1000 * $i) END)
-         |      AS BIGINT) AS w
-         |  FROM w${i - 1} w LEFT JOIN g$i g USING (j) CROSS JOIN fa)"""
-        .stripMargin
-    }.mkString(",\n")
+    val rcs = (1 to rounds).map(i => roundCtes(i, "f", "fa", lrNum, lrDen))
+      .mkString(",\n")
     s"""${featureCtes(dim, labelSql, rel, "", ngram)},
-       |w0 AS (
-       |  SELECT unnest(generate_series(0, $dim)) AS j,
-       |    CAST(0 AS BIGINT) AS w),
-       |$roundCtes""".stripMargin
+       |${W0Cte.format(dim)},
+       |$rcs""".stripMargin
   }
 
   /** DuckDB twin of [[trainLr]] + [[weightsDf]]. */
@@ -477,43 +490,19 @@ object TrainOps {
   private def trainSampledCtes(dim: Int, rounds: Int, lrNum: Long,
       lrDen: Long, sampleMilli: Int, labelSql: String,
       rel: String = "documents", ngram: Int = 1): String = {
-    val roundCtes = (1 to rounds).map { i =>
+    val rcs = (1 to rounds).map { i =>
       // Scala round index r = i - 1 (startRound = 0); sampleBucketSql
-      // mixes in r + 1 = i
+      // mixes in r + 1 = i. The round body is the SHARED [[roundCtes]]
+      // pointed at the round's sampled relation + its own mass.
       val pred = s"${sampleBucketSql("doc_id", i - 1)} < $sampleMilli"
       s"""sf$i AS MATERIALIZED (
          |  SELECT doc_id, j, x FROM f WHERE $pred),
          |fr$i AS (SELECT count(*) AS f FROM sf$i),
-         |z$i AS MATERIALIZED (
-         |  SELECT f.doc_id, sum(CAST(f.x AS HUGEINT) * w.w) AS z
-         |  FROM sf$i f JOIN w${i - 1} w ON w.j = f.j GROUP BY 1),
-         |r$i AS (
-         |  SELECT z.doc_id,
-         |    $Z + abs(z.z) + z.z - 2*lab.y*($Z + abs(z.z)) AS n1,
-         |    2*($Z + abs(z.z)) AS den
-         |  FROM z$i z JOIN lab USING (doc_id)),
-         |g$i AS (
-         |  SELECT f.j,
-         |    sum(CASE WHEN r.n1 < 0
-         |      THEN -(((-CAST(r.n1 AS HUGEINT)) * f.x * $Q) // r.den)
-         |      ELSE (CAST(r.n1 AS HUGEINT) * f.x * $Q) // r.den END) AS gg
-         |  FROM sf$i f JOIN r$i r USING (doc_id) GROUP BY 1),
-         |w$i AS MATERIALIZED (
-         |  SELECT w.j,
-         |    CAST(w.w - (CASE WHEN COALESCE(g.gg, 0) < 0
-         |      THEN -(((-COALESCE(g.gg, 0)) * $lrNum)
-         |             // (CAST($lrDen AS HUGEINT) * fr.f * 1000 * $i))
-         |      ELSE (COALESCE(g.gg, 0) * $lrNum)
-         |             // (CAST($lrDen AS HUGEINT) * fr.f * 1000 * $i) END)
-         |      AS BIGINT) AS w
-         |  FROM w${i - 1} w LEFT JOIN g$i g USING (j) CROSS JOIN fr$i fr)"""
-        .stripMargin
+         |${roundCtes(i, s"sf$i", s"fr$i", lrNum, lrDen)}""".stripMargin
     }.mkString(",\n")
-    s"""${featureCtes(dim, labelSql, rel, "", ngram)},
-       |w0 AS (
-       |  SELECT unnest(generate_series(0, $dim)) AS j,
-       |    CAST(0 AS BIGINT) AS w),
-       |$roundCtes""".stripMargin
+    s"""${featureCtes(dim, labelSql, rel, "", ngram, withFa = false)},
+       |${W0Cte.format(dim)},
+       |$rcs""".stripMargin
   }
 
   /** DuckDB twin of [[trainLrSampled]] + [[weightsDf]]. */
@@ -532,7 +521,7 @@ object TrainOps {
       scoreRel: String, ngram: Int = 1): String =
     s"""WITH ${trainSampledCtes(dim, rounds, lrNum, lrDen, sampleMilli,
         labelSql, trainRel, ngram)},
-       |${featureCtes(dim, labelSql, scoreRel, "s_", ngram)},
+       |${featureCtes(dim, labelSql, scoreRel, "s_", ngram, withFa = false)},
        |sc AS (
        |  SELECT f.doc_id, CAST(sum(CAST(f.x AS HUGEINT) * w.w) AS BIGINT)
        |    AS margin
@@ -604,7 +593,7 @@ object TrainOps {
       ngram: Int = 1): String =
     s"""WITH ${trainCtes(dim, rounds, lrNum, lrDen, labelSql, trainRel,
         ngram)},
-       |${featureCtes(dim, labelSql, scoreRel, "s_", ngram)},
+       |${featureCtes(dim, labelSql, scoreRel, "s_", ngram, withFa = false)},
        |sc AS (
        |  SELECT f.doc_id, CAST(sum(CAST(f.x AS HUGEINT) * w.w) AS BIGINT)
        |    AS margin

@@ -133,18 +133,20 @@ object AvroSource {
     *    files — silently merging a re-write's parts with a previous
     *    run's stale `part-NNNNN.avro` (the reader lists ALL of them) is
     *    the one corruption this sink could produce invisibly;
-    *  - "overwrite": write the new parts, then swap — stale containers
-    *    are deleted only AFTER the job succeeds, so a failed overwrite
-    *    leaves the previous dataset intact.
+    *  - "overwrite": write the new parts, then swap — publish first
+    *    (per-file-atomic OVERWRITE renames), delete stale leftovers
+    *    last, so a failed job leaves the previous dataset intact and
+    *    even a crash mid-swap can only leave a mixed superseded-name
+    *    state, never an empty or name-missing one.
     *
     * JOB-LEVEL commit protocol: tasks stream to attempt-unique temp
     * names under a per-job staging dir and publish within it via an
     * OVERWRITE-semantics rename (`FileContext.rename(OVERWRITE)` — no
     * exists→delete→rename window for a speculative twin to race: the
     * committed file is never absent), and the driver moves the staged
-    * parts into the target exactly once after the job succeeds. A
-    * failed or abandoned job leaves only a staging dir, removed in the
-    * finally — never a partial final dataset. */
+    * parts into the target exactly once after the job succeeds, before
+    * any stale deletion. A failed or abandoned job leaves only a
+    * staging dir, removed in the finally. */
   def write(df: DataFrame, path: String, codec: String = "null",
       mode: String = "error"): Unit = {
     require(codec == "null" || codec == "deflate",
@@ -214,17 +216,35 @@ object AvroSource {
           }
         }
       }
-      // job succeeded: swap — clear stale containers, then move the
-      // staged parts in (driver-side, once; no task ever touches the
-      // final names)
-      stale().foreach(p => fs.delete(p, false))
-      fs.listStatus(staging).toSeq
+      // job succeeded: swap — PUBLISH FIRST (per-file-atomic OVERWRITE
+      // renames replace same-named stale parts in place), THEN delete
+      // the stale leftovers the new part set did not cover. Nothing old
+      // is deleted until every new part has landed, so a rename failure
+      // or driver crash mid-swap can leave a superseded-name mix but
+      // never an empty/partial dataset and never a missing name
+      // (driver-side, once; no task ever touches the final names).
+      val staged = fs.listStatus(staging).toSeq
         .filter(st => st.isFile && st.getPath.getName.endsWith(".avro"))
-        .foreach { st =>
-          val target = new Path(dir, st.getPath.getName)
-          require(fs.rename(st.getPath, target),
-            s"graft-avro: commit rename failed for $target")
-        }
+      val newNames = staged.map(_.getPath.getName).toSet
+      if (mode == "error") {
+        // the start-of-write emptiness check must still hold — a
+        // concurrent writer's containers appearing mid-job get a loud
+        // refusal, not a silent clobber
+        val foreign = stale()
+        require(foreign.isEmpty,
+          s"graft-avro: $path gained ${foreign.size} container file(s) " +
+            "while the job ran (concurrent writer?) — refusing to merge " +
+            "or clobber them")
+      }
+      val fc = org.apache.hadoop.fs.FileContext
+        .getFileContext(dir.toUri, conf.value)
+      staged.foreach { st =>
+        fc.rename(st.getPath, new Path(dir, st.getPath.getName),
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      }
+      if (mode == "overwrite")
+        stale().filterNot(p => newNames.contains(p.getName))
+          .foreach(p => fs.delete(p, false))
     } finally fs.delete(staging, true)
   }
 

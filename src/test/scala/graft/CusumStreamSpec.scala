@@ -134,7 +134,11 @@ class CusumStreamSpec extends AnyFunSuite {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     // count every shuffle record written while the query runs: with the
     // in-operator map-side combine, 10k raw events for 2 (series, day)
-    // buckets must shuffle as a handful of partials, never ~10k rows
+    // buckets must shuffle as a handful of partials, never ~10k rows.
+    // The listener is context-global, so this counts ALL stages in the
+    // window — valid because the suite runs queries sequentially and
+    // every other test stops its query; if a concurrent-stream test is
+    // ever added, scope this by run id before trusting the threshold.
     val records = new java.util.concurrent.atomic.AtomicLong(0L)
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(
