@@ -250,6 +250,43 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(resumed.sameElements(w1), "sampled resume diverged")
   }
 
+  test("sampled gradient plan: narrow pre-shuffle filter, ONE exchange") {
+    val docs = separable(100)
+    val labeled = TrainOps.docFeatures(docs, 16)
+      .join(docs.select(col("doc_id"), col("y")), "doc_id")
+      .persist()
+    try {
+      labeled.count()
+      // the round relation exactly as trainLrSampled builds it
+      val round = labeled
+        .filter(TrainOps.sampleBucket(col("doc_id"), 3) < lit(500L))
+        .withColumn("zq", TrainOps.marginCol(Array.fill(17)(0L)))
+        .select(col("y"), col("zq"),
+          posexplode(col("xs")).as(Seq("j", "x")))
+        .filter(col("x") > 0L)
+        .groupBy("j").agg(count(lit(1)))
+      val plan = round.queryExecution.executedPlan.toString
+      // the ROUND's own plan is everything above the cached feature
+      // relation (the InMemoryRelation dump embeds the build plan's
+      // exchanges, which the round never re-executes)
+      val roundPlan = plan.split("InMemoryRelation")(0)
+      assert(!roundPlan.contains("SortAggregate"),
+        s"must hash-agg:\n$roundPlan")
+      assert(!roundPlan.contains("SortMergeJoin"),
+        s"must not re-join:\n$roundPlan")
+      // the ONLY exchange is the dim+1-key gradient aggregate's, and
+      // the sample filter is pushed into the in-memory scan itself
+      val exchanges = "Exchange".r.findAllIn(roundPlan).length
+      assert(exchanges == 1,
+        s"expected exactly one exchange (the j-key agg), got $exchanges:\n$roundPlan")
+      assert(roundPlan.contains("InMemoryTableScan"))
+      val scanLine = roundPlan.linesIterator
+        .find(_.contains("InMemoryTableScan")).get
+      assert(scanLine.contains("pmod"),
+        s"sample predicate not pushed to the cache scan: $scanLine")
+    } finally labeled.unpersist()
+  }
+
   test("sampled loud guards: empty sample, bad sampleMilli") {
     // a single doc whose round-0 bucket is >= 1 makes sampleMilli = 1
     // sample zero docs in round 0 — deterministically
