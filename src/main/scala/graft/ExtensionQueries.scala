@@ -533,6 +533,17 @@ object ExtensionQueries {
       DedupOps.minhashDedupKeep(Tables.documents(s, dir), jaccardK,
         threshold = jaccardThresh).orderBy("doc_id")
     },
+    // LSH band-plan tuner: every (bands, rows) split of the signature
+    // with its FIXED-POINT S-curve catch probabilities (truncating
+    // milli arithmetic — no libm pow, engine-exact), chosen = the plan
+    // whose 50% catch point sits nearest the target similarity. At
+    // 100 TB the band count is THE recall-vs-candidate-volume lever;
+    // this certifies the minhash defaults (k=64 -> bands=16, r=4 at
+    // target 0.5) as the selected plan, not folklore.
+    "dedup_lsh_plan" -> { (s, dir) =>
+      DedupOps.lshBandPlan(s, numHashes = 64, targetMilli = 500)
+        .orderBy("bands")
+    },
     // Quality-aware representative election: same pipeline, argmax on the
     // rounded quality score per cluster instead of min id
     "dedup_keep_best" -> { (s, dir) =>
@@ -3070,6 +3081,8 @@ object ExtensionQueries {
          |SELECT src AS doc_id, min(dst) AS component
          |FROM reach GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "dedup_minhash_keep" -> minhashKeepOracleSql(jaccardThresh),
+    "dedup_lsh_plan" ->
+      (DedupOps.lshBandPlanSql(64, 500) + "\nORDER BY bands"),
     "dedup_keep_best" -> minhashKeepBestOracleSql(jaccardThresh),
     "zorder_key" ->
       s"""SELECT event_id, ${LayoutOps.mortonKey2Sql(

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops.Checkpoints._
@@ -864,6 +864,103 @@ object DedupOps {
         (0 until r).map(i => element_at(col("sig"), b * r + i + 1)): _*)
     }
     sigs.select(col("doc_id"), posexplode(array(bandExprs: _*)).as(Seq("b", "sig")))
+  }
+
+  // ---- LSH band-plan tuner ------------------------------------------------
+
+  /** Milli fixed-point power: x^n on the [0, 1000] grid with
+    * truncation-toward-zero after EVERY multiply — both engines compute
+    * positive·positive div 1000 identically, so the whole S-curve is
+    * engine-exact (the [[graft.ops.TrainOps.tdz]] discipline applied to
+    * the one float formula LSH tuning needs; a libm `pow` here would be
+    * the FIXTURES.md last-ulp drift class). Intermediates stay < 10⁶. */
+  def fpowMilli(xMilli: Long, n: Int): Long = {
+    require(xMilli >= 0L && xMilli <= 1000L, s"xMilli out of [0,1000]: $xMilli")
+    require(n >= 1, s"n must be >= 1, got $n")
+    var acc = xMilli
+    var i = 1
+    while (i < n) { acc = acc * xMilli / 1000L; i += 1 }
+    acc
+  }
+
+  /** Banded-LSH catch probability at similarity s (milli), in milli:
+    * p = 1 − (1 − s^r)^b, fixed-point. The classic S-curve (Leskovec/
+    * Rajaraman/Ullman, Mining of Massive Datasets §3.4), quantized so
+    * the DuckDB twin replays it bit-for-bit. */
+  def lshCurveMilli(sMilli: Long, r: Int, b: Int): Long =
+    1000L - fpowMilli(1000L - fpowMilli(sMilli, r), b)
+
+  /** LSH band-plan table: every (bands, rows) split of `numHashes`
+    * with its fixed-point catch probabilities below/at/above the target
+    * similarity; `chosen` marks the plan whose S-curve midpoint sits
+    * closest to the target (|p(target) − 500| minimized — the 50% catch
+    * point IS the curve threshold; ties break to fewer bands = fewer
+    * shuffled band keys). This is the principled version of "bands=16"
+    * — at 100 TB the band count is THE recall-vs-candidate-volume
+    * lever, so the choice is an oracle-certified table, not folklore.
+    * For the engine defaults (k=64, target 0.5) the chosen row is
+    * (16, 4) — certifying [[minhashLshCandidates]]'s defaults. */
+  def lshBandPlan(spark: SparkSession, numHashes: Int = 64,
+      targetMilli: Int = 500): DataFrame = {
+    require(numHashes >= 1 && numHashes <= 4096,
+      s"numHashes must be in [1, 4096], got $numHashes")
+    require(targetMilli >= 0 && targetMilli <= 1000,
+      s"targetMilli must be in [0, 1000], got $targetMilli")
+    import spark.implicits._
+    val lo = math.max(0, targetMilli - 200).toLong
+    val hi = math.min(1000, targetMilli + 200).toLong
+    val rows = (1 to numHashes).filter(numHashes % _ == 0).map { b =>
+      val r = numHashes / b
+      val pT = lshCurveMilli(targetMilli.toLong, r, b)
+      (b.toLong, r.toLong, lshCurveMilli(lo, r, b), pT,
+        lshCurveMilli(hi, r, b), math.abs(pT - 500L))
+    }
+    val best = rows.minBy(t => (t._6, t._1))
+    rows.map(t => (t._1, t._2, t._3, t._4, t._5, t._6,
+        t._1 == best._1))
+      .toDF("bands", "r", "p_lo", "p_tgt", "p_hi", "dist", "chosen")
+  }
+
+  /** DuckDB twin of [[lshBandPlan]]: the fixed-point powers run as
+    * RECURSIVE-CTE iterations (rows, not expression nesting — a
+    * depth-64 multiply chain unrolled as an expression blows DuckDB's
+    * 128-level binder; the pageRankSql iteration discipline instead),
+    * one truncating multiply per step in the same order as
+    * [[fpowMilli]] — no `pow`, no float, bit-exact. */
+  def lshBandPlanSql(numHashes: Int = 64, targetMilli: Int = 500): String = {
+    val lo = math.max(0, targetMilli - 200)
+    val hi = math.min(1000, targetMilli + 200)
+    val planVals = (1 to numHashes).filter(numHashes % _ == 0)
+      .map(b => s"($b, ${numHashes / b})").mkString(", ")
+    s"""WITH RECURSIVE plans(bands, r) AS (VALUES $planVals),
+       |sv(pt, s) AS (VALUES ('lo', $lo), ('tgt', $targetMilli), ('hi', $hi)),
+       |g AS (SELECT bands, r, pt, s FROM plans CROSS JOIN sv),
+       |p1(bands, r, pt, s, i, acc) AS (
+       |  SELECT bands, r, pt, s, 1, s FROM g
+       |  UNION ALL
+       |  SELECT bands, r, pt, s, i + 1, (acc * s) // 1000
+       |  FROM p1 WHERE i < r),
+       |sr AS (SELECT bands, r, pt, 1000 - acc AS q FROM p1 WHERE i = r),
+       |p2(bands, r, pt, q, i, acc) AS (
+       |  SELECT bands, r, pt, q, 1, q FROM sr
+       |  UNION ALL
+       |  SELECT bands, r, pt, q, i + 1, (acc * q) // 1000
+       |  FROM p2 WHERE i < bands),
+       |pv AS (SELECT bands, r, pt, 1000 - acc AS p FROM p2 WHERE i = bands),
+       |w AS (SELECT bands, r,
+       |    max(CASE WHEN pt = 'lo' THEN p END) AS p_lo,
+       |    max(CASE WHEN pt = 'tgt' THEN p END) AS p_tgt,
+       |    max(CASE WHEN pt = 'hi' THEN p END) AS p_hi
+       |  FROM pv GROUP BY 1, 2),
+       |d AS (SELECT bands, r, p_lo, p_tgt, p_hi,
+       |  abs(p_tgt - 500) AS dist FROM w)
+       |SELECT CAST(bands AS BIGINT) AS bands, CAST(r AS BIGINT) AS r,
+       |  CAST(p_lo AS BIGINT) AS p_lo, CAST(p_tgt AS BIGINT) AS p_tgt,
+       |  CAST(p_hi AS BIGINT) AS p_hi, CAST(dist AS BIGINT) AS dist,
+       |  dist = (SELECT min(dist) FROM d) AND
+       |  bands = (SELECT min(bands) FROM d
+       |           WHERE dist = (SELECT min(dist) FROM d)) AS chosen
+       |FROM d""".stripMargin
   }
 
   // ---- persisted signatures (incremental near-dup) -----------------------

@@ -2019,4 +2019,36 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](FunnelOps.attributionCredit(
       pairs, "conv_id", "imp_id", "imp_ts", col("imp_id"), 26))
   }
+
+  test("lshBandPlan: fixed-point S-curve, defaults certified chosen") {
+    import graft.ops.DedupOps
+    // fixed-point power: exact truncating milli arithmetic
+    assert(DedupOps.fpowMilli(500L, 1) == 500L)
+    assert(DedupOps.fpowMilli(500L, 2) == 250L)
+    assert(DedupOps.fpowMilli(500L, 4) == 62L) // 250->125->62 (truncated)
+    assert(DedupOps.fpowMilli(1000L, 64) == 1000L)
+    assert(DedupOps.fpowMilli(0L, 5) == 0L)
+    intercept[IllegalArgumentException](DedupOps.fpowMilli(1001L, 2))
+    // the S-curve is monotone in s for any (r, b) and pinned at the ends
+    for ((r, b) <- Seq((4, 16), (8, 8), (2, 32))) {
+      val curve = (0L to 1000L by 50L).map(DedupOps.lshCurveMilli(_, r, b))
+      assert(curve.head == 0L && curve.last == 1000L)
+      assert(curve.sliding(2).forall { case Seq(a, c) => a <= c })
+    }
+    // the plan table: one row per divisor of k, chosen = the engine
+    // defaults (bands=16, r=4) at k=64, target 0.5
+    val plan = DedupOps.lshBandPlan(spark, 64, 500).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getBoolean(6)))
+    assert(plan.map(_._1).sorted.sameElements(
+      Array(1L, 2L, 4L, 8L, 16L, 32L, 64L)))
+    plan.foreach { case (b, r, _, _) => assert(b * r == 64L) }
+    val chosen = plan.filter(_._4)
+    assert(chosen.length == 1 && chosen(0)._1 == 16L && chosen(0)._2 == 4L,
+      s"expected (16,4) chosen, got ${chosen.toSeq}")
+    // p_tgt at (16,4) matches the hand computation: s^4=62, q=938,
+    // 1000 - 938^16_fixed
+    assert(chosen(0)._3 == 1000L - DedupOps.fpowMilli(938L, 16))
+    intercept[IllegalArgumentException](DedupOps.lshBandPlan(spark, 0))
+    intercept[IllegalArgumentException](DedupOps.lshBandPlan(spark, 64, 1001))
+  }
 }
