@@ -462,8 +462,11 @@ object TrainOps {
        |  FROM w${i - 1} w LEFT JOIN g$i g USING (j) CROSS JOIN $norm nrm)"""
       .stripMargin
 
-  private val W0Cte = "w0 AS (\n  SELECT unnest(generate_series(0, %d))" +
-    " AS j,\n    CAST(0 AS BIGINT) AS w)"
+  // string interpolation, not String.format: %d is FORMAT-locale
+  // sensitive (non-Latin default digit sets would corrupt the SQL)
+  private def w0Cte(dim: Int): String =
+    s"w0 AS (\n  SELECT unnest(generate_series(0, $dim))" +
+      " AS j,\n    CAST(0 AS BIGINT) AS w)"
 
   private def trainCtes(dim: Int, rounds: Int, lrNum: Long, lrDen: Long,
       labelSql: String, rel: String = "documents", ngram: Int = 1)
@@ -471,7 +474,7 @@ object TrainOps {
     val rcs = (1 to rounds).map(i => roundCtes(i, "f", "fa", lrNum, lrDen))
       .mkString(",\n")
     s"""${featureCtes(dim, labelSql, rel, "", ngram)},
-       |${W0Cte.format(dim)},
+       |${w0Cte(dim)},
        |$rcs""".stripMargin
   }
 
@@ -501,7 +504,7 @@ object TrainOps {
          |${roundCtes(i, s"sf$i", s"fr$i", lrNum, lrDen)}""".stripMargin
     }.mkString(",\n")
     s"""${featureCtes(dim, labelSql, rel, "", ngram, withFa = false)},
-       |${W0Cte.format(dim)},
+       |${w0Cte(dim)},
        |$rcs""".stripMargin
   }
 

@@ -89,44 +89,37 @@ object CusumStream {
     // metadata), so a skew-corrected or otherwise non-identity
     // watermark derivation keeps its own timeline — nothing assumes
     // et == timestamp_micros(ts_us).
-    events.toDF().schema.fields
-      .find(_.metadata.contains("spark.watermarkDelayMs")) match {
+    val wmField = events.toDF().schema.fields
+      .find(_.metadata.contains("spark.watermarkDelayMs"))
+    // ONE combine implementation for both paths: without a watermark
+    // column the event time doubles as its own lateness representative
+    val src = events.toDF().select(col("series"), col("ts_us"), col("inc"),
+        wmField.map(f => unix_micros(coalesce(col(f.name),
+            timestamp_micros(col("ts_us")))))
+          .getOrElse(col("ts_us")).as("etus"))
+      .as[(String, Long, Long, Long)]
+    val combined = src.mapPartitions { it =>
+      val acc = scala.collection.mutable.HashMap
+        .empty[(String, Long), Array[Long]] // -> [inc, max ts, max et]
+      it.foreach { case (series, ts, inc, et) =>
+        val a = acc.getOrElseUpdate(
+          (series, Math.floorDiv(ts, bucketUs)),
+          Array(0L, Long.MinValue, Long.MinValue))
+        a(0) += inc
+        if (ts > a(1)) a(1) = ts
+        if (et > a(2)) a(2) = et
+      }
+      acc.iterator.map { case ((s, _), a) => (s, a(1), a(0), a(2)) }
+    }
+    wmField match {
       case Some(f) =>
-        val src = events.toDF().select(col("series"), col("ts_us"),
-            col("inc"),
-            unix_micros(coalesce(col(f.name),
-              timestamp_micros(col("ts_us")))).as("etus"))
-          .as[(String, Long, Long, Long)]
-        val combined = src.mapPartitions { it =>
-          val acc = scala.collection.mutable.HashMap
-            .empty[(String, Long), Array[Long]] // -> [inc, max ts, max et]
-          it.foreach { case (series, ts, inc, et) =>
-            val a = acc.getOrElseUpdate(
-              (series, Math.floorDiv(ts, bucketUs)),
-              Array(0L, Long.MinValue, Long.MinValue))
-            a(0) += inc
-            if (ts > a(1)) a(1) = ts
-            if (et > a(2)) a(2) = et
-          }
-          acc.iterator.map { case ((s, _), a) => (s, a(1), a(0), a(2)) }
-        }
         combined.select(col("_1").as("series"), col("_2").as("ts_us"),
           col("_3").as("inc"),
           timestamp_micros(col("_4")).as(f.name, f.metadata))
           .as[CusumEvent]
       case None =>
-        events.mapPartitions { it =>
-          val acc = scala.collection.mutable.HashMap
-            .empty[(String, Long), Array[Long]] // -> [inc sum, max ts]
-          it.foreach { e =>
-            val a = acc.getOrElseUpdate(
-              (e.series, Math.floorDiv(e.ts_us, bucketUs)),
-              Array(0L, Long.MinValue))
-            a(0) += e.inc
-            if (e.ts_us > a(1)) a(1) = e.ts_us
-          }
-          acc.iterator.map { case ((s, _), a) => CusumEvent(s, a(1), a(0)) }
-        }
+        combined.select(col("_1").as("series"), col("_2").as("ts_us"),
+          col("_3").as("inc")).as[CusumEvent]
     }
   }
 
