@@ -192,6 +192,18 @@ object Examples {
       spark.stop()
       return
     }
+    if (args.headOption.contains("soak-cusum")) {
+      // streaming-monitor shuffle soak: `runMain graft.Examples
+      // soak-cusum 10000000` — n raw events over (100 series × 30
+      // days) through the folded preReduce; the series-key exchange
+      // must carry per-(partition, series, day) partials, so shuffled
+      // records stay ~1e4 whatever n is, and the emitted day sums must
+      // equal the exact per-(series, day) event counts
+      val n = args.lift(1).getOrElse("10000000").trim.toLong
+      cusumShuffleSoak(spark, n)
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("soak-train-sampled")) {
       // SAMPLED-round training soak: `runMain graft.Examples
       // soak-train-sampled 2000000` — fixed corpus, sampleMilli sweep
@@ -513,6 +525,74 @@ object Examples {
       .head().getDouble(0)
     require(acc == 1.0, s"separable corpus must train to 100%, got $acc")
     println(f"""{"example":"train_soak","docs":$n,"rounds":8,"train_sec":$trainS%.2f,"sec_per_round":${trainS / 8}%.2f,"acc":$acc}""")
+  }
+
+  /** Streaming CUSUM shuffle soak: n raw events, 100 series × 30 day
+    * buckets, driven through the one-shot parquet AvailableNow pattern
+    * (the driver-shaped ingest). With [[graft.streaming.CusumStream]]'s
+    * folded per-partition combine the series-key exchange carries
+    * (partition, series, day) PARTIALS — shuffled records must stay
+    * O(partitions × series × days), independent of n — and the emitted
+    * day sums must still be EXACT. */
+  private def cusumShuffleSoak(spark: SparkSession, n: Long): Unit = {
+    import spark.implicits._
+    val DayUs = 86400000000L
+    val dir = java.nio.file.Files.createTempDirectory("graft-cusum-soak")
+    // series = id mod 100, day = (id div 100) mod 30 — decorrelated, so
+    // every series sees all 30 days (id mod 100 and id mod 30 share
+    // factor 10 and would give each series only 3 distinct days)
+    val ev = spark.range(n).select(
+        concat(lit("s"), (col("id") % 100L).cast("string")).as("series"),
+        (((col("id") / 100L).cast("long") % 30L) * DayUs +
+          (col("id") % 86400L) * 1000L + 1L).as("ts_us"),
+        lit(1L).as("inc"))
+      .union(Seq(("zz", 40L * DayUs, 1L)).toDF("series", "ts_us", "inc"))
+    ev.write.mode("overwrite").parquet(dir.toString)
+    val records = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        records.addAndGet(
+          sc.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val t0 = System.nanoTime()
+    implicit val s: SparkSession = spark
+    val src = spark.readStream
+      .schema("series STRING, ts_us LONG, inc LONG")
+      .parquet(dir.toString)
+      .withColumn("et", timestamp_micros(col("ts_us")))
+      .withWatermark("et", "0 seconds")
+      .as[graft.streaming.CusumStream.CusumEvent]
+    val q = graft.streaming.CusumStream
+      .cusumShiftStream(src, refDays = 7, slackPermille = 0L,
+        hPermille = 1000000L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cusum_soak")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(600000)
+    val sec = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(2000) // listener drain
+    spark.sparkContext.removeSparkListener(listener)
+    val out = spark.table("cusum_soak")
+    val got = out.agg(count(lit(1)), sum("x")).head()
+    val (rows, sumX) = (got.getLong(0), got.getLong(1))
+    // exactness at volume: emitted day sums == the per-(series, day)
+    // event counts for the post-reference days (7 ref days consumed)
+    val want = ev.filter(col("series") =!= "zz")
+      .withColumn("d", expr(s"ts_us div ${DayUs}L"))
+      .groupBy("series", "d").agg(count(lit(1)).as("c"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("series")
+          .orderBy("d")))
+      .filter(col("rk") > 7)
+      .agg(count(lit(1)), sum("c")).head()
+    require(rows == want.getLong(0) && sumX == want.getLong(1),
+      s"stream drifted from exact: got ($rows, $sumX), " +
+        s"want (${want.getLong(0)}, ${want.getLong(1)})")
+    val ratio = records.get().toDouble / n
+    println(f"""{"example":"cusum_shuffle_soak","events":$n,"emitted_days":$rows,"shuffled_records":${records.get()},"shuffle_ratio":$ratio%.6f,"sec":$sec%.1f}""")
   }
 
   /** Sampled-round training soak: the [[trainSoak]] corpus at fixed n,
