@@ -281,4 +281,52 @@ class PropertySpec extends AnyFunSuite {
       merged.toSeq == kmin(xs)
     })
   }
+
+  test("fpowMilli laws: monotone in x, antitone in n, bounded, pinned ends") {
+    import graft.ops.DedupOps.fpowMilli
+    val gen = for {
+      x <- Gen.choose(0L, 1000L)
+      y <- Gen.choose(0L, 1000L)
+      n <- Gen.choose(1, 64)
+    } yield (x, y, n)
+    check(forAll(gen) { case (x, y, n) =>
+      val (lo, hi) = (math.min(x, y), math.max(x, y))
+      fpowMilli(lo, n) <= fpowMilli(hi, n) && // monotone in base
+      fpowMilli(x, n) >= 0L && fpowMilli(x, n) <= 1000L && // bounded
+      (n == 1 || fpowMilli(x, n) <= fpowMilli(x, n - 1)) && // antitone in n
+      fpowMilli(1000L, n) == 1000L && fpowMilli(0L, n) == 0L
+    })
+  }
+
+  test("lshCurveMilli: monotone S-curve for every (r, b) split") {
+    import graft.ops.DedupOps.lshCurveMilli
+    val gen = for {
+      k <- Gen.oneOf(16, 32, 64, 128)
+      b <- Gen.oneOf((1 to 128).filter(k % _ == 0).filter(_ <= k))
+      s1 <- Gen.choose(0L, 1000L)
+      s2 <- Gen.choose(0L, 1000L)
+    } yield (k / b, b, math.min(s1, s2), math.max(s1, s2))
+    check(forAll(gen) { case (r, b, lo, hi) =>
+      lshCurveMilli(lo, r, b) <= lshCurveMilli(hi, r, b) &&
+      lshCurveMilli(0L, r, b) == 0L && lshCurveMilli(1000L, r, b) == 1000L
+    })
+  }
+
+  test("sampleBucket hash: in range, round-sensitive, near-uniform") {
+    import graft.ops.TrainOps
+    def bucket(id: Long, round: Int): Long =
+      ((id % TrainOps.SampleP) * TrainOps.SampleM1 +
+        (round + 1L) * TrainOps.SampleM2) % TrainOps.SampleP % 1000L
+    check(forAll(Gen.choose(0L, 1000000L), Gen.choose(0, 63)) { (id, r) =>
+      val b = bucket(id, r)
+      b >= 0L && b < 1000L
+    })
+    // rotation: over a block of ids, consecutive rounds pick different
+    // subsets (probability of identical membership is ~0)
+    val ids = 0L until 4000L
+    val sets = (0 until 4).map(r => ids.filter(bucket(_, r) < 250).toSet)
+    assert(sets.distinct.size == 4, "round samples failed to rotate")
+    // near-uniform at every round: 250/1000 of 4000 = ~1000 +- 5 sigma
+    sets.foreach(s => assert(math.abs(s.size - 1000) < 180, s.size.toString))
+  }
 }
