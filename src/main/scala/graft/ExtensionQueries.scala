@@ -621,6 +621,16 @@ object ExtensionQueries {
         .orderBy(col("pair_freq").desc, col("l").asc, col("r").asc)
         .limit(30)
     },
+    // WordPiece tokenizer induction, round-1 statistics: likelihood
+    // pair scores count(l,r)/(count(l)·count(r)) over the word
+    // dictionary as the EXACT integer key (pf·10^18) div (lf·rf) — the
+    // merge rule distinguishing WordPiece from BPE, certified
+    // cross-engine (top 30, deterministic order)
+    "wordpiece_scores" -> { (s, dir) =>
+      BpeOps.wordpieceScores(BpeOps.wordDict(Tables.documents(s, dir)))
+        .orderBy(col("score_q").desc, col("l").asc, col("r").asc)
+        .limit(30)
+    },
     // Unigram-LM (SentencePiece-family) tokenizer: substring-candidate
     // vocab induction + integer-cost Viterbi decode; the oracle replays
     // the dp as layered CTEs, so the decode itself is hash-certified
@@ -3111,6 +3121,7 @@ object ExtensionQueries {
     "mix_token_budget" -> PipelineOps.tokenBudgetMixSql(
       Map("en" -> 5000L, "zh" -> 1500L, "fr" -> 800L)),
     "bpe_pair_counts" -> BpeOps.pairCountsSql(30),
+    "wordpiece_scores" -> BpeOps.wordpieceScoresSql(30),
     "unigram_vocab" ->
       (UnigramOps.vocabSql(20000L) + "\nORDER BY token_id"),
     "tokenize_unigram" -> UnigramOps.tokenizeSql(20000L),

@@ -670,6 +670,98 @@ object BpeOps {
        |ORDER BY pair_freq DESC, l, r LIMIT $k""".stripMargin
   }
 
+  // ---- WordPiece (likelihood-scored merges) ------------------------------
+
+  /** WordPiece pair scores over a (freq, symbols) dictionary: the
+    * likelihood objective score(l, r) = count(l, r) / (count(l) ·
+    * count(r)) — the merge rule that distinguishes WordPiece from BPE
+    * (BPE takes the raw count; WordPiece normalizes by the parts'
+    * frequencies, preferring pairs whose parts rarely occur apart).
+    * The ratio is carried as the EXACT integer key
+    * (pair_freq · 10¹⁸) div (count_l · count_r): truncating integral
+    * division both engines compute identically — a float ratio here
+    * would be the FIXTURES.md libm/rounding drift class. Bounds:
+    * pair_freq ≤ min(count_l, count_r) so the key ≤ 10¹⁸ (fits BIGINT),
+    * and the DECIMAL(38,0) products stay ≤ 10³⁰/10²⁴ at corpus scale.
+    * Ties resolve (score desc, l, r) — replayable. */
+  def wordpieceScores(dict: DataFrame): DataFrame = {
+    val sym = dict.select(col("freq"), explode(col("symbols")).as("s"))
+      .groupBy("s").agg(sum("freq").as("sf"))
+    pairCounts(dict)
+      .join(sym.select(col("s").as("l"), col("sf").as("lf")), "l")
+      .join(sym.select(col("s").as("r"), col("sf").as("rf")), "r")
+      .select(col("l"), col("r"), col("pair_freq"), col("lf"), col("rf"),
+        expr("CAST((CAST(pair_freq AS DECIMAL(38,0)) * " +
+          "1000000000000000000) div " +
+          "(CAST(lf AS DECIMAL(38,0)) * rf) AS BIGINT)").as("score_q"))
+  }
+
+  /** Train `nMerges` WordPiece merges: the [[trainFromDict]] loop with
+    * the likelihood argmax — per round take the pair maximizing the
+    * exact [[wordpieceScores]] key (ties (l, r) ascending), rewrite the
+    * dictionary with the shared [[applyMerge]] fold. Same lazy
+    * checkpoint cadence, same sidecar format ([[writeMerges]]) — the
+    * tokenizer-apply path ([[tokenize]]/[[tokenizeSql]]) consumes the
+    * ordered merge list identically, so a WordPiece-trained vocabulary
+    * drops into every downstream query unchanged. */
+  def trainWordpiece(docs: DataFrame, nMerges: Int,
+      textCol: String = "text"): Seq[(String, String)] =
+    trainWordpieceFromDict(wordDict(docs, textCol), nMerges)
+
+  def trainWordpieceFromDict(dict0: DataFrame, nMerges: Int)
+      : Seq[(String, String)] = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    var dict: DataFrame = dict0.lineageBarrier(false)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var round = 0
+    while (round < nMerges) {
+      val top = wordpieceScores(dict)
+        .orderBy(col("score_q").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (top.isEmpty) round = nMerges // dictionary fully merged
+      else {
+        val (l, r) = (top(0).getString(0), top(0).getString(1))
+        merges += ((l, r))
+        dict = dict.withColumn("symbols", applyMerge(l, r))
+          .lineageBarrier(false)
+        round += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** DuckDB twin of [[wordpieceScores]] over the corpus word
+    * dictionary (top k, deterministic order) — the round-1 certificate
+    * that the likelihood arithmetic agrees cross-engine, the
+    * [[pairCountsSql]] discipline. */
+  def wordpieceScoresSql(k: Int, endMark: String = "</w>"): String = {
+    require(!endMark.exists(c => c == '\'' || c == '\\'),
+      s"endMark must not contain quotes/backslashes: $endMark")
+    s"""WITH w AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE word <> '' GROUP BY 1),
+       |d AS (
+       |  SELECT freq,
+       |    list_append(string_split(word, ''), '$endMark') AS symbols
+       |  FROM w),
+       |p AS (
+       |  SELECT symbols[i + 1] AS l, symbols[i + 2] AS r, freq
+       |  FROM d, unnest(range(0, len(symbols) - 1)) t(i)),
+       |pc AS (
+       |  SELECT l, r, CAST(sum(freq) AS BIGINT) AS pair_freq
+       |  FROM p GROUP BY 1, 2),
+       |sc AS (
+       |  SELECT s, CAST(sum(freq) AS BIGINT) AS sf
+       |  FROM (SELECT unnest(symbols) AS s, freq FROM d) GROUP BY 1)
+       |SELECT pc.l, pc.r, pc.pair_freq,
+       |  lf.sf AS lf, rf.sf AS rf,
+       |  CAST((CAST(pc.pair_freq AS HUGEINT) * 1000000000000000000)
+       |    // (CAST(lf.sf AS HUGEINT) * rf.sf) AS BIGINT) AS score_q
+       |FROM pc JOIN sc lf ON lf.s = pc.l JOIN sc rf ON rf.s = pc.r
+       |ORDER BY score_q DESC, pc.l, pc.r LIMIT $k""".stripMargin
+  }
+
   /** Persist a trained merge list as a parquet sidecar (rank, left,
     * right) — the tokenizer-vocabulary artifact of the "train once,
     * apply to every snapshot" contract (the [[graft.ops.SimilarityOps]]

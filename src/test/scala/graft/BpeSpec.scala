@@ -418,4 +418,84 @@ class BpeSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("not contiguous"))
   }
+
+  /** Driver-side reference WordPiece: same dict/rewrite mechanics as
+    * [[referenceTrain]], argmax by the exact integer likelihood key
+    * (pf * 10^18) / (lf * rf) with per-occurrence symbol counts. */
+  private def referenceWordpiece(corpus: Seq[String], nMerges: Int): Seq[(String, String)] = {
+    var dict: Map[Vector[String], Long] = corpus.flatMap(_.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, ws) =>
+        (w.map(_.toString).toVector :+ "</w>") -> ws.size.toLong
+      }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var i = 0
+    while (i < nMerges) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      val sc = scala.collection.mutable.Map.empty[String, Long]
+      dict.foreach { case (syms, f) =>
+        syms.foreach(s0 => sc(s0) = sc.getOrElse(s0, 0L) + f)
+        syms.sliding(2).filter(_.size == 2).foreach { p =>
+          pc((p(0), p(1))) = pc.getOrElse((p(0), p(1)), 0L) + f
+        }
+      }
+      if (pc.isEmpty) i = nMerges
+      else {
+        import scala.math.Ordering.Implicits._
+        def cp(s0: String): List[Int] = s0.codePoints().toArray.toList
+        def key(p: (String, String)): BigInt =
+          BigInt(pc(p)) * BigInt("1000000000000000000") /
+            (BigInt(sc(p._1)) * BigInt(sc(p._2)))
+        val (l, r) = pc.keys.toSeq
+          .minBy(p => (-key(p), cp(p._1), cp(p._2)))
+        merges += ((l, r))
+        dict = dict.map { case (syms, f) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var j = 0
+          while (j < syms.length) {
+            if (j + 1 < syms.length && syms(j) == l && syms(j + 1) == r) {
+              out += l + r; j += 2
+            } else { out += syms(j); j += 1 }
+          }
+          out.toVector -> f
+        }
+        i += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  test("wordpiece scores: exact integer key on a hand-computed fixture") {
+    // corpus "ab ab cd": pairs (a,b) pf=2, (c,d) pf=1, (b,</w>) pf=2,
+    // (d,</w>) pf=1; counts a=2 b=2 c=1 d=1 </w>=3
+    val docs = Seq((0L, "ab ab cd")).toDF("doc_id", "text")
+    val rows = BpeOps.wordpieceScores(BpeOps.wordDict(docs)).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val E = BigInt("1000000000000000000")
+    assert(rows(("a", "b")) == ((2L, 2L, 2L, (E * 2 / 4).toLong)))
+    assert(rows(("c", "d")) == ((1L, 1L, 1L, E.toLong)))
+    assert(rows(("b", "</w>")) == ((2L, 2L, 3L, (E * 2 / 6).toLong)))
+    assert(rows(("d", "</w>")) == ((1L, 1L, 3L, (E / 3).toLong)))
+    // WordPiece picks the EXCLUSIVE pair (c,d) over the more frequent
+    // (a,b) — the discriminating behavior vs BPE, whose argmax here is
+    // (a,b)/(b,</w>) at pf=2
+    val wp = BpeOps.trainWordpiece(docs, 1)
+    assert(wp == Seq(("c", "d")))
+    assert(BpeOps.train(docs, 1).head != ("c", "d"))
+  }
+
+  test("wordpiece differential: distributed train == reference on random corpora") {
+    for (seed <- Seq(5, 47)) {
+      val rnd = new scala.util.Random(seed)
+      val words = Seq.fill(30)(
+        Seq.fill(1 + rnd.nextInt(5))(('a' + rnd.nextInt(4)).toChar).mkString)
+      val text = Seq.fill(120)(words(rnd.nextInt(words.size))).mkString(" ")
+      val docs = Seq((0L, text)).toDF("doc_id", "text")
+      val got = BpeOps.trainWordpiece(docs, 8)
+      assert(got == referenceWordpiece(Seq(text), 8), s"seed=$seed")
+      // and the merge list drops into the shared tokenizer apply path
+      val toks = BpeOps.tokenize(docs, got)
+      assert(toks.count() > 0)
+    }
+  }
 }
