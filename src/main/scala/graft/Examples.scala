@@ -259,6 +259,15 @@ object Examples {
       spark.stop()
       return
     }
+    if (args.headOption.contains("wordpiece")) {
+      // WordPiece round-trip exhibit: `runMain graft.Examples wordpiece
+      // 256 64` — sequential vs dominance-batched likelihood training;
+      // reports rounds and wall-clock, asserts bit-identical merges.
+      wordpieceExhibit(spark, args.lift(1).map(_.toInt).getOrElse(256),
+        args.lift(2).map(_.toInt).getOrElse(64))
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("bpe")) {
       // BPE round-trip exhibit: `runMain graft.Examples bpe 512` — train
       // the same merge list sequentially and batched on a Zipfian
@@ -1191,6 +1200,45 @@ object Examples {
     require(batched.merges == seqMerges,
       "batched and sequential BPE training diverged")
     println(f"""{"example":"bpe_batched","merges":${seqMerges.size},"topK":$topK,"seq_rounds":${seqMerges.size},"seq_sec":$seqSec%.3f,"batched_rounds":${batched.rounds},"batched_sec":$batSec%.3f,"round_reduction":${seqMerges.size.toDouble / batched.rounds}%.2f,"identical":true}""")
+  }
+
+  /** Sequential vs EXACT-batched vs APPROX WordPiece training on the
+    * [[bpeExhibit]] Zipfian corpus — the r11 verdict's top item (one
+    * Spark job per merge at a 32k vocab is 32k sequential jobs). The
+    * headline FINDING this exhibit pins: the exact dominance batch
+    * ([[graft.ops.BpeOps.trainWordpieceBatched]]) reproduces the
+    * sequential list bit-for-bit but achieves round_reduction ≈ 1.00
+    * here and on the documents fixture, because likelihood training
+    * CHAINS (each merge's created pair usually becomes the next
+    * argmax — see the trainWordpieceApprox scaladoc). The approx mode
+    * is therefore the production path; its divergence vs sequential is
+    * reported as merge-set overlap, the trainApprox discipline. */
+  private def wordpieceExhibit(spark: SparkSession, nMerges: Int,
+      topK: Int): Unit = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val vocab = (0 until 2000).map { _ =>
+      Seq.fill(2 + rnd.nextInt(8))(('a' + rnd.nextInt(26)).toChar).mkString
+    }.distinct
+    val docs = vocab.zipWithIndex.map { case (w, rank) =>
+      (rank.toLong, ((w + " ") * math.max(1, 2000 / (rank + 1))).trim)
+    }.toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val seqMerges = graft.ops.BpeOps.trainWordpiece(docs, nMerges)
+    val seqSec = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val batched = graft.ops.BpeOps.trainWordpieceBatched(docs, nMerges,
+      topK = topK)
+    val batSec = (System.nanoTime() - t1) / 1e9
+    require(batched.merges == seqMerges,
+      "batched and sequential WordPiece training diverged")
+    val t2 = System.nanoTime()
+    val approx = graft.ops.BpeOps.trainWordpieceApprox(docs, nMerges,
+      topK = topK)
+    val apxSec = (System.nanoTime() - t2) / 1e9
+    val overlap = approx.merges.toSet.intersect(seqMerges.toSet)
+      .size.toDouble / seqMerges.size
+    println(f"""{"example":"wordpiece_batched","merges":${seqMerges.size},"topK":$topK,"seq_rounds":${seqMerges.size},"seq_sec":$seqSec%.3f,"batched_rounds":${batched.rounds},"batched_sec":$batSec%.3f,"batched_reduction":${seqMerges.size.toDouble / batched.rounds}%.2f,"batched_identical":true,"approx_rounds":${approx.rounds},"approx_sec":$apxSec%.3f,"approx_reduction":${approx.merges.size.toDouble / approx.rounds}%.2f,"approx_overlap":$overlap%.3f}""")
   }
 
   /** End-to-end MinHash dedup soak at a given corpus size: planted 25%

@@ -426,7 +426,7 @@ object BpeOps {
   /** Shared apply tail: segment the distinct-word dictionary, then join
     * corpus positions against it. */
   private def tokenizeCore(pw: DataFrame, d0: DataFrame,
-      merges: Seq[(String, String)]): DataFrame = {
+      merges: Seq[(String, String)]): DataFrame =
     // The eager barrier is a PLAN BARRIER, not a convenience: without it
     // Catalyst floats the merge-fold projection above the corpus join
     // (and can pick the wrong build side), re-evaluating the chained
@@ -434,7 +434,13 @@ object BpeOps {
     // 0.3 s at sf0.1. Materializing pins the rewrite to the dict-sized
     // relation; it stays distributed (no driver collect), so the
     // operator's Zipf accounting is unchanged.
-    val segmented = applyMerges(d0, merges).lineageBarrier()
+    tokenizeTail(pw, applyMerges(d0, merges).lineageBarrier())
+
+  /** Post-segmentation tail shared by the merge-replay tokenizers and
+    * the greedy [[wordpieceTokenize]]: token ids by binary order over
+    * the segmented dictionary's emitted symbols, then the corpus
+    * position join. `segmented` is (word, symbols array). */
+  private def tokenizeTail(pw: DataFrame, segmented: DataFrame): DataFrame = {
     // |vocab| <= alphabet + merges + 1: the one-partition window is fine
     val vocab = broadcast(
       segmented.select(explode(col("symbols")).as("token")).distinct()
@@ -728,6 +734,430 @@ object BpeOps {
       }
     }
     merges.toSeq
+  }
+
+  /** [[wordpieceScores]] plus the per-symbol NEIGHBOR-RATIO maxima the
+    * batched trainer's dominance gate needs: for each pair row, the
+    * round-start values nbl(s) = max over pairs (x, s) of
+    * ⌈pf(x,s)·10¹⁸ / sf(x)⌉ and nbr(s) = max over pairs (s, x) of
+    * ⌈pf(s,x)·10¹⁸ / sf(x)⌉, attached for both of the row's symbols
+    * (0 when the symbol never occurs on that side). Since
+    * pf(x,s) ≤ sf(x), every value fits BIGINT (≤ 10¹⁸); the ceiling
+    * keeps them UPPER bounds after the floor-to-integer, which is the
+    * direction the dominance proof needs. Same vocabulary-sized shape
+    * as [[wordpieceScores]] — two extra symbol-keyed aggregates. */
+  private[ops] def wordpieceScoresBounded(dict: DataFrame): DataFrame = {
+    val sym = dict.select(col("freq"), explode(col("symbols")).as("s"))
+      .groupBy("s").agg(sum("freq").as("sf"))
+    val pc = pairCounts(dict)
+      .join(sym.select(col("s").as("l"), col("sf").as("lf")), "l")
+      .join(sym.select(col("s").as("r"), col("sf").as("rf")), "r")
+    def ceilRatio(sf: String): Column = expr(
+      s"CAST((CAST(pair_freq AS DECIMAL(38,0)) * 1000000000000000000 " +
+        s"+ $sf - 1) div $sf AS BIGINT)")
+    val nbl = pc.groupBy(col("r").as("s"))
+      .agg(max(ceilRatio("lf")).as("nbl"))
+    val nbr = pc.groupBy(col("l").as("s"))
+      .agg(max(ceilRatio("rf")).as("nbr"))
+    pc.withColumn("score_q",
+        expr("CAST((CAST(pair_freq AS DECIMAL(38,0)) * " +
+          "1000000000000000000) div " +
+          "(CAST(lf AS DECIMAL(38,0)) * rf) AS BIGINT)"))
+      .join(nbl.select(col("s").as("l"), col("nbl").as("nbl_l")), Seq("l"), "left")
+      .join(nbr.select(col("s").as("l"), col("nbr").as("nbr_l")), Seq("l"), "left")
+      .join(nbl.select(col("s").as("r"), col("nbl").as("nbl_r")), Seq("r"), "left")
+      .join(nbr.select(col("s").as("r"), col("nbr").as("nbr_r")), Seq("r"), "left")
+      .select(col("l"), col("r"), col("pair_freq"), col("lf"), col("rf"),
+        col("score_q"),
+        coalesce(col("nbl_l"), lit(0L)).as("nbl_l"),
+        coalesce(col("nbr_l"), lit(0L)).as("nbr_l"),
+        coalesce(col("nbl_r"), lit(0L)).as("nbl_r"),
+        coalesce(col("nbr_r"), lit(0L)).as("nbr_r"))
+  }
+
+  /** [[trainWordpiece]] with BATCHED rounds — the [[trainBatched]]
+    * driver-round-trip discipline ported to the likelihood key, with an
+    * acceptance argument that accounts for the WordPiece-specific
+    * hazard: merging (l, r) SHRINKS the part frequencies sf(l), sf(r),
+    * so a surviving pair touching l or r can have its score RISE (BPE
+    * counts only fall). Output is BIT-IDENTICAL to [[trainWordpiece]].
+    *
+    * Soundness, from round-start quantities only. Let the accepted
+    * prefix be p₁..pₘ (mutually symbol-disjoint by gate (a)), touched
+    * set T = ∪{lⱼ, rⱼ, lⱼ+rⱼ}. Applying the prefix:
+    *  - creates NO new adjacency between two untouched symbols, and
+    *    never raises any old-old pair count — so every untouched pair
+    *    keeps its EXACT round-start (score, l, r) rank;
+    *  - for lⱼ ≠ rⱼ the leftmost-nonoverlap fold consumes EVERY (lⱼ,rⱼ)
+    *    adjacency (two occurrences cannot overlap), so the post-apply
+    *    part counts are EXACT: sf′(lⱼ) = lf−pf, sf′(rⱼ) = rf−pf,
+    *    sf′(cⱼ) = pf; for self-pairs (lⱼ = rⱼ) they are bracketed:
+    *    sf′(l) ∈ [lf−2pf, lf−pf], sf′(c) ∈ [⌈pf/2⌉, pf];
+    *  - a changed/created pair's new score is bounded by round-start
+    *    stats: an existing pair (x, t), x untouched, t ∈ {lⱼ,rⱼ}, has
+    *    score′ ≤ pf(x,t)/(sf(x)·sf′(t)) ≤ nbl(t)/d(t); a CREATED pair
+    *    (x, cⱼ) inherits its occurrences from donor (x, lⱼ) so
+    *    score′ ≤ nbl(lⱼ)/d(cⱼ) (mirrored on the right via nbr); and a
+    *    pair with BOTH symbols in T is bounded by
+    *    min(u(a), u(b))/(d(a)·d(b)) using the brackets above (pf′ ≤
+    *    min of the parts' upper bounds). All ceilings are taken in the
+    *    10¹⁸ fixed-point, so comparing the candidate's floored score_q
+    *    strictly above the bound implies strict true-score dominance.
+    * A candidate is accepted iff it is untouched AND its score_q
+    * strictly exceeds every threat bound accrued so far; the first
+    * rejection ends the batch, so accepted pairs are a prefix of the
+    * round-start (score_q desc, l, r) order — exactly the sequential
+    * trajectory. Gate (c) (concatenation collides with an existing
+    * vocab string) and an unbounded threat (a part's lower bound hits
+    * 0 while its upper bound doesn't) apply-then-end the batch, same
+    * as [[trainBatched]]'s collision rule. */
+  def trainWordpieceBatched(docs: DataFrame, nMerges: Int,
+      textCol: String = "text", topK: Int = 64): TrainResult =
+    trainWordpieceBatchedFromDict(wordDict(docs, textCol), nMerges, topK)
+
+  /** One touched symbol's dominance bookkeeping: post-apply part-count
+    * bracket [d, u] and the round-start EDGE symbols (le = leftmost
+    * original symbol, re = rightmost) — a post-apply adjacency (a, b)
+    * requires a round-start adjacency (re(a), le(b)), which is what
+    * makes the both-touched bound exact-donor rather than min-of-
+    * brackets (the latter degenerates to the candidates' own score
+    * magnitude in the exclusive-pair regime WordPiece's argmax
+    * prefers). */
+  private final case class WpSym(u: BigInt, d: BigInt, le: String, re: String)
+
+  def trainWordpieceBatchedFromDict(dict0: DataFrame, nMerges: Int,
+      topK: Int = 64): TrainResult = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val Scale = BigInt("1000000000000000000")
+    def ceilDiv(a: BigInt, b: BigInt): BigInt = (a + b - 1) / b
+    var dict: DataFrame = dict0.lineageBarrier(false)
+    val spark = dict0.sparkSession
+    import spark.implicits._
+    val vocab = scala.collection.mutable.Set.empty[String]
+    vocab ++= dict.select(explode(col("symbols")).as("s"))
+      .distinct().as[String].collect()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var rounds = 0
+    var exhausted = false
+    while (!exhausted && merges.size < nMerges) {
+      // ONE collect per round: the top-K candidate rows PLUS every
+      // round-start pair whose BOTH symbols appear in a top-K row (the
+      // exact donor-edge counts the both-touched bound reads). The
+      // scored relation is barriered so the two branches share one
+      // materialization.
+      val scored = wordpieceScoresBounded(dict).lineageBarrier(false)
+      val topRel = scored
+        .orderBy(col("score_q").desc, col("l").asc, col("r").asc)
+        .limit(topK)
+      val syms = topRel
+        .select(explode(array(col("l"), col("r"))).as("s")).distinct()
+      val crossRel = scored
+        .join(syms.select(col("s").as("l")), "l")
+        .join(syms.select(col("s").as("r")), "r")
+      val rows = topRel.withColumn("in_top", lit(true))
+        .unionByName(crossRel.withColumn("in_top", lit(false))
+          .select(topRel.columns.map(col) :+ col("in_top"): _*))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getLong(7), r.getLong(8), r.getLong(9), r.getBoolean(10)))
+      rounds += 1
+      // candidates = exactly the limit's rows, in rank order; the cross
+      // rows feed only the round-start pair-count lookup
+      import scala.math.Ordering.Implicits._
+      val top = rows.filter(_._11)
+        .sortBy(t => (-t._6, cpKey(t._1), cpKey(t._2)))
+      val pfRS: Map[(String, String), Long] =
+        rows.map(t => (t._1, t._2) -> t._3).toMap
+      if (top.isEmpty) exhausted = true
+      else {
+        val touched = scala.collection.mutable.Set.empty[String]
+        val ud = scala.collection.mutable.LinkedHashMap.empty[String, WpSym]
+        val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        var bmax = BigInt(-1) // max threat bound (true-score × 10¹⁸, ceiled)
+        var idx = 0
+        var stop = false
+        while (!stop && idx < top.length &&
+            merges.size + accepted.size < nMerges) {
+          val (l, r, pf, lf, rf, scoreQ, nblL, nbrL, nblR, nbrR, _) = top(idx)
+          if (accepted.nonEmpty &&
+              (touched(l) || touched(r) || !(BigInt(scoreQ) > bmax)))
+            stop = true
+          else {
+            accepted += ((l, r))
+            val c = l + r
+            val self = l == r
+            // post-apply part-count brackets — EXACT when l != r (the
+            // leftmost-nonoverlap fold consumes every (l, r) adjacency,
+            // each consuming one l and one r and creating one c); for
+            // self-pairs the merge count m sits in [⌈pf/2⌉, pf] and
+            // consumes 2m parts
+            val sL =
+              if (self) WpSym(BigInt(lf - pf),
+                BigInt(math.max(0L, lf - 2 * pf)), l, l)
+              else WpSym(BigInt(lf - pf), BigInt(lf - pf), l, l)
+            val sR = if (self) sL
+              else WpSym(BigInt(rf - pf), BigInt(rf - pf), r, r)
+            val sC =
+              if (self) WpSym(BigInt(pf), BigInt((pf + 1) / 2), l, r)
+              else WpSym(BigInt(pf), BigInt(pf), l, r)
+            // a part whose count may survive (u > 0) but whose lower
+            // bound hits 0 cannot anchor any further bound: apply this
+            // merge, end the batch
+            def addThreat(numQ: BigInt, den: BigInt, u: BigInt): Unit =
+              if (numQ.signum == 0 || u.signum == 0) ()
+              else if (den.signum <= 0) stop = true
+              else { val t = ceilDiv(numQ, den); if (t > bmax) bmax = t }
+            // T1: surviving old pairs (x, l)/(l, x)/(x, r)/(r, x) with x
+            // untouched: counts only fall, sf(x) is static, so the
+            // neighbor-ratio maxima over the shrunk part count bound them
+            addThreat(BigInt(nblL), sL.d, sL.u)
+            addThreat(BigInt(nbrL), sL.d, sL.u)
+            if (!self) { addThreat(BigInt(nblR), sR.d, sR.u)
+              addThreat(BigInt(nbrR), sR.d, sR.u) }
+            // T2: created pairs (x, c)/(c, x), x untouched, via their
+            // donors (x, l)/(r, x)
+            addThreat(BigInt(nblL), sC.d, sC.u)
+            addThreat(BigInt(nbrR), sC.d, sC.u)
+            // T3: pairs with BOTH members touched — a post-apply (a, b)
+            // adjacency requires the round-start (re(a), le(b))
+            // adjacency, whose exact count is in the collected cross
+            // relation (its symbols are top-K symbols by construction)
+            val newSyms: Seq[WpSym] =
+              (if (self) Seq(sL) else Seq(sL, sR)) :+ sC
+            val olds = ud.values.toSeq
+            for (a <- newSyms; b <- olds ++ newSyms) {
+              def t3(x: WpSym, y: WpSym): Unit = {
+                val pfEdge = BigInt(pfRS.getOrElse((x.re, y.le), 0L))
+                addThreat(pfEdge.min(x.u).min(y.u) * Scale,
+                  x.d * y.d, x.u.min(y.u))
+              }
+              t3(a, b); t3(b, a)
+            }
+            Seq(l -> sL, r -> sR, c -> sC).foreach { case (s, b) =>
+              if (!ud.contains(s)) ud(s) = b }
+            touched ++= Seq(l, r, c)
+            // gate (c): concat conflates with an existing symbol — the
+            // donor bound no longer covers (x, c)'s stacked occurrences;
+            // apply this merge, then end the batch
+            if (vocab(c)) stop = true else vocab += c
+          }
+          idx += 1
+        }
+        merges ++= accepted
+        dict = applyMerges(dict, accepted.toSeq).lineageBarrier(false)
+      }
+    }
+    TrainResult(merges.toSeq, rounds)
+  }
+
+  /** Binary (code-point) sort key for driver-side re-sorts that must
+    * mirror Spark's string ordering. */
+  private def cpKey(s: String): Seq[Int] =
+    s.codePoints().toArray.toIndexedSeq
+
+  /** APPROXIMATE batched WordPiece — the [[trainApprox]] contract on
+    * the likelihood key: per driver round accept every top-`topK` pair
+    * sharing no symbol with a pair already accepted this round, apply
+    * the set as one chained rewrite. This, not [[trainWordpieceBatched]],
+    * is the production mode for vocab-scale training, because of a
+    * MEASURED property of the likelihood objective (the
+    * `Examples wordpiece` exhibit): sequential WordPiece CHAINS — a
+    * merge shrinks its parts' frequencies and its created pairs
+    * (x, l+r) inherit a boosted score pf/(sf(x)·pf), so the next argmax
+    * is usually the previous merge's own child (documents fixture:
+    * (m,n) → (u,mn) → (l,umn) → (o,lumn) → (c,olumn)). An EXACT batch
+    * can only accept round-start pairs, so on natural corpora it
+    * degrades to one merge per round (exhibit: round_reduction 1.00 on
+    * both the Zipfian and documents corpora — vs BPE's ~2-3×, whose
+    * counts only fall). The approx mode trades exact sequential
+    * identity for nMerges/topK-ish rounds with the same bounded-error
+    * contract as [[trainApprox]]: accepted pairs are top-K at round
+    * start, mutually symbol-disjoint (order-independent rewrite),
+    * `topK = 1` degenerates to exactly [[trainWordpiece]], and the
+    * divergence is QUANTIFIED by the exhibit's merge-set overlap, not
+    * assumed small. */
+  def trainWordpieceApprox(docs: DataFrame, nMerges: Int,
+      textCol: String = "text", topK: Int = 64): TrainResult = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    var dict = wordDict(docs, textCol).lineageBarrier(false)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var rounds = 0
+    var exhausted = false
+    while (!exhausted && merges.size < nMerges) {
+      val top = wordpieceScores(dict)
+        .orderBy(col("score_q").desc, col("l").asc, col("r").asc)
+        .limit(topK).collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      rounds += 1
+      if (top.isEmpty) exhausted = true
+      else {
+        val touched = scala.collection.mutable.Set.empty[String]
+        val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        var idx = 0
+        while (idx < top.length && merges.size + accepted.size < nMerges) {
+          val (l, r) = top(idx)
+          if (!touched(l) && !touched(r)) {
+            accepted += ((l, r))
+            touched ++= Seq(l, r, l + r)
+          }
+          idx += 1
+        }
+        merges ++= accepted
+        dict = applyMerges(dict, accepted.toSeq).lineageBarrier(false)
+      }
+    }
+    TrainResult(merges.toSeq, rounds)
+  }
+
+  /** Word-length cap for the greedy WordPiece apply (the
+    * [[graft.ops.UnigramOps]] MaxWordLen discipline): the oracle chain
+    * unrolls to WpMaxWordLen + |endMark| layers, so the engine refuses
+    * longer words loudly instead of silently diverging from a
+    * truncated replay. */
+  val WpMaxWordLen: Int = 16
+
+  /** Greedy longest-match-first segmentation — real WordPiece
+    * INFERENCE (Schuster & Nakajima 2012), a DIFFERENT algorithm from
+    * the ordered-merge replay [[tokenize]] performs: at each position
+    * take the longest vocabulary piece prefixing the remainder (merge
+    * replay applies merges in training order and can split an OOV
+    * boundary differently — e.g. merges [(b,c), (a,b)] replay "abc" as
+    * a·bc while greedy over vocab {ab, bc, …} emits ab·c; pinned in
+    * BpeSpec). Pieces match as raw strings over word+endMark with
+    * code-point stepping (the [[wordDict]] unicode contract); an
+    * uncovered code point is emitted bare — unreachable when the
+    * vocabulary derives from the corpus being tokenized, which always
+    * contributes its own alphabet. */
+  private[ops] def greedySeg(s: String, pieces: Set[String],
+      maxCp: Int): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < s.length) {
+      val remCp = s.codePointCount(i, s.length)
+      var l = math.min(maxCp, remCp)
+      var found: String = null
+      while (found == null && l >= 1) {
+        val cand = s.substring(i, s.offsetByCodePoints(i, l))
+        if (pieces(cand)) found = cand
+        l -= 1
+      }
+      if (found == null) found = s.substring(i, s.offsetByCodePoints(i, 1))
+      out += found
+      i += found.length
+    }
+    out.result()
+  }
+
+  /** Corpus-scale GREEDY WordPiece apply: tokenize documents against a
+    * trained merge list using longest-match-first inference over the
+    * vocabulary (corpus alphabet + endMark + merge concatenations) —
+    * the production WordPiece decode, complementing the merge-replay
+    * [[tokenize]]. Same Zipf shape as [[tokenize]]: the greedy scan
+    * runs once per DISTINCT word ([[graft.ops.UnigramOps]]'s
+    * broadcast-vocab mapPartitions decode discipline — vocabulary is
+    * model-sized), corpus rows only pay the word equi-join; and the
+    * same output surface (doc_id, pos, token, token_id), ids by binary
+    * order over the emitted vocabulary. */
+  def wordpieceTokenize(docs: DataFrame, merges: Seq[(String, String)],
+      textCol: String = "text", idCol: String = "doc_id",
+      endMark: String = "</w>"): DataFrame = {
+    require(merges.nonEmpty, "wordpieceTokenize needs at least one merge")
+    require(!endMark.exists(c => c == '\'' || c == '\\'),
+      s"endMark must not contain quotes/backslashes: $endMark")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pw = docs.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("word_pos", "word")))
+      .filter(col("word") =!= "")
+    val words = pw.select("word").distinct()
+    require(words.filter(length(col("word")) > WpMaxWordLen).isEmpty,
+      s"wordpieceTokenize: corpus contains words longer than " +
+        s"WpMaxWordLen=$WpMaxWordLen (raise the cap in lockstep with " +
+        "the oracle layer count)")
+    val alphabet = words.select(explode(expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+        .as("p")).distinct().as[String].collect()
+    val pieces: Set[String] =
+      alphabet.toSet ++ merges.map { case (l, r) => l + r } + endMark
+    val maxCp = pieces.iterator.map(p => p.codePointCount(0, p.length)).max
+    val piecesB = spark.sparkContext.broadcast(pieces)
+    val segmented = words.as[String].mapPartitions { it =>
+      val ps = piecesB.value
+      it.map(w => (w, greedySeg(w + endMark, ps, maxCp)))
+    }.toDF("word", "symbols").lineageBarrier()
+    tokenizeTail(pw, segmented)
+  }
+
+  /** DuckDB twin of [[wordpieceTokenize]]: the greedy chain as layered
+    * CTEs (the [[graft.ops.UnigramOps]] dp-layer discipline) — `best`
+    * precomputes THE longest matching piece per (word, position) once
+    * (matched pieces rank above the bare-code-point fallback), then
+    * each layer advances every unfinished word by exactly its greedy
+    * piece; [[WpMaxWordLen]] + |endMark| layers terminate every word
+    * because a step always advances ≥ 1 position. Vocab/position tail
+    * is the exact [[tokenizeSql]] emitter. */
+  def wordpieceTokenizeSql(merges: Seq[(String, String)],
+      docFilter: String = "TRUE", endMark: String = "</w>"): String = {
+    require(merges.nonEmpty, "wordpieceTokenizeSql needs at least one merge")
+    require(!endMark.exists(c => c == '\'' || c == '\\'),
+      s"endMark must not contain quotes/backslashes: $endMark")
+    require(!merges.exists { case (l, r) => (l + r).contains('') },
+      "merge symbols must not contain the chr(31) separator")
+    def q(s: String) = s.replace("'", "''")
+    val mergeVals = merges.map { case (l, r) => s"('${q(l + r)}')" }
+      .mkString(", ")
+    val emCp = endMark.codePointCount(0, endMark.length)
+    val maxCp = (merges.map { case (l, r) =>
+      val c = l + r; c.codePointCount(0, c.length) } :+ emCp :+ 1).max
+    val nLayers = WpMaxWordLen + emCp
+    val layers = (1 to nLayers).map { k =>
+      s"""g$k AS MATERIALIZED (
+         |  SELECT word, n, pos, seg FROM g${k - 1} WHERE pos >= n
+         |  UNION ALL
+         |  SELECT a.word, a.n, a.pos + b.plen AS pos,
+         |    CASE WHEN a.seg = '' THEN b.piece
+         |         ELSE a.seg || chr(31) || b.piece END AS seg
+         |  FROM g${k - 1} a JOIN best b ON b.word = a.word AND b.src = a.pos
+         |  WHERE a.pos < a.n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pw AS (
+       |  SELECT doc_id, i AS word_pos, words[i + 1] AS word
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS words
+       |        FROM documents WHERE $docFilter),
+       |       unnest(range(0, len(words))) t(i)
+       |  WHERE words[i + 1] <> ''),
+       |dw AS (SELECT DISTINCT word FROM pw),
+       |pieces AS (
+       |  SELECT DISTINCT piece FROM (
+       |    SELECT unnest(string_split(word, '')) AS piece FROM dw
+       |    UNION ALL SELECT '${q(endMark)}'
+       |    UNION ALL SELECT piece FROM (VALUES $mergeVals) m(piece))),
+       |ws AS (SELECT word, word || '${q(endMark)}' AS s,
+       |         len(word || '${q(endMark)}') AS n FROM dw),
+       |best AS MATERIALIZED (
+       |  SELECT word, src, piece, len(piece) AS plen FROM (
+       |    SELECT e.*, row_number() OVER (PARTITION BY word, src
+       |      ORDER BY m DESC, len(piece) DESC) AS rn FROM (
+       |      SELECT c.word, c.src, c.piece, 1 AS m FROM (
+       |        SELECT word, i AS src,
+       |          substr(s, CAST(i AS INTEGER) + 1, CAST(l AS INTEGER))
+       |            AS piece
+       |        FROM ws, unnest(range(0, n)) t(i),
+       |             unnest(range(1, $maxCp + 1)) u(l)
+       |        WHERE i + l <= n) c JOIN pieces USING (piece)
+       |      UNION ALL
+       |      SELECT word, src,
+       |        substr(s, CAST(src AS INTEGER) + 1, 1) AS piece, 0 AS m
+       |      FROM ws, unnest(range(0, n)) t(src)) e)
+       |  WHERE rn = 1),
+       |g0 AS (SELECT word, n, CAST(0 AS BIGINT) AS pos, '' AS seg FROM ws),
+       |$layers,
+       |segf AS (SELECT word, string_split(seg, chr(31)) AS symbols
+       |         FROM g$nLayers WHERE pos >= n),
+       |${tokenizeTailSql("segf")}""".stripMargin
   }
 
   /** DuckDB twin of [[wordpieceScores]] over the corpus word

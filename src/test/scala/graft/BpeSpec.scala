@@ -498,4 +498,119 @@ class BpeSpec extends AnyFunSuite {
       assert(toks.count() > 0)
     }
   }
+
+  test("trainWordpieceBatched == trainWordpiece on adversarial corpora") {
+    // the BpeSpec:487 harness corpora + classic + zh — heavy pair
+    // interaction and shrinking part counts, the regime where an
+    // unsound likelihood batch would reorder merges
+    val classic = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val zh = (Seq.fill(4)("你好 世界") ++ Seq.fill(3)("你好吗") ++
+      Seq.fill(2)("世界 和平")).mkString(" ")
+    val rand = Seq(5, 47).map { seed =>
+      val rnd = new scala.util.Random(seed)
+      val words = Seq.fill(30)(
+        Seq.fill(1 + rnd.nextInt(5))(('a' + rnd.nextInt(4)).toChar).mkString)
+      s"rand$seed" -> Seq.fill(120)(words(rnd.nextInt(words.size)))
+        .mkString(" ")
+    }
+    for ((tag, text) <- Seq("classic" -> classic, "zh" -> zh) ++ rand) {
+      val docs = Seq((0L, text)).toDF("doc_id", "text")
+      val n = 16
+      val seqMerges = BpeOps.trainWordpiece(docs, n)
+      val batched = BpeOps.trainWordpieceBatched(docs, n)
+      assert(batched.merges == seqMerges, s"corpus=$tag")
+      assert(batched.rounds <= seqMerges.size + 1,
+        s"corpus=$tag rounds=${batched.rounds} merges=${seqMerges.size}")
+    }
+  }
+
+  test("trainWordpieceBatched: round-trip win on the exclusive-pair regime") {
+    // WordPiece's argmax prefers rare always-together pairs; distinct
+    // exclusive bigram words with separated counts are exactly what a
+    // production vocabulary's head looks like to the likelihood key.
+    // The first five merges are symbol-disjoint and must batch.
+    val words = Seq.fill(10)("ab") ++ Seq.fill(9)("cd") ++
+      Seq.fill(8)("ef") ++ Seq.fill(7)("gh") ++ Seq.fill(6)("ij")
+    val docs = Seq((0L, words.mkString(" "))).toDF("doc_id", "text")
+    val n = 10
+    val seqMerges = BpeOps.trainWordpiece(docs, n)
+    val batched = BpeOps.trainWordpieceBatched(docs, n)
+    assert(batched.merges == seqMerges)
+    assert(batched.rounds < seqMerges.size,
+      s"expected a round-trip win, got rounds=${batched.rounds} for " +
+        s"${seqMerges.size} merges")
+  }
+
+  test("trainWordpieceApprox: topK=1 is exactly trainWordpiece; " +
+      "disjoint acceptance batches") {
+    val classic = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val zh = (Seq.fill(4)("你好 世界") ++ Seq.fill(3)("你好吗") ++
+      Seq.fill(2)("世界 和平")).mkString(" ")
+    for ((tag, text) <- Seq("classic" -> classic, "zh" -> zh)) {
+      val docs = Seq((0L, text)).toDF("doc_id", "text")
+      val n = 12
+      val exact = BpeOps.trainWordpiece(docs, n)
+      val k1 = BpeOps.trainWordpieceApprox(docs, n, topK = 1)
+      assert(k1.merges == exact, s"corpus=$tag topK=1 must be exact")
+      // approx: rounds collapse toward n/topK; set-level agreement is
+      // measured (the exhibit quantifies it at scale), not asserted —
+      // the likelihood key genuinely reorders under parallel acceptance
+      val apx = BpeOps.trainWordpieceApprox(docs, n, topK = 8)
+      assert(apx.rounds < n, s"corpus=$tag no batching: ${apx.rounds}")
+      // zh exhausts its dictionary before n merges — the sequential
+      // trainer's early-stop count is the contract, not n itself
+      assert(apx.merges.size == exact.size)
+    }
+  }
+
+  test("wordpieceTokenize: greedy longest-match diverges from merge replay " +
+      "on an OOV boundary") {
+    // vocab from merges [(b,c), (a,b)] is {a, b, c, </w>, bc, ab}:
+    // ordered-merge REPLAY on "abc" applies (b,c) first -> a·bc·</w>;
+    // greedy longest-match-first reads ab (longest prefix) -> ab·c·</w>
+    val docs = Seq((0L, "abc")).toDF("doc_id", "text")
+    val merges = Seq(("b", "c"), ("a", "b"))
+    def toks(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.orderBy("doc_id", "pos").collect().map(_.getString(2)).toSeq
+    assert(toks(BpeOps.tokenize(docs, merges)) == Seq("a", "bc", "</w>"))
+    assert(toks(BpeOps.wordpieceTokenize(docs, merges)) ==
+      Seq("ab", "c", "</w>"))
+  }
+
+  test("wordpieceTokenize: reconstruction + greedy property + stable ids") {
+    val corpus = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val train = Seq((0L, corpus.mkString(" "))).toDF("doc_id", "text")
+    val merges = BpeOps.trainWordpiece(train, 8)
+    // one word per doc, so each doc's token list IS the segmentation
+    val docs = corpus.distinct.zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val out = BpeOps.wordpieceTokenize(docs, merges)
+      .orderBy("doc_id", "pos").collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(3)))
+      .groupBy(_._1)
+    val vocabSet = corpus.mkString.map(_.toString).toSet ++
+      merges.map { case (l, r) => l + r } + "</w>"
+    val wordOf = corpus.distinct.zipWithIndex
+      .map { case (w, i) => i.toLong -> w }.toMap
+    // ids are binary rank over the emitted distinct tokens
+    val emitted = out.values.flatten.map(_._2).toSeq.distinct.sorted
+    val expectId = emitted.zipWithIndex.map { case (t, i) => t -> (i + 1L) }.toMap
+    for ((docId, rows) <- out) {
+      val seg = rows.map(_._2).toSeq
+      val s = wordOf(docId) + "</w>"
+      assert(seg.mkString == s, s"doc $docId reconstruction")
+      // greedy: at each boundary no LONGER vocab piece matches
+      var off = 0
+      for (t <- seg) {
+        val longer = vocabSet.filter(p =>
+          p.length > t.length && s.startsWith(p, off))
+        assert(longer.isEmpty, s"doc $docId pos $off: $longer beats $t")
+        off += t.length
+      }
+      rows.foreach { case (_, t, id) => assert(id == expectId(t)) }
+    }
+  }
 }
