@@ -137,6 +137,19 @@ object ExtensionQueries {
     ("a", "r"), ("p", "ar"), ("t", "</w>"), ("i", "n</w>"), ("j", "o"),
     ("jo", "in</w>"), ("a", "s"), ("as", "h</w>"), ("h", "ash</w>"))
 
+  // Frozen WORDPIECE tokenizer for the wordpiece_tokenize exhibit: the
+  // first 24 likelihood merges trainWordpiece learns from the sf0.01
+  // documents fixture (note the CHAINING structure — (m,n) → (u,mn) →
+  // (l,umn) → (o,lumn) → (c,olumn) — the measured property that makes
+  // exact batching degenerate; see BpeOps.trainWordpieceApprox). Same
+  // frozen-at-build contract as bpeMerges.
+  private val wpMerges: Seq[(String, String)] = Seq(
+    ("q", "u"), ("i", "n"), ("f", "i"), ("b", "i"), ("bi", "g"),
+    ("fi", "l"), ("in", "d"), ("w", "ind"), ("j", "o"), ("jo", "in"),
+    ("l", "in"), ("o", "w"), ("wind", "ow"), ("m", "n"), ("u", "mn"),
+    ("l", "umn"), ("o", "lumn"), ("c", "olumn"), ("u", "p"), ("o", "up"),
+    ("d", "up"), ("c", "u"), ("l", "u"), ("l", "ow"))
+
   // Frozen PCA model (mean + top-2 components) trained once by
   // graft.FreezePca on the sf0.01 embeddings — the frozen-tokenizer
   // discipline applied to a rotation: production trains a PCA once and
@@ -654,6 +667,14 @@ object ExtensionQueries {
     // frozen merge list — the most-executed op in a training pipeline
     "bpe_tokenize" -> { (s, dir) =>
       BpeOps.tokenize(Tables.documents(s, dir), bpeMerges)
+        .orderBy("doc_id", "pos")
+    },
+    // WordPiece APPLY: greedy longest-match-first inference (Schuster &
+    // Nakajima) over the WordPiece-trained vocabulary — a genuinely
+    // different algorithm from merge replay (OOV-boundary divergence
+    // pinned in BpeSpec), oracle-replayed as layered greedy CTEs
+    "wordpiece_tokenize" -> { (s, dir) =>
+      BpeOps.wordpieceTokenize(Tables.documents(s, dir), wpMerges)
         .orderBy("doc_id", "pos")
     },
     // Tokenizer fertility report: tokens-per-character by language from
@@ -1996,15 +2017,20 @@ object ExtensionQueries {
           expr("(1000000L * (tp + tn)) div n").as("acc_ppm"))
     },
     // ... and the fastText-style WORD-BIGRAM upgrade: unigram+bigram
-    // presence at dim=512 lifts the distilled repetition filter to
-    // 96.5% train / 86.5% held-out (vs 86/79 for unigrams) — repetition
-    // is literally a bigram-visible signal; same trainer, same exact
-    // replay, shingle features shared with the dedup ops
+    // presence at dim=512 — repetition is literally a bigram-visible
+    // signal; shingle features shared with the dedup ops. Since r12 the
+    // exhibit runs in its 100 TB form — the SAMPLED trainer (rotating
+    // half-corpus batches, ngram × sampling interaction) — because the
+    // full-pass 24-round bigram run was the single most expensive bench
+    // query (13 s) while exercising no class the unigram full-pass
+    // queries don't; the oracle replays the identical sampled
+    // trajectory CTE for CTE
     "quality_train_lr_bigram" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
       val split = PipelineOps.hashSplit(col("doc_id"))
-      val wq = TrainOps.trainLr(docs.filter(split === "train"), lrLabel,
-        dim = 512, rounds = 24, lrNum = 400L, lrDen = 1L, ngram = 2)
+      val wq = TrainOps.trainLrSampled(docs.filter(split === "train"),
+        lrLabel, dim = 512, rounds = 24, lrNum = 400L, lrDen = 1L,
+        sampleMilli = 500, ngram = 2)
       TrainOps.lrScore(docs.filter(split === "test"), lrLabel, wq,
           ngram = 2)
         .agg(
@@ -3128,6 +3154,7 @@ object ExtensionQueries {
     "unigram_vocab_refined" ->
       (UnigramOps.refinedVocabSql(20000L) + "\nORDER BY token_id"),
     "bpe_tokenize" -> BpeOps.tokenizeSql(bpeMerges),
+    "wordpiece_tokenize" -> BpeOps.wordpieceTokenizeSql(wpMerges),
     "bpe_tokenize_bytes" -> BpeOps.tokenizeBytesSql(bpeByteMerges),
     "warc_read" ->
       """SELECT 'https://example.org/doc/' || doc_id AS url,
@@ -3374,7 +3401,7 @@ object ExtensionQueries {
         s"(SELECT * FROM documents WHERE ${PipelineOps.hashSplitSql("doc_id")} = 'train')",
         s"(SELECT * FROM documents WHERE ${PipelineOps.hashSplitSql("doc_id")} = 'test')"),
     "quality_train_lr_bigram" ->
-      TrainOps.lrHoldoutEvalSql(512, 24, 400L, 1L, lrLabelSql,
+      TrainOps.lrSampledHoldoutEvalSql(512, 24, 400L, 1L, 500, lrLabelSql,
         s"(SELECT * FROM documents WHERE ${PipelineOps.hashSplitSql("doc_id")} = 'train')",
         s"(SELECT * FROM documents WHERE ${PipelineOps.hashSplitSql("doc_id")} = 'test')",
         ngram = 2),
