@@ -902,11 +902,23 @@ object DedupOps {
     * (16, 4) — certifying [[minhashLshCandidates]]'s defaults. */
   def lshBandPlan(spark: SparkSession, numHashes: Int = 64,
       targetMilli: Int = 500): DataFrame = {
+    import spark.implicits._
+    val (rows, best) = lshBandPlanRows(numHashes, targetMilli)
+    rows.map(t => (t._1, t._2, t._3, t._4, t._5, t._6,
+        t._1 == best._1))
+      .toDF("bands", "r", "p_lo", "p_tgt", "p_hi", "dist", "chosen")
+  }
+
+  /** Driver-side body of [[lshBandPlan]] (all divisor rows + the chosen
+    * one) — pure, so [[chooseBandPlan]] can feed the candidate entry
+    * points without a SparkSession. */
+  private def lshBandPlanRows(numHashes: Int, targetMilli: Int)
+      : (Seq[(Long, Long, Long, Long, Long, Long)],
+         (Long, Long, Long, Long, Long, Long)) = {
     require(numHashes >= 1 && numHashes <= 4096,
       s"numHashes must be in [1, 4096], got $numHashes")
     require(targetMilli >= 0 && targetMilli <= 1000,
       s"targetMilli must be in [0, 1000], got $targetMilli")
-    import spark.implicits._
     val lo = math.max(0, targetMilli - 200).toLong
     val hi = math.min(1000, targetMilli + 200).toLong
     val rows = (1 to numHashes).filter(numHashes % _ == 0).map { b =>
@@ -915,11 +927,29 @@ object DedupOps {
       (b.toLong, r.toLong, lshCurveMilli(lo, r, b), pT,
         lshCurveMilli(hi, r, b), math.abs(pT - 500L))
     }
-    val best = rows.minBy(t => (t._6, t._1))
-    rows.map(t => (t._1, t._2, t._3, t._4, t._5, t._6,
-        t._1 == best._1))
-      .toDF("bands", "r", "p_lo", "p_tgt", "p_hi", "dist", "chosen")
+    (rows, rows.minBy(t => (t._6, t._1)))
   }
+
+  /** The tuner's chosen (bands, rows) split for a similarity target —
+    * what [[minhashLshCandidatesTuned]] plumbs into banding, closing
+    * the r11 "certificate, not a control" gap: a non-0.5 target is one
+    * argument, not a code edit. chooseBandPlan(64, 500) == (16, 4), the
+    * [[minhashLshCandidates]] defaults (spec-pinned). */
+  def chooseBandPlan(numHashes: Int = 64, targetMilli: Int = 500): (Int, Int) = {
+    val best = lshBandPlanRows(numHashes, targetMilli)._2
+    (best._1.toInt, best._2.toInt)
+  }
+
+  /** [[minhashLshCandidates]] with the band count chosen BY THE TUNER
+    * for a similarity target, instead of the caller hard-coding bands:
+    * at 100 TB the (bands, rows) split is the recall-vs-candidate-
+    * volume lever, and this makes the certified choice the actual
+    * control path. */
+  def minhashLshCandidatesTuned(df: DataFrame, targetMilli: Int,
+      k: Int = 3, numHashes: Int = 64, seed: Long = 42L,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    minhashLshCandidates(df, k, numHashes,
+      chooseBandPlan(numHashes, targetMilli)._1, seed, textCol, idCol)
 
   /** DuckDB twin of [[lshBandPlan]]: the fixed-point powers run as
     * RECURSIVE-CTE iterations (rows, not expression nesting — a

@@ -2051,4 +2051,35 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](DedupOps.lshBandPlan(spark, 0))
     intercept[IllegalArgumentException](DedupOps.lshBandPlan(spark, 64, 1001))
   }
+
+  test("chooseBandPlan is the control path: tuned == default at 0.5, " +
+      "non-default target shifts the split end-to-end") {
+    import graft.ops.DedupOps
+    // the tuner's choice at the configured default target IS the
+    // engine default (16, 4) — the certificate now drives the control
+    assert(DedupOps.chooseBandPlan(64, 500) == ((16, 4)))
+    // a stricter target (higher similarity threshold) picks more rows
+    // per band (fewer bands): the S-curve midpoint s* ~ (1/b)^(1/r)
+    val (bHi, rHi) = DedupOps.chooseBandPlan(64, 800)
+    assert(bHi < 16 && bHi * rHi == 64, s"got ($bHi, $rHi)")
+    val (bLo, rLo) = DedupOps.chooseBandPlan(64, 200)
+    assert(bLo > 16 && bLo * rLo == 64, s"got ($bLo, $rLo)")
+    // tuned candidates at target 0.5 == the hard-defaulted path,
+    // row-for-row; a non-default target runs end-to-end and (with
+    // fewer bands) can only lose candidates, never invent them
+    import spark.implicits._
+    val docs = (0L until 40L).map { i =>
+      val base = s"alpha bravo charlie delta echo foxtrot golf hotel i$i"
+      (i, if (i % 4 == 0) base + " extra near dup tail words here"
+          else base + s" unique$i tail$i")
+    }.toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val tuned = pairs(DedupOps.minhashLshCandidatesTuned(docs, 500))
+    val default = pairs(DedupOps.minhashLshCandidates(docs))
+    assert(tuned == default)
+    val strict = pairs(DedupOps.minhashLshCandidatesTuned(docs, 800))
+    assert(strict.subsetOf(default),
+      s"strict target invented candidates: ${strict -- default}")
+  }
 }
