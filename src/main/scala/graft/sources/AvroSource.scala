@@ -57,6 +57,13 @@ object AvroSource {
   /** Plain files larger than this split into byte-range partitions. */
   val DefaultSplitSize: Long = 128L * 1024 * 1024
 
+  /** Abandoned-staging sweep age gate: `.graft-staging-*` dirs older
+    * than this at the next write to the same path are deleted (a killed
+    * driver never reaches its cleanup `finally`; readers never list
+    * staging dirs, but disk does). Old enough that no live job's
+    * staging dir can trip it. */
+  val StaleStagingMaxAgeMs: Long = 24L * 3600 * 1000
+
   // ---- schema mapping (the ONE definition; writer + reader share it) ----
 
   def avroTypeFor(dt: DataType, field: String): Schema = dt match {
@@ -170,6 +177,17 @@ object AvroSource {
           "file(s) — a re-write would merge with them on read; pass " +
           "mode=\"overwrite\" to replace the dataset")
     }
+    // sweep ABANDONED staging dirs (a killed driver never reaches its
+    // finally): readers never list them, but they leak disk forever.
+    // Age-gated so a concurrent writer's LIVE staging dir (same-path
+    // concurrent writes are already refused above for mode=error, and
+    // racing overwrites are caller error) is not swept mid-job.
+    val cutoff = System.currentTimeMillis() - StaleStagingMaxAgeMs
+    fs.listStatus(dir).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(".graft-staging-") &&
+        st.getModificationTime < cutoff)
+      .foreach(st => fs.delete(st.getPath, true))
     val staging = new Path(dir,
       s".graft-staging-${java.util.UUID.randomUUID()}")
     fs.mkdirs(staging)
@@ -226,6 +244,14 @@ object AvroSource {
       val staged = fs.listStatus(staging).toSeq
         .filter(st => st.isFile && st.getPath.getName.endsWith(".avro"))
       val newNames = staged.map(_.getPath.getName).toSet
+      if (mode == "overwrite" && staged.isEmpty)
+        // an all-empty-partitions DataFrame stages zero parts; letting
+        // the stale sweep below run would silently destroy the previous
+        // dataset and leave a directory the reader refuses to load
+        require(stale().isEmpty,
+          s"graft-avro: refusing to overwrite $path with an EMPTY " +
+            "dataset (zero rows staged, existing container files " +
+            "present) — delete the directory explicitly if intended")
       if (mode == "error") {
         // the start-of-write emptiness check must still hold — a
         // concurrent writer's containers appearing mid-job get a loud

@@ -152,4 +152,49 @@ class AvroSpec extends AnyFunSuite {
     val dirE = tmp()
     intercept[Exception] { Sources.avro(spark, dirE).collect() }
   }
+
+  test("empty OVERWRITE refuses to destroy an existing dataset") {
+    val dir = tmp()
+    Sources.writeAvro(spark.range(9).toDF("id"), dir)
+    // a zero-row overwrite stages no parts; the swap's stale sweep would
+    // silently empty the dataset — refuse loudly instead
+    val e = intercept[IllegalArgumentException] {
+      Sources.writeAvro(spark.range(10).filter(col("id") < 0L).toDF("id"),
+        dir, mode = "overwrite")
+    }
+    assert(e.getMessage.contains("EMPTY"))
+    assert(Sources.avro(spark, dir).count() == 9L,
+      "refused empty overwrite must leave the dataset intact")
+    // on a FRESH path an empty overwrite stays a no-op (nothing to lose)
+    val dirF = tmp()
+    Sources.writeAvro(spark.range(10).filter(col("id") < 0L).toDF("id"),
+      dirF, mode = "overwrite")
+    assert(!new java.io.File(dirF).listFiles().exists(_.getName.endsWith(".avro")))
+  }
+
+  test("abandoned staging dirs: swept by age at the next write, never read") {
+    val dir = tmp()
+    Sources.writeAvro(spark.range(4).toDF("id"), dir)
+    // simulate a killed driver: a stale staging dir holding a real
+    // container file (same bytes a crashed job would leave)
+    val conf = spark.sessionState.newHadoopConf()
+    val stale = new org.apache.hadoop.fs.Path(dir, ".graft-staging-dead")
+    val fs = stale.getFileSystem(conf)
+    fs.mkdirs(stale)
+    val orphan = fs.create(
+      new org.apache.hadoop.fs.Path(stale, "part-00000.avro"), true)
+    orphan.write("not a real container".getBytes("UTF-8")); orphan.close()
+    // readers never list staging dirs — the abandoned parts are invisible
+    assert(Sources.avro(spark, dir).count() == 4L)
+    // fresh staging dirs survive a concurrent write (age-gated sweep)...
+    Sources.writeAvro(spark.range(6).toDF("id"), dir, mode = "overwrite")
+    assert(fs.exists(stale), "a fresh staging dir must not be swept")
+    // ...but once past the age gate the next write removes it
+    val old = System.currentTimeMillis() -
+      graft.sources.avro.AvroSource.StaleStagingMaxAgeMs - 60000L
+    fs.setTimes(stale, old, old)
+    Sources.writeAvro(spark.range(5).toDF("id"), dir, mode = "overwrite")
+    assert(!fs.exists(stale), "aged-out staging dir must be swept")
+    assert(Sources.avro(spark, dir).count() == 5L)
+  }
 }
