@@ -498,9 +498,15 @@ object TrainOps {
       // mixes in r + 1 = i. The round body is the SHARED [[roundCtes]]
       // pointed at the round's sampled relation + its own mass.
       val pred = s"${sampleBucketSql("doc_id", i - 1)} < $sampleMilli"
+      // empty-sample guard: the Scala twin fails this round with a clear
+      // require; without the CASE the SQL twin surfaced the same
+      // condition as a cryptic division-by-zero from the w-update — both
+      // engines now report the same diagnosis (error() is lazy in CASE)
       s"""sf$i AS MATERIALIZED (
          |  SELECT doc_id, j, x FROM f WHERE $pred),
-         |fr$i AS (SELECT count(*) AS f FROM sf$i),
+         |fr$i AS (SELECT CASE WHEN count(*) = 0
+         |    THEN CAST(error('trainLrSampled: round ${i - 1} sampled zero docs — raise sampleMilli or the corpus') AS BIGINT)
+         |    ELSE count(*) END AS f FROM sf$i),
          |${roundCtes(i, s"sf$i", s"fr$i", lrNum, lrDen)}""".stripMargin
     }.mkString(",\n")
     s"""${featureCtes(dim, labelSql, rel, "", ngram, withFa = false)},

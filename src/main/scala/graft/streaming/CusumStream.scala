@@ -49,7 +49,9 @@ final case class CusumMonState(refSum: Long, refCount: Int, mu0Milli: Long,
   * so when one micro-batch partition holds both late and on-time events
   * of the SAME still-open bucket, the late ones ride in rather than
   * being dropped individually — observable only under that exact
-  * straddle, and on the keep-more side.
+  * straddle, and on the keep-more side. CONTRACT, not just behavior:
+  * CusumStreamSpec's late-straddle test pins both sides (straddled
+  * late kept, lone late dropped) in one bucket.
   *
   * Input must carry a watermark on its event-time column (e.g.
   * `withColumn("et", timestamp_micros($"ts_us")).withWatermark("et", …)`),

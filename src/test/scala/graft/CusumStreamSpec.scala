@@ -132,19 +132,28 @@ class CusumStreamSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val s: SparkSession = spark
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    // count every shuffle record written while the query runs: with the
+    // count the shuffle records THIS query's stages write: with the
     // in-operator map-side combine, 10k raw events for 2 (series, day)
     // buckets must shuffle as a handful of partials, never ~10k rows.
-    // The listener is context-global, so this counts ALL stages in the
-    // window — valid because the suite runs queries sequentially and
-    // every other test stops its query; if a concurrent-stream test is
-    // ever added, scope this by run id before trusting the threshold.
+    // Scoped by the streaming run id (micro-batch jobs run in a job
+    // group keyed by it), so concurrent queries or suite parallelism
+    // cannot pollute the threshold.
     val records = new java.util.concurrent.atomic.AtomicLong(0L)
+    val myStages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    @volatile var runId: String = null
     val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val group = Option(js.properties)
+          .map(_.getProperty("spark.jobGroup.id")).orNull
+        if (runId != null && group != null && group.contains(runId))
+          js.stageIds.foreach(id => myStages.add(id))
+      }
       override def onStageCompleted(
           sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
-        records.addAndGet(
-          sc.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+        if (myStages.contains(sc.stageInfo.stageId))
+          records.addAndGet(
+            sc.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
     }
     spark.sparkContext.addSparkListener(listener)
     val in = MemoryStream[CusumEvent]
@@ -154,6 +163,7 @@ class CusumStreamSpec extends AnyFunSuite {
         refDays = 1, slackPermille = 0L, hPermille = 1000L)
       .writeStream.outputMode("append").format("memory").queryName("cusum5")
       .start()
+    runId = q.runId.toString
     try {
       val ev = (0L until 5000L).map(i =>
         CusumEvent("m", DayUs + i * 1000L, 1L)) ++
@@ -184,6 +194,50 @@ class CusumStreamSpec extends AnyFunSuite {
       q.stop()
       spark.sparkContext.removeSparkListener(listener)
     }
+  }
+
+  test("pre-reduce late-straddle: a late event riding an on-time partial " +
+      "of the same open bucket is KEPT; a lone late event is dropped") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val s: SparkSession = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[CusumEvent]
+    val q = CusumStream.cusumShiftStream(in.toDS()
+        .withColumn("et", timestamp_micros($"ts_us"))
+        .withWatermark("et", "0 seconds").as[CusumEvent],
+        refDays = 1, slackPermille = 0L, hPermille = 2000L)
+      .writeStream.outputMode("append").format("memory").queryName("cusum6")
+      .start()
+    try {
+      // batch 1: day 1 (the refDays=1 reference) finalizes; the day-3
+      // bucket opens and the watermark lands INSIDE day 3
+      in.addData(CusumEvent("m", DayUs, 1L),
+        CusumEvent("m", 3 * DayUs + 1000L, 7L))
+      q.processAllAvailable()
+      // batch 2 — THE STRADDLE (one addData = one partition): a late
+      // event (ts < watermark) and an on-time event of the SAME open
+      // bucket share the partition, so the combine's partial carries
+      // the on-time member's event time and the late inc RIDES IN —
+      // the documented keep-more contract (CusumStream.preReduce)
+      in.addData(CusumEvent("m", 3 * DayUs + 500L, 100L),
+        CusumEvent("m", 3 * DayUs + 2000L, 1L))
+      q.processAllAvailable()
+      // batch 3: the SAME lateness alone in its partition has no
+      // on-time companion — its partial is late and is dropped
+      in.addData(CusumEvent("m", 3 * DayUs + 600L, 50L))
+      q.processAllAvailable()
+      // advance the watermark past day 3 so it finalizes and emits
+      in.addData(CusumEvent("m", 5 * DayUs, 1L))
+      q.processAllAvailable()
+      val rows = spark.table("cusum6").as[CusumPoint].collect()
+      val day3 = rows.find(_.day == 3L)
+      assert(day3.isDefined, s"day 3 missing: ${rows.toSeq}")
+      // keep-more on the straddle (7 + 100 + 1), drop on the lone late
+      // (no +50): the contract's BOTH sides in one bucket
+      assert(day3.get.x == 108L,
+        s"expected x=108 (straddled late kept, lone late dropped), " +
+          s"got ${day3.get}")
+    } finally q.stop()
   }
 
   test("per-series isolation: two series keep independent state") {

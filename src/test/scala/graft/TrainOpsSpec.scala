@@ -265,25 +265,39 @@ class TrainOpsSpec extends AnyFunSuite {
           posexplode(col("xs")).as(Seq("j", "x")))
         .filter(col("x") > 0L)
         .groupBy("j").agg(count(lit(1)))
-      val plan = round.queryExecution.executedPlan.toString
-      // the ROUND's own plan is everything above the cached feature
-      // relation (the InMemoryRelation dump embeds the build plan's
-      // exchanges, which the round never re-executes)
-      val roundPlan = plan.split("InMemoryRelation")(0)
-      assert(!roundPlan.contains("SortAggregate"),
-        s"must hash-agg:\n$roundPlan")
-      assert(!roundPlan.contains("SortMergeJoin"),
-        s"must not re-join:\n$roundPlan")
+      // assert on PHYSICAL NODE CLASSES, not the rendered plan string
+      // (string formats drift across Spark versions). Collecting the
+      // executedPlan tree naturally stops at the InMemoryTableScan —
+      // the cached relation's build plan is not a child node — which is
+      // exactly the round's-own-plan boundary the old string-split
+      // approximated. AQE wraps the tree; recurse through it.
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      def ops(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => ops(a.executedPlan)
+        case other => other.children.flatMap(ops) :+ other
+      }
+      val nodes = ops(round.queryExecution.executedPlan)
+      def names = nodes.map(_.getClass.getSimpleName).mkString(", ")
+      assert(!nodes.exists(
+          _.isInstanceOf[org.apache.spark.sql.execution.aggregate.SortAggregateExec]),
+        s"must hash-agg: $names")
+      assert(!nodes.exists(
+          _.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+        s"must not re-join: $names")
       // the ONLY exchange is the dim+1-key gradient aggregate's, and
       // the sample filter is pushed into the in-memory scan itself
-      val exchanges = "Exchange".r.findAllIn(roundPlan).length
+      val exchanges = nodes.count(
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
       assert(exchanges == 1,
-        s"expected exactly one exchange (the j-key agg), got $exchanges:\n$roundPlan")
-      assert(roundPlan.contains("InMemoryTableScan"))
-      val scanLine = roundPlan.linesIterator
-        .find(_.contains("InMemoryTableScan")).get
-      assert(scanLine.contains("pmod"),
-        s"sample predicate not pushed to the cache scan: $scanLine")
+        s"expected exactly one exchange (the j-key agg), got $exchanges: $names")
+      val scans = nodes.collect {
+        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s
+      }
+      assert(scans.nonEmpty, s"no InMemoryTableScan: $names")
+      assert(scans.exists(_.predicates.exists(_.toString.contains("pmod"))),
+        s"sample predicate not pushed to the cache scan: " +
+          scans.map(_.predicates.mkString("[", ";", "]")).mkString(" "))
     } finally labeled.unpersist()
   }
 
@@ -306,6 +320,12 @@ class TrainOpsSpec extends AnyFunSuite {
       TrainOps.trainLrSampled(docs, col("y"), 8, 2, 1L, 1L,
         sampleMilli = 1001)
     }
+    // the SQL twin carries the SAME diagnosis (a lazy error() CASE on
+    // the round mass) instead of a cryptic division-by-zero — pin the
+    // guard's presence so the two engines' failure modes stay aligned
+    val twin = TrainOps.trainLrSampledSql(8, 2, 1L, 1L, 1, "y")
+    assert(twin.contains("sampled zero docs"),
+      "SQL twin lost its empty-sample guard")
   }
 
   test("readModel refuses weights past the margin bound") {
