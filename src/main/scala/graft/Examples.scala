@@ -1232,13 +1232,19 @@ object Examples {
     val batSec = (System.nanoTime() - t1) / 1e9
     require(batched.merges == seqMerges,
       "batched and sequential WordPiece training diverged")
+    val t3 = System.nanoTime()
+    val chained = graft.ops.BpeOps.trainWordpieceChained(docs, nMerges,
+      topK = topK)
+    val chSec = (System.nanoTime() - t3) / 1e9
+    require(chained.merges == seqMerges,
+      "chained and sequential WordPiece training diverged")
     val t2 = System.nanoTime()
     val approx = graft.ops.BpeOps.trainWordpieceApprox(docs, nMerges,
       topK = topK)
     val apxSec = (System.nanoTime() - t2) / 1e9
     val overlap = approx.merges.toSet.intersect(seqMerges.toSet)
       .size.toDouble / seqMerges.size
-    println(f"""{"example":"wordpiece_batched","merges":${seqMerges.size},"topK":$topK,"seq_rounds":${seqMerges.size},"seq_sec":$seqSec%.3f,"batched_rounds":${batched.rounds},"batched_sec":$batSec%.3f,"batched_reduction":${seqMerges.size.toDouble / batched.rounds}%.2f,"batched_identical":true,"approx_rounds":${approx.rounds},"approx_sec":$apxSec%.3f,"approx_reduction":${approx.merges.size.toDouble / approx.rounds}%.2f,"approx_overlap":$overlap%.3f}""")
+    println(f"""{"example":"wordpiece_batched","merges":${seqMerges.size},"topK":$topK,"seq_rounds":${seqMerges.size},"seq_sec":$seqSec%.3f,"batched_rounds":${batched.rounds},"batched_sec":$batSec%.3f,"batched_reduction":${seqMerges.size.toDouble / batched.rounds}%.2f,"batched_identical":true,"chained_rounds":${chained.rounds},"chained_sec":$chSec%.3f,"chained_reduction":${seqMerges.size.toDouble / chained.rounds}%.2f,"chained_identical":true,"approx_rounds":${approx.rounds},"approx_sec":$apxSec%.3f,"approx_reduction":${approx.merges.size.toDouble / approx.rounds}%.2f,"approx_overlap":$overlap%.3f}""")
   }
 
   /** End-to-end MinHash dedup soak at a given corpus size: planted 25%

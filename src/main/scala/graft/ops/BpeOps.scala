@@ -957,27 +957,228 @@ object BpeOps {
   private def cpKey(s: String): Seq[Int] =
     s.codePoints().toArray.toIndexedSeq
 
+  /** Neighbor-row cap for [[trainWordpieceChained]]'s per-round
+    * collect: pairs adjacent to a top-K symbol beyond this end exact
+    * tracking for the round (the round still accepts its argmax). */
+  val WpChainNbrCap: Int = 300000
+
+  /** EXACT CHAIN-FOLLOWING batched WordPiece — the answer to the
+    * measured chaining that defeats [[trainWordpieceBatched]]'s bound
+    * gate (a merge's created pair usually becomes the next argmax, and
+    * a bound can never ACCEPT a created pair). Per driver round, ONE
+    * collect brings back: the top-K pairs, the COMPLETE neighbor pair
+    * lists of every top-K symbol, and the round-start adjacent TRIPLES
+    * around every top-K pair. With those, the driver maintains the
+    * EXACT post-merge state for everything a merge can touch:
+    *  - sf′(l) = lf−m, sf′(r) = rf−m, sf′(c) = m (l ≠ r and reverse
+    *    count pf(r,l) = 0 — known exactly from the complete neighbor
+    *    lists — make the leftmost-nonoverlap fold consume every
+    *    occurrence, no overlap pathology);
+    *  - pf′(x,l) = pf(x,l) − T(x,l,r) and pf′(x,c) = T(x,l,r) from the
+    *    triples (mirrored on the right), every x's own sf riding the
+    *    neighbor rows.
+    * The next TRUE argmax is then computable exactly over all tracked
+    * pairs (untracked pairs are fully untouched, hence ≤ the K-th
+    * round-start score — the strict-dominance guard). Accepting it:
+    *  - an untouched top-K pair whose triple contexts avoid touched
+    *    symbols → exact update, KEEP CHAINING (round-start triples
+    *    stay valid only for occurrences disjoint from prior merges);
+    *  - a created/changed pair (the chain child) → accepted as the
+    *    round's FINAL merge (its own children would need (W+1)-gram
+    *    context — the documented generalization: collecting W-gram
+    *    windows buys chain depth W−2 per step).
+    * Output is BIT-IDENTICAL to [[trainWordpiece]] (differential-
+    * tested); rounds ≈ merges/2 on chain-structured corpora where the
+    * bound gate got 1.00, and ≥ the bound gate everywhere (exact
+    * tracking subsumes it on the exclusive-pair regime). */
+  def trainWordpieceChained(docs: DataFrame, nMerges: Int,
+      textCol: String = "text", topK: Int = 64): TrainResult =
+    trainWordpieceChainedFromDict(wordDict(docs, textCol), nMerges, topK)
+
+  def trainWordpieceChainedFromDict(dict0: DataFrame, nMerges: Int,
+      topK: Int = 64): TrainResult = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val Scale = BigInt("1000000000000000000")
+    var dict: DataFrame = dict0.lineageBarrier(false)
+    val spark = dict0.sparkSession
+    import spark.implicits._
+    import scala.math.Ordering.Implicits._
+    val vocab = scala.collection.mutable.Set.empty[String]
+    vocab ++= dict.select(explode(col("symbols")).as("s"))
+      .distinct().as[String].collect()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var rounds = 0
+    var exhausted = false
+    while (!exhausted && merges.size < nMerges) {
+      val rows = wpChainCollect(dict, topK)
+      rounds += 1
+      val topRows = rows.filter(_._1 == 0)
+        .map(t => (t._2, t._3, t._5, t._6, t._7))
+        .sortBy(t => (-wpScore(t._3, t._4, t._5), cpKey(t._1), cpKey(t._2)))
+      if (topRows.isEmpty) exhausted = true
+      else {
+        val nbrRows = rows.filter(_._1 == 1)
+        val nbrTruncated = nbrRows.length > WpChainNbrCap
+        // exact driver state: part counts and pair counts
+        val sfNow = scala.collection.mutable.HashMap.empty[String, Long]
+        val pfNow = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        (topRows.map(t => (0, t._1, t._2, null: String, t._3, t._4, t._5)) ++
+            nbrRows.map(t => (1, t._2, t._3, t._4, t._5, t._6, t._7)))
+          .foreach { case (_, l, r, _, pf, lf, rf) =>
+            sfNow(l) = lf; sfNow(r) = rf; pfNow((l, r)) = pf }
+        val tripL = rows.filter(_._1 == 2)
+          .groupBy(t => (t._3, t._4)).map { case (k, v) =>
+            k -> v.map(t => (t._2, t._5)).toSeq }
+        val tripR = rows.filter(_._1 == 3)
+          .groupBy(t => (t._2, t._3)).map { case (k, v) =>
+            k -> v.map(t => (t._4, t._5)).toSeq }
+        val topSet = topRows.map(t => (t._1, t._2)).toSet
+        // untracked pairs are untouched, so their round-start rank caps
+        // them: strict dominance over the K-th score is the guard
+        val kthBound =
+          if (topRows.length == topK)
+            wpScore(topRows.last._3, topRows.last._4, topRows.last._5)
+          else BigInt(-1)
+        val touched = scala.collection.mutable.Set.empty[String]
+        val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        var continue = true
+        while (continue && merges.size + accepted.size < nMerges) {
+          // exact argmax over the tracked (== every possibly-changed)
+          // pair set, WordPiece order (score desc, l, r binary asc)
+          var best: ((String, String), BigInt) = null
+          pfNow.foreach { case (p, pf) =>
+            if (pf > 0L) {
+              val s = wpScore(pf, sfNow(p._1), sfNow(p._2))
+              if (best == null || s > best._2 || (s == best._2 &&
+                  (cpKey(p._1), cpKey(p._2)) < (cpKey(best._1._1), cpKey(best._1._2))))
+                best = (p, s)
+            }
+          }
+          if (best == null) { continue = false
+            if (accepted.isEmpty) exhausted = true }
+          else if (accepted.nonEmpty && !(best._2 > kthBound)) continue = false
+          else {
+            val (l, r) = best._1
+            accepted += ((l, r))
+            val c = l + r
+            val m = pfNow((l, r))
+            val collision = vocab(c)
+            if (!collision) vocab += c
+            // exact continuation needs: an untouched top-K pair (its
+            // round-start triples are only valid for occurrences
+            // disjoint from prior merges), non-self, zero reverse
+            // count, no vocab collision, complete neighbor lists, and
+            // triple contexts that avoid touched symbols (a touched x
+            // may have been consumed/renamed at those occurrences)
+            val tl = tripL.getOrElse((l, r), Seq.empty)
+            val tr = tripR.getOrElse((l, r), Seq.empty)
+            val exactOk = topSet((l, r)) && !touched(l) && !touched(r) &&
+              l != r && pfNow.getOrElse((r, l), 0L) == 0L && !collision &&
+              !nbrTruncated &&
+              tl.forall(t => !touched(t._1)) && tr.forall(t => !touched(t._1))
+            touched ++= Seq(l, r, c)
+            if (!exactOk) continue = false
+            else {
+              pfNow((l, r)) = 0L
+              sfNow(l) -= m; sfNow(r) -= m; sfNow(c) = m
+              tl.foreach { case (x, t) =>
+                val old = pfNow((x, l))
+                require(old >= t, s"chained WordPiece accounting: ($x,$l)")
+                pfNow((x, l)) = old - t
+                pfNow((x, c)) = pfNow.getOrElse((x, c), 0L) + t
+              }
+              tr.foreach { case (y, t) =>
+                val old = pfNow((r, y))
+                require(old >= t, s"chained WordPiece accounting: ($r,$y)")
+                pfNow((r, y)) = old - t
+                pfNow((c, y)) = pfNow.getOrElse((c, y), 0L) + t
+              }
+            }
+          }
+        }
+        merges ++= accepted
+        if (accepted.nonEmpty)
+          dict = applyMerges(dict, accepted.toSeq).lineageBarrier(false)
+      }
+    }
+    TrainResult(merges.toSeq, rounds)
+  }
+
+  /** Exact WordPiece likelihood key, driver-side: the same floored
+    * 10¹⁸ fixed-point both engines compute. */
+  private def wpScore(pf: Long, sa: Long, sb: Long): BigInt =
+    BigInt(pf) * BigInt("1000000000000000000") / (BigInt(sa) * BigInt(sb))
+
+  /** [[trainWordpieceChained]]'s one collect per round: kind 0 = top-K
+    * pair rows, kind 1 = complete neighbor pair rows of top-K symbols
+    * (capped at [[WpChainNbrCap]]+1 — overflow detected, not silent),
+    * kind 2/3 = round-start adjacent triples (x,l,r)/(l,r,y) around
+    * top-K pairs. All relations derive from ONE barriered scored
+    * relation + the dict, and ride one action. */
+  private def wpChainCollect(dict: DataFrame, topK: Int)
+      : Array[(Int, String, String, String, Long, Long, Long)] = {
+    val scored = wordpieceScores(dict).lineageBarrier(false)
+    val topRel = scored
+      .orderBy(col("score_q").desc, col("l").asc, col("r").asc)
+      .limit(topK)
+    val syms = topRel.select(explode(array(col("l"), col("r"))).as("s"))
+      .distinct()
+    def shape(df: DataFrame, kind: Int): DataFrame =
+      df.select(lit(kind).as("kind"), col("l").as("s0"), col("r").as("s1"),
+        lit(null: String).as("s2"), col("pair_freq").as("cnt"),
+        col("lf").as("sf0"), col("rf").as("sf1"))
+    val nbr = shape(scored.join(broadcast(syms.select(col("s").as("l"))),
+          Seq("l"), "leftsemi"), 1)
+      .unionByName(shape(scored.join(
+        broadcast(syms.select(col("s").as("r"))), Seq("r"), "leftsemi"), 1))
+      .limit(WpChainNbrCap + 1)
+    val tri = dict.filter(size(col("symbols")) >= 3)
+      .select(col("freq"), explode(expr(
+        "transform(sequence(0, size(symbols) - 3), i -> struct(" +
+          "symbols[i] AS s0, symbols[i+1] AS s1, symbols[i+2] AS s2))"))
+        .as("t"))
+      .groupBy(col("t.s0").as("s0"), col("t.s1").as("s1"),
+        col("t.s2").as("s2"))
+      .agg(sum(col("freq")).as("cnt"))
+    val topPairs = broadcast(topRel.select(col("l"), col("r")))
+    val tripL = tri.join(topPairs,
+        tri("s1") === topPairs("l") && tri("s2") === topPairs("r"), "leftsemi")
+      .select(lit(2).as("kind"), col("s0"), col("s1"), col("s2"),
+        col("cnt"), lit(0L).as("sf0"), lit(0L).as("sf1"))
+    val tripR = tri.join(topPairs,
+        tri("s0") === topPairs("l") && tri("s1") === topPairs("r"), "leftsemi")
+      .select(lit(3).as("kind"), col("s0"), col("s1"), col("s2"),
+        col("cnt"), lit(0L).as("sf0"), lit(0L).as("sf1"))
+    shape(topRel, 0).unionByName(nbr).unionByName(tripL).unionByName(tripR)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+  }
+
   /** APPROXIMATE batched WordPiece — the [[trainApprox]] contract on
     * the likelihood key: per driver round accept every top-`topK` pair
     * sharing no symbol with a pair already accepted this round, apply
-    * the set as one chained rewrite. This, not [[trainWordpieceBatched]],
-    * is the production mode for vocab-scale training, because of a
-    * MEASURED property of the likelihood objective (the
-    * `Examples wordpiece` exhibit): sequential WordPiece CHAINS — a
-    * merge shrinks its parts' frequencies and its created pairs
-    * (x, l+r) inherit a boosted score pf/(sf(x)·pf), so the next argmax
-    * is usually the previous merge's own child (documents fixture:
-    * (m,n) → (u,mn) → (l,umn) → (o,lumn) → (c,olumn)). An EXACT batch
-    * can only accept round-start pairs, so on natural corpora it
-    * degrades to one merge per round (exhibit: round_reduction 1.00 on
-    * both the Zipfian and documents corpora — vs BPE's ~2-3×, whose
-    * counts only fall). The approx mode trades exact sequential
-    * identity for nMerges/topK-ish rounds with the same bounded-error
-    * contract as [[trainApprox]]: accepted pairs are top-K at round
-    * start, mutually symbol-disjoint (order-independent rewrite),
-    * `topK = 1` degenerates to exactly [[trainWordpiece]], and the
-    * divergence is QUANTIFIED by the exhibit's merge-set overlap, not
-    * assumed small. */
+    * the set as one chained rewrite. Exists because of a MEASURED
+    * property of the likelihood objective (the `Examples wordpiece`
+    * exhibit): sequential WordPiece CHAINS — a merge shrinks its
+    * parts' frequencies and its created pairs (x, l+r) inherit a
+    * boosted score pf/(sf(x)·pf), so the next argmax is usually the
+    * previous merge's own child (documents fixture: (m,n) → (u,mn) →
+    * (l,umn) → (o,lumn) → (c,olumn)). A round-start-only exact batch
+    * ([[trainWordpieceBatched]]) therefore degrades to one merge per
+    * round on natural corpora (exhibit: round_reduction 1.00 — vs
+    * BPE's ~2-3×, whose counts only fall); the exact CHAIN-FOLLOWING
+    * mode ([[trainWordpieceChained]]) recovers ~2.1-2.3× bit-identical
+    * by accepting each chain child from exactly-tracked post-merge
+    * state. The approx mode is the aggressive tier above both: rounds
+    * collapse toward nMerges/topK (measured 21×) at a QUANTIFIED
+    * merge-set divergence (exhibit overlap 0.117 — the likelihood key
+    * genuinely reorders under parallel acceptance; use the exact modes
+    * when the vocabulary must be replayable). Contract as
+    * [[trainApprox]]: accepted pairs are top-K at round start,
+    * mutually symbol-disjoint (order-independent rewrite), and
+    * `topK = 1` degenerates to exactly [[trainWordpiece]]. */
   def trainWordpieceApprox(docs: DataFrame, nMerges: Int,
       textCol: String = "text", topK: Int = 64): TrainResult = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")

@@ -542,6 +542,58 @@ class BpeSpec extends AnyFunSuite {
         s"${seqMerges.size} merges")
   }
 
+  test("trainWordpieceChained == trainWordpiece; chain children accepted " +
+      "within a round") {
+    // the same adversarial corpora as the bound-gate differential —
+    // the chained trainer must stay bit-identical while accepting more
+    val classic = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val zh = (Seq.fill(4)("你好 世界") ++ Seq.fill(3)("你好吗") ++
+      Seq.fill(2)("世界 和平")).mkString(" ")
+    val rand = Seq(5, 47).map { seed =>
+      val rnd = new scala.util.Random(seed)
+      val words = Seq.fill(30)(
+        Seq.fill(1 + rnd.nextInt(5))(('a' + rnd.nextInt(4)).toChar).mkString)
+      s"rand$seed" -> Seq.fill(120)(words(rnd.nextInt(words.size)))
+        .mkString(" ")
+    }
+    for ((tag, text) <- Seq("classic" -> classic, "zh" -> zh) ++ rand) {
+      val docs = Seq((0L, text)).toDF("doc_id", "text")
+      val n = 16
+      val seqMerges = BpeOps.trainWordpiece(docs, n)
+      val chained = BpeOps.trainWordpieceChained(docs, n)
+      assert(chained.merges == seqMerges, s"corpus=$tag")
+      assert(chained.rounds <= seqMerges.size + 1,
+        s"corpus=$tag rounds=${chained.rounds} merges=${seqMerges.size}")
+    }
+    // chain-structured corpus: one dominant word whose merges cascade
+    // ((e,f) -> (d,ef) -> ... the regime where the bound gate got
+    // round_reduction 1.00) — exact tracking must accept the chain
+    // child in the same round
+    val chainy = (Seq.fill(30)("abcdef") ++ Seq.fill(4)("xy") ++
+      Seq.fill(3)("zw")).mkString(" ")
+    val docs = Seq((0L, chainy)).toDF("doc_id", "text")
+    val n = 10
+    val seqMerges = BpeOps.trainWordpiece(docs, n)
+    val chained = BpeOps.trainWordpieceChained(docs, n)
+    assert(chained.merges == seqMerges)
+    assert(chained.rounds < seqMerges.size,
+      s"expected chain-following to win rounds: ${chained.rounds} for " +
+        s"${seqMerges.size} merges (${seqMerges.mkString(" ")})")
+    // and the exclusive-pair regime batches at least as well as the
+    // bound gate (exact tracking subsumes it)
+    val excl = (Seq.fill(10)("ab") ++ Seq.fill(9)("cd") ++
+      Seq.fill(8)("ef") ++ Seq.fill(7)("gh") ++ Seq.fill(6)("ij"))
+      .mkString(" ")
+    val docsE = Seq((0L, excl)).toDF("doc_id", "text")
+    val seqE = BpeOps.trainWordpiece(docsE, 10)
+    val bound = BpeOps.trainWordpieceBatched(docsE, 10)
+    val chain = BpeOps.trainWordpieceChained(docsE, 10)
+    assert(chain.merges == seqE && bound.merges == seqE)
+    assert(chain.rounds <= bound.rounds,
+      s"exact tracking lost to the bound gate: ${chain.rounds} vs ${bound.rounds}")
+  }
+
   test("trainWordpieceApprox: topK=1 is exactly trainWordpiece; " +
       "disjoint acceptance batches") {
     val classic = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
