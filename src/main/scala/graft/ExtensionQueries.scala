@@ -124,6 +124,14 @@ object ExtensionQueries {
   // inter-arrival gaps in seconds, log-uniform bins (sub-second →
   // underflow, > ~11 days → overflow)
   private val interArrAxis = RegularLog(12, 1.0, 1000000.0)
+  // drift-monitor value axis (the events_hourly_hist axis; binCol range
+  // 0..11 incl. flow bins = nBins 12) + the alarm threshold in the
+  // exact chi2_e6 fixed point. Calibration: in-distribution days sit
+  // at chi2 ~ dof (measured 1.5-8.1e6 at sf0.01, n≈340/day), so 1e7
+  // is quiet on the fixture — DriftStreamSpec plants a real shift and
+  // pins the alarm firing
+  private val driftAxis = Regular(10, 0.0, 500.0)
+  private val driftAlarmE6 = 10000000L
 
   // Frozen tokenizer for the bpe_tokenize exhibit: the first 24 merges
   // trainBatched learns from the sf0.01 documents fixture (15 batched
@@ -504,6 +512,17 @@ object ExtensionQueries {
     "dedup_minhash_candidates" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
       val cand = DedupOps.minhashLshCandidates(docs, jaccardK)
+      DedupOps.perDocPairCounts(cand, docs, "n_candidates").orderBy("doc_id")
+    },
+    // MinHash LSH with the TUNER driving the band count: target
+    // similarity 0.8 -> chooseBandPlan(64, 800) = (8, 8) -> stricter
+    // banding, fewer shuffled band keys, fewer candidates — the
+    // certified plan as the actual control path (r11 verdict item),
+    // oracle-certified end-to-end at the non-default split
+    "dedup_minhash_tuned" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val cand = DedupOps.minhashLshCandidatesTuned(docs,
+        targetMilli = 800, k = jaccardK)
       DedupOps.perDocPairCounts(cand, docs, "n_candidates").orderBy("doc_id")
     },
     // SimHash: per-doc fingerprint + near-dup count (full oracle)
@@ -1307,6 +1326,25 @@ object ExtensionQueries {
         .start()
       q.awaitTermination()
       s.table(sink).select("day", "x", "cusum_milli", "alarm").orderBy("day")
+    },
+    // The monitoring family's THIRD member, live: distribution-shape
+    // drift — per-day histogram of event values (the hourly-hist axis)
+    // scored against a reference learned from the first 10 finalized
+    // days with the all-integer Pearson statistic; no float anywhere,
+    // so the oracle replays the statistic bit-for-bit (CUSUM watches
+    // the level, MAD the outliers, this the SHAPE)
+    "events_drift_stream" -> { (s, dir) =>
+      import graft.streaming.DriftStream
+      implicit val sp: org.apache.spark.sql.SparkSession = s
+      val ev = eventsDriftStream(s, dir)
+      val sink = "events_drift_stream_sink"
+      val q = DriftStream.chi2DriftStream(ev, nBins = 12, refDays = 10,
+          alarmE6 = driftAlarmE6)
+        .writeStream.outputMode("append").format("memory").queryName(sink)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink).select("day", "n", "chi2_e6", "alarm").orderBy("day")
     },
     // Robust trend readout on the same daily relation: Theil-Sen median
     // slope (outlier-immune) + tie-corrected Mann-Kendall z — "is a
@@ -3029,19 +3067,37 @@ object ExtensionQueries {
   private def eventsIncrementStream(s: SparkSession, dir: String)
       : org.apache.spark.sql.Dataset[graft.streaming.CusumStream.CusumEvent] = {
     import s.implicits._
-    val schema = s.read.parquet(s"$dir/events.parquet").schema
-    val p = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
-    val isDir = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      .getFileStatus(p).isDirectory
-    val reader = s.readStream.schema(schema)
-    val src = if (isDir) reader.parquet(p.toString)
-      else reader.option("pathGlobFilter", "events.parquet").parquet(dir)
-    src.select(lit("events").as("series"),
+    eventsFileStream(s, dir).select(lit("events").as("series"),
         unix_micros(col("ts").cast("timestamp")).as("ts_us"),
         lit(1L).as("inc"))
       .withColumn("et", timestamp_micros(col("ts_us")))
       .withWatermark("et", "0 seconds")
       .as[graft.streaming.CusumStream.CusumEvent]
+  }
+
+  /** Binned-value stream feed for the drift monitor: the hourly-hist
+    * axis over `value` (bins 0..11 incl. flow), same file-stream /
+    * watermark contract as [[eventsIncrementStream]]. */
+  private def eventsDriftStream(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[graft.streaming.DriftStream.DriftEvent] = {
+    import s.implicits._
+    eventsFileStream(s, dir).select(lit("events").as("series"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+        driftAxis.binCol(col("value")).cast("int").as("bin"),
+        lit(1L).as("inc"))
+      .withColumn("et", timestamp_micros(col("ts_us")))
+      .withWatermark("et", "0 seconds")
+      .as[graft.streaming.DriftStream.DriftEvent]
+  }
+
+  private def eventsFileStream(s: SparkSession, dir: String): DataFrame = {
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val p = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val isDir = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .getFileStatus(p).isDirectory
+    val reader = s.readStream.schema(schema)
+    if (isDir) reader.parquet(p.toString)
+    else reader.option("pathGlobFilter", "events.parquet").parquet(dir)
   }
 
   /** (event_type, key) where key = "user-day" — the HLL demo's distinct
@@ -3457,6 +3513,10 @@ object ExtensionQueries {
          |  FROM events)
          |WHERE gap_s IS NOT NULL GROUP BY 1 ORDER BY i0""".stripMargin,
     "dedup_minhash_candidates" -> minhashOracleSql(),
+    // the tuner's (8, 8) split at target 0.8 — chooseBandPlan is
+    // spec-pinned to pick it; the oracle replays the banding at that
+    // split, certifying the tuned control path end-to-end
+    "dedup_minhash_tuned" -> minhashOracleSql(bands = 8),
     "dedup_incremental_minhash" -> incrementalMinhashOracleSql(),
     "dedup_simhash" -> simhashOracleSql(),
     "dedup_embedding" -> perVectorNearDupSql(nearDupCos),
@@ -3752,6 +3812,16 @@ object ExtensionQueries {
          |WHERE (day + 1) * 86400000000 <=
          |  (SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) FROM events)
          |ORDER BY day""".stripMargin,
+    "events_drift_stream" ->
+      (graft.streaming.DriftStream.chi2DriftSql(
+        s"""SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+           |  AS BIGINT) AS day, ${driftAxis.sqlExpr("value")} AS bin,
+           |  CAST(count(*) AS BIGINT) AS cnt
+           |FROM events GROUP BY 1, 2""".stripMargin,
+        nBins = 12, refDays = 10, alarmE6 = driftAlarmE6,
+        finalizedUsSql =
+          "SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) FROM events") +
+        "\nORDER BY day"),
     "events_trend_robust" ->
       ProfileOps.robustTrendSql(
         """SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
