@@ -857,7 +857,7 @@ object BpeOps {
         .join(syms.select(col("s").as("r")), "r")
       val rows = topRel.withColumn("in_top", lit(true))
         .unionByName(crossRel.withColumn("in_top", lit(false))
-          .select(topRel.columns.map(col) :+ col("in_top"): _*))
+          .select(topRel.columns.toIndexedSeq.map(col) :+ col("in_top"): _*))
         .collect()
         .map(r => (r.getString(0), r.getString(1), r.getLong(2),
           r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
