@@ -990,7 +990,15 @@ object BpeOps {
     * Output is BIT-IDENTICAL to [[trainWordpiece]] (differential-
     * tested); rounds ≈ merges/2 on chain-structured corpora where the
     * bound gate got 1.00, and ≥ the bound gate everywhere (exact
-    * tracking subsumes it on the exclusive-pair regime). */
+    * tracking subsumes it on the exclusive-pair regime). Cost honesty:
+    * each round's one collect is heavier than sequential's (triples +
+    * neighbor lists ride along), so on a TINY dictionary sequential
+    * can win local wall-clock (documents sf0.001: 20.9 s vs 10.0 s for
+    * 48 merges at 2.29× fewer rounds) while on the Zipfian exhibit the
+    * round cut already wins outright (25.6 s vs 44.2 s at 128 merges);
+    * at production scale the driver ROUND-TRIP is the cost the trainer
+    * optimizes — scheduler latency × 30k merges — which is exactly
+    * what halves. */
   def trainWordpieceChained(docs: DataFrame, nMerges: Int,
       textCol: String = "text", topK: Int = 64): TrainResult =
     trainWordpieceChainedFromDict(wordDict(docs, textCol), nMerges, topK)

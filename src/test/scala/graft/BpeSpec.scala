@@ -594,6 +594,25 @@ class BpeSpec extends AnyFunSuite {
       s"exact tracking lost to the bound gate: ${chain.rounds} vs ${bound.rounds}")
   }
 
+  test("trainWordpieceChained: randomized differential on 2/3-letter " +
+      "alphabets (self-pairs, reverse pairs, collisions)") {
+    // tiny alphabets maximize the accept-then-end edge paths: (a,a)
+    // self-merges, both (a,b) and (b,a) present (reverse-count != 0
+    // blocks exact continuation), and concat collisions with existing
+    // symbols — every path must still reproduce sequential bit-for-bit
+    for ((seed, alpha) <- Seq((11, 2), (23, 2), (37, 3), (59, 3))) {
+      val rnd = new scala.util.Random(seed)
+      val words = Seq.fill(20)(
+        Seq.fill(1 + rnd.nextInt(6))(('a' + rnd.nextInt(alpha)).toChar).mkString)
+      val text = Seq.fill(150)(words(rnd.nextInt(words.size))).mkString(" ")
+      val docs = Seq((0L, text)).toDF("doc_id", "text")
+      val n = 12
+      val seqMerges = BpeOps.trainWordpiece(docs, n)
+      val chained = BpeOps.trainWordpieceChained(docs, n)
+      assert(chained.merges == seqMerges, s"seed=$seed alpha=$alpha")
+    }
+  }
+
   test("trainWordpieceApprox: topK=1 is exactly trainWordpiece; " +
       "disjoint acceptance batches") {
     val classic = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
