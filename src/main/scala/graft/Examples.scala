@@ -204,6 +204,32 @@ object Examples {
       spark.stop()
       return
     }
+    if (args.headOption.contains("soak-drift")) {
+      // drift-monitor shuffle soak: `runMain graft.Examples soak-drift
+      // 10000000,20000000` — n binned events over (1000 series × 20
+      // days × 32 bins) through DriftStream's folded preReduce; the
+      // series-key exchange must carry per-(partition, series, day,
+      // bin) partials, so shuffled records stay ~cell-bounded (FLAT
+      // across n — the saturation evidence), and the emitted day
+      // totals must equal the exact per-(series, day) event counts
+      args.lift(1).getOrElse("10000000,20000000").split(",")
+        .map(_.trim.toLong).foreach(n => driftShuffleSoak(spark, n))
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("wordpiece-chained-probe")) {
+      // chained-trainer SCALE probe: `runMain graft.Examples
+      // wordpiece-chained-probe 4096,64,1000000,50000` — production-
+      // vocab-scale measurement of the round reduction and the
+      // WpChainNbrCap overflow frequency on a Zipfian ≥1e6-doc corpus
+      // (the r12 verdict's open scale-behavior unknown)
+      val a = args.lift(1).getOrElse("4096,64,1000000,50000")
+        .split(",").map(_.trim)
+      wordpieceChainedProbe(spark, a(0).toInt, a(1).toInt, a(2).toLong,
+        a(3).toInt)
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("soak-train-sampled")) {
       // SAMPLED-round training soak: `runMain graft.Examples
       // soak-train-sampled 2000000` — fixed corpus, sampleMilli sweep
@@ -602,6 +628,127 @@ object Examples {
         s"want (${want.getLong(0)}, ${want.getLong(1)})")
     val ratio = records.get().toDouble / n
     println(f"""{"example":"cusum_shuffle_soak","events":$n,"emitted_days":$rows,"shuffled_records":${records.get()},"shuffle_ratio":$ratio%.6f,"sec":$sec%.1f}""")
+  }
+
+  /** Drift-monitor shuffle soak — the [[cusumShuffleSoak]] discipline
+    * with the WIDER (series × day × bin) key: n raw binned events over
+    * (1000 series × 20 event-time days × 32 bins) through
+    * [[graft.streaming.DriftStream.chi2DriftStream]]. Day is contiguous
+    * in the id (each input partition holds ~1 day), so the per-
+    * partition fold's output is cell-bounded: shuffled records must
+    * stay ~(partitions-local cells), FLAT as n grows — run two sizes
+    * and compare. Exactness at volume: the emitted scored-day totals
+    * must equal the exact per-(series, day) event counts beyond the
+    * reference window. */
+  private def driftShuffleSoak(spark: SparkSession, n: Long): Unit = {
+    import spark.implicits._
+    val DayUs = 86400000000L
+    val nSeries = 1000L
+    val nDays = 20L
+    val nBins = 32
+    val refDays = 7
+    val dir = java.nio.file.Files.createTempDirectory("graft-drift-soak")
+    // day = contiguous id block (partition-local); series = id mod 1000
+    // (every partition sees every series); bin = (id div 1000) mod 32
+    // (decorrelated from series — 1000 and 32 share no useful factor
+    // at the div-1000 granularity)
+    val perDay = n / nDays
+    val ev = spark.range(n).select(
+        concat(lit("s"), (col("id") % nSeries).cast("string")).as("series"),
+        ((col("id") / perDay).cast("long") * DayUs +
+          (col("id") % 86400L) * 1000L + 1L).as("ts_us"),
+        ((col("id") / nSeries).cast("long") % nBins).cast("int").as("bin"),
+        lit(1L).as("inc"))
+      .union(Seq(("zz", 40L * DayUs, 0, 1L))
+        .toDF("series", "ts_us", "bin", "inc"))
+    ev.write.mode("overwrite").parquet(dir.toString)
+    val records = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        records.addAndGet(
+          sc.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val t0 = System.nanoTime()
+    implicit val s: SparkSession = spark
+    val src = spark.readStream
+      .schema("series STRING, ts_us LONG, bin INT, inc LONG")
+      .parquet(dir.toString)
+      .withColumn("et", timestamp_micros(col("ts_us")))
+      .withWatermark("et", "0 seconds")
+      .as[graft.streaming.DriftStream.DriftEvent]
+    val q = graft.streaming.DriftStream
+      .chi2DriftStream(src, nBins = nBins, refDays = refDays,
+        alarmE6 = Long.MaxValue / 4)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("drift_soak")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(600000)
+    val sec = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(2000) // listener drain
+    spark.sparkContext.removeSparkListener(listener)
+    val out = spark.table("drift_soak")
+    val got = out.agg(count(lit(1)), sum("n")).head()
+    val (rows, sumN) = (got.getLong(0), got.getLong(1))
+    // scored days = finalized days beyond the per-series reference
+    // window; their emitted n must be the exact event count
+    val want = ev.filter(col("series") =!= "zz")
+      .withColumn("d", expr(s"ts_us div ${DayUs}L"))
+      .groupBy("series", "d").agg(count(lit(1)).as("c"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("series")
+          .orderBy("d")))
+      .filter(col("rk") > refDays)
+      .agg(count(lit(1)), sum("c")).head()
+    require(rows == want.getLong(0) && sumN == want.getLong(1),
+      s"stream drifted from exact: got ($rows, $sumN), " +
+        s"want (${want.getLong(0)}, ${want.getLong(1)})")
+    val ratio = records.get().toDouble / n
+    println(f"""{"example":"drift_shuffle_soak","events":$n,"series":$nSeries,"days":$nDays,"bins":$nBins,"scored_days":$rows,"shuffled_records":${records.get()},"shuffle_ratio":$ratio%.6f,"sec":$sec%.1f}""")
+  }
+
+  /** Chained-WordPiece SCALE probe (the r12 verdict's open unknown):
+    * round reduction and [[graft.ops.BpeOps.WpChainNbrCap]] overflow
+    * frequency at production-ish vocab size, on a Zipfian corpus of
+    * `nDocs` documents over `vocabSize` distinct words. Sequential
+    * comparison is structurally unaffordable here (that is the point);
+    * bit-identity is differential-tested at small scale in BpeSpec, so
+    * this probe reports the chained trainer's own rounds, the
+    * reduction vs the merges-=-rounds sequential baseline, and how
+    * often the neighbor collect hit the cap (each overflow degrades
+    * that round to one exact merge — detected, never silent). */
+  private def wordpieceChainedProbe(spark: SparkSession, nMerges: Int,
+      topK: Int, nDocs: Long, vocabSize: Int): Unit = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val vocab = (0 until vocabSize).map { _ =>
+      Seq.fill(2 + rnd.nextInt(11))(('a' + rnd.nextInt(26)).toChar).mkString
+    }.distinct
+    val vb = spark.sparkContext.broadcast(vocab.toIndexedSeq)
+    // Zipf rank via the id bits: doc d holds 8 words, word w_j drawn
+    // rank ~ (hash mod V^(j mod 3 tiers)) — cheap, deterministic, and
+    // head-heavy like real corpora
+    val docs = spark.range(nDocs).as[Long].mapPartitions { it =>
+      val v = vb.value
+      val sz = v.size
+      it.map { id =>
+        val r = new scala.util.Random(id * 2654435761L)
+        val words = (0 until 8).map { _ =>
+          // Zipf-ish: rank = sz / (1 + uniform(sz)) keeps the head hot
+          val u = r.nextInt(sz) + 1
+          v((sz / u - 1) % sz)
+        }
+        (id, words.mkString(" "))
+      }
+    }.toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val res = graft.ops.BpeOps.trainWordpieceChained(docs, nMerges,
+      topK = topK)
+    val sec = (System.nanoTime() - t0) / 1e9
+    val red = res.merges.size.toDouble / res.rounds
+    println(f"""{"example":"wordpiece_chained_probe","docs":$nDocs,"vocab":${vocab.size},"merges":${res.merges.size},"topK":$topK,"rounds":${res.rounds},"round_reduction":$red%.2f,"nbr_overflow_rounds":${res.nbrOverflowRounds},"sec":$sec%.1f}""")
   }
 
   /** Sampled-round training soak: the [[trainSoak]] corpus at fixed n,

@@ -226,8 +226,12 @@ object BpeOps {
     * is what makes (b) a complete argument.
     *
     * Returns the merges plus the driver round-trip count (the exhibit
-    * [[train]] comparisons measure). */
-  final case class TrainResult(merges: Seq[(String, String)], rounds: Int)
+    * [[train]] comparisons measure). `nbrOverflowRounds` counts the
+    * rounds whose [[trainWordpieceChained]] neighbor collect hit
+    * [[WpChainNbrCap]] (overflow degrades that round to one exact
+    * merge, never silent wrongness) — 0 for every other trainer. */
+  final case class TrainResult(merges: Seq[(String, String)], rounds: Int,
+      nbrOverflowRounds: Int = 0)
 
   def trainBatched(docs: DataFrame, nMerges: Int, textCol: String = "text",
       topK: Int = 64): TrainResult = {
@@ -1017,6 +1021,7 @@ object BpeOps {
       .distinct().as[String].collect()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var rounds = 0
+    var nbrOverflows = 0
     var exhausted = false
     while (!exhausted && merges.size < nMerges) {
       val rows = wpChainCollect(dict, topK)
@@ -1028,6 +1033,7 @@ object BpeOps {
       else {
         val nbrRows = rows.filter(_._1 == 1)
         val nbrTruncated = nbrRows.length > WpChainNbrCap
+        if (nbrTruncated) nbrOverflows += 1
         // exact driver state: part counts and pair counts
         val sfNow = scala.collection.mutable.HashMap.empty[String, Long]
         val pfNow = scala.collection.mutable.HashMap.empty[(String, String), Long]
@@ -1110,7 +1116,7 @@ object BpeOps {
           dict = applyMerges(dict, accepted.toSeq).lineageBarrier(false)
       }
     }
-    TrainResult(merges.toSeq, rounds)
+    TrainResult(merges.toSeq, rounds, nbrOverflows)
   }
 
   /** Exact WordPiece likelihood key, driver-side: the same floored
@@ -1192,6 +1198,17 @@ object BpeOps {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     require(topK >= 1, s"topK must be >= 1, got $topK")
     var dict = wordDict(docs, textCol).lineageBarrier(false)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // running vocabulary (initial symbols + accepted concatenations):
+    // gate (c) of the batched trainer applied to the approx tier — a
+    // candidate whose concatenation collides with an existing symbol
+    // (or with another accepted concatenation this round, e.g. (a,bc)
+    // and (ab,c) both yielding abc) would put a duplicate, ambiguous
+    // symbol into the merge list
+    val vocab = scala.collection.mutable.Set.empty[String]
+    vocab ++= dict.select(explode(col("symbols")).as("s"))
+      .distinct().as[String].collect()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var rounds = 0
     var exhausted = false
@@ -1208,9 +1225,11 @@ object BpeOps {
         var idx = 0
         while (idx < top.length && merges.size + accepted.size < nMerges) {
           val (l, r) = top(idx)
-          if (!touched(l) && !touched(r)) {
+          if (!touched(l) && !touched(r) && !touched(l + r) &&
+              !vocab(l + r)) {
             accepted += ((l, r))
             touched ++= Seq(l, r, l + r)
+            vocab += l + r
           }
           idx += 1
         }
@@ -1305,11 +1324,24 @@ object BpeOps {
     * precomputes THE longest matching piece per (word, position) once
     * (matched pieces rank above the bare-code-point fallback), then
     * each layer advances every unfinished word by exactly its greedy
-    * piece; [[WpMaxWordLen]] + |endMark| layers terminate every word
+    * piece; `maxWordCp` + |endMark| layers terminate every word
     * because a step always advances ≥ 1 position. Vocab/position tail
-    * is the exact [[tokenizeSql]] emitter. */
+    * is the exact [[tokenizeSql]] emitter.
+    *
+    * `maxWordCp` bounds the layer count INDEPENDENTLY of the engine's
+    * [[WpMaxWordLen]] refusal cap: pass the corpus's measured max word
+    * length (a one-row aggregate at query-build time) so raising the
+    * engine cap does not quadratically inflate every oracle. The bound
+    * is SELF-CHECKING, not trusted: a word still unfinished after the
+    * last layer raises a loud error() instead of silently vanishing
+    * from the final `pos >= n` filter (the trainLrSampledSql empty-
+    * sample discipline), and a corpus word containing the chr(31)
+    * separator — which would corrupt the seg split — errors in `ws`
+    * rather than splitting wrong. */
   def wordpieceTokenizeSql(merges: Seq[(String, String)],
-      docFilter: String = "TRUE", endMark: String = "</w>"): String = {
+      docFilter: String = "TRUE", endMark: String = "</w>",
+      maxWordCp: Int = WpMaxWordLen): String = {
+    require(maxWordCp >= 1, s"maxWordCp must be >= 1, got $maxWordCp")
     require(merges.nonEmpty, "wordpieceTokenizeSql needs at least one merge")
     require(!endMark.exists(c => c == '\'' || c == '\\'),
       s"endMark must not contain quotes/backslashes: $endMark")
@@ -1321,7 +1353,7 @@ object BpeOps {
     val emCp = endMark.codePointCount(0, endMark.length)
     val maxCp = (merges.map { case (l, r) =>
       val c = l + r; c.codePointCount(0, c.length) } :+ emCp :+ 1).max
-    val nLayers = WpMaxWordLen + emCp
+    val nLayers = maxWordCp + emCp
     val layers = (1 to nLayers).map { k =>
       s"""g$k AS MATERIALIZED (
          |  SELECT word, n, pos, seg FROM g${k - 1} WHERE pos >= n
@@ -1344,7 +1376,11 @@ object BpeOps {
        |    SELECT unnest(string_split(word, '')) AS piece FROM dw
        |    UNION ALL SELECT '${q(endMark)}'
        |    UNION ALL SELECT piece FROM (VALUES $mergeVals) m(piece))),
-       |ws AS (SELECT word, word || '${q(endMark)}' AS s,
+       |ws AS (SELECT word,
+       |         CASE WHEN contains(word, chr(31)) THEN error(
+       |             'wordpieceTokenizeSql: corpus word contains the ' ||
+       |             'chr(31) separator (corpus contract violation)')
+       |           ELSE word || '${q(endMark)}' END AS s,
        |         len(word || '${q(endMark)}') AS n FROM dw),
        |best AS MATERIALIZED (
        |  SELECT word, src, piece, len(piece) AS plen FROM (
@@ -1364,9 +1400,235 @@ object BpeOps {
        |  WHERE rn = 1),
        |g0 AS (SELECT word, n, CAST(0 AS BIGINT) AS pos, '' AS seg FROM ws),
        |$layers,
+       |unfin AS (SELECT count(*) AS nbad FROM g$nLayers WHERE pos < n),
        |segf AS (SELECT word, string_split(seg, chr(31)) AS symbols
-       |         FROM g$nLayers WHERE pos >= n),
+       |         FROM g$nLayers, unfin
+       |         WHERE pos >= CASE WHEN unfin.nbad > 0 THEN CAST(error(
+       |             'wordpieceTokenizeSql: ' || CAST(unfin.nbad AS VARCHAR)
+       |             || ' word(s) needed more than $nLayers greedy steps'
+       |             || ' — maxWordCp too small for this corpus')
+       |           AS BIGINT) ELSE n END),
        |${tokenizeTailSql("segf")}""".stripMargin
+  }
+
+  // ---- BERT-style continuation-prefix WordPiece apply ---------------------
+
+  /** The conventional unknown-word token of BERT-style vocabularies. */
+  val WpBertUnk: String = "[UNK]"
+
+  /** Greedy longest-match-first segmentation in BERT's CONTINUATION-
+    * PREFIX convention (Devlin et al. 2019 WordpieceTokenizer, vs the
+    * `</w>` END-MARKER convention of [[greedySeg]]): the first piece of
+    * a word matches bare, every later piece matches with a `##` prefix,
+    * and the failure policy is per-WORD — a word longer than
+    * `maxWordCp` code points, or one that strands the greedy scan at a
+    * position no vocabulary piece covers, becomes ONE `unk` token
+    * (BERT's max_input_chars_per_word → [UNK] policy; the `</w>` form
+    * instead emits uncovered code points bare and the engine refuses
+    * long words loudly, divergence pinned in BpeSpec). `maxCp` is the
+    * longest piece BODY in code points (prefix excluded). A word that
+    * literally starts with `##` can match a continuation piece at
+    * position 0 — faithful to the reference implementation, which never
+    * prefixes the first piece. */
+  private[graft] def greedySegBert(word: String, pieces: Set[String],
+      maxCp: Int, maxWordCp: Int, unk: String): Vector[String] = {
+    if (word.codePointCount(0, word.length) > maxWordCp) return Vector(unk)
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < word.length) {
+      val remCp = word.codePointCount(i, word.length)
+      var l = math.min(maxCp, remCp)
+      var found: String = null
+      while (found == null && l >= 1) {
+        val raw = word.substring(i, word.offsetByCodePoints(i, l))
+        val cand = if (i == 0) raw else "##" + raw
+        if (pieces(cand)) found = cand
+        l -= 1
+      }
+      if (found == null) return Vector(unk)
+      out += found
+      i += (if (i == 0) found.length else found.length - 2)
+    }
+    out.result()
+  }
+
+  /** Corpus-scale BERT WordPiece apply: tokenize documents against a
+    * LOADED external vocabulary (one piece per line, bare first piece +
+    * `##` continuations — the production `vocab.txt` artifact, see
+    * [[readBertVocab]]), with BERT's `max_input_chars_per_word` →
+    * `unk` long-word policy instead of [[wordpieceTokenize]]'s loud
+    * [[WpMaxWordLen]] refusal. Token ids are the vocabulary's FILE
+    * ORDER (line number — the id contract every BERT checkpoint
+    * assumes), NOT binary order over emitted pieces.
+    *
+    * Scale shape identical to [[wordpieceTokenize]]: the greedy scan
+    * runs once per DISTINCT word against the broadcast (model-sized)
+    * vocabulary; corpus rows pay only the word equi-join. */
+  def wordpieceTokenizeBert(docs: DataFrame, vocab: Seq[String],
+      textCol: String = "text", idCol: String = "doc_id",
+      maxWordChars: Int = 100, unk: String = WpBertUnk): DataFrame = {
+    require(vocab.nonEmpty, "wordpieceTokenizeBert needs a vocabulary")
+    require(vocab.distinct.size == vocab.size,
+      "duplicate pieces in the vocabulary (ids would be ambiguous)")
+    require(vocab.contains(unk),
+      s"vocabulary must contain the unknown token '$unk'")
+    require(maxWordChars >= 1,
+      s"maxWordChars must be >= 1, got $maxWordChars")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pw = docs.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("word_pos", "word")))
+      .filter(col("word") =!= "")
+    val words = pw.select("word").distinct()
+    val pieces = vocab.toSet
+    // FULL piece length, not body length: at position 0 a `##…` piece
+    // matches raw (a word literally starting with ## — faithful BERT),
+    // so the scan length bound must cover the prefix too; at positions
+    // > 0 the extra lengths simply fail the set probe
+    val maxCp = vocab.iterator
+      .map(p => p.codePointCount(0, p.length)).max
+    val piecesB = spark.sparkContext.broadcast(pieces)
+    val segmented = words.as[String].mapPartitions { it =>
+      val ps = piecesB.value
+      it.map(w => (w, greedySegBert(w, ps, maxCp, maxWordChars, unk)))
+    }.toDF("word", "symbols").lineageBarrier()
+    val vocabDf = broadcast(vocab.zipWithIndex.toDF("token", "__i")
+      .select(col("token"), col("__i").cast("long").as("token_id")))
+    pw.join(segmented, Seq("word"))
+      .select(col("doc_id"), col("word_pos"),
+        posexplode(col("symbols")).as(Seq("piece_idx", "token")))
+      .join(vocabDf, Seq("token"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("doc_id").orderBy("word_pos", "piece_idx"))
+        .cast("long"))
+      .select("doc_id", "pos", "token", "token_id")
+  }
+
+  /** Load a BERT `vocab.txt` (one piece per line, ids = line order)
+    * driver-side — the vocabulary is model-sized and gets broadcast, so
+    * a distributed read would be the wrong scale call. Fails loudly on
+    * empty or duplicate lines (a damaged vocabulary must never silently
+    * shift token ids). */
+  def readBertVocab(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(p)
+    val vocab =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+      finally in.close()
+    require(vocab.nonEmpty, s"empty vocabulary file at $path")
+    require(!vocab.exists(_.isEmpty),
+      s"blank line in vocabulary file at $path (ids would shift)")
+    require(vocab.distinct.size == vocab.size,
+      s"duplicate pieces in vocabulary file at $path")
+    vocab
+  }
+
+  /** DuckDB twin of [[wordpieceTokenizeBert]]: the
+    * [[wordpieceTokenizeSql]] layered-CTE discipline in the
+    * continuation-prefix convention. `best` precomputes the longest
+    * matching piece per (word, position) with the `##` prefix applied
+    * at positions > 0; a word longer than `maxWordChars`, or one whose
+    * greedy chain hits a position with NO matching piece (the inner
+    * join drops it), collapses to one `unk` row. `maxWordCp` is the
+    * corpus's measured max word length — it bounds the layer count
+    * independently of `maxWordChars`, and the bound is SELF-CHECKING: a
+    * word still unfinished (but never stuck) after the last layer
+    * raises error() instead of silently vanishing. Token ids are the
+    * vocabulary's file order, emitted as a VALUES relation. */
+  def wordpieceTokenizeBertSql(vocab: Seq[String],
+      docFilter: String = "TRUE", maxWordChars: Int = 100,
+      maxWordCp: Int = WpMaxWordLen, unk: String = WpBertUnk): String = {
+    require(vocab.nonEmpty, "wordpieceTokenizeBertSql needs a vocabulary")
+    require(vocab.distinct.size == vocab.size,
+      "duplicate pieces in the vocabulary")
+    require(vocab.contains(unk),
+      s"vocabulary must contain the unknown token '$unk'")
+    require(maxWordChars >= 1 && maxWordCp >= 1,
+      s"maxWordChars/maxWordCp must be >= 1: $maxWordChars, $maxWordCp")
+    require(!vocab.exists(p => p.contains('')),
+      "vocabulary pieces must not contain the chr(31) separator")
+    def q(s: String) = s.replace("'", "''")
+    val vocabVals = vocab.zipWithIndex
+      .map { case (p, i) => s"('${q(p)}', $i)" }.mkString(", ")
+    // full piece length (position-0 raw matches of ##-pieces — see the
+    // engine's maxCp note); longer-than-body lengths at src > 0 just
+    // fail the vocab join
+    val maxCp = vocab.iterator
+      .map(p => p.codePointCount(0, p.length)).max
+    val nLayers = math.min(maxWordChars, maxWordCp)
+    val layers = (1 to nLayers).map { k =>
+      s"""g$k AS MATERIALIZED (
+         |  SELECT word, n, pos, seg FROM g${k - 1} WHERE pos >= n
+         |  UNION ALL
+         |  SELECT a.word, a.n, a.pos + b.plen AS pos,
+         |    CASE WHEN a.seg = '' THEN b.piece
+         |         ELSE a.seg || chr(31) || b.piece END AS seg
+         |  FROM g${k - 1} a JOIN best b ON b.word = a.word AND b.src = a.pos
+         |  WHERE a.pos < a.n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pw AS (
+       |  SELECT doc_id, i AS word_pos, words[i + 1] AS word
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS words
+       |        FROM documents WHERE $docFilter),
+       |       unnest(range(0, len(words))) t(i)
+       |  WHERE words[i + 1] <> ''),
+       |dw AS (SELECT DISTINCT word FROM pw),
+       |vocab(piece, token_id) AS (VALUES $vocabVals),
+       |ws AS (SELECT
+       |         CASE WHEN contains(word, chr(31)) THEN error(
+       |             'wordpieceTokenizeBertSql: corpus word contains the '
+       |             || 'chr(31) separator (corpus contract violation)')
+       |           ELSE word END AS word,
+       |         len(word) AS n
+       |       FROM dw WHERE len(word) <= $maxWordChars),
+       |best AS MATERIALIZED (
+       |  SELECT word, src, piece, plen FROM (
+       |    SELECT c.word, c.src, c.piece, c.plen,
+       |      row_number() OVER (PARTITION BY c.word, c.src
+       |        ORDER BY c.plen DESC) AS rn
+       |    FROM (
+       |      SELECT word, i AS src, l AS plen,
+       |        CASE WHEN i = 0
+       |          THEN substr(word, 1, CAST(l AS INTEGER))
+       |          ELSE '##' ||
+       |            substr(word, CAST(i AS INTEGER) + 1, CAST(l AS INTEGER))
+       |        END AS piece
+       |      FROM ws, unnest(range(0, n)) t(i),
+       |           unnest(range(1, $maxCp + 1)) u(l)
+       |      WHERE i + l <= n) c JOIN vocab v ON v.piece = c.piece)
+       |  WHERE rn = 1),
+       |g0 AS (SELECT word, n, CAST(0 AS BIGINT) AS pos, '' AS seg FROM ws),
+       |$layers,
+       |unfin AS (
+       |  SELECT count(*) AS nbad FROM g$nLayers g
+       |  WHERE pos < n AND EXISTS (
+       |    SELECT 1 FROM best b WHERE b.word = g.word AND b.src = g.pos)),
+       |fin AS (SELECT word, string_split(seg, chr(31)) AS symbols
+       |        FROM g$nLayers, unfin
+       |        WHERE pos >= CASE WHEN unfin.nbad > 0 THEN CAST(error(
+       |            'wordpieceTokenizeBertSql: ' ||
+       |            CAST(unfin.nbad AS VARCHAR) ||
+       |            ' word(s) needed more than $nLayers greedy steps — ' ||
+       |            'maxWordCp too small for this corpus')
+       |          AS BIGINT) ELSE n END),
+       |segf AS (
+       |  SELECT word, symbols FROM fin
+       |  UNION ALL
+       |  SELECT word, ['${q(unk)}'] AS symbols
+       |  FROM dw WHERE word NOT IN (SELECT word FROM fin)),
+       |tok AS (
+       |  SELECT pw.doc_id, pw.word_pos, j AS piece_idx,
+       |    p.symbols[j + 1] AS token
+       |  FROM pw JOIN segf p USING (word),
+       |       unnest(range(0, len(p.symbols))) t(j))
+       |SELECT tok.doc_id,
+       |  row_number() OVER (PARTITION BY tok.doc_id
+       |    ORDER BY tok.word_pos, tok.piece_idx) AS pos,
+       |  tok.token, CAST(v.token_id AS BIGINT) AS token_id
+       |FROM tok JOIN vocab v ON v.piece = tok.token
+       |ORDER BY doc_id, pos""".stripMargin
   }
 
   /** DuckDB twin of [[wordpieceScores]] over the corpus word

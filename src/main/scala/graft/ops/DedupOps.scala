@@ -1150,6 +1150,40 @@ object DedupOps {
         (col("doc_id") === col("keep_id")).as("is_kept"))
   }
 
+  /** ONE-ARGUMENT tuned end-to-end dedup: [[minhashDedupKeep]] with
+    * BOTH knobs the similarity target implies derived together — the
+    * banding split from [[chooseBandPlan]] (candidate recall) and the
+    * verify threshold = targetMilli / 1000 (candidate acceptance).
+    * [[minhashDedupKeepTuned]](df, 500) == the [[minhashDedupKeep]]
+    * defaults (spec-pinned); a non-default target shifts bands and
+    * threshold in LOCKSTEP, so the caller can no longer tune the
+    * S-curve to 0.8 while still verifying at 0.5 (or vice versa) by
+    * forgetting one of the two edits. */
+  def minhashDedupKeepTuned(df: DataFrame, targetMilli: Int,
+      k: Int = 3, numHashes: Int = 64, seed: Long = 42L,
+      textCol: String = "text", idCol: String = "doc_id",
+      maxIter: Int = 64): DataFrame = {
+    require(targetMilli >= 1 && targetMilli <= 1000,
+      s"targetMilli must be in [1, 1000], got $targetMilli")
+    minhashDedupKeep(df, k, numHashes,
+      chooseBandPlan(numHashes, targetMilli)._1,
+      targetMilli / 1000.0, seed, textCol, idCol, maxIter)
+  }
+
+  /** [[minhashDedupKeepBest]] with the tuner driving both the banding
+    * split and the verify threshold — the [[minhashDedupKeepTuned]]
+    * contract for the quality-aware election. */
+  def minhashDedupKeepBestTuned(df: DataFrame, targetMilli: Int,
+      score: Column = null, k: Int = 3, numHashes: Int = 64,
+      seed: Long = 42L, textCol: String = "text",
+      idCol: String = "doc_id", maxIter: Int = 64): DataFrame = {
+    require(targetMilli >= 1 && targetMilli <= 1000,
+      s"targetMilli must be in [1, 1000], got $targetMilli")
+    minhashDedupKeepBest(df, score, k, numHashes,
+      chooseBandPlan(numHashes, targetMilli)._1,
+      targetMilli / 1000.0, seed, textCol, idCol, maxIter)
+  }
+
   // ---- SimHash ----------------------------------------------------------
   /** 64-bit SimHash fingerprint over word tokens (Charikar 2002): sum ±1
     * per bit weighted by token hash bits, sign → bit. */

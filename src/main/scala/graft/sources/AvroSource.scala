@@ -179,17 +179,31 @@ object AvroSource {
     }
     // sweep ABANDONED staging dirs (a killed driver never reaches its
     // finally): readers never list them, but they leak disk forever.
-    // Age-gated so a concurrent writer's LIVE staging dir (same-path
-    // concurrent writes are already refused above for mode=error, and
-    // racing overwrites are caller error) is not swept mid-job.
+    // Age-gated on the writer's START TIME recorded in the dir NAME —
+    // not directory mtime, which object stores (and long jobs that
+    // staged parts early) do not reliably advance, so an mtime gate
+    // could sweep a LIVE job's staging dir out from under it. Legacy
+    // unstamped names fall back to mtime. Jobs running longer than
+    // StaleStagingMaxAgeMs remain the documented limit of this sweep
+    // (a concurrent writer would reclaim their staging mid-job).
     val cutoff = System.currentTimeMillis() - StaleStagingMaxAgeMs
+    def stagedAtMs(name: String): Option[Long] = {
+      val rest = name.stripPrefix(".graft-staging-")
+      val ts = rest.takeWhile(_.isDigit)
+      if (ts.nonEmpty && ts.length <= 17 &&
+          rest.lift(ts.length).contains('-'))
+        Some(ts.toLong)
+      else None
+    }
     fs.listStatus(dir).toSeq
       .filter(st => st.isDirectory &&
         st.getPath.getName.startsWith(".graft-staging-") &&
-        st.getModificationTime < cutoff)
+        stagedAtMs(st.getPath.getName)
+          .getOrElse(st.getModificationTime) < cutoff)
       .foreach(st => fs.delete(st.getPath, true))
     val staging = new Path(dir,
-      s".graft-staging-${java.util.UUID.randomUUID()}")
+      s".graft-staging-${System.currentTimeMillis()}-" +
+        s"${java.util.UUID.randomUUID()}")
     fs.mkdirs(staging)
     try {
       df.foreachPartition { (it: Iterator[Row]) =>

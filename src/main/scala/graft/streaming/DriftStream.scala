@@ -102,6 +102,7 @@ object DriftStream {
   private[streaming] def chi2E6(a: Array[Long], r: Array[Long]): (Long, Long) = {
     val n = a.sum
     val rr = r.sum
+    require(rr > 0L, "chi2E6: zero-mass reference histogram")
     var chi2 = 0L
     var b = 0
     while (b < a.length) {
@@ -139,6 +140,9 @@ object DriftStream {
           if (!state.hasTimedOut) it.foreach { e =>
             require(e.bin >= 0 && e.bin < nBins,
               s"drift bin out of [0, $nBins): ${e.bin}")
+            require(e.inc >= 0L,
+              s"drift increment must be >= 0, got ${e.inc} " +
+                s"(series $series, bin ${e.bin})")
             val d = Math.floorDiv(e.ts_us, bucketUs)
             // finalized buckets stay immutable whatever the engine's
             // late-row pre-filter does across versions (CusumStream's
@@ -159,6 +163,14 @@ object DriftStream {
                 while (b < nBins) { refBins(b) += bins(b); b += 1 }
                 refCount += 1
               } else {
+                // a zero-mass reference cannot score anything: refuse
+                // diagnosably instead of letting chi2E6 divide by zero
+                // deep inside the streaming query
+                require(refBins.exists(_ > 0L),
+                  s"drift reference for series '$series' is all-zero " +
+                    s"after refDays=$refDays reference buckets — the " +
+                    "reference window saw no mass; widen refDays or fix " +
+                    "the upstream increments")
                 val (n, chi2) = chi2E6(bins, refBins)
                 out += DriftPoint(series, d, n, chi2, chi2 > alarmE6)
               }

@@ -197,4 +197,32 @@ class AvroSpec extends AnyFunSuite {
     assert(!fs.exists(stale), "aged-out staging dir must be swept")
     assert(Sources.avro(spark, dir).count() == 5L)
   }
+
+  test("staging sweep keys on the START TIME in the dir name, not mtime") {
+    val dir = tmp()
+    Sources.writeAvro(spark.range(3).toDF("id"), dir)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    val now = System.currentTimeMillis()
+    val oldTs = now - graft.sources.avro.AvroSource.StaleStagingMaxAgeMs -
+      60000L
+    // (a) abandoned job: OLD embedded start time, FRESH mtime (an object
+    // store that bumps mtime on listing, or a straggler task writing
+    // into a dead job's staging) — the name is authoritative: swept
+    val dead = new org.apache.hadoop.fs.Path(dir,
+      s".graft-staging-$oldTs-dead")
+    fs.mkdirs(dead)
+    // (b) LIVE job on a store whose dir mtime never advanced: FRESH
+    // embedded start time, STALE mtime — must survive the sweep
+    val live = new org.apache.hadoop.fs.Path(dir,
+      s".graft-staging-$now-live")
+    fs.mkdirs(live)
+    fs.setTimes(live, oldTs, oldTs)
+    Sources.writeAvro(spark.range(7).toDF("id"), dir, mode = "overwrite")
+    assert(!fs.exists(dead),
+      "old-start-time staging dir must be swept despite fresh mtime")
+    assert(fs.exists(live),
+      "live writer's staging dir must survive despite stale dir mtime")
+    assert(Sources.avro(spark, dir).count() == 7L)
+  }
 }

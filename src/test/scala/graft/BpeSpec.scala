@@ -684,4 +684,106 @@ class BpeSpec extends AnyFunSuite {
       rows.foreach { case (_, t, id) => assert(id == expectId(t)) }
     }
   }
+
+  test("greedySegBert: continuation prefix, longest match, UNK policies") {
+    val vocab = Set("[UNK]", "a", "b", "c", "##a", "##b", "##c",
+      "ab", "##bc")
+    val maxCp = vocab.map(p => p.codePointCount(0, p.length)).max
+    def seg(w: String) = BpeOps.greedySegBert(w, vocab, maxCp, 16, "[UNK]")
+    // longest bare piece first, then ## continuations
+    assert(seg("abc") == Vector("ab", "##c"))
+    assert(seg("cab") == Vector("c", "##a", "##b"))
+    // continuation longest-match: ##bc beats ##b
+    assert(seg("abcbc") == Vector("ab", "##c", "##bc"))
+    // stranded scan (no piece covers 'q') -> whole word is ONE [UNK]
+    assert(seg("abq") == Vector("[UNK]"))
+    assert(seg("qab") == Vector("[UNK]"))
+    // max_input_chars_per_word -> [UNK], not a refusal
+    assert(BpeOps.greedySegBert("abababab", vocab, maxCp, 7, "[UNK]") ==
+      Vector("[UNK]"))
+    // a word literally starting with ## can match a continuation piece
+    // at position 0 (the reference never prefixes the first piece)
+    val v2 = Set("[UNK]", "##a", "b", "##b")
+    val m2 = v2.map(p => p.codePointCount(0, p.length)).max
+    assert(BpeOps.greedySegBert("##ab", v2, m2, 16, "[UNK]") ==
+      Vector("##a", "##b"))
+  }
+
+  test("wordpieceTokenizeBert: file-order ids, [UNK] path, divergence " +
+      "from the </w> form") {
+    val vocab = Seq("[UNK]", "a", "b", "c", "##a", "##b", "##c",
+      "ab", "##bc")
+    val docs = Seq((0L, "abc cab a1"), (1L, "abcbc " + "ab" * 9))
+      .toDF("doc_id", "text")
+    val out = BpeOps.wordpieceTokenizeBert(docs, vocab,
+        maxWordChars = 16)
+      .orderBy("doc_id", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val idOf = vocab.zipWithIndex.map { case (p, i) => p -> i.toLong }.toMap
+    // doc 0: abc -> ab ##c; cab -> c ##a ##b; a1 -> [UNK] (digit
+    // uncovered: the </w> form would emit the bare code point, BERT
+    // collapses the word); doc 1: abcbc -> ab ##c ##bc; the 18-char
+    // word exceeds maxWordChars=16 -> [UNK] (the </w> engine REFUSES
+    // long words loudly; BERT's policy replaces the refusal)
+    val expect = Seq(
+      (0L, 1L, "ab"), (0L, 2L, "##c"), (0L, 3L, "c"), (0L, 4L, "##a"),
+      (0L, 5L, "##b"), (0L, 6L, "[UNK]"),
+      (1L, 1L, "ab"), (1L, 2L, "##c"), (1L, 3L, "##bc"), (1L, 4L, "[UNK]"))
+    assert(out.map(t => (t._1, t._2, t._3)).toSeq == expect)
+    out.foreach { case (_, _, t, id) =>
+      assert(id == idOf(t), s"token $t must carry its vocab-file line id")
+    }
+    // the same corpus through the </w>-form engine: the long word is a
+    // loud refusal, not [UNK] — the divergence is the CONTRACT
+    val ex = intercept[IllegalArgumentException] {
+      BpeOps.wordpieceTokenize(docs, Seq(("a", "b")))
+    }
+    assert(ex.getMessage.contains("WpMaxWordLen"))
+  }
+
+  test("readBertVocab: fixture vocab.txt loads in file order; damaged " +
+      "files fail loudly") {
+    val f = java.io.File.createTempFile("graft-bert-vocab", ".txt")
+    f.deleteOnExit()
+    val vocab = Seq("[UNK]", "a", "b", "##a", "##b", "ab", "##ab")
+    java.nio.file.Files.write(f.toPath,
+      (vocab.mkString("\n") + "\n").getBytes("UTF-8"))
+    val loaded = BpeOps.readBertVocab(spark, f.getAbsolutePath)
+    assert(loaded == vocab, "ids are the file's line order")
+    // loaded vocabulary drives inference end-to-end
+    val docs = Seq((0L, "abab ba")).toDF("doc_id", "text")
+    val toks = BpeOps.wordpieceTokenizeBert(docs, loaded)
+      .orderBy("pos").collect().map(r => (r.getString(2), r.getLong(3)))
+    assert(toks.toSeq == Seq(("ab", 5L), ("##ab", 6L), ("b", 2L),
+      ("##a", 3L)))
+    // blank line -> ids would shift: refuse
+    val g = java.io.File.createTempFile("graft-bert-vocab-bad", ".txt")
+    g.deleteOnExit()
+    java.nio.file.Files.write(g.toPath, "[UNK]\n\na\n".getBytes("UTF-8"))
+    intercept[IllegalArgumentException] {
+      BpeOps.readBertVocab(spark, g.getAbsolutePath)
+    }
+    // duplicate line -> ambiguous ids: refuse
+    val h = java.io.File.createTempFile("graft-bert-vocab-dup", ".txt")
+    h.deleteOnExit()
+    java.nio.file.Files.write(h.toPath, "[UNK]\na\na\n".getBytes("UTF-8"))
+    intercept[IllegalArgumentException] {
+      BpeOps.readBertVocab(spark, h.getAbsolutePath)
+    }
+  }
+
+  test("trainWordpieceApprox: accepted concatenations are collision-free " +
+      "(gate (c) on the approx tier)") {
+    for (seed <- Seq(7, 19, 43)) {
+      val rnd = new scala.util.Random(seed)
+      val words = Seq.fill(60)(
+        (0 until (1 + rnd.nextInt(5))).map(_ => "abc" (rnd.nextInt(3)))
+          .mkString)
+      val docs = Seq((0L, words.mkString(" "))).toDF("doc_id", "text")
+      val res = BpeOps.trainWordpieceApprox(docs, 16, topK = 8)
+      val concats = res.merges.map { case (l, r) => l + r }
+      assert(concats.distinct == concats,
+        s"seed=$seed duplicate concatenation in ${res.merges}")
+    }
+  }
 }

@@ -135,4 +135,53 @@ class DriftStreamSpec extends AnyFunSuite {
         nBins = 1, refDays = 1, alarmE6 = 1L)(spark)
     }
   }
+
+  test("negative increment and zero-mass reference fail diagnosably") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val s: SparkSession = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // a negative inc would silently corrupt the histograms: loud refusal
+    val in = MemoryStream[DriftEvent]
+    val q = DriftStream.chi2DriftStream(in.toDS()
+        .withColumn("et", timestamp_micros($"ts_us"))
+        .withWatermark("et", "0 seconds").as[DriftEvent],
+        nBins = NB, refDays = 1, alarmE6 = 1000000L)
+      .writeStream.outputMode("append").format("memory").queryName("drift4")
+      .start()
+    try {
+      in.addData(DriftEvent("m", DayUs, 0, -1L))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(e.getMessage != null)
+    } finally q.stop()
+    // a reference learned entirely from zero-mass buckets (inc = 0
+    // events only) must refuse at SCORE time with the series named,
+    // not throw an unguided ArithmeticException from inside chi2E6
+    val in2 = MemoryStream[DriftEvent]
+    val q2 = DriftStream.chi2DriftStream(in2.toDS()
+        .withColumn("et", timestamp_micros($"ts_us"))
+        .withWatermark("et", "0 seconds").as[DriftEvent],
+        nBins = NB, refDays = 1, alarmE6 = 1000000L)
+      .writeStream.outputMode("append").format("memory").queryName("drift5")
+      .start()
+    try {
+      // day 1 (the whole reference window): a single zero-inc event;
+      // day 2 has real mass; day 3+ nudges finalize day 2 -> score
+      in2.addData(DriftEvent("m", DayUs, 0, 0L),
+        DriftEvent("m", 2 * DayUs, 1, 5L))
+      q2.processAllAvailable()
+      in2.addData(DriftEvent("m", 4 * DayUs, 0, 1L))
+      val e2 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+        in2.addData(DriftEvent("m", 5 * DayUs, 0, 1L))
+        q2.processAllAvailable()
+      }
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ chain(t.getCause)
+      assert(chain(e2).exists(_.contains("all-zero")),
+        s"want the diagnosable zero-mass refusal, got ${chain(e2)}")
+    } finally q2.stop()
+  }
 }

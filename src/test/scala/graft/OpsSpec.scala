@@ -2082,4 +2082,42 @@ class OpsSpec extends AnyFunSuite {
     assert(strict.subsetOf(default),
       s"strict target invented candidates: ${strict -- default}")
   }
+
+  test("minhashDedupKeepTuned: one argument drives bands AND threshold " +
+      "in lockstep") {
+    import graft.ops.DedupOps
+    import spark.implicits._
+    // three exact-duplicate clusters + distinct tails: survives any
+    // threshold; plus a moderately-similar pair that a 0.8 verify must
+    // reject even when its LSH bucket catches it
+    val docs = (0L until 30L).map { i =>
+      val cluster = i % 3
+      if (i < 9) (i, s"alpha bravo charlie delta echo cluster$cluster " +
+        s"golf hotel india juliet kilo lima")
+      else (i, s"alpha bravo unique$i words$i tail$i more$i stuff$i")
+    }.toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Boolean)] =
+      df.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    // target 0.5: identical to the hard-defaulted pipeline, row-for-row
+    assert(rows(DedupOps.minhashDedupKeepTuned(docs, 500)) ==
+      rows(DedupOps.minhashDedupKeep(docs)))
+    // target 0.8: equals spelling BOTH knobs by hand — bands from the
+    // tuner's (8, 8) split, threshold 0.8
+    assert(DedupOps.chooseBandPlan(64, 800) == ((8, 8)))
+    assert(rows(DedupOps.minhashDedupKeepTuned(docs, 800)) ==
+      rows(DedupOps.minhashDedupKeep(docs, bands = 8, threshold = 0.8)))
+    // the exact-duplicate clusters still collapse at 0.8 (j = 1.0)
+    val t800 = DedupOps.minhashDedupKeepTuned(docs, 800)
+    assert(t800.filter(!col("is_kept")).count() >= 6L,
+      "exact-duplicate clusters must still deduplicate at target 0.8")
+    // KeepBest variant: same lockstep contract
+    assert(rows(DedupOps.minhashDedupKeepBestTuned(docs, 800)) ==
+      rows(DedupOps.minhashDedupKeepBest(docs, bands = 8,
+        threshold = 0.8)))
+    intercept[IllegalArgumentException](
+      DedupOps.minhashDedupKeepTuned(docs, 0))
+    intercept[IllegalArgumentException](
+      DedupOps.minhashDedupKeepBestTuned(docs, 1001))
+  }
 }
