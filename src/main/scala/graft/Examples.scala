@@ -204,6 +204,16 @@ object Examples {
       spark.stop()
       return
     }
+    if (args.headOption.contains("soak-tokenize-bert")) {
+      // BERT-apply soak: `runMain graft.Examples soak-tokenize-bert
+      // 1000000` — greedy continuation-prefix inference throughput on
+      // the tokenizer-apply soak corpus (full-coverage vocab, cold
+      // [UNK] path); docs/s must hold the merge-replay soak's order
+      args.lift(1).getOrElse("1000000").split(",").map(_.trim.toLong)
+        .foreach(n => bertTokenizeSoak(spark, n))
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("soak-drift")) {
       // drift-monitor shuffle soak: `runMain graft.Examples soak-drift
       // 10000000,20000000` — n binned events over (1000 series × 20
@@ -727,28 +737,30 @@ object Examples {
       Seq.fill(2 + rnd.nextInt(11))(('a' + rnd.nextInt(26)).toChar).mkString
     }.distinct
     val vb = spark.sparkContext.broadcast(vocab.toIndexedSeq)
-    // Zipf rank via the id bits: doc d holds 8 words, word w_j drawn
-    // rank ~ (hash mod V^(j mod 3 tiers)) — cheap, deterministic, and
-    // head-heavy like real corpora
+    // Zipf-ish rank: square a uniform to concentrate mass at low ranks
+    // while keeping FULL tail support (the tokenizeSoak sampler) — a
+    // 1/(r·(r+1)) head would leave the observed dictionary thousands of
+    // words small and the trainer exhausts it before nMerges
     val docs = spark.range(nDocs).as[Long].mapPartitions { it =>
       val v = vb.value
       val sz = v.size
       it.map { id =>
         val r = new scala.util.Random(id * 2654435761L)
         val words = (0 until 8).map { _ =>
-          // Zipf-ish: rank = sz / (1 + uniform(sz)) keeps the head hot
-          val u = r.nextInt(sz) + 1
-          v((sz / u - 1) % sz)
+          val u = r.nextDouble()
+          v(math.min(sz - 1, (u * u * sz).toInt))
         }
         (id, words.mkString(" "))
       }
     }.toDF("doc_id", "text")
+    val observed = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").distinct().count()
     val t0 = System.nanoTime()
     val res = graft.ops.BpeOps.trainWordpieceChained(docs, nMerges,
       topK = topK)
     val sec = (System.nanoTime() - t0) / 1e9
     val red = res.merges.size.toDouble / res.rounds
-    println(f"""{"example":"wordpiece_chained_probe","docs":$nDocs,"vocab":${vocab.size},"merges":${res.merges.size},"topK":$topK,"rounds":${res.rounds},"round_reduction":$red%.2f,"nbr_overflow_rounds":${res.nbrOverflowRounds},"sec":$sec%.1f}""")
+    println(f"""{"example":"wordpiece_chained_probe","docs":$nDocs,"vocab_pool":${vocab.size},"distinct_words":$observed,"merges":${res.merges.size},"topK":$topK,"rounds":${res.rounds},"round_reduction":$red%.2f,"nbr_overflow_rounds":${res.nbrOverflowRounds},"sec":$sec%.1f}""")
   }
 
   /** Sampled-round training soak: the [[trainSoak]] corpus at fixed n,
@@ -1117,6 +1129,51 @@ object Examples {
     val sec = (System.nanoTime() - t0) / 1e9
     val tokRows = graft.ops.BpeOps.tokenize(docs, merges).count()
     println(f"""{"example":"tokenize_soak","docs":$nDocs,"merges":${merges.size},"distinct_words":$distinctWords,"token_rows":$tokRows,"tokens_per_doc":${tokRows.toDouble / nDocs}%.1f,"sec":$sec%.3f,"docs_per_sec":${nDocs / sec}%.0f,"tokens_per_sec":${tokRows / sec}%.0f}""")
+  }
+
+  /** BERT-convention WordPiece apply soak: the [[tokenizeSoak]] corpus
+    * and Zipf accounting pointed at
+    * [[graft.ops.BpeOps.wordpieceTokenizeBert]] — greedy runs once per
+    * DISTINCT word against the broadcast prefix-form vocabulary, corpus
+    * rows pay only the word equi-join, so docs/s must hold at the
+    * merge-replay soak's order of magnitude. Vocabulary = [UNK] + the
+    * corpus hex alphabet (bare + ## forms) + the trained-merge
+    * concatenations (bare + ## forms) — full coverage, so the [UNK]
+    * path stays cold and the greedy scan does real work on every
+    * word. */
+  private def bertTokenizeSoak(spark: SparkSession, nDocs: Long): Unit = {
+    import spark.implicits._
+    val pool = math.max(nDocs / 100, 1000L)
+    def docs = spark.range(nDocs).toDF("doc_id")
+      .withColumn("text", concat_ws(" ", (0 until 20).map { i =>
+        val u = pmod(xxhash64(col("doc_id") + lit(i.toLong << 40)),
+          lit(1000000L)) / 1000000.0
+        hex(xxhash64((u * u * pool).cast("long") + lit(1L << 62)))
+      }: _*))
+    val merges = graft.ops.BpeOps.trainBatched(
+      docs.limit((nDocs / 100).toInt), 48).merges
+    val singles = ("0123456789ABCDEF").map(_.toString)
+    val concats = merges.map { case (l, r) => (l + r).stripSuffix("</w>") }
+      .filter(_.nonEmpty)
+    val vocab = (Seq(graft.ops.BpeOps.WpBertUnk) ++
+      singles ++ singles.map("##" + _) ++
+      concats.flatMap(c => Seq(c, "##" + c))).distinct
+    // warm codegen on 1%
+    graft.ops.BpeOps.wordpieceTokenizeBert(
+        docs.limit((nDocs / 100).toInt), vocab)
+      .write.format("noop").mode("overwrite").save()
+    val distinctWords = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").distinct().count()
+    val t0 = System.nanoTime()
+    graft.ops.BpeOps.wordpieceTokenizeBert(docs, vocab)
+      .write.format("noop").mode("overwrite").save()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val agg = graft.ops.BpeOps.wordpieceTokenizeBert(docs, vocab)
+      .agg(count(lit(1)), sum((col("token") ===
+        graft.ops.BpeOps.WpBertUnk).cast("long"))).head()
+    val (tokRows, unkRows) = (agg.getLong(0), agg.getLong(1))
+    println(f"""{"example":"bert_tokenize_soak","docs":$nDocs,"vocab":${vocab.size},"distinct_words":$distinctWords,"token_rows":$tokRows,"unk_rows":$unkRows,"tokens_per_doc":${tokRows.toDouble / nDocs}%.1f,"sec":$sec%.3f,"docs_per_sec":${nDocs / sec}%.0f,"tokens_per_sec":${tokRows / sec}%.0f}""")
   }
 
   /** Streaming-funnel state soak: the eviction-bound claim
