@@ -1152,12 +1152,8 @@ object Examples {
       }: _*))
     val merges = graft.ops.BpeOps.trainBatched(
       docs.limit((nDocs / 100).toInt), 48).merges
-    val singles = ("0123456789ABCDEF").map(_.toString)
-    val concats = merges.map { case (l, r) => (l + r).stripSuffix("</w>") }
-      .filter(_.nonEmpty)
-    val vocab = (Seq(graft.ops.BpeOps.WpBertUnk) ++
-      singles ++ singles.map("##" + _) ++
-      concats.flatMap(c => Seq(c, "##" + c))).distinct
+    val vocab = graft.ops.BpeOps.bertVocabFromMerges(merges,
+      "0123456789ABCDEF".map(_.toString))
     // warm codegen on 1%
     graft.ops.BpeOps.wordpieceTokenizeBert(
         docs.limit((nDocs / 100).toInt), vocab)

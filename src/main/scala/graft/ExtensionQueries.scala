@@ -165,14 +165,8 @@ object ExtensionQueries {
   // Words containing characters OUTSIDE this coverage (digits,
   // punctuation) collapse to [UNK], deliberately exercising the
   // unknown-word policy in the oracle-checked path.
-  private val bertVocab: Seq[String] = {
-    val singles = ('a' to 'z').map(_.toString)
-    val concats = Seq("qu", "in", "fi", "bi", "big", "fil", "ind",
-      "wind", "jo", "join", "lin", "ow", "window", "mn", "umn", "lumn",
-      "olumn", "column", "up", "oup", "dup", "cu", "lu", "low")
-    (Seq(BpeOps.WpBertUnk) ++ singles ++ singles.map("##" + _) ++
-      concats.flatMap(c => Seq(c, "##" + c))).distinct
-  }
+  private val bertVocab: Seq[String] =
+    BpeOps.bertVocabFromMerges(wpMerges, ('a' to 'z').map(_.toString))
   // BERT long-word policy bound for the exhibit: words longer than this
   // become one [UNK] (the engine's loud WpMaxWordLen refusal does NOT
   // apply in BERT mode); the oracle's layer count is

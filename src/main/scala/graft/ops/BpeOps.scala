@@ -1504,6 +1504,48 @@ object BpeOps {
       .select("doc_id", "pos", "token", "token_id")
   }
 
+  /** Convert a trained end-marker merge list into a BERT prefix-form
+    * vocabulary: `[UNK]` first (id 0), the alphabet bare and
+    * `##`-prefixed, then each merge concatenation (end mark stripped)
+    * in both forms, in merge order. This is a CONVENTION conversion,
+    * not a semantic identity — the `</w>` form marks word ENDS while
+    * `##` marks word CONTINUATIONS, so the two tokenizers segment
+    * boundary-straddling vocabularies differently (pinned in BpeSpec);
+    * the converted vocabulary is the standard artifact for serving a
+    * graft-trained tokenizer through BERT-convention infrastructure. */
+  def bertVocabFromMerges(merges: Seq[(String, String)],
+      alphabet: Seq[String], endMark: String = "</w>",
+      unk: String = WpBertUnk): Seq[String] = {
+    require(alphabet.nonEmpty, "bertVocabFromMerges needs an alphabet")
+    val singles = alphabet.filterNot(_ == endMark)
+    val concats = merges.map { case (l, r) => (l + r).stripSuffix(endMark) }
+      .filter(_.nonEmpty)
+    require(!concats.exists(_.contains(endMark)),
+      s"merge concatenation holds a non-terminal '$endMark' — not a " +
+        "wordDict-trained merge list")
+    (Seq(unk) ++ singles ++ singles.map("##" + _) ++
+      concats.flatMap(c => Seq(c, "##" + c))).distinct
+  }
+
+  /** Write a vocabulary as a production `vocab.txt` (one piece per
+    * line, ids = line order) — the [[readBertVocab]] inverse, same
+    * loud contracts (no blank or duplicate lines can ever be read
+    * back, so they cannot be written). */
+  def writeBertVocab(spark: org.apache.spark.sql.SparkSession,
+      vocab: Seq[String], path: String): Unit = {
+    require(vocab.nonEmpty, "refusing to write an empty vocabulary")
+    require(!vocab.exists(p => p.isEmpty || p.contains('\n') ||
+        p.contains('\r')),
+      "vocabulary pieces must be non-empty and newline-free")
+    require(vocab.distinct.size == vocab.size,
+      "duplicate pieces in the vocabulary")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write((vocab.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
   /** Load a BERT `vocab.txt` (one piece per line, ids = line order)
     * driver-side — the vocabulary is model-sized and gets broadcast, so
     * a distributed read would be the wrong scale call. Fails loudly on

@@ -772,6 +772,40 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("bertVocabFromMerges + writeBertVocab: train in-engine, serve in " +
+      "the BERT convention") {
+    // trained </w> merges -> prefix-form vocab: [UNK] id 0, alphabet
+    // bare + ##, concatenations (end mark stripped) in merge order
+    val merges = Seq(("l", "o"), ("lo", "w"), ("e", "r"),
+      ("low", "</w>"), ("er", "</w>"))
+    val vocab = BpeOps.bertVocabFromMerges(merges, Seq("l", "o", "w",
+      "e", "r"))
+    assert(vocab.head == "[UNK]")
+    assert(vocab.containsSlice(Seq("lo", "##lo", "low", "##low", "er",
+      "##er")))
+    // stripSuffix-only: ("low","</w>") and ("lo","w") both yield low —
+    // distinct keeps ONE id per piece
+    assert(vocab.distinct == vocab)
+    // round-trip through the production vocab.txt artifact
+    val f = java.io.File.createTempFile("graft-bert-roundtrip", ".txt")
+    f.deleteOnExit()
+    BpeOps.writeBertVocab(spark, vocab, f.getAbsolutePath)
+    assert(BpeOps.readBertVocab(spark, f.getAbsolutePath) == vocab,
+      "write -> read must be identity (ids are line order)")
+    // the converted vocabulary drives greedy inference end to end:
+    // 'lower' segments lo·w·er-ish under longest-match — 'low' matches
+    // bare, then continuation pieces
+    val docs = Seq((0L, "low lower")).toDF("doc_id", "text")
+    val toks = BpeOps.wordpieceTokenizeBert(docs, vocab)
+      .orderBy("pos").collect().map(_.getString(2)).toSeq
+    assert(toks == Seq("low", "low", "##er"), s"got $toks")
+    // writer refuses what the reader would refuse
+    intercept[IllegalArgumentException](
+      BpeOps.writeBertVocab(spark, Seq("a", "a"), f.getAbsolutePath))
+    intercept[IllegalArgumentException](
+      BpeOps.writeBertVocab(spark, Seq("a", "b\nc"), f.getAbsolutePath))
+  }
+
   test("trainWordpieceApprox: accepted concatenations are collision-free " +
       "(gate (c) on the approx tier)") {
     for (seed <- Seq(7, 19, 43)) {
