@@ -167,6 +167,22 @@ object ExtensionQueries {
   // unknown-word policy in the oracle-checked path.
   private val bertVocab: Seq[String] =
     BpeOps.bertVocabFromMerges(wpMerges, ('a' to 'z').map(_.toString))
+  // Vocabulary for the BasicTokenizer exhibit: alphabet + digits + the
+  // punctuation the decoration introduces — '&' is DELIBERATELY absent
+  // so the [UNK] path stays hot inside the oracle-checked output.
+  private val bertBasicVocab: Seq[String] =
+    BpeOps.bertVocabFromMerges(wpMerges,
+      (('a' to 'z') ++ ('0' to '9')).map(_.toString) ++
+        Seq("(", ")", ":", ",", "!"))
+  // Deterministic text decoration for the BasicTokenizer exhibit: the
+  // fixture corpus is all-lowercase with no punctuation or digits, so
+  // the cleaner would be a no-op on it — the decoration (case, digits,
+  // punctuation, an out-of-vocab '&') makes the operator do real work
+  // under the hash check. Applied IDENTICALLY on both sides.
+  private val bertBasicDecoSql =
+    "'Doc ' || CAST(doc_id AS VARCHAR) || ': ' || " +
+      "upper(substr(text, 1, 1)) || substr(text, 2) || " +
+      "' (tags: spark,fast) & 42!'"
   // BERT long-word policy bound for the exhibit: words longer than this
   // become one [UNK] (the engine's loud WpMaxWordLen refusal does NOT
   // apply in BERT mode); the oracle's layer count is
@@ -739,6 +755,22 @@ object ExtensionQueries {
       BpeOps.wordpieceTokenizeBert(Tables.documents(s, dir), bertVocab,
           maxWordChars = bertMaxWordChars)
         .orderBy("doc_id", "pos")
+    },
+    // BERT BasicTokenizer -> WordPiece chain: control-char cleaning,
+    // CJK padding, lowercasing, and per-character punctuation splitting
+    // BEFORE the greedy apply — real BERT tokenization is basic +
+    // wordpiece, and the cleaner runs as a codegen'd regexp_replace
+    // chain (no UDF). The corpus is decorated deterministically on
+    // both sides (see bertBasicDecoSql) so the cleaner does real work
+    // under the hash check; '&' stays out-of-vocab -> [UNK]
+    "wordpiece_tokenize_bert_basic" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        BpeOps.bertBasicClean(concat(lit("Doc "),
+          col("doc_id").cast("string"), lit(": "),
+          upper(substring(col("text"), 1, 1)), expr("substring(text, 2)"),
+          lit(" (tags: spark,fast) & 42!"))).as("text"))
+      BpeOps.wordpieceTokenizeBert(docs, bertBasicVocab,
+        maxWordChars = bertMaxWordChars).orderBy("doc_id", "pos")
     },
     // Tokenizer fertility report: tokens-per-character by language from
     // the REAL frozen tokenizer's output — the evaluation every
@@ -3259,6 +3291,10 @@ object ExtensionQueries {
       maxWordCp = wpCorpusMaxWordCp),
     "wordpiece_tokenize_bert" -> BpeOps.wordpieceTokenizeBertSql(bertVocab,
       maxWordChars = bertMaxWordChars, maxWordCp = wpCorpusMaxWordCp),
+    "wordpiece_tokenize_bert_basic" -> BpeOps.wordpieceTokenizeBertSql(
+      bertBasicVocab, maxWordChars = bertMaxWordChars,
+      maxWordCp = wpCorpusMaxWordCp,
+      textSql = BpeOps.bertBasicCleanSql(bertBasicDecoSql)),
     "bpe_tokenize_bytes" -> BpeOps.tokenizeBytesSql(bpeByteMerges),
     "warc_read" ->
       """SELECT 'https://example.org/doc/' || doc_id AS url,

@@ -1504,6 +1504,48 @@ object BpeOps {
       .select("doc_id", "pos", "token", "token_id")
   }
 
+  /** BERT BasicTokenizer ranges, ONE definition rendered for both
+    * engines (the Axis.sqlExpr discipline): control chars (cleaned to
+    * space — this also removes the chr(31) oracle-separator hazard
+    * from arbitrary text), the full ASCII punctuation/symbol ranges
+    * (each split into its own token, BERT's `_run_split_on_punc` over
+    * the ranges its `_is_punctuation` hardcodes), and the CJK
+    * ideograph blocks (each character its own token). ASCII-range and
+    * explicit-codepoint classes only — no \p{} category classes, whose
+    * Unicode tables could drift between Java regex and RE2. */
+  private val BertCjkClass = Seq((0x4e00, 0x9fff), (0x3400, 0x4dbf),
+    (0xf900, 0xfaff), (0x20000, 0x2a6df))
+
+  /** BERT BasicTokenizer as a codegen'd Column chain: control chars →
+    * space, CJK ideographs space-padded, optional lowercase, ASCII
+    * punctuation space-padded. The output feeds the standard
+    * space-split word path ([[wordpieceTokenizeBert]] and the oracle's
+    * `pw` CTE both filter empty tokens, so runs of spaces are free).
+    * Accent stripping is NOT performed — that is the BERT *uncased*
+    * model's extra NFD pass; this is the cased-model cleaner with
+    * lowercase as the option the reference exposes. */
+  def bertBasicClean(text: Column, lowerCase: Boolean = true): Column = {
+    val noCtl = regexp_replace(text, "[\\x00-\\x1f\\x7f]", " ")
+    val cjk = BertCjkClass.map { case (a, b) =>
+      f"\\x{$a%x}-\\x{$b%x}" }.mkString
+    val cjkPad = regexp_replace(noCtl, s"([$cjk])", " $1 ")
+    val lowered = if (lowerCase) lower(cjkPad) else cjkPad
+    regexp_replace(lowered, "([!-/:-@\\[-`{-~])", " $1 ")
+  }
+
+  /** DuckDB twin of [[bertBasicClean]] over a text expression — the
+    * same three regex passes in RE2 syntax with the 'g' flag (DuckDB
+    * regexp_replace replaces only the first match by default). */
+  def bertBasicCleanSql(textExpr: String,
+      lowerCase: Boolean = true): String = {
+    val cjk = BertCjkClass.map { case (a, b) =>
+      f"\\x{$a%x}-\\x{$b%x}" }.mkString
+    val noCtl = s"regexp_replace($textExpr, '[\\x00-\\x1f\\x7f]', ' ', 'g')"
+    val cjkPad = s"regexp_replace($noCtl, '([$cjk])', ' \\1 ', 'g')"
+    val lowered = if (lowerCase) s"lower($cjkPad)" else cjkPad
+    s"regexp_replace($lowered, '([!-/:-@[-`{-~])', ' \\1 ', 'g')"
+  }
+
   /** Convert a trained end-marker merge list into a BERT prefix-form
     * vocabulary: `[UNK]` first (id 0), the alphabet bare and
     * `##`-prefixed, then each merge concatenation (end mark stripped)
@@ -1581,7 +1623,8 @@ object BpeOps {
     * vocabulary's file order, emitted as a VALUES relation. */
   def wordpieceTokenizeBertSql(vocab: Seq[String],
       docFilter: String = "TRUE", maxWordChars: Int = 100,
-      maxWordCp: Int = WpMaxWordLen, unk: String = WpBertUnk): String = {
+      maxWordCp: Int = WpMaxWordLen, unk: String = WpBertUnk,
+      textSql: String = "text"): String = {
     require(vocab.nonEmpty, "wordpieceTokenizeBertSql needs a vocabulary")
     require(vocab.distinct.size == vocab.size,
       "duplicate pieces in the vocabulary")
@@ -1612,7 +1655,7 @@ object BpeOps {
     }.mkString(",\n")
     s"""WITH pw AS (
        |  SELECT doc_id, i AS word_pos, words[i + 1] AS word
-       |  FROM (SELECT doc_id, string_split(text, ' ') AS words
+       |  FROM (SELECT doc_id, string_split($textSql, ' ') AS words
        |        FROM documents WHERE $docFilter),
        |       unnest(range(0, len(words))) t(i)
        |  WHERE words[i + 1] <> ''),

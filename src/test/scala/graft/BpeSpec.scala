@@ -806,6 +806,29 @@ class BpeSpec extends AnyFunSuite {
       BpeOps.writeBertVocab(spark, Seq("a", "b\nc"), f.getAbsolutePath))
   }
 
+  test("bertBasicClean: control chars, CJK padding, punctuation split, " +
+      "lowercase — the BasicTokenizer contract") {
+    import org.apache.spark.sql.functions.col
+    def clean(s: String, lc: Boolean = true): Seq[String] =
+      Seq(Tuple1(s)).toDF("t")
+        .select(BpeOps.bertBasicClean(col("t"), lc).as("c"))
+        .collect()(0).getString(0).split(" ").filter(_.nonEmpty).toSeq
+    // case + punctuation: every ASCII punct char its own token
+    assert(clean("Hello, World! (v2.0)") ==
+      Seq("hello", ",", "world", "!", "(", "v2", ".", "0", ")"))
+    // cased mode keeps case, still splits punctuation
+    assert(clean("Hello, World!", lc = false) ==
+      Seq("Hello", ",", "World", "!"))
+    // control chars (incl. the chr(31) oracle separator and tabs)
+    // become spaces BEFORE any downstream contract sees them
+    assert(clean("a\u001fb\tc\u0000d") == Seq("a", "b", "c", "d"))
+    // CJK ideographs: one token per character, latin run untouched
+    assert(clean("abc你好def") == Seq("abc", "你", "好", "def"))
+    // hyphens/underscores are ASCII punct in BERT's ranges
+    assert(clean("state-of-the-art_x") ==
+      Seq("state", "-", "of", "-", "the", "-", "art", "_", "x"))
+  }
+
   test("trainWordpieceApprox: accepted concatenations are collision-free " +
       "(gate (c) on the approx tier)") {
     for (seed <- Seq(7, 19, 43)) {
