@@ -182,7 +182,7 @@ object ExtensionQueries {
   private val bertBasicDecoSql =
     "'Doc ' || CAST(doc_id AS VARCHAR) || ': ' || " +
       "upper(substr(text, 1, 1)) || substr(text, 2) || " +
-      "' (tags: spark,fast) & 42!'"
+      "' (tags: spark,fast) & Café 42!'"
   // BERT long-word policy bound for the exhibit: words longer than this
   // become one [UNK] (the engine's loud WpMaxWordLen refusal does NOT
   // apply in BERT mode); the oracle's layer count is
@@ -768,7 +768,7 @@ object ExtensionQueries {
         BpeOps.bertBasicClean(concat(lit("Doc "),
           col("doc_id").cast("string"), lit(": "),
           upper(substring(col("text"), 1, 1)), expr("substring(text, 2)"),
-          lit(" (tags: spark,fast) & 42!"))).as("text"))
+          lit(" (tags: spark,fast) & Café 42!"))).as("text"))
       BpeOps.wordpieceTokenizeBert(docs, bertBasicVocab,
         maxWordChars = bertMaxWordChars).orderBy("doc_id", "pos")
     },

@@ -1516,20 +1516,44 @@ object BpeOps {
   private val BertCjkClass = Seq((0x4e00, 0x9fff), (0x3400, 0x4dbf),
     (0xf900, 0xfaff), (0x20000, 0x2a6df))
 
+  /** Accent folding for the UNCASED mode (BERT's do_lower_case also
+    * strips accents): precomposed Latin diacritics fold through ONE
+    * `translate` (a 1:1 char map both engines implement identically),
+    * and decomposed inputs are covered by deleting the combining-mark
+    * block U+0300-U+036F after the fold — together this is the
+    * NFD-strip-Mn result for the Latin repertoire; scripts outside the
+    * table pass through unchanged (documented bound, not silent
+    * wrongness — the cased mode touches none of this). */
+  private val BertAccentMap: Seq[(String, Char)] = Seq(
+    "àáâãäåāăą" -> 'a', "èéêëēĕėęě" -> 'e', "ìíîïĩīĭįı" -> 'i',
+    "òóôõöøōŏő" -> 'o', "ùúûüũūŭůűų" -> 'u', "ýÿŷ" -> 'y',
+    "ñńņň" -> 'n', "çćĉċč" -> 'c', "śŝşš" -> 's', "źżž" -> 'z',
+    "ğĝġģ" -> 'g', "ĺļľł" -> 'l', "ŕŗř" -> 'r', "ťţŧ" -> 't',
+    "ďđ" -> 'd', "ĥħ" -> 'h', "ŵ" -> 'w')
+  private val BertAccentFrom = BertAccentMap.map(_._1).mkString
+  private val BertAccentTo =
+    BertAccentMap.map { case (cs, t) => t.toString * cs.length }.mkString
+
   /** BERT BasicTokenizer as a codegen'd Column chain: control chars →
     * space, CJK ideographs space-padded, optional lowercase, ASCII
     * punctuation space-padded. The output feeds the standard
     * space-split word path ([[wordpieceTokenizeBert]] and the oracle's
     * `pw` CTE both filter empty tokens, so runs of spaces are free).
-    * Accent stripping is NOT performed — that is the BERT *uncased*
-    * model's extra NFD pass; this is the cased-model cleaner with
-    * lowercase as the option the reference exposes. */
+    * `lowerCase = true` is BERT's full do_lower_case — lowercase AND
+    * accent folding ([[BertAccentMap]] + combining-mark deletion); the
+    * cased mode performs neither, exactly as the reference ties the
+    * two together. */
   def bertBasicClean(text: Column, lowerCase: Boolean = true): Column = {
     val noCtl = regexp_replace(text, "[\\x00-\\x1f\\x7f]", " ")
     val cjk = BertCjkClass.map { case (a, b) =>
       f"\\x{$a%x}-\\x{$b%x}" }.mkString
     val cjkPad = regexp_replace(noCtl, s"([$cjk])", " $1 ")
-    val lowered = if (lowerCase) lower(cjkPad) else cjkPad
+    val lowered =
+      if (lowerCase)
+        regexp_replace(
+          translate(lower(cjkPad), BertAccentFrom, BertAccentTo),
+          "[\\x{300}-\\x{36f}]", "")
+      else cjkPad
     regexp_replace(lowered, "([!-/:-@\\[-`{-~])", " $1 ")
   }
 
@@ -1542,7 +1566,12 @@ object BpeOps {
       f"\\x{$a%x}-\\x{$b%x}" }.mkString
     val noCtl = s"regexp_replace($textExpr, '[\\x00-\\x1f\\x7f]', ' ', 'g')"
     val cjkPad = s"regexp_replace($noCtl, '([$cjk])', ' \\1 ', 'g')"
-    val lowered = if (lowerCase) s"lower($cjkPad)" else cjkPad
+    val lowered =
+      if (lowerCase)
+        s"regexp_replace(translate(lower($cjkPad), " +
+          s"'$BertAccentFrom', '$BertAccentTo'), " +
+          "'[\\x{300}-\\x{36f}]', '', 'g')"
+      else cjkPad
     s"regexp_replace($lowered, '([!-/:-@[-`{-~])', ' \\1 ', 'g')"
   }
 

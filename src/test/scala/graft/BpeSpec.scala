@@ -827,6 +827,13 @@ class BpeSpec extends AnyFunSuite {
     // hyphens/underscores are ASCII punct in BERT's ranges
     assert(clean("state-of-the-art_x") ==
       Seq("state", "-", "of", "-", "the", "-", "art", "_", "x"))
+    // uncased mode = BERT do_lower_case: lowercase AND accent folding,
+    // precomposed (translate) and decomposed (combining-mark deletion)
+    assert(clean("Café Über naïve ñoño") ==
+      Seq("cafe", "uber", "naive", "nono"))
+    assert(clean("Café") == Seq("cafe"))
+    // cased mode performs neither — accents survive verbatim
+    assert(clean("Café", lc = false) == Seq("Café"))
   }
 
   test("trainWordpieceApprox: accepted concatenations are collision-free " +
