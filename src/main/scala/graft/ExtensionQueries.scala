@@ -167,6 +167,12 @@ object ExtensionQueries {
   // unknown-word policy in the oracle-checked path.
   private val bertVocab: Seq[String] =
     BpeOps.bertVocabFromMerges(wpMerges, ('a' to 'z').map(_.toString))
+  // Vocabulary for the bert_encode exhibit: the BERT checkpoint layout
+  // with the specials FIRST ([PAD]=0, then wrap tokens) so the encode
+  // exhibits the real id contract; the tokenizer and the encoder take
+  // the SAME list, so special ids cannot drift between the two.
+  private val bertEncVocab: Seq[String] =
+    Seq("[PAD]", "[CLS]", "[SEP]") ++ bertVocab
   // Vocabulary for the BasicTokenizer exhibit: alphabet + digits + the
   // punctuation the decoration introduces — '&' is DELIBERATELY absent
   // so the [UNK] path stays hot inside the oracle-checked output.
@@ -755,6 +761,31 @@ object ExtensionQueries {
       BpeOps.wordpieceTokenizeBert(Tables.documents(s, dir), bertVocab,
           maxWordChars = bertMaxWordChars)
         .orderBy("doc_id", "pos")
+    },
+    // Single-sequence BERT ENCODE: [CLS] + truncate-to-254 + [SEP] +
+    // [PAD]-fill to exactly 256 — the fixed-length input_ids contract
+    // fine-tuning feeds; the corpus mixes truncated (long docs) and
+    // padded (short docs) rows, both oracle-replayed
+    "bert_encode" -> { (s, dir) =>
+      val tok = BpeOps.wordpieceTokenizeBert(Tables.documents(s, dir),
+        bertEncVocab, maxWordChars = bertMaxWordChars)
+      BpeOps.bertEncode(tok, bertEncVocab, seqLen = 256).orderBy("doc_id")
+    },
+    // Sentence-PAIR BERT encode: [CLS] A [SEP] B [SEP] + token_type_ids
+    // with BERT's truncate_seq_pair in CLOSED FORM (longer side trims,
+    // ties to B; a short side keeps everything and donates the rest) —
+    // pairs = source-adjacent documents, the cross-encoder/NSP shape
+    "bert_encode_pair" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val tok = BpeOps.wordpieceTokenizeBert(docs, bertEncVocab,
+        maxWordChars = bertMaxWordChars)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("doc_id")
+      val pairs = docs.select(col("doc_id").as("doc_a"),
+          lead(col("doc_id"), 1).over(w).as("doc_b"))
+        .filter(col("doc_b").isNotNull)
+      BpeOps.bertEncodePair(tok, pairs, bertEncVocab, seqLen = 128)
+        .orderBy("doc_a", "doc_b")
     },
     // BERT BasicTokenizer -> WordPiece chain: control-char cleaning,
     // CJK padding, lowercasing, and per-character punctuation splitting
@@ -3295,6 +3326,19 @@ object ExtensionQueries {
       bertBasicVocab, maxWordChars = bertMaxWordChars,
       maxWordCp = wpCorpusMaxWordCp,
       textSql = BpeOps.bertBasicCleanSql(bertBasicDecoSql)),
+    "bert_encode" -> BpeOps.bertEncodeSql(
+      BpeOps.wordpieceTokenizeBertSql(bertEncVocab,
+        maxWordChars = bertMaxWordChars, maxWordCp = wpCorpusMaxWordCp),
+      bertEncVocab, seqLen = 256),
+    "bert_encode_pair" -> BpeOps.bertEncodePairSql(
+      BpeOps.wordpieceTokenizeBertSql(bertEncVocab,
+        maxWordChars = bertMaxWordChars, maxWordCp = wpCorpusMaxWordCp),
+      """SELECT doc_a, doc_b FROM (
+        |  SELECT doc_id AS doc_a,
+        |    lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id)
+        |      AS doc_b
+        |  FROM documents) WHERE doc_b IS NOT NULL""".stripMargin,
+      bertEncVocab, seqLen = 128),
     "bpe_tokenize_bytes" -> BpeOps.tokenizeBytesSql(bpeByteMerges),
     "warc_read" ->
       """SELECT 'https://example.org/doc/' || doc_id AS url,

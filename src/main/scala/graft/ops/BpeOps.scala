@@ -1745,6 +1745,186 @@ object BpeOps {
        |ORDER BY doc_id, pos""".stripMargin
   }
 
+  /** Single-sequence BERT ENCODE over a tokenized relation (doc_id,
+    * pos, token, token_id — the [[wordpieceTokenizeBert]] output): per
+    * document, `[CLS]` + the first seqLen−2 tokens (BERT truncation) +
+    * `[SEP]`, padded with `[PAD]` to exactly seqLen — the
+    * fixed-length input-ids contract every BERT fine-tuning pipeline
+    * feeds. Emits (doc_id, n_tok, n_kept, n_pad, truncated,
+    * input_ids) with input_ids space-joined (the [[tokenizeAndPack]]
+    * id-string convention). Special-token ids are the pieces'
+    * positions in the SAME vocabulary the tokenizer ran with — ids
+    * cannot drift between tokenize and encode. Fully per-row after one
+    * doc-keyed aggregate (map-side combined); nothing corpus-sized
+    * shuffles except the (doc, token) rows already produced by the
+    * tokenizer. */
+  def bertEncode(tok: DataFrame, vocab: Seq[String], seqLen: Int,
+      cls: String = "[CLS]", sep: String = "[SEP]",
+      pad: String = "[PAD]"): DataFrame = {
+    require(seqLen >= 3, s"seqLen must be >= 3, got $seqLen")
+    def idOf(p: String): Long = {
+      val i = vocab.indexOf(p)
+      require(i >= 0, s"vocabulary must contain the special token '$p'")
+      i.toLong
+    }
+    val (clsId, sepId, padId) = (idOf(cls), idOf(sep), idOf(pad))
+    val budget = seqLen - 2
+    tok.groupBy("doc_id").agg(
+        count(lit(1)).as("n_tok"),
+        sum(when(col("pos") <= budget, 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(
+            when(col("pos") <= budget,
+              struct(col("pos"), col("token_id"))))),
+          x => x.getField("token_id").cast("string")), " ").as("__body"))
+      .select(col("doc_id"), col("n_tok"), col("n_kept"),
+        (lit(budget.toLong) - col("n_kept")).as("n_pad"),
+        (col("n_tok") > col("n_kept")).as("truncated"),
+        concat(lit(s"$clsId "), col("__body"), lit(s" $sepId"),
+          expr(s"repeat(' $padId', CAST($budget - n_kept AS INT))"))
+          .as("input_ids"))
+  }
+
+  /** DuckDB twin of [[bertEncode]] — wraps a tokenized relation's SQL
+    * (e.g. [[wordpieceTokenizeBertSql]]) as a CTE and replays the
+    * truncate/wrap/pad arithmetic with the same specials-from-vocab id
+    * lookup. Integer and string building only — no float anywhere. */
+  def bertEncodeSql(tokensSql: String, vocab: Seq[String], seqLen: Int,
+      cls: String = "[CLS]", sep: String = "[SEP]",
+      pad: String = "[PAD]"): String = {
+    require(seqLen >= 3, s"seqLen must be >= 3, got $seqLen")
+    def idOf(p: String): Long = {
+      val i = vocab.indexOf(p)
+      require(i >= 0, s"vocabulary must contain the special token '$p'")
+      i.toLong
+    }
+    val (clsId, sepId, padId) = (idOf(cls), idOf(sep), idOf(pad))
+    val budget = seqLen - 2
+    // the embedded tokensSql is multiline and may contain line-leading
+    // || continuations — it must stay OUT of stripMargin's reach (a
+    // margin strip would eat one pipe and turn string concat into
+    // bitwise or)
+    s"WITH enc_tok AS (\n$tokensSql\n),\n" +
+      s"""enc_agg AS (
+         |  SELECT doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_tok,
+         |    CAST(count(*) FILTER (WHERE pos <= $budget) AS BIGINT)
+         |      AS n_kept,
+         |    string_agg(CAST(token_id AS VARCHAR), ' ' ORDER BY pos)
+         |      FILTER (WHERE pos <= $budget) AS body
+         |  FROM enc_tok GROUP BY 1)
+         |SELECT doc_id, n_tok, n_kept,
+         |  CAST($budget - n_kept AS BIGINT) AS n_pad,
+         |  n_tok > n_kept AS truncated,
+         |  '$clsId ' || body || ' $sepId' ||
+         |    repeat(' $padId', CAST($budget - n_kept AS INTEGER))
+         |    AS input_ids
+         |FROM enc_agg ORDER BY doc_id""".stripMargin
+  }
+
+  /** Sentence-PAIR BERT encode: `[CLS] A [SEP] B [SEP]` padded to
+    * exactly seqLen, with `token_type_ids` (0 over [CLS]+A+[SEP] and
+    * the pads, 1 over B+[SEP]) — the NSP/cross-encoder input contract.
+    * Truncation is BERT's truncate_seq_pair (pop one token from the
+    * LONGER side, ties pop B) in CLOSED FORM — the iterative trim's
+    * fixed point is
+    *   k_a = min(n_a, max(budget − n_b, ⌈budget/2⌉))
+    *   k_b = min(n_b, max(budget − n_a, ⌊budget/2⌋))
+    * with budget = seqLen − 3 (a side shorter than half keeps all its
+    * tokens and donates the remainder; two long sides equalize with
+    * the tie going to A) — integer arithmetic both engines replay
+    * exactly, no loop. `pairs` is (doc_a, doc_b); `tok` is the
+    * tokenized relation both sides join (one tokenize pass, two
+    * model-free equi-joins — nothing corpus-sized beyond the token
+    * rows themselves). */
+  def bertEncodePair(tok: DataFrame, pairs: DataFrame, vocab: Seq[String],
+      seqLen: Int, cls: String = "[CLS]", sep: String = "[SEP]",
+      pad: String = "[PAD]"): DataFrame = {
+    require(seqLen >= 5, s"seqLen must be >= 5, got $seqLen")
+    def idOf(p: String): Long = {
+      val i = vocab.indexOf(p)
+      require(i >= 0, s"vocabulary must contain the special token '$p'")
+      i.toLong
+    }
+    val (clsId, sepId, padId) = (idOf(cls), idOf(sep), idOf(pad))
+    val budget = (seqLen - 3).toLong
+    val perDoc = tok.groupBy("doc_id").agg(
+      count(lit(1)).as("n"),
+      transform(array_sort(collect_list(struct(col("pos"),
+        col("token_id")))), x => x.getField("token_id")).as("ids"))
+    val joined = pairs
+      .join(perDoc.select(col("doc_id").as("doc_a"), col("n").as("n_a"),
+        col("ids").as("ids_a")), Seq("doc_a"))
+      .join(perDoc.select(col("doc_id").as("doc_b"), col("n").as("n_b"),
+        col("ids").as("ids_b")), Seq("doc_b"))
+      .withColumn("k_a", least(col("n_a"),
+        greatest(lit(budget) - col("n_b"), lit((budget + 1L) / 2L))))
+      .withColumn("k_b", least(col("n_b"),
+        greatest(lit(budget) - col("n_a"), lit(budget / 2L))))
+      .withColumn("n_pad", lit(budget) - col("k_a") - col("k_b"))
+    joined.select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+      col("k_a"), col("k_b"),
+      (col("n_a") > col("k_a") || col("n_b") > col("k_b")).as("truncated"),
+      concat(
+        lit(s"$clsId "),
+        array_join(expr("slice(ids_a, 1, CAST(k_a AS INT))"), " "),
+        lit(s" $sepId "),
+        array_join(expr("slice(ids_b, 1, CAST(k_b AS INT))"), " "),
+        lit(s" $sepId"),
+        expr(s"repeat(' $padId', CAST(n_pad AS INT))")).as("input_ids"),
+      concat(lit("0"),
+        expr("repeat(' 0', CAST(k_a + 1 AS INT))"),
+        expr("repeat(' 1', CAST(k_b + 1 AS INT))"),
+        expr("repeat(' 0', CAST(n_pad AS INT))")).as("token_type_ids"))
+  }
+
+  /** DuckDB twin of [[bertEncodePair]]: the tokenized relation and the
+    * pair relation as CTEs (both caller-supplied full SELECTs, kept out
+    * of stripMargin's reach), then the identical closed-form trim and
+    * string assembly. */
+  def bertEncodePairSql(tokensSql: String, pairsSql: String,
+      vocab: Seq[String], seqLen: Int, cls: String = "[CLS]",
+      sep: String = "[SEP]", pad: String = "[PAD]"): String = {
+    require(seqLen >= 5, s"seqLen must be >= 5, got $seqLen")
+    def idOf(p: String): Long = {
+      val i = vocab.indexOf(p)
+      require(i >= 0, s"vocabulary must contain the special token '$p'")
+      i.toLong
+    }
+    val (clsId, sepId, padId) = (idOf(cls), idOf(sep), idOf(pad))
+    val budget = (seqLen - 3).toLong
+    s"WITH enc_tok AS (\n$tokensSql\n),\npairs AS (\n$pairsSql\n),\n" +
+      s"""per_doc AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+         |    list(token_id ORDER BY pos) AS ids
+         |  FROM enc_tok GROUP BY 1),
+         |j AS (
+         |  SELECT p.doc_a, p.doc_b, a.n AS n_a, b.n AS n_b,
+         |    a.ids AS ids_a, b.ids AS ids_b,
+         |    LEAST(a.n, GREATEST($budget - b.n, ${(budget + 1) / 2}))
+         |      AS k_a,
+         |    LEAST(b.n, GREATEST($budget - a.n, ${budget / 2})) AS k_b
+         |  FROM pairs p
+         |  JOIN per_doc a ON a.doc_id = p.doc_a
+         |  JOIN per_doc b ON b.doc_id = p.doc_b)
+         |SELECT doc_a, doc_b, n_a, n_b,
+         |  CAST(k_a AS BIGINT) AS k_a, CAST(k_b AS BIGINT) AS k_b,
+         |  n_a > k_a OR n_b > k_b AS truncated,
+         |  '$clsId ' ||
+         |    array_to_string(list_slice(ids_a, 1, CAST(k_a AS INTEGER)),
+         |      ' ') ||
+         |    ' $sepId ' ||
+         |    array_to_string(list_slice(ids_b, 1, CAST(k_b AS INTEGER)),
+         |      ' ') ||
+         |    ' $sepId' ||
+         |    repeat(' $padId', CAST($budget - k_a - k_b AS INTEGER))
+         |    AS input_ids,
+         |  '0' || repeat(' 0', CAST(k_a + 1 AS INTEGER)) ||
+         |    repeat(' 1', CAST(k_b + 1 AS INTEGER)) ||
+         |    repeat(' 0', CAST($budget - k_a - k_b AS INTEGER))
+         |    AS token_type_ids
+         |FROM j ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** DuckDB twin of [[wordpieceScores]] over the corpus word
     * dictionary (top k, deterministic order) — the round-1 certificate
     * that the likelihood arithmetic agrees cross-engine, the

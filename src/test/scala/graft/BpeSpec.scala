@@ -836,6 +836,67 @@ class BpeSpec extends AnyFunSuite {
     assert(clean("Café", lc = false) == Seq("Café"))
   }
 
+  test("bertEncode: [CLS]/truncate/[SEP]/[PAD] fixed-length contract") {
+    val vocab = Seq("[PAD]", "[CLS]", "[SEP]", "a", "b")
+    // doc 0: 3 tokens (pads), doc 1: 8 tokens (truncates at budget 5)
+    val tok = (Seq((0L, 1L, "a", 3L), (0L, 2L, "b", 4L), (0L, 3L, "a", 3L)) ++
+        (1 to 8).map(p => (1L, p.toLong, "b", 4L)))
+      .toDF("doc_id", "pos", "token", "token_id")
+    val out = BpeOps.bertEncode(tok, vocab, seqLen = 7)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getString(5)))
+    // doc 0: cls(1) a(3) b(4) a(3) sep(2) pad(0) pad(0) — exactly 7 ids
+    assert(out(0) == ((0L, 3L, 3L, 2L, false, "1 3 4 3 2 0 0")))
+    // doc 1: cls + first 5 + sep, no pad, truncated
+    assert(out(1) == ((1L, 8L, 5L, 0L, true, "1 4 4 4 4 4 2")))
+    out.foreach { case (_, _, _, _, _, ids) =>
+      assert(ids.split(" ").length == 7, "every row is exactly seqLen ids")
+    }
+    // specials must be IN the tokenizer's vocabulary — ids cannot drift
+    intercept[IllegalArgumentException](
+      BpeOps.bertEncode(tok, Seq("[PAD]", "[CLS]", "a"), 7))
+    intercept[IllegalArgumentException](BpeOps.bertEncode(tok, vocab, 2))
+  }
+
+  test("bertEncodePair: closed-form truncate_seq_pair + type ids") {
+    // iterative reference: BERT's truncate_seq_pair (pop the longer
+    // side, ties pop B) — the closed form must match its fixed point
+    // on the full small grid
+    def ref(la: Int, lb: Int, budget: Int): (Int, Int) = {
+      var (a, b) = (la, lb)
+      while (a + b > budget) { if (a > b) a -= 1 else b -= 1 }
+      (a, b)
+    }
+    for (budget <- Seq(6, 9); la <- 0 to 14; lb <- 0 to 14) {
+      val ka = math.min(la, math.max(budget - lb, (budget + 1) / 2))
+      val kb = math.min(lb, math.max(budget - la, budget / 2))
+      assert((ka, kb) == ref(la, lb, budget),
+        s"budget=$budget la=$la lb=$lb")
+    }
+    // end to end: doc 0 = [3,4] (kept whole), doc 1 = [4,4,4,4,4]
+    // (trimmed to 4); seqLen 9 -> budget 6, no padding
+    val vocab = Seq("[PAD]", "[CLS]", "[SEP]", "a", "b")
+    val tok = (Seq((0L, 1L, "a", 3L), (0L, 2L, "b", 4L)) ++
+        (1 to 5).map(p => (1L, p.toLong, "b", 4L)))
+      .toDF("doc_id", "pos", "token", "token_id")
+    val pairs = Seq((0L, 1L)).toDF("doc_a", "doc_b")
+    val r = BpeOps.bertEncodePair(tok, pairs, vocab, seqLen = 9)
+      .collect()(0)
+    assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) ==
+      ((2L, 5L, 2L, 4L)))
+    assert(r.getBoolean(6), "B was trimmed -> truncated")
+    assert(r.getString(7) == "1 3 4 2 4 4 4 4 2")
+    assert(r.getString(8) == "0 0 0 0 1 1 1 1 1")
+    assert(r.getString(7).split(" ").length == 9)
+    // padded case: seqLen 12 -> budget 9, both whole, 2 pads, type 0
+    val r2 = BpeOps.bertEncodePair(tok, pairs, vocab, seqLen = 12)
+      .collect()(0)
+    assert(!r2.getBoolean(6))
+    assert(r2.getString(7) == "1 3 4 2 4 4 4 4 4 2 0 0")
+    assert(r2.getString(8) == "0 0 0 0 1 1 1 1 1 1 0 0")
+  }
+
   test("trainWordpieceApprox: accepted concatenations are collision-free " +
       "(gate (c) on the approx tier)") {
     for (seed <- Seq(7, 19, 43)) {
