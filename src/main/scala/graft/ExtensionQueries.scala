@@ -758,7 +758,17 @@ object ExtensionQueries {
     // punctuation — exercise the [UNK] path); token ids are the
     // vocabulary's file order, the id contract BERT checkpoints assume
     "wordpiece_tokenize_bert" -> { (s, dir) =>
-      BpeOps.wordpieceTokenizeBert(Tables.documents(s, dir), bertVocab,
+      // the vocabulary takes the PRODUCTION route — written as a
+      // vocab.txt artifact and loaded back (ids = file order) — so the
+      // oracle certifies the loaded-artifact path end to end, not just
+      // the in-memory list (write->read is identity, so the oracle's
+      // frozen literal stays valid)
+      val vocabPath = java.nio.file.Files
+        .createTempDirectory("graft-bert-vocab")
+        .resolve("vocab.txt").toString
+      BpeOps.writeBertVocab(s, bertVocab, vocabPath)
+      val loaded = BpeOps.readBertVocab(s, vocabPath)
+      BpeOps.wordpieceTokenizeBert(Tables.documents(s, dir), loaded,
           maxWordChars = bertMaxWordChars)
         .orderBy("doc_id", "pos")
     },

@@ -1750,9 +1750,10 @@ object BpeOps {
     * document, `[CLS]` + the first seqLen−2 tokens (BERT truncation) +
     * `[SEP]`, padded with `[PAD]` to exactly seqLen — the
     * fixed-length input-ids contract every BERT fine-tuning pipeline
-    * feeds. Emits (doc_id, n_tok, n_kept, n_pad, truncated,
-    * input_ids) with input_ids space-joined (the [[tokenizeAndPack]]
-    * id-string convention). Special-token ids are the pieces'
+    * feeds. Emits (doc_id, n_tok, n_kept, n_pad, truncated, input_ids,
+    * attention_mask) — ids and mask space-joined (the
+    * [[tokenizeAndPack]] id-string convention); the mask is 1 over
+    * [CLS]+tokens+[SEP] and 0 over the pads. Special-token ids are the pieces'
     * positions in the SAME vocabulary the tokenizer ran with — ids
     * cannot drift between tokenize and encode. Fully per-row after one
     * doc-keyed aggregate (map-side combined); nothing corpus-sized
@@ -1781,7 +1782,10 @@ object BpeOps {
         (col("n_tok") > col("n_kept")).as("truncated"),
         concat(lit(s"$clsId "), col("__body"), lit(s" $sepId"),
           expr(s"repeat(' $padId', CAST($budget - n_kept AS INT))"))
-          .as("input_ids"))
+          .as("input_ids"),
+        concat(lit("1"), expr("repeat(' 1', CAST(n_kept + 1 AS INT))"),
+          expr(s"repeat(' 0', CAST($budget - n_kept AS INT))"))
+          .as("attention_mask"))
   }
 
   /** DuckDB twin of [[bertEncode]] — wraps a tokenized relation's SQL
@@ -1817,13 +1821,17 @@ object BpeOps {
          |  n_tok > n_kept AS truncated,
          |  '$clsId ' || body || ' $sepId' ||
          |    repeat(' $padId', CAST($budget - n_kept AS INTEGER))
-         |    AS input_ids
+         |    AS input_ids,
+         |  '1' || repeat(' 1', CAST(n_kept + 1 AS INTEGER)) ||
+         |    repeat(' 0', CAST($budget - n_kept AS INTEGER))
+         |    AS attention_mask
          |FROM enc_agg ORDER BY doc_id""".stripMargin
   }
 
   /** Sentence-PAIR BERT encode: `[CLS] A [SEP] B [SEP]` padded to
     * exactly seqLen, with `token_type_ids` (0 over [CLS]+A+[SEP] and
-    * the pads, 1 over B+[SEP]) — the NSP/cross-encoder input contract.
+    * the pads, 1 over B+[SEP]) and `attention_mask` (1 over the filled
+    * positions, 0 over pads) — the NSP/cross-encoder input contract.
     * Truncation is BERT's truncate_seq_pair (pop one token from the
     * LONGER side, ties pop B) in CLOSED FORM — the iterative trim's
     * fixed point is
@@ -1874,7 +1882,10 @@ object BpeOps {
       concat(lit("0"),
         expr("repeat(' 0', CAST(k_a + 1 AS INT))"),
         expr("repeat(' 1', CAST(k_b + 1 AS INT))"),
-        expr("repeat(' 0', CAST(n_pad AS INT))")).as("token_type_ids"))
+        expr("repeat(' 0', CAST(n_pad AS INT))")).as("token_type_ids"),
+      concat(lit("1"),
+        expr("repeat(' 1', CAST(k_a + k_b + 2 AS INT))"),
+        expr("repeat(' 0', CAST(n_pad AS INT))")).as("attention_mask"))
   }
 
   /** DuckDB twin of [[bertEncodePair]]: the tokenized relation and the
@@ -1921,7 +1932,10 @@ object BpeOps {
          |  '0' || repeat(' 0', CAST(k_a + 1 AS INTEGER)) ||
          |    repeat(' 1', CAST(k_b + 1 AS INTEGER)) ||
          |    repeat(' 0', CAST($budget - k_a - k_b AS INTEGER))
-         |    AS token_type_ids
+         |    AS token_type_ids,
+         |  '1' || repeat(' 1', CAST(k_a + k_b + 2 AS INTEGER)) ||
+         |    repeat(' 0', CAST($budget - k_a - k_b AS INTEGER))
+         |    AS attention_mask
          |FROM j ORDER BY doc_a, doc_b""".stripMargin
   }
 

@@ -845,13 +845,16 @@ class BpeSpec extends AnyFunSuite {
     val out = BpeOps.bertEncode(tok, vocab, seqLen = 7)
       .orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getBoolean(4), r.getString(5)))
+        r.getBoolean(4), r.getString(5), r.getString(6)))
     // doc 0: cls(1) a(3) b(4) a(3) sep(2) pad(0) pad(0) — exactly 7 ids
-    assert(out(0) == ((0L, 3L, 3L, 2L, false, "1 3 4 3 2 0 0")))
+    assert(out(0) == ((0L, 3L, 3L, 2L, false, "1 3 4 3 2 0 0",
+      "1 1 1 1 1 0 0")))
     // doc 1: cls + first 5 + sep, no pad, truncated
-    assert(out(1) == ((1L, 8L, 5L, 0L, true, "1 4 4 4 4 4 2")))
-    out.foreach { case (_, _, _, _, _, ids) =>
+    assert(out(1) == ((1L, 8L, 5L, 0L, true, "1 4 4 4 4 4 2",
+      "1 1 1 1 1 1 1")))
+    out.foreach { case (_, _, _, _, _, ids, mask) =>
       assert(ids.split(" ").length == 7, "every row is exactly seqLen ids")
+      assert(mask.split(" ").length == 7, "mask is exactly seqLen flags")
     }
     // specials must be IN the tokenizer's vocabulary — ids cannot drift
     intercept[IllegalArgumentException](
@@ -888,13 +891,16 @@ class BpeSpec extends AnyFunSuite {
     assert(r.getBoolean(6), "B was trimmed -> truncated")
     assert(r.getString(7) == "1 3 4 2 4 4 4 4 2")
     assert(r.getString(8) == "0 0 0 0 1 1 1 1 1")
+    assert(r.getString(9) == "1 1 1 1 1 1 1 1 1")
     assert(r.getString(7).split(" ").length == 9)
-    // padded case: seqLen 12 -> budget 9, both whole, 2 pads, type 0
+    // padded case: seqLen 12 -> budget 9, both whole, 2 pads, type 0,
+    // mask 0 over pads
     val r2 = BpeOps.bertEncodePair(tok, pairs, vocab, seqLen = 12)
       .collect()(0)
     assert(!r2.getBoolean(6))
     assert(r2.getString(7) == "1 3 4 2 4 4 4 4 4 2 0 0")
     assert(r2.getString(8) == "0 0 0 0 1 1 1 1 1 1 0 0")
+    assert(r2.getString(9) == "1 1 1 1 1 1 1 1 1 1 0 0")
   }
 
   test("trainWordpieceApprox: accepted concatenations are collision-free " +
