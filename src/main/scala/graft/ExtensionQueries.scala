@@ -189,6 +189,19 @@ object ExtensionQueries {
     "'Doc ' || CAST(doc_id AS VARCHAR) || ': ' || " +
       "upper(substr(text, 1, 1)) || substr(text, 2) || " +
       "' (tags: spark,fast) & Café 42!'"
+  // ONE vocab.txt staging path per JVM for the wordpiece_tokenize_bert
+  // exhibit — repeated correctness/bench runs overwrite the same
+  // artifact instead of leaking a temp dir per invocation; both the
+  // file and its dir are deleteOnExit-registered (dir first: the hook
+  // runs in reverse registration order, so the file goes before the
+  // dir it must leave empty).
+  private lazy val bertVocabPath: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bert-vocab")
+    dir.toFile.deleteOnExit()
+    val f = dir.resolve("vocab.txt")
+    f.toFile.deleteOnExit()
+    f.toString
+  }
   // BERT long-word policy bound for the exhibit: words longer than this
   // become one [UNK] (the engine's loud WpMaxWordLen refusal does NOT
   // apply in BERT mode); the oracle's layer count is
@@ -763,11 +776,8 @@ object ExtensionQueries {
       // oracle certifies the loaded-artifact path end to end, not just
       // the in-memory list (write->read is identity, so the oracle's
       // frozen literal stays valid)
-      val vocabPath = java.nio.file.Files
-        .createTempDirectory("graft-bert-vocab")
-        .resolve("vocab.txt").toString
-      BpeOps.writeBertVocab(s, bertVocab, vocabPath)
-      val loaded = BpeOps.readBertVocab(s, vocabPath)
+      BpeOps.writeBertVocab(s, bertVocab, bertVocabPath)
+      val loaded = BpeOps.readBertVocab(s, bertVocabPath)
       BpeOps.wordpieceTokenizeBert(Tables.documents(s, dir), loaded,
           maxWordChars = bertMaxWordChars)
         .orderBy("doc_id", "pos")
@@ -777,9 +787,17 @@ object ExtensionQueries {
     // fine-tuning feeds; the corpus mixes truncated (long docs) and
     // padded (short docs) rows, both oracle-replayed
     "bert_encode" -> { (s, dir) =>
-      val tok = BpeOps.wordpieceTokenizeBert(Tables.documents(s, dir),
+      // the corpus plus ONE synthetic token-less document (doc -1,
+      // empty text): the encode contract emits the [CLS][SEP]+pads row
+      // for it via the docs left-join, so output row count matches the
+      // corpus — the silently-dropped-row gap is oracle-covered
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .unionByName(s.range(1).select(lit(-1L).as("doc_id"),
+          lit("").as("text")))
+      val tok = BpeOps.wordpieceTokenizeBert(docs,
         bertEncVocab, maxWordChars = bertMaxWordChars)
-      BpeOps.bertEncode(tok, bertEncVocab, seqLen = 256).orderBy("doc_id")
+      BpeOps.bertEncode(tok, bertEncVocab, seqLen = 256,
+        docs = Some(docs)).orderBy("doc_id")
     },
     // Sentence-PAIR BERT encode: [CLS] A [SEP] B [SEP] + token_type_ids
     // with BERT's truncate_seq_pair in CLOSED FORM (longer side trims,
@@ -3338,8 +3356,11 @@ object ExtensionQueries {
       textSql = BpeOps.bertBasicCleanSql(bertBasicDecoSql)),
     "bert_encode" -> BpeOps.bertEncodeSql(
       BpeOps.wordpieceTokenizeBertSql(bertEncVocab,
-        maxWordChars = bertMaxWordChars, maxWordCp = wpCorpusMaxWordCp),
-      bertEncVocab, seqLen = 256),
+        maxWordChars = bertMaxWordChars, maxWordCp = wpCorpusMaxWordCp,
+        fromSql =
+          "(SELECT doc_id, text FROM documents UNION ALL SELECT -1, '') u"),
+      bertEncVocab, seqLen = 256,
+      docsSql = Some("SELECT doc_id FROM documents UNION ALL SELECT -1")),
     "bert_encode_pair" -> BpeOps.bertEncodePairSql(
       BpeOps.wordpieceTokenizeBertSql(bertEncVocab,
         maxWordChars = bertMaxWordChars, maxWordCp = wpCorpusMaxWordCp),

@@ -1648,19 +1648,26 @@ object BpeOps {
     * corpus's measured max word length — it bounds the layer count
     * independently of `maxWordChars`, and the bound is SELF-CHECKING: a
     * word still unfinished (but never stuck) after the last layer
-    * raises error() instead of silently vanishing. Token ids are the
-    * vocabulary's file order, emitted as a VALUES relation. */
+    * raises error() instead of silently vanishing. `maxWordCp = 0` (the
+    * default) means `maxWordChars`, so the DEFAULT oracle covers the
+    * same word lengths as the default engine — callers pass a smaller
+    * measured bound only to cut layer count. `fromSql` is the document
+    * relation (a table name or a parenthesized subquery; keep it
+    * single-line — a line-leading || would be eaten by stripMargin).
+    * Token ids are the vocabulary's file order, emitted as a VALUES
+    * relation. */
   def wordpieceTokenizeBertSql(vocab: Seq[String],
       docFilter: String = "TRUE", maxWordChars: Int = 100,
-      maxWordCp: Int = WpMaxWordLen, unk: String = WpBertUnk,
-      textSql: String = "text"): String = {
+      maxWordCp: Int = 0, unk: String = WpBertUnk,
+      textSql: String = "text", fromSql: String = "documents"): String = {
     require(vocab.nonEmpty, "wordpieceTokenizeBertSql needs a vocabulary")
     require(vocab.distinct.size == vocab.size,
       "duplicate pieces in the vocabulary")
     require(vocab.contains(unk),
       s"vocabulary must contain the unknown token '$unk'")
-    require(maxWordChars >= 1 && maxWordCp >= 1,
-      s"maxWordChars/maxWordCp must be >= 1: $maxWordChars, $maxWordCp")
+    require(maxWordChars >= 1 && maxWordCp >= 0,
+      s"maxWordChars/maxWordCp must be >= 1 (maxWordCp 0 = maxWordChars):" +
+        s" $maxWordChars, $maxWordCp")
     require(!vocab.exists(p => p.contains('')),
       "vocabulary pieces must not contain the chr(31) separator")
     def q(s: String) = s.replace("'", "''")
@@ -1671,7 +1678,8 @@ object BpeOps {
     // fail the vocab join
     val maxCp = vocab.iterator
       .map(p => p.codePointCount(0, p.length)).max
-    val nLayers = math.min(maxWordChars, maxWordCp)
+    val wordCpBound = if (maxWordCp == 0) maxWordChars else maxWordCp
+    val nLayers = math.min(maxWordChars, wordCpBound)
     val layers = (1 to nLayers).map { k =>
       s"""g$k AS MATERIALIZED (
          |  SELECT word, n, pos, seg FROM g${k - 1} WHERE pos >= n
@@ -1685,7 +1693,7 @@ object BpeOps {
     s"""WITH pw AS (
        |  SELECT doc_id, i AS word_pos, words[i + 1] AS word
        |  FROM (SELECT doc_id, string_split($textSql, ' ') AS words
-       |        FROM documents WHERE $docFilter),
+       |        FROM $fromSql WHERE $docFilter),
        |       unnest(range(0, len(words))) t(i)
        |  WHERE words[i + 1] <> ''),
        |dw AS (SELECT DISTINCT word FROM pw),
@@ -1751,17 +1759,28 @@ object BpeOps {
     * `[SEP]`, padded with `[PAD]` to exactly seqLen — the
     * fixed-length input-ids contract every BERT fine-tuning pipeline
     * feeds. Emits (doc_id, n_tok, n_kept, n_pad, truncated, input_ids,
-    * attention_mask) — ids and mask space-joined (the
-    * [[tokenizeAndPack]] id-string convention); the mask is 1 over
-    * [CLS]+tokens+[SEP] and 0 over the pads. Special-token ids are the pieces'
-    * positions in the SAME vocabulary the tokenizer ran with — ids
-    * cannot drift between tokenize and encode. Fully per-row after one
-    * doc-keyed aggregate (map-side combined); nothing corpus-sized
-    * shuffles except the (doc, token) rows already produced by the
-    * tokenizer. */
+    * token_type_ids, attention_mask) — the full HF input triple, ids
+    * and masks space-joined (the [[tokenizeAndPack]] id-string
+    * convention); the mask is 1 over [CLS]+tokens+[SEP] and 0 over the
+    * pads, and `token_type_ids` is all-zeros (single sequence — the
+    * pair variant [[bertEncodePair]] emits the 0/1 split).
+    * Special-token ids are the pieces' positions in the SAME
+    * vocabulary the tokenizer ran with — ids cannot drift between
+    * tokenize and encode.
+    *
+    * `docs`: pass the document relation to ALSO emit rows for
+    * documents that produced zero tokens (empty / all-whitespace text
+    * never reaches `tok`) — they encode as `[CLS] [SEP]` + pads, so
+    * output row count matches the corpus. Without `docs`, token-less
+    * documents are absent from the output (the tok-relation-only
+    * contract). Fully per-row after one doc-keyed aggregate (map-side
+    * combined) plus, with `docs`, one doc-cardinality equi-join;
+    * nothing corpus-sized shuffles except the (doc, token) rows
+    * already produced by the tokenizer. */
   def bertEncode(tok: DataFrame, vocab: Seq[String], seqLen: Int,
       cls: String = "[CLS]", sep: String = "[SEP]",
-      pad: String = "[PAD]"): DataFrame = {
+      pad: String = "[PAD]", docs: Option[DataFrame] = None,
+      idCol: String = "doc_id"): DataFrame = {
     require(seqLen >= 3, s"seqLen must be >= 3, got $seqLen")
     def idOf(p: String): Long = {
       val i = vocab.indexOf(p)
@@ -1770,19 +1789,31 @@ object BpeOps {
     }
     val (clsId, sepId, padId) = (idOf(cls), idOf(sep), idOf(pad))
     val budget = seqLen - 2
-    tok.groupBy("doc_id").agg(
+    val agg = tok.groupBy("doc_id").agg(
         count(lit(1)).as("n_tok"),
         sum(when(col("pos") <= budget, 1L).otherwise(0L)).as("n_kept"),
         array_join(transform(array_sort(collect_list(
             when(col("pos") <= budget,
               struct(col("pos"), col("token_id"))))),
           x => x.getField("token_id").cast("string")), " ").as("__body"))
-      .select(col("doc_id"), col("n_tok"), col("n_kept"),
+    val keyed = docs match {
+      case Some(d) =>
+        d.select(col(idCol).as("doc_id")).distinct()
+          .join(agg, Seq("doc_id"), "left")
+          .na.fill(0L, Seq("n_tok", "n_kept"))
+      case None => agg
+    }
+    keyed.select(col("doc_id"), col("n_tok"), col("n_kept"),
         (lit(budget.toLong) - col("n_kept")).as("n_pad"),
         (col("n_tok") > col("n_kept")).as("truncated"),
-        concat(lit(s"$clsId "), col("__body"), lit(s" $sepId"),
-          expr(s"repeat(' $padId', CAST($budget - n_kept AS INT))"))
+        when(col("n_kept") === 0L,
+          concat(lit(s"$clsId $sepId"),
+            expr(s"repeat(' $padId', $budget)")))
+          .otherwise(
+            concat(lit(s"$clsId "), col("__body"), lit(s" $sepId"),
+              expr(s"repeat(' $padId', CAST($budget - n_kept AS INT))")))
           .as("input_ids"),
+        lit("0" + " 0" * (seqLen - 1)).as("token_type_ids"),
         concat(lit("1"), expr("repeat(' 1', CAST(n_kept + 1 AS INT))"),
           expr(s"repeat(' 0', CAST($budget - n_kept AS INT))"))
           .as("attention_mask"))
@@ -1791,10 +1822,13 @@ object BpeOps {
   /** DuckDB twin of [[bertEncode]] — wraps a tokenized relation's SQL
     * (e.g. [[wordpieceTokenizeBertSql]]) as a CTE and replays the
     * truncate/wrap/pad arithmetic with the same specials-from-vocab id
-    * lookup. Integer and string building only — no float anywhere. */
+    * lookup. `docsSql` (a SELECT producing `doc_id`) mirrors the
+    * engine's `docs` left-join so token-less documents emit the
+    * `[CLS] [SEP]`+pads row. Integer and string building only — no
+    * float anywhere. */
   def bertEncodeSql(tokensSql: String, vocab: Seq[String], seqLen: Int,
       cls: String = "[CLS]", sep: String = "[SEP]",
-      pad: String = "[PAD]"): String = {
+      pad: String = "[PAD]", docsSql: Option[String] = None): String = {
     require(seqLen >= 3, s"seqLen must be >= 3, got $seqLen")
     def idOf(p: String): Long = {
       val i = vocab.indexOf(p)
@@ -1803,11 +1837,19 @@ object BpeOps {
     }
     val (clsId, sepId, padId) = (idOf(cls), idOf(sep), idOf(pad))
     val budget = seqLen - 2
-    // the embedded tokensSql is multiline and may contain line-leading
-    // || continuations — it must stay OUT of stripMargin's reach (a
-    // margin strip would eat one pipe and turn string concat into
-    // bitwise or)
-    s"WITH enc_tok AS (\n$tokensSql\n),\n" +
+    // the embedded tokensSql/docsSql are multiline and may contain
+    // line-leading || continuations — they must stay OUT of
+    // stripMargin's reach (a margin strip would eat one pipe and turn
+    // string concat into bitwise or)
+    val docsCte = docsSql.map(d => s"enc_docs AS (\n$d\n),\n").getOrElse("")
+    val allCte =
+      if (docsSql.isDefined)
+        """enc_all AS (
+          |  SELECT d.doc_id, COALESCE(a.n_tok, 0) AS n_tok,
+          |    COALESCE(a.n_kept, 0) AS n_kept, a.body
+          |  FROM enc_docs d LEFT JOIN enc_agg a USING (doc_id))""".stripMargin
+      else "enc_all AS (SELECT doc_id, n_tok, n_kept, body FROM enc_agg)"
+    s"WITH enc_tok AS (\n$tokensSql\n),\n$docsCte" +
       s"""enc_agg AS (
          |  SELECT doc_id,
          |    CAST(count(*) AS BIGINT) AS n_tok,
@@ -1815,17 +1857,21 @@ object BpeOps {
          |      AS n_kept,
          |    string_agg(CAST(token_id AS VARCHAR), ' ' ORDER BY pos)
          |      FILTER (WHERE pos <= $budget) AS body
-         |  FROM enc_tok GROUP BY 1)
+         |  FROM enc_tok GROUP BY 1),
+         |$allCte
          |SELECT doc_id, n_tok, n_kept,
          |  CAST($budget - n_kept AS BIGINT) AS n_pad,
          |  n_tok > n_kept AS truncated,
-         |  '$clsId ' || body || ' $sepId' ||
-         |    repeat(' $padId', CAST($budget - n_kept AS INTEGER))
-         |    AS input_ids,
+         |  CASE WHEN n_kept = 0
+         |    THEN '$clsId $sepId' || repeat(' $padId', $budget)
+         |    ELSE '$clsId ' || body || ' $sepId' ||
+         |      repeat(' $padId', CAST($budget - n_kept AS INTEGER))
+         |  END AS input_ids,
+         |  '0' || repeat(' 0', ${seqLen - 1}) AS token_type_ids,
          |  '1' || repeat(' 1', CAST(n_kept + 1 AS INTEGER)) ||
          |    repeat(' 0', CAST($budget - n_kept AS INTEGER))
          |    AS attention_mask
-         |FROM enc_agg ORDER BY doc_id""".stripMargin
+         |FROM enc_all ORDER BY doc_id""".stripMargin
   }
 
   /** Sentence-PAIR BERT encode: `[CLS] A [SEP] B [SEP]` padded to

@@ -187,10 +187,16 @@ object AvroSource {
     // StaleStagingMaxAgeMs remain the documented limit of this sweep
     // (a concurrent writer would reclaim their staging mid-job).
     val cutoff = System.currentTimeMillis() - StaleStagingMaxAgeMs
+    // the embedded timestamp is trusted only at plausible epoch-millis
+    // widths (12-17 digits = 2001..far future): a LEGACY unstamped dir
+    // whose UUID starts with an all-decimal group would otherwise parse
+    // as an 8-digit "epoch" near 1970 and a LIVE writer's staging would
+    // be swept despite a fresh mtime — exactly the hazard the mtime
+    // fallback exists to cover
     def stagedAtMs(name: String): Option[Long] = {
       val rest = name.stripPrefix(".graft-staging-")
       val ts = rest.takeWhile(_.isDigit)
-      if (ts.nonEmpty && ts.length <= 17 &&
+      if (ts.length >= 12 && ts.length <= 17 &&
           rest.lift(ts.length).contains('-'))
         Some(ts.toLong)
       else None

@@ -225,4 +225,28 @@ class AvroSpec extends AnyFunSuite {
       "live writer's staging dir must survive despite stale dir mtime")
     assert(Sources.avro(spark, dir).count() == 7L)
   }
+
+  test("legacy staging dir with an all-decimal UUID group is mtime-gated") {
+    // ~2.3% of UUIDs start with 8 decimal digits; that prefix must NOT
+    // be read as an epoch (it would parse as ~1970 and always sweep a
+    // LIVE legacy writer's staging) — widths below plausible
+    // epoch-millis fall back to mtime
+    val dir = tmp()
+    Sources.writeAvro(spark.range(2).toDF("id"), dir)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    val legacy = new org.apache.hadoop.fs.Path(dir,
+      ".graft-staging-12345678-ab12-4cd3-8ef4-567890abcdef")
+    fs.mkdirs(legacy) // fresh mtime = a live legacy-format writer
+    Sources.writeAvro(spark.range(3).toDF("id"), dir, mode = "overwrite")
+    assert(fs.exists(legacy),
+      "all-decimal UUID group must not parse as a 1970 epoch and sweep " +
+        "a live legacy staging dir")
+    val old = System.currentTimeMillis() -
+      graft.sources.avro.AvroSource.StaleStagingMaxAgeMs - 60000L
+    fs.setTimes(legacy, old, old)
+    Sources.writeAvro(spark.range(4).toDF("id"), dir, mode = "overwrite")
+    assert(!fs.exists(legacy),
+      "aged-out legacy staging dir must still be swept by mtime")
+  }
 }

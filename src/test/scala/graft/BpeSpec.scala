@@ -845,21 +845,38 @@ class BpeSpec extends AnyFunSuite {
     val out = BpeOps.bertEncode(tok, vocab, seqLen = 7)
       .orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getBoolean(4), r.getString(5), r.getString(6)))
+        r.getBoolean(4), r.getString(5), r.getString(6), r.getString(7)))
     // doc 0: cls(1) a(3) b(4) a(3) sep(2) pad(0) pad(0) — exactly 7 ids
     assert(out(0) == ((0L, 3L, 3L, 2L, false, "1 3 4 3 2 0 0",
-      "1 1 1 1 1 0 0")))
+      "0 0 0 0 0 0 0", "1 1 1 1 1 0 0")))
     // doc 1: cls + first 5 + sep, no pad, truncated
     assert(out(1) == ((1L, 8L, 5L, 0L, true, "1 4 4 4 4 4 2",
-      "1 1 1 1 1 1 1")))
-    out.foreach { case (_, _, _, _, _, ids, mask) =>
+      "0 0 0 0 0 0 0", "1 1 1 1 1 1 1")))
+    out.foreach { case (_, _, _, _, _, ids, types, mask) =>
       assert(ids.split(" ").length == 7, "every row is exactly seqLen ids")
+      assert(types.split(" ").forall(_ == "0"),
+        "single-sequence token_type_ids are all zeros")
+      assert(types.split(" ").length == 7, "types are exactly seqLen flags")
       assert(mask.split(" ").length == 7, "mask is exactly seqLen flags")
     }
     // specials must be IN the tokenizer's vocabulary — ids cannot drift
     intercept[IllegalArgumentException](
       BpeOps.bertEncode(tok, Seq("[PAD]", "[CLS]", "a"), 7))
     intercept[IllegalArgumentException](BpeOps.bertEncode(tok, vocab, 2))
+    // token-less documents: absent without `docs` (the tok-only
+    // contract), emitted as [CLS][SEP]+pads with it — row count
+    // matches the corpus
+    val docs = Seq((0L, "x"), (1L, "x"), (2L, "")).toDF("doc_id", "text")
+    assert(BpeOps.bertEncode(tok, vocab, 7).count() == 2L)
+    val withEmpty = BpeOps.bertEncode(tok, vocab, 7, docs = Some(docs))
+      .orderBy("doc_id").collect()
+    assert(withEmpty.length == 3)
+    val empty = withEmpty(2)
+    assert((empty.getLong(0), empty.getLong(1), empty.getLong(2),
+      empty.getLong(3), empty.getBoolean(4)) == ((2L, 0L, 0L, 5L, false)))
+    assert(empty.getString(5) == "1 2 0 0 0 0 0",
+      "token-less doc encodes as [CLS] [SEP] + pads")
+    assert(empty.getString(7) == "1 1 0 0 0 0 0")
   }
 
   test("bertEncodePair: closed-form truncate_seq_pair + type ids") {
