@@ -227,6 +227,16 @@ object Examples {
       spark.stop()
       return
     }
+    if (args.headOption.contains("soak-pack")) {
+      // hot-shard packing soak: `runMain graft.Examples soak-pack
+      // 4000000` — 95%-one-(lang,source) corpus through packTokenIds;
+      // the enforced id_bucket contract must bound the largest window
+      // cell at ~hot/64 while slot totals stay bucket-invariant
+      args.lift(1).getOrElse("4000000").split(",").map(_.trim.toLong)
+        .foreach(n => packSoak(spark, n))
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("wordpiece-chained-probe")) {
       // chained-trainer SCALE probe: `runMain graft.Examples
       // wordpiece-chained-probe 4096,64,1000000,50000` — production-
@@ -1524,6 +1534,54 @@ object Examples {
         .groupBy("src_host", "dst_host").agg(count(lit(1)))
         .count()
     }
+  }
+
+  /** Hot-shard packing soak: 95% of the corpus in ONE (lang, source)
+    * domain — the web-crawl shape where a per-shard window would sort
+    * ~the whole corpus on one reducer (the r6 tokenBudgetMix failure).
+    * Runs [[graft.ops.PipelineOps.packTokenIds]] with the ENFORCED
+    * id_bucket contract and with the explicit opt-out, asserting
+    * (a) slot totals are bucket-invariant (= 9·n: 8 ids + 1 separator
+    * per doc) and (b) the largest window cell is bucket-bounded
+    * (≤ 1.3 × hot/64 — epochShuffleKey is uniform). */
+  private def packSoak(spark: SparkSession, nDocs: Long): Unit = {
+    import graft.ops.PipelineOps
+    val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+      lit("en").as("lang"),
+      when(col("id") % 20L =!= 0L, lit("web"))
+        .otherwise(concat(lit("src"), pmod(col("id") / 20L, lit(19L))))
+        .as("source"),
+      lit("").as("text"))
+    // synthetic tokenizer output: 8 ids/doc, generated on the scan
+    val tok = docs.select(col("doc_id"),
+        explode(sequence(lit(1L), lit(8L))).as("pos"))
+      .withColumn("token_id",
+        pmod(xxhash64(col("doc_id"), col("pos")), lit(30000L)))
+    val hot = nDocs - nDocs / 20L
+    def run(buckets: Int, n: Long): (Double, Long, Long) = {
+      val d = docs.filter(col("doc_id") < n)
+      val t = tok.filter(col("doc_id") < n)
+      val t0 = System.nanoTime()
+      val r = PipelineOps.packTokenIds(d, t, budget = 512L,
+          sepId = 0L, idBuckets = buckets)
+        .agg(sum(col("n_ids")).as("slots"), count(lit(1)).as("seqs"))
+        .head()
+      ((System.nanoTime() - t0) / 1e9, r.getLong(0), r.getLong(1))
+    }
+    // untimed warmup (codegen/JIT) at 1/10 scale, then the timed passes
+    run(64, nDocs / 10); run(1, nDocs / 10)
+    val (secU, slotsU, _) = run(1, nDocs)
+    val (secB, slotsB, seqsB) = run(64, nDocs)
+    require(slotsB == 9L * nDocs && slotsU == slotsB,
+      s"slot totals must be bucket-invariant: $slotsB vs $slotsU")
+    // the largest window cell (docs per (lang, source, id_bucket))
+    val maxCell = docs.groupBy(col("lang"), col("source"),
+        PipelineOps.idBucketCol(col("doc_id"), 64, 42L).as("id_bucket"))
+      .count().agg(max("count")).head().getLong(0)
+    val bound = (hot.toDouble / 64.0 * 1.3).toLong
+    require(maxCell <= bound,
+      s"largest bucketed window cell $maxCell exceeds $bound")
+    println(f"""{"example":"pack_soak","docs":$nDocs,"hot_docs":$hot,"slots":$slotsB,"seqs":$seqsB,"max_cell_bucketed":$maxCell,"cell_bound":$bound,"sec_bucketed":$secB%.1f,"sec_unbucketed":$secU%.1f}""")
   }
 
   private def dedupSoak(spark: SparkSession, nDocs: Long): Unit = {

@@ -118,6 +118,10 @@ object ExtensionQueries {
   // 0.3 yields a nonempty (but sparse) near-dup graph at every SF
   private val semDedupCos = 0.3
   private val packBudget = 512L
+  // bucket count for the packing exhibits: small enough that the
+  // ~500-doc fixture keeps multi-doc cells (the default 64 would
+  // degenerate them to per-doc sequences), same code path as production
+  private val packExhibitBuckets = 4
   // count-min-sketch probe vocabulary: the fixed language-marker tokens
   // (data-independent, so probes are stable across SFs)
   private val cmsProbes: Seq[String] = TextOps.langMarkers.flatMap(_._2).distinct.sorted
@@ -1043,7 +1047,8 @@ object ExtensionQueries {
     // ids (not the n_tok proxy pack_sequences plans with)
     "bpe_tokenize_pack" -> { (s, dir) =>
       BpeOps.tokenizeAndPack(Tables.documents(s, dir), bpeMerges,
-        seqLen = 128L).orderBy("lang", "source", "seq_id")
+          seqLen = 128L, idBuckets = packExhibitBuckets)
+        .orderBy("lang", "source", "id_bucket", "seq_id")
     },
     // Benchmark decontamination: corpus docs sharing 5-grams with a
     // (demo) eval set = the first 10 docs
@@ -2107,10 +2112,30 @@ object ExtensionQueries {
         dim = annDim, nCentroids = ivfCentroids, seed = annSeed)
         .orderBy("vec_id")
     },
-    // Token-budget sequence packing per (lang, source) shard
+    // Token-budget sequence packing per (lang, source, id_bucket)
+    // shard — the hash bucket is the ENFORCED 100 TB contract (no
+    // domain sorts on one reducer); 4 buckets keeps the fixture's
+    // cells meaty while exercising the exact production code path
     "pack_sequences" -> { (s, dir) =>
-      PipelineOps.packSequences(Tables.documents(s, dir), packBudget)
-        .orderBy("lang", "source", "seq_id")
+      PipelineOps.packSequences(Tables.documents(s, dir), packBudget,
+          idBuckets = packExhibitBuckets)
+        .orderBy("lang", "source", "id_bucket", "seq_id")
+    },
+    // PACKED LM TRAINING SAMPLES from REAL token ids — the last mile of
+    // the tokenize->train pipeline (pack_sequences only plans with the
+    // token-count proxy): the BERT wordpiece tokenizer's ids
+    // concat-and-chopped into fixed-128 rows with a [SEP] boundary slot
+    // after every document, per (lang, source, id_bucket) shard;
+    // emits the packed input_ids string plus doc_spans (which in-row
+    // slots belong to which doc — loss masking consumes this)
+    "pack_input_ids" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val tok = BpeOps.wordpieceTokenizeBert(docs, bertEncVocab,
+        maxWordChars = bertMaxWordChars)
+      PipelineOps.packTokenIds(docs, tok, budget = 128L,
+          sepId = bertEncVocab.indexOf("[SEP]").toLong,
+          idBuckets = packExhibitBuckets)
+        .orderBy("lang", "source", "id_bucket", "seq_id")
     },
     // Domain mixture reweighting toward fixed target fractions
     "domain_mix_weights" -> { (s, dir) =>
@@ -3410,8 +3435,9 @@ object ExtensionQueries {
          |SELECT url, text, ${TextOps.tokenCountSql("text")} AS n_tokens
          |FROM ex ORDER BY url""".stripMargin,
     "bpe_tokenize_pack" ->
-      (BpeOps.tokenizeAndPackSql(bpeMerges, seqLen = 128L) +
-        "\nORDER BY lang, source, seq_id"),
+      (BpeOps.tokenizeAndPackSql(bpeMerges, seqLen = 128L,
+        idBuckets = packExhibitBuckets) +
+        "\nORDER BY lang, source, id_bucket, seq_id"),
     "scd2_history" ->
       (PipelineOps.scd2Sql(
         """SELECT doc_id,
@@ -3584,7 +3610,16 @@ object ExtensionQueries {
       (SimilarityOps.standardizeDimsSql(annDim) + "\nORDER BY vec_id, dim"),
     "dedup_semantic" -> semanticDedupOracleSql(semDedupCos),
     "pack_sequences" ->
-      (PipelineOps.packSequencesSql(packBudget) + " ORDER BY lang, source, seq_id"),
+      (PipelineOps.packSequencesSql(packBudget,
+        idBuckets = packExhibitBuckets) +
+        " ORDER BY lang, source, id_bucket, seq_id"),
+    "pack_input_ids" ->
+      (PipelineOps.packTokenIdsSql(
+        BpeOps.wordpieceTokenizeBertSql(bertEncVocab,
+          maxWordChars = bertMaxWordChars, maxWordCp = wpCorpusMaxWordCp),
+        budget = 128L, sepId = bertEncVocab.indexOf("[SEP]").toLong,
+        idBuckets = packExhibitBuckets) +
+        "\nORDER BY lang, source, id_bucket, seq_id"),
     "domain_mix_weights" ->
       (PipelineOps.domainMixWeightsSql + " ORDER BY lang"),
     "domain_mix_temperature" ->

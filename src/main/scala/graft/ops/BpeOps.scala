@@ -589,28 +589,42 @@ object BpeOps {
     * `seqLen` ids; only each shard's last is partial.
     *
     * Scale shape: the offsets window runs over the DOC-cardinality
-    * (shard, doc_id, n_tok) relation — never tokens (same rule as
-    * packSequences, and the same shard-granularity caveat: production
-    * adds a finer shard component so one (lang, source) is task-sized).
-    * Token rows move through two equi-exchanges: the doc_id offsets
-    * join and the (shard, seq_id) assembly groupBy — the latter is the
-    * unavoidable materialization of the output artifact itself, and
-    * seq_id granularity keeps it uniformly parallel (no per-shard
-    * reducer holds more than its sequences). Ids are emitted as a
-    * space-joined string so the engine/oracle compare is exact.
+    * (shard, doc_id, n_tok) relation — never tokens, and the
+    * [[graft.ops.PipelineOps.packSequences]] 100 TB shard contract is
+    * ENFORCED the same way: a deterministic hash bucket of `idCol`
+    * (`id_bucket`, `idBuckets` values) is auto-appended to the shard
+    * key so no single (lang, source) domain sorts on one reducer;
+    * `idBuckets = 1` is the explicit opt-out. Token rows move through
+    * two equi-exchanges: the doc_id offsets join and the (shard,
+    * seq_id) assembly groupBy — the latter is the unavoidable
+    * materialization of the output artifact itself, and seq_id
+    * granularity keeps it uniformly parallel (no per-shard reducer
+    * holds more than its sequences). Ids are emitted as a space-joined
+    * string so the engine/oracle compare is exact.
     *
-    * Output: (shardCols..., seq_id, n_docs, n_tokens, token_ids). */
+    * Output: (shardCols..., [id_bucket,] seq_id, n_docs, n_tokens,
+    * token_ids). */
   def tokenizeAndPack(docs: DataFrame, merges: Seq[(String, String)],
       seqLen: Long = 128L, shardCols: Seq[String] = Seq("lang", "source"),
       textCol: String = "text", idCol: String = "doc_id",
-      endMark: String = "</w>"): DataFrame = {
+      endMark: String = "</w>", idBuckets: Int = 64,
+      seed: Long = 42L): DataFrame = {
     require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
     require(shardCols.nonEmpty, "tokenizeAndPack needs >= 1 shard column")
-    val shard = shardCols.map(col)
+    require(idBuckets >= 1, s"idBuckets must be >= 1, got $idBuckets")
+    val fullShard =
+      if (idBuckets > 1) shardCols :+ "id_bucket" else shardCols
+    val shard = fullShard.map(col)
     val tok = tokenize(docs, merges, textCol, idCol, endMark)
     val nTok = tok.groupBy("doc_id").agg(max(col("pos")).as("n_tok"))
+    val base0 = docs.select(col(idCol).as("doc_id") +: shardCols.map(col): _*)
+    val base =
+      if (idBuckets > 1)
+        base0.withColumn("id_bucket",
+          PipelineOps.idBucketCol(col("doc_id"), idBuckets, seed))
+      else base0
     val w = Window.partitionBy(shard: _*).orderBy("doc_id")
-    val offsets = docs.select(col(idCol).as("doc_id") +: shard: _*)
+    val offsets = base
       .join(nTok, Seq("doc_id"))
       .withColumn("start_tok", sum(col("n_tok")).over(w) - col("n_tok"))
       .select((col("doc_id") +: shard :+ col("start_tok")): _*)
@@ -618,7 +632,7 @@ object BpeOps {
       .withColumn("gpos", col("start_tok") + col("pos") - 1)
       .withColumn("seq_id", expr(s"gpos div ${seqLen}L"))
       .withColumn("seq_pos", col("gpos") % seqLen)
-      .groupBy((shardCols :+ "seq_id").map(col): _*)
+      .groupBy((fullShard :+ "seq_id").map(col): _*)
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_tokens"),
         array_join(transform(
@@ -631,28 +645,38 @@ object BpeOps {
     * ordered id join (`string_agg ... ORDER BY seq_pos`). Integer
     * arithmetic end to end — no float divergence possible. */
   def tokenizeAndPackSql(merges: Seq[(String, String)], seqLen: Long = 128L,
-      endMark: String = "</w>"): String = {
+      endMark: String = "</w>", idBuckets: Int = 64,
+      seed: Long = 42L): String = {
     require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    require(idBuckets >= 1, s"idBuckets must be >= 1, got $idBuckets")
+    val bSel = if (idBuckets > 1)
+      s",\n    ${PipelineOps.idBucketColSql("doc_id", idBuckets, seed)}" +
+        " AS id_bucket"
+    else ""
+    val b = if (idBuckets > 1) ", id_bucket" else ""
+    val bq = if (idBuckets > 1) ", d.id_bucket" else ""
+    val grp = if (idBuckets > 1) "1, 2, 3, 4" else "1, 2, 3"
     s"""WITH tk AS (
        |${tokenizeSql(merges, endMark = endMark)}),
        |nt AS (SELECT doc_id, max(pos) AS n_tok FROM tk GROUP BY 1),
+       |dk AS (SELECT doc_id, lang, source$bSel FROM documents),
        |off AS (
-       |  SELECT d.doc_id, d.lang, d.source,
-       |    CAST(sum(nt.n_tok) OVER (PARTITION BY d.lang, d.source
+       |  SELECT d.doc_id, d.lang, d.source$bq,
+       |    CAST(sum(nt.n_tok) OVER (PARTITION BY d.lang, d.source$bq
        |      ORDER BY d.doc_id) AS BIGINT) - nt.n_tok AS start_tok
-       |  FROM documents d JOIN nt USING (doc_id)),
+       |  FROM dk d JOIN nt USING (doc_id)),
        |g AS (
-       |  SELECT off.lang, off.source, tk.doc_id,
+       |  SELECT off.lang, off.source$b, tk.doc_id,
        |    (off.start_tok + tk.pos - 1) // $seqLen AS seq_id,
        |    (off.start_tok + tk.pos - 1) % $seqLen AS seq_pos,
        |    tk.token_id
        |  FROM tk JOIN off USING (doc_id))
-       |SELECT lang, source, seq_id,
+       |SELECT lang, source$b, seq_id,
        |  count(DISTINCT doc_id) AS n_docs,
        |  count(*) AS n_tokens,
        |  string_agg(CAST(token_id AS VARCHAR), ' ' ORDER BY seq_pos)
        |    AS token_ids
-       |FROM g GROUP BY 1, 2, 3""".stripMargin
+       |FROM g GROUP BY $grp""".stripMargin
   }
 
   /** DuckDB twin of `pairCounts(wordDict(documents))` top-`k` (by

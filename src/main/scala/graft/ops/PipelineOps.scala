@@ -16,45 +16,220 @@ import org.apache.spark.sql.functions._
 object PipelineOps {
 
   // ---- sequence packing --------------------------------------------------
+  /** The auto-appended hash-bucket column [[packSequences]],
+    * [[packTokenIds]], and [[graft.ops.BpeOps.tokenizeAndPack]] add to
+    * their shard key: `pmod(epochShuffleKey(doc_id), idBuckets)` —
+    * engine-portable (the oracle replays it via [[idBucketColSql]]). */
+  def idBucketCol(id: Column, idBuckets: Int, seed: Long): Column =
+    pmod(epochShuffleKey(id, seed), lit(idBuckets.toLong))
+
+  /** DuckDB twin of [[idBucketCol]] ([[epochShuffleKey]] is in [0, p),
+    * so a plain `%` equals pmod). */
+  def idBucketColSql(idExpr: String, idBuckets: Int, seed: Long): String =
+    s"(${epochShuffleKeySql(seed, idExpr)} % $idBuckets)"
+
   /** Greedy contiguous token-budget packing: documents are laid out in
-    * doc_id order within each shard (default (lang, source)) and cut into
-    * sequences of `budget` tokens; a document belongs to the sequence its
-    * first token lands in. Returns per-sequence stats.
+    * doc_id order within each shard and cut into sequences of `budget`
+    * tokens; a document belongs to the sequence its first token lands
+    * in. Returns per-sequence stats.
     *
-    * Scale shape: the running sum is windowed PER SHARD — each shard packs
-    * independently (embarrassingly parallel across shards, one shuffle by
-    * shard key) BUT each shard's sort lands on ONE reducer, so the shard
-    * key bounds parallelism AND per-task size. (lang, source) alone is the
-    * demo key: at 100 TB a single (lang, source) shard is multi-TB — a
-    * production caller MUST include a finer component (input file, hash
-    * bucket of doc_id, domain) in `shardCols` so shards stay
-    * task-sized; packing quality is unaffected because sequences never
-    * cross shard boundaries by design. */
+    * Scale shape — the 100 TB shard contract is ENFORCED, not advised:
+    * the running sum is windowed PER SHARD, and each shard's sort lands
+    * on ONE reducer, so shard granularity bounds per-task size. A
+    * multi-TB (lang, source) domain (the 95%-one-domain web-crawl
+    * shape) would otherwise sort on a single task — so by default a
+    * deterministic hash bucket of `doc_id` (`id_bucket`, `idBuckets`
+    * values, the portable [[epochShuffleKey]]) is AUTO-APPENDED to
+    * `shardCols`: every window cell is ~shard/idBuckets regardless of
+    * domain skew. This is semantics-preserving for packing quality —
+    * sequences never cross shard boundaries by design, so a finer shard
+    * only changes which docs share a sequence, never cuts a doc.
+    * Token/doc totals are bucket-invariant (spec-pinned). Pass
+    * `idBuckets = 1` to opt out EXPLICITLY (demo/oracle scale only). */
   def packSequences(docs: DataFrame, budget: Long = 512L,
-      shardCols: Seq[String] = Seq("lang", "source")): DataFrame = {
+      shardCols: Seq[String] = Seq("lang", "source"),
+      idBuckets: Int = 64, seed: Long = 42L): DataFrame = {
     require(shardCols.nonEmpty, "packSequences needs >= 1 shard column")
-    val shard = shardCols.map(col)
+    require(idBuckets >= 1, s"idBuckets must be >= 1, got $idBuckets")
+    val fullShard =
+      if (idBuckets > 1) shardCols :+ "id_bucket" else shardCols
+    val shard = fullShard.map(col)
+    val bucketed =
+      if (idBuckets > 1)
+        docs.withColumn("id_bucket",
+          idBucketCol(col("doc_id"), idBuckets, seed))
+      else docs
     val w = Window.partitionBy(shard: _*).orderBy("doc_id")
-    docs.select(shard :+ col("doc_id") :+
+    bucketed.select(shard :+ col("doc_id") :+
         TextOps.tokenCount(col("text")).as("n_tok"): _*)
       .withColumn("start_tok", sum(col("n_tok")).over(w) - col("n_tok"))
       .withColumn("seq_id", expr(s"start_tok div $budget"))
-      .groupBy((shardCols :+ "seq_id").map(col): _*)
+      .groupBy((fullShard :+ "seq_id").map(col): _*)
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
   }
 
-  def packSequencesSql(budget: Long = 512L): String =
+  def packSequencesSql(budget: Long = 512L, idBuckets: Int = 64,
+      seed: Long = 42L): String = {
+    require(idBuckets >= 1, s"idBuckets must be >= 1, got $idBuckets")
+    val bSel = if (idBuckets > 1)
+      s",\n    ${idBucketColSql("doc_id", idBuckets, seed)} AS id_bucket"
+    else ""
+    val b = if (idBuckets > 1) ", id_bucket" else ""
+    val grp = if (idBuckets > 1) "1, 2, 3, 4" else "1, 2, 3"
     s"""WITH t AS (
        |  SELECT lang, source, doc_id,
-       |    ${TextOps.tokenCountSql("text")} AS n_tok FROM documents),
+       |    ${TextOps.tokenCountSql("text")} AS n_tok$bSel FROM documents),
        |c AS (
-       |  SELECT lang, source, n_tok,
-       |    CAST(sum(n_tok) OVER (PARTITION BY lang, source ORDER BY doc_id)
-       |      AS BIGINT) - n_tok AS start_tok
+       |  SELECT lang, source$b, n_tok,
+       |    CAST(sum(n_tok) OVER (PARTITION BY lang, source$b
+       |      ORDER BY doc_id) AS BIGINT) - n_tok AS start_tok
        |  FROM t)
-       |SELECT lang, source, start_tok // $budget AS seq_id,
+       |SELECT lang, source$b, start_tok // $budget AS seq_id,
        |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
-       |FROM c GROUP BY 1, 2, 3""".stripMargin
+       |FROM c GROUP BY $grp""".stripMargin
+  }
+
+  /** Concat-and-chop REAL token ids into fixed-budget training rows —
+    * the last mile of the tokenize→train pipeline (what
+    * [[packSequences]] only PLANS with its token-count proxy). Within
+    * each shard, documents concatenate in doc_id order, each doc's ids
+    * followed by ONE `sepId` boundary token (the GPT end-of-text /
+    * BERT [SEP] convention); the slot stream is cut every `budget`
+    * positions. Emits per sequence: the shard key, `seq_id`, `n_docs`,
+    * `n_ids` (slots in this row — every interior row is exactly
+    * `budget`; only each shard's last is partial), `input_ids`
+    * (space-joined, the [[graft.ops.BpeOps.bertEncode]] id-string
+    * convention) and `doc_spans` (space-joined `doc:lo-hi` in-row slot
+    * spans, span includes the doc's separator — what loss masking /
+    * attention-boundary construction consumes downstream).
+    *
+    * `docs` is the document relation (shard cols + ids): token-less
+    * documents still emit their separator slot, so row accounting
+    * matches the corpus. `tok` is any (doc_id, pos, token_id) tokenizer
+    * output ([[graft.ops.BpeOps.wordpieceTokenizeBert]],
+    * [[graft.ops.BpeOps.tokenize]], ...), `pos` 1-based.
+    *
+    * Scale shape: the offsets window runs over the DOC-cardinality
+    * relation, never tokens, and the [[packSequences]] hash-bucket
+    * contract is enforced the same way (`id_bucket` auto-appended,
+    * `idBuckets = 1` is the explicit opt-out). Token rows move through
+    * two equi-exchanges: the doc_id offsets join and the per-(shard,
+    * seq, doc) chunk aggregate; the final assembly groups
+    * chunk-cardinality rows only. Nothing collects on the driver. */
+  def packTokenIds(docs: DataFrame, tok: DataFrame, budget: Long,
+      sepId: Long, shardCols: Seq[String] = Seq("lang", "source"),
+      idBuckets: Int = 64, seed: Long = 42L,
+      idCol: String = "doc_id"): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    require(shardCols.nonEmpty, "packTokenIds needs >= 1 shard column")
+    require(idBuckets >= 1, s"idBuckets must be >= 1, got $idBuckets")
+    val fullShard =
+      if (idBuckets > 1) shardCols :+ "id_bucket" else shardCols
+    val shard = fullShard.map(col)
+    val nTok = tok.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+    val base0 = docs.select(col(idCol).as("doc_id") +: shardCols.map(col): _*)
+    val base =
+      if (idBuckets > 1)
+        base0.withColumn("id_bucket",
+          idBucketCol(col("doc_id"), idBuckets, seed))
+      else base0
+    val w = Window.partitionBy(shard: _*).orderBy("doc_id")
+    val off = base.join(nTok, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_tok"))
+      .withColumn("start_slot",
+        sum(col("n_tok") + 1L).over(w) - (col("n_tok") + 1L))
+    val tokSlots = tok.select(col("doc_id"), col("pos"), col("token_id"))
+      .join(off.select(col("doc_id") +: shard :+ col("start_slot"): _*),
+        Seq("doc_id"))
+      .select(shard :+ col("doc_id") :+
+        (col("start_slot") + col("pos") - 1L).as("gpos") :+
+        col("token_id"): _*)
+    val sepSlots = off.select(shard :+ col("doc_id") :+
+      (col("start_slot") + col("n_tok")).as("gpos") :+
+      lit(sepId).as("token_id"): _*)
+    val slots = tokSlots.unionByName(sepSlots)
+      .withColumn("seq_id", expr(s"gpos div ${budget}L"))
+      .withColumn("seq_pos", col("gpos") % budget)
+    // a doc's slots within a sequence are contiguous (docs are laid out
+    // sequentially), so per-(seq, doc) chunks ordered by their first
+    // slot reassemble the exact in-sequence order
+    val chunks = slots
+      .groupBy((fullShard :+ "seq_id" :+ "doc_id").map(col): _*)
+      .agg(min(col("seq_pos")).as("lo"), max(col("seq_pos")).as("hi"),
+        count(lit(1)).as("n"),
+        array_join(transform(array_sort(collect_list(
+            struct(col("seq_pos"), col("token_id")))),
+          x => x.getField("token_id").cast("string")), " ").as("part"))
+    chunks.groupBy((fullShard :+ "seq_id").map(col): _*)
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_ids"),
+        array_join(transform(array_sort(collect_list(
+            struct(col("lo"), col("part")))),
+          x => x.getField("part")), " ").as("input_ids"),
+        array_join(transform(array_sort(collect_list(
+            struct(col("lo"), col("doc_id"), col("hi")))),
+          x => concat(x.getField("doc_id").cast("string"), lit(":"),
+            x.getField("lo").cast("string"), lit("-"),
+            x.getField("hi").cast("string"))), " ").as("doc_spans"))
+  }
+
+  /** DuckDB twin of [[packTokenIds]]: the tokenized relation's SQL as a
+    * CTE (caller-supplied full SELECT, kept out of stripMargin's
+    * reach), then the identical slot arithmetic — per-doc counts, the
+    * doc-cardinality running sum, div/mod chop, per-(seq, doc) chunk
+    * aggregation, ordered reassembly. Integer and string building
+    * end to end. */
+  def packTokenIdsSql(tokensSql: String, budget: Long, sepId: Long,
+      idBuckets: Int = 64, seed: Long = 42L,
+      fromSql: String = "documents"): String = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    require(idBuckets >= 1, s"idBuckets must be >= 1, got $idBuckets")
+    val bSel = if (idBuckets > 1)
+      s",\n    ${idBucketColSql("doc_id", idBuckets, seed)} AS id_bucket"
+    else ""
+    val b = if (idBuckets > 1) ", id_bucket" else ""
+    val grpChunks = if (idBuckets > 1) "1, 2, 3, 4, 5" else "1, 2, 3, 4"
+    val grpFinal = if (idBuckets > 1) "1, 2, 3, 4" else "1, 2, 3"
+    s"WITH pk_tok AS (\n$tokensSql\n),\n" +
+      s"""pk_docs AS (
+         |  SELECT doc_id, lang, source$bSel FROM $fromSql),
+         |pk_nt AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok
+         |  FROM pk_tok GROUP BY 1),
+         |pk_base AS (
+         |  SELECT d.*, COALESCE(n.n_tok, 0) AS n_tok
+         |  FROM pk_docs d LEFT JOIN pk_nt n USING (doc_id)),
+         |pk_off AS (
+         |  SELECT doc_id, lang, source$b, n_tok,
+         |    CAST(sum(n_tok + 1) OVER (PARTITION BY lang, source$b
+         |      ORDER BY doc_id) AS BIGINT) - (n_tok + 1) AS start_slot
+         |  FROM pk_base),
+         |pk_slots AS (
+         |  SELECT o.lang, o.source$b, t.doc_id,
+         |    o.start_slot + t.pos - 1 AS gpos, t.token_id
+         |  FROM pk_tok t JOIN pk_off o USING (doc_id)
+         |  UNION ALL
+         |  SELECT lang, source$b, doc_id, start_slot + n_tok AS gpos,
+         |    CAST($sepId AS BIGINT) AS token_id
+         |  FROM pk_off),
+         |pk_g AS (
+         |  SELECT lang, source$b, doc_id,
+         |    gpos // $budget AS seq_id, gpos % $budget AS seq_pos, token_id
+         |  FROM pk_slots),
+         |pk_chunks AS (
+         |  SELECT lang, source$b, seq_id, doc_id,
+         |    min(seq_pos) AS lo, max(seq_pos) AS hi,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    string_agg(CAST(token_id AS VARCHAR), ' ' ORDER BY seq_pos)
+         |      AS part
+         |  FROM pk_g GROUP BY $grpChunks)
+         |SELECT lang, source$b, seq_id,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n) AS BIGINT) AS n_ids,
+         |  string_agg(part, ' ' ORDER BY lo) AS input_ids,
+         |  string_agg(doc_id || ':' || lo || '-' || hi, ' ' ORDER BY lo)
+         |    AS doc_spans
+         |FROM pk_chunks GROUP BY $grpFinal""".stripMargin
+  }
 
   // ---- domain mixture reweighting ---------------------------------------
   /** Per-language target mixture for [[domainMixWeights]] — fixed demo

@@ -28,7 +28,7 @@ class PipelineOpsSpec extends AnyFunSuite {
       ("en", "s", 2L, "t t t t"), ("en", "s", 3L, "t t t t"),
       ("de", "s", 9L, "t t t t t t t t t t t t")) // 12 tokens, own shard
       .toDF("lang", "source", "doc_id", "text")
-    val got = PipelineOps.packSequences(docs, budget = 10L)
+    val got = PipelineOps.packSequences(docs, budget = 10L, idBuckets = 1)
       .orderBy("lang", "seq_id")
       .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4)))
     // en: starts 0,4,8,12 -> seqs 0,0,0,1; de: start 0 -> seq 0
@@ -95,12 +95,21 @@ class PipelineOpsSpec extends AnyFunSuite {
       (if (i % 2 == 0) "en" else "de", s"src${i % 3}", i,
         Seq.fill((i % 7 + 1).toInt)("tok").mkString(" "))
     }.toDF("lang", "source", "doc_id", "text")
+    // default path = auto-appended id_bucket (the enforced contract)
     val packed = PipelineOps.packSequences(docs, budget = 10L)
+    assert(packed.columns.contains("id_bucket"),
+      "the default shard key must include the enforced hash bucket")
     val totalTokens = (0L until 60L).map(_ % 7 + 1).sum
     assert(packed.agg(sum("n_tokens")).head.getLong(0) == totalTokens)
     assert(packed.agg(sum("n_docs")).head.getLong(0) == 60L)
     // no sequence starts beyond the shard's token count
     assert(packed.filter(col("n_docs") < 1L).count() == 0L)
+    // bucketing is token/doc-conserving: same totals as the opt-out form
+    val unbucketed = PipelineOps.packSequences(docs, budget = 10L,
+      idBuckets = 1)
+    assert(!unbucketed.columns.contains("id_bucket"))
+    assert(unbucketed.agg(sum("n_tokens")).head.getLong(0) == totalTokens)
+    assert(unbucketed.agg(sum("n_docs")).head.getLong(0) == 60L)
   }
 
   test("curationPipeline: keep = gopher && non-dup && score floor") {
@@ -128,7 +137,7 @@ class PipelineOpsSpec extends AnyFunSuite {
     val docs = (0L until 40L).map(i => ("en", "web", i % 4, i, "t t t t t"))
       .toDF("lang", "source", "bucket", "doc_id", "text")
     val fine = PipelineOps.packSequences(docs, budget = 20L,
-      shardCols = Seq("lang", "source", "bucket"))
+      shardCols = Seq("lang", "source", "bucket"), idBuckets = 1)
     assert(fine.columns.toSeq ==
       Seq("lang", "source", "bucket", "seq_id", "n_docs", "n_tokens"))
     // conservation across the finer sharding
@@ -138,10 +147,57 @@ class PipelineOpsSpec extends AnyFunSuite {
     val perBucket = fine.groupBy("bucket").count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(perBucket == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
-    // default key unchanged: same docs through the coarse path = ONE shard
-    val coarse = PipelineOps.packSequences(docs, budget = 20L)
+    // explicit opt-out: the coarse path is ONE shard (one reducer) —
+    // demo/oracle scale only
+    val coarse = PipelineOps.packSequences(docs, budget = 20L,
+      idBuckets = 1)
     assert(coarse.agg(sum("n_tokens")).head.getLong(0) == 200L)
     assert(coarse.select("seq_id").distinct().count() == 10L) // 200/20
+    // the ENFORCED default: the hot shard splits across id_bucket cells
+    // and no window cell holds the whole domain
+    val enforced = PipelineOps.packSequences(docs, budget = 20L,
+      idBuckets = 8)
+    assert(enforced.agg(sum("n_tokens")).head.getLong(0) == 200L)
+    assert(enforced.agg(sum("n_docs")).head.getLong(0) == 40L)
+    val maxCell = enforced.groupBy("lang", "source", "id_bucket")
+      .agg(sum("n_docs").as("cell")).agg(max("cell")).head.getLong(0)
+    assert(maxCell < 40L, "no bucket cell may hold the whole hot domain")
+  }
+
+  test("packTokenIds: concat-and-chop real ids with separator boundaries") {
+    val docs = Seq(("en", "s", 0L, ""), ("en", "s", 1L, ""),
+      ("en", "s", 2L, "")).toDF("lang", "source", "doc_id", "text")
+    // doc 0: ids 10,11,12; doc 1: token-less (contributes only its
+    // separator slot); doc 2: ids 20..25
+    val tok = (Seq((0L, 1L, 10L), (0L, 2L, 11L), (0L, 3L, 12L)) ++
+        (1 to 6).map(p => (2L, p.toLong, 19L + p)))
+      .toDF("doc_id", "pos", "token_id")
+    val got = PipelineOps.packTokenIds(docs, tok, budget = 5L, sepId = 99L,
+        idBuckets = 1).orderBy("seq_id").collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5),
+        r.getString(6)))
+    // slot stream: 10 11 12 99 | 99 20 21 22 23 | 24 25 99
+    assert(got.toSeq == Seq(
+      (0L, 2L, 5L, "10 11 12 99 99", "0:0-3 1:4-4"),
+      (1L, 1L, 5L, "20 21 22 23 24", "2:0-4"),
+      (2L, 1L, 2L, "25 99", "2:0-1")))
+    // enforced default appends id_bucket; slot totals are
+    // bucket-invariant and interior rows stay exactly budget-sized
+    val bucketed = PipelineOps.packTokenIds(docs, tok, budget = 5L,
+      sepId = 99L, idBuckets = 4)
+    assert(bucketed.columns.contains("id_bucket"))
+    assert(bucketed.agg(sum("n_ids")).head.getLong(0) == 12L)
+    val lastPerShard = bucketed.groupBy("lang", "source", "id_bucket")
+      .agg(max("seq_id").as("last"))
+    val interior = bucketed.join(lastPerShard,
+      Seq("lang", "source", "id_bucket"))
+      .filter(col("seq_id") < col("last"))
+    assert(interior.filter(col("n_ids") =!= 5L).count() == 0L,
+      "every non-final sequence is exactly budget ids")
+    // every row's input_ids length equals its n_ids accounting
+    val counted = bucketed.select(col("n_ids"),
+      expr("size(split(input_ids, ' '))").cast("long").as("n_str"))
+    assert(counted.filter(col("n_ids") =!= col("n_str")).count() == 0L)
   }
 
   test("classifierScoreTrained: broadcast weight join, OOV counts as zero") {
