@@ -178,21 +178,44 @@ object ExtensionQueries {
   private val bertEncVocab: Seq[String] =
     Seq("[PAD]", "[CLS]", "[SEP]") ++ bertVocab
   // Vocabulary for the BasicTokenizer exhibit: alphabet + digits + the
-  // punctuation the decoration introduces — '&' is DELIBERATELY absent
-  // so the [UNK] path stays hot inside the oracle-checked output.
+  // punctuation the decoration introduces, including two NON-ASCII
+  // pieces (fullwidth ！ U+FF01, ideographic 。 U+3002) so the new
+  // Unicode punctuation ranges produce REAL token ids, not just [UNK]
+  // — '&' and the CJK ideographs stay DELIBERATELY absent so the
+  // [UNK] path is hot inside the oracle-checked output too.
   private val bertBasicVocab: Seq[String] =
     BpeOps.bertVocabFromMerges(wpMerges,
       (('a' to 'z') ++ ('0' to '9')).map(_.toString) ++
-        Seq("(", ")", ":", ",", "!"))
+        Seq("(", ")", ":", ",", "!", "！", "。"))
   // Deterministic text decoration for the BasicTokenizer exhibit: the
-  // fixture corpus is all-lowercase with no punctuation or digits, so
-  // the cleaner would be a no-op on it — the decoration (case, digits,
-  // punctuation, an out-of-vocab '&') makes the operator do real work
-  // under the hash check. Applied IDENTICALLY on both sides.
+  // fixture corpus is all-lowercase ASCII, so the cleaner would be a
+  // no-op on it — the decoration (case, digits, punctuation, and one
+  // probe per NEW Unicode class) makes the operator do real work under
+  // the hash check. Built from ONE constant, applied IDENTICALLY on
+  // both engines. Per-class probes: U+2014 em dash + U+3002 + U+300C/D
+  // corner brackets + U+FF01 (split), U+6771/4EAC CJK ideographs
+  // (padded per char -> [UNK]), U+2000 en quad + U+202F narrow nbsp
+  // (-> space), U+200B zwsp + U+202E bidi override (DELETED -> 'zwsp'
+  // and 'pq' become single words), U+2044 fraction slash + U+FF15
+  // fullwidth digit (NOT split -> OOV words -> [UNK], the
+  // category-faithfulness negative controls).
+  private val bertBasicDecoSuffix =
+    " (tags: spark,fast) & Caf\u00e9 42! \u2014 \u6771\u4eac\u3002" +
+      "\u300cfast\u300d\uff01 a\u2044b \uff155 zw\u200bsp x\u2000y" +
+      " p\u202eq e\u202ff"
+  // The decorated corpus' max word length is STRUCTURAL, not measured:
+  // doc_id digits are lpad-fixed at width 8 (both engines truncate to
+  // the length argument, so fixture growth CANNOT widen the run), every
+  // decoration literal word is <= 5 cp after cleaning ('zwsp' 4,
+  // 'spark' 5, 'cafe' 4, split punctuation 1), and the raw corpus max
+  // is wpCorpusMaxWordCp = 8 — so the greedy oracle's layer bound is
+  // max(8, 8, 5) = 8 by construction. (The bound stays SELF-CHECKING:
+  // a violating word raises error() rather than vanishing.)
+  private val wpDecoMaxWordCp = 8
   private val bertBasicDecoSql =
-    "'Doc ' || CAST(doc_id AS VARCHAR) || ': ' || " +
+    "'Doc ' || lpad(CAST(doc_id AS VARCHAR), 8, '0') || ': ' || " +
       "upper(substr(text, 1, 1)) || substr(text, 2) || " +
-      "' (tags: spark,fast) & Café 42!'"
+      s"'$bertBasicDecoSuffix'"
   // ONE vocab.txt staging path per JVM for the wordpiece_tokenize_bert
   // exhibit — repeated correctness/bench runs overwrite the same
   // artifact instead of leaking a temp dir per invocation; both the
@@ -829,9 +852,9 @@ object ExtensionQueries {
     "wordpiece_tokenize_bert_basic" -> { (s, dir) =>
       val docs = Tables.documents(s, dir).select(col("doc_id"),
         BpeOps.bertBasicClean(concat(lit("Doc "),
-          col("doc_id").cast("string"), lit(": "),
+          lpad(col("doc_id").cast("string"), 8, "0"), lit(": "),
           upper(substring(col("text"), 1, 1)), expr("substring(text, 2)"),
-          lit(" (tags: spark,fast) & Café 42!"))).as("text"))
+          lit(bertBasicDecoSuffix))).as("text"))
       BpeOps.wordpieceTokenizeBert(docs, bertBasicVocab,
         maxWordChars = bertMaxWordChars).orderBy("doc_id", "pos")
     },
@@ -3377,7 +3400,9 @@ object ExtensionQueries {
       maxWordChars = bertMaxWordChars, maxWordCp = wpCorpusMaxWordCp),
     "wordpiece_tokenize_bert_basic" -> BpeOps.wordpieceTokenizeBertSql(
       bertBasicVocab, maxWordChars = bertMaxWordChars,
-      maxWordCp = wpCorpusMaxWordCp,
+      // the DECORATED relation's bound (structural: lpad-fixed digit
+      // width), not the raw-corpus measurement
+      maxWordCp = wpDecoMaxWordCp,
       textSql = BpeOps.bertBasicCleanSql(bertBasicDecoSql)),
     "bert_encode" -> BpeOps.bertEncodeSql(
       BpeOps.wordpieceTokenizeBertSql(bertEncVocab,

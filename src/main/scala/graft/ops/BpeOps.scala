@@ -1540,6 +1540,47 @@ object BpeOps {
   private val BertCjkClass = Seq((0x4e00, 0x9fff), (0x3400, 0x4dbf),
     (0xf900, 0xfaff), (0x20000, 0x2a6df))
 
+  /** BERT `_is_punctuation` beyond ASCII, as EXPLICIT literal ranges
+    * (no \p{} classes — their Unicode tables could drift between Java
+    * regex and RE2): exactly the category-P* codepoints of the general
+    * punctuation (U+2000–206F), CJK symbols/punctuation (U+3000–303F)
+    * and halfwidth/fullwidth forms (U+FF00–FFEF) blocks. The S/L/N/M
+    * codepoints interleaved in the same blocks are NOT split — faithful
+    * to the reference's category test: U+203E overline (So), U+2044
+    * fraction slash and U+2052 commercial minus (Sm), U+3004/3012/3013
+    * /3020/3036 symbols (So), U+3005-3007/3021-303C letters+numerals,
+    * U+FF04 fullwidth dollar (Sc), U+FF0B/FF1C-FF1E/FF5C/FF5E math
+    * (Sm), U+FF3E/FF40 modifiers (Sk), fullwidth digits/letters. The
+    * per-codepoint agreement with the JDK's category tables over all
+    * three blocks is spec-pinned (BpeSpec). */
+  private[graft] val BertUniPunct: Seq[(Int, Int)] = Seq(
+    (0x2010, 0x2027), (0x2030, 0x2043),
+    (0x2045, 0x2051), (0x2053, 0x205e),
+    (0x3001, 0x3003), (0x3008, 0x3011), (0x3014, 0x301f),
+    (0x3030, 0x3030), (0x303d, 0x303d),
+    (0xff01, 0xff03), (0xff05, 0xff0a), (0xff0c, 0xff0f),
+    (0xff1a, 0xff1b), (0xff1f, 0xff20), (0xff3b, 0xff3d),
+    (0xff3f, 0xff3f), (0xff5b, 0xff5b), (0xff5d, 0xff5d),
+    (0xff5f, 0xff65))
+  /** Unicode whitespace (category Zs) of the same blocks — cleaned to
+    * a plain space exactly like BERT's `_is_whitespace`; U+2028/2029
+    * (Zl/Zp) deliberately PASS THROUGH (they are neither Zs nor
+    * category C, so the reference leaves them in place). */
+  private[graft] val BertUniSpace: Seq[(Int, Int)] = Seq(
+    (0x2000, 0x200a), (0x202f, 0x202f), (0x205f, 0x205f),
+    (0x3000, 0x3000))
+  /** Format controls (category Cf, plus the block's unassigned Cn
+    * which the reference's startswith("C") test also removes) —
+    * DELETED, not spaced: BERT's `_clean_text` drops them, so
+    * `zw​sp` becomes `zwsp`, one word. */
+  private[graft] val BertUniDelete: Seq[(Int, Int)] = Seq(
+    (0x200b, 0x200f), (0x202a, 0x202e), (0x2060, 0x206f),
+    (0xfeff, 0xfeff))
+
+  private def rangesRe(rs: Seq[(Int, Int)]): String =
+    rs.map { case (a, b) =>
+      if (a == b) f"\\x{$a%x}" else f"\\x{$a%x}-\\x{$b%x}" }.mkString
+
   /** Accent folding for the UNCASED mode (BERT's do_lower_case also
     * strips accents): precomposed Latin diacritics fold through ONE
     * `translate` (a 1:1 char map both engines implement identically),
@@ -1568,17 +1609,19 @@ object BpeOps {
     * cased mode performs neither, exactly as the reference ties the
     * two together. */
   def bertBasicClean(text: Column, lowerCase: Boolean = true): Column = {
-    val noCtl = regexp_replace(text, "[\\x00-\\x1f\\x7f]", " ")
-    val cjk = BertCjkClass.map { case (a, b) =>
-      f"\\x{$a%x}-\\x{$b%x}" }.mkString
-    val cjkPad = regexp_replace(noCtl, s"([$cjk])", " $1 ")
+    val noCtl = regexp_replace(text,
+      s"[\\x00-\\x1f\\x7f${rangesRe(BertUniSpace)}]", " ")
+    val noFmt = regexp_replace(noCtl, s"[${rangesRe(BertUniDelete)}]", "")
+    val cjk = rangesRe(BertCjkClass)
+    val cjkPad = regexp_replace(noFmt, s"([$cjk])", " $1 ")
     val lowered =
       if (lowerCase)
         regexp_replace(
           translate(lower(cjkPad), BertAccentFrom, BertAccentTo),
           "[\\x{300}-\\x{36f}]", "")
       else cjkPad
-    regexp_replace(lowered, "([!-/:-@\\[-`{-~])", " $1 ")
+    regexp_replace(lowered,
+      s"([!-/:-@\\[-`{-~${rangesRe(BertUniPunct)}])", " $1 ")
   }
 
   /** DuckDB twin of [[bertBasicClean]] over a text expression — the
@@ -1586,17 +1629,20 @@ object BpeOps {
     * regexp_replace replaces only the first match by default). */
   def bertBasicCleanSql(textExpr: String,
       lowerCase: Boolean = true): String = {
-    val cjk = BertCjkClass.map { case (a, b) =>
-      f"\\x{$a%x}-\\x{$b%x}" }.mkString
-    val noCtl = s"regexp_replace($textExpr, '[\\x00-\\x1f\\x7f]', ' ', 'g')"
-    val cjkPad = s"regexp_replace($noCtl, '([$cjk])', ' \\1 ', 'g')"
+    val cjk = rangesRe(BertCjkClass)
+    val noCtl = s"regexp_replace($textExpr, " +
+      s"'[\\x00-\\x1f\\x7f${rangesRe(BertUniSpace)}]', ' ', 'g')"
+    val noFmt =
+      s"regexp_replace($noCtl, '[${rangesRe(BertUniDelete)}]', '', 'g')"
+    val cjkPad = s"regexp_replace($noFmt, '([$cjk])', ' \\1 ', 'g')"
     val lowered =
       if (lowerCase)
         s"regexp_replace(translate(lower($cjkPad), " +
           s"'$BertAccentFrom', '$BertAccentTo'), " +
           "'[\\x{300}-\\x{36f}]', '', 'g')"
       else cjkPad
-    s"regexp_replace($lowered, '([!-/:-@[-`{-~])', ' \\1 ', 'g')"
+    s"regexp_replace($lowered, " +
+      s"'([!-/:-@[-`{-~${rangesRe(BertUniPunct)}])', ' \\1 ', 'g')"
   }
 
   /** Convert a trained end-marker merge list into a BERT prefix-form

@@ -833,8 +833,58 @@ class BpeSpec extends AnyFunSuite {
       Seq("cafe", "uber", "naive", "nono"))
     assert(clean("Café") == Seq("cafe"))
     // cased mode performs neither — accents survive verbatim
-    assert(clean("Café", lc = false) == Seq("Café"))
+    assert(clean("Caf\u00e9", lc = false) == Seq("Caf\u00e9"))
+    // Unicode punctuation blocks (round 14): split like BERT's P*
+    assert(clean("a\u2014b c\u2026 \u300cfast\u300d \uff01ok") ==
+      Seq("a", "\u2014", "b", "c", "\u2026", "\u300c", "fast",
+        "\u300d", "\uff01", "ok"))
+    // Zs whitespace (en quad, narrow nbsp, ideographic space) -> space
+    assert(clean("x\u2000y e\u202ff g\u3000h") ==
+      Seq("x", "y", "e", "f", "g", "h"))
+    // format controls are DELETED (not spaced): zwsp/bidi/word-joiner
+    // glue their neighbors into one word
+    assert(clean("zw\u200bsp p\u202eq w\u2060ord") ==
+      Seq("zwsp", "pq", "word"))
+    // negative controls: same-block NON-punctuation passes through —
+    // fraction slash (Sm), fullwidth digit (Nd), postal mark (So),
+    // fullwidth dollar (Sc) stay inside their word
+    assert(clean("a\u2044b \uff15x c\u3012d \uff04money") ==
+      Seq("a\u2044b", "\uff15x", "c\u3012d", "\uff04money"))
+    // Zl/Zp line separators pass through (BERT spaces only Zs)
+    assert(clean("m\u2028n", lc = false) == Seq("m\u2028n"))
   }
+
+  test("bertBasicClean Unicode ranges agree with the JDK category " +
+      "tables per codepoint (the BERT _is_punctuation contract)") {
+    def in(rs: Seq[(Int, Int)], cp: Int) =
+      rs.exists { case (a, b) => cp >= a && cp <= b }
+    import java.lang.Character._
+    val punctTypes = Set(CONNECTOR_PUNCTUATION, DASH_PUNCTUATION,
+      START_PUNCTUATION, END_PUNCTUATION, INITIAL_QUOTE_PUNCTUATION,
+      FINAL_QUOTE_PUNCTUATION, OTHER_PUNCTUATION).map(_.toInt)
+    // the three blocks the ranges cover (the general-punctuation block
+    // checked in full, including its Cf/Cn tail)
+    val block = (0x2000 to 0x206f) ++ (0x3000 to 0x303f) ++
+      (0xff01 to 0xff65)
+    for (cp <- block) {
+      val ty = getType(cp)
+      val isP = punctTypes.contains(ty)
+      assert(in(graft.ops.BpeOps.BertUniPunct, cp) == isP,
+        f"punct class mismatch at U+$cp%04X (jdk type $ty)")
+      assert(in(graft.ops.BpeOps.BertUniSpace, cp) ==
+        (ty == SPACE_SEPARATOR.toInt),
+        f"space class mismatch at U+$cp%04X")
+      if (cp >= 0x2000 && cp <= 0x206f)
+        assert(in(graft.ops.BpeOps.BertUniDelete, cp) ==
+          (ty == FORMAT.toInt || ty == UNASSIGNED.toInt ||
+            ty == CONTROL.toInt),
+          f"delete class mismatch at U+$cp%04X")
+    }
+    // the separate singleton: BOM/zwnbsp is Cf and deleted
+    assert(in(graft.ops.BpeOps.BertUniDelete, 0xfeff) &&
+      getType(0xfeff) == FORMAT.toInt)
+  }
+
 
   test("bertEncode: [CLS]/truncate/[SEP]/[PAD] fixed-length contract") {
     val vocab = Seq("[PAD]", "[CLS]", "[SEP]", "a", "b")
