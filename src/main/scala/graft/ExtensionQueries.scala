@@ -834,11 +834,12 @@ object ExtensionQueries {
       val docs = Tables.documents(s, dir)
       val tok = BpeOps.wordpieceTokenizeBert(docs, bertEncVocab,
         maxWordChars = bertMaxWordChars)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("source").orderBy("doc_id")
-      val pairs = docs.select(col("doc_id").as("doc_a"),
-          lead(col("doc_id"), 1).over(w).as("doc_b"))
-        .filter(col("doc_b").isNotNull)
+      // pair derivation is a pure EQUI-JOIN (doc i with doc i+1), no
+      // window and no per-source sort of the corpus — the scale shape
+      // a 100x exhibit needs; the operator takes arbitrary pairs
+      val pairs = docs.select(col("doc_id").as("doc_a"))
+        .join(docs.select((col("doc_id") - 1L).as("doc_a"),
+          col("doc_id").as("doc_b")), Seq("doc_a"))
       BpeOps.bertEncodePair(tok, pairs, bertEncVocab, seqLen = 128)
         .orderBy("doc_a", "doc_b")
     },
@@ -3414,11 +3415,8 @@ object ExtensionQueries {
     "bert_encode_pair" -> BpeOps.bertEncodePairSql(
       BpeOps.wordpieceTokenizeBertSql(bertEncVocab,
         maxWordChars = bertMaxWordChars, maxWordCp = wpCorpusMaxWordCp),
-      """SELECT doc_a, doc_b FROM (
-        |  SELECT doc_id AS doc_a,
-        |    lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id)
-        |      AS doc_b
-        |  FROM documents) WHERE doc_b IS NOT NULL""".stripMargin,
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1""".stripMargin,
       bertEncVocab, seqLen = 128),
     "bpe_tokenize_bytes" -> BpeOps.tokenizeBytesSql(bpeByteMerges),
     "warc_read" ->
