@@ -115,7 +115,9 @@ object PipelineOps {
     * `idBuckets = 1` is the explicit opt-out). Token rows move through
     * two equi-exchanges: the doc_id offsets join and the per-(shard,
     * seq, doc) chunk aggregate; the final assembly groups
-    * chunk-cardinality rows only. Nothing collects on the driver. */
+    * chunk-cardinality rows only. Nothing collects on the driver.
+    * `tok` is consumed TWICE (per-doc counts and slot assembly) — at
+    * scale persist it, or the tokenizer plan executes twice. */
   def packTokenIds(docs: DataFrame, tok: DataFrame, budget: Long,
       sepId: Long, shardCols: Seq[String] = Seq("lang", "source"),
       idBuckets: Int = 64, seed: Long = 42L,
