@@ -177,6 +177,19 @@ object ExtensionQueries {
   // the SAME list, so special ids cannot drift between the two.
   private val bertEncVocab: Seq[String] =
     Seq("[PAD]", "[CLS]", "[SEP]") ++ bertVocab
+  // Vocabulary for the MLM masking exhibits: the encode layout plus
+  // [MASK] (the BERT checkpoint reserves it right after the wrap
+  // tokens). The tokenizer and the masker take the SAME list, so the
+  // mask/special ids cannot drift from the token ids.
+  private val bertMlmVocab: Seq[String] =
+    Seq("[PAD]", "[CLS]", "[SEP]", "[MASK]") ++ bertVocab
+  private val bertMlmMaskId: Long =
+    bertMlmVocab.indexOf("[MASK]").toLong
+  // [UNK] DOES appear in the raw token relation (OOV words) — the
+  // exhibit excludes it from masking, exercising the specialIds path
+  // inside the oracle-checked output.
+  private val bertMlmSpecialIds: Set[Long] =
+    Set(bertMlmVocab.indexOf("[UNK]").toLong)
   // Vocabulary for the BasicTokenizer exhibit: alphabet + digits + the
   // punctuation the decoration introduces, including two NON-ASCII
   // pieces (fullwidth ！ U+FF01, ideographic 。 U+3002) so the new
@@ -2161,6 +2174,48 @@ object ExtensionQueries {
           idBuckets = packExhibitBuckets)
         .orderBy("lang", "source", "id_bucket", "seq_id")
     },
+    // MASKED-LM SAMPLE BUILDING (Devlin et al. 2019 §3.1): the 15% /
+    // 80-10-10 masking policy as a DETERMINISTIC seeded projection over
+    // the tokenizer output — select via the portable affine hash mod
+    // 2^61-1, branch on the same conditional uniform, emit what the
+    // model sees (masked_id) and what the loss reads (label, -100
+    // ignore-index elsewhere); [UNK] is excluded via specialIds, so the
+    // exclusion path is hot inside the hash-checked output
+    "mlm_mask" -> { (s, dir) =>
+      val tok = BpeOps.wordpieceTokenizeBert(Tables.documents(s, dir),
+        bertMlmVocab, maxWordChars = bertMaxWordChars)
+      PipelineOps.mlmMask(tok, vocabSize = bertMlmVocab.size,
+          maskId = bertMlmMaskId, specialIds = bertMlmSpecialIds)
+        .orderBy("doc_id", "pos")
+    },
+    // WHOLE-WORD masking: the unit is the word reconstructed from the
+    // ## continuation prefix (the HF WWM collator convention) — all
+    // pieces of a selected word mask together, random replacement
+    // still draws per piece
+    "mlm_mask_whole_word" -> { (s, dir) =>
+      val tok = BpeOps.wordpieceTokenizeBert(Tables.documents(s, dir),
+        bertMlmVocab, maxWordChars = bertMaxWordChars)
+      PipelineOps.mlmMaskWholeWord(tok, vocabSize = bertMlmVocab.size,
+          maskId = bertMlmMaskId, specialIds = bertMlmSpecialIds)
+        .orderBy("doc_id", "pos")
+    },
+    // END-TO-END MLM TRAINING ROW: tokenize -> deterministic mask ->
+    // fixed-length encode, emitting the (input_ids, labels,
+    // token_type_ids, attention_mask) tensor pair a masked-LM trainer
+    // consumes — labels are -100 on [CLS]/[SEP]/pads and unselected
+    // positions, the original id under the masked slots; the synthetic
+    // token-less doc (-1) exercises the all-pads/all--100 row
+    "mlm_encode" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .unionByName(s.range(1).select(lit(-1L).as("doc_id"),
+          lit("").as("text")))
+      val tok = BpeOps.wordpieceTokenizeBert(docs, bertMlmVocab,
+        maxWordChars = bertMaxWordChars)
+      val m = PipelineOps.mlmMask(tok, vocabSize = bertMlmVocab.size,
+        maskId = bertMlmMaskId, specialIds = bertMlmSpecialIds)
+      BpeOps.bertEncodeMlm(m, bertMlmVocab, seqLen = 256,
+        docs = Some(docs)).orderBy("doc_id")
+    },
     // Domain mixture reweighting toward fixed target fractions
     "domain_mix_weights" -> { (s, dir) =>
       PipelineOps.domainMixWeights(Tables.documents(s, dir)).orderBy("lang")
@@ -3643,6 +3698,28 @@ object ExtensionQueries {
         budget = 128L, sepId = bertEncVocab.indexOf("[SEP]").toLong,
         idBuckets = packExhibitBuckets) +
         "\nORDER BY lang, source, id_bucket, seq_id"),
+    "mlm_mask" ->
+      (PipelineOps.mlmMaskSql(
+        BpeOps.wordpieceTokenizeBertSql(bertMlmVocab,
+          maxWordChars = bertMaxWordChars, maxWordCp = wpCorpusMaxWordCp),
+        vocabSize = bertMlmVocab.size, maskId = bertMlmMaskId,
+        specialIds = bertMlmSpecialIds) + "\nORDER BY doc_id, pos"),
+    "mlm_mask_whole_word" ->
+      (PipelineOps.mlmMaskWholeWordSql(
+        BpeOps.wordpieceTokenizeBertSql(bertMlmVocab,
+          maxWordChars = bertMaxWordChars, maxWordCp = wpCorpusMaxWordCp),
+        vocabSize = bertMlmVocab.size, maskId = bertMlmMaskId,
+        specialIds = bertMlmSpecialIds) + "\nORDER BY doc_id, pos"),
+    "mlm_encode" -> BpeOps.bertEncodeMlmSql(
+      PipelineOps.mlmMaskSql(
+        BpeOps.wordpieceTokenizeBertSql(bertMlmVocab,
+          maxWordChars = bertMaxWordChars, maxWordCp = wpCorpusMaxWordCp,
+          fromSql =
+            "(SELECT doc_id, text FROM documents UNION ALL SELECT -1, '') u"),
+        vocabSize = bertMlmVocab.size, maskId = bertMlmMaskId,
+        specialIds = bertMlmSpecialIds),
+      bertMlmVocab, seqLen = 256,
+      docsSql = Some("SELECT doc_id FROM documents UNION ALL SELECT -1")),
     "domain_mix_weights" ->
       (PipelineOps.domainMixWeightsSql + " ORDER BY lang"),
     "domain_mix_temperature" ->

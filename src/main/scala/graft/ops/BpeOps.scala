@@ -2055,6 +2055,134 @@ object BpeOps {
          |FROM j ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** MLM-encoded training row — the tensor pair a masked-LM trainer
+    * actually consumes: [[graft.ops.PipelineOps.mlmMask]]'s output
+    * wrapped per document as `[CLS]` + the first seqLen−2 MASKED ids +
+    * `[SEP]` + pads (input_ids), with `labels` aligned slot for slot —
+    * −100 on [CLS]/[SEP]/pads and unselected positions, the ORIGINAL
+    * id on masked/random/kept positions (the loss ignore-index
+    * contract) — plus the all-zeros token_type_ids and the
+    * attention_mask, as [[bertEncode]]. `n_masked` counts the
+    * label-bearing slots that survive truncation. `docs` as in
+    * [[bertEncode]] (token-less documents emit the `[CLS] [SEP]`+pads
+    * row with all-−100 labels). Scale shape identical to
+    * [[bertEncode]]: one doc-keyed map-side-combined aggregate plus a
+    * pure string projection — nothing corpus-sized shuffles beyond
+    * the token rows themselves. */
+  def bertEncodeMlm(masked: DataFrame, vocab: Seq[String], seqLen: Int,
+      cls: String = "[CLS]", sep: String = "[SEP]",
+      pad: String = "[PAD]", docs: Option[DataFrame] = None,
+      idCol: String = "doc_id"): DataFrame = {
+    require(seqLen >= 3, s"seqLen must be >= 3, got $seqLen")
+    def idOf(p: String): Long = {
+      val i = vocab.indexOf(p)
+      require(i >= 0, s"vocabulary must contain the special token '$p'")
+      i.toLong
+    }
+    val (clsId, sepId, padId) = (idOf(cls), idOf(sep), idOf(pad))
+    val budget = seqLen - 2
+    val agg = masked.groupBy("doc_id").agg(
+        count(lit(1)).as("n_tok"),
+        sum(when(col("pos") <= budget, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("pos") <= budget && col("label") =!= -100L, 1L)
+          .otherwise(0L)).as("n_masked"),
+        array_join(transform(array_sort(collect_list(
+            when(col("pos") <= budget,
+              struct(col("pos"), col("masked_id"))))),
+          x => x.getField("masked_id").cast("string")), " ").as("__body"),
+        array_join(transform(array_sort(collect_list(
+            when(col("pos") <= budget,
+              struct(col("pos"), col("label"))))),
+          x => x.getField("label").cast("string")), " ").as("__lab"))
+    val keyed = docs match {
+      case Some(d) =>
+        d.select(col(idCol).as("doc_id")).distinct()
+          .join(agg, Seq("doc_id"), "left")
+          .na.fill(0L, Seq("n_tok", "n_kept", "n_masked"))
+      case None => agg
+    }
+    keyed.select(col("doc_id"), col("n_tok"), col("n_kept"),
+        col("n_masked"), (lit(budget.toLong) - col("n_kept")).as("n_pad"),
+        (col("n_tok") > col("n_kept")).as("truncated"),
+        when(col("n_kept") === 0L,
+          concat(lit(s"$clsId $sepId"),
+            expr(s"repeat(' $padId', $budget)")))
+          .otherwise(
+            concat(lit(s"$clsId "), col("__body"), lit(s" $sepId"),
+              expr(s"repeat(' $padId', CAST($budget - n_kept AS INT))")))
+          .as("input_ids"),
+        when(col("n_kept") === 0L,
+          concat(lit("-100 -100"), expr(s"repeat(' -100', $budget)")))
+          .otherwise(
+            concat(lit("-100 "), col("__lab"), lit(" -100"),
+              expr(s"repeat(' -100', CAST($budget - n_kept AS INT))")))
+          .as("labels"),
+        lit("0" + " 0" * (seqLen - 1)).as("token_type_ids"),
+        concat(lit("1"), expr("repeat(' 1', CAST(n_kept + 1 AS INT))"),
+          expr(s"repeat(' 0', CAST($budget - n_kept AS INT))"))
+          .as("attention_mask"))
+  }
+
+  /** DuckDB twin of [[bertEncodeMlm]] — wraps the masked relation's
+    * SQL ([[graft.ops.PipelineOps.mlmMaskSql]]) as a CTE and replays
+    * the truncate/wrap/pad arithmetic for both streams. `docsSql` as
+    * in [[bertEncodeSql]]. */
+  def bertEncodeMlmSql(maskedSql: String, vocab: Seq[String], seqLen: Int,
+      cls: String = "[CLS]", sep: String = "[SEP]",
+      pad: String = "[PAD]", docsSql: Option[String] = None): String = {
+    require(seqLen >= 3, s"seqLen must be >= 3, got $seqLen")
+    def idOf(p: String): Long = {
+      val i = vocab.indexOf(p)
+      require(i >= 0, s"vocabulary must contain the special token '$p'")
+      i.toLong
+    }
+    val (clsId, sepId, padId) = (idOf(cls), idOf(sep), idOf(pad))
+    val budget = seqLen - 2
+    val docsCte = docsSql.map(d => s"mle_docs AS (\n$d\n),\n").getOrElse("")
+    val allCte =
+      if (docsSql.isDefined)
+        """mle_all AS (
+          |  SELECT d.doc_id, COALESCE(a.n_tok, 0) AS n_tok,
+          |    COALESCE(a.n_kept, 0) AS n_kept,
+          |    COALESCE(a.n_masked, 0) AS n_masked, a.body, a.lab
+          |  FROM mle_docs d LEFT JOIN mle_agg a USING (doc_id))""".stripMargin
+      else
+        "mle_all AS (SELECT doc_id, n_tok, n_kept, n_masked, body, lab" +
+          " FROM mle_agg)"
+    s"WITH mle_tok AS (\n$maskedSql\n),\n$docsCte" +
+      s"""mle_agg AS (
+         |  SELECT doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_tok,
+         |    CAST(count(*) FILTER (WHERE pos <= $budget) AS BIGINT)
+         |      AS n_kept,
+         |    CAST(count(*) FILTER (WHERE pos <= $budget AND label <> -100)
+         |      AS BIGINT) AS n_masked,
+         |    string_agg(CAST(masked_id AS VARCHAR), ' ' ORDER BY pos)
+         |      FILTER (WHERE pos <= $budget) AS body,
+         |    string_agg(CAST(label AS VARCHAR), ' ' ORDER BY pos)
+         |      FILTER (WHERE pos <= $budget) AS lab
+         |  FROM mle_tok GROUP BY 1),
+         |$allCte
+         |SELECT doc_id, n_tok, n_kept, n_masked,
+         |  CAST($budget - n_kept AS BIGINT) AS n_pad,
+         |  n_tok > n_kept AS truncated,
+         |  CASE WHEN n_kept = 0
+         |    THEN '$clsId $sepId' || repeat(' $padId', $budget)
+         |    ELSE '$clsId ' || body || ' $sepId' ||
+         |      repeat(' $padId', CAST($budget - n_kept AS INTEGER))
+         |  END AS input_ids,
+         |  CASE WHEN n_kept = 0
+         |    THEN '-100 -100' || repeat(' -100', $budget)
+         |    ELSE '-100 ' || lab || ' -100' ||
+         |      repeat(' -100', CAST($budget - n_kept AS INTEGER))
+         |  END AS labels,
+         |  '0' || repeat(' 0', ${seqLen - 1}) AS token_type_ids,
+         |  '1' || repeat(' 1', CAST(n_kept + 1 AS INTEGER)) ||
+         |    repeat(' 0', CAST($budget - n_kept AS INTEGER))
+         |    AS attention_mask
+         |FROM mle_all ORDER BY doc_id""".stripMargin
+  }
+
   /** DuckDB twin of [[wordpieceScores]] over the corpus word
     * dictionary (top k, deterministic order) — the round-1 certificate
     * that the likelihood arithmetic agrees cross-engine, the

@@ -1270,4 +1270,170 @@ object PipelineOps {
        |FROM w CROSS JOIN t
        |JOIN g ON g.gr = ((2*w.rn - 1) * t.n + 2*w.n_g - 1) // (2*w.n_g)"""
       .stripMargin
+
+  // ---- masked-LM sample building ----------------------------------------
+  /** Selection threshold of [[mlmMask]], computed EXACTLY in BigInt
+    * and embedded as a literal in both engines: a unit is selected iff
+    * its hash h ∈ [0, p) falls under `p·bp/10000`. */
+  private[ops] def mlmSelThreshold(mlmProbBp: Int): Long = {
+    require(mlmProbBp >= 1 && mlmProbBp <= 10000,
+      s"mlmProbBp must be in [1, 10000], got $mlmProbBp")
+    (BigInt(ShufflePrime) * mlmProbBp / 10000).toLong
+  }
+  /** 80% / 90% branch thresholds over the full hash range — the
+    * per-PIECE branch hash is a fresh scramble, so its thresholds
+    * don't condition on the selection. */
+  private[ops] val MlmMaskT: Long = (BigInt(ShufflePrime) * 8 / 10).toLong
+  private[ops] val MlmRandT: Long = (BigInt(ShufflePrime) * 9 / 10).toLong
+
+  /** Deterministic BERT-style masked-LM sample building (Devlin et al.
+    * 2019 §3.1, the HF `DataCollatorForLanguageModeling` contract made
+    * reproducible): decorate a tokenized relation (doc_id, pos,
+    * token_id — any tokenizer's output, e.g.
+    * [[graft.ops.BpeOps.wordpieceTokenizeBert]]) with the masking
+    * decision. Per masking unit, a seeded portable hash (the
+    * [[epochShuffleKey]] affine family mod 2⁶¹−1, exact in
+    * Decimal(38,0)/HUGEINT) selects `mlmProbBp`/10000 of units
+    * (default 15%); each SELECTED position then branches on a fresh
+    * per-piece scramble of that hash — 80% replaced by `maskId`
+    * ([MASK]), 10% by a pseudo-random vocabulary id, 10% kept — the
+    * per-piece branch being the reference policy exactly
+    * (`create_pretraining_data.py` draws per token even under
+    * whole-word selection). Everything is hash-derived, so the policy
+    * is bit-reproducible across engines, epochs (vary `seed`), and
+    * partitionings. Emits the input columns plus `mlm_action`
+    * (mask|random|keep|none), `masked_id` (what the model sees) and
+    * `label` (the original id on selected positions, −100 elsewhere —
+    * the loss ignore-index convention).
+    *
+    * `specialIds` are never selected (label −100): pass the special
+    * token ids ([UNK] etc.) that may appear in the raw token relation.
+    * `unitCol` is the masking unit — the default (`pos`) decides
+    * per token; pass a word-index column for whole-word masking
+    * ([[mlmMaskWholeWord]] derives it from the `##` convention).
+    *
+    * Scale: pure per-row projection — no shuffle, no UDF, stays inside
+    * whole-stage codegen; composes with [[graft.ops.BpeOps.bertEncode]]
+    * / [[packTokenIds]] downstream by feeding `masked_id` as the id
+    * column. */
+  def mlmMask(tok: DataFrame, vocabSize: Int, maskId: Long,
+      seed: Long = 42L, mlmProbBp: Int = 1500,
+      specialIds: Set[Long] = Set.empty,
+      unitCol: Option[Column] = None): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    require(maskId >= 0 && maskId < vocabSize,
+      s"maskId must be a vocabulary id in [0, $vocabSize), got $maskId")
+    val tSel = mlmSelThreshold(mlmProbBp)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val p = lit(ShufflePrime).cast(dec)
+    val m = lit(ShuffleMult).cast(dec)
+    val unit = unitCol.getOrElse(col("pos"))
+    val k1 = pmod(col("doc_id").cast(dec) * m + lit(seed).cast(dec), p)
+    val h = pmod(pmod(k1 + unit.cast(dec), p) * m, p)
+    val hL = h.cast("long")
+    // per-piece branch hash: a fresh scramble of (h, pos), so the
+    // branch (and the random replacement drawn from it) is per token
+    // even when the selection unit is the word
+    val hb = pmod(pmod(h + col("pos").cast(dec), p) * m, p).cast("long")
+    val rand = hb % vocabSize.toLong
+    val special =
+      if (specialIds.isEmpty) lit(false)
+      else col("token_id").isInCollection(specialIds.toSeq.sorted)
+    val action = when(special || hL >= tSel, "none")
+      .when(hb < MlmMaskT, "mask")
+      .when(hb < MlmRandT, "random")
+      .otherwise("keep")
+    tok.withColumn("mlm_action", action)
+      .withColumn("masked_id",
+        when(col("mlm_action") === "mask", maskId)
+          .when(col("mlm_action") === "random", rand)
+          .otherwise(col("token_id")))
+      .withColumn("label",
+        when(col("mlm_action") === "none", -100L)
+          .otherwise(col("token_id")))
+  }
+
+  /** Whole-word masking over a BERT-convention token relation: the
+    * masking unit is the WORD, reconstructed from the `##`
+    * continuation prefix exactly as HF's WWM collator does — a token
+    * NOT starting with `##` opens a new word, so the word index is a
+    * running count over (doc_id, pos). All pieces of a word are
+    * selected together; the 80/10/10 branch (and any random
+    * replacement) still draws per piece, the reference behavior (see
+    * [[mlmMask]]). The window partitions by doc_id — document-bounded,
+    * never a corpus sort. */
+  def mlmMaskWholeWord(tok: DataFrame, vocabSize: Int, maskId: Long,
+      seed: Long = 42L, mlmProbBp: Int = 1500,
+      specialIds: Set[Long] = Set.empty,
+      contPrefix: String = "##"): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val withWord = tok.withColumn("word_idx",
+      sum(when(col("token").startsWith(contPrefix), 0L).otherwise(1L))
+        .over(w))
+    mlmMask(withWord, vocabSize, maskId, seed, mlmProbBp, specialIds,
+      unitCol = Some(col("word_idx")))
+  }
+
+  /** DuckDB twin of [[mlmMask]]: `tokensSql` (a full SELECT producing
+    * doc_id, pos, token, token_id) as a CTE, then the identical
+    * HUGEINT affine-hash arithmetic and CASE policy. `unitSql` is the
+    * masking-unit expression over the token relation (`pos`, or a
+    * word-index expression for whole-word — see
+    * [[mlmMaskWholeWordSql]]). */
+  def mlmMaskSql(tokensSql: String, vocabSize: Int, maskId: Long,
+      seed: Long = 42L, mlmProbBp: Int = 1500,
+      specialIds: Set[Long] = Set.empty,
+      unitSql: String = "pos", extraCols: Seq[String] = Nil): String = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    require(maskId >= 0 && maskId < vocabSize,
+      s"maskId must be a vocabulary id in [0, $vocabSize), got $maskId")
+    val tSel = mlmSelThreshold(mlmProbBp)
+    val p = ShufflePrime
+    val m = ShuffleMult
+    val special =
+      if (specialIds.isEmpty) "FALSE"
+      else s"token_id IN (${specialIds.toSeq.sorted.mkString(", ")})"
+    val extra = extraCols.map(c => s", $c").mkString
+    s"WITH mlm_tok AS (\n$tokensSql\n),\n" +
+      s"""mlm_h AS (
+         |  SELECT *,
+         |    ((((doc_id::HUGEINT * $m + $seed) % $p + $p) % $p
+         |        + ($unitSql)) % $p * $m) % $p AS h
+         |  FROM mlm_tok),
+         |mlm_b AS (
+         |  SELECT *, ((h + pos) % $p * $m) % $p AS hb FROM mlm_h),
+         |mlm_a AS (
+         |  SELECT *,
+         |    CASE WHEN $special OR h >= $tSel THEN 'none'
+         |         WHEN hb < $MlmMaskT THEN 'mask'
+         |         WHEN hb < $MlmRandT THEN 'random'
+         |         ELSE 'keep' END AS mlm_action
+         |  FROM mlm_b)
+         |SELECT doc_id, pos, token, token_id$extra, mlm_action,
+         |  CAST(CASE WHEN mlm_action = 'mask' THEN $maskId
+         |       WHEN mlm_action = 'random' THEN hb % $vocabSize
+         |       ELSE token_id END AS BIGINT) AS masked_id,
+         |  CAST(CASE WHEN mlm_action = 'none' THEN -100
+         |       ELSE token_id END AS BIGINT) AS label
+         |FROM mlm_a""".stripMargin
+  }
+
+  /** DuckDB twin of [[mlmMaskWholeWord]]: the word-index running count
+    * as a doc-bounded window CTE, then [[mlmMaskSql]]'s arithmetic on
+    * `word_idx`. */
+  def mlmMaskWholeWordSql(tokensSql: String, vocabSize: Int, maskId: Long,
+      seed: Long = 42L, mlmProbBp: Int = 1500,
+      specialIds: Set[Long] = Set.empty,
+      contPrefix: String = "##"): String = {
+    val ww =
+      s"WITH mlm_w AS (\n$tokensSql\n)\n" +
+        s"""SELECT doc_id, pos, token, token_id,
+           |  CAST(sum(CASE WHEN token LIKE '$contPrefix%' THEN 0
+           |       ELSE 1 END)
+           |    OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT)
+           |    AS word_idx
+           |FROM mlm_w""".stripMargin
+    mlmMaskSql(ww, vocabSize, maskId, seed, mlmProbBp, specialIds,
+      unitSql = "word_idx", extraCols = Seq("word_idx"))
+  }
 }

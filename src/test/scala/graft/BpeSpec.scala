@@ -356,7 +356,12 @@ class BpeSpec extends AnyFunSuite {
       .toDF("doc_id", "text", "lang", "source")
     val merges = BpeOps.train(docs, 6)
     val seqLen = 7L
-    val packed = BpeOps.tokenizeAndPack(docs, merges, seqLen = seqLen)
+    // idBuckets = 1: the explicit demo-scale opt-out of the enforced
+    // id_bucket shard contract — this test pins the exact chop math on
+    // the raw (lang, source) shard; the bucketed default's totals are
+    // pinned below
+    val packed = BpeOps.tokenizeAndPack(docs, merges, seqLen = seqLen,
+        idBuckets = 1)
       .orderBy("lang", "source", "seq_id").collect()
     val tok = BpeOps.tokenize(docs, merges).orderBy("doc_id", "pos")
       .select("doc_id", "token_id").collect()
@@ -382,6 +387,19 @@ class BpeSpec extends AnyFunSuite {
       rows.foreach(r => assert(
         r.getString(5).split(" ").length.toLong == r.getLong(4)))
     }
+    // the enforced default appends id_bucket; token totals are
+    // bucket-invariant and interior rows stay exactly seqLen-sized
+    import org.apache.spark.sql.functions.{col, max, sum}
+    val bucketed = BpeOps.tokenizeAndPack(docs, merges, seqLen = seqLen,
+      idBuckets = 4)
+    assert(bucketed.columns.contains("id_bucket"))
+    assert(bucketed.agg(sum("n_tokens")).head.getLong(0) == tok.length.toLong)
+    val lastPerShard = bucketed.groupBy("lang", "source", "id_bucket")
+      .agg(max("seq_id").as("last"))
+    val interior = bucketed.join(lastPerShard,
+      Seq("lang", "source", "id_bucket"))
+      .filter(col("seq_id") < col("last"))
+    assert(interior.filter(col("n_tokens") =!= seqLen).count() == 0L)
   }
 
   test("applyMerges rewrites leftmost-first without overlap") {
@@ -927,6 +945,49 @@ class BpeSpec extends AnyFunSuite {
     assert(empty.getString(5) == "1 2 0 0 0 0 0",
       "token-less doc encodes as [CLS] [SEP] + pads")
     assert(empty.getString(7) == "1 1 0 0 0 0 0")
+  }
+
+  test("bertEncodeMlm: masked ids and labels stay slot-aligned") {
+    val vocab = Seq("[PAD]", "[CLS]", "[SEP]", "[MASK]", "a", "b")
+    // hand-built masked relation (the mlmMask output contract): doc 0
+    // has one masked and one kept-selected slot, doc 1 truncates with
+    // a masked slot beyond the budget (it must NOT count or appear)
+    val masked = (Seq(
+        (0L, 1L, "a", 4L, "mask", 3L, 4L),
+        (0L, 2L, "b", 5L, "none", 5L, -100L),
+        (0L, 3L, "a", 4L, "keep", 4L, 4L)) ++
+      (1 to 8).map(p => (1L, p.toLong, "b", 5L,
+        if (p == 7) "mask" else "none",
+        if (p == 7) 3L else 5L, if (p == 7) 5L else -100L)))
+      .toDF("doc_id", "pos", "token", "token_id", "mlm_action",
+        "masked_id", "label")
+    val out = BpeOps.bertEncodeMlm(masked, vocab, seqLen = 7)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5), r.getString(6), r.getString(7),
+        r.getString(8), r.getString(9)))
+    // doc 0: cls(1) [MASK](3) b(5) a(4) sep(2) pad pad; labels -100
+    // everywhere except the two selected slots
+    assert(out(0) == ((0L, 3L, 3L, 2L, 2L, false, "1 3 5 4 2 0 0",
+      "-100 4 -100 4 -100 -100 -100", "0 0 0 0 0 0 0", "1 1 1 1 1 0 0")))
+    // doc 1: truncated at budget 5 — the masked slot at pos 7 fell off,
+    // so n_masked is 0 and labels are all -100
+    assert(out(1) == ((1L, 8L, 5L, 0L, 0L, true, "1 5 5 5 5 5 2",
+      "-100 -100 -100 -100 -100 -100 -100", "0 0 0 0 0 0 0",
+      "1 1 1 1 1 1 1")))
+    out.foreach { case (_, _, _, _, _, _, ids, labs, types, mask) =>
+      assert(ids.split(" ").length == 7)
+      assert(labs.split(" ").length == 7,
+        "labels align slot for slot with input_ids")
+      assert(types.split(" ").length == 7 && mask.split(" ").length == 7)
+    }
+    // token-less doc: all-pads input with all--100 labels
+    val docs = Seq((0L, "x"), (1L, "x"), (2L, "")).toDF("doc_id", "text")
+    val empty = BpeOps.bertEncodeMlm(masked, vocab, 7, docs = Some(docs))
+      .orderBy("doc_id").collect()(2)
+    assert(empty.getString(6) == "1 2 0 0 0 0 0")
+    assert(empty.getString(7) == "-100 -100 -100 -100 -100 -100 -100")
+    assert(empty.getLong(3) == 0L, "token-less doc has n_masked 0")
   }
 
   test("bertEncodePair: closed-form truncate_seq_pair + type ids") {

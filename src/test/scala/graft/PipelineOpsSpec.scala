@@ -200,6 +200,92 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(counted.filter(col("n_ids") =!= col("n_str")).count() == 0L)
   }
 
+  test("mlmMask: deterministic seeded 15% / 80-10-10 policy") {
+    // 2000 docs x 50 tokens — big enough that the branch shares are
+    // tight; token ids cycle over a 50-id vocabulary
+    val tok = spark.range(0, 2000).select(col("id").as("doc_id"))
+      .crossJoin(spark.range(1, 51).select(col("id").as("pos")))
+      .withColumn("token", lit("t"))
+      .withColumn("token_id", pmod(col("doc_id") * 7 + col("pos"), lit(50)))
+    val m = PipelineOps.mlmMask(tok, vocabSize = 50, maskId = 3L,
+      seed = 7L).cache()
+    val n = 2000L * 50L
+    val byAction = m.groupBy("mlm_action").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sel = n - byAction.getOrElse("none", 0L)
+    assert(sel > (n * 0.13).toLong && sel < (n * 0.17).toLong,
+      s"selected $sel of $n is far from 15%")
+    assert(byAction("mask") > sel * 0.75 && byAction("mask") < sel * 0.85)
+    assert(byAction("random") > sel * 0.07 && byAction("random") < sel * 0.13)
+    assert(byAction("keep") > sel * 0.07 && byAction("keep") < sel * 0.13)
+    // labels: -100 exactly on unselected positions, original id elsewhere
+    assert(m.filter(col("mlm_action") === "none" &&
+      col("label") =!= -100L).count() == 0L)
+    assert(m.filter(col("mlm_action") =!= "none" &&
+      col("label") =!= col("token_id")).count() == 0L)
+    // masked_id per branch: [MASK] / in-vocab random / unchanged
+    assert(m.filter(col("mlm_action") === "mask" &&
+      col("masked_id") =!= 3L).count() == 0L)
+    assert(m.filter(col("mlm_action").isin("keep", "none") &&
+      col("masked_id") =!= col("token_id")).count() == 0L)
+    assert(m.filter(col("mlm_action") === "random" &&
+      (col("masked_id") < 0L || col("masked_id") >= 50L)).count() == 0L)
+    // bit-reproducible: a second invocation is row-identical; a
+    // different seed selects a different set
+    val again = PipelineOps.mlmMask(tok, vocabSize = 50, maskId = 3L,
+      seed = 7L)
+    assert(m.exceptAll(again).count() == 0L &&
+      again.exceptAll(m).count() == 0L)
+    val other = PipelineOps.mlmMask(tok, vocabSize = 50, maskId = 3L,
+      seed = 8L)
+    assert(other.exceptAll(m).count() > 0L)
+    m.unpersist()
+  }
+
+  test("mlmMask: specialIds are never selected") {
+    val tok = spark.range(0, 5000).select(col("id").as("doc_id"))
+      .withColumn("pos", lit(1L)).withColumn("token", lit("[UNK]"))
+      .withColumn("token_id", lit(4L))
+    val m = PipelineOps.mlmMask(tok, vocabSize = 50, maskId = 3L,
+      specialIds = Set(4L))
+    assert(m.filter(col("mlm_action") =!= "none").count() == 0L)
+    assert(m.filter(col("label") =!= -100L).count() == 0L)
+  }
+
+  test("mlmMaskWholeWord: all pieces of a word share the selection") {
+    // 800 docs x 20 two-piece words (head piece + ## continuation)
+    val heads = spark.range(0, 800).select(col("id").as("doc_id"))
+      .crossJoin(spark.range(0, 20).select(col("id").as("w")))
+    val tok = heads.select(col("doc_id"), (col("w") * 2 + 1).as("pos"),
+        lit("dog").as("token"), (col("w") % 40 + 5L).as("token_id"))
+      .unionByName(heads.select(col("doc_id"), (col("w") * 2 + 2).as("pos"),
+        lit("##s").as("token"), (col("w") % 40 + 6L).as("token_id")))
+    val m = PipelineOps.mlmMaskWholeWord(tok, vocabSize = 50, maskId = 3L)
+      .cache()
+    // word reconstruction: piece 2k+1 opens word k+1, ##-piece joins it
+    assert(m.filter(col("word_idx") =!= expr("(pos + 1L) div 2L"))
+      .count() == 0L)
+    // selection is per WORD: within (doc, word) either both pieces are
+    // selected or neither (the 80/10/10 branch may differ per piece only
+    // between mask/random/keep — all selected; none pairs with none)
+    val perWord = m.withColumn("sel",
+        when(col("mlm_action") === "none", 0L).otherwise(1L))
+      .groupBy("doc_id", "word_idx")
+      .agg(countDistinct(col("sel")).as("k"), sum(col("sel")).as("s"))
+    assert(perWord.filter(col("k") =!= 1L).count() == 0L,
+      "a word with a selected and an unselected piece")
+    val selWords = perWord.filter(col("s") > 0L).count()
+    assert(selWords > 0L, "no word selected — fixture too small")
+    // the 80/10/10 branch draws per PIECE (the create_pretraining_data
+    // behavior): some selected words mix actions across their pieces
+    val mixed = m.filter(col("mlm_action") =!= "none")
+      .groupBy("doc_id", "word_idx")
+      .agg(countDistinct(col("mlm_action")).as("ka"))
+      .filter(col("ka") > 1L).count()
+    assert(mixed > 0L, "branch appears to be drawn per word, not per piece")
+    m.unpersist()
+  }
+
   test("classifierScoreTrained: broadcast weight join, OOV counts as zero") {
     val wTable = PipelineOps.demoTrainedWeights(spark)
     val wThe = PipelineOps.demoTrainedVocab.toMap.apply("the")
