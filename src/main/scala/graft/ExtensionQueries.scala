@@ -190,6 +190,14 @@ object ExtensionQueries {
   // inside the oracle-checked output.
   private val bertMlmSpecialIds: Set[Long] =
     Set(bertMlmVocab.indexOf("[UNK]").toLong)
+  // ACTUAL-follower pairs for the NSP exhibits: doc i with doc i+1 —
+  // a pure equi-join on doc_id arithmetic (the bert_encode_pair scale
+  // discipline: no per-source sort; the fixture assigns sources
+  // round-robin, so corpus adjacency is the honest "follower" here)
+  private val nspPositivesSql =
+    """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1"""
+      .stripMargin
   // Vocabulary for the BasicTokenizer exhibit: alphabet + digits + the
   // punctuation the decoration introduces, including two NON-ASCII
   // pieces (fullwidth ！ U+FF01, ideographic 。 U+3002) so the new
@@ -2216,6 +2224,37 @@ object ExtensionQueries {
       BpeOps.bertEncodeMlm(m, bertMlmVocab, seqLen = 256,
         docs = Some(docs)).orderBy("doc_id")
     },
+    // NSP PAIR SAMPLING (Devlin et al. 2019 §3.2): actual follower
+    // pairs (a pure equi-join, no per-source sort) kept with
+    // probability 1/2 by a seeded hash of doc_a, else doc_b is swapped
+    // for doc_a's cyclic permutation successor — the deterministic
+    // "random document from the corpus" draw (bucketed lead windows;
+    // no corpus-wide sort on one reducer)
+    "nsp_pairs" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val positives = docs.select(col("doc_id").as("doc_a"))
+        .join(docs.select((col("doc_id") - 1L).as("doc_a"),
+          col("doc_id").as("doc_b")), Seq("doc_a"))
+      PipelineOps.nspPairs(positives, docs).orderBy("doc_a")
+    },
+    // Full NSP training row: the sampled pairs encoded as
+    // [CLS] A [SEP] B [SEP] + token_type_ids/attention_mask with the
+    // is_next label joined back — (input_ids, token_type_ids,
+    // attention_mask, next_sentence_label) is what a BERT pretrainer
+    // consumes alongside the MLM stream
+    "nsp_encode_pair" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val tok = BpeOps.wordpieceTokenizeBert(docs, bertEncVocab,
+        maxWordChars = bertMaxWordChars)
+      val positives = docs.select(col("doc_id").as("doc_a"))
+        .join(docs.select((col("doc_id") - 1L).as("doc_a"),
+          col("doc_id").as("doc_b")), Seq("doc_a"))
+      val pairs = PipelineOps.nspPairs(positives, docs)
+      BpeOps.bertEncodePair(tok, pairs.select("doc_a", "doc_b"),
+          bertEncVocab, seqLen = 128)
+        .join(pairs, Seq("doc_a", "doc_b"))
+        .orderBy("doc_a", "doc_b")
+    },
     // Domain mixture reweighting toward fixed target fractions
     "domain_mix_weights" -> { (s, dir) =>
       PipelineOps.domainMixWeights(Tables.documents(s, dir)).orderBy("lang")
@@ -3720,6 +3759,19 @@ object ExtensionQueries {
         specialIds = bertMlmSpecialIds),
       bertMlmVocab, seqLen = 256,
       docsSql = Some("SELECT doc_id FROM documents UNION ALL SELECT -1")),
+    "nsp_pairs" ->
+      (PipelineOps.nspPairsSql(nspPositivesSql) + "\nORDER BY doc_a"),
+    "nsp_encode_pair" -> {
+      val pairsSql = PipelineOps.nspPairsSql(nspPositivesSql)
+      "WITH nse AS (\n" + BpeOps.bertEncodePairSql(
+        BpeOps.wordpieceTokenizeBertSql(bertEncVocab,
+          maxWordChars = bertMaxWordChars, maxWordCp = wpCorpusMaxWordCp),
+        s"SELECT doc_a, doc_b FROM (\n$pairsSql\n) np",
+        bertEncVocab, seqLen = 128) +
+        "\n),\nnsp AS (\n" + pairsSql + "\n)\n" +
+        "SELECT nse.*, nsp.is_next FROM nse JOIN nsp USING (doc_a, doc_b)" +
+        "\nORDER BY doc_a, doc_b"
+    },
     "domain_mix_weights" ->
       (PipelineOps.domainMixWeightsSql + " ORDER BY lang"),
     "domain_mix_temperature" ->

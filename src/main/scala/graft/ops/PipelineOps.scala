@@ -1418,6 +1418,115 @@ object PipelineOps {
          |FROM mlm_a""".stripMargin
   }
 
+  // ---- NSP pair sampling -------------------------------------------------
+  /** Cyclic successor in a seeded pseudo-random permutation of the
+    * corpus — the deterministic "pick a random OTHER document"
+    * primitive (negative sampling for NSP / contrastive pairs): order
+    * documents by the [[epochShuffleKey]] bijection and emit each
+    * doc's follower, the last wrapping to the first. Every document
+    * appears EXACTLY once as a partner (the map is a cyclic
+    * permutation), no self-pairs for n ≥ 2, and the draw is
+    * reproducible across engines and partitionings.
+    *
+    * Scale shape: the key space [0, p) is cut into `buckets`
+    * contiguous ranges, so bucket order IS key order — the follower is
+    * `lead` WITHIN each ~n/buckets-row bucket, and only the per-bucket
+    * first rows (a `buckets`-cardinality relation, broadcast) stitch
+    * the boundaries + the global wrap. No corpus-wide window, no sort
+    * on one reducer. */
+  def permutationSuccessor(docs: DataFrame, seed: Long = 42L,
+      idCol: String = "doc_id", buckets: Int = 64): DataFrame = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    val width = ShufflePrime / buckets + 1
+    val base = docs.select(col(idCol).as("doc_id"))
+      .withColumn("__k", epochShuffleKey(col("doc_id"), seed))
+      .withColumn("__b", expr(s"__k DIV ${width}L"))
+    val wIn = Window.partitionBy(col("__b")).orderBy(col("__k"))
+    // per-bucket first docs, in bucket (= key) order: the next
+    // non-empty bucket's head patches each bucket's last row; the
+    // globally-first head patches the globally-last row (the wrap)
+    val wB = Window.orderBy(col("__b"))
+    val firsts = base.groupBy(col("__b"))
+      .agg(min_by(col("doc_id"), col("__k")).as("__head"))
+      .withColumn("__nexthead", lead(col("__head"), 1).over(wB))
+    // ONE bounded-relation value (the global wrap target) — a
+    // buckets-cardinality job at build time, never corpus-sized
+    val globalFirst = firsts.agg(min_by(col("__head"), col("__b")))
+      .head.getLong(0)
+    base
+      .withColumn("__succ", lead(col("doc_id"), 1).over(wIn))
+      .join(broadcast(firsts.select(col("__b"), col("__nexthead"))),
+        Seq("__b"))
+      .select(col("doc_id"),
+        coalesce(col("__succ"), col("__nexthead"), lit(globalFirst))
+          .as("partner_id"))
+  }
+
+  /** DuckDB twin of [[permutationSuccessor]] — the plain global-window
+    * form (oracle scale), identical result: bucket ranges are
+    * contiguous in key, so bucketed-lead + boundary stitching equals
+    * one lead over the full key order. */
+  def permutationSuccessorSql(seed: Long = 42L,
+      idExpr: String = "doc_id", fromSql: String = "documents"): String = {
+    val k = epochShuffleKeySql(seed, idExpr)
+    s"""WITH ps_d AS (
+       |  SELECT $idExpr AS doc_id, $k AS k FROM $fromSql),
+       |ps_s AS (
+       |  SELECT doc_id, lead(doc_id) OVER (ORDER BY k) AS nxt FROM ps_d),
+       |ps_f AS (
+       |  SELECT doc_id AS fst FROM ps_d ORDER BY k LIMIT 1)
+       |SELECT s.doc_id, COALESCE(s.nxt, f.fst) AS partner_id
+       |FROM ps_s s CROSS JOIN ps_f f""".stripMargin
+  }
+
+  /** NSP (next-sentence/segment prediction) pair sampling, the second
+    * BERT pretraining objective (Devlin et al. 2019 §3.2), made
+    * deterministic: for each ACTUAL pair in `positives` (doc_a,
+    * doc_b — e.g. adjacent documents of one source), a seeded hash of
+    * doc_a keeps the true follower with probability 1/2 (`is_next` 1)
+    * or swaps doc_b for doc_a's [[permutationSuccessor]] partner
+    * (`is_next` 0) — the "random document from the corpus" draw,
+    * reproducible on both engines. Emits (doc_a, doc_b, is_next);
+    * feed into [[graft.ops.BpeOps.bertEncodePair]] for the encoded
+    * training row. The permutation partner may coincide with the true
+    * follower (as a uniform random draw may); n ≥ 2 assumed.
+    *
+    * Scale: one equi-join of `positives` against the partner relation
+    * on doc_a — nothing corpus-sized beyond [[permutationSuccessor]]'s
+    * bucketed windows. */
+  def nspPairs(positives: DataFrame, docs: DataFrame, seed: Long = 42L,
+      negSeed: Long = 43L, idCol: String = "doc_id",
+      buckets: Int = 64): DataFrame = {
+    val half = ShufflePrime / 2
+    val partners = permutationSuccessor(docs, seed, idCol, buckets)
+    positives.select(col("doc_a"), col("doc_b"))
+      .join(partners.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
+      .withColumn("__h", epochShuffleKey(col("doc_a"), negSeed))
+      .select(col("doc_a"),
+        when(col("__h") < half, col("doc_b")).otherwise(col("partner_id"))
+          .as("doc_b"),
+        when(col("__h") < half, 1L).otherwise(0L).as("is_next"))
+  }
+
+  /** DuckDB twin of [[nspPairs]]: `positivesSql` (a SELECT producing
+    * doc_a, doc_b) as a CTE joined with [[permutationSuccessorSql]]'s
+    * partner relation, the identical hash split. */
+  def nspPairsSql(positivesSql: String, seed: Long = 42L,
+      negSeed: Long = 43L, fromSql: String = "documents"): String = {
+    val half = ShufflePrime / 2
+    val h = epochShuffleKeySql(negSeed, "p.doc_a")
+    s"WITH nsp_pos AS (\n$positivesSql\n),\n" +
+      s"""nsp_part AS (
+         |${permutationSuccessorSql(seed, "doc_id", fromSql)}
+         |)
+         |SELECT p.doc_a,
+         |  CASE WHEN $h < $half THEN p.doc_b ELSE t.partner_id END
+         |    AS doc_b,
+         |  CAST(CASE WHEN $h < $half THEN 1 ELSE 0 END AS BIGINT)
+         |    AS is_next
+         |FROM nsp_pos p JOIN nsp_part t ON t.doc_id = p.doc_a""".stripMargin
+  }
+
   /** DuckDB twin of [[mlmMaskWholeWord]]: the word-index running count
     * as a doc-bounded window CTE, then [[mlmMaskSql]]'s arithmetic on
     * `word_idx`. */

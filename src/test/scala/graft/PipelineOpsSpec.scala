@@ -286,6 +286,52 @@ class PipelineOpsSpec extends AnyFunSuite {
     m.unpersist()
   }
 
+  test("permutationSuccessor: a cyclic permutation, bucket-invariant") {
+    val docs = spark.range(0, 500).select(col("id").as("doc_id"))
+    val got = PipelineOps.permutationSuccessor(docs, seed = 11L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 500)
+    // every doc appears exactly once as a partner and never self-pairs
+    assert(got.map(_._2).distinct.length == 500)
+    assert(got.forall { case (d, p) => d != p })
+    // matches the brute-force successor in shuffle-key order
+    val keyed = docs.select(col("doc_id"),
+        PipelineOps.epochShuffleKey(col("doc_id"), 11L).as("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._2)
+    val expect = keyed.indices.map { i =>
+      keyed(i)._1 -> keyed((i + 1) % keyed.length)._1
+    }.toMap
+    got.foreach { case (d, p) => assert(p == expect(d)) }
+    // the bucketed stitching is invisible: any bucket count agrees
+    val b1 = PipelineOps.permutationSuccessor(docs, seed = 11L,
+        buckets = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    got.foreach { case (d, p) => assert(b1(d) == p) }
+  }
+
+  test("nspPairs: seeded 50/50 keep-or-swap with permutation negatives") {
+    val docs = spark.range(0, 2000).select(col("id").as("doc_id"))
+    val positives = spark.range(0, 1999).select(col("id").as("doc_a"),
+      (col("id") + 1L).as("doc_b"))
+    val got = PipelineOps.nspPairs(positives, docs).cache()
+    assert(got.count() == 1999L)
+    val pos = got.filter(col("is_next") === 1L)
+    val neg = got.filter(col("is_next") === 0L)
+    // the split hovers around half (deterministic, loosely banded)
+    assert(pos.count() > 800L && pos.count() < 1200L)
+    // label-1 rows keep the true follower
+    assert(pos.filter(col("doc_b") =!= col("doc_a") + 1L).count() == 0L)
+    // label-0 rows carry the permutation partner
+    val partners = PipelineOps.permutationSuccessor(docs)
+      .withColumnRenamed("doc_id", "doc_a")
+    assert(neg.join(partners, Seq("doc_a"))
+      .filter(col("doc_b") =!= col("partner_id")).count() == 0L)
+    // deterministic across invocations
+    val again = PipelineOps.nspPairs(positives, docs)
+    assert(got.exceptAll(again).count() == 0L)
+    got.unpersist()
+  }
+
   test("classifierScoreTrained: broadcast weight join, OOV counts as zero") {
     val wTable = PipelineOps.demoTrainedWeights(spark)
     val wThe = PipelineOps.demoTrainedVocab.toMap.apply("the")
