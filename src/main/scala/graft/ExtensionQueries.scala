@@ -2255,6 +2255,20 @@ object ExtensionQueries {
         .join(pairs, Seq("doc_a", "doc_b"))
         .orderBy("doc_a", "doc_b")
     },
+    // DETOKENIZE (decode): the inverse every tokenizer library ships —
+    // BERT ## continuations glue back to words (HF
+    // convert_tokens_to_string), [UNK] decodes literally
+    "bert_detokenize" -> { (s, dir) =>
+      val tok = BpeOps.wordpieceTokenizeBert(Tables.documents(s, dir),
+        bertEncVocab, maxWordChars = bertMaxWordChars)
+      BpeOps.detokenizeBert(tok).orderBy("doc_id")
+    },
+    // end-mark-convention decode over the frozen-merge replay
+    // tokenizer: exact round-trip (every word carries its </w>)
+    "bpe_detokenize" -> { (s, dir) =>
+      BpeOps.detokenize(BpeOps.tokenize(Tables.documents(s, dir),
+        bpeMerges)).orderBy("doc_id")
+    },
     // Domain mixture reweighting toward fixed target fractions
     "domain_mix_weights" -> { (s, dir) =>
       PipelineOps.domainMixWeights(Tables.documents(s, dir)).orderBy("lang")
@@ -3772,6 +3786,13 @@ object ExtensionQueries {
         "SELECT nse.*, nsp.is_next FROM nse JOIN nsp USING (doc_a, doc_b)" +
         "\nORDER BY doc_a, doc_b"
     },
+    "bert_detokenize" ->
+      (BpeOps.detokenizeBertSql(BpeOps.wordpieceTokenizeBertSql(
+        bertEncVocab, maxWordChars = bertMaxWordChars,
+        maxWordCp = wpCorpusMaxWordCp)) + "\nORDER BY doc_id"),
+    "bpe_detokenize" ->
+      (BpeOps.detokenizeSql(BpeOps.tokenizeSql(bpeMerges)) +
+        "\nORDER BY doc_id"),
     "domain_mix_weights" ->
       (PipelineOps.domainMixWeightsSql + " ORDER BY lang"),
     "domain_mix_temperature" ->

@@ -2183,6 +2183,64 @@ object BpeOps {
          |FROM mle_all ORDER BY doc_id""".stripMargin
   }
 
+  // ---- detokenize (decode) ----------------------------------------------
+  /** Decode a BERT-convention token relation back to text — the
+    * inverse of [[wordpieceTokenizeBert]] and what every tokenizer
+    * library ships as `decode`: pieces concatenate per document in
+    * `pos` order, a `##` continuation glues to its predecessor
+    * (prefix stripped), any other piece opens a new space-separated
+    * word (HF `convert_tokens_to_string`: join on space, then drop
+    * every ` ##`). Exact round-trip on fully-in-vocab text; `[UNK]`
+    * pieces decode literally (the information the unknown policy
+    * discarded is gone — same as the reference decode). One doc-keyed
+    * map-side-combined aggregate over a codegen'd per-row projection;
+    * nothing corpus-sized shuffles beyond the token rows. */
+  def detokenizeBert(tok: DataFrame): DataFrame =
+    tok.withColumn("__part",
+        when(col("token").startsWith("##"), expr("substring(token, 3)"))
+          .when(col("pos") === 1L, col("token"))
+          .otherwise(concat(lit(" "), col("token"))))
+      .groupBy("doc_id")
+      .agg(array_join(transform(array_sort(collect_list(
+          struct(col("pos"), col("__part")))),
+        x => x.getField("__part")), "").as("text"))
+
+  /** DuckDB twin of [[detokenizeBert]] over a tokenized relation's
+    * SQL. */
+  def detokenizeBertSql(tokensSql: String): String =
+    s"WITH dtk AS (\n$tokensSql\n)\n" +
+      """SELECT doc_id,
+        |  string_agg(CASE WHEN token LIKE '##%' THEN substr(token, 3)
+        |    WHEN pos = 1 THEN token ELSE ' ' || token END, ''
+        |    ORDER BY pos) AS text
+        |FROM dtk GROUP BY doc_id""".stripMargin
+
+  /** Decode an end-mark-convention token relation ([[tokenize]]'s
+    * `</w>` symbols) back to text: symbols concatenate in `pos` order
+    * and each end mark becomes the word boundary (trailing one
+    * trimmed). Exact round-trip for any corpus the merge replay
+    * tokenized (every word ends in the mark, so no information is
+    * lost). Same scale shape as [[detokenizeBert]]. */
+  def detokenize(tok: DataFrame, endMark: String = "</w>"): DataFrame = {
+    require(endMark.nonEmpty, "endMark must be non-empty")
+    tok.groupBy("doc_id")
+      .agg(rtrim(array_join(transform(array_sort(collect_list(
+          struct(col("pos"), col("token")))),
+        x => replace(x.getField("token"), lit(endMark), lit(" "))), ""))
+        .as("text"))
+  }
+
+  /** DuckDB twin of [[detokenize]]. */
+  def detokenizeSql(tokensSql: String, endMark: String = "</w>"): String = {
+    require(endMark.nonEmpty && !endMark.contains("'"),
+      s"endMark must be non-empty and quote-free: $endMark")
+    s"WITH dtk AS (\n$tokensSql\n)\n" +
+      s"""SELECT doc_id,
+         |  rtrim(string_agg(replace(token, '$endMark', ' '), ''
+         |    ORDER BY pos)) AS text
+         |FROM dtk GROUP BY doc_id""".stripMargin
+  }
+
   /** DuckDB twin of [[wordpieceScores]] over the corpus word
     * dictionary (top k, deterministic order) — the round-1 certificate
     * that the likelihood arithmetic agrees cross-engine, the

@@ -990,6 +990,24 @@ class BpeSpec extends AnyFunSuite {
     assert(empty.getLong(3) == 0L, "token-less doc has n_masked 0")
   }
 
+  test("detokenize: decode inverts the tokenizers") {
+    val docs = Seq((0L, "low lower lowest"), (1L, "wide wider"))
+      .toDF("doc_id", "text")
+    // end-mark convention: exact round-trip (every word carries </w>)
+    val merges = BpeOps.train(docs, 8)
+    val rt = BpeOps.detokenize(BpeOps.tokenize(docs, merges))
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(rt.toSeq == Seq("low lower lowest", "wide wider"))
+    // BERT ## convention: continuations glue back, [UNK] decodes
+    // literally (lowest -> lo ##w + missing ##est -> [UNK]; wider ->
+    // missing ##r -> [UNK])
+    val vocab = Seq("[UNK]", "lo", "##w", "##er", "wide")
+    val rt2 = BpeOps.detokenizeBert(
+        BpeOps.wordpieceTokenizeBert(docs, vocab))
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(rt2.toSeq == Seq("low lower [UNK]", "wide [UNK]"))
+  }
+
   test("bertEncodePair: closed-form truncate_seq_pair + type ids") {
     // iterative reference: BERT's truncate_seq_pair (pop the longer
     // side, ties pop B) — the closed form must match its fixed point
