@@ -2255,6 +2255,20 @@ object ExtensionQueries {
         .join(pairs, Seq("doc_a", "doc_b"))
         .orderBy("doc_a", "doc_b")
     },
+    // PACKED CAUSAL-LM TRAINING ROWS: pack_input_ids plus next-token
+    // labels shifted across the WHOLE shard slot stream — separators
+    // and row boundaries included (the label of a row's last slot is
+    // the next row's first id), -100 only at each shard's final slot —
+    // the (input_ids, labels) pair a GPT-style pretrainer consumes
+    "pack_lm_labels" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val tok = BpeOps.wordpieceTokenizeBert(docs, bertEncVocab,
+        maxWordChars = bertMaxWordChars)
+      PipelineOps.packTokenIds(docs, tok, budget = 128L,
+          sepId = bertEncVocab.indexOf("[SEP]").toLong,
+          idBuckets = packExhibitBuckets, withLabels = true)
+        .orderBy("lang", "source", "id_bucket", "seq_id")
+    },
     // DETOKENIZE (decode): the inverse every tokenizer library ships —
     // BERT ## continuations glue back to words (HF
     // convert_tokens_to_string), [UNK] decodes literally
@@ -3786,6 +3800,13 @@ object ExtensionQueries {
         "SELECT nse.*, nsp.is_next FROM nse JOIN nsp USING (doc_a, doc_b)" +
         "\nORDER BY doc_a, doc_b"
     },
+    "pack_lm_labels" ->
+      (PipelineOps.packTokenIdsSql(
+        BpeOps.wordpieceTokenizeBertSql(bertEncVocab,
+          maxWordChars = bertMaxWordChars, maxWordCp = wpCorpusMaxWordCp),
+        budget = 128L, sepId = bertEncVocab.indexOf("[SEP]").toLong,
+        idBuckets = packExhibitBuckets, withLabels = true) +
+        "\nORDER BY lang, source, id_bucket, seq_id"),
     "bert_detokenize" ->
       (BpeOps.detokenizeBertSql(BpeOps.wordpieceTokenizeBertSql(
         bertEncVocab, maxWordChars = bertMaxWordChars,

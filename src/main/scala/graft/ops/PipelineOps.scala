@@ -121,7 +121,7 @@ object PipelineOps {
   def packTokenIds(docs: DataFrame, tok: DataFrame, budget: Long,
       sepId: Long, shardCols: Seq[String] = Seq("lang", "source"),
       idBuckets: Int = 64, seed: Long = 42L,
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id", withLabels: Boolean = false): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
     require(shardCols.nonEmpty, "packTokenIds needs >= 1 shard column")
     require(idBuckets >= 1, s"idBuckets must be >= 1, got $idBuckets")
@@ -149,29 +149,55 @@ object PipelineOps {
     val sepSlots = off.select(shard :+ col("doc_id") :+
       (col("start_slot") + col("n_tok")).as("gpos") :+
       lit(sepId).as("token_id"): _*)
-    val slots = tokSlots.unionByName(sepSlots)
+    val slots0 = tokSlots.unionByName(sepSlots)
+    // causal-LM labels: the NEXT slot's id across the whole shard
+    // stream (docs, separators, and row boundaries included; the
+    // shard's last slot gets the -100 ignore index) — an equi-join on
+    // gpos+1, not a shard-wide sort
+    val slotsL =
+      if (!withLabels) slots0
+      else slots0.join(
+        slots0.select(shard :+ (col("gpos") - 1L).as("gpos") :+
+          col("token_id").as("next_id"): _*),
+        fullShard :+ "gpos", "left")
+        .na.fill(-100L, Seq("next_id"))
+    val slots = slotsL
       .withColumn("seq_id", expr(s"gpos div ${budget}L"))
       .withColumn("seq_pos", col("gpos") % budget)
     // a doc's slots within a sequence are contiguous (docs are laid out
     // sequentially), so per-(seq, doc) chunks ordered by their first
     // slot reassemble the exact in-sequence order
+    val partAggs = Seq(
+      array_join(transform(array_sort(collect_list(
+          struct(col("seq_pos"), col("token_id")))),
+        x => x.getField("token_id").cast("string")), " ").as("part")) ++
+      (if (withLabels) Seq(
+        array_join(transform(array_sort(collect_list(
+            struct(col("seq_pos"), col("next_id")))),
+          x => x.getField("next_id").cast("string")), " ").as("lpart"))
+      else Nil)
+    val chunkAggs = Seq(min(col("seq_pos")).as("lo"),
+      max(col("seq_pos")).as("hi"), count(lit(1)).as("n")) ++ partAggs
     val chunks = slots
       .groupBy((fullShard :+ "seq_id" :+ "doc_id").map(col): _*)
-      .agg(min(col("seq_pos")).as("lo"), max(col("seq_pos")).as("hi"),
-        count(lit(1)).as("n"),
+      .agg(chunkAggs.head, chunkAggs.tail: _*)
+    val finalAggs = Seq(
+      count(lit(1)).as("n_docs"), sum(col("n")).as("n_ids"),
+      array_join(transform(array_sort(collect_list(
+          struct(col("lo"), col("part")))),
+        x => x.getField("part")), " ").as("input_ids")) ++
+      (if (withLabels) Seq(
         array_join(transform(array_sort(collect_list(
-            struct(col("seq_pos"), col("token_id")))),
-          x => x.getField("token_id").cast("string")), " ").as("part"))
+            struct(col("lo"), col("lpart")))),
+          x => x.getField("lpart")), " ").as("labels"))
+      else Nil) ++
+      Seq(array_join(transform(array_sort(collect_list(
+          struct(col("lo"), col("doc_id"), col("hi")))),
+        x => concat(x.getField("doc_id").cast("string"), lit(":"),
+          x.getField("lo").cast("string"), lit("-"),
+          x.getField("hi").cast("string"))), " ").as("doc_spans"))
     chunks.groupBy((fullShard :+ "seq_id").map(col): _*)
-      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_ids"),
-        array_join(transform(array_sort(collect_list(
-            struct(col("lo"), col("part")))),
-          x => x.getField("part")), " ").as("input_ids"),
-        array_join(transform(array_sort(collect_list(
-            struct(col("lo"), col("doc_id"), col("hi")))),
-          x => concat(x.getField("doc_id").cast("string"), lit(":"),
-            x.getField("lo").cast("string"), lit("-"),
-            x.getField("hi").cast("string"))), " ").as("doc_spans"))
+      .agg(finalAggs.head, finalAggs.tail: _*)
   }
 
   /** DuckDB twin of [[packTokenIds]]: the tokenized relation's SQL as a
@@ -182,7 +208,7 @@ object PipelineOps {
     * end to end. */
   def packTokenIdsSql(tokensSql: String, budget: Long, sepId: Long,
       idBuckets: Int = 64, seed: Long = 42L,
-      fromSql: String = "documents"): String = {
+      fromSql: String = "documents", withLabels: Boolean = false): String = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
     require(idBuckets >= 1, s"idBuckets must be >= 1, got $idBuckets")
     val bSel = if (idBuckets > 1)
@@ -191,6 +217,22 @@ object PipelineOps {
     val b = if (idBuckets > 1) ", id_bucket" else ""
     val grpChunks = if (idBuckets > 1) "1, 2, 3, 4, 5" else "1, 2, 3, 4"
     val grpFinal = if (idBuckets > 1) "1, 2, 3, 4" else "1, 2, 3"
+    // causal-LM labels: the next slot id across the shard stream,
+    // -100 at the shard's last slot — lead over the shard partition
+    // (oracle scale; the engine uses the gpos+1 equi-join)
+    val nextSel =
+      if (withLabels)
+        s",\n    COALESCE(lead(token_id) OVER (PARTITION BY lang," +
+          s" source$b ORDER BY gpos), -100) AS next_id"
+      else ""
+    val lpartSel =
+      if (withLabels)
+        ",\n    string_agg(CAST(next_id AS VARCHAR), ' '" +
+          " ORDER BY seq_pos) AS lpart"
+      else ""
+    val labelsSel =
+      if (withLabels) "\n  string_agg(lpart, ' ' ORDER BY lo) AS labels,"
+      else ""
     s"WITH pk_tok AS (\n$tokensSql\n),\n" +
       s"""pk_docs AS (
          |  SELECT doc_id, lang, source$bSel FROM $fromSql),
@@ -215,19 +257,20 @@ object PipelineOps {
          |  FROM pk_off),
          |pk_g AS (
          |  SELECT lang, source$b, doc_id,
-         |    gpos // $budget AS seq_id, gpos % $budget AS seq_pos, token_id
+         |    gpos // $budget AS seq_id, gpos % $budget AS seq_pos,
+         |    token_id$nextSel
          |  FROM pk_slots),
          |pk_chunks AS (
          |  SELECT lang, source$b, seq_id, doc_id,
          |    min(seq_pos) AS lo, max(seq_pos) AS hi,
          |    CAST(count(*) AS BIGINT) AS n,
          |    string_agg(CAST(token_id AS VARCHAR), ' ' ORDER BY seq_pos)
-         |      AS part
+         |      AS part$lpartSel
          |  FROM pk_g GROUP BY $grpChunks)
          |SELECT lang, source$b, seq_id,
          |  CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(n) AS BIGINT) AS n_ids,
-         |  string_agg(part, ' ' ORDER BY lo) AS input_ids,
+         |  string_agg(part, ' ' ORDER BY lo) AS input_ids,$labelsSel
          |  string_agg(doc_id || ':' || lo || '-' || hi, ' ' ORDER BY lo)
          |    AS doc_spans
          |FROM pk_chunks GROUP BY $grpFinal""".stripMargin

@@ -198,6 +198,16 @@ class PipelineOpsSpec extends AnyFunSuite {
     val counted = bucketed.select(col("n_ids"),
       expr("size(split(input_ids, ' '))").cast("long").as("n_str"))
     assert(counted.filter(col("n_ids") =!= col("n_str")).count() == 0L)
+    // causal-LM labels: the shard stream shifted by one slot — row and
+    // doc boundaries crossed, -100 only at the shard's final slot
+    val lab = PipelineOps.packTokenIds(docs, tok, budget = 5L, sepId = 99L,
+        idBuckets = 1, withLabels = true).orderBy("seq_id").collect()
+      .map(r => (r.getString(5), r.getString(6)))
+    // stream: 10 11 12 99 99 20 21 22 23 24 25 99
+    assert(lab.toSeq == Seq(
+      ("10 11 12 99 99", "11 12 99 99 20"),
+      ("20 21 22 23 24", "21 22 23 24 25"),
+      ("25 99", "99 -100")))
   }
 
   test("mlmMask: deterministic seeded 15% / 80-10-10 policy") {
