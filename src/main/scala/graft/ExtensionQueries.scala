@@ -2269,6 +2269,18 @@ object ExtensionQueries {
           idBuckets = packExhibitBuckets, withLabels = true)
         .orderBy("lang", "source", "id_bucket", "seq_id")
     },
+    // T5 SPAN CORRUPTION (Raffel et al. 2020 §3.1.4): hash-selected
+    // spans replaced by descending <extra_id_k> sentinels in the
+    // encoder input, echoed as sentinel+span in the decoder targets
+    // with the closing sentinel — the third pretraining objective
+    // family (MLM / NSP / span corruption), deterministic on both
+    // engines
+    "span_corrupt" -> { (s, dir) =>
+      val tok = BpeOps.wordpieceTokenizeBert(Tables.documents(s, dir),
+        bertEncVocab, maxWordChars = bertMaxWordChars)
+      PipelineOps.spanCorrupt(tok, sentinelBase = 99999L)
+        .orderBy("doc_id")
+    },
     // DETOKENIZE (decode): the inverse every tokenizer library ships —
     // BERT ## continuations glue back to words (HF
     // convert_tokens_to_string), [UNK] decodes literally
@@ -3807,6 +3819,11 @@ object ExtensionQueries {
         budget = 128L, sepId = bertEncVocab.indexOf("[SEP]").toLong,
         idBuckets = packExhibitBuckets, withLabels = true) +
         "\nORDER BY lang, source, id_bucket, seq_id"),
+    "span_corrupt" ->
+      (PipelineOps.spanCorruptSql(
+        BpeOps.wordpieceTokenizeBertSql(bertEncVocab,
+          maxWordChars = bertMaxWordChars, maxWordCp = wpCorpusMaxWordCp),
+        sentinelBase = 99999L) + "\nORDER BY doc_id"),
     "bert_detokenize" ->
       (BpeOps.detokenizeBertSql(BpeOps.wordpieceTokenizeBertSql(
         bertEncVocab, maxWordChars = bertMaxWordChars,

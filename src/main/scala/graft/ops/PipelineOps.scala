@@ -1461,6 +1461,163 @@ object PipelineOps {
          |FROM mlm_a""".stripMargin
   }
 
+  // ---- span corruption (T5) ----------------------------------------------
+  /** T5-style span corruption (Raffel et al. 2020 §3.1.4) made
+    * deterministic and relational: seeded hash-selected span STARTS
+    * (`spanStartBp`/10000 of positions; lengths 1..`maxSpanLen` from a
+    * second scramble — mean (1+maxSpanLen)/2 ≈ T5's mean-3 noise
+    * spans at the defaults), coverage merged where spans touch
+    * (gaps-and-islands — T5 samples non-adjacent spans, we merge;
+    * both engines merge identically), each island replaced by ONE
+    * sentinel in the corrupted input and echoed as `sentinel + span
+    * tokens` in the targets, closing with the final sentinel — the
+    * `<extra_id_k>` convention, ids descending from `sentinelBase`
+    * (caller guarantees no collision with real ids).
+    *
+    * Emits per document: n_tok, n_noise (covered slots), n_spans,
+    * `input_ids` (uncovered tokens + sentinels, original order) and
+    * `targets` (sentinel_k + span_k ... + final sentinel) —
+    * the encoder/decoder string pair a T5 pretrainer consumes.
+    * Requires contiguous 1-based `pos` (any tokenizer here).
+    *
+    * Scale shape: the coverage explode is `maxSpanLen`-bounded over
+    * the ~5% start rows; islands/numbering windows partition by
+    * doc_id (document-bounded); everything else is equi-joins and
+    * doc-keyed map-side-combined aggregates. */
+  def spanCorrupt(tok: DataFrame, sentinelBase: Long, seed: Long = 42L,
+      spanStartBp: Int = 500, maxSpanLen: Int = 5): DataFrame = {
+    require(spanStartBp >= 1 && spanStartBp <= 10000,
+      s"spanStartBp must be in [1, 10000], got $spanStartBp")
+    require(maxSpanLen >= 1, s"maxSpanLen must be >= 1, got $maxSpanLen")
+    val tStart = (BigInt(ShufflePrime) * spanStartBp / 10000).toLong
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val p = lit(ShufflePrime).cast(dec)
+    val m = lit(ShuffleMult).cast(dec)
+    val k1 = pmod(col("doc_id").cast(dec) * m + lit(seed).cast(dec), p)
+    val h = pmod(pmod(k1 + col("pos").cast(dec), p) * m, p)
+    val len = (pmod(h * m, p).cast("long") % maxSpanLen.toLong) + 1L
+    val starts = tok
+      .withColumn("__h", h.cast("long")).withColumn("__len", len)
+      .filter(col("__h") < tStart)
+      .select(col("doc_id"), col("pos").as("spos"), col("__len"))
+    val covered = starts
+      .select(col("doc_id"), explode(expr(
+        s"sequence(spos, spos + __len - 1)")).as("pos"))
+      .distinct()
+    val cov = tok.join(covered, Seq("doc_id", "pos"))
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val islands = cov
+      .withColumn("__grp", col("pos") - row_number().over(wDoc))
+      .groupBy(col("doc_id"), col("__grp"))
+      .agg(min(col("pos")).as("ipos"), count(lit(1)).as("isz"),
+        array_join(transform(array_sort(collect_list(
+            struct(col("pos"), col("token_id")))),
+          x => x.getField("token_id").cast("string")), " ").as("sids"))
+    val wIsl = Window.partitionBy("doc_id").orderBy("ipos")
+    val ik = islands
+      .withColumn("k", (row_number().over(wIsl) - 1).cast("long"))
+      .withColumn("sent", lit(sentinelBase) - col("k"))
+    val uncov = tok.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .select(col("doc_id"), col("pos"), col("token_id").as("out_id"))
+    val inputAgg = uncov
+      .unionByName(ik.select(col("doc_id"), col("ipos").as("pos"),
+        col("sent").as("out_id")))
+      .groupBy("doc_id")
+      .agg(array_join(transform(array_sort(collect_list(
+          struct(col("pos"), col("out_id")))),
+        x => x.getField("out_id").cast("string")), " ").as("input_ids"))
+    val targAgg = ik.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum(col("isz")).as("n_noise"),
+        array_join(transform(array_sort(collect_list(
+            struct(col("ipos"), concat(col("sent").cast("string"),
+              lit(" "), col("sids")).as("tpart")))),
+          x => x.getField("tpart")), " ").as("__targ"))
+    tok.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+      .join(inputAgg, Seq("doc_id"))
+      .join(targAgg, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_spans", "n_noise"))
+      .select(col("doc_id"), col("n_tok"), col("n_noise"), col("n_spans"),
+        col("input_ids"),
+        concat(coalesce(concat(col("__targ"), lit(" ")), lit("")),
+          (lit(sentinelBase) - col("n_spans")).cast("string"))
+          .as("targets"))
+  }
+
+  /** DuckDB twin of [[spanCorrupt]] — identical HUGEINT hash/length
+    * arithmetic, generate_series coverage, gaps-and-islands merge. */
+  def spanCorruptSql(tokensSql: String, sentinelBase: Long,
+      seed: Long = 42L, spanStartBp: Int = 500,
+      maxSpanLen: Int = 5): String = {
+    require(spanStartBp >= 1 && spanStartBp <= 10000,
+      s"spanStartBp must be in [1, 10000], got $spanStartBp")
+    require(maxSpanLen >= 1, s"maxSpanLen must be >= 1, got $maxSpanLen")
+    val tStart = (BigInt(ShufflePrime) * spanStartBp / 10000).toLong
+    val p = ShufflePrime
+    val m = ShuffleMult
+    s"WITH sc_tok AS (\n$tokensSql\n),\n" +
+      s"""sc_h AS (
+         |  SELECT doc_id, pos, token_id,
+         |    ((((doc_id::HUGEINT * $m + $seed) % $p + $p) % $p
+         |        + pos) % $p * $m) % $p AS h
+         |  FROM sc_tok),
+         |sc_starts AS (
+         |  SELECT doc_id, pos AS spos,
+         |    CAST((h * $m) % $p AS BIGINT) % $maxSpanLen + 1 AS len
+         |  FROM sc_h WHERE h < $tStart),
+         |sc_cov AS (
+         |  SELECT DISTINCT doc_id, spos + d AS pos
+         |  FROM sc_starts, unnest(range(0, $maxSpanLen)) t(d)
+         |  WHERE d < len),
+         |sc_c AS (
+         |  SELECT t.doc_id, t.pos, t.token_id,
+         |    t.pos - row_number() OVER (PARTITION BY t.doc_id
+         |      ORDER BY t.pos) AS grp
+         |  FROM sc_tok t JOIN sc_cov c ON c.doc_id = t.doc_id
+         |    AND c.pos = t.pos),
+         |sc_isl AS (
+         |  SELECT doc_id, grp, min(pos) AS ipos,
+         |    CAST(count(*) AS BIGINT) AS isz,
+         |    string_agg(CAST(token_id AS VARCHAR), ' ' ORDER BY pos)
+         |      AS sids
+         |  FROM sc_c GROUP BY 1, 2),
+         |sc_ik AS (
+         |  SELECT doc_id, ipos, isz, sids,
+         |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY ipos)
+         |      - 1 AS BIGINT) AS k
+         |  FROM sc_isl),
+         |sc_in AS (
+         |  SELECT doc_id,
+         |    string_agg(CAST(out_id AS VARCHAR), ' ' ORDER BY pos)
+         |      AS input_ids
+         |  FROM (
+         |    SELECT t.doc_id, t.pos, t.token_id AS out_id
+         |    FROM sc_tok t LEFT JOIN sc_cov c ON c.doc_id = t.doc_id
+         |      AND c.pos = t.pos
+         |    WHERE c.pos IS NULL
+         |    UNION ALL
+         |    SELECT doc_id, ipos AS pos, $sentinelBase - k AS out_id
+         |    FROM sc_ik) u
+         |  GROUP BY 1),
+         |sc_tg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |    CAST(sum(isz) AS BIGINT) AS n_noise,
+         |    string_agg(CAST($sentinelBase - k AS VARCHAR) || ' ' || sids,
+         |      ' ' ORDER BY ipos) AS targ
+         |  FROM sc_ik GROUP BY 1),
+         |sc_nt AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok
+         |  FROM sc_tok GROUP BY 1)
+         |SELECT n.doc_id, n.n_tok,
+         |  COALESCE(g.n_noise, 0) AS n_noise,
+         |  COALESCE(g.n_spans, 0) AS n_spans,
+         |  i.input_ids,
+         |  COALESCE(g.targ || ' ', '') ||
+         |    CAST($sentinelBase - COALESCE(g.n_spans, 0) AS VARCHAR)
+         |    AS targets
+         |FROM sc_nt n JOIN sc_in i USING (doc_id)
+         |LEFT JOIN sc_tg g USING (doc_id)""".stripMargin
+  }
+
   // ---- NSP pair sampling -------------------------------------------------
   /** Cyclic successor in a seeded pseudo-random permutation of the
     * corpus — the deterministic "pick a random OTHER document"

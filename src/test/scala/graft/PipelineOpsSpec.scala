@@ -296,6 +296,54 @@ class PipelineOpsSpec extends AnyFunSuite {
     m.unpersist()
   }
 
+  test("spanCorrupt: sentinel replacement, targets echo, stats") {
+    // 400 docs x 60 positions; ids = pos so strings are checkable
+    val tok = spark.range(0, 400).select(col("id").as("doc_id"))
+      .crossJoin(spark.range(1, 61).select(col("id").as("pos")))
+      .withColumn("token_id", col("pos"))
+    val out = PipelineOps.spanCorrupt(tok, sentinelBase = 9999L).cache()
+    assert(out.count() == 400L)
+    val rows = out.collect()
+    rows.foreach { r =>
+      val (nTok, nNoise, nSpans) =
+        (r.getLong(1), r.getLong(2), r.getLong(3))
+      val in = r.getString(4).split(" ").map(_.toLong)
+      val tg = r.getString(5).split(" ").map(_.toLong)
+      assert(nTok == 60L)
+      // corrupted input = uncovered tokens + one sentinel per span
+      assert(in.length.toLong == nTok - nNoise + nSpans)
+      // sentinels descend from base; the targets close with the final
+      // sentinel base - n_spans
+      val sents = in.filter(_ > 60L)
+      assert(sents.toSeq == (0L until nSpans).map(9999L - _))
+      assert(tg.last == 9999L - nSpans)
+      // targets echo exactly the covered tokens plus n_spans+1 sentinels
+      assert(tg.length.toLong == nNoise + nSpans + 1)
+      // splice check: replacing sentinels in the input by their target
+      // spans reconstructs the original stream
+      val spans = scala.collection.mutable.Map[Long,
+        scala.collection.mutable.ArrayBuffer[Long]]()
+      var cur = -1L
+      tg.dropRight(1).foreach { v =>
+        if (v > 60L) { cur = v; spans(cur) =
+          scala.collection.mutable.ArrayBuffer[Long]() }
+        else spans(cur) += v
+      }
+      val rebuilt = in.flatMap(v =>
+        if (v > 60L) spans(v).toSeq else Seq(v))
+      assert(rebuilt.toSeq == (1L to 60L),
+        s"doc ${r.getLong(0)} splice mismatch")
+    }
+    // the corpus-level noise share is near the configured density:
+    // 5% starts x mean len 3 = ~15% of tokens
+    val tot = rows.map(_.getLong(2)).sum.toDouble / (400 * 60)
+    assert(tot > 0.10 && tot < 0.20, s"noise share $tot out of band")
+    // deterministic
+    val again = PipelineOps.spanCorrupt(tok, sentinelBase = 9999L)
+    assert(out.exceptAll(again).count() == 0L)
+    out.unpersist()
+  }
+
   test("permutationSuccessor: a cyclic permutation, bucket-invariant") {
     val docs = spark.range(0, 500).select(col("id").as("doc_id"))
     val got = PipelineOps.permutationSuccessor(docs, seed = 11L)
