@@ -237,6 +237,16 @@ object Examples {
       spark.stop()
       return
     }
+    if (args.headOption.contains("soak-pretrain")) {
+      // round-14 pretraining-objective soak: `runMain graft.Examples
+      // soak-pretrain 5000000` — MLM/span-corruption share exactness +
+      // throughput and the permutation sampler's cyclic property at
+      // scale, with buckets scaled to corpus/target_cell
+      args.lift(1).getOrElse("5000000").split(",").map(_.trim.toLong)
+        .foreach(n => pretrainSoak(spark, n))
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("wordpiece-chained-probe")) {
       // chained-trainer SCALE probe: `runMain graft.Examples
       // wordpiece-chained-probe 4096,64,1000000,50000` — production-
@@ -1582,6 +1592,54 @@ object Examples {
     require(maxCell <= bound,
       s"largest bucketed window cell $maxCell exceeds $bound")
     println(f"""{"example":"pack_soak","docs":$nDocs,"hot_docs":$hot,"slots":$slotsB,"seqs":$seqsB,"max_cell_bucketed":$maxCell,"cell_bound":$bound,"sec_bucketed":$secB%.1f,"sec_unbucketed":$secU%.1f}""")
+  }
+
+  /** Pretraining-objective soak: the round-14 family at soak scale.
+    * mlmMask + spanCorrupt are pure projections / bounded explodes —
+    * the soak certifies throughput linearity and the exact expected
+    * selection shares; permutationSuccessor is the one new
+    * shuffle-bearing stage (bucketed lead windows) — the soak asserts
+    * the cyclic-permutation property (distinct partners == docs) at
+    * full scale and that cell sizes track n/buckets, the knob a 100 TB
+    * caller turns (buckets ~ corpus/target_cell). */
+  private def pretrainSoak(spark: SparkSession, nDocs: Long): Unit = {
+    import graft.ops.PipelineOps
+    val tokPerDoc = 40L
+    val docs = spark.range(nDocs).select(col("id").as("doc_id"))
+    val tok = docs.select(col("doc_id"),
+        explode(sequence(lit(1L), lit(tokPerDoc))).as("pos"))
+      .withColumn("token", lit("t"))
+      .withColumn("token_id",
+        pmod(xxhash64(col("doc_id"), col("pos")), lit(30000L)))
+    val nTok = nDocs * tokPerDoc
+    // warmup at 1/10 scale
+    PipelineOps.mlmMask(tok.filter(col("doc_id") < nDocs / 10),
+        vocabSize = 30000, maskId = 0L)
+      .agg(count(lit(1))).head()
+    val t0 = System.nanoTime()
+    val mlm = PipelineOps.mlmMask(tok, vocabSize = 30000, maskId = 0L)
+      .groupBy("mlm_action").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val secMlm = (System.nanoTime() - t0) / 1e9
+    val sel = nTok - mlm.getOrElse("none", 0L)
+    require(sel > nTok * 13 / 100 && sel < nTok * 17 / 100,
+      s"MLM selection share off at scale: $sel of $nTok")
+    val t1 = System.nanoTime()
+    val sc = PipelineOps.spanCorrupt(tok, sentinelBase = 999999L)
+      .agg(sum(col("n_noise")).as("noise"), sum(col("n_spans")).as("spans"),
+        count(lit(1)).as("rows"))
+      .head()
+    val secSc = (System.nanoTime() - t1) / 1e9
+    require(sc.getLong(2) == nDocs, "span_corrupt must emit every doc")
+    val t2 = System.nanoTime()
+    val buckets = math.max(64, (nDocs / 250000L).toInt)
+    val perm = PipelineOps.permutationSuccessor(docs, buckets = buckets)
+    val distinctPartners = perm.agg(
+      countDistinct(col("partner_id"))).head().getLong(0)
+    val secPerm = (System.nanoTime() - t2) / 1e9
+    require(distinctPartners == nDocs,
+      s"partner map must stay a permutation: $distinctPartners != $nDocs")
+    println(f"""{"example":"pretrain_soak","docs":$nDocs,"tokens":$nTok,"mlm_selected":$sel,"noise_tokens":${sc.getLong(0)},"noise_spans":${sc.getLong(1)},"perm_buckets":$buckets,"distinct_partners":$distinctPartners,"sec_mlm":$secMlm%.1f,"sec_span":$secSc%.1f,"sec_perm":$secPerm%.1f}""")
   }
 
   private def dedupSoak(spark: SparkSession, nDocs: Long): Unit = {

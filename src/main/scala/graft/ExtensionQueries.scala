@@ -2281,6 +2281,21 @@ object ExtensionQueries {
       PipelineOps.spanCorrupt(tok, sentinelBase = 99999L)
         .orderBy("doc_id")
     },
+    // SFT SAMPLE BUILDING (decoder-only instruction tuning): prompt +
+    // completion concatenated, right-truncated, padded — with labels
+    // -100 over the prompt and pads so the loss trains on the
+    // completion only (the TRL/chat-SFT contract); pairs are
+    // corpus-adjacent docs via the pure equi-join
+    "sft_encode" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val tok = BpeOps.wordpieceTokenizeBert(docs, bertEncVocab,
+        maxWordChars = bertMaxWordChars)
+      val pairs = docs.select(col("doc_id").as("doc_a"))
+        .join(docs.select((col("doc_id") - 1L).as("doc_a"),
+          col("doc_id").as("doc_b")), Seq("doc_a"))
+      BpeOps.sftEncode(tok, pairs, bertEncVocab, seqLen = 192)
+        .orderBy("doc_a", "doc_b")
+    },
     // DETOKENIZE (decode): the inverse every tokenizer library ships —
     // BERT ## continuations glue back to words (HF
     // convert_tokens_to_string), [UNK] decodes literally
@@ -3824,6 +3839,11 @@ object ExtensionQueries {
         BpeOps.wordpieceTokenizeBertSql(bertEncVocab,
           maxWordChars = bertMaxWordChars, maxWordCp = wpCorpusMaxWordCp),
         sentinelBase = 99999L) + "\nORDER BY doc_id"),
+    "sft_encode" -> (BpeOps.sftEncodeSql(
+      BpeOps.wordpieceTokenizeBertSql(bertEncVocab,
+        maxWordChars = bertMaxWordChars, maxWordCp = wpCorpusMaxWordCp),
+      nspPositivesSql, bertEncVocab, seqLen = 192) +
+      "\nORDER BY doc_a, doc_b"),
     "bert_detokenize" ->
       (BpeOps.detokenizeBertSql(BpeOps.wordpieceTokenizeBertSql(
         bertEncVocab, maxWordChars = bertMaxWordChars,

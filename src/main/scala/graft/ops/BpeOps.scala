@@ -2183,6 +2183,114 @@ object BpeOps {
          |FROM mle_all ORDER BY doc_id""".stripMargin
   }
 
+  // ---- SFT (prompt-completion) encode ------------------------------------
+  /** Supervised fine-tuning sample builder (decoder-only convention):
+    * per (doc_a = prompt, doc_b = completion) pair, concatenate the
+    * two token streams, truncate from the RIGHT at `seqLen`
+    * (k_a = min(n_a, seqLen), k_b = min(n_b, seqLen − k_a)), pad with
+    * `pad` to exactly `seqLen`, and mask the loss off the prompt:
+    * `labels` is −100 over the prompt slots and the pads, the
+    * completion's own ids over its kept slots — train on the response
+    * only, the TRL/chat-SFT contract. Emits (doc_a, doc_b, n_a, n_b,
+    * k_a, k_b, truncated, input_ids, labels, attention_mask). A
+    * prompt at or beyond the budget leaves k_b = 0 (all-−100 labels —
+    * filter such rows downstream if the trainer requires live loss).
+    *
+    * Same scale shape as [[bertEncodePair]]: one tokenize pass, two
+    * doc-keyed equi-joins of the pairs against the per-doc id arrays,
+    * then pure codegen'd string building. */
+  def sftEncode(tok: DataFrame, pairs: DataFrame, vocab: Seq[String],
+      seqLen: Int, pad: String = "[PAD]"): DataFrame = {
+    require(seqLen >= 2, s"seqLen must be >= 2, got $seqLen")
+    val padIdx = vocab.indexOf(pad)
+    require(padIdx >= 0, s"vocabulary must contain the pad token '$pad'")
+    val padId = padIdx.toLong
+    val perDoc = tok.groupBy("doc_id").agg(
+      count(lit(1)).as("n"),
+      transform(array_sort(collect_list(struct(col("pos"),
+        col("token_id")))), x => x.getField("token_id")).as("ids"))
+    val joined = pairs
+      .join(perDoc.select(col("doc_id").as("doc_a"), col("n").as("n_a"),
+        col("ids").as("ids_a")), Seq("doc_a"))
+      .join(perDoc.select(col("doc_id").as("doc_b"), col("n").as("n_b"),
+        col("ids").as("ids_b")), Seq("doc_b"))
+      .withColumn("k_a", least(col("n_a"), lit(seqLen.toLong)))
+      .withColumn("k_b", least(col("n_b"), lit(seqLen.toLong) - col("k_a")))
+      .withColumn("k", col("k_a") + col("k_b"))
+    joined.select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+      col("k_a"), col("k_b"),
+      (col("n_a") > col("k_a") || col("n_b") > col("k_b")).as("truncated"),
+      expr(s"""ltrim(
+        concat(
+          CASE WHEN k_a > 0 THEN concat(' ', array_join(transform(
+            slice(ids_a, 1, CAST(k_a AS INT)), x -> CAST(x AS STRING)),
+            ' ')) ELSE '' END,
+          CASE WHEN k_b > 0 THEN concat(' ', array_join(transform(
+            slice(ids_b, 1, CAST(k_b AS INT)), x -> CAST(x AS STRING)),
+            ' ')) ELSE '' END,
+          repeat(' $padId', CAST(${seqLen}L - k AS INT))))""")
+        .as("input_ids"),
+      expr(s"""ltrim(
+        concat(
+          repeat(' -100', CAST(k_a AS INT)),
+          CASE WHEN k_b > 0 THEN concat(' ', array_join(transform(
+            slice(ids_b, 1, CAST(k_b AS INT)), x -> CAST(x AS STRING)),
+            ' ')) ELSE '' END,
+          repeat(' -100', CAST(${seqLen}L - k AS INT))))""")
+        .as("labels"),
+      expr(s"ltrim(concat(repeat(' 1', CAST(k AS INT))," +
+        s" repeat(' 0', CAST(${seqLen}L - k AS INT))))")
+        .as("attention_mask"))
+  }
+
+  /** DuckDB twin of [[sftEncode]] — identical slice/repeat string
+    * building over the same per-doc id arrays. */
+  def sftEncodeSql(tokensSql: String, pairsSql: String,
+      vocab: Seq[String], seqLen: Int, pad: String = "[PAD]"): String = {
+    require(seqLen >= 2, s"seqLen must be >= 2, got $seqLen")
+    val padIdx = vocab.indexOf(pad)
+    require(padIdx >= 0, s"vocabulary must contain the pad token '$pad'")
+    val padId = padIdx.toLong
+    s"WITH sft_tok AS (\n$tokensSql\n),\nsft_pairs AS (\n$pairsSql\n),\n" +
+      s"""sft_doc AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+         |    list(token_id ORDER BY pos) AS ids
+         |  FROM sft_tok GROUP BY 1),
+         |sft_j AS (
+         |  SELECT p.doc_a, p.doc_b, a.n AS n_a, b.n AS n_b,
+         |    a.ids AS ids_a, b.ids AS ids_b,
+         |    LEAST(a.n, $seqLen) AS k_a,
+         |    LEAST(b.n, $seqLen - LEAST(a.n, $seqLen)) AS k_b,
+         |    LEAST(a.n, $seqLen)
+         |      + LEAST(b.n, $seqLen - LEAST(a.n, $seqLen)) AS k
+         |  FROM sft_pairs p
+         |  JOIN sft_doc a ON a.doc_id = p.doc_a
+         |  JOIN sft_doc b ON b.doc_id = p.doc_b)
+         |SELECT doc_a, doc_b, n_a, n_b,
+         |  CAST(k_a AS BIGINT) AS k_a, CAST(k_b AS BIGINT) AS k_b,
+         |  n_a > k_a OR n_b > k_b AS truncated,
+         |  ltrim(
+         |    CASE WHEN k_a > 0 THEN ' ' || array_to_string(
+         |      list_slice(ids_a, 1, CAST(k_a AS INTEGER)), ' ')
+         |      ELSE '' END ||
+         |    CASE WHEN k_b > 0 THEN ' ' || array_to_string(
+         |      list_slice(ids_b, 1, CAST(k_b AS INTEGER)), ' ')
+         |      ELSE '' END ||
+         |    repeat(' $padId', CAST($seqLen - k AS INTEGER)))
+         |    AS input_ids,
+         |  ltrim(
+         |    repeat(' -100', CAST(k_a AS INTEGER)) ||
+         |    CASE WHEN k_b > 0 THEN ' ' || array_to_string(
+         |      list_slice(ids_b, 1, CAST(k_b AS INTEGER)), ' ')
+         |      ELSE '' END ||
+         |    repeat(' -100', CAST($seqLen - k AS INTEGER)))
+         |    AS labels,
+         |  ltrim(repeat(' 1', CAST(k AS INTEGER)) ||
+         |    repeat(' 0', CAST($seqLen - k AS INTEGER)))
+         |    AS attention_mask
+         |FROM sft_j""".stripMargin
+  }
+
   // ---- detokenize (decode) ----------------------------------------------
   /** Decode a BERT-convention token relation back to text — the
     * inverse of [[wordpieceTokenizeBert]] and what every tokenizer

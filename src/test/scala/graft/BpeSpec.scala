@@ -990,6 +990,34 @@ class BpeSpec extends AnyFunSuite {
     assert(empty.getLong(3) == 0L, "token-less doc has n_masked 0")
   }
 
+  test("sftEncode: completion-only loss, right truncation, pads") {
+    val vocab = Seq("[PAD]", "[CLS]", "[SEP]", "a", "b")
+    // doc 0: 3 ids (prompt), doc 1: 2 ids (completion), doc 2: 9 ids
+    val tok = (Seq((0L, 1L, "a", 3L), (0L, 2L, "b", 4L), (0L, 3L, "a", 3L),
+        (1L, 1L, "b", 4L), (1L, 2L, "a", 3L)) ++
+      (1 to 9).map(p => (2L, p.toLong, "b", 4L)))
+      .toDF("doc_id", "pos", "token", "token_id")
+    val pairs = Seq((0L, 1L), (2L, 1L), (0L, 2L)).toDF("doc_a", "doc_b")
+    val out = BpeOps.sftEncode(tok, pairs, vocab, seqLen = 8)
+      .orderBy("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4), r.getLong(5),
+        r.getBoolean(6), r.getString(7), r.getString(8), r.getString(9)))
+    // (0,1): 3+2 ids, 3 pads; loss only on the completion slots
+    assert(out(0) == ((0L, 1L, 3L, 2L, false, "3 4 3 4 3 0 0 0",
+      "-100 -100 -100 4 3 -100 -100 -100", "1 1 1 1 1 0 0 0")))
+    // (0,2): completion truncates at 8-3=5 kept
+    assert(out(1) == ((0L, 2L, 3L, 5L, true, "3 4 3 4 4 4 4 4",
+      "-100 -100 -100 4 4 4 4 4", "1 1 1 1 1 1 1 1")))
+    // (2,1): the 9-id prompt eats the whole budget — k_b 0, labels
+    // all -100 (the filter-downstream contract), no seam artifacts
+    assert(out(2) == ((2L, 1L, 8L, 0L, true, "4 4 4 4 4 4 4 4",
+      "-100 -100 -100 -100 -100 -100 -100 -100", "1 1 1 1 1 1 1 1")))
+    out.foreach { case (_, _, _, _, _, ids, labs, mask) =>
+      assert(ids.split(" ").length == 8 && labs.split(" ").length == 8 &&
+        mask.split(" ").length == 8)
+    }
+  }
+
   test("detokenize: decode inverts the tokenizers") {
     val docs = Seq((0L, "low lower lowest"), (1L, "wide wider"))
       .toDF("doc_id", "text")
