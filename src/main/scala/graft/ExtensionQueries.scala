@@ -2296,6 +2296,14 @@ object ExtensionQueries {
       BpeOps.sftEncode(tok, pairs, bertEncVocab, seqLen = 192)
         .orderBy("doc_a", "doc_b")
     },
+    // CONTRASTIVE NEGATIVES: k distinct pseudo-random negatives per
+    // doc as hops along the one-n-cycle permutation — balanced (every
+    // doc serves as a negative exactly k times), no self-pairs,
+    // reproducible
+    "contrastive_negatives" -> { (s, dir) =>
+      PipelineOps.permutationNegatives(Tables.documents(s, dir), k = 4)
+        .orderBy("doc_id", "hop")
+    },
     // DETOKENIZE (decode): the inverse every tokenizer library ships —
     // BERT ## continuations glue back to words (HF
     // convert_tokens_to_string), [UNK] decodes literally
@@ -3844,6 +3852,9 @@ object ExtensionQueries {
         maxWordChars = bertMaxWordChars, maxWordCp = wpCorpusMaxWordCp),
       nspPositivesSql, bertEncVocab, seqLen = 192) +
       "\nORDER BY doc_a, doc_b"),
+    "contrastive_negatives" ->
+      (PipelineOps.permutationNegativesSql(k = 4) +
+        "\nORDER BY 1, 2"),
     "bert_detokenize" ->
       (BpeOps.detokenizeBertSql(BpeOps.wordpieceTokenizeBertSql(
         bertEncVocab, maxWordChars = bertMaxWordChars,

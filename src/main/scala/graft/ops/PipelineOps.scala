@@ -1679,6 +1679,49 @@ object PipelineOps {
        |FROM ps_s s CROSS JOIN ps_f f""".stripMargin
   }
 
+  /** k pseudo-random negatives per document for contrastive /
+    * embedding training: hops 1..k along the [[permutationSuccessor]]
+    * cycle. Because the successor map is ONE n-cycle in key order,
+    * the k negatives of a document are pairwise distinct and never
+    * the document itself (for k < n), and every document serves as a
+    * negative exactly k times — balanced by construction, reproducible
+    * across engines. Emits (doc_id, hop, neg_id) long form.
+    *
+    * Scale: k−1 self-equi-joins of the partner relation (k is small —
+    * the negatives-per-anchor knob), each a plain hash join; the
+    * underlying successor build is the bucketed-window shape. */
+  def permutationNegatives(docs: DataFrame, k: Int, seed: Long = 42L,
+      idCol: String = "doc_id", buckets: Int = 64): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val succ = permutationSuccessor(docs, seed, idCol, buckets)
+    val hop1 = succ.select(col("doc_id"), lit(1L).as("hop"),
+      col("partner_id").as("neg_id"))
+    (2 to k).foldLeft((hop1, hop1)) { case ((acc, prev), j) =>
+      val next = prev.select(col("doc_id"), col("neg_id").as("__from"))
+        .join(succ.select(col("doc_id").as("__from"),
+          col("partner_id").as("neg_id")), Seq("__from"))
+        .select(col("doc_id"), lit(j.toLong).as("hop"), col("neg_id"))
+      (acc.unionByName(next), next)
+    }._1
+  }
+
+  /** DuckDB twin of [[permutationNegatives]] — the cyclic index form:
+    * negative j of the rank-r document is the rank-((r + j) mod n)
+    * document in shuffle-key order. */
+  def permutationNegativesSql(k: Int, seed: Long = 42L,
+      idExpr: String = "doc_id", fromSql: String = "documents"): String = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val key = epochShuffleKeySql(seed, idExpr)
+    s"""WITH pn_d AS (
+       |  SELECT $idExpr AS doc_id, $key AS k,
+       |    row_number() OVER (ORDER BY $key) - 1 AS rn
+       |  FROM $fromSql),
+       |pn_n AS (SELECT count(*) AS n FROM pn_d)
+       |SELECT a.doc_id, CAST(j AS BIGINT) AS hop, b.doc_id AS neg_id
+       |FROM pn_d a, pn_n, unnest(range(1, $k + 1)) t(j), pn_d b
+       |WHERE b.rn = (a.rn + j) % pn_n.n""".stripMargin
+  }
+
   /** NSP (next-sentence/segment prediction) pair sampling, the second
     * BERT pretraining objective (Devlin et al. 2019 §3.2), made
     * deterministic: for each ACTUAL pair in `positives` (doc_a,

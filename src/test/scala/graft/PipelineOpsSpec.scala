@@ -367,6 +367,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     got.foreach { case (d, p) => assert(b1(d) == p) }
   }
 
+  test("permutationNegatives: k distinct balanced negatives per doc") {
+    val docs = spark.range(0, 300).select(col("id").as("doc_id"))
+    val got = PipelineOps.permutationNegatives(docs, k = 4).cache()
+    assert(got.count() == 1200L)
+    // per doc: 4 pairwise-distinct negatives, never self
+    val perDoc = got.groupBy("doc_id")
+      .agg(countDistinct(col("neg_id")).as("d"),
+        sum(when(col("neg_id") === col("doc_id"), 1L).otherwise(0L))
+          .as("self"))
+    assert(perDoc.filter(col("d") =!= 4L || col("self") =!= 0L)
+      .count() == 0L)
+    // balanced: every doc serves as a negative exactly k times
+    val asNeg = got.groupBy("neg_id").agg(count(lit(1)).as("c"))
+    assert(asNeg.filter(col("c") =!= 4L).count() == 0L)
+    // hop j equals j applications of the successor map
+    val succ = PipelineOps.permutationSuccessor(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    got.filter(col("hop") === 3L).collect().foreach { r =>
+      assert(succ(succ(succ(r.getLong(0)))) == r.getLong(2))
+    }
+    got.unpersist()
+  }
+
   test("nspPairs: seeded 50/50 keep-or-swap with permutation negatives") {
     val docs = spark.range(0, 2000).select(col("id").as("doc_id"))
     val positives = spark.range(0, 1999).select(col("id").as("doc_a"),
