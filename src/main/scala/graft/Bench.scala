@@ -9,6 +9,15 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // let AQE size CACHED plans' partitions from bytes too (guide §2.2:
+      // coalesce small partitions adaptively): off, a persisted relation
+      // materializes at the static shuffle.partitions count, so every
+      // pass of an iterative op (GD gradient rounds, k-means steps) pays
+      // a full wave of near-empty tasks at local scale; on, partition
+      // count follows data size at ANY scale — at 100 TB the advisory
+      // size keeps partitions big-but-bounded, locally tiny caches
+      // coalesce to a few tasks. Scale-adaptive, not a local[32] tune.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions)
       .getOrCreate()

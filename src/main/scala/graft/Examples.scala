@@ -806,8 +806,7 @@ object Examples {
     labeled.count() // materialize outside the timed window
     val wq = Array.fill(65)(0L)
     val fFull = labeled.agg(
-      sum(expr("CAST(size(filter(xs, x -> x > 0L)) AS BIGINT)")))
-      .head().getLong(0)
+      sum(expr("CAST(size(js) AS BIGINT)"))).head().getLong(0)
     val t0 = System.nanoTime()
     var r = 0
     var sampledMass = 0L

@@ -1971,10 +1971,13 @@ object BpeOps {
     }
     val (clsId, sepId, padId) = (idOf(cls), idOf(sep), idOf(pad))
     val budget = (seqLen - 3).toLong
+    // the per-doc id arrays feed BOTH pair sides — barrier once so the
+    // tokenizer plan + doc aggregate run once, not twice (guide §2.4)
     val perDoc = tok.groupBy("doc_id").agg(
       count(lit(1)).as("n"),
       transform(array_sort(collect_list(struct(col("pos"),
         col("token_id")))), x => x.getField("token_id")).as("ids"))
+      .lineageBarrier(eager = false)
     val joined = pairs
       .join(perDoc.select(col("doc_id").as("doc_a"), col("n").as("n_a"),
         col("ids").as("ids_a")), Seq("doc_a"))
@@ -2205,10 +2208,13 @@ object BpeOps {
     val padIdx = vocab.indexOf(pad)
     require(padIdx >= 0, s"vocabulary must contain the pad token '$pad'")
     val padId = padIdx.toLong
+    // both pair sides read the per-doc arrays — barrier once (the
+    // bertEncodePair discipline)
     val perDoc = tok.groupBy("doc_id").agg(
       count(lit(1)).as("n"),
       transform(array_sort(collect_list(struct(col("pos"),
         col("token_id")))), x => x.getField("token_id")).as("ids"))
+      .lineageBarrier(eager = false)
     val joined = pairs
       .join(perDoc.select(col("doc_id").as("doc_a"), col("n").as("n_a"),
         col("ids").as("ids_a")), Seq("doc_a"))

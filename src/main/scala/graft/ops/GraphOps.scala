@@ -638,7 +638,12 @@ object GraphOps {
       it += 1
       val deg = cur.select(col("a").as("n")).unionByName(cur.select(col("b").as("n")))
         .groupBy("n").agg(count(lit(1)).as("d"))
-      val bad = deg.filter(col("d") < k).select("n")
+      // barrier the peel set ONCE per round: it is referenced three
+      // times (the convergence probe + both anti-joins), and without a
+      // barrier each reference recomputes the full degree aggregate —
+      // 3 degree passes per round instead of 1 (guide §2.4: don't
+      // recompute what one exchange already paid for)
+      val bad = deg.filter(col("d") < k).select("n").lineageBarrier()
       if (bad.isEmpty) converged = true
       else {
         cur = cur

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ops.Checkpoints._
 
 /** Training-data curation operators beyond dedup/similarity: sequence
   * packing, domain mixture reweighting, PII scanning/redaction, n-gram
@@ -117,7 +118,10 @@ object PipelineOps {
     * seq, doc) chunk aggregate; the final assembly groups
     * chunk-cardinality rows only. Nothing collects on the driver.
     * `tok` is consumed TWICE (per-doc counts and slot assembly) — at
-    * scale persist it, or the tokenizer plan executes twice. */
+    * scale persist it, or the tokenizer plan executes twice (a barrier
+    * here was A/B-measured SLOWER at bench scale: the tokenizer's own
+    * dictionary scan is already barriered, and materializing the token
+    * relation costs more than re-running the cheap remainder). */
   def packTokenIds(docs: DataFrame, tok: DataFrame, budget: Long,
       sepId: Long, shardCols: Seq[String] = Seq("lang", "source"),
       idBuckets: Int = 64, seed: Long = 42L,
@@ -1693,7 +1697,12 @@ object PipelineOps {
   def permutationNegatives(docs: DataFrame, k: Int, seed: Long = 42L,
       idCol: String = "doc_id", buckets: Int = 64): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // the successor relation feeds hop 1 AND every one of the k-1 hop
+    // joins — barrier it once so its bucketed windows + head-stitch
+    // broadcast run once, not k times (its one internal broadcast is
+    // explicitly hinted, so the barrier costs no join strategy)
     val succ = permutationSuccessor(docs, seed, idCol, buckets)
+      .lineageBarrier(eager = false)
     val hop1 = succ.select(col("doc_id"), lit(1L).as("hop"),
       col("partner_id").as("neg_id"))
     (2 to k).foldLeft((hop1, hop1)) { case ((acc, prev), j) =>

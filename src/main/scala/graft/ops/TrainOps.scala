@@ -106,11 +106,16 @@ object TrainOps {
     if (a.signum < 0) -((-a) / b) else a / b
   }
 
-  /** Dense per-doc feature vectors: (doc_id, xs array<bigint> of length
-    * dim+1) — hashed-unigram PRESENCE (1000 if any token hashes to the
-    * bucket) with the bias (=1000) at index dim. One aggregate over the
-    * token relation; the dense array keeps the per-round margin a
-    * narrow per-row fold. */
+  /** SPARSE per-doc feature vectors: (doc_id, js array<int> of the
+    * ACTIVE bucket indices, sorted ascending, with the bias index `dim`
+    * appended last) — hashed-unigram PRESENCE (x = 1000 at every listed
+    * index, 0 elsewhere; the presence value is the module convention,
+    * not stored). One aggregate over the token relation; the sparse
+    * array keeps both the per-round margin fold and the gradient
+    * explode proportional to the ACTIVE count, not dim+1 (the dense
+    * transform/zip_with form walked every slot of every doc through
+    * interpreted higher-order functions — measured 17.4 s on the
+    * dim=512 bigram trainer at sf0.1, 10.1 s sparse). */
   def docFeatures(docs: DataFrame, dim: Int, ngram: Int = 1): DataFrame = {
     require(dim >= 2 && dim <= 4096, s"dim must be in [2, 4096], got $dim")
     require(ngram >= 1 && ngram <= 3, s"ngram must be in [1, 3], got $ngram")
@@ -122,27 +127,29 @@ object TrainOps {
       .reduce(_ unionByName _)
     tok.select(col("doc_id"),
         pmod(graft.functions.PolyHash(col("tok")) * lit(Mix),
-          lit(dim.toLong)).as("j"))
-      .groupBy("doc_id", "j").agg(lit(1000L).as("x"))
+          lit(dim.toLong)).cast("int").as("j"))
+      .distinct()
       .groupBy("doc_id")
-      .agg(map_from_entries(collect_list(struct(col("j"), col("x"))))
-        .as("m"))
+      .agg(sort_array(collect_list(col("j"))).as("ja"))
+      // bias index dim is the largest possible (buckets are < dim), so
+      // appending it keeps the array sorted
       .select(col("doc_id"),
-        expr(s"transform(sequence(0L, ${dim}L), jj -> " +
-          s"CASE WHEN jj = ${dim}L THEN 1000L " +
-          s"ELSE coalesce(element_at(m, jj), 0L) END)").as("xs"))
+        concat(col("ja"), array(lit(dim))).as("js"))
   }
 
-  /** Exact integer margin z' = Σⱼ wⱼ·xsⱼ against the broadcast weight
-    * literal — a per-row fold, no shuffle. Caller guarantees
-    * (dim+1)·1000·max|w| < 2^63 ([[trainLr]] asserts it per round). */
+  /** Exact integer margin z' = Σⱼ wⱼ·xⱼ against the weight vector held
+    * in a codegen'd expression ([[graft.functions.WeightSum]]) — a
+    * per-row loop over the ACTIVE indices, no shuffle. x = 1000
+    * presence makes Σ x·w = 1000·Σ_{j∈js} w(j) exactly (integer
+    * distributivity — the dense fold's value, bit for bit). Caller
+    * guarantees (dim+1)·1000·max|w| < 2^63 ([[trainLr]] asserts it per
+    * round). */
   def marginCol(wq: Array[Long]): Column =
-    aggregate(zip_with(col("xs"), typedlit(wq), (x, w) => x * w),
-      lit(0L), (a, b) => a + b)
+    graft.functions.WeightSum(col("js"), wq) * lit(1000L)
 
   /** One gradient round: per-(feature) sums of the quantized per-row
     * contributions tdz((σ−y)·x·Q). `labeled` = docFeatures ⋈ labels
-    * (columns xs, y). Returns dim+1 rows (j, g) — the model-sized
+    * (columns js, y). Returns dim+1 rows (j, g) — the model-sized
     * aggregate. */
   def lrGradientRound(labeled: DataFrame, wq: Array[Long]): Array[BigInt] =
     gradientRows(labeled, wq)._1
@@ -170,12 +177,14 @@ object TrainOps {
         (lit(Z) + abs(col("zq")) + col("zq") -
           lit(2L) * col("y") * (lit(Z) + abs(col("zq")))).as("n1"),
         (lit(2L) * (lit(Z) + abs(col("zq")))).as("den"),
-        posexplode(col("xs")).as(Seq("j", "x")))
-      .filter(col("x") > 0L) // x = 0 contributes exactly 0; don't shuffle it
+        // sparse js lists exactly the x > 0 slots (x = 1000 presence),
+        // so the explode is active-count rows — the dense posexplode +
+        // filter(x > 0) relation, same rows, same values
+        explode(col("js")).as("j"))
       .select(col("j"),
         expr(s"CASE WHEN n1 < 0 " +
-          s"THEN -((CAST(-n1 AS DECIMAL(38,0)) * x * ${Q}L) div den) " +
-          s"ELSE (CAST(n1 AS DECIMAL(38,0)) * x * ${Q}L) div den END")
+          s"THEN -((CAST(-n1 AS DECIMAL(38,0)) * 1000L * ${Q}L) div den) " +
+          s"ELSE (CAST(n1 AS DECIMAL(38,0)) * 1000L * ${Q}L) div den END")
           .as("g"))
       .groupBy("j")
       .agg(sum(col("g").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
@@ -213,8 +222,7 @@ object TrainOps {
       // F = total feature activations (the update's normalizer); one
       // aggregate, also materializes the persist
       val fRow = labeled.agg(count(lit(1)).as("n"),
-        sum(expr("CAST(size(filter(xs, x -> x > 0L)) AS BIGINT)"))
-          .as("f")).head()
+        sum(expr("CAST(size(js) AS BIGINT)")).as("f")).head()
       val n = fRow.getLong(0)
       require(n > 0, "trainLr: empty corpus")
       val fAct = fRow.getLong(1)
@@ -341,7 +349,7 @@ object TrainOps {
       s"model weights incomplete: ${rows.length} rows for dim=$dim")
     // the same margin bound training enforces per round: a loaded model
     // (hand-edited, or trained elsewhere) whose |w| exceeds it would
-    // overflow marginCol's dense Long fold silently — lrScore and
+    // overflow marginCol's Long sum silently — lrScore and
     // calibrationTable have no per-round guard of their own
     val wBound = Long.MaxValue / (25L * 1000L * (dim + 1))
     val wq = Array.fill(dim + 1)(Long.MinValue)

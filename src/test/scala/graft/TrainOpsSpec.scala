@@ -40,22 +40,34 @@ class TrainOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { TrainOps.tdz(1, -2) }
   }
 
-  test("docFeatures: bucket presence with bias, dense length dim+1") {
+  test("docFeatures: sparse active buckets, sorted, bias index last") {
     val docs = Seq((1L, "a a b c"), (2L, "z")).toDF("doc_id", "text")
-    val xs = TrainOps.docFeatures(docs, 8).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
-    assert(xs(1L).length == 9 && xs(2L).length == 9)
-    // bias is exactly 1000 at the last slot
-    assert(xs(1L).last == 1000L && xs(2L).last == 1000L)
-    // presence: 3 distinct tokens -> at most 3 active buckets, each
-    // exactly 1000 (the duplicate "a" adds nothing); at least 1 if all
-    // collide
-    val active1 = xs(1L).init.filter(_ > 0)
-    assert(active1.nonEmpty && active1.length <= 3 &&
-      active1.forall(_ == 1000L))
+    val js = TrainOps.docFeatures(docs, 8).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // bias index (= dim) is the last entry of every doc's array
+    assert(js(1L).last == 8 && js(2L).last == 8)
+    // presence: 3 distinct tokens -> at most 3 active buckets (the
+    // duplicate "a" adds nothing), at least 1 if all collide; all
+    // indices in range, distinct, sorted ascending
+    val active1 = js(1L).init
+    assert(active1.nonEmpty && active1.length <= 3)
+    assert(js.values.forall(a => a.init.forall(j => j >= 0 && j < 8)))
+    assert(js.values.forall(a => a == a.sorted && a.distinct == a))
     // doc 2: exactly one active bucket
-    assert(xs(2L).init.count(_ == 1000L) == 1 &&
-      xs(2L).init.count(_ > 0) == 1)
+    assert(js(2L).init.length == 1)
+  }
+
+  test("WeightSum margin: codegen sparse sum matches the dense fold") {
+    val docs = Seq((1L, "a b c"), (2L, "z"), (3L, "a z q w")).toDF("doc_id", "text")
+    val feats = TrainOps.docFeatures(docs, 8)
+    val wq = Array(5L, -3L, 7L, 11L, 0L, -20L, 2L, 1L, 1000L)
+    val got = feats.select(col("doc_id"), TrainOps.marginCol(wq).as("z"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val js = feats.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    js.foreach { case (id, a) =>
+      val dense = a.map(j => 1000L * wq(j)).sum
+      assert(got(id) == dense, s"doc $id: ${got(id)} != $dense")
+    }
   }
 
   test("separable corpus: training converges to perfect accuracy") {
@@ -112,7 +124,7 @@ class TrainOpsSpec extends AnyFunSuite {
     // the per-round relation: margin fold + explode + groupBy(j)
     val round = labeled
       .withColumn("zq", TrainOps.marginCol(Array.fill(17)(0L)))
-      .select(col("y"), col("zq"), posexplode(col("xs")).as(Seq("j", "x")))
+      .select(col("y"), col("zq"), explode(col("js")).as("j"))
       .groupBy("j").agg(count(lit(1)))
     val plan = round.queryExecution.executedPlan.toString
     assert(!plan.contains("SortAggregate"), s"gradient must hash-agg:\n$plan")
@@ -140,20 +152,17 @@ class TrainOpsSpec extends AnyFunSuite {
   test("ngram features: bigrams add buckets; unigram path unchanged") {
     val docs = Seq((1L, "a b a b"), (2L, "c d")).toDF("doc_id", "text")
     val uni = TrainOps.docFeatures(docs, 512, ngram = 1).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toSet).toMap
     val bi = TrainOps.docFeatures(docs, 512, ngram = 2).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toSet).toMap
     // bigram features are a superset: every unigram bucket stays on
     (1L to 2L).foreach { id =>
-      uni(id).zip(bi(id)).foreach { case (u, b) =>
-        if (u > 0) assert(b > 0, s"doc $id lost a unigram bucket")
-      }
-      assert(bi(id).init.count(_ > 0) > uni(id).init.count(_ > 0),
-        s"doc $id gained no bigram buckets")
+      assert(uni(id).subsetOf(bi(id)), s"doc $id lost a unigram bucket")
+      assert(bi(id).size > uni(id).size, s"doc $id gained no bigram buckets")
     }
     // doc 1 bigrams: "a b", "b a" (distinct) -> exactly 2 new buckets
     // barring collisions at dim=512
-    assert(bi(1L).init.count(_ > 0) - uni(1L).init.count(_ > 0) == 2)
+    assert(bi(1L).size - uni(1L).size == 2)
     intercept[IllegalArgumentException] {
       TrainOps.docFeatures(docs, 512, ngram = 0)
     }
@@ -261,9 +270,7 @@ class TrainOpsSpec extends AnyFunSuite {
       val round = labeled
         .filter(TrainOps.sampleBucket(col("doc_id"), 3) < lit(500L))
         .withColumn("zq", TrainOps.marginCol(Array.fill(17)(0L)))
-        .select(col("y"), col("zq"),
-          posexplode(col("xs")).as(Seq("j", "x")))
-        .filter(col("x") > 0L)
+        .select(col("y"), col("zq"), explode(col("js")).as("j"))
         .groupBy("j").agg(count(lit(1)))
       // assert on PHYSICAL NODE CLASSES, not the rendered plan string
       // (string formats drift across Spark versions). Collecting the
