@@ -116,41 +116,60 @@ object GraphOps {
   private def prLoop(nodes: DataFrame, ew: DataFrame, sinks: DataFrame,
       init: DataFrame, mode: IterMode,
       update: (Column, Column) => Column): DataFrame = {
+    // the sink INDICATOR is joined onto the node relation ONCE, up
+    // front, and carried through every round's rank relation — the
+    // per-round dangling mass is then a filter+aggregate over the
+    // just-checkpointed ranks instead of a sinks⋈ranks join (two fewer
+    // exchanges per round on stats-less checkpointed inputs; same
+    // multiset of summed ranks, so the aggregate's value class is
+    // unchanged). The flag column never leaves this loop.
+    val flag = sinks.select(col("node"), lit(true).as("__sink"))
+    val nodesS = nodes.join(flag, Seq("node"), "left")
+      .select(nodes.columns.map(col) :+
+        coalesce(col("__sink"), lit(false)).as("__sink"): _*)
+      .lineageBarrier(eager = false)
     def round(r: DataFrame): DataFrame = {
-      val dangling = broadcast(sinks.join(r, Seq("node"))
+      val dangling = broadcast(r.filter(col("__sink"))
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm")))
       val contribs = ew.join(r, ew("src") === r("node"))
         .groupBy(col("dst"))
         .agg(sum(col("w") * col("rank")).as("c"))
-      nodes.join(contribs, nodes("node") === contribs("dst"), "left")
+      nodesS.join(contribs, nodesS("node") === contribs("dst"), "left")
         .crossJoin(dangling)
         .select(col("node"),
-          update(coalesce(col("c"), lit(0.0)), col("dm")).as("rank"))
+          update(coalesce(col("c"), lit(0.0)), col("dm")).as("rank"),
+          col("__sink"))
         .lineageBarrier()
     }
-    var ranks = init.lineageBarrier(eager = false)
-    mode match {
-      case FixedIters(iters) =>
-        for (_ <- 1 to iters) ranks = round(ranks)
-        ranks
-      case Converge(tol, maxIters) =>
-        var i = 0
-        var delta = Double.MaxValue
-        while (delta > tol) {
-          if (i >= maxIters) throw new IllegalStateException(
-            s"power iteration did not converge to L1 tol $tol within " +
-              s"$maxIters rounds (last delta $delta) — raise maxIters or " +
-              "loosen tol; refusing to return an unconverged vector")
-          val next = round(ranks)
-          delta = next
-            .join(ranks.select(col("node"), col("rank").as("prev")), Seq("node"))
-            .agg(sum(abs(col("rank") - col("prev"))))
-            .collect()(0).getDouble(0)
-          ranks = next
-          i += 1
-        }
-        ranks
+    val result = {
+      var ranks = init.join(flag, Seq("node"), "left")
+        .select(col("node"), col("rank"),
+          coalesce(col("__sink"), lit(false)).as("__sink"))
+        .lineageBarrier(eager = false)
+      mode match {
+        case FixedIters(iters) =>
+          for (_ <- 1 to iters) ranks = round(ranks)
+          ranks
+        case Converge(tol, maxIters) =>
+          var i = 0
+          var delta = Double.MaxValue
+          while (delta > tol) {
+            if (i >= maxIters) throw new IllegalStateException(
+              s"power iteration did not converge to L1 tol $tol within " +
+                s"$maxIters rounds (last delta $delta) — raise maxIters or " +
+                "loosen tol; refusing to return an unconverged vector")
+            val next = round(ranks)
+            delta = next
+              .join(ranks.select(col("node"), col("rank").as("prev")), Seq("node"))
+              .agg(sum(abs(col("rank") - col("prev"))))
+              .collect()(0).getDouble(0)
+            ranks = next
+            i += 1
+          }
+          ranks
+      }
     }
+    result.select(col("node"), col("rank"))
   }
 
   /** WEIGHTED PageRank: rank mass moves proportionally to edge weight —

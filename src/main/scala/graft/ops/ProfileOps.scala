@@ -96,7 +96,25 @@ object ProfileOps {
     * min_s, max_s, min_ts, max_ts) with type-inapplicable slots NULL.
     * Numeric min/max/avg are double (avg rounded 6dp from the exact
     * decimal sum); string and timestamp extrema keep their own types. */
-  def profile(df: DataFrame, approxDistinct: Boolean = false): DataFrame = {
+  /** Scale-adaptive scan spread for per-row-HEAVY single-pass
+    * profilers: when the input yields fewer splits than the session's
+    * task slots (the unsplittable-input regime — guide §2.5 "input
+    * skew": one big file / one parquet row group, which is exactly the
+    * local fixture's layout), round-robin repartition to the slot
+    * count so the expensive per-row work (the exact profile's ×(C+1)
+    * Expand, the correlation's ~6·C(C,2) decimal slots) parallelizes.
+    * At scale a table scan already yields ≥ slots splits and this adds
+    * NOTHING (no exchange); the trigger is measured from the actual
+    * scan layout, not a constant. Row order never affects the result:
+    * every consumer aggregate here is commutative (counts, exact
+    * decimal sums, min/max, register-max HLL). */
+  private def spreadScan(df: DataFrame): DataFrame = {
+    val slots = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 <= slots) df.repartition(slots) else df
+  }
+
+  def profile(df0: DataFrame, approxDistinct: Boolean = false): DataFrame = {
+    val df = spreadScan(df0)
     val fields = df.schema.fields.toSeq
     // MUTABLE-buffer aggregates (counts, exact/HLL ndv, double extrema):
     // safe to share one aggregate with the multi-distinct Expand — the
@@ -812,10 +830,14 @@ object ProfileOps {
     * 100 TB shape: ONE aggregate over the scan with 6 decimal slots per
     * pair — no Expand, no sort risk from grouping (global aggregate);
     * C(C−1)/2 pairs of bounded state. */
-  def correlation(df: DataFrame, cols: Seq[String],
+  def correlation(df0: DataFrame, cols: Seq[String],
       pairwiseNulls: Boolean = true): DataFrame = {
     require(cols.size >= 2, s"need >= 2 columns, got $cols")
     require(cols.distinct == cols, s"duplicate columns in $cols")
+    // project EARLY (only the profiled columns cross the spread
+    // exchange), then parallelize the decimal-heavy aggregate when the
+    // scan is slot-starved (see [[spreadScan]])
+    val df = spreadScan(df0.select(cols.map(col): _*))
     val pairs = for {
       i <- cols.indices; j <- (i + 1) until cols.size
     } yield ((cols(i), i), (cols(j), j))
