@@ -444,7 +444,20 @@ object BpeOps {
     * the greedy [[wordpieceTokenize]]: token ids by binary order over
     * the segmented dictionary's emitted symbols, then the corpus
     * position join. `segmented` is (word, symbols array). */
-  private def tokenizeTail(pw: DataFrame, segmented: DataFrame): DataFrame = {
+  /** Dictionary-side broadcast gate: a segmented word dictionary is
+    * eagerly checkpointed by every caller, so its row count is a cheap
+    * cached-blocks job. Checkpointed inputs carry NO size statistics —
+    * without a hint the dictionary⋈token-stream join always plans
+    * sort-merge, fully sorting the corpus-sized token stream. Below the
+    * bound (2M (word, symbols) rows ≈ tens of MB framed) we hint
+    * broadcast — measured from the ACTUAL dictionary, not a local
+    * tuning constant; past it the planner's shuffle join stands (the
+    * web-scale heavy-tail-vocabulary regime). */
+  private def maybeBroadcastDict(segmented: DataFrame): DataFrame =
+    if (segmented.count() <= 2000000L) broadcast(segmented) else segmented
+
+  private def tokenizeTail(pw: DataFrame, segmented0: DataFrame): DataFrame = {
+    val segmented = maybeBroadcastDict(segmented0)
     // |vocab| <= alphabet + merges + 1: the one-partition window is fine
     val vocab = broadcast(
       segmented.select(explode(col("symbols")).as("token")).distinct()
@@ -1512,10 +1525,11 @@ object BpeOps {
     val maxCp = vocab.iterator
       .map(p => p.codePointCount(0, p.length)).max
     val piecesB = spark.sparkContext.broadcast(pieces)
-    val segmented = words.as[String].mapPartitions { it =>
-      val ps = piecesB.value
-      it.map(w => (w, greedySegBert(w, ps, maxCp, maxWordChars, unk)))
-    }.toDF("word", "symbols").lineageBarrier()
+    val segmented = maybeBroadcastDict(
+      words.as[String].mapPartitions { it =>
+        val ps = piecesB.value
+        it.map(w => (w, greedySegBert(w, ps, maxCp, maxWordChars, unk)))
+      }.toDF("word", "symbols").lineageBarrier())
     val vocabDf = broadcast(vocab.zipWithIndex.toDF("token", "__i")
       .select(col("token"), col("__i").cast("long").as("token_id")))
     pw.join(segmented, Seq("word"))
