@@ -96,25 +96,17 @@ object ProfileOps {
     * min_s, max_s, min_ts, max_ts) with type-inapplicable slots NULL.
     * Numeric min/max/avg are double (avg rounded 6dp from the exact
     * decimal sum); string and timestamp extrema keep their own types. */
-  /** Scale-adaptive scan spread for per-row-HEAVY single-pass
-    * profilers: when the input yields fewer splits than the session's
-    * task slots (the unsplittable-input regime — guide §2.5 "input
-    * skew": one big file / one parquet row group, which is exactly the
-    * local fixture's layout), round-robin repartition to the slot
-    * count so the expensive per-row work (the exact profile's ×(C+1)
-    * Expand, the correlation's ~6·C(C,2) decimal slots) parallelizes.
-    * At scale a table scan already yields ≥ slots splits and this adds
-    * NOTHING (no exchange); the trigger is measured from the actual
-    * scan layout, not a constant. Row order never affects the result:
-    * every consumer aggregate here is commutative (counts, exact
-    * decimal sums, min/max, register-max HLL). */
-  private def spreadScan(df: DataFrame): DataFrame = {
-    val slots = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 <= slots) df.repartition(slots) else df
-  }
-
   def profile(df0: DataFrame, approxDistinct: Boolean = false): DataFrame = {
-    val df = spreadScan(df0)
+    // conditional input spread ([[Spread]] — guide §2.5 "input skew:
+    // one unsplittable file"): the single-pass profile does heavy
+    // per-row work in the SCAN stage (exact mode's ×(C+1)
+    // multi-distinct Expand, approx mode's C HLL updates per row), so
+    // a slot-starved input (the one-row-group local fixture) serializes
+    // the whole operator on one core. Well-split inputs pass through
+    // untouched; every consumer aggregate is commutative (counts,
+    // exact decimal sums, min/max, register-max HLL), so the result is
+    // partition-order-free.
+    val df = Spread(df0)
     val fields = df.schema.fields.toSeq
     // MUTABLE-buffer aggregates (counts, exact/HLL ndv, double extrema):
     // safe to share one aggregate with the multi-distinct Expand — the
@@ -835,9 +827,9 @@ object ProfileOps {
     require(cols.size >= 2, s"need >= 2 columns, got $cols")
     require(cols.distinct == cols, s"duplicate columns in $cols")
     // project EARLY (only the profiled columns cross the spread
-    // exchange), then parallelize the decimal-heavy aggregate when the
-    // scan is slot-starved (see [[spreadScan]])
-    val df = spreadScan(df0.select(cols.map(col): _*))
+    // exchange), then parallelize the ~6·C(C,2)-decimal-slot aggregate
+    // when the scan is slot-starved ([[Spread]]; see [[profile]])
+    val df = Spread(df0.select(cols.map(col): _*))
     val pairs = for {
       i <- cols.indices; j <- (i + 1) until cols.size
     } yield ((cols(i), i), (cols(j), j))
