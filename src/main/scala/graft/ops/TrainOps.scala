@@ -121,10 +121,15 @@ object TrainOps {
     require(ngram >= 1 && ngram <= 3, s"ngram must be in [1, 3], got $ngram")
     // word k-shingles for k = 1..ngram (fastText's word-ngram features;
     // k = 1 is the plain token) — the dedup shingle expression, so the
-    // SQL twin shares its positional definition verbatim
-    val tok = (1 to ngram).map(k => docs.select(col("doc_id"),
-        explode(graft.functions.WordShingles(col("text"), k)).as("tok")))
-      .reduce(_ unionByName _)
+    // SQL twin shares its positional definition verbatim. All k levels
+    // ride ONE scan + ONE explode over the concatenated shingle arrays
+    // (a per-k union re-scanned and re-split the corpus once per k;
+    // same row multiset, so the distinct bucket set is unchanged)
+    val tok = docs.select(col("doc_id"),
+      explode(
+        if (ngram == 1) graft.functions.WordShingles(col("text"), 1)
+        else concat((1 to ngram).map(k =>
+          graft.functions.WordShingles(col("text"), k)): _*)).as("tok"))
     tok.select(col("doc_id"),
         pmod(graft.functions.PolyHash(col("tok")) * lit(Mix),
           lit(dim.toLong)).cast("int").as("j"))
