@@ -6,19 +6,13 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
-    val spark = SparkSession.builder()
+    // session defaults (incl. the AQE cached-plan conf) come from
+    // GraftSession so the measured config is the shipped config — the
+    // same defaults apply in Verify/Smoke/Examples and any consumer
+    val spark = GraftSession.defaults(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // let AQE size CACHED plans' partitions from bytes too (guide §2.2:
-      // coalesce small partitions adaptively): off, a persisted relation
-      // materializes at the static shuffle.partitions count, so every
-      // pass of an iterative op (GD gradient rounds, k-means steps) pays
-      // a full wave of near-empty tasks at local scale; on, partition
-      // count follows data size at ANY scale — at 100 TB the advisory
-      // size keeps partitions big-but-bounded, locally tiny caches
-      // coalesce to a few tasks. Scale-adaptive, not a local[32] tune.
-      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .withExtensions(new GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -79,18 +73,30 @@ object Bench {
     }.mkString("{", ",", "}")
     val noisyJson = noisy.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).filter(_ >= 0).sum else 0.0
-    // stop BEFORE printing (no shutdown logs after the artifact line), and
-    // put the headline numbers at the END of the line: tail-window
-    // captures that clip the front of a long line must still contain
-    // `"sec_per_query":X,...,"metric":"total","value":N` (JSON key order
-    // is parser-irrelevant). sec_per_query is the gate-normalized
-    // reading: the raw total grows with COVERAGE (269 queries vs the
-    // 59-query baseline), so total-vs-baseline alone misreads breadth
-    // as slowness — BASELINE.md's normalization proposal, emitted here
-    // so the driver can parse it directly.
     val nOk = results.count(_._2 >= 0)
     val secPerQuery = if (nOk > 0) r3(total / nOk) else -1.0
     spark.stop()
-    println(s"""{"queries":$qs,"iterations":$iters,"noisy":$noisyJson,"reps":$reps,"failures":$failures,"sf":"$sfDir","unit":"sec","n_queries":$nOk,"sec_per_query":$secPerQuery,"metric":"total","value":${r3(total)}}""")
+    // Output contract (MEASUREMENT FIX, r15): rounds 1-14 emitted one
+    // giant JSON line with the full per-query AND per-iteration maps
+    // inline; at 301 queries that line is ~30 KB, the driver's tail
+    // capture (2000 chars) starts mid-line, and the driver parsed
+    // NOTHING in any round (BENCH_r*.json `parsed: null` for all 14).
+    // Now: the full detail (same keys as before — `queries`,
+    // `iterations`, `noisy`, plus the headline totals so the detail
+    // line alone is also a complete record) is printed FIRST and
+    // mirrored to bench/last_run.json; the FINAL stdout line is a
+    // compact summary (~250 chars) that fits whole inside any tail
+    // window, with `metric`/`value` last as before. Timing loop, noop
+    // sink, rep policy, query ordering and the env-var contract are
+    // unchanged; no query entry was removed — every per-query number
+    // still appears on the detail line and in the file.
+    val detail = s"""{"queries":$qs,"iterations":$iters,"noisy":$noisyJson,"reps":$reps,"failures":$failures,"sf":"$sfDir","unit":"sec","n_queries":$nOk,"sec_per_query":$secPerQuery,"metric":"total","value":${r3(total)}}"""
+    try {
+      val dir = new java.io.File("bench"); dir.mkdirs()
+      val w = new java.io.PrintWriter(new java.io.File(dir, "last_run.json"))
+      try w.println(detail) finally w.close()
+    } catch { case e: Throwable => System.err.println(s"[bench] detail file write failed: $e") }
+    println(detail)
+    println(s"""{"queries_file":"bench/last_run.json","reps":$reps,"failures":$failures,"noisy_count":${noisy.size},"sf":"$sfDir","unit":"sec","n_queries":$nOk,"sec_per_query":$secPerQuery,"metric":"total","value":${r3(total)}}""")
   }
 }
