@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftShims
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -34,6 +35,17 @@ case class WeightSum(child: Expression, weights: Array[Long])
   override def dataType: DataType = LongType
   override def nullable: Boolean = child.nullable
 
+  // fail at ANALYSIS on a non-int element type: ArrayData.getInt over,
+  // say, array<bigint> would silently read garbage indices — the
+  // fail-loudly convention documented above, enforced where Catalyst
+  // reports it
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, false) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      "WeightSum needs array<int> (containsNull=false) active indices, " +
+        s"got ${other.sql}")
+  }
+
   override def nullSafeEval(input: Any): Any =
     WeightSum.sum(weights, input.asInstanceOf[ArrayData])
 
@@ -60,6 +72,10 @@ object WeightSum {
     acc
   }
 
+  /** Snapshot semantics: clone the weights at Column construction, like
+    * the `typedlit` form this replaced — a caller mutating its array
+    * after building a lazy plan must not silently rescore with newer
+    * weights. */
   def apply(js: Column, weights: Array[Long]): Column =
-    GraftShims.toColumn(WeightSum(GraftShims.toExpression(js), weights))
+    GraftShims.toColumn(WeightSum(GraftShims.toExpression(js), weights.clone()))
 }

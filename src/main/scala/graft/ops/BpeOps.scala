@@ -444,17 +444,39 @@ object BpeOps {
     * the greedy [[wordpieceTokenize]]: token ids by binary order over
     * the segmented dictionary's emitted symbols, then the corpus
     * position join. `segmented` is (word, symbols array). */
-  /** Dictionary-side broadcast gate: a segmented word dictionary is
-    * eagerly checkpointed by every caller, so its row count is a cheap
-    * cached-blocks job. Checkpointed inputs carry NO size statistics —
-    * without a hint the dictionary⋈token-stream join always plans
-    * sort-merge, fully sorting the corpus-sized token stream. Below the
-    * bound (2M (word, symbols) rows ≈ tens of MB framed) we hint
-    * broadcast — measured from the ACTUAL dictionary, not a local
-    * tuning constant; past it the planner's shuffle join stands (the
-    * web-scale heavy-tail-vocabulary regime). */
-  private def maybeBroadcastDict(segmented: DataFrame): DataFrame =
-    if (segmented.count() <= 2000000L) broadcast(segmented) else segmented
+  /** Dictionary-side broadcast gate. `segmented` MUST already be
+    * eagerly checkpointed ([[Checkpoints.BarrierOps.lineageBarrier]],
+    * as every [[tokenizeTail]] caller does): the sizing aggregate below
+    * then reads cached blocks; an un-materialized plan would execute
+    * the full segmentation twice (once to size, once to join) —
+    * enforced here, not just documented, by refusing plans whose leaves
+    * are not barriered RDD scans. Checkpointed inputs carry NO size
+    * statistics — without a hint the dictionary⋈token-stream join
+    * always plans sort-merge, fully sorting the corpus-sized token
+    * stream. The gate is a measured BYTE estimate (framed width per
+    * (word, symbols) row: UTF-16 word chars, ~word-length symbol chars
+    * plus per-element array overhead, row header), not a bare row
+    * count — an explicit hint bypasses autoBroadcastJoinThreshold, so a
+    * dictionary of pathologically long words must not ride a several-
+    * hundred-MB broadcast. Default budget 128 MB (inside the "few
+    * hundred MB is fine" guidance, far under the 8 GB cap), conf
+    * `spark.graft.bpe.dictBroadcastBytes`; past it the planner's
+    * shuffle join stands (the web-scale heavy-tail-vocabulary regime). */
+  private def maybeBroadcastDict(segmented: DataFrame): DataFrame = {
+    require(segmented.queryExecution.analyzed.collectLeaves().forall(
+      _.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]),
+      "maybeBroadcastDict needs an eagerly checkpointed dictionary " +
+        "(lineageBarrier() first) — sizing an un-materialized plan " +
+        "would run the segmentation twice")
+    val budget = segmented.sparkSession.conf
+      .getOption("spark.graft.bpe.dictBroadcastBytes")
+      .map(_.toLong).getOrElse(128L * 1024 * 1024)
+    val est = segmented.agg(sum(
+      length(col("word")).cast("long") * 4 +
+        size(col("symbols")).cast("long") * 16 + 64)).collect()(0)
+    if (!est.isNullAt(0) && est.getLong(0) <= budget) broadcast(segmented)
+    else segmented
+  }
 
   private def tokenizeTail(pw: DataFrame, segmented0: DataFrame): DataFrame = {
     val segmented = maybeBroadcastDict(segmented0)
@@ -1551,8 +1573,7 @@ object BpeOps {
     * ideograph blocks (each character its own token). ASCII-range and
     * explicit-codepoint classes only — no \p{} category classes, whose
     * Unicode tables could drift between Java regex and RE2. */
-  private val BertCjkClass = Seq((0x4e00, 0x9fff), (0x3400, 0x4dbf),
-    (0xf900, 0xfaff), (0x20000, 0x2a6df))
+  private val BertCjkClass = graft.functions.BertPreClean.CjkClass
 
   /** BERT `_is_punctuation` beyond ASCII, as EXPLICIT literal ranges
     * (no \p{} classes — their Unicode tables could drift between Java
@@ -1567,29 +1588,20 @@ object BpeOps {
     * (Sm), U+FF3E/FF40 modifiers (Sk), fullwidth digits/letters. The
     * per-codepoint agreement with the JDK's category tables over all
     * three blocks is spec-pinned (BpeSpec). */
-  private[graft] val BertUniPunct: Seq[(Int, Int)] = Seq(
-    (0x2010, 0x2027), (0x2030, 0x2043),
-    (0x2045, 0x2051), (0x2053, 0x205e),
-    (0x3001, 0x3003), (0x3008, 0x3011), (0x3014, 0x301f),
-    (0x3030, 0x3030), (0x303d, 0x303d),
-    (0xff01, 0xff03), (0xff05, 0xff0a), (0xff0c, 0xff0f),
-    (0xff1a, 0xff1b), (0xff1f, 0xff20), (0xff3b, 0xff3d),
-    (0xff3f, 0xff3f), (0xff5b, 0xff5b), (0xff5d, 0xff5d),
-    (0xff5f, 0xff65))
+  private[graft] val BertUniPunct: Seq[(Int, Int)] =
+    graft.functions.BertPreClean.UniPunct
   /** Unicode whitespace (category Zs) of the same blocks — cleaned to
     * a plain space exactly like BERT's `_is_whitespace`; U+2028/2029
     * (Zl/Zp) deliberately PASS THROUGH (they are neither Zs nor
     * category C, so the reference leaves them in place). */
-  private[graft] val BertUniSpace: Seq[(Int, Int)] = Seq(
-    (0x2000, 0x200a), (0x202f, 0x202f), (0x205f, 0x205f),
-    (0x3000, 0x3000))
+  private[graft] val BertUniSpace: Seq[(Int, Int)] =
+    graft.functions.BertPreClean.UniSpace
   /** Format controls (category Cf, plus the block's unassigned Cn
     * which the reference's startswith("C") test also removes) —
     * DELETED, not spaced: BERT's `_clean_text` drops them, so
     * `zw​sp` becomes `zwsp`, one word. */
-  private[graft] val BertUniDelete: Seq[(Int, Int)] = Seq(
-    (0x200b, 0x200f), (0x202a, 0x202e), (0x2060, 0x206f),
-    (0xfeff, 0xfeff))
+  private[graft] val BertUniDelete: Seq[(Int, Int)] =
+    graft.functions.BertPreClean.UniDelete
 
   private def rangesRe(rs: Seq[(Int, Int)]): String =
     rs.map { case (a, b) =>
@@ -1623,19 +1635,19 @@ object BpeOps {
     * cased mode performs neither, exactly as the reference ties the
     * two together. */
   def bertBasicClean(text: Column, lowerCase: Boolean = true): Column = {
-    val noCtl = regexp_replace(text,
-      s"[\\x00-\\x1f\\x7f${rangesRe(BertUniSpace)}]", " ")
-    val noFmt = regexp_replace(noCtl, s"[${rangesRe(BertUniDelete)}]", "")
-    val cjk = rangesRe(BertCjkClass)
-    val cjkPad = regexp_replace(noFmt, s"([$cjk])", " $1 ")
-    val lowered =
-      if (lowerCase)
-        regexp_replace(
-          translate(lower(cjkPad), BertAccentFrom, BertAccentTo),
-          "[\\x{300}-\\x{36f}]", "")
-      else cjkPad
-    regexp_replace(lowered,
-      s"([!-/:-@\\[-`{-~${rangesRe(BertUniPunct)}])", " $1 ")
+    // the four per-codepoint regex passes (ctl/space → ' ', Cf deletion,
+    // CJK pad, punctuation pad) run as ONE native pass —
+    // [[graft.functions.BertPreClean]]; padding before the lowercase
+    // chain is lossless (case maps, the accent fold and combining-mark
+    // deletion never produce or consume a padded-class codepoint).
+    // Only the accent-fold chain stays expression-built: `lower`'s full
+    // Unicode (incl. 1:N) mapping must remain the engine's own.
+    val pre = graft.functions.BertPreClean(text)
+    if (lowerCase)
+      regexp_replace(
+        translate(lower(pre), BertAccentFrom, BertAccentTo),
+        "[\\x{300}-\\x{36f}]", "")
+    else pre
   }
 
   /** DuckDB twin of [[bertBasicClean]] over a text expression — the

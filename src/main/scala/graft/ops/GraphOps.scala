@@ -107,6 +107,25 @@ object GraphOps {
   private final case class FixedIters(iters: Int) extends IterMode
   private final case class Converge(tol: Double, maxIters: Int) extends IterMode
 
+  /** Measured broadcast gate for the NODE-SIZED relations of the
+    * iterative loops (rank/score vectors, per-round contribution sums).
+    * The loops' inputs are lineage-barriered, so the planner sees
+    * stats-less LogicalRDDs and defaults every per-round join to
+    * sort-merge — shuffling AND sorting the EDGE relation once per
+    * round (guide §3.1: size estimates are often wrong after opaque
+    * ops; hint when a side is provably small). The gate is a measured
+    * row count, not an estimate, and the gated rows are FIXED width
+    * (long node id + double score + at most a bool flag — no strings
+    * or arrays), so rows × ~40 B framed bounds the broadcast: the
+    * default 2M-node cap is ≲100 MB, inside the "few hundred MB is
+    * fine" guidance and far under the 8 GB hard cap. Past the cap
+    * (web-scale node counts) the loops keep their shuffled shape —
+    * conf `spark.graft.graph.broadcastNodes` parameterises the bound
+    * (0 disables broadcasting entirely). */
+  private def nodeBroadcastCap(df: DataFrame): Long =
+    df.sparkSession.conf.getOption("spark.graft.graph.broadcastNodes")
+      .map(_.toLong).getOrElse(2000000L)
+
   /** The ONE power-method loop behind [[pageRank]], [[weightedPageRank]]
     * and [[personalizedPageRank]] (fixed or convergence-probed): per
     * round, one-row broadcast dangling aggregate, edge⋈rank contribution
@@ -128,13 +147,25 @@ object GraphOps {
       .select(nodes.columns.map(col) :+
         coalesce(col("__sink"), lit(false)).as("__sink"): _*)
       .lineageBarrier(eager = false)
+    // measured broadcast gate ([[nodeBroadcastCap]]): under the cap each
+    // round's edges⋈ranks becomes a broadcast hash join — the EDGE
+    // relation is never shuffled or sorted inside the loop (the join
+    // output is partially aggregated map-side, so only node-sized
+    // partial sums cross the exchange for the groupBy) — and the
+    // node⋈contribs assembly broadcasts the node-sized contribution
+    // sums the same way. The count also materializes the lazy nodesS
+    // barrier once, before the rounds. Same multiset of summed terms
+    // per group either way; callers round for their oracles.
+    val bcastRanks = nodesS.count() <= nodeBroadcastCap(nodesS)
     def round(r: DataFrame): DataFrame = {
       val dangling = broadcast(r.filter(col("__sink"))
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm")))
-      val contribs = ew.join(r, ew("src") === r("node"))
+      val rSide = if (bcastRanks) broadcast(r) else r
+      val contribs = ew.join(rSide, ew("src") === rSide("node"))
         .groupBy(col("dst"))
         .agg(sum(col("w") * col("rank")).as("c"))
-      nodesS.join(contribs, nodesS("node") === contribs("dst"), "left")
+      val cSide = if (bcastRanks) broadcast(contribs) else contribs
+      nodesS.join(cSide, nodesS("node") === cSide("dst"), "left")
         .crossJoin(dangling)
         .select(col("node"),
           update(coalesce(col("c"), lit(0.0)), col("dm")).as("rank"),
@@ -394,11 +425,15 @@ object GraphOps {
     *
     * 100 TB shape: same class as [[pageRank]] — scores are one row per
     * node, each half-round is edges⋈scores on one endpoint key plus a
-    * groupBy on the other; the two normalizers ride ONE-ROW broadcast
-    * cross joins (no driver collect); lazy lineage barriers cut the plan
-    * per half-round (reliable checkpoints when
-    * `spark.graft.checkpointDir` is set). AQE salts hub skew. Returns
-    * (node, auth, hub), unrounded — callers round for oracles. */
+    * groupBy on the other; under the measured [[nodeBroadcastCap]] the
+    * score side broadcasts (edges never shuffle inside the loop), past
+    * it the edge relation is pre-partitioned once per key and each half
+    * is a shuffled-hash join on the co-partitioned copies; the two
+    * normalizers ride ONE-ROW broadcast cross joins (no driver
+    * collect); lazy lineage barriers cut the plan per half-round
+    * (reliable checkpoints when `spark.graft.checkpointDir` is set).
+    * AQE salts hub skew. Returns (node, auth, hub), unrounded — callers
+    * round for oracles. */
   def hits(edges: DataFrame, iters: Int = 4): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
@@ -406,16 +441,38 @@ object GraphOps {
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
       .lineageBarrier(eager = false)
+    // measured broadcast gate ([[nodeBroadcastCap]]): under the cap the
+    // score relation rides each half-round as a broadcast hash join and
+    // the edge relation is NEVER shuffled or sorted inside the loop
+    // (the stats-less barriered inputs otherwise default every half to
+    // sort-merge — six edge shuffles+sorts for iters=3). The count also
+    // materializes the nodes barrier once, up front.
+    val bcastScores = nodes.count() <= nodeBroadcastCap(nodes)
+    // past the cap: hash-partition the edge relation by EACH join key
+    // ONCE, up front (guide §2.4 — two operations keyed the same way
+    // share one exchange), so the per-half joins reuse the barriered
+    // partitioning instead of re-shuffling edges; the node-sized score
+    // side is hinted to a shuffled-hash build (guide §3.1 — no
+    // per-half sort of the edge relation, and a score-side build
+    // always fits: it is at most nodes/shuffle-partitions rows).
+    val (eSrc, eDst) =
+      if (bcastScores) (e, e)
+      else (e.repartition(col("src")).lineageBarrier(eager = false),
+        e.repartition(col("dst")).lineageBarrier(eager = false))
     // one half-round: pull raw scores across edges (joinKey → groupKey).
     // The score relation stays SPARSE through the loop (only nodes with
     // nonzero mass) — a zero score contributes exactly nothing to a sum,
     // so dropping the zero rows changes no value while halving the
-    // per-round work (no nodes left-join, no coalesce, no broadcast per
-    // half); the dense node set is reinstated once, at the end
-    def half(scores: DataFrame, joinKey: String, groupKey: String): DataFrame =
-      e.join(scores, e(joinKey) === scores("node"))
-        .groupBy(e(groupKey).as("node")).agg(sum(col("v")).as("v"))
+    // per-round work (no nodes left-join, no coalesce per half); the
+    // dense node set is reinstated once, at the end
+    def half(scores: DataFrame, joinKey: String, groupKey: String): DataFrame = {
+      val ek = if (joinKey == "src") eSrc else eDst
+      val sc =
+        if (bcastScores) broadcast(scores) else scores.hint("SHUFFLE_HASH")
+      ek.join(sc, ek(joinKey) === sc("node"))
+        .groupBy(ek(groupKey).as("node")).agg(sum(col("v")).as("v"))
         .lineageBarrier(eager = false)
+    }
     var hub = nodes.select(col("node"), lit(1.0).as("v"))
     var auth = hub
     for (_ <- 1 to iters) {
@@ -424,9 +481,11 @@ object GraphOps {
     }
     val ta = broadcast(auth.agg(sum(col("v")).as("ta")))
     val th = broadcast(hub.agg(sum(col("v")).as("th")))
+    def side(scores: DataFrame): DataFrame =
+      if (bcastScores) broadcast(scores) else scores
     nodes
-      .join(auth.select(col("node"), col("v").as("a")), Seq("node"), "left")
-      .join(hub.select(col("node"), col("v").as("h")), Seq("node"), "left")
+      .join(side(auth.select(col("node"), col("v").as("a"))), Seq("node"), "left")
+      .join(side(hub.select(col("node"), col("v").as("h"))), Seq("node"), "left")
       .crossJoin(ta).crossJoin(th)
       .select(col("node"),
         (coalesce(col("a"), lit(0.0)) / col("ta")).as("auth"),
@@ -661,13 +720,19 @@ object GraphOps {
       // times (the convergence probe + both anti-joins), and without a
       // barrier each reference recomputes the full degree aggregate —
       // 3 degree passes per round instead of 1 (guide §2.4: don't
-      // recompute what one exchange already paid for)
+      // recompute what one exchange already paid for). The count both
+      // probes convergence AND gates a broadcast ([[nodeBroadcastCap]]):
+      // under the cap the anti-joins broadcast the node-sized peel set,
+      // so the edge relation is never shuffled inside the loop.
       val bad = deg.filter(col("d") < k).select("n").lineageBarrier()
-      if (bad.isEmpty) converged = true
+      val nBad = bad.count()
+      if (nBad == 0) converged = true
       else {
+        val badB =
+          if (nBad <= nodeBroadcastCap(bad)) broadcast(bad) else bad
         cur = cur
-          .join(bad.select(col("n").as("a")), Seq("a"), "left_anti")
-          .join(bad.select(col("n").as("b")), Seq("b"), "left_anti")
+          .join(badB.select(col("n").as("a")), Seq("a"), "left_anti")
+          .join(badB.select(col("n").as("b")), Seq("b"), "left_anti")
           .select("a", "b")
           .lineageBarrier()
       }
@@ -790,8 +855,15 @@ object GraphOps {
       .lineageBarrier(eager = false)
     var lab = sym.select(col("n")).distinct()
       .withColumn("lbl", col("n")).lineageBarrier()
+    // measured broadcast gate ([[nodeBroadcastCap]]): the label relation
+    // is one (long, long) row per node; under the cap each round's
+    // sym⋈lab rides a broadcast hash join and the symmetrized edge
+    // relation never shuffles inside the loop
+    val bcastLab = lab.count() <= nodeBroadcastCap(lab)
     for (_ <- 1 to iters) {
-      val counts = sym.join(lab.select(col("n").as("m"), col("lbl")), Seq("m"))
+      val labSide = lab.select(col("n").as("m"), col("lbl"))
+      val counts = sym.join(
+          if (bcastLab) broadcast(labSide) else labSide, Seq("m"))
         .groupBy("n", "lbl").agg(count(lit(1)).as("c"))
       // argmax by (count desc, label asc) as a struct-max hash aggregate
       lab = counts.groupBy("n")
@@ -822,6 +894,7 @@ object GraphOps {
       .lineageBarrier(eager = false)
     var lab = sym.select(col("n")).distinct()
       .withColumn("lbl", col("n")).lineageBarrier()
+    val bcastLab = lab.count() <= nodeBroadcastCap(lab)
     var changed = Long.MaxValue
     var i = 0
     while (changed > 0) {
@@ -830,7 +903,9 @@ object GraphOps {
           s"rounds ($changed labels still changing) — synchronous LPA " +
           "oscillates on bipartite-like structure; use the fixed-round " +
           "labelPropagation for a deterministic cut, or raise maxIters")
-      val counts = sym.join(lab.select(col("n").as("m"), col("lbl")), Seq("m"))
+      val labSide = lab.select(col("n").as("m"), col("lbl"))
+      val counts = sym.join(
+          if (bcastLab) broadcast(labSide) else labSide, Seq("m"))
         .groupBy("n", "lbl").agg(count(lit(1)).as("c"))
       val next = counts.groupBy("n")
         .agg(max(struct(col("c"), (-col("lbl")).as("neg"))).as("best"))

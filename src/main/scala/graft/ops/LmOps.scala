@@ -59,6 +59,11 @@ object LmOps {
     val vocab = df
       .select(explode(split(col(textCol), " ")).as("tok"))
       .agg(countDistinct(col("tok")).cast("double").as("v"))
+    // NOTE (r15): pre-joining prefix into the model relation before the
+    // per-doc join was tried and MEASURED SLOWER (1.43 → 2.53 s at
+    // sf0.1) — the per-doc-side joins partial-aggregate and reuse the
+    // perDoc exchange, while the enriched-model form recomputes the
+    // model aggregate for both join sides. Kept in the original shape.
     val scored = perDoc
       .join(model, Seq("bg"))
       .withColumn("pfx", substring_index(col("bg"), " ", n - 1))
@@ -119,6 +124,10 @@ object LmOps {
         col("c1").cast("double") +
       ((lit(d) * col("n1v").cast("double")) / col("c1").cast("double")) *
         (col("n1w").cast("double") / col("n1all"))
+    // NOTE (r15): enriching the model relation with prefix+continuation
+    // stats before the per-doc join was tried and MEASURED SLOWER
+    // (1.84 → 2.86 s at sf0.1) — same trade as [[ngramPerplexity]]'s
+    // note. Kept in the original shape.
     val scored = perDoc
       .join(model.select("bg", "c2", "pfx", "sfx"), Seq("bg"))
       .join(prefix, Seq("pfx"))

@@ -130,12 +130,17 @@ object TrainOps {
         if (ngram == 1) graft.functions.WordShingles(col("text"), 1)
         else concat((1 to ngram).map(k =>
           graft.functions.WordShingles(col("text"), k)): _*)).as("tok"))
+    // per-doc dedup INSIDE the aggregate (collect_set == distinct +
+    // collect_list on values, sets sorted identically): the standalone
+    // .distinct() hash-partitioned the token relation by (doc_id, j)
+    // and the groupBy re-shuffled it by doc_id — one full exchange of
+    // the corpus-sized bucket relation removed (guide §2.4), and the
+    // set dedup now happens map-side in the partial aggregate
     tok.select(col("doc_id"),
         pmod(graft.functions.PolyHash(col("tok")) * lit(Mix),
           lit(dim.toLong)).cast("int").as("j"))
-      .distinct()
       .groupBy("doc_id")
-      .agg(sort_array(collect_list(col("j"))).as("ja"))
+      .agg(sort_array(collect_set(col("j"))).as("ja"))
       // bias index dim is the largest possible (buckets are < dim), so
       // appending it keeps the array sorted
       .select(col("doc_id"),
