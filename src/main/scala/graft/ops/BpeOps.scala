@@ -650,7 +650,12 @@ object BpeOps {
     val fullShard =
       if (idBuckets > 1) shardCols :+ "id_bucket" else shardCols
     val shard = fullShard.map(col)
+    // materialize the tokenized relation once — it feeds the per-doc
+    // count AND the offset join, and the merge-replay tokenizer would
+    // otherwise run once per consumer (the packTokenIds discipline)
     val tok = tokenize(docs, merges, textCol, idCol, endMark)
+      .select(col("doc_id"), col("pos"), col("token_id"))
+      .lineageBarrier()
     val nTok = tok.groupBy("doc_id").agg(max(col("pos")).as("n_tok"))
     val base0 = docs.select(col(idCol).as("doc_id") +: shardCols.map(col): _*)
     val base =
@@ -659,10 +664,20 @@ object BpeOps {
           PipelineOps.idBucketCol(col("doc_id"), idBuckets, seed))
       else base0
     val w = Window.partitionBy(shard: _*).orderBy("doc_id")
-    val offsets = base
+    val offsets0 = base
       .join(nTok, Seq("doc_id"))
       .withColumn("start_tok", sum(col("n_tok")).over(w) - col("n_tok"))
       .select((col("doc_id") +: shard :+ col("start_tok")): _*)
+      .lineageBarrier()
+    // doc-sized, barriered (stats-less): broadcast under a measured cap
+    // so the token join keeps its hash build instead of sort-merging
+    // the token relation (rows are id + shard strings + a long; conf
+    // `spark.graft.pipeline.broadcastRows`, 0 disables)
+    val offCap = docs.sparkSession.conf
+      .getOption("spark.graft.pipeline.broadcastRows")
+      .map(_.toLong).getOrElse(2000000L)
+    val offsets =
+      if (offsets0.count() <= offCap) broadcast(offsets0) else offsets0
     tok.join(offsets, Seq("doc_id"))
       .withColumn("gpos", col("start_tok") + col("pos") - 1)
       .withColumn("seq_id", expr(s"gpos div ${seqLen}L"))

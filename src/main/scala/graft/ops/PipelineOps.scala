@@ -16,6 +16,17 @@ import graft.ops.Checkpoints._
   */
 object PipelineOps {
 
+  /** Measured broadcast gate for the packing pipelines' doc-sized
+    * offset relations (fixed-width rows: id, shard strings, two longs —
+    * ≲120 B framed, so the default 2M-row cap bounds a broadcast at
+    * ~250 MB). The gated inputs are barriered (stats-less), so without
+    * the hint the planner sort-merges the token relation against them.
+    * Conf `spark.graft.pipeline.broadcastRows` (0 disables — the
+    * web-scale regime keeps the shuffled shape). */
+  private def pipelineBroadcastCap(df: DataFrame): Long =
+    df.sparkSession.conf.getOption("spark.graft.pipeline.broadcastRows")
+      .map(_.toLong).getOrElse(2000000L)
+
   // ---- sequence packing --------------------------------------------------
   /** The auto-appended hash-bucket column [[packSequences]],
     * [[packTokenIds]], and [[graft.ops.BpeOps.tokenizeAndPack]] add to
@@ -132,7 +143,16 @@ object PipelineOps {
     val fullShard =
       if (idBuckets > 1) shardCols :+ "id_bucket" else shardCols
     val shard = fullShard.map(col)
-    val nTok = tok.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+    // materialize the tokenized relation ONCE per invocation: it feeds
+    // the per-doc count AND the slot join, and `tok` is typically a
+    // whole tokenizer pipeline (dictionary segmentation + corpus join +
+    // position window) that would otherwise run once per consumer —
+    // with labels the slot relation is additionally self-joined, so the
+    // un-barriered plan re-tokenized the corpus up to four times
+    // (guide §2.4). Fresh per invocation; rows unchanged.
+    val tokP = tok.select(col("doc_id"), col("pos"), col("token_id"))
+      .lineageBarrier()
+    val nTok = tokP.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
     val base0 = docs.select(col(idCol).as("doc_id") +: shardCols.map(col): _*)
     val base =
       if (idBuckets > 1)
@@ -140,24 +160,38 @@ object PipelineOps {
           idBucketCol(col("doc_id"), idBuckets, seed))
       else base0
     val w = Window.partitionBy(shard: _*).orderBy("doc_id")
+    // the offset relation is docs-sized (one row per doc) and consumed
+    // twice (slot join + separator slots); barrier it, and broadcast
+    // the slot-join side under the measured cap — the barrier is
+    // stats-less, so the join would otherwise fall back to sort-merge
+    // over the token relation
     val off = base.join(nTok, Seq("doc_id"), "left")
       .na.fill(0L, Seq("n_tok"))
       .withColumn("start_slot",
         sum(col("n_tok") + 1L).over(w) - (col("n_tok") + 1L))
-    val tokSlots = tok.select(col("doc_id"), col("pos"), col("token_id"))
-      .join(off.select(col("doc_id") +: shard :+ col("start_slot"): _*),
-        Seq("doc_id"))
+      .lineageBarrier()
+    val offJoin = off.select(col("doc_id") +: shard :+ col("start_slot"): _*)
+    val offB =
+      if (off.count() <= pipelineBroadcastCap(off)) broadcast(offJoin)
+      else offJoin
+    val tokSlots = tokP
+      .join(offB, Seq("doc_id"))
       .select(shard :+ col("doc_id") :+
         (col("start_slot") + col("pos") - 1L).as("gpos") :+
         col("token_id"): _*)
     val sepSlots = off.select(shard :+ col("doc_id") :+
       (col("start_slot") + col("n_tok")).as("gpos") :+
       lit(sepId).as("token_id"): _*)
-    val slots0 = tokSlots.unionByName(sepSlots)
     // causal-LM labels: the NEXT slot's id across the whole shard
     // stream (docs, separators, and row boundaries included; the
     // shard's last slot gets the -100 ignore index) — an equi-join on
-    // gpos+1, not a shard-wide sort
+    // gpos+1, not a shard-wide sort; the slot relation is barriered so
+    // the self-join reads one materialization instead of re-deriving
+    // the whole chain for each side
+    val slots0 = {
+      val u = tokSlots.unionByName(sepSlots)
+      if (withLabels) u.lineageBarrier() else u
+    }
     val slotsL =
       if (!withLabels) slots0
       else slots0.join(
