@@ -1047,6 +1047,16 @@ object GraphOps {
       .select((col("node") * walksPerStart + col("w")).as("walk_id"),
         col("node"))
       .lineageBarrier()
+    // measured broadcast gate ([[nodeBroadcastCap]]): live-walk count
+    // only ever shrinks (sinks truncate), so the INITIAL frontier count
+    // — already materialized by the eager barrier above — bounds every
+    // hop's frontier. Under the cap each hop joins as frontier-built
+    // broadcast hash joins, so the degree and adjacency relations are
+    // never shuffled or sorted inside the loop (stats-less barriers
+    // otherwise default the hops to sort-merge over the edge-sized
+    // adjacency).
+    val bcastWalks = frontier.count() <= nodeBroadcastCap(frontier)
+    def side(f: DataFrame): DataFrame = if (bcastWalks) broadcast(f) else f
     val out = scala.collection.mutable.ArrayBuffer[DataFrame](
       frontier.select(col("walk_id"), lit(0L).as("step"), col("node")))
     for (t <- 1 to steps) {
@@ -1056,13 +1066,15 @@ object GraphOps {
       // (hop k feeds hop k+1 once + the output union once), so one
       // final action materializes each frontier exactly once into its
       // cache — `steps` hops run as ONE job instead of `steps` eager
-      // jobs (measured ~0.7 s/job of scheduling constant at sf0.1).
+      // jobs (measured ~0.7 s/job of scheduling constant at sf0.1;
+      // broadcast builds are sub-jobs of the same action and read the
+      // cached prior frontier, so the property survives the gate).
       // Convergence LOOPS (components, kCore, pageRank's multi-branch
       // rounds) keep the eager form — their recompute trees grow.
-      frontier = frontier
-        .join(deg, frontier("node") === deg("src"))
+      frontier = side(side(frontier)
+        .join(deg, col("node") === deg("src"))
         .select(col("walk_id"), col("node").as("src"),
-          pmod(hv, col("outdeg")).as("idx"))
+          pmod(hv, col("outdeg")).as("idx")))
         .join(ew, Seq("src", "idx"))
         .select(col("walk_id"), col("dst").as("node"))
         .lineageBarrier(eager = false)
